@@ -1,0 +1,79 @@
+"""Embedding generation.
+
+The reference calls Azure OpenAI text-embedding with Dimensions=1536 in
+batches of 10 with retry/backoff (BlobTriggerFunction.cs:118-160).  That
+service isn't available here, so the engine ships a deterministic
+hashing-trick embedder with two implementations:
+
+1. `hash_embedding_expr` — pure built-in expression (md5 bucket + sign per
+   token, scatter-summed into a dim-length int vector).  Exactly
+   reproducible in the DuckDB oracle; used by the correctness queries.
+2. `add_embeddings` — Arrow-batched pandas UDF with numpy scatter-add +
+   L2 normalization.  This is the production hot path (vectorized, ~100×
+   row-UDF) and the seam where a real model/service call would go: the
+   UDF receives whole Arrow batches, mirroring the reference's batched
+   REST calls (MaxBatchSize=10, MaxDegreeOfParallelism=50 — Spark's task
+   parallelism replaces the manual Parallel.ForEachAsync).
+
+Both agree: normalize(hash_embedding_expr(t)) == add_embeddings(t) (tested).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from document_vector_pipeline_spark.functions.hashing import token_bucket, token_sign
+
+
+def hash_embedding_expr(text: Column, dim: int) -> Column:
+    """Unnormalized hashing-trick embedding as array<int> (exact arithmetic,
+    oracle-reproducible): for each whitespace token t,
+    vec[md5_32(t) % dim] += sign(md5 hex digit 9 of t)."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
+    pairs = F.transform(words, lambda w: F.struct(
+        token_bucket(w, dim).alias("b"), token_sign(w).alias("s")))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.aggregate(
+            pairs, F.lit(0),
+            lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(0)))
+
+
+def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
+    """numpy scatter-add hashing embedder for one Arrow batch."""
+    out = []
+    for t in texts:
+        vec = np.zeros(dim, dtype=np.float32)
+        if t:
+            for w in t.split():
+                h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                bucket = int(h[:8], 16) % dim
+                sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+                vec[bucket] += sign
+        n = float(np.linalg.norm(vec))
+        if n > 0:
+            vec /= n
+        out.append(vec)
+    return pd.Series(out)
+
+
+def make_embed_udf(dim: int):
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return _hash_embed_batch(texts, dim)
+    return embed
+
+
+def add_embeddings(chunks: DataFrame, text_col: str = "chunk_text",
+                   out_col: str = "embedding",
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Append an L2-normalized embedding column (array<float>, cfg dims)."""
+    embed = make_embed_udf(cfg.embedding_dimensions)
+    return chunks.withColumn(out_col, embed(F.col(text_col)))

@@ -1,0 +1,40 @@
+"""SparkSession factory.
+
+Tuned for the container (local[N], single JVM) but every setting is also the
+one you'd want on a real cluster: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), Arrow on (pandas-UDF hot path), UTC session
+timezone (oracle comparability), shuffle partitions sized to cores rather
+than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "document_vector_pipeline_spark",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 4)
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

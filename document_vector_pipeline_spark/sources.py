@@ -1,0 +1,79 @@
+"""Sources: test tables and blob-store-like readers.
+
+The reference ingests from Azure Blob Storage via a blob trigger
+(BlobTriggerFunction.cs:40-56).  The Spark-native equivalents:
+
+- batch:      ``spark.read.format("text").option("wholetext", True)`` /
+              ``format("binaryFile")`` over a directory tree — one row per
+              blob, `path` column = the blob URL.
+- streaming:  ``spark.readStream.format("text"|"binaryFile")`` over the same
+              directory — Structured Streaming's file source gives exactly
+              the create-event semantics of the blob trigger (each new file
+              is processed once, checkpointed).
+
+Test tables are the driver-provided parquet at /root/testdata/sf*/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql() use."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_text_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """One row per text blob: (document_url, content).
+
+    Parity: BlobTriggerFunction.cs:70-84 opens the blob stream and reads all
+    lines; here the file source reads whole files distributed, and the later
+    parse step splits lines.
+    """
+    df = spark.read.format("text").option("wholetext", "true").load(path)
+    return df.select(
+        F.col("value").alias("content"),
+        F.input_file_name().alias("document_url"),
+    )
+
+
+def read_binary_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """One row per blob: (document_url, content binary, length, mod_time).
+
+    Parity: the non-txt/md branch of BlobTriggerFunction.cs:86-101 downloads
+    the blob bytes for Document Intelligence; binaryFile is the distributed
+    equivalent (content bytes + metadata columns).
+    """
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.col("path").alias("document_url"),
+        F.col("content"),
+        F.col("length"),
+        F.col("modificationTime").alias("modification_time"),
+    )
+
+
+def stream_text_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming create-event source (blob-trigger parity, see module doc)."""
+    df = (spark.readStream.format("text")
+          .option("wholetext", "true")
+          .option("maxFilesPerTrigger", "64")
+          .load(path))
+    return df.select(
+        F.col("value").alias("content"),
+        F.input_file_name().alias("document_url"),
+    )

@@ -1,0 +1,88 @@
+"""Chunker unit tests: Spark expressions vs the pure-Python replication of
+the reference semantics, on synthetic corner cases and real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import PipelineConfig
+from document_vector_pipeline_spark.functions import chunking as C
+from document_vector_pipeline_spark.operators.chunk import chunk_documents
+from tests.reference_semantics import (
+    char_window_reference,
+    token_budget_reference,
+    word_window_reference,
+)
+
+CASES = [
+    "",
+    "one",
+    "a b",
+    "  leading and   trailing   ",
+    "word " * 100,
+    "supercalifragilisticexpialidocious " * 30,
+    "x" * 300,  # single word longer than any budget
+    "short text with several words and a bit more content to chunk",
+]
+
+
+def _spark_chunks(spark, text, mode, **cfg_kw):
+    cfg = PipelineConfig(**cfg_kw)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = (chunk_documents(df, mode=mode, cfg=cfg)
+            .orderBy("chunk_number").collect())
+    return [(r.chunk_text, r.page_number) for r in rows]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_char_window_matches_reference(spark, text):
+    words = text.split()
+    expected = char_window_reference(words, 64)
+    got = _spark_chunks(spark, text, "chars", char_chunk_size=64)
+    assert got == expected
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_word_window_matches_reference(spark, text):
+    words = text.split()
+    expected = word_window_reference(words, 5)
+    got = [c for c, _ in _spark_chunks(spark, text, "words", max_word_count=5)]
+    assert got == expected
+
+
+@pytest.mark.parametrize("text", CASES)
+@pytest.mark.parametrize("overlap", [0, 2])
+def test_token_budget_matches_reference(spark, text, overlap):
+    words = text.split()
+    expected = token_budget_reference(words, 16, overlap)
+    got = [c for c, _ in _spark_chunks(spark, text, "tokens",
+                                       max_tokens_per_chunk=16,
+                                       overlap_words=overlap)]
+    assert got == expected
+
+
+def test_chunks_reassemble_to_document(spark, docs_small):
+    """Property: concatenating token-mode chunks (overlap=0) restores the
+    whitespace-normalized document."""
+    cfg = PipelineConfig(max_tokens_per_chunk=16, overlap_words=0)
+    chunks = chunk_documents(docs_small, mode="tokens", cfg=cfg)
+    rebuilt = (chunks.groupBy("doc_id")
+               .agg(F.array_join(F.array_sort(F.collect_list(
+                   F.struct("chunk_number", "chunk_text"))).getField("chunk_text"), " ")
+                   .alias("rebuilt")))
+    joined = (docs_small
+              .select("doc_id",
+                      F.array_join(C.norm_words(F.col("text")), " ").alias("orig"))
+              .join(rebuilt, "doc_id"))
+    bad = joined.filter(F.col("orig") != F.col("rebuilt")).count()
+    assert bad == 0
+
+
+def test_token_budget_never_exceeds_budget(spark, docs_small):
+    """No chunk exceeds the token budget unless it is a single word."""
+    cfg = PipelineConfig(max_tokens_per_chunk=16, overlap_words=0)
+    chunks = chunk_documents(docs_small, mode="tokens", cfg=cfg)
+    over = chunks.filter(
+        (F.floor(F.length("chunk_text") / 4) > 16)
+        & (F.size(F.split("chunk_text", " ")) > 1)
+    ).count()
+    assert over == 0
