@@ -20,9 +20,6 @@ Both agree: normalize(hash_embedding_expr(t)) == add_embeddings(t) (tested).
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -46,28 +43,37 @@ def hash_embedding_expr(text: Column, dim: int) -> Column:
             lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(0)))
 
 
-def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
-    """numpy scatter-add hashing embedder for one Arrow batch."""
-    out = []
-    for t in texts:
-        vec = np.zeros(dim, dtype=np.float32)
-        if t:
-            for w in t.split():
-                h = hashlib.md5(w.encode("utf-8")).hexdigest()
-                bucket = int(h[:8], 16) % dim
-                sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
-                vec[bucket] += sign
-        n = float(np.linalg.norm(vec))
-        if n > 0:
-            vec /= n
-        out.append(vec)
-    return pd.Series(out)
-
-
 def make_embed_udf(dim: int):
+    """Build the Arrow-batched embedder UDF.
+
+    The whole implementation lives inside this closure (with local imports)
+    so cloudpickle serializes it BY VALUE: executor Python workers don't
+    need this package importable — exactly like a real cluster where the
+    repo isn't on every worker's PYTHONPATH.
+    """
+
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        return _hash_embed_batch(texts, dim)
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for t in texts:
+            vec = _np.zeros(dim, dtype=_np.float32)
+            if t:
+                for w in t.split():
+                    h = _hashlib.md5(w.encode("utf-8")).hexdigest()
+                    bucket = int(h[:8], 16) % dim
+                    sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+                    vec[bucket] += sign
+            n = float(_np.linalg.norm(vec))
+            if n > 0:
+                vec /= n
+            out.append(vec)
+        return _pd.Series(out)
+
     return embed
 
 

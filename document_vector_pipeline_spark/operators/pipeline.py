@@ -1,0 +1,74 @@
+"""The end-to-end ingestion pipeline: blobs → parse → chunk → embed → store.
+
+Parity: HandleBlobCreateEventAsync (BlobTriggerFunction.cs:58-116) —
+extension routing, chunking at the configured token budget, batched
+embedding, upsert into the vector store.  The reference processes one blob
+per function invocation with manual batching (MaxBatchSize=10) and manual
+parallelism (MaxDegreeOfParallelism=50); here the whole corpus is one
+declarative plan and Spark's task scheduler provides the parallelism, so
+the same code scales from one blob to 100 TB of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from document_vector_pipeline_spark.functions import chunking as C
+from document_vector_pipeline_spark.operators.embed import add_embeddings
+from document_vector_pipeline_spark.operators.parse import (
+    analysis_text_units,
+    route_blobs,
+)
+from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+
+def blobs_to_chunks(blobs: DataFrame,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Route + parse + chunk blob rows (document_url, content).
+
+    .txt/.md blobs take the line/markdown token-budget path
+    (BlobTriggerFunction.cs:70-84); everything else goes through the
+    analyzer fallback cascade (DocumentChunker.cs:40-56) and is chunked
+    from its text units with the same token budget.
+    """
+    routed = route_blobs(blobs)
+    units = F.when(
+        F.col("route").isin("text", "markdown"),
+        # line-based: normalize the line array back to one text stream
+        F.array_join(
+            F.filter(F.transform(F.split(F.col("content"), r"\r?\n"), F.trim),
+                     lambda ln: ln != F.lit("")), " "),
+    ).otherwise(F.array_join(analysis_text_units(F.col("analysis")), " "))
+    words = C.norm_words(units)
+    spans = C.token_budget_spans(words, cfg.max_tokens_per_chunk,
+                                 cfg.overlap_words)
+    chunks = C.spans_to_chunks(words, spans)
+    return (routed
+            .select("document_url",
+                    F.posexplode(chunks).alias("chunk_number", "ch"))
+            .select("document_url",
+                    F.col("chunk_number").cast("int"),
+                    F.col("ch.chunk_text").alias("chunk_text"),
+                    F.col("ch.page_number").alias("page_number")))
+
+
+def ingest_blobs(blobs: DataFrame, store: VectorStore,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """Full create-event handling for a batch of blobs; returns #chunks."""
+    chunks = add_embeddings(blobs_to_chunks(blobs, cfg), cfg=cfg)
+    store.upsert(chunks)
+    return store.read().count()
+
+
+def documents_table_to_store(docs: DataFrame, store: VectorStore,
+                             cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+    """Adapter: treat the testdata `documents` table as a blob container
+    (doc_id → synthetic document_url)."""
+    blobs = docs.select(
+        F.concat(F.lit("mem://documents/"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("document_url"),
+        F.col("text").alias("content"))
+    chunks = add_embeddings(blobs_to_chunks(blobs, cfg), cfg=cfg)
+    store.upsert(chunks)

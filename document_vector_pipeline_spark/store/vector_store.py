@@ -1,0 +1,173 @@
+"""Parquet-backed vector store with the reference's store semantics.
+
+Parity targets:
+- Row model (CosmosDBClientWrapper.cs:160-176, AzureSQL Document.cs):
+  id (chunk number as string), document_url, chunk_text, embedding,
+  page_number.  `id` formatting matches ChunkId = chunkNumber.ToString("d")
+  (CosmosDBClientWrapper.cs:48).
+- Partition key /document_url (CosmosDBClientWrapper.cs:131): rows are
+  hash-bucketed on document_url into `bucket=` partitions, so every
+  per-document operation (upsert, delete, filtered search) touches exactly
+  one partition directory — the Spark analogue of a Cosmos logical
+  partition.
+- Upsert = idempotent merge on (document_url, id)
+  (UpsertDocumentsAsync, CosmosDBClientWrapper.cs:36-70).
+- Delete by document_url = the blob-delete event handling the reference
+  leaves as TODO (BlobTriggerFunction.cs:163-169) — implemented here.
+- Vector index: cosine, with a QuantizedFlat-style int8 quantized column
+  maintained alongside the float vector (CosmosDBClientWrapper.cs:117-146).
+
+Scale design: upsert/delete never rewrite the whole store — they compute
+the affected buckets from the incoming keys (a tiny distinct-collect),
+read ONLY those partitions back (partition pruning on `bucket`), merge via
+left-anti join co-partitioned on the bucket key, and rewrite just those
+directories with dynamic partition overwrite.  At 100 TB with 64-4096
+buckets, an upsert of one document touches 1/N of the store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from document_vector_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    quantize_int8,
+)
+
+STORE_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),            # chunk number, "d" format
+    T.StructField("document_url", T.StringType()),  # partition key path
+    T.StructField("chunk_text", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("embedding_q8", T.ArrayType(T.ByteType())),
+    T.StructField("page_number", T.IntegerType()),
+    T.StructField("bucket", T.IntegerType()),
+])
+
+KEY = ("document_url", "id")
+
+
+class VectorStore:
+    def __init__(self, spark: SparkSession, path: str,
+                 cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.path = path
+        self.cfg = cfg
+
+    # ---- plumbing ---------------------------------------------------------
+
+    def _bucket(self, url_col):
+        return F.pmod(F.xxhash64(url_col), F.lit(self.cfg.store_buckets)).cast("int")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.startswith("bucket=") for e in os.listdir(self.path))
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], STORE_SCHEMA)
+        return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
+
+    def _normalize(self, chunks: DataFrame) -> DataFrame:
+        """Map a chunk DataFrame (document_url, chunk_number, chunk_text,
+        page_number, embedding) to the store row model."""
+        return chunks.select(
+            F.col("chunk_number").cast("string").alias("id"),
+            F.col("document_url"),
+            F.col("chunk_text"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            quantize_int8(F.col("embedding")).alias("embedding_q8"),
+            F.coalesce(F.col("page_number"), F.lit(0)).cast("int").alias("page_number"),
+            self._bucket(F.col("document_url")).alias("bucket"),
+        )
+
+    def _overwrite_buckets(self, merged: DataFrame) -> None:
+        (merged
+         .repartition("bucket")
+         .write
+         .partitionBy("bucket")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite")
+         .parquet(self.path))
+
+    # ---- operations -------------------------------------------------------
+
+    def upsert(self, chunks: DataFrame) -> None:
+        """Idempotent merge on (document_url, id): incoming rows replace
+        matching keys, other rows in the affected buckets are kept, and
+        untouched buckets are never read or written."""
+        incoming = self._normalize(chunks)
+        if not self.exists():
+            self._overwrite_buckets(incoming)
+            return
+        buckets = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
+        current = self.read().filter(F.col("bucket").isin(buckets))
+        kept = current.join(incoming.select(*KEY).distinct(), list(KEY), "left_anti")
+        self._overwrite_buckets(kept.unionByName(incoming))
+
+    def delete_document(self, document_url: str) -> None:
+        """Blob-delete event: remove every chunk of the document.
+        (Implements the reference's TODO, BlobTriggerFunction.cs:163-169.)"""
+        if not self.exists():
+            return
+        bucket = self.spark.range(1).select(
+            self._bucket(F.lit(document_url))).first()[0]
+        current = self.read().filter(F.col("bucket") == bucket)
+        kept = current.filter(F.col("document_url") != document_url)
+        # overwrite just this bucket directory (it may become empty)
+        (kept.repartition(1).write
+         .partitionBy("bucket")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite")
+         .parquet(self.path))
+        if kept.isEmpty():
+            # dynamic overwrite won't touch a partition with no output rows;
+            # drop the stale directory explicitly.
+            import shutil
+            shutil.rmtree(os.path.join(self.path, f"bucket={bucket}"),
+                          ignore_errors=True)
+
+    def search(self, query_vector: list[float], k: int = 10,
+               document_url: str | None = None,
+               quantized: bool = False) -> DataFrame:
+        """Cosine top-k over the store (the Cosmos VectorDistance query).
+
+        quantized=True scores against the int8 QuantizedFlat column —
+        dot product of unit-scaled vectors — trading recall for a 4×
+        smaller scan, exactly the QuantizedFlat tradeoff.
+        """
+        df = self.read()
+        if document_url is not None:
+            # partition pruning: bucket filter narrows to one directory
+            df = df.filter(
+                (F.col("bucket") == self._bucket(F.lit(document_url)))
+                & (F.col("document_url") == document_url))
+        q = F.array(*[F.lit(float(v)) for v in query_vector])
+        # zip_with null-pads on length mismatch → silent null scores; make
+        # a dimension mismatch a loud, named error instead.
+        df = df.withColumn(
+            "embedding",
+            F.when(F.size("embedding") == len(query_vector), F.col("embedding"))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("query vector dimension "),
+                 F.lit(str(len(query_vector))),
+                 F.lit(" != stored embedding dimension "),
+                 F.size("embedding").cast("string")))))
+        if quantized:
+            qq = quantize_int8(q)
+            score = (dot(F.transform(F.col("embedding_q8"),
+                                     lambda v: v.cast("double") / 127.0),
+                         F.transform(qq, lambda v: v.cast("double") / 127.0)))
+        else:
+            score = cosine_similarity(F.col("embedding"), q)
+        return (df.withColumn("score", score)
+                  .orderBy(F.desc("score"), "document_url", "id")
+                  .limit(k)
+                  .select("id", "document_url", "chunk_text", "page_number",
+                          "score"))

@@ -1,0 +1,65 @@
+"""End-to-end ingestion parity: files on disk → route → chunk → embed →
+upsert → search, plus the delete event."""
+
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import PipelineConfig
+from document_vector_pipeline_spark.operators.pipeline import (
+    blobs_to_chunks,
+    documents_table_to_store,
+    ingest_blobs,
+)
+from document_vector_pipeline_spark.sources import read_text_blobs
+from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+CFG = PipelineConfig(max_tokens_per_chunk=16, embedding_dimensions=16,
+                     store_buckets=8)
+
+
+def test_ingest_from_files_and_search(spark, tmp_path):
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("alpha beta gamma " * 30)
+    (blob_dir / "b.md").write_text("# heading\n\ndelta epsilon " * 20)
+    (blob_dir / "c.pdf").write_text("zeta eta theta " * 25)  # analyzer route
+
+    store = VectorStore(spark, str(tmp_path / "store"), CFG)
+    blobs = read_text_blobs(spark, str(blob_dir))
+    total = ingest_blobs(blobs, store, CFG)
+    assert total > 3  # several chunks per blob at a 16-token budget
+
+    df = store.read()
+    assert df.select("document_url").distinct().count() == 3
+    # chunk numbers restart per document (reference chunkNumber counter)
+    assert df.filter((F.col("id") == "0")).count() == 3
+
+    # search returns the ingested text
+    q = store.read().filter(F.col("chunk_text").contains("alpha")) \
+        .select("embedding").first().embedding
+    top = store.search(list(q), k=1).first()
+    assert "alpha" in top.chunk_text
+
+    # delete event removes the document's chunks
+    url = df.filter(F.col("chunk_text").contains("zeta")) \
+        .select("document_url").first().document_url
+    store.delete_document(url)
+    assert store.read().filter(F.col("document_url") == url).count() == 0
+
+
+def test_routes_cover_txt_md_other(spark, tmp_path):
+    blob_dir = tmp_path / "blobs2"
+    blob_dir.mkdir()
+    (blob_dir / "x.txt").write_text("one two three")
+    (blob_dir / "y.md").write_text("four five six")
+    (blob_dir / "z.bin").write_text("seven eight nine")
+    chunks = blobs_to_chunks(read_text_blobs(spark, str(blob_dir)), CFG)
+    texts = {r.chunk_text for r in chunks.collect()}
+    assert texts == {"one two three", "four five six", "seven eight nine"}
+
+
+def test_documents_table_adapter(spark, docs_small, tmp_path):
+    store = VectorStore(spark, str(tmp_path / "docstore"), CFG)
+    documents_table_to_store(docs_small.limit(40), store, CFG)
+    df = store.read()
+    assert df.select("document_url").distinct().count() == 40
+    assert df.filter(F.size("embedding") != 16).count() == 0

@@ -1,0 +1,92 @@
+"""Vector store: upsert idempotence, key replacement, delete, search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import PipelineConfig
+from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+CFG = PipelineConfig(embedding_dimensions=4, store_buckets=8)
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(
+        rows, "document_url string, chunk_number int, chunk_text string, "
+              "page_number int, embedding array<float>")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return VectorStore(spark, str(tmp_path / "store"), CFG)
+
+
+def test_upsert_and_read(spark, store):
+    store.upsert(_chunks(spark, [
+        ("u1", 0, "alpha", 0, [1.0, 0.0, 0.0, 0.0]),
+        ("u1", 1, "beta", 0, [0.0, 1.0, 0.0, 0.0]),
+        ("u2", 0, "gamma", 0, [0.0, 0.0, 1.0, 0.0]),
+    ]))
+    df = store.read()
+    assert df.count() == 3
+    assert set(df.columns) >= {"id", "document_url", "chunk_text",
+                               "embedding", "embedding_q8", "page_number"}
+    # id is the chunk number as a decimal string (CosmosDB ChunkId parity)
+    assert {r.id for r in df.filter(F.col("document_url") == "u1").collect()} == {"0", "1"}
+
+
+def test_upsert_is_idempotent_and_replaces(spark, store):
+    store.upsert(_chunks(spark, [("u1", 0, "old", 0, [1.0, 0.0, 0.0, 0.0])]))
+    store.upsert(_chunks(spark, [("u1", 0, "old", 0, [1.0, 0.0, 0.0, 0.0])]))
+    assert store.read().count() == 1
+    store.upsert(_chunks(spark, [("u1", 0, "new", 0, [0.0, 1.0, 0.0, 0.0])]))
+    rows = store.read().collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "new"
+
+
+def test_upsert_keeps_other_documents(spark, store):
+    store.upsert(_chunks(spark, [
+        ("u1", 0, "a", 0, [1.0, 0.0, 0.0, 0.0]),
+        ("u2", 0, "b", 0, [0.0, 1.0, 0.0, 0.0]),
+    ]))
+    store.upsert(_chunks(spark, [("u1", 0, "a2", 0, [1.0, 1.0, 0.0, 0.0])]))
+    got = {r.document_url: r.chunk_text for r in store.read().collect()}
+    assert got == {"u1": "a2", "u2": "b"}
+
+
+def test_delete_document(spark, store):
+    store.upsert(_chunks(spark, [
+        ("u1", 0, "a", 0, [1.0, 0.0, 0.0, 0.0]),
+        ("u1", 1, "b", 0, [0.0, 1.0, 0.0, 0.0]),
+        ("u2", 0, "c", 0, [0.0, 0.0, 1.0, 0.0]),
+    ]))
+    store.delete_document("u1")
+    rows = store.read().collect()
+    assert [(r.document_url, r.chunk_text) for r in rows] == [("u2", "c")]
+    store.delete_document("u2")
+    assert store.read().count() == 0
+
+
+def test_search_cosine_topk(spark, store):
+    store.upsert(_chunks(spark, [
+        ("u1", 0, "x-axis", 0, [1.0, 0.0, 0.0, 0.0]),
+        ("u1", 1, "mostly-x", 0, [0.9, 0.1, 0.0, 0.0]),
+        ("u2", 0, "y-axis", 0, [0.0, 1.0, 0.0, 0.0]),
+    ]))
+    top = store.search([1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r.chunk_text for r in top] == ["x-axis", "mostly-x"]
+    assert top[0].score == pytest.approx(1.0)
+    # filtered search only sees the given document
+    only_u2 = store.search([1.0, 0.0, 0.0, 0.0], k=5, document_url="u2").collect()
+    assert [r.chunk_text for r in only_u2] == ["y-axis"]
+
+
+def test_search_quantized_agrees_on_ranking(spark, store):
+    store.upsert(_chunks(spark, [
+        ("u1", 0, "x", 0, [1.0, 0.0, 0.0, 0.0]),
+        ("u1", 1, "xy", 0, [0.7, 0.7, 0.0, 0.0]),
+        ("u2", 0, "y", 0, [0.0, 1.0, 0.0, 0.0]),
+    ]))
+    exact = [r.chunk_text for r in store.search([1.0, 0.1, 0.0, 0.0], k=3).collect()]
+    quant = [r.chunk_text for r in store.search([1.0, 0.1, 0.0, 0.0], k=3,
+                                                quantized=True).collect()]
+    assert exact == quant
