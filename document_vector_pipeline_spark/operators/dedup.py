@@ -1,0 +1,246 @@
+"""Deduplication operators for the training-data pipeline (SURVEY.md §2
+#13-17).  Beyond the reference's surface, but first-class here: a 100 TB
+corpus is deduplicated before chunk/embed/upsert.
+
+Every operator is built on the md5-derived hash family in
+functions/hashing.py, so results are exactly reproducible by the DuckDB
+oracle (cross-engine integer arithmetic only).
+
+Scale design per operator:
+- exact:      one shuffle on a uniform hash key (no skew by construction).
+- minhash:    signatures are per-row HOF folds (no shuffle); only the
+              b band keys per doc are exploded and shuffled; candidate
+              pairs come from an equi-join on (band, band_hash) — the
+              classic MinHash-LSH plan.  At 100 TB the band join is the
+              only wide stage and AQE's skew-join splits hot buckets
+              (boilerplate-heavy corpora).
+- simhash:    per-row fold to a 60-bit signature; hamming-≤-d candidate
+              pairs via the band trick (4×15-bit keys), verified with
+              bit_count(xor).
+- ngram:      exact Jaccard needs |A∩B|: explode distinct shingle hashes
+              and self-join — quadratic in principle, so at scale it runs
+              AFTER minhash pruning; kept exact here as the verifier and
+              the correctness oracle.
+- embedding:  cosine near-dup; the oracle-facing variant is an exact
+              threshold self-join, the scale path is LSH bucketing from
+              operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_seeded,
+)
+from document_vector_pipeline_spark.functions.vectors import cosine_similarity
+
+
+def _norm_text(text: Column) -> Column:
+    """Whitespace-normalized, lower-cased text (dedup canonical form)."""
+    return F.array_join(
+        F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                 lambda w: w != F.lit("")), " ")
+
+
+def _shingles(text: Column, width: int) -> Column:
+    """Distinct `width`-token shingle strings of the canonical text."""
+    words = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    starts = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)) \
+              .otherwise(F.when(n > 0, F.array(F.lit(1)))
+                         .otherwise(F.array().cast("array<int>")))
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.array_join(F.slice(words, s, width), " ")))
+
+
+# ---- 13. exact ------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of canonical text -> group stats.
+    Returns (fingerprint, n_dups, keep_id) for groups, keep = min id."""
+    return (docs
+            .select(F.col(id_col), md5_long(_norm_text(F.col(text_col))).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.count("*").cast("long").alias("n_dups"),
+                 F.min(id_col).alias("keep_id")))
+
+
+def exact_dedup_survivors(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The deduplicated corpus: one representative (min id) per fingerprint."""
+    fp = docs.select(F.col(id_col),
+                     md5_long(_norm_text(F.col(text_col))).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "fingerprint")
+
+
+# ---- 14. minhash + LSH -----------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 16,
+                       shingle_width: int = 3) -> DataFrame:
+    """(id, sig array<bigint>[num_perm]): sig_i = min over shingles of
+    md5(i || '|' || shingle).  Pure per-row fold — no shuffle."""
+    sh = _shingles(F.col(text_col), shingle_width)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(
+            sh, lambda s: md5_long_seeded_col(s, i))))
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def md5_long_seeded_col(col: Column, seed_col: Column) -> Column:
+    """md5_long_seeded with a Column seed (for use inside HOF lambdas)."""
+    return F.conv(F.substring(F.md5(
+        F.concat(seed_col.cast("string"), F.lit("|"), col)), 1, 15), 16, 10)\
+        .cast("long")
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 16,
+                      bands: int = 4, shingle_width: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    Band key = md5 of the concatenated band slice of the signature; the
+    only shuffle is the equi-join on (band, key).
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_width)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ","))
+             .alias("key")))
+    banded = (sigs
+              .select(F.col(id_col), F.explode(band_arr).alias("bk"))
+              .select(F.col(id_col), F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+# ---- 15. simhash ------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, simhash bigint): 60-bit SimHash over whitespace tokens (every
+    occurrence weighted 1).
+
+    Plan shape: explode tokens → hash once → ONE shuffle on the id with 60
+    map-side-combined conditional sums (bit votes) → recombine bits.  All
+    shift amounts are static Python ints, so everything stays in codegen.
+    Empty docs get simhash 0 via the left join.
+    """
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != F.lit(""))
+    toks = (docs.select(F.col(id_col), F.explode(words).alias("w"))
+            .withColumn("h", md5_long(F.col("w"))))
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
+         .alias(f"b{b}")
+        for b in range(SIMHASH_BITS)])
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    votes = votes.select(F.col(id_col), sim.alias("simhash"))
+    return (docs.select(id_col).join(votes, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+                     .alias("simhash")))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  bands: int = 4) -> DataFrame:
+    """Pairs (id_a < id_b, hamming) with hamming(simhash) <= max_hamming.
+
+    Band trick: any pair within hamming d < bands collides on at least one
+    of the `bands` bit-slices, so the join is an equi-join, then verified
+    with bit_count(xor)."""
+    width = SIMHASH_BITS // bands  # 15-bit slices
+    sh = simhash(docs, id_col, text_col)
+    slices = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("simhash"), b * width) % F.lit(1 << width))
+                .alias("key"))
+        for b in range(bands)])
+    banded = (sh.select(F.col(id_col), F.col("simhash"),
+                        F.explode(slices).alias("bk"))
+              .select(F.col(id_col), F.col("simhash"),
+                      F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sim_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sim_b"), "band", "key")
+    pairs = (left.join(right, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---- 16. n-gram Jaccard ------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", width: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ τ).
+
+    Explodes distinct shingle hashes and self-joins (the exact verifier;
+    at 100 TB run it on minhash candidates, not the full cross of shingles).
+    jaccard is rounded to 6 dp (ratio of exact integer counts).
+    """
+    sh = (docs.select(
+            F.col(id_col),
+            F.explode(F.transform(_shingles(F.col(text_col), width),
+                                  lambda s: md5_long(s))).alias("shingle")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
+    left = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    right = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (left.join(right, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").cast("long").alias("c")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---- 17. embedding cosine near-dup -------------------------------------------
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cos ≥ τ), rounded 6 dp.
+
+    This is the exact O(n²) verifier used at test scale and as the oracle;
+    the 100 TB path prunes candidates with similarity.lsh_ann first.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

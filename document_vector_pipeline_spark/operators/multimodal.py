@@ -1,0 +1,121 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(SURVEY.md §2 #25).
+
+The Spark-side plumbing is real and tested: asset schema, Arrow batch
+shape, mapInPandas signatures, partitioning.  The actual codecs (PIL,
+ffmpeg, torchaudio...) are NOT in this container, so decoding is a
+deterministic fake derived from the payload bytes — clearly marked, and
+swappable: a production deployment replaces `_fake_decode` with the real
+library call inside the same mapInPandas contract.
+
+Design notes for 100 TB of binaries:
+- binaryFile source caps file size per row; real corpora store blobs in
+  parquet/avro shards (payload column) exactly like the `assets` frame
+  built here.
+- decode/feature-extract runs as mapInPandas: one Python worker per
+  partition, Arrow-batched, no JVM copies of the raw bytes beyond the
+  column transfer; repartition by asset_id keeps batches balanced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = ("asset_id long, kind string, payload binary, "
+                "meta struct<source:string,created_ts:timestamp>")
+
+DECODED_SCHEMA = ("asset_id long, kind string, width int, height int, "
+                  "n_frames int, duration_s double, content_hash string")
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"asset_id long, feature array<float>"
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter: wrap the documents table's text bytes as binary assets so
+    the multimodal plumbing is exercised against real data."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(F.col("source").alias("source"),
+                 F.lit(None).cast("timestamp").alias("created_ts")).alias("meta"))
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Decode metadata from binary payloads via mapInPandas.
+
+    STUB DECODER: real image/audio decoding libraries are unavailable in
+    this environment, so dimensions/duration are a deterministic function
+    of the payload bytes (md5 + length).  The mapInPandas contract —
+    schema, batching, null payloads — is the production one.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                h = hashlib.md5(payload).hexdigest()
+                n = len(payload)
+                kind = row["kind"]
+                out.append({
+                    "asset_id": row["asset_id"],
+                    "kind": kind,
+                    "width": (int(h[:4], 16) % 1920 + 1) if kind == "image" else 0,
+                    "height": (int(h[4:8], 16) % 1080 + 1) if kind == "image" else 0,
+                    "n_frames": (int(h[8:12], 16) % 300 + 1) if kind == "video" else
+                                (1 if kind == "image" else 0),
+                    "duration_s": round(n / 1024.0, 3) if kind in ("audio", "video") else 0.0,
+                    "content_hash": h,
+                })
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature vectors from payload bytes via mapInPandas (stub: md5-seeded
+    byte-histogram, unit-normalized — deterministic, shape-correct)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                vec = np.zeros(dim, dtype=np.float32)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size:
+                    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+                    nrm = float(np.linalg.norm(hist))
+                    vec = hist / nrm if nrm else hist
+                ids.append(row["asset_id"])
+                vecs.append(vec)
+            yield pd.DataFrame({"asset_id": ids, "feature": vecs})
+
+    return assets.select("asset_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_bytes: int = 64,
+                  frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling for video-kind assets: one row per sampled byte-window
+    (stand-in for ffmpeg keyframe extraction; pure built-ins, no Python).
+    Output: (asset_id, frame_no, frame binary)."""
+    video = assets.filter(F.col("kind") == "video")
+    n = F.length("payload")
+    starts = F.when(n >= frame_bytes,
+                    F.sequence(F.lit(1), n - frame_bytes + 1,
+                               F.lit(every_bytes)))\
+             .otherwise(F.array().cast("array<int>"))
+    frames = F.transform(starts, lambda s: F.substring(F.col("payload"), s, frame_bytes))
+    return (video
+            .select("asset_id", F.posexplode(frames).alias("frame_no", "frame")))

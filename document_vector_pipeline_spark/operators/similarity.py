@@ -1,0 +1,192 @@
+"""Similarity search (ANN) over an embedding column (SURVEY.md §2 #18-20).
+
+Three strategies, one contract — (query_id, vec_id, score, rank):
+
+- brute_force_topk: exact cosine top-k.  The query set is broadcast (it is
+  small by definition), the corpus is scanned once, ranking is a window
+  per query.  No corpus shuffle besides the rank — at 100 TB this is the
+  "baseline scan" and parallelizes linearly with executors.
+- brute_force_topk_np: same semantics, numpy matmul via mapInPandas with
+  per-partition partial top-k (the Arrow fast path for wide vectors; also
+  demonstrates the partial-topk pattern that keeps the final shuffle tiny:
+  k rows per partition per query instead of the whole corpus).
+- lsh_ann: random-hyperplane LSH — deterministic md5-derived hyperplanes,
+  signature buckets, candidates from bucket equality, exact rerank within
+  the bucket.  The scale path: the corpus-side work is a narrow map to a
+  bucket key + an equi-join on it.
+- ivf_ann: IVF-style coarse quantization — deterministic seed centroids,
+  assign-to-nearest partition of the corpus, probe the nprobe closest
+  centroids per query.  The bucketed layout is exactly what you'd persist
+  for repeated queries at 100 TB (partition pruning on centroid id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.functions.hashing import md5_long
+from document_vector_pipeline_spark.functions.vectors import cosine_similarity
+
+
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "score", "rank"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id",
+                     qvec_col: str = "query_vec") -> DataFrame:
+    """Exact cosine top-k; `queries` (qid, qvec) is broadcast."""
+    scored = (corpus.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v"))
+              .join(F.broadcast(queries.select(
+                  F.col(qid_col).alias("query_id"),
+                  F.col(qvec_col).alias("q"))))
+              .withColumn("score", F.round(cosine_similarity("v", "q"), 6)))
+    return _ranked(scored, k)
+
+
+def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        qid_col: str = "query_id",
+                        qvec_col: str = "query_vec") -> DataFrame:
+    """Same result as brute_force_topk via numpy matmul per Arrow batch +
+    per-partition partial top-k (only k rows per partition reach the final
+    rank)."""
+    import numpy as np
+
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    qn = q_mat / q_norm[:, None]
+    out_schema = "query_id long, vec_id long, score double"
+
+    def score_partition(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ qn.T          # (rows, nq)
+            for qi, qid in enumerate(q_ids):
+                s = sims[:, qi]
+                top = np.argsort(-s, kind="stable")[:k]
+                yield pd.DataFrame({
+                    "query_id": qid,
+                    "vec_id": pdf[id_col].iloc[top].to_numpy(),
+                    "score": np.round(s[top], 6),
+                })
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score_partition,
+                                                         out_schema)
+    return _ranked(partial, k)
+
+
+def _hyperplane(table: int, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane coefficient expressions:
+    coef(t, p, d) = (md5_long('t<t>_p<p>_<d>') % 2001 - 1000) / 1000."""
+    return F.array(*[
+        ((md5_long(F.lit(f"t{table}_p{plane}_{d}")) % 2001 - 1000) / 1000.0)
+        for d in range(dim)])
+
+
+def lsh_signature(vec, table: int, planes: int, dim: int):
+    """Bit-string signature: sign of dot(v, hyperplane_p) for each p."""
+    bits = []
+    for p in range(planes):
+        hp = _hyperplane(table, p, dim)
+        d = F.aggregate(F.zip_with(vec, hp, lambda x, h: x.cast("double") * h),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(d > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_signatures(vec, tables: int, planes: int, dim: int):
+    """array<struct<t,sig>>: one signature per hash table (multi-table LSH
+    — candidates are the union over tables, the standard recall lever)."""
+    return F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_signature(vec, t, planes, dim).alias("sig"))
+        for t in range(tables)])
+
+
+def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            planes: int = 8, tables: int = 4, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Bucketed ANN: candidates share a hyperplane signature in ≥1 of the
+    `tables` hash tables; exact cosine rerank on the candidate union.
+    Recall < 1 by design; the bucket join replaces the full scan."""
+    c = (corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                       F.explode(lsh_signatures(F.col(vec_col), tables, planes,
+                                                dim)).alias("ts"))
+         .select("vec_id", "v", F.col("ts.t").alias("t"),
+                 F.col("ts.sig").alias("sig")))
+    q = (queries.select(F.col(qid_col).alias("query_id"),
+                        F.col(qvec_col).alias("q"),
+                        F.explode(lsh_signatures(F.col(qvec_col), tables,
+                                                 planes, dim)).alias("ts"))
+         .select("query_id", "q", F.col("ts.t").alias("t"),
+                 F.col("ts.sig").alias("sig")))
+    cand = (c.join(F.broadcast(q), ["t", "sig"])
+            .select("query_id", "vec_id", "v", "q")
+            .dropDuplicates(["query_id", "vec_id"]))
+    scored = cand.withColumn("score", F.round(cosine_similarity("v", "q"), 6))
+    return _ranked(scored, k)
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse centroids: the n vectors with the smallest
+    md5_long(vec_id) (a uniform pseudo-random sample, stable across runs
+    and engines)."""
+    return (corpus
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("centroid"),
+                    md5_long(F.col(id_col).cast("string")).alias("h"))
+            .orderBy("h", "centroid_id").limit(n_centroids)
+            .select("centroid_id", "centroid"))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its max-cosine centroid (broadcast argmax —
+    ties broken by centroid_id)."""
+    scored = (corpus.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v"))
+              .join(F.broadcast(centroids))
+              .withColumn("cscore", F.round(cosine_similarity("v", "centroid"), 6)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.col("centroid_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "centroid_id"))
+
+
+def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            n_centroids: int = 8, nprobe: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """IVF-style ANN: search only the nprobe centroid cells closest to the
+    query.  Recall < 1 by design."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("q"))
+    qc = (q.join(F.broadcast(cents))
+          .withColumn("cscore", F.round(cosine_similarity("q", "centroid"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
+                                               F.col("centroid_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "q", "centroid_id"))
+    scored = (assigned.join(F.broadcast(probes), "centroid_id")
+              .withColumn("score", F.round(cosine_similarity("v", "q"), 6)))
+    return _ranked(scored, k)

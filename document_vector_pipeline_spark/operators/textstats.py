@@ -1,0 +1,43 @@
+"""Text analysis operator: one pass over the documents table producing the
+training-data quality columns (SURVEY.md §2 #21-24).
+
+All columns are built-in expressions (functions/text.py) — a single narrow
+projection, no shuffle, codegen end to end: at 100 TB this runs at scan
+speed alongside ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.functions import text as X
+
+
+def analyze_documents(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    lang = X.langid_struct(t)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        X.whitespace_token_count(t).alias("ws_tokens"),
+        X.bpe_ish_token_count(t).alias("bpe_tokens"),
+        X.punct_count(t).alias("punct_chars"),
+        X.alpha_count(t).alias("alpha_chars"),
+        X.stopword_count(t).alias("en_stopwords"),
+        X.quality_score(t).alias("quality"),
+        lang["lang"].alias("lang_guess"),
+        lang["hits"].alias("lang_hits"),
+        X.content_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def document_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", window: int = 8) -> DataFrame:
+    """(id, fingerprint): exploded rolling-window fingerprints — the
+    winnowing primitive for plagiarism/overlap detection."""
+    return (docs.select(
+        F.col(id_col),
+        F.explode(X.rolling_fingerprints(F.col(text_col), window))
+         .alias("fingerprint")))

@@ -1,0 +1,98 @@
+"""General analytics over the star schema (SURVEY.md §2 #28-32): the engine
+must also answer the relational queries a corpus-metadata warehouse gets.
+
+Plan discipline (checked in tests via explain):
+- selective filters sit directly on the scans (parquet pushdown),
+- dimension tables (region/nation/customer at SF) join via broadcast,
+- aggregates are declared so Catalyst does partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def q1_pricing(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary."""
+    return (lineitem
+            .filter(F.col("l_shipdate") < ship_before)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("sum_disc_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                       * (1 + F.col("l_tax"))).alias("sum_charge"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.avg("l_extendedprice").alias("avg_price"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_shipping(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                segment: str = "BUILDING",
+                cutoff: str = "1995-03-15") -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join, top revenue orders."""
+    return (lineitem.filter(F.col("l_shipdate") > cutoff)
+            .join(orders.filter(F.col("o_orderdate") < cutoff),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+def q5_local_supplier(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, region_name: str = "ASIA",
+                      date_from: str = "1994-01-01",
+                      date_to: str = "1995-01-01") -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: 6-way join; all dims broadcast;
+    the customer-nation == supplier-nation co-location constraint."""
+    return (lineitem
+            .join(orders.filter((F.col("o_orderdate") >= date_from)
+                                & (F.col("o_orderdate") < date_to)),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supplier),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+def q6_forecast(lineitem: DataFrame, date_from: str = "1994-01-01",
+                date_to: str = "1995-01-01", disc: float = 0.06,
+                qty: int = 24) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: selective scan, single agg."""
+    return (lineitem
+            .filter((F.col("l_shipdate") >= date_from)
+                    & (F.col("l_shipdate") < date_to)
+                    & (F.col("l_discount") >= disc - 0.011)
+                    & (F.col("l_discount") <= disc + 0.011)
+                    & (F.col("l_quantity") < qty))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+                 .alias("revenue")))
+
+
+def events_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Events × customer broadcast enrichment + per-segment/type rollup
+    (user_id is a customer key in the testdata)."""
+    joined = events.join(F.broadcast(customer),
+                         F.col("user_id") == F.col("c_custkey"), "inner")
+    return (joined.groupBy("c_mktsegment", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("c_mktsegment", "event_type"))

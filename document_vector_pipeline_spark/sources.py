@@ -18,12 +18,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a test table; `events.ts` is TIMESTAMP(NANOS) in the driver
+    parquet, which Spark 4 rejects outright — read it as long nanos
+    (legacy conf) and truncate to microseconds with exact integer
+    arithmetic (`div`, never `/`: 1.7e18 doesn't fit a double)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,54 @@
+"""Event-stream analytics: watermarked tumbling windows and session windows
+(SURVEY.md §2 #26-27).
+
+Each transformation is stream/batch agnostic — pass a streaming DataFrame
+(readStream) and it becomes a watermarked streaming aggregation; pass the
+batch events table and it is the exact batch equivalent the DuckDB oracle
+checks.  That dual use is the point: one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type.  Late rows beyond the
+    watermark are dropped in streaming mode; batch mode sees everything."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("event_type"), F.col("n_events"),
+                    F.col("total_value")))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: a session ends after `gap` of inactivity.
+    Streaming uses session_window state; batch is the same expression."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.session_window("ts", gap).alias("s"),
+                        F.col("user_id"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("user_id"),
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    F.col("n_events"), F.col("total_value")))
+
+
+def top_users_by_activity(events: DataFrame, n: int = 20) -> DataFrame:
+    """Per-user activity rollup with rank (batch analytics on the stream's
+    history)."""
+    from pyspark.sql import Window
+    agg = (events.groupBy("user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+                F.countDistinct("event_type").alias("n_types")))
+    w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n))

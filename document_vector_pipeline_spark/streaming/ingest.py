@@ -1,0 +1,50 @@
+"""Streaming ingest: the Structured-Streaming equivalent of the reference's
+blob trigger (BlobTriggerFunction.cs:40-56).
+
+The file source gives create-event semantics (each new file under the
+watched directory is processed exactly once, offsets checkpointed); the
+per-microbatch handler runs the SAME declarative pipeline as batch mode
+(blobs_to_chunks → add_embeddings → VectorStore.upsert) via foreachBatch,
+because upsert-merge is not an append-only sink.
+
+At scale this is the always-on variant of the pipeline: the reference's
+"one function invocation per blob" becomes "one microbatch per file
+batch", with maxFilesPerTrigger bounding latency vs. throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from document_vector_pipeline_spark.operators.embed import add_embeddings
+from document_vector_pipeline_spark.operators.pipeline import blobs_to_chunks
+from document_vector_pipeline_spark.sources import stream_text_blobs
+from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+
+def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
+                  checkpoint: str,
+                  cfg: PipelineConfig = DEFAULT_CONFIG,
+                  available_now: bool = True) -> StreamingQuery:
+    """Watch `blob_path`; upsert each microbatch of new files into `store`.
+
+    available_now=True drains everything currently present and stops
+    (test/backfill mode); False runs continuously.
+    """
+    blobs = stream_text_blobs(spark, blob_path)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = add_embeddings(blobs_to_chunks(batch_df, cfg), cfg=cfg)
+        store.upsert(chunks)
+
+    writer = (blobs.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,67 @@
+"""Relational analytics: results sane + plan discipline (pushdown,
+broadcast) visible in the physical plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.plans import analytics as A
+from document_vector_pipeline_spark.sources import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return load_tables(spark, SF)
+
+
+def test_q1(spark, t):
+    rows = A.q1_pricing(t["lineitem"]).collect()
+    assert 1 <= len(rows) <= 6
+    total = sum(r.count_order for r in rows)
+    assert total == t["lineitem"].filter(
+        F.col("l_shipdate") < "1998-09-01").count()
+
+
+def test_q3(spark, t):
+    rows = A.q3_shipping(t["customer"], t["orders"], t["lineitem"]).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5(spark, t):
+    rows = A.q5_local_supplier(t["region"], t["nation"], t["customer"],
+                               t["supplier"], t["orders"], t["lineitem"],
+                               date_from="1995-01-01",
+                               date_to="1999-01-01").collect()
+    assert len(rows) >= 1
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q6(spark, t):
+    r = A.q6_forecast(t["lineitem"], date_from="1995-01-01",
+                      date_to="1999-01-01").first()
+    assert r.revenue is not None and r.revenue > 0
+
+
+def test_events_enrich(spark, t):
+    rows = A.events_enrich(t["events"], t["customer"]).collect()
+    assert len(rows) > 0
+    assert all(r.n_events > 0 for r in rows)
+
+
+def test_plan_discipline(spark, t):
+    """Filters reach the parquet scan; dims broadcast."""
+    q3 = A.q3_shipping(t["customer"], t["orders"], t["lineitem"])
+    plan = q3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # filters sit on the scans (DataFilters in Spark 4's plan string)
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    assert "(c_mktsegment" in plan and "= BUILDING" in plan
+    # column pruning: the lineitem scan reads only the 4 needed columns
+    assert "FileScan parquet [l_orderkey" in plan and "l_shipdate" in plan
+    q6 = A.q6_forecast(t["lineitem"], date_from="1995-01-01",
+                       date_to="1999-01-01")
+    p6 = q6._jdf.queryExecution().executedPlan().toString()
+    assert "DataFilters: [isnotnull(l_shipdate" in p6

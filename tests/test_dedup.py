@@ -1,0 +1,80 @@
+"""Dedup operators: synthetic duplicates, invariants, and a cross-engine
+hash spot-check against DuckDB (prefiguring the driver's oracle)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "The  quick brown fox   jumps over the lazy dog"),     # ws/case dup of 1
+        (4, "the quick brown fox jumps over the lazy cat"),        # near-dup
+        (5, "completely different content about spark engines"),
+        (6, ""),                                                   # empty
+        (7, "one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, corpus):
+    groups = D.exact_dedup(corpus).collect()
+    by_keep = {r.keep_id: r.n_dups for r in groups}
+    assert by_keep[1] == 3          # docs 1,2,3 collapse
+    assert by_keep[4] == 1
+    surv = {r.doc_id for r in D.exact_dedup_survivors(corpus).collect()}
+    assert surv == {1, 4, 5, 6, 7}
+
+
+def test_minhash_lsh_finds_near_dup(spark, corpus):
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_lsh_pairs(corpus, num_perm=16, bands=8).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs                      # near-dup caught with 8 bands
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_hamming(spark, corpus):
+    sims = {r.doc_id: r.simhash for r in D.simhash(corpus).collect()}
+    assert sims[1] == sims[2] == sims[3]        # identical canonical text
+    assert sims[6] == 0
+    assert 0 <= sims[1] < (1 << 60)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_pairs(corpus, max_hamming=12).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_ngram_jaccard(spark, corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 4)] < 1.0           # one word differs
+    assert not any(5 in p for p in pairs)
+
+
+def test_embedding_neardup(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(emb, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_md5_hashing_matches_duckdb(spark, corpus):
+    """The whole dedup family rests on md5_long being identical across
+    engines — verify on real strings end to end."""
+    got = (corpus.filter(F.col("text") != "")
+           .select("doc_id", "text", D.md5_long(F.col("text")).alias("h"))
+           .orderBy("doc_id").collect())
+    assert got
+    con = duckdb.connect()
+    for r in got:
+        expect = con.execute(
+            "select cast(('0x' || substr(md5(?),1,15)) as bigint)", [r.text]
+        ).fetchone()[0]
+        assert r.h == expect, r.doc_id

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: schema shape, determinism, frame sampling."""
+
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators.multimodal import (
+    decode_assets,
+    documents_as_assets,
+    extract_features,
+    sample_frames,
+)
+
+
+def test_decode_schema_and_determinism(spark, docs_small):
+    assets = documents_as_assets(docs_small.limit(30))
+    d1 = decode_assets(assets).orderBy("asset_id").collect()
+    d2 = decode_assets(assets).orderBy("asset_id").collect()
+    assert d1 == d2                       # deterministic fake decode
+    kinds = {r.kind for r in d1}
+    assert kinds == {"image", "audio", "video"}
+    for r in d1:
+        if r.kind == "image":
+            assert r.width > 0 and r.height > 0 and r.n_frames == 1
+        if r.kind == "audio":
+            assert r.duration_s > 0 and r.width == 0
+        if r.kind == "video":
+            assert r.n_frames > 0 and r.duration_s > 0
+        assert len(r.content_hash) == 32
+
+
+def test_features_unit_norm(spark, docs_small):
+    assets = documents_as_assets(docs_small.limit(20))
+    feats = extract_features(assets).collect()
+    assert all(len(r.feature) == 16 for r in feats)
+    for r in feats:
+        s = sum(v * v for v in r.feature)
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_sample_frames(spark, docs_small):
+    assets = documents_as_assets(docs_small.limit(30))
+    frames = sample_frames(assets, every_bytes=32, frame_bytes=8)
+    rows = frames.collect()
+    assert rows and all(len(r.frame) == 8 for r in rows)
+    # only video assets produce frames
+    vids = {r.asset_id for r in assets.filter("kind = 'video'").collect()}
+    assert {r.asset_id for r in rows} <= vids
+    # frame numbers are dense per asset
+    per = frames.groupBy("asset_id").agg(
+        F.min("frame_no").alias("lo"), F.max("frame_no").alias("hi"),
+        F.count("*").alias("n"))
+    bad = per.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count()
+    assert bad == 0

@@ -1,0 +1,61 @@
+"""ANN operators: exactness of brute force, agreement of the numpy fast
+path, recall behavior of LSH/IVF on the real embeddings table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings_small):
+    return (embeddings_small.orderBy("vec_id").limit(3)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def test_brute_force_self_is_top1(spark, embeddings_small, queries):
+    top = S.brute_force_topk(embeddings_small, queries, k=5)
+    first = {r.query_id: r.vec_id for r in top.filter("rank = 1").collect()}
+    assert first == {0: 0, 1: 1, 2: 2}   # each query finds itself, score 1
+    assert top.count() == 15
+
+
+def test_np_fast_path_matches_exact(spark, embeddings_small, queries):
+    exact = S.brute_force_topk(embeddings_small, queries, k=10)
+    fast = S.brute_force_topk_np(embeddings_small, queries, k=10)
+    e = [(r.query_id, r.rank, r.vec_id) for r in
+         exact.orderBy("query_id", "rank").collect()]
+    f = [(r.query_id, r.rank, r.vec_id) for r in
+         fast.orderBy("query_id", "rank").collect()]
+    assert e == f
+
+
+def test_lsh_ann_recall(spark, embeddings_small, queries):
+    """LSH finds the identical vector (same bucket guaranteed) and has
+    reasonable overlap with the exact top-10."""
+    got = S.lsh_ann(embeddings_small, queries, k=10, planes=4, tables=6, dim=64)
+    first = {r.query_id: r.vec_id for r in got.filter("rank = 1").collect()}
+    assert first == {0: 0, 1: 1, 2: 2}
+    exact = S.brute_force_topk(embeddings_small, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    g = {(r.query_id, r.vec_id) for r in got.collect()}
+    # synthetic near-random vectors: neighbors are weak, so the bar is
+    # self-retrieval (above) plus meaningful overlap with exact top-10
+    assert len(e & g) >= 6
+
+
+def test_ivf_ann_recall(spark, embeddings_small, queries):
+    got = S.ivf_ann(embeddings_small, queries, k=10, n_centroids=8, nprobe=3)
+    first = {r.query_id: r.vec_id for r in got.filter("rank = 1").collect()}
+    assert first == {0: 0, 1: 1, 2: 2}
+    exact = S.brute_force_topk(embeddings_small, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    g = {(r.query_id, r.vec_id) for r in got.collect()}
+    assert len(e & g) >= 5
+
+
+def test_brute_force_is_broadcast_no_corpus_shuffle(spark, embeddings_small, queries):
+    plan = S.brute_force_topk(embeddings_small, queries, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,86 @@
+"""Streaming: file-source ingest drains to the store; windowed/session aggs
+agree between streaming and batch execution of the same transformation."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import PipelineConfig
+from document_vector_pipeline_spark.sources import load_table
+from document_vector_pipeline_spark.store.vector_store import VectorStore
+from document_vector_pipeline_spark.streaming.events import (
+    sessionize,
+    top_users_by_activity,
+    windowed_event_counts,
+)
+from document_vector_pipeline_spark.streaming.ingest import stream_ingest
+
+CFG = PipelineConfig(max_tokens_per_chunk=16, embedding_dimensions=16,
+                     store_buckets=8)
+
+
+def test_stream_ingest_drains_directory(spark, tmp_path):
+    blob_dir = tmp_path / "inbox"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("stream alpha " * 30)
+    (blob_dir / "b.txt").write_text("stream beta " * 30)
+
+    store = VectorStore(spark, str(tmp_path / "store"), CFG)
+    q = stream_ingest(spark, str(blob_dir), store,
+                      checkpoint=str(tmp_path / "ckpt"), cfg=CFG)
+    q.awaitTermination(120)
+    assert store.read().select("document_url").distinct().count() == 2
+
+    # a new file arriving is picked up by the next availableNow run
+    (blob_dir / "c.txt").write_text("stream gamma " * 30)
+    q2 = stream_ingest(spark, str(blob_dir), store,
+                       checkpoint=str(tmp_path / "ckpt"), cfg=CFG)
+    q2.awaitTermination(120)
+    assert store.read().select("document_url").distinct().count() == 3
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = windowed_event_counts(events)
+
+    # the driver testdata uses TIMESTAMP(NANOS), which the streaming parquet
+    # source rejects; re-write through Spark (micros) to stream it
+    src_dir = str(tmp_path / "events_stream_src")
+    events.write.parquet(src_dir)
+    stream_src = (spark.readStream
+                  .schema(events.schema)
+                  .parquet(src_dir))
+    streamed = windowed_event_counts(stream_src)
+    q = (streamed.writeStream.format("memory")
+         .queryName("win_counts").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts")
+    b = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+         for r in batch.collect()}
+    s = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+         for r in got.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_sessionize_batch(spark):
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    sess = sessionize(events, gap="30 minutes")
+    assert sess.count() > 0
+    # session bounds are consistent
+    bad = sess.filter(F.col("session_end") <= F.col("session_start")).count()
+    assert bad == 0
+    # every user's events are covered by their sessions
+    per_user = sess.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    direct = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    mism = (per_user.join(direct, "user_id")
+            .filter(per_user.n != direct.n).count())
+    assert mism == 0
+
+
+def test_top_users(spark):
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    top = top_users_by_activity(events, n=5).collect()
+    assert len(top) == 5
+    assert [r.rank for r in top] == [1, 2, 3, 4, 5]
+    assert top[0].n_events >= top[4].n_events

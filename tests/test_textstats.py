@@ -1,0 +1,60 @@
+"""Text analysis: hand-computed expectations + real-table sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators.textstats import (
+    analyze_documents,
+    document_fingerprints,
+)
+
+
+def test_counts_on_known_text(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat, the dog; and 42 birds!")], "doc_id long, text string")
+    r = analyze_documents(df).first()
+    assert r.n_chars == 31
+    assert r.ws_tokens == 7
+    assert r.punct_chars == 3          # , ; !
+    assert r.alpha_chars == 20         # Thecatthedogandbirds
+    assert r.en_stopwords == 3         # 'The'->the, 'the', 'and'
+    assert r.lang_guess == "en"
+
+
+def test_quality_bounds_on_real_docs(spark, docs_small):
+    stats = analyze_documents(docs_small)
+    bad = stats.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+    assert stats.count() == docs_small.count()
+
+
+def test_langid_all_langs(spark):
+    rows = [
+        (1, "the cat and the dog is in a house"),
+        (2, "el gato y la casa es de un perro"),
+        (3, "le chat est une maison et le chien"),
+        (4, "der hund und die katze ist ein haus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_guess for r in analyze_documents(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de"}
+
+
+def test_fingerprints_detect_shared_window(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h X Y"),   # shares the first 8-token window
+        (3, "p q r s t u v w x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = document_fingerprints(df, window=8)
+    shared = (fp.alias("l").join(fp.alias("r"), "fingerprint")
+              .filter("l.doc_id < r.doc_id")
+              .select("l.doc_id", "r.doc_id").distinct().collect())
+    assert [(r[0], r[1]) for r in shared] == [(1, 2)]
+
+
+def test_en_stopword_count_exact(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat")],
+                               "doc_id long, text string")
+    assert analyze_documents(df).first().en_stopwords == 3
