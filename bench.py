@@ -1,0 +1,134 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Unlike the oracle-facing contract queries (small dims, exact-arithmetic
+variants), this drives the PRODUCTION path: 1536-dim Arrow-batched pandas
+UDF embeddings, 250-token chunks (the reference defaults), full dedup /
+ANN / analytics suite.  The reference processes blobs one Azure Function
+invocation at a time with MaxBatchSize=10 / MaxDegreeOfParallelism=50 REST
+calls; here the same work is one declarative Spark plan per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from document_vector_pipeline_spark import PipelineConfig, get_spark  # noqa: E402
+from document_vector_pipeline_spark.contract import QVEC, _doc_url  # noqa: E402
+from document_vector_pipeline_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+    textstats,
+)
+from document_vector_pipeline_spark.operators.embed import add_embeddings  # noqa: E402
+from document_vector_pipeline_spark.operators.pipeline import (  # noqa: E402
+    blobs_to_chunks,
+)
+from document_vector_pipeline_spark.plans import analytics  # noqa: E402
+from document_vector_pipeline_spark.sources import load_table  # noqa: E402
+from document_vector_pipeline_spark.store.vector_store import VectorStore  # noqa: E402
+from document_vector_pipeline_spark.streaming import events as sev  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+STORE_PATH = os.path.join(ROOT, ".scratch", "bench_store")
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS)
+    t = {n: load_table(spark, SF_DIR, n)
+         for n in ("region", "nation", "customer", "supplier", "orders",
+                   "lineitem", "events", "documents", "embeddings")}
+    docs, emb, ev = t["documents"], t["embeddings"], t["events"]
+    # the driver testdata is one parquet row-group per table, which Spark
+    # cannot split — a production layout would arrive in many files.
+    # Restore the parallelism a real cluster layout gives before the
+    # compute-heavy per-row operators (one small shuffle, amortized).
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
+    emb = emb.repartition(par)
+    qdf = (emb.filter(F.col("vec_id") < 8)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    cfg = PipelineConfig()  # reference defaults: 250 tokens, 1536 dims
+    store = VectorStore(spark, STORE_PATH, cfg)
+    blobs = docs.select(_doc_url().alias("document_url"),
+                        F.col("text").alias("content"))
+    qvec1536 = [0.0] * cfg.embedding_dimensions
+    for i, v in enumerate(QVEC):
+        qvec1536[i] = v
+
+    def ingest():
+        shutil.rmtree(STORE_PATH, ignore_errors=True)
+        chunks = add_embeddings(blobs_to_chunks(blobs, cfg), cfg=cfg)
+        store.upsert(chunks)
+        return store.read()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        df = fn()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name:>22}: {timings[name]:7.2f}s  ({n} rows)",
+              file=sys.stderr)
+
+    bench("pipeline_ingest", ingest)
+    bench("vector_topk", lambda: store.search(qvec1536, k=10))
+    bench("vector_quantized", lambda: store.search(qvec1536, k=10,
+                                                   quantized=True))
+    bench("dedup_exact", lambda: dedup.exact_dedup(docs))
+    bench("dedup_minhash", lambda: dedup.minhash_lsh_pairs(docs))
+    bench("dedup_simhash", lambda: dedup.simhash_pairs(docs))
+    bench("dedup_ngram_jaccard",
+          lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.1))
+    bench("dedup_embedding",
+          lambda: dedup.embedding_neardup_pairs(emb, threshold=0.35))
+    bench("ann_bruteforce",
+          lambda: similarity.brute_force_topk(emb, qdf, k=10))
+    bench("ann_bruteforce_np",
+          lambda: similarity.brute_force_topk_np(emb, qdf, k=10))
+    bench("ann_lsh", lambda: similarity.lsh_ann(emb, qdf, k=10))
+    bench("ann_ivf", lambda: similarity.ivf_ann(emb, qdf, k=10))
+    bench("text_stats", lambda: textstats.analyze_documents(docs))
+    bench("stream_windowed", lambda: sev.windowed_event_counts(ev))
+    bench("stream_sessionize", lambda: sev.sessionize(ev))
+    bench("q1_pricing", lambda: analytics.q1_pricing(t["lineitem"]))
+    bench("q3_shipping", lambda: analytics.q3_shipping(
+        t["customer"], t["orders"], t["lineitem"]))
+    bench("q5_local", lambda: analytics.q5_local_supplier(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"]))
+    bench("q6_forecast", lambda: analytics.q6_forecast(t["lineitem"]))
+    bench("events_enrich", lambda: analytics.events_enrich(ev, t["customer"]))
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "suite_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

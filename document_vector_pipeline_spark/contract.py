@@ -1,0 +1,1213 @@
+"""Driver-contract implementation: queries() + oracle_sql().
+
+Every operator from SURVEY.md §2 is exposed twice:
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built on the package's
+  operators, and
+- an ANSI-SQL oracle string that DuckDB evaluates over the same parquet —
+  value-for-value identical, not merely approximately equal.
+
+Cross-engine exactness rules (see functions/hashing.py, plans/analytics.py):
+- all hashes are md5-hex-prefix integers (both engines agree bit-for-bit),
+- float folds (dot products, norms) are written left-associative on both
+  sides so IEEE summation order is identical,
+- money/value aggregations are exact integer fixed-point sums (partition-
+  order independent),
+- every surfaced float is rounded, every result column is a scalar (no
+  arrays/structs in oracle-checked outputs), every ranking has a total
+  tie-break order.
+
+Result sets keep only scalar columns so the driver's order-insensitive
+value hash is well defined.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import shutil
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import PipelineConfig
+from document_vector_pipeline_spark.functions import text as X
+from document_vector_pipeline_spark.functions.hashing import md5_long
+from document_vector_pipeline_spark.functions.text import STOPWORDS
+from document_vector_pipeline_spark.functions.vectors import cosine_similarity
+from document_vector_pipeline_spark.operators import dedup, multimodal, similarity
+from document_vector_pipeline_spark.operators.chunk import chunk_documents
+from document_vector_pipeline_spark.operators.embed import hash_embedding_expr
+from document_vector_pipeline_spark.operators.parse import (
+    analysis_text_units,
+    route_blobs,
+)
+from document_vector_pipeline_spark.operators.pipeline import blobs_to_chunks
+from document_vector_pipeline_spark.plans import analytics
+from document_vector_pipeline_spark.sources import load_table
+from document_vector_pipeline_spark.store.vector_store import VectorStore
+from document_vector_pipeline_spark.streaming import events as sev
+
+SCRATCH = "/root/repo/.scratch"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _md5l(expr: str, digits: int = 15, start: int = 1) -> str:
+    """DuckDB equivalent of functions.hashing.md5_long."""
+    return f"cast('0x' || substr(md5({expr}), {start}, {digits}) as bigint)"
+
+
+def _toks(expr: str = "text", lower: bool = False) -> str:
+    e = f"lower(trim({expr}))" if lower else f"trim({expr})"
+    return f"list_filter(string_split_regex({e}, '\\s+'), x -> x <> '')"
+
+
+def _norm_text(expr: str = "text", lower: bool = False) -> str:
+    return f"array_to_string({_toks(expr, lower)}, ' ')"
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    """Left-associative explicit dot product (matches F.aggregate's fold)."""
+    return " + ".join(f"({a}[{i}]*{b}[{i}])" for i in range(1, dim + 1))
+
+
+def _dot_lit(a: str, lits: list[float], dim: int) -> str:
+    return " + ".join(f"({a}[{i}]*{lits[i - 1]!r})" for i in range(1, dim + 1))
+
+
+def _ss(a: str, dim: int) -> str:
+    return " + ".join(f"({a}[{i}]*{a}[{i}])" for i in range(1, dim + 1))
+
+
+def _cos(a: str, b: str, dim: int, na: str, nb: str) -> str:
+    """cosine given precomputed norm columns na, nb (matches
+    functions.vectors.cosine_similarity incl. the zero-vector guard)."""
+    return (f"case when ({na}*{nb}) = 0 then 0.0 "
+            f"else ({_dot(a, b, dim)})/({na}*{nb}) end")
+
+
+def _emb_sql(dim: int, text: str = "text") -> str:
+    """DuckDB mirror of operators.embed.hash_embedding_expr: int list of
+    signed hashing-trick bucket sums."""
+    bucket = f"{_md5l('t', 8, 1)} % {dim}"
+    sign = f"case when {_md5l('t', 1, 9)} % 2 = 0 then 1 else -1 end"
+    return (f"list_transform(generate_series(0, {dim - 1}), b -> "
+            f"cast(coalesce(list_sum(list_transform({_toks(text)}, "
+            f"t -> case when {bucket} = b then {sign} else 0 end)), 0) as int))")
+
+
+_URL_SQL = ("'mem://docs/' || cast(doc_id as varchar) || "
+            "case when doc_id % 3 = 0 then '.txt' "
+            "when doc_id % 3 = 1 then '.md' else '.pdf' end")
+
+
+def _doc_url():
+    """Synthetic blob url per document row (Spark mirror of _URL_SQL)."""
+    return F.concat(
+        F.lit("mem://docs/"), F.col("doc_id").cast("string"),
+        F.element_at(F.array(F.lit(".txt"), F.lit(".md"), F.lit(".pdf")),
+                     (F.col("doc_id") % 3 + 1).cast("int")))
+
+
+def _money_sum_sql(expr: str, scale: int) -> str:
+    """DuckDB mirror of plans.analytics.money_sum."""
+    unit = 10 ** scale
+    return (f"cast(sum(cast(round(({expr})*{float(unit)!r}, 0) as bigint)) "
+            f"as bigint)/{float(unit)!r}")
+
+
+# ---------------------------------------------------------------------------
+# deterministic python mirrors (query-vector metadata)
+# ---------------------------------------------------------------------------
+
+
+def _py_hash_embed(textv: str, dim: int) -> list[float]:
+    """Python mirror of hash_embedding_expr for building literal query
+    vectors (same md5 bucket/sign family)."""
+    vec = [0] * dim
+    for w in textv.split():
+        h = hashlib.md5(w.encode("utf-8")).hexdigest()
+        vec[int(h[:8], 16) % dim] += 1 if int(h[8], 16) % 2 == 0 else -1
+    return [float(v) for v in vec]
+
+
+def _py_round_half_up(x: float) -> float:
+    """Spark's Round(double, 0): HALF_UP on the shortest decimal repr."""
+    return float(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _py_quantize(vec: list[float]) -> list[int]:
+    """Python mirror of functions.vectors.quantize_int8."""
+    n = math.sqrt(sum(v * v for v in vec))
+    out = []
+    for v in vec:
+        x = (v if n == 0 else v / n) * 127.0
+        out.append(int(max(-127.0, min(127.0, _py_round_half_up(x)))))
+    return out
+
+
+QUERY_TEXT = "spark vector search benchmark query for the document store"
+QVEC = _py_hash_embed(QUERY_TEXT, 64)
+_QSS = float(sum(v * v for v in QVEC))
+QVEC_Q8 = _py_quantize(QVEC)
+
+# ---------------------------------------------------------------------------
+# chunker oracles (recursive-CTE re-derivation of the greedy folds)
+# ---------------------------------------------------------------------------
+
+
+def _chunker_sql(mode: str, size: int, overlap: int = 0,
+                 id_expr: str = "doc_id", id_alias: str = "doc_id",
+                 id_type: str = "bigint") -> str:
+    """Greedy chunker as SQL: key[e] = prefix_char_len[e] + e is strictly
+    increasing, so each chunk's break index is the FIRST e whose key clears
+    the budget from the chunk start — found with a min() lookup — and the
+    chunk chain is a recursive CTE over (start -> next start).
+
+    Mirrors functions/chunking.py exactly:
+    - chars : break when joined length >= size, breaking word INCLUDED,
+              trailing partial chunk tagged page 1 (TextChunker.cs:15-50).
+    - tokens: budget 4*max_tokens+3 chars, breaking word EXCLUDED (starts
+              the next chunk), all pages 0 (DocumentChunker.cs:58-80);
+              overlap prepends the previous chunk's last `overlap` words.
+    """
+    if mode == "chars":
+        cond = f"p.i >= st.s and p.k - st.base >= {size}"
+        next_start = "x.brk + 1"
+        end_in_rec = "x.brk"
+        we = "coalesce(x.brk, nn.n)"
+        page = "case when x.brk is null then 1 else 0 end"
+    elif mode == "tokens":
+        budget = 4 * size + 3
+        cond = f"p.i >= st.s + 1 and p.k - st.base > {budget}"
+        next_start = "x.brk"
+        end_in_rec = "x.brk - 1"
+        we = "coalesce(x.brk - 1, nn.n)"
+        page = "0"
+    else:
+        raise ValueError(mode)
+
+    if overlap > 0:
+        ws_final = (f"case when s.cn > 0 then greatest("
+                    f"lag(s.ws) over (partition by s.id order by s.cn), "
+                    f"s.ws - {overlap}) else s.ws end")
+    else:
+        ws_final = "s.ws"
+
+    return f"""
+with recursive
+toks as materialized (
+  select {id_expr} as id, {_toks('text')} as w from documents),
+words as (
+  select id, unnest(w) as word, unnest(generate_series(1, len(w))) as i
+  from toks),
+pref as materialized (
+  select id, i,
+         cast(sum(length(word)) over (partition by id order by i) + i as bigint) as k
+  from words),
+starts as materialized (
+  select id, i as s,
+         coalesce(lag(k) over (partition by id order by i), 0) + 1 as base
+  from pref),
+nexte as materialized (
+  select st.id, st.s, min(p.i) as brk
+  from starts st join pref p on p.id = st.id and {cond}
+  group by st.id, st.s),
+nn as (select id, len(w) as n from toks where len(w) > 0),
+chain(id, cn, ws) as (
+  select id, 0, 1 from nn
+  union all
+  select c.id, c.cn + 1, {next_start}
+  from chain c
+  join nexte x on x.id = c.id and x.s = c.ws
+  join nn on nn.id = c.id
+  where {end_in_rec} < nn.n),
+spans as (
+  select c.id, c.cn, c.ws, {we} as we, {page} as page
+  from chain c
+  left join nexte x on x.id = c.id and x.s = c.ws
+  join nn on nn.id = c.id),
+spans2 as (
+  select s.id, s.cn, {ws_final} as ws2, s.we, s.page from spans s)
+select cast(s.id as {id_type}) as {id_alias},
+       cast(s.cn as int) as chunk_number,
+       array_to_string(t.w[s.ws2:s.we], ' ') as chunk_text,
+       cast(s.page as int) as page_number
+from spans2 s join toks t on t.id = s.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vector store demo build (shared by the store_* / vector_* queries)
+# ---------------------------------------------------------------------------
+
+STORE_DIM = 64
+
+
+def _store_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One store chunk per document: chunk 0 = the whole normalized text,
+    embedded with the exact-integer hashing-trick expression (the
+    oracle-facing variant; the pandas-UDF embedder is benchmarked and
+    equivalence-tested separately)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    return docs.select(
+        _doc_url().alias("document_url"),
+        F.lit(0).alias("chunk_number"),
+        F.array_join(words, " ").alias("chunk_text"),
+        F.lit(0).alias("page_number"),
+        hash_embedding_expr(t, STORE_DIM).cast("array<float>").alias("embedding"))
+
+
+def _fresh_store(spark: SparkSession, name: str) -> VectorStore:
+    path = os.path.join(SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    return VectorStore(spark, path)
+
+
+def _store_sql_cte() -> str:
+    """Oracle CTE: the expected store contents after _store_chunks upsert —
+    per-doc url, normalized text, int embedding list + its sum of squares."""
+    return f"""
+d as materialized (
+  select doc_id, {_URL_SQL} as document_url, {_norm_text('text')} as chunk_text,
+         {_emb_sql(STORE_DIM)} as emb
+  from documents),
+e as materialized (
+  select *, sqrt({_ss('emb', STORE_DIM)}) as nrm from d)
+"""
+
+
+# ===========================================================================
+# queries
+# ===========================================================================
+
+
+def q_chunk_chars(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = PipelineConfig(char_chunk_size=64)
+    return chunk_documents(docs, mode="chars", cfg=cfg)
+
+
+def q_chunk_words(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, mode="words")  # reference default: 40 words
+
+
+def q_chunk_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = PipelineConfig(max_tokens_per_chunk=8)
+    return chunk_documents(docs, mode="tokens", cfg=cfg)
+
+
+def q_chunk_tokens_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = PipelineConfig(max_tokens_per_chunk=8, overlap_words=3)
+    return chunk_documents(docs, mode="tokens", cfg=cfg)
+
+
+def q_parse_route(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(_doc_url().alias("document_url"),
+                        F.col("text").alias("content"))
+    routed = route_blobs(blobs)
+    units = analysis_text_units(F.col("analysis"))
+    return routed.select(
+        "document_url", "ext", "route",
+        F.size(units).alias("n_units"),
+        F.size(F.col("analysis")["words"]).alias("n_words"),
+        F.element_at(units, 1).alias("first_unit"))
+
+
+def q_embed_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(hash_embedding_expr(F.col("text"), 16))
+         .alias("pos", "val"))
+
+
+def q_embed_json_roundtrip(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    parsed = F.from_json(F.to_json(F.col("embedding")), "array<float>")
+    checksum = F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda v: F.round(v.cast("double") * 1000.0, 0).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return emb.select(
+        "vec_id",
+        F.size(F.col("embedding")).alias("dim"),
+        (parsed == F.col("embedding")).alias("ok"),
+        checksum.alias("checksum"))
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(_doc_url().alias("document_url"),
+                        F.col("text").alias("content"))
+    chunks = blobs_to_chunks(blobs, PipelineConfig(max_tokens_per_chunk=8))
+    return (chunks.groupBy("document_url")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.length("chunk_text")).alias("total_chars"),
+                 F.expr("bit_xor(" +
+                        "cast(conv(substring(md5(chunk_text),1,15),16,10) as bigint))")
+                  .alias("fp_xor")))
+
+
+def q_store_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    store = VectorStore(spark, os.path.join(SCRATCH, "unused"))
+    rows = store._normalize(_store_chunks(docs))
+    l1 = F.aggregate(F.transform(F.col("embedding"),
+                                 lambda v: F.abs(v).cast("int")),
+                     F.lit(0), lambda acc, v: acc + v)
+    return rows.select("id", "document_url", "chunk_text", "page_number",
+                       F.size("embedding").alias("emb_dim"),
+                       l1.alias("emb_l1"))
+
+
+def q_store_upsert(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    store = _fresh_store(spark, "store_upsert")
+    store.upsert(_store_chunks(docs))
+    mod = (docs.filter(F.col("doc_id") % 3 == 0)
+           .withColumn("text", F.upper(F.col("text"))))
+    store.upsert(_store_chunks(mod))
+    return store.read().select("document_url", "id", "chunk_text",
+                               "page_number")
+
+
+def q_store_delete(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    store = _fresh_store(spark, "store_delete")
+    store.upsert(_store_chunks(docs))
+    urls = [r[0] for r in
+            docs.filter(F.col("doc_id") % 5 == 0).select(_doc_url()).collect()]
+    store.delete_documents(urls)
+    return store.read().select("document_url", "id",
+                               F.length("chunk_text").alias("chunk_chars"),
+                               "page_number")
+
+
+def q_vector_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    store = _fresh_store(spark, "store_topk")
+    store.upsert(_store_chunks(docs))
+    return store.search(QVEC, k=10)
+
+
+def q_vector_quantized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    store = _fresh_store(spark, "store_topk_q8")
+    store.upsert(_store_chunks(docs))
+    return store.search(QVEC, k=10, quantized=True)
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3, bands=4)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, width=3, threshold=0.1)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _queries_df(emb), k=10)
+
+
+def q_ann_bruteforce_np(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_np(emb, _queries_df(emb), k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann(emb, _queries_df(emb), k=10,
+                              planes=8, tables=4, dim=64)
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, _queries_df(emb), k=10,
+                              n_centroids=8, nprobe=2)
+
+
+def q_text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lang = X.langid_struct(F.col("text"))
+    return docs.select("doc_id", lang["lang"].alias("lang_guess"),
+                       lang["hits"].alias("lang_hits"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", F.length(t).alias("n_chars"),
+        X.alpha_count(t).alias("alpha_chars"),
+        X.punct_count(t).alias("punct_chars"),
+        X.stopword_count(t).alias("en_stopwords"),
+        X.quality_score(t).alias("quality"))
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", F.length(t).alias("n_chars"),
+        X.whitespace_token_count(t).alias("ws_tokens"),
+        X.bpe_ish_token_count(t).alias("bpe_tokens"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    fps = X.rolling_fingerprints(t, 8)
+    return docs.select(
+        "doc_id", X.content_fingerprint(t).alias("fingerprint"),
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("min_fp"))
+
+
+def q_mm_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_assets(multimodal.documents_as_assets(docs))
+
+
+def q_mm_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.documents_as_assets(docs))
+    csum = F.aggregate(
+        F.transform(F.col("feature"),
+                    lambda v: F.round(v.cast("double") * 1000.0, 0).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return feats.select("asset_id", F.size("feature").alias("dim"),
+                        csum.alias("checksum"))
+
+
+def q_mm_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.documents_as_assets(docs))
+    return frames.select("asset_id", "frame_no",
+                         F.length("frame").alias("frame_bytes"))
+
+
+def q_stream_windowed(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return sev.windowed_event_counts(ev)
+
+
+def q_stream_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return sev.sessionize(ev)
+
+
+def q_events_topusers(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return sev.top_users_by_activity(ev, n=20)
+
+
+def q_q1_pricing(spark, sf_dir):
+    return analytics.q1_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q3_shipping(spark, sf_dir):
+    return analytics.q3_shipping(load_table(spark, sf_dir, "customer"),
+                                 load_table(spark, sf_dir, "orders"),
+                                 load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q5_local(spark, sf_dir):
+    return analytics.q5_local_supplier(
+        load_table(spark, sf_dir, "region"), load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q6_forecast(spark, sf_dir):
+    return analytics.q6_forecast(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_events_enrich(spark, sf_dir):
+    return analytics.events_enrich(load_table(spark, sf_dir, "events"),
+                                   load_table(spark, sf_dir, "customer"))
+
+
+# ===========================================================================
+# oracle SQL
+# ===========================================================================
+
+
+def _sql_embed_hash() -> str:
+    return f"""
+with e as materialized (select doc_id, {_emb_sql(16)} as emb from documents)
+select doc_id, cast(unnest(generate_series(0, 15)) as int) as pos,
+       unnest(emb) as val
+from e
+"""
+
+
+def _sql_parse_route() -> str:
+    return f"""
+select {_URL_SQL} as document_url,
+       case when doc_id % 3 = 0 then '.txt'
+            when doc_id % 3 = 1 then '.md' else '.pdf' end as ext,
+       case when doc_id % 3 = 0 then 'text'
+            when doc_id % 3 = 1 then 'markdown' else 'analyze' end as route,
+       cast(1 as int) as n_units,
+       cast(len({_toks('text')}) as int) as n_words,
+       trim(text) as first_unit
+from documents
+"""
+
+
+def _sql_embed_json_roundtrip() -> str:
+    return """
+select vec_id, cast(len(embedding) as int) as dim, true as ok,
+       cast(coalesce(list_sum(list_transform(embedding,
+            x -> cast(round(cast(x as double)*1000.0, 0) as bigint))), 0)
+            as bigint) as checksum
+from embeddings
+"""
+
+
+def _sql_pipeline_e2e() -> str:
+    inner = _chunker_sql("tokens", 8, id_expr=_URL_SQL,
+                         id_alias="document_url", id_type="varchar")
+    return f"""
+select document_url, count(*) as n_chunks,
+       cast(sum(length(chunk_text)) as bigint) as total_chars,
+       bit_xor({_md5l('chunk_text')}) as fp_xor
+from ({inner}) group by document_url
+"""
+
+
+def _sql_store_schema() -> str:
+    return f"""
+with {_store_sql_cte()}
+select '0' as id, document_url, chunk_text, cast(0 as int) as page_number,
+       cast({STORE_DIM} as int) as emb_dim,
+       cast(coalesce(list_sum(list_transform(emb, x -> abs(x))), 0) as int)
+           as emb_l1
+from e
+"""
+
+
+def _sql_store_upsert() -> str:
+    return f"""
+select {_URL_SQL} as document_url, '0' as id,
+       case when doc_id % 3 = 0 then upper({_norm_text('text')})
+            else {_norm_text('text')} end as chunk_text,
+       cast(0 as int) as page_number
+from documents
+"""
+
+
+def _sql_store_delete() -> str:
+    return f"""
+select {_URL_SQL} as document_url, '0' as id,
+       cast(length({_norm_text('text')}) as int) as chunk_chars,
+       cast(0 as int) as page_number
+from documents where doc_id % 5 <> 0
+"""
+
+
+def _sql_vector_topk() -> str:
+    qnorm = f"sqrt({_QSS!r})"
+    score = (f"round(case when (nrm*{qnorm}) = 0 then 0.0 "
+             f"else ({_dot_lit('emb', QVEC, STORE_DIM)})/(nrm*{qnorm}) end, 6)")
+    return f"""
+with {_store_sql_cte()}
+select '0' as id, document_url, chunk_text, cast(0 as int) as page_number,
+       {score} as score
+from e
+order by score desc, document_url, id
+limit 10
+"""
+
+
+def _sql_vector_quantized() -> str:
+    q8 = ("list_transform(emb, x -> cast(greatest(-127.0, least(127.0, "
+          "round((case when nrm = 0 then cast(x as double) else x/nrm end)"
+          "*127.0, 0))) as tinyint))")
+    terms = " + ".join(
+        f"((cast(q8[{i}] as double)/127.0)*{QVEC_Q8[i - 1] / 127.0!r})"
+        for i in range(1, STORE_DIM + 1))
+    return f"""
+with {_store_sql_cte()},
+q as materialized (select *, {q8} as q8 from e)
+select '0' as id, document_url, chunk_text, cast(0 as int) as page_number,
+       round({terms}, 6) as score
+from q
+order by score desc, document_url, id
+limit 10
+"""
+
+
+def _sql_dedup_exact() -> str:
+    fp = _md5l(_norm_text("text", lower=True))
+    return f"""
+select {fp} as fingerprint, count(*) as n_dups, min(doc_id) as keep_id
+from documents group by 1
+"""
+
+
+_SHINGLES3 = (
+    "list_distinct(list_transform("
+    "case when len(w) >= 3 then generate_series(1, len(w) - 2) "
+    "when len(w) > 0 then [1] else cast([] as bigint[]) end, "
+    "s -> array_to_string(w[s:s+2], ' ')))")
+
+
+def _sql_dedup_minhash() -> str:
+    sig_h = _md5l("cast(i as varchar) || '|' || s")
+    return f"""
+with t as materialized (
+  select doc_id, {_toks('text', lower=True)} as w from documents),
+sh as materialized (
+  select doc_id, {_SHINGLES3} as sharr from t),
+sig as materialized (
+  select doc_id, list_transform(generate_series(0, 15), i ->
+    list_min(list_transform(sharr, s -> {sig_h}))) as sig
+  from sh),
+bands as materialized (
+  select doc_id,
+         unnest(generate_series(0, 3)) as band_no,
+         unnest(list_transform(generate_series(0, 3), b ->
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')))) as key
+  from sig)
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+where a.doc_id < b.doc_id
+"""
+
+
+def _sql_dedup_simhash(max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as b{b}"
+        for b in range(60))
+    recon = " + ".join(
+        f"case when b{b} > 0 then cast({1 << b} as bigint) else 0 end"
+        for b in range(60))
+    return f"""
+with t as materialized (
+  select doc_id, {_toks('text', lower=True)} as w from documents),
+tok as (select doc_id, unnest(w) as word from t),
+h as (select doc_id, {_md5l('word')} as h from tok),
+votes as (select doc_id, {votes} from h group by doc_id),
+sim0 as (select doc_id, cast({recon} as bigint) as s from votes),
+sim as (select d.doc_id, coalesce(s.s, 0) as s
+        from documents d left join sim0 s on s.doc_id = d.doc_id)
+select a.doc_id as id_a, b.doc_id as id_b,
+       cast(bit_count(xor(a.s, b.s)) as int) as hamming
+from sim a join sim b on a.doc_id < b.doc_id
+where bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+def _sql_dedup_ngram_jaccard(threshold: float = 0.1) -> str:
+    return f"""
+with t as materialized (
+  select doc_id, {_toks('text', lower=True)} as w from documents),
+sh as materialized (
+  select doc_id, unnest(list_transform({_SHINGLES3}, s -> {_md5l('s')}))
+         as shingle
+  from t),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select i.id_a, i.id_b, round(i.c / (na.n + nb.n - i.c), 6) as jaccard
+from inter i
+join sizes na on na.doc_id = i.id_a
+join sizes nb on nb.doc_id = i.id_b
+where round(i.c / (na.n + nb.n - i.c), 6) >= {threshold!r}
+"""
+
+
+_EMB_D = ("list_transform(embedding, x -> cast(x as double))")
+
+
+def _sql_dedup_embedding(threshold: float = 0.35) -> str:
+    # mirrors the normalize-then-join form: vectors unit-scaled once, each
+    # pair scored by a single dot product
+    cos = f"round({_dot('a.vn', 'b.vn', 64)}, 6)"
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e1 as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+e as materialized (select vec_id,
+       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn
+  from e1)
+select a.vec_id as id_a, b.vec_id as id_b, {cos} as cos
+from e a join e b on a.vec_id < b.vec_id
+where {cos} >= {threshold!r}
+"""
+
+
+def _sql_ann_bruteforce() -> str:
+    cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e where vec_id < 5),
+s as (select q.query_id, e.vec_id, round({cos}, 6) as score
+      from e cross join q),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= 10
+"""
+
+
+def _sql_ann_lsh(planes: int = 8, tables: int = 4, dim: int = 64) -> str:
+    sig_cols = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            coefs = similarity.hyperplane_coefs(t, p, dim)
+            d = _dot_lit("v", coefs, dim)
+            bits.append(f"(case when ({d}) > 0 then '1' else '0' end)")
+        sig_cols.append(" || ".join(bits) + f" as s{t}")
+    join_cond = " or ".join(f"c.s{t} = q.s{t}" for t in range(tables))
+    cos = _cos("a.v", "b.v", dim, "a.nrm", "b.nrm")
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm,
+       {', '.join(sig_cols)}
+  from e0),
+q as (select * from e where vec_id < 5),
+cand as (
+  select distinct q.vec_id as query_id, c.vec_id
+  from e c join q on {join_cond}),
+s as (select cand.query_id, cand.vec_id, round({cos}, 6) as score
+      from cand
+      join e a on a.vec_id = cand.vec_id
+      join e b on b.vec_id = cand.query_id),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= 10
+"""
+
+
+def _sql_ann_ivf(n_centroids: int = 8, nprobe: int = 2, dim: int = 64) -> str:
+    h = _md5l("cast(vec_id as varchar)")
+    cos_ac = _cos("a.v", "c.cv", dim, "a.nrm", "c.cnrm")
+    cos_qc = _cos("q.v", "c.cv", dim, "q.nrm", "c.cnrm")
+    cos_final = _cos("a.v", "p.v", dim, "a.nrm", "p.nrm")
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+cents as materialized (
+  select vec_id as centroid_id, v as cv, nrm as cnrm
+  from e order by {h}, vec_id limit {n_centroids}),
+asg as materialized (
+  select vec_id, v, nrm, centroid_id from (
+    select a.vec_id, a.v, a.nrm, c.centroid_id,
+           row_number() over (partition by a.vec_id
+             order by round({cos_ac}, 6) desc, c.centroid_id) as rn
+    from e a cross join cents c) where rn = 1),
+probes as (
+  select query_id, v, nrm, centroid_id from (
+    select q.vec_id as query_id, q.v, q.nrm, c.centroid_id,
+           row_number() over (partition by q.vec_id
+             order by round({cos_qc}, 6) desc, c.centroid_id) as rn
+    from e q cross join cents c where q.vec_id < 5) where rn <= {nprobe}),
+s as (select p.query_id, a.vec_id, round({cos_final}, 6) as score
+      from asg a join probes p on p.centroid_id = a.centroid_id),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= 10
+"""
+
+
+def _sql_text_langid() -> str:
+    langs = list(STOPWORDS)
+    hits = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hits.append(f"cast(len(list_filter(lw, x -> x in ({inlist}))) as int)"
+                    f" as h_{lang}")
+    guess_cases, hits_cases = [], []
+    for i, lang in enumerate(langs):
+        conds = " and ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1:])
+        cond = conds if conds else "true"
+        guess_cases.append(f"when {cond} then '{lang}'")
+        hits_cases.append(f"when {cond} then h_{lang}")
+    return f"""
+with l as materialized (
+  select doc_id, {_toks('text', lower=True)} as lw from documents),
+h as (select doc_id, {', '.join(hits)} from l)
+select doc_id,
+       case {' '.join(guess_cases)} end as lang_guess,
+       case {' '.join(hits_cases)} end as lang_hits
+from h
+"""
+
+
+_EN_IN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+def _sql_text_quality() -> str:
+    alpha = "cast(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) as int)"
+    punct = "cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as int)"
+    toks = _toks("text")
+    lw = _toks("text", lower=True)
+    sw = f"cast(len(list_filter({lw}, x -> x in ({_EN_IN}))) as int)"
+    nchars = "cast(length(text) as int)"
+    ntok = f"cast(len({toks}) as int)"
+    quality = (
+        f"round((least(1.0, {nchars}/500.0)"
+        f" + {alpha}/greatest({nchars}, 1)"
+        f" + least(1.0, ({sw}*10.0)/greatest({ntok}, 1))"
+        f" + (1.0 - least(1.0, ({punct}*10.0)/greatest({nchars}, 1))))/4.0, 6)")
+    return f"""
+select doc_id, {nchars} as n_chars, {alpha} as alpha_chars,
+       {punct} as punct_chars, {sw} as en_stopwords, {quality} as quality
+from documents
+"""
+
+
+def _sql_text_tokens() -> str:
+    letters = ("list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), "
+               "x -> x <> '')")
+    pieces = (f"cast(coalesce(list_sum(list_transform({letters}, "
+              f"w -> cast(ceil(length(w)/4.0) as int))), 0) as int)")
+    digits = ("cast(len(list_filter(string_split_regex(text, '[^0-9]+'), "
+              "x -> x <> '')) as int)")
+    punct = "cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as int)"
+    return f"""
+select doc_id, cast(length(text) as int) as n_chars,
+       cast(len({_toks('text')}) as int) as ws_tokens,
+       ({pieces} + {digits} + {punct}) as bpe_tokens
+from documents
+"""
+
+
+def _sql_text_fingerprint() -> str:
+    fp = _md5l(_norm_text("text"))
+    sh8 = ("list_distinct(list_transform("
+           "case when len(lw) >= 8 then generate_series(1, len(lw) - 7) "
+           "when len(lw) > 0 then [1] else cast([] as bigint[]) end, "
+           "s -> array_to_string(lw[s:s+7], ' ')))")
+    return f"""
+with t as materialized (
+  select doc_id, text, {_toks('text', lower=True)} as lw from documents),
+f as (select doc_id, {fp} as fingerprint,
+             list_transform({sh8}, s -> {_md5l('s')}) as fps
+      from t)
+select doc_id, fingerprint, cast(len(fps) as int) as n_fps,
+       list_min(fps) as min_fp
+from f
+"""
+
+
+def _sql_mm_decode() -> str:
+    return """
+with a as materialized (
+  select doc_id as asset_id,
+         (['image','audio','video'])[cast(doc_id % 3 + 1 as int)] as kind,
+         md5(text) as h, strlen(text) as n
+  from documents)
+select asset_id, kind,
+       cast(case when kind = 'image'
+            then cast('0x' || substr(h, 1, 4) as bigint) % 1920 + 1
+            else 0 end as int) as width,
+       cast(case when kind = 'image'
+            then cast('0x' || substr(h, 5, 4) as bigint) % 1080 + 1
+            else 0 end as int) as height,
+       cast(case when kind = 'video'
+            then cast('0x' || substr(h, 9, 4) as bigint) % 300 + 1
+            when kind = 'image' then 1 else 0 end as int) as n_frames,
+       case when kind in ('audio', 'video')
+            then ((n * 1000 + 512) // 1024) / 1000.0
+            else 0.0 end as duration_s,
+       h as content_hash
+from a
+"""
+
+
+def _sql_stream_windowed() -> str:
+    return f"""
+select date_trunc('hour', cast(ts as timestamp)) as window_start,
+       event_type, count(*) as n_events,
+       {_money_sum_sql('value', 2)} as total_value
+from events
+group by 1, 2
+"""
+
+
+def _sql_stream_sessionize() -> str:
+    return f"""
+with e as (select user_id, cast(ts as timestamp) as ts, value from events),
+l as (select *, lag(ts) over (partition by user_id order by ts) as prev
+      from e),
+g as (select *, sum(case when prev is null
+                         or ts - prev >= interval 30 minutes
+                    then 1 else 0 end)
+             over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as sid
+      from l)
+select user_id, min(ts) as session_start,
+       max(ts) + interval 30 minutes as session_end,
+       count(*) as n_events, {_money_sum_sql('value', 2)} as total_value
+from g group by user_id, sid
+"""
+
+
+def _sql_events_topusers() -> str:
+    return f"""
+with a as (
+  select user_id, count(*) as n_events,
+         {_money_sum_sql('value', 2)} as total_value,
+         cast(count(distinct event_type) as bigint) as n_types
+  from events group by user_id),
+r as (select *, cast(row_number() over
+        (order by n_events desc, user_id) as int) as rank from a)
+select user_id, n_events, total_value, n_types, rank from r where rank <= 20
+"""
+
+
+def _sql_q1() -> str:
+    disc_price = "((l_extendedprice*(1 - l_discount))*10000.0)"
+    charge = "(((l_extendedprice*(1 - l_discount))*(1 + l_tax))*1000000.0)"
+    return f"""
+with a as (
+  select l_returnflag, l_linestatus,
+         sum(l_quantity) as sum_qty,
+         cast(sum(cast(round((l_extendedprice*100.0), 0) as bigint)) as bigint)
+            /100.0 as sum_base_price,
+         cast(sum(cast(round({disc_price}, 0) as bigint)) as bigint)/10000.0
+            as sum_disc_price,
+         cast(sum(cast(round({charge}, 0) as bigint)) as bigint)/1000000.0
+            as sum_charge,
+         cast(sum(cast(round((l_discount*100.0), 0) as bigint)) as bigint)
+            /100.0 as sum_disc,
+         count(*) as count_order
+  from lineitem
+  where l_shipdate < timestamp '1998-09-01'
+  group by l_returnflag, l_linestatus)
+select l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge,
+       round(sum_qty/count_order, 6) as avg_qty,
+       round(sum_base_price/count_order, 6) as avg_price,
+       round(sum_disc/count_order, 6) as avg_disc,
+       count_order
+from a
+"""
+
+
+def _sql_q3() -> str:
+    rev = "((l_extendedprice*(1 - l_discount))*10000.0)"
+    return f"""
+select l_orderkey, o_orderdate, o_orderpriority,
+       cast(sum(cast(round({rev}, 0) as bigint)) as bigint)/10000.0 as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1996-03-15'
+  and l_shipdate > timestamp '1996-03-15'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, o_orderdate, l_orderkey
+limit 10
+"""
+
+
+def _sql_q5() -> str:
+    rev = "((l_extendedprice*(1 - l_discount))*10000.0)"
+    return f"""
+select n_name,
+       cast(sum(cast(round({rev}, 0) as bigint)) as bigint)/10000.0 as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1997-01-01'
+group by n_name
+order by revenue desc, n_name
+"""
+
+
+def _sql_q6() -> str:
+    lo = 0.06 - 0.011
+    hi = 0.06 + 0.011
+    rev = "((l_extendedprice*l_discount)*10000.0)"
+    return f"""
+select cast(sum(cast(round({rev}, 0) as bigint)) as bigint)/10000.0 as revenue
+from lineitem
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+  and l_discount >= {lo!r} and l_discount <= {hi!r}
+  and l_quantity < 24
+"""
+
+
+def _sql_events_enrich() -> str:
+    return f"""
+select c_mktsegment, event_type, count(*) as n_events,
+       {_money_sum_sql('value', 2)} as total_value
+from events join customer on user_id = c_custkey
+group by c_mktsegment, event_type
+"""
+
+
+# ===========================================================================
+# public contract
+# ===========================================================================
+
+
+def queries():
+    return {
+        "chunk_chars": q_chunk_chars,
+        "chunk_words": q_chunk_words,
+        "chunk_tokens": q_chunk_tokens,
+        "chunk_tokens_overlap": q_chunk_tokens_overlap,
+        "parse_route": q_parse_route,
+        "embed_hash": q_embed_hash,
+        "embed_json_roundtrip": q_embed_json_roundtrip,
+        "pipeline_e2e": q_pipeline_e2e,
+        "store_schema": q_store_schema,
+        "store_upsert": q_store_upsert,
+        "store_delete": q_store_delete,
+        "vector_topk": q_vector_topk,
+        "vector_quantized": q_vector_quantized,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "mm_decode": q_mm_decode,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        "stream_windowed": q_stream_windowed,
+        "stream_sessionize": q_stream_sessionize,
+        "events_topusers": q_events_topusers,
+        "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
+        "q5_local": q_q5_local,
+        "q6_forecast": q_q6_forecast,
+        "events_enrich": q_events_enrich,
+    }
+
+
+def oracle_sql():
+    # mm_features / mm_frames / ann_bruteforce_np are rows-only: numpy
+    # float32 feature math and per-partition partial top-k have no exact
+    # ANSI-SQL twin (the exact variants ann_bruteforce / mm_decode are
+    # oracle-checked instead).
+    return {
+        "chunk_chars": _chunker_sql("chars", 64),
+        "chunk_words": """
+with t as materialized (
+  select doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') as w
+  from documents),
+c as (select doc_id, w,
+             unnest(generate_series(0, cast((len(w) - 1) // 41 as int))) as cn
+      from t where len(w) > 0)
+select doc_id, cast(cn as int) as chunk_number,
+       array_to_string(w[cn*41 + 1 : cn*41 + 41], ' ') as chunk_text,
+       cast(0 as int) as page_number
+from c
+""",
+        "chunk_tokens": _chunker_sql("tokens", 8),
+        "chunk_tokens_overlap": _chunker_sql("tokens", 8, overlap=3),
+        "parse_route": _sql_parse_route(),
+        "embed_hash": _sql_embed_hash(),
+        "embed_json_roundtrip": _sql_embed_json_roundtrip(),
+        "pipeline_e2e": _sql_pipeline_e2e(),
+        "store_schema": _sql_store_schema(),
+        "store_upsert": _sql_store_upsert(),
+        "store_delete": _sql_store_delete(),
+        "vector_topk": _sql_vector_topk(),
+        "vector_quantized": _sql_vector_quantized(),
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_minhash": _sql_dedup_minhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
+        "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
+        "dedup_embedding": _sql_dedup_embedding(),
+        "ann_bruteforce": _sql_ann_bruteforce(),
+        "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
+        "text_langid": _sql_text_langid(),
+        "text_quality": _sql_text_quality(),
+        "text_tokens": _sql_text_tokens(),
+        "text_fingerprint": _sql_text_fingerprint(),
+        "mm_decode": _sql_mm_decode(),
+        "stream_windowed": _sql_stream_windowed(),
+        "stream_sessionize": _sql_stream_sessionize(),
+        "events_topusers": _sql_events_topusers(),
+        "q1_pricing": _sql_q1(),
+        "q3_shipping": _sql_q3(),
+        "q5_local": _sql_q5(),
+        "q6_forecast": _sql_q6(),
+        "events_enrich": _sql_events_enrich(),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: blob-parity ingest of the sf0.001 documents — route →
+    token-budget chunk → embed → cosine top-10 against a literal query
+    vector (the reference's end-to-end path, BlobTriggerFunction.cs:58-116,
+    re-expressed as one declarative plan)."""
+    from document_vector_pipeline_spark.operators.embed import add_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    blobs = docs.select(_doc_url().alias("document_url"),
+                        F.col("text").alias("content"))
+    chunks = blobs_to_chunks(blobs, PipelineConfig(max_tokens_per_chunk=8))
+    embedded = add_embeddings(chunks,
+                              cfg=PipelineConfig(embedding_dimensions=64))
+    q = F.array(*[F.lit(v) for v in QVEC])
+    return (embedded
+            .withColumn("score",
+                        F.round(cosine_similarity(F.col("embedding"), q), 6))
+            .orderBy(F.desc("score"), "document_url", "chunk_number")
+            .limit(10)
+            .select("document_url", "chunk_number", "chunk_text", "score"))

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import bound
+
 SPAN_TYPE = "array<struct<ws:int,we:int,page:int>>"
 
 
@@ -90,12 +92,16 @@ def word_window_chunks(words: Column, max_word_count: int = 40) -> Column:
     """Closed-form word-window chunking: chunks of (max_word_count+1) words
     (the reference emits when count EXCEEDS the max — quirk preserved)."""
     per = max_word_count + 1
-    n = F.size(words)
-    idxs = F.when(n > 0,
-                  F.sequence(F.lit(0), F.floor((n - 1) / per).cast("int")))\
-            .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idxs, lambda i: F.array_join(F.slice(words, i * per + 1, per), " "))
+
+    def build(w: Column) -> Column:
+        n = F.size(w)
+        idxs = F.when(n > 0,
+                      F.sequence(F.lit(0), F.floor((n - 1) / per).cast("int")))\
+                .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idxs, lambda i: F.array_join(F.slice(w, i * per + 1, per), " "))
+
+    return bound(words, build)
 
 
 def token_budget_spans(words: Column, max_tokens: int = 250,
@@ -136,27 +142,30 @@ def token_budget_spans(words: Column, max_tokens: int = 250,
 
     spans = F.aggregate(words, init, step, fin)
     if overlap_words > 0:
-        spans = F.transform(
-            spans,
+        # bind the span array once — element_at(spans, i) inside the lambda
+        # would re-run the whole fold per span
+        spans = bound(spans, lambda sp_arr: F.transform(
+            sp_arr,
             lambda sp, i: F.struct(
                 F.when(i > 0,
-                       F.greatest(F.element_at(spans, i)["ws"],
+                       F.greatest(F.element_at(sp_arr, i)["ws"],
                                   sp["ws"] - F.lit(overlap_words)))
                  .otherwise(sp["ws"]).alias("ws"),
                 sp["we"].alias("we"),
                 sp["page"].alias("page"),
             ),
-        )
+        ))
     return spans
 
 
 def spans_to_chunks(words: Column, spans: Column) -> Column:
-    """Materialize spans as array<struct<chunk_text,page_number>>."""
-    return F.transform(
+    """Materialize spans as array<struct<chunk_text,page_number>>.
+    The word array is bound once (not re-split per chunk)."""
+    return bound(words, lambda w: F.transform(
         spans,
         lambda sp: F.struct(
-            F.array_join(F.slice(words, sp["ws"], sp["we"] - sp["ws"] + 1), " ")
+            F.array_join(F.slice(w, sp["ws"], sp["we"] - sp["ws"] + 1), " ")
              .alias("chunk_text"),
             sp["page"].alias("page_number"),
         ),
-    )
+    ))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import bound
 from document_vector_pipeline_spark.functions.hashing import md5_long
 
 # A small multilingual stopword table: enough signal for heuristic language
@@ -87,24 +88,27 @@ def quality_score(text: Column) -> Column:
 def langid_struct(text: Column) -> Column:
     """Heuristic language ID: per-language stopword hit counts; winner by
     (count desc, language order).  Returns struct(lang, hits)."""
-    lowered = F.split(F.lower(F.trim(text)), r"\s+")
+    lowered_expr = F.split(F.lower(F.trim(text)), r"\s+")
 
-    def hit_counter(sw: tuple[str, ...]):
-        return lambda w: w.isin(*sw)
+    def build(lowered: Column) -> Column:
+        def hit_counter(sw: tuple[str, ...]):
+            return lambda w: w.isin(*sw)
 
-    scores = [
-        F.struct(
-            F.size(F.filter(lowered, hit_counter(sw))).alias("hits"),
-            F.lit(idx).alias("ord"),
-            F.lit(lang).alias("lang"),
-        )
-        for idx, (lang, sw) in enumerate(STOPWORDS.items())
-    ]
-    # max over (hits, -ord): array_max picks lexicographically largest struct
-    best = F.array_max(F.array(*[
-        F.struct(s["hits"].alias("hits"), (-s["ord"]).alias("negord"),
-                 s["lang"].alias("lang")) for s in scores]))
-    return F.struct(best["lang"].alias("lang"), best["hits"].alias("hits"))
+        scores = [
+            F.struct(
+                F.size(F.filter(lowered, hit_counter(sw))).alias("hits"),
+                F.lit(idx).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for idx, (lang, sw) in enumerate(STOPWORDS.items())
+        ]
+        # max over (hits, -ord): array_max picks lexicographically largest
+        best = F.array_max(F.array(*[
+            F.struct(s["hits"].alias("hits"), (-s["ord"]).alias("negord"),
+                     s["lang"].alias("lang")) for s in scores]))
+        return F.struct(best["lang"].alias("lang"), best["hits"].alias("hits"))
+
+    return bound(lowered_expr, build)
 
 
 def content_fingerprint(text: Column) -> Column:
@@ -118,13 +122,17 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     """Rolling window fingerprints: md5-long of each `window`-token shingle
     (the winnowing/fingerprinting primitive; also the shingle set for
     MinHash).  Returns array<bigint> (distinct, unsorted)."""
-    words = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
-                     lambda w: w != F.lit(""))
-    n = F.size(words)
-    starts = F.when(n >= window,
-                    F.sequence(F.lit(1), n - window + 1))\
-             .otherwise(F.when(n > 0, F.array(F.lit(1)))
-                        .otherwise(F.array().cast("array<int>")))
-    shingles = F.transform(
-        starts, lambda s: F.array_join(F.slice(words, s, window), " "))
-    return F.array_distinct(F.transform(shingles, lambda sh: md5_long(sh)))
+    words_expr = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
+                          lambda w: w != F.lit(""))
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        starts = F.when(n >= window,
+                        F.sequence(F.lit(1), n - window + 1))\
+                 .otherwise(F.when(n > 0, F.array(F.lit(1)))
+                            .otherwise(F.array().cast("array<int>")))
+        shingles = F.transform(
+            starts, lambda s: F.array_join(F.slice(words, s, window), " "))
+        return F.array_distinct(F.transform(shingles, lambda sh: md5_long(sh)))
+
+    return bound(words_expr, build)

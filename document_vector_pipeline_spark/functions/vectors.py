@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import bound
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -32,19 +34,37 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    n = l2_norm(F.transform(a, lambda v: v.cast("double")))
-    return F.when(n == 0, F.transform(a, lambda v: v.cast("double")))\
-            .otherwise(F.transform(a, lambda v: v.cast("double") / n))
+    """L2-normalize (zero vectors pass through).  Both the doubled array
+    and its norm are bound once — inlining the norm in the per-element
+    lambda would make this O(dim²) per row (see functions/expr.py)."""
+    ad = F.transform(a, lambda v: v.cast("double"))
+    return bound(ad, lambda v: bound(
+        l2_norm(v),
+        lambda n: F.when(n == 0, v)
+                   .otherwise(F.transform(v, lambda x: x / n))))
 
 
 def quantize_int8(a: Column, scale: float = 127.0) -> Column:
     """QuantizedFlat-style scalar quantization of a unit-normalized vector:
-    clamp(round(v*scale)) into int8 range (stored as array<tinyint>)."""
-    return F.transform(
-        normalize(a),
-        lambda v: F.greatest(F.lit(-127.0),
-                             F.least(F.lit(127.0), F.round(v * scale, 0)))
-                   .cast("tinyint"))
+    clamp(round(v/||a||*scale)) into int8 range (stored as array<tinyint>).
+
+    The norm is bound ONCE through a single-element outer transform —
+    naively inlining `l2_norm(a)` inside the per-element lambda makes the
+    expression O(dim²) per row (catastrophic at dims=1536), because HOF
+    lambdas defeat common-subexpression elimination."""
+    ad = F.transform(a, lambda v: v.cast("double"))
+    return F.element_at(
+        F.transform(
+            F.array(l2_norm(ad)),
+            lambda n: F.transform(
+                ad,
+                lambda v: F.greatest(
+                    F.lit(-127.0),
+                    F.least(F.lit(127.0),
+                            F.round(F.when(n == 0, v).otherwise(v / n)
+                                    * scale, 0)))
+                .cast("tinyint"))),
+        1)
 
 
 def dequantize_int8(q: Column, scale: float = 127.0) -> Column:

@@ -31,11 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import bound
 from document_vector_pipeline_spark.functions.hashing import (
     md5_long,
     md5_long_seeded,
 )
-from document_vector_pipeline_spark.functions.vectors import cosine_similarity
+from document_vector_pipeline_spark.functions.vectors import dot as dot_product
 
 
 def _norm_text(text: Column) -> Column:
@@ -46,15 +47,23 @@ def _norm_text(text: Column) -> Column:
 
 
 def _shingles(text: Column, width: int) -> Column:
-    """Distinct `width`-token shingle strings of the canonical text."""
-    words = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
-                     lambda w: w != F.lit(""))
-    n = F.size(words)
-    starts = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)) \
-              .otherwise(F.when(n > 0, F.array(F.lit(1)))
-                         .otherwise(F.array().cast("array<int>")))
-    return F.array_distinct(
-        F.transform(starts, lambda s: F.array_join(F.slice(words, s, width), " ")))
+    """Distinct `width`-token shingle strings of the canonical text.
+
+    The token array is `bound` once — referencing it directly inside the
+    transform lambda would re-split the text per shingle (O(n²) per row)."""
+    words_expr = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                          lambda w: w != F.lit(""))
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        starts = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)) \
+                  .otherwise(F.when(n > 0, F.array(F.lit(1)))
+                             .otherwise(F.array().cast("array<int>")))
+        return F.array_distinct(
+            F.transform(starts,
+                        lambda s: F.array_join(F.slice(words, s, width), " ")))
+
+    return bound(words_expr, build)
 
 
 # ---- 13. exact ------------------------------------------------------------
@@ -86,11 +95,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        shingle_width: int = 3) -> DataFrame:
     """(id, sig array<bigint>[num_perm]): sig_i = min over shingles of
     md5(i || '|' || shingle).  Pure per-row fold — no shuffle."""
-    sh = _shingles(F.col(text_col), shingle_width)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(
-            sh, lambda s: md5_long_seeded_col(s, i))))
+    sig = bound(
+        _shingles(F.col(text_col), shingle_width),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(F.transform(
+                sh, lambda s: md5_long_seeded_col(s, i)))))
     return docs.select(F.col(id_col), sig.alias("sig"))
 
 
@@ -237,10 +247,17 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 
     This is the exact O(n²) verifier used at test scale and as the oracle;
     the 100 TB path prunes candidates with similarity.lsh_ann first.
+    Vectors are L2-normalized ONCE per row before the pair join, so each of
+    the O(n²) pairs costs a single dot-product fold instead of five array
+    passes — the standard normalize-then-join trick for cosine workloads.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from document_vector_pipeline_spark.functions.vectors import normalize
+
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   normalize(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   normalize(F.col(vec_col)).alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+            .withColumn("cos", F.round(dot_product(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
 from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from document_vector_pipeline_spark.functions.expr import bound
 from document_vector_pipeline_spark.functions.hashing import token_bucket, token_sign
 
 
@@ -36,11 +37,15 @@ def hash_embedding_expr(text: Column, dim: int) -> Column:
     words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
     pairs = F.transform(words, lambda w: F.struct(
         token_bucket(w, dim).alias("b"), token_sign(w).alias("s")))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.aggregate(
-            pairs, F.lit(0),
-            lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(0)))
+    # bind the (bucket, sign) pairs once: inlining them in the per-bucket
+    # lambda would re-split and re-hash the text dim times per row
+    return bound(
+        pairs,
+        lambda ps: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.aggregate(
+                ps, F.lit(0),
+                lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(0))))
 
 
 def make_embed_udf(dim: int):

@@ -73,7 +73,10 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                     "height": (int(h[4:8], 16) % 1080 + 1) if kind == "image" else 0,
                     "n_frames": (int(h[8:12], 16) % 300 + 1) if kind == "video" else
                                 (1 if kind == "image" else 0),
-                    "duration_s": round(n / 1024.0, 3) if kind in ("audio", "video") else 0.0,
+                    # exact integer milliseconds (half-up) — deterministic
+                    # across engines, unlike float round()
+                    "duration_s": ((n * 1000 + 512) // 1024) / 1000.0
+                                  if kind in ("audio", "video") else 0.0,
                     "content_hash": h,
                 })
             yield pd.DataFrame(out)

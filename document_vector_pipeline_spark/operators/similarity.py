@@ -90,19 +90,24 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _ranked(partial, k)
 
 
-def _hyperplane(table: int, plane: int, dim: int):
-    """Deterministic pseudo-random hyperplane coefficient expressions:
-    coef(t, p, d) = (md5_long('t<t>_p<p>_<d>') % 2001 - 1000) / 1000."""
-    return F.array(*[
-        ((md5_long(F.lit(f"t{table}_p{plane}_{d}")) % 2001 - 1000) / 1000.0)
-        for d in range(dim)])
+def hyperplane_coefs(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane coefficients (plain Python —
+    they are query *metadata*, computed once at plan-build time, never per
+    row): coef(t, p, d) = (md5_int('t<t>_p<p>_<d>') % 2001 - 1000) / 1000."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"t{table}_p{plane}_{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
 
 
 def lsh_signature(vec, table: int, planes: int, dim: int):
     """Bit-string signature: sign of dot(v, hyperplane_p) for each p."""
     bits = []
     for p in range(planes):
-        hp = _hyperplane(table, p, dim)
+        hp = F.array(*[F.lit(c) for c in hyperplane_coefs(table, p, dim)])
         d = F.aggregate(F.zip_with(vec, hp, lambda x, h: x.cast("double") * h),
                         F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(d > 0, F.lit("1")).otherwise(F.lit("0")))

@@ -111,6 +111,31 @@ class VectorStore:
         kept = current.join(incoming.select(*KEY).distinct(), list(KEY), "left_anti")
         self._overwrite_buckets(kept.unionByName(incoming))
 
+    def delete_documents(self, document_urls: list[str]) -> None:
+        """Batch blob-delete: remove every chunk of each document in one
+        distributed pass (the CDC-batch variant of delete_document).  Only
+        the buckets hosting the deleted urls are read back and rewritten."""
+        if not self.exists() or not document_urls:
+            return
+        urls = (self.spark.createDataFrame(
+                    [(u,) for u in document_urls], "document_url string")
+                .withColumn("bucket", self._bucket(F.col("document_url"))))
+        buckets = [r["bucket"] for r in urls.select("bucket").distinct().collect()]
+        current = self.read().filter(F.col("bucket").isin(buckets))
+        kept = current.join(F.broadcast(urls.select("document_url")),
+                            "document_url", "left_anti")
+        # evaluate the survivor set BEFORE overwriting: `kept` reads the
+        # very files the overwrite replaces, so it must not re-run after.
+        left = {r["bucket"] for r in
+                kept.select("bucket").distinct().collect()}
+        self._overwrite_buckets(kept)
+        # buckets whose every row was deleted produce no output under
+        # dynamic overwrite; drop those stale directories explicitly.
+        import shutil
+        for b in set(buckets) - left:
+            shutil.rmtree(os.path.join(self.path, f"bucket={b}"),
+                          ignore_errors=True)
+
     def delete_document(self, document_url: str) -> None:
         """Blob-delete event: remove every chunk of the document.
         (Implements the reference's TODO, BlobTriggerFunction.cs:163-169.)"""
@@ -120,13 +145,15 @@ class VectorStore:
             self._bucket(F.lit(document_url))).first()[0]
         current = self.read().filter(F.col("bucket") == bucket)
         kept = current.filter(F.col("document_url") != document_url)
+        # evaluate before overwriting the files `kept` reads from
+        kept_empty = kept.isEmpty()
         # overwrite just this bucket directory (it may become empty)
         (kept.repartition(1).write
          .partitionBy("bucket")
          .option("partitionOverwriteMode", "dynamic")
          .mode("overwrite")
          .parquet(self.path))
-        if kept.isEmpty():
+        if kept_empty:
             # dynamic overwrite won't touch a partition with no output rows;
             # drop the stale directory explicitly.
             import shutil
@@ -166,6 +193,7 @@ class VectorStore:
                          F.transform(qq, lambda v: v.cast("double") / 127.0)))
         else:
             score = cosine_similarity(F.col("embedding"), q)
+        score = F.round(score, 6)
         return (df.withColumn("score", score)
                   .orderBy(F.desc("score"), "document_url", "id")
                   .limit(k)

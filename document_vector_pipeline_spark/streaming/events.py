@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.plans.analytics import money_sum
+
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
@@ -20,7 +22,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value"))
+                 money_sum(F.col("value"), 2).alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("event_type"), F.col("n_events"),
                     F.col("total_value")))
@@ -34,7 +36,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     return (src.groupBy(F.session_window("ts", gap).alias("s"),
                         F.col("user_id"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value"))
+                 money_sum(F.col("value"), 2).alias("total_value"))
             .select(F.col("user_id"),
                     F.col("s.start").alias("session_start"),
                     F.col("s.end").alias("session_end"),
@@ -47,7 +49,7 @@ def top_users_by_activity(events: DataFrame, n: int = 20) -> DataFrame:
     from pyspark.sql import Window
     agg = (events.groupBy("user_id")
            .agg(F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 4).alias("total_value"),
+                money_sum(F.col("value"), 2).alias("total_value"),
                 F.countDistinct("event_type").alias("n_types")))
     w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
     return (agg.withColumn("rank", F.row_number().over(w))
