@@ -23,19 +23,19 @@ value hash is well defined.
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 import shutil
-from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.config import PipelineConfig
 from document_vector_pipeline_spark.functions import text as X
-from document_vector_pipeline_spark.functions.hashing import md5_long
 from document_vector_pipeline_spark.functions.text import STOPWORDS
-from document_vector_pipeline_spark.functions.vectors import cosine_similarity
+from document_vector_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    py_quantize_int8,
+)
 from document_vector_pipeline_spark.operators import dedup, multimodal, similarity
 from document_vector_pipeline_spark.operators.chunk import chunk_documents
 from document_vector_pipeline_spark.operators.embed import hash_embedding_expr
@@ -135,25 +135,10 @@ def _py_hash_embed(textv: str, dim: int) -> list[float]:
     return [float(v) for v in vec]
 
 
-def _py_round_half_up(x: float) -> float:
-    """Spark's Round(double, 0): HALF_UP on the shortest decimal repr."""
-    return float(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
-
-
-def _py_quantize(vec: list[float]) -> list[int]:
-    """Python mirror of functions.vectors.quantize_int8."""
-    n = math.sqrt(sum(v * v for v in vec))
-    out = []
-    for v in vec:
-        x = (v if n == 0 else v / n) * 127.0
-        out.append(int(max(-127.0, min(127.0, _py_round_half_up(x)))))
-    return out
-
-
 QUERY_TEXT = "spark vector search benchmark query for the document store"
 QVEC = _py_hash_embed(QUERY_TEXT, 64)
 _QSS = float(sum(v * v for v in QVEC))
-QVEC_Q8 = _py_quantize(QVEC)
+QVEC_Q8 = py_quantize_int8(QVEC)
 
 # ---------------------------------------------------------------------------
 # chunker oracles (recursive-CTE re-derivation of the greedy folds)
@@ -660,14 +645,15 @@ def _sql_vector_quantized() -> str:
     q8 = ("list_transform(emb, x -> cast(greatest(-127.0, least(127.0, "
           "round((case when nrm = 0 then cast(x as double) else x/nrm end)"
           "*127.0, 0))) as tinyint))")
+    # exact integer dot of the two int8 vectors, scaled once by 1/127²
     terms = " + ".join(
-        f"((cast(q8[{i}] as double)/127.0)*{QVEC_Q8[i - 1] / 127.0!r})"
+        f"(cast(q8[{i}] as int)*{QVEC_Q8[i - 1]})"
         for i in range(1, STORE_DIM + 1))
     return f"""
 with {_store_sql_cte()},
 q as materialized (select *, {q8} as q8 from e)
 select '0' as id, document_url, chunk_text, cast(0 as int) as page_number,
-       round({terms}, 6) as score
+       round(({terms})/(127.0*127.0), 6) as score
 from q
 order by score desc, document_url, id
 limit 10

@@ -71,6 +71,29 @@ def dequantize_int8(q: Column, scale: float = 127.0) -> Column:
     return F.transform(q, lambda v: v.cast("double") / F.lit(scale))
 
 
+def py_round_half_up(x: float) -> float:
+    """Python mirror of Spark's Round(double, 0): HALF_UP on the shortest
+    decimal repr (BigDecimal.valueOf semantics — python repr() produces the
+    same shortest string)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def py_quantize_int8(vec: list[float], scale: float = 127.0) -> list[int]:
+    """Python mirror of quantize_int8 for literal query vectors (value-
+    identical to the column expression — tested)."""
+    import math
+
+    n = math.sqrt(sum(v * v for v in vec))
+    out = []
+    for v in vec:
+        x = (v if n == 0 else v / n) * scale
+        out.append(int(max(-127.0, min(127.0, py_round_half_up(x)))))
+    return out
+
+
 def vector_to_json(a: Column) -> Column:
     """Embedding JSON round-trip (AzureSQL stores VECTOR columns from a JSON
     array string — AzureSQL BlobTriggerFunction.cs:134, Document.cs)."""

@@ -64,14 +64,26 @@ def make_embed_udf(dim: int):
         import numpy as _np
         import pandas as _pd
 
+        # token -> (bucket, sign) memo: real corpora follow Zipf, so the
+        # md5 cost collapses to ~one hash per DISTINCT token per worker
+        memo: dict[str, tuple[int, float]] = {}
+
+        def tok(w: str) -> tuple[int, float]:
+            bs = memo.get(w)
+            if bs is None:
+                h = _hashlib.md5(w.encode("utf-8")).hexdigest()
+                bs = (int(h[:8], 16) % dim,
+                      1.0 if int(h[8], 16) % 2 == 0 else -1.0)
+                if len(memo) < 1_000_000:
+                    memo[w] = bs
+            return bs
+
         out = []
         for t in texts:
             vec = _np.zeros(dim, dtype=_np.float32)
             if t:
                 for w in t.split():
-                    h = _hashlib.md5(w.encode("utf-8")).hexdigest()
-                    bucket = int(h[:8], 16) % dim
-                    sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+                    bucket, sign = tok(w)
                     vec[bucket] += sign
             n = float(_np.linalg.norm(vec))
             if n > 0:

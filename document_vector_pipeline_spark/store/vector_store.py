@@ -35,8 +35,9 @@ from pyspark.sql import types as T
 
 from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
 from document_vector_pipeline_spark.functions.vectors import (
-    cosine_similarity,
     dot,
+    l2_norm,
+    py_quantize_int8,
     quantize_int8,
 )
 
@@ -46,6 +47,10 @@ STORE_SCHEMA = T.StructType([
     T.StructField("chunk_text", T.StringType()),
     T.StructField("embedding", T.ArrayType(T.FloatType())),
     T.StructField("embedding_q8", T.ArrayType(T.ByteType())),
+    T.StructField("embedding_norm", T.DoubleType()),  # ||embedding||₂ at
+    # ingest time: search then costs ONE dot-product fold per row instead
+    # of recomputing two norms per candidate (amortize-at-write, like any
+    # real vector index build)
     T.StructField("page_number", T.IntegerType()),
     T.StructField("bucket", T.IntegerType()),
 ])
@@ -77,12 +82,15 @@ class VectorStore:
     def _normalize(self, chunks: DataFrame) -> DataFrame:
         """Map a chunk DataFrame (document_url, chunk_number, chunk_text,
         page_number, embedding) to the store row model."""
+        emb = F.col("embedding").cast("array<float>")
         return chunks.select(
             F.col("chunk_number").cast("string").alias("id"),
             F.col("document_url"),
             F.col("chunk_text"),
-            F.col("embedding").cast("array<float>").alias("embedding"),
-            quantize_int8(F.col("embedding")).alias("embedding_q8"),
+            emb.alias("embedding"),
+            quantize_int8(emb).alias("embedding_q8"),
+            l2_norm(F.transform(emb, lambda v: v.cast("double")))
+             .alias("embedding_norm"),
             F.coalesce(F.col("page_number"), F.lit(0)).cast("int").alias("page_number"),
             self._bucket(F.col("document_url")).alias("bucket"),
         )
@@ -166,16 +174,20 @@ class VectorStore:
         """Cosine top-k over the store (the Cosmos VectorDistance query).
 
         quantized=True scores against the int8 QuantizedFlat column —
-        dot product of unit-scaled vectors — trading recall for a 4×
-        smaller scan, exactly the QuantizedFlat tradeoff.
+        an EXACT INTEGER dot of the quantized vectors scaled by 1/127² —
+        trading recall for a 4× smaller scan, exactly the QuantizedFlat
+        tradeoff (and bit-deterministic under any summation order).
         """
+        import math
+
         df = self.read()
         if document_url is not None:
             # partition pruning: bucket filter narrows to one directory
             df = df.filter(
                 (F.col("bucket") == self._bucket(F.lit(document_url)))
                 & (F.col("document_url") == document_url))
-        q = F.array(*[F.lit(float(v)) for v in query_vector])
+        qd = [float(v) for v in query_vector]
+        q = F.array(*[F.lit(v) for v in qd])
         # zip_with null-pads on length mismatch → silent null scores; make
         # a dimension mismatch a loud, named error instead.
         df = df.withColumn(
@@ -187,12 +199,20 @@ class VectorStore:
                  F.lit(" != stored embedding dimension "),
                  F.size("embedding").cast("string")))))
         if quantized:
-            qq = quantize_int8(q)
-            score = (dot(F.transform(F.col("embedding_q8"),
-                                     lambda v: v.cast("double") / 127.0),
-                         F.transform(qq, lambda v: v.cast("double") / 127.0)))
+            qq = F.array(*[F.lit(v) for v in py_quantize_int8(qd)])
+            idot = F.aggregate(
+                F.zip_with(F.col("embedding_q8"), qq,
+                           lambda x, y: x.cast("int") * y),
+                F.lit(0), lambda acc, v: acc + v)
+            score = idot / (127.0 * 127.0)
         else:
-            score = cosine_similarity(F.col("embedding"), q)
+            # query norm is plan metadata (python IEEE math == JVM IEEE
+            # math); the row norm was materialized at ingest — one
+            # dot-product fold per candidate
+            qnorm = math.sqrt(sum(v * v for v in qd))
+            denom = F.col("embedding_norm") * F.lit(qnorm)
+            ad = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+            score = F.when(denom == 0, F.lit(0.0)).otherwise(dot(ad, q) / denom)
         score = F.round(score, 6)
         return (df.withColumn("score", score)
                   .orderBy(F.desc("score"), "document_url", "id")
