@@ -516,6 +516,30 @@ def q_stream_sessionize(spark, sf_dir):
     return sev.sessionize(ev)
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """Batch twin of the cross-microbatch stateful dedup (streaming mode is
+    exercised in tests/test_stateful.py — state can't run against a static
+    sf_dir)."""
+    from document_vector_pipeline_spark.streaming.stateful import (
+        first_seen_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(X.content_fingerprint(F.col("text")).alias("fingerprint"),
+                     "doc_id")
+    return first_seen_filter(df, "fingerprint", ("doc_id",))
+
+
+def q_stream_running_totals(spark, sf_dir):
+    """Batch twin of the stateful per-user running totals."""
+    from document_vector_pipeline_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return running_totals(ev, "user_id", "value")
+
+
 def q_events_topusers(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return sev.top_users_by_activity(ev, n=20)
@@ -1112,6 +1136,8 @@ def queries():
         "mm_frames": q_mm_frames,
         "stream_windowed": q_stream_windowed,
         "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
+        "stream_running_totals": q_stream_running_totals,
         "events_topusers": q_events_topusers,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
@@ -1167,6 +1193,15 @@ from c
         "mm_decode": _sql_mm_decode(),
         "stream_windowed": _sql_stream_windowed(),
         "stream_sessionize": _sql_stream_sessionize(),
+        "stream_first_seen": f"""
+select {_md5l(_norm_text('text'))} as fingerprint, min(doc_id) as doc_id
+from documents group by 1
+""",
+        "stream_running_totals": f"""
+select user_id, count(*) as n_events,
+       {_money_sum_sql('value', 2)} as total_value
+from events group by user_id
+""",
         "events_topusers": _sql_events_topusers(),
         "q1_pricing": _sql_q1(),
         "q3_shipping": _sql_q3(),

@@ -1,0 +1,99 @@
+"""Stateful streaming operators: cross-microbatch dedup + running totals.
+
+Drives real Structured Streaming queries (file source, one file per
+microbatch via maxFilesPerTrigger=1) so the GroupState actually carries
+across batches.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.streaming.stateful import (
+    first_seen_filter,
+    running_totals,
+)
+
+SCHEMA = "fingerprint bigint, doc_id bigint, value double"
+
+
+def _write_batches(tmp_path):
+    # batch 1: fp 1,2 ; batch 2: fp 2 (dup!), 3 ; batch 3: fp 1 (dup), 4
+    batches = [
+        [(1, 10, 1.5), (2, 20, 2.25)],
+        [(2, 21, 4.0), (3, 30, 3.0)],
+        [(1, 11, 9.0), (4, 40, 0.5)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for fp, doc, val in rows:
+                f.write(json.dumps({"fingerprint": fp, "doc_id": doc,
+                                    "value": val}) + "\n")
+    return str(src)
+
+
+def _run_stream(spark, df, tmp_path, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .outputMode("append" if name == "dedup" else "update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    path = _write_batches(tmp_path)
+    return (spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+            .json(path))
+
+
+def test_first_seen_filter_dedups_across_microbatches(spark, tmp_path,
+                                                      stream_src):
+    out = first_seen_filter(stream_src, "fingerprint", ("doc_id", "value"))
+    got = _run_stream(spark, out, tmp_path, "dedup")
+    rows = {r["fingerprint"]: (r["doc_id"], r["value"])
+            for r in got.collect()}
+    # each fingerprint exactly once, first-batch occurrence wins
+    assert rows == {1: (10, 1.5), 2: (20, 2.25), 3: (30, 3.0), 4: (40, 0.5)}
+
+
+def test_first_seen_filter_batch_fallback(spark, docs_small):
+    from document_vector_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+    df = docs_small.select(
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+        F.col("doc_id"), F.lit(1.0).alias("value"))
+    out = first_seen_filter(df, "fingerprint", ("doc_id", "value"))
+    assert out.count() == df.select("fingerprint").distinct().count()
+
+
+def test_running_totals_accumulates_state(spark, tmp_path, stream_src):
+    keyed = stream_src.select(F.col("fingerprint").alias("user_id"), "value")
+    out = running_totals(keyed)
+    got = _run_stream(spark, out, tmp_path, "totals")
+    # memory sink in update mode keeps every emission; the LAST one per key
+    # is the converged total
+    pdf = got.toPandas()
+    final = {}
+    for _, r in pdf.iterrows():
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (2, 10.5)   # 1.5 + 9.0 across batches 1 and 3
+    assert final[2] == (2, 6.25)   # 2.25 + 4.0 across batches 1 and 2
+    assert final[3] == (1, 3.0)
+    assert final[4] == (1, 0.5)
+
+
+def test_running_totals_batch_fallback(spark, stream_src, tmp_path):
+    batch = spark.read.schema(SCHEMA).json(str(tmp_path / "src"))
+    keyed = batch.select(F.col("fingerprint").alias("user_id"), "value")
+    out = running_totals(keyed)
+    rows = {r["user_id"]: (r["n_events"], r["total_value"])
+            for r in out.collect()}
+    assert rows[1] == (2, 10.5) and rows[2] == (2, 6.25)
