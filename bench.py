@@ -47,8 +47,8 @@ STORE_PATH = os.path.join(ROOT, ".scratch", "bench_store")
 def main() -> None:
     spark = get_spark("bench", cores=CPUS)
     t = {n: load_table(spark, SF_DIR, n)
-         for n in ("region", "nation", "customer", "supplier", "orders",
-                   "lineitem", "events", "documents", "embeddings")}
+         for n in ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")}
     docs, emb, ev = t["documents"], t["embeddings"], t["events"]
     # the driver testdata is one parquet row-group per table, which Spark
     # cannot split — a production layout would arrive in many files.
@@ -101,8 +101,20 @@ def main() -> None:
           lambda: similarity.brute_force_topk_np(emb, qdf, k=10))
     bench("ann_lsh", lambda: similarity.lsh_ann(emb, qdf, k=10))
     bench("ann_ivf", lambda: similarity.ivf_ann(emb, qdf, k=10))
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    ivf = IVFIndex(spark, os.path.join(ROOT, ".scratch", "bench_ivf"),
+                   n_centroids=16)
+
+    def ivf_build():
+        ivf.build(emb)
+        return spark.read.parquet(ivf._cells)
+
+    bench("ann_ivf_build", ivf_build)
+    bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("stream_windowed", lambda: sev.windowed_event_counts(ev))
+    bench("stream_sliding", lambda: sev.sliding_event_counts(ev))
     bench("stream_sessionize", lambda: sev.sessionize(ev))
     bench("q1_pricing", lambda: analytics.q1_pricing(t["lineitem"]))
     bench("q3_shipping", lambda: analytics.q3_shipping(
@@ -111,6 +123,7 @@ def main() -> None:
         t["region"], t["nation"], t["customer"], t["supplier"],
         t["orders"], t["lineitem"]))
     bench("q6_forecast", lambda: analytics.q6_forecast(t["lineitem"]))
+    bench("q14_promo", lambda: analytics.q14_promo(t["lineitem"], t["part"]))
     bench("events_enrich", lambda: analytics.events_enrich(ev, t["customer"]))
 
     total = round(sum(timings.values()), 3)

@@ -446,6 +446,29 @@ def q_ann_ivf(spark, sf_dir):
                               n_centroids=8, nprobe=2)
 
 
+def q_ann_ivf_persisted(spark, sf_dir):
+    """Persisted IVF index probed exhaustively (nprobe = n_centroids), so
+    the result — and the oracle — is exactly brute force; the partition-
+    pruned low-nprobe path is covered in tests/test_ivf_index.py."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_ivf_idx"), n_centroids=8)
+    idx.build(emb)
+    parts = []
+    for r in emb.filter(F.col("vec_id") < 5).collect():
+        q = [float(v) for v in r["embedding"]]
+        parts.append(idx.search(q, k=10, nprobe=8)
+                     .withColumn("query_id", F.lit(r["vec_id"])))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return out.select("query_id", "vec_id", "score",
+                      F.row_number().over(w).alias("rank"))
+
+
 def q_text_langid(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     lang = X.langid_struct(F.col("text"))
@@ -514,6 +537,16 @@ def q_stream_windowed(spark, sf_dir):
 def q_stream_sessionize(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return sev.sessionize(ev)
+
+
+def q_stream_sliding(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return sev.sliding_event_counts(ev)
+
+
+def q_q14_promo(spark, sf_dir):
+    return analytics.q14_promo(load_table(spark, sf_dir, "lineitem"),
+                               load_table(spark, sf_dir, "part"))
 
 
 def q_stream_first_seen(spark, sf_dir):
@@ -979,6 +1012,37 @@ group by 1, 2
 """
 
 
+def _sql_stream_sliding() -> str:
+    # each event belongs to 2 overlapping (1h, 30m-slide) windows whose
+    # starts are floor30(ts) and floor30(ts) - 30m — exact µs arithmetic
+    return f"""
+with e as (select cast(ts as timestamp) as ts, event_type, value from events),
+w as (select make_timestamp(
+            (epoch_us(ts) // 1800000000 - k.k) * 1800000000) as window_start,
+            event_type, value
+      from e cross join (select unnest([0, 1]) as k) k)
+select window_start, event_type, count(*) as n_events,
+       {_money_sum_sql('value', 2)} as total_value
+from w
+group by 1, 2
+"""
+
+
+def _sql_q14() -> str:
+    c4 = "cast(round(((l_extendedprice*(1 - l_discount))*10000.0), 0) as bigint)"
+    return f"""
+select round((100.0 * cast(sum(case when p_type = 'PROMO' then {c4}
+                                    else 0 end) as bigint))
+             / cast(sum({c4}) as bigint), 6) as promo_revenue,
+       count(*) as n_items,
+       cast(count(case when p_type = 'PROMO' then 1 end) as bigint)
+           as n_promo_items
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1996-02-01'
+"""
+
+
 def _sql_stream_sessionize() -> str:
     return f"""
 with e as (select user_id, cast(ts as timestamp) as ts, value from events),
@@ -1127,6 +1191,7 @@ def queries():
         "ann_bruteforce_np": q_ann_bruteforce_np,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -1135,6 +1200,7 @@ def queries():
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         "stream_windowed": q_stream_windowed,
+        "stream_sliding": q_stream_sliding,
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
         "stream_running_totals": q_stream_running_totals,
@@ -1143,6 +1209,7 @@ def queries():
         "q3_shipping": q_q3_shipping,
         "q5_local": q_q5_local,
         "q6_forecast": q_q6_forecast,
+        "q14_promo": q_q14_promo,
         "events_enrich": q_events_enrich,
     }
 
@@ -1186,12 +1253,14 @@ from c
         "ann_bruteforce": _sql_ann_bruteforce(),
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        "ann_ivf_persisted": _sql_ann_bruteforce(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_tokens": _sql_text_tokens(),
         "text_fingerprint": _sql_text_fingerprint(),
         "mm_decode": _sql_mm_decode(),
         "stream_windowed": _sql_stream_windowed(),
+        "stream_sliding": _sql_stream_sliding(),
         "stream_sessionize": _sql_stream_sessionize(),
         "stream_first_seen": f"""
 select {_md5l(_norm_text('text'))} as fingerprint, min(doc_id) as doc_id
@@ -1207,6 +1276,7 @@ from events group by user_id
         "q3_shipping": _sql_q3(),
         "q5_local": _sql_q5(),
         "q6_forecast": _sql_q6(),
+        "q14_promo": _sql_q14(),
         "events_enrich": _sql_events_enrich(),
     }
 

@@ -107,6 +107,29 @@ def q6_forecast(lineitem: DataFrame, date_from: str = "1996-01-01",
                  .alias("revenue")))
 
 
+def q14_promo(lineitem: DataFrame, part: DataFrame,
+              date_from: str = "1996-01-01",
+              date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H Q14-style promotion revenue share: selective lineitem scan,
+    broadcast part join, conditional fixed-point aggregation."""
+    cents4 = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     * 10000.0, 0).cast("long")
+    j = (lineitem.filter((F.col("l_shipdate") >= date_from)
+                         & (F.col("l_shipdate") < date_to))
+         .join(F.broadcast(part),
+               F.col("l_partkey") == F.col("p_partkey")))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents4).otherwise(0))
+         .alias("promo_cents4"),
+        F.sum(cents4).alias("total_cents4"),
+        F.count("*").alias("n_items"),
+        F.count(F.when(F.col("p_type") == "PROMO", 1)).alias("n_promo_items"))
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo_cents4") / F.col("total_cents4"),
+                6).alias("promo_revenue"),
+        "n_items", "n_promo_items")
+
+
 def events_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Events × customer broadcast enrichment + per-segment/type rollup
     (user_id is a customer key in the testdata)."""

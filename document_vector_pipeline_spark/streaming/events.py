@@ -28,6 +28,22 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     F.col("total_value")))
 
 
+def sliding_event_counts(events: DataFrame, window: str = "1 hour",
+                         slide: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window counts/sums per event_type: each event lands in
+    window/slide overlapping windows (2 for the defaults).  Same dual
+    stream/batch contract as windowed_event_counts."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", window, slide).alias("w"),
+                        F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 money_sum(F.col("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("event_type"), F.col("n_events"),
+                    F.col("total_value")))
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes",
                watermark: str = "2 hours") -> DataFrame:
     """Session windows per user: a session ends after `gap` of inactivity.

@@ -1,0 +1,131 @@
+"""Plan-quality gate: the physical plans the 100 TB design depends on.
+
+These assertions pin the properties SURVEY §4/§6 promise: filters reach the
+parquet scan, scans prune columns, dimension joins broadcast, the chunk/
+text hot path stays shuffle-free and Python-free, and store operations
+prune partitions.  A regression here is a performance bug even if every
+value-level test still passes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import dedup, textstats
+from document_vector_pipeline_spark.operators.chunk import chunk_documents
+from document_vector_pipeline_spark.plans import analytics
+from document_vector_pipeline_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    # scan metadata (PushedFilters/ReadSchema) truncates at 100 chars by
+    # default, which would hide the very fields these tests assert on
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return {n: load_table(spark, SF, n)
+            for n in ("region", "nation", "customer", "supplier",
+                      "orders", "lineitem", "events", "documents")}
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def read_schema(plan: str) -> str:
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    return m.group(1) if m else ""
+
+
+def test_q1_pushes_filter_and_prunes_columns(t):
+    p = plan_of(analytics.q1_pricing(t["lineitem"]))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    rs = read_schema(p)
+    # 7 needed columns, and none of the unused ones
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in rs
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in rs
+    # partial + final aggregation
+    assert p.count("HashAggregate") == 2
+
+
+def test_q3_q5_join_dims_via_broadcast(t):
+    p3 = plan_of(analytics.q3_shipping(t["customer"], t["orders"],
+                                       t["lineitem"]))
+    assert p3.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p3
+    p5 = plan_of(analytics.q5_local_supplier(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"]))
+    assert p5.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p5
+
+
+def test_q6_pushes_all_three_filters(t):
+    p = plan_of(analytics.q6_forecast(t["lineitem"]))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_chunking_is_narrow_and_jvm_only(t):
+    p = plan_of(chunk_documents(t["documents"], mode="tokens"))
+    assert "Exchange" not in p, "chunking must not shuffle"
+    assert "Python" not in p and "ArrowEval" in p or "Python" not in p, \
+        "chunking must not call Python"
+
+
+def test_textstats_is_narrow_and_jvm_only(t):
+    p = plan_of(textstats.analyze_documents(t["documents"]))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_exact_dedup_shuffles_once(t):
+    p = plan_of(dedup.exact_dedup(t["documents"]))
+    # one exchange for the fingerprint groupBy, nothing else
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_store_search_prunes_unused_columns(spark, t, tmp_path):
+    from document_vector_pipeline_spark.contract import QVEC, _store_chunks
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "plan_store"))
+    store.upsert(_store_chunks(t["documents"]))
+    # cosine search must not read the quantized column, and vice versa
+    p = plan_of(store.search(QVEC, k=5))
+    assert "embedding_q8" not in read_schema(p)
+    pq = plan_of(store.search(QVEC, k=5, quantized=True))
+    rs = read_schema(pq)
+    assert "embedding_q8" in rs and "embedding:" not in rs
+
+
+def test_store_filtered_search_prunes_partitions(spark, t, tmp_path):
+    from document_vector_pipeline_spark.contract import QVEC, _store_chunks
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "plan_store2"))
+    store.upsert(_store_chunks(t["documents"]))
+    p = plan_of(store.search(QVEC, k=5, document_url="mem://docs/3.txt"))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "bucket" in m.group(1), "bucket partition filter missing"
+    assert "EqualTo(document_url,mem://docs/3.txt)" in p
+
+
+def test_ann_broadcasts_queries_not_corpus(spark):
+    from document_vector_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    p = plan_of(similarity.brute_force_topk(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
