@@ -125,6 +125,32 @@ def main() -> None:
     bench("q6_forecast", lambda: analytics.q6_forecast(t["lineitem"]))
     bench("q14_promo", lambda: analytics.q14_promo(t["lineitem"], t["part"]))
     bench("events_enrich", lambda: analytics.events_enrich(ev, t["customer"]))
+    bench("q4_late", lambda: analytics.q4_late_orders(t["orders"],
+                                                      t["lineitem"]))
+    bench("q10_returned", lambda: analytics.q10_returned(
+        t["customer"], t["orders"], t["lineitem"]))
+    bench("q13_custdist", lambda: analytics.q13_custdist(t["customer"],
+                                                         t["orders"]))
+    bench("q18_large", lambda: analytics.q18_large_orders(
+        t["customer"], t["orders"], t["lineitem"]))
+    bench("q19_disjuncts", lambda: analytics.q19_disjuncts(t["lineitem"],
+                                                           t["part"]))
+    bench("q22_inactive", lambda: analytics.q22_inactive(t["customer"],
+                                                         t["orders"]))
+
+    from document_vector_pipeline_spark.plans import temporal
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    bench("asof_attribution", lambda: temporal.asof_join(
+        purchases, ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id"),
+        key="user_id", right_cols=["event_id"], right_seq="event_id"))
+    bench("range_join_agg", lambda: temporal.range_join_agg(
+        purchases, ev.select("user_id", "ts", "value"), key="user_id"))
+    bench("rolling_counts", lambda: temporal.rolling_counts(
+        ev.select("event_id", "user_id", "ts", "value")))
+    bench("events_rollup", lambda: temporal.rollup_events(ev))
+    bench("hypertable_rollup", lambda: temporal.hypertable_rollup(ev))
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

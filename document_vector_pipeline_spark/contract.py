@@ -44,7 +44,7 @@ from document_vector_pipeline_spark.operators.parse import (
     route_blobs,
 )
 from document_vector_pipeline_spark.operators.pipeline import blobs_to_chunks
-from document_vector_pipeline_spark.plans import analytics
+from document_vector_pipeline_spark.plans import analytics, temporal
 from document_vector_pipeline_spark.sources import load_table
 from document_vector_pipeline_spark.store.vector_store import VectorStore
 from document_vector_pipeline_spark.streaming import events as sev
@@ -605,6 +605,86 @@ def q_events_enrich(spark, sf_dir):
                                    load_table(spark, sf_dir, "customer"))
 
 
+def q_q4_late(spark, sf_dir):
+    return analytics.q4_late_orders(load_table(spark, sf_dir, "orders"),
+                                    load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q10_returned(spark, sf_dir):
+    return analytics.q10_returned(load_table(spark, sf_dir, "customer"),
+                                  load_table(spark, sf_dir, "orders"),
+                                  load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q13_custdist(spark, sf_dir):
+    return analytics.q13_custdist(load_table(spark, sf_dir, "customer"),
+                                  load_table(spark, sf_dir, "orders"))
+
+
+def q_q18_large(spark, sf_dir):
+    return analytics.q18_large_orders(load_table(spark, sf_dir, "customer"),
+                                      load_table(spark, sf_dir, "orders"),
+                                      load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q19_disjuncts(spark, sf_dir):
+    return analytics.q19_disjuncts(load_table(spark, sf_dir, "lineitem"),
+                                   load_table(spark, sf_dir, "part"))
+
+
+def q_q22_inactive(spark, sf_dir):
+    return analytics.q22_inactive(load_table(spark, sf_dir, "customer"),
+                                  load_table(spark, sf_dir, "orders"))
+
+
+def q_events_props(spark, sf_dir):
+    return analytics.events_props_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_asof_attribution(spark, sf_dir):
+    """Backward as-of join: each purchase gets the user's most recent
+    click at-or-before it (ties → max event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    out = temporal.asof_join(purchases, clicks, key="user_id",
+                             right_cols=["event_id"], right_seq="event_id",
+                             prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_ts"), F.col("click_event_id").alias("click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")))
+        .alias("gap_us"))
+
+
+def q_range_join_agg(spark, sf_dir):
+    """Bucketed interval join: per purchase, count/value of the user's
+    events in the strictly-preceding 30 minutes (zero-match rows kept)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    return temporal.range_join_agg(
+        purchases, ev.select("user_id", "ts", "value"), key="user_id")
+
+
+def q_rolling_counts(spark, sf_dir):
+    """Single-pass RANGE-frame rolling window (the no-join self range-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (temporal.rolling_counts(
+        ev.select("event_id", "user_id", "ts", "value"))
+        .select("event_id", "user_id", "ts", "n_prev", "prev_value"))
+
+
+def q_events_rollup(spark, sf_dir):
+    return temporal.rollup_events(load_table(spark, sf_dir, "events"))
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    return temporal.hypertable_rollup(load_table(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # oracle SQL
 # ===========================================================================
@@ -1043,6 +1123,178 @@ where l_shipdate >= timestamp '1996-01-01'
 """
 
 
+def _sql_q4_late() -> str:
+    return """
+select o_orderpriority, count(*) as order_count
+from orders o
+where exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate + interval 60 day)
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def _sql_q10() -> str:
+    rev = _money_sum_sql("l_extendedprice*(1 - l_discount)", 4)
+    return f"""
+select c_custkey, c_name, c_acctbal, c_mktsegment, {rev} as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where l_returnflag = 'R'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1996-04-01'
+group by 1, 2, 3, 4
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
+def _sql_q13() -> str:
+    return """
+with counts as (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer
+  left join (select * from orders where o_orderpriority <> '1-URGENT') o
+    on c_custkey = o_custkey
+  group by c_custkey)
+select c_count, count(*) as custdist
+from counts group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+def _sql_q18() -> str:
+    return """
+with big as (select l_orderkey, sum(l_quantity) as sum_qty
+             from lineitem group by l_orderkey
+             having sum(l_quantity) > 250)
+select c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+from orders
+join big on o_orderkey = l_orderkey
+join customer on o_custkey = c_custkey
+order by sum_qty desc, o_orderkey
+"""
+
+
+def _sql_q19() -> str:
+    rev = _money_sum_sql("l_extendedprice*(1 - l_discount)", 4)
+    arm = ("(p_brand = 'Brand#{b}' and p_size <= {s} "
+           "and l_quantity >= {ql} and l_quantity <= {qh})")
+    arms = " or ".join([arm.format(b=1, s=15, ql=1, qh=15),
+                        arm.format(b=2, s=25, ql=10, qh=30),
+                        arm.format(b=3, s=35, ql=20, qh=40)])
+    return f"""
+select {rev} as revenue, count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+where {arms}
+"""
+
+
+def _sql_q22() -> str:
+    return f"""
+with pos as (
+  select cast(sum(cast(round(c_acctbal*100.0, 0) as bigint)) as bigint)
+             as total_cents,
+         count(*) as n_pos
+  from customer where c_acctbal > 0.0),
+eligible as (
+  select c_custkey, c_mktsegment, c_acctbal
+  from customer, pos
+  where cast(round(c_acctbal*100.0, 0) as bigint) * n_pos > total_cents
+    and not exists (select 1 from orders o
+                    where o.o_custkey = c_custkey
+                      and o.o_orderpriority = '1-URGENT'
+                      and o.o_orderdate >= timestamp '2000-01-01'))
+select c_mktsegment, count(*) as numcust,
+       {_money_sum_sql('c_acctbal', 2)} as totacctbal
+from eligible group by c_mktsegment order by c_mktsegment
+"""
+
+
+def _sql_events_props() -> str:
+    return """
+with e as (select event_type, cast(props->>'k' as bigint) as k from events)
+select event_type, count(k) as n_with_k,
+       cast(sum(k) as bigint) as sum_k,
+       min(k) as min_k, max(k) as max_k,
+       round(cast(sum(k) as bigint) / count(k), 6) as avg_k
+from e group by event_type order by event_type
+"""
+
+
+def _sql_asof_attribution() -> str:
+    return """
+select p.event_id, p.user_id, p.ts,
+       c.ts as click_ts, c.event_id as click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+from events p
+left join lateral (
+  select c.event_id, c.ts from events c
+  where c.user_id = p.user_id and c.event_type = 'click'
+    and c.ts <= p.ts
+  order by c.ts desc, c.event_id desc limit 1) c on true
+where p.event_type = 'purchase'
+"""
+
+
+def _sql_range_join_agg() -> str:
+    return """
+select p.event_id, p.user_id, p.ts,
+       count(e.value) as n_matched,
+       coalesce(cast(sum(cast(round(e.value*100.0, 0) as bigint)) as bigint),
+                0) / 100.0 as matched_value
+from events p
+left join events e
+  on e.user_id = p.user_id
+ and epoch_us(e.ts) >= epoch_us(p.ts) - 1800000000
+ and epoch_us(e.ts) <  epoch_us(p.ts)
+where p.event_type = 'purchase'
+group by 1, 2, 3
+"""
+
+
+def _sql_rolling_counts() -> str:
+    return """
+select event_id, user_id, ts,
+       count(value) over w as n_prev,
+       coalesce(cast(sum(cast(round(value*100.0, 0) as bigint)) over w
+                     as bigint), 0) / 100.0 as prev_value
+from events
+window w as (partition by user_id order by epoch_us(ts)
+             range between 1800000000 preceding and 1 preceding)
+"""
+
+
+def _sql_events_rollup() -> str:
+    return f"""
+with e as (select event_type, date_trunc('day', ts) as day, value
+           from events)
+select cast(grouping(event_type)*2 + grouping(day) as bigint) as gid,
+       coalesce(event_type, 'ALL') as event_type,
+       coalesce(day, timestamp '1970-01-01') as day,
+       count(*) as n_events, {_money_sum_sql('value', 2)} as total_value
+from e group by rollup(event_type, day)
+"""
+
+
+def _sql_hypertable_rollup() -> str:
+    return """
+with h as (select date_trunc('hour', ts) as bucket,
+                  count(*) as n_events,
+                  cast(sum(cast(round(value*100.0, 0) as bigint)) as bigint)
+                      as cents
+           from events group by 1)
+select 'hour' as grain, bucket, n_events, cents/100.0 as total_value from h
+union all
+select 'day' as grain, date_trunc('day', bucket) as bucket,
+       cast(sum(n_events) as bigint) as n_events,
+       cast(sum(cents) as bigint)/100.0 as total_value
+from h group by 2
+"""
+
+
 def _sql_stream_sessionize() -> str:
     return f"""
 with e as (select user_id, cast(ts as timestamp) as ts, value from events),
@@ -1211,6 +1463,18 @@ def queries():
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "events_enrich": q_events_enrich,
+        "q4_late": q_q4_late,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q18_large": q_q18_large,
+        "q19_disjuncts": q_q19_disjuncts,
+        "q22_inactive": q_q22_inactive,
+        "events_props": q_events_props,
+        "asof_attribution": q_asof_attribution,
+        "range_join_agg": q_range_join_agg,
+        "rolling_counts": q_rolling_counts,
+        "events_rollup": q_events_rollup,
+        "hypertable_rollup": q_hypertable_rollup,
     }
 
 
@@ -1278,6 +1542,18 @@ from events group by user_id
         "q6_forecast": _sql_q6(),
         "q14_promo": _sql_q14(),
         "events_enrich": _sql_events_enrich(),
+        "q4_late": _sql_q4_late(),
+        "q10_returned": _sql_q10(),
+        "q13_custdist": _sql_q13(),
+        "q18_large": _sql_q18(),
+        "q19_disjuncts": _sql_q19(),
+        "q22_inactive": _sql_q22(),
+        "events_props": _sql_events_props(),
+        "asof_attribution": _sql_asof_attribution(),
+        "range_join_agg": _sql_range_join_agg(),
+        "rolling_counts": _sql_rolling_counts(),
+        "events_rollup": _sql_events_rollup(),
+        "hypertable_rollup": _sql_hypertable_rollup(),
     }
 
 

@@ -130,6 +130,136 @@ def q14_promo(lineitem: DataFrame, part: DataFrame,
         "n_items", "n_promo_items")
 
 
+def q4_late_orders(orders: DataFrame, lineitem: DataFrame,
+                   slack_days: int = 60) -> DataFrame:
+    """TPC-H Q4-style order-priority check, adapted to the available columns
+    (no l_commitdate in the testdata): count orders with at least one line
+    shipped more than ``slack_days`` after the order date.  LEFT SEMI join —
+    no distinct, no row blowup; at scale this is one shuffle on orderkey
+    with the EXISTS short-circuit evaluated stream-side."""
+    late = orders.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr(f"INTERVAL {slack_days} DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q10_returned(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01", topn: int = 20) -> DataFrame:
+    """TPC-H Q10-style returned-item losses: selective quarter of orders,
+    returned lines only, revenue per customer, top N.  Customer is the
+    broadcast side; revenue is fixed-point so the top-N cut is exact."""
+    return (lineitem.filter(F.col("l_returnflag") == "R")
+            .join(orders.filter((F.col("o_orderdate") >= date_from)
+                                & (F.col("o_orderdate") < date_to)),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           4).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(topn))
+
+
+def q13_custdist(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a second
+    aggregation over the (tiny) per-customer counts."""
+    counts = (customer
+              .join(orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+                    F.col("c_custkey") == F.col("o_custkey"), "left")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, qty_threshold: int = 250) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: the HAVING side aggregates
+    lineitem FIRST (map-side partials shrink the shuffle to one row per
+    order), then joins the few surviving keys; customer is broadcast.
+    l_quantity values are integral doubles, so sums are exact."""
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > qty_threshold))
+    return (orders
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(customer),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.desc("sum_qty"), "o_orderkey"))
+
+
+def q19_disjuncts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style disjunctive brand/size/quantity predicates: broadcast
+    part join; the OR-of-ANDs stays a single codegen'd predicate so Catalyst
+    can still push the common conjuncts (qty/size bounds) to the scans."""
+
+    def arm(brand: str, max_size: int, qmin: int, qmax: int):
+        return ((F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+                & (F.col("l_quantity") >= qmin) & (F.col("l_quantity") <= qmax))
+
+    return (lineitem
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(arm("Brand#1", 15, 1, 15) | arm("Brand#2", 25, 10, 30)
+                    | arm("Brand#3", 35, 20, 40))
+            .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           4).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q22_inactive(customer: DataFrame, orders: DataFrame,
+                 cutoff: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22-style global-sales-opportunity, adapted (every testdata
+    customer has orders): above-average-balance customers with NO urgent
+    order since ``cutoff``, counted per market segment.
+
+    The average-balance threshold is compared in integer cents domain
+    (bal_cents·n > total_cents) — no division, so the boundary is exact on
+    both engines.  The scalar aggregate broadcasts (1 row); the exclusion is
+    a LEFT ANTI join on the filtered order set."""
+    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    pos = (customer.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(cents).alias("total_cents"),
+                F.count("*").alias("n_pos")))
+    urgent = orders.filter((F.col("o_orderpriority") == "1-URGENT")
+                           & (F.col("o_orderdate") >= cutoff))
+    return (customer
+            .join(F.broadcast(pos))
+            .filter((cents * F.col("n_pos")) > F.col("total_cents"))
+            .join(urgent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("numcust"),
+                 money_sum(F.col("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("c_mktsegment"))
+
+
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured column handling: parse the JSON ``props`` payload
+    (``{"k": int}``) with get_json_object — JVM-side Jackson path, no Python
+    — and aggregate the extracted field per event type.  Integer sums and
+    exact-integer division keep the average bit-stable cross-engine."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (events.groupBy("event_type")
+            .agg(F.count(k).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k"))
+            .withColumn("avg_k", F.round(F.col("sum_k")
+                                         / F.col("n_with_k"), 6))
+            .orderBy("event_type"))
+
+
 def events_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Events × customer broadcast enrichment + per-segment/type rollup
     (user_id is a customer key in the testdata)."""
