@@ -74,6 +74,17 @@ def main() -> None:
         store.upsert(chunks)
         return store.read()
 
+    # Steady-state warm-up (untimed): the reference baseline is a long-lived
+    # Functions host, so bench measures warm throughput, not JVM cold start.
+    # One small pass exercises codegen, shuffle, broadcast join, window, the
+    # Arrow Python worker pool, and a parquet write.
+    warm_chunks = add_embeddings(blobs_to_chunks(blobs.limit(128), cfg), cfg=cfg)
+    shutil.rmtree(STORE_PATH, ignore_errors=True)
+    store.upsert(warm_chunks)
+    similarity.brute_force_topk(emb.limit(64), qdf, k=3).count()
+    (ev.limit(512).groupBy("event_type").count()
+     .join(F.broadcast(t["region"]), how="cross").count())
+
     timings: dict[str, float] = {}
 
     def bench(name, fn):

@@ -92,16 +92,63 @@ def exact_dedup_survivors(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_perm: int = 16,
-                       shingle_width: int = 3) -> DataFrame:
+                       shingle_width: int = 3,
+                       use_udf: bool = True) -> DataFrame:
     """(id, sig array<bigint>[num_perm]): sig_i = min over shingles of
-    md5(i || '|' || shingle).  Pure per-row fold — no shuffle."""
-    sig = bound(
-        _shingles(F.col(text_col), shingle_width),
-        lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda i: F.array_min(F.transform(
-                sh, lambda s: md5_long_seeded_col(s, i)))))
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    md5(i || '|' || shingle).  Pure per-row map — no shuffle.
+
+    Two value-identical implementations (equivalence-tested):
+    - ``use_udf=False``: built-in HOF fold — the oracle-facing definition,
+      but each of the num_perm × shingles md5s is an interpreted Catalyst
+      expression (conv/substring/concat per element).
+    - ``use_udf=True`` (default): Arrow-batched pandas UDF — the same md5
+      integers from hashlib at ~10× the throughput.  The Python tokenizer
+      mirrors Java ``\\s+``/trim/toLowerCase for ASCII text; for non-ASCII
+      corpora flip to the expression path (Java vs Python Unicode casing
+      can diverge on exotic code points).
+    """
+    if not use_udf:
+        sig = bound(
+            _shingles(F.col(text_col), shingle_width),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                lambda i: F.array_min(F.transform(
+                    sh, lambda s: md5_long_seeded_col(s, i)))))
+        return docs.select(F.col(id_col), sig.alias("sig"))
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    width = shingle_width
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts):
+        import hashlib as _hashlib
+        import re as _re
+
+        import pandas as _pd
+
+        ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s, ASCII range
+        out = []
+        for t in texts:
+            words = [w for w in ws.split((t or "").strip().lower()) if w]
+            if len(words) >= width:
+                shingles = {" ".join(words[i:i + width])
+                            for i in range(len(words) - width + 1)}
+            elif words:
+                shingles = {" ".join(words)}
+            else:
+                out.append([None] * num_perm)
+                continue
+            sig = []
+            for i in range(num_perm):
+                pre = (str(i) + "|").encode()
+                sig.append(min(
+                    int(_hashlib.md5(pre + s.encode()).hexdigest()[:15], 16)
+                    for s in shingles))
+            out.append(sig)
+        return _pd.Series(out)
+
+    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
 
 def md5_long_seeded_col(col: Column, seed_col: Column) -> Column:
@@ -242,14 +289,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.95) -> DataFrame:
+                            threshold: float = 0.95,
+                            prefilter: bool = True) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cos ≥ τ), rounded 6 dp.
 
-    This is the exact O(n²) verifier used at test scale and as the oracle;
-    the 100 TB path prunes candidates with similarity.lsh_ann first.
-    Vectors are L2-normalized ONCE per row before the pair join, so each of
-    the O(n²) pairs costs a single dot-product fold instead of five array
-    passes — the standard normalize-then-join trick for cosine workloads.
+    Two stages:
+    1. PRUNE (sound): blocked numpy matmul of each corpus partition against
+       the broadcast normalized corpus matrix, keeping pairs with approx
+       cos ≥ τ − 1e-4.  The slack is ~11 orders of magnitude above float64
+       matmul error (dim ≤ 4096), so no true pair can be dropped; spurious
+       candidates are removed by stage 2.  O(n²) multiply-adds happen at
+       BLAS speed instead of one interpreted fold per pair.
+    2. VERIFY (exact): the original normalize-then-join dot-product fold —
+       bit-identical to the DuckDB oracle expression — evaluated only on
+       the surviving candidates.
+
+    The broadcast corpus matrix bounds this exact verifier to corpora that
+    fit in executor memory (~10⁷ rows at dim 64); past that, prune with
+    similarity.lsh_ann / ann_ivf buckets instead and verify the same way
+    (``prefilter=False`` keeps the pure O(n²) JVM path for audit).
     """
     from document_vector_pipeline_spark.functions.vectors import normalize
 
@@ -257,7 +315,43 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                    normalize(F.col(vec_col)).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"),
                    normalize(F.col(vec_col)).alias("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    if not prefilter:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        import numpy as np
+
+        rows = emb.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v")).collect()
+        ids = np.fromiter((r["id"] for r in rows), dtype=np.int64,
+                          count=len(rows))
+        m = np.array([r["v"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        bc = emb.sparkSession.sparkContext.broadcast((ids, mn))
+        cut = threshold - 1e-4
+
+        def candidates(batches):
+            import pandas as pd
+            b_ids, b_mn = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                am = np.array(list(pdf["v"]), dtype=np.float64)
+                an = np.linalg.norm(am, axis=1)
+                an[an == 0] = 1.0
+                sims = (am / an[:, None]) @ b_mn.T            # (rows, n)
+                a_ids = pdf["id"].to_numpy()
+                ii, jj = np.nonzero((sims >= cut)
+                                    & (a_ids[:, None] < b_ids[None, :]))
+                yield pd.DataFrame({"id_a": a_ids[ii], "id_b": b_ids[jj]})
+
+        cand = (emb.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"))
+                .mapInPandas(candidates, "id_a long, id_b long"))
+        pairs = (cand.join(a, "id_a").join(b, "id_b")
+                 .select("id_a", "id_b", "va", "vb"))
+    return (pairs
             .withColumn("cos", F.round(dot_product(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))

@@ -123,24 +123,70 @@ def lsh_signatures(vec, tables: int, planes: int, dim: int):
         for t in range(tables)])
 
 
+def make_lsh_sig_udf(tables: int, planes: int, dim: int):
+    """Arrow-batched signature computation, BIT-IDENTICAL to the expression
+    path: per-element products round the same way in both engines, and
+    ``np.cumsum`` accumulates sequentially — the same left-associative IEEE
+    order as the ``F.aggregate`` fold — so every sign bit agrees exactly.
+    One matmul-shaped pass replaces tables×planes interpreted folds AND
+    keeps tables×planes×dim literal doubles out of the Catalyst plan
+    (analysis cost grows with the literal tree)."""
+    import numpy as np
+
+    h = np.array([[hyperplane_coefs(t, p, dim) for p in range(planes)]
+                  for t in range(tables)])          # (T, P, D) float64
+
+    @F.pandas_udf("array<string>")
+    def sig_udf(vecs):
+        import pandas as _pd
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)     # float32 → exact
+            prods = a[None, None, :] * h            # (T, P, D)
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            bits = dots > 0                          # (T, P)
+            out.append(["".join("1" if b else "0" for b in row)
+                        for row in bits])
+        return _pd.Series(out)
+
+    return sig_udf
+
+
 def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             planes: int = 8, tables: int = 4, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+            qid_col: str = "query_id", qvec_col: str = "query_vec",
+            use_udf: bool = True) -> DataFrame:
     """Bucketed ANN: candidates share a hyperplane signature in ≥1 of the
     `tables` hash tables; exact cosine rerank on the candidate union.
-    Recall < 1 by design; the bucket join replaces the full scan."""
-    c = (corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-                       F.explode(lsh_signatures(F.col(vec_col), tables, planes,
-                                                dim)).alias("ts"))
-         .select("vec_id", "v", F.col("ts.t").alias("t"),
-                 F.col("ts.sig").alias("sig")))
-    q = (queries.select(F.col(qid_col).alias("query_id"),
-                        F.col(qvec_col).alias("q"),
-                        F.explode(lsh_signatures(F.col(qvec_col), tables,
-                                                 planes, dim)).alias("ts"))
-         .select("query_id", "q", F.col("ts.t").alias("t"),
-                 F.col("ts.sig").alias("sig")))
+    Recall < 1 by design; the bucket join replaces the full scan.
+    Signatures come from the Arrow UDF (default) or the pure-expression
+    fold (``use_udf=False``) — value-identical, equivalence-tested."""
+    if use_udf:
+        sig_udf = make_lsh_sig_udf(tables, planes, dim)
+
+        def tagged(df, idc, vc, out_id):
+            return (df.select(F.col(idc).alias(out_id), F.col(vc).alias("__v"),
+                              F.posexplode(sig_udf(F.col(vc)))
+                              .alias("t", "sig")))
+
+        c = tagged(corpus, id_col, vec_col, "vec_id") \
+            .withColumnRenamed("__v", "v")
+        q = tagged(queries, qid_col, qvec_col, "query_id") \
+            .withColumnRenamed("__v", "q")
+    else:
+        c = (corpus.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("v"),
+                           F.explode(lsh_signatures(F.col(vec_col), tables,
+                                                    planes, dim)).alias("ts"))
+             .select("vec_id", "v", F.col("ts.t").alias("t"),
+                     F.col("ts.sig").alias("sig")))
+        q = (queries.select(F.col(qid_col).alias("query_id"),
+                            F.col(qvec_col).alias("q"),
+                            F.explode(lsh_signatures(F.col(qvec_col), tables,
+                                                     planes, dim)).alias("ts"))
+             .select("query_id", "q", F.col("ts.t").alias("t"),
+                     F.col("ts.sig").alias("sig")))
     cand = (c.join(F.broadcast(q), ["t", "sig"])
             .select("query_id", "vec_id", "v", "q")
             .dropDuplicates(["query_id", "vec_id"]))

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.operators import dedup as D
+from document_vector_pipeline_spark.sources import load_table
 
 
 @pytest.fixture(scope="module")
@@ -78,3 +79,26 @@ def test_md5_hashing_matches_duckdb(spark, corpus):
             "select cast(('0x' || substr(md5(?),1,15)) as bigint)", [r.text]
         ).fetchone()[0]
         assert r.h == expect, r.doc_id
+
+
+def test_minhash_udf_equals_expression(spark):
+    """The hashlib pandas-UDF signature path must be value-identical to the
+    built-in HOF (oracle-facing) definition."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    udf = {r.doc_id: r.sig for r in
+           D.minhash_signatures(docs, use_udf=True).collect()}
+    expr = {r.doc_id: r.sig for r in
+            D.minhash_signatures(docs, use_udf=False).collect()}
+    assert udf == expr
+
+
+def test_embedding_prefilter_equals_exact(spark):
+    """The matmul-pruned near-dup path must return exactly the pure O(n²)
+    JVM pairs (the 1e-4 slack cannot drop a true pair)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fast = {(r.id_a, r.id_b): r.cos for r in
+            D.embedding_neardup_pairs(emb, threshold=0.35).collect()}
+    slow = {(r.id_a, r.id_b): r.cos for r in
+            D.embedding_neardup_pairs(emb, threshold=0.35,
+                                      prefilter=False).collect()}
+    assert fast == slow and len(fast) > 0

@@ -59,3 +59,18 @@ def test_brute_force_is_broadcast_no_corpus_shuffle(spark, embeddings_small, que
     plan = S.brute_force_topk(embeddings_small, queries, k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lsh_udf_equals_expression(spark):
+    """Arrow-UDF LSH signatures must be bit-identical to the expression
+    fold (cumsum == left-assoc aggregate), hence identical result sets."""
+    from document_vector_pipeline_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = (emb.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    fast = {(r.query_id, r.vec_id, r.score, r.rank) for r in
+            S.lsh_ann(emb, qdf, k=10, use_udf=True).collect()}
+    slow = {(r.query_id, r.vec_id, r.score, r.rank) for r in
+            S.lsh_ann(emb, qdf, k=10, use_udf=False).collect()}
+    assert fast == slow and len(fast) > 0
