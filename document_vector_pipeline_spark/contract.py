@@ -641,6 +641,18 @@ def q_events_props(spark, sf_dir):
     return analytics.events_props_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_events_lag_deltas(spark, sf_dir):
+    return analytics.events_lag_deltas(load_table(spark, sf_dir, "events"))
+
+
+def q_events_percentiles(spark, sf_dir):
+    return analytics.events_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def q_events_salted_agg(spark, sf_dir):
+    return analytics.events_salted_agg(load_table(spark, sf_dir, "events"))
+
+
 def q_asof_attribution(spark, sf_dir):
     """Backward as-of join: each purchase gets the user's most recent
     click at-or-before it (ties → max event_id)."""
@@ -1224,6 +1236,44 @@ from e group by event_type order by event_type
 """
 
 
+def _sql_events_lag_deltas() -> str:
+    return """
+with g as (
+  select event_type,
+         epoch_us(ts) - epoch_us(lag(ts) over
+             (partition by user_id order by ts, event_id)) as gap_us
+  from events)
+select event_type, count(gap_us) as n_gaps,
+       cast(sum(gap_us) as bigint) as sum_gap_us,
+       max(gap_us) as max_gap_us,
+       round(cast(sum(gap_us) as bigint) / count(gap_us), 6) as avg_gap_us
+from g group by event_type order by event_type
+"""
+
+
+def _sql_events_percentiles() -> str:
+    sel = ("max(case when rn = ((n-1)*{p})//100 + 1 then value end) as p{p}")
+    return f"""
+with r as (
+  select event_type, value,
+         row_number() over (partition by event_type
+                            order by value, event_id) as rn,
+         count(*) over (partition by event_type) as n
+  from events)
+select event_type, max(n) as n_events,
+       {sel.format(p=50)}, {sel.format(p=90)}, {sel.format(p=99)}
+from r group by event_type order by event_type
+"""
+
+
+def _sql_events_salted_agg() -> str:
+    return f"""
+select event_type, count(*) as n_events,
+       {_money_sum_sql('value', 2)} as total_value
+from events group by event_type order by event_type
+"""
+
+
 def _sql_asof_attribution() -> str:
     return """
 select p.event_id, p.user_id, p.ts,
@@ -1470,6 +1520,9 @@ def queries():
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
         "events_props": q_events_props,
+        "events_lag_deltas": q_events_lag_deltas,
+        "events_percentiles": q_events_percentiles,
+        "events_salted_agg": q_events_salted_agg,
         "asof_attribution": q_asof_attribution,
         "range_join_agg": q_range_join_agg,
         "rolling_counts": q_rolling_counts,
@@ -1549,6 +1602,9 @@ from events group by user_id
         "q19_disjuncts": _sql_q19(),
         "q22_inactive": _sql_q22(),
         "events_props": _sql_events_props(),
+        "events_lag_deltas": _sql_events_lag_deltas(),
+        "events_percentiles": _sql_events_percentiles(),
+        "events_salted_agg": _sql_events_salted_agg(),
         "asof_attribution": _sql_asof_attribution(),
         "range_join_agg": _sql_range_join_agg(),
         "rolling_counts": _sql_rolling_counts(),

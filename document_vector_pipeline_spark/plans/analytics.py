@@ -260,6 +260,70 @@ def events_props_stats(events: DataFrame) -> DataFrame:
             .orderBy("event_type"))
 
 
+def events_lag_deltas(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gaps via lag() (one window pass), aggregated per
+    event type.  Gap sums are exact integer microseconds; the average is an
+    exact-integer division rounded at 6 dp — bit-stable cross-engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    return (events.select("event_type", gap)
+            .groupBy("event_type")
+            .agg(F.count("gap_us").alias("n_gaps"),
+                 F.sum("gap_us").alias("sum_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"))
+            .withColumn("avg_gap_us",
+                        F.round(F.col("sum_gap_us") / F.col("n_gaps"), 6))
+            .orderBy("event_type"))
+
+
+def events_percentiles(events: DataFrame) -> DataFrame:
+    """Discrete percentiles (p50/p90/p99) of value per event type, by exact
+    rank selection: idx_p = (n-1)·p (integer arithmetic), total order
+    (value, event_id).  No interpolation — the selected values are raw
+    input doubles, so both engines agree bit-for-bit.  One window pass +
+    one partial-aggregated shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+
+    def at(pct: int):
+        idx = ((F.col("n") - 1) * pct - ((F.col("n") - 1) * pct) % 100) / 100
+        return F.max(F.when(F.col("rn") == idx.cast("long") + 1,
+                            F.col("value")))
+
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n").alias("n_events"),
+                 at(50).alias("p50"), at(90).alias("p90"),
+                 at(99).alias("p99"))
+            .orderBy("event_type"))
+
+
+def events_salted_agg(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew-safe two-stage aggregation: stage 1 aggregates on
+    (event_type, salt) so a hot event_type spreads over ``salt_buckets``
+    reducers; stage 2 merges the tiny partials.  Result is exactly the
+    direct groupBy (integer cents commute) — the oracle is the plain SQL
+    aggregate.  This is the manual fallback when AQE skew handling can't
+    help (single giant group rather than a skewed join)."""
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    partial = (events
+               .groupBy("event_type",
+                        F.pmod(F.col("event_id"), F.lit(salt_buckets))
+                        .alias("__salt"))
+               .agg(F.count("*").alias("n"), F.sum(cents).alias("cents")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 (F.sum("cents") / 100.0).alias("total_value"))
+            .orderBy("event_type"))
+
+
 def events_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Events × customer broadcast enrichment + per-segment/type rollup
     (user_id is a customer key in the testdata)."""
