@@ -637,6 +637,44 @@ def q_q22_inactive(spark, sf_dir):
                                   load_table(spark, sf_dir, "orders"))
 
 
+def q_q7_volume(spark, sf_dir):
+    return analytics.q7_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
+def q_q8_share(spark, sf_dir):
+    return analytics.q8_share(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"))
+
+
+def q_q12_priority(spark, sf_dir):
+    return analytics.q12_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q16_suppcnt(spark, sf_dir):
+    return analytics.q16_suppcnt(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
+def q_q17_small_qty(spark, sf_dir):
+    return analytics.q17_small_qty(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
 def q_events_props(spark, sf_dir):
     return analytics.events_props_stats(load_table(spark, sf_dir, "events"))
 
@@ -1236,6 +1274,92 @@ from e group by event_type order by event_type
 """
 
 
+def _sql_q7() -> str:
+    rev = _money_sum_sql("l_extendedprice*(1 - l_discount)", 4)
+    return f"""
+select supp_nation, cust_nation, l_year, {rev} as revenue
+from (
+  select sn.n_name as supp_nation, cn.n_name as cust_nation,
+         year(l_shipdate) as l_year, l_extendedprice, l_discount
+  from lineitem
+  join supplier on l_suppkey = s_suppkey
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation sn on s_nationkey = sn.n_nationkey
+  join nation cn on c_nationkey = cn.n_nationkey
+  where sn.n_name in ('NATION_1','NATION_2')
+    and cn.n_name in ('NATION_1','NATION_2')
+    and sn.n_name <> cn.n_name
+    and l_shipdate >= '1996-01-01' and l_shipdate < '1998-01-01')
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year
+"""
+
+
+def _sql_q8() -> str:
+    return """
+with j as (
+  select year(o_orderdate) as o_year,
+         cast(round(l_extendedprice*(1 - l_discount)*10000.0, 0) as bigint)
+             as cents4,
+         sn.n_name as supp_nation
+  from lineitem
+  join part on l_partkey = p_partkey
+  join supplier on l_suppkey = s_suppkey
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation cn on c_nationkey = cn.n_nationkey
+  join region on cn.n_regionkey = r_regionkey
+  join nation sn on s_nationkey = sn.n_nationkey
+  where r_name = 'ASIA' and p_type = 'ECONOMY')
+select o_year,
+       round(cast(sum(case when supp_nation = 'NATION_3' then cents4
+                           else 0 end) as bigint)
+             / cast(sum(cents4) as bigint), 6) as mkt_share,
+       cast(sum(cents4) as bigint)/10000.0 as total_revenue
+from j group by o_year order by o_year
+"""
+
+
+def _sql_q12() -> str:
+    return """
+select l_linestatus,
+       count(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                  then 1 end) as high_line_count,
+       count(case when o_orderpriority not in ('1-URGENT','2-HIGH')
+                  then 1 end) as low_line_count
+from lineitem join orders on l_orderkey = o_orderkey
+where l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01'
+group by l_linestatus order by l_linestatus
+"""
+
+
+def _sql_q16() -> str:
+    return """
+select p_brand, p_type, p_size,
+       count(distinct l_suppkey) as supplier_cnt
+from lineitem join part on l_partkey = p_partkey
+where p_brand <> 'Brand#45' and p_size in (1,4,9,16,25,36,49)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+"""
+
+
+def _sql_q17() -> str:
+    cents = _money_sum_sql("l_extendedprice", 2)
+    return f"""
+with pp as (
+  select l_partkey as pp_partkey, count(*) as pp_n,
+         sum(l_quantity) as pp_sum_qty
+  from lineitem group by l_partkey)
+select round({cents}/7.0, 6) as avg_yearly, count(*) as n_lines
+from lineitem
+join part on l_partkey = p_partkey
+join pp on l_partkey = pp_partkey
+where p_brand = 'Brand#23' and l_quantity * 5.0 * pp_n < pp_sum_qty
+"""
+
+
 def _sql_events_lag_deltas() -> str:
     return """
 with g as (
@@ -1519,6 +1643,11 @@ def queries():
         "q18_large": q_q18_large,
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
+        "q7_volume": q_q7_volume,
+        "q8_share": q_q8_share,
+        "q12_priority": q_q12_priority,
+        "q16_suppcnt": q_q16_suppcnt,
+        "q17_small_qty": q_q17_small_qty,
         "events_props": q_events_props,
         "events_lag_deltas": q_events_lag_deltas,
         "events_percentiles": q_events_percentiles,
@@ -1601,6 +1730,11 @@ from events group by user_id
         "q18_large": _sql_q18(),
         "q19_disjuncts": _sql_q19(),
         "q22_inactive": _sql_q22(),
+        "q7_volume": _sql_q7(),
+        "q8_share": _sql_q8(),
+        "q12_priority": _sql_q12(),
+        "q16_suppcnt": _sql_q16(),
+        "q17_small_qty": _sql_q17(),
         "events_props": _sql_events_props(),
         "events_lag_deltas": _sql_events_lag_deltas(),
         "events_percentiles": _sql_events_percentiles(),

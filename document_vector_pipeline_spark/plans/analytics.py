@@ -244,6 +244,141 @@ def q22_inactive(customer: DataFrame, orders: DataFrame,
             .orderBy("c_mktsegment"))
 
 
+def q7_volume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+              supplier: DataFrame, nation: DataFrame,
+              n1: str = "NATION_1", n2: str = "NATION_2",
+              date_from: str = "1996-01-01",
+              date_to: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q7-style cross-nation shipping volume between two nations,
+    per (supp_nation, cust_nation, year).
+
+    Scale plan: the nation-pair predicate is applied to supplier and
+    customer BEFORE they touch the fact tables, so only ~2/25 of each
+    dimension is broadcast and the lineitem⋈orders shuffle is the sole
+    big exchange."""
+    pair = nation.filter(F.col("n_name").isin(n1, n2))
+    supp = (supplier.join(F.broadcast(pair),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (customer.join(F.broadcast(pair),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    j = (lineitem.filter((F.col("l_shipdate") >= date_from)
+                         & (F.col("l_shipdate") < date_to))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           4).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def q8_share(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+             supplier: DataFrame, nation: DataFrame, region: DataFrame,
+             part: DataFrame, target_nation: str = "NATION_3",
+             target_region: str = "ASIA",
+             p_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q8-style market share: the target nation's fraction of revenue
+    for one part type sold to customers in one region, per order year.
+
+    The share divides two exact integer-cents4 sums (conditional numerator /
+    total), rounded at 6 dp — bit-stable cross-engine.  Region→nation→
+    customer prune before the fact join; part filter prunes lineitem via a
+    broadcast join."""
+    cents4 = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     * 10000.0, 0).cast("long")
+    rnat = (nation.join(F.broadcast(
+                region.filter(F.col("r_name") == target_region)),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.col("n_nationkey").alias("rn_key")))
+    cust = (customer.join(F.broadcast(rnat),
+                          F.col("c_nationkey") == F.col("rn_key"))
+            .select("c_custkey"))
+    supp = (supplier.join(F.broadcast(nation),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    j = (lineitem
+         .join(F.broadcast(part.filter(F.col("p_type") == p_type)
+                           .select("p_partkey")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == target_nation, cents4)
+                       .otherwise(0)).alias("nat_cents4"),
+                 F.sum(cents4).alias("tot_cents4"))
+            .select("o_year",
+                    F.round(F.col("nat_cents4") / F.col("tot_cents4"), 6)
+                    .alias("mkt_share"),
+                    (F.col("tot_cents4") / 10000.0).alias("total_revenue"))
+            .orderBy("o_year"))
+
+
+def q12_priority(orders: DataFrame, lineitem: DataFrame,
+                 date_from: str = "1996-01-01",
+                 date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q12-style priority split (adapted: no l_shipmode/l_commitdate
+    in the testdata, so l_linestatus plays the ship-mode role and the year
+    filter sits on l_shipdate).  Conditional counts stay one aggregation;
+    the lineitem⋈orders join is the only shuffle and the date filter is
+    pushed to the lineitem scan."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (lineitem.filter((F.col("l_shipdate") >= date_from)
+                            & (F.col("l_shipdate") < date_to))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.count(F.when(high, 1)).alias("high_line_count"),
+                 F.count(F.when(~high, 1)).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+def q16_suppcnt(lineitem: DataFrame, part: DataFrame,
+                excl_brand: str = "Brand#45",
+                sizes: tuple = (1, 4, 9, 16, 25, 36, 49)) -> DataFrame:
+    """TPC-H Q16-style supplier-count distribution (adapted: lineitem plays
+    partsupp's role as the part↔supplier bridge).  COUNT(DISTINCT) expands
+    to Spark's two-phase plan — partial distinct on (brand, type, size,
+    suppkey), then the final count — so no single reducer sees all pairs."""
+    pt = part.filter((F.col("p_brand") != excl_brand)
+                     & F.col("p_size").isin(*sizes))
+    return (lineitem
+            .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+def q17_small_qty(lineitem: DataFrame, part: DataFrame,
+                  brand: str = "Brand#23") -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: average yearly revenue lost
+    if orders below 20% of a part's average quantity were no longer taken.
+
+    The correlated scalar subquery becomes aggregate-then-join (one shuffle
+    each side, partial aggs shrink the per-part stats to one row/part).
+    The 20%-of-average comparison is cleared of division: qty < 0.2·(sq/n)
+    ⇔ 5·qty·n < sq, exact because quantities are integral doubles.  The
+    final /7.0 acts on an exact cents sum — same op in both engines."""
+    per_part = (lineitem.groupBy("l_partkey")
+                .agg(F.count("*").alias("pp_n"),
+                     F.sum("l_quantity").alias("pp_sum_qty"))
+                .withColumnRenamed("l_partkey", "pp_partkey"))
+    sel = (lineitem
+           .join(F.broadcast(part.filter(F.col("p_brand") == brand)
+                             .select("p_partkey")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
+           .filter(F.col("l_quantity") * 5.0 * F.col("pp_n")
+                   < F.col("pp_sum_qty")))
+    return sel.agg(
+        F.round(money_sum(F.col("l_extendedprice"), 2) / 7.0, 6)
+         .alias("avg_yearly"),
+        F.count("*").alias("n_lines"))
+
+
 def events_props_stats(events: DataFrame) -> DataFrame:
     """Semi-structured column handling: parse the JSON ``props`` payload
     (``{"k": int}``) with get_json_object — JVM-side Jackson path, no Python
