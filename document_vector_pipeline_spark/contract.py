@@ -36,7 +36,8 @@ from document_vector_pipeline_spark.functions.vectors import (
     cosine_similarity,
     py_quantize_int8,
 )
-from document_vector_pipeline_spark.operators import dedup, multimodal, similarity
+from document_vector_pipeline_spark.operators import (
+    dedup, multimodal, similarity, textstats)
 from document_vector_pipeline_spark.operators.chunk import chunk_documents
 from document_vector_pipeline_spark.operators.embed import hash_embedding_expr
 from document_vector_pipeline_spark.operators.parse import (
@@ -504,6 +505,10 @@ def q_text_fingerprint(spark, sf_dir):
         "doc_id", X.content_fingerprint(t).alias("fingerprint"),
         F.size(fps).alias("n_fps"),
         F.array_min(fps).alias("min_fp"))
+
+
+def q_text_topterms(spark, sf_dir):
+    return textstats.term_stats(load_table(spark, sf_dir, "documents"))
 
 
 def q_mm_decode(spark, sf_dir):
@@ -1107,6 +1112,21 @@ from f
 """
 
 
+def _sql_text_topterms() -> str:
+    return """
+with tok as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) as term
+  from documents)
+select term, count(*) as tf, count(distinct doc_id) as df
+from tok
+group by term
+order by tf desc, term
+limit 50
+"""
+
+
 def _sql_mm_decode() -> str:
     return """
 with a as materialized (
@@ -1622,6 +1642,7 @@ def queries():
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_topterms": q_text_topterms,
         "mm_decode": q_mm_decode,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
@@ -1704,6 +1725,7 @@ from c
         "text_quality": _sql_text_quality(),
         "text_tokens": _sql_text_tokens(),
         "text_fingerprint": _sql_text_fingerprint(),
+        "text_topterms": _sql_text_topterms(),
         "mm_decode": _sql_mm_decode(),
         "stream_windowed": _sql_stream_windowed(),
         "stream_sliding": _sql_stream_sliding(),

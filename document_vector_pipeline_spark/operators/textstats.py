@@ -33,6 +33,30 @@ def analyze_documents(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def term_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", topk: int = 50) -> DataFrame:
+    """Corpus term statistics: for the top-``topk`` terms (by total term
+    frequency), (term, tf, df) where tf = total occurrences and df = number
+    of distinct documents containing the term.
+
+    Tokenization is lowercase split on runs of non-alphanumerics — the same
+    regex both engines support verbatim.  One explode → one groupBy on term
+    (df via count_distinct, two-phase, no per-doc set on a single reducer).
+    Top-k cut is deterministic: (tf desc, term).  At 100 TB the explode is
+    map-side only; the single shuffle carries (term, doc_id) pairs and AQE
+    coalesces the skewed stopword buckets."""
+    tok = (docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+         .alias("term"))
+        .filter(F.col("term") != ""))
+    return (tok.groupBy("term")
+            .agg(F.count("*").alias("tf"),
+                 F.count_distinct("__doc").alias("df"))
+            .orderBy(F.desc("tf"), "term")
+            .limit(topk))
+
+
 def document_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", window: int = 8) -> DataFrame:
     """(id, fingerprint): exploded rolling-window fingerprints — the
