@@ -163,6 +163,17 @@ def main() -> None:
     bench("events_rollup", lambda: temporal.rollup_events(ev))
     bench("hypertable_rollup", lambda: temporal.hypertable_rollup(ev))
 
+    from document_vector_pipeline_spark.operators import corpus
+    bench("q9_profit", lambda: analytics.q9_profit(
+        t["lineitem"], t["orders"], t["part"], t["supplier"], t["nation"]))
+    bench("q21_waiting", lambda: analytics.q21_waiting_suppliers(
+        t["lineitem"], t["orders"], t["supplier"]))
+    bench("corpus_sample", lambda: corpus.stratified_sample(docs))
+    bench("corpus_repetition", lambda: corpus.repetition_stats(docs))
+    bench("corpus_decontaminate", lambda: corpus.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0")))
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -37,7 +37,7 @@ from document_vector_pipeline_spark.functions.vectors import (
     py_quantize_int8,
 )
 from document_vector_pipeline_spark.operators import (
-    dedup, multimodal, similarity, textstats)
+    corpus, dedup, multimodal, similarity, textstats)
 from document_vector_pipeline_spark.operators.chunk import chunk_documents
 from document_vector_pipeline_spark.operators.embed import hash_embedding_expr
 from document_vector_pipeline_spark.operators.parse import (
@@ -694,6 +694,60 @@ def q_events_percentiles(spark, sf_dir):
 
 def q_events_salted_agg(spark, sf_dir):
     return analytics.events_salted_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_q9_profit(spark, sf_dir):
+    return analytics.q9_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
+def q_q11_parts(spark, sf_dir):
+    return analytics.q11_important_parts(
+        load_table(spark, sf_dir, "lineitem"))
+
+
+def q_q15_topsupp(spark, sf_dir):
+    return analytics.q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"))
+
+
+def q_q20_promo_supp(spark, sf_dir):
+    return analytics.q20_promo_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
+def q_q21_waiting(spark, sf_dir):
+    return analytics.q21_waiting_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"))
+
+
+def q_corpus_split(spark, sf_dir):
+    return corpus.split_summary(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_sample(spark, sf_dir):
+    return corpus.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_repetition(spark, sf_dir):
+    return corpus.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"))
 
 
 def q_asof_attribution(spark, sf_dir):
@@ -1380,6 +1434,162 @@ where p_brand = 'Brand#23' and l_quantity * 5.0 * pp_n < pp_sum_qty
 """
 
 
+def _sql_q9() -> str:
+    profit = _money_sum_sql("l_extendedprice*(1-l_discount)", 4)
+    return f"""
+select n_name as nation, cast(year(o_orderdate) as int) as o_year,
+       {profit} as sum_profit
+from lineitem
+join part on l_partkey = p_partkey
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+where p_name like '%red%'
+group by 1, 2
+order by nation, o_year desc
+"""
+
+
+def _sql_q11() -> str:
+    v4 = ("cast(sum(cast(round(l_extendedprice*(1-l_discount)*10000.0, 0) "
+          "as bigint)) as bigint)")
+    return f"""
+with per as (
+  select l_partkey, {v4} as v4 from lineitem group by l_partkey),
+tot as (select cast(sum(v4) as bigint) as t4 from per)
+select l_partkey, round(v4/10000.0, 4) as value
+from per, tot
+where v4 * 1400 > t4
+order by value desc, l_partkey
+"""
+
+
+def _sql_q15() -> str:
+    r4 = ("cast(sum(cast(round(l_extendedprice*(1-l_discount)*10000.0, 0) "
+          "as bigint)) as bigint)")
+    return f"""
+with rev as (
+  select l_suppkey, {r4} as r4
+  from lineitem
+  where l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01'
+  group by l_suppkey),
+mx as (select max(r4) as m4 from rev)
+select s_suppkey, s_name, round(r4/10000.0, 4) as total_revenue
+from rev, mx, supplier
+where r4 = m4 and l_suppkey = s_suppkey
+order by s_suppkey
+"""
+
+
+def _sql_q20() -> str:
+    return """
+with qualified as (
+  select l_suppkey, sum(l_quantity) as qty
+  from lineitem join part on l_partkey = p_partkey
+  where year(l_shipdate) = 1997 and p_name like 'small%'
+  group by l_suppkey
+  having sum(l_quantity) > 50.0)
+select s_name, n_name as nation
+from supplier
+join nation on s_nationkey = n_nationkey
+where s_suppkey in (select l_suppkey from qualified)
+order by s_name
+"""
+
+
+def _sql_q21() -> str:
+    return """
+with lat as (
+  select l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) as late
+  from lineitem join orders on l_orderkey = o_orderkey
+  where o_orderstatus = 'F'),
+per_order as (
+  select l_orderkey,
+         count(distinct l_suppkey) as n_supp,
+         count(distinct case when late then l_suppkey end) as n_late,
+         max(case when late then l_suppkey end) as late_supp
+  from lat group by l_orderkey)
+select s_name, count(*) as numwait
+from per_order join supplier on late_supp = s_suppkey
+where n_supp >= 2 and n_late = 1
+group by s_name
+order by numwait desc, s_name
+limit 100
+"""
+
+
+def _sql_corpus_split() -> str:
+    b = _md5l("cast(doc_id as varchar)", digits=8)
+    return f"""
+with s as (
+  select case when ({b} % 100) < 80 then 'train'
+              when ({b} % 100) < 90 then 'val'
+              else 'test' end as split,
+         n_chars
+  from documents)
+select split, count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars
+from s group by split order by split
+"""
+
+
+def _sql_corpus_sample(frac: float = 0.2) -> str:
+    h = _md5l("cast(doc_id as varchar)")
+    return f"""
+with r as (
+  select doc_id, source,
+         row_number() over (partition by source
+                            order by {h} asc, doc_id asc) as rn,
+         count(*) over (partition by source) as n
+  from documents)
+select doc_id, source, cast(rn as int) as sample_rank
+from r where rn <= ceil(n * {frac!r})
+order by source, sample_rank
+"""
+
+
+def _sql_corpus_repetition(width: int = 3) -> str:
+    grams = (f"list_transform("
+             f"case when len(w) >= {width} then "
+             f"generate_series(1, len(w) - {width - 1}) "
+             f"else cast([] as bigint[]) end, "
+             f"s -> array_to_string(w[s:s+{width - 1}], ' '))")
+    return f"""
+with t as (
+  select doc_id, {_toks('text', lower=True)} as w from documents),
+g as (select doc_id, {grams} as grams from t)
+select doc_id, cast(len(grams) as int) as n_ngrams,
+       cast(len(list_distinct(grams)) as int) as n_distinct,
+       case when len(grams) > 0
+            then round((len(grams) - len(list_distinct(grams)))
+                       / cast(len(grams) as double), 6)
+            else 0.0 end as dup_frac
+from g order by doc_id
+"""
+
+
+def _sql_corpus_decontaminate(width: int = 5) -> str:
+    shingles = (f"list_distinct(list_transform("
+                f"case when len(w) >= {width} then "
+                f"generate_series(1, len(w) - {width - 1}) "
+                f"when len(w) > 0 then [1] else cast([] as bigint[]) end, "
+                f"s -> array_to_string(w[s:s+{width - 1}], ' ')))")
+    return f"""
+with t as materialized (
+  select doc_id, source, {_toks('text', lower=True)} as w from documents),
+sh as materialized (
+  select doc_id, source,
+         unnest(list_transform({shingles}, s -> {_md5l('s')})) as shingle_h
+  from t),
+bench as (select distinct shingle_h from sh where source = 'src0'),
+docsh as (select doc_id, shingle_h from sh where source <> 'src0')
+select doc_id, count(distinct d.shingle_h) as n_shared
+from docsh d join bench b using (shingle_h)
+group by doc_id
+order by n_shared desc, doc_id
+"""
+
+
 def _sql_events_lag_deltas() -> str:
     return """
 with g as (
@@ -1669,6 +1879,15 @@ def queries():
         "q12_priority": q_q12_priority,
         "q16_suppcnt": q_q16_suppcnt,
         "q17_small_qty": q_q17_small_qty,
+        "q9_profit": q_q9_profit,
+        "q11_parts": q_q11_parts,
+        "q15_topsupp": q_q15_topsupp,
+        "q20_promo_supp": q_q20_promo_supp,
+        "q21_waiting": q_q21_waiting,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "corpus_repetition": q_corpus_repetition,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "events_props": q_events_props,
         "events_lag_deltas": q_events_lag_deltas,
         "events_percentiles": q_events_percentiles,
@@ -1757,6 +1976,15 @@ from events group by user_id
         "q12_priority": _sql_q12(),
         "q16_suppcnt": _sql_q16(),
         "q17_small_qty": _sql_q17(),
+        "q9_profit": _sql_q9(),
+        "q11_parts": _sql_q11(),
+        "q15_topsupp": _sql_q15(),
+        "q20_promo_supp": _sql_q20(),
+        "q21_waiting": _sql_q21(),
+        "corpus_split": _sql_corpus_split(),
+        "corpus_sample": _sql_corpus_sample(),
+        "corpus_repetition": _sql_corpus_repetition(),
+        "corpus_decontaminate": _sql_corpus_decontaminate(),
         "events_props": _sql_events_props(),
         "events_lag_deltas": _sql_events_lag_deltas(),
         "events_percentiles": _sql_events_percentiles(),

@@ -1,0 +1,128 @@
+"""Corpus management operators a large-scale training-data pipeline needs:
+deterministic splits, stratified sampling, within-document repetition
+scoring, and benchmark decontamination.
+
+All of these are defined over md5-derived hashes (functions/hashing.py) so
+they are (a) reproducible under any partitioning / rerun / engine and
+(b) bit-identical to the DuckDB oracles — no RNG state anywhere.
+
+Scale notes (100 TB): hash-split and repetition scoring are map-only (zero
+shuffle); stratified sampling shuffles once on the stratum key; the
+decontamination join shuffles 60-bit shingle hashes, never text, and the
+benchmark side is distinct-reduced before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.functions.hashing import md5_long
+from document_vector_pipeline_spark.operators.dedup import _shingles
+
+
+def split_col(id_col: Column, train_pct: int = 80,
+              val_pct: int = 10) -> Column:
+    """Deterministic train/val/test label from an md5 bucket (0-99) of the
+    id — stable under data order, partitioning, and reruns, unlike
+    `rand()`-based splits.  Map-only: no shuffle, survives any scale."""
+    b = md5_long(id_col.cast("string"), hex_digits=8) % 100
+    return (F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Tag every document with its deterministic split."""
+    return docs.withColumn(
+        "split", split_col(F.col(id_col), train_pct, val_pct))
+
+
+def split_summary(docs: DataFrame, id_col: str = "doc_id",
+                  chars_col: str = "n_chars") -> DataFrame:
+    """Per-split document and character counts (the sanity report a split
+    job emits).  One tiny 3-group agg shuffle."""
+    return (hash_split(docs, id_col)
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col(chars_col).cast("long")).alias("sum_chars"))
+            .orderBy("split"))
+
+
+def stratified_sample(docs: DataFrame, group_col: str = "source",
+                      frac: float = 0.2,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sample: rank documents within each stratum
+    by a uniform md5 hash (ties broken by id) and keep the first
+    ceil(frac * stratum_size) — an EXACT per-group fraction, unlike
+    `sampleBy` which is only a probability.  One shuffle on the stratum
+    key; the window never sees more than a stratum per reducer.  Skewed
+    strata at 100 TB: pre-filter by a loose hash threshold first, then
+    rank only the surviving ~frac fraction."""
+    h = md5_long(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    return (docs
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(wc))
+            .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
+            .select(id_col, group_col, F.col("__rn").alias("sample_rank"))
+            .orderBy(group_col, "sample_rank"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", width: int = 3) -> DataFrame:
+    """Within-document repeated n-gram ratio — the C4/Gopher-style quality
+    signal that catches boilerplate and looping generations.  Map-only
+    (split/transform/array_distinct inside whole-stage codegen); the
+    duplicate fraction is (total - distinct) / total over word ``width``-
+    grams, 0.0 for documents shorter than ``width`` words."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != F.lit(""))
+    doc = docs.select(F.col(id_col), words.alias("__w"))
+    n = F.size(F.col("__w"))
+    starts = (F.when(n >= width, F.sequence(F.lit(1), n - width + 1))
+              .otherwise(F.array().cast("array<int>")))
+    grams = F.transform(starts,
+                        lambda s: F.array_join(
+                            F.slice(F.col("__w"), s, width), " "))
+    g = doc.select(id_col, grams.alias("__g"))
+    total = F.size(F.col("__g"))
+    distinct = F.size(F.array_distinct(F.col("__g")))
+    return (g.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0,
+               F.round((total - distinct) / total, 6))
+         .otherwise(F.lit(0.0)).alias("dup_frac"))
+        .orderBy(id_col))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  width: int = 5) -> DataFrame:
+    """Benchmark decontamination: training documents that share any
+    ``width``-token shingle with a benchmark/eval set, with the count of
+    distinct shared shingles (the evidence a removal decision needs).
+
+    Both sides explode to 60-bit md5 shingle hashes; the benchmark side is
+    distinct-reduced (tiny) and the join shuffles hashes only.  At 100 TB
+    the benchmark shingle set usually fits in a broadcast — Spark's AQE
+    converts the join automatically once the distinct side measures small;
+    the explicit plan keeps it correct either way."""
+    def shingle_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        sh = df.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.explode(_shingles(F.col(text_col), width)).alias("__s"))
+        cols = ([F.col(id_col)] if keep_id else []) + \
+            [md5_long(F.col("__s")).alias("shingle_h")]
+        return sh.select(*cols)
+
+    bench_h = shingle_hashes(benchmark, keep_id=False).distinct()
+    doc_h = shingle_hashes(docs, keep_id=True)
+    return (doc_h.join(bench_h, "shingle_h")
+            .groupBy(id_col)
+            .agg(F.count_distinct("shingle_h").alias("n_shared"))
+            .orderBy(F.desc("n_shared"), id_col))

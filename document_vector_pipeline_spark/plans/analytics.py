@@ -468,3 +468,136 @@ def events_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  money_sum(F.col("value"), 2).alias("total_value"))
             .orderBy("c_mktsegment", "event_type"))
+
+
+def _cents4(expr: Column) -> Column:
+    """Exact 10^-4-unit integer sum units of a 2-decimal money expression."""
+    return F.round(expr * 10000.0, 0).cast("long")
+
+
+def q9_profit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+              supplier: DataFrame, nation: DataFrame,
+              name_token: str = "red") -> DataFrame:
+    """TPC-H Q9-style product profit by (nation, year).  Adapted to the
+    reduced schema: no partsupp/supplycost, so profit is the discounted
+    revenue, and the nation is the supplier's.
+
+    Plan shape: part filter broadcasts into lineitem (the only fact
+    shuffle is the orderkey join for the year), supplier and nation are
+    broadcast dims; one final small agg shuffle on (nation, year)."""
+    pt = part.filter(F.col("p_name").contains(name_token)).select("p_partkey")
+    return (lineitem
+            .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(money_sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")), 4)
+                 .alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+def q11_important_parts(lineitem: DataFrame,
+                        fraction_denom: int = 1400) -> DataFrame:
+    """TPC-H Q11-style important parts (adapted: discounted revenue plays
+    partsupp stock value).  The scalar-subquery total becomes a one-row
+    broadcast cross join; the threshold compare stays in exact integer
+    10^-4 units (v4 * denom > t4) so both engines agree bit-for-bit.
+    At 100 TB: one shuffle for the per-part agg; the global total
+    re-aggregates the per-part partials (tiny), never rescans the fact."""
+    per = (lineitem.groupBy("l_partkey")
+           .agg(F.sum(_cents4(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")))).alias("v4")))
+    total = per.agg(F.sum("v4").alias("t4"))
+    return (per.join(F.broadcast(total))
+            .filter(F.col("v4") * fraction_denom > F.col("t4"))
+            .select("l_partkey",
+                    F.round(F.col("v4") / 1e4, 4).alias("value"))
+            .orderBy(F.desc("value"), "l_partkey"))
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame,
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 top supplier.  The revenue view is a per-supplier agg; the
+    scalar MAX(total_revenue) is a one-row broadcast joined back — no
+    global window sort, ties kept exactly as the spec requires.  Exact
+    integer revenue units make the max/equality deterministic."""
+    rev = (lineitem
+           .filter((F.col("l_shipdate") >= date_from)
+                   & (F.col("l_shipdate") < date_to))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_cents4(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")))).alias("r4")))
+    mx = rev.agg(F.max("r4").alias("m4"))
+    return (rev.join(F.broadcast(mx)).filter(F.col("r4") == F.col("m4"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("r4") / 1e4, 4).alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def q20_promo_suppliers(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        prefix: str = "small", year: int = 1997,
+                        min_qty: float = 50.0) -> DataFrame:
+    """TPC-H Q20-style promotion-candidate suppliers (adapted: lineitem
+    plays partsupp/availqty — suppliers who shipped more than ``min_qty``
+    units of ``prefix``-named parts in ``year``).  The nested-IN chain
+    becomes broadcast part filter → per-supplier agg → HAVING → LEFT SEMI
+    into supplier.  The semi join keeps supplier attributes without
+    duplicating rows; nation broadcasts."""
+    pt = part.filter(F.col("p_name").startswith(prefix)).select("p_partkey")
+    qualified = (lineitem
+                 .filter(F.year("l_shipdate") == year)
+                 .join(F.broadcast(pt),
+                       F.col("l_partkey") == F.col("p_partkey"))
+                 .groupBy("l_suppkey")
+                 .agg(F.sum("l_quantity").alias("qty"))
+                 .filter(F.col("qty") > min_qty))
+    return (supplier
+            .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", F.col("n_name").alias("nation"))
+            .orderBy("s_name"))
+
+
+def q21_waiting_suppliers(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame, late_days: int = 60,
+                          status: str = "F") -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting (adapted: no
+    commit/receipt dates — "late" is shipping > ``late_days`` after the
+    order date).  The EXISTS / NOT-EXISTS pair over sibling lineitems
+    collapses to ONE per-order aggregate: an order counts against supplier
+    s iff it has ≥2 distinct suppliers and s is its only late one —
+    n_late = 1 makes max(late supplier) that supplier.  The orderkey join
+    output feeds the orderkey groupBy directly (same partitioning, no
+    second fact shuffle)."""
+    lat = (lineitem
+           .join(orders.filter(F.col("o_orderstatus") == status)
+                 .select("o_orderkey", "o_orderdate"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .withColumn("__late",
+                       F.col("l_shipdate")
+                       > F.col("o_orderdate")
+                       + F.expr(f"INTERVAL {late_days} DAYS")))
+    late_supp = F.when(F.col("__late"), F.col("l_suppkey"))
+    per_order = (lat.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(late_supp).alias("n_late"),
+                      F.max(late_supp).alias("late_supp")))
+    sole = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    return (sole.groupBy("late_supp").agg(F.count("*").alias("numwait"))
+            .join(F.broadcast(supplier),
+                  F.col("late_supp") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
