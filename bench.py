@@ -174,6 +174,12 @@ def main() -> None:
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0")))
 
+    from document_vector_pipeline_spark.operators import graph
+    bench("dedup_clusters", lambda: graph.dedup_clusters(
+        dedup.minhash_lsh_pairs(docs)))
+    bench("text_tfidf", lambda: textstats.tfidf_top_terms(docs))
+    bench("emb_centroids", lambda: similarity.label_centroids(emb))
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

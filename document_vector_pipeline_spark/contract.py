@@ -37,7 +37,7 @@ from document_vector_pipeline_spark.functions.vectors import (
     py_quantize_int8,
 )
 from document_vector_pipeline_spark.operators import (
-    corpus, dedup, multimodal, similarity, textstats)
+    corpus, dedup, graph, multimodal, similarity, textstats)
 from document_vector_pipeline_spark.operators.chunk import chunk_documents
 from document_vector_pipeline_spark.operators.embed import hash_embedding_expr
 from document_vector_pipeline_spark.operators.parse import (
@@ -750,6 +750,21 @@ def q_corpus_decontaminate(spark, sf_dir):
         docs.filter(F.col("source") == "src0"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash pair graph → connected components (cluster resolution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.dedup_clusters(dedup.minhash_lsh_pairs(docs))
+
+
+def q_text_tfidf(spark, sf_dir):
+    return textstats.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_emb_centroids(spark, sf_dir):
+    return similarity.label_centroids(
+        load_table(spark, sf_dir, "embeddings"))
+
+
 def q_asof_attribution(spark, sf_dir):
     """Backward as-of join: each purchase gets the user's most recent
     click at-or-before it (ties → max event_id)."""
@@ -921,10 +936,9 @@ _SHINGLES3 = (
     "s -> array_to_string(w[s:s+2], ' ')))")
 
 
-def _sql_dedup_minhash() -> str:
+def _minhash_ctes() -> str:
     sig_h = _md5l("cast(i as varchar) || '|' || s")
-    return f"""
-with t as materialized (
+    return f"""t as materialized (
   select doc_id, {_toks('text', lower=True)} as w from documents),
 sh as materialized (
   select doc_id, {_SHINGLES3} as sharr from t),
@@ -937,10 +951,38 @@ bands as materialized (
          unnest(generate_series(0, 3)) as band_no,
          unnest(list_transform(generate_series(0, 3), b ->
             md5(array_to_string(sig[b*4+1 : b*4+4], ',')))) as key
-  from sig)
+  from sig)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"""
+with {_minhash_ctes()}
 select distinct a.doc_id as id_a, b.doc_id as id_b
 from bands a join bands b on a.band_no = b.band_no and a.key = b.key
 where a.doc_id < b.doc_id
+"""
+
+
+def _sql_dedup_clusters() -> str:
+    """Connected components of the MinHash pair graph via a recursive CTE
+    (transitive reachability; component = min reachable id incl. self)."""
+    return f"""
+with recursive {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+edges as (
+  select id_a as n, id_b as m from pairs
+  union all
+  select id_b as n, id_a as m from pairs),
+reach as (
+  select n, m from edges
+  union
+  select r.n, e.m from reach r join edges e on r.m = e.n)
+select n as id, least(n, min(m)) as component
+from reach group by n
+order by component, id
 """
 
 
@@ -1519,6 +1561,44 @@ limit 100
 """
 
 
+def _sql_text_tfidf(topk: int = 5) -> str:
+    return f"""
+with tok as (
+  select doc_id as doc,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) as term
+  from documents),
+tf as (select doc, term, count(*) as tf from tok group by doc, term),
+df as (select term, count(*) as df from tf group by term),
+n as (select count(*) as n_docs from documents),
+r as (
+  select doc, term, tf, df, n_docs,
+         row_number() over (partition by doc
+                            order by tf desc, df asc, term asc) as rk
+  from tf join df using (term), n)
+select doc as doc_id, term, tf, df,
+       round(tf * ln(n_docs / df), 6) as score
+from r where rk <= {topk}
+order by doc_id, tf desc, df, term
+"""
+
+
+def _sql_emb_centroids(dim: int = 64) -> str:
+    return f"""
+with d as (select unnest(generate_series(1, {dim})) as dim),
+e as (
+  select label, dim,
+         cast(round(cast(embedding[dim] as double) * 1000000.0, 0)
+              as bigint) as v6
+  from embeddings, d)
+select label, cast(dim as int) as dim, count(*) as n,
+       round(cast(sum(v6) as bigint) / (count(*) * 1000000.0), 6)
+         as centroid
+from e group by label, dim
+order by label, dim
+"""
+
+
 def _sql_corpus_split() -> str:
     b = _md5l("cast(doc_id as varchar)", digits=8)
     return f"""
@@ -1888,6 +1968,9 @@ def queries():
         "corpus_sample": q_corpus_sample,
         "corpus_repetition": q_corpus_repetition,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "text_tfidf": q_text_tfidf,
+        "emb_centroids": q_emb_centroids,
         "events_props": q_events_props,
         "events_lag_deltas": q_events_lag_deltas,
         "events_percentiles": q_events_percentiles,
@@ -1985,6 +2068,9 @@ from events group by user_id
         "corpus_sample": _sql_corpus_sample(),
         "corpus_repetition": _sql_corpus_repetition(),
         "corpus_decontaminate": _sql_corpus_decontaminate(),
+        "dedup_clusters": _sql_dedup_clusters(),
+        "text_tfidf": _sql_text_tfidf(),
+        "emb_centroids": _sql_emb_centroids(),
         "events_props": _sql_events_props(),
         "events_lag_deltas": _sql_events_lag_deltas(),
         "events_percentiles": _sql_events_percentiles(),

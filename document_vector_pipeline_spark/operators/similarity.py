@@ -241,3 +241,27 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (assigned.join(F.broadcast(probes), "centroid_id")
               .withColumn("score", F.round(cosine_similarity("v", "q"), 6)))
     return _ranked(scored, k)
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid in long form: (label, dim, n, centroid) — the
+    reduce step of k-means / the class-prototype builder for
+    embedding-space analyses.
+
+    Components are summed as exact 10^-6-unit integers (floats scale to
+    int64 losslessly at embedding magnitudes), so the result is invariant
+    to partitioning and bit-identical across engines; the division back to
+    double happens once per (label, dim).  posexplode keeps the whole
+    pivot map-side: one shuffle on (label, dim) — at 100 TB that is
+    n_labels × dim groups, trivially parallel and skew-free."""
+    v6 = F.round(F.col("c").cast("double") * 1e6, 0).cast("long")
+    return (emb.select(F.col(label_col).alias("label"),
+                       F.posexplode(F.col(vec_col)).alias("pos", "c"))
+            .select("label", (F.col("pos") + 1).alias("dim"), v6.alias("v6"))
+            .groupBy("label", "dim")
+            .agg(F.count("*").alias("n"), F.sum("v6").alias("s6"))
+            .select("label", "dim", "n",
+                    F.round(F.col("s6") / (F.col("n") * 1e6), 6)
+                     .alias("centroid"))
+            .orderBy("label", "dim"))

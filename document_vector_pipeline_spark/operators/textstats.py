@@ -57,6 +57,38 @@ def term_stats(docs: DataFrame, id_col: str = "doc_id",
             .limit(topk))
 
 
+def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", topk: int = 5) -> DataFrame:
+    """Per-document top-``topk`` terms by tf-idf (idf = ln(N/df)).
+
+    One explode feeds BOTH aggregates: per-(doc, term) tf, then term df as
+    a second small agg over the distinct (doc, term) pairs the first agg
+    already produced — the corpus is tokenized once.  N is a one-row
+    broadcast.  Ranking uses the exact integer keys (tf desc, df asc,
+    term) so the cut is deterministic even where two scores tie; the
+    double-valued score is display output, not the sort key."""
+    from pyspark.sql import Window
+
+    tok = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+         .alias("term"))
+        .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (Window.partitionBy("doc")
+         .orderBy(F.desc("tf"), F.asc("df"), F.asc("term")))
+    return (tf.join(df, "term").join(F.broadcast(n))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .select(F.col("doc").alias(id_col), "term", "tf", "df",
+                    F.round(F.col("tf")
+                            * F.log(F.col("n_docs") / F.col("df")), 6)
+                     .alias("score"))
+            .orderBy(id_col, F.desc("tf"), "df", "term"))
+
+
 def document_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", window: int = 8) -> DataFrame:
     """(id, fingerprint): exploded rolling-window fingerprints — the
