@@ -178,6 +178,7 @@ def main() -> None:
     bench("dedup_clusters", lambda: graph.dedup_clusters(
         dedup.minhash_lsh_pairs(docs)))
     bench("text_tfidf", lambda: textstats.tfidf_top_terms(docs))
+    bench("text_scrub", lambda: textstats.scrub_pii(docs))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))
 
     total = round(sum(timings.values()), 3)

@@ -750,6 +750,22 @@ def q_corpus_decontaminate(spark, sf_dir):
         docs.filter(F.col("source") == "src0"))
 
 
+def q_text_scrub(spark, sf_dir):
+    """PII scrub over documents with deterministic synthetic PII appended
+    (the corpus itself is digit-free word soup, so the injection is what
+    proves the redaction semantics end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), sid,
+                 F.lit("@example.com via https://site"), sid,
+                 F.lit(".org/a_b or +1415"),
+                 F.lpad(sid, 7, "0")).alias("text"))
+    return textstats.scrub_pii(injected)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pair graph → connected components (cluster resolution)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1561,6 +1577,29 @@ limit 100
 """
 
 
+def _sql_text_scrub() -> str:
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[a-zA-Z0-9./_-]+"
+    phone = r"\+[0-9]{7,15}"
+    inj = ("text || ' contact user' || cast(doc_id as varchar) || "
+           "'@example.com via https://site' || cast(doc_id as varchar) || "
+           "'.org/a_b or +1415' || lpad(cast(doc_id as varchar), 7, '0')")
+    scrub = (f"regexp_replace(regexp_replace(regexp_replace(t, "
+             f"'{email}', '<EMAIL>', 'g'), "
+             f"'{url}', '<URL>', 'g'), "
+             f"'{phone}', '<PHONE>', 'g')")
+    return f"""
+with i as (select doc_id, {inj} as t from documents)
+select doc_id,
+       cast(len(regexp_extract_all(t, '{email}')) as int) as n_email,
+       cast(len(regexp_extract_all(t, '{url}')) as int) as n_url,
+       cast(len(regexp_extract_all(t, '{phone}')) as int) as n_phone,
+       {scrub} as scrubbed,
+       cast(length({scrub}) as int) as scrubbed_len
+from i order by doc_id
+"""
+
+
 def _sql_text_tfidf(topk: int = 5) -> str:
     return f"""
 with tok as (
@@ -1969,6 +2008,7 @@ def queries():
         "corpus_repetition": q_corpus_repetition,
         "corpus_decontaminate": q_corpus_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
         "emb_centroids": q_emb_centroids,
         "events_props": q_events_props,
@@ -2069,6 +2109,7 @@ from events group by user_id
         "corpus_repetition": _sql_corpus_repetition(),
         "corpus_decontaminate": _sql_corpus_decontaminate(),
         "dedup_clusters": _sql_dedup_clusters(),
+        "text_scrub": _sql_text_scrub(),
         "text_tfidf": _sql_text_tfidf(),
         "emb_centroids": _sql_emb_centroids(),
         "events_props": _sql_events_props(),

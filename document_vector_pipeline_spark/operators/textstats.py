@@ -89,6 +89,41 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
             .orderBy(id_col, F.desc("tf"), "df", "term"))
 
 
+# PII patterns restricted to syntax Java regex and RE2 interpret identically
+# (explicit character classes, no backrefs, no lookaround) so the DuckDB
+# oracle reproduces the scrub byte-for-byte.
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[a-zA-Z0-9./_-]+", "<URL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails / URLs / phone numbers with typed
+    placeholder tokens and report per-document match counts.  Map-only —
+    regexp_count / regexp_replace are JVM intrinsics inside whole-stage
+    codegen, so the scrub runs at scan speed; no shuffle at any scale.
+    Counts are taken on the original text, replacements applied in
+    declaration order (the patterns cannot overlap-match each other's
+    placeholders)."""
+    col = F.col(text_col)
+    out = docs.select(
+        F.col(id_col),
+        *[F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+          for name, pat, _ in PII_PATTERNS],
+        col.alias("__t"))
+    scrubbed = F.col("__t")
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return (out.select(
+        id_col, "n_email", "n_url", "n_phone",
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).alias("scrubbed_len"))
+        .orderBy(id_col))
+
+
 def document_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", window: int = 8) -> DataFrame:
     """(id, fingerprint): exploded rolling-window fingerprints — the
