@@ -170,6 +170,7 @@ def main() -> None:
         t["lineitem"], t["orders"], t["supplier"]))
     bench("corpus_sample", lambda: corpus.stratified_sample(docs))
     bench("corpus_repetition", lambda: corpus.repetition_stats(docs))
+    bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0")))

@@ -766,6 +766,10 @@ def q_text_scrub(spark, sf_dir):
     return textstats.scrub_pii(injected)
 
 
+def q_corpus_pack(spark, sf_dir):
+    return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pair graph → connected components (cluster resolution)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1577,6 +1581,25 @@ limit 100
 """
 
 
+def _sql_corpus_pack(budget: int = 512) -> str:
+    return f"""
+with t as (
+  select doc_id, source,
+         cast(len({_toks('text', lower=True)}) as bigint) as n_tokens
+  from documents),
+p as (
+  select doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) over (partition by source order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0)
+           as before
+  from t)
+select doc_id, source, n_tokens,
+       cast(floor(before / {budget}.0) as bigint) as shard,
+       cast(before % {budget} as bigint) as "offset"
+from p order by source, doc_id
+"""
+
+
 def _sql_text_scrub() -> str:
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     url = r"https?://[a-zA-Z0-9./_-]+"
@@ -2007,6 +2030,7 @@ def queries():
         "corpus_sample": q_corpus_sample,
         "corpus_repetition": q_corpus_repetition,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_pack": q_corpus_pack,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -2108,6 +2132,7 @@ from events group by user_id
         "corpus_sample": _sql_corpus_sample(),
         "corpus_repetition": _sql_corpus_repetition(),
         "corpus_decontaminate": _sql_corpus_decontaminate(),
+        "corpus_pack": _sql_corpus_pack(),
         "dedup_clusters": _sql_dedup_clusters(),
         "text_scrub": _sql_text_scrub(),
         "text_tfidf": _sql_text_tfidf(),

@@ -126,3 +126,28 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
             .groupBy(id_col)
             .agg(F.count_distinct("shingle_h").alias("n_shared"))
             .orderBy(F.desc("n_shared"), id_col))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512,
+                   group_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Sequence packing: assign documents to contiguous token-budget
+    training shards (concatenate-then-chunk semantics — a document may
+    straddle a shard boundary, as in GPT-style token-stream packing).
+
+    Within each ``group_col`` stream, documents are ordered by id and the
+    running token count places each at (shard, offset):
+    shard = tokens_before // budget.  One window shuffle on the group key;
+    the cumulative sum is a single pass.  At 100 TB, groups are the
+    natural parallel unit (source/domain shards) — no global ordering is
+    ever required."""
+    toks = F.size(F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                           lambda w: w != F.lit("")))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs
+            .select(id_col, group_col, toks.cast("long").alias("n_tokens"))
+            .withColumn("shard", F.floor(before / budget).cast("long"))
+            .withColumn("offset", (before % budget).cast("long"))
+            .orderBy(group_col, id_col))
