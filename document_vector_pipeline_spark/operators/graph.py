@@ -31,20 +31,27 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (sym.select("n", F.least("n", "m").alias("lbl"))
               .groupBy("n").agg(F.min("lbl").alias("lbl"))
               .cache())
+
+    def label_sum(df: DataFrame):
+        # labels only ever decrease, so an unchanged sum certifies
+        # convergence — one aggregate per round instead of a self-join.
+        # decimal(38,0) keeps the certificate exact for 64-bit ids.
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("n", "m"), "m")
                .select("n", "lbl"))
         new_labels = (labels.select("n", "lbl").union(nbr)
                       .groupBy("n").agg(F.min("lbl").alias("lbl"))
                       .cache())
-        changed = (new_labels.join(labels.withColumnRenamed("lbl", "old"),
-                                   "n")
-                   .filter(F.col("lbl") != F.col("old"))
-                   .limit(1).count())
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("n").alias("id"),
                          F.col("lbl").alias("component"))
 
