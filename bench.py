@@ -180,6 +180,10 @@ def main() -> None:
         dedup.minhash_lsh_pairs(docs)))
     bench("text_tfidf", lambda: textstats.tfidf_top_terms(docs))
     bench("text_scrub", lambda: textstats.scrub_pii(docs))
+    from document_vector_pipeline_spark.operators import sketch
+    bench("sketch_kmv", lambda: sketch.kmv_distinct(
+        ev, "event_type", "user_id"))
+    bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))
 
     total = round(sum(timings.values()), 3)

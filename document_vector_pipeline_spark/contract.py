@@ -37,7 +37,7 @@ from document_vector_pipeline_spark.functions.vectors import (
     py_quantize_int8,
 )
 from document_vector_pipeline_spark.operators import (
-    corpus, dedup, graph, multimodal, similarity, textstats)
+    corpus, dedup, graph, multimodal, similarity, sketch, textstats)
 from document_vector_pipeline_spark.operators.chunk import chunk_documents
 from document_vector_pipeline_spark.operators.embed import hash_embedding_expr
 from document_vector_pipeline_spark.operators.parse import (
@@ -764,6 +764,19 @@ def q_text_scrub(spark, sf_dir):
                  F.lit(".org/a_b or +1415"),
                  F.lpad(sid, 7, "0")).alias("text"))
     return textstats.scrub_pii(injected)
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (batch twin; streaming mode is
+    equivalence-tested in tests/test_streaming.py)."""
+    return sev.click_purchase_join(load_table(spark, sf_dir, "events"))
+
+
+def q_sketch_kmv(spark, sf_dir):
+    """KMV distinct-user sketch per event_type — the estimate itself is
+    oracle-checked (deterministic function of md5 hashes)."""
+    return sketch.kmv_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id")
 
 
 def q_corpus_pack(spark, sf_dir):
@@ -1581,6 +1594,36 @@ limit 100
 """
 
 
+def _sql_stream_interval_join() -> str:
+    return """
+select p.user_id, p.event_id as purchase_id, c.event_id as click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+from (select * from events where event_type = 'purchase') p
+join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id
+ and c.ts <= p.ts and c.ts >= p.ts - interval 1 hour
+order by p.user_id, purchase_id, click_id
+"""
+
+
+def _sql_sketch_kmv(k: int = 64) -> str:
+    h = _md5l("cast(user_id as varchar)")
+    return f"""
+with h as (
+  select distinct event_type as grp, {h} as h from events),
+r as (select grp, h,
+             row_number() over (partition by grp order by h) as rn
+      from h),
+a as (select grp, count(*) as n_kept, max(h) as h_k
+      from r where rn <= {k} group by grp)
+select grp as event_type, n_kept, h_k,
+       round(case when n_kept < {k} then cast(n_kept as double)
+                  else {k - 1} * 1152921504606846976.0 / h_k end, 4)
+         as estimate
+from a order by event_type
+"""
+
+
 def _sql_corpus_pack(budget: int = 512) -> str:
     return f"""
 with t as (
@@ -2031,6 +2074,8 @@ def queries():
         "corpus_repetition": q_corpus_repetition,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack": q_corpus_pack,
+        "sketch_kmv": q_sketch_kmv,
+        "stream_interval_join": q_stream_interval_join,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -2133,6 +2178,8 @@ from events group by user_id
         "corpus_repetition": _sql_corpus_repetition(),
         "corpus_decontaminate": _sql_corpus_decontaminate(),
         "corpus_pack": _sql_corpus_pack(),
+        "sketch_kmv": _sql_sketch_kmv(),
+        "stream_interval_join": _sql_stream_interval_join(),
         "dedup_clusters": _sql_dedup_clusters(),
         "text_scrub": _sql_text_scrub(),
         "text_tfidf": _sql_text_tfidf(),

@@ -70,3 +70,39 @@ def top_users_by_activity(events: DataFrame, n: int = 20) -> DataFrame:
     w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
     return (agg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n))
+
+
+def click_purchase_join(events: DataFrame, lookback: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: every purchase pairs with the same
+    user's clicks in the preceding ``lookback``.
+
+    Streaming mode: both sides are watermarked and the time-bound join
+    condition lets Spark expire state — the per-key buffer never exceeds
+    watermark + lookback, so state is bounded at any throughput.  Batch
+    mode: the identical declarative join, which the DuckDB oracle checks
+    row-for-row (gaps as exact integer microseconds)."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value")))
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")))
+    out = (purchases.join(clicks, cond)
+           .select(F.col("p_user").alias("user_id"),
+                   "purchase_id", "click_id",
+                   (F.unix_micros(F.col("purchase_ts"))
+                    - F.unix_micros(F.col("click_ts"))).alias("gap_us")))
+    # append-mode streams cannot sort; the order is for the batch oracle
+    return out if events.isStreaming else out.orderBy(
+        "user_id", "purchase_id", "click_id")

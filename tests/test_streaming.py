@@ -84,3 +84,27 @@ def test_top_users(spark):
     assert len(top) == 5
     assert [r.rank for r in top] == [1, 2, 3, 4, 5]
     assert top[0].n_events >= top[4].n_events
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    from document_vector_pipeline_spark.streaming.events import (
+        click_purchase_join,
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = click_purchase_join(events)
+
+    src_dir = str(tmp_path / "events_join_src")
+    events.write.parquet(src_dir)
+    stream_src = (spark.readStream
+                  .schema(events.schema)
+                  .parquet(src_dir))
+    streamed = click_purchase_join(stream_src)
+    q = (streamed.writeStream.format("memory")
+         .queryName("ivj").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from ivj")
+    key = lambda r: (r.user_id, r.purchase_id, r.click_id, r.gap_us)
+    b = sorted(key(r) for r in batch.collect())
+    s = sorted(key(r) for r in got.collect())
+    assert b == s and len(b) > 0
