@@ -167,7 +167,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     only shuffle is the equi-join on (band, key).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_width)
+    # both join sides scan the banded frame; persist the signatures (one
+    # small array per doc) so shingling + num_perm md5 passes run once.
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm,
+                              shingle_width).persist()
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -191,45 +194,101 @@ SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text", use_udf: bool = True) -> DataFrame:
     """(id, simhash bigint): 60-bit SimHash over whitespace tokens (every
     occurrence weighted 1).
 
-    Plan shape: explode tokens → hash once → ONE shuffle on the id with 60
-    map-side-combined conditional sums (bit votes) → recombine bits.  All
-    shift amounts are static Python ints, so everything stays in codegen.
-    Empty docs get simhash 0 via the left join.
+    Two value-identical implementations (equivalence-tested, same pattern
+    as minhash_signatures):
+
+    - ``use_udf=False``: explode tokens → hash once → ONE shuffle on the
+      id with 60 map-side-combined conditional sums (bit votes) →
+      recombine bits.  All shift amounts are static Python ints, so
+      everything stays in codegen; empty docs get simhash 0 via the left
+      join.  This is the oracle-facing definition, but 60 aggregate
+      expressions per exploded token dominate the suite at scale.
+    - ``use_udf=True`` (default): Arrow-batched pandas UDF — per doc,
+      count unique tokens, md5 each unique token once (per-worker memo
+      across docs: token hashes are corpus-Zipfian), accumulate the 60
+      bit votes as one numpy matmul-free broadcast, repack.  No shuffle
+      at all (pure map), same integers.  ASCII caveat as minhash: Python
+      lower() mirrors Java toLowerCase for ASCII; flip to the expression
+      path for exotic-casing corpora.
     """
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                     lambda w: w != F.lit(""))
-    toks = (docs.select(F.col(id_col), F.explode(words).alias("w"))
-            .withColumn("h", md5_long(F.col("w"))))
-    votes = toks.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
-         .alias(f"b{b}")
-        for b in range(SIMHASH_BITS)])
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    votes = votes.select(F.col(id_col), sim.alias("simhash"))
-    return (docs.select(id_col).join(votes, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
-                     .alias("simhash")))
+    if not use_udf:
+        words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                         lambda w: w != F.lit(""))
+        toks = (docs.select(F.col(id_col), F.explode(words).alias("w"))
+                .withColumn("h", md5_long(F.col("w"))))
+        votes = toks.groupBy(id_col).agg(*[
+            F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1)
+                   .otherwise(-1)).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)])
+        sim = None
+        for b in range(SIMHASH_BITS):
+            term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")) \
+                    .otherwise(F.lit(0).cast("long"))
+            sim = term if sim is None else sim + term
+        votes = votes.select(F.col(id_col), sim.alias("simhash"))
+        return (docs.select(id_col).join(votes, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+                         .alias("simhash")))
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def sim_udf(texts):
+        import hashlib as _hashlib
+        import re as _re
+        from collections import Counter as _Counter
+
+        import numpy as _np
+        import pandas as _pd
+
+        ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s, ASCII range
+        memo = _simhash_memo
+        bits = _np.arange(SIMHASH_BITS, dtype=_np.uint64)
+        out = []
+        for t in texts:
+            counts = _Counter(
+                w for w in ws.split((t or "").strip().lower()) if w)
+            if not counts:
+                out.append(0)
+                continue
+            hs = _np.empty(len(counts), dtype=_np.uint64)
+            cs = _np.empty(len(counts), dtype=_np.int64)
+            for i, (w, c) in enumerate(counts.items()):
+                h = memo.get(w)
+                if h is None:
+                    h = int(_hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                    memo[w] = h
+                hs[i] = h
+                cs[i] = c
+            signs = ((hs[:, None] >> bits[None, :]) & 1).astype(_np.int64)
+            votes = (cs[:, None] * (2 * signs - 1)).sum(axis=0)
+            out.append(int(((votes > 0).astype(_np.uint64) << bits).sum()))
+        return _pd.Series(out, dtype="int64")
+
+    return docs.select(F.col(id_col),
+                       sim_udf(F.col(text_col)).alias("simhash"))
+
+
+_simhash_memo: dict = {}  # per-worker token-hash cache (Zipfian hit rate)
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  bands: int = 4) -> DataFrame:
+                  bands: int = 4, use_udf: bool = True) -> DataFrame:
     """Pairs (id_a < id_b, hamming) with hamming(simhash) <= max_hamming.
 
     Band trick: any pair within hamming d < bands collides on at least one
     of the `bands` bit-slices, so the join is an equi-join, then verified
     with bit_count(xor)."""
     width = SIMHASH_BITS // bands  # 15-bit slices
-    sh = simhash(docs, id_col, text_col)
+    # the signature frame feeds BOTH join sides; persist it (16 bytes/row —
+    # tiny even for a 100 TB corpus) so the corpus scan + hash runs once.
+    sh = simhash(docs, id_col, text_col, use_udf=use_udf).persist()
     slices = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -245,13 +304,15 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                          F.col("simhash").alias("sim_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_b"),
                           F.col("simhash").alias("sim_b"), "band", "key")
-    pairs = (left.join(right, ["band", "key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
-    return (pairs.withColumn("hamming", hamming)
+    # hamming verification is map-side (bit_count on the joined row), so it
+    # runs BEFORE the dedup `distinct` — the wide shuffle then carries only
+    # true near-dup pairs, not every band collision.
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming").distinct())
 
 
 # ---- 16. n-gram Jaccard ------------------------------------------------------

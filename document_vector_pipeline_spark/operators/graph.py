@@ -25,9 +25,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     the minimum node id in the connected component.  Converges when a
     full round changes no label (checked with a cheap aggregate, not a
     collect of labels)."""
+    # sym is re-scanned every round (labels init + each iteration's join);
+    # without a cache the whole upstream pair pipeline (e.g. MinHash-LSH)
+    # would recompute per round.
     sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
            .union(edges.select(F.col(dst).alias("n"),
                                F.col(src).alias("m"))))
+    sym = sym.cache()
     labels = (sym.select("n", F.least("n", "m").alias("lbl"))
               .groupBy("n").agg(F.min("lbl").alias("lbl"))
               .cache())
@@ -52,6 +56,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    sym.unpersist()  # labels' cache is already materialized by label_sum
     return labels.select(F.col("n").alias("id"),
                          F.col("lbl").alias("component"))
 

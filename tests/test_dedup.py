@@ -92,6 +92,17 @@ def test_minhash_udf_equals_expression(spark):
     assert udf == expr
 
 
+def test_simhash_udf_equals_expression(spark):
+    """The numpy pandas-UDF simhash path must be value-identical to the
+    explode+votes (oracle-facing) definition, empty docs included."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    udf = {r.doc_id: r.simhash for r in
+           D.simhash(docs, use_udf=True).collect()}
+    expr = {r.doc_id: r.simhash for r in
+            D.simhash(docs, use_udf=False).collect()}
+    assert udf == expr and len(udf) > 0
+
+
 def test_embedding_prefilter_equals_exact(spark):
     """The matmul-pruned near-dup path must return exactly the pure O(n²)
     JVM pairs (the 1e-4 slack cannot drop a true pair)."""
