@@ -183,7 +183,13 @@ def main() -> None:
     from document_vector_pipeline_spark.operators import sketch
     bench("sketch_kmv", lambda: sketch.kmv_distinct(
         ev, "event_type", "user_id"))
+    bench("sketch_kmv_ops", lambda: sketch.kmv_set_ops(
+        ev, "event_type", "user_id", "click", "purchase"))
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
+    bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
+    bench("events_funnel", lambda: sev.funnel_counts(ev))
+    bench("q2_mincost", lambda: analytics.q2_mincost(
+        t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))
 
     total = round(sum(timings.values()), 3)

@@ -783,6 +783,35 @@ def q_corpus_pack(spark, sf_dir):
     return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_q2_mincost(spark, sf_dir):
+    return analytics.q2_mincost(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+def q_events_funnel(spark, sf_dir):
+    return sev.funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_sketch_kmv_ops(spark, sf_dir):
+    """KMV union/intersection estimates between click and purchase user
+    sets — every output is a deterministic function of the md5 hashes."""
+    return sketch.kmv_set_ops(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id",
+        "click", "purchase")
+
+
+def q_stream_dropdup(spark, sf_dir):
+    """Batch twin of the dropDuplicatesWithinWatermark stream dedup: the
+    exact earliest event per user (stream mode tested in
+    tests/test_streaming.py)."""
+    return (sev.first_event_per_key(load_table(spark, sf_dir, "events"))
+            .select("user_id", "event_id", "ts", "event_type"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pair graph → connected components (cluster resolution)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1624,6 +1653,102 @@ from a order by event_type
 """
 
 
+def _sql_q2_mincost(region_name: str = "EUROPE",
+                    p_type: str = "ECONOMY") -> str:
+    return f"""
+with supply as (
+  select l_partkey, l_suppkey,
+         min(cast(round(l_extendedprice / l_quantity * 100, 0) as bigint))
+           as cost_cents
+  from lineitem group by 1, 2),
+j as (
+  select s_acctbal, s_name, n_name, p_partkey, p_brand, cost_cents
+  from supply
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  join part on l_partkey = p_partkey
+  where r_name = '{region_name}' and p_type = '{p_type}'),
+m as (select *, min(cost_cents) over (partition by p_partkey) as mc from j)
+select s_acctbal, s_name, n_name, p_partkey, p_brand, cost_cents
+from m where cost_cents = mc
+order by s_acctbal desc, s_name, p_partkey
+limit 100
+"""
+
+
+def _sql_events_funnel() -> str:
+    return """
+with w1 as (
+  select user_id, event_type, ts,
+         min(case when event_type = 'view' then ts end)
+           over (partition by user_id) as t1
+  from events),
+w2 as (
+  select *, min(case when event_type = 'click' and ts >= t1 then ts end)
+              over (partition by user_id) as t2 from w1),
+w3 as (
+  select *, min(case when event_type = 'purchase' and ts >= t2 then ts end)
+              over (partition by user_id) as t3 from w2),
+u as (select user_id, min(t1) as t1, min(t2) as t2, min(t3) as t3
+      from w3 group by user_id)
+select cast(case when t3 is not null then 3
+                 when t2 is not null then 2
+                 when t1 is not null then 1 else 0 end as int) as stage,
+       count(*) as n_users
+from u group by stage order by stage
+"""
+
+
+def _sql_sketch_kmv_ops(a: str = "click", b: str = "purchase",
+                        k: int = 64) -> str:
+    h = _md5l("cast(user_id as varchar)")
+    hs = "1152921504606846976.0"  # 2^60
+    est = (f"round(case when {{n}} < {k} then cast({{n}} as double) "
+           f"else {k - 1} * {hs} / {{hk}} end, 4)")
+    return f"""
+with kept0 as (
+  select distinct event_type as grp, {h} as h
+  from events where event_type in ('{a}', '{b}')),
+kept as (
+  select grp, h from (
+    select grp, h, row_number() over (partition by grp order by h) as rn
+    from kept0) where rn <= {k}),
+per as (select grp, count(*) as n, max(h) as hk from kept group by grp),
+ea as (select n as n_a, {est.format(n='n', hk='hk')} as est_a
+       from per where grp = '{a}'),
+eb as (select n as n_b, {est.format(n='n', hk='hk')} as est_b
+       from per where grp = '{b}'),
+flags as (select h, bool_or(grp = '{a}') as in_a,
+                 bool_or(grp = '{b}') as in_b
+          from kept group by h),
+uk as (select * from (
+         select *, row_number() over (order by h) as rn from flags)
+       where rn <= {k}),
+uni0 as (select count(*) as n_union_kept, max(h) as hk_u,
+                cast(sum(case when in_a and in_b then 1 else 0 end)
+                     as bigint) as common
+         from uk),
+uni as (select *, {est.format(n='n_union_kept', hk='hk_u')} as est_union
+        from uni0)
+select n_a, n_b, n_union_kept, common, est_a, est_b, est_union,
+       round(common / n_union_kept * est_union, 4) as est_intersection
+from uni, ea, eb
+"""
+
+
+def _sql_stream_dropdup() -> str:
+    return """
+select user_id, event_id, ts, event_type from (
+  select user_id, event_id, ts, event_type,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as rn
+  from events) t
+where rn = 1
+order by user_id
+"""
+
+
 def _sql_corpus_pack(budget: int = 512) -> str:
     return f"""
 with t as (
@@ -2075,7 +2200,11 @@ def queries():
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack": q_corpus_pack,
         "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
+        "stream_dropdup": q_stream_dropdup,
+        "q2_mincost": q_q2_mincost,
+        "events_funnel": q_events_funnel,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -2179,7 +2308,11 @@ from events group by user_id
         "corpus_decontaminate": _sql_corpus_decontaminate(),
         "corpus_pack": _sql_corpus_pack(),
         "sketch_kmv": _sql_sketch_kmv(),
+        "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
+        "stream_dropdup": _sql_stream_dropdup(),
+        "q2_mincost": _sql_q2_mincost(),
+        "events_funnel": _sql_events_funnel(),
         "dedup_clusters": _sql_dedup_clusters(),
         "text_scrub": _sql_text_scrub(),
         "text_tfidf": _sql_text_tfidf(),

@@ -601,3 +601,45 @@ def q21_waiting_suppliers(lineitem: DataFrame, orders: DataFrame,
             .select("s_name", "numwait")
             .orderBy(F.desc("numwait"), "s_name")
             .limit(100))
+
+
+def q2_mincost(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+               region: DataFrame, lineitem: DataFrame,
+               region_name: str = "EUROPE",
+               p_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table —
+    the observed unit price min(l_extendedprice/l_quantity) over lineitem
+    is the supply cost, in exact integer cents).
+
+    Plan: ONE fact shuffle (the (part, supplier) groupBy); supplier→nation→
+    region and the part filter are broadcast; the correlated min-cost
+    subquery of the original is a per-part window min on the already-
+    part-partitioned aggregate — no extra join, and the window reuses the
+    groupBy's hash partitioning modulo the supplier key (one small
+    exchange of the filtered aggregate, never the fact table)."""
+    from pyspark.sql import Window
+
+    cost = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0) \
+            .cast("long")
+    supply = (lineitem
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(cost).alias("cost_cents")))
+    supp_region = (supplier
+                   .join(F.broadcast(nation),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(region.filter(F.col("r_name")
+                                                   == region_name)),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    j = (supply
+         .join(F.broadcast(supp_region),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(part.filter(F.col("p_type") == p_type)),
+               F.col("l_partkey") == F.col("p_partkey")))
+    w = Window.partitionBy("p_partkey")
+    return (j.withColumn("__mc", F.min("cost_cents").over(w))
+            .filter(F.col("cost_cents") == F.col("__mc"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_brand", "cost_cents")
+            .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+            .limit(100))

@@ -106,3 +106,59 @@ def click_purchase_join(events: DataFrame, lookback: str = "1 hour",
     # append-mode streams cannot sort; the order is for the batch oracle
     return out if events.isStreaming else out.orderBy(
         "user_id", "purchase_id", "click_id")
+
+
+def funnel_counts(events: DataFrame,
+                  stages: tuple = ("view", "click", "purchase")) -> DataFrame:
+    """(stage, n_users): classic ordered-funnel analysis — stage i counts
+    users whose first stage-i event happens at/after their first qualifying
+    stage-(i-1) event (stage 0 = reached nothing).
+
+    The three chained "first qualifying timestamp" computations are window
+    mins over the same user partition, so Catalyst stacks the Window
+    operators over ONE exchange on user_id; the per-user reduction then
+    reuses that partitioning (no second wide shuffle of events), and the
+    final stage histogram is a tiny aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "event_type", "ts")
+    df = df.withColumn("t1", F.min(
+        F.when(F.col("event_type") == stages[0], F.col("ts"))).over(w))
+    df = df.withColumn("t2", F.min(
+        F.when((F.col("event_type") == stages[1])
+               & (F.col("ts") >= F.col("t1")), F.col("ts"))).over(w))
+    df = df.withColumn("t3", F.min(
+        F.when((F.col("event_type") == stages[2])
+               & (F.col("ts") >= F.col("t2")), F.col("ts"))).over(w))
+    per_user = (df.groupBy("user_id")
+                .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+                     F.min("t3").alias("t3")))
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+             .when(F.col("t2").isNotNull(), 2)
+             .when(F.col("t1").isNotNull(), 1)
+             .otherwise(0)).cast("int")
+    return (per_user.select(stage.alias("stage"))
+            .groupBy("stage").agg(F.count("*").alias("n_users"))
+            .orderBy("stage"))
+
+
+def first_event_per_key(events: DataFrame, key: str = "user_id",
+                        watermark: str = "2 hours") -> DataFrame:
+    """One surviving event per ``key`` — streaming mode uses the built-in
+    ``dropDuplicatesWithinWatermark`` (state expires past the watermark, so
+    memory is O(active keys), not O(history)); batch mode keeps the exact
+    earliest event (ts, then event_id tie-break).
+
+    Streaming keeps the first-ARRIVING row per key, so stream≡batch is
+    asserted on the key set (tests/test_streaming.py); the deterministic
+    batch twin is the oracle-checked contract entry."""
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark([key]))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    return (events.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+            .orderBy(key))

@@ -29,3 +29,25 @@ def test_partition_invariance(spark):
     e1 = kmv_distinct(df.repartition(1), "g", "v").collect()[0]["estimate"]
     e2 = kmv_distinct(df.repartition(13), "g", "v").collect()[0]["estimate"]
     assert e1 == e2
+
+
+def test_set_ops_exact_below_k(spark):
+    from document_vector_pipeline_spark.operators.sketch import kmv_set_ops
+    rows = ([("a", v) for v in range(10)]          # A = {0..9}
+            + [("b", v) for v in range(5, 15)]     # B = {5..14}
+            + [("c", 99)])                         # ignored group
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = kmv_set_ops(df, "g", "v", "a", "b", k=64).collect()[0]
+    assert (r.n_a, r.n_b, r.n_union_kept, r.common) == (10, 10, 15, 5)
+    assert (r.est_a, r.est_b) == (10.0, 10.0)
+    assert (r.est_union, r.est_intersection) == (15.0, 5.0)
+
+
+def test_set_ops_estimate_above_k(spark):
+    from document_vector_pipeline_spark.operators.sketch import kmv_set_ops
+    rows = ([("a", v) for v in range(1000)]
+            + [("b", v) for v in range(500, 1500)])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = kmv_set_ops(df, "g", "v", "a", "b", k=64).collect()[0]
+    assert abs(r.est_union - 1500) / 1500 < 0.51      # 4 sigma at k=64
+    assert 0 < r.est_intersection < 1500

@@ -108,3 +108,43 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     b = sorted(key(r) for r in batch.collect())
     s = sorted(key(r) for r in got.collect())
     assert b == s and len(b) > 0
+
+
+def test_funnel_hand_case(spark):
+    from datetime import datetime as dt
+
+    from document_vector_pipeline_spark.streaming.events import funnel_counts
+    t = lambda s: dt(2026, 1, 1, 0, 0, s)
+    rows = [  # (user, type, second)
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),   # stage 3
+        (2, "view", 1), (2, "click", 2),                       # stage 2
+        (3, "click", 2), (3, "view", 5),                       # click too early -> 1
+        (4, "click", 1),                                       # no view -> 0
+        (5, "view", 1), (5, "purchase", 2),                    # no click -> 1
+    ]
+    df = spark.createDataFrame(
+        [(u, ty, t(s)) for u, ty, s in rows], ["user_id", "event_type", "ts"])
+    got = {r.stage: r.n_users for r in funnel_counts(df).collect()}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_dropdup_stream_matches_batch_keys(spark, tmp_path):
+    from document_vector_pipeline_spark.streaming.events import (
+        first_event_per_key,
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = first_event_per_key(events)
+
+    src = str(tmp_path / "dropdup_src")
+    events.write.parquet(src)
+    stream_src = spark.readStream.schema(events.schema).parquet(src)
+    q = (first_event_per_key(stream_src).writeStream.format("memory")
+         .queryName("ddp").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from ddp").collect()
+    bkeys = sorted(r.user_id for r in batch.collect())
+    skeys = sorted(r.user_id for r in got)
+    assert skeys == bkeys and len(skeys) > 0   # one row per key, same keys
+    ev = {(r.user_id, r.event_id) for r in events.collect()}
+    assert all((r.user_id, r.event_id) in ev for r in got)
