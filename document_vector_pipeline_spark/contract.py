@@ -783,6 +783,35 @@ def q_corpus_pack(spark, sf_dir):
     return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_store_compact(spark, sf_dir):
+    """Two-batch ingest then small-file compaction: the content must be
+    exactly the one-chunk-per-doc corpus (compaction preserves rows
+    bit-for-bit; the file-count shrink is asserted in tests/test_store.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = _fresh_store(spark, "store_compact")
+    store.append(_store_chunks(docs.filter(F.col("doc_id") % 2 == 0)))
+    store.append(_store_chunks(docs.filter(F.col("doc_id") % 2 == 1)))
+    store.compact()
+    return store.read().select("document_url", "id", "chunk_text",
+                               "page_number")
+
+
+def q_events_retention(spark, sf_dir):
+    return sev.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_pivot(spark, sf_dir):
+    return sev.daily_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def q_events_cube(spark, sf_dir):
+    return temporal.cube_events(load_table(spark, sf_dir, "events"))
+
+
+def q_corpus_lenhist(spark, sf_dir):
+    return corpus.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
 def q_q2_mincost(spark, sf_dir):
     return analytics.q2_mincost(
         load_table(spark, sf_dir, "part"),
@@ -1653,6 +1682,62 @@ from a order by event_type
 """
 
 
+def _sql_store_compact() -> str:
+    return f"""
+select {_URL_SQL} as document_url, '0' as id,
+       {_norm_text('text')} as chunk_text, cast(0 as int) as page_number
+from documents
+"""
+
+
+def _sql_events_retention() -> str:
+    return """
+with d as (select user_id, date_trunc('day', ts) as day from events),
+w as (select user_id, day,
+             min(day) over (partition by user_id) as cohort_day from d)
+select cohort_day,
+       cast(date_diff('day', cohort_day, day) as int) as day_offset,
+       count(distinct user_id) as n_users
+from w group by cohort_day, day_offset
+order by cohort_day, day_offset
+"""
+
+
+def _sql_events_pivot(types: tuple = ("click", "error", "purchase",
+                                      "signup", "view")) -> str:
+    cols = ",\n       ".join(
+        f"cast(count(*) filter (event_type = '{t}') as bigint) as {t}"
+        for t in types)
+    return f"""
+select date_trunc('day', ts) as day,
+       {cols}
+from events group by 1 order by 1
+"""
+
+
+def _sql_events_cube() -> str:
+    return f"""
+with e as (select event_type, cast(dayofweek(ts) + 1 as int) as dow, value
+           from events)
+select cast(grouping(event_type)*2 + grouping(dow) as bigint) as gid,
+       coalesce(event_type, 'ALL') as event_type,
+       cast(coalesce(dow, -1) as int) as dow,
+       count(*) as n_events, {_money_sum_sql('value', 2)} as total_value
+from e group by cube(event_type, dow)
+"""
+
+
+def _sql_corpus_lenhist() -> str:
+    return """
+select cast(length(bin(cast(n_chars as bigint))) as int) as bucket,
+       count(*) as n_docs,
+       min(cast(n_chars as bigint)) as min_len,
+       max(cast(n_chars as bigint)) as max_len,
+       cast(sum(n_chars) as bigint) as sum_len
+from documents group by 1 order by 1
+"""
+
+
 def _sql_q2_mincost(region_name: str = "EUROPE",
                     p_type: str = "ECONOMY") -> str:
     return f"""
@@ -2205,6 +2290,11 @@ def queries():
         "stream_dropdup": q_stream_dropdup,
         "q2_mincost": q_q2_mincost,
         "events_funnel": q_events_funnel,
+        "store_compact": q_store_compact,
+        "events_retention": q_events_retention,
+        "events_pivot": q_events_pivot,
+        "events_cube": q_events_cube,
+        "corpus_lenhist": q_corpus_lenhist,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -2313,6 +2403,11 @@ from events group by user_id
         "stream_dropdup": _sql_stream_dropdup(),
         "q2_mincost": _sql_q2_mincost(),
         "events_funnel": _sql_events_funnel(),
+        "store_compact": _sql_store_compact(),
+        "events_retention": _sql_events_retention(),
+        "events_pivot": _sql_events_pivot(),
+        "events_cube": _sql_events_cube(),
+        "corpus_lenhist": _sql_corpus_lenhist(),
         "dedup_clusters": _sql_dedup_clusters(),
         "text_scrub": _sql_text_scrub(),
         "text_tfidf": _sql_text_tfidf(),

@@ -151,3 +151,22 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
             .withColumn("shard", F.floor(before / budget).cast("long"))
             .withColumn("offset", (before % budget).cast("long"))
             .orderBy(group_col, id_col))
+
+
+def length_histogram(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """(bucket, n_docs, min_len, max_len, sum_len): power-of-two document
+    length histogram — the corpus shape profile that drives chunk-size and
+    partition-size decisions.
+
+    bucket = bit length of the value (number of binary digits), an exact
+    integer both engines compute identically — deliberately NOT floor(log2)
+    on doubles, whose last-ulp rounding can differ across engines.
+    Map-only + one tiny aggregate."""
+    v = F.col(col).cast("long")
+    bucket = F.length(F.bin(v)).cast("int").alias("bucket")
+    return (docs.groupBy(bucket)
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(v).alias("min_len"),
+                 F.max(v).alias("max_len"),
+                 F.sum(v).alias("sum_len"))
+            .orderBy("bucket"))

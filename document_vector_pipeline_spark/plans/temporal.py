@@ -243,3 +243,21 @@ def hypertable_rollup(events: DataFrame, ts: str = "ts",
     return (hourly.withColumn("grain", F.lit("hour")).select(*out_cols)
             .unionByName(
                 daily.withColumn("grain", F.lit("day")).select(*out_cols)))
+
+
+def cube_events(events: DataFrame, ts: str = "ts",
+                dim: str = "event_type", value: str = "value") -> DataFrame:
+    """CUBE grouping sets over (dim, day-of-week): all four grouping
+    combinations in one pass — Catalyst Expand + a single partial-
+    aggregated shuffle, the same physical shape as ``rollup_events`` but
+    with the full lattice.  dow is Spark convention (1=Sunday..7)."""
+    dow = F.dayofweek(F.col(ts)).alias("dow")
+    return (events.cube(F.col(dim).alias(dim), dow)
+            .agg(F.grouping_id().alias("gid"),
+                 F.count("*").alias("n_events"),
+                 money_sum(F.col(value), 2).alias("total_value"))
+            .select(F.col("gid"),
+                    F.coalesce(F.col(dim), F.lit("ALL")).alias(dim),
+                    F.coalesce(F.col("dow"), F.lit(-1)).cast("int")
+                     .alias("dow"),
+                    "n_events", "total_value"))

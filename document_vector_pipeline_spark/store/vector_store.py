@@ -119,6 +119,20 @@ class VectorStore:
         kept = current.join(incoming.select(*KEY).distinct(), list(KEY), "left_anti")
         self._overwrite_buckets(kept.unionByName(incoming))
 
+    def append(self, chunks: DataFrame) -> None:
+        """Blind-append fast path for keys KNOWN to be new (initial bulk
+        load, streaming ingest of freshly-created documents): skips the
+        read-back + anti-join merge entirely — a map-only write.  Each
+        batch leaves one file per touched bucket, so a long-running ingest
+        fragments the store; ``compact()`` is the matching maintenance op.
+        Callers who can't guarantee key-newness must use ``upsert``."""
+        (self._normalize(chunks)
+         .repartition("bucket")
+         .write
+         .partitionBy("bucket")
+         .mode("append")
+         .parquet(self.path))
+
     def delete_documents(self, document_urls: list[str]) -> None:
         """Batch blob-delete: remove every chunk of each document in one
         distributed pass (the CDC-batch variant of delete_document).  Only
@@ -167,6 +181,34 @@ class VectorStore:
             import shutil
             shutil.rmtree(os.path.join(self.path, f"bucket={bucket}"),
                           ignore_errors=True)
+
+    def compact(self, buckets: list[int] | None = None) -> None:
+        """Small-file compaction: every ``append`` batch leaves one file
+        per (write, bucket) pair, so a store that has absorbed N
+        batches scans N files per bucket.  Rewrite each bucket directory
+        into a single file (repartition on the bucket key → each task owns
+        whole buckets → one output file per bucket), preserving rows
+        exactly.  At 100 TB this is the maintenance job that keeps scan
+        task counts proportional to data, not to ingest history; pass
+        ``buckets`` to compact incrementally (e.g. the buckets the last
+        CDC window touched) instead of rewriting the world."""
+        if not self.exists():
+            return
+        df = self.read()
+        if buckets is not None:
+            df = df.filter(F.col("bucket").isin(buckets))
+        self._overwrite_buckets(df)
+
+    def file_stats(self) -> DataFrame:
+        """(bucket, n_files, n_rows): per-bucket physical layout — the
+        compaction trigger metric (n_files grows with ingest batches)."""
+        df = self.read().select(
+            F.col("bucket"),
+            F.input_file_name().alias("__f"))
+        return (df.groupBy("bucket")
+                .agg(F.count_distinct("__f").alias("n_files"),
+                     F.count("*").alias("n_rows"))
+                .orderBy("bucket"))
 
     def search(self, query_vector: list[float], k: int = 10,
                document_url: str | None = None,

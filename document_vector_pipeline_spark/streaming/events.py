@@ -162,3 +162,39 @@ def first_event_per_key(events: DataFrame, key: str = "user_id",
     return (events.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn")
             .orderBy(key))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_users): classic cohort retention — users
+    grouped by first-seen day, counted on each subsequent active day.
+
+    One exchange on user_id (window min = the cohort assignment), then a
+    count-distinct aggregate; both partial-aggregated map-side.  At scale
+    the cohort table never materializes as a separate join side."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+    df = df.withColumn("cohort_day", F.min("day").over(w))
+    return (df.groupBy("cohort_day",
+                       F.datediff(F.col("day"), F.col("cohort_day"))
+                        .cast("int").alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .orderBy("cohort_day", "day_offset"))
+
+
+def daily_type_pivot(events: DataFrame,
+                     types: tuple = ("click", "error", "purchase",
+                                     "signup", "view")) -> DataFrame:
+    """Daily event counts pivoted to one column per event type.
+
+    The pivot values are EXPLICIT, so Spark skips the distinct-values
+    discovery job and the whole thing is one partial-aggregated shuffle
+    on day (Catalyst rewrites pivot to conditional aggregates — the same
+    plan the hand-written CASE version would give)."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (events.groupBy(day)
+            .pivot("event_type", list(types))
+            .count()
+            .na.fill(0, list(types))
+            .orderBy("day"))

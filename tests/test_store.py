@@ -90,3 +90,22 @@ def test_search_quantized_agrees_on_ranking(spark, store):
     quant = [r.chunk_text for r in store.search([1.0, 0.1, 0.0, 0.0], k=3,
                                                 quantized=True).collect()]
     assert exact == quant
+
+
+def test_compact_merges_files_preserves_rows(spark, store):
+    for batch in range(3):
+        store.append(_chunks(spark, [
+            (f"u{batch}-{i}", 0, f"text {batch} {i}", 0,
+             [float(batch), float(i), 0.0, 0.0])
+            for i in range(8)]))
+    before_rows = sorted((r.document_url, r.id, r.chunk_text)
+                         for r in store.read().collect())
+    files_before = {r.bucket: r.n_files for r in store.file_stats().collect()}
+    assert any(n > 1 for n in files_before.values())  # fragmented by ingest
+    store.compact()
+    after_rows = sorted((r.document_url, r.id, r.chunk_text)
+                        for r in store.read().collect())
+    files_after = {r.bucket: r.n_files for r in store.file_stats().collect()}
+    assert after_rows == before_rows
+    assert all(n == 1 for n in files_after.values())
+    assert files_after.keys() == files_before.keys()
