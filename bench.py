@@ -112,6 +112,7 @@ def main() -> None:
           lambda: similarity.brute_force_topk_np(emb, qdf, k=10))
     bench("ann_lsh", lambda: similarity.lsh_ann(emb, qdf, k=10))
     bench("ann_ivf", lambda: similarity.ivf_ann(emb, qdf, k=10))
+    bench("ann_pq", lambda: similarity.pq_ann(emb, qdf, k=10))
 
     from document_vector_pipeline_spark.store.ivf_index import IVFIndex
     ivf = IVFIndex(spark, os.path.join(ROOT, ".scratch", "bench_ivf"),
@@ -191,6 +192,16 @@ def main() -> None:
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))
+    bench("events_retention", lambda: sev.retention_cohorts(ev))
+    bench("events_pivot", lambda: sev.daily_type_pivot(ev))
+    bench("events_cube", lambda: temporal.cube_events(ev))
+    bench("corpus_lenhist", lambda: corpus.length_histogram(docs))
+
+    def compact():
+        store.compact()
+        return store.file_stats()
+
+    bench("store_compact", compact)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -447,6 +447,12 @@ def q_ann_ivf(spark, sf_dir):
                               n_centroids=8, nprobe=2)
 
 
+def q_ann_pq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_ann(emb, _queries_df(emb), k=10,
+                             n_codes=16, n_sub=8, dim=64)
+
+
 def q_ann_ivf_persisted(spark, sf_dir):
     """Persisted IVF index probed exhaustively (nprobe = n_centroids), so
     the result — and the oracle — is exactly brute force; the partition-
@@ -1211,6 +1217,59 @@ probes as (
     from e q cross join cents c where q.vec_id < 5) where rn <= {nprobe}),
 s as (select p.query_id, a.vec_id, round({cos_final}, 6) as score
       from asg a join probes p on p.centroid_id = a.centroid_id),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= 10
+"""
+
+
+def _sql_ann_pq(n_codes: int = 16, n_sub: int = 8, dim: int = 64) -> str:
+    """PQ mirror: identical fixed-point integer arithmetic (1e-6-unit
+    normalized vectors), join-based argmin/ADC — integers are associative,
+    so the join shape vs Spark's literal-expression shape cannot diverge."""
+    sub = dim // n_sub
+    h = _md5l("cast(vec_id as varchar)")
+    dist = " + ".join(
+        f"(e.s6[{i}]-c.cs6[{i}])*(e.s6[{i}]-c.cs6[{i}])"
+        for i in range(1, sub + 1))
+    idot = " + ".join(f"(q.qs6[{i}]*c.cs6[{i}])" for i in range(1, sub + 1))
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+e as materialized (
+  select vec_id,
+         list_transform(v, x -> cast(round(
+           (case when nrm = 0 then x else x/nrm end) * 1e6, 0) as bigint))
+           as v6,
+         {h} as hh
+  from e1),
+cents as materialized (
+  select cast(row_number() over (order by hh, vec_id) as int) as code, v6 as c6
+  from (select * from e order by hh, vec_id limit {n_codes})),
+sub as (select unnest(generate_series(0, {n_sub - 1})) as m),
+esub as materialized (
+  select vec_id, m, list_slice(v6, m*{sub}+1, m*{sub}+{sub}) as s6
+  from e cross join sub),
+csub as materialized (
+  select code, m, list_slice(c6, m*{sub}+1, m*{sub}+{sub}) as cs6
+  from cents cross join sub),
+enc as materialized (
+  select vec_id, m, code from (
+    select e.vec_id, e.m, c.code,
+           row_number() over (partition by e.vec_id, e.m
+             order by {dist}, c.code) as rn
+    from esub e join csub c on e.m = c.m) where rn = 1),
+lut as (
+  select q.vec_id as query_id, q.m, c.code,
+         cast({idot} as bigint) as d
+  from (select vec_id, m, s6 as qs6 from esub where vec_id < 5) q
+  join csub c on q.m = c.m),
+s as (
+  select l.query_id, enc.vec_id,
+         round(cast(sum(l.d) as bigint) / 1000000000000.0, 6) as score
+  from enc join lut l on l.m = enc.m and l.code = enc.code
+  group by l.query_id, enc.vec_id),
 r as (select *, cast(row_number() over
         (partition by query_id order by score desc, vec_id) as int) as rank
       from s)
@@ -2243,6 +2302,7 @@ def queries():
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq": q_ann_pq,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -2351,6 +2411,7 @@ from c
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
         "ann_ivf_persisted": _sql_ann_bruteforce(),
+        "ann_pq": _sql_ann_pq(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_tokens": _sql_text_tokens(),

@@ -243,6 +243,97 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _ranked(scored, k)
 
 
+def pq_fixed_point(vec, dim: int):
+    """array<long>: L2-normalize then scale to 1e-6 fixed-point units —
+    the exact-integer domain every PQ computation below lives in (integer
+    distances / dots are associative, so results are invariant to plan
+    shape and bit-identical across engines; same idiom as label_centroids
+    and the store's quantized search)."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    ss = F.aggregate(F.zip_with(vd, vd, lambda a, b: a * b),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(ss)
+    return F.transform(
+        vd, lambda x: F.round(F.when(nrm == 0, x).otherwise(x / nrm) * 1e6, 0)
+                       .cast("long"))
+
+
+def pq_codebook(corpus: DataFrame, n_codes: int = 16, dim: int = 64,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> list[list[int]]:
+    """Train-equivalent deterministic codebook: the fixed-point normalized
+    vectors of the `n_codes` corpus rows with smallest md5_long(vec_id)
+    (uniform pseudo-random sample, stable across runs and engines).
+    Collected to the driver — a real PQ index ships its trained codebook
+    to every executor as plan metadata; 16×64 longs is nothing.  Codes are
+    1-based positions in (md5, vec_id) order."""
+    rows = (corpus
+            .select(pq_fixed_point(F.col(vec_col), dim).alias("v6"),
+                    md5_long(F.col(id_col).cast("string")).alias("h"),
+                    F.col(id_col).alias("i"))
+            .orderBy("h", "i").limit(n_codes)
+            .select("v6").collect())
+    return [list(r["v6"]) for r in rows]
+
+
+def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+           n_codes: int = 16, n_sub: int = 8, dim: int = 64,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Product-quantization ANN: split `dim` into `n_sub` subspaces, encode
+    every corpus vector as `n_sub` codes (argmin integer L2 to the
+    codebook's subvectors), score queries by asymmetric-distance lookup —
+    sum of per-subspace query×codeword integer dots.  4-bit-per-subspace
+    compression (16 codes): the 100 TB story is that the scan reads
+    n_sub small codes per vector instead of `dim` floats.
+
+    Plan shape: corpus side is MAP-ONLY — the codebook and the per-query
+    lookup tables are literals baked into one projection (encode = array_min
+    over struct(dist, code), score = element_at per subspace), so the only
+    shuffle is the final per-query top-k window.  Recall < 1 by design;
+    scores are exact integers scaled once at the end."""
+    sub = dim // n_sub
+    cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
+    q_rows = (queries
+              .select(F.col(qid_col).alias("query_id"),
+                      pq_fixed_point(F.col(qvec_col), dim).alias("q6"))
+              .collect())
+    # per-query per-subspace LUT: integer dot of query subvector with each
+    # codeword subvector (plain Python ints — exact)
+    lut = {r["query_id"]: [[sum(r["q6"][m * sub + i] * cw[m * sub + i]
+                                for i in range(sub))
+                            for cw in cb]
+                           for m in range(n_sub)]
+           for r in q_rows}
+
+    df = corpus.select(F.col(id_col).alias("vec_id"),
+                       pq_fixed_point(F.col(vec_col), dim).alias("v6"))
+    code_cols = []
+    for m in range(n_sub):
+        s_m = F.slice(F.col("v6"), m * sub + 1, sub)
+        cands = []
+        for code, cw in enumerate(cb, start=1):
+            cw_m = F.array(*[F.lit(c) for c in cw[m * sub:(m + 1) * sub]])
+            d = F.aggregate(
+                F.zip_with(s_m, cw_m, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            cands.append(F.struct(d.alias("d"), F.lit(code).alias("c")))
+        code_cols.append(F.array_min(F.array(*cands))["c"].alias(f"c{m}"))
+    df = df.select("vec_id", *code_cols)
+
+    per_q = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            sum((F.element_at(F.array(*[F.lit(v) for v in lut[qid][m]]),
+                              F.col(f"c{m}"))
+                 for m in range(n_sub)), F.lit(0).cast("long")).alias("i"))
+        for qid in sorted(lut)]
+    scored = (df.select("vec_id", F.explode(F.array(*per_q)).alias("qs"))
+              .select("vec_id", F.col("qs.query_id").alias("query_id"),
+                      F.round(F.col("qs.i") / F.lit(1e12), 6).alias("score")))
+    return _ranked(scored, k)
+
+
 def label_centroids(emb: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-label centroid in long form: (label, dim, n, centroid) — the

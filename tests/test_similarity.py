@@ -74,3 +74,35 @@ def test_lsh_udf_equals_expression(spark):
     slow = {(r.query_id, r.vec_id, r.score, r.rank) for r in
             S.lsh_ann(emb, qdf, k=10, use_udf=False).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_pq_ann_self_retrieval_and_recall(spark, embeddings_small, queries):
+    """With a 16-code codebook PQ is lossy, but self-retrieval must hold
+    (a query's own encoding maximizes its own ADC score among vectors that
+    share its codes) and overlap with exact top-10 must be meaningful."""
+    got = S.pq_ann(embeddings_small, queries, k=10, n_codes=16, n_sub=8,
+                   dim=64)
+    first = {r.query_id: r.vec_id for r in got.filter("rank = 1").collect()}
+    assert first == {0: 0, 1: 1, 2: 2}
+    exact = S.brute_force_topk(embeddings_small, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    g = {(r.query_id, r.vec_id) for r in got.collect()}
+    # synthetic vectors are near-random: 4-bit PQ keeps little beyond the
+    # identity; the contract here is self-retrieval plus nonzero overlap
+    assert len(e & g) >= 3
+
+
+def test_pq_corpus_side_is_map_only(spark, embeddings_small, queries):
+    """Everything before the final top-k rank must be a single map-only
+    projection over the corpus scan: no join node, exactly the one window
+    exchange."""
+    plan = S.pq_ann(embeddings_small, queries, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_pq_codebook_deterministic(spark, embeddings_small):
+    a = S.pq_codebook(embeddings_small, n_codes=8, dim=64)
+    b = S.pq_codebook(embeddings_small, n_codes=8, dim=64)
+    assert a == b and len(a) == 8 and all(len(c) == 64 for c in a)
