@@ -326,20 +326,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     at 100 TB run it on minhash candidates, not the full cross of shingles).
     jaccard is rounded to 6 dp (ratio of exact integer counts).
     """
+    # one tokenize pass per join side: the per-doc shingle-set size rides
+    # along with every exploded shingle, so intersection counting needs NO
+    # separate sizes aggregate and no post-join size-attach joins (they
+    # were two extra shuffles of the pair set)
     sh = (docs.select(
             F.col(id_col),
-            F.explode(F.transform(_shingles(F.col(text_col), width),
-                                  lambda s: md5_long(s))).alias("shingle")))
-    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
-    left = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    right = sh.select(F.col(id_col).alias("id_b"), "shingle")
+            F.transform(_shingles(F.col(text_col), width),
+                        lambda s: md5_long(s)).alias("arr"))
+          .select(F.col(id_col), F.size("arr").cast("long").alias("n"),
+                  F.explode("arr").alias("shingle")))
+    left = sh.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"),
+                     "shingle")
+    right = sh.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"),
+                      "shingle")
     inter = (left.join(right, "shingle")
              .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
+             .groupBy("id_a", "id_b", "na", "nb")
              .agg(F.count("*").cast("long").alias("c")))
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (inter.join(na, "id_a").join(nb, "id_b")
+    return (inter
             .withColumn("jaccard",
                         F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
             .filter(F.col("jaccard") >= threshold)
