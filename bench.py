@@ -186,6 +186,9 @@ def main() -> None:
         ev, "event_type", "user_id"))
     bench("sketch_kmv_ops", lambda: sketch.kmv_set_ops(
         ev, "event_type", "user_id", "click", "purchase"))
+    bench("sketch_cms", lambda: sketch.cms_heavy_hitters(ev, "user_id"))
+    bench("sketch_histq", lambda: sketch.histogram_quantiles(
+        ev, "event_type", "value"))
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))

@@ -785,6 +785,20 @@ def q_sketch_kmv(spark, sf_dir):
         load_table(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_sketch_cms(spark, sf_dir):
+    """Count-min-sketch heavy-hitter users — the sketch estimates
+    themselves are oracle-checked (deterministic md5 cell hashing)."""
+    return sketch.cms_heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_sketch_histq(spark, sf_dir):
+    """Mergeable histogram-quantile sketch per event type — bucket choice
+    and upper-edge estimate are oracle-checked."""
+    return sketch.histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "event_type", "value")
+
+
 def q_corpus_pack(spark, sf_dir):
     return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
 
@@ -1741,6 +1755,51 @@ from a order by event_type
 """
 
 
+def _sql_sketch_cms(depth: int = 4, width: int = 256, k: int = 20) -> str:
+    def b(r: int) -> str:
+        return _md5l(f"'{r}|' || v") + f" % {width}"
+    coords = " union all ".join(
+        f"select v, exact, {r} as r, {b(r)} as b from cand"
+        for r in range(depth))
+    cell_coords = " union all ".join(
+        f"select {r} as r, {b(r)} as b from vv" for r in range(depth))
+    return f"""
+with vv as (select cast(user_id as varchar) as v from events),
+cells as (select r, b, count(*) as c
+          from ({cell_coords}) group by r, b),
+cand as (select v, count(*) as exact from vv group by v),
+co as ({coords}),
+est as (select co.v, co.exact, min(c.c) as estimate
+        from co join cells c on c.r = co.r and c.b = co.b
+        group by co.v, co.exact),
+r as (select *, cast(row_number() over
+        (order by estimate desc, v) as int) as rank from est)
+select v as value, exact, estimate, rank from r where rank <= {k}
+"""
+
+
+def _sql_sketch_histq(quantiles: tuple = (0.5, 0.9, 0.99)) -> str:
+    qlist = ", ".join(repr(q) for q in quantiles)
+    return f"""
+with h as (select event_type as grp,
+                  cast(length(bin(cast(round(value * 100, 0) as bigint)))
+                       as int) as bucket
+           from events),
+hist as (select grp, bucket, count(*) as c from h group by grp, bucket),
+cum as (select grp, bucket, c,
+               sum(c) over (partition by grp order by bucket) as cum,
+               sum(c) over (partition by grp) as n
+        from hist),
+hit as (select grp, qq.q, n, bucket from cum
+        cross join (select unnest([{qlist}]) as q) qq
+        where cum >= ceil(qq.q * n)),
+sel as (select grp, q, n, min(bucket) as bucket from hit group by grp, q, n)
+select grp as event_type, q, cast(n as bigint) as n, bucket,
+       (power(2.0, bucket) - 1) / 100.0 as upper
+from sel order by event_type, q
+"""
+
+
 def _sql_store_compact() -> str:
     return f"""
 select {_URL_SQL} as document_url, '0' as id,
@@ -2345,6 +2404,8 @@ def queries():
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack": q_corpus_pack,
         "sketch_kmv": q_sketch_kmv,
+        "sketch_cms": q_sketch_cms,
+        "sketch_histq": q_sketch_histq,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2459,6 +2520,8 @@ from events group by user_id
         "corpus_decontaminate": _sql_corpus_decontaminate(),
         "corpus_pack": _sql_corpus_pack(),
         "sketch_kmv": _sql_sketch_kmv(),
+        "sketch_cms": _sql_sketch_cms(),
+        "sketch_histq": _sql_sketch_histq(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

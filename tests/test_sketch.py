@@ -51,3 +51,39 @@ def test_set_ops_estimate_above_k(spark):
     r = kmv_set_ops(df, "g", "v", "a", "b", k=64).collect()[0]
     assert abs(r.est_union - 1500) / 1500 < 0.51      # 4 sigma at k=64
     assert 0 < r.est_intersection < 1500
+
+
+def test_cms_estimate_dominates_exact_and_is_partition_invariant(spark):
+    from document_vector_pipeline_spark.sources import load_table
+
+    from document_vector_pipeline_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = cms_heavy_hitters(ev, "user_id", depth=4, width=64, k=10)
+    rows = a.collect()
+    assert len(rows) == 10
+    assert all(r.estimate >= r.exact for r in rows)  # CMS never undercounts
+    b = cms_heavy_hitters(ev.repartition(7), "user_id",
+                          depth=4, width=64, k=10).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in b]  # mergeable
+
+
+def test_histogram_quantiles_partition_invariant_and_ordered(spark):
+    from document_vector_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+    from document_vector_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = histogram_quantiles(ev, "event_type", "value").collect()
+    b = histogram_quantiles(ev.repartition(9), "event_type",
+                            "value").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # mergeable
+    by_grp = {}
+    for r in a:
+        by_grp.setdefault(r.event_type, []).append((r.q, r.bucket))
+    for pairs in by_grp.values():
+        qs, buckets = zip(*sorted(pairs))
+        assert list(buckets) == sorted(buckets)  # monotone in q
