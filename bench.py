@@ -189,6 +189,25 @@ def main() -> None:
     bench("sketch_cms", lambda: sketch.cms_heavy_hitters(ev, "user_id"))
     bench("sketch_histq", lambda: sketch.histogram_quantiles(
         ev, "event_type", "value"))
+
+    from document_vector_pipeline_spark import sources as src
+
+    def jsonl_roundtrip():
+        p = os.path.join(ROOT, ".scratch", "bench_jsonl")
+        src.write_jsonl(docs, p)
+        return src.read_jsonl(
+            spark, p, "doc_id long, text string, lang string, "
+                      "source string, n_chars int")
+
+    def csv_roundtrip():
+        p = os.path.join(ROOT, ".scratch", "bench_csv")
+        src.write_csv(docs, p)
+        return src.read_csv(
+            spark, p, "doc_id long, text string, lang string, "
+                      "source string, n_chars int")
+
+    bench("source_jsonl", jsonl_roundtrip)
+    bench("source_csv", csv_roundtrip)
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))

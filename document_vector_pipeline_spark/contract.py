@@ -785,6 +785,43 @@ def q_sketch_kmv(spark, sf_dir):
         load_table(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+_DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
+                "n_chars int")
+
+
+def q_source_jsonl(spark, sf_dir):
+    """documents → JSONL sink → JSONL source: the digest proves the
+    round-trip is byte-lossless (newlines, quotes, unicode all survive
+    JSON escaping)."""
+    from document_vector_pipeline_spark import sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "source_jsonl")
+    shutil.rmtree(path, ignore_errors=True)
+    sources.write_jsonl(docs, path)
+    back = sources.read_jsonl(spark, path, _DOCS_SCHEMA)
+    return (back.select("doc_id", "lang", "source",
+                        F.col("n_chars").cast("long").alias("n_chars"),
+                        F.md5("text").alias("digest"))
+            .orderBy("doc_id"))
+
+
+def q_source_csv(spark, sf_dir):
+    """Same round-trip through the CSV sink/source (quoted multiline
+    fields — the format's classic corruption case)."""
+    from document_vector_pipeline_spark import sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "source_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    sources.write_csv(docs, path)
+    back = sources.read_csv(spark, path, _DOCS_SCHEMA)
+    return (back.select("doc_id", "lang", "source",
+                        F.col("n_chars").cast("long").alias("n_chars"),
+                        F.md5("text").alias("digest"))
+            .orderBy("doc_id"))
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-min-sketch heavy-hitter users — the sketch estimates
     themselves are oracle-checked (deterministic md5 cell hashing)."""
@@ -1755,6 +1792,14 @@ from a order by event_type
 """
 
 
+def _sql_source_roundtrip() -> str:
+    return """
+select doc_id, lang, source, cast(n_chars as bigint) as n_chars,
+       md5(text) as digest
+from documents order by doc_id
+"""
+
+
 def _sql_sketch_cms(depth: int = 4, width: int = 256, k: int = 20) -> str:
     def b(r: int) -> str:
         return _md5l(f"'{r}|' || v") + f" % {width}"
@@ -2406,6 +2451,8 @@ def queries():
         "sketch_kmv": q_sketch_kmv,
         "sketch_cms": q_sketch_cms,
         "sketch_histq": q_sketch_histq,
+        "source_jsonl": q_source_jsonl,
+        "source_csv": q_source_csv,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2522,6 +2569,8 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "source_jsonl": _sql_source_roundtrip(),
+        "source_csv": _sql_source_roundtrip(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

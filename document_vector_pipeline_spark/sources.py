@@ -89,3 +89,42 @@ def stream_text_blobs(spark: SparkSession, path: str) -> DataFrame:
         F.col("value").alias("content"),
         F.input_file_name().alias("document_url"),
     )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format every training-data
+    pipeline speaks.  One file per partition, append-parallel, no schema
+    sidecar needed (self-describing rows)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema: skipping inference avoids
+    the extra full scan Spark otherwise runs, and pins column types (a
+    100 TB read must not sample-guess that a long column is a string)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink configured for lossless text round-trips: quoted fields
+    with RFC-4180 doubled-quote escaping, and a header so the file stands
+    alone."""
+    (df.write.mode("overwrite")
+     .option("header", "true")
+     .option("quote", '"')
+     .option("escape", '"')
+     .csv(path))
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source matching write_csv: multiLine handles embedded newlines
+    inside quoted fields (without it a quoted newline silently splits a
+    row — the classic CSV corruption).  Explicit schema, same rationale as
+    read_jsonl.  multiLine makes gzip'd single files non-splittable; at
+    100 TB keep many files so parallelism comes from file count."""
+    return (spark.read.schema(schema)
+            .option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("multiLine", "true")
+            .csv(path))
