@@ -208,6 +208,19 @@ def main() -> None:
 
     bench("source_jsonl", jsonl_roundtrip)
     bench("source_csv", csv_roundtrip)
+
+    def pagerank_trade():
+        pairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
+                 .join(t["orders"].select("o_orderkey", "o_custkey"),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                         F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+                 .distinct())
+        edges = pairs.union(pairs.select(F.col("b").alias("a"),
+                                         F.col("a").alias("b")))
+        return graph.pagerank(edges, "a", "b", iterations=3)
+
+    bench("graph_pagerank", pagerank_trade)
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))

@@ -904,6 +904,21 @@ def q_dedup_clusters(spark, sf_dir):
     return graph.dedup_clusters(dedup.minhash_lsh_pairs(docs))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (3 power iterations, exact integer fixed-point) over the
+    undirected customer↔supplier trade graph derived from orders×lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+             .distinct())
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return graph.pagerank(edges, "a", "b", iterations=3)
+
+
 def q_text_tfidf(spark, sf_dir):
     return textstats.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -1792,6 +1807,34 @@ from a order by event_type
 """
 
 
+def _sql_graph_pagerank(iterations: int = 3, unit: int = 10 ** 9) -> str:
+    base = unit * 15 // 100
+    step = """
+r{n} as (select n.node,
+         cast({base} + coalesce(s.inbox, 0) as bigint) as rank
+       from nodes n left join (
+         select e.v as node,
+                sum((r.rank * 85) // (100 * d.deg)) as inbox
+         from e join deg d on e.u = d.u join r{p} r on r.node = e.u
+         group by e.v) s on s.node = n.node)"""
+    iters = ",".join(step.format(n=i + 1, p=i, base=base)
+                     for i in range(iterations))
+    return f"""
+with p as materialized (
+  select distinct 'c' || cast(o_custkey as varchar) as a,
+         's' || cast(l_suppkey as varchar) as b
+  from lineitem join orders on l_orderkey = o_orderkey),
+e as materialized (select a as u, b as v from p
+                   union all select b as u, a as v from p),
+deg as materialized (select u, count(*) as deg from e group by u),
+nodes as materialized (select distinct u as node from e),
+r0 as (select node, cast({unit} as bigint) as rank from nodes),
+{iters}
+select node, rank, round(rank / {float(unit)!r}, 6) as score
+from r{iterations} order by rank desc, node
+"""
+
+
 def _sql_source_roundtrip() -> str:
     return """
 select doc_id, lang, source, cast(n_chars as bigint) as n_chars,
@@ -2453,6 +2496,7 @@ def queries():
         "sketch_histq": q_sketch_histq,
         "source_jsonl": q_source_jsonl,
         "source_csv": q_source_csv,
+        "graph_pagerank": q_graph_pagerank,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2571,6 +2615,7 @@ from events group by user_id
         "sketch_histq": _sql_sketch_histq(),
         "source_jsonl": _sql_source_roundtrip(),
         "source_csv": _sql_source_roundtrip(),
+        "graph_pagerank": _sql_graph_pagerank(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

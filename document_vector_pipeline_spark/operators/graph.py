@@ -68,3 +68,52 @@ def dedup_clusters(pairs: DataFrame, src: str = "id_a",
     are implicitly their own singleton cluster (not emitted)."""
     return (connected_components(pairs, src, dst)
             .orderBy("component", "id"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 5, unit: int = 10 ** 9) -> DataFrame:
+    """(node, rank, score): PageRank after a FIXED number of power
+    iterations, in exact integer fixed-point units — the iterative-
+    algorithm template (the loop drives Spark jobs; data never visits the
+    driver).
+
+    Arithmetic: ranks start at ``unit`` per node; each round every node
+    sends floor(rank * 85 / (100 * outdeg)) along each out-edge and
+    collects base = floor(unit * 15 / 100) plus the integer sum of
+    arriving contributions.  Positive-integer floor division and integer
+    sums are associative/deterministic, so any partitioning — and the
+    DuckDB oracle's unrolled CTEs — produces bit-identical ranks (a
+    float PageRank can NOT be oracle-checked exactly across engines).
+
+    Per round: one join (contributions) + one groupBy (inbox sum), the
+    canonical Pregel step as DataFrames.  Each round's rank frame is
+    cached and the previous unpersisted, keeping lineage one round deep;
+    at 1000-executor scale you'd checkpoint every ~10 rounds instead.
+    int64 headroom: total mass is n*unit, so keep n*unit << 9.2e18
+    (shrink ``unit`` for >1e9-node graphs, or move to decimal(38,0))."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
+    outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select(F.col("v").alias("node"))).distinct())
+    base = unit * 15 // 100
+    ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank")).cache()
+    for _ in range(iterations):
+        contrib = (e.join(outdeg, "u")
+                   .join(ranks.withColumnRenamed("node", "u"), "u")
+                   .select(F.col("v").alias("node"),
+                           F.expr("rank * 85 div (100 * deg)").alias("c")))
+        new_ranks = (nodes.join(contrib.groupBy("node")
+                                .agg(F.sum("c").alias("inbox")),
+                                "node", "left")
+                     .select("node",
+                             (F.lit(base) + F.coalesce(F.col("inbox"),
+                                                       F.lit(0)))
+                             .cast("long").alias("rank"))
+                     .cache())
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    e.unpersist()
+    return (ranks.select("node", "rank",
+                         F.round(F.col("rank") / unit, 6).alias("score"))
+            .orderBy(F.desc("rank"), "node"))

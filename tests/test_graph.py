@@ -33,3 +33,43 @@ def test_cluster_output_sorted(spark):
     df = spark.createDataFrame([(5, 3), (9, 8), (3, 1)], ["id_a", "id_b"])
     rows = [(r["component"], r["id"]) for r in dedup_clusters(df).collect()]
     assert rows == [(1, 1), (1, 3), (1, 5), (8, 8), (8, 9)]
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Integer fixed-point PageRank on a small path graph vs a literal
+    Python re-implementation of the same recurrence."""
+    from document_vector_pipeline_spark.operators.graph import pagerank
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+
+    unit = 10 ** 9
+    adj, deg = {}, {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        deg[u] = deg.get(u, 0) + 1
+    nodes = sorted(deg)
+    rank = {n: unit for n in nodes}
+    for _ in range(4):
+        inbox = {n: 0 for n in nodes}
+        for u in nodes:
+            c = rank[u] * 85 // (100 * deg[u])
+            for v in adj[u]:
+                inbox[v] += c
+        rank = {n: unit * 15 // 100 + inbox[n] for n in nodes}
+    assert got == rank
+    assert rank["b"] > rank["a"]  # interior nodes accumulate more mass
+
+
+def test_pagerank_partition_invariant(spark):
+    from document_vector_pipeline_spark.operators.graph import pagerank
+
+    und = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    edges = [e for e in und + [(b, a) for a, b in und] if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = [tuple(r) for r in pagerank(df, iterations=3).collect()]
+    b = [tuple(r) for r in pagerank(df.repartition(13),
+                                    iterations=3).collect()]
+    assert a == b
