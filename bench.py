@@ -221,6 +221,8 @@ def main() -> None:
         return graph.pagerank(edges, "a", "b", iterations=3)
 
     bench("graph_pagerank", pagerank_trade)
+    bench("events_anomalies", lambda: analytics.events_anomalies(ev))
+    bench("corpus_mixture", lambda: corpus.mixture_weights(docs))
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))

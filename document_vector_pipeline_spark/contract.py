@@ -904,6 +904,16 @@ def q_dedup_clusters(spark, sf_dir):
     return graph.dedup_clusters(dedup.minhash_lsh_pairs(docs))
 
 
+def q_events_anomalies(spark, sf_dir):
+    """z>=3 outliers per event type, flagged by pure integer-decimal
+    comparison (no float thresholds)."""
+    return analytics.events_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def q_corpus_mixture(spark, sf_dir):
+    return corpus.mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (3 power iterations, exact integer fixed-point) over the
     undirected customer↔supplier trade graph derived from orders×lineitem."""
@@ -1807,6 +1817,41 @@ from a order by event_type
 """
 
 
+def _sql_events_anomalies(z: int = 3) -> str:
+    return f"""
+with e as (select event_id, event_type, value,
+                  cast(round(value * 100, 0) as bigint) as x
+           from events),
+mom as (select event_type,
+               sum(cast(x as hugeint)) as s,
+               sum(cast(x as hugeint) * x) as ss,
+               cast(count(*) as hugeint) as n
+        from e group by event_type)
+select e.event_id, e.event_type, e.value
+from e join mom m on m.event_type = e.event_type
+where (cast(e.x as hugeint) * m.n - m.s) * (cast(e.x as hugeint) * m.n - m.s)
+      >= {z * z} * (m.ss * m.n - m.s * m.s)
+order by e.event_id
+"""
+
+
+def _sql_corpus_mixture() -> str:
+    return """
+with a as (select source, count(*) as n_docs,
+                  cast(sum(n_chars) as bigint) as n_chars
+           from documents group by source),
+t as (select source, n_docs, n_chars,
+             cast(floor(sqrt(n_docs)) as bigint) as isq,
+             sum(n_docs) over () as tot_docs,
+             sum(cast(floor(sqrt(n_docs)) as bigint)) over () as tot_isq
+      from a)
+select source, n_docs, n_chars,
+       round(n_docs / tot_docs, 6) as prop,
+       round(isq / tot_isq, 6) as weight
+from t order by source
+"""
+
+
 def _sql_graph_pagerank(iterations: int = 3, unit: int = 10 ** 9) -> str:
     base = unit * 15 // 100
     step = """
@@ -2497,6 +2542,8 @@ def queries():
         "source_jsonl": q_source_jsonl,
         "source_csv": q_source_csv,
         "graph_pagerank": q_graph_pagerank,
+        "events_anomalies": q_events_anomalies,
+        "corpus_mixture": q_corpus_mixture,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2616,6 +2663,8 @@ from events group by user_id
         "source_jsonl": _sql_source_roundtrip(),
         "source_csv": _sql_source_roundtrip(),
         "graph_pagerank": _sql_graph_pagerank(),
+        "events_anomalies": _sql_events_anomalies(),
+        "corpus_mixture": _sql_corpus_mixture(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

@@ -170,3 +170,32 @@ def length_histogram(docs: DataFrame, col: str = "n_chars") -> DataFrame:
                  F.max(v).alias("max_len"),
                  F.sum(v).alias("sum_len"))
             .orderBy("bucket"))
+
+
+def mixture_weights(docs: DataFrame, source_col: str = "source",
+                    size_col: str = "n_chars") -> DataFrame:
+    """(source, n_docs, n_chars, prop, weight): per-source corpus mixture —
+    raw share plus a sqrt-temperature sampling weight (the standard
+    upweight-the-tail recipe for multi-source training mixes).
+
+    weight uses floor(sqrt(n_docs)) so the normalization is a ratio of
+    exact integers (a float sqrt SUM would be summation-order-dependent
+    and engine-divergent).  One tiny aggregate + unpartitioned window over
+    n_sources rows."""
+    from pyspark.sql import Window
+
+    agg = (docs.groupBy(F.col(source_col).alias("source"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.col(size_col).cast("long")).alias("n_chars")))
+    isq = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (agg.withColumn("isq", isq)
+            .withColumn("tot_docs", F.sum("n_docs").over(w))
+            .withColumn("tot_isq", F.sum("isq").over(w))
+            .select("source", "n_docs", "n_chars",
+                    F.round(F.col("n_docs") / F.col("tot_docs"), 6)
+                     .alias("prop"),
+                    F.round(F.col("isq") / F.col("tot_isq"), 6)
+                     .alias("weight"))
+            .orderBy("source"))

@@ -643,3 +643,35 @@ def q2_mincost(part: DataFrame, supplier: DataFrame, nation: DataFrame,
                     "p_brand", "cost_cents")
             .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
             .limit(100))
+
+
+def events_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
+    """(event_id, event_type, value): events whose value is >= z standard
+    deviations from their type's mean — flagged WITHOUT any float
+    arithmetic.
+
+    |x - s/n| >= z * sqrt(ss/n - (s/n)^2) squares and clears denominators to
+
+        (x*n - s)^2 >= z^2 * (ss*n - s^2)
+
+    over exact integer cents (s = sum, ss = sum of squares).  The products
+    exceed int64, so they are decimal(38,0) — exact, associative, and the
+    same comparison DuckDB runs in int128.  Plan: one partial-aggregated
+    shuffle for the per-type moments (tiny), broadcast back onto the scan,
+    map-side comparison — the 100 TB shape for any moment-based filter."""
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    e = events.select("event_id", "event_type", "value",
+                      cents.alias("x"))
+    # sums accumulate IN decimal (a long sum of squared cents would
+    # overflow int64 around 1e7 rows of 1e6-cent values)
+    mom = (e.groupBy("event_type")
+           .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                 .alias("ss"),
+                F.count("*").cast("decimal(38,0)").alias("n")))
+    d = F.col("x").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    var_num = F.col("ss") * F.col("n") - F.col("s") * F.col("s")
+    return (e.join(F.broadcast(mom), "event_type")
+            .filter(d * d >= F.lit(z * z).cast("decimal(38,0)") * var_num)
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id"))
