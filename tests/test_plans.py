@@ -129,3 +129,27 @@ def test_ann_broadcasts_queries_not_corpus(spark):
     p = plan_of(similarity.brute_force_topk(emb, q, k=5))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_anomalies_broadcast_moments_not_shuffle_join(t):
+    from document_vector_pipeline_spark.plans.analytics import (
+        events_anomalies,
+    )
+
+    p = plan_of(events_anomalies(t["events"]))
+    # tiny per-type moment table must broadcast back onto the scan; a
+    # SortMergeJoin here would shuffle the full event stream
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_sketch_build_partial_aggregates(t):
+    from document_vector_pipeline_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    p = plan_of(cms_heavy_hitters(t["events"], "user_id"))
+    # every aggregate (cells, candidates, estimate-min) must be
+    # partial+final so shuffles carry combined sketch state, not rows
+    assert p.count("HashAggregate") % 2 == 0
+    assert "BroadcastHashJoin" in p  # depth x width cells join broadcast
