@@ -223,6 +223,13 @@ def main() -> None:
     bench("graph_pagerank", pagerank_trade)
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))
+
+    from document_vector_pipeline_spark.plans import joins
+
+    bench("join_bloom", lambda: joins.bloom_semi_join(
+        t["lineitem"],
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+        "l_orderkey", "o_orderkey"))
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))

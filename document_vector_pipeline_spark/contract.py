@@ -45,7 +45,7 @@ from document_vector_pipeline_spark.operators.parse import (
     route_blobs,
 )
 from document_vector_pipeline_spark.operators.pipeline import blobs_to_chunks
-from document_vector_pipeline_spark.plans import analytics, temporal
+from document_vector_pipeline_spark.plans import analytics, joins, temporal
 from document_vector_pipeline_spark.sources import load_table
 from document_vector_pipeline_spark.store.vector_store import VectorStore
 from document_vector_pipeline_spark.streaming import events as sev
@@ -902,6 +902,22 @@ def q_dedup_clusters(spark, sf_dir):
     """MinHash pair graph → connected components (cluster resolution)."""
     docs = load_table(spark, sf_dir, "documents")
     return graph.dedup_clusters(dedup.minhash_lsh_pairs(docs))
+
+
+def q_join_bloom(spark, sf_dir):
+    """Bloom-prefiltered semi join: lineitems of urgent orders, rolled up
+    per linestatus.  Result ≡ the plain semi join (the oracle); the bloom
+    bitmap only shrinks the probe-side shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+    pruned = joins.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return (pruned.groupBy("l_linestatus")
+            .agg(F.count("*").alias("n_items"),
+                 analytics.money_sum(
+                     F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                     4).alias("revenue"))
+            .orderBy("l_linestatus"))
 
 
 def q_events_anomalies(spark, sf_dir):
@@ -1817,6 +1833,17 @@ from a order by event_type
 """
 
 
+def _sql_join_bloom() -> str:
+    return f"""
+select l_linestatus, count(*) as n_items,
+       {_money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} as revenue
+from lineitem
+where l_orderkey in (select o_orderkey from orders
+                     where o_orderpriority = '1-URGENT')
+group by l_linestatus order by l_linestatus
+"""
+
+
 def _sql_events_anomalies(z: int = 3) -> str:
     return f"""
 with e as (select event_id, event_type, value,
@@ -2544,6 +2571,7 @@ def queries():
         "graph_pagerank": q_graph_pagerank,
         "events_anomalies": q_events_anomalies,
         "corpus_mixture": q_corpus_mixture,
+        "join_bloom": q_join_bloom,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2665,6 +2693,7 @@ from events group by user_id
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),
         "corpus_mixture": _sql_corpus_mixture(),
+        "join_bloom": _sql_join_bloom(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

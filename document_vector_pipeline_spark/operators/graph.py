@@ -14,7 +14,7 @@ label frame is cached and the previous one unpersisted, so the lineage
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,29 +91,34 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     at 1000-executor scale you'd checkpoint every ~10 rounds instead.
     int64 headroom: total mass is n*unit, so keep n*unit << 9.2e18
     (shrink ``unit`` for >1e9-node graphs, or move to decimal(38,0))."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
-    outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
-    nodes = (e.select(F.col("u").alias("node"))
-             .union(e.select(F.col("v").alias("node"))).distinct())
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # out-degree is loop-invariant: attach it to the edge list ONCE and
+    # cache that, so each round is exactly one join (ranks) + one groupBy
+    w_u = Window.partitionBy("u")
+    ed = e.withColumn("deg", F.count("*").over(w_u)).cache()
+    nodes = (ed.select(F.col("u").alias("node"))
+             .union(ed.select(F.col("v").alias("node"))).distinct().cache())
+    nodes.count()
     base = unit * 15 // 100
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank")).cache()
     for _ in range(iterations):
-        contrib = (e.join(outdeg, "u")
-                   .join(ranks.withColumnRenamed("node", "u"), "u")
+        contrib = (ed.join(ranks.withColumnRenamed("node", "u"), "u")
                    .select(F.col("v").alias("node"),
                            F.expr("rank * 85 div (100 * deg)").alias("c")))
-        new_ranks = (nodes.join(contrib.groupBy("node")
-                                .agg(F.sum("c").alias("inbox")),
-                                "node", "left")
-                     .select("node",
-                             (F.lit(base) + F.coalesce(F.col("inbox"),
-                                                       F.lit(0)))
-                             .cast("long").alias("rank"))
+        # union-then-sum instead of left join: one shuffle delivers both
+        # the inbox sums and the base term for inbox-less nodes
+        new_ranks = (contrib
+                     .unionByName(nodes.select(
+                         "node", F.lit(0).cast("long").alias("c")))
+                     .groupBy("node")
+                     .agg((F.lit(base) + F.sum("c")).cast("long")
+                          .alias("rank"))
                      .cache())
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
-    e.unpersist()
+    ed.unpersist()
+    nodes.unpersist()
     return (ranks.select("node", "rank",
                          F.round(F.col("rank") / unit, 6).alias("score"))
             .orderBy(F.desc("rank"), "node"))

@@ -153,3 +153,21 @@ def test_cms_sketch_build_partial_aggregates(t):
     # partial+final so shuffles carry combined sketch state, not rows
     assert p.count("HashAggregate") % 2 == 0
     assert "BroadcastHashJoin" in p  # depth x width cells join broadcast
+
+
+def test_bloom_semi_join_exact_and_prefilter_prunes(t):
+    from document_vector_pipeline_spark.plans import joins
+
+    li = t["lineitem"]
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    got = joins.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    plain = li.join(urgent.select(F.col("o_orderkey").alias("l_orderkey"))
+                   .distinct(), "l_orderkey", "left_semi")
+    assert got.count() == plain.count()  # bloom never changes the result
+    # the bitmap prefilter is sound (superset) and actually selective
+    bm = joins.bloom_bitmap(urgent, "o_orderkey")
+    kept = li.filter(joins.bloom_might_contain(
+        F.col("l_orderkey"), bm, 1 << 16, 3))
+    n_all, n_kept, n_true = li.count(), kept.count(), plain.count()
+    assert n_true <= n_kept < n_all
+    assert (n_kept - n_true) / n_all < 0.01  # fp-rate well under 1%
