@@ -276,10 +276,43 @@ def pq_codebook(corpus: DataFrame, n_codes: int = 16, dim: int = 64,
     return [list(r["v6"]) for r in rows]
 
 
+def make_pq_score_udf(cb: list[list[int]], lut: dict, n_sub: int, sub: int):
+    """Arrow-batched PQ encode+score, BIT-IDENTICAL to the expression path:
+    fixed-point int64 subspace distances, np.argmin's first-min tie-break
+    equals the struct (dist, code) lexicographic min, and ADC sums are
+    integer.  One vectorized pass replaces ~n_sub*n_codes*sub codegen'd
+    multiply-adds per row (the expression tree compiles slowly and runs
+    interpreted-fold speed); returns array<long> of per-query iscores in
+    sorted-query-id order."""
+    import numpy as np
+
+    cbm = np.array(cb, dtype=np.int64)              # (C, dim)
+    qids = sorted(lut)
+    # (Q, n_sub, C) lookup of integer dots
+    lutm = np.array([lut[q] for q in qids], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def score_udf(v6s):
+        import pandas as _pd
+        out = []
+        for v in v6s:
+            a = np.asarray(v, dtype=np.int64)
+            codes = np.empty(n_sub, dtype=np.int64)
+            for m in range(n_sub):
+                d = a[m * sub:(m + 1) * sub] - cbm[:, m * sub:(m + 1) * sub]
+                codes[m] = np.argmin((d * d).sum(axis=1))
+            out.append([int(lutm[qi, np.arange(n_sub), codes].sum())
+                        for qi in range(len(qids))])
+        return _pd.Series(out)
+
+    return score_udf
+
+
 def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
            n_codes: int = 16, n_sub: int = 8, dim: int = 64,
            id_col: str = "vec_id", vec_col: str = "embedding",
-           qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+           qid_col: str = "query_id", qvec_col: str = "query_vec",
+           use_udf: bool = True) -> DataFrame:
     """Product-quantization ANN: split `dim` into `n_sub` subspaces, encode
     every corpus vector as `n_sub` codes (argmin integer L2 to the
     codebook's subvectors), score queries by asymmetric-distance lookup —
@@ -308,6 +341,18 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     df = corpus.select(F.col(id_col).alias("vec_id"),
                        pq_fixed_point(F.col(vec_col), dim).alias("v6"))
+    if use_udf:
+        score_udf = make_pq_score_udf(cb, lut, n_sub, sub)
+        qid_arr = F.array(*[F.lit(q).cast("long") for q in sorted(lut)])
+        scored = (df.select("vec_id",
+                            F.posexplode(score_udf(F.col("v6")))
+                            .alias("pos", "i"))
+                  .select("vec_id",
+                          F.element_at(qid_arr, F.col("pos") + 1)
+                           .alias("query_id"),
+                          F.round(F.col("i") / F.lit(1e12), 6)
+                           .alias("score")))
+        return _ranked(scored, k)
     code_cols = []
     for m in range(n_sub):
         s_m = F.slice(F.col("v6"), m * sub + 1, sub)

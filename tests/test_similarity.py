@@ -106,3 +106,18 @@ def test_pq_codebook_deterministic(spark, embeddings_small):
     a = S.pq_codebook(embeddings_small, n_codes=8, dim=64)
     b = S.pq_codebook(embeddings_small, n_codes=8, dim=64)
     assert a == b and len(a) == 8 and all(len(c) == 64 for c in a)
+
+
+def test_pq_udf_equals_expression(spark):
+    """Arrow PQ scorer must be bit-identical to the expression path
+    (integer distances/dots, argmin tie-break = lexicographic min)."""
+    from document_vector_pipeline_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = (emb.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    fast = {(r.query_id, r.vec_id, r.score, r.rank) for r in
+            S.pq_ann(emb, qdf, k=10, use_udf=True).collect()}
+    slow = {(r.query_id, r.vec_id, r.score, r.rank) for r in
+            S.pq_ann(emb, qdf, k=10, use_udf=False).collect()}
+    assert fast == slow and len(fast) > 0
