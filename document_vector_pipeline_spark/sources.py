@@ -128,3 +128,22 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
             .option("escape", '"')
             .option("multiLine", "true")
             .csv(path))
+
+
+def write_bucketed(df: DataFrame, spark: SparkSession, table: str,
+                   key: str, buckets: int, path: str,
+                   sort: bool = True) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) external table:
+    rows are hash-partitioned on ``key`` into ``buckets`` files per write
+    task AND the catalog records the layout, so joins/aggregations between
+    tables co-bucketed on the same key skip their Exchange entirely —
+    the pre-shuffled layout a 100 TB fact-to-fact join amortizes across
+    every downstream query (broadcast only rescues small sides; bucketing
+    is the big-join answer)."""
+    w = df.write.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    (w.option("path", path)
+     .mode("overwrite")
+     .format("parquet")
+     .saveAsTable(table))
