@@ -226,6 +226,13 @@ def main() -> None:
 
     from document_vector_pipeline_spark.plans import joins
 
+    from document_vector_pipeline_spark.plans import layout
+
+    bench("layout_zorder", lambda: ev.select(
+        "event_id",
+        layout.zorder_index(F.pmod(F.col("user_id"), F.lit(1024)),
+                            F.dayofyear("ts")).alias("z"))
+        .orderBy("z").limit(100))
     bench("join_bloom", lambda: joins.bloom_semi_join(
         t["lineitem"],
         t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),

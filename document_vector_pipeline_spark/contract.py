@@ -904,6 +904,22 @@ def q_dedup_clusters(spark, sf_dir):
     return graph.dedup_clusters(dedup.minhash_lsh_pairs(docs))
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order key over (user bucket, day-of-year): the interleaved-bit
+    sort key whose ranges are narrow in both dimensions (layout.zorder_write
+    uses it to cluster files; the key itself is oracle-checked here)."""
+    from document_vector_pipeline_spark.plans import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.pmod(F.col("user_id"), F.lit(1024))
+    d = F.dayofyear(F.col("ts"))
+    return (ev.select(F.col("event_id"),
+                      u.cast("long").alias("u"),
+                      d.cast("int").alias("d"),
+                      layout.zorder_index(u, d).alias("z"))
+            .orderBy("z", "event_id").limit(100))
+
+
 def q_join_bloom(spark, sf_dir):
     """Bloom-prefiltered semi join: lineitems of urgent orders, rolled up
     per linestatus.  Result ≡ the plain semi join (the oracle); the bloom
@@ -1833,6 +1849,21 @@ from a order by event_type
 """
 
 
+def _sql_layout_zorder(bits: int = 16) -> str:
+    z = " + ".join(
+        f"(((u // {1 << i}) % 2) * {1 << (2 * i)})"
+        f" + (((d // {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(bits))
+    return f"""
+with e as (select event_id,
+                  cast(user_id % 1024 as bigint) as u,
+                  cast(dayofyear(ts) as int) as d
+           from events)
+select event_id, u, d, cast({z} as bigint) as z
+from e order by z, event_id limit 100
+"""
+
+
 def _sql_join_bloom() -> str:
     return f"""
 select l_linestatus, count(*) as n_items,
@@ -2572,6 +2603,7 @@ def queries():
         "events_anomalies": q_events_anomalies,
         "corpus_mixture": q_corpus_mixture,
         "join_bloom": q_join_bloom,
+        "layout_zorder": q_layout_zorder,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2694,6 +2726,7 @@ from events group by user_id
         "events_anomalies": _sql_events_anomalies(),
         "corpus_mixture": _sql_corpus_mixture(),
         "join_bloom": _sql_join_bloom(),
+        "layout_zorder": _sql_layout_zorder(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

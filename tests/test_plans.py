@@ -171,3 +171,31 @@ def test_bloom_semi_join_exact_and_prefilter_prunes(t):
     n_all, n_kept, n_true = li.count(), kept.count(), plain.count()
     assert n_true <= n_kept < n_all
     assert (n_kept - n_true) / n_all < 0.01  # fp-rate well under 1%
+
+
+def test_zorder_write_narrows_per_file_spans(spark, t, tmp_path):
+    """Files written z-ordered on (user bucket, day) must each cover a
+    small rectangle in both dimensions — the precondition for min/max
+    footer pruning on either column."""
+    from document_vector_pipeline_spark.plans import layout
+
+    ev = t["events"].select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1024)).cast("long").alias("u"),
+        F.dayofyear("ts").cast("long").alias("d"))
+
+    def mean_spans(path):
+        df = spark.read.parquet(path)
+        spans = (df.groupBy(F.input_file_name())
+                 .agg((F.max("u") - F.min("u")).alias("su"),
+                      (F.max("d") - F.min("d")).alias("sd"))
+                 .agg(F.avg("su"), F.avg("sd")).collect()[0])
+        return spans[0], spans[1]
+
+    layout.zorder_write(ev, str(tmp_path / "z"), "u", "d", files=8)
+    ev.repartition(8).write.parquet(str(tmp_path / "plain"))
+    zu, zd = mean_spans(str(tmp_path / "z"))
+    pu, pd_ = mean_spans(str(tmp_path / "plain"))
+    # random layout: every file spans ~the full domain in both dims;
+    # z-order must cut the product of spans dramatically
+    assert zu * zd < 0.35 * pu * pd_
