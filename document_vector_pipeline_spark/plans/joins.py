@@ -1,0 +1,82 @@
+"""Join-strategy operators: the explicit runtime-filter patterns a 100 TB
+join needs when the optimizer can't infer them.
+
+Spark's AQE injects bloom runtime filters in some shapes, but the classic
+hand-built version stays useful: build a compact bitmap from the small
+side's join keys, broadcast it as plan metadata, and drop probe-side rows
+map-side BEFORE they reach the join shuffle.  False positives survive the
+filter; the exact join afterwards removes them, so results are identical
+to the plain join — the filter only shrinks the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.functions.hashing import md5_long_seeded
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    return [md5_long_seeded(key.cast("string"), seed=i) % m_bits
+            for i in range(k)]
+
+
+# bit masks as a literal lookup (shiftleft needs a literal shift amount;
+# 63 bits per word keeps every mask a positive long)
+_WORD_BITS = 63
+_POW2 = [1 << i for i in range(_WORD_BITS)]
+
+
+def _mask(p: Column) -> Column:
+    return F.element_at(F.array(*[F.lit(v) for v in _POW2]),
+                        (p % _WORD_BITS).cast("int") + 1)
+
+
+def bloom_bitmap(build: DataFrame, key_col: str,
+                 m_bits: int = 1 << 16, k: int = 3) -> list[int]:
+    """Driver-collected bloom bitmap (63-bit words) over the build side's
+    keys.  Built distributed: explode the k bit positions per key, OR-fold
+    per word (one partial-aggregated shuffle of at most m_bits/63 rows),
+    then collect — ~1000 longs at the default size, plan metadata exactly
+    like a broadcast hash table, only ~1000x smaller."""
+    pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k)))
+    words = (build.select(pos.alias("p"))
+             .select((F.col("p") / _WORD_BITS).cast("int").alias("w"),
+                     _mask(F.col("p")).alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("bits")))
+    bitmap = [0] * (m_bits // _WORD_BITS + 1)
+    for r in words.collect():
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(key: Column, bitmap: list[int],
+                        m_bits: int, k: int) -> Column:
+    """Map-side membership test: all k bits set in the literal bitmap."""
+    words = F.array(*[F.lit(wd) for wd in bitmap])
+    cond = F.lit(True)
+    for p in _positions(key, m_bits, k):
+        word = F.element_at(words, (p / _WORD_BITS).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(_mask(p)) != 0)
+    return cond
+
+
+def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
+                    build_key: str, m_bits: int = 1 << 16,
+                    k: int = 3) -> DataFrame:
+    """LEFT SEMI join with a bloom prefilter on the probe side.
+
+    The prefilter is a pure projection over the probe scan (no exchange),
+    so rows that cannot match never enter the join shuffle; the exact
+    LEFT SEMI join then removes bloom false positives.  Result is
+    IDENTICAL to probe SEMI JOIN build — the oracle is the plain join —
+    while the shuffle carries only build-selectivity x (1 + fp-rate) of
+    the probe.  With the default 64 Kbit / k=3 sizing, fp-rate at 5k
+    build keys is ~0.04%."""
+    keep = bloom_might_contain(F.col(probe_key),
+                               bloom_bitmap(build, build_key, m_bits, k),
+                               m_bits, k)
+    return (probe.filter(keep)
+            .join(build.select(F.col(build_key).alias(probe_key)).distinct(),
+                  probe_key, "left_semi"))
