@@ -223,6 +223,9 @@ def main() -> None:
     bench("graph_pagerank", pagerank_trade)
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))
+    bench("corpus_shuffle", lambda: corpus.shuffle_assign(docs))
+    bench("corpus_profile", lambda: corpus.profile_table(
+        docs, ["doc_id", "lang", "source", "n_chars"]))
 
     from document_vector_pipeline_spark.plans import joins
 

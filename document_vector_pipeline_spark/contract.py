@@ -904,6 +904,15 @@ def q_dedup_clusters(spark, sf_dir):
     return graph.dedup_clusters(dedup.minhash_lsh_pairs(docs))
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    return corpus.shuffle_assign(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_profile(spark, sf_dir):
+    return corpus.profile_table(load_table(spark, sf_dir, "documents"),
+                                ["doc_id", "lang", "source", "n_chars"])
+
+
 def q_layout_zorder(spark, sf_dir):
     """Z-order key over (user bucket, day-of-year): the interleaved-bit
     sort key whose ranges are narrow in both dimensions (layout.zorder_write
@@ -1849,6 +1858,32 @@ from a order by event_type
 """
 
 
+def _sql_corpus_shuffle(shard_size: int = 1024) -> str:
+    h = _md5l("cast(doc_id as varchar)")
+    return f"""
+with r as (select doc_id,
+                  cast(row_number() over (order by {h}, doc_id) - 1
+                       as bigint) as pos
+           from documents)
+select doc_id, pos, cast(pos // {shard_size} as bigint) as shard
+from r order by pos
+"""
+
+
+def _sql_corpus_profile() -> str:
+    parts = " union all ".join(
+        f"select '{c}' as col, cast({c} as varchar) as v from documents"
+        for c in ("doc_id", "lang", "source", "n_chars"))
+    return f"""
+with u as ({parts})
+select col as "column", count(*) as n,
+       cast(count(*) filter (v is null) as bigint) as n_null,
+       cast(count(distinct v) as bigint) as n_distinct,
+       min(v) as min_s, max(v) as max_s
+from u group by col order by col
+"""
+
+
 def _sql_layout_zorder(bits: int = 16) -> str:
     z = " + ".join(
         f"(((u // {1 << i}) % 2) * {1 << (2 * i)})"
@@ -2604,6 +2639,8 @@ def queries():
         "corpus_mixture": q_corpus_mixture,
         "join_bloom": q_join_bloom,
         "layout_zorder": q_layout_zorder,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_profile": q_corpus_profile,
         "sketch_kmv_ops": q_sketch_kmv_ops,
         "stream_interval_join": q_stream_interval_join,
         "stream_dropdup": q_stream_dropdup,
@@ -2727,6 +2764,8 @@ from events group by user_id
         "corpus_mixture": _sql_corpus_mixture(),
         "join_bloom": _sql_join_bloom(),
         "layout_zorder": _sql_layout_zorder(),
+        "corpus_shuffle": _sql_corpus_shuffle(),
+        "corpus_profile": _sql_corpus_profile(),
         "sketch_kmv_ops": _sql_sketch_kmv_ops(),
         "stream_interval_join": _sql_stream_interval_join(),
         "stream_dropdup": _sql_stream_dropdup(),

@@ -199,3 +199,49 @@ def mixture_weights(docs: DataFrame, source_col: str = "source",
                     F.round(F.col("isq") / F.col("tot_isq"), 6)
                      .alias("weight"))
             .orderBy("source"))
+
+
+def shuffle_assign(docs: DataFrame, id_col: str = "doc_id",
+                   shard_size: int = 1024) -> DataFrame:
+    """(doc_id, pos, shard): deterministic global training order — docs
+    sorted by md5(doc_id) (a seedless uniform permutation, reproducible
+    across runs and engines) with contiguous shard assignment.
+
+    The global row_number is ONE ordered exchange; at 100 TB scale swap it
+    for zipWithIndex-style per-partition offsets (rank = partition offset
+    + local index) — same order, no single-reducer sort.  Shard boundaries
+    are pure integer division of the position."""
+    from pyspark.sql import Window
+
+    h = md5_long(F.col(id_col).cast("string"))
+    w = Window.orderBy(h, F.col(id_col))
+    pos = F.row_number().over(w).cast("long") - 1
+    return (docs.select(F.col(id_col), pos.alias("pos"))
+            .withColumn("shard", F.floor(F.col("pos") / shard_size)
+                        .cast("long"))
+            .orderBy("pos"))
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n, n_null, n_distinct, min_s, max_s): data-quality profile
+    of the given columns — null counts, exact distinct cardinality, and
+    string-form min/max.
+
+    One pass: unpivot via explode of (name, value-as-string) structs, one
+    partial-aggregated shuffle on column name.  Values compare as strings
+    (deterministic across engines; numeric min/max live in typed queries).
+    The profile is the pre-flight check every ingest batch runs before
+    entering a 100 TB corpus."""
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("v"))
+        for c in cols])).alias("p")
+    return (df.select(pairs)
+            .select("p.column", "p.v")
+            .groupBy("column")
+            .agg(F.count("*").alias("n"),
+                 F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+                 F.count_distinct("v").alias("n_distinct"),
+                 F.min("v").alias("min_s"),
+                 F.max("v").alias("max_s"))
+            .orderBy("column"))
