@@ -14,11 +14,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from document_vector_pipeline_spark.functions.hashing import md5_long_seeded
-
-
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    return [md5_long_seeded(key.cast("string"), seed=i) % m_bits
+    """k bit positions from ONE md5 evaluation: disjoint 8-hex-digit
+    windows of the digest, each mod m_bits (md5 bits are independent, so
+    slicing one digest equals k independent hashes at a third of the
+    per-row hashing cost; k*8 <= 32 hex digits caps k at 4)."""
+    h = F.md5(key.cast("string"))
+    return [F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
             for i in range(k)]
 
 
