@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.config import PipelineConfig
 from document_vector_pipeline_spark.functions import text as X
+from document_vector_pipeline_spark.functions.expr import epoch_us
 from document_vector_pipeline_spark.functions.text import STOPWORDS
 from document_vector_pipeline_spark.functions.vectors import (
     cosine_similarity,
@@ -993,7 +994,7 @@ def q_asof_attribution(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts",
         F.col("click_ts"), F.col("click_event_id").alias("click_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")))
+        (epoch_us(F.col("ts")) - epoch_us(F.col("click_ts")))
         .alias("gap_us"))
 
 

@@ -35,3 +35,19 @@ def bound2(c1: Column, c2: Column,
            f: Callable[[Column, Column], Column]) -> Column:
     """Two-column variant of `bound`."""
     return bound(c1, lambda a: bound(c2, lambda b: f(a, b)))
+
+
+def epoch_us(ts: Column) -> Column:
+    """Exact microseconds since 1970-01-01 00:00:00 wall-clock.
+
+    Parquet timestamps without a timezone read as TIMESTAMP_NTZ in Spark 4
+    (`spark.sql.parquet.inferTimestampNTZ.enabled` defaults true), and
+    ``unix_micros`` rejects NTZ input.  ``timestamp_diff`` accepts NTZ, and
+    pinning the epoch literal as NTZ keeps the arithmetic timezone-free —
+    the same integer DuckDB's ``epoch_us`` yields on the naive timestamp.
+    TIMESTAMP (ltz) input is first cast to NTZ via the session timezone
+    (UTC in every session this engine creates)."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        ts.cast("timestamp_ntz"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import epoch_us
+
 
 def money_sum(expr: Column, scale: int = 4) -> Column:
     """Deterministic sum of a decimal-valued double column as exact integer
@@ -402,8 +404,8 @@ def events_lag_deltas(events: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_micros(F.col("ts"))
-           - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    gap = (epoch_us(F.col("ts"))
+           - epoch_us(F.lag("ts").over(w))).alias("gap_us")
     return (events.select("event_type", gap)
             .groupBy("event_type")
             .agg(F.count("gap_us").alias("n_gaps"),

@@ -36,14 +36,16 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import epoch_us
 from document_vector_pipeline_spark.plans.analytics import money_sum
 
 US_PER_SECOND = 1_000_000
 
 
 def _us(ts: Column) -> Column:
-    """Exact microseconds-since-epoch (timestamps are µs-precision)."""
-    return F.unix_micros(ts)
+    """Exact microseconds-since-epoch (timestamps are µs-precision).
+    NTZ-safe: parquet timestamps read as TIMESTAMP_NTZ in Spark 4."""
+    return epoch_us(ts)
 
 
 def _idiv(col: Column, w: int) -> Column:
@@ -217,8 +219,8 @@ def rollup_events(events: DataFrame, ts: str = "ts",
                  money_sum(F.col(value), 2).alias("total_value"))
             .select(F.col("gid"),
                     F.coalesce(F.col(dim), F.lit("ALL")).alias(dim),
-                    F.coalesce(F.col("day"),
-                               F.lit("1970-01-01").cast("timestamp"))
+                    F.coalesce(F.col("day").cast("timestamp_ntz"),
+                               F.lit("1970-01-01").cast("timestamp_ntz"))
                     .alias("day"),
                     "n_events", "total_value"))
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.expr import epoch_us
+
 from document_vector_pipeline_spark.plans.analytics import money_sum
 
 
@@ -101,8 +103,8 @@ def click_purchase_join(events: DataFrame, lookback: str = "1 hour",
     out = (purchases.join(clicks, cond)
            .select(F.col("p_user").alias("user_id"),
                    "purchase_id", "click_id",
-                   (F.unix_micros(F.col("purchase_ts"))
-                    - F.unix_micros(F.col("click_ts"))).alias("gap_us")))
+                   (epoch_us(F.col("purchase_ts"))
+                    - epoch_us(F.col("click_ts"))).alias("gap_us")))
     # append-mode streams cannot sort; the order is for the batch oracle
     return out if events.isStreaming else out.orderBy(
         "user_id", "purchase_id", "click_id")

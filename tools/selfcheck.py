@@ -1,0 +1,83 @@
+"""Driver-style correctness self-check: run queries() vs oracle_sql() at a
+given SF and print per-query status + wall time.
+
+Usage: python tools/selfcheck.py [sf_dir] [key ...]
+With no keys, checks every queries() entry.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    keys = sys.argv[2:] or list(queries)
+
+    from document_vector_pipeline_spark.session import get_spark
+    spark = get_spark("selfcheck")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    n_bad = 0
+    for k in keys:
+        t0 = time.time()
+        try:
+            sdf = queries[k](spark, sf_dir).toPandas()
+            t_spark = time.time() - t0
+            if k not in oracles:
+                status = f"rows-only ({len(sdf)} rows)"
+            else:
+                ddf = con.execute(oracles[k]).df()
+                s, d = canon(sdf), canon(ddf)
+                if list(s.columns) != list(d.columns):
+                    status = f"SCHEMA MISMATCH {list(s.columns)} vs {list(d.columns)}"
+                    n_bad += 1
+                elif len(s) != len(d):
+                    status = f"ROWS {len(s)} vs {len(d)}"
+                    n_bad += 1
+                elif not s.equals(d):
+                    neq = (s != d) & ~(s.isna() & d.isna())
+                    bad_cols = [c for c in s.columns if neq[c].any()]
+                    status = f"VALUES differ in {bad_cols}"
+                    n_bad += 1
+                else:
+                    status = f"ok ({len(s)} rows)"
+        except Exception as e:  # noqa: BLE001
+            t_spark = time.time() - t0
+            status = f"ERROR {type(e).__name__}: {str(e)[:160]}"
+            n_bad += 1
+        print(f"{k:28s} {t_spark:7.2f}s  {status}", flush=True)
+    print(f"\n{n_bad} failures / {len(keys)} checked")
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
