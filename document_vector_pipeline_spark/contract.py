@@ -2564,57 +2564,10 @@ group by c_mktsegment, event_type
 
 
 def queries():
+    # Ordered round-1-unchecked-first: the driver's correctness pass
+    # stopped after the first 50 keys in round 1, so rotate coverage
+    # so every key gets a driver-recorded oracle verdict.
     return {
-        "chunk_chars": q_chunk_chars,
-        "chunk_words": q_chunk_words,
-        "chunk_tokens": q_chunk_tokens,
-        "chunk_tokens_overlap": q_chunk_tokens_overlap,
-        "parse_route": q_parse_route,
-        "embed_hash": q_embed_hash,
-        "embed_json_roundtrip": q_embed_json_roundtrip,
-        "pipeline_e2e": q_pipeline_e2e,
-        "store_schema": q_store_schema,
-        "store_upsert": q_store_upsert,
-        "store_delete": q_store_delete,
-        "vector_topk": q_vector_topk,
-        "vector_quantized": q_vector_quantized,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_bruteforce_np": q_ann_bruteforce_np,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_persisted": q_ann_ivf_persisted,
-        "ann_pq": q_ann_pq,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "text_topterms": q_text_topterms,
-        "mm_decode": q_mm_decode,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
-        "stream_windowed": q_stream_windowed,
-        "stream_sliding": q_stream_sliding,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_first_seen": q_stream_first_seen,
-        "stream_running_totals": q_stream_running_totals,
-        "events_topusers": q_events_topusers,
-        "q1_pricing": q_q1_pricing,
-        "q3_shipping": q_q3_shipping,
-        "q5_local": q_q5_local,
-        "q6_forecast": q_q6_forecast,
-        "q14_promo": q_q14_promo,
-        "events_enrich": q_events_enrich,
-        "q4_late": q_q4_late,
-        "q10_returned": q_q10_returned,
-        "q13_custdist": q_q13_custdist,
-        "q18_large": q_q18_large,
-        "q19_disjuncts": q_q19_disjuncts,
-        "q22_inactive": q_q22_inactive,
         "q7_volume": q_q7_volume,
         "q8_share": q_q8_share,
         "q12_priority": q_q12_priority,
@@ -2665,6 +2618,56 @@ def queries():
         "rolling_counts": q_rolling_counts,
         "events_rollup": q_events_rollup,
         "hypertable_rollup": q_hypertable_rollup,
+        "chunk_chars": q_chunk_chars,
+        "chunk_words": q_chunk_words,
+        "chunk_tokens": q_chunk_tokens,
+        "chunk_tokens_overlap": q_chunk_tokens_overlap,
+        "parse_route": q_parse_route,
+        "embed_hash": q_embed_hash,
+        "embed_json_roundtrip": q_embed_json_roundtrip,
+        "pipeline_e2e": q_pipeline_e2e,
+        "store_schema": q_store_schema,
+        "store_upsert": q_store_upsert,
+        "store_delete": q_store_delete,
+        "vector_topk": q_vector_topk,
+        "vector_quantized": q_vector_quantized,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq": q_ann_pq,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_topterms": q_text_topterms,
+        "mm_decode": q_mm_decode,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        "stream_windowed": q_stream_windowed,
+        "stream_sliding": q_stream_sliding,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
+        "stream_running_totals": q_stream_running_totals,
+        "events_topusers": q_events_topusers,
+        "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
+        "q5_local": q_q5_local,
+        "q6_forecast": q_q6_forecast,
+        "q14_promo": q_q14_promo,
+        "events_enrich": q_events_enrich,
+        "q4_late": q_q4_late,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q18_large": q_q18_large,
+        "q19_disjuncts": q_q19_disjuncts,
+        "q22_inactive": q_q22_inactive,
     }
 
 
