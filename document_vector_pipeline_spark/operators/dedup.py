@@ -322,31 +322,67 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ τ).
 
-    Explodes distinct shingle hashes and self-joins (the exact verifier;
-    at 100 TB run it on minhash candidates, not the full cross of shingles).
-    jaccard is rounded to 6 dp (ratio of exact integer counts).
+    Prefix-filtered (AllPairs/PPJoin-style, Bayardo WWW'07 / Xiao WWW'08):
+    any pair with jaccard >= t must share >= ceil(t*n) shingles, so under a
+    global shingle ordering only each doc's first n - ceil(t*n) + 1
+    shingles can witness a match — the candidate self-join runs on that
+    prefix instead of the full shingle explosion (the sum(df^2) term that
+    blows up at 100 TB).  The ordering here is the hash value itself, so
+    the prefix is a map-side array_sort + slice: no df table, no window,
+    no extra shuffle.  Candidates are then verified EXACTLY: pair -> both
+    full shingle-hash sets -> array_intersect.  Output is identical to the
+    naive plan; jaccard is rounded to 6 dp (ratio of exact integer counts).
     """
-    # one tokenize pass per join side: the per-doc shingle-set size rides
-    # along with every exploded shingle, so intersection counting needs NO
-    # separate sizes aggregate and no post-join size-attach joins (they
-    # were two extra shuffles of the pair set)
-    sh = (docs.select(
-            F.col(id_col),
-            F.transform(_shingles(F.col(text_col), width),
-                        lambda s: md5_long(s)).alias("arr"))
-          .select(F.col(id_col), F.size("arr").cast("long").alias("n"),
-                  F.explode("arr").alias("shingle")))
-    left = sh.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"),
-                     "shingle")
-    right = sh.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"),
-                      "shingle")
-    inter = (left.join(right, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b", "na", "nb")
-             .agg(F.count("*").cast("long").alias("c")))
-    return (inter
+    # the shingle-hash sets feed three subplans (prefix explode, both
+    # verify sides) — persist so the md5 shingling runs once
+    sets = (docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.transform(_shingles(F.col(text_col), width),
+                                 lambda s: md5_long(s))).alias("arr"))
+        .select("id", "arr", F.size("arr").cast("long").alias("n"))
+        .persist())
+    # prefix length n - c_min + 1 with c_min = ceil(t*n); the 1e-9 nudge
+    # makes the float floor land on ceil(t*n) - 1 even when t*n is integral,
+    # so the prefix is never one short (soundness; at worst one extra).
+    plen = (F.col("n")
+            - F.floor(F.lit(threshold) * F.col("n") - F.lit(1e-9))).cast("int")
+    pref = sets.select(
+        "id", "n",
+        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos", "shingle"))
+    pa = pref.select(F.col("id").alias("id_a"), F.col("n").alias("na"),
+                     (F.col("pos") + 1).alias("rka"), "shingle")
+    pb = pref.select(F.col("id").alias("id_b"), F.col("n").alias("nb"),
+                     (F.col("pos") + 1).alias("rkb"),
+                     F.col("shingle").alias("shb"))
+    # PPJoin length + positional filters, both sound lower-bound forms:
+    # a true pair needs c >= ceil(t/(1+t)*(na+nb)) shared shingles, so
+    # (a) sizes must satisfy t*na <= nb (and symmetrically), and (b) the
+    # suffix past the FIRST shared prefix shingle must still be able to
+    # hold c_min matches.  Any-instance-passes is sound because the first
+    # shared instance carries the loosest bound.
+    cmin = F.ceil(F.lit(threshold / (1.0 + threshold))
+                  * (F.col("na") + F.col("nb")) - F.lit(1e-9))
+    cand = (pa.join(pb,
+                    (F.col("shingle") == F.col("shb"))
+                    & (F.col("id_a") < F.col("id_b"))
+                    & (F.col("nb") >= F.lit(threshold) * F.col("na"))
+                    & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+                    & (F.lit(1) + F.least(F.col("na") - F.col("rka"),
+                                          F.col("nb") - F.col("rkb"))
+                       >= cmin))
+            .select("id_a", "id_b")
+            .distinct())
+    paired = (cand
+              .join(sets.select(F.col("id").alias("id_a"),
+                                F.col("arr").alias("arr_a"),
+                                F.col("n").alias("na")), "id_a")
+              .join(sets.select(F.col("id").alias("id_b"),
+                                F.col("arr").alias("arr_b"),
+                                F.col("n").alias("nb")), "id_b"))
+    c = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    return (paired
             .withColumn("jaccard",
-                        F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
+                        F.round(c / (F.col("na") + F.col("nb") - c), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

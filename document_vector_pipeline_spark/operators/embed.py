@@ -60,6 +60,7 @@ def make_embed_udf(dim: int):
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
         import hashlib as _hashlib
+        import itertools as _it
 
         import numpy as _np
         import pandas as _pd
@@ -78,18 +79,31 @@ def make_embed_udf(dim: int):
                     memo[w] = bs
             return bs
 
-        out = []
-        for t in texts:
-            vec = _np.zeros(dim, dtype=_np.float32)
-            if t:
-                for w in t.split():
-                    bucket, sign = tok(w)
-                    vec[bucket] += sign
-            n = float(_np.linalg.norm(vec))
-            if n > 0:
-                vec /= n
-            out.append(vec)
-        return _pd.Series(out)
+        # Whole-batch vectorized path: one flat token stream for the Arrow
+        # batch, md5 only per DISTINCT token (factorize), one np.add.at
+        # scatter for every (row, bucket) update.  add.at applies updates
+        # in stream order, so the float32 accumulation is bit-identical to
+        # the per-row loop it replaces.
+        lists = [t.split() if t else [] for t in texts]
+        n_rows = len(lists)
+        mat = _np.zeros((n_rows, dim), dtype=_np.float32)
+        flat = _np.array(list(_it.chain.from_iterable(lists)), dtype=object)
+        if flat.size:
+            lens = _np.fromiter((len(x) for x in lists), dtype=_np.int64,
+                                count=n_rows)
+            rows = _np.repeat(_np.arange(n_rows), lens)
+            codes, uniques = _pd.factorize(flat)
+            bs = [tok(w) for w in uniques]
+            buckets = _np.fromiter((b for b, _ in bs), dtype=_np.int64,
+                                   count=len(bs))
+            signs = _np.fromiter((s for _, s in bs), dtype=_np.float32,
+                                 count=len(bs))
+            _np.add.at(mat, (rows, buckets[codes]), signs[codes])
+        # norms in float64, matching float(np.linalg.norm(vec)) per row
+        norms = _np.sqrt((mat.astype(_np.float64) ** 2).sum(axis=1))
+        nz = norms > 0
+        mat[nz] = (mat[nz] / norms[nz, None]).astype(_np.float32)
+        return _pd.Series(list(mat))
 
     return embed
 

@@ -96,11 +96,15 @@ class VectorStore:
         )
 
     def _overwrite_buckets(self, merged: DataFrame) -> None:
+        # snappy, not the session-default zstd: the 1536-dim float arrays
+        # dominate the bytes and zstd spends ~2x the write time for a few
+        # MB saved; snappy keeps the encode CPU off the ingest hot path
         (merged
          .repartition("bucket")
          .write
          .partitionBy("bucket")
          .option("partitionOverwriteMode", "dynamic")
+         .option("compression", "snappy")
          .mode("overwrite")
          .parquet(self.path))
 
@@ -130,6 +134,7 @@ class VectorStore:
          .repartition("bucket")
          .write
          .partitionBy("bucket")
+         .option("compression", "snappy")
          .mode("append")
          .parquet(self.path))
 
