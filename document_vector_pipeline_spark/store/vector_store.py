@@ -234,7 +234,10 @@ class VectorStore:
                 (F.col("bucket") == self._bucket(F.lit(document_url)))
                 & (F.col("document_url") == document_url))
         qd = [float(v) for v in query_vector]
-        q = F.array(*[F.lit(v) for v in qd])
+        # ONE array Literal node (F.lit on the list), not dim nested
+        # F.lit()/F.array() calls — at dims=1536 building and optimizing
+        # the giant expression tree cost more driver time than the scan
+        q = F.lit(qd)
         # zip_with null-pads on length mismatch → silent null scores; make
         # a dimension mismatch a loud, named error instead.
         df = df.withColumn(
@@ -246,7 +249,7 @@ class VectorStore:
                  F.lit(" != stored embedding dimension "),
                  F.size("embedding").cast("string")))))
         if quantized:
-            qq = F.array(*[F.lit(v) for v in py_quantize_int8(qd)])
+            qq = F.lit(list(py_quantize_int8(qd)))
             idot = F.aggregate(
                 F.zip_with(F.col("embedding_q8"), qq,
                            lambda x, y: x.cast("int") * y),
