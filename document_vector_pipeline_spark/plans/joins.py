@@ -15,12 +15,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit positions from ONE md5 evaluation: disjoint 8-hex-digit
-    windows of the digest, each mod m_bits (md5 bits are independent, so
-    slicing one digest equals k independent hashes at a third of the
-    per-row hashing cost; k*8 <= 32 hex digits caps k at 4)."""
-    h = F.md5(key.cast("string"))
-    return [F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
+    """k bit positions from ONE xxhash64 evaluation: disjoint 21-bit
+    windows of the 64-bit hash, each mod m_bits.  The bitmap hash needs
+    no cross-engine contract (bloom false positives are removed by the
+    exact join that follows), so the cheapest JVM-native hash wins —
+    xxhash64 is a single codegen'd long op vs md5's string digest.
+    21*k <= 63 caps k at 3; m_bits must stay <= 2^21."""
+    if k * 21 > 63 or m_bits > (1 << 21):
+        raise ValueError("k <= 3 and m_bits <= 2^21 with one xxhash64")
+    h = F.xxhash64(key)
+    return [F.shiftrightunsigned(h, 21 * i)
+            .bitwiseAND(F.lit((1 << 21) - 1)) % m_bits
             for i in range(k)]
 
 
@@ -31,8 +36,7 @@ _POW2 = [1 << i for i in range(_WORD_BITS)]
 
 
 def _mask(p: Column) -> Column:
-    return F.element_at(F.array(*[F.lit(v) for v in _POW2]),
-                        (p % _WORD_BITS).cast("int") + 1)
+    return F.element_at(F.lit(_POW2), (p % _WORD_BITS).cast("int") + 1)
 
 
 def bloom_bitmap(build: DataFrame, key_col: str,
@@ -56,7 +60,7 @@ def bloom_bitmap(build: DataFrame, key_col: str,
 def bloom_might_contain(key: Column, bitmap: list[int],
                         m_bits: int, k: int) -> Column:
     """Map-side membership test: all k bits set in the literal bitmap."""
-    words = F.array(*[F.lit(wd) for wd in bitmap])
+    words = F.lit(list(bitmap))
     cond = F.lit(True)
     for p in _positions(key, m_bits, k):
         word = F.element_at(words, (p / _WORD_BITS).cast("int") + 1)
