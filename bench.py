@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from document_vector_pipeline_spark import PipelineConfig, get_spark  # noqa: E402
 from document_vector_pipeline_spark.contract import QVEC, _doc_url  # noqa: E402
 from document_vector_pipeline_spark.operators import (  # noqa: E402
+    corpus,
     dedup,
     similarity,
     textstats,
@@ -124,7 +125,13 @@ def main() -> None:
 
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
+    bench("vector_topk_filtered",
+          lambda: store.search(qvec1536, k=5,
+                               document_url="mem://docs/9.txt"))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
+    bench("text_bigrams", lambda: textstats.top_bigrams(docs))
+    bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
+    bench("stream_topk_windowed", lambda: sev.windowed_top_users(ev))
     bench("stream_windowed", lambda: sev.windowed_event_counts(ev))
     bench("stream_sliding", lambda: sev.sliding_event_counts(ev))
     bench("stream_sessionize", lambda: sev.sessionize(ev))
@@ -164,7 +171,6 @@ def main() -> None:
     bench("events_rollup", lambda: temporal.rollup_events(ev))
     bench("hypertable_rollup", lambda: temporal.hypertable_rollup(ev))
 
-    from document_vector_pipeline_spark.operators import corpus
     bench("q9_profit", lambda: analytics.q9_profit(
         t["lineitem"], t["orders"], t["part"], t["supplier"], t["nation"]))
     bench("q21_waiting", lambda: analytics.q21_waiting_suppliers(

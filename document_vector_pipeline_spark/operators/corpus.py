@@ -245,3 +245,53 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
                  F.min("v").alias("min_s"),
                  F.max("v").alias("max_s"))
             .orderBy("column"))
+
+
+def quality_filters(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_words: int = 20, max_words: int = 100_000,
+                    min_mean_len: float = 2.0,
+                    max_mean_len: float = 12.0,
+                    min_stop_hits: int = 2) -> DataFrame:
+    """Gopher/C4-style quality-filter battery (Rae et al. 2021 §A1.1,
+    Raffel et al. 2020 §2.2): per-document word count, mean word length,
+    symbol ratio, digit ratio and English stopword hits, plus the boolean
+    verdict the curation pipeline filters on.
+
+    Everything is exact integer counting + one guarded ratio rounded at
+    6 dp, so the verdict is bit-stable across engines and partitionings.
+    Map-only (zero shuffle): at 100 TB this runs at scan speed as the
+    first pass of corpus curation."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
+                     lambda w: w != F.lit(""))
+
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    en_stops = list(__import__(
+        "document_vector_pipeline_spark.functions.text",
+        fromlist=["STOPWORDS"]).STOPWORDS["en"])
+    out = docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).alias("n_word_chars"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+         .cast("long").alias("n_symbols"),
+        F.length(F.regexp_replace(t, r"[^0-9]", ""))
+         .cast("long").alias("n_digits"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.filter(words, lambda w: w.isin(en_stops)))
+         .cast("long").alias("stop_hits"))
+    mean_len = ratio(F.col("n_word_chars"), F.col("n_words"))
+    out = out.select(
+        id_col, "n_words",
+        mean_len.alias("mean_word_len"),
+        ratio(F.col("n_symbols"), F.col("n_chars")).alias("symbol_ratio"),
+        ratio(F.col("n_digits"), F.col("n_chars")).alias("digit_ratio"),
+        "stop_hits",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+         & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+         & (F.col("stop_hits") >= min_stop_hits)).alias("passes"))
+    return out.orderBy(id_col)

@@ -132,3 +132,31 @@ def document_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(X.rolling_fingerprints(F.col(text_col), window))
          .alias("fingerprint")))
+
+
+def top_bigrams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", topk: int = 30) -> DataFrame:
+    """Corpus-wide top-``topk`` word bigrams: (bigram, tf, df) with tf =
+    total occurrences, df = distinct documents.  The bigram array is built
+    map-side from ONE tokenize pass (bound once — see functions/expr.py),
+    so the single shuffle carries (bigram, doc_id) pairs; the top-k cut is
+    deterministic on (tf desc, bigram)."""
+    from document_vector_pipeline_spark.functions.expr import bound
+
+    words_expr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                          lambda w: w != F.lit(""))
+
+    def bigrams(words):
+        n = F.size(words)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)))
+
+    tok = (docs.select(F.col(id_col).alias("__doc"),
+                       F.explode(bound(words_expr, bigrams)).alias("bigram")))
+    return (tok.groupBy("bigram")
+            .agg(F.count("*").alias("tf"),
+                 F.count_distinct("__doc").alias("df"))
+            .orderBy(F.desc("tf"), "bigram")
+            .limit(topk))

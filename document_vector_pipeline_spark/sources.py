@@ -147,3 +147,17 @@ def write_bucketed(df: DataFrame, spark: SparkSession, table: str,
      .mode("overwrite")
      .format("parquet")
      .saveAsTable(table))
+
+
+def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
+    """Hive-style partitioned parquet sink (dir per partition value).
+    Reads that filter on the partition columns prune whole directories —
+    the layout choice that turns a 100 TB scan into a per-partition scan
+    (verified via inputFiles in tests/test_sources_partitioned.py)."""
+    df.write.partitionBy(*part_cols).mode("overwrite").parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned parquet dataset; partition columns come back as
+    directory-derived columns and filters on them prune at planning time."""
+    return spark.read.parquet(path)

@@ -200,3 +200,28 @@ def daily_type_pivot(events: DataFrame,
             .count()
             .na.fill(0, list(types))
             .orderBy("day"))
+
+
+def windowed_top_users(events: DataFrame, window: str = "1 hour",
+                       n: int = 3) -> DataFrame:
+    """Per tumbling window, the top-``n`` users by event count (ties by
+    user_id): the classic "trending keys per window" stream analytic.
+
+    Batch mode (this definition) is the oracle-checked twin.  In streaming
+    this runs as the standard two-step: the windowed groupBy is a normal
+    watermarked streaming aggregation, and the per-window rank cut runs in
+    ``foreachBatch`` on each emitted window (rank-within-group is not
+    incrementally maintainable in append mode, so the cut belongs at the
+    sink boundary — the same shape Flink's windowed Top-N uses)."""
+    from pyspark.sql import Window as W
+
+    agg = (events.groupBy(F.window("ts", window).alias("w"),
+                          F.col("user_id"))
+           .agg(F.count("*").alias("n_events"),
+                money_sum(F.col("value"), 2).alias("total_value")))
+    w = W.partitionBy("w").orderBy(F.desc("n_events"), "user_id")
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("rank").cast("int").alias("rank"),
+                    "user_id", "n_events", "total_value"))

@@ -1,0 +1,66 @@
+"""Unit tests for quality_filters, top_bigrams, windowed_top_users and the
+filtered vector search."""
+
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import corpus, textstats
+from document_vector_pipeline_spark.streaming import events as sev
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_filters_hand_computed(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is that for sure ok " * 3),
+        (2, "x"),                       # 1 word -> fails min_words
+        (3, "1234 5678 " * 30),         # no stopwords -> fails stop_hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           corpus.quality_filters(df, min_words=10).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["n_words"] == 1 and out[2]["passes"] is False
+    assert out[3]["stop_hits"] == 0 and out[3]["passes"] is False
+    assert out[3]["digit_ratio"] > 0.5
+
+
+def test_quality_filters_map_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = corpus.quality_filters(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the battery itself must not shuffle (the orderBy at the end is the
+    # only exchange allowed)
+    assert plan.count("Exchange") <= 1
+
+
+def test_top_bigrams_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string")
+    rows = textstats.top_bigrams(df, topk=2).collect()
+    assert (rows[0]["bigram"], rows[0]["tf"], rows[0]["df"]) == ("a b", 3, 2)
+
+
+def test_windowed_top_users_rank_bound(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sev.windowed_top_users(ev, n=3)
+    assert out.filter(F.col("rank") > 3).count() == 0
+    # exactly one rank-1 row per emitted window
+    r1 = out.filter(F.col("rank") == 1).groupBy("window_start").count()
+    assert r1.filter(F.col("count") != 1).count() == 0
+
+
+def test_filtered_search_matches_full_rank(spark, tmp_path):
+    from document_vector_pipeline_spark.contract import (
+        QVEC, _doc_url, _store_chunks)
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = VectorStore(spark, str(tmp_path / "store"))
+    store.upsert(_store_chunks(docs))
+    url = "mem://docs/9.txt"
+    got = store.search(QVEC, k=5, document_url=url).collect()
+    assert [r["document_url"] for r in got] == [url]
+    # same row the unfiltered ranking produces for that document
+    full = {r["document_url"]: r["score"]
+            for r in store.search(QVEC, k=10_000).collect()}
+    assert got[0]["score"] == full[url]
