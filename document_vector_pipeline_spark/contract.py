@@ -254,7 +254,10 @@ def _fresh_store(spark: SparkSession, name: str) -> VectorStore:
     path = os.path.join(SCRATCH, name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(SCRATCH, exist_ok=True)
-    return VectorStore(spark, path)
+    # 8 buckets, not the 64 production default: at oracle scale (500-5000
+    # docs) 64 bucket directories are pure small-file overhead, and the
+    # bucket id never appears in an oracle-compared column
+    return VectorStore(spark, path, PipelineConfig(store_buckets=8))
 
 
 def _store_sql_cte() -> str:
