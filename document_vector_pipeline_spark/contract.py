@@ -839,6 +839,15 @@ def q_source_partitioned(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup removal: MinHash pairs -> clusters -> min-id
+    survivor per cluster -> corpus anti-joined against the losers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (dedup.neardup_dedup(docs)
+            .select("doc_id", F.md5("text").alias("digest"))
+            .orderBy("doc_id"))
+
+
 def q_source_jsonl(spark, sf_dir):
     """documents → JSONL sink → JSONL source: the digest proves the
     round-trip is byte-lossless (newlines, quotes, unicode all survive
@@ -2126,6 +2135,31 @@ from documents where lang = 'en' order by doc_id
 """
 
 
+def _sql_dedup_pipeline() -> str:
+    return f"""
+with recursive {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+edges as (
+  select id_a as n, id_b as m from pairs
+  union all
+  select id_b as n, id_a as m from pairs),
+reach as (
+  select n, m from edges
+  union
+  select r.n, e.m from reach r join edges e on r.m = e.n),
+comp as (
+  select n as id, least(n, min(m)) as component
+  from reach group by n)
+select doc_id, md5(text) as digest
+from documents
+where doc_id not in (select id from comp where id <> component)
+order by doc_id
+"""
+
+
 def _sql_source_roundtrip() -> str:
     return """
 select doc_id, lang, source, cast(n_chars as bigint) as n_chars,
@@ -2720,6 +2754,7 @@ def queries():
     # stopped after the first 50 keys in round 1, so rotate coverage
     # so every key gets a driver-recorded oracle verdict.
     return {
+        "dedup_pipeline": q_dedup_pipeline,
         "vector_topk_filtered": q_vector_topk_filtered,
         "corpus_qualityfilter": q_corpus_qualityfilter,
         "text_bigrams": q_text_bigrams,
@@ -2918,6 +2953,7 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),
         "text_bigrams": _sql_text_bigrams(),

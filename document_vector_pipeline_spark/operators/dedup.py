@@ -457,3 +457,28 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .withColumn("cos", F.round(dot_product(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+# ---- end-to-end near-dup removal ------------------------------------------
+
+def neardup_dedup(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The full curation step the pair detectors exist for: MinHash-LSH
+    candidate pairs -> connected components -> keep the min-id survivor of
+    every near-dup cluster -> corpus with the other cluster members
+    dropped (docs in no pair survive untouched).
+
+    One LSH band-join produces the pair graph, label propagation resolves
+    clusters in O(diameter) rounds, and the final cut is a LEFT ANTI join
+    of the corpus against the (tiny) loser set — the corpus itself is
+    never shuffled, only scanned.  This is the composition to run at
+    100 TB: detectors feed a graph, the graph feeds one anti join."""
+    from document_vector_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col)
+    comp = connected_components(pairs)
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")

@@ -113,3 +113,20 @@ def test_embedding_prefilter_equals_exact(spark):
             D.embedding_neardup_pairs(emb, threshold=0.35,
                                       prefilter=False).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_neardup_dedup_keeps_min_id_per_cluster(spark):
+    from document_vector_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(1, base), (2, base + " tail"), (3, "completely different text "
+                                                "about spark engines " * 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs  # near-dups collide in >=1 band
+    kept = {r["doc_id"] for r in neardup_dedup(df).collect()}
+    assert kept == {1, 3}
