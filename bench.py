@@ -127,6 +127,7 @@ def main() -> None:
         ivf.build(emb)
         return spark.read.parquet(ivf._cells)
 
+    bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_topk_filtered",

@@ -839,6 +839,13 @@ def q_source_partitioned(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """recall@10 of the LSH index vs the exact cosine ranking, per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, _queries_df(emb), k=10,
+                                 planes=8, tables=4, dim=64)
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup removal: MinHash pairs -> clusters -> min-id
     survivor per cluster -> corpus anti-joined against the losers."""
@@ -2135,6 +2142,18 @@ from documents where lang = 'en' order by doc_id
 """
 
 
+def _sql_ann_recall(k: int = 10) -> str:
+    return f"""
+select bf.query_id, cast(count(l.vec_id) as bigint) as n_hits,
+       round(count(l.vec_id) / {k}, 6) as recall
+from ({_sql_ann_bruteforce()}) bf
+left join ({_sql_ann_lsh()}) l
+  on l.query_id = bf.query_id and l.vec_id = bf.vec_id
+group by bf.query_id
+order by bf.query_id
+"""
+
+
 def _sql_dedup_pipeline() -> str:
     return f"""
 with recursive {_minhash_ctes()},
@@ -2754,6 +2773,7 @@ def queries():
     # stopped after the first 50 keys in round 1, so rotate coverage
     # so every key gets a driver-recorded oracle verdict.
     return {
+        "ann_recall": q_ann_recall,
         "dedup_pipeline": q_dedup_pipeline,
         "vector_topk_filtered": q_vector_topk_filtered,
         "corpus_qualityfilter": q_corpus_qualityfilter,
@@ -2953,6 +2973,7 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "ann_recall": _sql_ann_recall(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

@@ -401,3 +401,23 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
                     F.round(F.col("s6") / (F.col("n") * 1e6), 6)
                      .alias("centroid"))
             .orderBy("label", "dim"))
+
+
+def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               **lsh_kwargs) -> DataFrame:
+    """Measured recall@k of the LSH index against the exact ranking:
+    per query, how many of the true cosine top-k the bucketed search
+    returned.  This is the acceptance metric an approximate index ships
+    with — recall is a property you measure, not assume.  Both sides are
+    deterministic, so the metric itself is oracle-exact."""
+    exact = brute_force_topk(corpus, queries, k=k).alias("e")
+    approx = lsh_ann(corpus, queries, k=k, **lsh_kwargs).alias("a")
+    hits = exact.join(
+        approx,
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.vec_id") == F.col("a.vec_id")), "left")
+    return (hits.groupBy(F.col("e.query_id").alias("query_id"))
+            .agg(F.count(F.col("a.vec_id")).cast("long").alias("n_hits"))
+            .select("query_id", "n_hits",
+                    F.round(F.col("n_hits") / k, 6).alias("recall"))
+            .orderBy("query_id"))
