@@ -135,6 +135,7 @@ def main() -> None:
                                document_url="mem://docs/9.txt"))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_bigrams", lambda: textstats.top_bigrams(docs))
+    bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
     bench("stream_topk_windowed", lambda: sev.windowed_top_users(ev))
     bench("stream_windowed", lambda: sev.windowed_event_counts(ev))

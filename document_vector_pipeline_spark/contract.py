@@ -839,6 +839,23 @@ def q_source_partitioned(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_text_domains(spark, sf_dir):
+    """URL-domain inventory + blocklist verdict over documents with
+    deterministic synthetic links appended (the corpus itself is URL-free,
+    so the injection is what proves the extraction end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" see https://www.Site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org/x and http://"),
+                 F.when(F.col("doc_id") % 5 == 0, F.lit("spam.example"))
+                  .otherwise(F.concat(F.lit("host"), sid, F.lit(".net"))),
+                 F.lit("/y")).alias("text"))
+    return textstats.doc_domains(injected)
+
+
 def q_ann_recall(spark, sf_dir):
     """recall@10 of the LSH index vs the exact cosine ranking, per query."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2142,6 +2159,29 @@ from documents where lang = 'en' order by doc_id
 """
 
 
+def _sql_text_domains() -> str:
+    return """
+with injected as (
+  select doc_id,
+         text || ' see https://www.Site' || cast(doc_id % 7 as varchar)
+              || '.org/x and http://'
+              || case when doc_id % 5 = 0 then 'spam.example'
+                      else 'host' || cast(doc_id as varchar) || '.net' end
+              || '/y' as text
+  from documents),
+ex as (
+  select doc_id,
+         regexp_replace(lower(unnest(regexp_extract_all(
+             text, 'https?://([A-Za-z0-9.-]+)', 1))), '^www\.', '')
+           as domain
+  from injected)
+select doc_id, domain, cast(count(*) as bigint) as n_occurrences,
+       domain in ('spam.example', 'tracker.test') as blocked
+from ex group by doc_id, domain
+order by doc_id, domain
+"""
+
+
 def _sql_ann_recall(k: int = 10) -> str:
     return f"""
 select bf.query_id, cast(count(l.vec_id) as bigint) as n_hits,
@@ -2773,6 +2813,7 @@ def queries():
     # stopped after the first 50 keys in round 1, so rotate coverage
     # so every key gets a driver-recorded oracle verdict.
     return {
+        "text_domains": q_text_domains,
         "ann_recall": q_ann_recall,
         "dedup_pipeline": q_dedup_pipeline,
         "vector_topk_filtered": q_vector_topk_filtered,
@@ -2973,6 +3014,7 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "text_domains": _sql_text_domains(),
         "ann_recall": _sql_ann_recall(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),

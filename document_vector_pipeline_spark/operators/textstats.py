@@ -160,3 +160,26 @@ def top_bigrams(docs: DataFrame, id_col: str = "doc_id",
                  F.count_distinct("__doc").alias("df"))
             .orderBy(F.desc("tf"), "bigram")
             .limit(topk))
+
+
+def doc_domains(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                blocklist: tuple = ("spam.example", "tracker.test")) -> DataFrame:
+    """Per-document URL domain inventory with a blocklist verdict: one row
+    per distinct (doc, domain) with its occurrence count and whether the
+    domain is blocklisted — the inputs to domain-level corpus filtering
+    (blocklists, per-domain caps, domain mixture stats).
+
+    Map-side regexp extraction + one explode; the only shuffle is the
+    (doc, domain) count.  The domain normalization (lowercase, strip
+    leading www.) is the same regex in both engines."""
+    doms = F.transform(
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(r"https?://([A-Za-z0-9.-]+)"), 1),
+        lambda d: F.regexp_replace(F.lower(d), "^www\\.", ""))
+    ex = docs.select(F.col(id_col), F.explode(doms).alias("domain"))
+    return (ex.groupBy(id_col, "domain")
+            .agg(F.count("*").cast("long").alias("n_occurrences"))
+            .withColumn("blocked",
+                        F.col("domain").isin(*blocklist))
+            .orderBy(id_col, "domain"))
