@@ -130,6 +130,12 @@ def main() -> None:
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
+    bench("vector_search_batch",
+          lambda: store.search_many(
+              qdf.select("query_id",
+                         F.concat(F.col("query_vec"),
+                                  F.array_repeat(F.lit(0.0), 1536 - 64))
+                         .alias("query_vec")), k=10))
     bench("vector_topk_filtered",
           lambda: store.search(qvec1536, k=5,
                                document_url="mem://docs/9.txt"))

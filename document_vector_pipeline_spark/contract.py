@@ -839,6 +839,34 @@ def q_source_partitioned(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_vector_search_batch(spark, sf_dir):
+    """Batch vector search: 5 queries answered by ONE broadcast-join plan
+    over a single store scan (the reference issues one VectorDistance
+    call per query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _fresh_store(spark, "store_search_batch")
+    store.upsert(_store_chunks(docs))
+    return store.search_many(_queries_df(emb), k=5)
+
+
+def q_store_reembed(spark, sf_dir):
+    """Embedding-model migration: rebuild every stored embedding from
+    chunk_text at dims=32 and rewrite the store in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = _fresh_store(spark, "store_reembed")
+    store.upsert(_store_chunks(docs))
+    store.reembed(
+        lambda c: hash_embedding_expr(c, 32).cast("array<float>"))
+    l1 = F.aggregate(F.transform(F.col("embedding"),
+                                 lambda v: F.abs(v).cast("int")),
+                     F.lit(0), lambda acc, v: acc + v)
+    return (store.read()
+            .select("id", "document_url", F.size("embedding").alias("emb_dim"),
+                    l1.alias("emb_l1"))
+            .orderBy("document_url", "id"))
+
+
 def q_text_domains(spark, sf_dir):
     """URL-domain inventory + blocklist verdict over documents with
     deterministic synthetic links appended (the corpus itself is URL-free,
@@ -2159,6 +2187,38 @@ from documents where lang = 'en' order by doc_id
 """
 
 
+def _sql_vector_search_batch(k: int = 5) -> str:
+    dot = _dot("e.emb", "q.qv", STORE_DIM)
+    return f"""
+with {_store_sql_cte()},
+q0 as (select vec_id as query_id, {_EMB_D} as qv from embeddings
+       where vec_id < 5),
+q as (select query_id, qv, sqrt({_ss('qv', STORE_DIM)}) as qnrm from q0),
+s as (select q.query_id, e.document_url,
+             round(case when (e.nrm * q.qnrm) = 0 then 0.0
+                        else ({dot}) / (e.nrm * q.qnrm) end, 6) as score
+      from e cross join q),
+r as (select *, cast(row_number() over
+        (partition by query_id
+         order by score desc, document_url) as int) as rank
+      from s)
+select query_id, rank, '0' as id, document_url, score
+from r where rank <= {k}
+"""
+
+
+def _sql_store_reembed(dim: int = 32) -> str:
+    return f"""
+with d as materialized (
+  select doc_id, {_URL_SQL} as document_url,
+         {_emb_sql(dim, _norm_text('text'))} as emb
+  from documents)
+select '0' as id, document_url, cast({dim} as int) as emb_dim,
+       cast(list_sum(list_transform(emb, x -> abs(x))) as int) as emb_l1
+from d order by document_url, id
+"""
+
+
 def _sql_text_domains() -> str:
     return """
 with injected as (
@@ -2813,6 +2873,8 @@ def queries():
     # stopped after the first 50 keys in round 1, so rotate coverage
     # so every key gets a driver-recorded oracle verdict.
     return {
+        "vector_search_batch": q_vector_search_batch,
+        "store_reembed": q_store_reembed,
         "text_domains": q_text_domains,
         "ann_recall": q_ann_recall,
         "dedup_pipeline": q_dedup_pipeline,
@@ -3014,6 +3076,8 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "vector_search_batch": _sql_vector_search_batch(),
+        "store_reembed": _sql_store_reembed(),
         "text_domains": _sql_text_domains(),
         "ann_recall": _sql_ann_recall(),
         "dedup_pipeline": _sql_dedup_pipeline(),

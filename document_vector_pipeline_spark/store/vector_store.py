@@ -269,3 +269,54 @@ class VectorStore:
                   .limit(k)
                   .select("id", "document_url", "chunk_text", "page_number",
                           "score"))
+
+
+    def search_many(self, queries: DataFrame, k: int = 10,
+                    qid_col: str = "query_id",
+                    qvec_col: str = "query_vec") -> DataFrame:
+        """Batch cosine top-k: every query in ``queries`` answered in ONE
+        plan — broadcast the query set over the store scan, score each
+        (row, query) pair with the stored norm, rank per query.
+
+        The reference answers one VectorDistance query per REST call
+        (CosmosDBClientWrapper.cs:117-146); expressing the batch as a
+        single broadcast join + window is the Spark-native win: the store
+        is scanned once for N queries instead of N times, and the scan
+        parallelism is the cluster's, not the caller's loop."""
+        from pyspark.sql import Window
+
+        df = self.read()
+        q = (queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.transform(F.col(qvec_col), lambda v: v.cast("double"))
+             .alias("__qv")))
+        q = q.withColumn("__qnorm", l2_norm(F.col("__qv")))
+        ad = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        denom = F.col("embedding_norm") * F.col("__qnorm")
+        score = F.round(
+            F.when(denom == 0, F.lit(0.0))
+             .otherwise(dot(ad, F.col("__qv")) / denom), 6)
+        w = Window.partitionBy("__qid").orderBy(
+            F.desc("score"), "document_url", "id")
+        return (df.crossJoin(F.broadcast(q))
+                .withColumn("score", score)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(F.col("__qid").alias("query_id"),
+                        F.col("rank").cast("int").alias("rank"),
+                        "id", "document_url", "score"))
+
+    def reembed(self, embed_col_fn) -> None:
+        """Embedding-model migration: recompute every row's embedding from
+        its stored chunk_text with ``embed_col_fn(chunk_text_col) ->
+        array`` and rewrite the store (q8 and norm re-derived too).  One
+        distributed read→map→write pass, no driver data movement — the
+        batch job a real vector store runs when the embedding model (or
+        dimension) changes."""
+        df = self.read()
+        chunks = df.select(
+            "document_url",
+            F.col("id").cast("int").alias("chunk_number"),
+            "chunk_text", "page_number",
+            embed_col_fn(F.col("chunk_text")).alias("embedding"))
+        self._overwrite_buckets(self._normalize(chunks))

@@ -109,3 +109,48 @@ def test_compact_merges_files_preserves_rows(spark, store):
     assert after_rows == before_rows
     assert all(n == 1 for n in files_after.values())
     assert files_after.keys() == files_before.keys()
+
+
+def test_search_many_matches_single_query_search(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.contract import (
+        QVEC, _store_chunks)
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = VectorStore(spark, str(tmp_path / "store_many"))
+    store.upsert(_store_chunks(docs))
+    qdf = spark.createDataFrame([(0, QVEC)],
+                                "query_id long, query_vec array<double>")
+    many = store.search_many(qdf, k=5).collect()
+    single = store.search(QVEC, k=5).collect()
+    assert [(r["id"], r["document_url"], r["score"]) for r in many] == \
+           [(r["id"], r["document_url"], r["score"]) for r in single]
+
+
+def test_reembed_changes_dim_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.contract import _store_chunks
+    from document_vector_pipeline_spark.operators.embed import (
+        hash_embedding_expr,
+    )
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = VectorStore(spark, str(tmp_path / "store_mig"))
+    store.upsert(_store_chunks(docs))
+    # materialize (collect) the pre-migration rows: a lazy DataFrame would
+    # re-scan files the migration replaces
+    before = sorted((r["document_url"], r["id"], r["chunk_text"]) for r in
+                    store.read().select("document_url", "id",
+                                        "chunk_text").collect())
+    store.reembed(lambda c: hash_embedding_expr(c, 32).cast("array<float>"))
+    after = store.read()
+    assert after.select(F.size("embedding").alias("d")) \
+                .distinct().collect()[0]["d"] == 32
+    # keys and text untouched by the migration
+    got = sorted((r["document_url"], r["id"], r["chunk_text"]) for r in
+                 after.select("document_url", "id", "chunk_text").collect())
+    assert got == before
