@@ -17,11 +17,23 @@ from document_vector_pipeline_spark.functions.expr import epoch_us
 from document_vector_pipeline_spark.plans.analytics import money_sum
 
 
+def _watermarked(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Streaming mode: cast the event-time column to TIMESTAMP (parquet
+    timestamps read as TIMESTAMP_NTZ in Spark 4, which withWatermark
+    rejects; the session timezone is pinned UTC so the instant is
+    unchanged) and attach the watermark.  Batch mode: pass-through — the
+    batch twin computes on the NTZ column directly."""
+    if not events.isStreaming:
+        return events
+    return (events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark))
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window counts/sums per event_type.  Late rows beyond the
     watermark are dropped in streaming mode; batch mode sees everything."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return (src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
             .agg(F.count("*").alias("n_events"),
                  money_sum(F.col("value"), 2).alias("total_value"))
@@ -36,7 +48,7 @@ def sliding_event_counts(events: DataFrame, window: str = "1 hour",
     """Sliding-window counts/sums per event_type: each event lands in
     window/slide overlapping windows (2 for the defaults).  Same dual
     stream/batch contract as windowed_event_counts."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return (src.groupBy(F.window("ts", window, slide).alias("w"),
                         F.col("event_type"))
             .agg(F.count("*").alias("n_events"),
@@ -50,7 +62,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                watermark: str = "2 hours") -> DataFrame:
     """Session windows per user: a session ends after `gap` of inactivity.
     Streaming uses session_window state; batch is the same expression."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return (src.groupBy(F.session_window("ts", gap).alias("s"),
                         F.col("user_id"))
             .agg(F.count("*").alias("n_events"),
@@ -94,8 +106,8 @@ def click_purchase_join(events: DataFrame, lookback: str = "1 hour",
                          F.col("event_id").alias("purchase_id"),
                          F.col("value").alias("purchase_value")))
     if events.isStreaming:
-        clicks = clicks.withWatermark("click_ts", watermark)
-        purchases = purchases.withWatermark("purchase_ts", watermark)
+        clicks = _watermarked(clicks, "click_ts", watermark)
+        purchases = _watermarked(purchases, "purchase_ts", watermark)
     cond = ((F.col("p_user") == F.col("c_user"))
             & (F.col("click_ts") <= F.col("purchase_ts"))
             & (F.col("click_ts")
@@ -156,7 +168,7 @@ def first_event_per_key(events: DataFrame, key: str = "user_id",
     asserted on the key set (tests/test_streaming.py); the deterministic
     batch twin is the oracle-checked contract entry."""
     if events.isStreaming:
-        return (events.withWatermark("ts", watermark)
+        return (_watermarked(events, "ts", watermark)
                 .dropDuplicatesWithinWatermark([key]))
     from pyspark.sql import Window
 
