@@ -1,0 +1,82 @@
+"""Property tests (hypothesis): invariants that must hold for ANY input,
+not just the testdata corpus (SURVEY.md §5).
+
+Each example builds a small batch of documents and runs the real Spark
+operators — examples are kept few (Spark jobs are the cost) but each one
+covers a batch of adversarial strings (empty, single word, whitespace
+runs, unicode, words longer than the chunk budget).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.config import PipelineConfig
+from document_vector_pipeline_spark.operators.chunk import chunk_documents
+from document_vector_pipeline_spark.operators.dedup import (
+    exact_dedup_survivors,
+)
+
+# words of 1-12 letters/digits, plus some unicode
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=12)
+DOC = st.lists(WORD, min_size=0, max_size=60).map(" ".join)
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+@SLOW
+@given(st.lists(DOC, min_size=1, max_size=12))
+def test_chunk_reassembly_all_modes(spark, texts):
+    """concat(chunk_texts) == whitespace-normalized original, every mode:
+    chunking must never lose, duplicate, or reorder words."""
+    df = _docs_df(spark, texts)
+    expected = {
+        r["doc_id"]: r["w"]
+        for r in df.select(
+            "doc_id",
+            F.array_join(F.filter(F.split(F.trim("text"), r"\s+"),
+                                  lambda w: w != F.lit("")), " ").alias("w")
+        ).collect()}
+    for mode, cfg in (
+        ("tokens", PipelineConfig(max_tokens_per_chunk=7)),
+        ("chars", PipelineConfig(char_chunk_size=16)),
+        ("words", PipelineConfig(max_word_count=5)),
+    ):
+        chunks = chunk_documents(df, mode=mode, cfg=cfg)
+        got = {
+            r["doc_id"]: r["t"]
+            for r in (chunks.orderBy("doc_id", "chunk_number")
+                      .groupBy("doc_id")
+                      .agg(F.array_join(
+                          F.collect_list("chunk_text"), " ").alias("t"))
+                      .collect())}
+        for d, w in expected.items():
+            assert got.get(d, "") == w, (mode, d)
+
+
+@SLOW
+@given(st.lists(DOC, min_size=1, max_size=12))
+def test_exact_dedup_idempotent_and_total(spark, texts):
+    """dedup(dedup(x)) == dedup(x); survivors have distinct fingerprints
+    and every input fingerprint is represented."""
+    df = _docs_df(spark, texts)
+    s1 = exact_dedup_survivors(df)
+    rows1 = {(r["doc_id"], r["fingerprint"]) for r in s1.collect()}
+    # idempotence: running dedup on the survivors changes nothing
+    surv_docs = df.join(s1.select("doc_id"), "doc_id")
+    rows2 = {(r["doc_id"], r["fingerprint"])
+             for r in exact_dedup_survivors(surv_docs).collect()}
+    assert rows1 == rows2
+    # totality: every distinct fingerprint of the input survives exactly once
+    n_fp = (df.select(F.md5(F.array_join(
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda w: w != F.lit("")), " ")).alias("f"))
+            .distinct().count())
+    assert len({f for _, f in rows1}) == len(rows1) == n_fp
