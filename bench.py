@@ -90,6 +90,13 @@ def main() -> None:
     (ev.limit(512).groupBy("event_type").count()
      .join(F.broadcast(t["region"]), how="cross").count())
 
+    def _top_sessions(ev):
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("total_value"), "user_id", "session_start")
+        return (sev.sessionize(ev)
+                .withColumn("rank", F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= 20))
+
     timings: dict[str, float] = {}
 
     def bench(name, fn):
@@ -144,6 +151,7 @@ def main() -> None:
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
     bench("stream_topk_windowed", lambda: sev.windowed_top_users(ev))
+    bench("events_top_sessions", lambda: _top_sessions(ev))
     bench("stream_windowed", lambda: sev.windowed_event_counts(ev))
     bench("stream_sliding", lambda: sev.sliding_event_counts(ev))
     bench("stream_sessionize", lambda: sev.sessionize(ev))

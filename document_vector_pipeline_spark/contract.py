@@ -839,6 +839,33 @@ def q_source_partitioned(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_events_top_sessions(spark, sf_dir):
+    """Top-20 sessions by fixed-point total value (sessionize -> global
+    rank): the "most valuable visits" composition every session analytic
+    feeds.  Ties break on (user_id, session_start) for determinism."""
+    from pyspark.sql import Window
+
+    sess = sev.sessionize(load_table(spark, sf_dir, "events"))
+    w = Window.orderBy(F.desc("total_value"), "user_id", "session_start")
+    return (sess.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 20)
+            .select("rank", "user_id", "session_start", "n_events",
+                    "total_value"))
+
+
+def q_text_langid_eval(spark, sf_dir):
+    """Language-ID accuracy against the corpus's true lang labels: per
+    (true lang, guess) confusion cell with counts — the evaluation query
+    every heuristic classifier ships with."""
+    docs = load_table(spark, sf_dir, "documents")
+    guess = X.langid_struct(F.col("text"))["lang"]
+    return (docs.select(F.col("lang").alias("lang_true"),
+                        guess.alias("lang_guess"))
+            .groupBy("lang_true", "lang_guess")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("lang_true", "lang_guess"))
+
+
 def q_vector_search_batch(spark, sf_dir):
     """Batch vector search: 5 queries answered by ONE broadcast-join plan
     over a single store scan (the reference issues one VectorDistance
@@ -2187,6 +2214,53 @@ from documents where lang = 'en' order by doc_id
 """
 
 
+def _sql_events_top_sessions() -> str:
+    return f"""
+with e as (select user_id, cast(ts as timestamp) as ts, value from events),
+l as (select *, lag(ts) over (partition by user_id order by ts) as prev
+      from e),
+g as (select *, sum(case when prev is null
+                         or ts - prev >= interval 30 minutes
+                    then 1 else 0 end)
+             over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as sid
+      from l),
+s as (select user_id, min(ts) as session_start,
+             count(*) as n_events, {_money_sum_sql('value', 2)} as total_value
+      from g group by user_id, sid),
+r as (select *, cast(row_number() over
+        (order by total_value desc, user_id, session_start) as int) as rank
+      from s)
+select rank, user_id, session_start, n_events, total_value
+from r where rank <= 20
+"""
+
+
+def _sql_text_langid_eval() -> str:
+    langs = list(STOPWORDS)
+    hits = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hits.append(f"cast(len(list_filter(lw, x -> x in ({inlist}))) as int)"
+                    f" as h_{lang}")
+    guess_cases = []
+    for i, lang in enumerate(langs):
+        conds = " and ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1:])
+        cond = conds if conds else "true"
+        guess_cases.append(f"when {cond} then '{lang}'")
+    return f"""
+with l as materialized (
+  select doc_id, lang, {_toks('text', lower=True)} as lw from documents),
+h as (select doc_id, lang, {', '.join(hits)} from l),
+g as (select lang as lang_true,
+             case {' '.join(guess_cases)} end as lang_guess
+      from h)
+select lang_true, lang_guess, count(*) as n
+from g group by lang_true, lang_guess
+order by lang_true, lang_guess
+"""
+
+
 def _sql_vector_search_batch(k: int = 5) -> str:
     dot = _dot("e.emb", "q.qv", STORE_DIM)
     return f"""
@@ -2873,6 +2947,8 @@ def queries():
     # stopped after the first 50 keys in round 1, so rotate coverage
     # so every key gets a driver-recorded oracle verdict.
     return {
+        "events_top_sessions": q_events_top_sessions,
+        "text_langid_eval": q_text_langid_eval,
         "vector_search_batch": q_vector_search_batch,
         "store_reembed": q_store_reembed,
         "text_domains": q_text_domains,
@@ -3076,6 +3152,8 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "events_top_sessions": _sql_events_top_sessions(),
+        "text_langid_eval": _sql_text_langid_eval(),
         "vector_search_batch": _sql_vector_search_batch(),
         "store_reembed": _sql_store_reembed(),
         "text_domains": _sql_text_domains(),
