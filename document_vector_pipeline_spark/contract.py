@@ -839,6 +839,11 @@ def q_source_partitioned(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_percentiles(spark, sf_dir):
+    """Per-source document-length percentiles (exact rank selection)."""
+    return corpus.length_percentiles(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_top_sessions(spark, sf_dir):
     """Top-20 sessions by fixed-point total value (sessionize -> global
     rank): the "most valuable visits" composition every session analytic
@@ -2214,6 +2219,21 @@ from documents where lang = 'en' order by doc_id
 """
 
 
+def _sql_corpus_percentiles() -> str:
+    sel = ("max(case when rn = ((n-1)*{p})//100 + 1 then v end) as p{p}")
+    return f"""
+with r as (
+  select source, cast(n_chars as bigint) as v,
+         row_number() over (partition by source
+                            order by n_chars, doc_id) as rn,
+         count(*) over (partition by source) as n
+  from documents)
+select source, max(n) as n_docs,
+       {sel.format(p=50)}, {sel.format(p=90)}, {sel.format(p=99)}
+from r group by source order by source
+"""
+
+
 def _sql_events_top_sessions() -> str:
     return f"""
 with e as (select user_id, cast(ts as timestamp) as ts, value from events),
@@ -2947,6 +2967,7 @@ def queries():
     # stopped after the first 50 keys in round 1, so rotate coverage
     # so every key gets a driver-recorded oracle verdict.
     return {
+        "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
         "vector_search_batch": q_vector_search_batch,
@@ -3152,6 +3173,7 @@ from events group by user_id
         "sketch_kmv": _sql_sketch_kmv(),
         "sketch_cms": _sql_sketch_cms(),
         "sketch_histq": _sql_sketch_histq(),
+        "corpus_percentiles": _sql_corpus_percentiles(),
         "events_top_sessions": _sql_events_top_sessions(),
         "text_langid_eval": _sql_text_langid_eval(),
         "vector_search_batch": _sql_vector_search_batch(),

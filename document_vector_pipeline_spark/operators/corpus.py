@@ -295,3 +295,31 @@ def quality_filters(docs: DataFrame, id_col: str = "doc_id",
          & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
          & (F.col("stop_hits") >= min_stop_hits)).alias("passes"))
     return out.orderBy(id_col)
+
+
+def length_percentiles(docs: DataFrame, group_col: str = "source",
+                       value_col: str = "n_chars",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact per-group document-length percentiles (p50/p90/p99) by rank
+    selection — the corpus-profiling twin of the events percentile query:
+    idx_p = (n-1)·p in pure integer arithmetic, total order
+    (value, id), no interpolation, so both engines agree bit-for-bit.
+    One window pass + one partial-aggregated shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = docs.select(
+        group_col, F.col(value_col).cast("long").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n"))
+
+    def at(pct: int):
+        idx = ((F.col("n") - 1) * pct - ((F.col("n") - 1) * pct) % 100) / 100
+        return F.max(F.when(F.col("rn") == idx.cast("long") + 1,
+                            F.col("v")))
+
+    return (ranked.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 at(50).alias("p50"), at(90).alias("p90"),
+                 at(99).alias("p99"))
+            .orderBy(group_col))

@@ -199,3 +199,20 @@ def test_zorder_write_narrows_per_file_spans(spark, t, tmp_path):
     # random layout: every file spans ~the full domain in both dims;
     # z-order must cut the product of spans dramatically
     assert zu * zd < 0.35 * pu * pd_
+
+
+def test_search_many_broadcasts_queries_over_one_scan(spark, tmp_path):
+    from document_vector_pipeline_spark.contract import (
+        _queries_df, _store_chunks)
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = VectorStore(spark, str(tmp_path / "store_plan"))
+    store.upsert(_store_chunks(docs))
+    plan = (store.search_many(_queries_df(emb), k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # query set broadcast; exactly two parquet scans total (the store once
+    # + the query-set source once)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("FileScan parquet") <= 2
