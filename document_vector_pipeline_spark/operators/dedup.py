@@ -380,11 +380,19 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                                 F.col("arr").alias("arr_b"),
                                 F.col("n").alias("nb")), "id_b"))
     c = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
-    return (paired
-            .withColumn("jaccard",
-                        F.round(c / (F.col("na") + F.col("nb") - c), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    result = (paired
+              .withColumn("jaccard",
+                          F.round(c / (F.col("na") + F.col("nb") - c), 6))
+              .filter(F.col("jaccard") >= threshold)
+              .select("id_a", "id_b", "jaccard"))
+    # materialize the (small: pairs ≥ τ only) result eagerly so the big
+    # shingle-set cache can be released NOW instead of leaking for the
+    # session lifetime — repeated invocations (bench, contract sweeps)
+    # otherwise accumulate an O(corpus-shingles) block per call.  The
+    # checkpointed result blocks are O(output), the right thing to keep.
+    result = result.localCheckpoint(eager=True)
+    sets.unpersist()
+    return result
 
 
 # ---- 17. embedding cosine near-dup -------------------------------------------
@@ -392,24 +400,30 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
-                            prefilter: bool = True) -> DataFrame:
+                            prefilter: bool = True,
+                            n_blocks: int = 8) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cos ≥ τ), rounded 6 dp.
 
     Two stages:
-    1. PRUNE (sound): blocked numpy matmul of each corpus partition against
-       the broadcast normalized corpus matrix, keeping pairs with approx
-       cos ≥ τ − 1e-4.  The slack is ~11 orders of magnitude above float64
-       matmul error (dim ≤ 4096), so no true pair can be dropped; spurious
-       candidates are removed by stage 2.  O(n²) multiply-adds happen at
-       BLAS speed instead of one interpreted fold per pair.
+    1. PRUNE (sound, fully distributed): blocked all-pairs numpy matmul.
+       Rows hash into ``n_blocks`` blocks, each block is packed into one
+       row (collect_list of (id, vec) structs — an executor-side pack, the
+       driver never sees a vector), block i is replicated to every pair
+       (i, j ≥ i), and each block pair matmuls in its own task, keeping
+       pairs with approx cos ≥ τ − 1e-4.  The slack is ~11 orders of
+       magnitude above float64 matmul error (dim ≤ 4096), so no true pair
+       can be dropped; spurious candidates are removed by stage 2.  O(n²)
+       multiply-adds happen at BLAS speed across n_blocks(n_blocks+1)/2
+       independent tasks; shuffle volume is (n_blocks+1)/2 × corpus and
+       per-task memory is 2 blocks — size ``n_blocks`` so n/n_blocks rows
+       of dim floats fit an executor (at 100 TB: thousands of blocks, and
+       run a MinHash/LSH candidate pass first so the exact stage only sees
+       the near-dup-dense remainder).
     2. VERIFY (exact): the original normalize-then-join dot-product fold —
        bit-identical to the DuckDB oracle expression — evaluated only on
        the surviving candidates.
 
-    The broadcast corpus matrix bounds this exact verifier to corpora that
-    fit in executor memory (~10⁷ rows at dim 64); past that, prune with
-    similarity.lsh_ann / ann_ivf buckets instead and verify the same way
-    (``prefilter=False`` keeps the pure O(n²) JVM path for audit).
+    ``prefilter=False`` keeps the pure O(n²) JVM fold path for audit.
     """
     from document_vector_pipeline_spark.functions.vectors import normalize
 
@@ -422,35 +436,50 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     else:
         import numpy as np
 
-        rows = emb.select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("v")).collect()
-        ids = np.fromiter((r["id"] for r in rows), dtype=np.int64,
-                          count=len(rows))
-        m = np.array([r["v"] for r in rows], dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
-        bc = emb.sparkSession.sparkContext.broadcast((ids, mn))
         cut = threshold - 1e-4
+        packed = (emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                   F.lit(n_blocks)).cast("int").alias("b"))
+            .groupBy("b")
+            .agg(F.collect_list(F.struct("id", "v")).alias("rows")))
+        grid = (packed.select(
+            F.col("b").alias("bi"), F.col("rows").alias("rows_a"),
+            F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1)))
+             .alias("bj"))
+            .join(packed.select(F.col("b").alias("bj"),
+                                F.col("rows").alias("rows_b")), "bj")
+            # one block pair per task: the matmuls are the work, spread them
+            .repartition(n_blocks * (n_blocks + 1) // 2, "bi", "bj"))
+
+        def block_unpack(cell):
+            ids = np.fromiter((e["id"] for e in cell), dtype=np.int64,
+                              count=len(cell))
+            m = np.array([e["v"] for e in cell], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            return ids, m / norms[:, None]
 
         def candidates(batches):
             import pandas as pd
-            b_ids, b_mn = bc.value
             for pdf in batches:
-                if pdf.empty:
-                    continue
-                am = np.array(list(pdf["v"]), dtype=np.float64)
-                an = np.linalg.norm(am, axis=1)
-                an[an == 0] = 1.0
-                sims = (am / an[:, None]) @ b_mn.T            # (rows, n)
-                a_ids = pdf["id"].to_numpy()
-                ii, jj = np.nonzero((sims >= cut)
-                                    & (a_ids[:, None] < b_ids[None, :]))
-                yield pd.DataFrame({"id_a": a_ids[ii], "id_b": b_ids[jj]})
+                for t in pdf.itertuples(index=False):
+                    ids_a, ma = block_unpack(t.rows_a)
+                    ids_b, mb = block_unpack(t.rows_b)
+                    sims = ma @ mb.T                       # (|bi|, |bj|)
+                    mask = sims >= cut
+                    if t.bi == t.bj:
+                        # same block joins itself: strict < kills the
+                        # diagonal and emits each pair once
+                        mask &= ids_a[:, None] < ids_b[None, :]
+                    ii, jj = np.nonzero(mask)
+                    x, y = ids_a[ii], ids_b[jj]
+                    # blocks are disjoint, so cross-block pairs appear in
+                    # exactly one (bi, bj) cell — orient to id_a < id_b
+                    yield pd.DataFrame({"id_a": np.minimum(x, y),
+                                        "id_b": np.maximum(x, y)})
 
-        cand = (emb.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("v"))
-                .mapInPandas(candidates, "id_a long, id_b long"))
+        cand = grid.mapInPandas(candidates, "id_a long, id_b long")
         pairs = (cand.join(a, "id_a").join(b, "id_b")
                  .select("id_a", "id_b", "va", "vb"))
     return (pairs

@@ -157,11 +157,10 @@ class VectorStore:
                 kept.select("bucket").distinct().collect()}
         self._overwrite_buckets(kept)
         # buckets whose every row was deleted produce no output under
-        # dynamic overwrite; drop those stale directories explicitly.
-        import shutil
+        # dynamic overwrite; clear those stale directories through the
+        # engine (object-store-safe: no direct filesystem deletes).
         for b in set(buckets) - left:
-            shutil.rmtree(os.path.join(self.path, f"bucket={b}"),
-                          ignore_errors=True)
+            self._clear_bucket(b)
 
     def delete_document(self, document_url: str) -> None:
         """Blob-delete event: remove every chunk of the document.
@@ -182,10 +181,26 @@ class VectorStore:
          .parquet(self.path))
         if kept_empty:
             # dynamic overwrite won't touch a partition with no output rows;
-            # drop the stale directory explicitly.
-            import shutil
-            shutil.rmtree(os.path.join(self.path, f"bucket={bucket}"),
-                          ignore_errors=True)
+            # clear the stale directory through the engine.
+            self._clear_bucket(bucket)
+
+    def _clear_bucket(self, bucket: int) -> None:
+        """Empty a bucket directory via the engine's committer, not direct
+        filesystem deletes: overwrite it with a zero-row parquet file.
+        `shutil.rmtree` only works where the store path is a local mount —
+        an object-store deployment (s3a/abfs) needs every mutation to go
+        through the Hadoop FileSystem the session is configured with, which
+        a Spark `overwrite` write does.  Readers see a schema-only footer
+        and zero rows; a later `compact()` can garbage-collect the marker
+        file along with everything else."""
+        schema = T.StructType([f for f in STORE_SCHEMA.fields
+                               if f.name != "bucket"])
+        (self.spark.createDataFrame([], schema)
+         .coalesce(1)
+         .write
+         .option("compression", "snappy")
+         .mode("overwrite")
+         .parquet(os.path.join(self.path, f"bucket={bucket}")))
 
     def compact(self, buckets: list[int] | None = None) -> None:
         """Small-file compaction: every ``append`` batch leaves one file
@@ -282,7 +297,19 @@ class VectorStore:
         (CosmosDBClientWrapper.cs:117-146); expressing the batch as a
         single broadcast join + window is the Spark-native win: the store
         is scanned once for N queries instead of N times, and the scan
-        parallelism is the cluster's, not the caller's loop."""
+        parallelism is the cluster's, not the caller's loop.
+
+        Scale shape: scoring is map-side (broadcast queries over the store
+        scan, JVM fold per row).  Ranking is TWO-phase: a map-side partial
+        top-k cuts each scan partition to ≤ k rows per query BEFORE any
+        exchange, so the global row_number window sees ≤ k·n_partitions
+        skinny rows per query instead of the full n_store × n_queries
+        cross product — with 25 queries over a 100 TB store, the old
+        single-window plan shuffled everything into 25 giant tasks; this
+        one shuffles k·n_partitions·25 four-column rows.  The partial cut
+        uses the same total order as the final rank (score desc,
+        document_url, id — all ASCII, so pandas and Spark collate
+        identically), which makes it lossless for top-k."""
         from pyspark.sql import Window
 
         df = self.read()
@@ -291,20 +318,55 @@ class VectorStore:
             F.transform(F.col(qvec_col), lambda v: v.cast("double"))
              .alias("__qv")))
         q = q.withColumn("__qnorm", l2_norm(F.col("__qv")))
-        ad = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        # zip_with null-pads on length mismatch → silent null scores and
+        # arbitrary top-k; make a dimension mismatch a loud, named error
+        # (same guard as search()).
+        emb = F.when(F.size("embedding") == F.size("__qv"),
+                     F.col("embedding")) \
+               .otherwise(F.raise_error(F.concat(
+                   F.lit("query vector dimension "),
+                   F.size("__qv").cast("string"),
+                   F.lit(" != stored embedding dimension "),
+                   F.size("embedding").cast("string"))))
+        ad = F.transform(emb, lambda v: v.cast("double"))
         denom = F.col("embedding_norm") * F.col("__qnorm")
         score = F.round(
             F.when(denom == 0, F.lit(0.0))
              .otherwise(dot(ad, F.col("__qv")) / denom), 6)
+        scored = (df.crossJoin(F.broadcast(q))
+                  .withColumn("score", score)
+                  .select("__qid", "id", "document_url", "score"))
+        partial = self._partial_topk(scored, k)
         w = Window.partitionBy("__qid").orderBy(
             F.desc("score"), "document_url", "id")
-        return (df.crossJoin(F.broadcast(q))
-                .withColumn("score", score)
+        return (partial
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select(F.col("__qid").alias("query_id"),
                         F.col("rank").cast("int").alias("rank"),
                         "id", "document_url", "score"))
+
+    @staticmethod
+    def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+        """Map-side partial top-k: within each Arrow batch keep only the
+        best k rows per query under (score desc, document_url, id) — the
+        exact order the final window ranks by, so the global top-k is a
+        subset of the union of partial top-ks (top-k of top-ks).  Narrow
+        (no shuffle); the scored input is already skinny (4 columns, no
+        embeddings), so the Arrow transfer is cheap relative to the
+        exchange it replaces."""
+        schema = scored.schema
+
+        def cut(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(
+                    ["__qid", "score", "document_url", "id"],
+                    ascending=[True, False, True, True], kind="mergesort")
+                yield pdf.groupby("__qid", sort=False).head(k)
+
+        return scored.mapInPandas(cut, schema)
 
     def reembed(self, embed_col_fn) -> None:
         """Embedding-model migration: recompute every row's embedding from
