@@ -228,6 +228,123 @@ from spans2 s join toks t on t.id = s.id
 """
 
 
+def _sql_chunk_paragraphs(max_tokens: int = 8) -> str:
+    """SK SplitPlainTextParagraphs twin (functions/chunking.py
+    token_paragraph_chunks): two chained greedy folds, each the same
+    first-break-index recursive-CTE machinery as _chunker_sql —
+    level 1 word-packs each LINE (composite key doc*1e6+line) into pieces
+    of ≤ 4·max_tokens+3 joined chars, level 2 packs pieces into paragraphs
+    (joined with chr(10)) emitting when tokens(para+'\\n') + tokens(piece)
+    ≥ max_tokens, then SK's last-paragraph balancing merges a short tail
+    into its predecessor rejoined by spaces."""
+    budget = 4 * max_tokens + 3
+    return f"""
+with recursive
+rawlines as (
+  select doc_id, unnest(string_split(text, chr(10))) as l,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) as ln
+  from documents),
+ltoks as materialized (
+  select doc_id, ln, doc_id * 1000000 + ln as kid, {_toks('l')} as w
+  from rawlines),
+words as (
+  select kid, unnest(w) as word, unnest(generate_series(1, len(w))) as i
+  from ltoks),
+pref as materialized (
+  select kid, i,
+         cast(sum(length(word)) over (partition by kid order by i) + i as bigint) as k
+  from words),
+starts as materialized (
+  select kid, i as s,
+         coalesce(lag(k) over (partition by kid order by i), 0) + 1 as base
+  from pref),
+nexte as materialized (
+  select st.kid, st.s, min(p.i) as brk
+  from starts st join pref p
+    on p.kid = st.kid and p.i >= st.s + 1 and p.k - st.base > {budget}
+  group by st.kid, st.s),
+nn as (select kid, len(w) as n from ltoks where len(w) > 0),
+chain(kid, cn, ws) as (
+  select kid, 0, 1 from nn
+  union all
+  select c.kid, c.cn + 1, x.brk
+  from chain c
+  join nexte x on x.kid = c.kid and x.s = c.ws
+  join nn on nn.kid = c.kid
+  where x.brk - 1 < nn.n),
+spans as (
+  select c.kid, c.cn, c.ws, coalesce(x.brk - 1, nn.n) as we
+  from chain c
+  left join nexte x on x.kid = c.kid and x.s = c.ws
+  join nn on nn.kid = c.kid),
+piece0 as (
+  select t.doc_id, t.ln, s.cn,
+         array_to_string(t.w[s.ws:s.we], ' ') as ptext
+  from spans s join ltoks t on t.kid = s.kid),
+ppieces as materialized (
+  select doc_id,
+         row_number() over (partition by doc_id order by ln, cn) as i,
+         ptext, cast(length(ptext) as bigint) as plen
+  from piece0),
+ppref as materialized (
+  select doc_id, i, plen,
+         coalesce(sum(plen) over (partition by doc_id order by i
+                                  rows between unbounded preceding
+                                  and 1 preceding), 0) as cumprev
+  from ppieces),
+pstarts as (select doc_id, i as s, cumprev as base from ppref),
+pnexte as materialized (
+  select st.doc_id, st.s, min(p.i) as brk
+  from pstarts st join ppref p
+    on p.doc_id = st.doc_id and p.i >= st.s + 1
+   and ((p.cumprev - st.base + (p.i - 1 - st.s) + 1) // 4
+        + p.plen // 4) >= {max_tokens}
+  group by st.doc_id, st.s),
+pnn as (select doc_id, max(i) as n from ppieces group by doc_id),
+pchain(doc_id, cn, ws) as (
+  select doc_id, 0, 1 from pnn
+  union all
+  select c.doc_id, c.cn + 1, x.brk
+  from pchain c
+  join pnexte x on x.doc_id = c.doc_id and x.s = c.ws
+  join pnn on pnn.doc_id = c.doc_id
+  where x.brk - 1 < pnn.n),
+pspans as (
+  select c.doc_id, c.cn, c.ws, coalesce(x.brk - 1, pnn.n) as we
+  from pchain c
+  left join pnexte x on x.doc_id = c.doc_id and x.s = c.ws
+  join pnn on pnn.doc_id = c.doc_id),
+paras as (
+  select s.doc_id, s.cn,
+         string_agg(p.ptext, chr(10) order by p.i) as ptext
+  from pspans s
+  join ppieces p on p.doc_id = s.doc_id and p.i between s.ws and s.we
+  group by s.doc_id, s.cn),
+pmax as (select doc_id, max(cn) as mx from paras group by doc_id),
+tails as (
+  select pa.doc_id, pm.mx,
+         max(case when pa.cn = pm.mx then pa.ptext end) as lastp,
+         max(case when pa.cn = pm.mx - 1 then pa.ptext end) as secondp
+  from paras pa join pmax pm using (doc_id)
+  group by pa.doc_id, pm.mx),
+verdict as (
+  select doc_id, mx,
+         (mx >= 1
+          and length(lastp) // 4 < {max_tokens // 4}
+          and len({_toks('lastp')}) + len({_toks('secondp')})
+              <= {max_tokens}) as do_merge,
+         array_to_string({_toks('secondp')}, ' ') || ' ' ||
+         array_to_string({_toks('lastp')}, ' ') as merged
+  from tails)
+select pa.doc_id, cast(pa.cn as int) as chunk_number,
+       case when v.do_merge and pa.cn = v.mx - 1 then v.merged
+            else pa.ptext end as chunk_text,
+       cast(0 as int) as page_number
+from paras pa join verdict v using (doc_id)
+where not (v.do_merge and pa.cn = v.mx)
+"""
+
+
 # ---------------------------------------------------------------------------
 # vector store demo build (shared by the store_* / vector_* queries)
 # ---------------------------------------------------------------------------
@@ -299,6 +416,12 @@ def q_chunk_tokens_overlap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cfg = PipelineConfig(max_tokens_per_chunk=8, overlap_words=3)
     return chunk_documents(docs, mode="tokens", cfg=cfg)
+
+
+def q_chunk_paragraphs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = PipelineConfig(max_tokens_per_chunk=8)
+    return chunk_documents(docs, mode="paragraphs", cfg=cfg)
 
 
 def q_parse_route(spark, sf_dir):
@@ -2982,6 +3105,7 @@ def queries():
         "rolling_counts": q_rolling_counts,
         "events_rollup": q_events_rollup,
         "hypertable_rollup": q_hypertable_rollup,
+        "chunk_paragraphs": q_chunk_paragraphs,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3107,6 +3231,7 @@ from c
 """,
         "chunk_tokens": _chunker_sql("tokens", 8),
         "chunk_tokens_overlap": _chunker_sql("tokens", 8, overlap=3),
+        "chunk_paragraphs": _sql_chunk_paragraphs(8),
         "parse_route": _sql_parse_route(),
         "embed_hash": _sql_embed_hash(),
         "embed_json_roundtrip": _sql_embed_json_roundtrip(),

@@ -158,6 +158,89 @@ def token_budget_spans(words: Column, max_tokens: int = 250,
     return spans
 
 
+def token_paragraph_chunks(text: Column, max_tokens: int = 250) -> Column:
+    """Semantic-Kernel-style line-preferring paragraph chunking
+    (TextChunker.SplitPlainTextParagraphs, delegated to by
+    DocumentChunker.cs:59-80) as pure column expressions:
+    array<struct<chunk_text,page_number>>.
+
+    The two-level SK pipeline, re-specified exactly:
+
+    1. LINE SPLIT (InternalSplitLines): the document splits on '\\n' into
+       lines; each line is whitespace-normalized and, if its token count
+       (floor(len/4), SK's default counter) exceeds ``max_tokens``, greedy
+       word-packed into pieces of ≤ 4·max_tokens+3 joined chars (the same
+       budget fold as token_budget_spans — our word-level stand-in for
+       SK's recursive sentence-separator middle-split).  A line within
+       budget is one piece, so LINE BOUNDARIES ARE PRESERVED — the
+       behavior the flat word fold lost on multi-line documents.
+    2. PARAGRAPH BUILD (BuildParagraph): pieces accumulate into a
+       paragraph joined with '\\n'; before appending piece p, if the
+       builder is non-empty and tokens(para + trailing newline) +
+       tokens(p) ≥ max_tokens, the paragraph is emitted and p starts the
+       next one.  (SK appends with AppendLine, so the builder carries a
+       trailing newline — hence the +1 in the count.)
+    3. BALANCING: if the final paragraph is short (tokens < max_tokens/4)
+       and its word count plus the previous paragraph's fits max_tokens,
+       the two merge, rejoined by single spaces (SK's "distribute text
+       more evenly in the last paragraphs" step).
+
+    Empty/whitespace-only lines vanish (their word array is empty).
+    Page numbers are 0 (plain-text path has no page structure).
+    """
+    def tok(c: Column) -> Column:
+        return F.floor(F.length(c) / 4)
+
+    def line_pieces(line: Column) -> Column:
+        w = norm_words(line)
+        spans = token_budget_spans(w, max_tokens)
+        return F.transform(
+            spans, lambda sp: F.array_join(
+                F.slice(w, sp["ws"], sp["we"] - sp["ws"] + 1), " "))
+
+    pieces = F.flatten(F.transform(F.split(text, "\n"), line_pieces))
+
+    init = F.struct(F.lit("").alias("cur"),
+                    F.array().cast("array<string>").alias("paras"))
+
+    def step(acc: Column, p: Column) -> Column:
+        emit = (acc["cur"] != F.lit("")) & (
+            (F.floor((F.length(acc["cur"]) + 1) / 4) + tok(p))
+            >= F.lit(max_tokens))
+        cur2 = (F.when(emit, p)
+                .when(acc["cur"] == F.lit(""), p)
+                .otherwise(F.concat(acc["cur"], F.lit("\n"), p)))
+        return F.struct(
+            cur2.alias("cur"),
+            F.when(emit, F.concat(acc["paras"], F.array(acc["cur"])))
+             .otherwise(acc["paras"]).alias("paras"))
+
+    def fin(acc: Column) -> Column:
+        return F.when(acc["cur"] != F.lit(""),
+                      F.concat(acc["paras"], F.array(acc["cur"])))\
+                .otherwise(acc["paras"])
+
+    paras = F.aggregate(pieces, init, step, fin)
+
+    def balance(pa: Column) -> Column:
+        n = F.size(pa)
+        last = F.element_at(pa, n)
+        second = F.element_at(pa, n - 1)
+        lw = norm_words(last)
+        sw = norm_words(second)
+        merged = F.concat(F.array_join(sw, " "), F.lit(" "),
+                          F.array_join(lw, " "))
+        cond = ((n >= 2)
+                & (tok(last) < F.lit(max_tokens // 4))
+                & ((F.size(lw) + F.size(sw)) <= F.lit(max_tokens)))
+        return F.when(cond, F.concat(F.slice(pa, 1, n - 2), F.array(merged)))\
+                .otherwise(pa)
+
+    paras = bound(paras, balance)
+    return F.transform(paras, lambda p: F.struct(
+        p.alias("chunk_text"), F.lit(0).cast("int").alias("page_number")))
+
+
 def spans_to_chunks(words: Column, spans: Column) -> Column:
     """Materialize spans as array<struct<chunk_text,page_number>>.
     The word array is bound once (not re-split per chunk)."""

@@ -28,14 +28,20 @@ def chunk_documents(docs: DataFrame,
                     cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Split `text_col` into chunks.
 
-    mode='tokens'  — token-budget packing (DocumentChunker.cs:58-80)
-    mode='chars'   — 2048-char windows    (AzureSQL TextChunker.cs:15-50)
-    mode='words'   — 40-word windows      (DocumentChunker.cs:84-113)
+    mode='tokens'      — token-budget packing (DocumentChunker.cs:58-80)
+    mode='paragraphs'  — SK line-preferring paragraph build
+                         (TextChunker.SplitPlainTextParagraphs semantics,
+                         DocumentChunker.cs:59-80)
+    mode='chars'       — 2048-char windows    (AzureSQL TextChunker.cs:15-50)
+    mode='words'       — 40-word windows      (DocumentChunker.cs:84-113)
 
     Returns id_cols + (chunk_number int, chunk_text string, page_number int).
     """
     words = C.norm_words(F.col(text_col))
-    if mode == "tokens":
+    if mode == "paragraphs":
+        chunks = C.token_paragraph_chunks(F.col(text_col),
+                                          cfg.max_tokens_per_chunk)
+    elif mode == "tokens":
         spans = C.token_budget_spans(words, cfg.max_tokens_per_chunk,
                                      cfg.overlap_words)
         chunks = C.spans_to_chunks(words, spans)

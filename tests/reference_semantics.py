@@ -39,6 +39,37 @@ def word_window_reference(words: list[str], max_word_count: int = 40):
     return out
 
 
+def sk_paragraph_reference(text: str, max_tokens: int = 250):
+    """(text, page) chunks per the SK SplitPlainTextParagraphs spec of
+    functions/chunking.py token_paragraph_chunks: per-line word packing
+    (budget 4*max_tokens+3 joined chars), greedy paragraph build joined
+    with newline (emit when tokens(para+'\\n') + tokens(piece) >= max,
+    tokens = len//4), then last-paragraph balancing (short tail whose word
+    count fits merges into the predecessor, rejoined with spaces)."""
+    pieces: list[str] = []
+    for line in text.split("\n"):
+        for piece in token_budget_reference(line.split(), max_tokens):
+            pieces.append(piece)
+    paras: list[str] = []
+    cur = ""
+    for p in pieces:
+        if cur and (len(cur) + 1) // 4 + len(p) // 4 >= max_tokens:
+            paras.append(cur)
+            cur = p
+        elif cur:
+            cur = cur + "\n" + p
+        else:
+            cur = p
+    if cur:
+        paras.append(cur)
+    if len(paras) >= 2:
+        lw, sw = paras[-1].split(), paras[-2].split()
+        if (len(paras[-1]) // 4 < max_tokens // 4
+                and len(lw) + len(sw) <= max_tokens):
+            paras[-2:] = [" ".join(sw) + " " + " ".join(lw)]
+    return [(p, 0) for p in paras]
+
+
 def token_budget_reference(words: list[str], max_tokens: int = 250,
                            overlap_words: int = 0):
     """Greedy packing per our documented spec: budget in joined chars is

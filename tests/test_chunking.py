@@ -9,6 +9,7 @@ from document_vector_pipeline_spark.functions import chunking as C
 from document_vector_pipeline_spark.operators.chunk import chunk_documents
 from tests.reference_semantics import (
     char_window_reference,
+    sk_paragraph_reference,
     token_budget_reference,
     word_window_reference,
 )
@@ -86,3 +87,78 @@ def test_token_budget_never_exceeds_budget(spark, docs_small):
         & (F.size(F.split("chunk_text", " ")) > 1)
     ).count()
     assert over == 0
+
+
+# ---------------------------------------------------------------------------
+# SK SplitPlainTextParagraphs parity (mode='paragraphs')
+# ---------------------------------------------------------------------------
+
+MULTILINE_CASES = CASES + [
+    "alpha beta gamma\ndelta epsilon\nzeta",
+    "aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+    "one two\n\n   \nthree four five six seven eight nine ten eleven twelve",
+    "line one here\r\nline two here\r\nline three here",
+    "\n\n\n",
+    ("first paragraph of prose that runs along for a while\n"
+     "second line kept whole\n"
+     "third line also kept whole and a bit longer than the others\n"
+     "tail"),
+]
+
+
+@pytest.mark.parametrize("text", MULTILINE_CASES)
+def test_sk_paragraphs_match_reference(spark, text):
+    expected = sk_paragraph_reference(text, 8)
+    got = _spark_chunks(spark, text, "paragraphs", max_tokens_per_chunk=8)
+    assert got == expected
+
+
+def test_sk_paragraphs_hand_computed(spark):
+    """Hand-walked SK semantics on a three-line document (max_tokens=8,
+    word budget 35 chars):
+
+    - line boundaries survive as piece boundaries (the behavior the flat
+      word fold loses): 'one two' stays its own paragraph seed;
+    - the 54-char second line word-packs into two pieces;
+    - the paragraph build emits on tokens(para+'\\n')+tokens(piece) >= 8;
+    - the 21-char tail has 5 tokens >= 8//4, so NO balancing merge."""
+    text = ("one two\n"
+            "three four five six seven eight nine ten eleven twelve")
+    got = _spark_chunks(spark, text, "paragraphs", max_tokens_per_chunk=8)
+    assert got == [
+        ("one two", 0),
+        ("three four five six seven eight", 0),
+        ("nine ten eleven twelve", 0),
+    ]
+
+
+def test_sk_paragraphs_balancing_merge(spark):
+    """Short tail (tokens < max//4) whose word count fits the budget merges
+    into the predecessor, rejoined by single spaces (newlines collapse)."""
+    text = "alpha beta gamma\ndelta epsilon\nzeta"
+    got = _spark_chunks(spark, text, "paragraphs", max_tokens_per_chunk=8)
+    assert got == [("alpha beta gamma delta epsilon zeta", 0)]
+
+
+def test_sk_paragraphs_duckdb_oracle_multiline(spark):
+    """The driver's documents table has no newlines, so prove the DuckDB
+    oracle agrees with the Spark plan on synthetic MULTI-LINE docs too."""
+    import duckdb
+    import pandas as pd
+
+    from document_vector_pipeline_spark.contract import _sql_chunk_paragraphs
+
+    rows = [(i, t) for i, t in enumerate(MULTILINE_CASES)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (chunk_documents(sdf, mode="paragraphs",
+                           cfg=PipelineConfig(max_tokens_per_chunk=8))
+           .orderBy("doc_id", "chunk_number")
+           .toPandas())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = con.execute(
+        _sql_chunk_paragraphs(8)
+        + " order by doc_id, chunk_number").df()
+    assert got["chunk_text"].tolist() == exp["chunk_text"].tolist()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["chunk_number"].tolist() == exp["chunk_number"].tolist()
