@@ -114,3 +114,89 @@ def add_embeddings(chunks: DataFrame, text_col: str = "chunk_text",
     """Append an L2-normalized embedding column (array<float>, cfg dims)."""
     embed = make_embed_udf(cfg.embedding_dimensions)
     return chunks.withColumn(out_col, embed(F.col(text_col)))
+
+
+# Statuses the reference treats as transient (TooManyRequests and the
+# token-expiry Unauthorized): BlobTriggerFunction.cs:142-156.
+DEFAULT_RETRY_STATUSES = (429, 401)
+
+
+class EmbeddingClientError(Exception):
+    """Raised by an embedding client callable; ``status_code`` decides
+    retryability (the HTTP status of the failed REST call)."""
+
+    def __init__(self, status_code: int, message: str = ""):
+        super().__init__(f"embedding client error {status_code}: {message}")
+        self.status_code = status_code
+
+
+def embed_with_client(chunks: DataFrame, client,
+                      text_col: str = "chunk_text",
+                      out_col: str = "embedding",
+                      batch_size: int = 10,
+                      max_retries: int = 100,
+                      retry_delay_s: float = 10.0,
+                      retry_on=DEFAULT_RETRY_STATUSES) -> DataFrame:
+    """Embed via an injectable service client with the reference's batching
+    and retry policy (BlobTriggerFunction.cs:118-160: MaxBatchSize=10,
+    MaxRetryCount=100, 10 s delay on 429/401; Spark task parallelism
+    replaces MaxDegreeOfParallelism=50).
+
+    ``client`` is any ``Callable[[list[str]], list[list[float]]]`` — the
+    seam where the real REST embedding call goes.  It is cloudpickled BY
+    VALUE to executor Python workers, so construct network connections
+    lazily INSIDE the callable (first call), never at closure-build time
+    on the driver.  A call that raises :class:`EmbeddingClientError` with
+    a status in ``retry_on`` is retried up to ``max_retries`` times with
+    ``retry_delay_s`` between attempts; any other status (or exhaustion)
+    propagates and fails the task — Spark's task retry then provides the
+    outer layer, exactly like the reference's function-host retry.
+
+    Plan shape: one mapInPandas stage — map-only, no shuffle; each Arrow
+    batch is sliced into ``batch_size`` REST-call-sized groups, mirroring
+    the reference's GetEmbeddingsBatchWithRetryAsync loop."""
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(chunks.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = pdf[text_col].tolist()
+            vecs: list[list[float]] = []
+            for s in range(0, len(texts), batch_size):
+                group = texts[s:s + batch_size]
+                attempt = 0
+                while True:
+                    try:
+                        got = client(group)
+                        break
+                    except Exception as e:
+                        # duck-typed (any exception carrying a
+                        # status_code, not just EmbeddingClientError) so
+                        # this closure serializes BY VALUE with no
+                        # reference to this package — executor workers
+                        # don't need the repo importable, same philosophy
+                        # as make_embed_udf
+                        status = getattr(e, "status_code", None)
+                        if (status not in retry_on
+                                or attempt >= max_retries):
+                            raise
+                        attempt += 1
+                        if retry_delay_s:
+                            time.sleep(retry_delay_s)
+                if len(got) != len(group):
+                    raise ValueError(
+                        f"embedding client returned {len(got)} vectors "
+                        f"for a batch of {len(group)} texts")
+                vecs.extend(got)
+            out = pdf.copy()
+            out[out_col] = [[float(x) for x in v] for v in vecs]
+            yield out
+
+    return chunks.mapInPandas(run, schema)
