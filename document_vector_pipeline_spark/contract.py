@@ -1046,6 +1046,15 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_ann_recall_multi(spark, sf_dir):
+    """recall@10 per (index, query) for all three approximate indexes
+    (ivf, lsh, pq) vs the exact cosine ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_multi(
+        emb, _queries_df(emb), k=10, dim=64, planes=8, tables=4,
+        n_centroids=8, nprobe=2, n_codes=16, n_sub=8)
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup removal: MinHash pairs -> clusters -> min-id
     survivor per cluster -> corpus anti-joined against the losers."""
@@ -2459,6 +2468,22 @@ order by doc_id, domain
 """
 
 
+def _sql_ann_recall_multi(k: int = 10) -> str:
+    parts = []
+    for name, sub in [("ivf", _sql_ann_ivf()), ("lsh", _sql_ann_lsh()),
+                      ("pq", _sql_ann_pq())]:
+        parts.append(f"""
+select '{name}' as "index", bf.query_id,
+       cast(count(a.vec_id) as bigint) as n_hits,
+       round(count(a.vec_id) / {k}, 6) as recall
+from ({_sql_ann_bruteforce()}) bf
+left join ({sub}) a
+  on a.query_id = bf.query_id and a.vec_id = bf.vec_id
+group by bf.query_id""")
+    return (" union all ".join(parts)
+            + ' order by "index", query_id')
+
+
 def _sql_ann_recall(k: int = 10) -> str:
     return f"""
 select bf.query_id, cast(count(l.vec_id) as bigint) as n_hits,
@@ -3106,6 +3131,7 @@ def queries():
         "events_rollup": q_events_rollup,
         "hypertable_rollup": q_hypertable_rollup,
         "chunk_paragraphs": q_chunk_paragraphs,
+        "ann_recall_multi": q_ann_recall_multi,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3307,6 +3333,7 @@ from events group by user_id
         "store_reembed": _sql_store_reembed(),
         "text_domains": _sql_text_domains(),
         "ann_recall": _sql_ann_recall(),
+        "ann_recall_multi": _sql_ann_recall_multi(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

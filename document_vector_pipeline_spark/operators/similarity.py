@@ -403,6 +403,42 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
             .orderBy("label", "dim"))
 
 
+def ann_recall_multi(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     dim: int = 64, planes: int = 8, tables: int = 4,
+                     n_centroids: int = 8, nprobe: int = 2,
+                     n_codes: int = 16, n_sub: int = 8) -> DataFrame:
+    """Measured recall@k of EVERY shipped approximate index (ivf, lsh, pq)
+    against the exact cosine ranking: (index, query_id, n_hits, recall).
+    The acceptance dashboard an ANN subsystem ships with — one number per
+    (index, query) pair, so index choices are data-driven, not vibes.
+
+    The exact top-k (n_queries × k rows — tiny) is materialized once via
+    localCheckpoint and reused across the three comparisons; each approx
+    side is the same plan the standalone ann_* queries run.  Both sides
+    are deterministic, so the metric itself is oracle-exact."""
+    exact = (brute_force_topk(corpus, queries, k=k)
+             .localCheckpoint(eager=True))
+    out = None
+    for name, approx in [
+        ("ivf", ivf_ann(corpus, queries, k=k,
+                        n_centroids=n_centroids, nprobe=nprobe)),
+        ("lsh", lsh_ann(corpus, queries, k=k,
+                        planes=planes, tables=tables, dim=dim)),
+        ("pq", pq_ann(corpus, queries, k=k,
+                      n_codes=n_codes, n_sub=n_sub, dim=dim)),
+    ]:
+        hits = exact.alias("e").join(
+            approx.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.vec_id") == F.col("a.vec_id")), "left")
+        r = (hits.groupBy(F.col("e.query_id").alias("query_id"))
+             .agg(F.count(F.col("a.vec_id")).cast("long").alias("n_hits"))
+             .select(F.lit(name).alias("index"), "query_id", "n_hits",
+                     F.round(F.col("n_hits") / k, 6).alias("recall")))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("index", "query_id")
+
+
 def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
                **lsh_kwargs) -> DataFrame:
     """Measured recall@k of the LSH index against the exact ranking:

@@ -28,7 +28,7 @@ def t(spark):
     # default, which would hide the very fields these tests assert on
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     return {n: load_table(spark, SF, n)
-            for n in ("region", "nation", "customer", "supplier",
+            for n in ("region", "nation", "customer", "supplier", "part",
                       "orders", "lineitem", "events", "documents")}
 
 
@@ -216,3 +216,160 @@ def test_search_many_broadcasts_queries_over_one_scan(spark, tmp_path):
     # + the query-set source once)
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("FileScan parquet") <= 2
+
+
+# ---------------------------------------------------------------------------
+# round-3 structural regressions: bench heavies + scale-safe plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_q9_q10_broadcast_all_dims(t):
+    p9 = plan_of(analytics.q9_profit(t["lineitem"], t["orders"], t["part"],
+                                     t["supplier"], t["nation"]))
+    assert p9.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p9
+    p10 = plan_of(analytics.q10_returned(t["customer"], t["orders"],
+                                         t["lineitem"]))
+    assert p10.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p10
+
+
+def test_q19_pushes_disjunct_quantity_bounds(t):
+    p = plan_of(analytics.q19_disjuncts(t["lineitem"], t["part"]))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", p).group(1)
+    assert "l_quantity" in pushed, f"quantity bounds not pushed: {pushed}"
+    rs = read_schema(p)
+    for col in ("l_partkey", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in rs
+    assert "l_shipdate" not in rs and "l_comment" not in rs
+
+
+def test_funnel_and_retention_shuffle_budget(t):
+    """funnel/retention: one wide exchange on user_id + the tiny
+    post-partial-agg exchanges; never a join, never a sort-merge."""
+    from document_vector_pipeline_spark.streaming import events as sev
+
+    for q in (sev.funnel_counts, sev.retention_cohorts):
+        p = plan_of(q(t["events"]))
+        assert p.count("hashpartitioning") <= 2
+        assert p.count("Exchange") <= 3
+        assert "Join" not in p
+
+
+def test_search_many_partial_topk_feeds_window(spark, tmp_path):
+    """The batch-search rank window must consume the map-side partial
+    top-k (MapInPandas below the Window), not the raw cross product."""
+    from document_vector_pipeline_spark.contract import (
+        _queries_df, _store_chunks)
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = VectorStore(spark, str(tmp_path / "store_ptk"))
+    store.upsert(_store_chunks(docs))
+    plan = plan_of(store.search_many(_queries_df(emb), k=5))
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas"), \
+        "partial top-k must run below the rank window"
+
+
+def test_partial_topk_bounds_rows_and_is_lossless(spark):
+    """Value-level proof for the two-phase batch search: the partial cut
+    emits ≤ k rows per (arrow batch, query) and the global top-k over the
+    partial rows equals the top-k over the full scored set."""
+    from pyspark.sql import Window
+
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    n_parts, k, n_q = 16, 5, 8
+    scored = (spark.range(0, 4000)
+              .select((F.col("id") % n_q).alias("__qid"),
+                      F.col("id").cast("string").alias("id"),
+                      F.concat(F.lit("u"), (F.col("id") % 97).cast("string"))
+                       .alias("document_url"),
+                      F.round(F.pmod(F.xxhash64(F.col("id").cast("string")),
+                                     10000) / 10000.0, 6).alias("score"))
+              .repartition(n_parts))
+    partial = VectorStore._partial_topk(scored, k)
+    assert partial.count() <= n_parts * n_q * k
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("score"), "document_url", "id")
+    full_top = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn"))
+    part_top = (partial.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn"))
+    assert (sorted(map(tuple, full_top.collect()))
+            == sorted(map(tuple, part_top.collect())))
+
+
+def test_embedding_neardup_builds_without_driver_collect(spark):
+    """The dedup_embedding prefilter must be fully distributed: building
+    the plan may not materialize anything on the driver (the round-2
+    implementation collected the whole embedding corpus)."""
+    from pyspark.sql import DataFrame
+
+    from document_vector_pipeline_spark.operators import dedup as D
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side materialization during plan build")
+
+    originals = {n: getattr(DataFrame, n)
+                 for n in ("collect", "toPandas", "take", "first", "head")}
+    try:
+        for n in originals:
+            setattr(DataFrame, n, boom)
+        pairs = D.embedding_neardup_pairs(emb, threshold=0.35)
+    finally:
+        for n, fn in originals.items():
+            setattr(DataFrame, n, fn)
+    assert pairs.count() > 0
+
+
+def test_lsh_band_skew_split_by_aqe(spark):
+    """Boilerplate-heavy corpus: 600 identical docs put >50 % of band rows
+    in one bucket.  With the thresholds a real deployment would size for
+    its shuffle, AQE must split the hot bucket (SortMergeJoin(skew=true))
+    instead of leaving one giant task."""
+    from document_vector_pipeline_spark.operators import dedup as D
+
+    confs = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for key in confs:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        boiler = ("the quick brown fox jumps over the lazy dog "
+                  "again and again ") * 3
+        rows = ([(i, boiler) for i in range(600)]
+                + [(10_000 + i,
+                    f"unique text number {i} alpha {i * 7} beta {i * 13}")
+                   for i in range(200)])
+        df = (spark.createDataFrame(rows, "doc_id long, text string")
+              .repartition(8))
+        pairs = D.minhash_lsh_pairs(df)
+        got = pairs.collect()
+        # all 600 boilerplate docs pair up: C(600,2) pairs at least
+        assert len(got) >= 600 * 599 // 2
+        plan = plan_of(pairs)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot band bucket"
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
