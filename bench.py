@@ -31,6 +31,7 @@ from document_vector_pipeline_spark.operators import (  # noqa: E402
     similarity,
     textstats,
 )
+from document_vector_pipeline_spark.operators.chunk import chunk_documents  # noqa: E402
 from document_vector_pipeline_spark.operators.embed import add_embeddings  # noqa: E402
 from document_vector_pipeline_spark.operators.pipeline import (  # noqa: E402
     blobs_to_chunks,
@@ -135,6 +136,8 @@ def main() -> None:
         return spark.read.parquet(ivf._cells)
 
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
+    bench("ann_recall_multi",
+          lambda: similarity.ann_recall_multi(emb, qdf, k=10))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_search_batch",
@@ -146,6 +149,9 @@ def main() -> None:
     bench("vector_topk_filtered",
           lambda: store.search(qvec1536, k=5,
                                document_url="mem://docs/9.txt"))
+    bench("chunk_paragraphs",
+          lambda: chunk_documents(docs, mode="paragraphs",
+                                  cfg=PipelineConfig(max_tokens_per_chunk=8)))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_bigrams", lambda: textstats.top_bigrams(docs))
     bench("text_domains", lambda: textstats.doc_domains(docs))

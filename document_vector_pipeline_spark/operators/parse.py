@@ -30,6 +30,39 @@ def extension(url: Column) -> Column:
     return F.lower(ext)
 
 
+BOM_UTF8 = bytes([0xEF, 0xBB, 0xBF])
+BOM_UTF16_LE = bytes([0xFF, 0xFE])
+BOM_UTF16_BE = bytes([0xFE, 0xFF])
+_REST = 1 << 30  # "to end of blob" length for substring
+
+
+def decode_blob_text(data: Column) -> Column:
+    """BOM-aware decode of a binary blob column to string.
+
+    Parity: the reference reads blobs through a StreamReader with
+    detectEncodingFromByteOrderMarks (ReadAllLinesAsync,
+    BlobTriggerFunction.cs:167-184), so Windows-authored files with
+    UTF-8/UTF-16 byte-order marks decode cleanly and the BOM never leaks
+    into the first chunk's text.  Pure column expressions — the dispatch
+    is three prefix compares per blob, whole-stage-codegen'd."""
+    p2 = F.substring(data, 1, 2)
+    p3 = F.substring(data, 1, 3)
+    return (
+        F.when(p3 == F.lit(BOM_UTF8),
+               F.decode(F.substring(data, 4, _REST), "UTF-8"))
+         .when(p2 == F.lit(BOM_UTF16_LE),
+               F.decode(F.substring(data, 3, _REST), "UTF-16LE"))
+         .when(p2 == F.lit(BOM_UTF16_BE),
+               F.decode(F.substring(data, 3, _REST), "UTF-16BE"))
+         .otherwise(F.decode(data, "UTF-8")))
+
+
+def strip_bom(text: Column) -> Column:
+    """Drop a leading U+FEFF from an already-decoded string column (what a
+    UTF-8 BOM becomes when a text source decodes the file as plain UTF-8)."""
+    return F.regexp_replace(text, "^" + chr(0xFEFF), "")
+
+
 def analyze_document(text: Column) -> Column:
     """Deterministic stand-in for Document Intelligence 'prebuilt-read'.
 

@@ -56,10 +56,30 @@ def read_text_blobs(spark: SparkSession, path: str) -> DataFrame:
     lines; here the file source reads whole files distributed, and the later
     parse step splits lines.
     """
+    from document_vector_pipeline_spark.operators.parse import strip_bom
+
     df = spark.read.format("text").option("wholetext", "true").load(path)
     return df.select(
-        F.col("value").alias("content"),
+        strip_bom(F.col("value")).alias("content"),
         F.input_file_name().alias("document_url"),
+    )
+
+
+def read_encoded_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """BOM/encoding-aware text blob source: binaryFile bytes decoded with
+    byte-order-mark dispatch (UTF-8 / UTF-16 LE / UTF-16 BE, BOM stripped
+    — parity with the reference's detectEncodingFromByteOrderMarks
+    StreamReader, BlobTriggerFunction.cs:167-184).  Use instead of
+    read_text_blobs when the corpus may contain Windows-authored files;
+    the text source assumes clean UTF-8."""
+    from document_vector_pipeline_spark.operators.parse import (
+        decode_blob_text,
+    )
+
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        decode_blob_text(F.col("content")).alias("content"),
+        F.col("path").alias("document_url"),
     )
 
 
@@ -81,12 +101,14 @@ def read_binary_blobs(spark: SparkSession, path: str) -> DataFrame:
 
 def stream_text_blobs(spark: SparkSession, path: str) -> DataFrame:
     """Streaming create-event source (blob-trigger parity, see module doc)."""
+    from document_vector_pipeline_spark.operators.parse import strip_bom
+
     df = (spark.readStream.format("text")
           .option("wholetext", "true")
           .option("maxFilesPerTrigger", "64")
           .load(path))
     return df.select(
-        F.col("value").alias("content"),
+        strip_bom(F.col("value")).alias("content"),
         F.input_file_name().alias("document_url"),
     )
 

@@ -63,3 +63,37 @@ def test_documents_table_adapter(spark, docs_small, tmp_path):
     df = store.read()
     assert df.select("document_url").distinct().count() == 40
     assert df.filter(F.size("embedding") != 16).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BOM / encoding-aware blob reading (BlobTriggerFunction.cs:167-184 parity)
+# ---------------------------------------------------------------------------
+
+def test_bom_aware_blob_reading(spark, tmp_path):
+    """The same text authored as plain UTF-8, UTF-8-with-BOM, UTF-16 LE and
+    UTF-16 BE must decode identically (BOM stripped, right codec picked)."""
+    from document_vector_pipeline_spark.sources import (
+        read_encoded_blobs,
+        read_text_blobs,
+    )
+
+    body = "first line of text\nsecond line with ümlaut"
+    enc_dir = tmp_path / "enc"
+    enc_dir.mkdir()
+    (enc_dir / "plain.txt").write_bytes(body.encode("utf-8"))
+    (enc_dir / "bom8.txt").write_bytes(body.encode("utf-8-sig"))
+    (enc_dir / "u16le.txt").write_bytes("﻿".encode("utf-16-le")
+                                        + body.encode("utf-16-le"))
+    (enc_dir / "u16be.txt").write_bytes("﻿".encode("utf-16-be")
+                                        + body.encode("utf-16-be"))
+    got = {r.document_url.rsplit("/", 1)[-1]: r.content
+           for r in read_encoded_blobs(spark, str(enc_dir)).collect()}
+    assert got == {"plain.txt": body, "bom8.txt": body,
+                   "u16le.txt": body, "u16be.txt": body}
+
+    # the plain text source strips a decoded UTF-8 BOM too
+    txt_dir = tmp_path / "txt"
+    txt_dir.mkdir()
+    (txt_dir / "bom8.txt").write_bytes(body.encode("utf-8-sig"))
+    rows = read_text_blobs(spark, str(txt_dir)).collect()
+    assert rows[0].content == body
