@@ -1055,6 +1055,19 @@ def q_ann_recall_multi(spark, sf_dir):
         n_centroids=8, nprobe=2, n_codes=16, n_sub=8)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4-style global first-occurrence sentence dedup (degenerates to
+    whole-text dedup on the dot-free synthetic corpus; the sentence path
+    is cross-checked vs DuckDB on synthetic data in tests/test_dedup.py)."""
+    return dedup.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_lm_score(spark, sf_dir):
+    """Per-doc bigram-LM quality score under the corpus-trained model,
+    exact fixed-point millionth probabilities."""
+    return corpus.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup removal: MinHash pairs -> clusters -> min-id
     survivor per cluster -> corpus anti-joined against the losers."""
@@ -2468,6 +2481,62 @@ order by doc_id, domain
 """
 
 
+def _sql_dedup_lines() -> str:
+    return """
+with raw as (
+  select doc_id, unnest(string_split(text, '.')) as x,
+         unnest(generate_series(1, len(string_split(text, '.')))) as pos
+  from documents),
+u as materialized (
+  select doc_id, trim(x) as unit, pos from raw where trim(x) <> ''),
+r as (
+  select doc_id, unit, pos,
+         row_number() over (partition by unit order by doc_id, pos) as rn
+  from u),
+k as (select doc_id, unit, pos from r where rn = 1),
+tot as (select doc_id, count(*) as n_units from u group by doc_id),
+reb as (
+  select doc_id, string_agg(unit, '. ' order by pos) as clean_text,
+         count(*) as n_kept
+  from k group by doc_id)
+select d.doc_id,
+       coalesce(reb.clean_text, '') as clean_text,
+       cast(coalesce(tot.n_units, 0) as bigint) as n_units,
+       cast(coalesce(reb.n_kept, 0) as bigint) as n_kept
+from documents d
+left join tot using (doc_id)
+left join reb using (doc_id)
+order by doc_id
+"""
+
+
+def _sql_corpus_lm_score() -> str:
+    return """
+with t as materialized (
+  select doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     x -> x <> '') as w
+  from documents),
+g as materialized (
+  select doc_id, w[s] as w1, w[s+1] as w2
+  from (select doc_id, w,
+               unnest(case when len(w) >= 2
+                           then generate_series(1, len(w) - 1)
+                           else cast([] as bigint[]) end) as s
+        from t)),
+c2 as materialized (
+  select w1, w2, cast(count(*) as bigint) as c2 from g group by w1, w2),
+c1 as materialized (
+  select w1, cast(sum(c2) as bigint) as c1 from c2 group by w1)
+select g.doc_id,
+       cast(count(*) as bigint) as n_bigrams,
+       round(sum((1000000 * c2.c2) // c1.c1) / (count(*) * 1e6), 6) as score
+from g join c2 using (w1, w2) join c1 using (w1)
+group by g.doc_id
+order by g.doc_id
+"""
+
+
 def _sql_ann_recall_multi(k: int = 10) -> str:
     parts = []
     for name, sub in [("ivf", _sql_ann_ivf()), ("lsh", _sql_ann_lsh()),
@@ -3132,6 +3201,8 @@ def queries():
         "hypertable_rollup": q_hypertable_rollup,
         "chunk_paragraphs": q_chunk_paragraphs,
         "ann_recall_multi": q_ann_recall_multi,
+        "dedup_lines": q_dedup_lines,
+        "corpus_lm_score": q_corpus_lm_score,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3334,6 +3405,8 @@ from events group by user_id
         "text_domains": _sql_text_domains(),
         "ann_recall": _sql_ann_recall(),
         "ann_recall_multi": _sql_ann_recall_multi(),
+        "dedup_lines": _sql_dedup_lines(),
+        "corpus_lm_score": _sql_corpus_lm_score(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

@@ -323,3 +323,59 @@ def length_percentiles(docs: DataFrame, group_col: str = "source",
                  at(50).alias("p50"), at(90).alias("p90"),
                  at(99).alias("p99"))
             .orderBy(group_col))
+
+
+def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document bigram language-model quality score, exact fixed-point:
+    (doc_id, n_bigrams, score).
+
+    The corpus itself is the training set (the standard "score each doc
+    under a corpus-level n-gram LM" quality signal — low-probability word
+    sequences mark boilerplate/garbled text, the KenLM-filter idea without
+    the external model).  For every in-document bigram (w1, w2):
+
+        p6(w1, w2) = (1_000_000 * c2(w1, w2)) div c1(w1)
+
+    — integer division of exact corpus counts, so every per-bigram
+    probability is an exact integer in millionths and the document score
+    round(sum(p6) / (1e6 * n_bigrams), 6) is invariant to partitioning and
+    bit-identical across engines (no float log anywhere; arithmetic-mean
+    probability instead of perplexity keeps it in integers).
+
+    Plan shape: one tokenize pass feeds both count aggregations; scoring
+    joins each document bigram to its two counts — shuffles on the bigram
+    and unigram keys (Zipf-skewed: AQE skew-join handles the head) and one
+    final groupBy doc.  At 100 TB the unigram table (vocabulary) is
+    broadcast-sized; Catalyst picks that up from AQE stats at runtime."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+                 lambda w: w != F.lit("")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.when(
+            F.size("w") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("w") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("w"), i).alias("w1"),
+                            F.element_at(F.col("w"), i + 1).alias("w2"))))
+         .otherwise(F.array().cast(
+             "array<struct<w1:string,w2:string>>"))).alias("pos", "g"))
+    grams = grams.select("doc_id", F.col("g.w1").alias("w1"),
+                         F.col("g.w2").alias("w2"))
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # c1 must be the count of w1 AS A BIGRAM HEAD (so probabilities per w1
+    # sum to 1 exactly), i.e. sum of c2 over w2
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (grams
+              .join(c2, ["w1", "w2"])
+              .join(c1, ["w1"])
+              .withColumn("p6", F.expr("(1000000 * c2) div c1")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("p6").alias("s6"))
+            .select("doc_id", "n_bigrams",
+                    F.round(F.col("s6") / (F.col("n_bigrams") * 1e6), 6)
+                     .alias("score"))
+            .orderBy("doc_id"))

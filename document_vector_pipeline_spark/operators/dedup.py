@@ -511,3 +511,56 @@ def neardup_dedup(docs: DataFrame, id_col: str = "doc_id",
     losers = (comp.filter(F.col("id") != F.col("component"))
               .select(F.col("id").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---- C4-style cross-document repeated-sentence removal ---------------------
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Global first-occurrence sentence dedup (the C4 curation step: any
+    sentence occurring more than once in the corpus keeps exactly its
+    first occurrence, every other copy is cut from its document).
+
+    Units are '.'-separated sentences, trimmed, empties dropped; the
+    keeper of a unit is its (min doc_id, min position) occurrence; each
+    document is reconstructed from its surviving units in order.  Returns
+    (doc_id, clean_text, n_units, n_kept) for every input document.
+
+    Plan shape: one explode; the keeper set is a groupBy(unit) with
+    min(struct(doc_id, pos)) — map-side combinable, so the boilerplate
+    head of the Zipf distribution partial-aggregates BEFORE the shuffle
+    (a window row_number over unit would ship every occurrence of every
+    hot sentence to one reducer instead); then one equi-join back and a
+    per-document rebuild, co-partitioned on doc_id.  Text is shuffled
+    once (the unit explode); at 100 TB hash the unit to 64 bits for the
+    keeper aggregation and join to cut shuffle bytes further."""
+    unit_arr = F.filter(
+        F.transform(F.split(F.col(text_col), r"\."), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""))
+    u = docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(unit_arr).alias("pos", "unit"))
+    keeper = (u.groupBy("unit")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("kp")))
+    kept = (u.join(keeper, "unit")
+            .filter((F.col("doc_id") == F.col("kp.doc_id"))
+                    & (F.col("pos") == F.col("kp.pos")))
+            .select("doc_id", "pos", "unit"))
+    n_units = u.groupBy("doc_id").agg(F.count("*").alias("n_units"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.concat_ws(
+                        ". ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "unit"))),
+                            lambda s: s["unit"])).alias("clean_text")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(n_units, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_units", F.lit(0)).cast("long")
+                     .alias("n_units"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"))
+            .orderBy("doc_id"))

@@ -130,3 +130,47 @@ def test_neardup_dedup_keeps_min_id_per_cluster(spark):
     assert (1, 2) in pairs  # near-dups collide in >=1 band
     kept = {r["doc_id"] for r in neardup_dedup(df).collect()}
     assert kept == {1, 3}
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """C4-style sentence dedup on real sentences (the driver corpus has no
+    dots, so the multi-sentence path is proven here + DuckDB cross-check)."""
+    import duckdb
+    import pandas as pd
+
+    from document_vector_pipeline_spark.contract import _sql_dedup_lines
+    from document_vector_pipeline_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "the cat sat. common boilerplate sentence. unique one"),
+        (2, "common boilerplate sentence. another thing entirely"),
+        (3, "the cat sat. common boilerplate sentence."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.clean_text, r.n_units, r.n_kept)
+           for r in line_dedup(df).collect()]
+    assert got == [
+        (1, "the cat sat. common boilerplate sentence. unique one", 3, 3),
+        (2, "another thing entirely", 2, 1),
+        (3, "", 2, 0),
+        (4, "", 0, 0),
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = [tuple(r) for r in con.execute(_sql_dedup_lines()).fetchall()]
+    assert got == exp
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; c1(a)=3 c1(b)=2 →
+    doc1 mean(1.0, 0.5, 1.0) = 0.833333, doc2 mean(1.0, 0.5) = 0.75."""
+    from document_vector_pipeline_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")],
+                               "doc_id long, text string")
+    got = [(r.doc_id, r.n_bigrams, r.score)
+           for r in bigram_lm_scores(df).collect()]
+    assert got == [(1, 3, 0.833333), (2, 2, 0.75)]
