@@ -583,24 +583,15 @@ def q_ann_pq(spark, sf_dir):
 def q_ann_ivf_persisted(spark, sf_dir):
     """Persisted IVF index probed exhaustively (nprobe = n_centroids), so
     the result — and the oracle — is exactly brute force; the partition-
-    pruned low-nprobe path is covered in tests/test_ivf_index.py."""
+    pruned low-nprobe path is covered in tests/test_ivf_index.py.  All 5
+    queries are answered by ONE batch search over one cells scan (the
+    round-2 version looped one search per query — N scans)."""
     from document_vector_pipeline_spark.store.ivf_index import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_ivf_idx"), n_centroids=8)
     idx.build(emb)
-    parts = []
-    for r in emb.filter(F.col("vec_id") < 5).collect():
-        q = [float(v) for v in r["embedding"]]
-        parts.append(idx.search(q, k=10, nprobe=8)
-                     .withColumn("query_id", F.lit(r["vec_id"])))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("vec_id"))
-    return out.select("query_id", "vec_id", "score",
-                      F.row_number().over(w).alias("rank"))
+    return idx.search_many(_queries_df(emb), k=10, nprobe=8)
 
 
 def q_text_langid(spark, sf_dir):

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -52,9 +51,10 @@ class IVFIndex:
     def build(self, corpus: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding") -> None:
         """Assign every vector to its max-cosine centroid and persist the
-        corpus clustered by cell (one shuffle on centroid_id)."""
-        shutil.rmtree(self.path, ignore_errors=True)
-        os.makedirs(self.path, exist_ok=True)
+        corpus clustered by cell (one shuffle on centroid_id).  Both
+        writes are static-overwrite parquet jobs, so a rebuild replaces
+        the index entirely through the engine's committer — no direct
+        filesystem deletes, object-store-safe."""
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = corpus.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"),
@@ -114,3 +114,60 @@ class IVFIndex:
         return (cells.withColumn("score", score)
                 .orderBy(F.desc("score"), "vec_id").limit(k)
                 .select("vec_id", "score"))
+
+    def search_many(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
+                    qid_col: str = "query_id",
+                    qvec_col: str = "query_vec") -> DataFrame:
+        """Batch IVF search: every query answered in ONE partition-pruned
+        scan — (query_id, vec_id, score, rank).
+
+        The query set is collected (it is index metadata-sized by
+        definition) and each query's nprobe cells are picked driver-side
+        from the tiny centroid table; the cells directory is then read
+        ONCE, pruned to the union of all probed cells, and a broadcast
+        join keeps each (row, query) pair only where the row's cell is in
+        that query's probe list.  Ranking is two-phase: a map-side
+        partial top-k per Arrow batch (same order as the final rank, so
+        lossless) feeds the per-query row_number window — ≤ k·n_batches
+        skinny rows per query reach the exchange, never the scored scan.
+        This replaces the one-search-per-query loop: N queries cost one
+        pruned scan instead of N."""
+        q_rows = queries.select(qid_col, qvec_col).collect()
+        recs = []
+        for r in q_rows:
+            qd = [float(v) for v in r[1]]
+            recs.append((r[0], qd, math.sqrt(sum(v * v for v in qd)),
+                         self._probe_ids(qd, nprobe)))
+        all_cells = sorted({c for _, _, _, ps in recs for c in ps})
+        qdf = self.spark.createDataFrame(
+            recs, "query_id long, __qv array<double>, __qnorm double, "
+                  "__probes array<bigint>")
+        cells = (self.spark.read.parquet(self._cells)
+                 .filter(F.col("centroid_id").isin(all_cells)))
+        vd = F.transform(F.col("v"), lambda v: v.cast("double"))
+        denom = F.col("vnorm") * F.col("__qnorm")
+        score = F.round(F.when(denom == 0, F.lit(0.0))
+                         .otherwise(dot(vd, F.col("__qv")) / denom), 6)
+        scored = (cells
+                  .join(F.broadcast(qdf),
+                        F.array_contains("__probes", F.col("centroid_id")))
+                  .withColumn("score", score)
+                  .select("query_id", "vec_id", "score"))
+
+        schema = scored.schema
+
+        def cut(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                                      ascending=[True, False, True],
+                                      kind="mergesort")
+                yield pdf.groupby("query_id", sort=False).head(k)
+
+        partial = scored.mapInPandas(cut, schema)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.col("vec_id"))
+        return (partial.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "vec_id", "score", "rank"))

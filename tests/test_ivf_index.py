@@ -64,3 +64,24 @@ def test_cells_cover_corpus_exactly_once(spark, index, embeddings_small):
     assert cells.count() == embeddings_small.count()
     assert cells.select("vec_id").distinct().count() == embeddings_small.count()
     assert cells.select("centroid_id").distinct().count() <= N_CENTROIDS
+
+
+def test_search_many_matches_looped_search(index, embeddings_small):
+    """One batch plan over one pruned cells scan must return exactly what
+    the per-query search loop returns, probe set included."""
+    qdf = (embeddings_small.filter(F.col("vec_id") < 4)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    batch = index.search_many(qdf, k=5, nprobe=2)
+    got = {(r.query_id, r.rank): (r.vec_id, r.score)
+           for r in batch.collect()}
+    want = {}
+    for q in qdf.collect():
+        one = index.search([float(v) for v in q.query_vec], k=5, nprobe=2)
+        for i, r in enumerate(one.collect(), start=1):
+            want[(q.query_id, i)] = (r.vec_id, r.score)
+    assert got == want
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), "cells scan not pruned"
+    assert "MapInPandas" in plan  # partial top-k below the rank window
