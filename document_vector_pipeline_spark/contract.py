@@ -1037,6 +1037,13 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Deterministic exact-integer Lloyd k-means (8 clusters, 3
+    iterations) over the embedding corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fixed(emb, n_clusters=8, iters=3, dim=64)
+
+
 def q_ann_recall_multi(spark, sf_dir):
     """recall@10 per (index, query) for all three approximate indexes
     (ivf, lsh, pq) vs the exact cosine ranking."""
@@ -2528,6 +2535,73 @@ order by g.doc_id
 """
 
 
+def _sql_emb_kmeans(n_clusters: int = 8, iters: int = 3,
+                    dim: int = 64) -> str:
+    """kmeans_fixed twin: the T Lloyd iterations unroll into CTE stages
+    (assignment = cross-join argmin via row_number, update = exact integer
+    component sums with half-away division, empty clusters carried over),
+    all in the same 1e-6 fixed-point integer domain as the Spark side —
+    every intermediate is an integer, so the plans cannot diverge."""
+    h = _md5l("cast(vec_id as varchar)")
+    fixed = ("list_transform(embedding, "
+             "x -> cast(round(cast(x as double)*1e6, 0) as bigint))")
+
+    def dist(v, c):
+        return (f"list_sum(list_transform(generate_series(1,{dim}), "
+                f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
+
+    parts = [f"""
+with recursive
+v as materialized (select vec_id, {fixed} as v6 from embeddings),
+seeds as (
+  select v6, row_number() over (order by {h}, vec_id) as cluster
+  from v order by {h}, vec_id limit {n_clusters}),
+c0 as materialized (select cast(cluster as int) as cluster, v6 as c6 from seeds)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} as materialized (
+  select vec_id, v6, cluster from (
+    select a.vec_id, a.v6, c.cluster,
+           row_number() over (partition by a.vec_id
+             order by {dist('a.v6', 'c.c6')}, c.cluster) as rn
+    from v a cross join c{t - 1} c) where rn = 1),
+ux{t} as (
+  select cluster, unnest(v6) as x,
+         unnest(generate_series(1,{dim})) as pos
+  from a{t}),
+us{t} as (
+  select cluster, pos, sum(x) as s, count(*) as n
+  from ux{t} group by cluster, pos),
+cn{t} as (
+  select cluster,
+         list(cast(case when s >= 0 then (2*s+n)//(2*n)
+                        else -((-2*s+n)//(2*n)) end as bigint)
+              order by pos) as c6
+  from us{t} group by cluster),
+c{t} as materialized (
+  select p.cluster, coalesce(n.c6, p.c6) as c6
+  from c{t - 1} p left join cn{t} n using (cluster))""")
+    parts.append(f""",
+af as (
+  select vec_id, cluster, d from (
+    select a.vec_id, c.cluster, {dist('a.v6', 'c.c6')} as d,
+           row_number() over (partition by a.vec_id
+             order by {dist('a.v6', 'c.c6')}, c.cluster) as rn
+    from v a cross join c{iters} c) where rn = 1),
+st as (select cluster, count(*) as n, sum(d) as sd from af group by cluster),
+cd as (select cluster, unnest(c6) as c6v,
+              unnest(generate_series(1,{dim})) as dim
+       from c{iters})
+select cast(cd.cluster as int) as cluster,
+       cast(coalesce(st.n, 0) as bigint) as n,
+       round(coalesce(st.sd, 0) / 1e12, 6) as inertia,
+       cast(cd.dim as int) as dim,
+       round(cd.c6v / 1e6, 6) as centroid
+from cd left join st using (cluster)
+order by cluster, dim""")
+    return "".join(parts)
+
+
 def _sql_ann_recall_multi(k: int = 10) -> str:
     parts = []
     for name, sub in [("ivf", _sql_ann_ivf()), ("lsh", _sql_ann_lsh()),
@@ -3194,6 +3268,7 @@ def queries():
         "ann_recall_multi": q_ann_recall_multi,
         "dedup_lines": q_dedup_lines,
         "corpus_lm_score": q_corpus_lm_score,
+        "emb_kmeans": q_emb_kmeans,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3398,6 +3473,7 @@ from events group by user_id
         "ann_recall_multi": _sql_ann_recall_multi(),
         "dedup_lines": _sql_dedup_lines(),
         "corpus_lm_score": _sql_corpus_lm_score(),
+        "emb_kmeans": _sql_emb_kmeans(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

@@ -457,3 +457,98 @@ def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "n_hits",
                     F.round(F.col("n_hits") / k, 6).alias("recall"))
             .orderBy("query_id"))
+
+
+def _div_half_away(s: int, n: int) -> int:
+    """Exact integer division rounded half away from zero (matches SQL
+    round() semantics without touching floats)."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column, EXACT
+    integer arithmetic end to end: (cluster, n, inertia, dim, centroid),
+    one row per (cluster, dimension), ordered.
+
+    Everything that could diverge across engines/partitionings is pinned:
+    - vectors live in 1e-6 fixed point (long), distances are exact int64
+      sums of squared component deltas;
+    - seeds are the n_clusters rows with smallest (md5(vec_id), vec_id) —
+      the same uniform pseudo-random sample as ivf_centroids;
+    - argmin ties break on cluster id (array_min over struct(d, c));
+    - centroid updates are integer half-away-from-zero division of exact
+      component sums (no float round anywhere); empty clusters keep their
+      previous centroid;
+    - after `iters` assign+update cycles, a final assignment against the
+      final centroids yields per-cluster n and inertia.
+
+    Plan shape per iteration (MLlib's shape, exact-integer edition): the
+    centroids are PLAN METADATA — n_clusters × dim longs broadcast as
+    literals — so assignment is MAP-ONLY (argmin over n_clusters codegen'd
+    integer folds, no join); the update is one groupBy(cluster, dim)
+    shuffle of (n_clusters × dim)-group partial sums, collected back as
+    the next iteration's literals (a few KB).  iters+1 corpus passes
+    total; at 100 TB you cache `base` once and the passes are scan-bound.
+    """
+    spark = corpus.sparkSession
+
+    def fixed6(vec):
+        return F.transform(
+            vec, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
+
+    base = corpus.select(F.col(id_col).alias("vec_id"),
+                         fixed6(F.col(vec_col)).alias("v6"))
+    seeds = (base
+             .select("v6", md5_long(F.col("vec_id").cast("string")).alias("h"),
+                     "vec_id")
+             .orderBy("h", "vec_id").limit(n_clusters)
+             .select("v6").collect())
+    cents = [[int(x) for x in r["v6"]] for r in seeds]
+
+    def best_expr(cents):
+        cands = []
+        for ci, c6 in enumerate(cents, start=1):
+            carr = F.array(*[F.lit(x) for x in c6])
+            d = F.aggregate(
+                F.zip_with(F.col("v6"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            cands.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+        return F.array_min(F.array(*cands))
+
+    for _ in range(iters):
+        assigned = (base.withColumn("best", best_expr(cents))
+                    .select(F.col("best.c").alias("cluster"), "v6"))
+        upd = (assigned
+               .select("cluster", F.posexplode("v6").alias("pos", "x"))
+               .groupBy("cluster", "pos")
+               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+               .collect())
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in upd:
+            sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        cents = [
+            [_div_half_away(*sums[ci][p]) for p in range(dim)]
+            if ci in sums else cents[ci - 1]
+            for ci in range(1, n_clusters + 1)]
+
+    final = (base.withColumn("best", best_expr(cents))
+             .select(F.col("best.c").alias("cluster"),
+                     F.col("best.d").alias("d")))
+    stats = final.groupBy("cluster").agg(F.count("*").alias("n"),
+                                         F.sum("d").alias("sd"))
+    cent_rows = [(ci, p + 1, c6[p])
+                 for ci, c6 in enumerate(cents, start=1)
+                 for p in range(dim)]
+    cdf = spark.createDataFrame(cent_rows, "cluster int, dim int, c6 long")
+    return (cdf.join(F.broadcast(stats), "cluster", "left")
+            .select(F.col("cluster"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.round(F.coalesce(F.col("sd"), F.lit(0)) / 1e12, 6)
+                     .alias("inertia"),
+                    F.col("dim"),
+                    F.round(F.col("c6") / 1e6, 6).alias("centroid"))
+            .orderBy("cluster", "dim"))

@@ -121,3 +121,29 @@ def test_pq_udf_equals_expression(spark):
     slow = {(r.query_id, r.vec_id, r.score, r.rank) for r in
             S.pq_ann(emb, qdf, k=10, use_udf=False).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_kmeans_fixed_partitions_and_lloyd_monotone(spark, embeddings_small):
+    from document_vector_pipeline_spark.operators.similarity import (
+        kmeans_fixed,
+    )
+
+    total = embeddings_small.count()
+
+    def run(iters):
+        rows = kmeans_fixed(embeddings_small, n_clusters=4, iters=iters,
+                            dim=64).collect()
+        assert len(rows) == 4 * 64
+        per = {}
+        for r in rows:
+            per.setdefault(r.cluster, set()).add((r.n, r.inertia))
+        # n and inertia constant across a cluster's dim rows
+        assert all(len(v) == 1 for v in per.values())
+        ns = {c: next(iter(v))[0] for c, v in per.items()}
+        inert = {c: next(iter(v))[1] for c, v in per.items()}
+        assert sum(ns.values()) == total  # clusters partition the corpus
+        assert all(i >= 0 for i in inert.values())
+        return sum(inert.values())
+
+    # Lloyd's algorithm: total inertia is non-increasing in iterations
+    assert run(3) <= run(1) + 1e-9
