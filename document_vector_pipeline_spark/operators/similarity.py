@@ -209,15 +209,28 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 8,
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its max-cosine centroid (broadcast argmax —
-    ties broken by centroid_id)."""
-    scored = (corpus.select(F.col(id_col).alias("vec_id"),
-                            F.col(vec_col).alias("v"))
-              .join(F.broadcast(centroids))
-              .withColumn("cscore", F.round(cosine_similarity("v", "centroid"), 6)))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.col("centroid_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    """Assign every vector to its max-cosine centroid — MAP-ONLY.
+
+    The centroid table is index metadata (n_centroids rows); collecting
+    it and baking the vectors in as literals turns the assignment into an
+    argmin expression per row (array_min over struct(-score, id)) instead
+    of a broadcast join + row_number window — the window's
+    partitionBy(vec_id) was a full-corpus shuffle, the one cost that
+    can't be afforded at 100 TB.  Value-identical: same rounded cosine
+    fold, and min(-score, centroid_id) picks max score with ties to the
+    smallest centroid_id exactly like the window's (desc score,
+    centroid_id) order."""
+    cents = centroids.select("centroid_id", "centroid").collect()
+    cands = []
+    for r in cents:
+        carr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+        s = F.round(cosine_similarity(F.col("v"), carr), 6)
+        cands.append(F.struct((-s).alias("ns"),
+                              F.lit(r["centroid_id"]).alias("cid")))
+    best = F.array_min(F.array(*cands))
+    return (corpus.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+            .withColumn("centroid_id", best["cid"])
             .select("vec_id", "v", "centroid_id"))
 
 

@@ -67,18 +67,22 @@ class IVFIndex:
                          F.col("v").alias("centroid"),
                          F.col("vnorm").alias("cnorm")))
         cents.coalesce(1).write.mode("overwrite").parquet(self._cents)
-        cents_df = self.spark.read.parquet(self._cents)
+        # centroids are index metadata: bake them in as literals so the
+        # assignment is a MAP-ONLY argmin per row — the former broadcast
+        # join + row_number window shuffled the whole corpus on vec_id.
+        # min(-score, centroid_id) == the window's (desc score, id) order.
+        cent_rows = self.spark.read.parquet(self._cents).collect()
         vd2 = F.transform(F.col("v"), lambda v: v.cast("double"))
-        cd = F.transform(F.col("centroid"), lambda v: v.cast("double"))
-        denom = F.col("vnorm") * F.col("cnorm")
-        cscore = F.round(F.when(denom == 0, F.lit(0.0))
-                          .otherwise(dot(vd2, cd) / denom), 6)
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"),
-                                                 F.col("centroid_id"))
-        assigned = (base.join(F.broadcast(cents_df))
-                    .withColumn("cscore", cscore)
-                    .withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
+        cands = []
+        for r in cent_rows:
+            carr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+            denom = F.col("vnorm") * F.lit(r["cnorm"])
+            s = F.round(F.when(denom == 0, F.lit(0.0))
+                         .otherwise(dot(vd2, carr) / denom), 6)
+            cands.append(F.struct((-s).alias("ns"),
+                                  F.lit(r["centroid_id"]).alias("cid")))
+        best = F.array_min(F.array(*cands))
+        assigned = (base.withColumn("centroid_id", best["cid"])
                     .select("vec_id", "v", "vnorm", "centroid_id"))
         (assigned.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite").parquet(self._cells))

@@ -373,3 +373,14 @@ def test_lsh_band_skew_split_by_aqe(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """IVF centroid assignment must not shuffle the corpus: the centroids
+    are plan metadata, the argmin is a per-row expression."""
+    from document_vector_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    p = plan_of(similarity.ivf_assign(emb, cents))
+    assert "Exchange" not in p and "Window" not in p and "Join" not in p
