@@ -138,6 +138,8 @@ def main() -> None:
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
     bench("ann_recall_multi",
           lambda: similarity.ann_recall_multi(emb, qdf, k=10))
+    bench("emb_kmeans",
+          lambda: similarity.kmeans_fixed(emb, n_clusters=8, iters=3))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_search_batch",
