@@ -1037,6 +1037,12 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Per-doc curation verdict: exact/near dup, quality, repetition
+    flags + keep."""
+    return corpus.curate(load_table(spark, sf_dir, "documents"))
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Deterministic exact-integer Lloyd k-means (8 clusters, 3
     iterations) over the embedding corpus."""
@@ -2535,6 +2541,86 @@ order by g.doc_id
 """
 
 
+def _stops_sql() -> str:
+    return ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+
+
+def _sql_corpus_curate(max_dup_frac: float = 0.2) -> str:
+    """curate twin: composes the exact-dup fingerprint grouping, the
+    MinHash cluster losers (recursive reachability), and the quality /
+    repetition subqueries into one verdict row per document."""
+    return f"""
+with recursive {_minhash_ctes()},
+prs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+edges as (
+  select id_a as n, id_b as m from prs
+  union all
+  select id_b as n, id_a as m from prs),
+reach as (
+  select n, m from edges
+  union
+  select r.n, e.m from reach r join edges e on r.m = e.n),
+comp as (
+  select n as id, least(n, min(m)) as component from reach group by n),
+losers as (select id as doc_id from comp where id <> component),
+fp as (select doc_id, {_md5l(_norm_text('text'))} as f from documents),
+keepid as (select f, min(doc_id) as keep_id from fp group by f),
+ex as (
+  select fp.doc_id, fp.doc_id <> k.keep_id as exact_dup
+  from fp join keepid k using (f)),
+q as (
+  select doc_id,
+         (n_words >= 20 and n_words <= 100000
+          and mean_word_len >= 2.0 and mean_word_len <= 12.0
+          and stop_hits >= 2) as passes
+  from (
+    select doc_id, n_words,
+           case when n_words > 0
+                then round(n_word_chars / n_words, 6) else 0.0 end
+             as mean_word_len,
+           stop_hits
+    from (
+      select doc_id,
+             cast(len(w) as bigint) as n_words,
+             cast(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                  as bigint) as n_word_chars,
+             cast(len(list_filter(w, x -> x in ({_stops_sql()})))
+                  as bigint) as stop_hits
+      from (select doc_id, {_toks('text', lower=True)} as w
+            from documents)))),
+rep as (
+  select doc_id,
+         case when len(grams) > 0
+              then round((len(grams) - len(list_distinct(grams)))
+                         / cast(len(grams) as double), 6)
+              else 0.0 end as dup_frac
+  from (
+    select doc_id,
+           list_transform(
+             case when len(w) >= 3 then generate_series(1, len(w) - 2)
+                  else cast([] as bigint[]) end,
+             s -> array_to_string(w[s:s+2], ' ')) as grams
+    from (select doc_id, {_toks('text', lower=True)} as w
+          from documents)))
+select d.doc_id,
+       ex.exact_dup,
+       l.doc_id is not null as near_dup,
+       not q.passes as low_quality,
+       rep.dup_frac > {max_dup_frac} as repetitive,
+       not (ex.exact_dup or l.doc_id is not null or not q.passes
+            or rep.dup_frac > {max_dup_frac}) as keep
+from documents d
+join ex using (doc_id)
+left join losers l using (doc_id)
+join q using (doc_id)
+join rep using (doc_id)
+order by d.doc_id
+"""
+
+
 def _sql_emb_kmeans(n_clusters: int = 8, iters: int = 3,
                     dim: int = 64) -> str:
     """kmeans_fixed twin: the T Lloyd iterations unroll into CTE stages
@@ -3269,6 +3355,7 @@ def queries():
         "dedup_lines": q_dedup_lines,
         "corpus_lm_score": q_corpus_lm_score,
         "emb_kmeans": q_emb_kmeans,
+        "corpus_curate": q_corpus_curate,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3474,6 +3561,7 @@ from events group by user_id
         "dedup_lines": _sql_dedup_lines(),
         "corpus_lm_score": _sql_corpus_lm_score(),
         "emb_kmeans": _sql_emb_kmeans(),
+        "corpus_curate": _sql_corpus_curate(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

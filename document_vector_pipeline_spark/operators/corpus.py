@@ -379,3 +379,62 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                     F.round(F.col("s6") / (F.col("n_bigrams") * 1e6), 6)
                      .alias("score"))
             .orderBy("doc_id"))
+
+
+def curate(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", rep_width: int = 3,
+           max_dup_frac: float = 0.2) -> DataFrame:
+    """The curation decision table — per document, every drop signal the
+    pipeline computes plus the final verdict:
+    (doc_id, exact_dup, near_dup, low_quality, repetitive, keep).
+
+    - exact_dup: not the min-id holder of its normalized-text md5 group
+    - near_dup: a non-survivor of a MinHash-LSH connected component
+    - low_quality: fails the Gopher/C4 filter battery (quality_filters)
+    - repetitive: within-doc repeated n-gram ratio > ``max_dup_frac``
+    - keep: none of the above
+
+    This is the query a training-data pipeline actually runs: one pass
+    that explains, for every document, WHY it stays or goes — the audit
+    artifact curation reviews want, not just the surviving corpus.
+
+    Plan shape: quality and repetition are map-only; exact dedup is one
+    groupBy on a uniform md5 key; near-dup reuses the banded LSH join +
+    label propagation (the only iterative piece); the final assembly is
+    skinny boolean columns joined on doc_id — co-partitioned after the
+    first shuffle, and the loser/flag sides are tiny at any scale."""
+    from document_vector_pipeline_spark.operators import dedup as D
+    from document_vector_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    fp = base.select("doc_id",
+                     md5_long(D._norm_text(F.col("text"))).alias("f"))
+    keep_id = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    exact = (fp.join(keep_id, "f")
+             .select("doc_id",
+                     (F.col("doc_id") != F.col("keep_id"))
+                     .alias("exact_dup")))
+    comp = connected_components(D.minhash_lsh_pairs(base))
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias("doc_id"),
+                      F.lit(True).alias("near_dup")))
+    q = quality_filters(base).select("doc_id", "passes")
+    rep = repetition_stats(base, width=rep_width).select("doc_id",
+                                                         "dup_frac")
+    flags = (base.select("doc_id")
+             .join(exact, "doc_id")
+             .join(losers, "doc_id", "left")
+             .join(q, "doc_id")
+             .join(rep, "doc_id")
+             .select("doc_id", "exact_dup",
+                     F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+                     (~F.col("passes")).alias("low_quality"),
+                     (F.col("dup_frac") > max_dup_frac).alias("repetitive")))
+    return (flags.withColumn(
+                "keep",
+                ~(F.col("exact_dup") | F.col("near_dup")
+                  | F.col("low_quality") | F.col("repetitive")))
+            .orderBy("doc_id"))

@@ -174,3 +174,31 @@ def test_bigram_lm_scores_hand_computed(spark):
     got = [(r.doc_id, r.n_bigrams, r.score)
            for r in bigram_lm_scores(df).collect()]
     assert got == [(1, 3, 0.833333), (2, 2, 0.75)]
+
+
+def test_curate_flags_agree_with_standalone_operators(spark, docs_small):
+    """The verdict table must restate exactly what the individual
+    operators say — no drift between the dashboard and its sources."""
+    from document_vector_pipeline_spark.operators import corpus as C
+    from document_vector_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    out = {r.doc_id: r for r in C.curate(docs_small).collect()}
+    assert len(out) == docs_small.count()
+
+    n_exact_losers = sum(1 for r in out.values() if r.exact_dup)
+    n_groups = D.exact_dedup(docs_small).count()
+    assert n_exact_losers == len(out) - n_groups
+
+    comp = connected_components(D.minhash_lsh_pairs(docs_small))
+    losers = {r.id for r in comp.collect() if r.id != r.component}
+    assert {d for d, r in out.items() if r.near_dup} == losers
+
+    fails = {r.doc_id for r in C.quality_filters(docs_small).collect()
+             if not r.passes}
+    assert {d for d, r in out.items() if r.low_quality} == fails
+
+    for r in out.values():
+        assert r.keep == (not (r.exact_dup or r.near_dup
+                               or r.low_quality or r.repetitive))
