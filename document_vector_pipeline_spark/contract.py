@@ -1037,6 +1037,12 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_sketch_kmv_windowed(spark, sf_dir):
+    """Per-hour KMV distinct-user estimate with exact count and measured
+    relative error."""
+    return sketch.kmv_windowed(load_table(spark, sf_dir, "events"))
+
+
 def q_corpus_curate(spark, sf_dir):
     """Per-doc curation verdict: exact/near dup, quality, repetition
     flags + keep."""
@@ -2541,6 +2547,31 @@ order by g.doc_id
 """
 
 
+def _sql_sketch_kmv_windowed(k: int = 64) -> str:
+    h = _md5l("cast(user_id as varchar)")
+    return f"""
+with b as materialized (
+  select date_trunc('hour', ts) as window_start, user_id from events),
+h as (select distinct window_start, {h} as h from b),
+r as (select window_start, h,
+             row_number() over (partition by window_start order by h) as rn
+      from h),
+a as (select window_start, count(*) as n_kept, max(h) as h_k
+      from r where rn <= {k} group by window_start),
+e as (select window_start, cast(count(distinct user_id) as bigint) as exact
+      from b group by window_start),
+s as (select a.window_start, a.n_kept, a.h_k,
+             round(case when a.n_kept < {k} then cast(a.n_kept as double)
+                        else {k - 1} * 1152921504606846976.0 / a.h_k end, 4)
+               as estimate,
+             e.exact
+      from a join e using (window_start))
+select window_start, n_kept, h_k, estimate, exact,
+       round(abs(estimate - exact) / exact, 6) as rel_err
+from s order by window_start
+"""
+
+
 def _stops_sql() -> str:
     return ", ".join(f"'{s}'" for s in STOPWORDS["en"])
 
@@ -3356,6 +3387,7 @@ def queries():
         "corpus_lm_score": q_corpus_lm_score,
         "emb_kmeans": q_emb_kmeans,
         "corpus_curate": q_corpus_curate,
+        "sketch_kmv_windowed": q_sketch_kmv_windowed,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3562,6 +3594,7 @@ from events group by user_id
         "corpus_lm_score": _sql_corpus_lm_score(),
         "emb_kmeans": _sql_emb_kmeans(),
         "corpus_curate": _sql_corpus_curate(),
+        "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),
