@@ -80,3 +80,46 @@ def test_exact_dedup_idempotent_and_total(spark, texts):
                  lambda w: w != F.lit("")), " ")).alias("f"))
             .distinct().count())
     assert len({f for _, f in rows1}) == len(rows1) == n_fp
+
+
+# multi-line documents: lines of words joined by newlines
+LINE = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+MLDOC = st.lists(LINE, min_size=0, max_size=6).map("\n".join)
+
+
+@SLOW
+@given(st.lists(MLDOC, min_size=1, max_size=10))
+def test_paragraph_chunks_preserve_word_sequence(spark, texts):
+    """SK paragraph chunking must never lose, duplicate, or reorder
+    words, for any multi-line input — splitting, paragraph build, and
+    balancing all only move boundaries."""
+    df = _docs_df(spark, texts)
+    out = chunk_documents(df, mode="paragraphs",
+                          cfg=PipelineConfig(max_tokens_per_chunk=8))
+    got = {}
+    for r in out.orderBy("doc_id", "chunk_number").collect():
+        got.setdefault(r.doc_id, []).extend(r.chunk_text.split())
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == t.split()
+
+
+SENT = st.lists(WORD, min_size=1, max_size=6).map(" ".join)
+DOTDOC = st.lists(SENT, min_size=0, max_size=6).map(". ".join)
+
+
+@SLOW
+@given(st.lists(DOTDOC, min_size=1, max_size=10))
+def test_line_dedup_idempotent(spark, texts):
+    """After one pass every surviving unit is globally unique, so a
+    second pass must keep everything unchanged."""
+    from document_vector_pipeline_spark.operators.dedup import line_dedup
+
+    df = _docs_df(spark, texts)
+    once = line_dedup(df).select(
+        "doc_id", F.col("clean_text").alias("text")).collect()
+    df2 = spark.createDataFrame(once, "doc_id long, text string")
+    twice = {r.doc_id: r for r in line_dedup(df2).collect()}
+    for r in once:
+        again = twice[r.doc_id]
+        assert again.clean_text == r.text
+        assert again.n_units == again.n_kept
