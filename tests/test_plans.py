@@ -384,3 +384,18 @@ def test_ivf_assignment_is_map_only(spark):
     cents = similarity.ivf_centroids(emb, n_centroids=8)
     p = plan_of(similarity.ivf_assign(emb, cents))
     assert "Exchange" not in p and "Window" not in p and "Join" not in p
+
+
+def test_new_corpus_ops_partial_aggregate_no_cartesian(t):
+    """dedup_lines and corpus_lm_score: every aggregation partial+final
+    (map-side combine before each shuffle — the property that tames the
+    Zipf head), joins never cartesian, no sort-merge at this scale."""
+    from document_vector_pipeline_spark.operators import corpus as C
+    from document_vector_pipeline_spark.operators import dedup as D
+
+    for q in (lambda: D.line_dedup(t["documents"]),
+              lambda: C.bigram_lm_scores(t["documents"])):
+        p = plan_of(q())
+        assert p.count("HashAggregate") % 2 == 0
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
