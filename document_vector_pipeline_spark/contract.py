@@ -1037,6 +1037,11 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams."""
+    return analytics.event_transitions(load_table(spark, sf_dir, "events"))
+
+
 def q_sketch_kmv_windowed(spark, sf_dir):
     """Per-hour KMV distinct-user estimate with exact count and measured
     relative error."""
@@ -2547,6 +2552,25 @@ order by g.doc_id
 """
 
 
+def _sql_events_transitions() -> str:
+    return """
+with p as (
+  select lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev_type,
+         event_type
+  from events),
+c as (
+  select prev_type, event_type, cast(count(*) as bigint) as n
+  from p where prev_type is not null
+  group by prev_type, event_type),
+t as (select prev_type, sum(n) as row_n from c group by prev_type)
+select c.prev_type, c.event_type, c.n,
+       round(((1000000 * c.n) // t.row_n) / 1e6, 6) as prob
+from c join t using (prev_type)
+order by prev_type, event_type
+"""
+
+
 def _sql_sketch_kmv_windowed(k: int = 64) -> str:
     h = _md5l("cast(user_id as varchar)")
     return f"""
@@ -3388,6 +3412,7 @@ def queries():
         "emb_kmeans": q_emb_kmeans,
         "corpus_curate": q_corpus_curate,
         "sketch_kmv_windowed": q_sketch_kmv_windowed,
+        "events_transitions": q_events_transitions,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3595,6 +3620,7 @@ from events group by user_id
         "emb_kmeans": _sql_emb_kmeans(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
+        "events_transitions": _sql_events_transitions(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

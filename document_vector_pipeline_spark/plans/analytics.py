@@ -677,3 +677,30 @@ def events_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
             .filter(d * d >= F.lit(z * z).cast("decimal(38,0)") * var_num)
             .select("event_id", "event_type", "value")
             .orderBy("event_id"))
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Event-type transition matrix (first-order Markov): for every
+    ordered pair of consecutive events within a user's stream,
+    (prev_type, event_type, n, prob) where prob is the exact row-
+    normalized transition probability in millionths ((1e6·n) div
+    rowsum, /1e6 — integer arithmetic, partition-order independent).
+
+    The sequence-analytics staple (what follows what): one window pass
+    ordered by (ts, event_id) per user — ONE shuffle on user_id — then
+    two tiny aggregations over the (types × types) pair space."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .select("user_id", "ts", "event_id", "event_type")
+             .withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    c = (pairs.groupBy("prev_type", "event_type")
+         .agg(F.count("*").cast("long").alias("n")))
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (c.join(tot, "prev_type")
+            .select("prev_type", "event_type", "n",
+                    F.round(F.expr("(1000000 * n) div row_n") / 1e6, 6)
+                     .alias("prob"))
+            .orderBy("prev_type", "event_type"))
