@@ -288,7 +288,8 @@ class VectorStore:
 
     def search_many(self, queries: DataFrame, k: int = 10,
                     qid_col: str = "query_id",
-                    qvec_col: str = "query_vec") -> DataFrame:
+                    qvec_col: str = "query_vec",
+                    quantized: bool = False) -> DataFrame:
         """Batch cosine top-k: every query in ``queries`` answered in ONE
         plan — broadcast the query set over the store scan, score each
         (row, query) pair with the stored norm, rank per query.
@@ -309,7 +310,11 @@ class VectorStore:
         one shuffles k·n_partitions·25 four-column rows.  The partial cut
         uses the same total order as the final rank (score desc,
         document_url, id — all ASCII, so pandas and Spark collate
-        identically), which makes it lossless for top-k."""
+        identically), which makes it lossless for top-k.
+
+        ``quantized=True`` scores against the int8 QuantizedFlat column
+        with an exact integer dot (the batch twin of
+        ``search(quantized=True)``): same two-phase plan, 4× less scan."""
         from pyspark.sql import Window
 
         df = self.read()
@@ -318,21 +323,34 @@ class VectorStore:
             F.transform(F.col(qvec_col), lambda v: v.cast("double"))
              .alias("__qv")))
         q = q.withColumn("__qnorm", l2_norm(F.col("__qv")))
-        # zip_with null-pads on length mismatch → silent null scores and
-        # arbitrary top-k; make a dimension mismatch a loud, named error
-        # (same guard as search()).
-        emb = F.when(F.size("embedding") == F.size("__qv"),
-                     F.col("embedding")) \
-               .otherwise(F.raise_error(F.concat(
-                   F.lit("query vector dimension "),
-                   F.size("__qv").cast("string"),
-                   F.lit(" != stored embedding dimension "),
-                   F.size("embedding").cast("string"))))
-        ad = F.transform(emb, lambda v: v.cast("double"))
-        denom = F.col("embedding_norm") * F.col("__qnorm")
-        score = F.round(
-            F.when(denom == 0, F.lit(0.0))
-             .otherwise(dot(ad, F.col("__qv")) / denom), 6)
+        if quantized:
+            q = q.withColumn("__qq", quantize_int8(F.col("__qv")))
+
+        def guarded(col_name: str, qcol: str):
+            # zip_with null-pads on length mismatch → silent null scores
+            # and arbitrary top-k; make a dimension mismatch a loud,
+            # named error (same guard as search()).
+            return F.when(F.size(col_name) == F.size(qcol),
+                          F.col(col_name)) \
+                    .otherwise(F.raise_error(F.concat(
+                        F.lit("query vector dimension "),
+                        F.size(qcol).cast("string"),
+                        F.lit(" != stored embedding dimension "),
+                        F.size(col_name).cast("string"))))
+
+        if quantized:
+            idot = F.aggregate(
+                F.zip_with(guarded("embedding_q8", "__qq"), F.col("__qq"),
+                           lambda x, y: x.cast("int") * y.cast("int")),
+                F.lit(0), lambda acc, v: acc + v)
+            score = F.round(idot / (127.0 * 127.0), 6)
+        else:
+            ad = F.transform(guarded("embedding", "__qv"),
+                             lambda v: v.cast("double"))
+            denom = F.col("embedding_norm") * F.col("__qnorm")
+            score = F.round(
+                F.when(denom == 0, F.lit(0.0))
+                 .otherwise(dot(ad, F.col("__qv")) / denom), 6)
         scored = (df.crossJoin(F.broadcast(q))
                   .withColumn("score", score)
                   .select("__qid", "id", "document_url", "score"))

@@ -154,3 +154,29 @@ def test_reembed_changes_dim_preserves_rows(spark, tmp_path):
     got = sorted((r["document_url"], r["id"], r["chunk_text"]) for r in
                  after.select("document_url", "id", "chunk_text").collect())
     assert got == before
+
+
+def test_search_many_quantized_matches_single_query(spark, tmp_path):
+    """Batch quantized search must equal per-query quantized search
+    exactly (same integer dot, same ranking order)."""
+    from document_vector_pipeline_spark.contract import _store_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = VectorStore(spark, str(tmp_path / "store_q8"))
+    store.upsert(_store_chunks(docs))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = (emb.filter(F.col("vec_id") < 3)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.concat(F.col("embedding"),
+                            F.array_repeat(F.lit(0.0), 64 - 64))
+                   .alias("query_vec")))
+    # store dim is 64 in _store_chunks, queries are 64-dim already
+    batch = {(r.query_id, r.rank): (r.id, r.document_url, r.score)
+             for r in store.search_many(qdf, k=5, quantized=True).collect()}
+    single = {}
+    for q in qdf.collect():
+        res = store.search([float(v) for v in q.query_vec], k=5,
+                           quantized=True)
+        for i, r in enumerate(res.collect(), start=1):
+            single[(q.query_id, i)] = (r.id, r.document_url, r.score)
+    assert batch == single and len(batch) == 15
