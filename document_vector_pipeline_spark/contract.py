@@ -1037,6 +1037,13 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_corpus_interleave(spark, sf_dir):
+    """Deterministic sqrt-temperature weighted interleaving of sources
+    into one training order (fair-queueing virtual time)."""
+    return corpus.interleave_by_mixture(load_table(spark, sf_dir,
+                                                   "documents"))
+
+
 def q_events_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event streams."""
     return analytics.event_transitions(load_table(spark, sf_dir, "events"))
@@ -2552,6 +2559,26 @@ order by g.doc_id
 """
 
 
+def _sql_corpus_interleave() -> str:
+    h = _md5l("cast(doc_id as varchar)")
+    return f"""
+with r as (
+  select doc_id, source,
+         cast(row_number() over (partition by source order by {h}, doc_id)
+              as bigint) as r,
+         cast(count(*) over (partition by source) as bigint) as n
+  from documents),
+v as (
+  select doc_id, source,
+         (r * 1000000) // cast(floor(sqrt(n * 1000000)) as bigint) as v6
+  from r)
+select doc_id, source, v6,
+       cast(row_number() over (order by v6, source, doc_id) as bigint) - 1
+         as pos
+from v order by pos
+"""
+
+
 def _sql_events_transitions() -> str:
     return """
 with p as (
@@ -3413,6 +3440,7 @@ def queries():
         "corpus_curate": q_corpus_curate,
         "sketch_kmv_windowed": q_sketch_kmv_windowed,
         "events_transitions": q_events_transitions,
+        "corpus_interleave": q_corpus_interleave,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3621,6 +3649,7 @@ from events group by user_id
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),
+        "corpus_interleave": _sql_corpus_interleave(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         "vector_topk_filtered": _sql_vector_topk_filtered(),
         "corpus_qualityfilter": _sql_corpus_qualityfilter(),

@@ -438,3 +438,41 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
                 ~(F.col("exact_dup") | F.col("near_dup")
                   | F.col("low_quality") | F.col("repetitive")))
             .orderBy("doc_id"))
+
+
+def interleave_by_mixture(docs: DataFrame, source_col: str = "source",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted interleaving of sources into one training
+    order: (doc_id, source, v6, pos).
+
+    The mixture scheduler: each source's documents are ranked by the
+    seedless md5 permutation, and document r of source s is released at
+    virtual time v = r / w_s with w_s = sqrt(n_s) (the sqrt-temperature
+    weight corpus_mixture computes) — classic fair-queueing, so sources
+    appear proportionally to their weights all the way through the epoch
+    instead of front-loading the big ones.  All arithmetic is integer:
+    w6 = floor(sqrt(n_s · 1e6)) (IEEE sqrt of an exact integer — both
+    engines round identically), v6 = (r · 1_000_000) div w6, ties broken
+    by (source, doc_id).  Reproducible across runs, engines and cluster
+    sizes.
+
+    One shuffle on source (rank + count via one window pass each), then
+    the same single ordered exchange as shuffle_assign for the global
+    position — swap for per-partition offsets at 100 TB."""
+    from pyspark.sql import Window
+
+    h = md5_long(F.col(id_col).cast("string"))
+    ws = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    wn = Window.partitionBy(source_col)
+    ranked = docs.select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        (F.row_number().over(ws)).cast("long").alias("r"),
+        F.count("*").over(wn).cast("long").alias("n"))
+    w6 = F.floor(F.sqrt(F.col("n") * F.lit(1_000_000))).cast("long")
+    ranked = ranked.withColumn("w6", w6) \
+                   .withColumn("v6", F.expr("(r * 1000000) div w6"))
+    wg = Window.orderBy("v6", "source", F.col(id_col))
+    return (ranked.select(id_col, "source", "v6",
+                          (F.row_number().over(wg).cast("long") - 1)
+                          .alias("pos"))
+            .orderBy("pos"))

@@ -202,3 +202,26 @@ def test_curate_flags_agree_with_standalone_operators(spark, docs_small):
     for r in out.values():
         assert r.keep == (not (r.exact_dup or r.near_dup
                                or r.low_quality or r.repetitive))
+
+
+def test_interleave_spreads_sources_evenly(spark, docs_small):
+    """Fair-queueing property: every prefix of the training order holds
+    each source roughly in proportion to its weight — sources must not
+    front-load."""
+    from document_vector_pipeline_spark.operators.corpus import (
+        interleave_by_mixture,
+    )
+
+    rows = interleave_by_mixture(docs_small).collect()
+    assert [r.pos for r in rows] == list(range(len(rows)))
+    total = {}
+    for r in rows:
+        total[r.source] = total.get(r.source, 0) + 1
+    half = rows[: len(rows) // 2]
+    seen = {}
+    for r in half:
+        seen[r.source] = seen.get(r.source, 0) + 1
+    for s, n in total.items():
+        if n >= 10:
+            frac = seen.get(s, 0) / n
+            assert 0.3 < frac < 0.7, (s, frac)
