@@ -119,6 +119,15 @@ def main() -> None:
           lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.1))
     bench("dedup_embedding",
           lambda: dedup.embedding_neardup_pairs(emb, threshold=0.35))
+    bench("dedup_url", lambda: dedup.url_dedup(docs.select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                 F.lit(".Example.com/item/"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit("?utm_source=s"), F.col("doc_id").cast("string"),
+                 F.lit("&q=1")).alias("url"))))
+    bench("dedup_minhash_eval",
+          lambda: dedup.minhash_eval(docs, threshold=0.1))
     bench("ann_bruteforce",
           lambda: similarity.brute_force_topk(emb, qdf, k=10))
     bench("ann_bruteforce_np",

@@ -546,6 +546,43 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_neardup_pairs(emb, threshold=0.35)
 
 
+def q_dedup_url(spark, sf_dir):
+    """URL-canonicalization dedup over deterministic synthetic URLs (the
+    corpus has no URL column, so the query constructs one per doc with
+    case / www / default-port / tracking-param / fragment / trailing-slash
+    variants — the oracle builds the identical string and canonicalizes it
+    with the same regex sequence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    k = (did % 3).cast("string")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")),
+        F.col("source"),
+        F.when(did % 2 == 0, F.lit(".Example.COM:443")).otherwise(
+            F.lit(".example.com")),
+        F.lit("/item/"), k,
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("?utm_source=s"), sid, F.lit("&q="), k))
+         .otherwise(F.concat(
+             F.lit("?q="), k,
+             F.when(did % 5 == 0,
+                    F.concat(F.lit("&utm_campaign=c"), sid))
+              .otherwise(F.lit("")))),
+        F.when(did % 7 == 0, F.concat(F.lit("#sec"), sid))
+         .otherwise(F.lit("")))
+    return dedup.url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def q_dedup_minhash_eval(spark, sf_dir):
+    """Measured precision/recall of MinHash-LSH vs exact n-gram Jaccard
+    (deterministic both sides, so the accuracy metric is oracle-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_eval(docs, threshold=0.1)
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1484,6 +1521,94 @@ with {_minhash_ctes()}
 select distinct a.doc_id as id_a, b.doc_id as id_b
 from bands a join bands b on a.band_no = b.band_no and a.key = b.key
 where a.doc_id < b.doc_id
+"""
+
+
+def _sql_dedup_url() -> str:
+    """Mirror of q_dedup_url: identical URL construction, identical
+    canonicalization regex sequence (operators/dedup.py url_canonical)."""
+    build = """
+    (case when doc_id % 2 = 0 then 'HTTPS://WWW.' else 'https://' end)
+    || source
+    || (case when doc_id % 2 = 0 then '.Example.COM:443'
+        else '.example.com' end)
+    || '/item/' || cast(doc_id % 3 as varchar)
+    || (case when doc_id % 3 = 0 then '/' else '' end)
+    || (case when doc_id % 2 = 0
+        then '?utm_source=s' || cast(doc_id as varchar)
+             || '&q=' || cast(doc_id % 3 as varchar)
+        else '?q=' || cast(doc_id % 3 as varchar)
+             || (case when doc_id % 5 = 0
+                 then '&utm_campaign=c' || cast(doc_id as varchar)
+                 else '' end) end)
+    || (case when doc_id % 7 = 0 then '#sec' || cast(doc_id as varchar)
+        else '' end)"""
+    return f"""
+with u as (select doc_id, {build} as url from documents),
+h as (select doc_id, url,
+        regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+          as head from u),
+p as (select doc_id, url,
+        regexp_replace(regexp_replace(lower(head), '://www\\.', '://'),
+                       ':(80|443)$', '') as host,
+        regexp_replace(substr(url, length(head) + 1), '#.*', '') as rest
+      from h),
+c as (select doc_id, url, host,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+          as path,
+        list_sort(list_filter(string_split(
+            regexp_extract(rest, '\\?(.*)$', 1), '&'),
+          p -> p <> '' and not regexp_matches(
+              p, '^(utm_[a-zA-Z_]+|fbclid|gclid|ref)='))) as params
+      from p),
+canon as (select doc_id, url,
+        host || path ||
+        (case when len(params) > 0
+         then '?' || array_to_string(params, '&') else '' end) as canon_url
+      from c)
+select doc_id, url, canon_url,
+       doc_id = min(doc_id) over (partition by canon_url) as keep,
+       count(*) over (partition by canon_url) as n_group
+from canon order by doc_id
+"""
+
+
+def _sql_dedup_minhash_eval(threshold: float = 0.1) -> str:
+    """Mirror of dedup.minhash_eval: LSH pair set (same CTEs as
+    _sql_dedup_minhash) intersected with the exact Jaccard ≥ τ pair set
+    (same math as _sql_dedup_ngram_jaccard, built from the shared shingle
+    arrays), counts + integer milli precision/recall."""
+    return f"""
+with {_minhash_ctes()},
+pred as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+jsh as materialized (
+  select doc_id, unnest(list_transform(sharr, s -> {_md5l('s')})) as shingle
+  from sh),
+sizes as (select doc_id, count(*) as n from jsh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from jsh a join jsh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+truth as (
+  select i.id_a, i.id_b
+  from inter i
+  join sizes na on na.doc_id = i.id_a
+  join sizes nb on nb.doc_id = i.id_b
+  where round(i.c / (na.n + nb.n - i.c), 6) >= {threshold!r}),
+hit as (select * from pred intersect select * from truth),
+counts as (
+  select cast((select count(*) from pred) as bigint) as n_pred,
+         cast((select count(*) from truth) as bigint) as n_true,
+         cast((select count(*) from hit) as bigint) as n_hit)
+select n_pred, n_true, n_hit,
+       cast(case when n_pred = 0 then 0
+            else (1000 * n_hit) // n_pred end as bigint) as precision_milli,
+       cast(case when n_true = 0 then 0
+            else (1000 * n_hit) // n_true end as bigint) as recall_milli
+from counts
 """
 
 
@@ -3441,6 +3566,8 @@ def queries():
         "sketch_kmv_windowed": q_sketch_kmv_windowed,
         "events_transitions": q_events_transitions,
         "corpus_interleave": q_corpus_interleave,
+        "dedup_url": q_dedup_url,
+        "dedup_minhash_eval": q_dedup_minhash_eval,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3578,6 +3705,8 @@ from c
         "vector_quantized": _sql_vector_quantized(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash": _sql_dedup_minhash(),
+        "dedup_url": _sql_dedup_url(),
+        "dedup_minhash_eval": _sql_dedup_minhash_eval(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         "dedup_embedding": _sql_dedup_embedding(),

@@ -564,3 +564,101 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                      .alias("n_kept"))
             .orderBy("doc_id"))
+
+
+# ---- URL-canonicalization dedup -------------------------------------------
+
+_TRACKING_PARAM_RE = "^(utm_[a-zA-Z_]+|fbclid|gclid|ref)="
+
+
+def url_canonical(url: Column) -> Column:
+    """Canonical form of a URL for dedup keying (the CommonCrawl-style
+    first stage of corpus dedup: most exact duplicates share a canonical
+    URL long before content hashing runs).
+
+    Normalization spec (applied identically by the DuckDB oracle):
+    lowercase scheme+host, strip a leading ``www.``, strip explicit
+    default ports ``:80``/``:443``, drop the ``#fragment``, strip
+    trailing ``/`` from the path, drop tracking query parameters
+    (``utm_*``, ``fbclid``, ``gclid``, ``ref``) and sort the survivors.
+
+    Pure whole-stage-codegen expression work — no UDF, no shuffle; every
+    regex is RE2-safe (no lookaround) so both engines agree."""
+
+    def build(u: Column) -> Column:
+        head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+
+        def with_head(head: Column) -> Column:
+            host = F.regexp_replace(
+                F.regexp_replace(F.lower(head), r"://www\.", "://"),
+                r":(80|443)$", "")
+            rest = F.substr(u, F.length(head) + 1)
+            rest = F.regexp_replace(rest, r"#.*", "")
+            path = F.regexp_replace(
+                F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+            qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+            params = F.array_sort(F.filter(
+                F.split(qs, "&"),
+                lambda p: (p != F.lit(""))
+                & ~p.rlike(_TRACKING_PARAM_RE)))
+            query = F.when(F.size(params) > 0,
+                           F.concat(F.lit("?"), F.array_join(params, "&"))
+                           ).otherwise(F.lit(""))
+            return F.concat(host, path, query)
+
+        return bound(head, with_head)
+
+    return bound(url, build)
+
+
+def url_dedup(docs: DataFrame, id_col: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """Per-document URL-dedup verdict: canonical URL, whether this doc is
+    the keeper (min id in its canonical group), and the group size.
+
+    One shuffle on the canonical key (uniform unless one URL dominates —
+    AQE skew handling covers that); the verdict joins back by id via the
+    same exchange (a window, not a join)."""
+    from pyspark.sql import Window
+
+    canon = docs.select(F.col(id_col), F.col(url_col).alias("url"),
+                        url_canonical(F.col(url_col)).alias("canon_url"))
+    w = Window.partitionBy("canon_url")
+    return (canon
+            .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+            .withColumn("n_group", F.count("*").over(w).cast("long"))
+            .orderBy(id_col))
+
+
+# ---- MinHash-LSH accuracy evaluation --------------------------------------
+
+def minhash_eval(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", width: int = 3,
+                 threshold: float = 0.1) -> DataFrame:
+    """Measured precision/recall of the MinHash-LSH candidate pairs
+    against the EXACT n-gram-Jaccard ≥ τ pair set — the acceptance metric
+    an approximate dedup ships with (the companion of ann_recall for the
+    dedup side of the house).
+
+    Both inputs are deterministic md5-derived plans, so the metric itself
+    is oracle-exact: n_pred (LSH pairs), n_true (exact pairs), n_hit
+    (intersection), precision/recall in exact integer milli-units.
+
+    Scale: both operands are pair tables (tiny vs the corpus); the
+    intersection is an equi-join on (id_a, id_b)."""
+    pred = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                             shingle_width=width)
+    truth = ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col,
+                                width=width, threshold=threshold)
+    hit = pred.join(truth.select("id_a", "id_b"), ["id_a", "id_b"])
+    row = (pred.agg(F.count("*").cast("long").alias("n_pred"))
+           .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+           .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit"))))
+    return row.select(
+        "n_pred", "n_true", "n_hit",
+        F.when(F.col("n_pred") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("(1000 * n_hit) div n_pred"))
+         .alias("precision_milli"),
+        F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("(1000 * n_hit) div n_true"))
+         .alias("recall_milli"))

@@ -225,3 +225,39 @@ def test_interleave_spreads_sources_evenly(spark, docs_small):
         if n >= 10:
             frac = seen.get(s, 0) / n
             assert 0.3 < frac < 0.7, (s, frac)
+
+
+def test_url_canonical_normalization(spark):
+    from document_vector_pipeline_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1#frag"),
+        (2, "https://example.com/a/b?q=1"),
+        (3, "http://example.com:80/a/b?z=2&a=1"),
+        (4, "http://example.com/a/b?a=1&z=2&fbclid=abc"),
+        (5, "https://example.com"),
+        (6, "https://example.com:8080/a"),  # non-default port survives
+    ]
+    out = {r["doc_id"]: r for r in
+           url_dedup(spark.createDataFrame(rows, "doc_id int, url string"))
+           .collect()}
+    assert out[1]["canon_url"] == "https://example.com/a/b?q=1"
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["canon_url"] == "http://example.com/a/b?a=1&z=2"
+    assert out[3]["keep"] and not out[4]["keep"]
+    assert out[5]["canon_url"] == "https://example.com"
+    assert out[6]["canon_url"] == "https://example.com:8080/a"
+    assert out[6]["n_group"] == 1
+
+
+def test_minhash_eval_counts_consistent(spark, docs_small):
+    from document_vector_pipeline_spark.operators.dedup import minhash_eval
+
+    row = minhash_eval(docs_small.limit(150), threshold=0.1).collect()[0]
+    assert row["n_hit"] <= min(row["n_pred"], row["n_true"])
+    if row["n_pred"]:
+        assert row["precision_milli"] == 1000 * row["n_hit"] // row["n_pred"]
+    if row["n_true"]:
+        assert row["recall_milli"] == 1000 * row["n_hit"] // row["n_true"]
+        # LSH candidates should catch most true near-dup pairs
+        assert row["recall_milli"] >= 500
