@@ -164,6 +164,8 @@ def main() -> None:
           lambda: chunk_documents(docs, mode="paragraphs",
                                   cfg=PipelineConfig(max_tokens_per_chunk=8)))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
+    bench("text_readability", lambda: textstats.readability(docs))
+    bench("basket_pairs", lambda: analytics.basket_pairs(t["lineitem"]))
     bench("text_bigrams", lambda: textstats.top_bigrams(docs))
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))

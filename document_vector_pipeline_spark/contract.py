@@ -583,6 +583,28 @@ def q_dedup_minhash_eval(spark, sf_dir):
     return dedup.minhash_eval(docs, threshold=0.1)
 
 
+def q_basket_pairs(spark, sf_dir):
+    """Top co-ordered part pairs with support counts (a-priori first
+    pass; the Spark plan expands pairs map-side from per-order item sets
+    instead of the oracle's fact-table self-join)."""
+    return analytics.basket_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_text_readability(spark, sf_dir):
+    """ARI readability in integer milli-units; the corpus is
+    punctuation-free word soup, so sentence punctuation is injected
+    deterministically (every doc gets doc_id%3+1 sentence breaks) to
+    exercise the sentence counting — the oracle injects identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "),
+                 F.repeat(F.lit("End of section! "),
+                          (F.col("doc_id") % 3 + 1).cast("int")))
+        .alias("text"))
+    return textstats.readability(injected)
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1609,6 +1631,45 @@ select n_pred, n_true, n_hit,
        cast(case when n_true = 0 then 0
             else (1000 * n_hit) // n_true end as bigint) as recall_milli
 from counts
+"""
+
+
+def _sql_basket_pairs(min_support: int = 2, topk: int = 50) -> str:
+    return f"""
+with d as (select distinct l_orderkey, l_partkey from lineitem),
+p as (
+  select a.l_partkey as part_a, b.l_partkey as part_b,
+         cast(count(*) as bigint) as n_orders
+  from d a join d b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+  group by 1, 2)
+select part_a, part_b, n_orders
+from p where n_orders >= {min_support}
+order by n_orders desc, part_a, part_b
+limit {topk}
+"""
+
+
+def _sql_text_readability() -> str:
+    inj = ("text || ' ' || repeat('End of section! ', "
+           "cast(doc_id % 3 + 1 as int))")
+    return f"""
+with i as (select doc_id, {inj} as t from documents),
+s as (select doc_id,
+        cast(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) as bigint)
+          as n_chars,
+        cast(len({_toks('t')}) as bigint) as n_words,
+        greatest(cast(1 as bigint),
+                 cast(len(regexp_extract_all(t, '[.!?]+')) as bigint))
+          as n_sents
+      from i)
+select doc_id, n_chars, n_words, n_sents,
+       cast(case when n_words = 0 then 0
+            else greatest(0, 4710 * n_chars * n_sents
+                             + 500 * n_words * n_words
+                             - 21430 * n_words * n_sents)
+                 // (n_words * n_sents) end as bigint) as ari_milli
+from s order by doc_id
 """
 
 
@@ -3568,6 +3629,8 @@ def queries():
         "corpus_interleave": q_corpus_interleave,
         "dedup_url": q_dedup_url,
         "dedup_minhash_eval": q_dedup_minhash_eval,
+        "basket_pairs": q_basket_pairs,
+        "text_readability": q_text_readability,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3707,6 +3770,8 @@ from c
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_url": _sql_dedup_url(),
         "dedup_minhash_eval": _sql_dedup_minhash_eval(),
+        "basket_pairs": _sql_basket_pairs(),
+        "text_readability": _sql_text_readability(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         "dedup_embedding": _sql_dedup_embedding(),

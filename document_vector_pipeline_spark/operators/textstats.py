@@ -183,3 +183,34 @@ def doc_domains(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("blocked",
                         F.col("domain").isin(*blocklist))
             .orderBy(id_col, "domain"))
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Automated Readability Index per document, in exact integer
+    milli-units (the quality-filter battery's readability signal).
+
+    ARI = 4.71·chars/words + 0.5·words/sentences − 21.43, computed with
+    the denominators cleared so both engines do the same integer
+    arithmetic: ari_milli = max(0, 4710·c·s + 500·w² − 21430·w·s)
+    div (w·s), clamped at 0 (scores below 0 all mean "trivial text" and
+    the clamp keeps cross-engine integer division well-defined —
+    truncation and floor agree on non-negatives).
+    chars counts [A-Za-z0-9]; words are whitespace tokens; sentences are
+    [.!?]+ runs, floored at 1.  Map-only whole-stage-codegen."""
+    t = F.col(text_col)
+    c = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
+    w = F.size(F.filter(F.split(F.trim(t), r"\s+"),
+                        lambda x: x != F.lit(""))).cast("long")
+    s = F.greatest(F.lit(1).cast("long"),
+                   F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0)))
+                    .cast("long"))
+    stats = docs.select(F.col(id_col), c.alias("n_chars"),
+                        w.alias("n_words"), s.alias("n_sents"))
+    ari = F.when(F.col("n_words") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("greatest(0L, 4710 * n_chars * n_sents"
+               " + 500 * n_words * n_words"
+               " - 21430 * n_words * n_sents)"
+               " div (n_words * n_sents)"))
+    return stats.select(id_col, "n_chars", "n_words", "n_sents",
+                        ari.alias("ari_milli")).orderBy(id_col)

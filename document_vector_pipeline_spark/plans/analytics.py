@@ -704,3 +704,34 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     F.round(F.expr("(1000000 * n) div row_n") / 1e6, 6)
                      .alias("prob"))
             .orderBy("prev_type", "event_type"))
+
+
+def basket_pairs(lineitem: DataFrame, min_support: int = 2,
+                 topk: int = 50) -> DataFrame:
+    """Market-basket co-occurrence mining: the top part pairs that appear
+    together in the same order, with their support counts.
+
+    Plan: distinct (order, part) → one shuffle to collect each order's
+    sorted item set → MAP-SIDE pair expansion via nested array HOFs
+    (quadratic only in basket size, which is small and bounded by the
+    schema, never in corpus size) → one shuffle on the pair key.  The
+    classic a-priori first pass, shaped so the only wide stages are two
+    uniform-key exchanges; no self-join of the fact table (the naive
+    SQL form the oracle uses would shuffle lineitem twice at 100 TB).
+    """
+    items = (lineitem.select("l_orderkey", "l_partkey").distinct()
+             .groupBy("l_orderkey")
+             .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pair_arr = F.flatten(F.transform(
+        F.col("items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + F.lit(2),
+                    F.size(F.col("items"))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    pairs = (items.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.part_a"), F.col("p.part_b")))
+    return (pairs.groupBy("part_a", "part_b")
+            .agg(F.count("*").cast("long").alias("n_orders"))
+            .filter(F.col("n_orders") >= min_support)
+            .orderBy(F.desc("n_orders"), "part_a", "part_b")
+            .limit(topk))

@@ -65,3 +65,19 @@ def test_plan_discipline(spark, t):
                        date_to="1999-01-01")
     p6 = q6._jdf.queryExecution().executedPlan().toString()
     assert "DataFilters: [isnotnull(l_shipdate" in p6
+
+def test_basket_pairs_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import basket_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (4, 30), (4, 30),  # duplicate line: distinct collapses it
+        (5, 40),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r["part_a"], r["part_b"]): r["n_orders"]
+           for r in basket_pairs(li, min_support=2).collect()}
+    # (10,20) co-occurs in orders 1,2,3; every other pair only once
+    assert out == {(10, 20): 3}

@@ -58,3 +58,22 @@ def test_en_stopword_count_exact(spark):
     df = spark.createDataFrame([(1, "the cat and the hat")],
                                "doc_id long, text string")
     assert analyze_documents(df).first().en_stopwords == 3
+
+
+def test_readability_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.textstats import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # c=18, w=6, s=2
+        (2, ""),                             # empty: all zero
+        (3, "word " * 10),                   # no punctuation: s floors to 1
+    ]
+    out = {r["doc_id"]: r for r in
+           readability(spark.createDataFrame(rows, "doc_id int, text string"))
+           .collect()}
+    r1 = out[1]
+    assert (r1["n_chars"], r1["n_words"], r1["n_sents"]) == (18, 6, 2)
+    expected = max(0, 4710 * 18 * 2 + 500 * 6 * 6 - 21430 * 6 * 2) // (6 * 2)
+    assert r1["ari_milli"] == expected
+    assert out[2]["n_words"] == 0 and out[2]["ari_milli"] == 0
+    assert out[3]["n_sents"] == 1
