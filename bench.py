@@ -252,8 +252,27 @@ def main() -> None:
             spark, p, "doc_id long, text string, lang string, "
                       "source string, n_chars int")
 
+    def orc_roundtrip():
+        p = os.path.join(ROOT, ".scratch", "bench_orc")
+        src.write_orc(docs, p)
+        return src.read_orc(spark, p)
+
+    def bucketed_join():
+        base = os.path.join(ROOT, ".scratch", "bench_bucketed")
+        src.write_bucketed(
+            t["lineitem"].withColumnRenamed("l_orderkey", "okey"),
+            spark, "bench_li_b", "okey", 16, os.path.join(base, "li"))
+        src.write_bucketed(
+            t["orders"].withColumnRenamed("o_orderkey", "okey"),
+            spark, "bench_o_b", "okey", 16, os.path.join(base, "o"))
+        return (spark.table("bench_li_b").join(spark.table("bench_o_b"),
+                                               "okey")
+                .groupBy("o_orderpriority").count())
+
     bench("source_jsonl", jsonl_roundtrip)
     bench("source_csv", csv_roundtrip)
+    bench("source_orc", orc_roundtrip)
+    bench("source_bucketed", bucketed_join)
 
     def pagerank_trade():
         pairs = (t["lineitem"].select("l_orderkey", "l_suppkey")

@@ -605,6 +605,33 @@ def q_text_readability(spark, sf_dir):
     return textstats.readability(injected)
 
 
+def q_source_bucketed(spark, sf_dir):
+    """Co-bucketed fact-to-fact join: orders and lineitem persisted as
+    8-bucket tables on the order key, then joined WITHOUT either side
+    shuffling (the Exchange-free plan is asserted in
+    tests/test_bucketing.py; here the driver checks the values survive
+    the bucketed layout round-trip)."""
+    from document_vector_pipeline_spark import sources
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "okey"))
+    o = (load_table(spark, sf_dir, "orders")
+         .withColumnRenamed("o_orderkey", "okey"))
+    sources.write_bucketed(li, spark, "contract_li_bucketed", "okey", 8,
+                           os.path.join(SCRATCH, "bucketed_li"))
+    sources.write_bucketed(o, spark, "contract_o_bucketed", "okey", 8,
+                           os.path.join(SCRATCH, "bucketed_o"))
+    j = spark.table("contract_li_bucketed").join(
+        spark.table("contract_o_bucketed"), "okey")
+    from document_vector_pipeline_spark.plans.analytics import money_sum
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 money_sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")), 4)
+                 .alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1175,6 +1202,22 @@ def q_source_jsonl(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_source_orc(spark, sf_dir):
+    """Same round-trip through the ORC sink/source (the Hive/Trino-side
+    columnar interchange format; digest proves losslessness)."""
+    from document_vector_pipeline_spark import sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "source_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    sources.write_orc(docs, path)
+    back = sources.read_orc(spark, path)
+    return (back.select("doc_id", "lang", "source",
+                        F.col("n_chars").cast("long").alias("n_chars"),
+                        F.md5("text").alias("digest"))
+            .orderBy("doc_id"))
+
+
 def q_source_csv(spark, sf_dir):
     """Same round-trip through the CSV sink/source (quoted multiline
     fields — the format's classic corruption case)."""
@@ -1670,6 +1713,17 @@ select doc_id, n_chars, n_words, n_sents,
                              - 21430 * n_words * n_sents)
                  // (n_words * n_sents) end as bigint) as ari_milli
 from s order by doc_id
+"""
+
+
+def _sql_source_bucketed() -> str:
+    return f"""
+select o_orderpriority,
+       cast(count(*) as bigint) as n_items,
+       {_money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} as revenue
+from lineitem join orders on l_orderkey = o_orderkey
+group by o_orderpriority
+order by o_orderpriority
 """
 
 
@@ -3631,6 +3685,8 @@ def queries():
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "basket_pairs": q_basket_pairs,
         "text_readability": q_text_readability,
+        "source_bucketed": q_source_bucketed,
+        "source_orc": q_source_orc,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3772,6 +3828,7 @@ from c
         "dedup_minhash_eval": _sql_dedup_minhash_eval(),
         "basket_pairs": _sql_basket_pairs(),
         "text_readability": _sql_text_readability(),
+        "source_bucketed": _sql_source_bucketed(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         "dedup_embedding": _sql_dedup_embedding(),
@@ -3852,6 +3909,7 @@ from events group by user_id
         "source_partitioned": _sql_source_partitioned(),
         "source_jsonl": _sql_source_roundtrip(),
         "source_csv": _sql_source_roundtrip(),
+        "source_orc": _sql_source_roundtrip(),
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),
         "corpus_mixture": _sql_corpus_mixture(),

@@ -183,3 +183,16 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned parquet dataset; partition columns come back as
     directory-derived columns and filters on them prune at planning time."""
     return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib default): the columnar interchange format for
+    Hive/Trino-side consumers.  Same splittable-stripe scan properties as
+    parquet — predicate pushdown and column pruning both apply."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source; schema comes from the file footer (self-describing,
+    no inference scan)."""
+    return spark.read.orc(path)
