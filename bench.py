@@ -149,6 +149,7 @@ def main() -> None:
           lambda: similarity.ann_recall_multi(emb, qdf, k=10))
     bench("emb_kmeans",
           lambda: similarity.kmeans_fixed(emb, n_clusters=8, iters=3))
+    bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_search_batch",

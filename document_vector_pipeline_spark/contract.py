@@ -632,6 +632,14 @@ def q_source_bucketed(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+def q_emb_covariance(spark, sf_dir):
+    """Exact long-form covariance matrix of the embedding corpus (the
+    PCA/whitening second-moment reduce; per-partition integer Gram blocks,
+    d²-row shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb)
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1713,6 +1721,33 @@ select doc_id, n_chars, n_words, n_sents,
                              - 21430 * n_words * n_sents)
                  // (n_words * n_sents) end as bigint) as ari_milli
 from s order by doc_id
+"""
+
+
+def _sql_emb_covariance() -> str:
+    return """
+with e as materialized (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000, 0) as bigint))
+           as qv
+  from embeddings),
+x as materialized (
+  select vec_id, unnest(qv) as q, generate_subscripts(qv, 1) as pos from e),
+moms as (
+  select a.pos as dim_i, b.pos as dim_j, sum(a.q * b.q) as sxy
+  from x a join x b on a.vec_id = b.vec_id and b.pos >= a.pos
+  group by 1, 2),
+sums as (select pos, sum(q) as s from x group by pos),
+n as (select count(*) as n from e)
+select cast(m.dim_i as int) as dim_i, cast(m.dim_j as int) as dim_j,
+       round(cast(n.n * m.sxy - si.s * sj.s as double)
+             / (cast(n.n as double) * cast(n.n as double) * 1e12), 9)
+         as cov
+from moms m
+join sums si on si.pos = m.dim_i
+join sums sj on sj.pos = m.dim_j, n
+order by dim_i, dim_j
 """
 
 
@@ -3687,6 +3722,7 @@ def queries():
         "text_readability": q_text_readability,
         "source_bucketed": q_source_bucketed,
         "source_orc": q_source_orc,
+        "emb_covariance": q_emb_covariance,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3910,6 +3946,7 @@ from events group by user_id
         "source_jsonl": _sql_source_roundtrip(),
         "source_csv": _sql_source_roundtrip(),
         "source_orc": _sql_source_roundtrip(),
+        "emb_covariance": _sql_emb_covariance(),
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),
         "corpus_mixture": _sql_corpus_mixture(),

@@ -565,3 +565,99 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
                     F.col("dim"),
                     F.round(F.col("c6") / 1e6, 6).alias("centroid"))
             .orderBy("cluster", "dim"))
+
+
+def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 64,
+                         use_udf: bool = True) -> DataFrame:
+    """Exact population covariance matrix of the embedding corpus in long
+    form (dim_i ≤ dim_j, cov) — the second-moment reduce that feeds PCA /
+    whitening / drift monitoring over a 100 TB embedding table.
+
+    Scale shape: each partition computes ONE integer Gram block Qᵀ·Q
+    (components quantized to exact 10⁻⁶-unit int64, one BLAS call per
+    Arrow batch) plus the component sums — d(d+1)/2 + d + 1 skinny rows
+    per partition, so the only shuffle is a ~d² -row aggregation no matter
+    how many rows the corpus has.  Covariance is assembled from the exact
+    integer moments (css = n·Σxy − Σx·Σy in decimal, overflow-free), and
+    the single double division happens once per cell — bit-identical
+    across engines and partitionings.
+
+    ``use_udf=False`` is the built-in-expression twin (posexplode
+    self-join; one corpus-sized shuffle) used for equivalence testing and
+    as the no-Python audit path.
+
+    Per-partition int64 bound: |q| ≤ 10⁶ ⇒ each Gram term ≤ 10¹², safe
+    for ≤ ~9·10⁶ rows per partition; size partitions accordingly (the
+    default 128 MB parquet split holds ~10⁵ 64-dim rows)."""
+    if use_udf:
+        def part(batches):
+            import numpy as np
+            import pandas as pd
+
+            G = np.zeros((dim, dim), dtype=np.int64)
+            s = np.zeros(dim, dtype=np.int64)
+            n = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # round half away from zero, matching Spark/DuckDB round()
+                Q = (np.sign(X) * np.floor(np.abs(X) * 1e6 + 0.5)
+                     ).astype(np.int64)
+                G += Q.T @ Q
+                s += Q.sum(axis=0)
+                n += len(pdf)
+            if not n:
+                return
+            iu, ju = np.triu_indices(dim)
+            out = pd.DataFrame({
+                "dim_i": np.concatenate([iu + 1, np.arange(1, dim + 1),
+                                         [0]]).astype("int32"),
+                "dim_j": np.concatenate([ju + 1, np.zeros(dim, int),
+                                         [0]]).astype("int32"),
+                "v": np.concatenate([G[iu, ju], s, [n]]),
+            })
+            yield out
+
+        parts = emb.select(vec_col).mapInPandas(
+            part, "dim_i int, dim_j int, v long")
+    else:
+        x = (emb.select(F.col(id_col).alias("__id"),
+                        F.posexplode(F.col(vec_col)).alias("pos", "c"))
+             .select("__id", (F.col("pos") + 1).alias("pos"),
+                     F.round(F.col("c").cast("double") * 1e6, 0)
+                      .cast("long").alias("q")))
+        moms = (x.alias("a")
+                .join(x.alias("b"),
+                      (F.col("a.__id") == F.col("b.__id"))
+                      & (F.col("b.pos") >= F.col("a.pos")))
+                .select(F.col("a.pos").alias("dim_i"),
+                        F.col("b.pos").alias("dim_j"),
+                        (F.col("a.q") * F.col("b.q")).alias("v")))
+        sums = x.select(F.col("pos").alias("dim_i"),
+                        F.lit(0).alias("dim_j"), F.col("q").alias("v"))
+        cnt = emb.select(F.lit(0).alias("dim_i"), F.lit(0).alias("dim_j"),
+                         F.lit(1).cast("long").alias("v"))
+        parts = moms.unionByName(sums).unionByName(cnt)
+
+    agg = (parts.groupBy("dim_i", "dim_j")
+           .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v")))
+    n_row = (agg.filter((F.col("dim_i") == 0) & (F.col("dim_j") == 0))
+             .select(F.col("v").alias("n")))
+    s_tab = (agg.filter((F.col("dim_i") > 0) & (F.col("dim_j") == 0))
+             .select(F.col("dim_i").alias("sdim"), F.col("v").alias("s")))
+    m_tab = agg.filter(F.col("dim_j") > 0)
+    joined = (m_tab
+              .join(F.broadcast(s_tab.withColumnRenamed("sdim", "dim_i")
+                                .withColumnRenamed("s", "s_i")), "dim_i")
+              .join(F.broadcast(s_tab.withColumnRenamed("sdim", "dim_j")
+                                .withColumnRenamed("s", "s_j")), "dim_j")
+              .crossJoin(F.broadcast(n_row)))
+    css = (F.col("n") * F.col("v") - F.col("s_i") * F.col("s_j"))
+    denom = (F.col("n").cast("double") * F.col("n").cast("double")
+             * F.lit(1e12))
+    return (joined.select(
+        "dim_i", "dim_j",
+        F.round(css.cast("double") / denom, 9).alias("cov"))
+        .orderBy("dim_i", "dim_j"))

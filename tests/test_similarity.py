@@ -147,3 +147,18 @@ def test_kmeans_fixed_partitions_and_lloyd_monotone(spark, embeddings_small):
 
     # Lloyd's algorithm: total inertia is non-increasing in iterations
     assert run(3) <= run(1) + 1e-9
+
+
+def test_covariance_udf_equals_expression(spark, embeddings_small):
+    from document_vector_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = embeddings_small.limit(120)
+    a = embedding_covariance(emb, use_udf=True).collect()
+    b = embedding_covariance(emb, use_udf=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # diagonal of a covariance matrix is non-negative
+    for r in a:
+        if r["dim_i"] == r["dim_j"]:
+            assert r["cov"] >= 0
