@@ -287,6 +287,8 @@ def main() -> None:
         return graph.pagerank(edges, "a", "b", iterations=3)
 
     bench("graph_pagerank", pagerank_trade)
+    bench("graph_triangles",
+          lambda: graph.triangle_count(dedup.minhash_lsh_pairs(docs)))
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))
     bench("corpus_shuffle", lambda: corpus.shuffle_assign(docs))

@@ -640,6 +640,13 @@ def q_emb_covariance(spark, sf_dir):
     return similarity.embedding_covariance(emb)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count of the MinHash near-dup pair graph (cluster-density
+    diagnostic for transitive dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.triangle_count(dedup.minhash_lsh_pairs(docs))
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1721,6 +1728,21 @@ select doc_id, n_chars, n_words, n_sents,
                              - 21430 * n_words * n_sents)
                  // (n_words * n_sents) end as bigint) as ari_milli
 from s order by doc_id
+"""
+
+
+def _sql_graph_triangles() -> str:
+    return f"""
+with {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id)
+select cast((select count(*) from pairs) as bigint) as n_edges,
+       cast(count(*) as bigint) as n_triangles
+from pairs p1
+join pairs p2 on p2.id_a = p1.id_b
+join pairs p3 on p3.id_a = p1.id_a and p3.id_b = p2.id_b
 """
 
 
@@ -3723,6 +3745,7 @@ def queries():
         "source_bucketed": q_source_bucketed,
         "source_orc": q_source_orc,
         "emb_covariance": q_emb_covariance,
+        "graph_triangles": q_graph_triangles,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3947,6 +3970,7 @@ from events group by user_id
         "source_csv": _sql_source_roundtrip(),
         "source_orc": _sql_source_roundtrip(),
         "emb_covariance": _sql_emb_covariance(),
+        "graph_triangles": _sql_graph_triangles(),
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),
         "corpus_mixture": _sql_corpus_mixture(),

@@ -719,7 +719,9 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2,
     uniform-key exchanges; no self-join of the fact table (the naive
     SQL form the oracle uses would shuffle lineitem twice at 100 TB).
     """
-    items = (lineitem.select("l_orderkey", "l_partkey").distinct()
+    # collect_set dedups per order, so no distinct pre-pass: ONE shuffle
+    # (on l_orderkey) builds the baskets
+    items = (lineitem.select("l_orderkey", "l_partkey")
              .groupBy("l_orderkey")
              .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
     pair_arr = F.flatten(F.transform(

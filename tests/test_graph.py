@@ -73,3 +73,23 @@ def test_pagerank_partition_invariant(spark):
     b = [tuple(r) for r in pagerank(df.repartition(13),
                                     iterations=3).collect()]
     assert a == b
+
+
+def test_triangle_count_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.graph import triangle_count
+
+    # graph: triangle 1-2-3, plus a dangling edge 3-4, plus a second
+    # triangle 2-3-4 (edges 2-4, 3-4 present) -> triangles: {1,2,3},{2,3,4}
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    row = triangle_count(e).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["n_triangles"] == 2
+
+
+def test_triangle_count_empty_graph(spark):
+    from document_vector_pipeline_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    row = triangle_count(e).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (2, 0)
