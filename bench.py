@@ -315,6 +315,7 @@ def main() -> None:
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))
     bench("events_retention", lambda: sev.retention_cohorts(ev))
+    bench("events_active_users", lambda: sev.active_users(ev))
     bench("events_pivot", lambda: sev.daily_type_pivot(ev))
     bench("events_cube", lambda: temporal.cube_events(ev))
     bench("corpus_lenhist", lambda: corpus.length_histogram(docs))

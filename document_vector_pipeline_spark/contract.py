@@ -647,6 +647,12 @@ def q_graph_triangles(spark, sf_dir):
     return graph.triangle_count(dedup.minhash_lsh_pairs(docs))
 
 
+def q_events_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU per active day (map-side day fan-out, no
+    range self-join)."""
+    return sev.active_users(load_table(spark, sf_dir, "events"))
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1728,6 +1734,21 @@ select doc_id, n_chars, n_words, n_sents,
                              - 21430 * n_words * n_sents)
                  // (n_words * n_sents) end as bigint) as ari_milli
 from s order by doc_id
+"""
+
+
+def _sql_events_active_users(window_days: int = 7) -> str:
+    return f"""
+with d as (select distinct date_trunc('day', ts) as day, user_id
+           from events),
+dau as (select day, cast(count(*) as bigint) as n_dau from d group by day),
+fan as (select day + (i * interval 1 day) as day, user_id
+        from d, unnest(generate_series(0, {window_days - 1})) as t(i)),
+wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
+        from fan group by day)
+select dau.day, dau.n_dau, wau.n_wau
+from dau join wau on dau.day = wau.day
+order by dau.day
 """
 
 
@@ -3746,6 +3767,7 @@ def queries():
         "source_orc": q_source_orc,
         "emb_covariance": q_emb_covariance,
         "graph_triangles": q_graph_triangles,
+        "events_active_users": q_events_active_users,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3971,6 +3993,7 @@ from events group by user_id
         "source_orc": _sql_source_roundtrip(),
         "emb_covariance": _sql_emb_covariance(),
         "graph_triangles": _sql_graph_triangles(),
+        "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),
         "corpus_mixture": _sql_corpus_mixture(),

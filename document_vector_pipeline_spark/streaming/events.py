@@ -237,3 +237,28 @@ def windowed_top_users(events: DataFrame, window: str = "1 hour",
             .select(F.col("w.start").alias("window_start"),
                     F.col("rank").cast("int").alias("rank"),
                     "user_id", "n_events", "total_value"))
+
+
+def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Daily and trailing-N-day active users (the DAU/WAU dashboard):
+    one row per active day with exact distinct-user counts.
+
+    The trailing window is computed WITHOUT a range self-join: each
+    distinct (user, day) row fans out map-side to the ≤ N report days it
+    contributes to, then one count-distinct per day.  The fan-out factor
+    is the window length — constant — so the plan is two uniform-key
+    shuffles regardless of corpus size (a windowed range join would
+    re-scan N days of history per report day)."""
+    d = (events.select("user_id",
+                       F.date_trunc("day", F.col("ts")).alias("day"))
+         .distinct())
+    dau = d.groupBy("day").agg(F.count("*").cast("long").alias("n_dau"))
+    fan = d.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.expr(f"interval {window_days - 1} days"),
+            F.expr("interval 1 day"))).alias("day"))
+    wau = (fan.groupBy("day")
+           .agg(F.count_distinct("user_id").cast("long").alias("n_wau")))
+    return dau.join(wau, "day").orderBy("day")

@@ -148,3 +148,26 @@ def test_dropdup_stream_matches_batch_keys(spark, tmp_path):
     assert skeys == bkeys and len(skeys) > 0   # one row per key, same keys
     ev = {(r.user_id, r.event_id) for r in events.collect()}
     assert all((r.user_id, r.event_id) in ev for r in got)
+
+
+def test_active_users_hand_computed(spark):
+    from document_vector_pipeline_spark.streaming.events import active_users
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 11:00:00"),  # same user+day: no double count
+        ("u2", "2024-01-01 12:00:00"),
+        ("u1", "2024-01-05 09:00:00"),
+        ("u3", "2024-01-09 09:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts string") \
+        .selectExpr("user_id", "cast(ts as timestamp) as ts")
+    out = {str(r["day"])[:10]: r for r in active_users(ev).collect()}
+    assert out["2024-01-01"]["n_dau"] == 2
+    assert out["2024-01-01"]["n_wau"] == 2
+    # Jan 5: u1 active that day; u1,u2 within trailing 7 days
+    assert out["2024-01-05"]["n_dau"] == 1
+    assert out["2024-01-05"]["n_wau"] == 2
+    # Jan 9: u3 new; u1's Jan-5 visit still in window, Jan-1 visits aged out
+    assert out["2024-01-09"]["n_dau"] == 1
+    assert out["2024-01-09"]["n_wau"] == 2
