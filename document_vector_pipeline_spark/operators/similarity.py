@@ -643,6 +643,10 @@ def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
 
     agg = (parts.groupBy("dim_i", "dim_j")
            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v")))
+    # the moment table is tiny (d² + d + 1 rows) but feeds FOUR subplans
+    # below — materialize it once so the corpus-wide Gram pass runs once,
+    # not once per branch (measured: 8 exchanges → 2 without this)
+    agg = agg.localCheckpoint(eager=True)
     n_row = (agg.filter((F.col("dim_i") == 0) & (F.col("dim_j") == 0))
              .select(F.col("v").alias("n")))
     s_tab = (agg.filter((F.col("dim_i") > 0) & (F.col("dim_j") == 0))

@@ -252,13 +252,23 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     d = (events.select("user_id",
                        F.date_trunc("day", F.col("ts")).alias("day"))
          .distinct())
-    dau = d.groupBy("day").agg(F.count("*").cast("long").alias("n_dau"))
-    fan = d.select(
-        "user_id",
-        F.explode(F.sequence(
-            F.col("day"),
-            F.col("day") + F.expr(f"interval {window_days - 1} days"),
-            F.expr("interval 1 day"))).alias("day"))
-    wau = (fan.groupBy("day")
-           .agg(F.count_distinct("user_id").cast("long").alias("n_wau")))
-    return dau.join(wau, "day").orderBy("day")
+    # ONE fan-out feeds both counts: offset-0 rows are exactly the
+    # distinct (user, day) set, so DAU is the i=0 slice of the same
+    # aggregation that computes WAU — no second scan, no dau⋈wau join.
+    # Report days with no same-day activity (n_dau = 0) are dropped,
+    # matching the "per active day" contract.
+    fan = (d.select(
+        "user_id", "day",
+        F.posexplode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+         .alias("__p", "i"))
+        .select("user_id", "i",
+                (F.col("day") + F.col("i")
+                 * F.expr("interval 1 day")).alias("day")))
+    return (fan.groupBy("day")
+            .agg(F.count_distinct("user_id").cast("long").alias("n_wau"),
+                 F.count_distinct(F.when(F.col("i") == 0,
+                                         F.col("user_id")))
+                  .cast("long").alias("n_dau"))
+            .filter(F.col("n_dau") > 0)
+            .select("day", "n_dau", "n_wau")
+            .orderBy("day"))

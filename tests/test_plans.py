@@ -399,3 +399,41 @@ def test_new_corpus_ops_partial_aggregate_no_cartesian(t):
         assert p.count("HashAggregate") % 2 == 0
         assert "CartesianProduct" not in p
         assert "SortMergeJoin" not in p
+
+
+def test_round3b_operator_shuffle_budgets(spark, t):
+    """Pin the exchange budgets of the round-3 additions so plan
+    regressions (e.g. a branch re-running the corpus scan) fail loudly."""
+    from document_vector_pipeline_spark.operators import dedup, similarity
+    from document_vector_pipeline_spark.streaming import events as sev
+
+    docs, li = t["documents"], t["lineitem"]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ev = load_table(spark, SF, "events")
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://a.com/x?id="),
+                 F.col("doc_id").cast("string")).alias("url"))
+    p = plan_of(dedup.url_dedup(urls))
+    # one hash exchange (the canonical-key window); the trailing sort is
+    # presentation-only
+    assert p.count("Exchange hashpartitioning") == 1
+
+    p = plan_of(analytics.basket_pairs(li))
+    # basket build + pair count; no fact self-join anywhere
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in p
+
+    p = plan_of(similarity.embedding_covariance(emb))
+    # the Gram pass is checkpointed upstream: the assembled plan reads the
+    # d²-row moment table, broadcasts the tiny sides, and never rescans
+    # the corpus
+    assert "Scan parquet" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+    p = plan_of(sev.active_users(ev))
+    # distinct + the single fused DAU/WAU aggregate (count_distinct expand
+    # pair); no dau⋈wau join, one scan of events
+    assert p.count("Scan ") <= 1
+    assert "Join" not in p
