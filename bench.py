@@ -164,6 +164,9 @@ def main() -> None:
     bench("chunk_paragraphs",
           lambda: chunk_documents(docs, mode="paragraphs",
                                   cfg=PipelineConfig(max_tokens_per_chunk=8)))
+    bench("chunk_md_paragraphs",
+          lambda: chunk_documents(docs, mode="md_paragraphs",
+                                  cfg=PipelineConfig(max_tokens_per_chunk=8)))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_readability", lambda: textstats.readability(docs))
     bench("basket_pairs", lambda: analytics.basket_pairs(t["lineitem"]))

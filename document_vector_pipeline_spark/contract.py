@@ -228,25 +228,47 @@ from spans2 s join toks t on t.id = s.id
 """
 
 
-def _sql_chunk_paragraphs(max_tokens: int = 8) -> str:
-    """SK SplitPlainTextParagraphs twin (functions/chunking.py
+def _sql_paragraph_chunks(max_tokens: int = 8, markdown: bool = False,
+                          inject: str = "text") -> str:
+    """SK paragraph-chunking twin (functions/chunking.py
     token_paragraph_chunks): two chained greedy folds, each the same
     first-break-index recursive-CTE machinery as _chunker_sql —
-    level 1 word-packs each LINE (composite key doc*1e6+line) into pieces
-    of ≤ 4·max_tokens+3 joined chars, level 2 packs pieces into paragraphs
-    (joined with chr(10)) emitting when tokens(para+'\\n') + tokens(piece)
-    ≥ max_tokens, then SK's last-paragraph balancing merges a short tail
-    into its predecessor rejoined by spaces."""
+    level 1 word-packs each UNIT (a line for the plaintext variant; a
+    sentence-punctuation split of the line for the markdown variant the
+    reference's .txt/.md route uses) into pieces of ≤ 4·max_tokens+3
+    joined chars, level 2 packs pieces into paragraphs (joined with
+    chr(10)) emitting when tokens(para+'\n') + tokens(piece) ≥
+    max_tokens, then SK's last-paragraph balancing merges a short tail
+    into its predecessor rejoined by spaces.  Units are keyed
+    kid = doc·10⁹ + ln·10³ + sn so one integer carries the (line,
+    sentence) order."""
     budget = 4 * max_tokens + 3
+    sent_re = "'[^.!?]*[.!?]+|[^.!?]+'"
+    if markdown:
+        head = f"""
+units as (
+  select doc_id, ln,
+         unnest(regexp_extract_all(l, {sent_re})) as u,
+         unnest(generate_series(1, len(regexp_extract_all(l, {sent_re}))))
+           as sn
+  from rawlines),
+ltoks as materialized (
+  select doc_id, ln * 1000 + sn as ord,
+         doc_id * 1000000000 + ln * 1000 + sn as kid, {_toks('u')} as w
+  from units),"""
+    else:
+        head = f"""
+ltoks as materialized (
+  select doc_id, ln * 1000 as ord,
+         doc_id * 1000000000 + ln * 1000 as kid, {_toks('l')} as w
+  from rawlines),"""
     return f"""
 with recursive
+src as (select doc_id, {inject} as t from documents),
 rawlines as (
-  select doc_id, unnest(string_split(text, chr(10))) as l,
-         unnest(generate_series(1, len(string_split(text, chr(10))))) as ln
-  from documents),
-ltoks as materialized (
-  select doc_id, ln, doc_id * 1000000 + ln as kid, {_toks('l')} as w
-  from rawlines),
+  select doc_id, unnest(string_split(t, chr(10))) as l,
+         unnest(generate_series(1, len(string_split(t, chr(10))))) as ln
+  from src),{head}
 words as (
   select kid, unnest(w) as word, unnest(generate_series(1, len(w))) as i
   from ltoks),
@@ -278,12 +300,12 @@ spans as (
   left join nexte x on x.kid = c.kid and x.s = c.ws
   join nn on nn.kid = c.kid),
 piece0 as (
-  select t.doc_id, t.ln, s.cn,
+  select t.doc_id, t.ord, s.cn,
          array_to_string(t.w[s.ws:s.we], ' ') as ptext
   from spans s join ltoks t on t.kid = s.kid),
 ppieces as materialized (
   select doc_id,
-         row_number() over (partition by doc_id order by ln, cn) as i,
+         row_number() over (partition by doc_id order by ord, cn) as i,
          ptext, cast(length(ptext) as bigint) as plen
   from piece0),
 ppref as materialized (
@@ -422,6 +444,22 @@ def q_chunk_paragraphs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cfg = PipelineConfig(max_tokens_per_chunk=8)
     return chunk_documents(docs, mode="paragraphs", cfg=cfg)
+
+
+def q_chunk_md_paragraphs(spark, sf_dir):
+    """SK SplitMarkdownParagraphs twin — sentence-preferring split, the
+    path the reference routes BOTH .txt and .md blobs through
+    (BlobTriggerFunction.cs:69-81).  The corpus is punctuation-free word
+    soup, so deterministic sentence breaks and a second line are injected
+    (oracle injects identically) to exercise the sentence-unit level."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.lit("Intro alpha. Second bit! "), F.col("text"),
+                 F.lit("\nTail line one. Final question? Yes."))
+        .alias("text"))
+    cfg = PipelineConfig(max_tokens_per_chunk=8)
+    return chunk_documents(injected, mode="md_paragraphs", cfg=cfg)
 
 
 def q_parse_route(spark, sf_dir):
@@ -3768,6 +3806,7 @@ def queries():
         "emb_covariance": q_emb_covariance,
         "graph_triangles": q_graph_triangles,
         "events_active_users": q_events_active_users,
+        "chunk_md_paragraphs": q_chunk_md_paragraphs,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3893,7 +3932,11 @@ from c
 """,
         "chunk_tokens": _chunker_sql("tokens", 8),
         "chunk_tokens_overlap": _chunker_sql("tokens", 8, overlap=3),
-        "chunk_paragraphs": _sql_chunk_paragraphs(8),
+        "chunk_paragraphs": _sql_paragraph_chunks(8),
+        "chunk_md_paragraphs": _sql_paragraph_chunks(
+            8, markdown=True,
+            inject="'Intro alpha. Second bit! ' || text || chr(10) || "
+                   "'Tail line one. Final question? Yes.'"),
         "parse_route": _sql_parse_route(),
         "embed_hash": _sql_embed_hash(),
         "embed_json_roundtrip": _sql_embed_json_roundtrip(),

@@ -158,7 +158,11 @@ def token_budget_spans(words: Column, max_tokens: int = 250,
     return spans
 
 
-def token_paragraph_chunks(text: Column, max_tokens: int = 250) -> Column:
+SENTENCE_UNIT_RE = r"[^.!?]*[.!?]+|[^.!?]+"
+
+
+def token_paragraph_chunks(text: Column, max_tokens: int = 250,
+                           markdown: bool = False) -> Column:
     """Semantic-Kernel-style line-preferring paragraph chunking
     (TextChunker.SplitPlainTextParagraphs, delegated to by
     DocumentChunker.cs:59-80) as pure column expressions:
@@ -187,7 +191,15 @@ def token_paragraph_chunks(text: Column, max_tokens: int = 250) -> Column:
 
     Empty/whitespace-only lines vanish (their word array is empty).
     Page numbers are 0 (plain-text path has no page structure).
-    """
+
+    ``markdown=True`` is the SplitMarkdownParagraphs twin — the variant
+    the reference routes BOTH .txt and .md blobs through
+    (BlobTriggerFunction.cs:69-81 → ChunkTextLines/ChunkMarkdownLines →
+    SplitMarkdownParagraphs): within each line the first split level is
+    SENTENCE punctuation ([.!?], kept attached to the left unit, SK's
+    s_markdownSplitOptions head) rather than the raw line, so chunk
+    boundaries prefer sentence ends; only an oversized sentence falls
+    back to the word-packing fold."""
     def tok(c: Column) -> Column:
         return F.floor(F.length(c) / 4)
 
@@ -198,7 +210,15 @@ def token_paragraph_chunks(text: Column, max_tokens: int = 250) -> Column:
             spans, lambda sp: F.array_join(
                 F.slice(w, sp["ws"], sp["we"] - sp["ws"] + 1), " "))
 
-    pieces = F.flatten(F.transform(F.split(text, "\n"), line_pieces))
+    if markdown:
+        def md_pieces(line: Column) -> Column:
+            units = F.regexp_extract_all(line, F.lit(SENTENCE_UNIT_RE),
+                                         F.lit(0))
+            return F.flatten(F.transform(units, line_pieces))
+
+        pieces = F.flatten(F.transform(F.split(text, "\n"), md_pieces))
+    else:
+        pieces = F.flatten(F.transform(F.split(text, "\n"), line_pieces))
 
     init = F.struct(F.lit("").alias("cur"),
                     F.array().cast("array<string>").alias("paras"))

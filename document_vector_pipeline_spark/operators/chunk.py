@@ -32,6 +32,9 @@ def chunk_documents(docs: DataFrame,
     mode='paragraphs'  — SK line-preferring paragraph build
                          (TextChunker.SplitPlainTextParagraphs semantics,
                          DocumentChunker.cs:59-80)
+    mode='md_paragraphs' — SK sentence-preferring markdown build
+                         (TextChunker.SplitMarkdownParagraphs, the path
+                         BOTH .txt and .md take: BlobTriggerFunction.cs:69-81)
     mode='chars'       — 2048-char windows    (AzureSQL TextChunker.cs:15-50)
     mode='words'       — 40-word windows      (DocumentChunker.cs:84-113)
 
@@ -41,6 +44,10 @@ def chunk_documents(docs: DataFrame,
     if mode == "paragraphs":
         chunks = C.token_paragraph_chunks(F.col(text_col),
                                           cfg.max_tokens_per_chunk)
+    elif mode == "md_paragraphs":
+        chunks = C.token_paragraph_chunks(F.col(text_col),
+                                          cfg.max_tokens_per_chunk,
+                                          markdown=True)
     elif mode == "tokens":
         spans = C.token_budget_spans(words, cfg.max_tokens_per_chunk,
                                      cfg.overlap_words)

@@ -162,3 +162,38 @@ def test_sk_paragraphs_duckdb_oracle_multiline(spark):
     assert got["chunk_text"].tolist() == exp["chunk_text"].tolist()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["chunk_number"].tolist() == exp["chunk_number"].tolist()
+
+
+def test_md_paragraphs_prefer_sentence_boundaries(spark):
+    from document_vector_pipeline_spark.config import PipelineConfig
+    from document_vector_pipeline_spark.operators.chunk import chunk_documents
+
+    text = ("Alpha beta gamma. Delta eps! "
+            "Longer sentence with many more words to overflow the budget here"
+            "\nSecond line. Done?")
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = [r["chunk_text"] for r in
+           chunk_documents(df, mode="md_paragraphs",
+                           cfg=PipelineConfig(max_tokens_per_chunk=8))
+           .orderBy("chunk_number").collect()]
+    # sentences survive as units (SK AppendLine => '\n' joins within a
+    # paragraph); only the oversized no-punctuation run is word-packed
+    assert out == [
+        "Alpha beta gamma.\nDelta eps!",
+        "Longer sentence with many more",
+        "words to overflow the budget here",
+        "Second line.\nDone?",
+    ]
+
+
+def test_md_paragraphs_without_punctuation_match_plaintext(spark, docs_small):
+    from document_vector_pipeline_spark.config import PipelineConfig
+    from document_vector_pipeline_spark.operators.chunk import chunk_documents
+
+    # the corpus has no sentence punctuation, so each line is one unit in
+    # both variants and the outputs must coincide exactly
+    cfg = PipelineConfig(max_tokens_per_chunk=8)
+    docs = docs_small.limit(50)
+    a = chunk_documents(docs, mode="paragraphs", cfg=cfg).collect()
+    b = chunk_documents(docs, mode="md_paragraphs", cfg=cfg).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
