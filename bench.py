@@ -109,6 +109,9 @@ def main() -> None:
               file=sys.stderr)
 
     bench("pipeline_ingest", ingest)
+    bench("pipeline_sk_chunking",
+          lambda: blobs_to_chunks(
+              blobs, PipelineConfig(chunk_mode="sk_paragraphs")))
     bench("vector_topk", lambda: store.search(qvec1536, k=10))
     bench("vector_quantized", lambda: store.search(qvec1536, k=10,
                                                    quantized=True))

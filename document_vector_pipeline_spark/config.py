@@ -24,6 +24,11 @@ class PipelineConfig:
                                       # measure overlap in whitespace tokens)
     char_chunk_size: int = 2048       # AzureSQL TextChunker.MaxChunkSize
     max_word_count: int = 40          # DocumentChunker.MaxChunkWordCount
+    chunk_mode: str = "tokens"        # "tokens" = flat token-budget fold;
+                                      # "sk_paragraphs" = the reference's
+                                      # actual SK TextChunker routing
+                                      # (markdown split for .txt/.md,
+                                      # plaintext split for analyzer output)
 
     # embedding
     embedding_dimensions: int = 1536  # BlobTriggerFunction.DefaultDimensions

@@ -510,6 +510,28 @@ def q_pipeline_e2e(spark, sf_dir):
                   .alias("fp_xor")))
 
 
+def q_pipeline_sk_chunking(spark, sf_dir):
+    """End-to-end chunking with the reference's ACTUAL SK TextChunker
+    routing (chunk_mode='sk_paragraphs'): every blob enters as .txt so the
+    whole corpus takes the SplitMarkdownParagraphs path the reference
+    uses for .txt/.md (BlobTriggerFunction.cs:69-81); same per-document
+    fingerprint aggregate as pipeline_e2e."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.concat(F.lit("mem://docs/"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("document_url"),
+        F.col("text").alias("content"))
+    chunks = blobs_to_chunks(
+        blobs, PipelineConfig(max_tokens_per_chunk=8,
+                              chunk_mode="sk_paragraphs"))
+    return (chunks.groupBy("document_url")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.length("chunk_text")).alias("total_chars"),
+                 F.expr("bit_xor(" +
+                        "cast(conv(substring(md5(chunk_text),1,15),16,10) as bigint))")
+                  .alias("fp_xor")))
+
+
 def q_store_schema(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     store = VectorStore(spark, os.path.join(SCRATCH, "unused"))
@@ -1540,6 +1562,17 @@ select document_url, count(*) as n_chunks,
        cast(sum(length(chunk_text)) as bigint) as total_chars,
        bit_xor({_md5l('chunk_text')}) as fp_xor
 from ({inner}) group by document_url
+"""
+
+
+def _sql_pipeline_sk_chunking() -> str:
+    inner = _sql_paragraph_chunks(8, markdown=True)
+    return f"""
+select 'mem://docs/' || cast(doc_id as varchar) || '.txt' as document_url,
+       count(*) as n_chunks,
+       cast(sum(length(chunk_text)) as bigint) as total_chars,
+       bit_xor({_md5l('chunk_text')}) as fp_xor
+from ({inner}) group by 1
 """
 
 
@@ -3807,6 +3840,7 @@ def queries():
         "graph_triangles": q_graph_triangles,
         "events_active_users": q_events_active_users,
         "chunk_md_paragraphs": q_chunk_md_paragraphs,
+        "pipeline_sk_chunking": q_pipeline_sk_chunking,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -3941,6 +3975,7 @@ from c
         "embed_hash": _sql_embed_hash(),
         "embed_json_roundtrip": _sql_embed_json_roundtrip(),
         "pipeline_e2e": _sql_pipeline_e2e(),
+        "pipeline_sk_chunking": _sql_pipeline_sk_chunking(),
         "store_schema": _sql_store_schema(),
         "store_upsert": _sql_store_upsert(),
         "store_delete": _sql_store_delete(),

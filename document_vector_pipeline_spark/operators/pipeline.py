@@ -34,17 +34,36 @@ def blobs_to_chunks(blobs: DataFrame,
     from its text units with the same token budget.
     """
     routed = route_blobs(blobs)
-    units = F.when(
-        F.col("route").isin("text", "markdown"),
-        # line-based: normalize the line array back to one text stream
-        F.array_join(
-            F.filter(F.transform(F.split(F.col("content"), r"\r?\n"), F.trim),
-                     lambda ln: ln != F.lit("")), " "),
-    ).otherwise(F.array_join(analysis_text_units(F.col("analysis")), " "))
-    words = C.norm_words(units)
-    spans = C.token_budget_spans(words, cfg.max_tokens_per_chunk,
-                                 cfg.overlap_words)
-    chunks = C.spans_to_chunks(words, spans)
+    is_lines = F.col("route").isin("text", "markdown")
+    if cfg.chunk_mode == "sk_paragraphs":
+        # the reference's ACTUAL chunker routing: .txt/.md lines go
+        # through SplitMarkdownParagraphs (BlobTriggerFunction.cs:69-81),
+        # analyzer output through SplitPlainTextParagraphs
+        # (DocumentChunker.cs:59-60) — both at the same token budget
+        stream = F.when(
+            is_lines, F.regexp_replace(F.col("content"), r"\r\n?", "\n"),
+        ).otherwise(F.array_join(analysis_text_units(F.col("analysis")),
+                                 "\n"))
+        chunks = F.when(
+            is_lines,
+            C.token_paragraph_chunks(stream, cfg.max_tokens_per_chunk,
+                                     markdown=True),
+        ).otherwise(
+            C.token_paragraph_chunks(stream, cfg.max_tokens_per_chunk))
+    else:
+        units = F.when(
+            is_lines,
+            # line-based: normalize the line array back to one text stream
+            F.array_join(
+                F.filter(F.transform(F.split(F.col("content"), r"\r?\n"),
+                                     F.trim),
+                         lambda ln: ln != F.lit("")), " "),
+        ).otherwise(F.array_join(analysis_text_units(F.col("analysis")),
+                                 " "))
+        words = C.norm_words(units)
+        spans = C.token_budget_spans(words, cfg.max_tokens_per_chunk,
+                                     cfg.overlap_words)
+        chunks = C.spans_to_chunks(words, spans)
     return (routed
             .select("document_url",
                     F.posexplode(chunks).alias("chunk_number", "ch"))

@@ -97,3 +97,24 @@ def test_bom_aware_blob_reading(spark, tmp_path):
     (txt_dir / "bom8.txt").write_bytes(body.encode("utf-8-sig"))
     rows = read_text_blobs(spark, str(txt_dir)).collect()
     assert rows[0].content == body
+
+
+def test_sk_paragraph_mode_routes_by_extension(spark):
+    from document_vector_pipeline_spark.config import PipelineConfig
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+
+    blobs = spark.createDataFrame(
+        [("mem://a.txt", "One two. Three four! Five six seven eight nine"),
+         ("mem://b.bin", "plain words only here")],
+        "document_url string, content string")
+    cfg = PipelineConfig(max_tokens_per_chunk=8, chunk_mode="sk_paragraphs")
+    out = {r["document_url"]: r for r in
+           blobs_to_chunks(blobs, cfg).orderBy("chunk_number").collect()
+           if r["chunk_number"] == 0}
+    # .txt takes the markdown split: sentence units joined by AppendLine
+    assert "\n" in out["mem://a.txt"]["chunk_text"]
+    assert out["mem://a.txt"]["chunk_text"].startswith("One two.")
+    # non-text falls back to the analyzer cascade + plaintext split
+    assert out["mem://b.bin"]["chunk_text"]
