@@ -222,6 +222,9 @@ def main() -> None:
     bench("q21_waiting", lambda: analytics.q21_waiting_suppliers(
         t["lineitem"], t["orders"], t["supplier"]))
     bench("corpus_sample", lambda: corpus.stratified_sample(docs))
+    bench("corpus_weighted_sample", lambda: corpus.weighted_sample(
+        docs, F.least(F.lit(1_000_000).cast("long"),
+                      F.col("n_chars").cast("long") * 400)))
     bench("corpus_repetition", lambda: corpus.repetition_stats(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(

@@ -713,6 +713,17 @@ def q_events_active_users(spark, sf_dir):
     return sev.active_users(load_table(spark, sf_dir, "events"))
 
 
+def q_corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted Bernoulli downsampling: acceptance probability
+    rises with document word count (capped at 1), draw = md5 mod 1e6."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                     lambda w: w != F.lit(""))
+    w_ppm = F.least(F.lit(1_000_000).cast("long"),
+                    F.size(words).cast("long") * 2000)
+    return corpus.weighted_sample(docs, w_ppm)
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1820,6 +1831,19 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_corpus_weighted_sample() -> str:
+    draw = _md5l("cast(doc_id as varchar) || '|ws'") + " % 1000000"
+    return f"""
+select doc_id,
+       least(cast(1000000 as bigint),
+             cast(len({_toks('text')}) as bigint) * 2000) as weight_ppm,
+       {draw} as draw_ppm,
+       ({draw}) < least(cast(1000000 as bigint),
+                        cast(len({_toks('text')}) as bigint) * 2000) as keep
+from documents order by doc_id
 """
 
 
@@ -3841,6 +3865,7 @@ def queries():
         "events_active_users": q_events_active_users,
         "chunk_md_paragraphs": q_chunk_md_paragraphs,
         "pipeline_sk_chunking": q_pipeline_sk_chunking,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4071,6 +4096,7 @@ from events group by user_id
         "source_orc": _sql_source_roundtrip(),
         "emb_covariance": _sql_emb_covariance(),
         "graph_triangles": _sql_graph_triangles(),
+        "corpus_weighted_sample": _sql_corpus_weighted_sample(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),

@@ -476,3 +476,24 @@ def interleave_by_mixture(docs: DataFrame, source_col: str = "source",
                           (F.row_number().over(wg).cast("long") - 1)
                           .alias("pos"))
             .orderBy("pos"))
+
+
+def weighted_sample(docs: DataFrame, weight_ppm: Column,
+                    id_col: str = "doc_id",
+                    salt: str = "ws") -> DataFrame:
+    """Per-document Bernoulli sampling with a per-row acceptance
+    probability (quality-weighted downsampling: keep high-quality docs
+    with high probability, low-quality with low, without any global pass).
+
+    keep ⇔ md5(id|salt) mod 10⁶ < weight_ppm — deterministic,
+    re-runnable, and exactly reproducible by any engine with md5 (no RNG
+    state, no seed plumbing, no shuffle: pure map, so it composes with
+    any upstream filter at 100 TB for free).  Emits the draw and the
+    weight for audit."""
+    draw = md5_long(F.concat(F.col(id_col).cast("string"),
+                             F.lit("|" + salt))) % 1_000_000
+    return (docs.select(F.col(id_col),
+                        weight_ppm.cast("long").alias("weight_ppm"),
+                        draw.alias("draw_ppm"))
+            .withColumn("keep", F.col("draw_ppm") < F.col("weight_ppm"))
+            .orderBy(id_col))

@@ -261,3 +261,23 @@ def test_minhash_eval_counts_consistent(spark, docs_small):
         assert row["recall_milli"] == 1000 * row["n_hit"] // row["n_true"]
         # LSH candidates should catch most true near-dup pairs
         assert row["recall_milli"] >= 500
+
+
+def test_weighted_sample_respects_weights(spark, docs_small):
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    zero = weighted_sample(docs_small, F.lit(0)).filter("keep").count()
+    full = weighted_sample(docs_small, F.lit(1_000_000))
+    assert zero == 0
+    assert full.filter("keep").count() == docs_small.count()
+    # idempotent: same salt, same draws
+    half = weighted_sample(docs_small, F.lit(500_000))
+    a = {r["doc_id"] for r in half.filter("keep").collect()}
+    b = {r["doc_id"] for r in half.filter("keep").collect()}
+    assert a == b
+    n = docs_small.count()
+    assert 0.35 * n < len(a) < 0.65 * n  # md5 draws ~uniform
