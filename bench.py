@@ -325,6 +325,9 @@ def main() -> None:
     bench("emb_centroids", lambda: similarity.label_centroids(emb))
     bench("events_retention", lambda: sev.retention_cohorts(ev))
     bench("events_active_users", lambda: sev.active_users(ev))
+    bench("events_heatmap", lambda: sev.hourly_heatmap(ev))
+    bench("customer_deciles",
+          lambda: analytics.customer_deciles(t["orders"]))
     bench("events_pivot", lambda: sev.daily_type_pivot(ev))
     bench("events_cube", lambda: temporal.cube_events(ev))
     bench("corpus_lenhist", lambda: corpus.length_histogram(docs))

@@ -724,6 +724,17 @@ def q_corpus_weighted_sample(spark, sf_dir):
     return corpus.weighted_sample(docs, w_ppm)
 
 
+def q_events_heatmap(spark, sf_dir):
+    """Day-of-week × hour seasonality grid with exact ppm shares."""
+    return sev.hourly_heatmap(load_table(spark, sf_dir, "events"))
+
+
+def q_customer_deciles(spark, sf_dir):
+    """Customer lifetime-value deciles (ntile over the per-customer
+    rollup with a total tie-break order)."""
+    return analytics.customer_deciles(load_table(spark, sf_dir, "orders"))
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1831,6 +1842,37 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_events_heatmap() -> str:
+    return """
+with cell as (
+  select cast(dayofweek(ts) + 1 as int) as dow,
+         cast(hour(ts) as int) as hod,
+         cast(count(*) as bigint) as n_events
+  from events group by 1, 2)
+select dow, hod, n_events,
+       cast((1000000 * n_events) // (sum(n_events) over ()) as bigint)
+         as share_ppm
+from cell order by dow, hod
+"""
+
+
+def _sql_customer_deciles(n_tiles: int = 10) -> str:
+    return f"""
+with rev as (
+  select o_custkey,
+         sum(cast(round(o_totalprice * 100, 0) as bigint)) as cents
+  from orders group by o_custkey),
+tiled as (
+  select cents, ntile({n_tiles}) over (order by cents desc, o_custkey)
+           as decile
+  from rev)
+select cast(decile as int) as decile,
+       cast(count(*) as bigint) as n_customers,
+       cast(sum(cents) as bigint) / 100 as revenue
+from tiled group by decile order by decile
 """
 
 
@@ -3866,6 +3908,8 @@ def queries():
         "chunk_md_paragraphs": q_chunk_md_paragraphs,
         "pipeline_sk_chunking": q_pipeline_sk_chunking,
         "corpus_weighted_sample": q_corpus_weighted_sample,
+        "events_heatmap": q_events_heatmap,
+        "customer_deciles": q_customer_deciles,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4097,6 +4141,8 @@ from events group by user_id
         "emb_covariance": _sql_emb_covariance(),
         "graph_triangles": _sql_graph_triangles(),
         "corpus_weighted_sample": _sql_corpus_weighted_sample(),
+        "events_heatmap": _sql_events_heatmap(),
+        "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),
         "events_anomalies": _sql_events_anomalies(),

@@ -737,3 +737,27 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2,
             .filter(F.col("n_orders") >= min_support)
             .orderBy(F.desc("n_orders"), "part_a", "part_b")
             .limit(topk))
+
+
+def customer_deciles(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """Customer lifetime-value deciles: rank customers by total order value
+    into n equal tiles and report each tile's size and value share.
+
+    Two uniform shuffles (per-customer rollup, then the tile aggregate);
+    the ntile ranking runs on the ALREADY-AGGREGATED per-customer rows —
+    one row per customer, not per order — with a total tie-break order
+    (cents, custkey) so tile membership is deterministic.  The single
+    unpartitioned window is bounded by customer cardinality, the one
+    global stage every exact ranked-decile needs; at 100 TB you'd feed it
+    the same pre-aggregated frame (customers ≪ orders)."""
+    from pyspark.sql import Window
+
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .alias("cents")))
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    tiled = rev.withColumn("decile", F.ntile(n_tiles).over(w).cast("int"))
+    return (tiled.groupBy("decile")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 (F.sum("cents") / 100).alias("revenue"))
+            .orderBy("decile"))

@@ -272,3 +272,22 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
             .filter(F.col("n_dau") > 0)
             .select("day", "n_dau", "n_wau")
             .orderBy("day"))
+
+
+def hourly_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with exact ppm shares
+    (the seasonality grid capacity planning reads).  One partial-
+    aggregated shuffle to the ≤ 7×24-cell grid; the share window runs on
+    the grid, not the events, so the unpartitioned window is bounded by
+    168 rows at any corpus size.  dow is Spark convention (1=Sunday..7)."""
+    from pyspark.sql import Window
+
+    cell = (events.groupBy(F.dayofweek("ts").alias("dow"),
+                           F.hour("ts").alias("hod"))
+            .agg(F.count("*").cast("long").alias("n_events")))
+    total = F.sum("n_events").over(Window.partitionBy())
+    return (cell.withColumn("__total", total)
+            .select("dow", "hod", "n_events",
+                    F.expr("(1000000 * n_events) div __total")
+                     .alias("share_ppm"))
+            .orderBy("dow", "hod"))

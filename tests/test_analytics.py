@@ -81,3 +81,16 @@ def test_basket_pairs_hand_computed(spark):
            for r in basket_pairs(li, min_support=2).collect()}
     # (10,20) co-occurs in orders 1,2,3; every other pair only once
     assert out == {(10, 20): 3}
+
+
+def test_customer_deciles_partition_customers_evenly(spark, t=None):
+    from document_vector_pipeline_spark.plans.analytics import customer_deciles
+    from document_vector_pipeline_spark.sources import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = customer_deciles(orders).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    sizes = [r["n_customers"] for r in out]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    revs = [r["revenue"] for r in out]
+    assert revs == sorted(revs, reverse=True)  # deciles ranked by value

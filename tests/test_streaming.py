@@ -171,3 +171,17 @@ def test_active_users_hand_computed(spark):
     # Jan 9: u3 new; u1's Jan-5 visit still in window, Jan-1 visits aged out
     assert out["2024-01-09"]["n_dau"] == 1
     assert out["2024-01-09"]["n_wau"] == 2
+
+
+def test_hourly_heatmap_shares_sum_to_million(spark):
+    from document_vector_pipeline_spark.sources import load_table
+    from document_vector_pipeline_spark.streaming.events import hourly_heatmap
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = hourly_heatmap(ev).collect()
+    assert all(1 <= r["dow"] <= 7 and 0 <= r["hod"] <= 23 for r in out)
+    total = sum(r["n_events"] for r in out)
+    assert total == ev.count()
+    # integer-div shares sum to ≤ 1e6 and within grid-size slack
+    s = sum(r["share_ppm"] for r in out)
+    assert 1_000_000 - len(out) <= s <= 1_000_000
