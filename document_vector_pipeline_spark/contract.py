@@ -735,6 +735,43 @@ def q_customer_deciles(spark, sf_dir):
     return analytics.customer_deciles(load_table(spark, sf_dir, "orders"))
 
 
+def q_store_cdc(spark, sf_dir):
+    """Mixed create/delete blob-event batch applied in one CDC pass
+    (operators.pipeline.apply_blob_events): docs ≡0 mod 5 are deleted,
+    docs ≡0 mod 7 are re-created with ' UPDATED' appended (last event
+    wins, so ≡0 mod 35 survives with the new text); the final store
+    contents are the oracle-checked result."""
+    from document_vector_pipeline_spark.operators.pipeline import (
+        apply_blob_events,
+        documents_table_to_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = PipelineConfig(max_tokens_per_chunk=1_000_000,
+                         embedding_dimensions=16)
+    path = os.path.join(SCRATCH, "store_cdc")
+    shutil.rmtree(path, ignore_errors=True)
+    store = VectorStore(spark, path, cfg)
+    documents_table_to_store(docs, store, cfg)
+    url = F.concat(F.lit("mem://documents/"), F.col("doc_id").cast("string"),
+                   F.lit(".txt"))
+    ev_del = (docs.filter(F.col("doc_id") % 5 == 0)
+              .select(F.lit(1).cast("long").alias("seq"),
+                      F.lit("delete").alias("op"),
+                      url.alias("document_url"),
+                      F.lit(None).cast("string").alias("content")))
+    ev_cre = (docs.filter(F.col("doc_id") % 7 == 0)
+              .select(F.lit(2).cast("long").alias("seq"),
+                      F.lit("create").alias("op"),
+                      url.alias("document_url"),
+                      F.concat(F.col("text"), F.lit(" UPDATED"))
+                       .alias("content")))
+    apply_blob_events(ev_del.unionByName(ev_cre), store, cfg)
+    return (store.read()
+            .select("document_url", "id", "chunk_text", "page_number")
+            .orderBy("document_url"))
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1842,6 +1879,21 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_store_cdc() -> str:
+    return f"""
+select 'mem://documents/' || cast(doc_id as varchar) || '.txt'
+         as document_url,
+       '0' as id,
+       case when doc_id % 7 = 0
+            then {_norm_text("text || ' UPDATED'")}
+            else {_norm_text('text')} end as chunk_text,
+       cast(0 as int) as page_number
+from documents
+where doc_id % 7 = 0 or doc_id % 5 <> 0
+order by document_url
 """
 
 
@@ -3910,6 +3962,7 @@ def queries():
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "events_heatmap": q_events_heatmap,
         "customer_deciles": q_customer_deciles,
+        "store_cdc": q_store_cdc,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4142,6 +4195,7 @@ from events group by user_id
         "graph_triangles": _sql_graph_triangles(),
         "corpus_weighted_sample": _sql_corpus_weighted_sample(),
         "events_heatmap": _sql_events_heatmap(),
+        "store_cdc": _sql_store_cdc(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -91,3 +91,36 @@ def documents_table_to_store(docs: DataFrame, store: VectorStore,
         F.col("text").alias("content"))
     chunks = add_embeddings(blobs_to_chunks(blobs, cfg), cfg=cfg)
     store.upsert(chunks)
+
+
+def apply_blob_events(events: DataFrame, store: VectorStore,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+    """Apply a mixed batch of blob create/delete events to the store —
+    the reference's two event branches (HandleBlobCreateEventAsync /
+    HandleBlobDeleteEventAsync, BlobTriggerFunction.cs:42-56) as ONE
+    idempotent CDC apply.
+
+    Semantics: last event per document_url wins (``seq`` orders events
+    within the batch).  Every touched url's old chunks are deleted —
+    including re-creates, so a document shrinking from 5 chunks to 3
+    leaves no stale tail (plain upsert merges by (url, chunk_id) and
+    would) — then surviving creates run the normal
+    parse → chunk → embed → upsert pipeline.
+
+    The url list for the delete crosses the driver: bounded by the event
+    batch size (a trigger interval of blob notifications), not the
+    corpus, the same plan-metadata scale as bloom bitmaps."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("document_url").orderBy(F.desc("seq"))
+    last = (events.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    touched = [r["document_url"]
+               for r in last.select("document_url").collect()]
+    if touched and store.exists():
+        store.delete_documents(touched)
+    creates = (last.filter(F.col("op") == "create")
+               .select("document_url", "content"))
+    chunks = add_embeddings(blobs_to_chunks(creates, cfg), cfg=cfg)
+    if chunks.limit(1).count():
+        store.upsert(chunks)

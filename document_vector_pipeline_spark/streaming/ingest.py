@@ -48,3 +48,32 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_blob_events(spark: SparkSession, events_path: str,
+                       store: VectorStore, checkpoint: str,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       available_now: bool = True) -> StreamingQuery:
+    """Streaming CDC: watch a directory of blob-event JSONL files
+    (seq, op, document_url, content) and apply each microbatch with
+    apply_blob_events — creates AND deletes, the full event surface of
+    the reference's trigger (its delete branch is a TODO;
+    BlobTriggerFunction.cs:163-169)."""
+    from document_vector_pipeline_spark.operators.pipeline import (
+        apply_blob_events,
+    )
+
+    schema = ("seq long, op string, document_url string, content string")
+    events = spark.readStream.schema(schema).json(events_path)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_blob_events(batch_df, store, cfg)
+
+    writer = (events.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

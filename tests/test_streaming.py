@@ -185,3 +185,59 @@ def test_hourly_heatmap_shares_sum_to_million(spark):
     # integer-div shares sum to ≤ 1e6 and within grid-size slack
     s = sum(r["share_ppm"] for r in out)
     assert 1_000_000 - len(out) <= s <= 1_000_000
+
+
+def test_stream_blob_events_matches_batch_apply(spark, tmp_path):
+    import json
+
+    from document_vector_pipeline_spark.config import PipelineConfig
+    from document_vector_pipeline_spark.operators.pipeline import (
+        apply_blob_events,
+    )
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_blob_events,
+    )
+
+    cfg = PipelineConfig(max_tokens_per_chunk=1_000_000,
+                         embedding_dimensions=8, store_buckets=4)
+    events = [
+        {"seq": 1, "op": "create", "document_url": "mem://a.txt",
+         "content": "alpha beta gamma"},
+        {"seq": 2, "op": "create", "document_url": "mem://b.txt",
+         "content": "delta epsilon"},
+        {"seq": 3, "op": "delete", "document_url": "mem://a.txt",
+         "content": None},
+        {"seq": 4, "op": "create", "document_url": "mem://c.txt",
+         "content": "zeta eta theta"},
+        {"seq": 5, "op": "create", "document_url": "mem://b.txt",
+         "content": "delta epsilon REVISED"},
+    ]
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    (evdir / "batch0.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in events[:3]))
+    (evdir / "batch1.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in events[3:]))
+
+    s_store = VectorStore(spark, str(tmp_path / "s_store"), cfg)
+    q = stream_blob_events(spark, str(evdir), s_store,
+                           str(tmp_path / "ckpt"), cfg)
+    q.awaitTermination(120)
+
+    b_store = VectorStore(spark, str(tmp_path / "b_store"), cfg)
+    apply_blob_events(
+        spark.createDataFrame(
+            [(e["seq"], e["op"], e["document_url"], e["content"])
+             for e in events],
+            "seq long, op string, document_url string, content string"),
+        b_store, cfg)
+
+    def state(store):
+        return sorted((r["document_url"], r["chunk_text"])
+                      for r in store.read().collect())
+
+    got = state(s_store)
+    assert got == state(b_store)
+    assert ("mem://b.txt", "delta epsilon REVISED") in got
+    assert all(u != "mem://a.txt" for u, _ in got)
