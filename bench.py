@@ -161,6 +161,12 @@ def main() -> None:
                          F.concat(F.col("query_vec"),
                                   F.array_repeat(F.lit(0.0), 1536 - 64))
                          .alias("query_vec")), k=10))
+    bench("vector_quantized_recall",
+          lambda: store.quantized_recall(
+              qdf.select("query_id",
+                         F.concat(F.col("query_vec"),
+                                  F.array_repeat(F.lit(0.0), 1536 - 64))
+                         .alias("query_vec")), k=10))
     bench("vector_topk_filtered",
           lambda: store.search(qvec1536, k=5,
                                document_url="mem://docs/9.txt"))

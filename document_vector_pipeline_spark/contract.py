@@ -1222,6 +1222,16 @@ def q_vector_search_batch(spark, sf_dir):
     return store.search_many(_queries_df(emb), k=5)
 
 
+def q_vector_quantized_recall(spark, sf_dir):
+    """Measured recall@k of int8 QuantizedFlat batch search vs the exact
+    float cosine ranking (both deterministic → the metric is exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _fresh_store(spark, "store_q_recall")
+    store.upsert(_store_chunks(docs))
+    return store.quantized_recall(_queries_df(emb), k=10)
+
+
 def q_store_reembed(spark, sf_dir):
     """Embedding-model migration: rebuild every stored embedding from
     chunk_text at dims=32 and rewrite the store in one pass."""
@@ -2975,6 +2985,47 @@ from r where rank <= {k}
 """
 
 
+def _sql_vector_quantized_recall(k: int = 10) -> str:
+    q8s = ("list_transform(emb, x -> cast(greatest(-127.0, least(127.0, "
+           "round((case when nrm = 0 then cast(x as double) else x/nrm end)"
+           "*127.0, 0))) as tinyint))")
+    q8q = ("list_transform(qv, x -> cast(greatest(-127.0, least(127.0, "
+           "round((case when qnrm = 0 then x else x/qnrm end)"
+           "*127.0, 0))) as int))")
+    fdot = _dot("e.emb", "q.qv", STORE_DIM)
+    idot = " + ".join(f"(cast(e.q8[{i}] as int)*q.qq[{i}])"
+                      for i in range(1, STORE_DIM + 1))
+    return f"""
+with {_store_sql_cte()},
+eq as materialized (select *, {q8s} as q8 from e),
+q0 as (select vec_id as query_id, {_EMB_D} as qv from embeddings
+       where vec_id < 5),
+q1 as (select query_id, qv, sqrt({_ss('qv', STORE_DIM)}) as qnrm from q0),
+q as materialized (select query_id, qv, qnrm, {q8q} as qq from q1),
+ex as (select q.query_id, e.document_url,
+              round(case when (e.nrm * q.qnrm) = 0 then 0.0
+                         else ({fdot}) / (e.nrm * q.qnrm) end, 6) as score
+       from e cross join q),
+exr as (select query_id, document_url from (
+          select *, row_number() over (partition by query_id
+            order by score desc, document_url) as rk from ex)
+        where rk <= {k}),
+qz as (select q.query_id, e.document_url,
+              round(({idot})/(127.0*127.0), 6) as score
+       from eq e cross join q),
+qzr as (select query_id, document_url from (
+          select *, row_number() over (partition by query_id
+            order by score desc, document_url) as rk from qz)
+        where rk <= {k}),
+hit as (select query_id, cast(count(*) as bigint) as n_hits
+        from exr join qzr using (query_id, document_url) group by 1)
+select q.query_id, coalesce(h.n_hits, 0) as n_hits,
+       cast((1000 * coalesce(h.n_hits, 0)) // {k} as bigint) as recall_milli
+from q left join hit h using (query_id)
+order by q.query_id
+"""
+
+
 def _sql_store_reembed(dim: int = 32) -> str:
     return f"""
 with d as materialized (
@@ -3963,6 +4014,7 @@ def queries():
         "events_heatmap": q_events_heatmap,
         "customer_deciles": q_customer_deciles,
         "store_cdc": q_store_cdc,
+        "vector_quantized_recall": q_vector_quantized_recall,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4196,6 +4248,7 @@ from events group by user_id
         "corpus_weighted_sample": _sql_corpus_weighted_sample(),
         "events_heatmap": _sql_events_heatmap(),
         "store_cdc": _sql_store_cdc(),
+        "vector_quantized_recall": _sql_vector_quantized_recall(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

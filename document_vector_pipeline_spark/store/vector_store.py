@@ -400,3 +400,30 @@ class VectorStore:
             "chunk_text", "page_number",
             embed_col_fn(F.col("chunk_text")).alias("embedding"))
         self._overwrite_buckets(self._normalize(chunks))
+
+    def quantized_recall(self, queries: DataFrame, k: int = 10,
+                         qid_col: str = "query_id",
+                         qvec_col: str = "query_vec") -> DataFrame:
+        """Measured recall@k of the int8 QuantizedFlat path against the
+        exact float cosine ranking, per query — the acceptance metric the
+        reference's QuantizedFlat index choice implies
+        (CosmosDBClientWrapper.cs:122-128) but never measures.  Both
+        rankings are deterministic, so the metric is oracle-exact.
+        Two batch searches (each one store scan) + a top-k × top-k join."""
+        key = [qid_col, "document_url", "id"]
+        exact = self.search_many(queries, k=k, qid_col=qid_col,
+                                 qvec_col=qvec_col).select(*key)
+        quant = self.search_many(queries, k=k, qid_col=qid_col,
+                                 qvec_col=qvec_col,
+                                 quantized=True).select(*key)
+        hits = (exact.join(quant, key)
+                .groupBy(qid_col)
+                .agg(F.count("*").cast("long").alias("n_hits")))
+        base = queries.select(F.col(qid_col)).distinct()
+        return (base.join(hits, qid_col, "left")
+                .select(qid_col,
+                        F.coalesce("n_hits", F.lit(0)).cast("long")
+                         .alias("n_hits"))
+                .withColumn("recall_milli",
+                            F.expr(f"(1000 * n_hits) div {k}"))
+                .orderBy(qid_col))

@@ -180,3 +180,38 @@ def test_search_many_quantized_matches_single_query(spark, tmp_path):
         for i, r in enumerate(res.collect(), start=1):
             single[(q.query_id, i)] = (r.id, r.document_url, r.score)
     assert batch == single and len(batch) == 15
+
+
+def test_quantized_recall_bounds_and_self_consistency(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.config import PipelineConfig
+    from document_vector_pipeline_spark.operators.embed import (
+        hash_embedding_expr,
+    )
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    cfg = PipelineConfig(embedding_dimensions=16, store_buckets=4)
+    store = VectorStore(spark, str(tmp_path / "qr_store"), cfg)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(100)
+    chunks = docs.select(
+        F.concat(F.lit("mem://"), F.col("doc_id").cast("string")).alias(
+            "document_url"),
+        F.lit(0).alias("chunk_number"),
+        F.col("text").alias("chunk_text"),
+        F.lit(0).alias("page_number"),
+        hash_embedding_expr(F.col("text"), 16).cast("array<float>")
+         .alias("embedding"))
+    store.upsert(chunks)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.slice(F.col("embedding"), 1, 16).alias("query_vec")))
+    out = store.quantized_recall(qs, k=5).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_milli"] == 1000 * r["n_hits"] // 5
+        # int8 over 16-dim hash embeddings shouldn't collapse entirely
+        assert r["n_hits"] >= 1
