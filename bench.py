@@ -153,6 +153,7 @@ def main() -> None:
     bench("emb_kmeans",
           lambda: similarity.kmeans_fixed(emb, n_clusters=8, iters=3))
     bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
+    bench("emb_pca", lambda: similarity.pca_project(emb))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_search_batch",

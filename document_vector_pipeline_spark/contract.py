@@ -772,6 +772,13 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_emb_pca(spark, sf_dir):
+    """Exact dominant-principal-component projection (integer power
+    iteration on the integer scatter matrix; unrolled-CTE oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_project(emb, iters=4)
+
+
 def _queries_df(emb: DataFrame) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"),
@@ -1889,6 +1896,50 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_emb_pca(dim: int = 64, iters: int = 4) -> str:
+    """Mirror of similarity.pca_project: full integer scatter matrix,
+    ``iters`` unrolled power-iteration rounds with the offset-trick
+    rescale (division only on non-negatives, so // ≡ Python //),
+    canonical sign flip, exact integer projection."""
+    rounds = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+w{t} as (select c.i, sum(c.v * {prev}.x) as w
+         from c join {prev} on {prev}.i = c.j group by c.i),
+s{t} as (select max(abs(w)) as m from w{t}),
+v{t} as (select i, case when m = 0 then 0
+                   else (w + m) * 1000000 // m - 1000000 end as x
+         from w{t}, s{t})""")
+        prev = f"v{t}"
+    return f"""
+with x as materialized (
+  select vec_id, unnest(qv) as q, generate_subscripts(qv, 1) as pos
+  from (select vec_id,
+          list_transform(embedding,
+              x -> cast(round(cast(x as double) * 1000000, 0) as bigint))
+            as qv
+        from embeddings)),
+sums as (select pos, sum(q) as s from x group by pos),
+nn as (select count(*) as n from embeddings),
+m2 as (select a.pos as i, b.pos as j, sum(a.q * b.q) as m
+       from x a join x b on a.vec_id = b.vec_id group by 1, 2),
+c as (select m2.i, m2.j, nn.n * m2.m - si.s * sj.s as v
+      from m2, nn
+      join sums si on si.pos = m2.i
+      join sums sj on sj.pos = m2.j),
+v0 as (select i, case when i = 1 then 1000000 else 0 end as x
+       from (select unnest(generate_series(1, {dim})) as i)),
+{",".join(rounds)}
+,sgn as (select case when x < 0 then -1 else 1 end as sg
+        from {prev} order by abs(x) desc, i limit 1),
+vf as (select i, x * sg as x from {prev}, sgn),
+proj as (select x.vec_id, sum(x.q * vf.x) as proj
+         from x join vf on vf.i = x.pos group by x.vec_id)
+select vec_id, cast(proj as bigint) as proj from proj order by vec_id
 """
 
 
@@ -4015,6 +4066,7 @@ def queries():
         "customer_deciles": q_customer_deciles,
         "store_cdc": q_store_cdc,
         "vector_quantized_recall": q_vector_quantized_recall,
+        "emb_pca": q_emb_pca,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4249,6 +4301,7 @@ from events group by user_id
         "events_heatmap": _sql_events_heatmap(),
         "store_cdc": _sql_store_cdc(),
         "vector_quantized_recall": _sql_vector_quantized_recall(),
+        "emb_pca": _sql_emb_pca(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -567,29 +567,13 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
             .orderBy("cluster", "dim"))
 
 
-def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
-                         vec_col: str = "embedding", dim: int = 64,
-                         use_udf: bool = True) -> DataFrame:
-    """Exact population covariance matrix of the embedding corpus in long
-    form (dim_i ≤ dim_j, cov) — the second-moment reduce that feeds PCA /
-    whitening / drift monitoring over a 100 TB embedding table.
-
-    Scale shape: each partition computes ONE integer Gram block Qᵀ·Q
-    (components quantized to exact 10⁻⁶-unit int64, one BLAS call per
-    Arrow batch) plus the component sums — d(d+1)/2 + d + 1 skinny rows
-    per partition, so the only shuffle is a ~d² -row aggregation no matter
-    how many rows the corpus has.  Covariance is assembled from the exact
-    integer moments (css = n·Σxy − Σx·Σy in decimal, overflow-free), and
-    the single double division happens once per cell — bit-identical
-    across engines and partitionings.
-
-    ``use_udf=False`` is the built-in-expression twin (posexplode
-    self-join; one corpus-sized shuffle) used for equivalence testing and
-    as the no-Python audit path.
-
-    Per-partition int64 bound: |q| ≤ 10⁶ ⇒ each Gram term ≤ 10¹², safe
-    for ≤ ~9·10⁶ rows per partition; size partitions accordingly (the
-    default 128 MB parquet split holds ~10⁵ 64-dim rows)."""
+def _gram_moments(emb: DataFrame, id_col: str, vec_col: str,
+                  dim: int, use_udf: bool) -> DataFrame:
+    """Shared second-moment pass: returns the eagerly-checkpointed
+    (dim_i, dim_j, v) moment table — upper-triangle Σqᵢqⱼ cells, the
+    (i, 0) component sums, and the (0, 0) row count — where q is the
+    10⁻⁶-quantized embedding.  See embedding_covariance for the scale
+    shape and the int64 bound."""
     if use_udf:
         def part(batches):
             import numpy as np
@@ -643,10 +627,36 @@ def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
 
     agg = (parts.groupBy("dim_i", "dim_j")
            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v")))
-    # the moment table is tiny (d² + d + 1 rows) but feeds FOUR subplans
-    # below — materialize it once so the corpus-wide Gram pass runs once,
-    # not once per branch (measured: 8 exchanges → 2 without this)
-    agg = agg.localCheckpoint(eager=True)
+    # the moment table is tiny (d² + d + 1 rows) but feeds several
+    # subplans — materialize it once so the corpus-wide Gram pass runs
+    # once, not once per branch (measured: 8 exchanges → 2 without this)
+    return agg.localCheckpoint(eager=True)
+
+
+def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 64,
+                         use_udf: bool = True) -> DataFrame:
+    """Exact population covariance matrix of the embedding corpus in long
+    form (dim_i ≤ dim_j, cov) — the second-moment reduce that feeds PCA /
+    whitening / drift monitoring over a 100 TB embedding table.
+
+    Scale shape: each partition computes ONE integer Gram block Qᵀ·Q
+    (components quantized to exact 10⁻⁶-unit int64, one BLAS call per
+    Arrow batch) plus the component sums — d(d+1)/2 + d + 1 skinny rows
+    per partition, so the only shuffle is a ~d² -row aggregation no matter
+    how many rows the corpus has.  Covariance is assembled from the exact
+    integer moments (css = n·Σxy − Σx·Σy in decimal, overflow-free), and
+    the single double division happens once per cell — bit-identical
+    across engines and partitionings.
+
+    ``use_udf=False`` is the built-in-expression twin (posexplode
+    self-join; one corpus-sized shuffle) used for equivalence testing and
+    as the no-Python audit path.
+
+    Per-partition int64 bound: |q| ≤ 10⁶ ⇒ each Gram term ≤ 10¹², safe
+    for ≤ ~9·10⁶ rows per partition; size partitions accordingly (the
+    default 128 MB parquet split holds ~10⁵ 64-dim rows)."""
+    agg = _gram_moments(emb, id_col, vec_col, dim, use_udf)
     n_row = (agg.filter((F.col("dim_i") == 0) & (F.col("dim_j") == 0))
              .select(F.col("v").alias("n")))
     s_tab = (agg.filter((F.col("dim_i") > 0) & (F.col("dim_j") == 0))
@@ -665,3 +675,61 @@ def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
         "dim_i", "dim_j",
         F.round(css.cast("double") / denom, 9).alias("cov"))
         .orderBy("dim_i", "dim_j"))
+
+
+def pca_project(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = 64,
+                iters: int = 4, use_udf: bool = True) -> DataFrame:
+    """Project every embedding onto the corpus's dominant principal
+    component, computed EXACTLY: integer power iteration on the integer
+    scatter matrix C = n·ΣQQᵀ − (ΣQ)(ΣQ)ᵀ (1e-6-quantized components).
+
+    Scale shape: the corpus contributes one distributed Gram pass (the
+    same d²-row reduce as embedding_covariance); the d×d power iteration
+    runs on the driver over plan-metadata-sized moments (4 k cells for
+    d=64 — bloom-bitmap scale), in arbitrary-precision Python ints so
+    nothing rounds; the projection is a map-only pass with the component
+    as a literal vector.  Every step is deterministic and the oracle
+    replays it bit-for-bit (unrolled per-iteration CTEs, hugeint math):
+    - rescale each round to 1e6 units via the offset trick
+      ((w+m)·1e6 div m − 1e6, m = max|w|) so the integer division is on
+      non-negatives, where floor and truncate agree across engines;
+    - canonical sign: flip so the largest-|x| component (first index on
+      ties) is positive.
+    Output: (id, proj) with proj = Σ qᵢ·vᵢ exact in 1e-12 units."""
+    agg = _gram_moments(emb, id_col, vec_col, dim, use_udf)
+    n = 0
+    s = [0] * (dim + 1)
+    m2 = [[0] * (dim + 1) for _ in range(dim + 1)]
+    for r in agg.collect():
+        i, j, v = r["dim_i"], r["dim_j"], int(r["v"])
+        if i == 0 and j == 0:
+            n = v
+        elif j == 0:
+            s[i] = v
+        else:
+            m2[i][j] = v
+            m2[j][i] = v
+    if n == 0:
+        return emb.select(F.col(id_col),
+                          F.lit(0).cast("long").alias("proj")).limit(0)
+    C = [[n * m2[i][j] - s[i] * s[j] for j in range(1, dim + 1)]
+         for i in range(1, dim + 1)]
+    v = [10 ** 6] + [0] * (dim - 1)
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [((x + m) * 10 ** 6) // m - 10 ** 6 for x in w]
+    k = min(range(dim), key=lambda i: (-abs(v[i]), i))
+    if v[k] < 0:
+        v = [-x for x in v]
+    vec = F.array(*[F.lit(x).cast("long") for x in v])
+    q = F.transform(F.col(vec_col),
+                    lambda c: F.round(c.cast("double") * 1e6, 0)
+                    .cast("long"))
+    proj = F.aggregate(F.zip_with(q, vec, lambda a, b: a * b),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (emb.select(F.col(id_col), proj.alias("proj"))
+            .orderBy(id_col))

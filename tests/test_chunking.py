@@ -146,7 +146,7 @@ def test_sk_paragraphs_duckdb_oracle_multiline(spark):
     import duckdb
     import pandas as pd
 
-    from document_vector_pipeline_spark.contract import _sql_chunk_paragraphs
+    from document_vector_pipeline_spark.contract import _sql_paragraph_chunks
 
     rows = [(i, t) for i, t in enumerate(MULTILINE_CASES)]
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
@@ -157,7 +157,7 @@ def test_sk_paragraphs_duckdb_oracle_multiline(spark):
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     exp = con.execute(
-        _sql_chunk_paragraphs(8)
+        _sql_paragraph_chunks(8)
         + " order by doc_id, chunk_number").df()
     assert got["chunk_text"].tolist() == exp["chunk_text"].tolist()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()

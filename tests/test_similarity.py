@@ -162,3 +162,24 @@ def test_covariance_udf_equals_expression(spark, embeddings_small):
     for r in a:
         if r["dim_i"] == r["dim_j"]:
             assert r["cov"] >= 0
+
+
+def test_pca_projection_captures_dominant_variance(spark, embeddings_small):
+    from document_vector_pipeline_spark.operators.similarity import (
+        pca_project,
+    )
+
+    emb = embeddings_small.limit(200)
+    out = pca_project(emb, iters=4).collect()
+    assert len(out) == 200
+    # twin paths agree exactly
+    out2 = pca_project(emb, iters=4, use_udf=False).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+    # the dominant-component projection has at least the variance of any
+    # single raw coordinate (both in comparable 1e-12-unit scales)
+    import numpy as np
+    proj = np.array([r["proj"] for r in out], dtype=float)
+    rows = emb.select("embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=float) * 1e6
+    best_coord = max(np.var(X[:, j]) for j in range(X.shape[1]))
+    assert np.var(proj / 1e6) >= 0.9 * best_coord
