@@ -306,6 +306,9 @@ def main() -> None:
     bench("graph_triangles",
           lambda: graph.triangle_count(dedup.minhash_lsh_pairs(docs)))
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
+    bench("events_bots", lambda: analytics.events_bots(ev))
+    bench("yearly_growth", lambda: analytics.yearly_growth(
+        t["lineitem"], t["orders"], t["customer"], t["nation"]))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))
     bench("corpus_shuffle", lambda: corpus.shuffle_assign(docs))
     bench("corpus_profile", lambda: corpus.profile_table(

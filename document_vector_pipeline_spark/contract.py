@@ -772,6 +772,23 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_yearly_growth(spark, sf_dir):
+    """Per-nation year-over-year revenue growth (lag window over the
+    tiny nation×year aggregate)."""
+    return analytics.yearly_growth(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"))
+
+
+def q_events_bots(spark, sf_dir):
+    """Bot detection: per-user volume + exact median inter-event gap
+    (thresholds tuned so the synthetic corpus yields both verdicts)."""
+    return analytics.events_bots(load_table(spark, sf_dir, "events"),
+                                 min_events=20, max_median_gap_s=3600)
+
+
 def q_emb_pca(spark, sf_dir):
     """Exact dominant-principal-component projection (integer power
     iteration on the integer scatter matrix; unrolled-CTE oracle)."""
@@ -1896,6 +1913,57 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_yearly_growth() -> str:
+    return f"""
+with rev as (
+  select n_name, cast(year(o_orderdate) as bigint) as year,
+         {_money_sum_sql('l_extendedprice * (1 - l_discount)', 4)}
+           as revenue
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation on c_nationkey = n_nationkey
+  group by n_name, year(o_orderdate))
+select n_name, year, revenue,
+       lag(revenue) over (partition by n_name order by year)
+         as prev_revenue,
+       round(10000 * (revenue - lag(revenue) over
+               (partition by n_name order by year))
+             / lag(revenue) over (partition by n_name order by year), 6)
+         as growth_bp
+from rev order by n_name, year
+"""
+
+
+def _sql_events_bots(min_events: int = 20,
+                     max_median_gap_s: int = 3600) -> str:
+    return f"""
+with g0 as (
+  select user_id,
+         epoch_us(ts) - epoch_us(lag(ts) over
+             (partition by user_id order by ts, event_id)) as gap_us
+  from events),
+gaps as (select user_id, gap_us from g0 where gap_us is not null),
+r as (select user_id, gap_us,
+             row_number() over (partition by user_id order by gap_us) as rk,
+             count(*) over (partition by user_id) as n_gaps
+      from gaps),
+stats as (
+  select user_id, min(gap_us) as min_gap_us,
+         max(case when rk = (n_gaps + 1) // 2 then gap_us end)
+           as median_gap_us
+  from r group by user_id),
+counts as (select user_id, cast(count(*) as bigint) as n_events
+           from events group by user_id)
+select c.user_id, c.n_events, s.min_gap_us, s.median_gap_us,
+       coalesce(c.n_events >= {min_events}
+                and s.median_gap_us < {max_median_gap_s * 1000000},
+                false) as is_bot
+from counts c left join stats s using (user_id)
+order by c.user_id
 """
 
 
@@ -4067,6 +4135,8 @@ def queries():
         "store_cdc": q_store_cdc,
         "vector_quantized_recall": q_vector_quantized_recall,
         "emb_pca": q_emb_pca,
+        "events_bots": q_events_bots,
+        "yearly_growth": q_yearly_growth,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4302,6 +4372,8 @@ from events group by user_id
         "store_cdc": _sql_store_cdc(),
         "vector_quantized_recall": _sql_vector_quantized_recall(),
         "emb_pca": _sql_emb_pca(),
+        "events_bots": _sql_events_bots(),
+        "yearly_growth": _sql_yearly_growth(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -761,3 +761,71 @@ def customer_deciles(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_customers"),
                  (F.sum("cents") / 100).alias("revenue"))
             .orderBy("decile"))
+
+
+def events_bots(events: DataFrame, min_events: int = 50,
+                max_median_gap_s: int = 600) -> DataFrame:
+    """Bot/automation detection per user: event count, minimum and exact
+    rank-selected MEDIAN inter-event gap, and a verdict (high volume AND
+    super-human cadence).  The abuse-filter analogue of the corpus
+    quality battery — training pipelines drop machine traffic the same
+    way they drop machine text.
+
+    One exchange on user_id serves the lag window, the gap-rank window,
+    and both per-user reductions (Catalyst reuses the partitioning).
+    All integer µs; the median is the ceil(n/2)-th smallest gap, no
+    interpolation.  Null gaps (each user's first event) are filtered
+    BEFORE ranking — engines disagree on null sort order, exact
+    arithmetic must not depend on it."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (events.select(
+        "user_id",
+        (epoch_us(F.col("ts"))
+         - epoch_us(F.lag("ts").over(wo))).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull()))
+    wg = Window.partitionBy("user_id").orderBy("gap_us")
+    wc = Window.partitionBy("user_id")
+    g = (gaps.withColumn("rk", F.row_number().over(wg))
+         .withColumn("n_gaps", F.count("*").over(wc)))
+    med_rank = F.floor((F.col("n_gaps") + 1) / 2).cast("int")
+    stats = (g.groupBy("user_id")
+             .agg(F.min("gap_us").alias("min_gap_us"),
+                  F.max(F.when(F.col("rk") == med_rank, F.col("gap_us")))
+                   .alias("median_gap_us")))
+    counts = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    verdict = ((F.col("n_events") >= min_events)
+               & (F.col("median_gap_us")
+                  < F.lit(max_median_gap_s).cast("long") * 1_000_000))
+    return (counts.join(stats, "user_id", "left")
+            .select("user_id", "n_events", "min_gap_us", "median_gap_us",
+                    F.coalesce(verdict, F.lit(False)).alias("is_bot"))
+            .orderBy("user_id"))
+
+
+def yearly_growth(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Per-nation year-over-year revenue growth: the trend query every
+    revenue rollup gets asked next.  One fact shuffle (orderkey join),
+    broadcast dims, then a lag window over the TINY (nation, year)
+    aggregate — growth is computed on exact fixed-point revenues, with
+    the single rounded division per output row."""
+    from pyspark.sql import Window
+
+    rev = (lineitem
+           .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(customer),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name", F.year("o_orderdate").alias("year"))
+           .agg(money_sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")), 4).alias("revenue")))
+    w = Window.partitionBy("n_name").orderBy("year")
+    prev = F.lag("revenue").over(w)
+    return (rev.withColumn("prev_revenue", prev)
+            .withColumn("growth_bp",
+                        F.round(10000 * (F.col("revenue") - prev) / prev, 6))
+            .orderBy("n_name", "year"))

@@ -94,3 +94,26 @@ def test_customer_deciles_partition_customers_evenly(spark, t=None):
     assert max(sizes) - min(sizes) <= 1  # ntile balance
     revs = [r["revenue"] for r in out]
     assert revs == sorted(revs, reverse=True)  # deciles ranked by value
+
+
+def test_events_bots_median_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import events_bots
+
+    # u1: events at t=0,1,2,3s -> gaps 1s,1s,1s; median 1s; bot at low thresholds
+    # u2: single event -> no gaps, never a bot
+    rows = [(i, "2024-01-01 00:00:0%d" % s, "u1", "click", 1.0, "{}")
+            for i, s in enumerate([0, 1, 2, 3])]
+    rows.append((9, "2024-01-01 05:00:00", "u2", "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string,"
+              " value double, props string") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts", "user_id",
+                    "event_type", "value", "props")
+    out = {r["user_id"]: r for r in
+           events_bots(ev, min_events=3, max_median_gap_s=10).collect()}
+    assert out["u1"]["n_events"] == 4
+    assert out["u1"]["median_gap_us"] == 1_000_000
+    assert out["u1"]["is_bot"]
+    assert out["u2"]["n_events"] == 1
+    assert out["u2"]["median_gap_us"] is None
+    assert not out["u2"]["is_bot"]
