@@ -1946,24 +1946,23 @@ with g0 as (
          epoch_us(ts) - epoch_us(lag(ts) over
              (partition by user_id order by ts, event_id)) as gap_us
   from events),
-gaps as (select user_id, gap_us from g0 where gap_us is not null),
 r as (select user_id, gap_us,
-             row_number() over (partition by user_id order by gap_us) as rk,
-             count(*) over (partition by user_id) as n_gaps
-      from gaps),
+             row_number() over (partition by user_id
+                                order by gap_us nulls first) as rk,
+             count(gap_us) over (partition by user_id) as n_gaps
+      from g0),
 stats as (
-  select user_id, min(gap_us) as min_gap_us,
-         max(case when rk = (n_gaps + 1) // 2 then gap_us end)
+  select user_id, cast(count(*) as bigint) as n_events,
+         min(gap_us) as min_gap_us,
+         max(case when rk = 1 + (n_gaps + 1) // 2 then gap_us end)
            as median_gap_us
-  from r group by user_id),
-counts as (select user_id, cast(count(*) as bigint) as n_events
-           from events group by user_id)
-select c.user_id, c.n_events, s.min_gap_us, s.median_gap_us,
-       coalesce(c.n_events >= {min_events}
-                and s.median_gap_us < {max_median_gap_s * 1000000},
+  from r group by user_id)
+select user_id, n_events, min_gap_us, median_gap_us,
+       coalesce(n_events >= {min_events}
+                and median_gap_us < {max_median_gap_s * 1000000},
                 false) as is_bot
-from counts c left join stats s using (user_id)
-order by c.user_id
+from stats
+order by user_id
 """
 
 

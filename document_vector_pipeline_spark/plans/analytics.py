@@ -771,37 +771,36 @@ def events_bots(events: DataFrame, min_events: int = 50,
     quality battery — training pipelines drop machine traffic the same
     way they drop machine text.
 
-    One exchange on user_id serves the lag window, the gap-rank window,
-    and both per-user reductions (Catalyst reuses the partitioning).
-    All integer µs; the median is the ceil(n/2)-th smallest gap, no
-    interpolation.  Null gaps (each user's first event) are filtered
-    BEFORE ranking — engines disagree on null sort order, exact
-    arithmetic must not depend on it."""
+    ONE scan and ONE exchange: the lag window, the gap-rank window, the
+    per-user count window, and the final reduction all share the user_id
+    partitioning.  Exactly one row per user has a null gap (the first
+    event), so with an explicit NULLS FIRST rank (both engines agree by
+    declaration, not by default) the median among real gaps sits at
+    rank 1 + ceil(n_gaps/2).  All integer µs, no interpolation."""
     from pyspark.sql import Window
 
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (events.select(
+    wg = Window.partitionBy("user_id").orderBy(
+        F.col("gap_us").asc_nulls_first())
+    wc = Window.partitionBy("user_id")
+    g = (events.select(
         "user_id",
         (epoch_us(F.col("ts"))
          - epoch_us(F.lag("ts").over(wo))).alias("gap_us"))
-        .filter(F.col("gap_us").isNotNull()))
-    wg = Window.partitionBy("user_id").orderBy("gap_us")
-    wc = Window.partitionBy("user_id")
-    g = (gaps.withColumn("rk", F.row_number().over(wg))
-         .withColumn("n_gaps", F.count("*").over(wc)))
-    med_rank = F.floor((F.col("n_gaps") + 1) / 2).cast("int")
-    stats = (g.groupBy("user_id")
-             .agg(F.min("gap_us").alias("min_gap_us"),
-                  F.max(F.when(F.col("rk") == med_rank, F.col("gap_us")))
-                   .alias("median_gap_us")))
-    counts = events.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n_events"))
+        .withColumn("rk", F.row_number().over(wg))
+        .withColumn("n_gaps", F.count("gap_us").over(wc)))
+    med_rank = (F.lit(1) + F.floor((F.col("n_gaps") + 1) / 2)).cast("int")
+    per = (g.groupBy("user_id")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.min("gap_us").alias("min_gap_us"),
+                F.max(F.when(F.col("rk") == med_rank, F.col("gap_us")))
+                 .alias("median_gap_us")))
     verdict = ((F.col("n_events") >= min_events)
                & (F.col("median_gap_us")
                   < F.lit(max_median_gap_s).cast("long") * 1_000_000))
-    return (counts.join(stats, "user_id", "left")
-            .select("user_id", "n_events", "min_gap_us", "median_gap_us",
-                    F.coalesce(verdict, F.lit(False)).alias("is_bot"))
+    return (per.select("user_id", "n_events", "min_gap_us",
+                       "median_gap_us",
+                       F.coalesce(verdict, F.lit(False)).alias("is_bot"))
             .orderBy("user_id"))
 
 

@@ -437,3 +437,25 @@ def test_round3b_operator_shuffle_budgets(spark, t):
     # pair); no dau⋈wau join, one scan of events
     assert p.count("Scan ") <= 1
     assert "Join" not in p
+
+
+def test_round3c_operator_shuffle_budgets(spark, t):
+    from document_vector_pipeline_spark.streaming import events as sev
+
+    ev = load_table(spark, SF, "events")
+
+    p = plan_of(sev.hourly_heatmap(ev))
+    # one grid aggregation; the share window sees ≤168 rows
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Scan ") == 1
+
+    p = plan_of(analytics.events_bots(ev))
+    # all three windows + the reduction share ONE user_id exchange and
+    # ONE events scan (the two-scan left-join formulation regressed this)
+    assert p.count("Scan ") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+    p = plan_of(analytics.yearly_growth(
+        t["lineitem"], t["orders"], t["customer"], t["nation"]))
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 2
