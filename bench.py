@@ -233,6 +233,7 @@ def main() -> None:
         docs, F.least(F.lit(1_000_000).cast("long"),
                       F.col("n_chars").cast("long") * 400)))
     bench("corpus_repetition", lambda: corpus.repetition_stats(docs))
+    bench("corpus_boilerplate", lambda: corpus.boilerplate_stats(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),

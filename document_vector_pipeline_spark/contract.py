@@ -772,6 +772,24 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_corpus_boilerplate(spark, sf_dir):
+    """C4 boilerplate-line profile over docs with deterministic injected
+    boilerplate (the word-soup corpus has no newlines, so shared footer
+    lines are appended: every even doc gets a copyright line, every
+    doc ≡0 mod 3 a newsletter line — the oracle injects identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nCopyright Example Corp")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nSubscribe to our newsletter"))
+             .otherwise(F.lit(""))).alias("text"))
+    return corpus.boilerplate_stats(injected, min_df=3)
+
+
 def q_yearly_growth(spark, sf_dir):
     """Per-nation year-over-year revenue growth (lag window over the
     tiny nation×year aggregate)."""
@@ -1913,6 +1931,29 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_corpus_boilerplate(min_df: int = 3) -> str:
+    inj = ("text || (case when doc_id % 2 = 0 "
+           "then chr(10) || 'Copyright Example Corp' else '' end) "
+           "|| (case when doc_id % 3 = 0 "
+           "then chr(10) || 'Subscribe to our newsletter' else '' end)")
+    return f"""
+with i as (select doc_id, {inj} as t from documents),
+lines as (
+  select doc_id, {_md5l('l')} as lh
+  from (select doc_id, trim(unnest(string_split(t, chr(10)))) as l from i)
+  where l <> ''),
+df as (select lh, count(distinct doc_id) as df from lines group by lh)
+select doc_id,
+       cast(count(*) as bigint) as n_lines,
+       cast(count(case when df.df >= {min_df} then 1 end) as bigint)
+         as n_boiler,
+       cast((1000000 * count(case when df.df >= {min_df} then 1 end))
+            // count(*) as bigint) as boiler_ppm
+from lines join df using (lh)
+group by doc_id order by doc_id
 """
 
 
@@ -4136,6 +4177,7 @@ def queries():
         "emb_pca": q_emb_pca,
         "events_bots": q_events_bots,
         "yearly_growth": q_yearly_growth,
+        "corpus_boilerplate": q_corpus_boilerplate,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4373,6 +4415,7 @@ from events group by user_id
         "emb_pca": _sql_emb_pca(),
         "events_bots": _sql_events_bots(),
         "yearly_growth": _sql_yearly_growth(),
+        "corpus_boilerplate": _sql_corpus_boilerplate(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

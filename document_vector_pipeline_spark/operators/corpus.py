@@ -497,3 +497,31 @@ def weighted_sample(docs: DataFrame, weight_ppm: Column,
                         draw.alias("draw_ppm"))
             .withColumn("keep", F.col("draw_ppm") < F.col("weight_ppm"))
             .orderBy(id_col))
+
+
+def boilerplate_stats(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_df: int = 3) -> DataFrame:
+    """Per-document boilerplate profile (the C4 "line appears in ≥ N
+    documents" filter input): line count, boilerplate-line count (lines
+    whose corpus document-frequency ≥ min_df), and the boilerplate ppm.
+
+    Lines travel as md5 integers once exploded, so the df aggregation
+    and the flag join shuffle skinny (id, hash) rows, not text; both
+    shuffles key on the line hash (uniform unless one line dominates —
+    which is exactly the boilerplate case AQE skew-join handles)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), F.trim),
+            lambda s: s != F.lit(""))).alias("line"))
+    keyed = lines.select(id_col, md5_long(F.col("line")).alias("lh"))
+    df = (keyed.groupBy("lh")
+          .agg(F.count_distinct(id_col).alias("df")))
+    flagged = keyed.join(df, "lh")
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.count(F.when(F.col("df") >= min_df, 1)).cast("long")
+                  .alias("n_boiler"))
+            .withColumn("boiler_ppm",
+                        F.expr("(1000000 * n_boiler) div n_lines"))
+            .orderBy(id_col))

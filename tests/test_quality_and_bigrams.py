@@ -64,3 +64,23 @@ def test_filtered_search_matches_full_rank(spark, tmp_path):
     full = {r["document_url"]: r["score"]
             for r in store.search(QVEC, k=10_000).collect()}
     assert got[0]["score"] == full[url]
+
+
+def test_boilerplate_stats_flags_shared_lines(spark):
+    from document_vector_pipeline_spark.operators.corpus import (
+        boilerplate_stats,
+    )
+
+    rows = [
+        (1, "unique one\nShared Footer"),
+        (2, "unique two\nShared Footer"),
+        (3, "unique three\nShared Footer"),
+        (4, "all unique here"),
+    ]
+    out = {r["doc_id"]: r for r in
+           boilerplate_stats(
+               spark.createDataFrame(rows, "doc_id int, text string"),
+               min_df=3).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_boiler"] == 1
+    assert out[1]["boiler_ppm"] == 500_000
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_ppm"] == 0
