@@ -162,7 +162,11 @@ def write_bucketed(df: DataFrame, spark: SparkSession, table: str,
     the pre-shuffled layout a 100 TB fact-to-fact join amortizes across
     every downstream query (broadcast only rescues small sides; bucketing
     is the big-join answer)."""
-    w = df.write.bucketBy(buckets, key)
+    # align write tasks to buckets first: without this every task emits a
+    # file per bucket it touches (tasks × buckets small files — 512 for
+    # 32×16); with it the layout lands as ~one file per bucket, which is
+    # also what the downstream bucketed scan wants to see
+    w = df.repartition(buckets, F.col(key)).write.bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
     (w.option("path", path)
