@@ -244,6 +244,7 @@ def main() -> None:
         dedup.minhash_lsh_pairs(docs)))
     bench("dedup_pipeline", lambda: dedup.neardup_dedup(docs))
     bench("text_tfidf", lambda: textstats.tfidf_top_terms(docs))
+    bench("text_vocab_coverage", lambda: textstats.vocab_coverage(docs))
     bench("text_scrub", lambda: textstats.scrub_pii(docs))
     from document_vector_pipeline_spark.operators import sketch
     bench("sketch_kmv", lambda: sketch.kmv_distinct(

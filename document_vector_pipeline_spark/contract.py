@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: terms needed for 50/90/99 % token
+    coverage (tokenizer-sizing statistic)."""
+    return textstats.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_boilerplate(spark, sf_dir):
     """C4 boilerplate-line profile over docs with deterministic injected
     boilerplate (the word-soup corpus has no newlines, so shared footer
@@ -1931,6 +1937,29 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_text_vocab_coverage(
+        targets: tuple = (500_000, 900_000, 990_000)) -> str:
+    rows = ", ".join(
+        f"(cast({t} as bigint), (select min(rank) from r "
+        f"where 1000000 * cum >= {t} * total))" for t in targets)
+    return f"""
+with toks as (
+  select unnest({_toks('text', lower=True)}) as term from documents),
+counts as (select term, count(*) as n from toks group by term),
+r as (select term, n,
+        sum(n) over (order by n desc, term
+                     rows between unbounded preceding and current row)
+          as cum,
+        count(*) over (order by n desc, term
+                       rows between unbounded preceding and current row)
+          as rank,
+        cast(sum(n) over () as bigint) as total
+      from counts)
+select col0 as coverage_ppm, cast(col1 as bigint) as n_terms
+from (values {rows}) order by coverage_ppm
 """
 
 
@@ -4178,6 +4207,7 @@ def queries():
         "events_bots": q_events_bots,
         "yearly_growth": q_yearly_growth,
         "corpus_boilerplate": q_corpus_boilerplate,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4416,6 +4446,7 @@ from events group by user_id
         "events_bots": _sql_events_bots(),
         "yearly_growth": _sql_yearly_growth(),
         "corpus_boilerplate": _sql_corpus_boilerplate(),
+        "text_vocab_coverage": _sql_text_vocab_coverage(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -214,3 +214,43 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
                " div (n_words * n_sents)"))
     return stats.select(id_col, "n_chars", "n_words", "n_sents",
                         ari.alias("ari_milli")).orderBy(id_col)
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text",
+                   targets: tuple = (500_000, 900_000, 990_000)) -> DataFrame:
+    """Vocabulary coverage curve: how many distinct terms (most frequent
+    first) cover 50/90/99 % of all token occurrences — the statistic that
+    sizes a tokenizer's vocab against a corpus.
+
+    ONE tokenize+explode pass → term counts (one shuffle) → a cumulative
+    window over the TERM table (vocab-sized, not corpus-sized) → a single
+    aggregation answers every coverage target at once (conditional mins,
+    then an explode back to long form).  Exact: n_terms is the first rank
+    whose cumulative count × 10⁶ ≥ target × total — cleared-denominator
+    integer comparison, no division."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda w: w != F.lit(""))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), "term") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    ranked = (counts
+              .withColumn("cum", F.sum("n").over(w))
+              .withColumn("rank", F.count("*").over(w))
+              .withColumn("total", F.sum("n").over(wt).cast("long")))
+    agg = ranked.agg(*[
+        F.min(F.when(F.lit(1_000_000) * F.col("cum")
+                     >= F.lit(t).cast("long") * F.col("total"),
+                     F.col("rank"))).cast("long").alias(f"t{t}")
+        for t in targets])
+    rows = F.array(*[
+        F.struct(F.lit(t).cast("long").alias("coverage_ppm"),
+                 F.col(f"t{t}").alias("n_terms"))
+        for t in targets])
+    return (agg.select(F.explode(rows).alias("r"))
+            .select("r.coverage_ppm", "r.n_terms")
+            .orderBy("coverage_ppm"))

@@ -77,3 +77,20 @@ def test_readability_hand_computed(spark):
     assert r1["ari_milli"] == expected
     assert out[2]["n_words"] == 0 and out[2]["ari_milli"] == 0
     assert out[3]["n_sents"] == 1
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    # 10 tokens total: a×5, b×3, c×1, d×1
+    docs = spark.createDataFrame(
+        [(1, "a a a a a b b"), (2, "b c d")], "doc_id int, text string")
+    out = {r["coverage_ppm"]: r["n_terms"]
+           for r in vocab_coverage(docs).collect()}
+    # 50%: 'a' alone covers 5/10 -> 1 term; 90%: a+b = 8/10 < 9 -> need c
+    # (alphabetical tie-break) -> 3 terms; 99%: all 4 terms
+    assert out[500_000] == 1
+    assert out[900_000] == 3
+    assert out[990_000] == 4
