@@ -131,6 +131,7 @@ def main() -> None:
                  F.lit("&q=1")).alias("url"))))
     bench("dedup_minhash_eval",
           lambda: dedup.minhash_eval(docs, threshold=0.1))
+    bench("dedup_shingle_hist", lambda: dedup.shingle_df_histogram(docs))
     bench("ann_bruteforce",
           lambda: similarity.brute_force_topk(emb, qdf, k=10))
     bench("ann_bruteforce_np",

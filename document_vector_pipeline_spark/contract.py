@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_dedup_shingle_hist(spark, sf_dir):
+    """Shingle document-frequency histogram (pre-dedup skew diagnostic)."""
+    return dedup.shingle_df_histogram(load_table(spark, sf_dir,
+                                                 "documents"))
+
+
 def q_text_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve: terms needed for 50/90/99 % token
     coverage (tokenizer-sizing statistic)."""
@@ -1937,6 +1943,19 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_dedup_shingle_hist() -> str:
+    return f"""
+with t as (select doc_id, {_toks('text', lower=True)} as w from documents),
+sh as (select doc_id, unnest({_SHINGLES3}) as s from t),
+dfreq as (select {_md5l('s')} as h, count(*) as df from sh group by 1),
+h as (select length(bin(df)) as bucket, df from dfreq)
+select cast(bucket as int) as bucket,
+       cast(count(*) as bigint) as n_shingles,
+       min(df) as min_df, max(df) as max_df
+from h group by bucket order by bucket
 """
 
 
@@ -4208,6 +4227,7 @@ def queries():
         "yearly_growth": q_yearly_growth,
         "corpus_boilerplate": q_corpus_boilerplate,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "dedup_shingle_hist": q_dedup_shingle_hist,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4447,6 +4467,7 @@ from events group by user_id
         "yearly_growth": _sql_yearly_growth(),
         "corpus_boilerplate": _sql_corpus_boilerplate(),
         "text_vocab_coverage": _sql_text_vocab_coverage(),
+        "dedup_shingle_hist": _sql_dedup_shingle_hist(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -662,3 +662,28 @@ def minhash_eval(docs: DataFrame, id_col: str = "doc_id",
         F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
          .otherwise(F.expr("(1000 * n_hit) div n_true"))
          .alias("recall_milli"))
+
+
+def shingle_df_histogram(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         width: int = 3) -> DataFrame:
+    """Histogram of shingle document frequencies in power-of-two buckets
+    — the dedup diagnostic that predicts MinHash-LSH behavior before you
+    run it: a heavy df tail means boilerplate-dominated band buckets
+    (plan for AQE skew-join), a df≈1 corpus means near-dup joins stay
+    tiny.  bucket = bit length of df (same exact-integer convention as
+    corpus_lenhist).
+
+    Shingles travel as md5 integers; one shuffle counts df, the second
+    aggregates the vocab-sized df table into ≤ 64 buckets."""
+    keyed = docs.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), width)).alias("sh"))
+    dfreq = (keyed.select(md5_long(F.col("sh")).alias("h"))
+             .groupBy("h").agg(F.count("*").alias("df")))
+    bucket = F.length(F.bin(F.col("df"))).cast("int").alias("bucket")
+    return (dfreq.groupBy(bucket)
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.min("df").alias("min_df"),
+                 F.max("df").alias("max_df"))
+            .orderBy("bucket"))

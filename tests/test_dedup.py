@@ -281,3 +281,20 @@ def test_weighted_sample_respects_weights(spark, docs_small):
     assert a == b
     n = docs_small.count()
     assert 0.35 * n < len(a) < 0.65 * n  # md5 draws ~uniform
+
+
+def test_shingle_df_histogram_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.dedup import (
+        shingle_df_histogram,
+    )
+
+    # identical docs 1-3 share all shingles (df=3 -> bucket 2);
+    # doc 4 is unique (df=1 -> bucket 1)
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "a b c d"),
+            (4, "x y z w")]
+    out = {r["bucket"]: r for r in
+           shingle_df_histogram(
+               spark.createDataFrame(rows, "doc_id int, text string"))
+           .collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["max_df"] == 1
+    assert out[2]["n_shingles"] == 2 and out[2]["min_df"] == 3
