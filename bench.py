@@ -310,6 +310,8 @@ def main() -> None:
           lambda: graph.triangle_count(dedup.minhash_lsh_pairs(docs)))
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
     bench("events_bots", lambda: analytics.events_bots(ev))
+    bench("events_mad_outliers",
+          lambda: analytics.events_mad_outliers(ev))
     bench("yearly_growth", lambda: analytics.yearly_growth(
         t["lineitem"], t["orders"], t["customer"], t["nation"]))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))

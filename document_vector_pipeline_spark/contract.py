@@ -772,6 +772,13 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust MAD-based outlier summary per event type (exact integer
+    cents, rank-selected medians)."""
+    return analytics.events_mad_outliers(load_table(spark, sf_dir,
+                                                    "events"))
+
+
 def q_dedup_shingle_hist(spark, sf_dir):
     """Shingle document-frequency histogram (pre-dedup skew diagnostic)."""
     return dedup.shingle_df_histogram(load_table(spark, sf_dir,
@@ -1943,6 +1950,41 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_events_mad_outliers(k_milli: int = 4448) -> str:
+    return f"""
+with e as (
+  select event_type, event_id,
+         cast(round(value * 100, 0) as bigint) as x
+  from events),
+r1 as (select event_type, x,
+              row_number() over (partition by event_type
+                                 order by x, event_id) as rk,
+              count(*) over (partition by event_type) as n
+       from e),
+med as (select event_type, x as med from r1
+        where rk = (n + 1) // 2),
+d as (select e.event_type, e.event_id, e.x, med.med,
+             abs(e.x - med.med) as dev
+      from e join med using (event_type)),
+r2 as (select event_type, dev,
+              row_number() over (partition by event_type
+                                 order by dev, event_id) as rk,
+              count(*) over (partition by event_type) as n
+       from d),
+mad as (select event_type, dev as mad from r2
+        where rk = (n + 1) // 2)
+select d.event_type,
+       cast(count(*) as bigint) as n_events,
+       max(d.med) as median_cents,
+       max(mad.mad) as mad_cents,
+       cast(count(case when 1000 * d.dev > {k_milli} * mad.mad
+                  then 1 end) as bigint) as n_outliers
+from d join mad using (event_type)
+group by d.event_type
+order by d.event_type
 """
 
 
@@ -4228,6 +4270,7 @@ def queries():
         "corpus_boilerplate": q_corpus_boilerplate,
         "text_vocab_coverage": q_text_vocab_coverage,
         "dedup_shingle_hist": q_dedup_shingle_hist,
+        "events_mad_outliers": q_events_mad_outliers,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4468,6 +4511,7 @@ from events group by user_id
         "corpus_boilerplate": _sql_corpus_boilerplate(),
         "text_vocab_coverage": _sql_text_vocab_coverage(),
         "dedup_shingle_hist": _sql_dedup_shingle_hist(),
+        "events_mad_outliers": _sql_events_mad_outliers(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -828,3 +828,44 @@ def yearly_growth(lineitem: DataFrame, orders: DataFrame,
             .withColumn("growth_bp",
                         F.round(10000 * (F.col("revenue") - prev) / prev, 6))
             .orderBy("n_name", "year"))
+
+
+def events_mad_outliers(events: DataFrame,
+                        k_milli: int = 4448) -> DataFrame:
+    """Robust outlier summary per event type via MAD (median absolute
+    deviation): unlike events_anomalies' z-score, one whale purchase
+    cannot drag the threshold — the robust statistic a fraud/abuse
+    monitor actually wants.  Outlier ⇔ 1000·|x − median| > k·MAD with
+    k = 4448 ≈ 3·1.4826·1000, all exact integer cents (cleared
+    denominators, rank-selected medians, no interpolation).
+
+    Two rank windows + the reduction, all partitioned on event_type; the
+    per-type medians broadcast back as a tiny join."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    e = events.select("event_type", "event_id", cents.alias("x"))
+    w1 = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (e.withColumn("rk", F.row_number().over(w1))
+           .withColumn("n", F.count("*").over(wc))
+           .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type", F.col("x").alias("med")))
+    d = (e.join(F.broadcast(med), "event_type")
+         .withColumn("dev", F.abs(F.col("x") - F.col("med"))))
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (d.withColumn("rk", F.row_number().over(w2))
+           .withColumn("n", F.count("*").over(wc))
+           .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type", F.col("dev").alias("mad")))
+    flagged = (d.join(F.broadcast(mad), "event_type")
+               .withColumn("is_out",
+                           F.lit(1000) * F.col("dev")
+                           > F.lit(k_milli).cast("long") * F.col("mad")))
+    return (flagged.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.max("med").alias("median_cents"),
+                 F.max("mad").alias("mad_cents"),
+                 F.count(F.when(F.col("is_out"), 1)).cast("long")
+                  .alias("n_outliers"))
+            .orderBy("event_type"))

@@ -117,3 +117,25 @@ def test_events_bots_median_hand_computed(spark):
     assert out["u2"]["n_events"] == 1
     assert out["u2"]["median_gap_us"] is None
     assert not out["u2"]["is_bot"]
+
+
+def test_mad_outliers_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        events_mad_outliers,
+    )
+
+    # values 1..7 plus a whale at 1000: median=4.5->rank4=4 (ceil(9/2)=5?
+    # n=8 -> rank (8+1)//2 = 4 -> x=4; devs sorted: 0,1,1,2,2,3,3,996 ->
+    # MAD at rank 4 = 2; outlier iff 1000*dev > 4448*2=8896 -> dev>8.896
+    # -> only the whale
+    rows = [(i, "2024-01-01 00:00:00", "u%d" % i, "purchase", float(v), "{}")
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string,"
+              " value double, props string") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts", "user_id",
+                    "event_type", "value", "props")
+    r = events_mad_outliers(ev).collect()[0]
+    assert r["median_cents"] == 400
+    assert r["mad_cents"] == 200
+    assert r["n_outliers"] == 1
