@@ -235,6 +235,8 @@ def main() -> None:
                       F.col("n_chars").cast("long") * 400)))
     bench("corpus_repetition", lambda: corpus.repetition_stats(docs))
     bench("corpus_boilerplate", lambda: corpus.boilerplate_stats(docs))
+    bench("corpus_source_sim",
+          lambda: corpus.source_vocab_similarity(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),

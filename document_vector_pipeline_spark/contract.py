@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_corpus_source_sim(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources (exact, ppm)."""
+    return corpus.source_vocab_similarity(
+        load_table(spark, sf_dir, "documents"))
+
+
 def q_events_mad_outliers(spark, sf_dir):
     """Robust MAD-based outlier summary per event type (exact integer
     cents, rank-selected medians)."""
@@ -1950,6 +1956,26 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_corpus_source_sim() -> str:
+    return f"""
+with v as (
+  select distinct source as src, {_md5l('t')} as h
+  from (select source, unnest({_toks('text', lower=True)}) as t
+        from documents)),
+sizes as (select src, count(*) as nv from v group by src),
+inter as (
+  select a.src as source_a, b.src as source_b, count(*) as c
+  from v a join v b on a.h = b.h and a.src < b.src
+  group by 1, 2)
+select source_a, source_b, cast(c as bigint) as n_shared,
+       cast((1000000 * c) // (na.nv + nb.nv - c) as bigint) as jaccard_ppm
+from inter
+join sizes na on na.src = source_a
+join sizes nb on nb.src = source_b
+order by source_a, source_b
 """
 
 
@@ -4271,6 +4297,7 @@ def queries():
         "text_vocab_coverage": q_text_vocab_coverage,
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
+        "corpus_source_sim": q_corpus_source_sim,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4512,6 +4539,7 @@ from events group by user_id
         "text_vocab_coverage": _sql_text_vocab_coverage(),
         "dedup_shingle_hist": _sql_dedup_shingle_hist(),
         "events_mad_outliers": _sql_events_mad_outliers(),
+        "corpus_source_sim": _sql_corpus_source_sim(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

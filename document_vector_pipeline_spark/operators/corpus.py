@@ -525,3 +525,38 @@ def boilerplate_stats(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("boiler_ppm",
                         F.expr("(1000000 * n_boiler) div n_lines"))
             .orderBy(id_col))
+
+
+def source_vocab_similarity(docs: DataFrame, source_col: str = "source",
+                            text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (source_a < source_b,
+    exact |V∩V|/|V∪V| in ppm) — the corpus-organization view that tells
+    you which sources are near-mirrors before mixture weighting.
+
+    Terms travel as md5 ints; ONE distinct over (source, term-hash), a
+    self-equi-join on the term hash (df-bounded fan-out per term: at most
+    n_sources² pairs per term), and a sources²-row output.  The exact
+    |V| sizes ride the same distinct."""
+    v = (docs.select(F.col(source_col).alias("src"),
+                     F.explode(F.filter(
+                         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                         lambda w: w != F.lit(""))).alias("term"))
+         .select("src", md5_long(F.col("term")).alias("h"))
+         .distinct())
+    sizes = v.groupBy("src").agg(F.count("*").alias("nv"))
+    inter = (v.alias("a").join(v.alias("b"),
+                               (F.col("a.h") == F.col("b.h"))
+                               & (F.col("a.src") < F.col("b.src")))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count("*").alias("c")))
+    return (inter
+            .join(F.broadcast(sizes.withColumnRenamed("src", "source_a")
+                              .withColumnRenamed("nv", "na")), "source_a")
+            .join(F.broadcast(sizes.withColumnRenamed("src", "source_b")
+                              .withColumnRenamed("nv", "nb")), "source_b")
+            .select("source_a", "source_b",
+                    F.col("c").cast("long").alias("n_shared"),
+                    F.expr("(1000000 * c) div (na + nb - c)")
+                     .alias("jaccard_ppm"))
+            .orderBy("source_a", "source_b"))

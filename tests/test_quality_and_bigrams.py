@@ -84,3 +84,23 @@ def test_boilerplate_stats_flags_shared_lines(spark):
     assert out[1]["n_lines"] == 2 and out[1]["n_boiler"] == 1
     assert out[1]["boiler_ppm"] == 500_000
     assert out[4]["n_boiler"] == 0 and out[4]["boiler_ppm"] == 0
+
+
+def test_source_vocab_similarity_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.corpus import (
+        source_vocab_similarity,
+    )
+
+    rows = [
+        (1, "s1", "a b c"),
+        (2, "s1", "c d"),        # V(s1) = {a,b,c,d}
+        (3, "s2", "c d e"),      # V(s2) = {c,d,e}
+        (4, "s3", "x y"),        # V(s3) disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_vocab_similarity(docs).collect()}
+    r = out[("s1", "s2")]
+    assert r["n_shared"] == 2                       # {c,d}
+    assert r["jaccard_ppm"] == 1_000_000 * 2 // 5   # |union| = 5
+    assert ("s1", "s3") not in out                  # zero overlap: no row
