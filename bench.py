@@ -337,6 +337,7 @@ def main() -> None:
     bench("stream_interval_join", lambda: sev.click_purchase_join(ev))
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))
+    bench("events_conversion", lambda: analytics.conversion_latency(ev))
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))

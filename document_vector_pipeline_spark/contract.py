@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_events_conversion(spark, sf_dir):
+    """View→purchase conversion-latency percentiles (exact rank-selected
+    µs over one row per converter)."""
+    return analytics.conversion_latency(load_table(spark, sf_dir, "events"))
+
+
 def q_corpus_source_sim(spark, sf_dir):
     """Pairwise vocabulary Jaccard between sources (exact, ppm)."""
     return corpus.source_vocab_similarity(
@@ -1956,6 +1962,33 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_events_conversion(from_type: str = "view",
+                           to_type: str = "purchase") -> str:
+    def at(pct: int) -> str:
+        return (f"max(case when rn = ((n - 1) * {pct} "
+                f"- ((n - 1) * {pct}) % 100) / 100 + 1 "
+                f"then latency_us end)")
+    return f"""
+with t1 as (
+  select user_id,
+         min(case when event_type = '{from_type}' then ts end) as t1
+  from events group by user_id),
+conv as (
+  select e.user_id,
+         min(epoch_us(e.ts)) - max(epoch_us(t1.t1)) as latency_us
+  from events e join t1 on e.user_id = t1.user_id
+  where e.event_type = '{to_type}' and e.ts >= t1.t1
+  group by e.user_id),
+r as (select latency_us,
+             row_number() over (order by latency_us, user_id) as rn,
+             count(*) over () as n
+      from conv)
+select cast(max(n) as bigint) as n_converters,
+       {at(50)} as p50_us, {at(90)} as p90_us, {at(99)} as p99_us
+from r
 """
 
 
@@ -4298,6 +4331,7 @@ def queries():
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
+        "events_conversion": q_events_conversion,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4540,6 +4574,7 @@ from events group by user_id
         "dedup_shingle_hist": _sql_dedup_shingle_hist(),
         "events_mad_outliers": _sql_events_mad_outliers(),
         "corpus_source_sim": _sql_corpus_source_sim(),
+        "events_conversion": _sql_events_conversion(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -869,3 +869,42 @@ def events_mad_outliers(events: DataFrame,
                  F.count(F.when(F.col("is_out"), 1)).cast("long")
                   .alias("n_outliers"))
             .orderBy("event_type"))
+
+
+def conversion_latency(events: DataFrame, from_type: str = "view",
+                       to_type: str = "purchase") -> DataFrame:
+    """Conversion-latency distribution: for every user whose first
+    ``to_type`` event happens at/after their first ``from_type`` event,
+    the elapsed µs — summarized as exact rank-selected p50/p90/p99 (same
+    convention as events_percentiles) plus the converter count.
+
+    One exchange on user_id covers the first-view window and the
+    per-user reduction; the percentile window then runs over ONE ROW PER
+    CONVERTER, not per event."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = events.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == from_type,
+                           F.col("ts"))).over(w))
+    conv = (df.filter((F.col("event_type") == to_type)
+                      & (F.col("ts") >= F.col("t1")))
+            .groupBy("user_id")
+            .agg((F.min(epoch_us(F.col("ts")))
+                  - F.max(epoch_us(F.col("t1")))).alias("latency_us")))
+    wr = Window.orderBy("latency_us", "user_id")
+    ranked = conv.select(
+        "latency_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("n"))
+
+    def at(pct: int):
+        idx = ((F.col("n") - 1) * pct - ((F.col("n") - 1) * pct) % 100) / 100
+        return F.max(F.when(F.col("rn") == idx.cast("long") + 1,
+                            F.col("latency_us")))
+
+    return ranked.agg(F.max("n").cast("long").alias("n_converters"),
+                      at(50).alias("p50_us"), at(90).alias("p90_us"),
+                      at(99).alias("p99_us"))

@@ -139,3 +139,35 @@ def test_mad_outliers_hand_computed(spark):
     assert r["median_cents"] == 400
     assert r["mad_cents"] == 200
     assert r["n_outliers"] == 1
+
+
+def test_conversion_latency_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        conversion_latency,
+    )
+
+    rows = [
+        # u1: view at 00:00, purchase at 00:10 -> 600s
+        (1, "2024-01-01 00:00:00", "u1", "view"),
+        (2, "2024-01-01 00:10:00", "u1", "purchase"),
+        # u2: purchase BEFORE first view -> later purchase at +30s counts
+        (3, "2024-01-01 00:00:00", "u2", "purchase"),
+        (4, "2024-01-01 01:00:00", "u2", "view"),
+        (5, "2024-01-01 01:00:30", "u2", "purchase"),
+        # u3: view only -> not a converter
+        (6, "2024-01-01 02:00:00", "u3", "view"),
+        # u4: view then purchase at +1200s
+        (7, "2024-01-01 03:00:00", "u4", "view"),
+        (8, "2024-01-01 03:20:00", "u4", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts", "user_id",
+                    "event_type", "cast(1.0 as double) as value",
+                    "'{}' as props")
+    r = conversion_latency(ev).collect()[0]
+    assert r["n_converters"] == 3
+    # sorted latencies: 30s, 600s, 1200s; idx_p = floor((n-1)p/100)
+    assert r["p50_us"] == 600 * 1_000_000
+    assert r["p90_us"] == 600 * 1_000_000
+    assert r["p99_us"] == 600 * 1_000_000
