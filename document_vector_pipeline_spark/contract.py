@@ -772,6 +772,11 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_customer_churn(spark, sf_dir):
+    """Year-over-year customer churn with exact integer ppm."""
+    return analytics.customer_churn(load_table(spark, sf_dir, "orders"))
+
+
 def q_events_conversion(spark, sf_dir):
     """View→purchase conversion-latency percentiles (exact rank-selected
     µs over one row per converter)."""
@@ -1962,6 +1967,30 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_customer_churn() -> str:
+    return """
+with ay as (select distinct o_custkey, year(o_orderdate) as year
+            from orders),
+churned as (
+  select a.year, count(*) as n_churned
+  from ay a
+  where not exists (select 1 from ay b
+                    where b.o_custkey = a.o_custkey
+                      and b.year = a.year + 1)
+  group by a.year),
+base as (select year, cast(count(*) as bigint) as n_active
+         from ay group by year),
+mx as (select max(year) as max_year from ay)
+select base.year, base.n_active,
+       cast(coalesce(churned.n_churned, 0) as bigint) as n_churned,
+       cast((1000000 * coalesce(churned.n_churned, 0)) // base.n_active
+            as bigint) as churn_ppm
+from base left join churned using (year), mx
+where base.year < mx.max_year
+order by base.year
 """
 
 
@@ -4332,6 +4361,7 @@ def queries():
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
         "events_conversion": q_events_conversion,
+        "customer_churn": q_customer_churn,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4575,6 +4605,7 @@ from events group by user_id
         "events_mad_outliers": _sql_events_mad_outliers(),
         "corpus_source_sim": _sql_corpus_source_sim(),
         "events_conversion": _sql_events_conversion(),
+        "customer_churn": _sql_customer_churn(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -908,3 +908,32 @@ def conversion_latency(events: DataFrame, from_type: str = "view",
     return ranked.agg(F.max("n").cast("long").alias("n_converters"),
                       at(50).alias("p50_us"), at(90).alias("p90_us"),
                       at(99).alias("p99_us"))
+
+
+def customer_churn(orders: DataFrame) -> DataFrame:
+    """Year-over-year customer churn: of the customers active in year Y,
+    how many placed no order in Y+1 (the last data year is excluded —
+    its churn is not yet observable).  Exact integer ppm.
+
+    The (customer, year) activity set is distinct-reduced FIRST (one
+    shuffle, customers×years rows), so the anti-join that finds churners
+    runs on the reduced set, never the order fact table."""
+    ay = (orders.select("o_custkey",
+                        F.year("o_orderdate").alias("year"))
+          .distinct())
+    nxt = ay.select("o_custkey", (F.col("year") - 1).alias("year"))
+    churned = ay.join(nxt, ["o_custkey", "year"], "left_anti")
+    mx = ay.agg(F.max("year").alias("max_year"))
+    base = (ay.groupBy("year")
+            .agg(F.count("*").cast("long").alias("n_active")))
+    lost = (churned.groupBy("year")
+            .agg(F.count("*").cast("long").alias("n_churned")))
+    return (base.join(lost, "year", "left")
+            .crossJoin(F.broadcast(mx))
+            .filter(F.col("year") < F.col("max_year"))
+            .select("year", "n_active",
+                    F.coalesce("n_churned", F.lit(0).cast("long"))
+                     .alias("n_churned"))
+            .withColumn("churn_ppm",
+                        F.expr("(1000000 * n_churned) div n_active"))
+            .orderBy("year"))

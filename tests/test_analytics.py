@@ -171,3 +171,25 @@ def test_conversion_latency_hand_computed(spark):
     assert r["p50_us"] == 600 * 1_000_000
     assert r["p90_us"] == 600 * 1_000_000
     assert r["p99_us"] == 600 * 1_000_000
+
+
+def test_customer_churn_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import customer_churn
+
+    rows = [
+        (1, 10, "1995-03-01"), (2, 20, "1995-06-01"),  # 1995: c10, c20
+        (3, 10, "1996-01-01"),                           # 1996: only c10
+        (4, 10, "1997-01-01"), (5, 30, "1997-05-01"),   # 1997: c10, c30
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string") \
+        .selectExpr("o_orderkey", "o_custkey",
+                    "cast(o_orderdate as date) as o_orderdate")
+    out = {r["year"]: r for r in customer_churn(orders).collect()}
+    # 1995: c20 churned (not in 1996) -> 1/2
+    assert out[1995]["n_active"] == 2 and out[1995]["n_churned"] == 1
+    assert out[1995]["churn_ppm"] == 500_000
+    # 1996: c10 active in 1997 -> 0 churn
+    assert out[1996]["n_churned"] == 0
+    # 1997 is the last year: excluded
+    assert 1997 not in out
