@@ -123,3 +123,44 @@ def test_line_dedup_idempotent(spark, texts):
         again = twice[r.doc_id]
         assert again.clean_text == r.text
         assert again.n_units == again.n_kept
+
+
+URLCHARS = st.text(
+    alphabet="abcXYZ0189-._~/?&=#:%", min_size=0, max_size=30)
+
+
+@SLOW
+@given(st.lists(URLCHARS, min_size=1, max_size=8))
+def test_url_canonical_is_idempotent(spark, tails):
+    """canonical(canonical(u)) == canonical(u): normalization must be a
+    projection, or re-running a dedup pass would change keys."""
+    from document_vector_pipeline_spark.operators.dedup import url_canonical
+
+    rows = [(i, "HTTP://WWW.Example.com:80/" + t)
+            for i, t in enumerate(tails)]
+    df = spark.createDataFrame(rows, "i int, url string")
+    out = df.select(
+        url_canonical(F.col("url")).alias("c1")).select(
+        F.col("c1"), url_canonical(F.col("c1")).alias("c2")).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=1_000_000),
+       st.integers(min_value=0, max_value=1_000_000))
+def test_weighted_sample_keep_set_is_monotone(spark, docs_small, w1, w2):
+    """A higher acceptance weight can only ADD documents to the keep set
+    (the md5 draw is fixed per id), so repeated curation passes with
+    loosened thresholds never drop previously-kept docs."""
+    from document_vector_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    lo, hi = sorted((w1, w2))
+    d = docs_small.limit(60)
+    keep_lo = {r["doc_id"] for r in
+               weighted_sample(d, F.lit(lo)).filter("keep").collect()}
+    keep_hi = {r["doc_id"] for r in
+               weighted_sample(d, F.lit(hi)).filter("keep").collect()}
+    assert keep_lo <= keep_hi
