@@ -88,6 +88,12 @@ def main() -> None:
     shutil.rmtree(STORE_PATH, ignore_errors=True)
     store.upsert(warm_chunks)
     similarity.brute_force_topk(emb.limit(64), qdf, k=3).count()
+    store.search_many(
+        qdf.limit(1).select(
+            "query_id",
+            F.concat(F.col("query_vec"),
+                     F.array_repeat(F.lit(0.0), 1536 - 64))
+            .alias("query_vec")), k=1).count()
     (ev.limit(512).groupBy("event_type").count()
      .join(F.broadcast(t["region"]), how="cross").count())
 
@@ -132,6 +138,8 @@ def main() -> None:
     bench("dedup_minhash_eval",
           lambda: dedup.minhash_eval(docs, threshold=0.1))
     bench("dedup_shingle_hist", lambda: dedup.shingle_df_histogram(docs))
+    bench("dedup_substrings",
+          lambda: dedup.substring_dup_stats(docs, stride=4))
     bench("ann_bruteforce",
           lambda: similarity.brute_force_topk(emb, qdf, k=10))
     bench("ann_bruteforce_np",

@@ -772,6 +772,13 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """Exact char-level substring-duplication profile (Lee et al. signal;
+    width 50)."""
+    return dedup.substring_dup_stats(load_table(spark, sf_dir,
+                                                "documents"))
+
+
 def q_customer_churn(spark, sf_dir):
     """Year-over-year customer churn with exact integer ppm."""
     return analytics.customer_churn(load_table(spark, sf_dir, "orders"))
@@ -1967,6 +1974,29 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_dedup_substrings(width: int = 50) -> str:
+    return f"""
+with g as (
+  select doc_id, unnest(list_transform(
+    case when length(text) >= {width}
+         then generate_series(1, length(text) - {width - 1})
+         when length(text) > 0 then [1] else cast([] as bigint[]) end,
+    s -> substr(text, s, {width}))) as g
+  from documents),
+keyed as (select doc_id, {_md5l('g')} as h from g),
+dfreq as (select h, count(*) as df
+          from (select distinct doc_id, h from keyed) group by h)
+select doc_id,
+       cast(count(*) as bigint) as n_windows,
+       cast(count(case when df >= 2 then 1 end) as bigint)
+         as n_dup_windows,
+       cast((1000000 * count(case when df >= 2 then 1 end)) // count(*)
+            as bigint) as dup_ppm
+from keyed join dfreq using (h)
+group by doc_id order by doc_id
 """
 
 
@@ -4362,6 +4392,7 @@ def queries():
         "corpus_source_sim": q_corpus_source_sim,
         "events_conversion": q_events_conversion,
         "customer_churn": q_customer_churn,
+        "dedup_substrings": q_dedup_substrings,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4606,6 +4637,7 @@ from events group by user_id
         "corpus_source_sim": _sql_corpus_source_sim(),
         "events_conversion": _sql_events_conversion(),
         "customer_churn": _sql_customer_churn(),
+        "dedup_substrings": _sql_dedup_substrings(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -687,3 +687,43 @@ def shingle_df_histogram(docs: DataFrame, id_col: str = "doc_id",
                  F.min("df").alias("min_df"),
                  F.max("df").alias("max_df"))
             .orderBy("bucket"))
+
+
+def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        width: int = 50, stride: int = 1) -> DataFrame:
+    """Exact substring-duplication profile (the character-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its ``width``-char
+    windows also occur in ANOTHER document, and the duplicated fraction
+    in ppm.  Unlike token shingles this catches verbatim reuse across
+    tokenization differences (whitespace, punctuation).
+
+    Every window position is hashed map-side (one md5 per char position,
+    HOF fold — no Python); the df aggregation and the flag join shuffle
+    (id, hash) pairs.  Docs shorter than ``width`` chars contribute one
+    whole-text window.  ``stride`` > 1 samples every k-th position — the
+    k× cheaper approximation the 100 TB deployment runs (a duplicated
+    span ≥ width+stride chars still collides); stride=1 is exact."""
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = (F.when(n >= width,
+                     F.sequence(F.lit(1), n - width + 1, F.lit(stride)))
+              .otherwise(F.when(n > 0, F.array(F.lit(1)))
+                         .otherwise(F.array().cast("array<int>"))))
+    grams = bound(t, lambda tt: F.transform(
+        starts, lambda s: F.substring(tt, s, width)))
+    keyed = (docs.select(F.col(id_col), F.explode(grams).alias("g"))
+             .select(id_col, md5_long(F.col("g")).alias("h")))
+    # a window duplicated WITHIN one doc must not count as cross-doc
+    # reuse: df = distinct docs containing the hash
+    dfreq = (keyed.distinct().groupBy("h")
+             .agg(F.count("*").alias("df")))
+    flagged = keyed.join(dfreq, "h")
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.count(F.when(F.col("df") >= 2, 1)).cast("long")
+                  .alias("n_dup_windows"))
+            .withColumn("dup_ppm",
+                        F.expr("(1000000 * n_dup_windows) div n_windows"))
+            .orderBy(id_col))

@@ -298,3 +298,30 @@ def test_shingle_df_histogram_hand_computed(spark):
            .collect()}
     assert out[1]["n_shingles"] == 2 and out[1]["max_df"] == 1
     assert out[2]["n_shingles"] == 2 and out[2]["min_df"] == 3
+
+
+def test_substring_dup_stats_flags_verbatim_reuse(spark):
+    from document_vector_pipeline_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    shared = "x" * 30 + "the same long verbatim span " + "y" * 30
+    rows = [
+        (1, "AAA " + shared),
+        (2, "BBB " + shared + " tail"),
+        (3, "totally different content here " + "z" * 60),
+    ]
+    out = {r["doc_id"]: r for r in
+           substring_dup_stats(
+               spark.createDataFrame(rows, "doc_id int, text string"),
+               width=50).collect()}
+    assert out[1]["n_dup_windows"] > 0
+    assert out[2]["n_dup_windows"] > 0
+    assert out[3]["n_dup_windows"] == 0
+    # a strided pass never reports MORE duplicated windows than exact
+    strided = {r["doc_id"]: r for r in
+               substring_dup_stats(
+                   spark.createDataFrame(rows, "doc_id int, text string"),
+                   width=50, stride=4).collect()}
+    for i in (1, 2, 3):
+        assert strided[i]["n_windows"] <= out[i]["n_windows"]
