@@ -322,6 +322,8 @@ def main() -> None:
     bench("events_bots", lambda: analytics.events_bots(ev))
     bench("events_mad_outliers",
           lambda: analytics.events_mad_outliers(ev))
+    bench("events_diversity",
+          lambda: analytics.events_user_diversity(ev))
     bench("yearly_growth", lambda: analytics.yearly_growth(
         t["lineitem"], t["orders"], t["customer"], t["nation"]))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))

@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_events_diversity(spark, sf_dir):
+    """Per-user Gini–Simpson behavioral diversity in exact ppm."""
+    return analytics.events_user_diversity(
+        load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_substrings(spark, sf_dir):
     """Exact char-level substring-duplication profile (Lee et al. signal;
     width 50)."""
@@ -1974,6 +1980,19 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_events_diversity() -> str:
+    return """
+with pt as (select user_id, event_type, cast(count(*) as bigint) as ni
+            from events group by 1, 2),
+pu as (select user_id, sum(ni) as n, sum(ni * ni) as ss,
+              cast(count(*) as bigint) as n_types
+       from pt group by user_id)
+select user_id, cast(n as bigint) as n_events, n_types,
+       cast((1000000 * (n * n - ss)) // (n * n) as bigint) as gini_ppm
+from pu order by user_id
 """
 
 
@@ -4393,6 +4412,7 @@ def queries():
         "events_conversion": q_events_conversion,
         "customer_churn": q_customer_churn,
         "dedup_substrings": q_dedup_substrings,
+        "events_diversity": q_events_diversity,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4638,6 +4658,7 @@ from events group by user_id
         "events_conversion": _sql_events_conversion(),
         "customer_churn": _sql_customer_churn(),
         "dedup_substrings": _sql_dedup_substrings(),
+        "events_diversity": _sql_events_diversity(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

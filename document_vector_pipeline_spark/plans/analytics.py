@@ -937,3 +937,26 @@ def customer_churn(orders: DataFrame) -> DataFrame:
             .withColumn("churn_ppm",
                         F.expr("(1000000 * n_churned) div n_active"))
             .orderBy("year"))
+
+
+def events_user_diversity(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity: event count, distinct event types,
+    and a Gini–Simpson diversity index in exact ppm —
+    gini_ppm = 10⁶·(n² − Σnᵢ²) div n² over the per-type counts nᵢ.
+    Single-type users score 0, perfectly-mixed users approach
+    10⁶·(1 − 1/k).  The bot/engagement segmentation feature that needs
+    no entropy (no logs, no floats — cross-engine exact).
+
+    Two partial-aggregated shuffles, both on uniform keys
+    ((user, type) then user)."""
+    per_type = (events.groupBy("user_id", "event_type")
+                .agg(F.count("*").cast("long").alias("ni")))
+    per_user = (per_type.groupBy("user_id")
+                .agg(F.sum("ni").alias("n"),
+                     F.sum(F.col("ni") * F.col("ni")).alias("ss"),
+                     F.count("*").cast("long").alias("n_types")))
+    return (per_user.select(
+        "user_id", F.col("n").cast("long").alias("n_events"), "n_types",
+        F.expr("(1000000 * (n * n - ss)) div (n * n)").cast("long")
+         .alias("gini_ppm"))
+        .orderBy("user_id"))

@@ -193,3 +193,24 @@ def test_customer_churn_hand_computed(spark):
     assert out[1996]["n_churned"] == 0
     # 1997 is the last year: excluded
     assert 1997 not in out
+
+
+def test_user_diversity_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        events_user_diversity,
+    )
+
+    rows = [
+        (1, "u1", "click"), (2, "u1", "click"),                 # single type
+        (3, "u2", "click"), (4, "u2", "view"),                  # 50/50
+        (5, "u3", "click"), (6, "u3", "view"), (7, "u3", "buy"),  # thirds
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string") \
+        .selectExpr("event_id", "cast('2024-01-01' as timestamp) as ts",
+                    "user_id", "event_type",
+                    "cast(1.0 as double) as value", "'{}' as props")
+    out = {r["user_id"]: r for r in events_user_diversity(ev).collect()}
+    assert out["u1"]["gini_ppm"] == 0
+    assert out["u2"]["gini_ppm"] == 500_000            # 1 - 2/4
+    assert out["u3"]["gini_ppm"] == 1_000_000 * 6 // 9  # 1 - 3/9
