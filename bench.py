@@ -318,6 +318,8 @@ def main() -> None:
     bench("graph_pagerank", pagerank_trade)
     bench("graph_triangles",
           lambda: graph.triangle_count(dedup.minhash_lsh_pairs(docs)))
+    bench("graph_degrees",
+          lambda: graph.degree_histogram(dedup.minhash_lsh_pairs(docs)))
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
     bench("events_bots", lambda: analytics.events_bots(ev))
     bench("events_mad_outliers",

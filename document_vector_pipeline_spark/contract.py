@@ -772,6 +772,13 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_graph_degrees(spark, sf_dir):
+    """Degree distribution of the MinHash near-dup pair graph (power-of-
+    two buckets; the skew early-warning for the graph algorithms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.degree_histogram(dedup.minhash_lsh_pairs(docs))
+
+
 def q_events_diversity(spark, sf_dir):
     """Per-user Gini–Simpson behavioral diversity in exact ppm."""
     return analytics.events_user_diversity(
@@ -1980,6 +1987,23 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_graph_degrees() -> str:
+    return f"""
+with {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+ends as (select id_a as node from pairs
+         union all select id_b as node from pairs),
+deg as (select node, count(*) as degree from ends group by node)
+select cast(length(bin(degree)) as int) as bucket,
+       cast(count(*) as bigint) as n_nodes,
+       min(degree) as min_degree, max(degree) as max_degree
+from deg group by bucket order by bucket
 """
 
 
@@ -4413,6 +4437,7 @@ def queries():
         "customer_churn": q_customer_churn,
         "dedup_substrings": q_dedup_substrings,
         "events_diversity": q_events_diversity,
+        "graph_degrees": q_graph_degrees,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4659,6 +4684,7 @@ from events group by user_id
         "customer_churn": _sql_customer_churn(),
         "dedup_substrings": _sql_dedup_substrings(),
         "events_diversity": _sql_events_diversity(),
+        "graph_degrees": _sql_graph_degrees(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -147,3 +147,25 @@ def triangle_count(pairs: DataFrame, a_col: str = "id_a",
     return (e.agg(F.count("*").cast("long").alias("n_edges"))
             .crossJoin(tri.agg(F.count("*").cast("long")
                                .alias("n_triangles"))))
+
+
+def degree_histogram(pairs: DataFrame, a_col: str = "id_a",
+                     b_col: str = "id_b") -> DataFrame:
+    """Degree distribution of an undirected pair graph in power-of-two
+    buckets (bit-length convention, as corpus_lenhist): completes the
+    graph diagnostic set — pagerank (influence), components (clusters),
+    triangles (density), degrees (skew).  A heavy-degree tail here is the
+    advance warning that the wedge join in triangle_count and the label
+    propagation in dedup_clusters will need degree-based orientation.
+
+    One union (map-side), one degree aggregation, one ≤64-bucket
+    reduce."""
+    ends = (pairs.select(F.col(a_col).alias("node"))
+            .unionAll(pairs.select(F.col(b_col).alias("node"))))
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
+    bucket = F.length(F.bin(F.col("degree"))).cast("int").alias("bucket")
+    return (deg.groupBy(bucket)
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.min("degree").alias("min_degree"),
+                 F.max("degree").alias("max_degree"))
+            .orderBy("bucket"))

@@ -93,3 +93,16 @@ def test_triangle_count_empty_graph(spark):
     e = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
     row = triangle_count(e).collect()[0]
     assert (row["n_edges"], row["n_triangles"]) == (2, 0)
+
+
+def test_degree_histogram_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    # star: hub 1 connected to 2,3,4 (deg 3 -> bucket 2); leaves deg 1
+    edges = [(1, 2), (1, 3), (1, 4)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["bucket"]: r for r in degree_histogram(e).collect()}
+    assert out[1]["n_nodes"] == 3 and out[1]["max_degree"] == 1
+    assert out[2]["n_nodes"] == 1 and out[2]["min_degree"] == 3
