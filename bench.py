@@ -197,6 +197,7 @@ def main() -> None:
     bench("stream_windowed", lambda: sev.windowed_event_counts(ev))
     bench("stream_sliding", lambda: sev.sliding_event_counts(ev))
     bench("stream_sessionize", lambda: sev.sessionize(ev))
+    bench("events_session_hist", lambda: sev.session_histogram(ev))
     bench("q1_pricing", lambda: analytics.q1_pricing(t["lineitem"]))
     bench("q3_shipping", lambda: analytics.q3_shipping(
         t["customer"], t["orders"], t["lineitem"]))

@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_events_session_hist(spark, sf_dir):
+    """Session-size histogram (power-of-two buckets over sessionized
+    events, exact integer durations)."""
+    return sev.session_histogram(load_table(spark, sf_dir, "events"))
+
+
 def q_graph_degrees(spark, sf_dir):
     """Degree distribution of the MinHash near-dup pair graph (power-of-
     two buckets; the skew early-warning for the graph algorithms)."""
@@ -1987,6 +1993,28 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_events_session_hist() -> str:
+    return """
+with e as (select user_id, cast(ts as timestamp) as ts from events),
+l as (select *, lag(ts) over (partition by user_id order by ts) as prev
+      from e),
+g as (select *, sum(case when prev is null
+                         or ts - prev >= interval 30 minutes
+                    then 1 else 0 end)
+             over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as sid
+      from l),
+s as (select user_id, sid, count(*) as n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) as dur_us
+      from g group by user_id, sid)
+select cast(length(bin(n_events)) as int) as bucket,
+       cast(count(*) as bigint) as n_sessions,
+       min(n_events) as min_events, max(n_events) as max_events,
+       cast(sum(dur_us) as bigint) as sum_duration_us
+from s group by bucket order by bucket
 """
 
 
@@ -4438,6 +4466,7 @@ def queries():
         "dedup_substrings": q_dedup_substrings,
         "events_diversity": q_events_diversity,
         "graph_degrees": q_graph_degrees,
+        "events_session_hist": q_events_session_hist,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4685,6 +4714,7 @@ from events group by user_id
         "dedup_substrings": _sql_dedup_substrings(),
         "events_diversity": _sql_events_diversity(),
         "graph_degrees": _sql_graph_degrees(),
+        "events_session_hist": _sql_events_session_hist(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -291,3 +291,29 @@ def hourly_heatmap(events: DataFrame) -> DataFrame:
                     F.expr("(1000000 * n_events) div __total")
                      .alias("share_ppm"))
             .orderBy("dow", "hod"))
+
+
+def session_histogram(events: DataFrame, gap: str = "30 minutes",
+                      gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+    """Session-size distribution in power-of-two buckets: how many
+    sessions have 1, 2-3, 4-7, … events, with exact min/max sizes and
+    the summed session duration per bucket (duration = span from first
+    to last event: session_window's end carries the +gap, subtracted
+    back as exact µs).
+
+    Unlike a global percentile (one big sort), the histogram is one
+    bounded-width aggregate over the session table — the shape that
+    still works when sessions number in the billions; sketch_histq is
+    the quantile companion."""
+    s = sessionize(events, gap=gap)
+    dur = (epoch_us(F.col("session_end"))
+           - epoch_us(F.col("session_start"))
+           - F.lit(gap_us).cast("long"))
+    bucket = F.length(F.bin(F.col("n_events"))).cast("int").alias("bucket")
+    return (s.select(bucket, F.col("n_events"), dur.alias("dur_us"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.min("n_events").alias("min_events"),
+                 F.max("n_events").alias("max_events"),
+                 F.sum("dur_us").cast("long").alias("sum_duration_us"))
+            .orderBy("bucket"))

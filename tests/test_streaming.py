@@ -241,3 +241,30 @@ def test_stream_blob_events_matches_batch_apply(spark, tmp_path):
     assert got == state(b_store)
     assert ("mem://b.txt", "delta epsilon REVISED") in got
     assert all(u != "mem://a.txt" for u, _ in got)
+
+
+def test_session_histogram_hand_computed(spark):
+    from document_vector_pipeline_spark.streaming.events import (
+        session_histogram,
+    )
+
+    rows = [
+        # u1: one 3-event session spanning 10 min (bucket 2)
+        (1, "2024-01-01 00:00:00", "u1"),
+        (2, "2024-01-01 00:05:00", "u1"),
+        (3, "2024-01-01 00:10:00", "u1"),
+        # u1: a second, single-event session hours later (bucket 1)
+        (4, "2024-01-01 05:00:00", "u1"),
+        # u2: single-event session (bucket 1)
+        (5, "2024-01-01 00:00:00", "u2"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string") \
+        .selectExpr("event_id", "cast(ts as timestamp) as ts", "user_id",
+                    "'click' as event_type", "cast(1.0 as double) as value",
+                    "'{}' as props")
+    out = {r["bucket"]: r for r in session_histogram(ev).collect()}
+    assert out[1]["n_sessions"] == 2
+    assert out[1]["sum_duration_us"] == 0
+    assert out[2]["n_sessions"] == 1
+    assert out[2]["sum_duration_us"] == 600 * 1_000_000
