@@ -186,6 +186,9 @@ def main() -> None:
     bench("chunk_md_paragraphs",
           lambda: chunk_documents(docs, mode="md_paragraphs",
                                   cfg=PipelineConfig(max_tokens_per_chunk=8)))
+    from document_vector_pipeline_spark.operators import multimodal
+    bench("mm_byte_hist", lambda: multimodal.byte_histogram(
+        multimodal.documents_as_assets(docs)))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_readability", lambda: textstats.readability(docs))
     bench("basket_pairs", lambda: analytics.basket_pairs(t["lineitem"]))

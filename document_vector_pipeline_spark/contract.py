@@ -772,6 +772,13 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_mm_byte_hist(spark, sf_dir):
+    """Exact byte histogram of multimodal payloads (the oracle-checkable
+    integer twin of mm_features' normalized vector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.byte_histogram(multimodal.documents_as_assets(docs))
+
+
 def q_events_session_hist(spark, sf_dir):
     """Session-size histogram (power-of-two buckets over sessionized
     events, exact integer durations)."""
@@ -1993,6 +2000,18 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_mm_byte_hist(dim: int = 16) -> str:
+    return f"""
+select doc_id as asset_id,
+       cast(unicode(c) % {dim} as int) as bucket,
+       cast(count(*) as bigint) as n
+from (select doc_id, unnest(string_split(text, '')) as c from documents)
+where c <> ''
+group by 1, 2
+order by 1, 2
 """
 
 
@@ -4467,6 +4486,7 @@ def queries():
         "events_diversity": q_events_diversity,
         "graph_degrees": q_graph_degrees,
         "events_session_hist": q_events_session_hist,
+        "mm_byte_hist": q_mm_byte_hist,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4715,6 +4735,7 @@ from events group by user_id
         "events_diversity": _sql_events_diversity(),
         "graph_degrees": _sql_graph_degrees(),
         "events_session_hist": _sql_events_session_hist(),
+        "mm_byte_hist": _sql_mm_byte_hist(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

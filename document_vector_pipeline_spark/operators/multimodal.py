@@ -122,3 +122,52 @@ def sample_frames(assets: DataFrame, every_bytes: int = 64,
     frames = F.transform(starts, lambda s: F.substring(F.col("payload"), s, frame_bytes))
     return (video
             .select("asset_id", F.posexplode(frames).alias("frame_no", "frame")))
+
+
+def byte_histogram(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Exact long-form byte histogram per asset — the INTEGER twin of
+    extract_features (whose unit-normalized float vector cannot be
+    value-compared across engines).  One row per (asset, bucket) with the
+    exact count of payload bytes ≡ bucket (mod dim); zero buckets are
+    omitted.  Same mapInPandas contract as the feature extractor, so the
+    oracle-checked path certifies the byte-level plumbing the stubbed
+    decoders sit on.  (The DuckDB oracle recomputes the histogram from
+    the text the payload encodes — exact for ASCII corpora, where byte
+    values equal code points.)"""
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, buckets, ns = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if not arr.size:
+                    continue
+                counts = np.bincount(arr % dim, minlength=dim)
+                for b in np.nonzero(counts)[0]:
+                    ids.append(row["asset_id"])
+                    buckets.append(int(b))
+                    ns.append(int(counts[b]))
+            yield pd.DataFrame({"asset_id": ids, "bucket": buckets,
+                                "n": ns})
+
+    return (assets.select("asset_id", "payload")
+            .mapInPandas(hist, "asset_id long, bucket int, n long")
+            .orderBy("asset_id", "bucket"))
+
+
+def byte_histogram_expr(assets: DataFrame,
+                        dim: int = FEATURE_DIM) -> DataFrame:
+    """Built-in-expression twin of byte_histogram for UTF-8 text payloads
+    (equivalence-tested): explode characters, bucket by code point — for
+    ASCII payloads code point == byte value."""
+    chars = F.filter(F.split(F.decode(F.col("payload"), "utf-8"), ""),
+                     lambda c: c != F.lit(""))
+    return (assets.select("asset_id", F.explode(chars).alias("c"))
+            .select("asset_id",
+                    (F.ascii(F.col("c")) % dim).cast("int").alias("bucket"))
+            .groupBy("asset_id", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("asset_id", "bucket"))

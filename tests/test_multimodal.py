@@ -50,3 +50,21 @@ def test_sample_frames(spark, docs_small):
         F.count("*").alias("n"))
     bad = per.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count()
     assert bad == 0
+
+
+def test_byte_histogram_udf_equals_expression(spark, docs_small):
+    from document_vector_pipeline_spark.operators.multimodal import (
+        byte_histogram,
+        byte_histogram_expr,
+        documents_as_assets,
+    )
+
+    assets = documents_as_assets(docs_small.limit(80))
+    a = byte_histogram(assets).collect()
+    b = byte_histogram_expr(assets).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # histogram counts sum to the payload byte totals
+    total = sum(r["n"] for r in a)
+    from pyspark.sql import functions as F
+    expect = (assets.select(F.sum(F.length("payload"))).collect()[0][0])
+    assert total == expect
