@@ -459,3 +459,26 @@ def test_round3c_operator_shuffle_budgets(spark, t):
         t["lineitem"], t["orders"], t["customer"], t["nation"]))
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_round3d_operator_shuffle_budgets(spark, t):
+    from document_vector_pipeline_spark.operators import dedup as dd
+    from document_vector_pipeline_spark.streaming import events as sev
+
+    docs = t["documents"]
+    ev = load_table(spark, SF, "events")
+
+    p = plan_of(dd.substring_dup_stats(docs))
+    # window hashing is map-side HOF work: the exchanges are the df
+    # aggregation and the flag join, both on the gram hash
+    assert "Python" not in p  # no UDF in the hot path
+    assert p.count("Exchange hashpartitioning") <= 3
+
+    p = plan_of(sev.session_histogram(ev))
+    # sessionize's user shuffle + the bounded bucket aggregate
+    assert p.count("Scan ") == 1
+
+    from document_vector_pipeline_spark.plans import analytics as an
+    p = plan_of(an.events_user_diversity(ev))
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("Scan ") == 1
