@@ -249,6 +249,7 @@ def main() -> None:
     bench("corpus_boilerplate", lambda: corpus.boilerplate_stats(docs))
     bench("corpus_source_sim",
           lambda: corpus.source_vocab_similarity(docs))
+    bench("corpus_novelty", lambda: corpus.novelty_scores(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),

@@ -772,6 +772,11 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_corpus_novelty(spark, sf_dir):
+    """Per-doc shingle novelty vs earlier arrivals, exact ppm."""
+    return corpus.novelty_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_mm_byte_hist(spark, sf_dir):
     """Exact byte histogram of multimodal payloads (the oracle-checkable
     integer twin of mm_features' normalized vector)."""
@@ -2000,6 +2005,24 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_corpus_novelty() -> str:
+    return f"""
+with t as (select doc_id, {_toks('text', lower=True)} as w from documents),
+keyed as (
+  select doc_id, {_md5l('s')} as h
+  from (select doc_id, unnest({_SHINGLES3}) as s from t)),
+first as (select h, min(doc_id) as first_id from keyed group by h)
+select doc_id,
+       cast(count(*) as bigint) as n_shingles,
+       cast(count(case when first_id = doc_id then 1 end) as bigint)
+         as n_novel,
+       cast((1000000 * count(case when first_id = doc_id then 1 end))
+            // count(*) as bigint) as novelty_ppm
+from keyed join first using (h)
+group by doc_id order by doc_id
 """
 
 
@@ -4487,6 +4510,7 @@ def queries():
         "graph_degrees": q_graph_degrees,
         "events_session_hist": q_events_session_hist,
         "mm_byte_hist": q_mm_byte_hist,
+        "corpus_novelty": q_corpus_novelty,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4736,6 +4760,7 @@ from events group by user_id
         "graph_degrees": _sql_graph_degrees(),
         "events_session_hist": _sql_events_session_hist(),
         "mm_byte_hist": _sql_mm_byte_hist(),
+        "corpus_novelty": _sql_corpus_novelty(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

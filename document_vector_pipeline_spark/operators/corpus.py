@@ -560,3 +560,30 @@ def source_vocab_similarity(docs: DataFrame, source_col: str = "source",
                     F.expr("(1000000 * c) div (na + nb - c)")
                      .alias("jaccard_ppm"))
             .orderBy("source_a", "source_b"))
+
+
+def novelty_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", width: int = 3) -> DataFrame:
+    """Per-document novelty against everything that arrived BEFORE it
+    (id order = arrival order): the fraction of the doc's distinct
+    shingles whose first corpus occurrence is this document, in exact
+    ppm.  The incremental-crawl signal — a snapshot whose docs score
+    near zero is re-crawl, not new data — and the complement of
+    boilerplate_stats (which asks how SHARED a line is, not how early).
+
+    Shingles travel as md5 ints; one groupBy finds each shingle's first
+    doc (map-side-combinable min), one join flags novelty, one per-doc
+    reduce."""
+    keyed = (docs.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), width)).alias("s"))
+        .select(id_col, md5_long(F.col("s")).alias("h")))
+    first = keyed.groupBy("h").agg(F.min(id_col).alias("first_id"))
+    return (keyed.join(first, "h")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.count(F.when(F.col("first_id") == F.col(id_col), 1))
+                  .cast("long").alias("n_novel"))
+            .withColumn("novelty_ppm",
+                        F.expr("(1000000 * n_novel) div n_shingles"))
+            .orderBy(id_col))

@@ -104,3 +104,24 @@ def test_source_vocab_similarity_hand_computed(spark):
     assert r["n_shared"] == 2                       # {c,d}
     assert r["jaccard_ppm"] == 1_000_000 * 2 // 5   # |union| = 5
     assert ("s1", "s3") not in out                  # zero overlap: no row
+
+
+def test_novelty_scores_first_doc_is_fully_novel(spark):
+    from document_vector_pipeline_spark.operators.corpus import (
+        novelty_scores,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact re-crawl of doc 1: 0 novelty
+        (3, "x y z w v"),          # all-new content: full novelty
+        (4, "a b c x y z extra"),  # mixed: shares earlier shingles
+    ]
+    out = {r["doc_id"]: r for r in
+           novelty_scores(
+               spark.createDataFrame(rows, "doc_id int, text string"),
+               width=3).collect()}
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["novelty_ppm"] == 0
+    assert out[3]["novelty_ppm"] == 1_000_000
+    assert 0 < out[4]["novelty_ppm"] < 1_000_000
