@@ -333,6 +333,8 @@ def main() -> None:
           lambda: analytics.events_user_diversity(ev))
     bench("yearly_growth", lambda: analytics.yearly_growth(
         t["lineitem"], t["orders"], t["customer"], t["nation"]))
+    bench("supplier_hhi", lambda: analytics.supplier_concentration(
+        t["lineitem"], t["supplier"], t["nation"]))
     bench("corpus_mixture", lambda: corpus.mixture_weights(docs))
     bench("corpus_shuffle", lambda: corpus.shuffle_assign(docs))
     bench("corpus_profile", lambda: corpus.profile_table(

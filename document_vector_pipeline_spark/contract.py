@@ -772,6 +772,14 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_supplier_hhi(spark, sf_dir):
+    """Supplier revenue concentration (integer Herfindahl) per nation."""
+    return analytics.supplier_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+
+
 def q_corpus_novelty(spark, sf_dir):
     """Per-doc shingle novelty vs earlier arrivals, exact ppm."""
     return corpus.novelty_scores(load_table(spark, sf_dir, "documents"))
@@ -2005,6 +2013,26 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_supplier_hhi() -> str:
+    return """
+with rev as (
+  select n_name, s_suppkey,
+         sum(cast(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  as bigint)) as cents
+  from lineitem
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  group by n_name, s_suppkey),
+sh as (select n_name,
+              (1000000 * cents) // sum(cents) over (partition by n_name)
+                as share_ppm
+       from rev)
+select n_name, cast(count(*) as bigint) as n_suppliers,
+       cast(sum(share_ppm * share_ppm) // 1000000 as bigint) as hhi_ppm
+from sh group by n_name order by n_name
 """
 
 
@@ -4511,6 +4539,7 @@ def queries():
         "events_session_hist": q_events_session_hist,
         "mm_byte_hist": q_mm_byte_hist,
         "corpus_novelty": q_corpus_novelty,
+        "supplier_hhi": q_supplier_hhi,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4761,6 +4790,7 @@ from events group by user_id
         "events_session_hist": _sql_events_session_hist(),
         "mm_byte_hist": _sql_mm_byte_hist(),
         "corpus_novelty": _sql_corpus_novelty(),
+        "supplier_hhi": _sql_supplier_hhi(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -960,3 +960,37 @@ def events_user_diversity(events: DataFrame) -> DataFrame:
         F.expr("(1000000 * (n * n - ss)) div (n * n)").cast("long")
          .alias("gini_ppm"))
         .orderBy("user_id"))
+
+
+def supplier_concentration(lineitem: DataFrame, supplier: DataFrame,
+                           nation: DataFrame) -> DataFrame:
+    """Supplier market concentration per nation: a Herfindahl-style index
+    over supplier revenue shares, fully integer-defined so both engines
+    agree bit-for-bit — share_ppm = (10⁶·cents) div total_cents per
+    supplier, hhi_ppm = Σ share_ppm² div 10⁶ (10⁶ = monopoly, →0 =
+    fragmented).  The supply-chain-risk rollup a procurement dashboard
+    wants.
+
+    One fact shuffle (supplier rollup), broadcast dims, and the HHI
+    reduce runs on the nation×supplier aggregate.  Integer bound:
+    10⁶·cents needs total revenue per supplier ≤ ~9·10¹² cents."""
+    rev = (lineitem
+           .join(F.broadcast(supplier),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nation),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name", "s_suppkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100, 0)
+                      .cast("long")).alias("cents")))
+    from pyspark.sql import Window
+
+    total = F.sum("cents").over(Window.partitionBy("n_name"))
+    shared = (rev.withColumn("__total", total)
+              .withColumn("share_ppm",
+                          F.expr("(1000000 * cents) div __total")))
+    return (shared.groupBy("n_name")
+            .agg(F.count("*").cast("long").alias("n_suppliers"),
+                 F.expr("sum(share_ppm * share_ppm) div 1000000")
+                  .cast("long").alias("hhi_ppm"))
+            .orderBy("n_name"))

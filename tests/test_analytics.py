@@ -214,3 +214,36 @@ def test_user_diversity_hand_computed(spark):
     assert out["u1"]["gini_ppm"] == 0
     assert out["u2"]["gini_ppm"] == 500_000            # 1 - 2/4
     assert out["u3"]["gini_ppm"] == 1_000_000 * 6 // 9  # 1 - 3/9
+
+
+def test_supplier_hhi_hand_computed(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        supplier_concentration,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0), (1, 100.0, 0.0), (2, 200.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double")
+    sup = spark.createDataFrame([(1, 7), (2, 7)],
+                                "s_suppkey long, s_nationkey long")
+    nat = spark.createDataFrame([(7, "FRANCE")],
+                                "n_nationkey long, n_name string")
+    r = supplier_concentration(li, sup, nat).collect()[0]
+    # both suppliers have exactly 50% share -> HHI = 0.5 in ppm
+    assert r["n_suppliers"] == 2
+    assert r["hhi_ppm"] == 500_000
+
+
+def test_supplier_hhi_monopoly_is_million(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        supplier_concentration,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 50.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double")
+    sup = spark.createDataFrame([(1, 7)], "s_suppkey long, s_nationkey long")
+    nat = spark.createDataFrame([(7, "FRANCE")],
+                                "n_nationkey long, n_name string")
+    r = supplier_concentration(li, sup, nat).collect()[0]
+    assert r["hhi_ppm"] == 1_000_000
