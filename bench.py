@@ -163,6 +163,7 @@ def main() -> None:
           lambda: similarity.kmeans_fixed(emb, n_clusters=8, iters=3))
     bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
     bench("emb_pca", lambda: similarity.pca_project(emb))
+    bench("emb_norm_hist", lambda: similarity.norm_histogram(emb))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_search_batch",

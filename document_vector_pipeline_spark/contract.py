@@ -772,6 +772,13 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_emb_norm_hist(spark, sf_dir):
+    """Embedding-norm distribution (exact integer Σq², power-of-two
+    buckets) — the embedding QA profile."""
+    return similarity.norm_histogram(load_table(spark, sf_dir,
+                                                "embeddings"))
+
+
 def q_supplier_hhi(spark, sf_dir):
     """Supplier revenue concentration (integer Herfindahl) per nation."""
     return analytics.supplier_concentration(
@@ -2013,6 +2020,22 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_emb_norm_hist() -> str:
+    return f"""
+with q as (
+  select vec_id,
+         coalesce(list_sum(list_transform({_EMB_D},
+             x -> cast(round(x * 1000000, 0) as bigint)
+                  * cast(round(x * 1000000, 0) as bigint))), 0) as ss
+  from embeddings)
+select cast(case when ss = 0 then 0 else length(bin(ss)) end as int)
+         as bucket,
+       cast(count(*) as bigint) as n_vectors,
+       cast(min(ss) as bigint) as min_ss, cast(max(ss) as bigint) as max_ss
+from q group by 1 order by 1
 """
 
 
@@ -4540,6 +4563,7 @@ def queries():
         "mm_byte_hist": q_mm_byte_hist,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
+        "emb_norm_hist": q_emb_norm_hist,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4791,6 +4815,7 @@ from events group by user_id
         "mm_byte_hist": _sql_mm_byte_hist(),
         "corpus_novelty": _sql_corpus_novelty(),
         "supplier_hhi": _sql_supplier_hhi(),
+        "emb_norm_hist": _sql_emb_norm_hist(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -733,3 +733,27 @@ def pca_project(emb: DataFrame, id_col: str = "vec_id",
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (emb.select(F.col(id_col), proj.alias("proj"))
             .orderBy(id_col))
+
+
+def norm_histogram(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distribution of squared embedding norms in power-of-two buckets of
+    the exact integer Σq² (q = 10⁻⁶-quantized components) — the embedding
+    QA profile that catches zero vectors, un-normalized batches, and
+    scale drift after a model migration before they poison cosine search
+    (a zero vector scores 0 against everything; a 10× norm outlier
+    dominates any dot-product ranking).
+
+    Map-only fold per row + a ≤64-bucket aggregate; bucket 0 collects
+    exact zero vectors."""
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1e6, 0)
+                    .cast("long"))
+    ss = F.aggregate(q, F.lit(0).cast("long"),
+                     lambda acc, v: acc + v * v)
+    bucket = (F.when(ss == 0, F.lit(0))
+              .otherwise(F.length(F.bin(ss)))).cast("int").alias("bucket")
+    return (emb.select(bucket, ss.alias("ss"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_vectors"),
+                 F.min("ss").alias("min_ss"), F.max("ss").alias("max_ss"))
+            .orderBy("bucket"))

@@ -183,3 +183,20 @@ def test_pca_projection_captures_dominant_variance(spark, embeddings_small):
     X = np.array([r["embedding"] for r in rows], dtype=float) * 1e6
     best_coord = max(np.var(X[:, j]) for j in range(X.shape[1]))
     assert np.var(proj / 1e6) >= 0.9 * best_coord
+
+
+def test_norm_histogram_buckets_zero_and_scaled_vectors(spark):
+    from document_vector_pipeline_spark.operators.similarity import (
+        norm_histogram,
+    )
+
+    rows = [
+        (1, [0.0, 0.0]),        # zero vector -> bucket 0
+        (2, [1.0, 0.0]),        # ss = 1e12 -> bucket 40
+        (3, [10.0, 0.0]),       # ss = 1e14 -> two buckets higher region
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["bucket"]: r for r in norm_histogram(df).collect()}
+    assert out[0]["n_vectors"] == 1 and out[0]["max_ss"] == 0
+    assert out[(10 ** 12).bit_length()]["min_ss"] == 10 ** 12
+    assert out[(10 ** 14).bit_length()]["max_ss"] == 10 ** 14
