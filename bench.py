@@ -259,6 +259,8 @@ def main() -> None:
     from document_vector_pipeline_spark.operators import graph
     bench("dedup_clusters", lambda: graph.dedup_clusters(
         dedup.minhash_lsh_pairs(docs)))
+    bench("dedup_cluster_sizes", lambda: graph.cluster_size_histogram(
+        dedup.minhash_lsh_pairs(docs)))
     bench("dedup_pipeline", lambda: dedup.neardup_dedup(docs))
     bench("text_tfidf", lambda: textstats.tfidf_top_terms(docs))
     bench("text_vocab_coverage", lambda: textstats.vocab_coverage(docs))

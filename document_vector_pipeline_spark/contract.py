@@ -772,6 +772,12 @@ def q_store_cdc(spark, sf_dir):
             .orderBy("document_url"))
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram over the MinHash pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.cluster_size_histogram(dedup.minhash_lsh_pairs(docs))
+
+
 def q_emb_norm_hist(spark, sf_dir):
     """Embedding-norm distribution (exact integer Σq², power-of-two
     buckets) — the embedding QA profile."""
@@ -2020,6 +2026,33 @@ wau as (select day, cast(count(distinct user_id) as bigint) as n_wau
 select dau.day, dau.n_dau, wau.n_wau
 from dau join wau on dau.day = wau.day
 order by dau.day
+"""
+
+
+def _sql_dedup_cluster_sizes() -> str:
+    return f"""
+with recursive {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+edges as (
+  select id_a as n, id_b as m from pairs
+  union all
+  select id_b as n, id_a as m from pairs),
+reach as (
+  select n, m from edges
+  union
+  select r.n, e.m from reach r join edges e on r.m = e.n),
+comp as (
+  select n as id, least(n, min(m)) as component
+  from reach group by n),
+sizes as (select component, count(*) as size from comp group by component)
+select cast(length(bin(size)) as int) as bucket,
+       cast(count(*) as bigint) as n_clusters,
+       min(size) as min_size, max(size) as max_size,
+       cast(sum(size) as bigint) as n_docs
+from sizes group by bucket order by bucket
 """
 
 
@@ -4564,6 +4597,7 @@ def queries():
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "corpus_percentiles": q_corpus_percentiles,
         "events_top_sessions": q_events_top_sessions,
         "text_langid_eval": q_text_langid_eval,
@@ -4816,6 +4850,7 @@ from events group by user_id
         "corpus_novelty": _sql_corpus_novelty(),
         "supplier_hhi": _sql_supplier_hhi(),
         "emb_norm_hist": _sql_emb_norm_hist(),
+        "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "customer_deciles": _sql_customer_deciles(),
         "events_active_users": _sql_events_active_users(),
         "graph_pagerank": _sql_graph_pagerank(),

@@ -169,3 +169,25 @@ def degree_histogram(pairs: DataFrame, a_col: str = "id_a",
                  F.min("degree").alias("min_degree"),
                  F.max("degree").alias("max_degree"))
             .orderBy("bucket"))
+
+
+def cluster_size_histogram(pairs: DataFrame, src: str = "id_a",
+                           dst: str = "id_b") -> DataFrame:
+    """Near-dup cluster-size distribution in power-of-two buckets — the
+    dedup REPORT artifact: bucket-2 clusters are ordinary duplicates,
+    bucket-5+ clusters are boilerplate families whose transitive removal
+    deserves review before neardup_dedup cuts all but one member.
+    Singletons never enter the pair graph, so every cluster here has
+    size ≥ 2.
+
+    One label-propagation pass (connected_components), a component-count
+    aggregate, and a ≤64-bucket reduce."""
+    comp = dedup_clusters(pairs, src, dst)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
+    bucket = F.length(F.bin(F.col("size"))).cast("int").alias("bucket")
+    return (sizes.groupBy(bucket)
+            .agg(F.count("*").cast("long").alias("n_clusters"),
+                 F.min("size").alias("min_size"),
+                 F.max("size").alias("max_size"),
+                 F.sum("size").cast("long").alias("n_docs"))
+            .orderBy("bucket"))

@@ -106,3 +106,17 @@ def test_degree_histogram_hand_computed(spark):
     out = {r["bucket"]: r for r in degree_histogram(e).collect()}
     assert out[1]["n_nodes"] == 3 and out[1]["max_degree"] == 1
     assert out[2]["n_nodes"] == 1 and out[2]["min_degree"] == 3
+
+
+def test_cluster_size_histogram_hand_computed(spark):
+    from document_vector_pipeline_spark.operators.graph import (
+        cluster_size_histogram,
+    )
+
+    # two clusters: {1,2} (size 2 -> bucket 2) and {5,6,7,8,9} via a chain
+    # (size 5 -> bucket 3)
+    edges = [(1, 2), (5, 6), (6, 7), (7, 8), (8, 9)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["bucket"]: r for r in cluster_size_histogram(e).collect()}
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[3]["n_clusters"] == 1 and out[3]["max_size"] == 5
