@@ -39,6 +39,34 @@ from document_vector_pipeline_spark.functions.hashing import (
 from document_vector_pipeline_spark.functions.vectors import dot as dot_product
 
 
+# Bounded cache registry: the signature frames persisted by the pair
+# generators feed BOTH sides of a self-join, so persisting is the right
+# 100 TB plan (tiny id+sig rows vs recomputing the corpus shingle pass
+# twice) — but a persist scoped to a returned LAZY plan can never know
+# when to release.  Instead each operator registers its cache under a
+# tag and the NEXT invocation of the same operator releases the previous
+# one, bounding live blocks to one signature frame per operator across
+# repeated calls (bench sweeps, long notebook sessions).  Callers that
+# want a fully clean session call release_caches().
+_live_caches: dict[str, DataFrame] = {}
+
+
+def _scoped_persist(tag: str, df: DataFrame) -> DataFrame:
+    prev = _live_caches.pop(tag, None)
+    if prev is not None:
+        prev.unpersist()
+    _live_caches[tag] = df
+    return df.persist()
+
+
+def release_caches() -> None:
+    """Release every signature cache registered by the pair generators.
+    Idempotent; safe while returned plans are still alive (they recompute)."""
+    for df in _live_caches.values():
+        df.unpersist()
+    _live_caches.clear()
+
+
 def _norm_text(text: Column) -> Column:
     """Whitespace-normalized, lower-cased text (dedup canonical form)."""
     return F.array_join(
@@ -169,8 +197,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     rows = num_perm // bands
     # both join sides scan the banded frame; persist the signatures (one
     # small array per doc) so shingling + num_perm md5 passes run once.
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm,
-                              shingle_width).persist()
+    sigs = _scoped_persist(
+        "minhash_sigs",
+        minhash_signatures(docs, id_col, text_col, num_perm, shingle_width))
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -288,7 +317,8 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     width = SIMHASH_BITS // bands  # 15-bit slices
     # the signature frame feeds BOTH join sides; persist it (16 bytes/row —
     # tiny even for a 100 TB corpus) so the corpus scan + hash runs once.
-    sh = simhash(docs, id_col, text_col, use_udf=use_udf).persist()
+    sh = _scoped_persist(
+        "simhash_sigs", simhash(docs, id_col, text_col, use_udf=use_udf))
     slices = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

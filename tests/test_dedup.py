@@ -325,3 +325,23 @@ def test_substring_dup_stats_flags_verbatim_reuse(spark):
                    width=50, stride=4).collect()}
     for i in (1, 2, 3):
         assert strided[i]["n_windows"] <= out[i]["n_windows"]
+
+
+def test_pair_generator_caches_are_bounded(spark):
+    """Repeated pair-generator invocations must not accumulate persisted
+    signature frames: each call releases the previous invocation's cache
+    (bench sweeps / long sessions would otherwise leak one block-set per
+    call), and release_caches() drains everything."""
+    from document_vector_pipeline_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} alpha beta gamma") for i in range(40)],
+        "doc_id long, text string")
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(list(jsc.getRDDStorageInfo()))
+    for _ in range(3):
+        D.minhash_lsh_pairs(docs).count()
+        D.simhash_pairs(docs).count()
+    assert len(list(jsc.getRDDStorageInfo())) <= base + 2
+    D.release_caches()
+    assert len(list(jsc.getRDDStorageInfo())) <= base
