@@ -102,3 +102,30 @@ def vector_to_json(a: Column) -> Column:
 
 def vector_from_json(s: Column) -> Column:
     return F.from_json(s, "array<float>")
+
+
+def py_round6_np(arr):
+    """Vectorized mirror of Spark's Round(double, 6) over a numpy array.
+
+    Spark rounds HALF_UP on the SHORTEST decimal repr of the double
+    (BigDecimal.valueOf).  The vectorized floor-trick
+    sign·floor(|x|·1e6 + 0.5) agrees with that everywhere except when
+    |x|·1e6 sits within an ulp-band of a .5 tie — any value whose
+    shortest repr ends in a 7th-digit 5 lands in that band — so entries
+    inside the band are re-rounded exactly via the Decimal(repr) path.
+    The band is empirically empty for cosine quotients; the fallback is
+    correctness insurance, not a hot path.
+    """
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    a = np.asarray(arr, dtype=np.float64)
+    scaled = np.abs(a) * 1e6
+    flo = np.floor(scaled)
+    out = np.sign(a) * np.floor(scaled + 0.5) / 1e6
+    sus = np.nonzero(np.abs(scaled - flo - 0.5) < 1e-6)[0]
+    for i in sus:
+        out[i] = float(Decimal(repr(float(a[i])))
+                       .quantize(Decimal("0.000001"),
+                                 rounding=ROUND_HALF_UP))
+    return out

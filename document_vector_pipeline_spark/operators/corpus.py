@@ -587,3 +587,40 @@ def novelty_scores(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("novelty_ppm",
                         F.expr("(1000000 * n_novel) div n_shingles"))
             .orderBy(id_col))
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
+                        source_col: str = "source", id_col: str = "doc_id",
+                        chars_col: str = "n_chars") -> DataFrame:
+    """Greedy per-source token-budget selection: admit documents in a
+    deterministic pseudo-random order (md5(id), id — the same uniform
+    priority as hash_split) until each source's cumulative token count
+    exceeds its budget.  This is the mixture-building step after
+    mixture_weights decides per-source budgets: "take N tokens of web, M
+    of code" becomes one pass with a kept flag.
+
+    Tokens = ceil(n_chars / 4) (the chars-per-token heuristic used by
+    text_tokens).  Output: (doc_id, source, tokens, cum_tokens, kept).
+
+    Scale: one shuffle (window partitioned by source).  A per-source
+    running sum is sequential by definition; with only a handful of
+    sources each window partition is a whole source, so at 100 TB you run
+    the two-phase form — per-shard partial sums, tiny exclusive-prefix
+    table of shard offsets, map-side cum = offset + local running sum —
+    which this window plan is the single-stage specialization of.
+    """
+    from pyspark.sql import Window
+
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+
+    toks = F.ceil(F.col(chars_col).cast("long") / 4).cast("long")
+    pri = md5_long(F.col(id_col).cast("string"))
+    w = (Window.partitionBy(source_col)
+         .orderBy(pri, id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .select(F.col(id_col), F.col(source_col), toks.alias("tokens"),
+                    pri.alias("__pri"))
+            .withColumn("cum_tokens", F.sum("tokens").over(w))
+            .withColumn("kept", F.col("cum_tokens") <= budget_tokens)
+            .select(id_col, source_col, "tokens", "cum_tokens", "kept"))

@@ -757,3 +757,61 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("dup_ppm",
                         F.expr("(1000000 * n_dup_windows) div n_windows"))
             .orderBy(id_col))
+
+
+# ---- SemDeDup: semantic (embedding-cluster) dedup ---------------------------
+
+def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 8,
+                   iters: int = 3, dim: int = 64,
+                   threshold: float = 0.6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then drop within-cluster semantic duplicates.
+
+    Output: one row per vector — (vec_id, cluster, kept) — where
+    ``kept = false`` iff some LOWER-id vector in the SAME cluster has
+    cosine ≥ threshold with it (the paper's greedy keep-one-representative
+    rule with a deterministic min-id tie-break).
+
+    Scale shape: clustering reuses the exact-integer Lloyd rounds of
+    kmeans_fixed (centroids are plan metadata, assignment is MAP-ONLY —
+    no join, no corpus shuffle).  The candidate stage is an equi-join on
+    the cluster id — the whole point of SemDeDup is that k bounds the
+    candidate set, so size k with the corpus (the paper uses k=110 000
+    for LAION-440M; quadratic work per cluster stays constant as both
+    grow).  Skewed clusters are split by AQE skew-join like the LSH band
+    join.  The cosine uses the same normalize-then-dot 6-dp contract as
+    embedding_neardup_pairs, so the DuckDB oracle is exact.
+
+    The reference has no dedup at all (every blob re-embeds and upserts
+    blindly, BlobTriggerFunction.cs:96-117); this is the published method
+    a training-data pipeline runs before embedding storage.
+    """
+    from document_vector_pipeline_spark.functions.vectors import normalize
+    from document_vector_pipeline_spark.operators.similarity import (
+        _kmeans_base,
+        _kmeans_best_expr,
+        _lloyd_centroids,
+    )
+
+    base = _kmeans_base(emb, id_col, vec_col)
+    cents = _lloyd_centroids(base, n_clusters, iters, dim)
+    assigned = (base.withColumn("best", _kmeans_best_expr(cents))
+                .select("vec_id", F.col("best.c").alias("cluster")))
+    vn = emb.select(F.col(id_col).alias("vec_id"),
+                    normalize(F.col(vec_col)).alias("vn"))
+    av = assigned.join(vn, "vec_id")
+    a = av.select(F.col("vec_id").alias("id_a"), "cluster",
+                  F.col("vn").alias("va"))
+    b = av.select(F.col("vec_id").alias("id_b"), "cluster",
+                  F.col("vn").alias("vb"))
+    removed = (a.join(b, "cluster")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(F.round(dot_product(F.col("va"), F.col("vb")), 6)
+                       >= threshold)
+               .select(F.col("id_b").alias("vec_id"))
+               .distinct())
+    return (assigned
+            .join(removed.withColumn("__rm", F.lit(True)), "vec_id", "left")
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                    F.col("__rm").isNull().alias("kept")))

@@ -480,6 +480,60 @@ def _div_half_away(s: int, n: int) -> int:
     return -((-2 * s + n) // (2 * n))
 
 
+def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, v6): the corpus in the 1e-6 fixed-point integer domain."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1e6, 0)
+                               .cast("long")).alias("v6"))
+
+
+def _kmeans_best_expr(cents: list[list[int]]):
+    """Map-only argmin over the centroid literals: struct(d, c) of the
+    nearest centroid (exact int64 squared distance, ties on cluster id)."""
+    cands = []
+    for ci, c6 in enumerate(cents, start=1):
+        carr = F.array(*[F.lit(x) for x in c6])
+        d = F.aggregate(
+            F.zip_with(F.col("v6"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cands.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    return F.array_min(F.array(*cands))
+
+
+def _lloyd_centroids(base: DataFrame, n_clusters: int, iters: int,
+                     dim: int) -> list[list[int]]:
+    """Run `iters` exact-integer Lloyd rounds over (vec_id, v6) and return
+    the final centroid table as plan metadata (n_clusters × dim longs).
+    Seeds = smallest (md5(vec_id), vec_id); empty clusters keep their
+    previous centroid; updates are half-away-from-zero integer division
+    of exact component sums.  Shared by kmeans_fixed (reporting) and
+    dedup.semantic_dedup (SemDeDup clustering)."""
+    seeds = (base
+             .select("v6", md5_long(F.col("vec_id").cast("string")).alias("h"),
+                     "vec_id")
+             .orderBy("h", "vec_id").limit(n_clusters)
+             .select("v6").collect())
+    cents = [[int(x) for x in r["v6"]] for r in seeds]
+    for _ in range(iters):
+        assigned = (base.withColumn("best", _kmeans_best_expr(cents))
+                    .select(F.col("best.c").alias("cluster"), "v6"))
+        upd = (assigned
+               .select("cluster", F.posexplode("v6").alias("pos", "x"))
+               .groupBy("cluster", "pos")
+               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+               .collect())
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in upd:
+            sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        cents = [
+            [_div_half_away(*sums[ci][p]) for p in range(dim)]
+            if ci in sums else cents[ci - 1]
+            for ci in range(1, n_clusters + 1)]
+    return cents
+
+
 def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
                  dim: int = 64, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
@@ -508,45 +562,9 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
     total; at 100 TB you cache `base` once and the passes are scan-bound.
     """
     spark = corpus.sparkSession
-
-    def fixed6(vec):
-        return F.transform(
-            vec, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
-
-    base = corpus.select(F.col(id_col).alias("vec_id"),
-                         fixed6(F.col(vec_col)).alias("v6"))
-    seeds = (base
-             .select("v6", md5_long(F.col("vec_id").cast("string")).alias("h"),
-                     "vec_id")
-             .orderBy("h", "vec_id").limit(n_clusters)
-             .select("v6").collect())
-    cents = [[int(x) for x in r["v6"]] for r in seeds]
-
-    def best_expr(cents):
-        cands = []
-        for ci, c6 in enumerate(cents, start=1):
-            carr = F.array(*[F.lit(x) for x in c6])
-            d = F.aggregate(
-                F.zip_with(F.col("v6"), carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            cands.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        return F.array_min(F.array(*cands))
-
-    for _ in range(iters):
-        assigned = (base.withColumn("best", best_expr(cents))
-                    .select(F.col("best.c").alias("cluster"), "v6"))
-        upd = (assigned
-               .select("cluster", F.posexplode("v6").alias("pos", "x"))
-               .groupBy("cluster", "pos")
-               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-               .collect())
-        sums: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in upd:
-            sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
-        cents = [
-            [_div_half_away(*sums[ci][p]) for p in range(dim)]
-            if ci in sums else cents[ci - 1]
-            for ci in range(1, n_clusters + 1)]
+    base = _kmeans_base(corpus, id_col, vec_col)
+    cents = _lloyd_centroids(base, n_clusters, iters, dim)
+    best_expr = _kmeans_best_expr
 
     final = (base.withColumn("best", best_expr(cents))
              .select(F.col("best.c").alias("cluster"),
@@ -757,3 +775,31 @@ def norm_histogram(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_vectors"),
                  F.min("ss").alias("min_ss"), F.max("ss").alias("max_ss"))
             .orderBy("bucket"))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   lo: float = 0.05, hi: float = 0.5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "query_id",
+                   qvec_col: str = "query_vec") -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query, the k candidates with the HIGHEST cosine inside [lo, hi) —
+    similar enough to be confusable, below the positive band (the standard
+    in-batch-negatives upgrade; e.g. DPR, Karpukhin et al. 2020).
+
+    Same scale shape as brute_force_topk: queries broadcast, scoring is a
+    map-side fold over one corpus scan, the band filter drops most rows
+    BEFORE the per-query rank window.  Self-matches are excluded by id.
+    At 100 TB swap the scan for lsh_ann/ivf_ann candidates feeding the
+    same band filter + rank (identical output wherever the candidate set
+    covers the band).
+    """
+    scored = (corpus.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v"))
+              .join(F.broadcast(queries.select(
+                  F.col(qid_col).alias("query_id"),
+                  F.col(qvec_col).alias("q"))))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("score", F.round(cosine_similarity("v", "q"), 6))
+              .filter((F.col("score") >= lo) & (F.col("score") < hi)))
+    return _ranked(scored, k)

@@ -232,14 +232,23 @@ class VectorStore:
 
     def search(self, query_vector: list[float], k: int = 10,
                document_url: str | None = None,
-               quantized: bool = False) -> DataFrame:
+               quantized: bool = False, use_udf: bool = True) -> DataFrame:
         """Cosine top-k over the store (the Cosmos VectorDistance query).
 
         quantized=True scores against the int8 QuantizedFlat column —
         an EXACT INTEGER dot of the quantized vectors scaled by 1/127² —
         trading recall for a 4× smaller scan, exactly the QuantizedFlat
         tradeoff (and bit-deterministic under any summation order).
-        """
+
+        Two value-identical scorers (equivalence-tested, like the minhash
+        and LSH-signature twins): ``use_udf=True`` (default) scores inside
+        one Arrow batch pass — numpy products + sequential cumsum replay
+        the JVM fold's left-associative IEEE adds bit-for-bit, and
+        py_round6_np replays Round(_, 6) — with a map-side partial top-k,
+        so only ≤ k rows per batch carry chunk_text into the final rank.
+        ``use_udf=False`` keeps the pure-expression fold (the oracle-facing
+        definition; ~10× slower at dims=1536 because HOF folds are
+        interpreted per element)."""
         import math
 
         df = self.read()
@@ -249,6 +258,15 @@ class VectorStore:
                 (F.col("bucket") == self._bucket(F.lit(document_url)))
                 & (F.col("document_url") == document_url))
         qd = [float(v) for v in query_vector]
+        if use_udf:
+            partial = self._score_cut_np(
+                df, [(0, qd)], k, quantized,
+                extra_cols=("chunk_text", "page_number"))
+            return (partial
+                    .orderBy(F.desc("score"), "document_url", "id")
+                    .limit(k)
+                    .select("id", "document_url", "chunk_text",
+                            "page_number", "score"))
         # ONE array Literal node (F.lit on the list), not dim nested
         # F.lit()/F.array() calls — at dims=1536 building and optimizing
         # the giant expression tree cost more driver time than the scan
@@ -289,7 +307,8 @@ class VectorStore:
     def search_many(self, queries: DataFrame, k: int = 10,
                     qid_col: str = "query_id",
                     qvec_col: str = "query_vec",
-                    quantized: bool = False) -> DataFrame:
+                    quantized: bool = False,
+                    use_udf: bool = True) -> DataFrame:
         """Batch cosine top-k: every query in ``queries`` answered in ONE
         plan — broadcast the query set over the store scan, score each
         (row, query) pair with the stored norm, rank per query.
@@ -314,10 +333,31 @@ class VectorStore:
 
         ``quantized=True`` scores against the int8 QuantizedFlat column
         with an exact integer dot (the batch twin of
-        ``search(quantized=True)``): same two-phase plan, 4× less scan."""
+        ``search(quantized=True)``): same two-phase plan, 4× less scan.
+
+        ``use_udf=True`` (default) fuses scoring and the partial top-k
+        into one Arrow pass (bit-identical to the expression fold — see
+        search()); the query set is collected to the driver first, which
+        is the same small-by-definition broadcast assumption the
+        expression path makes.  ``use_udf=False`` keeps the expression
+        scorer as the oracle-facing twin."""
         from pyspark.sql import Window
 
         df = self.read()
+        if use_udf:
+            q_rows = [(r[0], [float(v) for v in r[1]])
+                      for r in queries.select(qid_col, qvec_col).collect()]
+            qid_type = queries.schema[qid_col].dataType.simpleString()
+            partial = self._score_cut_np(df, q_rows, k, quantized,
+                                         qid_type=qid_type)
+            w = Window.partitionBy("__qid").orderBy(
+                F.desc("score"), "document_url", "id")
+            return (partial
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select(F.col("__qid").alias("query_id"),
+                            F.col("rank").cast("int").alias("rank"),
+                            "id", "document_url", "score"))
         q = (queries.select(
             F.col(qid_col).alias("__qid"),
             F.transform(F.col(qvec_col), lambda v: v.cast("double"))
@@ -363,6 +403,105 @@ class VectorStore:
                 .select(F.col("__qid").alias("query_id"),
                         F.col("rank").cast("int").alias("rank"),
                         "id", "document_url", "score"))
+
+    def _score_cut_np(self, df: DataFrame, q_rows, k: int, quantized: bool,
+                      qid_type: str = "bigint",
+                      extra_cols: tuple = ()) -> DataFrame:
+        """Fused Arrow scorer + map-side partial top-k.
+
+        One mapInPandas pass over the store scan computes every
+        (row, query) cosine (or int8 integer dot) and keeps only the best
+        k rows per query per Arrow batch under the final rank order
+        (score desc, document_url, id) — the narrow stage that replaces
+        both the broadcast-join scorer and the skinny-row shuffle.
+
+        BIT-EXACT to the expression path: float32→float64 casts are
+        exact, numpy products are the same IEEE doubles, np.cumsum
+        replays the F.aggregate fold's left-associative adds (the
+        make_lsh_sig_udf precedent), the stored embedding_norm is read as
+        written, the query norm replays l2_norm's sequential fold, and
+        py_round6_np replays Round(_, 6) (HALF_UP on shortest repr).
+        Integer dots in the quantized path are order-independent int64
+        arithmetic.  Equivalence is pinned by tests/test_store.py.
+
+        Dimension mismatches raise the same named error the expression
+        guard does (ragged batches included).  ``extra_cols`` lets the
+        single-query search() carry chunk_text/page_number through the
+        cut — k rows per batch, so the Arrow transfer stays bounded.
+        """
+        import numpy as np
+
+        from document_vector_pipeline_spark.functions.vectors import (
+            py_round6_np,
+        )
+
+        vec_col = "embedding_q8" if quantized else "embedding"
+        cols = ["id", "document_url", *extra_cols, vec_col]
+        if not quantized:
+            cols.append("embedding_norm")
+        qids = [r[0] for r in q_rows]
+        if quantized:
+            qmats = [np.asarray(py_quantize_int8(v), dtype=np.int64)
+                     for _, v in q_rows]
+        else:
+            qmats = [np.asarray(v, dtype=np.float64) for _, v in q_rows]
+        qnorms = [float(np.sqrt(np.cumsum(v * v)[-1])) if v.size else 0.0
+                  for v in ([] if quantized else qmats)] or [0.0] * len(qids)
+        dims = [len(v) for _, v in q_rows]
+        schema = (f"__qid {qid_type}, id string, document_url string, "
+                  + "".join(f"{c} {'int' if c == 'page_number' else 'string'}, "
+                            for c in extra_cols)
+                  + "score double")
+        chunk = max(1, (16 << 20) // (8 * max(dims, default=1)))
+
+        def score_cut(batches):
+            import pandas as pd
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                widths = pdf[vec_col].map(len)
+                outs = []
+                for qi, qid in enumerate(qids):
+                    dim = dims[qi]
+                    if (widths != dim).any():
+                        bad = int(widths[widths != dim].iloc[0])
+                        raise ValueError(
+                            f"query vector dimension {dim} != stored "
+                            f"embedding dimension {bad}")
+                    scores = np.empty(n, dtype=np.float64)
+                    for s in range(0, n, chunk):
+                        e = min(s + chunk, n)
+                        V = np.array(list(pdf[vec_col].iloc[s:e]),
+                                     dtype=np.int64 if quantized
+                                     else np.float64)
+                        if quantized:
+                            scores[s:e] = (V @ qmats[qi]) / (127.0 * 127.0)
+                        else:
+                            dots = np.cumsum(V * qmats[qi][None, :],
+                                             axis=1)[:, -1]
+                            denom = (pdf["embedding_norm"]
+                                     .iloc[s:e].to_numpy()) * qnorms[qi]
+                            with np.errstate(divide="ignore",
+                                             invalid="ignore"):
+                                sc = dots / denom
+                            scores[s:e] = np.where(denom == 0.0, 0.0, sc)
+                    out = pd.DataFrame({
+                        "__qid": qid,
+                        "id": pdf["id"].to_numpy(),
+                        "document_url": pdf["document_url"].to_numpy(),
+                        **{c: pdf[c].to_numpy() for c in extra_cols},
+                        "score": py_round6_np(scores),
+                    })
+                    out = out.sort_values(
+                        ["score", "document_url", "id"],
+                        ascending=[False, True, True],
+                        kind="mergesort").head(k)
+                    outs.append(out)
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return df.select(*cols).mapInPandas(score_cut, schema)
 
     @staticmethod
     def _partial_topk(scored: DataFrame, k: int) -> DataFrame:

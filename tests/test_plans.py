@@ -212,10 +212,19 @@ def test_search_many_broadcasts_queries_over_one_scan(spark, tmp_path):
     store.upsert(_store_chunks(docs))
     plan = (store.search_many(_queries_df(emb), k=5)
             ._jdf.queryExecution().executedPlan().toString())
-    # query set broadcast; exactly two parquet scans total (the store once
-    # + the query-set source once)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("FileScan parquet") <= 2
+    # fused Arrow scorer: the store is scanned ONCE (queries are plan
+    # metadata, not a join side), scoring + partial top-k happen in one
+    # MapInPandas pass, and the only exchange is the tiny final rank
+    # window over ≤ k·n_batches rows per query
+    assert "MapInPandas" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    # the expression twin keeps the broadcast-join shape
+    plan_e = (store.search_many(_queries_df(emb), k=5, use_udf=False)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan_e
+    assert plan_e.count("FileScan parquet") <= 2
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,35 @@ def test_quantized_recall_bounds_and_self_consistency(spark, tmp_path):
         assert r["recall_milli"] == 1000 * r["n_hits"] // 5
         # int8 over 16-dim hash embeddings shouldn't collapse entirely
         assert r["n_hits"] >= 1
+
+
+def test_search_scorer_twins_are_bit_identical(spark, tmp_path):
+    """The Arrow scorer (numpy products + cumsum + py_round6_np) must be
+    BIT-identical to the expression fold on every path — dense, quantized,
+    batch, single-query — or the oracle contract silently drifts."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.contract import QVEC, _store_chunks
+    from document_vector_pipeline_spark.store.vector_store import VectorStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = VectorStore(spark, str(tmp_path / "twins"))
+    store.upsert(_store_chunks(docs))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = (emb.filter(F.col("vec_id") < 4)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").cast("array<double>")
+                    .alias("query_vec")))
+    for quant in (False, True):
+        a = sorted(tuple(r) for r in
+                   store.search_many(qdf, k=20, quantized=quant).collect())
+        b = sorted(tuple(r) for r in
+                   store.search_many(qdf, k=20, quantized=quant,
+                                     use_udf=False).collect())
+        assert a == b
+        sa = [tuple(r) for r in
+              store.search(QVEC, k=10, quantized=quant).collect()]
+        sb = [tuple(r) for r in
+              store.search(QVEC, k=10, quantized=quant,
+                           use_udf=False).collect()]
+        assert sa == sb
