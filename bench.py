@@ -161,6 +161,10 @@ def main() -> None:
           lambda: similarity.ann_recall_multi(emb, qdf, k=10))
     bench("emb_kmeans",
           lambda: similarity.kmeans_fixed(emb, n_clusters=8, iters=3))
+    bench("dedup_semantic",
+          lambda: dedup.semantic_dedup(emb, threshold=0.35))
+    bench("emb_hard_negatives",
+          lambda: similarity.hard_negatives(emb, qdf, k=5, lo=0.05, hi=0.5))
     bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
     bench("emb_pca", lambda: similarity.pca_project(emb))
     bench("emb_norm_hist", lambda: similarity.norm_histogram(emb))
@@ -194,6 +198,7 @@ def main() -> None:
     bench("text_readability", lambda: textstats.readability(docs))
     bench("basket_pairs", lambda: analytics.basket_pairs(t["lineitem"]))
     bench("text_bigrams", lambda: textstats.top_bigrams(docs))
+    bench("text_bpe_pairs", lambda: textstats.bpe_pair_counts(docs))
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
     bench("stream_topk_windowed", lambda: sev.windowed_top_users(ev))
@@ -252,6 +257,7 @@ def main() -> None:
           lambda: corpus.source_vocab_similarity(docs))
     bench("corpus_novelty", lambda: corpus.novelty_scores(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
+    bench("corpus_token_budget", lambda: corpus.token_budget_select(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0")))
@@ -360,6 +366,7 @@ def main() -> None:
     bench("stream_dropdup", lambda: sev.first_event_per_key(ev))
     bench("events_funnel", lambda: sev.funnel_counts(ev))
     bench("events_conversion", lambda: analytics.conversion_latency(ev))
+    bench("events_trigrams", lambda: analytics.event_trigrams(ev))
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))

@@ -3825,13 +3825,15 @@ order by d.doc_id
 """
 
 
-def _sql_emb_kmeans(n_clusters: int = 8, iters: int = 3,
+def _sql_kmeans_cte(n_clusters: int = 8, iters: int = 3,
                     dim: int = 64) -> str:
-    """kmeans_fixed twin: the T Lloyd iterations unroll into CTE stages
-    (assignment = cross-join argmin via row_number, update = exact integer
-    component sums with half-away division, empty clusters carried over),
-    all in the same 1e-6 fixed-point integer domain as the Spark side —
-    every intermediate is an integer, so the plans cannot diverge."""
+    """Shared Lloyd-k-means WITH-prefix ending at ``af`` (vec_id, cluster,
+    d): the T iterations unroll into CTE stages (assignment = cross-join
+    argmin via row_number, update = exact integer component sums with
+    half-away division, empty clusters carried over), all in the same
+    1e-6 fixed-point integer domain as the Spark side — every
+    intermediate is an integer, so the plans cannot diverge.  Used by
+    the emb_kmeans and dedup_semantic oracles."""
     h = _md5l("cast(vec_id as varchar)")
     fixed = ("list_transform(embedding, "
              "x -> cast(round(cast(x as double)*1e6, 0) as bigint))")
@@ -3877,7 +3879,14 @@ af as (
     select a.vec_id, c.cluster, {dist('a.v6', 'c.c6')} as d,
            row_number() over (partition by a.vec_id
              order by {dist('a.v6', 'c.c6')}, c.cluster) as rn
-    from v a cross join c{iters} c) where rn = 1),
+    from v a cross join c{iters} c) where rn = 1)""")
+    return "".join(parts)
+
+
+def _sql_emb_kmeans(n_clusters: int = 8, iters: int = 3,
+                    dim: int = 64) -> str:
+    """kmeans_fixed twin — see _sql_kmeans_cte."""
+    return f"""{_sql_kmeans_cte(n_clusters, iters, dim)},
 st as (select cluster, count(*) as n, sum(d) as sd from af group by cluster),
 cd as (select cluster, unnest(c6) as c6v,
               unnest(generate_series(1,{dim})) as dim
@@ -3888,8 +3897,32 @@ select cast(cd.cluster as int) as cluster,
        cast(cd.dim as int) as dim,
        round(cd.c6v / 1e6, 6) as centroid
 from cd left join st using (cluster)
-order by cluster, dim""")
-    return "".join(parts)
+order by cluster, dim"""
+
+
+def _sql_dedup_semantic(threshold: float = 0.35, n_clusters: int = 8,
+                        iters: int = 3, dim: int = 64) -> str:
+    """semantic_dedup twin: the shared Lloyd CTE yields the cluster
+    assignment; within-cluster pairs score with the same
+    normalize-then-dot 6-dp contract as the dedup_embedding oracle."""
+    cos = f"round({_dot('na.vn', 'nb.vn', dim)}, 6)"
+    return f"""{_sql_kmeans_cte(n_clusters, iters, dim)},
+e0 as materialized (select vec_id, {_EMB_D} as ve from embeddings),
+e1 as materialized (
+  select vec_id, ve, sqrt({_ss('ve', dim)}) as nrm from e0),
+nn as materialized (select vec_id,
+       list_transform(ve, x -> case when nrm = 0 then x else x/nrm end) as vn
+  from e1),
+rm as (
+  select distinct b.vec_id as vec_id
+  from af a join af b on a.cluster = b.cluster and a.vec_id < b.vec_id
+  join nn na on na.vec_id = a.vec_id
+  join nn nb on nb.vec_id = b.vec_id
+  where {cos} >= {threshold!r})
+select af.vec_id, cast(af.cluster as int) as cluster,
+       rm.vec_id is null as kept
+from af left join rm using (vec_id)
+"""
 
 
 def _sql_ann_recall_multi(k: int = 10) -> str:
@@ -4529,6 +4562,108 @@ group by c_mktsegment, event_type
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): exact-integer k-means clusters +
+    within-cluster cosine ≥ 0.35 greedy removal (min-id representative)."""
+    return dedup.semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                                threshold=0.35)
+
+
+def q_emb_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining: per query the top-5 candidates
+    with cosine in [0.05, 0.5) — confusable but non-positive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, _queries_df(emb), k=5,
+                                     lo=0.05, hi=0.5)
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Greedy per-source token-budget selection (50k tokens/source,
+    hash-ordered admission)."""
+    return corpus.token_budget_select(load_table(spark, sf_dir, "documents"),
+                                      budget_tokens=50_000)
+
+
+def q_events_trigrams(spark, sf_dir):
+    """Top-30 event-type trigrams over per-user ordered streams."""
+    return analytics.event_trigrams(load_table(spark, sf_dir, "events"))
+
+
+def q_text_bpe_pairs(spark, sf_dir):
+    """One BPE merge iteration: top-50 adjacent char-pair counts."""
+    return textstats.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_emb_hard_negatives(k: int = 5, lo: float = 0.05,
+                            hi: float = 0.5) -> str:
+    cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e where vec_id < 5),
+s as (select q.query_id, e.vec_id, round({cos}, 6) as score
+      from e cross join q where e.vec_id <> q.query_id),
+f as (select * from s where score >= {lo!r} and score < {hi!r}),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from f)
+select query_id, vec_id, score, rank from r where rank <= {k}
+"""
+
+
+def _sql_corpus_token_budget(budget: int = 50_000) -> str:
+    pri = _md5l("cast(doc_id as varchar)")
+    return f"""
+with b as (
+  select doc_id, source, (cast(n_chars as bigint) + 3) // 4 as tokens,
+         {pri} as pri
+  from documents),
+c as (
+  select doc_id, source, tokens,
+         sum(tokens) over (partition by source order by pri, doc_id
+           rows between unbounded preceding and current row) as cum_tokens
+  from b)
+select doc_id, source, cast(tokens as bigint) as tokens,
+       cast(cum_tokens as bigint) as cum_tokens,
+       cum_tokens <= {budget} as kept
+from c
+"""
+
+
+def _sql_events_trigrams(top: int = 30) -> str:
+    return f"""
+with s as (
+  select event_type as t1,
+         lead(event_type, 1) over w as t2,
+         lead(event_type, 2) over w as t3
+  from events
+  window w as (partition by user_id order by ts, event_id))
+select t1, t2, t3, cast(count(*) as bigint) as n
+from s where t3 is not null
+group by t1, t2, t3
+order by n desc, t1, t2, t3
+limit {top}
+"""
+
+
+def _sql_text_bpe_pairs(top: int = 50) -> str:
+    return f"""
+with w as (
+  select unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> x <> '')) as w
+  from documents),
+p as (
+  select substr(w, cast(i as int), 2) as pair
+  from w, unnest(generate_series(1, len(w) - 1)) as t(i)
+  where len(w) >= 2)
+select pair, cast(count(*) as bigint) as n
+from p group by pair
+order by n desc, pair
+limit {top}
+"""
+
+
 # ===========================================================================
 # public contract
 # ===========================================================================
@@ -4594,6 +4729,11 @@ def queries():
         "graph_degrees": q_graph_degrees,
         "events_session_hist": q_events_session_hist,
         "mm_byte_hist": q_mm_byte_hist,
+        "dedup_semantic": q_dedup_semantic,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "corpus_token_budget": q_corpus_token_budget,
+        "events_trigrams": q_events_trigrams,
+        "text_bpe_pairs": q_text_bpe_pairs,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -4813,6 +4953,11 @@ from events group by user_id
         "dedup_lines": _sql_dedup_lines(),
         "corpus_lm_score": _sql_corpus_lm_score(),
         "emb_kmeans": _sql_emb_kmeans(),
+        "dedup_semantic": _sql_dedup_semantic(),
+        "emb_hard_negatives": _sql_emb_hard_negatives(),
+        "corpus_token_budget": _sql_corpus_token_budget(),
+        "events_trigrams": _sql_events_trigrams(),
+        "text_bpe_pairs": _sql_text_bpe_pairs(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

@@ -613,7 +613,9 @@ def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
 
     from document_vector_pipeline_spark.functions.hashing import md5_long
 
-    toks = F.ceil(F.col(chars_col).cast("long") / 4).cast("long")
+    # ceil(n/4) in pure integer form: (n+3) div 4 (floor((n+3)/4.0) is
+    # exact in double for any realistic n, and DuckDB mirrors it as //)
+    toks = F.floor((F.col(chars_col).cast("long") + 3) / 4).cast("long")
     pri = md5_long(F.col(id_col).cast("string"))
     w = (Window.partitionBy(source_col)
          .orderBy(pri, id_col)

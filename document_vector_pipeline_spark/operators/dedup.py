@@ -764,7 +764,8 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
 def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_clusters: int = 8,
                    iters: int = 3, dim: int = 64,
-                   threshold: float = 0.6) -> DataFrame:
+                   threshold: float = 0.6,
+                   use_udf: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
     embedding space, then drop within-cluster semantic duplicates.
 
@@ -789,15 +790,19 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     """
     from document_vector_pipeline_spark.functions.vectors import normalize
     from document_vector_pipeline_spark.operators.similarity import (
+        _kmeans_assign_np,
         _kmeans_base,
         _kmeans_best_expr,
         _lloyd_centroids,
     )
 
     base = _kmeans_base(emb, id_col, vec_col)
-    cents = _lloyd_centroids(base, n_clusters, iters, dim)
-    assigned = (base.withColumn("best", _kmeans_best_expr(cents))
-                .select("vec_id", F.col("best.c").alias("cluster")))
+    cents = _lloyd_centroids(base, n_clusters, iters, dim, use_udf=use_udf)
+    if use_udf:
+        assigned = _kmeans_assign_np(base, cents, out="assign")
+    else:
+        assigned = (base.withColumn("best", _kmeans_best_expr(cents))
+                    .select("vec_id", F.col("best.c").alias("cluster")))
     vn = emb.select(F.col(id_col).alias("vec_id"),
                     normalize(F.col(vec_col)).alias("vn"))
     av = assigned.join(vn, "vec_id")

@@ -502,14 +502,80 @@ def _kmeans_best_expr(cents: list[list[int]]):
     return F.array_min(F.array(*cands))
 
 
+def _kmeans_assign_np(base: DataFrame, cents: list[list[int]],
+                      out: str = "assign") -> DataFrame:
+    """Arrow twin of the _kmeans_best_expr argmin — consumes the SAME
+    Spark-quantized v6 column, so every operation is exact int64 (no
+    float anywhere to diverge).  np.argmin's first-minimum rule replays
+    array_min(struct(d, c))'s tie-break on the lowest cluster id.
+
+    out='assign'   → (vec_id, cluster): one row per vector.
+    out='partials' → (cluster, pos, s, n): per-Arrow-batch component sums
+                     of the Lloyd update (the posexplode+groupBy twin,
+                     reduced k·dim·n_batches-fold before any exchange).
+    out='stats'    → (cluster, n, sd): per-batch count + inertia partials.
+    """
+    import numpy as np
+
+    C = np.array(cents, dtype=np.int64)
+    k, dim = C.shape
+    id_type = base.schema["vec_id"].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["v6"]), dtype=np.int64)
+            best = np.empty(len(V), dtype=np.int64)
+            dmin = np.empty(len(V), dtype=np.int64)
+            for s in range(0, len(V), 4096):
+                e = min(s + 4096, len(V))
+                D = ((V[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                best[s:e] = D.argmin(axis=1)
+                dmin[s:e] = D.min(axis=1)
+            if out == "assign":
+                yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                    "cluster": (best + 1).astype("int32")})
+                continue
+            if out == "stats":
+                rows = [(int(c) + 1, int((best == c).sum()),
+                         int(dmin[best == c].sum()))
+                        for c in np.unique(best)]
+                yield pd.DataFrame(rows, columns=["cluster", "n", "sd"])
+                continue
+            recs = []
+            for c in np.unique(best):
+                m = best == c
+                s_vec = V[m].sum(axis=0)
+                n = int(m.sum())
+                recs.extend((int(c) + 1, p, int(s_vec[p]), n)
+                            for p in range(dim))
+            yield pd.DataFrame(recs, columns=["cluster", "pos", "s", "n"])
+
+    schema = {"assign": f"vec_id {id_type}, cluster int",
+              "partials": "cluster int, pos int, s long, n long",
+              "stats": "cluster int, n long, sd long"}[out]
+    cols = ["vec_id", "v6"] if out == "assign" else ["v6"]
+    if out == "assign":
+        return base.select(*cols).mapInPandas(run, schema)
+    return base.select(*cols).mapInPandas(run, schema)
+
+
 def _lloyd_centroids(base: DataFrame, n_clusters: int, iters: int,
-                     dim: int) -> list[list[int]]:
+                     dim: int, use_udf: bool = True) -> list[list[int]]:
     """Run `iters` exact-integer Lloyd rounds over (vec_id, v6) and return
     the final centroid table as plan metadata (n_clusters × dim longs).
     Seeds = smallest (md5(vec_id), vec_id); empty clusters keep their
     previous centroid; updates are half-away-from-zero integer division
     of exact component sums.  Shared by kmeans_fixed (reporting) and
-    dedup.semantic_dedup (SemDeDup clustering)."""
+    dedup.semantic_dedup (SemDeDup clustering).
+
+    ``use_udf=True`` (default) runs assignment + update partials in one
+    Arrow pass per round (pure int64 numpy on the Spark-quantized v6 —
+    bit-identical by construction, equivalence-tested);
+    ``use_udf=False`` keeps the interpreted argmin-fold + posexplode
+    plan as the oracle-facing twin."""
     seeds = (base
              .select("v6", md5_long(F.col("vec_id").cast("string")).alias("h"),
                      "vec_id")
@@ -517,13 +583,19 @@ def _lloyd_centroids(base: DataFrame, n_clusters: int, iters: int,
              .select("v6").collect())
     cents = [[int(x) for x in r["v6"]] for r in seeds]
     for _ in range(iters):
-        assigned = (base.withColumn("best", _kmeans_best_expr(cents))
-                    .select(F.col("best.c").alias("cluster"), "v6"))
-        upd = (assigned
-               .select("cluster", F.posexplode("v6").alias("pos", "x"))
-               .groupBy("cluster", "pos")
-               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-               .collect())
+        if use_udf:
+            upd = (_kmeans_assign_np(base, cents, out="partials")
+                   .groupBy("cluster", "pos")
+                   .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                   .collect())
+        else:
+            assigned = (base.withColumn("best", _kmeans_best_expr(cents))
+                        .select(F.col("best.c").alias("cluster"), "v6"))
+            upd = (assigned
+                   .select("cluster", F.posexplode("v6").alias("pos", "x"))
+                   .groupBy("cluster", "pos")
+                   .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                   .collect())
         sums: dict[int, dict[int, tuple[int, int]]] = {}
         for r in upd:
             sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
@@ -536,7 +608,8 @@ def _lloyd_centroids(base: DataFrame, n_clusters: int, iters: int,
 
 def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
                  dim: int = 64, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 use_udf: bool = True) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column, EXACT
     integer arithmetic end to end: (cluster, n, inertia, dim, centroid),
     one row per (cluster, dimension), ordered.
@@ -563,14 +636,18 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
     """
     spark = corpus.sparkSession
     base = _kmeans_base(corpus, id_col, vec_col)
-    cents = _lloyd_centroids(base, n_clusters, iters, dim)
-    best_expr = _kmeans_best_expr
+    cents = _lloyd_centroids(base, n_clusters, iters, dim, use_udf=use_udf)
 
-    final = (base.withColumn("best", best_expr(cents))
-             .select(F.col("best.c").alias("cluster"),
-                     F.col("best.d").alias("d")))
-    stats = final.groupBy("cluster").agg(F.count("*").alias("n"),
-                                         F.sum("d").alias("sd"))
+    if use_udf:
+        stats = (_kmeans_assign_np(base, cents, out="stats")
+                 .groupBy("cluster")
+                 .agg(F.sum("n").alias("n"), F.sum("sd").alias("sd")))
+    else:
+        final = (base.withColumn("best", _kmeans_best_expr(cents))
+                 .select(F.col("best.c").alias("cluster"),
+                         F.col("best.d").alias("d")))
+        stats = final.groupBy("cluster").agg(F.count("*").alias("n"),
+                                             F.sum("d").alias("sd"))
     cent_rows = [(ci, p + 1, c6[p])
                  for ci, c6 in enumerate(cents, start=1)
                  for p in range(dim)]

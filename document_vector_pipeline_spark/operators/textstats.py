@@ -254,3 +254,31 @@ def vocab_coverage(docs: DataFrame, text_col: str = "text",
     return (agg.select(F.explode(rows).alias("r"))
             .select("r.coverage_ppm", "r.n_terms")
             .orderBy("coverage_ppm"))
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
+                    top: int = 50) -> DataFrame:
+    """One BPE merge iteration over the corpus: counts of adjacent
+    character pairs within whitespace-lowercased tokens (with
+    multiplicity) — the statistic a byte-pair-encoding tokenizer trainer
+    computes to pick its next merge (Sennrich et al. 2016).  Output:
+    (pair, n), top `top` by count with a lexicographic tie-break.
+
+    Plan: map-side explode of words then in-word pairs (no joins), one
+    shuffle on the bounded pair key space (≤ alphabet², uniform), tiny
+    global top-k.  The iterated trainer repeats this with the previous
+    merges applied; one exact iteration is the oracle-checkable unit."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != F.lit(""))
+    w = docs.select(F.explode(words).alias("w"))
+    starts = (F.when(F.length("w") >= 2,
+                     F.sequence(F.lit(1), F.length("w") - 1))
+              .otherwise(F.array().cast("array<int>")))
+    pairs = w.select(
+        F.explode(F.transform(starts,
+                              lambda i: F.substring(F.col("w"), i, F.lit(2))))
+         .alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(top))

@@ -994,3 +994,26 @@ def supplier_concentration(lineitem: DataFrame, supplier: DataFrame,
                  F.expr("sum(share_ppm * share_ppm) div 1000000")
                   .cast("long").alias("hhi_ppm"))
             .orderBy("n_name"))
+
+
+def event_trigrams(events: DataFrame, top: int = 30) -> DataFrame:
+    """Top event-type trigrams over per-user ordered streams — the
+    sequence-mining extension of event_transitions (what 3-step paths do
+    users actually walk): (t1, t2, t3, n), top `top` by count.
+
+    Same scale shape as event_transitions: ONE shuffle on user_id for
+    the (ts, event_id)-ordered window, two leads instead of one lag,
+    then an aggregation over the bounded types³ key space and a tiny
+    global top-k sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (events
+         .select("user_id", "ts", "event_id", "event_type")
+         .withColumn("t2", F.lead("event_type", 1).over(w))
+         .withColumn("t3", F.lead("event_type", 2).over(w))
+         .filter(F.col("t3").isNotNull()))
+    return (t.groupBy(F.col("event_type").alias("t1"), "t2", "t3")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "t1", "t2", "t3")
+            .limit(top))

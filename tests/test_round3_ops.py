@@ -1,0 +1,106 @@
+"""Round-3 operators: SemDeDup, hard negatives, token budget, trigrams,
+BPE pairs — unit semantics + UDF/expression twin equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_semantic_dedup_removes_within_cluster_dups(spark):
+    from document_vector_pipeline_spark.operators.dedup import semantic_dedup
+
+    # two exact duplicate groups + singletons; 1 cluster => pure cosine dedup
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    v3 = [0.0, 0.0, 1.0, 0.0]
+    rows = [(1, v1), (2, v1), (3, v2), (4, v2), (5, v3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_clusters=1, iters=1, dim=4,
+                          threshold=0.99).collect()}
+    assert len(out) == 5
+    assert out[1]["kept"] and not out[2]["kept"]   # min id survives
+    assert out[3]["kept"] and not out[4]["kept"]
+    assert out[5]["kept"]
+
+
+def test_semantic_dedup_twins_equal(spark):
+    from document_vector_pipeline_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in
+               semantic_dedup(emb, threshold=0.35).collect())
+    b = sorted(tuple(r) for r in
+               semantic_dedup(emb, threshold=0.35, use_udf=False).collect())
+    assert a == b and len(a) > 0
+
+
+def test_kmeans_twins_equal(spark):
+    from document_vector_pipeline_spark.operators.similarity import (
+        kmeans_fixed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [tuple(r) for r in kmeans_fixed(emb, n_clusters=4, iters=2).collect()]
+    b = [tuple(r) for r in kmeans_fixed(emb, n_clusters=4, iters=2,
+                                        use_udf=False).collect()]
+    assert a == b and len(a) == 4 * 64
+
+
+def test_hard_negatives_band_and_self_exclusion(spark):
+    from document_vector_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    got = hard_negatives(emb, q, k=5, lo=0.05, hi=0.5).collect()
+    assert got, "expected some in-band negatives"
+    for r in got:
+        assert r["vec_id"] != r["query_id"]
+        assert 0.05 <= r["score"] < 0.5
+        assert 1 <= r["rank"] <= 5
+
+
+def test_token_budget_select_greedy_cut(spark):
+    from document_vector_pipeline_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    rows = [(i, "s", 400) for i in range(10)]   # 100 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "n_chars int")
+    out = token_budget_select(docs, budget_tokens=350).collect()
+    kept = [r for r in out if r["kept"]]
+    assert len(kept) == 3                       # 3 × 100 ≤ 350 < 4 × 100
+    assert all(r["tokens"] == 100 for r in out)
+    # cumulative sums are a permutation-prefix: max cum = total tokens
+    assert max(r["cum_tokens"] for r in out) == 1000
+
+
+def test_event_trigrams_counts(spark):
+    from document_vector_pipeline_spark.plans.analytics import event_trigrams
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+            (2, 5, "a"), (2, 6, "b"), (2, 7, "c")]
+    ev = (spark.createDataFrame(rows, "user_id long, event_id long, "
+                                      "event_type string")
+          .withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60)))
+    got = {(r["t1"], r["t2"], r["t3"]): r["n"]
+           for r in event_trigrams(ev).collect()}
+    assert got[("a", "b", "c")] == 2
+    assert got[("b", "c", "a")] == 1
+    assert len(got) == 2
+
+
+def test_bpe_pair_counts(spark):
+    from document_vector_pipeline_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "aaab AB x")],
+                                 "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs).collect()}
+    # "aaab" -> aa, aa, ab; "ab" (lowered) -> ab; "x" too short
+    assert got == {"aa": 2, "ab": 2}
