@@ -345,3 +345,21 @@ def test_pair_generator_caches_are_bounded(spark):
     assert len(list(jsc.getRDDStorageInfo())) <= base + 2
     D.release_caches()
     assert len(list(jsc.getRDDStorageInfo())) <= base
+
+
+def test_ngram_jaccard_strategies_are_equivalent(spark):
+    """The count-based and PPJoin exact plans must return identical pair
+    sets at any threshold (they are the same mathematical definition)."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for th in (0.1, 0.5):
+        a = sorted(tuple(r) for r in
+                   ngram_jaccard_pairs(docs, threshold=th,
+                                       strategy="count").collect())
+        b = sorted(tuple(r) for r in
+                   ngram_jaccard_pairs(docs, threshold=th,
+                                       strategy="ppjoin").collect())
+        assert a == b and len(a) > 0
