@@ -49,12 +49,20 @@ class IVFIndex:
         return os.path.join(self.path, "centroids.parquet")
 
     def build(self, corpus: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> None:
+              vec_col: str = "embedding", use_udf: bool = True) -> None:
         """Assign every vector to its max-cosine centroid and persist the
         corpus clustered by cell (one shuffle on centroid_id).  Both
         writes are static-overwrite parquet jobs, so a rebuild replaces
         the index entirely through the engine's committer — no direct
-        filesystem deletes, object-store-safe."""
+        filesystem deletes, object-store-safe.
+
+        Assignment is MAP-ONLY either way (centroids are index metadata,
+        never a join side): ``use_udf=True`` scores all centroids in one
+        Arrow pass (numpy products + sequential cumsum — bit-identical to
+        the expression fold, see VectorStore._score_cut_np), with the
+        interpreted argmin-fold expression kept as the twin.  The
+        tie-break replays array_min(struct(-score, cid)): max score, then
+        lowest centroid id."""
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = corpus.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"),
@@ -67,25 +75,66 @@ class IVFIndex:
                          F.col("v").alias("centroid"),
                          F.col("vnorm").alias("cnorm")))
         cents.coalesce(1).write.mode("overwrite").parquet(self._cents)
-        # centroids are index metadata: bake them in as literals so the
-        # assignment is a MAP-ONLY argmin per row — the former broadcast
-        # join + row_number window shuffled the whole corpus on vec_id.
-        # min(-score, centroid_id) == the window's (desc score, id) order.
-        cent_rows = self.spark.read.parquet(self._cents).collect()
-        vd2 = F.transform(F.col("v"), lambda v: v.cast("double"))
-        cands = []
-        for r in cent_rows:
-            carr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
-            denom = F.col("vnorm") * F.lit(r["cnorm"])
-            s = F.round(F.when(denom == 0, F.lit(0.0))
-                         .otherwise(dot(vd2, carr) / denom), 6)
-            cands.append(F.struct((-s).alias("ns"),
-                                  F.lit(r["centroid_id"]).alias("cid")))
-        best = F.array_min(F.array(*cands))
-        assigned = (base.withColumn("centroid_id", best["cid"])
-                    .select("vec_id", "v", "vnorm", "centroid_id"))
+        cent_rows = sorted(self.spark.read.parquet(self._cents).collect(),
+                           key=lambda r: r["centroid_id"])
+        if use_udf:
+            assigned = self._assign_np(base, cent_rows)
+        else:
+            vd2 = F.transform(F.col("v"), lambda v: v.cast("double"))
+            cands = []
+            for r in cent_rows:
+                carr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                denom = F.col("vnorm") * F.lit(r["cnorm"])
+                s = F.round(F.when(denom == 0, F.lit(0.0))
+                             .otherwise(dot(vd2, carr) / denom), 6)
+                cands.append(F.struct((-s).alias("ns"),
+                                      F.lit(r["centroid_id"]).alias("cid")))
+            best = F.array_min(F.array(*cands))
+            assigned = (base.withColumn("centroid_id", best["cid"])
+                        .select("vec_id", "v", "vnorm", "centroid_id"))
         (assigned.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite").parquet(self._cells))
+
+    @staticmethod
+    def _assign_np(base: DataFrame, cent_rows) -> DataFrame:
+        """Arrow twin of the argmin-fold assignment: per-centroid cosine
+        via products + sequential cumsum (bit-identical IEEE order),
+        py_round6_np for Round(_, 6), columns pre-sorted by centroid_id so
+        np.argmin's first-minimum rule replays the (−score, cid) order."""
+        import numpy as np
+
+        from document_vector_pipeline_spark.functions.vectors import (
+            py_round6_np,
+        )
+
+        C = np.array([[float(x) for x in r["centroid"]]
+                      for r in cent_rows], dtype=np.float64)
+        cnorms = np.array([float(r["cnorm"]) for r in cent_rows])
+        cids = np.array([int(r["centroid_id"]) for r in cent_rows])
+        id_type = base.schema["vec_id"].dataType.simpleString()
+        schema = (f"vec_id {id_type}, v array<float>, vnorm double, "
+                  "centroid_id long")
+
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(list(pdf["v"]), dtype=np.float64)
+                vn = pdf["vnorm"].to_numpy()
+                S = np.empty((len(V), len(C)), dtype=np.float64)
+                for ci in range(len(C)):
+                    dots = np.cumsum(V * C[ci][None, :], axis=1)[:, -1]
+                    denom = vn * cnorms[ci]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = dots / denom
+                    S[:, ci] = py_round6_np(np.where(denom == 0.0, 0.0, s))
+                best = cids[S.argmax(axis=1)]  # ties → first → lowest cid
+                out = pdf[["vec_id", "v", "vnorm"]].copy()
+                out["centroid_id"] = best
+                yield out
+
+        return base.mapInPandas(run, schema)
 
     def _probe_ids(self, qd: list[float], nprobe: int) -> list[int]:
         """Pick the nprobe closest centroids driver-side (they are index

@@ -85,3 +85,20 @@ def test_search_many_matches_looped_search(index, embeddings_small):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1), "cells scan not pruned"
     assert "MapInPandas" in plan  # partial top-k below the rank window
+
+
+def test_ivf_build_twins_equal(spark, tmp_path):
+    """Arrow assignment must replay the argmin-fold expression exactly
+    (same cells, same norms, same tie-breaks)."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = IVFIndex(spark, str(tmp_path / "a"), n_centroids=8)
+    b = IVFIndex(spark, str(tmp_path / "b"), n_centroids=8)
+    a.build(emb)
+    b.build(emb, use_udf=False)
+    ra = sorted(tuple(r) for r in spark.read.parquet(a._cells)
+                .select("vec_id", "vnorm", "centroid_id").collect())
+    rb = sorted(tuple(r) for r in spark.read.parquet(b._cells)
+                .select("vec_id", "vnorm", "centroid_id").collect())
+    assert ra == rb and len(ra) > 0
