@@ -839,10 +839,17 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
         _kmeans_base,
         _kmeans_best_expr,
         _lloyd_centroids,
+        _lloyd_loop_frame,
     )
 
     base = _kmeans_base(emb, id_col, vec_col)
-    cents = _lloyd_centroids(base, n_clusters, iters, dim, use_udf=use_udf)
+    loop_base, release = _lloyd_loop_frame(base)
+    cents = _lloyd_centroids(loop_base, n_clusters, iters, dim,
+                             use_udf=use_udf)
+    # centroids in hand, the loop cache can go: the final assignment below
+    # recomputes the quantization in one map-only pass over the lazy base,
+    # keeping the returned plan cache-free
+    release()
     if use_udf:
         assigned = _kmeans_assign_np(base, cents, out="assign")
     else:

@@ -491,3 +491,64 @@ def test_round3d_operator_shuffle_budgets(spark, t):
     p = plan_of(an.events_user_diversity(ev))
     assert p.count("Exchange hashpartitioning") <= 2
     assert p.count("Scan ") == 1
+
+
+def test_round3_new_ops_shuffle_budgets(spark, t):
+    """Exchange budgets for the round-3 additions: trigram mining and
+    token-budget selection are single-shuffle windows + bounded aggs;
+    BPE pair counting is map-side explode + one bounded-key exchange."""
+    from document_vector_pipeline_spark.operators.corpus import (
+        token_budget_select,
+    )
+    from document_vector_pipeline_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(analytics.event_trigrams(ev))
+    # user window + groupBy + top-k singlepartition
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Scan parquet" in p or "FileScan" in p
+
+    p = plan_of(token_budget_select(t["documents"]))
+    assert p.count("Exchange hashpartitioning") == 1  # the source window
+
+    p = plan_of(bpe_pair_counts(t["documents"]))
+    assert p.count("Exchange hashpartitioning") == 1  # the pair groupBy
+    assert "Join" not in p
+
+
+def test_semantic_dedup_candidates_join_on_cluster_only(spark):
+    """SemDeDup's candidate stage must be an equi-join on the cluster id
+    (k bounds the pairs) — never a cartesian product — and the kmeans
+    assignment must be map-only (no join against a centroid table)."""
+    from document_vector_pipeline_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    p = plan_of(semantic_dedup(emb, threshold=0.35))
+    assert "CartesianProduct" not in p
+    assert "cluster" in p
+    # one equi-join for pairs + one left join for the kept flag; the
+    # remaining joins are the id->vector lookups, all hash equi-joins
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hard_negatives_filters_before_rank(spark):
+    """The band filter must land before the rank window (the Filter sits
+    under the Window in the plan), so out-of-band rows never shuffle."""
+    from document_vector_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    p = plan_of(hard_negatives(emb, q, k=5))
+    # Catalyst fuses the band predicate into the broadcast join condition
+    # and inserts its own partial top-k (WindowGroupLimit Partial) before
+    # the exchange — pin both: only in-band rows ever shuffle, ≤ k per
+    # partition per query.
+    assert p.count("WindowGroupLimit") == 2, "partial top-k missing"
+    ex = p.index("Exchange")
+    assert "0.05" in p[ex:], "band predicate not below the exchange"

@@ -164,3 +164,22 @@ def test_weighted_sample_keep_set_is_monotone(spark, docs_small, w1, w2):
     keep_hi = {r["doc_id"] for r in
                weighted_sample(d, F.lit(hi)).filter("keep").collect()}
     assert keep_lo <= keep_hi
+
+
+@given(st.lists(st.floats(min_value=-2.0, max_value=2.0,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=60))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_py_round6_np_matches_spark_round(spark, xs):
+    """py_round6_np must replay Spark's Round(double, 6) on arbitrary
+    doubles (incl. shortest-repr tie values hypothesis may find)."""
+    import numpy as np
+
+    from document_vector_pipeline_spark.functions.vectors import py_round6_np
+
+    got = list(py_round6_np(np.array(xs)))
+    want = [r["r"] for r in
+            spark.createDataFrame([(float(x),) for x in xs], "x double")
+            .select(F.round("x", 6).alias("r")).collect()]
+    assert got == want
