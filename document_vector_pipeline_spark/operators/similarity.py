@@ -36,11 +36,78 @@ def _ranked(scored: DataFrame, k: int) -> DataFrame:
             .select("query_id", "vec_id", "score", "rank"))
 
 
+def _score_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
+                   id_col: str, vec_col: str, qid_col: str, qvec_col: str,
+                   lo: float | None = None, hi: float | None = None,
+                   exclude_self: bool = False) -> DataFrame:
+    """Exact Arrow scorer + per-batch partial top-k for broadcast-query
+    cosine ops: numpy products with a sequential cumsum replay the
+    round(cosine_similarity(...), 6) expression bit-for-bit (the same
+    contract proven for VectorStore._score_cut_np — both row and query
+    norms are per-row sequential folds here), py_round6_np replays
+    Round(_, 6).  Optional [lo, hi) band filter and self-id exclusion
+    happen before the cut, so only in-band candidate rows leave each
+    batch.  Queries are collected (small-by-definition, the same
+    assumption the broadcast join makes)."""
+    import numpy as np
+
+    from document_vector_pipeline_spark.functions.vectors import py_round6_np
+
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qvecs = [np.asarray([float(x) for x in r[1]], dtype=np.float64)
+             for r in q_rows]
+    qnorms = [float(np.sqrt(np.cumsum(v * v)[-1])) if v.size else 0.0
+              for v in qvecs]
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"query_id {qid_type}, vec_id {id_type}, score double"
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vnorm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for qi, qid in enumerate(qids):
+                dots = np.cumsum(V * qvecs[qi][None, :], axis=1)[:, -1]
+                denom = vnorm * qnorms[qi]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dots / denom
+                scores = py_round6_np(np.where(denom == 0.0, 0.0, s))
+                mask = np.ones(len(scores), dtype=bool)
+                if lo is not None:
+                    mask &= scores >= lo
+                if hi is not None:
+                    mask &= scores < hi
+                if exclude_self:
+                    mask &= ids != qid
+                out = pd.DataFrame({"query_id": qid, "vec_id": ids[mask],
+                                    "score": scores[mask]})
+                outs.append(out.sort_values(
+                    ["score", "vec_id"], ascending=[False, True],
+                    kind="mergesort").head(k))
+            yield pd.concat(outs, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "query_id",
-                     qvec_col: str = "query_vec") -> DataFrame:
-    """Exact cosine top-k; `queries` (qid, qvec) is broadcast."""
+                     qvec_col: str = "query_vec",
+                     use_udf: bool = True) -> DataFrame:
+    """Exact cosine top-k; `queries` (qid, qvec) is broadcast.
+
+    ``use_udf=True`` (default) scores + partial-cuts in one Arrow pass
+    (bit-identical, see _score_topk_np); ``use_udf=False`` keeps the
+    broadcast-join + interpreted-fold plan as the oracle-facing twin."""
+    if use_udf:
+        return _ranked(_score_topk_np(corpus, queries, k, id_col, vec_col,
+                                      qid_col, qvec_col), k)
     scored = (corpus.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("v"))
               .join(F.broadcast(queries.select(
@@ -889,7 +956,8 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    lo: float = 0.05, hi: float = 0.5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "query_id",
-                   qvec_col: str = "query_vec") -> DataFrame:
+                   qvec_col: str = "query_vec",
+                   use_udf: bool = True) -> DataFrame:
     """Hard-negative mining for contrastive embedding training: for each
     query, the k candidates with the HIGHEST cosine inside [lo, hi) —
     similar enough to be confusable, below the positive band (the standard
@@ -901,7 +969,15 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     At 100 TB swap the scan for lsh_ann/ivf_ann candidates feeding the
     same band filter + rank (identical output wherever the candidate set
     covers the band).
+
+    ``use_udf=True`` (default) scores + band-filters + partial-cuts in
+    one Arrow pass (bit-identical, see _score_topk_np); the expression
+    plan stays as the oracle twin.
     """
+    if use_udf:
+        return _ranked(_score_topk_np(corpus, queries, k, id_col, vec_col,
+                                      qid_col, qvec_col, lo=lo, hi=hi,
+                                      exclude_self=True), k)
     scored = (corpus.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("v"))
               .join(F.broadcast(queries.select(

@@ -126,7 +126,12 @@ def test_ann_broadcasts_queries_not_corpus(spark):
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
+    # Arrow path: one corpus scan, queries are plan metadata, no join
     p = plan_of(similarity.brute_force_topk(emb, q, k=5))
+    assert "MapInPandas" in p and "Join" not in p
+    assert p.count("Exchange") == 1  # only the final rank
+    # expression twin keeps the broadcast shape
+    p = plan_of(similarity.brute_force_topk(emb, q, k=5, use_udf=False))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
@@ -544,11 +549,15 @@ def test_hard_negatives_filters_before_rank(spark):
     q = (emb.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
+    # Arrow path: band filter + partial cut live inside the scorer pass;
+    # nothing but ≤ k in-band rows per batch reaches the one exchange
     p = plan_of(hard_negatives(emb, q, k=5))
-    # Catalyst fuses the band predicate into the broadcast join condition
-    # and inserts its own partial top-k (WindowGroupLimit Partial) before
-    # the exchange — pin both: only in-band rows ever shuffle, ≤ k per
-    # partition per query.
+    assert "MapInPandas" in p and "Join" not in p
+    assert p.count("Exchange") == 1
+    # expression twin: Catalyst fuses the band predicate into the
+    # broadcast join condition and inserts its own partial top-k
+    # (WindowGroupLimit Partial) before the exchange — pin both.
+    p = plan_of(hard_negatives(emb, q, k=5, use_udf=False))
     assert p.count("WindowGroupLimit") == 2, "partial top-k missing"
     ex = p.index("Exchange")
     assert "0.05" in p[ex:], "band predicate not below the exchange"

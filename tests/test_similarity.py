@@ -56,9 +56,33 @@ def test_ivf_ann_recall(spark, embeddings_small, queries):
 
 
 def test_brute_force_is_broadcast_no_corpus_shuffle(spark, embeddings_small, queries):
+    # default Arrow path: queries are plan metadata, single scan, no join
     plan = S.brute_force_topk(embeddings_small, queries, k=5) \
         ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Join" not in plan
+    # expression twin keeps the broadcast-join shape
+    plan = S.brute_force_topk(embeddings_small, queries, k=5,
+                              use_udf=False) \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_brute_force_twins_equal(spark, embeddings_small, queries):
+    a = sorted(tuple(r) for r in
+               S.brute_force_topk(embeddings_small, queries, k=5).collect())
+    b = sorted(tuple(r) for r in
+               S.brute_force_topk(embeddings_small, queries, k=5,
+                                  use_udf=False).collect())
+    assert a == b and len(a) > 0
+
+
+def test_hard_negatives_twins_equal(spark, embeddings_small, queries):
+    a = sorted(tuple(r) for r in
+               S.hard_negatives(embeddings_small, queries, k=5).collect())
+    b = sorted(tuple(r) for r in
+               S.hard_negatives(embeddings_small, queries, k=5,
+                                use_udf=False).collect())
+    assert a == b
 
 
 def test_lsh_udf_equals_expression(spark):
