@@ -168,6 +168,7 @@ def main() -> None:
     bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
     bench("emb_pca", lambda: similarity.pca_project(emb))
     bench("emb_norm_hist", lambda: similarity.norm_histogram(emb))
+    bench("emb_outliers", lambda: similarity.embedding_outliers(emb))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
     bench("vector_search_batch",
@@ -193,6 +194,11 @@ def main() -> None:
                                   cfg=PipelineConfig(max_tokens_per_chunk=8)))
     from document_vector_pipeline_spark.operators import multimodal
     bench("mm_byte_hist", lambda: multimodal.byte_histogram(
+        multimodal.documents_as_assets(docs)))
+    # the hash build is the per-asset work; the pair join's output is
+    # corpus-duplication-bound (1.5M pairs at sf0.1 on this synthetic
+    # corpus), so bench the build and leave pairs to the sf0.01 oracle
+    bench("mm_phash", lambda: multimodal.phash(
         multimodal.documents_as_assets(docs)))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_readability", lambda: textstats.readability(docs))

@@ -4594,6 +4594,55 @@ def q_text_bpe_pairs(spark, sf_dir):
     return textstats.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_mm_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over multimodal assets (average-hash
+    on the byte histogram, banded hamming ≤ 2 join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.phash_pairs(multimodal.documents_as_assets(docs))
+
+
+def q_emb_outliers(spark, sf_dir):
+    """Embedding-space outliers: per-cluster 90th-percentile distance
+    rank cut over the shared exact-integer Lloyd assignment."""
+    return similarity.embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_mm_phash_dedup(dim: int = 32, max_hamming: int = 2) -> str:
+    return f"""
+with h as (
+  select doc_id as asset_id, cast(unicode(c) % {dim} as int) as bucket,
+         cast(count(*) as bigint) as n
+  from (select doc_id, unnest(string_split(text, '')) as c from documents)
+  where c <> ''
+  group by 1, 2),
+tot as (select asset_id, sum(n) as total from h group by asset_id),
+ph0 as (
+  select h.asset_id,
+         sum(case when h.n * {dim} > t.total
+                  then (cast(1 as bigint) << h.bucket) else 0 end) as phash
+  from h join tot t using (asset_id) group by h.asset_id),
+ph as (select d.doc_id as asset_id,
+              cast(coalesce(p.phash, 0) as bigint) as phash
+       from documents d left join ph0 p on p.asset_id = d.doc_id)
+select a.asset_id as id_a, b.asset_id as id_b,
+       cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+from ph a join ph b on a.asset_id < b.asset_id
+where bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
+def _sql_emb_outliers(pct: int = 90, n_clusters: int = 8, iters: int = 3,
+                      dim: int = 64) -> str:
+    return f"""{_sql_kmeans_cte(n_clusters, iters, dim)}
+select vec_id, cast(cluster as int) as cluster,
+       round(d / 1e12, 6) as dist,
+       100 * row_number() over (partition by cluster order by d, vec_id)
+         > {pct} * count(*) over (partition by cluster) as outlier
+from af
+"""
+
+
 def _sql_emb_hard_negatives(k: int = 5, lo: float = 0.05,
                             hi: float = 0.5) -> str:
     cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
@@ -4734,6 +4783,8 @@ def queries():
         "corpus_token_budget": q_corpus_token_budget,
         "events_trigrams": q_events_trigrams,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "mm_phash_dedup": q_mm_phash_dedup,
+        "emb_outliers": q_emb_outliers,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -4958,6 +5009,8 @@ from events group by user_id
         "corpus_token_budget": _sql_corpus_token_budget(),
         "events_trigrams": _sql_events_trigrams(),
         "text_bpe_pairs": _sql_text_bpe_pairs(),
+        "mm_phash_dedup": _sql_mm_phash_dedup(),
+        "emb_outliers": _sql_emb_outliers(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

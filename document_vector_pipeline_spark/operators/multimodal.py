@@ -171,3 +171,73 @@ def byte_histogram_expr(assets: DataFrame,
             .groupBy("asset_id", "bucket")
             .agg(F.count("*").cast("long").alias("n"))
             .orderBy("asset_id", "bucket"))
+
+
+def phash(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(asset_id, phash): perceptual hash of each asset — bit i set iff
+    byte-bucket count i exceeds the asset's mean bucket count
+    (n_i · dim > total).  This is average-hash over the byte histogram
+    (the decoded-media version thresholds DCT/luma blocks the same way;
+    the stub keeps every Spark-side shape real — see decode_assets).
+    Zero-payload assets hash to 0."""
+    from document_vector_pipeline_spark.functions.expr import bound
+
+    h = (byte_histogram(assets, dim)
+         # 2^bucket as an exact long (pow is exact for these magnitudes;
+         # shiftleft needs a literal shift amount)
+         .withColumn("bitv", F.pow(F.lit(2.0),
+                                   F.col("bucket").cast("double"))
+                     .cast("long")))
+    grouped = (h.groupBy("asset_id")
+               .agg(F.collect_list(F.struct("bitv", "n")).alias("hs")))
+
+    def bits(hs):
+        total = F.aggregate(hs, F.lit(0).cast("long"),
+                            lambda acc, e: acc + e["n"])
+        return bound(total, lambda t: F.aggregate(
+            hs, F.lit(0).cast("long"),
+            lambda acc, e: acc + F.when(e["n"] * dim > t, e["bitv"])
+            .otherwise(F.lit(0).cast("long"))))
+
+    all_ids = assets.select("asset_id").distinct()
+    return (all_ids.join(grouped.select("asset_id",
+                                        bits(F.col("hs")).alias("phash")),
+                         "asset_id", "left")
+            .select("asset_id",
+                    F.coalesce("phash", F.lit(0).cast("long"))
+                     .alias("phash")))
+
+
+def phash_pairs(assets: DataFrame, dim: int = 32,
+                max_hamming: int = 2, bands: int = 4) -> DataFrame:
+    """Near-duplicate asset pairs by perceptual hash: (id_a < id_b,
+    hamming) with hamming(phash) ≤ max_hamming — the multimodal member
+    of the dedup family (image near-dup via average-hash).
+
+    Same banded plan as simhash_pairs: any pair within hamming
+    d < bands collides on ≥ 1 of the `bands` bit-slices, so candidates
+    come from an equi-join on (band, slice) and the hamming verify is
+    map-side before the distinct.  The phash build itself is one
+    mapInPandas histogram pass + one groupBy — no joins."""
+    width = dim // bands
+    ph = phash(assets, dim)
+    slices = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("phash"), b * width) % F.lit(1 << width))
+                .alias("key"))
+        for b in range(bands)])
+    banded = (ph.select("asset_id", "phash", F.explode(slices).alias("bk"))
+              .select("asset_id", "phash",
+                      F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    left = banded.select(F.col("asset_id").alias("id_a"),
+                         F.col("phash").alias("ph_a"), "band", "key")
+    right = banded.select(F.col("asset_id").alias("id_b"),
+                          F.col("phash").alias("ph_b"), "band", "key")
+    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming").distinct())

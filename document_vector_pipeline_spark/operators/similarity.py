@@ -603,7 +603,8 @@ def _kmeans_assign_np(base: DataFrame, cents: list[list[int]],
                 dmin[s:e] = D.min(axis=1)
             if out == "assign":
                 yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                    "cluster": (best + 1).astype("int32")})
+                                    "cluster": (best + 1).astype("int32"),
+                                    "d": dmin})
                 continue
             if out == "stats":
                 rows = [(int(c) + 1, int((best == c).sum()),
@@ -620,7 +621,7 @@ def _kmeans_assign_np(base: DataFrame, cents: list[list[int]],
                             for p in range(dim))
             yield pd.DataFrame(recs, columns=["cluster", "pos", "s", "n"])
 
-    schema = {"assign": f"vec_id {id_type}, cluster int",
+    schema = {"assign": f"vec_id {id_type}, cluster int, d long",
               "partials": "cluster int, pos int, s long, n long",
               "stats": "cluster int, n long, sd long"}[out]
     cols = ["vec_id", "v6"] if out == "assign" else ["v6"]
@@ -987,3 +988,45 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("score", F.round(cosine_similarity("v", "q"), 6))
               .filter((F.col("score") >= lo) & (F.col("score") < hi)))
     return _ranked(scored, k)
+
+
+def embedding_outliers(emb: DataFrame, n_clusters: int = 8, iters: int = 3,
+                       dim: int = 64, pct: int = 90,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       use_udf: bool = True) -> DataFrame:
+    """Embedding-space outlier flags: cluster with the shared exact-int
+    Lloyd rounds, then flag every vector whose squared distance to its
+    centroid ranks above the per-cluster pct-th order statistic — the
+    garbage-embedding filter a training-data pipeline runs before
+    contrastive sampling (far-from-every-centroid rows are decode errors,
+    empty docs, or adversarial junk).
+
+    Exact and order-independent: distances are int64, the cutoff is a
+    rank comparison (10·rank > pct·n/10-free integer form), ties break on
+    vec_id.  One assignment pass (map-only, centroids as plan metadata) +
+    one window shuffle on the bounded cluster key.
+    Output: (vec_id, cluster, dist, outlier) with dist = d/1e12 at 6 dp.
+    """
+    from pyspark.sql import Window
+
+    base = _kmeans_base(emb, id_col, vec_col)
+    loop_base, release = _lloyd_loop_frame(base)
+    cents = _lloyd_centroids(loop_base, n_clusters, iters, dim,
+                             use_udf=use_udf)
+    release()
+    if use_udf:
+        assigned = _kmeans_assign_np(base, cents, out="assign")
+    else:
+        assigned = (base.withColumn("best", _kmeans_best_expr(cents))
+                    .select("vec_id", F.col("best.c").alias("cluster"),
+                            F.col("best.d").alias("d")))
+    w = Window.partitionBy("cluster").orderBy("d", "vec_id")
+    wc = Window.partitionBy("cluster")
+    return (assigned
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_c", F.count("*").over(wc))
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                    F.round(F.col("d") / 1e12, 6).alias("dist"),
+                    (F.lit(100) * F.col("rn") > F.lit(pct) * F.col("n_c"))
+                    .alias("outlier")))

@@ -104,3 +104,48 @@ def test_bpe_pair_counts(spark):
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs).collect()}
     # "aaab" -> aa, aa, ab; "ab" (lowered) -> ab; "x" too short
     assert got == {"aa": 2, "ab": 2}
+
+
+def test_phash_pairs_find_byte_level_neardups(spark):
+    from document_vector_pipeline_spark.operators import multimodal as M
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps on running through the quiet field " * 4)
+    rows = [(1, base), (2, base + "!"),          # near-identical bytes
+            (3, "zzzzzzzz 0123456789 ~~~ ||| @@@ ### $$$ %%% ^^^ &&&")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")).withColumn(
+        "source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    assets = M.documents_as_assets(docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             M.phash_pairs(assets, max_hamming=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # hash of every asset exists, even empty payloads
+    n = M.phash(assets).count()
+    assert n == 3
+
+
+def test_embedding_outliers_flags_far_points(spark):
+    from document_vector_pipeline_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    # 19 tight points + 1 far point in one cluster
+    rows = [(i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0]) for i in range(19)]
+    rows.append((99, [50.0, 50.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           embedding_outliers(emb, n_clusters=1, iters=1, dim=4,
+                              pct=90).collect()}
+    assert out[99]["outlier"]
+    n_out = sum(1 for r in out.values() if r["outlier"])
+    assert n_out == 2  # ceil(10% of 20)
+    # twins equal
+    a = sorted(tuple(r) for r in
+               embedding_outliers(emb, n_clusters=2, iters=2, dim=4).collect())
+    b = sorted(tuple(r) for r in
+               embedding_outliers(emb, n_clusters=2, iters=2, dim=4,
+                                  use_udf=False).collect())
+    assert a == b
