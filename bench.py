@@ -207,6 +207,7 @@ def main() -> None:
     bench("text_bpe_pairs", lambda: textstats.bpe_pair_counts(docs))
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
+    bench("corpus_quality_model", lambda: corpus.quality_model_scores(docs))
     bench("stream_topk_windowed", lambda: sev.windowed_top_users(ev))
     bench("events_top_sessions", lambda: _top_sessions(ev))
     bench("stream_windowed", lambda: sev.windowed_event_counts(ev))
@@ -246,6 +247,10 @@ def main() -> None:
         purchases, ev.select("user_id", "ts", "value"), key="user_id"))
     bench("rolling_counts", lambda: temporal.rolling_counts(
         ev.select("event_id", "user_id", "ts", "value")))
+    bench("asof_nearest", lambda: temporal.asof_nearest(
+        purchases, ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id"),
+        key="user_id", right_cols=["event_id"], right_seq="event_id"))
     bench("events_rollup", lambda: temporal.rollup_events(ev))
     bench("hypertable_rollup", lambda: temporal.hypertable_rollup(ev))
 

@@ -4594,6 +4594,68 @@ def q_text_bpe_pairs(spark, sf_dir):
     return textstats.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: each purchase gets the user's temporally
+    closest click in either direction (exact ties prefer the earlier
+    click; equal-ts ties follow the backward/forward scan rules)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    out = temporal.asof_nearest(purchases, clicks, key="user_id",
+                                right_cols=["event_id"],
+                                right_seq="event_id", prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_ts"), F.col("click_event_id").alias("click_id"),
+        F.abs(epoch_us(F.col("ts")) - epoch_us(F.col("click_ts")))
+        .alias("gap_us"))
+
+
+def q_corpus_quality_model(spark, sf_dir):
+    """fastText-style linear quality-classifier inference with
+    deterministic stub weights (hashed bag-of-words, integer logits)."""
+    return corpus.quality_model_scores(load_table(spark, sf_dir,
+                                                  "documents"))
+
+
+def _sql_asof_nearest() -> str:
+    return """
+select p.event_id, p.user_id, p.ts,
+       c.ts as click_ts, c.event_id as click_id,
+       abs(epoch_us(p.ts) - epoch_us(c.ts)) as gap_us
+from events p
+left join lateral (
+  select c.event_id, c.ts from events c
+  where c.user_id = p.user_id and c.event_type = 'click'
+  order by abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts,
+           case when c.ts <= p.ts then -c.event_id else c.event_id end
+  limit 1) c on true
+where p.event_type = 'purchase'
+"""
+
+
+def _sql_corpus_quality_model() -> str:
+    w = _md5l("w")
+    return f"""
+with t as (
+  select doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> x <> '')) as ws
+  from documents),
+s as (
+  select doc_id,
+         cast(len(ws) as bigint) as n_feats,
+         cast(coalesce(list_sum(list_transform(ws,
+                w -> {w} % 2001 - 1000)), 0) as bigint) as logit_milli
+  from t)
+select doc_id, n_feats, logit_milli, logit_milli > 0 as keep
+from s
+"""
+
+
 def q_mm_phash_dedup(spark, sf_dir):
     """Perceptual-hash near-dup pairs over multimodal assets (average-hash
     on the byte histogram, banded hamming ≤ 2 join)."""
@@ -4785,6 +4847,8 @@ def queries():
         "text_bpe_pairs": q_text_bpe_pairs,
         "mm_phash_dedup": q_mm_phash_dedup,
         "emb_outliers": q_emb_outliers,
+        "asof_nearest": q_asof_nearest,
+        "corpus_quality_model": q_corpus_quality_model,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5011,6 +5075,8 @@ from events group by user_id
         "text_bpe_pairs": _sql_text_bpe_pairs(),
         "mm_phash_dedup": _sql_mm_phash_dedup(),
         "emb_outliers": _sql_emb_outliers(),
+        "asof_nearest": _sql_asof_nearest(),
+        "corpus_quality_model": _sql_corpus_quality_model(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

@@ -626,3 +626,40 @@ def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
             .withColumn("cum_tokens", F.sum("tokens").over(w))
             .withColumn("kept", F.col("cum_tokens") <= budget_tokens)
             .select(id_col, source_col, "tokens", "cum_tokens", "kept"))
+
+
+def quality_model_scores(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Linear quality-classifier inference over hashed bag-of-words
+    features — the fastText-style scoring pass (Joulin et al. 2016) LLM
+    pipelines run to rank documents (e.g. GPT-3's WebText-similarity
+    filter).  The model weights here are a deterministic md5-derived stub
+    (weight(w) = md5(w) % 2001 − 1000), the same stand-in philosophy as
+    the hash embedder: swap in trained weights via a broadcast map at
+    deployment, every Spark-side shape — distinct-token featurization,
+    integer logit accumulation, verdict — is the production one.
+
+    Map-only (zero shuffle), exact integer arithmetic end to end.
+    Output: (doc_id, n_feats, logit_milli, keep) with
+    logit_milli = Σ weights over distinct tokens.
+    """
+    from document_vector_pipeline_spark.functions.expr import bound
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda w: w != F.lit("")))
+
+    def score(ws):
+        return F.aggregate(
+            ws, F.lit(0).cast("long"),
+            lambda acc, w: acc + (md5_long(w) % 2001 - 1000))
+
+    ws = bound(words, lambda w: F.struct(
+        F.size(w).cast("long").alias("n_feats"),
+        score(w).alias("logit_milli")))
+    return docs.select(
+        F.col(id_col),
+        ws["n_feats"].alias("n_feats"),
+        ws["logit_milli"].alias("logit_milli"),
+        (ws["logit_milli"] > 0).alias("keep"))

@@ -263,3 +263,64 @@ def cube_events(events: DataFrame, ts: str = "ts",
                     F.coalesce(F.col("dow"), F.lit(-1)).cast("int")
                      .alias("dow"),
                     "n_events", "total_value"))
+
+
+def asof_nearest(left: DataFrame, right: DataFrame, key: str,
+                 left_ts: str = "ts", right_ts: str = "ts",
+                 right_cols: Optional[Sequence[str]] = None,
+                 right_seq: Optional[str] = None,
+                 prefix: str = "r_") -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    for every left row, attach the right row minimizing |right_ts −
+    left_ts| within the same ``key``.
+
+    Deterministic tie order: (|Δ|, right_ts, then greatest ``right_seq``
+    among past rows / smallest among future rows) — i.e. an exact-tie
+    between a past and a future row prefers the past one, and equal-ts
+    duplicates resolve the same way the backward/forward scans do.
+
+    Implementation: ONE tag-union sort per key (same single-shuffle shape
+    as asof_join) with two frames over it — carry-last for the backward
+    candidate, carry-first for the forward candidate — then a map-side
+    pick of the closer one.  No join node, no second shuffle.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    if right_seq is None:
+        right_seq = right_cols[0] if right_cols else right_ts
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ats"),
+        *[F.col(c).alias(c) for c in right_cols]).alias("__payload")
+    r = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_seq).cast("long").alias("__seq"), payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns])
+    l = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"), F.lit(0).cast("long").alias("__seq"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns)
+    wb = (Window.partitionBy("__k")
+          .orderBy(F.col("__ts"), F.col("__side"), F.col("__seq"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("__k")
+          .orderBy(F.col("__ts"), F.col("__side"), F.col("__seq"))
+          .rowsBetween(0, Window.unboundedFollowing))
+    u = (r.unionByName(l)
+         .withColumn("__b", F.last("__payload", ignorenulls=True).over(wb))
+         .withColumn("__f", F.first("__payload", ignorenulls=True).over(wf))
+         .filter(F.col("__side") == 1))
+    db = _us(F.col("__ts")) - _us(F.col("__b.__ats"))
+    df_ = _us(F.col("__f.__ats")) - _us(F.col("__ts"))
+    pick_b = (F.col("__f").isNull()
+              | (F.col("__b").isNotNull() & (db <= df_)))
+    m = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    u = u.withColumn("__m", m)
+    out_cols = list(left.columns)
+    out_cols.append(F.col("__m.__ats").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}")
+                    for c in right_cols)
+    return u.select(*out_cols)

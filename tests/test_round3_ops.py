@@ -149,3 +149,62 @@ def test_embedding_outliers_flags_far_points(spark):
                embedding_outliers(emb, n_clusters=2, iters=2, dim=4,
                                   use_udf=False).collect())
     assert a == b
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from document_vector_pipeline_spark.plans.temporal import asof_nearest
+
+    def ts(s):
+        return F.timestamp_seconds(F.lit(s))
+
+    left = spark.range(1).select(
+        F.lit(1).alias("user_id"), ts(100).alias("ts"),
+        F.lit(10).alias("event_id"))
+    right = spark.createDataFrame(
+        [(1, 90, 1), (1, 104, 2), (1, 200, 3)],
+        "user_id int, sec int, event_id int"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_id")
+    out = asof_nearest(left, right, key="user_id",
+                       right_cols=["event_id"],
+                       right_seq="event_id").collect()
+    assert len(out) == 1 and out[0]["r_event_id"] == 2  # |+4| < |-10|
+
+    # exact tie prefers the earlier (backward) row
+    right2 = spark.createDataFrame(
+        [(1, 95, 1), (1, 105, 2)],
+        "user_id int, sec int, event_id int"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_id")
+    out = asof_nearest(left, right2, key="user_id",
+                       right_cols=["event_id"],
+                       right_seq="event_id").collect()
+    assert out[0]["r_event_id"] == 1
+
+    # no right rows for the key -> nulls survive (left join semantics)
+    left2 = spark.range(1).select(
+        F.lit(7).alias("user_id"), ts(50).alias("ts"),
+        F.lit(11).alias("event_id"))
+    out = asof_nearest(left2, right, key="user_id",
+                       right_cols=["event_id"],
+                       right_seq="event_id").collect()
+    assert out[0]["r_event_id"] is None
+
+
+def test_quality_model_scores_deterministic_and_map_only(spark):
+    from document_vector_pipeline_spark.operators.corpus import (
+        quality_model_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_model_scores(docs).collect()}
+    assert out[1]["n_feats"] == 2          # distinct tokens
+    assert out[2]["n_feats"] == 0 and out[2]["logit_milli"] == 0
+    assert out[1]["keep"] == (out[1]["logit_milli"] > 0)
+    # repeated run identical (no RNG anywhere)
+    again = {r["doc_id"]: r for r in quality_model_scores(docs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+           {k: tuple(v) for k, v in again.items()}
+    plan = quality_model_scores(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
