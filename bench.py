@@ -378,6 +378,8 @@ def main() -> None:
     bench("events_funnel", lambda: sev.funnel_counts(ev))
     bench("events_conversion", lambda: analytics.conversion_latency(ev))
     bench("events_trigrams", lambda: analytics.event_trigrams(ev))
+    bench("events_multitouch", lambda: analytics.multitouch_attribution(ev))
+    bench("events_cohort_ltv", lambda: analytics.cohort_ltv(ev))
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))

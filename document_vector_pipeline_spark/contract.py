@@ -4656,6 +4656,69 @@ from s
 """
 
 
+def q_events_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: 1000 milli-credits per purchase
+    split across the user's clicks in the 30-min lookback, remainder to
+    the earliest click."""
+    return analytics.multitouch_attribution(load_table(spark, sf_dir,
+                                                       "events"))
+
+
+def q_events_cohort_ltv(spark, sf_dir):
+    """Weekly-cohort LTV curve: purchases, active purchasers, period and
+    cumulative value by (first-purchase week, weeks since)."""
+    return analytics.cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_multitouch(lookback_us: int = 30 * 60 * 1_000_000,
+                           unit: int = 1000) -> str:
+    return f"""
+with p as (select event_id as pid, user_id, ts from events
+           where event_type = 'purchase'),
+c as (select user_id, ts, event_id from events where event_type = 'click'),
+pc as (
+  select p.pid, c.event_id as cid, c.ts as cts
+  from p join c on c.user_id = p.user_id
+   and epoch_us(c.ts) >= epoch_us(p.ts) - {lookback_us}
+   and epoch_us(c.ts) <  epoch_us(p.ts)),
+k as (select pid, count(*) as k from pc group by pid),
+r as (select pc.pid, pc.cid, k.k,
+             row_number() over (partition by pc.pid
+                                order by pc.cts, pc.cid) as rn
+      from pc join k using (pid))
+select cid as click_id, cast(count(*) as bigint) as n_purchases,
+       cast(sum({unit} // k + case when rn = 1 then {unit} % k else 0 end)
+            as bigint) as credit_milli
+from r group by cid
+"""
+
+
+def _sql_events_cohort_ltv() -> str:
+    return """
+with p as (select user_id, ts,
+                  cast(round(value * 100.0, 0) as bigint) as cents
+           from events where event_type = 'purchase'),
+f as (select user_id, min(ts) as first_ts from p group by user_id),
+j as (select p.user_id, p.cents,
+             date_trunc('week', f.first_ts) as cohort_week,
+             (epoch_us(p.ts) - epoch_us(f.first_ts)) // 604800000000
+               as age_weeks
+      from p join f using (user_id)),
+g as (select cohort_week, age_weeks,
+             cast(count(*) as bigint) as n_purchases,
+             cast(count(distinct user_id) as bigint) as n_users,
+             sum(cents) as cents
+      from j group by 1, 2)
+select cohort_week, cast(age_weeks as bigint) as age_weeks,
+       n_purchases, n_users,
+       cast(cents as bigint) / 100.0 as value,
+       cast(sum(cents) over (partition by cohort_week order by age_weeks
+            rows between unbounded preceding and current row) as bigint)
+         / 100.0 as cum_value
+from g
+"""
+
+
 def q_mm_phash_dedup(spark, sf_dir):
     """Perceptual-hash near-dup pairs over multimodal assets (average-hash
     on the byte histogram, banded hamming ≤ 2 join)."""
@@ -4849,6 +4912,8 @@ def queries():
         "emb_outliers": q_emb_outliers,
         "asof_nearest": q_asof_nearest,
         "corpus_quality_model": q_corpus_quality_model,
+        "events_multitouch": q_events_multitouch,
+        "events_cohort_ltv": q_events_cohort_ltv,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5077,6 +5142,8 @@ from events group by user_id
         "emb_outliers": _sql_emb_outliers(),
         "asof_nearest": _sql_asof_nearest(),
         "corpus_quality_model": _sql_corpus_quality_model(),
+        "events_multitouch": _sql_events_multitouch(),
+        "events_cohort_ltv": _sql_events_cohort_ltv(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

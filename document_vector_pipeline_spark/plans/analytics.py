@@ -1017,3 +1017,78 @@ def event_trigrams(events: DataFrame, top: int = 30) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n"))
             .orderBy(F.desc("n"), "t1", "t2", "t3")
             .limit(top))
+
+
+def multitouch_attribution(events: DataFrame,
+                           lookback_us: int = 30 * 60 * 1_000_000,
+                           unit: int = 1000) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits ``unit``
+    milli-credits equally across the user's clicks in the preceding
+    ``lookback_us`` window; per click, the number of purchases it helped
+    convert and its total credit.  Integer remainders go to the EARLIEST
+    click of each purchase, so credits sum exactly to unit × purchases
+    matched (the audit invariant a marketing pipeline reconciles on).
+
+    Plan: the bucketed interval join from plans/temporal (shuffle
+    O(2·|purchases| + |clicks|), never a per-user cross product), one
+    per-purchase window over its ≤ lookback clicks, one groupBy on the
+    click key.  All integer arithmetic — oracle-exact."""
+    from pyspark.sql import Window
+
+    from document_vector_pipeline_spark.plans.temporal import range_join
+
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    c = (events.filter(F.col("event_type") == "click")
+         .select("user_id", "ts", "event_id"))
+    pairs = range_join(p, c, key="user_id",
+                       lower_us=-lookback_us, upper_us=0,
+                       right_cols=["event_id"], prefix="click_")
+    wk = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("click_ts",
+                                                   "click_event_id")
+    credit = (F.expr(f"{unit} div __k")
+              + F.when(F.col("__rn") == 1, F.expr(f"{unit} % __k"))
+                 .otherwise(F.lit(0)))
+    return (pairs
+            .withColumn("__k", F.count("*").over(wk))
+            .withColumn("__rn", F.row_number().over(wr))
+            .withColumn("__credit", credit.cast("long"))
+            .groupBy(F.col("click_event_id").alias("click_id"))
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum("__credit").cast("long").alias("credit_milli")))
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Weekly-cohort lifetime-value curve: users cohorted by their first
+    purchase week; per (cohort_week, age_weeks) the purchase count,
+    active purchasers, period value and the cohort's cumulative value —
+    the LTV table every subscription/commerce dashboard draws.
+
+    Exact money: cents as int64 (round(value·100)), divided back only in
+    the final projection.  Two shuffles (user first-purchase agg + the
+    cohort-age agg; the user join reuses the first agg's partitioning)
+    and one bounded-key cumulative window."""
+    from pyspark.sql import Window
+
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+    first = p.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = (p.join(first, "user_id")
+         .withColumn("cohort_week", F.date_trunc("week", F.col("first_ts")))
+         .withColumn("__dus", epoch_us(F.col("ts"))
+                     - epoch_us(F.col("first_ts")))
+         .withColumn("age_weeks",
+                     F.expr("__dus div 604800000000").cast("long")))
+    g = (j.groupBy("cohort_week", "age_weeks")
+         .agg(F.count("*").cast("long").alias("n_purchases"),
+              F.count_distinct("user_id").cast("long").alias("n_users"),
+              F.sum("cents").alias("cents")))
+    w = (Window.partitionBy("cohort_week").orderBy("age_weeks")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (g.select(
+        "cohort_week", "age_weeks", "n_purchases", "n_users",
+        (F.col("cents").cast("long") / 100.0).alias("value"),
+        (F.sum("cents").over(w).cast("long") / 100.0).alias("cum_value")))

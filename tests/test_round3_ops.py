@@ -208,3 +208,46 @@ def test_quality_model_scores_deterministic_and_map_only(spark):
     plan = quality_model_scores(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_multitouch_credit_conserved(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        # user 1: purchase at 1000s with 3 clicks inside 30 min
+        (1, 1, "click", 100), (2, 1, "click", 500), (3, 1, "click", 900),
+        (4, 1, "purchase", 1000),
+        # user 2: purchase with no clicks
+        (5, 2, "purchase", 2000),
+        # user 3: 1 click -> full credit
+        (6, 3, "click", 2900), (7, 3, "purchase", 3000),
+    ]
+    ev = (spark.createDataFrame(rows, "event_id long, user_id long, "
+                                      "event_type string, sec long")
+          .select("event_id", "user_id", "event_type",
+                  F.timestamp_seconds("sec").alias("ts")))
+    out = {r["click_id"]: r for r in multitouch_attribution(ev).collect()}
+    # 2 matched purchases x 1000 milli-credits, conserved exactly
+    assert sum(r["credit_milli"] for r in out.values()) == 2000
+    assert out[6]["credit_milli"] == 1000
+    # remainder (1000 - 3*333 = 1) goes to the earliest click
+    assert out[1]["credit_milli"] == 334
+    assert out[2]["credit_milli"] == 333 and out[3]["credit_milli"] == 333
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    from document_vector_pipeline_spark.plans.analytics import cohort_ltv
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = cohort_ltv(ev).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["age_weeks"])
+        cums = [r["cum_value"] for r in rs]
+        assert cums == sorted(cums)  # cumulative is monotone
+        assert abs(cums[-1] - sum(r["value"] for r in rs)) < 1e-9
