@@ -380,6 +380,8 @@ def main() -> None:
     bench("events_trigrams", lambda: analytics.event_trigrams(ev))
     bench("events_multitouch", lambda: analytics.multitouch_attribution(ev))
     bench("events_cohort_ltv", lambda: analytics.cohort_ltv(ev))
+    bench("events_scd2", lambda: temporal.scd2_build(
+        ev, key="user_id", state="event_type", seq="event_id"))
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))

@@ -4656,6 +4656,36 @@ from s
 """
 
 
+def q_events_scd2(spark, sf_dir):
+    """Type-2 SCD build over the event stream: per-user event-type state
+    history with half-open validity intervals and version numbers."""
+    return temporal.scd2_build(load_table(spark, sf_dir, "events"),
+                               key="user_id", state="event_type",
+                               seq="event_id")
+
+
+def _sql_events_scd2() -> str:
+    return """
+with o as (
+  select user_id, event_type, ts, event_id,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev
+  from events),
+m as (select user_id, event_type, ts, event_id from o
+      where prev is null or event_type <> prev),
+v as (select user_id, event_type, ts as valid_from,
+             lead(ts) over (partition by user_id
+                            order by ts, event_id) as valid_to,
+             cast(row_number() over (partition by user_id
+                                     order by ts, event_id) as bigint)
+               as version
+      from m)
+select user_id, event_type, valid_from, valid_to, version,
+       valid_to is null as is_current
+from v
+"""
+
+
 def q_events_multitouch(spark, sf_dir):
     """Linear multi-touch attribution: 1000 milli-credits per purchase
     split across the user's clicks in the 30-min lookback, remainder to
@@ -4914,6 +4944,7 @@ def queries():
         "corpus_quality_model": q_corpus_quality_model,
         "events_multitouch": q_events_multitouch,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "events_scd2": q_events_scd2,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5144,6 +5175,7 @@ from events group by user_id
         "corpus_quality_model": _sql_corpus_quality_model(),
         "events_multitouch": _sql_events_multitouch(),
         "events_cohort_ltv": _sql_events_cohort_ltv(),
+        "events_scd2": _sql_events_scd2(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

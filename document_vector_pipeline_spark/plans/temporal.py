@@ -324,3 +324,35 @@ def asof_nearest(left: DataFrame, right: DataFrame, key: str,
     out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}")
                     for c in right_cols)
     return u.select(*out_cols)
+
+
+def scd2_build(changes: DataFrame, key: str, state: str,
+               ts: str = "ts", seq: str | None = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream: per
+    ``key``, collapse consecutive rows with an unchanged ``state`` and
+    emit validity intervals — (key, state, valid_from, valid_to,
+    version, is_current) with half-open [valid_from, valid_to) ranges
+    and NULL valid_to on the current row.  The dimension-history table
+    every warehouse derives from CDC feeds.
+
+    ONE shuffle (key window, ordered by (ts, seq)): a lag marks state
+    changes, a running sum numbers versions, the interval close is a
+    lead over the change rows only.  Deterministic for duplicate
+    timestamps via the ``seq`` tie-break."""
+    order_cols = [F.col(ts)] + ([F.col(seq)] if seq else [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    changed = (F.lag(state).over(w).isNull()
+               | (F.col(state) != F.lag(state).over(w)))
+    marked = (changes
+              .select(key, state, ts, *( [seq] if seq else [] ))
+              .withColumn("__chg", changed)
+              .filter(F.col("__chg")))
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    return (marked
+            .withColumn("version",
+                        F.row_number().over(w2).cast("long"))
+            .withColumn("valid_from", F.col(ts))
+            .withColumn("valid_to", F.lead(ts).over(w2))
+            .select(key, state,
+                    "valid_from", "valid_to", "version",
+                    F.col("valid_to").isNull().alias("is_current")))

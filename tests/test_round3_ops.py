@@ -251,3 +251,26 @@ def test_cohort_ltv_cumulative_monotone(spark):
         cums = [r["cum_value"] for r in rs]
         assert cums == sorted(cums)  # cumulative is monotone
         assert abs(cums[-1] - sum(r["value"] for r in rs)) < 1e-9
+
+
+def test_scd2_build_intervals(spark):
+    from document_vector_pipeline_spark.plans.temporal import scd2_build
+
+    rows = [(1, 1, "a", 10), (1, 2, "a", 20), (1, 3, "b", 30),
+            (1, 4, "a", 40), (2, 5, "c", 15)]
+    ev = (spark.createDataFrame(rows, "user_id long, event_id long, "
+                                      "event_type string, sec long")
+          .select("user_id", "event_id", "event_type",
+                  F.timestamp_seconds("sec").alias("ts")))
+    out = sorted(
+        scd2_build(ev, key="user_id", state="event_type",
+                   seq="event_id").collect(),
+        key=lambda r: (r["user_id"], r["version"]))
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["event_type"] for r in u1] == ["a", "b", "a"]  # collapsed
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]  # half-open chain
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert not u1[0]["is_current"]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
