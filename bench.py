@@ -41,6 +41,11 @@ from document_vector_pipeline_spark.sources import load_table  # noqa: E402
 from document_vector_pipeline_spark.store.vector_store import VectorStore  # noqa: E402
 from document_vector_pipeline_spark.streaming import events as sev  # noqa: E402
 
+# the suite runs ~130 queries in one JVM: give the driver-side heap room
+# so collected plan metadata + block tracking never force GC pauses into
+# the timed loop (the host has 128 GiB; callers can still override)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
 STORE_PATH = os.path.join(ROOT, ".scratch", "bench_store")
@@ -382,6 +387,8 @@ def main() -> None:
     bench("events_cohort_ltv", lambda: analytics.cohort_ltv(ev))
     bench("events_scd2", lambda: temporal.scd2_build(
         ev, key="user_id", state="event_type", seq="event_id"))
+    bench("events_forecast_mae",
+          lambda: analytics.seasonal_baseline_mae(ev))
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))

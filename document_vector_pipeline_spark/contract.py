@@ -4686,6 +4686,40 @@ from v
 """
 
 
+def q_events_forecast_mae(spark, sf_dir):
+    """Seasonal-naive forecast backtest: 21-day train window, hour-of-week
+    cell means, per-type MAE in exact integer cents."""
+    return analytics.seasonal_baseline_mae(load_table(spark, sf_dir,
+                                                      "events"))
+
+
+def _sql_events_forecast_mae(train_days: int = 21) -> str:
+    return f"""
+with ev as (select event_type, ts,
+                   cast(round(value * 100.0, 0) as bigint) as cents,
+                   dayofweek(ts) as dow, hour(ts) as hr
+            from events),
+b as (select min(ts) + interval {train_days} days as split from ev),
+train as (select ev.* from ev, b where ev.ts < b.split),
+test  as (select ev.* from ev, b where ev.ts >= b.split),
+cell as (select event_type, dow, hr,
+                sum(cents) // count(*) as cell_pred
+         from train group by 1, 2, 3),
+gm as (select event_type, sum(cents) // count(*) as glob_pred,
+               cast(count(*) as bigint) as n_train
+        from train group by 1)
+select t.event_type, any_value(g.n_train) as n_train,
+       cast(count(*) as bigint) as n_test,
+       cast(sum(abs(t.cents - coalesce(c.cell_pred, g.glob_pred)))
+            // count(*) as bigint) as mae_cents
+from test t
+left join cell c using (event_type, dow, hr)
+left join gm g using (event_type)
+group by t.event_type
+order by t.event_type
+"""
+
+
 def q_events_multitouch(spark, sf_dir):
     """Linear multi-touch attribution: 1000 milli-credits per purchase
     split across the user's clicks in the 30-min lookback, remainder to
@@ -4945,6 +4979,7 @@ def queries():
         "events_multitouch": q_events_multitouch,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_scd2": q_events_scd2,
+        "events_forecast_mae": q_events_forecast_mae,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5176,6 +5211,7 @@ from events group by user_id
         "events_multitouch": _sql_events_multitouch(),
         "events_cohort_ltv": _sql_events_cohort_ltv(),
         "events_scd2": _sql_events_scd2(),
+        "events_forecast_mae": _sql_events_forecast_mae(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

@@ -1092,3 +1092,44 @@ def cohort_ltv(events: DataFrame) -> DataFrame:
         "cohort_week", "age_weeks", "n_purchases", "n_users",
         (F.col("cents").cast("long") / 100.0).alias("value"),
         (F.sum("cents").over(w).cast("long") / 100.0).alias("cum_value")))
+
+
+def seasonal_baseline_mae(events: DataFrame,
+                          train_days: int = 21) -> DataFrame:
+    """Seasonal-naive forecast backtest: train on the first
+    ``train_days`` of the stream, predict each later event's value by
+    its (event_type, day-of-week, hour) training mean — falling back to
+    the event_type's global training mean for unseen cells — and report
+    the mean absolute error per event_type in exact integer cents.
+    The baseline every forecasting pipeline must beat, evaluated with
+    the same deterministic integer arithmetic as everything else
+    (means and MAE are floor divisions of cent sums).
+
+    Plan: one pass for the split boundary (min ts — plan metadata
+    scale), one bounded-key agg for cell means, broadcast join of the
+    tiny mean tables onto the test scan, one final agg."""
+    ev = events.select(
+        "event_type", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr"))
+    bound_row = ev.agg(F.min("ts").alias("t0")).collect()[0]
+    split = bound_row["t0"]
+    train = ev.filter(
+        F.col("ts") < F.lit(split) + F.expr(f"INTERVAL {train_days} DAYS"))
+    test = ev.filter(
+        F.col("ts") >= F.lit(split) + F.expr(f"INTERVAL {train_days} DAYS"))
+    cell = (train.groupBy("event_type", "dow", "hr")
+            .agg(F.expr("sum(cents) div count(*)").alias("cell_pred")))
+    glob = (train.groupBy("event_type")
+            .agg(F.expr("sum(cents) div count(*)").alias("glob_pred"),
+                 F.count("*").cast("long").alias("n_train")))
+    joined = (test
+              .join(F.broadcast(cell), ["event_type", "dow", "hr"], "left")
+              .join(F.broadcast(glob), "event_type", "left")
+              .withColumn("pred", F.coalesce("cell_pred", "glob_pred")))
+    return (joined.groupBy("event_type")
+            .agg(F.first("n_train").alias("n_train"),
+                 F.count("*").cast("long").alias("n_test"),
+                 F.expr("sum(abs(cents - pred)) div count(*)")
+                  .alias("mae_cents"))
+            .orderBy("event_type"))

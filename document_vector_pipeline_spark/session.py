@@ -32,6 +32,12 @@ def get_spark(app_name: str = "document_vector_pipeline_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # long single-JVM sessions (bench sweeps, notebooks) accumulate
+        # shuffle files / block-manager state that only the ContextCleaner
+        # releases, and it needs a JVM GC to notice dead references —
+        # force one periodically so hour-long local sessions don't slow
+        # down as state piles up (no effect on short-lived sessions)
+        .config("spark.cleaner.periodicGC.interval", "3min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

