@@ -350,6 +350,8 @@ def main() -> None:
           lambda: graph.triangle_count(dedup.minhash_lsh_pairs(docs)))
     bench("graph_degrees",
           lambda: graph.degree_histogram(dedup.minhash_lsh_pairs(docs)))
+    bench("graph_kcore",
+          lambda: graph.kcore(dedup.minhash_lsh_pairs(docs), k=2, rounds=4))
     bench("events_anomalies", lambda: analytics.events_anomalies(ev))
     bench("events_bots", lambda: analytics.events_bots(ev))
     bench("events_mad_outliers",

@@ -4686,6 +4686,37 @@ from v
 """
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core (k=2, 4 peel rounds) of the MinHash near-dup graph:
+    surviving nodes with within-core degrees."""
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.kcore(dedup.minhash_lsh_pairs(docs), k=2, rounds=4)
+
+
+def _sql_graph_kcore(k: int = 2, rounds: int = 4) -> str:
+    parts = [f"""
+with {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+e0 as (
+  select id_a as n, id_b as m from pairs
+  union all
+  select id_b as n, id_a as m from pairs)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t} as (select n from e{t - 1} group by n having count(*) >= {k}),
+e{t} as (select e.n, e.m from e{t - 1} e
+         join d{t} a on e.n = a.n
+         join d{t} b on e.m = b.n)""")
+    parts.append(f"""
+select n as id, cast(count(*) as bigint) as core_deg
+from e{rounds} group by n
+""")
+    return "".join(parts)
+
+
 def q_events_forecast_mae(spark, sf_dir):
     """Seasonal-naive forecast backtest: 21-day train window, hour-of-week
     cell means, per-type MAE in exact integer cents."""
@@ -4980,6 +5011,7 @@ def queries():
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_scd2": q_events_scd2,
         "events_forecast_mae": q_events_forecast_mae,
+        "graph_kcore": q_graph_kcore,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5212,6 +5244,7 @@ from events group by user_id
         "events_cohort_ltv": _sql_events_cohort_ltv(),
         "events_scd2": _sql_events_scd2(),
         "events_forecast_mae": _sql_events_forecast_mae(),
+        "graph_kcore": _sql_graph_kcore(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

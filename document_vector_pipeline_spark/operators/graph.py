@@ -191,3 +191,46 @@ def cluster_size_histogram(pairs: DataFrame, src: str = "id_a",
                  F.max("size").alias("max_size"),
                  F.sum("size").cast("long").alias("n_docs"))
             .orderBy("bucket"))
+
+
+def kcore(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+          k: int = 2, rounds: int = 4) -> DataFrame:
+    """k-core pruning after a FIXED number of peel rounds: repeatedly
+    drop nodes with degree < k, keep edges between survivors; output
+    (id, core_deg) for surviving nodes with their within-core degree.
+    On near-dup graphs this separates dense boilerplate cliques (which
+    survive any k) from incidental pairs (peeled in round 1) — the
+    triage step before deciding cluster-wide removal policies.
+
+    The iterative-algorithm template again (like pagerank): each round
+    is one degree aggregate + two semi-join-shaped prunes; the round's
+    edge frame is cached and the previous one released, and the final
+    (small) result is materialized eagerly so every loop cache can be
+    dropped before returning.  A FIXED round count keeps the DuckDB
+    oracle an unrolled CTE; near-dup graphs peel to a fixed point in a
+    handful of rounds (converged = two equal consecutive edge counts,
+    visible in the bench numbers)."""
+    swap = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+           .union(swap).cache())
+    e = sym
+    for _ in range(rounds):
+        d = (e.groupBy("n").agg(F.count("*").alias("deg"))
+             .filter(F.col("deg") >= k).select("n").cache())
+        new_e = (e.join(d, "n")
+                 .join(d.withColumnRenamed("n", "m"), "m")
+                 .select("n", "m").cache())
+        new_e.count()
+        d.unpersist()
+        if e is not sym:
+            e.unpersist()
+        e = new_e
+    out = (e.groupBy("n")
+           .agg(F.count("*").cast("long").alias("core_deg"))
+           .select(F.col("n").alias("id"), "core_deg")
+           .orderBy("id"))
+    result = out.localCheckpoint(eager=True)
+    if e is not sym:
+        e.unpersist()
+    sym.unpersist()
+    return result

@@ -120,3 +120,23 @@ def test_cluster_size_histogram_hand_computed(spark):
     out = {r["bucket"]: r for r in cluster_size_histogram(e).collect()}
     assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
     assert out[3]["n_clusters"] == 1 and out[3]["max_size"] == 5
+
+
+def test_kcore_peels_low_degree_nodes(spark):
+    from document_vector_pipeline_spark.operators.graph import kcore
+
+    # triangle 1-2-3 (2-core) + pendant chain 3-4-5 (peeled at k=2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "id_a long, id_b long")
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = len(list(jsc.getRDDStorageInfo()))
+    out = {r["id"]: r["core_deg"] for r in
+           kcore(pairs, k=2, rounds=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(v == 2 for v in out.values())
+    # k=3 kills everything (no 3-core in a triangle+chain)
+    assert kcore(pairs, k=3, rounds=4).count() == 0
+    # loop caches released: at most the two eagerly-checkpointed RESULT
+    # frames (k=2 and k=3 runs) may have been added
+    assert len(list(jsc.getRDDStorageInfo())) <= cached_before + 2
