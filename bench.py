@@ -391,6 +391,11 @@ def main() -> None:
         ev, key="user_id", state="event_type", seq="event_id"))
     bench("events_forecast_mae",
           lambda: analytics.seasonal_baseline_mae(ev))
+
+    from document_vector_pipeline_spark.streaming.stateful import (
+        scd2_changes,
+    )
+    bench("stream_scd2", lambda: scd2_changes(ev))
     bench("q2_mincost", lambda: analytics.q2_mincost(
         t["part"], t["supplier"], t["nation"], t["region"], t["lineitem"]))
     bench("emb_centroids", lambda: similarity.label_centroids(emb))

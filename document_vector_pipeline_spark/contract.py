@@ -4686,6 +4686,33 @@ from v
 """
 
 
+def q_stream_scd2(spark, sf_dir):
+    """Batch twin of the stateful streaming SCD2 change detector
+    (streaming mode — GroupState across microbatches — is exercised in
+    tests/test_stateful.py; state can't run against a static sf_dir)."""
+    from document_vector_pipeline_spark.streaming.stateful import (
+        scd2_changes,
+    )
+
+    return scd2_changes(load_table(spark, sf_dir, "events"))
+
+
+def _sql_stream_scd2() -> str:
+    return """
+with o as (
+  select user_id, event_type, ts, event_id,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev
+  from events),
+m as (select user_id, event_type, ts, event_id from o
+      where prev is null or event_type <> prev)
+select user_id, event_type, ts as changed_at,
+       cast(row_number() over (partition by user_id
+                               order by ts, event_id) as bigint) as version
+from m
+"""
+
+
 def q_graph_kcore(spark, sf_dir):
     """k-core (k=2, 4 peel rounds) of the MinHash near-dup graph:
     surviving nodes with within-core degrees."""
@@ -5012,6 +5039,7 @@ def queries():
         "events_scd2": q_events_scd2,
         "events_forecast_mae": q_events_forecast_mae,
         "graph_kcore": q_graph_kcore,
+        "stream_scd2": q_stream_scd2,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5245,6 +5273,7 @@ from events group by user_id
         "events_scd2": _sql_events_scd2(),
         "events_forecast_mae": _sql_events_forecast_mae(),
         "graph_kcore": _sql_graph_kcore(),
+        "stream_scd2": _sql_stream_scd2(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

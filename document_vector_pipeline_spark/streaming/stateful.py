@@ -97,3 +97,67 @@ def running_totals(df: DataFrame, key_col: str = "user_id",
             .groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, "n bigint, cents bigint",
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def scd2_changes(df: DataFrame, key_col: str = "user_id",
+                 state_col: str = "event_type", ts_col: str = "ts",
+                 seq_col: str = "event_id") -> DataFrame:
+    """Streaming SCD2 change detector: one output row per state CHANGE
+    per key — (key, state, changed_at, version) — with (last_state,
+    version) carried in GroupState across microbatches.  The streaming
+    half of plans/temporal.scd2_build: a stream can only emit open-ended
+    change events (closing an interval needs the NEXT change); the
+    warehouse merge closes them, or the batch scd2_build recomputes the
+    full interval table.
+
+    Within a microbatch rows are ordered by (ts, seq) before diffing, so
+    the output is deterministic and — under per-key in-order delivery
+    across batches (what a keyed log gives you) — identical to the batch
+    twin, which sorts each key's complete history.  Batch fallback: the
+    change rows of scd2_build's window plan (ONE key shuffle)."""
+    out_schema = (f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
+                  f"{state_col} {df.schema[state_col].dataType.simpleString()}, "
+                  f"changed_at timestamp, version bigint")
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+        changed = (F.lag(state_col).over(w).isNull()
+                   | (F.col(state_col) != F.lag(state_col).over(w)))
+        marked = (df.select(key_col, state_col, ts_col, seq_col)
+                  .withColumn("__chg", changed).filter(F.col("__chg")))
+        w2 = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+        return (marked
+                .select(key_col, state_col,
+                        F.col(ts_col).alias("changed_at"),
+                        F.row_number().over(w2).cast("long")
+                         .alias("version")))
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        last, ver = state.get if state.exists else (None, 0)
+        out_k, out_s, out_t, out_v = [], [], [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values([ts_col, seq_col])
+        for _, r in rows.iterrows():
+            s = r[state_col]
+            if last is None or s != last:
+                ver += 1
+                out_k.append(key[0])
+                out_s.append(s)
+                out_t.append(r[ts_col])
+                out_v.append(ver)
+                last = s
+        state.update((last, int(ver)))
+        if out_k:
+            yield pd.DataFrame({key_col: out_k, state_col: out_s,
+                                "changed_at": out_t, "version": out_v})
+
+    return (df.select(key_col, state_col, ts_col, seq_col)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                fn, out_schema, "last string, ver bigint",
+                "append", GroupStateTimeout.NoTimeout))

@@ -97,3 +97,50 @@ def test_running_totals_batch_fallback(spark, stream_src, tmp_path):
     rows = {r["user_id"]: (r["n_events"], r["total_value"])
             for r in out.collect()}
     assert rows[1] == (2, 10.5) and rows[2] == (2, 6.25)
+
+
+EV_SCHEMA = "user_id bigint, event_type string, sec bigint, event_id bigint"
+
+
+def _write_scd2_batches(tmp_path):
+    # user 1: a, a (dup), b | b (dup), a  -> versions a1, b2, a3
+    # user 2: c only                      -> version c1
+    batches = [
+        [(1, "a", 10, 1), (1, "a", 20, 2), (2, "c", 15, 3)],
+        [(1, "b", 30, 4)],
+        [(1, "b", 40, 5), (1, "a", 50, 6)],
+    ]
+    src = tmp_path / "scd2src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for u, s, sec, eid in rows:
+                f.write(json.dumps({"user_id": u, "event_type": s,
+                                    "sec": sec, "event_id": eid}) + "\n")
+    return str(src)
+
+
+def test_scd2_changes_streaming_matches_batch(spark, tmp_path):
+    from document_vector_pipeline_spark.streaming.stateful import scd2_changes
+
+    path = _write_scd2_batches(tmp_path)
+    raw = (spark.readStream.schema(EV_SCHEMA)
+           .option("maxFilesPerTrigger", 1).json(path))
+    stream_df = raw.select("user_id", "event_type",
+                           F.timestamp_seconds("sec").alias("ts"),
+                           "event_id")
+    q = (scd2_changes(stream_df).writeStream.format("memory")
+         .queryName("scd2s")
+         .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("scd2s").collect())
+
+    batch_df = (spark.read.schema(EV_SCHEMA).json(path)
+                .select("user_id", "event_type",
+                        F.timestamp_seconds("sec").alias("ts"), "event_id"))
+    want = sorted(tuple(r) for r in scd2_changes(batch_df).collect())
+    assert got == want
+    versions = {(r[0], r[1]): r[3] for r in got}
+    assert versions[(1, "a")] in (1, 3) and versions[(2, "c")] == 1
+    assert len(got) == 4  # a1, b2, a3 for user 1 + c1 for user 2
