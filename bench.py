@@ -145,6 +145,8 @@ def main() -> None:
     bench("dedup_shingle_hist", lambda: dedup.shingle_df_histogram(docs))
     bench("dedup_substrings",
           lambda: dedup.substring_dup_stats(docs, stride=4))
+    bench("dedup_containment",
+          lambda: dedup.containment_pairs(docs, threshold=0.6))
     bench("ann_bruteforce",
           lambda: similarity.brute_force_topk(emb, qdf, k=10))
     bench("ann_bruteforce_np",

@@ -4686,6 +4686,43 @@ from v
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Containment pairs: (id_sub, id_super, containment ≥ 0.6) over
+    3-token shingle sets — the asymmetric subsumption check."""
+    return dedup.containment_pairs(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.6)
+
+
+def _sql_dedup_containment(threshold: float = 0.6) -> str:
+    return f"""
+with t as materialized (
+  select doc_id, {_toks('text', lower=True)} as w from documents),
+sh as materialized (
+  select doc_id, unnest(list_transform({_SHINGLES3}, s -> {_md5l('s')}))
+         as shingle
+  from t),
+sizes as (select doc_id, cast(count(*) as bigint) as n
+          from sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         cast(count(*) as bigint) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+bt as (
+  select i.id_a, i.id_b,
+         round(i.c / na.n, 6) as cont_a,
+         round(i.c / nb.n, 6) as cont_b
+  from inter i
+  join sizes na on na.doc_id = i.id_a
+  join sizes nb on nb.doc_id = i.id_b)
+select id_a as id_sub, id_b as id_super, cont_a as containment
+from bt where cont_a >= {threshold!r}
+union all
+select id_b as id_sub, id_a as id_super, cont_b as containment
+from bt where cont_b >= {threshold!r}
+"""
+
+
 def q_stream_scd2(spark, sf_dir):
     """Batch twin of the stateful streaming SCD2 change detector
     (streaming mode — GroupState across microbatches — is exercised in
@@ -5040,6 +5077,7 @@ def queries():
         "events_forecast_mae": q_events_forecast_mae,
         "graph_kcore": q_graph_kcore,
         "stream_scd2": q_stream_scd2,
+        "dedup_containment": q_dedup_containment,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5274,6 +5312,7 @@ from events group by user_id
         "events_forecast_mae": _sql_events_forecast_mae(),
         "graph_kcore": _sql_graph_kcore(),
         "stream_scd2": _sql_stream_scd2(),
+        "dedup_containment": _sql_dedup_containment(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

@@ -872,3 +872,49 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
             .join(removed.withColumn("__rm", F.lit(True)), "vec_id", "left")
             .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
                     F.col("__rm").isNull().alias("kept")))
+
+
+# ---- containment (asymmetric near-dup: doc subsumed by another) -------------
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", width: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Containment pairs: (id_sub, id_super, containment) where
+    containment = |S_sub ∩ S_super| / |S_sub| ≥ τ over width-token
+    shingle sets — the asymmetric cousin of Jaccard that catches a
+    document QUOTED OR EMBEDDED inside a larger one (Jaccard stays low
+    when sizes differ wildly; containment doesn't).  The
+    CCNet/RefinedWeb-style subsumption check.  Both orientations of an
+    overlapping pair can emit.
+
+    Plan: the count-aggregation exact shape (shingle equi-join on md5
+    ints, per-pair count — no arrays travel).  No size prefilter is
+    sound for containment (the super side is unbounded), so at 100 TB
+    this runs on MinHash candidates like the exact Jaccard verifier.
+    """
+    sets = (docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.transform(_shingles(F.col(text_col), width),
+                                 lambda s: md5_long(s))).alias("arr"))
+        .select("id", "arr", F.size("arr").cast("long").alias("n")))
+    ex = sets.select("id", "n", F.explode("arr").alias("sh"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "sh")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n").alias("nb"),
+                  F.col("sh").alias("shb"))
+    c = (a.join(b, (F.col("sh") == F.col("shb"))
+                & (F.col("id_a") < F.col("id_b")))
+         .groupBy("id_a", "id_b", "na", "nb")
+         .agg(F.count("*").cast("long").alias("c")))
+    both = c.select(
+        "id_a", "id_b", "c",
+        F.round(F.col("c") / F.col("na"), 6).alias("cont_a"),
+        F.round(F.col("c") / F.col("nb"), 6).alias("cont_b"))
+    out_a = (both.filter(F.col("cont_a") >= threshold)
+             .select(F.col("id_a").alias("id_sub"),
+                     F.col("id_b").alias("id_super"),
+                     F.col("cont_a").alias("containment")))
+    out_b = (both.filter(F.col("cont_b") >= threshold)
+             .select(F.col("id_b").alias("id_sub"),
+                     F.col("id_a").alias("id_super"),
+                     F.col("cont_b").alias("containment")))
+    return out_a.unionByName(out_b)

@@ -363,3 +363,20 @@ def test_ngram_jaccard_strategies_are_equivalent(spark):
                    ngram_jaccard_pairs(docs, threshold=th,
                                        strategy="ppjoin").collect())
         assert a == b and len(a) > 0
+
+
+def test_containment_catches_subsumed_doc(spark):
+    from document_vector_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " plus a lot of extra unrelated words " * 5
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different text body here now")],
+        "doc_id long, text string")
+    out = {(r["id_sub"], r["id_super"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0  # fully contained
+    assert (2, 1) not in out                      # asymmetric
+    assert not any(3 in k for k in out)
