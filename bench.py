@@ -147,6 +147,7 @@ def main() -> None:
           lambda: dedup.substring_dup_stats(docs, stride=4))
     bench("dedup_containment",
           lambda: dedup.containment_pairs(docs, threshold=0.6))
+    bench("dedup_summary", lambda: dedup.dedup_summary(docs))
     bench("ann_bruteforce",
           lambda: similarity.brute_force_topk(emb, qdf, k=10))
     bench("ann_bruteforce_np",

@@ -4686,6 +4686,42 @@ from v
 """
 
 
+def q_dedup_summary(spark, sf_dir):
+    """Per-source dedup-rate report (exact + MinHash near-dup document
+    counts and exact-integer ppm rates)."""
+    return dedup.dedup_summary(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_summary() -> str:
+    fp = _md5l(_norm_text("text", lower=True))
+    return f"""
+with {_minhash_ctes()},
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+nd as (select id_a as doc_id from pairs
+       union select id_b as doc_id from pairs),
+f as (select doc_id, source, {fp} as fp from documents),
+dupfp as (select fp from f group by fp having count(*) >= 2),
+base as (
+  select f.doc_id, f.source,
+         f.fp in (select fp from dupfp) as ex,
+         f.doc_id in (select doc_id from nd) as ndf
+  from f)
+select source, cast(count(*) as bigint) as n_docs,
+       cast(sum(case when ex then 1 else 0 end) as bigint)
+         as exact_dup_docs,
+       cast(sum(case when ndf then 1 else 0 end) as bigint)
+         as near_dup_docs,
+       cast((1000000 * sum(case when ex then 1 else 0 end)) // count(*)
+            as bigint) as exact_ppm,
+       cast((1000000 * sum(case when ndf then 1 else 0 end)) // count(*)
+            as bigint) as near_ppm
+from base group by source
+"""
+
+
 def q_dedup_containment(spark, sf_dir):
     """Containment pairs: (id_sub, id_super, containment ≥ 0.6) over
     3-token shingle sets — the asymmetric subsumption check."""
@@ -5078,6 +5114,7 @@ def queries():
         "graph_kcore": q_graph_kcore,
         "stream_scd2": q_stream_scd2,
         "dedup_containment": q_dedup_containment,
+        "dedup_summary": q_dedup_summary,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5313,6 +5350,7 @@ from events group by user_id
         "graph_kcore": _sql_graph_kcore(),
         "stream_scd2": _sql_stream_scd2(),
         "dedup_containment": _sql_dedup_containment(),
+        "dedup_summary": _sql_dedup_summary(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

@@ -918,3 +918,47 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
                      F.col("id_a").alias("id_super"),
                      F.col("cont_b").alias("containment")))
     return out_a.unionByName(out_b)
+
+
+# ---- per-source dedup report ------------------------------------------------
+
+def dedup_summary(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Per-source dedup-rate report: the one table a curation team reads
+    before deciding removal policy — (source, n_docs, exact_dup_docs,
+    near_dup_docs, exact_ppm, near_ppm), where exact_dup_docs counts
+    documents whose canonical fingerprint appears ≥2 times corpus-wide
+    and near_dup_docs counts documents touched by ≥1 MinHash-LSH pair.
+    Rates are exact integer ppm (1e6·count div n_docs).
+
+    Plan: the fingerprint groupBy (one uniform shuffle) and the LSH band
+    join (the standard near-dup plan) each reduce to a per-doc flag; the
+    flags join back to the doc→source map and one bounded-key agg
+    finishes.  Everything reuses the oracle-checked building blocks, so
+    the report is itself oracle-exact.
+    """
+    fp = docs.select(F.col(id_col),
+                     md5_long(_norm_text(F.col(text_col))).alias("fp"))
+    dup_fp = (fp.groupBy("fp").agg(F.count("*").alias("c"))
+              .filter(F.col("c") >= 2).select("fp"))
+    exact_flag = (fp.join(dup_fp, "fp")
+                  .select(F.col(id_col), F.lit(True).alias("__ex")))
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col)
+    near_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct()
+                .select(F.col(id_col), F.lit(True).alias("__nd")))
+    base = (docs.select(F.col(id_col), F.col(source_col))
+            .join(exact_flag, id_col, "left")
+            .join(near_ids, id_col, "left"))
+    agg = (base.groupBy(source_col)
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("__ex"), 1).otherwise(0)).cast("long")
+                 .alias("exact_dup_docs"),
+                F.sum(F.when(F.col("__nd"), 1).otherwise(0)).cast("long")
+                 .alias("near_dup_docs")))
+    return agg.select(
+        source_col, "n_docs", "exact_dup_docs", "near_dup_docs",
+        F.expr("(1000000 * exact_dup_docs) div n_docs").alias("exact_ppm"),
+        F.expr("(1000000 * near_dup_docs) div n_docs").alias("near_ppm"))

@@ -380,3 +380,20 @@ def test_containment_catches_subsumed_doc(spark):
     assert (1, 2) in out and out[(1, 2)] == 1.0  # fully contained
     assert (2, 1) not in out                      # asymmetric
     assert not any(3 in k for k in out)
+
+
+def test_dedup_summary_counts(spark):
+    from document_vector_pipeline_spark.operators.dedup import dedup_summary
+
+    same = "repeated body of text that is exactly the same every time"
+    rows = [(1, "s1", same), (2, "s1", same),          # exact dups
+            (3, "s1", "unique text one two three four five six seven"),
+            (4, "s2", same)]                            # cross-source dup
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    out = {r["source"]: r for r in dedup_summary(docs).collect()}
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["exact_dup_docs"] == 2     # docs 1,2
+    assert out["s2"]["exact_dup_docs"] == 1     # doc 4 (corpus-wide group)
+    assert out["s1"]["exact_ppm"] == 666_666
+    assert out["s1"]["near_dup_docs"] >= 2      # exact dups are near dups
