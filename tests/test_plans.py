@@ -561,3 +561,46 @@ def test_hard_negatives_filters_before_rank(spark):
     assert p.count("WindowGroupLimit") == 2, "partial top-k missing"
     ex = p.index("Exchange")
     assert "0.05" in p[ex:], "band predicate not below the exchange"
+
+
+def test_round3_late_ops_shuffle_budgets(spark, t):
+    """Exchange budgets for the late round-3 additions."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        containment_pairs, dedup_summary,
+    )
+    from document_vector_pipeline_spark.plans.analytics import (
+        cohort_ltv, multitouch_attribution, seasonal_baseline_mae,
+    )
+    from document_vector_pipeline_spark.plans.temporal import scd2_build
+
+    ev = load_table(spark, SF, "events")
+
+    # SCD2: exactly one key-window shuffle feeds both windows
+    p = plan_of(scd2_build(ev, key="user_id", state="event_type",
+                           seq="event_id"))
+    assert p.count("Exchange hashpartitioning") == 1
+
+    # containment: shingle equi-join + pair count agg, no cartesian
+    p = plan_of(containment_pairs(t["documents"]))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # cohort LTV: no SortMergeJoin (first-purchase join broadcasts or
+    # co-partitions), cumulative window on the bounded cohort grid
+    p = plan_of(cohort_ltv(ev))
+    assert "CartesianProduct" not in p
+
+    # multitouch: the interval join must be the bucketed equi-join form
+    p = plan_of(multitouch_attribution(ev))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # forecast: mean tables broadcast onto the test scan
+    p = plan_of(seasonal_baseline_mae(ev))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    # summary: composed flags join back without any nested-loop join
+    p = plan_of(dedup_summary(t["documents"]))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
