@@ -203,34 +203,32 @@ def kcore(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     triage step before deciding cluster-wide removal policies.
 
     The iterative-algorithm template again (like pagerank): each round
-    is one degree aggregate + two semi-join-shaped prunes; the round's
-    edge frame is cached and the previous one released, and the final
-    (small) result is materialized eagerly so every loop cache can be
-    dropped before returning.  A FIXED round count keeps the DuckDB
-    oracle an unrolled CTE; near-dup graphs peel to a fixed point in a
-    handful of rounds (converged = two equal consecutive edge counts,
-    visible in the bench numbers)."""
+    is one degree aggregate + two semi-join-shaped prunes.  Each round's
+    edge frame is EAGERLY LOCAL-CHECKPOINTED, not just cached: `e` feeds
+    the round THREE times (itself + both sides' degree prune), so a
+    cache — which truncates execution but not the logical plan — would
+    nest ~3^rounds copies of the upstream pair-join tree into the final
+    plan and blow up plan analysis (observed: OOM generating the tree
+    string at 4 rounds over the MinHash band join).  Checkpointing cuts
+    the lineage to one round; the previous round's blocks are released
+    as soon as the next is materialized.  A FIXED round count keeps the
+    DuckDB oracle an unrolled CTE; near-dup graphs peel to a fixed point
+    in a handful of rounds."""
     swap = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
-    sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-           .union(swap).cache())
-    e = sym
+    e = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+         .union(swap).localCheckpoint(eager=True))
     for _ in range(rounds):
         d = (e.groupBy("n").agg(F.count("*").alias("deg"))
-             .filter(F.col("deg") >= k).select("n").cache())
+             .filter(F.col("deg") >= k).select("n"))
         new_e = (e.join(d, "n")
                  .join(d.withColumnRenamed("n", "m"), "m")
-                 .select("n", "m").cache())
-        new_e.count()
-        d.unpersist()
-        if e is not sym:
-            e.unpersist()
+                 .select("n", "m").localCheckpoint(eager=True))
+        e.unpersist()
         e = new_e
     out = (e.groupBy("n")
            .agg(F.count("*").cast("long").alias("core_deg"))
            .select(F.col("n").alias("id"), "core_deg")
            .orderBy("id"))
     result = out.localCheckpoint(eager=True)
-    if e is not sym:
-        e.unpersist()
-    sym.unpersist()
+    e.unpersist()
     return result
