@@ -47,16 +47,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("n", "m"), "m")
                .select("n", "lbl"))
+        # localCheckpoint, not cache: `labels` feeds the round TWICE
+        # (union side + join side), so a cache — which truncates
+        # execution but not the LOGICAL plan — would nest 2^round copies
+        # of the upstream pair-join tree into later plans; the same
+        # plan-analysis blowup kcore hit at 3 refs/round.  Checkpointing
+        # keeps every round's plan one round deep.
         new_labels = (labels.select("n", "lbl").union(nbr)
                       .groupBy("n").agg(F.min("lbl").alias("lbl"))
-                      .cache())
+                      .localCheckpoint(eager=True))
         new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()  # labels' cache is already materialized by label_sum
+    sym.unpersist()
     return labels.select(F.col("n").alias("id"),
                          F.col("lbl").alias("component"))
 
