@@ -407,6 +407,7 @@ def main() -> None:
     bench("events_heatmap", lambda: sev.hourly_heatmap(ev))
     bench("customer_deciles",
           lambda: analytics.customer_deciles(t["orders"]))
+    bench("customer_rfm", lambda: analytics.customer_rfm(t["orders"]))
     bench("customer_churn", lambda: analytics.customer_churn(t["orders"]))
     bench("events_pivot", lambda: sev.daily_type_pivot(ev))
     bench("events_cube", lambda: temporal.cube_events(ev))

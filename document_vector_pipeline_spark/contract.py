@@ -4686,6 +4686,38 @@ from v
 """
 
 
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation: recency/frequency/monetary quintile scores per
+    customer, aggregated to the segment grid."""
+    return analytics.customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+def _sql_customer_rfm(n_tiles: int = 5) -> str:
+    return f"""
+with per as (
+  select o_custkey, max(o_orderdate) as last_dt,
+         cast(count(*) as bigint) as freq,
+         cast(sum(cast(round(o_totalprice * 100.0, 0) as bigint))
+              as bigint) as cents
+  from orders group by o_custkey),
+mx as (select max(last_dt) as mx from per),
+s as (select per.*, date_diff('day', last_dt, mx.mx) as rec_days
+      from per, mx),
+t as (select o_custkey, cents,
+             cast(ntile({n_tiles}) over (order by rec_days, o_custkey)
+                  as int) as r_score,
+             cast(ntile({n_tiles}) over (order by freq desc, o_custkey)
+                  as int) as f_score,
+             cast(ntile({n_tiles}) over (order by cents desc, o_custkey)
+                  as int) as m_score
+      from s)
+select r_score, f_score, m_score,
+       cast(count(*) as bigint) as n_customers,
+       cast(sum(cents) as bigint) / 100.0 as revenue
+from t group by 1, 2, 3
+"""
+
+
 def q_dedup_summary(spark, sf_dir):
     """Per-source dedup-rate report (exact + MinHash near-dup document
     counts and exact-integer ppm rates)."""
@@ -5115,6 +5147,7 @@ def queries():
         "stream_scd2": q_stream_scd2,
         "dedup_containment": q_dedup_containment,
         "dedup_summary": q_dedup_summary,
+        "customer_rfm": q_customer_rfm,
         "corpus_novelty": q_corpus_novelty,
         "supplier_hhi": q_supplier_hhi,
         "emb_norm_hist": q_emb_norm_hist,
@@ -5351,6 +5384,7 @@ from events group by user_id
         "stream_scd2": _sql_stream_scd2(),
         "dedup_containment": _sql_dedup_containment(),
         "dedup_summary": _sql_dedup_summary(),
+        "customer_rfm": _sql_customer_rfm(),
         "corpus_curate": _sql_corpus_curate(),
         "sketch_kmv_windowed": _sql_sketch_kmv_windowed(),
         "events_transitions": _sql_events_transitions(),

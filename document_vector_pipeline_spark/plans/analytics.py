@@ -1133,3 +1133,38 @@ def seasonal_baseline_mae(events: DataFrame,
                  F.expr("sum(abs(cents - pred)) div count(*)")
                   .alias("mae_cents"))
             .orderBy("event_type"))
+
+
+def customer_rfm(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation: per-customer Recency / Frequency / Monetary
+    quintile scores (1 = most recent / most frequent / highest value),
+    aggregated to the ≤ n³ segment grid with sizes and revenue — the
+    classic CRM segmentation table.
+
+    Same shape discipline as customer_deciles: all three ntile rankings
+    run on the ALREADY-AGGREGATED one-row-per-customer frame with total
+    tie-break orders (metric, custkey), so segment membership is
+    deterministic and the unpartitioned windows are bounded by customer
+    cardinality (customers ≪ orders at any scale).  Recency is measured
+    in days against the corpus max order date (plan metadata)."""
+    from pyspark.sql import Window
+
+    per = (orders.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_dt"),
+                F.count("*").cast("long").alias("freq"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                 .alias("cents")))
+    mx = per.agg(F.max("last_dt").alias("mx"))
+    scored = (per.crossJoin(F.broadcast(mx))
+              .withColumn("rec_days",
+                          F.datediff(F.col("mx"), F.col("last_dt"))))
+    wr = Window.orderBy("rec_days", "o_custkey")
+    wf = Window.orderBy(F.desc("freq"), "o_custkey")
+    wm = Window.orderBy(F.desc("cents"), "o_custkey")
+    tiled = (scored
+             .withColumn("r_score", F.ntile(n_tiles).over(wr).cast("int"))
+             .withColumn("f_score", F.ntile(n_tiles).over(wf).cast("int"))
+             .withColumn("m_score", F.ntile(n_tiles).over(wm).cast("int")))
+    return (tiled.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 (F.sum("cents").cast("long") / 100.0).alias("revenue")))

@@ -295,3 +295,20 @@ def test_seasonal_baseline_mae_exact(spark):
     # both test rows hit the global fallback or a cell; MAE is an exact
     # integer floor of cent distances
     assert isinstance(a["mae_cents"], int) and a["mae_cents"] >= 0
+
+
+def test_customer_rfm_tiles_are_balanced(spark):
+    from document_vector_pipeline_spark.plans.analytics import customer_rfm
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    rows = customer_rfm(orders).collect()
+    n = sum(r["n_customers"] for r in rows)
+    # each score dimension partitions all customers into 5 tiles whose
+    # sizes differ by at most 1
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[dim]] = per.get(r[dim], 0) + r["n_customers"]
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1
+        assert sum(per.values()) == n
