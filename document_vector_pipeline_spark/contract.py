@@ -4686,6 +4686,80 @@ from v
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join: each purchase gets the user's NEXT click at
+    or after the purchase instant (equal-ts duplicates resolve to the
+    smallest click id) — the direction='forward' member of the
+    backward/forward/nearest merge_asof triple."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    out = temporal.asof_forward(purchases, clicks, key="user_id",
+                                right_cols=["event_id"],
+                                right_seq="event_id", prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_ts"), F.col("click_event_id").alias("click_id"),
+        (epoch_us(F.col("click_ts")) - epoch_us(F.col("ts")))
+        .alias("gap_us"))
+
+
+def _sql_asof_forward() -> str:
+    return """
+select p.event_id, p.user_id, p.ts,
+       c.ts as click_ts, c.event_id as click_id,
+       epoch_us(c.ts) - epoch_us(p.ts) as gap_us
+from events p
+left join lateral (
+  select c.event_id, c.ts from events c
+  where c.user_id = p.user_id and c.event_type = 'click'
+    and c.ts >= p.ts
+  order by c.ts, c.event_id
+  limit 1) c on true
+where p.event_type = 'purchase'
+"""
+
+
+def q_hypertable_gapfill(spark, sf_dir):
+    """time_bucket_gapfill + locf: per event type, the hourly series
+    over the corpus time range with missing hours materialized and the
+    value carried forward (TimescaleDB gapfill parity)."""
+    return temporal.gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
+def _sql_hypertable_gapfill() -> str:
+    return """
+with h as (
+  select event_type, date_trunc('hour', ts) as bucket,
+         cast(count(*) as bigint) as n_events,
+         sum(cast(round(value * 100.0, 0) as bigint)) as cents
+  from events group by 1, 2),
+span as (select date_trunc('hour', min(ts)) as lo,
+                date_trunc('hour', max(ts)) as hi
+         from events),
+grid as (
+  select d.event_type, t.bucket
+  from (select distinct event_type from events) d
+  cross join span s
+  cross join unnest(generate_series(s.lo, s.hi, interval 1 hour))
+    as t(bucket)),
+j as (
+  select g.event_type, g.bucket, h.n_events, h.cents
+  from grid g left join h using (event_type, bucket))
+select event_type, bucket,
+       coalesce(n_events, 0) as n_events,
+       cents / 100.0 as bucket_value,
+       last_value(cents ignore nulls) over (
+         partition by event_type order by bucket
+         rows between unbounded preceding and current row) / 100.0
+         as locf_value,
+       cents is null as is_gap
+from j
+"""
+
+
 def q_customer_rfm(spark, sf_dir):
     """RFM segmentation: recency/frequency/monetary quintile scores per
     customer, aggregated to the segment grid."""
@@ -5077,6 +5151,9 @@ def queries():
     # keys below were green in the judge's selfcheck but have never had a
     # driver verdict — they go first, then new round-3 keys, then rotation.
     return {
+        # round-4 session-2 additions (never driver-checked) first
+        "asof_forward": q_asof_forward,
+        "hypertable_gapfill": q_hypertable_gapfill,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5261,6 +5338,8 @@ def oracle_sql():
     # ANSI-SQL twin (the exact variants ann_bruteforce / mm_decode are
     # oracle-checked instead).
     return {
+        "asof_forward": _sql_asof_forward(),
+        "hypertable_gapfill": _sql_hypertable_gapfill(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

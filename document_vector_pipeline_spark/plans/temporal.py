@@ -326,6 +326,107 @@ def asof_nearest(left: DataFrame, right: DataFrame, key: str,
     return u.select(*out_cols)
 
 
+def asof_forward(left: DataFrame, right: DataFrame, key: str,
+                 left_ts: str = "ts", right_ts: str = "ts",
+                 right_cols: Optional[Sequence[str]] = None,
+                 right_seq: Optional[str] = None,
+                 tolerance_us: Optional[int] = None,
+                 prefix: str = "r_") -> DataFrame:
+    """Forward as-of join (pandas ``merge_asof(direction='forward')``):
+    for every left row, attach the right row with the SMALLEST
+    ``right_ts`` >= ``left_ts`` for the same ``key`` (equal-ts right
+    duplicates resolve to the smallest ``right_seq``).  Completes the
+    backward/forward/nearest direction triple with the same
+    single-shuffle tag-union shape as ``asof_join``: one sort per key,
+    carry-first over the following frame, no join node.
+
+    ``tolerance_us`` drops matches farther than the window ahead
+    (match columns become NULL)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    if right_seq is None:
+        right_seq = right_cols[0] if right_cols else right_ts
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ats"),
+        *[F.col(c).alias(c) for c in right_cols]).alias("__payload")
+    # left sorts BEFORE right at equal ts (side 0 < 1) so the inclusive
+    # >= match sees same-instant right rows in its following frame.
+    r = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(right_seq).cast("long").alias("__seq"), payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns])
+    l = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"), F.lit(0).cast("long").alias("__seq"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns)
+    w = (Window.partitionBy("__k")
+         .orderBy(F.col("__ts"), F.col("__side"), F.col("__seq"))
+         .rowsBetween(0, Window.unboundedFollowing))
+    matched = (r.unionByName(l)
+               .withColumn("__m",
+                           F.first("__payload", ignorenulls=True).over(w))
+               .filter(F.col("__side") == 0))
+    if tolerance_us is not None:
+        in_window = (_us(F.col("__m.__ats")) - _us(F.col("__ts"))
+                     <= F.lit(tolerance_us))
+        matched = matched.withColumn(
+            "__m", F.when(in_window, F.col("__m")))
+    out_cols = list(left.columns)
+    out_cols.append(F.col("__m.__ats").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}")
+                    for c in right_cols)
+    return matched.select(*out_cols)
+
+
+def gapfill_locf(events: DataFrame, ts: str = "ts",
+                 dim: str = "event_type", value: str = "value",
+                 grain: str = "hour") -> DataFrame:
+    """Hypertable-style ``time_bucket_gapfill`` + ``locf``: per ``dim``,
+    an hourly-bucket series over the CORPUS time range with missing
+    buckets materialized (n_events = 0, is_gap = true) and the value
+    carried forward from the last real bucket (NULL before the first).
+    The TimescaleDB gapfill/locf pattern for dashboard-continuous series.
+
+    Plan shape (the 100 TB shape): the base table is touched exactly
+    once by the grain aggregation (one partial-aggregated shuffle).
+    The bucket grid is dims × buckets — generated from a 1-row min/max
+    aggregate cross-joined onto the distinct dims and sequence-exploded,
+    thousands of rows where the base table has billions.  The LOCF
+    window and the grid join both run on the GRID, never on events.
+    Fixed-point cents keep the carried values engine-exact."""
+    cents = F.round(F.col(value) * 100.0, 0).cast("long")
+    hourly = (events
+              .groupBy(F.col(dim).alias(dim),
+                       F.date_trunc(grain, F.col(ts)).alias("bucket"))
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(cents).alias("__cents")))
+    span = events.agg(
+        F.date_trunc(grain, F.min(ts)).alias("__lo"),
+        F.date_trunc(grain, F.max(ts)).alias("__hi"))
+    dims = events.select(F.col(dim).alias(dim)).distinct()
+    step = F.expr(f"interval 1 {grain}")
+    grid = (dims.join(F.broadcast(span))
+            .select(dim, F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), step))
+                .alias("bucket")))
+    joined = grid.join(hourly, [dim, "bucket"], "left")
+    w = (Window.partitionBy(dim).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (joined
+            .withColumn("__filled",
+                        F.last("__cents", ignorenulls=True).over(w))
+            .select(dim, "bucket",
+                    F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+                     .alias("n_events"),
+                    (F.col("__cents") / 100.0).alias("bucket_value"),
+                    (F.col("__filled") / 100.0).alias("locf_value"),
+                    F.col("__cents").isNull().alias("is_gap")))
+
+
 def scd2_build(changes: DataFrame, key: str, state: str,
                ts: str = "ts", seq: str | None = None) -> DataFrame:
     """Type-2 slowly-changing-dimension build from a change stream: per

@@ -149,3 +149,78 @@ def test_asof_single_shuffle_no_join(spark):
     assert "Join" not in plan or "join" not in plan.lower().replace(
         "joinedrow", "")
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------------------
+# asof_forward / gapfill_locf
+# ---------------------------------------------------------------------------
+
+
+def test_asof_forward_basic_tie_and_tolerance(spark):
+    left = _ev(spark, [(1, 7, TS(2024, 1, 1, 10, 0, 0), 0.0),
+                       (2, 7, TS(2024, 1, 1, 9, 30, 0), 0.0),
+                       (3, 9, TS(2024, 1, 1, 9, 0, 0), 0.0)])
+    # two right rows at left #2's instant → included (>=), tie broken by
+    # MIN event_id; left #1 matches the 11:00 row (next at-or-after);
+    # user 9 has no future click → NULLs
+    right = _ev(spark, [(10, 7, TS(2024, 1, 1, 9, 30, 0), 1.0),
+                        (11, 7, TS(2024, 1, 1, 9, 30, 0), 2.0),
+                        (12, 7, TS(2024, 1, 1, 11, 0, 0), 3.0),
+                        (13, 9, TS(2024, 1, 1, 8, 0, 0), 9.0)])
+    out = {r.event_id: r for r in T.asof_forward(
+        left, right.select("user_id", "ts", "event_id", "value"),
+        key="user_id", right_cols=["event_id", "value"],
+        right_seq="event_id").collect()}
+    assert out[2].r_event_id == 10 and out[2].r_value == 1.0
+    assert out[1].r_event_id == 12 and out[1].r_value == 3.0
+    assert out[3].r_event_id is None and out[3].r_ts is None
+    # tolerance: 30 min window drops left #1's 60-min-ahead match
+    tol = {r.event_id: r for r in T.asof_forward(
+        left, right.select("user_id", "ts", "event_id", "value"),
+        key="user_id", right_cols=["event_id", "value"],
+        right_seq="event_id",
+        tolerance_us=30 * 60 * 1_000_000).collect()}
+    assert tol[2].r_event_id == 10
+    assert tol[1].r_event_id is None
+
+
+def test_asof_forward_single_shuffle_no_join(spark):
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .select("event_id", "user_id", "ts"))
+    plan = T.asof_forward(
+        ev.limit(10), ev.select("user_id", "ts", "event_id"),
+        key="user_id", right_cols=["event_id"],
+        right_seq="event_id")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_gapfill_locf_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "a", TS(2024, 1, 1, 0, 10), 1.0),
+         (2, "a", TS(2024, 1, 1, 0, 50), 2.0),
+         (3, "a", TS(2024, 1, 1, 3, 5), 4.0),
+         (4, "b", TS(2024, 1, 1, 2, 0), 8.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    rows = {(r.event_type, r.bucket.hour): r
+            for r in T.gapfill_locf(df).collect()}
+    # grid spans hours 0..3 for BOTH types (corpus range)
+    assert len(rows) == 8
+    a1 = rows[("a", 1)]
+    assert a1.is_gap and a1.n_events == 0 and a1.bucket_value is None
+    assert a1.locf_value == 3.0          # carried from hour 0 (1+2)
+    assert rows[("a", 3)].bucket_value == 4.0
+    assert not rows[("a", 3)].is_gap
+    b0 = rows[("b", 0)]
+    assert b0.is_gap and b0.locf_value is None   # before first real bucket
+    assert rows[("b", 2)].locf_value == 8.0
+    assert rows[("b", 3)].locf_value == 8.0      # carried forward
+
+
+def test_gapfill_grid_window_not_on_events(spark):
+    """The LOCF window must consume the grid join, not the event scan:
+    no window operator may appear below the grain aggregation."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = T.gapfill_locf(ev)._jdf.queryExecution().executedPlan().toString()
+    # one aggregate pass over events, window strictly above it
+    assert plan.index("Window") < plan.index("HashAggregate")
