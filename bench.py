@@ -155,6 +155,9 @@ def main() -> None:
     bench("ann_lsh", lambda: similarity.lsh_ann(emb, qdf, k=10))
     bench("ann_ivf", lambda: similarity.ivf_ann(emb, qdf, k=10))
     bench("ann_pq", lambda: similarity.pq_ann(emb, qdf, k=10))
+    bench("ann_ivfpq", lambda: similarity.ivfpq_ann(emb, qdf, k=10))
+    bench("ann_range",
+          lambda: similarity.range_search(emb, qdf, threshold=0.3))
 
     from document_vector_pipeline_spark.store.ivf_index import IVFIndex
     ivf = IVFIndex(spark, os.path.join(ROOT, ".scratch", "bench_ivf"),

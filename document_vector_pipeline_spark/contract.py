@@ -943,6 +943,22 @@ def q_ann_pq(spark, sf_dir):
                              n_codes=16, n_sub=8, dim=64)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed ANN (FAISS IVFADC shape): coarse cells pruned to
+    nprobe per query, PQ asymmetric-distance scoring on survivors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_ann(emb, _queries_df(emb), k=10,
+                                n_centroids=8, nprobe=2,
+                                n_codes=16, n_sub=8, dim=64)
+
+
+def q_ann_range(spark, sf_dir):
+    """Radius search: all corpus vectors with cosine >= 0.3 to each
+    query — zero-shuffle broadcast scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.range_search(emb, _queries_df(emb), threshold=0.3)
+
+
 def q_ann_ivf_persisted(spark, sf_dir):
     """Persisted IVF index probed exhaustively (nprobe = n_centroids), so
     the result — and the oracle — is exactly brute force; the partition-
@@ -2782,6 +2798,96 @@ r as (select *, cast(row_number() over
         (partition by query_id order by score desc, vec_id) as int) as rank
       from s)
 select query_id, vec_id, score, rank from r where rank <= 10
+"""
+
+
+def _sql_ann_ivfpq(n_centroids: int = 8, nprobe: int = 2,
+                   n_codes: int = 16, n_sub: int = 8,
+                   dim: int = 64, k: int = 10) -> str:
+    """IVFPQ mirror: the IVF CTEs (exact-cosine cell assignment + probe
+    selection) feed the PQ CTEs (integer encode + ADC LUT); integer ADC
+    sums are associative, so the join shape cannot diverge from Spark's
+    literal-expression/Arrow shape."""
+    sub = dim // n_sub
+    h = _md5l("cast(vec_id as varchar)")
+    cos_ac = _cos("a.v", "c.cv", dim, "a.nrm", "c.cnrm")
+    cos_qc = _cos("q.v", "c.cv", dim, "q.nrm", "c.cnrm")
+    dist = " + ".join(
+        f"(e.s6[{i}]-c.cs6[{i}])*(e.s6[{i}]-c.cs6[{i}])"
+        for i in range(1, sub + 1))
+    idot = " + ".join(f"(q.qs6[{i}]*c.cs6[{i}])" for i in range(1, sub + 1))
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+e as materialized (
+  select vec_id, v, nrm,
+         list_transform(v, x -> cast(round(
+           (case when nrm = 0 then x else x/nrm end) * 1e6, 0) as bigint))
+           as v6,
+         {h} as hh
+  from e1),
+ivfc as materialized (
+  select vec_id as centroid_id, v as cv, nrm as cnrm
+  from e order by hh, vec_id limit {n_centroids}),
+asg as materialized (
+  select vec_id, centroid_id from (
+    select a.vec_id, c.centroid_id,
+           row_number() over (partition by a.vec_id
+             order by round({cos_ac}, 6) desc, c.centroid_id) as rn
+    from e a cross join ivfc c) where rn = 1),
+probes as materialized (
+  select query_id, centroid_id from (
+    select q.vec_id as query_id, c.centroid_id,
+           row_number() over (partition by q.vec_id
+             order by round({cos_qc}, 6) desc, c.centroid_id) as rn
+    from e q cross join ivfc c where q.vec_id < 5) where rn <= {nprobe}),
+cents as materialized (
+  select cast(row_number() over (order by hh, vec_id) as int) as code,
+         v6 as c6
+  from (select * from e order by hh, vec_id limit {n_codes})),
+sub as (select unnest(generate_series(0, {n_sub - 1})) as m),
+esub as materialized (
+  select vec_id, m, list_slice(v6, m*{sub}+1, m*{sub}+{sub}) as s6
+  from e cross join sub),
+csub as materialized (
+  select code, m, list_slice(c6, m*{sub}+1, m*{sub}+{sub}) as cs6
+  from cents cross join sub),
+enc as materialized (
+  select vec_id, m, code from (
+    select e.vec_id, e.m, c.code,
+           row_number() over (partition by e.vec_id, e.m
+             order by {dist}, c.code) as rn
+    from esub e join csub c on e.m = c.m) where rn = 1),
+lut as (
+  select q.vec_id as query_id, q.m, c.code,
+         cast({idot} as bigint) as d
+  from (select vec_id, m, s6 as qs6 from esub where vec_id < 5) q
+  join csub c on q.m = c.m),
+s as (
+  select p.query_id, a.vec_id,
+         round(cast(sum(l.d) as bigint) / 1000000000000.0, 6) as score
+  from probes p
+  join asg a on a.centroid_id = p.centroid_id
+  join enc on enc.vec_id = a.vec_id
+  join lut l on l.query_id = p.query_id and l.m = enc.m
+            and l.code = enc.code
+  group by p.query_id, a.vec_id),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= {k}
+"""
+
+
+def _sql_ann_range(threshold: float = 0.3, dim: int = 64) -> str:
+    cos = _cos("e.v", "q.v", dim, "e.nrm", "q.nrm")
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e where vec_id < 5)
+select q.query_id, e.vec_id, round({cos}, 6) as score
+from e cross join q
+where round({cos}, 6) >= {threshold!r}
 """
 
 
@@ -5154,6 +5260,8 @@ def queries():
         # round-4 session-2 additions (never driver-checked) first
         "asof_forward": q_asof_forward,
         "hypertable_gapfill": q_hypertable_gapfill,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_range": q_ann_range,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5340,6 +5448,8 @@ def oracle_sql():
     return {
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
+        "ann_ivfpq": _sql_ann_ivfpq(),
+        "ann_range": _sql_ann_range(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

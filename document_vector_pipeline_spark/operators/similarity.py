@@ -87,9 +87,11 @@ def _score_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
                     mask &= ids != qid
                 out = pd.DataFrame({"query_id": qid, "vec_id": ids[mask],
                                     "score": scores[mask]})
-                outs.append(out.sort_values(
-                    ["score", "vec_id"], ascending=[False, True],
-                    kind="mergesort").head(k))
+                if k is not None:
+                    out = out.sort_values(
+                        ["score", "vec_id"], ascending=[False, True],
+                        kind="mergesort").head(k)
+                outs.append(out)
             yield pd.concat(outs, ignore_index=True)
 
     return corpus.select(id_col, vec_col).mapInPandas(run, schema)
@@ -457,6 +459,101 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select("vec_id", F.col("qs.query_id").alias("query_id"),
                       F.round(F.col("qs.i") / F.lit(1e12), 6).alias("score")))
     return _ranked(scored, k)
+
+
+def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+              n_centroids: int = 8, nprobe: int = 2,
+              n_codes: int = 16, n_sub: int = 8, dim: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              qid_col: str = "query_id",
+              qvec_col: str = "query_vec") -> DataFrame:
+    """IVF+PQ composed index — the FAISS ``IVFADC`` shape (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011): a
+    coarse quantizer prunes the corpus to the ``nprobe`` probed cells
+    per query, and PQ asymmetric-distance lookup scores ONLY the
+    surviving rows.  This is the 100 TB serving plan: the scan touches
+    nprobe/n_centroids of the data AND reads n_sub codes per row
+    instead of ``dim`` floats — both prunings compose.
+
+    Plan shape: centroid assignment and PQ fixed-point encode are
+    MAP-ONLY (centroids and codebook are plan metadata, as in
+    ``ivf_assign`` / ``pq_ann``); the probed-cell cut is a broadcast
+    semi-filter on centroid_id BEFORE any scoring, ADC runs in one
+    Arrow pass over the surviving rows, the probe join is broadcast,
+    and the only shuffle is the final per-query top-k window.  Scores
+    are exact integers (same 1e-6 fixed-point domain as ``pq_ann``),
+    so results are bit-identical across engines and plan shapes."""
+    sub = dim // n_sub
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("q"))
+    qc = (q.join(F.broadcast(cents))
+          .withColumn("cscore",
+                      F.round(cosine_similarity("q", "centroid"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
+                                               F.col("centroid_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "centroid_id"))
+
+    cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
+    q_rows = (queries
+              .select(F.col(qid_col).alias("query_id"),
+                      pq_fixed_point(F.col(qvec_col), dim).alias("q6"))
+              .collect())
+    lut = {r["query_id"]: [[sum(r["q6"][m * sub + i] * cw[m * sub + i]
+                                for i in range(sub))
+                            for cw in cb]
+                           for m in range(n_sub)]
+           for r in q_rows}
+    score_udf = make_pq_score_udf(cb, lut, n_sub, sub)
+    qid_arr = F.array(*[F.lit(qid).cast("long") for qid in sorted(lut)])
+
+    cells = probes.select("centroid_id").distinct()
+    cand = assigned.join(F.broadcast(cells), "centroid_id")
+    scored_all = (cand
+                  .withColumn("v6", pq_fixed_point(F.col("v"), dim))
+                  .select("vec_id", "centroid_id",
+                          F.posexplode(score_udf(F.col("v6")))
+                          .alias("pos", "i"))
+                  .select("vec_id", "centroid_id",
+                          F.element_at(qid_arr, F.col("pos") + 1)
+                           .alias("query_id"),
+                          F.round(F.col("i") / F.lit(1e12), 6)
+                           .alias("score")))
+    scored = scored_all.join(F.broadcast(probes),
+                             ["query_id", "centroid_id"])
+    return _ranked(scored.select("query_id", "vec_id", "score"), k)
+
+
+def range_search(corpus: DataFrame, queries: DataFrame,
+                 threshold: float = 0.3,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "query_id", qvec_col: str = "query_vec",
+                 use_udf: bool = True) -> DataFrame:
+    """Radius search: EVERY (query, corpus) pair with cosine >=
+    ``threshold`` — the distance-threshold query shape Cosmos's
+    ``VectorDistance`` filter supports, and the right primitive when
+    "all matches" matters more than "top k" (e.g. recall-first
+    retrieval audits).
+
+    ZERO-shuffle plan: queries broadcast, scoring + band cut map-side
+    (one Arrow pass with ``use_udf=True``; broadcast-join +
+    interpreted fold as the oracle-facing twin) — no window, no
+    exchange: output rows stream straight from the scan, so the
+    operator scales with executors alone."""
+    if use_udf:
+        return _score_topk_np(corpus, queries, None, id_col, vec_col,
+                              qid_col, qvec_col, lo=threshold)
+    scored = (corpus.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v"))
+              .join(F.broadcast(queries.select(
+                  F.col(qid_col).alias("query_id"),
+                  F.col(qvec_col).alias("q"))))
+              .withColumn("score", F.round(cosine_similarity("v", "q"), 6)))
+    return (scored.filter(F.col("score") >= threshold)
+            .select("query_id", "vec_id", "score"))
 
 
 def label_centroids(emb: DataFrame, label_col: str = "label",

@@ -224,3 +224,61 @@ def test_norm_histogram_buckets_zero_and_scaled_vectors(spark):
     assert out[0]["n_vectors"] == 1 and out[0]["max_ss"] == 0
     assert out[(10 ** 12).bit_length()]["min_ss"] == 10 ** 12
     assert out[(10 ** 14).bit_length()]["max_ss"] == 10 ** 14
+
+
+def test_ivfpq_exhaustive_probe_equals_pq(spark, embeddings_small, queries):
+    """nprobe = n_centroids probes every cell, so IVFPQ degenerates to
+    plain PQ — same codes, same ADC integers, same ranking."""
+    full = S.ivfpq_ann(embeddings_small, queries, k=10,
+                       n_centroids=4, nprobe=4)
+    pq = S.pq_ann(embeddings_small, queries, k=10)
+    a = [(r.query_id, r.rank, r.vec_id, r.score) for r in
+         full.orderBy("query_id", "rank").collect()]
+    b = [(r.query_id, r.rank, r.vec_id, r.score) for r in
+         pq.orderBy("query_id", "rank").collect()]
+    assert a == b
+
+
+def test_ivfpq_prunes_to_probed_cells(spark, embeddings_small, queries):
+    """With nprobe < n_centroids, every returned row must live in a cell
+    its query probed."""
+    cents = S.ivf_centroids(embeddings_small, 4)
+    assigned = {r.vec_id: r.centroid_id
+                for r in S.ivf_assign(embeddings_small, cents).collect()}
+    out = S.ivfpq_ann(embeddings_small, queries, k=10,
+                      n_centroids=4, nprobe=1)
+    from document_vector_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    qc = (queries.join(F.broadcast(cents))
+          .withColumn("cs", F.round(
+              cosine_similarity("query_vec", "centroid"), 6)))
+    import collections
+    best = collections.defaultdict(list)
+    for r in qc.collect():
+        best[r.query_id].append((-r.cs, r.centroid_id))
+    probed = {q: sorted(v)[0][1] for q, v in best.items()}
+    for r in out.collect():
+        assert assigned[r.vec_id] == probed[r.query_id]
+
+
+def test_range_search_twins_and_threshold(spark, embeddings_small, queries):
+    """Arrow path ≡ expression path; every score >= τ; self-pair present
+    with score 1.0."""
+    tau = 0.2
+    fast = S.range_search(embeddings_small, queries, threshold=tau)
+    slow = S.range_search(embeddings_small, queries, threshold=tau,
+                          use_udf=False)
+    a = sorted((r.query_id, r.vec_id, r.score) for r in fast.collect())
+    b = sorted((r.query_id, r.vec_id, r.score) for r in slow.collect())
+    assert a == b and a
+    assert all(s >= tau for _, _, s in a)
+    selfs = {(q, v): s for q, v, s in a if q == v}
+    assert set(selfs) == {(0, 0), (1, 1), (2, 2)}
+    assert all(s == 1.0 for s in selfs.values())
+
+
+def test_range_search_zero_shuffle(spark, embeddings_small, queries):
+    plan = (S.range_search(embeddings_small, queries, threshold=0.2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
