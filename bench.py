@@ -262,8 +262,13 @@ def main() -> None:
         purchases, ev.filter(F.col("event_type") == "click")
         .select("user_id", "ts", "event_id"),
         key="user_id", right_cols=["event_id"], right_seq="event_id"))
+    bench("asof_forward", lambda: temporal.asof_forward(
+        purchases, ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id"),
+        key="user_id", right_cols=["event_id"], right_seq="event_id"))
     bench("events_rollup", lambda: temporal.rollup_events(ev))
     bench("hypertable_rollup", lambda: temporal.hypertable_rollup(ev))
+    bench("hypertable_gapfill", lambda: temporal.gapfill_locf(ev))
 
     bench("q9_profit", lambda: analytics.q9_profit(
         t["lineitem"], t["orders"], t["part"], t["supplier"], t["nation"]))
@@ -382,6 +387,12 @@ def main() -> None:
         layout.zorder_index(F.pmod(F.col("user_id"), F.lit(1024)),
                             F.dayofyear("ts")).alias("z"))
         .orderBy("z").limit(100))
+    bench("layout_hilbert", lambda: ev.select(
+        "event_id",
+        layout.hilbert_index(F.pmod(F.col("user_id"), F.lit(1024)),
+                             F.dayofyear("ts")).alias("h"))
+        .orderBy("h").limit(100))
+    bench("events_sequence_match", lambda: analytics.sequence_match(ev))
     bench("join_bloom", lambda: joins.bloom_semi_join(
         t["lineitem"],
         t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),

@@ -1644,6 +1644,75 @@ def q_layout_zorder(spark, sf_dir):
             .orderBy("z", "event_id").limit(100))
 
 
+def q_layout_hilbert(spark, sf_dir):
+    """Hilbert-curve key over (user bucket, day-of-year): the
+    space-filling sort key with better locality than Z-order (the key
+    itself is oracle-checked; layout.hilbert_write clusters files
+    with it)."""
+    from document_vector_pipeline_spark.plans import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.pmod(F.col("user_id"), F.lit(1024))
+    d = F.dayofyear(F.col("ts"))
+    return (ev.select(F.col("event_id"),
+                      u.cast("long").alias("u"),
+                      d.cast("int").alias("d"),
+                      layout.hilbert_index(u, d, bits=10).alias("h"))
+            .orderBy("h", "event_id").limit(100))
+
+
+def _sql_layout_hilbert(bits: int = 10) -> str:
+    """Unrolled-CTE mirror of the Hilbert fold: one CTE per bit level
+    carrying (x, y, hd); XOR-reflection and swap exactly as the Spark
+    fold expression — pure integer arithmetic, bit-identical."""
+    ctes = ["h0 as (select event_id, u, d, u as x, cast(d as bigint) as y,"
+            " cast(0 as bigint) as hd from e)"]
+    for k, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        ctes.append(f"""h{k + 1} as (
+  select event_id, u, d,
+         case when ry = 0 then
+             (case when rx = 1 then xor(y, {s - 1}) else y end)
+              else x end as x,
+         case when ry = 0 then
+             (case when rx = 1 then xor(x, {s - 1}) else x end)
+              else y end as y,
+         hd + {s * s} * xor(3 * rx, ry) as hd
+  from (select *,
+               case when (x & {s}) > 0 then 1 else 0 end as rx,
+               case when (y & {s}) > 0 then 1 else 0 end as ry
+        from h{k}))""")
+    joined = ",\n".join(ctes)
+    return f"""
+with e as (select event_id,
+                  cast(user_id % 1024 as bigint) as u,
+                  cast(dayofyear(ts) as int) as d
+           from events),
+{joined}
+select event_id, u, d, cast(hd as bigint) as h
+from h{bits} order by h, event_id limit 100
+"""
+
+
+def q_events_sequence_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style row-pattern count per user: non-overlapping
+    view → clicks* → purchase occurrences in the ordered event stream."""
+    return analytics.sequence_match(load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_sequence_match(pattern: str = "vc*p") -> str:
+    return f"""
+with s as (
+  select user_id,
+         string_agg(substr(event_type, 1, 1), '' order by ts, event_id)
+           as seq
+  from events group by user_id)
+select user_id, seq, cast(len(seq) as int) as n_events,
+       cast(len(regexp_extract_all(seq, '{pattern}')) as int) as n_matches
+from s
+"""
+
+
 def q_join_bloom(spark, sf_dir):
     """Bloom-prefiltered semi join: lineitems of urgent orders, rolled up
     per linestatus.  Result ≡ the plain semi join (the oracle); the bloom
@@ -5262,6 +5331,8 @@ def queries():
         "hypertable_gapfill": q_hypertable_gapfill,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_range": q_ann_range,
+        "layout_hilbert": q_layout_hilbert,
+        "events_sequence_match": q_events_sequence_match,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5450,6 +5521,8 @@ def oracle_sql():
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),
         "ann_range": _sql_ann_range(),
+        "layout_hilbert": _sql_layout_hilbert(),
+        "events_sequence_match": _sql_events_sequence_match(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

@@ -1019,6 +1019,34 @@ def event_trigrams(events: DataFrame, top: int = 30) -> DataFrame:
             .limit(top))
 
 
+def sequence_match(events: DataFrame, pattern: str = "vc*p") -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern matching over per-user event
+    streams — the row-pattern operator SQL:2016 defines and Spark lacks:
+    encode each user's (ts, event_id)-ordered events as a one-char-per-
+    event string (event types here have distinct initials) and count the
+    non-overlapping occurrences of ``pattern`` (default: a view, any
+    clicks, then a purchase).  Regex engines agree on leftmost
+    non-overlapping matching for this pattern class, so the count is
+    engine-exact.
+
+    Scale shape: ONE shuffle (the per-user groupBy); the sequence
+    string is bounded by the user's event count, the regex runs
+    map-side on the aggregated rows.  Billions of users is the sharded
+    dimension; no per-user window, no self-join."""
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring(F.col("event_type"), 1, 1).alias("c")))),
+            lambda x: x["c"]), "")
+    return (events.groupBy("user_id")
+            .agg(seq.alias("seq"))
+            .select("user_id", "seq",
+                    F.length("seq").cast("int").alias("n_events"),
+                    F.regexp_count(F.col("seq"), F.lit(pattern))
+                     .cast("int").alias("n_matches")))
+
+
 def multitouch_attribution(events: DataFrame,
                            lookback_us: int = 30 * 60 * 1_000_000,
                            unit: int = 1000) -> DataFrame:

@@ -604,3 +604,71 @@ def test_round3_late_ops_shuffle_budgets(spark, t):
     p = plan_of(dedup_summary(t["documents"]))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hilbert_index_is_bijective_and_adjacent(spark):
+    """Order-3 Hilbert over the 8x8 grid: indices are a permutation of
+    0..63 AND consecutive indices are Manhattan-adjacent cells — the
+    locality property that distinguishes Hilbert from Z-order."""
+    from document_vector_pipeline_spark.plans import layout
+
+    grid = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y"))
+    rows = (grid.select("x", "y",
+                        layout.hilbert_index(F.col("x"), F.col("y"), bits=3)
+                        .alias("h")).collect())
+    byh = {r.h: (r.x, r.y) for r in rows}
+    assert sorted(byh) == list(range(64))
+    for h in range(63):
+        (x1, y1), (x2, y2) = byh[h], byh[h + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_write_narrows_per_file_spans(spark, t, tmp_path):
+    from document_vector_pipeline_spark.plans import layout
+
+    ev = t["events"].select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1024)).cast("long").alias("u"),
+        F.dayofyear("ts").cast("long").alias("d"))
+
+    def mean_spans(path):
+        df = spark.read.parquet(path)
+        spans = (df.groupBy(F.input_file_name())
+                 .agg((F.max("u") - F.min("u")).alias("su"),
+                      (F.max("d") - F.min("d")).alias("sd"))
+                 .agg(F.avg("su"), F.avg("sd")).collect()[0])
+        return spans[0], spans[1]
+
+    layout.hilbert_write(ev, str(tmp_path / "h"), "u", "d", files=8)
+    ev.repartition(8).write.parquet(str(tmp_path / "plain_h"))
+    hu, hd = mean_spans(str(tmp_path / "h"))
+    pu, pd_ = mean_spans(str(tmp_path / "plain_h"))
+    assert hu * hd < 0.35 * pu * pd_
+
+
+def test_sequence_match_hand_case(spark):
+    import datetime as dt
+
+    rows = []
+    types = {"v": "view", "c": "click", "p": "purchase", "e": "error"}
+    # user 1: v c c p v p  -> matches 'vc*p' twice (greedy, non-overlap)
+    for i, ch in enumerate("vccpvp"):
+        rows.append((i, 1, dt.datetime(2024, 1, 1, 0, i), types[ch], 0.0))
+    # user 2: p v c e  -> zero (e breaks the run before any p)
+    for i, ch in enumerate("pvce"):
+        rows.append((10 + i, 2, dt.datetime(2024, 1, 1, 1, i), types[ch], 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp,"
+              " event_type string, value double")
+    from document_vector_pipeline_spark.plans import analytics as A
+    out = {r.user_id: r for r in A.sequence_match(ev).collect()}
+    assert out[1].seq == "vccpvp" and out[1].n_matches == 2
+    assert out[2].seq == "pvce" and out[2].n_matches == 0
+
+
+def test_sequence_match_one_shuffle(spark, t):
+    from document_vector_pipeline_spark.plans import analytics as A
+    plan = (A.sequence_match(t["events"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
