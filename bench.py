@@ -393,6 +393,9 @@ def main() -> None:
                              F.dayofyear("ts")).alias("h"))
         .orderBy("h").limit(100))
     bench("events_sequence_match", lambda: analytics.sequence_match(ev))
+    from document_vector_pipeline_spark.operators import sketch as _sk
+    bench("sketch_hll",
+          lambda: _sk.hll_distinct(ev, "event_type", "event_id", p=10))
     bench("join_bloom", lambda: joins.bloom_semi_join(
         t["lineitem"],
         t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),

@@ -1713,6 +1713,49 @@ from s
 """
 
 
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct users per event type: exact-integer register
+    math, one float division at the end — estimate itself oracle-checked
+    alongside the exact count and measured relative error."""
+    # p=6 keeps the query in HLL's raw-estimate regime (n >> 2.5m) at
+    # every SF — below that regime the spec switches to linear counting,
+    # whose ln() is not cross-engine-exact (see hll_distinct docstring).
+    return sketch.hll_distinct(load_table(spark, sf_dir, "events"),
+                               "event_type", "event_id", p=6)
+
+
+def _sql_sketch_hll(p: int = 6) -> str:
+    m = 1 << p
+    rest = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << (rest + 1))
+    h = _md5l("cast(event_id as varchar)")
+    return f"""
+with b as (
+  select event_type as grp, {h} as h from events),
+r as (select grp, cast(h % {m} as int) as reg, h // {m} as w from b),
+rr as (select grp, reg,
+              max(case when w = 0 then {rest + 1}
+                       else {rest + 1} - len(bin(w)) end) as mx
+       from r group by grp, reg),
+s as (select grp, cast(count(*) as bigint) as n_used,
+             cast(sum(1::BIGINT << ({rest + 1} - mx)) as bigint)
+               as s_present
+      from rr group by grp),
+sel as (select grp, n_used,
+               s_present + ({m} - n_used) * (1::BIGINT << {rest + 1})
+                 as s_scaled
+        from s),
+x as (select event_type as grp,
+             cast(count(distinct event_id) as bigint) as exact
+      from events group by event_type)
+select sel.grp as event_type, cast({m} as int) as m, n_used, s_scaled,
+       round({num!r} / s_scaled, 4) as estimate, exact,
+       round(abs({num!r} / s_scaled - exact) / exact, 6) as rel_err
+from sel join x using (grp) order by event_type
+"""
+
+
 def q_join_bloom(spark, sf_dir):
     """Bloom-prefiltered semi join: lineitems of urgent orders, rolled up
     per linestatus.  Result ≡ the plain semi join (the oracle); the bloom
@@ -5333,6 +5376,7 @@ def queries():
         "ann_range": q_ann_range,
         "layout_hilbert": q_layout_hilbert,
         "events_sequence_match": q_events_sequence_match,
+        "sketch_hll": q_sketch_hll,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5523,6 +5567,7 @@ def oracle_sql():
         "ann_range": _sql_ann_range(),
         "layout_hilbert": _sql_layout_hilbert(),
         "events_sequence_match": _sql_events_sequence_match(),
+        "sketch_hll": _sql_sketch_hll(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

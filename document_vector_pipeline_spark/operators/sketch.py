@@ -201,3 +201,66 @@ def kmv_windowed(events: DataFrame, ts_col: str = "ts",
                     F.round(F.abs(F.col("estimate") - F.col("exact"))
                             / F.col("exact"), 6).alias("rel_err"))
             .orderBy("window_start"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 12) -> DataFrame:
+    """(group, m, n_used, s_scaled, estimate, exact, rel_err):
+    HyperLogLog distinct-count estimate per group, register math in
+    exact integers (Flajolet et al. 2007).
+
+    The md5 hash splits into a register index (low ``p`` bits) and a
+    60-p bit suffix whose leading-zero count (+1) is the register rank;
+    the harmonic-mean denominator Σ 2^-M_j is carried as the EXACT
+    integer Σ 2^(49-M_j) (absent registers contribute 2^49; max
+    4096·2^49 < 2^62), so the only float op is the final single
+    division by the alpha·m²·2^49 literal — bit-identical across
+    engines, same double-over-exact-integers contract as KMV.
+
+    Scale shape: one partial-aggregated shuffle to (group, register)
+    max-rank — at most m rows per group per map task leave each
+    partition, the textbook mergeability argument (max commutes with
+    any partitioning).  The exact count rides along to expose the
+    measured error, as in kmv_windowed.
+
+    Only the RAW estimator is emitted: below n ≈ 2.5m the spec switches
+    to linear counting m·ln(m/V), whose ln() is not bit-reproducible
+    across engines — callers in that regime should size p down (the
+    contract query uses p=6) or use kmv_distinct, which is exact below
+    k by construction."""
+    m = 1 << p
+    rest = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << (rest + 1))
+    h = md5_long(F.col(value_col).cast("string"))
+    reg = h.bitwiseAND(m - 1).cast("int")
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(rest + 1))
+           .otherwise(F.lit(rest + 1) - F.length(F.bin(w)))).cast("int")
+    regs = (df.select(F.col(group_col).alias("grp"), reg.alias("reg"),
+                      rho.alias("rho"))
+            .groupBy("grp", "reg").agg(F.max("rho").alias("mx")))
+    s = (regs.groupBy("grp")
+         .agg(F.count("*").alias("n_used"),
+              F.sum(F.expr(f"shiftleft(cast(1 as bigint), {rest + 1} - mx)"))
+               .alias("s_present")))
+    s = s.withColumn(
+        "s_scaled",
+        F.col("s_present")
+        + (F.lit(m).cast("long") - F.col("n_used"))
+        * F.lit(1 << (rest + 1)).cast("long"))
+    exact = (df.groupBy(F.col(group_col).alias("grp"))
+             .agg(F.count_distinct(F.col(value_col)).cast("long")
+                  .alias("exact")))
+    return (s.join(exact, "grp")
+            .select(F.col("grp").alias(group_col),
+                    F.lit(m).cast("int").alias("m"),
+                    F.col("n_used").cast("long").alias("n_used"),
+                    "s_scaled",
+                    F.round(F.lit(num) / F.col("s_scaled"), 4)
+                     .alias("estimate"),
+                    "exact",
+                    F.round(F.abs(F.lit(num) / F.col("s_scaled")
+                                  - F.col("exact")) / F.col("exact"), 6)
+                     .alias("rel_err"))
+            .orderBy(group_col))

@@ -87,3 +87,27 @@ def test_histogram_quantiles_partition_invariant_and_ordered(spark):
     for pairs in by_grp.values():
         qs, buckets = zip(*sorted(pairs))
         assert list(buckets) == sorted(buckets)  # monotone in q
+
+
+def test_hll_accuracy_and_merge_shape(spark):
+    """HLL estimate within ~5 σ (σ≈1.04/√m ≈ 1.6%) of exact on the real
+    events table, and the register aggregate partial-combines (max is
+    mergeable: same result at any parallelism)."""
+    from document_vector_pipeline_spark.operators import sketch as SK
+    from document_vector_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    out = {r.event_type: r for r in
+           SK.hll_distinct(ev, "event_type", "event_id", p=6).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        # m=64 -> sigma ~ 1.04/8 = 13%; 4 sigma
+        assert r.rel_err < 0.52
+        assert 0 < r.n_used <= r.m
+    # repartitioning must not change a single output value
+    again = {r.event_type: r for r in
+             SK.hll_distinct(ev.repartition(13), "event_type",
+                             "event_id", p=6).collect()}
+    for k in out:
+        assert out[k].s_scaled == again[k].s_scaled
+        assert out[k].estimate == again[k].estimate
