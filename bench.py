@@ -158,6 +158,9 @@ def main() -> None:
     bench("ann_ivfpq", lambda: similarity.ivfpq_ann(emb, qdf, k=10))
     bench("ann_range",
           lambda: similarity.range_search(emb, qdf, threshold=0.3))
+    bench("ann_binary", lambda: similarity.binary_ann(emb, qdf, k=10))
+    bench("emb_mrl_recall",
+          lambda: similarity.mrl_recall(emb, qdf, k=10, dims=(8, 32)))
 
     from document_vector_pipeline_spark.store.ivf_index import IVFIndex
     ivf = IVFIndex(spark, os.path.join(ROOT, ".scratch", "bench_ivf"),

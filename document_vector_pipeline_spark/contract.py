@@ -959,6 +959,92 @@ def q_ann_range(spark, sf_dir):
     return similarity.range_search(emb, _queries_df(emb), threshold=0.3)
 
 
+def q_ann_binary(spark, sf_dir):
+    """Binary-quantization ANN: sign-bit encode (2 int64 words), Hamming
+    top-k — the 32x-compression first-pass filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.binary_ann(emb, _queries_df(emb), k=10, dim=64)
+
+
+def _sql_ann_binary(k: int = 10, dim: int = 64) -> str:
+    def word(lo: int, n: int) -> str:
+        return ("cast(list_sum(list_transform(generate_series(1, "
+                f"{n}), i -> case when v[i + {lo}] > 0 then "
+                "(1::BIGINT << (i - 1)) else 0 end)) as bigint)")
+
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, {word(0, 32)} as w0,
+                          {word(32, 32)} as w1 from e0),
+q as (select vec_id as query_id, w0 as qw0, w1 as qw1
+      from e where vec_id < 5),
+s as (select q.query_id, e.vec_id,
+             cast({dim} - bit_count(xor(e.w0, q.qw0))
+                        - bit_count(xor(e.w1, q.qw1)) as int) as score
+      from e cross join q),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= {k}
+"""
+
+
+def q_emb_mrl_recall(spark, sf_dir):
+    """Matryoshka truncation recall curve: recall@10 of prefix-dim
+    cosine rankings (8/16/32 dims) vs the full 64-dim ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mrl_recall(emb, _queries_df(emb), k=10,
+                                 dims=(8, 16, 32), full_dim=64)
+
+
+def _sql_emb_mrl_recall(k: int = 10, dims: tuple = (8, 16, 32),
+                        full_dim: int = 64) -> str:
+    cos_full = _cos("e.v", "q.v", full_dim, "e.nrm", "q.nrm")
+    ctes = [
+        f"e0 as materialized (select vec_id, {_EMB_D} as v from embeddings)",
+        f"e as materialized (select vec_id, v, sqrt({_ss('v', full_dim)})"
+        " as nrm from e0)",
+        "q as (select vec_id as query_id, v, nrm from e where vec_id < 5)",
+        f"""x as materialized (
+  select query_id, vec_id from (
+    select q.query_id, e.vec_id,
+           row_number() over (partition by q.query_id
+             order by round({cos_full}, 6) desc, e.vec_id) as rn
+    from e cross join q) where rn <= {k})""",
+    ]
+    selects = []
+    for d in dims:
+        cos_d = _cos("td.v", "tq.v", d, "td.nrm", "tq.nrm")
+        ctes.append(
+            f"""td{d} as materialized (
+  select vec_id, list_slice(v, 1, {d}) as v,
+         sqrt({_ss(f'list_slice(v, 1, {d})', d)}) as nrm
+  from e)""")
+        ctes.append(
+            f"""a{d} as (
+  select query_id, vec_id from (
+    select tq.query_id, td.vec_id,
+           row_number() over (partition by tq.query_id
+             order by round({cos_d}, 6) desc, td.vec_id) as rn
+    from td{d} td cross join
+         (select q.query_id, t.v, t.nrm
+          from q join td{d} t on t.vec_id = q.query_id) tq)
+  where rn <= {k})""")
+        selects.append(
+            f"""select cast({d} as int) as dims, x.query_id,
+       cast(count(a.vec_id) as bigint) as n_hits,
+       round(count(a.vec_id) / {k}.0, 6) as recall
+from x left join a{d} a
+  on a.query_id = x.query_id and a.vec_id = x.vec_id
+group by x.query_id""")
+    body = "\nunion all\n".join(selects)
+    joined = ",\n".join(ctes)
+    return f"""
+with {joined}
+select * from ({body}) order by dims, query_id
+"""
+
+
 def q_ann_ivf_persisted(spark, sf_dir):
     """Persisted IVF index probed exhaustively (nprobe = n_centroids), so
     the result — and the oracle — is exactly brute force; the partition-
@@ -5377,6 +5463,8 @@ def queries():
         "layout_hilbert": q_layout_hilbert,
         "events_sequence_match": q_events_sequence_match,
         "sketch_hll": q_sketch_hll,
+        "ann_binary": q_ann_binary,
+        "emb_mrl_recall": q_emb_mrl_recall,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5568,6 +5656,8 @@ def oracle_sql():
         "layout_hilbert": _sql_layout_hilbert(),
         "events_sequence_match": _sql_events_sequence_match(),
         "sketch_hll": _sql_sketch_hll(),
+        "ann_binary": _sql_ann_binary(),
+        "emb_mrl_recall": _sql_emb_mrl_recall(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

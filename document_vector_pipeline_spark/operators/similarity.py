@@ -556,6 +556,105 @@ def range_search(corpus: DataFrame, queries: DataFrame,
             .select("query_id", "vec_id", "score"))
 
 
+def _sign_words(vec, dim: int):
+    """Two int64 words holding the sign bits of ``vec`` (bit i of word w
+    = 1 iff vec[32w+i] > 0).  32 bits per word keeps every value
+    positive and engine-portable; normalization never changes signs, so
+    this IS the 1-bit quantization of the normalized vector."""
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    words = []
+    for wi in range((dim + 31) // 32):
+        lo = wi * 32
+        n = min(32, dim - lo)
+        word = F.aggregate(
+            F.sequence(F.lit(1), F.lit(n)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.when(
+                F.element_at(vec, (i + F.lit(lo)).cast("int")) > 0,
+                F.element_at(pow2, i.cast("int"))).otherwise(
+                    F.lit(0).cast("long")))
+        words.append(word)
+    return words
+
+
+def binary_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+    """Binary-quantization ANN: 1-bit sign quantization (dim bits per
+    vector — 32× smaller than float32) scored by Hamming similarity
+    ``dim - popcount(xor)``.  The coarsest point on the float32 → int8
+    (vector_quantized) → PQ (ann_pq) compression ladder, and the one
+    modern vector stores ship as the first-pass filter because XOR +
+    POPCNT is the cheapest possible distance.
+
+    Plan: corpus encode is MAP-ONLY (two int64 words per row — the scan
+    reads 16 bytes instead of dim floats once the words are persisted),
+    queries broadcast, Hamming is whole-stage-codegen bit arithmetic,
+    and the only shuffle is the final top-k window.  All integers —
+    bit-identical across engines."""
+    cw = _sign_words(F.col(vec_col), dim)
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      *[w.alias(f"w{i}") for i, w in enumerate(cw)])
+    qw = _sign_words(F.col(qvec_col), dim)
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       *[w.alias(f"qw{i}") for i, w in enumerate(qw)])
+    ham = None
+    for i in range(len(cw)):
+        h = F.bit_count(F.col(f"w{i}").bitwiseXOR(F.col(f"qw{i}")))
+        ham = h if ham is None else ham + h
+    scored = (c.join(F.broadcast(q))
+              .select("query_id", "vec_id",
+                      (F.lit(dim) - ham).cast("int").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "score", "rank"))
+
+
+def mrl_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               dims: tuple = (8, 16, 32), full_dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+    """Matryoshka truncation recall: recall@k of exact cosine over the
+    FIRST ``d`` dimensions against the full-dim ranking, for each d in
+    ``dims`` — (dims, query_id, n_hits, recall).  The acceptance curve
+    for MRL-style embeddings (Kusupati et al. 2022): how much ranking
+    quality each prefix truncation keeps, measured, not assumed.
+
+    The full-dim exact top-k is materialized once (n_queries × k rows)
+    and reused; each truncated side is the same broadcast-scan
+    brute-force plan on sliced vectors.  Deterministic both sides, so
+    the metric is oracle-exact."""
+    exact = (brute_force_topk(corpus, queries, k=k,
+                              id_col=id_col, vec_col=vec_col,
+                              qid_col=qid_col, qvec_col=qvec_col)
+             .localCheckpoint(eager=True))
+    out = None
+    for d in dims:
+        tc = corpus.select(F.col(id_col),
+                           F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        tq = queries.select(F.col(qid_col),
+                            F.slice(F.col(qvec_col), 1, d).alias(qvec_col))
+        approx = brute_force_topk(tc, tq, k=k, id_col=id_col,
+                                  vec_col=vec_col, qid_col=qid_col,
+                                  qvec_col=qvec_col)
+        hits = exact.alias("e").join(
+            approx.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.vec_id") == F.col("a.vec_id")), "left")
+        r = (hits.groupBy(F.col("e.query_id").alias("query_id"))
+             .agg(F.count(F.col("a.vec_id")).cast("long").alias("n_hits"))
+             .select(F.lit(d).cast("int").alias("dims"), "query_id",
+                     "n_hits",
+                     F.round(F.col("n_hits") / k, 6).alias("recall")))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("dims", "query_id")
+
+
 def label_centroids(emb: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-label centroid in long form: (label, dim, n, centroid) — the

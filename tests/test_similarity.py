@@ -282,3 +282,51 @@ def test_range_search_zero_shuffle(spark, embeddings_small, queries):
     plan = (S.range_search(embeddings_small, queries, threshold=0.2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_binary_ann_self_top_and_integer_scores(spark, embeddings_small,
+                                                queries):
+    out = S.binary_ann(embeddings_small, queries, k=5)
+    rows = out.collect()
+    assert all(0 <= r.score <= 64 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.vec_id] = r
+    for q, d in by_q.items():
+        # the query vector itself has hamming 0 -> score 64, must appear
+        assert q in d and d[q].score == 64
+
+
+def test_binary_ann_matches_python_reference(spark, embeddings_small,
+                                             queries):
+    vecs = {r.vec_id: list(r.embedding)
+            for r in embeddings_small.collect()}
+
+    def words(v):
+        w = [0, 0]
+        for i, x in enumerate(v):
+            if x > 0:
+                w[i // 32] |= 1 << (i % 32)
+        return w
+
+    enc = {k: words(v) for k, v in vecs.items()}
+    out = S.binary_ann(embeddings_small, queries, k=64000)
+    for r in out.collect():
+        qw, vw = enc[r.query_id], enc[r.vec_id]
+        ham = bin(qw[0] ^ vw[0]).count("1") + bin(qw[1] ^ vw[1]).count("1")
+        assert r.score == 64 - ham
+
+
+def test_mrl_recall_monotone_on_real_embeddings(spark):
+    from document_vector_pipeline_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = S.mrl_recall(emb, q, k=10, dims=(8, 32))
+    rows = out.collect()
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    avg = {}
+    for r in rows:
+        avg.setdefault(r.dims, []).append(r.recall)
+    assert sum(avg[32]) / len(avg[32]) >= sum(avg[8]) / len(avg[8])
