@@ -397,6 +397,20 @@ def main() -> None:
         .orderBy("h").limit(100))
     bench("events_sequence_match", lambda: analytics.sequence_match(ev))
     from document_vector_pipeline_spark.operators import sketch as _sk
+    from document_vector_pipeline_spark.store.versioned import (
+        VersionedTable, snapshot_totals)
+
+    def timetravel():
+        path = os.path.join(ROOT, ".scratch", "bench_vt")
+        shutil.rmtree(path, ignore_errors=True)
+        vt = VersionedTable(spark, path)
+        base = docs.select("doc_id", "source", "n_chars")
+        vt.commit_append(base.filter(F.col("doc_id") % 2 == 0))
+        vt.commit_append(base.filter(F.col("doc_id") % 2 == 1))
+        vt.upsert(base.filter(F.col("doc_id") % 3 == 0), keys=["doc_id"])
+        return snapshot_totals(vt, "doc_id", "n_chars")
+
+    bench("store_timetravel", timetravel)
     bench("sketch_hll",
           lambda: _sk.hll_distinct(ev, "event_type", "event_id", p=10))
     bench("join_bloom", lambda: joins.bloom_semi_join(

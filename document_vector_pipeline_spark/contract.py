@@ -567,6 +567,54 @@ def q_store_delete(spark, sf_dir):
                                "page_number")
 
 
+def q_store_timetravel(spark, sf_dir):
+    """Manifest-log time travel: four commits (append evens, append
+    odds, upsert a third, delete every fifth), then one summary row per
+    snapshot as read back THROUGH ITS MANIFEST — the audit query that
+    proves every version stays readable and exact."""
+    import shutil as _sh
+
+    from document_vector_pipeline_spark.store.versioned import (
+        VersionedTable, snapshot_totals)
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "store_timetravel")
+    _sh.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    base = docs.select("doc_id", "source", "n_chars")
+    vt.commit_append(base.filter(F.col("doc_id") % 2 == 0))
+    vt.commit_append(base.filter(F.col("doc_id") % 2 == 1))
+    vt.upsert(base.filter(F.col("doc_id") % 3 == 0)
+              .withColumn("n_chars", F.col("n_chars") + F.lit(100000)),
+              keys=["doc_id"])
+    vt.delete_where(F.col("doc_id") % 5 == 0)
+    return snapshot_totals(vt, "doc_id", "n_chars")
+
+
+def _sql_store_timetravel() -> str:
+    return """
+with base as (select doc_id, cast(n_chars as bigint) as n_chars
+              from documents),
+v0 as (select * from base where doc_id % 2 = 0),
+v1 as (select * from base),
+v2 as (select doc_id,
+              case when doc_id % 3 = 0 then n_chars + 100000
+                   else n_chars end as n_chars
+       from base),
+v3 as (select * from v2 where doc_id % 5 <> 0),
+u as (
+  select 0 as version, * from v0
+  union all select 1, * from v1
+  union all select 2, * from v2
+  union all select 3, * from v3)
+select cast(version as int) as version,
+       cast(count(*) as bigint) as n_rows,
+       cast(sum(doc_id) as bigint) as sum_id,
+       cast(sum(n_chars) as bigint) as sum_val
+from u group by version order by version
+"""
+
+
 def q_vector_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     store = _fresh_store(spark, "store_topk")
@@ -5465,6 +5513,7 @@ def queries():
         "sketch_hll": q_sketch_hll,
         "ann_binary": q_ann_binary,
         "emb_mrl_recall": q_emb_mrl_recall,
+        "store_timetravel": q_store_timetravel,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5658,6 +5707,7 @@ def oracle_sql():
         "sketch_hll": _sql_sketch_hll(),
         "ann_binary": _sql_ann_binary(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),
+        "store_timetravel": _sql_store_timetravel(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

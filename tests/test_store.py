@@ -247,3 +247,54 @@ def test_search_scorer_twins_are_bit_identical(spark, tmp_path):
               store.search(QVEC, k=10, quantized=quant,
                            use_udf=False).collect()]
         assert sa == sb
+
+
+# ---------------------------------------------------------------------------
+# VersionedTable (time travel)
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_snapshot_isolation_and_history(spark, tmp_path):
+    from document_vector_pipeline_spark.store.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long")
+    assert vt.commit_append(df.filter("k < 5")) == 0
+    assert vt.commit_append(df.filter("k >= 5")) == 1
+    # pin a reader to v1 BEFORE mutating
+    v1 = vt.read(1)
+    vt.upsert(spark.createDataFrame([(3, 999)], "k long, v long"),
+              keys=["k"])
+    vt.delete_where(F.col("k") % 2 == 0)
+    # v1 unchanged by later commits
+    assert sorted((r.k, r.v) for r in v1.collect()) == \
+        [(i, i * 10) for i in range(10)]
+    assert sorted((r.k, r.v) for r in vt.read(0).collect()) == \
+        [(i, i * 10) for i in range(5)]
+    cur = {r.k: r.v for r in vt.read().collect()}
+    assert cur == {1: 10, 3: 999, 5: 50, 7: 70, 9: 90}
+    hist = {r.version: (r.op, r.n_rows) for r in vt.history().collect()}
+    assert hist[0] == ("append", 5) and hist[1] == ("append", 10)
+    assert hist[2] == ("upsert", 10) and hist[3] == ("delete", 5)
+
+
+def test_versioned_vacuum_drops_old_keeps_latest(spark, tmp_path):
+    import os
+
+    from document_vector_pipeline_spark.store.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt2"))
+    df = spark.createDataFrame([(1, 1), (2, 2)], "k long, v long")
+    vt.commit_append(df)
+    vt.commit_overwrite(df.withColumn("v", F.col("v") * 100))
+    dropped = vt.vacuum(keep_last=1)
+    assert dropped == [0]
+    assert vt.versions() == [1]
+    assert {r.v for r in vt.read().collect()} == {100, 200}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        vt.read(0)
+    # v0's data dir is physically gone
+    assert not os.path.isdir(
+        str(tmp_path / "vt2" / "data" / ("v" + "0" * 12)))
