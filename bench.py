@@ -148,6 +148,9 @@ def main() -> None:
     bench("dedup_containment",
           lambda: dedup.containment_pairs(docs, threshold=0.6))
     bench("dedup_summary", lambda: dedup.dedup_summary(docs))
+    bench("dedup_lsh_tuning",
+          lambda: dedup.lsh_tuning(docs, bands_list=(2, 4, 8),
+                                   threshold=0.1))
     bench("ann_bruteforce",
           lambda: similarity.brute_force_topk(emb, qdf, k=10))
     bench("ann_bruteforce_np",
@@ -287,6 +290,7 @@ def main() -> None:
           lambda: corpus.source_vocab_similarity(docs))
     bench("corpus_novelty", lambda: corpus.novelty_scores(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
+    bench("corpus_lm_buckets", lambda: corpus.lm_buckets(docs))
     bench("corpus_token_budget", lambda: corpus.token_budget_select(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),

@@ -4033,6 +4033,121 @@ order by g.doc_id
 """
 
 
+def q_corpus_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets from the corpus-LM score
+    ranking (tertile cut, deterministic tie-break)."""
+    return corpus.lm_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_corpus_lm_buckets() -> str:
+    return """
+with t as materialized (
+  select doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     x -> x <> '') as w
+  from documents),
+g as materialized (
+  select doc_id, w[s] as w1, w[s+1] as w2
+  from (select doc_id, w,
+               unnest(case when len(w) >= 2
+                           then generate_series(1, len(w) - 1)
+                           else cast([] as bigint[]) end) as s
+        from t)),
+c2 as materialized (
+  select w1, w2, cast(count(*) as bigint) as c2 from g group by w1, w2),
+c1 as materialized (
+  select w1, cast(sum(c2) as bigint) as c1 from c2 group by w1),
+s as (
+  select g.doc_id,
+         cast(count(*) as bigint) as n_bigrams,
+         round(sum((1000000 * c2.c2) // c1.c1) / (count(*) * 1e6), 6)
+           as score
+  from g join c2 using (w1, w2) join c1 using (w1)
+  group by g.doc_id),
+r as (
+  select doc_id, n_bigrams, score,
+         cast(ntile(3) over (order by score desc, doc_id) as int) as tile
+  from s)
+select doc_id, n_bigrams, score, tile,
+       case when tile = 1 then 'head'
+            when tile = 2 then 'middle'
+            else 'tail' end as bucket
+from r
+"""
+
+
+def q_dedup_lsh_tuning(spark, sf_dir):
+    """MinHash-LSH (bands, rows) sweep: measured precision/recall per
+    band count against the exact Jaccard >= 0.1 pair set."""
+    return dedup.lsh_tuning(load_table(spark, sf_dir, "documents"),
+                            bands_list=(2, 4, 8), threshold=0.1)
+
+
+def _sql_dedup_lsh_tuning(threshold: float = 0.1,
+                          bands_list: tuple = (2, 4, 8),
+                          num_perm: int = 16) -> str:
+    """Sweep mirror: shared t/sh/sig/truth CTEs, one bands/pred/hit CTE
+    trio per configuration (same construction as _minhash_ctes with a
+    parametric band count)."""
+    sig_h = _md5l("cast(i as varchar) || '|' || s")
+    ctes = [f"""t as materialized (
+  select doc_id, {_toks('text', lower=True)} as w from documents)""",
+            f"""sh as materialized (
+  select doc_id, {_SHINGLES3} as sharr from t)""",
+            f"""sig as materialized (
+  select doc_id, list_transform(generate_series(0, {num_perm - 1}), i ->
+    list_min(list_transform(sharr, s -> {sig_h}))) as sig
+  from sh)""",
+            f"""jsh as materialized (
+  select doc_id, unnest(list_transform(sharr, s -> {_md5l('s')}))
+    as shingle
+  from sh)""",
+            "sizes as (select doc_id, count(*) as n from jsh"
+            " group by doc_id)",
+            """inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from jsh a join jsh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)""",
+            f"""truth as materialized (
+  select i.id_a, i.id_b
+  from inter i
+  join sizes na on na.doc_id = i.id_a
+  join sizes nb on nb.doc_id = i.id_b
+  where round(i.c / (na.n + nb.n - i.c), 6) >= {threshold!r})"""]
+    selects = []
+    for b in bands_list:
+        r = num_perm // b
+        ctes.append(f"""bands{b} as materialized (
+  select doc_id,
+         unnest(generate_series(0, {b - 1})) as band_no,
+         unnest(list_transform(generate_series(0, {b - 1}), bb ->
+            md5(array_to_string(sig[bb*{r}+1 : bb*{r}+{r}], ',')))) as key
+  from sig)""")
+        ctes.append(f"""pred{b} as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands{b} a join bands{b} b
+    on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id)""")
+        ctes.append(f"hit{b} as (select * from pred{b}"
+                    " intersect select * from truth)")
+        selects.append(f"""select cast({b} as int) as bands,
+       cast({r} as int) as rows_per_band,
+       (select cast(count(*) as bigint) from pred{b}) as n_pred,
+       (select cast(count(*) as bigint) from truth) as n_true,
+       (select cast(count(*) as bigint) from hit{b}) as n_hit""")
+    body = "\nunion all\n".join(selects)
+    joined = ",\n".join(ctes)
+    return f"""
+with {joined}
+select bands, rows_per_band, n_pred, n_true, n_hit,
+       cast(case when n_pred = 0 then 0
+            else (1000 * n_hit) // n_pred end as bigint) as precision_milli,
+       cast(case when n_true = 0 then 0
+            else (1000 * n_hit) // n_true end as bigint) as recall_milli
+from ({body}) order by bands
+"""
+
+
 def _sql_corpus_interleave() -> str:
     h = _md5l("cast(doc_id as varchar)")
     return f"""
@@ -5514,6 +5629,8 @@ def queries():
         "ann_binary": q_ann_binary,
         "emb_mrl_recall": q_emb_mrl_recall,
         "store_timetravel": q_store_timetravel,
+        "corpus_lm_buckets": q_corpus_lm_buckets,
+        "dedup_lsh_tuning": q_dedup_lsh_tuning,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5708,6 +5825,8 @@ def oracle_sql():
         "ann_binary": _sql_ann_binary(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),
         "store_timetravel": _sql_store_timetravel(),
+        "corpus_lm_buckets": _sql_corpus_lm_buckets(),
+        "dedup_lsh_tuning": _sql_dedup_lsh_tuning(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

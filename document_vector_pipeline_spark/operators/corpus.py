@@ -381,6 +381,32 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
             .orderBy("doc_id"))
 
 
+def lm_buckets(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    document by its corpus-LM score and cut the ranking into
+    head/middle/tail tertiles — the bucket label CCNet keeps (head),
+    samples (middle), or drops (tail) when building training mixes.
+    (doc_id, n_bigrams, score, tile, bucket).
+
+    Plan: the LM scoring is bigram_lm_scores (oracle-exact fixed-point);
+    the ntile window runs over the per-document SCORE table — one row
+    per doc, never tokens — with a deterministic total tie-break
+    (score desc, doc_id).  An unpartitioned ntile over billions of docs
+    would single-task; the two-phase range-partition form (sample
+    boundaries, map-side assign) is the scale path, same note as
+    customer_deciles."""
+    scored = bigram_lm_scores(docs, id_col, text_col)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    t = F.ntile(3).over(w)
+    return (scored.withColumn("tile", t.cast("int"))
+            .withColumn("bucket",
+                        F.when(F.col("tile") == 1, "head")
+                         .when(F.col("tile") == 2, "middle")
+                         .otherwise("tail"))
+            .select("doc_id", "n_bigrams", "score", "tile", "bucket"))
+
+
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", rep_width: int = 3,
            max_dup_frac: float = 0.2) -> DataFrame:

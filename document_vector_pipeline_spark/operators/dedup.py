@@ -739,6 +739,53 @@ def minhash_eval(docs: DataFrame, id_col: str = "doc_id",
          .alias("recall_milli"))
 
 
+def lsh_tuning(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", num_perm: int = 16,
+               bands_list: tuple = (2, 4, 8), width: int = 3,
+               threshold: float = 0.1) -> DataFrame:
+    """The (bands, rows) tuning sweep for MinHash-LSH: one row per band
+    count with measured precision/recall vs the exact Jaccard ≥ τ pair
+    set — (bands, rows_per_band, n_pred, n_true, n_hit,
+    precision_milli, recall_milli).  More bands ⇒ lower collision
+    threshold ⇒ recall up / precision down; this query turns the
+    (b, r) S-curve from a formula into a measurement on YOUR corpus,
+    which is how the parameter actually gets chosen before a 100 TB
+    run.
+
+    The exact truth set is computed ONCE (eager checkpoint — it is the
+    expensive operand) and each configuration re-bands the same
+    signatures; every sweep entry is the same band-join plan
+    minhash_lsh_pairs runs standalone."""
+    truth = ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col,
+                                width=width, threshold=threshold
+                                ).select("id_a", "id_b"
+                                         ).localCheckpoint(eager=True)
+    out = None
+    for b in bands_list:
+        pred = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                                 num_perm=num_perm, bands=b,
+                                 shingle_width=width
+                                 ).localCheckpoint(eager=True)
+        hit = pred.join(truth, ["id_a", "id_b"])
+        row = (pred.agg(F.count("*").cast("long").alias("n_pred"))
+               .crossJoin(truth.agg(F.count("*").cast("long")
+                                    .alias("n_true")))
+               .crossJoin(hit.agg(F.count("*").cast("long")
+                                  .alias("n_hit"))))
+        row = row.select(
+            F.lit(b).cast("int").alias("bands"),
+            F.lit(num_perm // b).cast("int").alias("rows_per_band"),
+            "n_pred", "n_true", "n_hit",
+            F.when(F.col("n_pred") == 0, F.lit(0).cast("long"))
+             .otherwise(F.expr("(1000 * n_hit) div n_pred"))
+             .alias("precision_milli"),
+            F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+             .otherwise(F.expr("(1000 * n_hit) div n_true"))
+             .alias("recall_milli"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
+
+
 def shingle_df_histogram(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          width: int = 3) -> DataFrame:

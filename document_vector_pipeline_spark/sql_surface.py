@@ -33,7 +33,7 @@ _STORE_BACKED = frozenset({
     "store_compact", "store_reembed", "vector_topk", "vector_quantized",
     "vector_topk_filtered", "vector_search_batch", "ann_ivf_persisted",
     "source_jsonl", "source_csv", "source_partitioned",
-    "source_orc", "source_bucketed",
+    "source_orc", "source_bucketed", "store_timetravel",
 })
 
 

@@ -397,3 +397,16 @@ def test_dedup_summary_counts(spark):
     assert out["s2"]["exact_dup_docs"] == 1     # doc 4 (corpus-wide group)
     assert out["s1"]["exact_ppm"] == 666_666
     assert out["s1"]["near_dup_docs"] >= 2      # exact dups are near dups
+
+
+def test_lsh_tuning_monotone_recall(spark, docs_small):
+    """More bands => looser collision threshold => recall must be
+    non-decreasing; n_true identical across rows."""
+    from document_vector_pipeline_spark.operators import dedup as D
+    rows = (D.lsh_tuning(docs_small, bands_list=(2, 4, 8), threshold=0.1)
+            .orderBy("bands").collect())
+    assert [r.bands for r in rows] == [2, 4, 8]
+    assert len({r.n_true for r in rows}) == 1
+    recalls = [r.recall_milli for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(r.n_hit <= min(r.n_pred, r.n_true) for r in rows)

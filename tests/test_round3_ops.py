@@ -312,3 +312,18 @@ def test_customer_rfm_tiles_are_balanced(spark):
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) - min(per.values()) <= 1
         assert sum(per.values()) == n
+
+
+def test_lm_buckets_tertiles_ordered_by_score(spark, docs_small):
+    from document_vector_pipeline_spark.operators import corpus as C
+    rows = C.lm_buckets(docs_small).collect()
+    n = len(rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.score)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # tertile sizes differ by at most 1
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1 and sum(sizes) == n
+    # every head score >= every tail score
+    assert min(by_bucket["head"]) >= max(by_bucket["tail"])
