@@ -426,6 +426,11 @@ def main() -> None:
     bench("events_funnel", lambda: sev.funnel_counts(ev))
     bench("events_conversion", lambda: analytics.conversion_latency(ev))
     bench("events_trigrams", lambda: analytics.event_trigrams(ev))
+    bench("events_burst", lambda: analytics.events_burst(ev))
+    bench("customer_skyline",
+          lambda: analytics.customer_skyline(t["orders"]))
+    bench("order_backlog",
+          lambda: analytics.order_backlog(t["lineitem"], t["orders"]))
     bench("events_multitouch", lambda: analytics.multitouch_attribution(ev))
     bench("events_cohort_ltv", lambda: analytics.cohort_ltv(ev))
     bench("events_scd2", lambda: temporal.scd2_build(

@@ -1912,6 +1912,90 @@ def q_events_anomalies(spark, sf_dir):
     return analytics.events_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def q_events_burst(spark, sf_dir):
+    """Hourly burst flags per event type: n · 24 > 3 · trailing-24h sum
+    (cleared-denominator integer comparison, full-window guard)."""
+    return analytics.events_burst(load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_burst(factor: int = 3, lookback: int = 24) -> str:
+    return f"""
+with h as (
+  select event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 as h,
+         cast(count(*) as bigint) as n
+  from events group by 1, 2),
+t as (
+  select event_type, h, n,
+         coalesce(sum(n) over (partition by event_type order by h
+             range between {lookback} preceding and 1 preceding), 0)
+           as trail_n,
+         min(h) over (partition by event_type) as first_h
+  from h)
+select event_type,
+       make_timestamp(h * 3600000000) as bucket,
+       n, cast(trail_n as bigint) as trail_n,
+       cast({lookback} as int) as trail_hours,
+       (h - first_h >= {lookback}) and (n * {lookback} > {factor} * trail_n)
+         as burst
+from t
+"""
+
+
+def q_customer_skyline(spark, sf_dir):
+    """Pareto frontier of customers over (order count, total spend):
+    SKYLINE OF as one range-frame window pass."""
+    return analytics.customer_skyline(load_table(spark, sf_dir, "orders"))
+
+
+def _sql_customer_skyline() -> str:
+    return """
+with per as (
+  select o_custkey as custkey, cast(count(*) as bigint) as n_orders,
+         cast(sum(cast(round(o_totalprice * 100.0, 0) as bigint))
+              as bigint) as cents
+  from orders group by o_custkey),
+t as (select custkey, n_orders, cents,
+             coalesce(max(cents) over (order by n_orders
+                 range between 1 following and unbounded following), -1)
+               as best_above
+      from per)
+select custkey, n_orders, cents / 100.0 as total_spend
+from t where cents >= best_above
+order by custkey
+"""
+
+
+def q_order_backlog(spark, sf_dir):
+    """Sweep-line backlog: lineitems ordered-but-unshipped per day via
+    +1/-1 deltas and one running sum over the day table."""
+    return analytics.order_backlog(load_table(spark, sf_dir, "lineitem"),
+                                   load_table(spark, sf_dir, "orders"))
+
+
+def _sql_order_backlog() -> str:
+    return """
+with wod as (select l.l_orderkey, l.l_shipdate, o.o_orderdate
+             from lineitem l join orders o
+               on o.o_orderkey = l.l_orderkey),
+d as (
+  select date_trunc('day', o_orderdate) as day, 1 as dd from wod
+  union all
+  select date_trunc('day', l_shipdate), -1 from wod),
+p as (select day,
+             cast(sum(case when dd = 1 then 1 else 0 end) as bigint)
+               as n_ordered,
+             cast(sum(case when dd = -1 then 1 else 0 end) as bigint)
+               as n_shipped
+      from d group by day)
+select cast(day as timestamp) as day, n_ordered, n_shipped,
+       cast(sum(n_ordered - n_shipped) over (order by day
+           rows between unbounded preceding and current row) as bigint)
+         as open_count
+from p order by day
+"""
+
+
 def q_corpus_mixture(spark, sf_dir):
     return corpus.mixture_weights(load_table(spark, sf_dir, "documents"))
 
@@ -5631,6 +5715,9 @@ def queries():
         "store_timetravel": q_store_timetravel,
         "corpus_lm_buckets": q_corpus_lm_buckets,
         "dedup_lsh_tuning": q_dedup_lsh_tuning,
+        "events_burst": q_events_burst,
+        "customer_skyline": q_customer_skyline,
+        "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
         "text_scrub": q_text_scrub,
         "text_tfidf": q_text_tfidf,
@@ -5827,6 +5914,9 @@ def oracle_sql():
         "store_timetravel": _sql_store_timetravel(),
         "corpus_lm_buckets": _sql_corpus_lm_buckets(),
         "dedup_lsh_tuning": _sql_dedup_lsh_tuning(),
+        "events_burst": _sql_events_burst(),
+        "customer_skyline": _sql_customer_skyline(),
+        "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),
         "chunk_words": """
 with t as materialized (

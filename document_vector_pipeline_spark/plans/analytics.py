@@ -17,7 +17,7 @@ DuckDB oracle matches by value, not by tolerance.  The testdata prices are
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.functions.expr import epoch_us
@@ -1045,6 +1045,116 @@ def sequence_match(events: DataFrame, pattern: str = "vc*p") -> DataFrame:
                     F.length("seq").cast("int").alias("n_events"),
                     F.regexp_count(F.col("seq"), F.lit(pattern))
                      .cast("int").alias("n_matches")))
+
+
+def events_burst(events: DataFrame, factor: int = 3,
+                 lookback: int = 24) -> DataFrame:
+    """Burst detection per event type: hourly buckets whose count
+    exceeds ``factor`` × the trailing-``lookback``-hour mean — the
+    rate-spike monitor (deploy gone wrong, crawler loop, bot wave).
+    (event_type, bucket, n, trail_n, trail_hours, burst).
+
+    The comparison n · trail_hours > factor · trail_n clears the
+    denominator, so no float mean exists anywhere — engine-exact.
+    Buckets with an incomplete lookback window (the first day) are
+    never flagged.
+
+    Scale: events are touched ONCE by the hourly aggregation; the
+    trailing frame runs over the (type × hours) grid — a RANGE frame on
+    the integer hour index, so absent hours count as zero rows rather
+    than shifting the window."""
+    hour_idx = (epoch_us(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)).cast("long")
+    hourly = (events
+              .groupBy(F.col("event_type"), hour_idx.alias("h"))
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rangeBetween(-lookback, -1))
+    first_h = F.min("h").over(Window.partitionBy("event_type"))
+    return (hourly
+            .withColumn("trail_n",
+                        F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .withColumn("trail_hours", F.lit(lookback).cast("int"))
+            .withColumn("burst",
+                        (F.col("h") - first_h >= lookback)
+                        & (F.col("n") * lookback
+                           > F.lit(factor) * F.col("trail_n")))
+            .select("event_type",
+                    F.timestamp_seconds(F.col("h") * 3600)
+                     .cast("timestamp_ntz").alias("bucket"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("trail_n").cast("long").alias("trail_n"),
+                    "trail_hours", "burst"))
+
+
+def customer_skyline(orders: DataFrame) -> DataFrame:
+    """Pareto frontier (skyline) of customers over (order count, total
+    spend): the classic SKYLINE OF operator relational engines bolt on,
+    as ONE window pass instead of the naive NOT-EXISTS self-join.
+
+    Dominance is strict on both dimensions (c' dominates c iff
+    n' > n AND cents' > cents), so a customer survives exactly when
+    its spend is >= the max spend among customers with strictly more
+    orders — a RANGE frame (current n_orders + 1 … unbounded) over the
+    per-customer rollup computes that max directly.  All integer cents;
+    the window sees one row per customer, never orders.  At billions of
+    customers the same plan holds: the rollup is the shuffle, the
+    frontier window is a single ordered pass."""
+    per = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.count("*").cast("long").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100.0, 0)
+                      .cast("long")).alias("cents")))
+    # max spend among customers with STRICTLY more orders: range frame
+    # on n_orders, upper bound unbounded, lower bound current+1
+    w = (Window.orderBy("n_orders")
+         .rangeBetween(1, Window.unboundedFollowing))
+    return (per
+            .withColumn("best_above",
+                        F.coalesce(F.max("cents").over(w),
+                                   F.lit(-1).cast("long")))
+            .filter(F.col("cents") >= F.col("best_above"))
+            .select("custkey", "n_orders",
+                    (F.col("cents") / 100.0).alias("total_spend"))
+            .orderBy("custkey"))
+
+
+def order_backlog(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Sweep-line interval counting: for every day, how many lineitems
+    are on backlog (ordered but not yet shipped: order ≤ d < ship) —
+    the "concurrent intervals" query (open orders, active sessions,
+    connections) WITHOUT an interval join: each lineitem contributes
+    +1 on its order day and −1 on its ship day, a per-day delta
+    aggregation collapses billions of intervals to one row per day,
+    and a running sum over the tiny day table yields the open count.
+    (day, n_ordered, n_shipped, open_count).
+
+    Scale: one orderkey join attaches the order date (co-partitioned
+    fact-fact join; bucketed layouts make it exchange-free, see
+    source_bucketed), then ONE shuffle on the day key (bounded: a few
+    thousand days); the cumulative window runs on the per-day
+    aggregate, never on lineitems."""
+    with_od = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_orderdate"), "l_orderkey")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    sday = F.date_trunc("day", F.col("l_shipdate"))
+    deltas = (with_od.select(day.alias("day"), F.lit(1).alias("d"))
+              .unionAll(with_od.select(sday.alias("day"),
+                                       F.lit(-1).alias("d"))))
+    per_day = (deltas.groupBy("day")
+               .agg(F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                    .cast("long").alias("n_ordered"),
+                    F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
+                    .cast("long").alias("n_shipped")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_day
+            .withColumn("open_count",
+                        F.sum(F.col("n_ordered") - F.col("n_shipped"))
+                        .over(w).cast("long"))
+            .select(F.col("day").cast("timestamp_ntz").alias("day"),
+                    "n_ordered", "n_shipped", "open_count")
+            .orderBy("day"))
 
 
 def multitouch_attribution(events: DataFrame,

@@ -247,3 +247,58 @@ def test_supplier_hhi_monopoly_is_million(spark):
                                 "n_nationkey long, n_name string")
     r = supplier_concentration(li, sup, nat).collect()[0]
     assert r["hhi_ppm"] == 1_000_000
+
+
+def test_customer_skyline_matches_bruteforce(spark, t):
+    from document_vector_pipeline_spark.plans import analytics as A
+    per = {r.custkey: (r.n_orders, round(r.total_spend * 100))
+           for r in (t["orders"].groupBy(F.col("o_custkey").alias("custkey"))
+                     .agg(F.count("*").alias("n_orders"),
+                          (F.sum(F.round(F.col("o_totalprice") * 100.0, 0)
+                                 .cast("long")) / 100.0).alias("total_spend"))
+                     .collect())}
+    sky = {r.custkey for r in A.customer_skyline(t["orders"]).collect()}
+    expect = {c for c, (n, v) in per.items()
+              if not any(n2 > n and v2 > v
+                         for c2, (n2, v2) in per.items() if c2 != c)}
+    assert sky == expect and sky
+
+
+def test_order_backlog_conserves_and_stays_nonnegative(spark, t):
+    from document_vector_pipeline_spark.plans import analytics as A
+    rows = A.order_backlog(t["lineitem"], t["orders"]).collect()
+    total_ordered = sum(r.n_ordered for r in rows)
+    total_shipped = sum(r.n_shipped for r in rows)
+    assert total_ordered == total_shipped == t["lineitem"].count()
+    assert rows[-1].open_count == 0
+    # (the synthetic testdata contains ship-before-order rows, so the
+    # running count may dip negative mid-series; conservation and the
+    # zero endpoint are the invariants)
+    assert rows[-1].open_count == sum(r.n_ordered - r.n_shipped
+                                      for r in rows)
+
+
+def test_events_burst_hand_case(spark):
+    import datetime as dt
+
+    from document_vector_pipeline_spark.plans import analytics as A
+    rows = []
+    eid = 0
+    # 30 calm hours with 2 events each, then one hour with 100
+    for h in range(30):
+        for _ in range(2):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1) +
+                         dt.timedelta(hours=h), "view", 0.0))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, 1, dt.datetime(2024, 1, 1) +
+                     dt.timedelta(hours=30), "view", 0.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp,"
+              " event_type string, value double")
+    out = {r.bucket.hour + 24 * (r.bucket.day - 1): r
+           for r in A.events_burst(ev).collect()}
+    assert out[30].burst           # 100 * 24 > 3 * 48
+    assert not out[29].burst       # 2 * 24 < 3 * 48
+    assert not out[10].burst       # incomplete lookback window -> never
