@@ -672,3 +672,42 @@ def test_sequence_match_one_shuffle(spark, t):
     plan = (A.sequence_match(t["events"])
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_plan_budgets_round4_session2(spark, t):
+    """Exchange budgets for the session's additions: frontier/backlog/
+    burst windows must run on aggregates, never raw facts; binary ANN
+    and range search must stay map-side up to (at most) the rank."""
+    from document_vector_pipeline_spark.operators import similarity
+    from document_vector_pipeline_spark.plans import analytics
+
+    ev, orders, li = t["events"], t["orders"], t["lineitem"]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = (emb.filter(F.col("vec_id") < 3)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+
+    # skyline: one rollup exchange + the single-partition frontier window
+    p = plan_of(analytics.customer_skyline(orders))
+    assert p.count("Exchange hashpartitioning") == 1
+
+    # backlog: orderkey join + day aggregation; cumsum on the day table
+    p = plan_of(analytics.order_backlog(li, orders))
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in p
+
+    # burst: ONE events exchange (hourly agg); both windows above it
+    p = plan_of(analytics.events_burst(ev))
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.index("Window") < p.index("HashAggregate")
+
+    # sequence match handled in its own test; binary ANN: encode is
+    # map-side, broadcast query join, one rank exchange
+    p = plan_of(similarity.binary_ann(emb, qdf, k=5))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p
+
+    # gapfill: events touched by ONE aggregation; grid join broadcast-able
+    from document_vector_pipeline_spark.plans import temporal
+    p = plan_of(temporal.gapfill_locf(ev))
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
