@@ -148,6 +148,8 @@ def main() -> None:
     bench("dedup_containment",
           lambda: dedup.containment_pairs(docs, threshold=0.6))
     bench("dedup_summary", lambda: dedup.dedup_summary(docs))
+    bench("dedup_similar_docs",
+          lambda: dedup.similar_docs_topk(docs, k=3))
     bench("dedup_lsh_tuning",
           lambda: dedup.lsh_tuning(docs, bands_list=(2, 4, 8),
                                    threshold=0.1))

@@ -2321,6 +2321,48 @@ from counts
 """
 
 
+def q_dedup_similar_docs(spark, sf_dir):
+    """Related-documents top-3 per doc: MinHash-LSH candidates scored
+    by exact integer milli-Jaccard, per-doc rank."""
+    return dedup.similar_docs_topk(load_table(spark, sf_dir,
+                                              "documents"), k=3)
+
+
+def _sql_dedup_similar_docs(k: int = 3) -> str:
+    return f"""
+with {_minhash_ctes()},
+pred as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bands a join bands b on a.band_no = b.band_no and a.key = b.key
+  where a.doc_id < b.doc_id),
+jsh as materialized (
+  select doc_id, unnest(list_transform(sharr, s -> {_md5l('s')})) as shingle
+  from sh),
+sizes as (select doc_id, count(*) as n from jsh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from jsh a join jsh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2),
+pc as (
+  select p.id_a, p.id_b, coalesce(i.c, 0) as c, na.n as na, nb.n as nb
+  from pred p
+  left join inter i on i.id_a = p.id_a and i.id_b = p.id_b
+  join sizes na on na.doc_id = p.id_a
+  join sizes nb on nb.doc_id = p.id_b),
+sc as (select id_a, id_b,
+              cast((1000 * c) // (na + nb - c) as bigint) as jacc_milli
+       from pc),
+m as (select id_a as doc_id, id_b as nbr_id, jacc_milli from sc
+      union all
+      select id_b, id_a, jacc_milli from sc),
+r as (select *, cast(row_number() over
+        (partition by doc_id order by jacc_milli desc, nbr_id) as int)
+        as rank
+      from m)
+select doc_id, nbr_id, jacc_milli, rank from r where rank <= {k}
+"""
+
+
 def _sql_basket_pairs(min_support: int = 2, topk: int = 50) -> str:
     return f"""
 with d as (select distinct l_orderkey, l_partkey from lineitem),
@@ -5716,6 +5758,7 @@ def queries():
         "corpus_lm_buckets": q_corpus_lm_buckets,
         "dedup_lsh_tuning": q_dedup_lsh_tuning,
         "events_burst": q_events_burst,
+        "dedup_similar_docs": q_dedup_similar_docs,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -5915,6 +5958,7 @@ def oracle_sql():
         "corpus_lm_buckets": _sql_corpus_lm_buckets(),
         "dedup_lsh_tuning": _sql_dedup_lsh_tuning(),
         "events_burst": _sql_events_burst(),
+        "dedup_similar_docs": _sql_dedup_similar_docs(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -28,7 +28,7 @@ Scale design per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.functions.expr import bound
@@ -784,6 +784,55 @@ def lsh_tuning(docs: DataFrame, id_col: str = "doc_id",
              .alias("recall_milli"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bands")
+
+
+def similar_docs_topk(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_perm: int = 16, bands: int = 4,
+                      width: int = 3) -> DataFrame:
+    """Related-documents retrieval over TEXT: per document, its top-k
+    most similar documents by EXACT n-gram Jaccard — (doc_id, nbr_id,
+    jacc_milli, rank).  The text-side companion of the ANN family
+    ("more like this" without embeddings), and the query a dedup
+    reviewer runs to eyeball what the pair graph actually connects.
+
+    Scale shape: candidates come from the MinHash-LSH band join (the
+    bounded bucketed join — never all-pairs), each unordered pair is
+    scored ONCE via array_intersect on the sorted shingle-hash sets
+    (two hash joins against the per-doc set table), then mirrored to
+    both directions for the per-doc rank window.  Exact integer
+    milli-Jaccard, deterministic ties (jacc desc, nbr_id)."""
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, bands=bands,
+                              shingle_width=width)
+    sets = (docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.transform(_shingles(F.col(text_col), width),
+                                 lambda s: md5_long(s))).alias("arr"))
+        .select("id", "arr", F.size("arr").cast("long").alias("n")))
+    j = (pairs
+         .join(sets.select(F.col("id").alias("id_a"),
+                           F.col("arr").alias("arr_a"),
+                           F.col("n").alias("na")), "id_a")
+         .join(sets.select(F.col("id").alias("id_b"),
+                           F.col("arr").alias("arr_b"),
+                           F.col("n").alias("nb")), "id_b")
+         .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b"))
+                     .cast("long"))
+         .withColumn("jacc_milli",
+                     F.expr("(1000 * c) div (na + nb - c)"))
+         .select("id_a", "id_b", "jacc_milli"))
+    mirrored = (j.select(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("nbr_id"), "jacc_milli")
+                .unionByName(
+                    j.select(F.col("id_b").alias("doc_id"),
+                             F.col("id_a").alias("nbr_id"),
+                             "jacc_milli")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jacc_milli"),
+                                             "nbr_id")
+    return (mirrored.withColumn("rank",
+                                F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))
 
 
 def shingle_df_histogram(docs: DataFrame, id_col: str = "doc_id",

