@@ -293,6 +293,9 @@ def main() -> None:
     bench("corpus_novelty", lambda: corpus.novelty_scores(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_lm_buckets", lambda: corpus.lm_buckets(docs))
+    bench("corpus_shards",
+          lambda: corpus.write_shards(
+              docs, os.path.join(ROOT, ".scratch", "bench_shards")))
     bench("corpus_token_budget", lambda: corpus.token_budget_select(docs))
     bench("corpus_decontaminate", lambda: corpus.decontaminate(
         docs.filter(F.col("source") != "src0"),

@@ -3739,6 +3739,33 @@ from r order by pos
 """
 
 
+def q_corpus_shards(spark, sf_dir):
+    """Training-shard materialization: deterministic shuffle order
+    written one file per shard, manifest (count/tokens/xor digest)
+    aggregated from the read-back files."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "corpus_shards")
+    # shard_size 64 (not the 1024 default) so every SF exercises
+    # multi-shard layout + manifest
+    return corpus.write_shards(docs, path, shard_size=64)
+
+
+def _sql_corpus_shards(shard_size: int = 1024) -> str:
+    h = _md5l("cast(doc_id as varchar)")
+    return f"""
+with r as (select doc_id, text,
+                  cast(row_number() over (order by {h}, doc_id) - 1
+                       as bigint) as pos
+           from documents),
+s as (select doc_id, text, pos // {shard_size} as shard from r)
+select cast(shard as bigint) as shard,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(len({_toks('text', lower=True)})) as bigint) as n_tokens,
+       bit_xor({_md5l('text')}) as fp_xor
+from s group by shard order by shard
+"""
+
+
 def _sql_corpus_profile() -> str:
     parts = " union all ".join(
         f"select '{c}' as col, cast({c} as varchar) as v from documents"
@@ -5759,6 +5786,7 @@ def queries():
         "dedup_lsh_tuning": q_dedup_lsh_tuning,
         "events_burst": q_events_burst,
         "dedup_similar_docs": q_dedup_similar_docs,
+        "corpus_shards": q_corpus_shards,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -5959,6 +5987,7 @@ def oracle_sql():
         "dedup_lsh_tuning": _sql_dedup_lsh_tuning(),
         "events_burst": _sql_events_burst(),
         "dedup_similar_docs": _sql_dedup_similar_docs(),
+        "corpus_shards": _sql_corpus_shards(shard_size=64),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -222,6 +222,40 @@ def shuffle_assign(docs: DataFrame, id_col: str = "doc_id",
             .orderBy("pos"))
 
 
+def write_shards(docs: DataFrame, path: str, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 shard_size: int = 1024) -> DataFrame:
+    """Materialize the final training shards and return their manifest,
+    read back FROM THE WRITTEN FILES: (shard, n_docs, n_tokens, fp_xor)
+    — the WebDataset/tfrecord-shards step that turns a curated corpus
+    into the artifact a trainer actually consumes, with a digest per
+    shard so the write path itself is verified (not just the plan).
+
+    Layout: ``repartition(shard)`` gives each task whole shards,
+    ``sortWithinPartitions(shard, pos)`` fixes the in-shard training
+    order, the partitioned write yields one file per shard directory.
+    The manifest aggregates the read-back files: doc count, whitespace
+    token count, and an order-independent xor of per-doc text md5s —
+    all integers, so the oracle recomputes the identical digest from
+    the assignment alone (file loss or row corruption breaks fp_xor)."""
+    asg = shuffle_assign(docs, id_col, shard_size)
+    rows = docs.select(F.col(id_col), F.col(text_col)).join(asg, id_col)
+    (rows.repartition("shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.partitionBy("shard").mode("overwrite").parquet(path))
+    back = docs.sparkSession.read.parquet(path)
+    toks = F.size(F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit("")))
+    fp = (f"bit_xor(cast(conv(substring(md5({text_col}),1,15),16,10)"
+          " as bigint))")
+    return (back.groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(toks.cast("long")).cast("long").alias("n_tokens"),
+                 F.expr(fp).alias("fp_xor"))
+            .orderBy("shard"))
+
+
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column, n, n_null, n_distinct, min_s, max_s): data-quality profile
     of the given columns — null counts, exact distinct cardinality, and

@@ -327,3 +327,29 @@ def test_lm_buckets_tertiles_ordered_by_score(spark, docs_small):
     assert sizes[-1] - sizes[0] <= 1 and sum(sizes) == n
     # every head score >= every tail score
     assert min(by_bucket["head"]) >= max(by_bucket["tail"])
+
+
+def test_write_shards_one_file_per_shard_and_order(spark, docs_small,
+                                                   tmp_path):
+    from document_vector_pipeline_spark.operators import corpus as C
+    path = str(tmp_path / "shards")
+    manifest = {r.shard: r for r in
+                C.write_shards(docs_small, path, shard_size=16).collect()}
+    back = spark.read.parquet(path)
+    files = (back.select("shard", F.input_file_name().alias("f"))
+             .distinct()
+             .groupBy("shard").agg(F.count("*").alias("nf"))
+             .collect())
+    assert all(r.nf == 1 for r in files)
+    assert len(files) == len(manifest)
+    # in-shard rows are contiguous pos ranges in training order
+    rows = back.select("shard", "pos").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.pos)
+    all_pos = sorted(p for v in per.values() for p in v)
+    assert all_pos == list(range(len(all_pos)))
+    for shard, ps in per.items():
+        ps.sort()
+        assert ps == list(range(min(ps), max(ps) + 1))
+    assert sum(r.n_docs for r in manifest.values()) == len(all_pos)
