@@ -184,6 +184,7 @@ def main() -> None:
           lambda: dedup.semantic_dedup(emb, threshold=0.35))
     bench("emb_hard_negatives",
           lambda: similarity.hard_negatives(emb, qdf, k=5, lo=0.05, hi=0.5))
+    bench("emb_cluster_purity", lambda: similarity.cluster_purity(emb))
     bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
     bench("emb_pca", lambda: similarity.pca_project(emb))
     bench("emb_norm_hist", lambda: similarity.norm_histogram(emb))

@@ -4520,6 +4520,32 @@ from cd left join st using (cluster)
 order by cluster, dim"""
 
 
+def q_emb_cluster_purity(spark, sf_dir):
+    """Per-cluster majority-label purity (exact ppm) of the k-means
+    assignment vs the embeddings table's ground-truth labels."""
+    return similarity.cluster_purity(load_table(spark, sf_dir,
+                                                "embeddings"))
+
+
+def _sql_emb_cluster_purity(n_clusters: int = 8, iters: int = 3,
+                            dim: int = 64) -> str:
+    """cluster_purity twin: the shared Lloyd CTE's assignment frame
+    cross-tabbed against labels, majority pick + integer ppm purity."""
+    return f"""{_sql_kmeans_cte(n_clusters, iters, dim)},
+lab as (select vec_id, label from embeddings),
+cnt as (select af.cluster, l.label, cast(count(*) as bigint) as n
+        from af join lab l using (vec_id) group by 1, 2),
+top as (select cluster, label, n from (
+          select *, row_number() over (partition by cluster
+            order by n desc, label) as rn from cnt) where rn = 1),
+sz as (select cluster, cast(sum(n) as bigint) as n from cnt
+       group by cluster)
+select cast(sz.cluster as int) as cluster, sz.n,
+       cast(top.label as int) as top_label, top.n as top_n,
+       cast((1000000 * top.n) // sz.n as bigint) as purity_ppm
+from sz join top using (cluster) order by cluster"""
+
+
 def _sql_dedup_semantic(threshold: float = 0.35, n_clusters: int = 8,
                         iters: int = 3, dim: int = 64) -> str:
     """semantic_dedup twin: the shared Lloyd CTE yields the cluster
@@ -5787,6 +5813,7 @@ def queries():
         "events_burst": q_events_burst,
         "dedup_similar_docs": q_dedup_similar_docs,
         "corpus_shards": q_corpus_shards,
+        "emb_cluster_purity": q_emb_cluster_purity,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -5988,6 +6015,7 @@ def oracle_sql():
         "events_burst": _sql_events_burst(),
         "dedup_similar_docs": _sql_dedup_similar_docs(),
         "corpus_shards": _sql_corpus_shards(shard_size=64),
+        "emb_cluster_purity": _sql_emb_cluster_purity(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -957,6 +957,49 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
             .orderBy("cluster", "dim"))
 
 
+def cluster_purity(emb: DataFrame, label_col: str = "label",
+                   n_clusters: int = 8, iters: int = 3, dim: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   use_udf: bool = True) -> DataFrame:
+    """Cluster-quality evaluation against ground-truth labels: per
+    k-means cluster, its size, majority label, and purity in exact ppm
+    — (cluster, n, top_label, top_n, purity_ppm).  The unsupervised-
+    vs-labels scorecard (purity is the standard external clustering
+    metric); pairs with emb_kmeans the way ann_recall pairs with
+    ann_lsh: the quality number ships WITH the operator.
+
+    Reuses the exact-integer Lloyd rounds (centroids as plan metadata,
+    assignment map-only — no corpus join); the label cross-tab is one
+    bounded-key shuffle (clusters × labels), the majority pick a window
+    over that tiny table.  All integers → oracle-exact."""
+    base = _kmeans_base(emb, id_col, vec_col)
+    loop_base, release = _lloyd_loop_frame(base)
+    cents = _lloyd_centroids(loop_base, n_clusters, iters, dim,
+                             use_udf=use_udf)
+    release()
+    if use_udf:
+        assigned = _kmeans_assign_np(base, cents, out="assign")
+    else:
+        assigned = (base.withColumn("best", _kmeans_best_expr(cents))
+                    .select("vec_id", F.col("best.c").alias("cluster")))
+    lab = emb.select(F.col(id_col).alias("vec_id"),
+                     F.col(label_col).alias("lab"))
+    cnt = (assigned.join(lab, "vec_id")
+           .groupBy("cluster", "lab")
+           .agg(F.count("*").cast("long").alias("n")))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "lab")
+    top = (cnt.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("cluster", F.col("lab").alias("top_label"),
+                   F.col("n").alias("top_n")))
+    sz = cnt.groupBy("cluster").agg(F.sum("n").cast("long").alias("n"))
+    return (sz.join(top, "cluster")
+            .select(F.col("cluster").cast("int").alias("cluster"), "n",
+                    "top_label", "top_n",
+                    F.expr("(1000000 * top_n) div n").alias("purity_ppm"))
+            .orderBy("cluster"))
+
+
 def _gram_moments(emb: DataFrame, id_col: str, vec_col: str,
                   dim: int, use_udf: bool) -> DataFrame:
     """Shared second-moment pass: returns the eagerly-checkpointed

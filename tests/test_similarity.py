@@ -330,3 +330,17 @@ def test_mrl_recall_monotone_on_real_embeddings(spark):
     for r in rows:
         avg.setdefault(r.dims, []).append(r.recall)
     assert sum(avg[32]) / len(avg[32]) >= sum(avg[8]) / len(avg[8])
+
+
+def test_cluster_purity_invariants(spark):
+    from document_vector_pipeline_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = S.cluster_purity(emb).collect()
+    assert rows
+    assert sum(r.n for r in rows) == emb.count()
+    for r in rows:
+        assert 0 < r.top_n <= r.n
+        assert r.purity_ppm == (1_000_000 * r.top_n) // r.n
+    # twin equality: expression path == Arrow path
+    slow = S.cluster_purity(emb, use_udf=False).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, slow))
