@@ -433,6 +433,8 @@ def main() -> None:
     bench("events_conversion", lambda: analytics.conversion_latency(ev))
     bench("events_trigrams", lambda: analytics.event_trigrams(ev))
     bench("events_burst", lambda: analytics.events_burst(ev))
+    bench("orders_latency",
+          lambda: analytics.orders_latency(t["orders"], t["lineitem"]))
     bench("customer_skyline",
           lambda: analytics.customer_skyline(t["orders"]))
     bench("order_backlog",

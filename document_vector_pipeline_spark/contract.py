@@ -1996,6 +1996,41 @@ from p order by day
 """
 
 
+def q_orders_latency(spark, sf_dir):
+    """Order-to-first-ship latency p50/p90/p99 per priority, exact
+    integer days by rank selection."""
+    return analytics.orders_latency(load_table(spark, sf_dir, "orders"),
+                                    load_table(spark, sf_dir,
+                                               "lineitem"))
+
+
+def _sql_orders_latency() -> str:
+    def at(p: int) -> str:
+        return (f"max(case when rn = ((n - 1) * {p}) // 100 + 1 "
+                "then days end)")
+
+    return f"""
+with fs as (select l_orderkey as o_orderkey,
+                   min(l_shipdate) as first_ship
+            from lineitem group by l_orderkey),
+per as (
+  select o.o_orderpriority as priority, o.o_orderkey as okey,
+         (epoch_us(date_trunc('day', f.first_ship))
+          - epoch_us(date_trunc('day', o.o_orderdate)))
+           // 86400000000 as days
+  from orders o join fs f using (o_orderkey)),
+r as (select priority, days,
+             row_number() over (partition by priority
+                                order by days, okey) as rn,
+             count(*) over (partition by priority) as n
+      from per)
+select priority, cast(max(n) as bigint) as n_orders,
+       {at(50)} as p50_days, {at(90)} as p90_days,
+       {at(99)} as p99_days
+from r group by priority order by priority
+"""
+
+
 def q_corpus_mixture(spark, sf_dir):
     return corpus.mixture_weights(load_table(spark, sf_dir, "documents"))
 
@@ -5814,6 +5849,7 @@ def queries():
         "dedup_similar_docs": q_dedup_similar_docs,
         "corpus_shards": q_corpus_shards,
         "emb_cluster_purity": q_emb_cluster_purity,
+        "orders_latency": q_orders_latency,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6016,6 +6052,7 @@ def oracle_sql():
         "dedup_similar_docs": _sql_dedup_similar_docs(),
         "corpus_shards": _sql_corpus_shards(shard_size=64),
         "emb_cluster_purity": _sql_emb_cluster_purity(),
+        "orders_latency": _sql_orders_latency(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

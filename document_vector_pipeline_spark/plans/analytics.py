@@ -442,6 +442,47 @@ def events_percentiles(events: DataFrame) -> DataFrame:
             .orderBy("event_type"))
 
 
+def orders_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-first-ship latency percentiles per order priority:
+    (priority, n_orders, p50_days, p90_days, p99_days) — the
+    fulfillment-SLA dashboard, in exact integer days with the same
+    rank-selection contract as events_percentiles (idx = (n-1)·p,
+    total order (days, orderkey), no interpolation).
+
+    Plan: one orderkey-join shuffle attaches min(l_shipdate) per order
+    (partial-aggregated map-side), day difference is integer µs
+    division, and the percentile window runs on the per-ORDER table —
+    one row per order, never per lineitem."""
+    first_ship = (lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+                  .agg(F.min("l_shipdate").alias("first_ship")))
+    us_diff = (epoch_us(F.date_trunc("day", F.col("first_ship")))
+               - epoch_us(F.date_trunc("day", F.col("o_orderdate"))))
+    days = us_diff.cast("long") - F.pmod(us_diff.cast("long"),
+                                         F.lit(86_400_000_000))
+    days = (days / F.lit(86_400_000_000)).cast("long")
+    per = (orders.join(first_ship, "o_orderkey")
+           .select(F.col("o_orderpriority").alias("priority"),
+                   F.col("o_orderkey").alias("okey"),
+                   days.alias("days")))
+    w = Window.partitionBy("priority").orderBy("days", "okey")
+    ranked = per.select(
+        "priority", "days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("priority")).alias("n"))
+
+    def at(pct: int):
+        idx = ((F.col("n") - 1) * pct
+               - ((F.col("n") - 1) * pct) % 100) / 100
+        return F.max(F.when(F.col("rn") == idx.cast("long") + 1,
+                            F.col("days")))
+
+    return (ranked.groupBy("priority")
+            .agg(F.max("n").cast("long").alias("n_orders"),
+                 at(50).alias("p50_days"), at(90).alias("p90_days"),
+                 at(99).alias("p99_days"))
+            .orderBy("priority"))
+
+
 def events_salted_agg(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Skew-safe two-stage aggregation: stage 1 aggregates on
     (event_type, salt) so a hot event_type spreads over ``salt_buckets``

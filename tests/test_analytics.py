@@ -302,3 +302,23 @@ def test_events_burst_hand_case(spark):
     assert out[30].burst           # 100 * 24 > 3 * 48
     assert not out[29].burst       # 2 * 24 < 3 * 48
     assert not out[10].burst       # incomplete lookback window -> never
+
+
+def test_orders_latency_rank_selected(spark, t):
+    from document_vector_pipeline_spark.plans import analytics as A
+    rows = {r.priority: r
+            for r in A.orders_latency(t["orders"], t["lineitem"]).collect()}
+    assert rows
+    # brute-force check one priority against python rank selection
+    pr = sorted(rows)[0]
+    first = (t["lineitem"].groupBy(F.col("l_orderkey").alias("o_orderkey"))
+             .agg(F.min("l_shipdate").alias("fs")))
+    per = sorted(
+        ((r.fs.date() - r.o_orderdate.date()).days, r.o_orderkey)
+        for r in t["orders"].join(first, "o_orderkey")
+        .filter(F.col("o_orderpriority") == pr)
+        .select("o_orderkey", "o_orderdate", "fs").collect())
+    n = len(per)
+    assert rows[pr].n_orders == n
+    assert rows[pr].p50_days == per[(n - 1) * 50 // 100][0]
+    assert rows[pr].p99_days == per[(n - 1) * 99 // 100][0]
