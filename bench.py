@@ -423,6 +423,11 @@ def main() -> None:
     bench("store_timetravel", timetravel)
     bench("sketch_hll",
           lambda: _sk.hll_distinct(ev, "event_type", "event_id", p=10))
+    bench("join_salted", lambda: joins.salted_join(
+        t["lineitem"].select("l_suppkey", "l_extendedprice"),
+        t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"),
+                             "s_nationkey"),
+        "l_suppkey", salt=8).groupBy("s_nationkey").count())
     bench("join_bloom", lambda: joins.bloom_semi_join(
         t["lineitem"],
         t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),

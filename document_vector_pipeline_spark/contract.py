@@ -1906,6 +1906,34 @@ def q_join_bloom(spark, sf_dir):
             .orderBy("l_linestatus"))
 
 
+def q_join_salted(spark, sf_dir):
+    """Salted skew-safe join: lineitem ⋈ supplier on suppkey with the
+    small side replicated 8 ways, rolled up per nation.  Result ≡ the
+    plain join (the oracle) — the salt only redistributes reducers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    joined = joins.salted_join(li.select("l_suppkey", "l_extendedprice",
+                                         "l_discount"),
+                               supp, "l_suppkey", salt=8)
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 analytics.money_sum(
+                     F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                     4).alias("revenue"))
+            .orderBy("s_nationkey"))
+
+
+def _sql_join_salted() -> str:
+    return f"""
+select s.s_nationkey, cast(count(*) as bigint) as n_items,
+       {_money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+         as revenue
+from lineitem l join supplier s on s.s_suppkey = l.l_suppkey
+group by s.s_nationkey order by s.s_nationkey
+"""
+
+
 def q_events_anomalies(spark, sf_dir):
     """z>=3 outliers per event type, flagged by pure integer-decimal
     comparison (no float thresholds)."""
@@ -5850,6 +5878,7 @@ def queries():
         "corpus_shards": q_corpus_shards,
         "emb_cluster_purity": q_emb_cluster_purity,
         "orders_latency": q_orders_latency,
+        "join_salted": q_join_salted,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6053,6 +6082,7 @@ def oracle_sql():
         "corpus_shards": _sql_corpus_shards(shard_size=64),
         "emb_cluster_purity": _sql_emb_cluster_purity(),
         "orders_latency": _sql_orders_latency(),
+        "join_salted": _sql_join_salted(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -86,3 +86,28 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
     return (probe.filter(keep)
             .join(build.select(F.col(build_key).alias(probe_key)).distinct(),
                   probe_key, "left_semi"))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 8) -> DataFrame:
+    """Skew-safe equi-join: the manual salting pattern for the case AQE
+    can't fix — ONE key so hot that a single reducer drowns even after
+    skew-split (the web-crawl "null user", the boilerplate domain).
+
+    Each big-side row gets a uniform salt from its row id, the small
+    side is replicated ``salt`` ways (explode of the salt range), and
+    the join runs on (key, salt) — the hot key's probe rows spread over
+    ``salt`` reducers instead of one.  The salt column never leaves the
+    operator.  RESULT-IDENTICAL to the plain join by construction: salt
+    assignment only moves rows between reducers (the oracle is the
+    plain join, the same contract as events_salted_agg).  Cost: small
+    side ×salt — use only when the small side is genuinely small and a
+    specific key is measurably hot; the first tools to reach for are
+    AQE skew-join and broadcast."""
+    b = big.withColumn(
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
+    s = (small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn("__salt", F.col("__salt").cast("int")))
+    return b.join(s, [key, "__salt"]).drop("__salt")

@@ -711,3 +711,16 @@ def test_plan_budgets_round4_session2(spark, t):
     from document_vector_pipeline_spark.plans import temporal
     p = plan_of(temporal.gapfill_locf(ev))
     assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_salted_join_equals_plain_join(spark, t):
+    from document_vector_pipeline_spark.plans import joins
+    li = t["lineitem"].select("l_suppkey", "l_orderkey")
+    supp = (t["supplier"]
+            .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"))
+    salted = joins.salted_join(li, supp, "l_suppkey", salt=4)
+    plain = li.join(supp, "l_suppkey")
+    assert "__salt" not in salted.columns
+    a = salted.groupBy("s_nationkey").count().collect()
+    b = plain.groupBy("s_nationkey").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
