@@ -191,6 +191,14 @@ def main() -> None:
     bench("emb_outliers", lambda: similarity.embedding_outliers(emb))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
+
+    def ivfpq_build():
+        ivf.build_pq(emb)
+        return spark.read.parquet(ivf._cells)
+
+    bench("ann_ivfpq_build", ivfpq_build)
+    bench("ann_ivfpq_query",
+          lambda: ivf.search_many_adc(qdf, k=10, nprobe=4))
     bench("vector_search_batch",
           lambda: store.search_many(
               qdf.select("query_id",

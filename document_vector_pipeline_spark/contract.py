@@ -1107,6 +1107,20 @@ def q_ann_ivf_persisted(spark, sf_dir):
     return idx.search_many(_queries_df(emb), k=10, nprobe=8)
 
 
+def q_ann_ivfpq_persisted(spark, sf_dir):
+    """Persisted IVFADC: PQ-augmented IVF index probed exhaustively, so
+    the ADC result — and the oracle — is exactly pq_ann; low-nprobe
+    partition-pruned serving is covered in tests/test_ivf_index.py."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_ivfpq_idx"),
+                   n_centroids=8)
+    idx.build(emb)
+    idx.build_pq(emb)
+    return idx.search_many_adc(_queries_df(emb), k=10, nprobe=8)
+
+
 def q_text_langid(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     lang = X.langid_struct(F.col("text"))
@@ -5879,6 +5893,7 @@ def queries():
         "emb_cluster_purity": q_emb_cluster_purity,
         "orders_latency": q_orders_latency,
         "join_salted": q_join_salted,
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6083,6 +6098,7 @@ def oracle_sql():
         "emb_cluster_purity": _sql_emb_cluster_purity(),
         "orders_latency": _sql_orders_latency(),
         "join_salted": _sql_join_salted(),
+        "ann_ivfpq_persisted": _sql_ann_pq(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

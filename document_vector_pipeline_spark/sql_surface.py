@@ -34,7 +34,7 @@ _STORE_BACKED = frozenset({
     "vector_topk_filtered", "vector_search_batch", "ann_ivf_persisted",
     "source_jsonl", "source_csv", "source_partitioned",
     "source_orc", "source_bucketed", "store_timetravel",
-    "corpus_shards",
+    "corpus_shards", "ann_ivfpq_persisted",
 })
 
 

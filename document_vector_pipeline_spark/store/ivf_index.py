@@ -136,6 +136,152 @@ class IVFIndex:
 
         return base.mapInPandas(run, schema)
 
+    @property
+    def _codebook(self) -> str:
+        return os.path.join(self.path, "codebook.parquet")
+
+    def build_pq(self, corpus: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_codes: int = 16,
+                 n_sub: int = 8, dim: int = 64) -> None:
+        """Augment the index with PQ codes: after ``build``, re-persist
+        each cell row with its ``n_sub`` codebook codes (array<int>) and
+        write the codebook alongside the centroids.  An ADC search then
+        reads n_sub small ints per row instead of ``dim`` floats — the
+        persisted FAISS-IVFADC layout (IVF prunes cells, PQ shrinks the
+        bytes the surviving cells cost).  Codes use the same exact
+        1e-6 fixed-point integer encode as ``pq_ann`` (argmin integer
+        subspace L2, ties to the lowest code), so an exhaustive-probe
+        ADC search is bit-identical to ``pq_ann`` — the oracle."""
+        import numpy as np
+
+        from document_vector_pipeline_spark.operators.similarity import (
+            pq_codebook,
+            pq_fixed_point,
+        )
+
+        sub = dim // n_sub
+        cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
+        cb_df = self.spark.createDataFrame(
+            [(i + 1, list(c)) for i, c in enumerate(cb)],
+            "code int, c6 array<bigint>")
+        cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
+
+        cbm = np.array(cb, dtype=np.int64)
+
+        @F.pandas_udf("array<int>")
+        def encode(v6s):
+            import pandas as pd
+            out = []
+            for v in v6s:
+                a = np.asarray(v, dtype=np.int64)
+                codes = []
+                for m in range(n_sub):
+                    d = (a[m * sub:(m + 1) * sub]
+                         - cbm[:, m * sub:(m + 1) * sub])
+                    # first-min tie-break == struct(d, code) min
+                    codes.append(int(np.argmin((d * d).sum(axis=1))) + 1)
+                out.append(codes)
+            return pd.Series(out)
+
+        cells = self.spark.read.parquet(self._cells)
+        with_codes = (cells
+                      .withColumn("__v6",
+                                  pq_fixed_point(F.col("v"), dim))
+                      .withColumn("pq_codes", encode(F.col("__v6")))
+                      .drop("__v6"))
+        tmp = self._cells + "_pq"
+        (with_codes.repartition("centroid_id").write
+         .partitionBy("centroid_id").mode("overwrite").parquet(tmp))
+        (self.spark.read.parquet(tmp)
+         .repartition("centroid_id").write
+         .partitionBy("centroid_id").mode("overwrite")
+         .parquet(self._cells))
+        # drop the staging dir through the Hadoop FS (object-store-safe)
+        jvm = self.spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(tmp)
+        jp.getFileSystem(self.spark._jsc.hadoopConfiguration()) \
+          .delete(jp, True)
+
+    def search_many_adc(self, queries: DataFrame, k: int = 10,
+                        nprobe: int = 4, n_sub: int = 8, dim: int = 64,
+                        qid_col: str = "query_id",
+                        qvec_col: str = "query_vec") -> DataFrame:
+        """Batch ADC search over the PQ-augmented index: probed cells
+        are read once (partition-pruned), each surviving row is scored
+        by ``n_sub`` integer LUT lookups on its stored codes — no
+        vector column is touched at all.  LUTs (query × codebook
+        integer dots) are plan metadata baked as map literals; exact
+        integers end-to-end, so nprobe = n_centroids reproduces
+        ``pq_ann`` bit-for-bit."""
+        import math as _math
+
+        from document_vector_pipeline_spark.operators.similarity import (
+            pq_fixed_point,
+        )
+
+        sub = dim // n_sub
+        cb_rows = sorted(self.spark.read.parquet(self._codebook).collect(),
+                         key=lambda r: r["code"])
+        cb = [list(r["c6"]) for r in cb_rows]
+        q6_rows = (queries
+                   .select(F.col(qid_col).alias("query_id"),
+                           pq_fixed_point(F.col(qvec_col), dim)
+                           .alias("q6"))
+                   .collect())
+        lut = {r["query_id"]: [[sum(r["q6"][m * sub + i] * cw[m * sub + i]
+                                    for i in range(sub))
+                                for cw in cb]
+                               for m in range(n_sub)]
+               for r in q6_rows}
+        raw = {r[0]: [float(v) for v in r[1]]
+               for r in queries.select(qid_col, qvec_col).collect()}
+        probe_pairs = []
+        for qid, qd in raw.items():
+            for cid in self._probe_ids(qd, nprobe):
+                probe_pairs.append((qid, cid))
+        probes = self.spark.createDataFrame(
+            probe_pairs, "query_id long, centroid_id long")
+        all_cells = sorted({c for _, c in probe_pairs})
+        cells = (self.spark.read.parquet(self._cells)
+                 .filter(F.col("centroid_id").isin(all_cells))
+                 .select("vec_id", "centroid_id", "pq_codes"))
+        cand = cells.join(F.broadcast(probes), "centroid_id")
+        per_m = []
+        for m in range(n_sub):
+            entries = []
+            for qid in sorted(lut):
+                entries += [F.lit(qid).cast("long"),
+                            F.array(*[F.lit(v) for v in lut[qid][m]])]
+            lmap = F.create_map(*entries)
+            per_m.append(F.element_at(
+                F.element_at(lmap, F.col("query_id")),
+                F.element_at(F.col("pq_codes"), m + 1)))
+        iscore = per_m[0]
+        for t in per_m[1:]:
+            iscore = iscore + t
+        scored = cand.select(
+            "query_id", "vec_id",
+            F.round(iscore / F.lit(1e12), 6).alias("score"))
+
+        schema = scored.schema
+
+        def cut(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                                      ascending=[True, False, True],
+                                      kind="mergesort")
+                yield pdf.groupby("query_id", sort=False).head(k)
+
+        partial = scored.mapInPandas(cut, schema)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.col("vec_id"))
+        return (partial.withColumn("rank",
+                                   F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "vec_id", "score", "rank"))
+
     def _probe_ids(self, qd: list[float], nprobe: int) -> list[int]:
         """Pick the nprobe closest centroids driver-side (they are index
         metadata, a few KB — never a Spark job)."""

@@ -102,3 +102,46 @@ def test_ivf_build_twins_equal(spark, tmp_path):
     rb = sorted(tuple(r) for r in spark.read.parquet(b._cells)
                 .select("vec_id", "vnorm", "centroid_id").collect())
     assert ra == rb and len(ra) > 0
+
+
+def test_pq_adc_exhaustive_equals_pq_ann(spark, tmp_path):
+    from document_vector_pipeline_spark.operators import similarity as S
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    idx = IVFIndex(spark, str(tmp_path / "ivfpq"), n_centroids=4)
+    idx.build(emb)
+    idx.build_pq(emb)
+    adc = [(r.query_id, r.rank, r.vec_id, r.score) for r in
+           idx.search_many_adc(q, k=10, nprobe=4)
+           .orderBy("query_id", "rank").collect()]
+    pq = [(r.query_id, r.rank, r.vec_id, r.score) for r in
+          S.pq_ann(emb, q, k=10).orderBy("query_id", "rank").collect()]
+    assert adc == pq
+
+
+def test_pq_adc_low_nprobe_prunes_partitions(spark, tmp_path):
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    idx = IVFIndex(spark, str(tmp_path / "ivfpq2"), n_centroids=4)
+    idx.build(emb)
+    idx.build_pq(emb)
+    out = idx.search_many_adc(q, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # every result row sits in a cell its query probed
+    probed = {qid: set(idx._probe_ids(
+        [float(v) for v in r], 1))
+        for qid, r in ((x.query_id, x.query_vec) for x in q.collect())}
+    cells = {r.vec_id: r.centroid_id for r in
+             spark.read.parquet(idx._cells)
+             .select("vec_id", "centroid_id").collect()}
+    for r in out.collect():
+        assert cells[r.vec_id] in probed[r.query_id]
