@@ -176,6 +176,9 @@ def main() -> None:
         return spark.read.parquet(ivf._cells)
 
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
+    bench("ann_ivf_tuning",
+          lambda: similarity.ivf_tuning(emb, qdf, k=10,
+                                        nprobe_list=(1, 2, 4, 8)))
     bench("ann_recall_multi",
           lambda: similarity.ann_recall_multi(emb, qdf, k=10))
     bench("emb_kmeans",

@@ -4648,6 +4648,30 @@ from af left join rm using (vec_id)
 """
 
 
+def q_ann_ivf_tuning(spark, sf_dir):
+    """IVF nprobe tuning curve: measured recall@10 per probe count
+    (1/2/4/8 of 8 cells) vs the exact ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_tuning(emb, _queries_df(emb), k=10,
+                                 nprobe_list=(1, 2, 4, 8), n_centroids=8)
+
+
+def _sql_ann_ivf_tuning(k: int = 10,
+                        nprobe_list: tuple = (1, 2, 4, 8)) -> str:
+    parts = []
+    for np_ in nprobe_list:
+        parts.append(f"""
+select cast({np_} as int) as nprobe, bf.query_id,
+       cast(count(a.vec_id) as bigint) as n_hits,
+       round(count(a.vec_id) / {k}, 6) as recall
+from ({_sql_ann_bruteforce()}) bf
+left join ({_sql_ann_ivf(nprobe=np_)}) a
+  on a.query_id = bf.query_id and a.vec_id = bf.vec_id
+group by bf.query_id""")
+    return (" union all ".join(parts)
+            + " order by nprobe, query_id")
+
+
 def _sql_ann_recall_multi(k: int = 10) -> str:
     parts = []
     for name, sub in [("ivf", _sql_ann_ivf()), ("lsh", _sql_ann_lsh()),
@@ -5894,6 +5918,7 @@ def queries():
         "orders_latency": q_orders_latency,
         "join_salted": q_join_salted,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+        "ann_ivf_tuning": q_ann_ivf_tuning,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6099,6 +6124,7 @@ def oracle_sql():
         "orders_latency": _sql_orders_latency(),
         "join_salted": _sql_join_salted(),
         "ann_ivfpq_persisted": _sql_ann_pq(),
+        "ann_ivf_tuning": _sql_ann_ivf_tuning(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -715,6 +715,41 @@ def ann_recall_multi(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return out.orderBy("index", "query_id")
 
 
+def ivf_tuning(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               nprobe_list: tuple = (1, 2, 4, 8),
+               n_centroids: int = 8) -> DataFrame:
+    """The nprobe tuning curve for IVF: measured recall@k per probe
+    count against the exact cosine ranking — (nprobe, query_id,
+    n_hits, recall).  The IVF counterpart of dedup_lsh_tuning: more
+    probes ⇒ more cells scanned ⇒ recall up / scan-fraction up; this
+    query turns the tradeoff into a measurement on YOUR corpus before
+    committing an nprobe at 100 TB (where each probe step is
+    1/n_centroids of the data re-admitted to the scan).
+
+    The exact top-k is materialized once (eager checkpoint, n_queries×k
+    rows) and every sweep entry is the same plan the standalone
+    ann_ivf runs; recall at nprobe = n_centroids is 1.0 by
+    construction — a built-in sanity row."""
+    exact = (brute_force_topk(corpus, queries, k=k)
+             .localCheckpoint(eager=True))
+    out = None
+    for np_ in nprobe_list:
+        approx = ivf_ann(corpus, queries, k=k,
+                         n_centroids=n_centroids, nprobe=np_)
+        hits = exact.alias("e").join(
+            approx.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.vec_id") == F.col("a.vec_id")), "left")
+        r = (hits.groupBy(F.col("e.query_id").alias("query_id"))
+             .agg(F.count(F.col("a.vec_id")).cast("long")
+                  .alias("n_hits"))
+             .select(F.lit(np_).cast("int").alias("nprobe"), "query_id",
+                     "n_hits",
+                     F.round(F.col("n_hits") / k, 6).alias("recall")))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("nprobe", "query_id")
+
+
 def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
                **lsh_kwargs) -> DataFrame:
     """Measured recall@k of the LSH index against the exact ranking:

@@ -344,3 +344,16 @@ def test_cluster_purity_invariants(spark):
     # twin equality: expression path == Arrow path
     slow = S.cluster_purity(emb, use_udf=False).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, slow))
+
+
+def test_ivf_tuning_monotone_and_exhaustive_is_perfect(spark,
+                                                       embeddings_small,
+                                                       queries):
+    rows = S.ivf_tuning(embeddings_small, queries, k=10,
+                        nprobe_list=(1, 2, 4), n_centroids=4).collect()
+    avg = {}
+    for r in rows:
+        avg.setdefault(r.nprobe, []).append(r.recall)
+    means = {p: sum(v) / len(v) for p, v in avg.items()}
+    assert means[1] <= means[2] <= means[4]
+    assert means[4] == 1.0     # nprobe = n_centroids probes every cell
