@@ -1954,6 +1954,33 @@ def q_events_anomalies(spark, sf_dir):
     return analytics.events_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def q_events_benford(spark, sf_dir):
+    """Benford first-digit profile of event values: observed vs
+    expected ppm per leading digit (shared literal expectations)."""
+    return analytics.events_benford(load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_benford() -> str:
+    import math as _math
+    benford = {d: round(_math.log10(1 + 1 / d) * 1_000_000)
+               for d in range(1, 10)}
+    exp_case = " ".join(f"when {d} then {p}" for d, p in benford.items())
+    return f"""
+with c as (
+  select cast(round(value * 100.0, 0) as bigint) as cents from events),
+d as (
+  select cast(substr(cast(cents as varchar), 1, 1) as int) as digit
+  from c where cents > 0),
+g as (select digit, cast(count(*) as bigint) as n from d group by digit)
+select digit, n,
+       cast((1000000 * n) // (sum(n) over ()) as bigint) as obs_ppm,
+       cast(case digit {exp_case} end as bigint) as benford_ppm,
+       cast((1000000 * n) // (sum(n) over ())
+            - (case digit {exp_case} end) as bigint) as excess_ppm
+from g order by digit
+"""
+
+
 def q_events_burst(spark, sf_dir):
     """Hourly burst flags per event type: n · 24 > 3 · trailing-24h sum
     (cleared-denominator integer comparison, full-window guard)."""
@@ -5919,6 +5946,7 @@ def queries():
         "join_salted": q_join_salted,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "ann_ivf_tuning": q_ann_ivf_tuning,
+        "events_benford": q_events_benford,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6125,6 +6153,7 @@ def oracle_sql():
         "join_salted": _sql_join_salted(),
         "ann_ivfpq_persisted": _sql_ann_pq(),
         "ann_ivf_tuning": _sql_ann_ivf_tuning(),
+        "events_benford": _sql_events_benford(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -1088,6 +1088,40 @@ def sequence_match(events: DataFrame, pattern: str = "vc*p") -> DataFrame:
                      .cast("int").alias("n_matches")))
 
 
+def events_benford(events: DataFrame, value: str = "value") -> DataFrame:
+    """Benford first-significant-digit profile of the value column —
+    the classic synthetic-data / fraud screen (fabricated amounts skew
+    uniform; organic multiplicative amounts follow log10(1+1/d)):
+    (digit, n, obs_ppm, benford_ppm, excess_ppm).
+
+    Map-only digit extraction (first char of the positive integer
+    cents) + a 9-row aggregate; observed shares are exact integer ppm
+    and the Benford expectations are shared LITERALS (computed once in
+    Python, identical text in both engines), so no log evaluates in
+    either engine."""
+    benford = {d: round(__import__("math").log10(1 + 1 / d) * 1_000_000)
+               for d in range(1, 10)}
+    cents = F.round(F.col(value) * 100.0, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = (events.filter(cents > 0)
+            .select(digit.alias("digit")))
+    total = Window.partitionBy()
+    exp_map = F.create_map(*[x for d, p in benford.items()
+                             for x in (F.lit(d), F.lit(p))])
+    return (base.groupBy("digit")
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("obs_ppm",
+                        F.expr("(1000000 * n) div "
+                               "sum(n) over ()").cast("long"))
+            .withColumn("benford_ppm",
+                        F.element_at(exp_map, F.col("digit"))
+                        .cast("long"))
+            .withColumn("excess_ppm",
+                        (F.col("obs_ppm") - F.col("benford_ppm"))
+                        .cast("long"))
+            .orderBy("digit"))
+
+
 def events_burst(events: DataFrame, factor: int = 3,
                  lookback: int = 24) -> DataFrame:
     """Burst detection per event type: hourly buckets whose count

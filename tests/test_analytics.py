@@ -322,3 +322,15 @@ def test_orders_latency_rank_selected(spark, t):
     assert rows[pr].n_orders == n
     assert rows[pr].p50_days == per[(n - 1) * 50 // 100][0]
     assert rows[pr].p99_days == per[(n - 1) * 99 // 100][0]
+
+
+def test_events_benford_shares_and_constants(spark, t):
+    import math
+
+    from document_vector_pipeline_spark.plans import analytics as A
+    rows = {r.digit: r for r in A.events_benford(t["events"]).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert sum(r.obs_ppm for r in rows.values()) <= 1_000_000
+    for d, r in rows.items():
+        assert r.benford_ppm == round(math.log10(1 + 1 / d) * 1_000_000)
+        assert r.excess_ppm == r.obs_ppm - r.benford_ppm
