@@ -305,6 +305,7 @@ def main() -> None:
     bench("corpus_novelty", lambda: corpus.novelty_scores(docs))
     bench("corpus_pack", lambda: corpus.pack_sequences(docs))
     bench("corpus_lm_buckets", lambda: corpus.lm_buckets(docs))
+    bench("corpus_lang_mix", lambda: corpus.lang_mix(docs))
     bench("corpus_shards",
           lambda: corpus.write_shards(
               docs, os.path.join(ROOT, ".scratch", "bench_shards")))

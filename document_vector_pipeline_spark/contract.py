@@ -4290,6 +4290,23 @@ order by g.doc_id
 """
 
 
+def q_corpus_lang_mix(spark, sf_dir):
+    """Language composition per source, exact integer ppm shares."""
+    return corpus.lang_mix(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_corpus_lang_mix() -> str:
+    return """
+with c as (select source, lang, cast(count(*) as bigint) as n_docs
+           from documents group by source, lang)
+select source, lang, n_docs,
+       cast((1000000 * n_docs) //
+            (sum(n_docs) over (partition by source)) as bigint)
+         as share_ppm
+from c order by source, lang
+"""
+
+
 def q_corpus_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality buckets from the corpus-LM score
     ranking (tertile cut, deterministic tie-break)."""
@@ -5947,6 +5964,7 @@ def queries():
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "ann_ivf_tuning": q_ann_ivf_tuning,
         "events_benford": q_events_benford,
+        "corpus_lang_mix": q_corpus_lang_mix,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6154,6 +6172,7 @@ def oracle_sql():
         "ann_ivfpq_persisted": _sql_ann_pq(),
         "ann_ivf_tuning": _sql_ann_ivf_tuning(),
         "events_benford": _sql_events_benford(),
+        "corpus_lang_mix": _sql_corpus_lang_mix(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -415,6 +415,29 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
             .orderBy("doc_id"))
 
 
+def lang_mix(docs: DataFrame, source_col: str = "source",
+             lang_col: str = "lang") -> DataFrame:
+    """Language composition per source: (source, lang, n_docs,
+    share_ppm) with exact integer ppm of the source's documents — the
+    per-source language report multilingual mixture weighting starts
+    from (companion of mixture_weights, which weights sources;
+    this shows what each source is made of).
+
+    One partial-aggregated shuffle on the bounded (source, lang) key;
+    the share window runs on the crosstab, never the corpus."""
+    from pyspark.sql import Window
+
+    cnt = (docs.groupBy(F.col(source_col).alias("source"),
+                        F.col(lang_col).alias("lang"))
+           .agg(F.count("*").cast("long").alias("n_docs")))
+    w = Window.partitionBy("source")
+    return (cnt.withColumn(
+        "share_ppm",
+        F.expr("(1000000 * n_docs) div sum(n_docs) over "
+               "(partition by source)").cast("long"))
+        .orderBy("source", "lang"))
+
+
 def lm_buckets(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020): rank every

@@ -353,3 +353,18 @@ def test_write_shards_one_file_per_shard_and_order(spark, docs_small,
         ps.sort()
         assert ps == list(range(min(ps), max(ps) + 1))
     assert sum(r.n_docs for r in manifest.values()) == len(all_pos)
+
+
+def test_lang_mix_shares_sum_per_source(spark, docs_small):
+    from document_vector_pipeline_spark.operators import corpus as C
+    rows = C.lang_mix(docs_small).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r)
+    for source, rs in per.items():
+        total = sum(r.n_docs for r in rs)
+        # floor-division ppm shares sum to <= 1e6, within n_langs of it
+        ppm = sum(r.share_ppm for r in rs)
+        assert 1_000_000 - len(rs) < ppm <= 1_000_000
+        for r in rs:
+            assert r.share_ppm == (1_000_000 * r.n_docs) // total
