@@ -451,6 +451,8 @@ def main() -> None:
     bench("events_trigrams", lambda: analytics.event_trigrams(ev))
     bench("events_burst", lambda: analytics.events_burst(ev))
     bench("events_benford", lambda: analytics.events_benford(ev))
+    bench("orders_mix_trend",
+          lambda: analytics.orders_mix_trend(t["orders"]))
     bench("orders_latency",
           lambda: analytics.orders_latency(t["orders"], t["lineitem"]))
     bench("customer_skyline",

@@ -1954,6 +1954,27 @@ def q_events_anomalies(spark, sf_dir):
     return analytics.events_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def q_orders_mix_trend(spark, sf_dir):
+    """Monthly order-priority mix with exact ppm shares (composition
+    drift report)."""
+    return analytics.orders_mix_trend(load_table(spark, sf_dir,
+                                                 "orders"))
+
+
+def _sql_orders_mix_trend() -> str:
+    return """
+with c as (select date_trunc('month', o_orderdate) as month,
+                  o_orderpriority as priority,
+                  cast(count(*) as bigint) as n_orders
+           from orders group by 1, 2)
+select cast(month as timestamp) as month, priority, n_orders,
+       cast((1000000 * n_orders) //
+            (sum(n_orders) over (partition by month)) as bigint)
+         as share_ppm
+from c order by month, priority
+"""
+
+
 def q_events_benford(spark, sf_dir):
     """Benford first-digit profile of event values: observed vs
     expected ppm per leading digit (shared literal expectations)."""
@@ -5965,6 +5986,7 @@ def queries():
         "ann_ivf_tuning": q_ann_ivf_tuning,
         "events_benford": q_events_benford,
         "corpus_lang_mix": q_corpus_lang_mix,
+        "orders_mix_trend": q_orders_mix_trend,
         "customer_skyline": q_customer_skyline,
         "order_backlog": q_order_backlog,
         "dedup_clusters": q_dedup_clusters,
@@ -6173,6 +6195,7 @@ def oracle_sql():
         "ann_ivf_tuning": _sql_ann_ivf_tuning(),
         "events_benford": _sql_events_benford(),
         "corpus_lang_mix": _sql_corpus_lang_mix(),
+        "orders_mix_trend": _sql_orders_mix_trend(),
         "customer_skyline": _sql_customer_skyline(),
         "order_backlog": _sql_order_backlog(),
         "chunk_chars": _chunker_sql("chars", 64),

@@ -1088,6 +1088,27 @@ def sequence_match(events: DataFrame, pattern: str = "vc*p") -> DataFrame:
                      .cast("int").alias("n_matches")))
 
 
+def orders_mix_trend(orders: DataFrame) -> DataFrame:
+    """Order-priority composition by month: (month, priority, n_orders,
+    share_ppm within the month) — the mix-shift report that catches
+    composition drift a total-volume chart hides (rising share of
+    1-URGENT is an ops signal even at flat volume).
+
+    One partial-aggregated shuffle on the bounded (month, priority)
+    key; the ppm share window runs on the crosstab, never on orders."""
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    cnt = (orders.groupBy(month.alias("month"),
+                          F.col("o_orderpriority").alias("priority"))
+           .agg(F.count("*").cast("long").alias("n_orders")))
+    return (cnt.withColumn(
+        "share_ppm",
+        F.expr("(1000000 * n_orders) div sum(n_orders) over "
+               "(partition by month)").cast("long"))
+        .select(F.col("month").cast("timestamp_ntz").alias("month"),
+                "priority", "n_orders", "share_ppm")
+        .orderBy("month", "priority"))
+
+
 def events_benford(events: DataFrame, value: str = "value") -> DataFrame:
     """Benford first-significant-digit profile of the value column —
     the classic synthetic-data / fraud screen (fabricated amounts skew

@@ -334,3 +334,16 @@ def test_events_benford_shares_and_constants(spark, t):
     for d, r in rows.items():
         assert r.benford_ppm == round(math.log10(1 + 1 / d) * 1_000_000)
         assert r.excess_ppm == r.obs_ppm - r.benford_ppm
+
+
+def test_orders_mix_trend_shares(spark, t):
+    from document_vector_pipeline_spark.plans import analytics as A
+    rows = A.orders_mix_trend(t["orders"]).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.month, []).append(r)
+    assert len(per) > 1
+    for month, rs in per.items():
+        total = sum(r.n_orders for r in rs)
+        for r in rs:
+            assert r.share_ppm == (1_000_000 * r.n_orders) // total
