@@ -900,6 +900,51 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
             .orderBy(id_col))
 
 
+def substring_stride_eval(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", width: int = 50,
+                          strides: tuple = (1, 2, 4, 8),
+                          flag_ppm: int = 100000) -> DataFrame:
+    """Measured cost/accuracy curve for the stride approximation of
+    ``substring_dup_stats`` — (stride, n_windows, n_flagged, n_both,
+    precision_ppm, recall_ppm), one row per stride vs the stride=1 exact
+    run.  ``n_windows`` is the total hashed-window count (the work the
+    stride cuts ~k×); flags are docs with dup_ppm >= ``flag_ppm``; the
+    stride=1 row is the built-in sanity check (precision = recall =
+    1e6).  This makes the documented 100 TB approximation (Lee et al.
+    substring dedup at stride k) a measurement on YOUR corpus instead
+    of a promise — the same ship-the-acceptance-metric contract as
+    ann_recall / dedup_minhash_eval.  Exact integers throughout."""
+    exact = (substring_dup_stats(docs, id_col, text_col, width, 1)
+             .select(F.col(id_col),
+                     (F.col("dup_ppm") >= flag_ppm).alias("exact_flag"))
+             .localCheckpoint(eager=True))
+    out = None
+    for s in sorted(strides):
+        st = substring_dup_stats(docs, id_col, text_col, width, s)
+        joined = st.join(exact, id_col)
+        row = joined.agg(
+            F.lit(s).cast("int").alias("stride"),
+            F.sum("n_windows").cast("long").alias("n_windows"),
+            F.count(F.when(F.col("dup_ppm") >= flag_ppm, 1))
+             .cast("long").alias("n_flagged"),
+            F.count(F.when((F.col("dup_ppm") >= flag_ppm)
+                           & F.col("exact_flag"), 1))
+             .cast("long").alias("n_both"),
+            F.count(F.when(F.col("exact_flag"), 1))
+             .cast("long").alias("n_exact"))
+        out = row if out is None else out.unionByName(row)
+    return (out
+            .withColumn("precision_ppm",
+                        F.expr("case when n_flagged = 0 then 0 else "
+                               "(1000000 * n_both) div n_flagged end"))
+            .withColumn("recall_ppm",
+                        F.expr("case when n_exact = 0 then 0 else "
+                               "(1000000 * n_both) div n_exact end"))
+            .select("stride", "n_windows", "n_flagged", "n_both",
+                    "precision_ppm", "recall_ppm")
+            .orderBy("stride"))
+
+
 # ---- SemDeDup: semantic (embedding-cluster) dedup ---------------------------
 
 def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",

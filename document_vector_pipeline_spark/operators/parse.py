@@ -99,17 +99,128 @@ def analysis_text_units(analysis: Column) -> Column:
     )
 
 
+# Statuses a document-analysis service treats as transient (throttling
+# and gateway hiccups); mirrors the embed client's policy surface.
+DEFAULT_PARSE_RETRY_STATUSES = (429, 503)
+
+
+class ParseClientError(Exception):
+    """Raised by a parse client callable; ``status_code`` decides
+    retryability (the HTTP status of the failed analyze call)."""
+
+    def __init__(self, status_code: int, message: str = ""):
+        super().__init__(f"parse client error {status_code}: {message}")
+        self.status_code = status_code
+
+
+def analyze_with_client(blobs: DataFrame, client,
+                        content_col: str = "content",
+                        out_col: str = "analysis",
+                        batch_size: int = 8,
+                        max_retries: int = 3,
+                        retry_delay_s: float = 0.0,
+                        retry_on=DEFAULT_PARSE_RETRY_STATUSES) -> DataFrame:
+    """Analyze blobs via an injectable document-parse client — the seam
+    where a real parser (Document Intelligence "prebuilt-read" as in
+    BlobTriggerFunction.cs:84-99, or an OSS PDF lib) drops in, mirroring
+    ``embed_with_client``'s client contract exactly.
+
+    ``client`` is any ``Callable[[list[str]], list[dict]]`` returning one
+    ``{lines, paragraphs, words, content}`` dict per input (the
+    AnalyzeResult shape the fallback cascade consumes).  It is
+    cloudpickled BY VALUE to executor workers — construct connections
+    lazily inside the callable.  Exceptions carrying a ``status_code``
+    in ``retry_on`` are retried up to ``max_retries`` with
+    ``retry_delay_s`` between attempts (duck-typed like the embed
+    client, so the closure serializes with no package reference); other
+    failures propagate to Spark's task retry.
+
+    Plan shape: one map-only mapInPandas stage, each Arrow batch sliced
+    into ``batch_size`` service-call groups."""
+    import time
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in blobs.schema.fields)
+    schema = f"{schema}, {out_col} {ANALYSIS_TYPE}"
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = pdf[content_col].tolist()
+            results: list[dict] = []
+            for s in range(0, len(texts), batch_size):
+                group = texts[s:s + batch_size]
+                attempt = 0
+                while True:
+                    try:
+                        got = client(group)
+                        break
+                    except Exception as e:
+                        status = getattr(e, "status_code", None)
+                        if (status not in retry_on
+                                or attempt >= max_retries):
+                            raise
+                        attempt += 1
+                        if retry_delay_s:
+                            time.sleep(retry_delay_s)
+                if len(got) != len(group):
+                    raise ValueError(
+                        f"parse client returned {len(got)} analyses "
+                        f"for a batch of {len(group)} blobs")
+                results.extend(got)
+            out = pdf.copy()
+            out[out_col] = results
+            yield out
+
+    return blobs.mapInPandas(run, schema)
+
+
+def stub_parse_client(texts: list[str]) -> list[dict]:
+    """Plain-Python twin of ``analyze_document`` — the deterministic
+    stand-in parse client (and the oracle for any real client's
+    plumbing).  Replays the expression path exactly: Spark ``trim``
+    strips ASCII spaces only, ``split`` drops regex capture groups."""
+    import re
+
+    out = []
+    for t in texts:
+        has_nl = "\n" in t
+        lines = ([s for s in (x.strip(" ") for x in re.split(r"\r?\n", t))
+                  if s != ""] if has_nl else [])
+        paragraphs = [s for s in
+                      (x.strip(" ") for x in re.split(r"(?:\r?\n){2,}", t))
+                      if s != ""]
+        words = [w for w in re.split(r"\s+", t.strip(" ")) if w != ""]
+        out.append({"lines": lines, "paragraphs": paragraphs,
+                    "words": words, "content": t})
+    return out
+
+
 def route_blobs(blobs: DataFrame, content_col: str = "content",
-                url_col: str = "document_url") -> DataFrame:
+                url_col: str = "document_url",
+                parse_client=None) -> DataFrame:
     """Add routing + analysis columns to a blob DataFrame.
 
     Output adds: `ext`, `route` ('text'|'markdown'|'analyze'), `analysis`.
-    """
+
+    With ``parse_client`` set, blobs on the 'analyze' route (non-.txt/.md
+    — the reference's prebuilt-read path) are analyzed by the injectable
+    client via ``analyze_with_client`` while text/markdown blobs keep the
+    whole-stage-codegen expression path; the two legs are unioned back.
+    Default (None) keeps the single expression-only projection."""
     ext = extension(F.col(url_col))
     route = (F.when(ext == ".txt", F.lit("text"))
               .when(ext == ".md", F.lit("markdown"))
               .otherwise(F.lit("analyze")))
-    return (blobs
-            .withColumn("ext", ext)
-            .withColumn("route", route)
-            .withColumn("analysis", analyze_document(F.col(content_col))))
+    routed = blobs.withColumn("ext", ext).withColumn("route", route)
+    if parse_client is None:
+        return routed.withColumn("analysis",
+                                 analyze_document(F.col(content_col)))
+    text_like = (routed.filter(F.col("route") != "analyze")
+                 .withColumn("analysis",
+                             analyze_document(F.col(content_col))))
+    analyzed = analyze_with_client(
+        routed.filter(F.col("route") == "analyze"), parse_client,
+        content_col=content_col)
+    return text_like.unionByName(analyzed)

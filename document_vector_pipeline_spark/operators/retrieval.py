@@ -1,0 +1,159 @@
+"""Corpus-level retrieval: BM25 keyword top-k and reciprocal-rank-fusion
+hybrid search (SURVEY §2 — the most common real retrieval shape over a
+chunk/document store today: keyword + vector, fused).
+
+The reference's stores answer only vector top-k (CosmosDB VectorDistance /
+AzureSQL VECTOR_DISTANCE); every production retrieval stack in front of
+such a store adds a keyword leg (BM25 over an inverted term table) and
+fuses the two rankings (RRF, Cormack et al. SIGIR 2009).  Both legs here
+are deterministic and integer-exact so the oracle can replay them:
+
+- BM25 (Robertson/Sparck Jones, k1 = 6/5, b = 3/4): per-term
+  contributions are computed as ``floor`` of an all-rational expression
+  scaled to micro-units, with the single transcendental (the idf ``ln``)
+  rounded to an integer micro-idf first.  Per-(query, doc) scores are
+  then SUMS OF INTEGERS — order-free, engine-portable.
+- RRF: ``floor(1e6 / (c + rank))`` per leg — exact integers end-to-end.
+
+Plan shape (the 100 TB story):
+- doc length is computed MAP-SIDE (array size of the tokenized text) —
+  no corpus-wide token shuffle just for lengths;
+- the token stream is filtered to the query batch's terms (collected
+  driver-side — a query batch is metadata-sized by definition) BEFORE
+  the tf groupBy, so the only wide aggregation runs over rows that
+  mention a query term, not the corpus's whole posting list;
+- corpus statistics (N, total token count) ride in as a broadcast
+  single-row join;
+- the per-query rank window is fed by a map-side partial top-k cut
+  (<= k rows per query per partition), the same two-phase pattern as
+  operators/similarity._partial_cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.lower(text_col), TOKEN_SPLIT),
+                    lambda t: t != F.lit(""))
+
+
+def _cut_topk(scored: DataFrame, k: int, score_col: str,
+              id_col: str) -> DataFrame:
+    """Map-side partial top-k per query under (score desc, id asc) — the
+    final rank order — so the rank window's exchange carries
+    <= k * n_partitions rows per query."""
+    schema = scored.schema
+
+    def cut(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["query_id", score_col, id_col],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    return scored.mapInPandas(cut, schema)
+
+
+def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 top-k documents per query — (query_id, doc_id, n_terms,
+    score_micro, rank).
+
+    ``query_terms`` is the exploded query batch (query_id, term); terms
+    missing from the corpus simply contribute nothing.  k1 = 6/5 and
+    b = 3/4 (the classic 1.2 / 0.75) are kept as exact rationals and the
+    denominators cleared, so each per-term contribution is
+
+        floor( idf_micro * (22 * tf * T)
+               / (10*T*tf + 3*T + 9*dl*N) )        [micro-units]
+
+    with idf_micro = round(ln((2*(N-df)+1)/(2*df+1) + 1) * 1e6) — every
+    input an exact integer, every float op correctly-rounded double
+    arithmetic in a FIXED expression shape, so DuckDB replays it
+    bit-for-bit; the final per-(query,doc) score is an integer sum."""
+    terms = [r[0] for r in query_terms.select("term").distinct().collect()]
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+        F.size(_tokens(F.col(text_col))).alias("dl"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
+
+    tf = (tok.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    joined = (tf.join(F.broadcast(df_), "term")
+              .join(F.broadcast(query_terms), "term")
+              .crossJoin(F.broadcast(stats)))
+
+    idf_micro = F.round(
+        F.log((((F.lit(2.0) * (F.col("n_docs") - F.col("df"))) + F.lit(1.0))
+               / ((F.lit(2.0) * F.col("df")) + F.lit(1.0))) + F.lit(1.0))
+        * F.lit(1000000.0)).cast("long")
+    contrib = F.floor(
+        (idf_micro * (F.lit(22.0) * (F.col("tf") * F.col("total_len"))))
+        / (((F.lit(10.0) * (F.col("total_len") * F.col("tf")))
+            + (F.lit(3.0) * F.col("total_len")))
+           + (F.lit(9.0) * (F.col("dl") * F.col("n_docs")))))
+
+    scored = (joined
+              .withColumn("c_micro", contrib)
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).alias("n_terms"),
+                   F.sum("c_micro").alias("score_micro")))
+    partial = _cut_topk(scored, k, "score_micro", "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"),
+                                               F.col("doc_id"))
+    return (partial.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "n_terms", "score_micro", "rank"))
+
+
+def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,
+             c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of a keyword ranking (query_id, doc_id,
+    rank) and a vector ranking (query_id, vec_id, rank) over the same id
+    space — (query_id, doc_id, text_rank, vec_rank, rrf_micro, rank).
+
+    Per-leg contribution floor(1e6 / (c + rank)) is an exact integer, so
+    the fused score is engine-portable; a missing leg contributes 0 and
+    reports rank 0 (never null — nullable ints round-trip badly through
+    Arrow/pandas dtype inference).  Both inputs are top-k lists — a few
+    k rows per query — so the fusion join is broadcast-sized by
+    construction; only the two upstream rankings touch the corpus."""
+    t = (text_ranked.select("query_id", "doc_id",
+                            F.col("rank").alias("text_rank")))
+    v = (vec_ranked.select("query_id",
+                           F.col("vec_id").alias("doc_id"),
+                           F.col("rank").alias("vec_rank")))
+    both = t.join(v, ["query_id", "doc_id"], "full_outer")
+    part = (F.when(F.col("text_rank").isNotNull(),
+                   F.floor(F.lit(1000000.0) / (F.lit(c) + F.col("text_rank"))))
+            .otherwise(F.lit(0)) +
+            F.when(F.col("vec_rank").isNotNull(),
+                   F.floor(F.lit(1000000.0) / (F.lit(c) + F.col("vec_rank"))))
+            .otherwise(F.lit(0)))
+    scored = (both.withColumn("rrf_micro", part.cast("long"))
+              .withColumn("text_rank",
+                          F.coalesce(F.col("text_rank"), F.lit(0))
+                          .cast("int"))
+              .withColumn("vec_rank",
+                          F.coalesce(F.col("vec_rank"), F.lit(0))
+                          .cast("int")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"),
+                                               F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "text_rank", "vec_rank",
+                    "rrf_micro", "rank"))

@@ -36,6 +36,30 @@ def _ranked(scored: DataFrame, k: int) -> DataFrame:
             .select("query_id", "vec_id", "score", "rank"))
 
 
+def _partial_cut(scored: DataFrame, k: int) -> DataFrame:
+    """Map-side partial top-k over (query_id, vec_id, score) rows: within
+    each Arrow batch keep only the best k rows per query under the FINAL
+    rank order (score desc, vec_id asc), so the global top-k is a top-k
+    of partial top-ks — lossless.  Narrow (no shuffle): the per-query
+    rank window after this cut receives <= k * n_batches rows per query
+    instead of the whole scored corpus, which is what keeps the
+    full-corpus compression ladders (pq_ann, binary_ann) from funnelling
+    n_corpus x n_queries rows into n_queries reducer tasks at 100x.
+    Mirrors VectorStore._partial_topk (store/vector_store.py)."""
+    schema = scored.schema
+
+    def cut(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    return scored.mapInPandas(cut, schema)
+
+
 def _score_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
                    id_col: str, vec_col: str, qid_col: str, qvec_col: str,
                    lo: float | None = None, hi: float | None = None,
@@ -404,9 +428,12 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Plan shape: corpus side is MAP-ONLY — the codebook and the per-query
     lookup tables are literals baked into one projection (encode = array_min
-    over struct(dist, code), score = element_at per subspace), so the only
-    shuffle is the final per-query top-k window.  Recall < 1 by design;
-    scores are exact integers scaled once at the end."""
+    over struct(dist, code), score = element_at per subspace); a map-side
+    partial top-k (_partial_cut) then cuts each batch to <= k rows per
+    query BEFORE the rank window, so the only shuffle moves
+    k * n_batches * n_queries skinny rows, never the scored corpus.
+    Recall < 1 by design; scores are exact integers scaled once at the
+    end."""
     sub = dim // n_sub
     cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
     q_rows = (queries
@@ -424,17 +451,50 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     df = corpus.select(F.col(id_col).alias("vec_id"),
                        pq_fixed_point(F.col(vec_col), dim).alias("v6"))
     if use_udf:
-        score_udf = make_pq_score_udf(cb, lut, n_sub, sub)
-        qid_arr = F.array(*[F.lit(q).cast("long") for q in sorted(lut)])
-        scored = (df.select("vec_id",
-                            F.posexplode(score_udf(F.col("v6")))
-                            .alias("pos", "i"))
-                  .select("vec_id",
-                          F.element_at(qid_arr, F.col("pos") + 1)
-                           .alias("query_id"),
-                          F.round(F.col("i") / F.lit(1e12), 6)
-                           .alias("score")))
-        return _ranked(scored, k)
+        # fused Arrow encode + ADC score + map-side partial top-k: ONE
+        # mapInPandas stage emits <= k rows per (batch, query), so the
+        # rank window's exchange never sees the scored corpus (the
+        # round-4 `weak` fix) and there is no posexplode blow-up either.
+        import numpy as np
+
+        from document_vector_pipeline_spark.functions.vectors import (
+            py_round6_np,
+        )
+
+        cbm = np.array(cb, dtype=np.int64)              # (C, dim)
+        qids = sorted(lut)
+        lutm = np.array([lut[q] for q in qids], dtype=np.int64)
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        schema = f"query_id long, vec_id {id_type}, score double"
+
+        def run(batches):
+            import pandas as pd
+            msub = np.arange(n_sub)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(list(pdf["v6"]), dtype=np.int64)   # (n, dim)
+                ids = pdf["vec_id"].to_numpy()
+                codes = np.empty((len(V), n_sub), dtype=np.int64)
+                for m in range(n_sub):
+                    d = (V[:, None, m * sub:(m + 1) * sub]
+                         - cbm[None, :, m * sub:(m + 1) * sub])
+                    # first-min tie-break == struct(dist, code) min
+                    codes[:, m] = (d * d).sum(axis=2).argmin(axis=1)
+                outs = []
+                for qi, qid in enumerate(qids):
+                    iscore = lutm[qi, msub[None, :], codes].sum(axis=1)
+                    # replay round(i / 1e12, 6): exact long->double
+                    # (|i| < 2^53), correctly-rounded divide, HALF_UP
+                    score = py_round6_np(iscore / 1e12)
+                    out = pd.DataFrame({"query_id": qid, "vec_id": ids,
+                                        "score": score})
+                    outs.append(out.sort_values(
+                        ["score", "vec_id"], ascending=[False, True],
+                        kind="mergesort").head(k))
+                yield pd.concat(outs, ignore_index=True)
+
+        return _ranked(df.mapInPandas(run, schema), k)
     code_cols = []
     for m in range(n_sub):
         s_m = F.slice(F.col("v6"), m * sub + 1, sub)
@@ -458,7 +518,7 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (df.select("vec_id", F.explode(F.array(*per_q)).alias("qs"))
               .select("vec_id", F.col("qs.query_id").alias("query_id"),
                       F.round(F.col("qs.i") / F.lit(1e12), 6).alias("score")))
-    return _ranked(scored, k)
+    return _ranked(_partial_cut(scored, k), k)
 
 
 def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -592,8 +652,10 @@ def binary_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Plan: corpus encode is MAP-ONLY (two int64 words per row — the scan
     reads 16 bytes instead of dim floats once the words are persisted),
     queries broadcast, Hamming is whole-stage-codegen bit arithmetic,
-    and the only shuffle is the final top-k window.  All integers —
-    bit-identical across engines."""
+    then a map-side partial top-k (_partial_cut) trims each batch to
+    <= k rows per query so the final rank window's exchange carries
+    k * n_batches * n_queries rows, never the whole scored corpus.
+    All integers — bit-identical across engines."""
     cw = _sign_words(F.col(vec_col), dim)
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       *[w.alias(f"w{i}") for i, w in enumerate(cw)])
@@ -607,9 +669,10 @@ def binary_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (c.join(F.broadcast(q))
               .select("query_id", "vec_id",
                       (F.lit(dim) - ham).cast("int").alias("score")))
+    partial = _partial_cut(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (partial.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "score", "rank"))
 

@@ -35,10 +35,14 @@ from document_vector_pipeline_spark.functions.vectors import dot, l2_norm
 
 
 class IVFIndex:
-    def __init__(self, spark: SparkSession, path: str, n_centroids: int = 16):
+    def __init__(self, spark: SparkSession, path: str, n_centroids: int = 16,
+                 n_buckets: int = 16):
         self.spark = spark
         self.path = path
         self.n_centroids = n_centroids
+        # idmap hash-bucket count: an upsert/delete batch only reads and
+        # rewrites the buckets its ids hash into, never the whole map
+        self.n_buckets = n_buckets
 
     @property
     def _cells(self) -> str:
@@ -47,6 +51,26 @@ class IVFIndex:
     @property
     def _cents(self) -> str:
         return os.path.join(self.path, "centroids.parquet")
+
+    @property
+    def _idmap(self) -> str:
+        return os.path.join(self.path, "idmap")
+
+    # -- Hadoop-FS helpers (object-store-safe: no direct local deletes) --
+
+    def _jpath(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, jp):
+        return jp.getFileSystem(self.spark._jsc.hadoopConfiguration())
+
+    def _fs_exists(self, p: str) -> bool:
+        jp = self._jpath(p)
+        return self._fs(jp).exists(jp)
+
+    def _fs_delete(self, p: str) -> None:
+        jp = self._jpath(p)
+        self._fs(jp).delete(jp, True)
 
     def build(self, corpus: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", use_udf: bool = True) -> None:
@@ -94,6 +118,27 @@ class IVFIndex:
                         .select("vec_id", "v", "vnorm", "centroid_id"))
         (assigned.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite").parquet(self._cells))
+        self._write_idmap_from_cells()
+
+    def _bucket_expr(self, vec_id):
+        return F.pmod(F.xxhash64(vec_id.cast("string")),
+                      F.lit(self.n_buckets)).alias("bucket")
+
+    def _write_idmap_from_cells(self) -> None:
+        """(Re)derive the id→cell sidecar from the cells themselves: a
+        column-pruned scan of (vec_id, centroid_id) hashed into
+        ``n_buckets`` partitions.  The sidecar is what lets upsert/delete
+        find a vector's CURRENT cell without scanning the corpus — reads
+        prune to the buckets the batch's ids hash into."""
+        imap = (self.spark.read.parquet(self._cells)
+                .select("vec_id", "centroid_id",
+                        self._bucket_expr(F.col("vec_id"))))
+        (imap.repartition("bucket").write
+         .partitionBy("bucket").mode("overwrite").parquet(self._idmap))
+
+    def _ensure_idmap(self) -> None:
+        if not self._fs_exists(self._idmap):
+            self._write_idmap_from_cells()
 
     @staticmethod
     def _assign_np(base: DataFrame, cent_rows) -> DataFrame:
@@ -152,20 +197,158 @@ class IVFIndex:
         1e-6 fixed-point integer encode as ``pq_ann`` (argmin integer
         subspace L2, ties to the lowest code), so an exhaustive-probe
         ADC search is bit-identical to ``pq_ann`` — the oracle."""
-        import numpy as np
-
         from document_vector_pipeline_spark.operators.similarity import (
             pq_codebook,
-            pq_fixed_point,
         )
 
-        sub = dim // n_sub
         cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
         cb_df = self.spark.createDataFrame(
             [(i + 1, list(c)) for i, c in enumerate(cb)],
             "code int, c6 array<bigint>")
         cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
 
+        cells = self.spark.read.parquet(self._cells)
+        with_codes = self._with_pq_codes(cells, cb, n_sub, dim)
+        tmp = self._cells + "_pq"
+        (with_codes.repartition("centroid_id").write
+         .partitionBy("centroid_id").mode("overwrite").parquet(tmp))
+        (self.spark.read.parquet(tmp)
+         .repartition("centroid_id").write
+         .partitionBy("centroid_id").mode("overwrite")
+         .parquet(self._cells))
+        # drop the staging dir through the Hadoop FS (object-store-safe)
+        self._fs_delete(tmp)
+
+    def _read_codebook(self) -> list[list[int]]:
+        rows = sorted(self.spark.read.parquet(self._codebook).collect(),
+                      key=lambda r: r["code"])
+        return [list(r["c6"]) for r in rows]
+
+    def _centroid_rows(self):
+        return sorted(self.spark.read.parquet(self._cents).collect(),
+                      key=lambda r: r["centroid_id"])
+
+    def upsert(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", n_sub: int = 8) -> None:
+        """Incremental index maintenance: add or replace the batch's
+        vectors, re-encoding ONLY the touched cells — the per-upsert
+        maintenance the reference's Cosmos vector index performs on
+        every write (CosmosDBClientWrapper.cs:36-105, QuantizedFlat on
+        /embedding), here as a bounded batch job instead of a rebuild.
+
+        Cost model (the 100 TB contract): assignment of the new batch is
+        map-only against the existing centroids; the previous location
+        of each replaced id comes from the ``idmap`` sidecar pruned to
+        the batch's hash buckets; then only the affected cell
+        partitions (old homes ∪ new homes, ≤ n_centroids) are read,
+        anti-joined against the batch ids, merged with the new rows and
+        dynamically overwritten — untouched cells and buckets are never
+        read or written.  If the index is PQ-augmented, new rows are
+        PQ-encoded with the EXISTING codebook (exact same argmin
+        fixed-point encode), so ADC search stays bit-consistent.
+
+        Centroids and codebook are deliberately frozen: that is how IVF
+        serving indexes age (FAISS add_with_ids); a distribution shift
+        big enough to invalidate them is a ``build``/``build_pq``
+        rebuild, not an upsert."""
+        self._ensure_idmap()
+        vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        base = df.select(F.col(id_col).alias("vec_id"),
+                         F.col(vec_col).alias("v"),
+                         l2_norm(vd).alias("vnorm"))
+        assigned = self._assign_np(base, self._centroid_rows())
+        if self._fs_exists(self._codebook):
+            cb = self._read_codebook()
+            assigned = self._with_pq_codes(assigned, cb, n_sub, len(cb[0]))
+        # materialize once: reused for cell lists, both merges, both writes
+        assigned = assigned.localCheckpoint(eager=True)
+        ids = assigned.select("vec_id").distinct()
+
+        bkts = [r[0] for r in
+                ids.select(self._bucket_expr(F.col("vec_id")))
+                .distinct().collect()]
+        imap = (self.spark.read.parquet(self._idmap)
+                .filter(F.col("bucket").isin(bkts)))
+        old_cells = {r[0] for r in imap.join(F.broadcast(ids), "vec_id")
+                     .select("centroid_id").distinct().collect()}
+        new_cells = {r[0] for r in
+                     assigned.select("centroid_id").distinct().collect()}
+        affected = sorted(old_cells | new_cells)
+
+        cur = (self.spark.read.parquet(self._cells)
+               .filter(F.col("centroid_id").isin(affected))
+               .join(F.broadcast(ids), "vec_id", "left_anti"))
+        merged = cur.unionByName(assigned).localCheckpoint(eager=True)
+        self._overwrite_partitions(merged, self._cells, "centroid_id",
+                                   affected)
+
+        cur_map = imap.join(F.broadcast(ids), "vec_id", "left_anti")
+        new_map = assigned.select(
+            "vec_id", "centroid_id", self._bucket_expr(F.col("vec_id")))
+        merged_map = (cur_map.unionByName(new_map)
+                      .localCheckpoint(eager=True))
+        # every batch bucket receives >= 1 new row, so none can empty
+        self._overwrite_partitions(merged_map, self._idmap, "bucket", bkts)
+
+    def delete(self, ids) -> None:
+        """Remove vectors from the index by id: the idmap sidecar (pruned
+        to the ids' hash buckets) locates their cells, only those cell
+        partitions are rewritten without the victims, and cells/buckets
+        that empty out have their directories dropped through the Hadoop
+        FS.  Bounded by the affected cells, never a corpus scan."""
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame([(int(i),) for i in ids],
+                                             "vec_id long")
+        ids = ids.select(F.col(ids.columns[0]).alias("vec_id")).distinct()
+        self._ensure_idmap()
+        bkts = [r[0] for r in
+                ids.select(self._bucket_expr(F.col("vec_id")))
+                .distinct().collect()]
+        imap = (self.spark.read.parquet(self._idmap)
+                .filter(F.col("bucket").isin(bkts)))
+        affected = sorted({r[0] for r in imap.join(F.broadcast(ids), "vec_id")
+                           .select("centroid_id").distinct().collect()})
+        if not affected:
+            return
+        cur = (self.spark.read.parquet(self._cells)
+               .filter(F.col("centroid_id").isin(affected))
+               .join(F.broadcast(ids), "vec_id", "left_anti")
+               .localCheckpoint(eager=True))
+        self._overwrite_partitions(cur, self._cells, "centroid_id", affected)
+
+        cur_map = (imap.join(F.broadcast(ids), "vec_id", "left_anti")
+                   .localCheckpoint(eager=True))
+        self._overwrite_partitions(cur_map, self._idmap, "bucket", bkts)
+
+    def _overwrite_partitions(self, df: DataFrame, path: str,
+                              part_col: str, affected: list) -> None:
+        """Dynamic-partition-overwrite ``df`` into ``path`` (only the
+        partitions present in ``df`` are replaced), then drop the
+        directories of ``affected`` partitions that received no rows —
+        dynamic overwrite alone would leave their stale files in place.
+        ``df`` must be checkpoint-materialized (it was derived from
+        ``path`` and Spark refuses a self-overwriting file plan)."""
+        present = {r[0] for r in df.select(part_col).distinct().collect()}
+        (df.repartition(part_col).write
+         .partitionBy(part_col).mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic").parquet(path))
+        for p in set(affected) - present:
+            self._fs_delete(os.path.join(path, f"{part_col}={p}"))
+
+    @staticmethod
+    def _with_pq_codes(df: DataFrame, cb: list[list[int]], n_sub: int,
+                       dim: int) -> DataFrame:
+        """Add ``pq_codes`` (argmin integer subspace L2, 1-based, ties to
+        the lowest code — first-min == struct(d, code) min) to a cells
+        DataFrame with a ``v`` vector column.  Map-only; the codebook is
+        a numpy closure."""
+        import numpy as np
+
+        from document_vector_pipeline_spark.operators.similarity import (
+            pq_fixed_point,
+        )
+
+        sub = dim // n_sub
         cbm = np.array(cb, dtype=np.int64)
 
         @F.pandas_udf("array<int>")
@@ -178,29 +361,13 @@ class IVFIndex:
                 for m in range(n_sub):
                     d = (a[m * sub:(m + 1) * sub]
                          - cbm[:, m * sub:(m + 1) * sub])
-                    # first-min tie-break == struct(d, code) min
                     codes.append(int(np.argmin((d * d).sum(axis=1))) + 1)
                 out.append(codes)
             return pd.Series(out)
 
-        cells = self.spark.read.parquet(self._cells)
-        with_codes = (cells
-                      .withColumn("__v6",
-                                  pq_fixed_point(F.col("v"), dim))
-                      .withColumn("pq_codes", encode(F.col("__v6")))
-                      .drop("__v6"))
-        tmp = self._cells + "_pq"
-        (with_codes.repartition("centroid_id").write
-         .partitionBy("centroid_id").mode("overwrite").parquet(tmp))
-        (self.spark.read.parquet(tmp)
-         .repartition("centroid_id").write
-         .partitionBy("centroid_id").mode("overwrite")
-         .parquet(self._cells))
-        # drop the staging dir through the Hadoop FS (object-store-safe)
-        jvm = self.spark._jvm
-        jp = jvm.org.apache.hadoop.fs.Path(tmp)
-        jp.getFileSystem(self.spark._jsc.hadoopConfiguration()) \
-          .delete(jp, True)
+        return (df.withColumn("__v6", pq_fixed_point(F.col("v"), dim))
+                .withColumn("pq_codes", encode(F.col("__v6")))
+                .drop("__v6"))
 
     def search_many_adc(self, queries: DataFrame, k: int = 10,
                         nprobe: int = 4, n_sub: int = 8, dim: int = 64,
@@ -209,10 +376,15 @@ class IVFIndex:
         """Batch ADC search over the PQ-augmented index: probed cells
         are read once (partition-pruned), each surviving row is scored
         by ``n_sub`` integer LUT lookups on its stored codes — no
-        vector column is touched at all.  LUTs (query × codebook
-        integer dots) are plan metadata baked as map literals; exact
-        integers end-to-end, so nprobe = n_centroids reproduces
-        ``pq_ann`` bit-for-bit."""
+        vector column is touched at all.  The LUT (query × codebook
+        integer dots) travels as a numpy closure inside ONE Arrow
+        pandas UDF (the ``make_pq_score_udf`` pattern), so the plan's
+        size is independent of the query-batch size — a literal
+        ``create_map`` here would grow O(n_queries × n_sub × n_codes)
+        Catalyst nodes and stall analysis on real serving batches.
+        Exact integers end-to-end (int64 gathers + row sums, no
+        floats until the final scale), so nprobe = n_centroids
+        reproduces ``pq_ann`` bit-for-bit."""
         import math as _math
 
         from document_vector_pipeline_spark.operators.similarity import (
@@ -246,22 +418,29 @@ class IVFIndex:
                  .filter(F.col("centroid_id").isin(all_cells))
                  .select("vec_id", "centroid_id", "pq_codes"))
         cand = cells.join(F.broadcast(probes), "centroid_id")
-        per_m = []
-        for m in range(n_sub):
-            entries = []
-            for qid in sorted(lut):
-                entries += [F.lit(qid).cast("long"),
-                            F.array(*[F.lit(v) for v in lut[qid][m]])]
-            lmap = F.create_map(*entries)
-            per_m.append(F.element_at(
-                F.element_at(lmap, F.col("query_id")),
-                F.element_at(F.col("pq_codes"), m + 1)))
-        iscore = per_m[0]
-        for t in per_m[1:]:
-            iscore = iscore + t
+
+        import numpy as np
+
+        qids_sorted = sorted(lut)
+        qidx = {q: i for i, q in enumerate(qids_sorted)}
+        # (n_queries, n_sub, n_codes) int64 — exact python ints, closure-
+        # captured once; plan size stays O(1) in the query count
+        lut_np = np.array([lut[q] for q in qids_sorted], dtype=np.int64)
+
+        @F.pandas_udf("long")
+        def adc_dot(qid_s, codes_s):
+            import pandas as _pd
+            if len(qid_s) == 0:
+                return _pd.Series([], dtype="int64")
+            qi = qid_s.map(qidx).to_numpy(dtype=np.int64)
+            C = np.array(list(codes_s), dtype=np.int64) - 1  # 1-based codes
+            vals = lut_np[qi[:, None], np.arange(C.shape[1])[None, :], C]
+            return _pd.Series(vals.sum(axis=1))
+
         scored = cand.select(
             "query_id", "vec_id",
-            F.round(iscore / F.lit(1e12), 6).alias("score"))
+            F.round(adc_dot(F.col("query_id"), F.col("pq_codes"))
+                    / F.lit(1e12), 6).alias("score"))
 
         schema = scored.schema
 

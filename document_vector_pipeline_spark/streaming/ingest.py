@@ -28,18 +28,35 @@ from document_vector_pipeline_spark.store.vector_store import VectorStore
 def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
                   checkpoint: str,
                   cfg: PipelineConfig = DEFAULT_CONFIG,
-                  available_now: bool = True) -> StreamingQuery:
+                  available_now: bool = True,
+                  embed_client=None,
+                  embed_retry_delay_s: float = 10.0) -> StreamingQuery:
     """Watch `blob_path`; upsert each microbatch of new files into `store`.
 
     available_now=True drains everything currently present and stops
     (test/backfill mode); False runs continuously.
-    """
+
+    ``embed_client`` routes each microbatch's chunks through
+    ``embed_with_client`` (the injectable REST client with the
+    reference's batch=10 / retry-on-429/401 policy, operators/embed.py)
+    instead of the built-in hash embedder — the always-on variant of
+    the reference's per-blob embed call (BlobTriggerFunction.cs:
+    103-160): retries happen INSIDE the microbatch, so a transient
+    throttle never fails the streaming query."""
     blobs = stream_text_blobs(spark, blob_path)
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        chunks = add_embeddings(blobs_to_chunks(batch_df, cfg), cfg=cfg)
+        chunks = blobs_to_chunks(batch_df, cfg)
+        if embed_client is not None:
+            from document_vector_pipeline_spark.operators.embed import (
+                embed_with_client,
+            )
+            chunks = embed_with_client(chunks, embed_client,
+                                       retry_delay_s=embed_retry_delay_s)
+        else:
+            chunks = add_embeddings(chunks, cfg=cfg)
         store.upsert(chunks)
 
     writer = (blobs.writeStream

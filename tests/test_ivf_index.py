@@ -145,3 +145,126 @@ def test_pq_adc_low_nprobe_prunes_partitions(spark, tmp_path):
              .select("vec_id", "centroid_id").collect()}
     for r in out.collect():
         assert cells[r.vec_id] in probed[r.query_id]
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_upsert_after_delete_equals_fresh_build(spark, embeddings_small,
+                                                tmp_path):
+    """search on (build full → delete 10% → re-upsert half of them) must
+    equal a fresh build over the merged corpus — the incremental path is
+    invisible to readers."""
+    emb = embeddings_small
+    final = emb.filter((F.col("vec_id") % 10 != 0)
+                       | (F.col("vec_id") % 20 == 0))
+    qdf = (emb.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+
+    inc = IVFIndex(spark, str(tmp_path / "inc"), n_centroids=N_CENTROIDS)
+    inc.build(emb)
+    inc.delete(emb.filter(F.col("vec_id") % 10 == 0).select("vec_id"))
+    inc.upsert(emb.filter(F.col("vec_id") % 20 == 0))
+
+    # exhaustive probe == brute force over exactly the surviving corpus
+    got = inc.search_many(qdf, k=10, nprobe=N_CENTROIDS)
+    want = brute_force_topk(final, qdf, k=10)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_upsert_moves_vector_across_cells(spark, embeddings_small, tmp_path):
+    """Replacing an id with a different vector must relocate it to its new
+    cell and leave no stale copy in the old one."""
+    emb = embeddings_small
+    idx = IVFIndex(spark, str(tmp_path / "mv"), n_centroids=N_CENTROIDS)
+    idx.build(emb)
+    # replace vec 7 with the embedding of vec 200 (different cell, usually)
+    donor = emb.filter(F.col("vec_id") == 200).select("embedding").first()[0]
+    repl = spark.createDataFrame([(7, list(donor))],
+                                 "vec_id long, embedding array<float>")
+    idx.upsert(repl)
+    cells = spark.read.parquet(str(tmp_path / "mv" / "cells"))
+    rows = cells.filter(F.col("vec_id") == 7).collect()
+    assert len(rows) == 1, "stale duplicate left behind"
+    modified = emb.filter(F.col("vec_id") != 7).unionByName(
+        spark.createDataFrame([(7, list(donor), 0)],
+                              "vec_id long, embedding array<float>, "
+                              "label int").select("vec_id", "embedding",
+                                                  "label"))
+    qdf = (modified.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    got = idx.search_many(qdf, k=10, nprobe=N_CENTROIDS)
+    want = brute_force_topk(modified, qdf, k=10)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_pq_upsert_keeps_adc_consistent(spark, embeddings_small, tmp_path):
+    """Upsert into a PQ-augmented index encodes new rows with the FROZEN
+    codebook: exhaustive-probe ADC search equals a from-scratch
+    build+build_pq whose codebook was trained on the ORIGINAL corpus."""
+    from document_vector_pipeline_spark.operators.similarity import (
+        pq_codebook,
+    )
+
+    emb = embeddings_small
+    keep = emb.filter(F.col("vec_id") % 5 != 0)
+    back = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 300))
+    qdf = (emb.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+
+    inc = IVFIndex(spark, str(tmp_path / "pq_inc"), n_centroids=N_CENTROIDS)
+    inc.build(keep)
+    inc.build_pq(keep)
+    inc.upsert(back)
+    got = inc.search_many_adc(qdf, k=10, nprobe=N_CENTROIDS)
+
+    # reference: fresh cells over the merged corpus, same frozen codebook
+    ref = IVFIndex(spark, str(tmp_path / "pq_ref"), n_centroids=N_CENTROIDS)
+    merged = keep.unionByName(back)
+    ref.build(merged)
+    cb = pq_codebook(keep, 16, 64)   # the codebook inc trained on `keep`
+    cb_df = spark.createDataFrame([(i + 1, list(c)) for i, c in enumerate(cb)],
+                                  "code int, c6 array<bigint>")
+    cb_df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "pq_ref" / "codebook.parquet"))
+    cells = spark.read.parquet(str(tmp_path / "pq_ref" / "cells"))
+    coded = IVFIndex._with_pq_codes(cells, cb, 8, 64)
+    tmp = str(tmp_path / "pq_ref" / "cells2")
+    (coded.repartition("centroid_id").write
+     .partitionBy("centroid_id").mode("overwrite").parquet(tmp))
+    (spark.read.parquet(tmp).repartition("centroid_id").write
+     .partitionBy("centroid_id").mode("overwrite")
+     .parquet(str(tmp_path / "pq_ref" / "cells")))
+    want = ref.search_many_adc(qdf, k=10, nprobe=N_CENTROIDS)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_delete_empties_cell_directory(spark, tmp_path):
+    """Deleting every vector of a cell must drop the partition directory —
+    dynamic overwrite alone would leave the stale files in place."""
+    import numpy as np
+
+    rng = [(i, [float((i * 7 + j) % 13 - 6) for j in range(64)])
+           for i in range(40)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    idx = IVFIndex(spark, str(tmp_path / "empty"), n_centroids=4)
+    idx.build(emb)
+    cells = spark.read.parquet(str(tmp_path / "empty" / "cells"))
+    one_cell = cells.select("centroid_id").first()[0]
+    victims = [r[0] for r in cells.filter(F.col("centroid_id") == one_cell)
+               .select("vec_id").collect()]
+    idx.delete(victims)
+    import os
+    assert not os.path.exists(
+        str(tmp_path / "empty" / "cells" / f"centroid_id={one_cell}"))
+    left = spark.read.parquet(str(tmp_path / "empty" / "cells"))
+    assert left.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert left.count() == 40 - len(victims)
+    # idmap agrees with cells after the rewrite
+    imap = spark.read.parquet(str(tmp_path / "empty" / "idmap"))
+    assert (_sorted_rows(imap.select("vec_id", "centroid_id"))
+            == _sorted_rows(left.select("vec_id", "centroid_id")))

@@ -1,0 +1,91 @@
+"""BM25 keyword retrieval + RRF hybrid fusion (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import retrieval
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "apple banana cherry cherry cherry cherry"),
+        (3, "durian durian durian durian durian durian durian durian"),
+        (4, "apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_case(spark, tiny_docs):
+    """Replay the exact integer formula by hand for one (query, doc)."""
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    got = {r["doc_id"]: r for r in
+           retrieval.bm25_topk(tiny_docs, qt, k=10).collect()}
+    # corpus stats: N=4 docs, T=4+6+8+1=19 tokens; 'apple' df=3
+    N, T, df = 4, 19, 3
+    idf_micro = round(math.log((2.0 * (N - df) + 1.0)
+                               / (2.0 * df + 1.0) + 1.0) * 1e6)
+
+    def contrib(tf, dl):
+        return math.floor(idf_micro * (22.0 * (tf * T))
+                          / ((10.0 * (T * tf)) + (3.0 * T)
+                             + (9.0 * (dl * N))))
+
+    assert got[1]["score_micro"] == contrib(3, 4)
+    assert got[2]["score_micro"] == contrib(1, 6)
+    assert got[4]["score_micro"] == contrib(1, 1)
+    assert 3 not in got                     # no 'apple' in doc 3
+    # tf dominates, then shorter doc wins on dl normalization
+    assert [r["doc_id"] for r in sorted(got.values(),
+                                        key=lambda r: r["rank"])] == [1, 4, 2]
+
+
+def test_bm25_multi_term_and_missing_term(spark, tiny_docs):
+    qt = spark.createDataFrame(
+        [(7, "apple"), (7, "cherry"), (7, "zzz_absent")],
+        "query_id long, term string")
+    rows = {r["doc_id"]: r for r in
+            retrieval.bm25_topk(tiny_docs, qt, k=10).collect()}
+    assert rows[2]["n_terms"] == 2          # apple + cherry, absent ignored
+    assert rows[1]["n_terms"] == 1
+    # doc 2 matches a rarer term (cherry df=1) with tf=4 -> top
+    assert rows[2]["rank"] == 1
+
+
+def test_bm25_partial_cut_feeds_window(spark, tiny_docs):
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    df = retrieval.bm25_topk(tiny_docs, qt, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_rrf_hand_case(spark):
+    """Known rank lists -> exact micro contributions, missing legs = 0."""
+    text = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int")
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, vec_id long, rank int")
+    rows = {r["doc_id"]: r for r in
+            retrieval.rrf_fuse(text, vec, k=10, c=60).collect()}
+    assert rows[11]["rrf_micro"] == (1000000 // 62) + (1000000 // 61)
+    assert rows[10]["rrf_micro"] == 1000000 // 61
+    assert rows[12]["rrf_micro"] == 1000000 // 62
+    assert rows[11]["rank"] == 1            # in both lists -> fused top
+    assert rows[10]["text_rank"] == 1 and rows[10]["vec_rank"] == 0
+    assert rows[12]["text_rank"] == 0 and rows[12]["vec_rank"] == 2
+
+
+def test_rrf_deterministic_tiebreak(spark):
+    """Equal fused scores break on doc_id ascending."""
+    text = spark.createDataFrame(
+        [(0, 5, 1), (0, 3, 1)], "query_id long, doc_id long, rank int")
+    vec = spark.createDataFrame([], "query_id long, vec_id long, rank int")
+    got = [r["doc_id"] for r in
+           retrieval.rrf_fuse(text, vec, k=10).orderBy("rank").collect()]
+    assert got == [3, 5]

@@ -268,3 +268,58 @@ def test_session_histogram_hand_computed(spark):
     assert out[1]["sum_duration_us"] == 0
     assert out[2]["n_sessions"] == 1
     assert out[2]["sum_duration_us"] == 600 * 1_000_000
+
+
+def test_stream_ingest_with_flaky_embed_client(spark, tmp_path):
+    """Round 5: the injectable retrying embed client wired through the
+    streaming foreachBatch — a 429 on the first call of every group is
+    retried INSIDE the microbatch, and the drained store equals the
+    batch-mode embed_with_client result over the same blobs."""
+    import os
+
+    from document_vector_pipeline_spark.operators.embed import (
+        embed_with_client,
+    )
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+    from document_vector_pipeline_spark.sources import read_text_blobs
+
+    blob_dir = tmp_path / "inbox_client"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("client alpha " * 40)
+    (blob_dir / "b.txt").write_text("client beta stream " * 30)
+    marker_dir = str(tmp_path / "throttle_markers")
+    os.makedirs(marker_dir)
+
+    def flaky_client(texts):
+        # deterministic flakiness: the FIRST call for any given group
+        # 429s (leaving a marker), the retry succeeds — exercises the
+        # retry loop inside a microbatch without wall-clock sleeps
+        import hashlib
+        import os as _os
+        key = hashlib.md5("||".join(texts).encode()).hexdigest()
+        marker = _os.path.join(marker_dir, key)
+        if not _os.path.exists(marker):
+            open(marker, "w").close()
+            err = Exception("throttled")
+            err.status_code = 429
+            raise err
+        return [[float(len(t) % 31), float(len(t.split()) % 17), 1.0]
+                for t in texts]
+
+    store = VectorStore(spark, str(tmp_path / "store_client"), CFG)
+    q = stream_ingest(spark, str(blob_dir), store,
+                      checkpoint=str(tmp_path / "ckpt_client"), cfg=CFG,
+                      embed_client=flaky_client, embed_retry_delay_s=0.0)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, store.read()
+                     .select("document_url", "id", "embedding").collect()))
+    chunks = blobs_to_chunks(read_text_blobs(spark, str(blob_dir)), CFG)
+    want_df = embed_with_client(chunks, flaky_client, retry_delay_s=0.0)
+    store2 = VectorStore(spark, str(tmp_path / "store_client_batch"), CFG)
+    store2.upsert(want_df)
+    want = sorted(map(tuple, store2.read()
+                      .select("document_url", "id", "embedding").collect()))
+    assert got == want and len(got) > 0
