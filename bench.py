@@ -231,6 +231,14 @@ def main() -> None:
         return retrieval.rrf_fuse(text, vec, k=10)
 
     bench("hybrid_rrf", hybrid)
+
+    def passages():
+        chunks = chunk_documents(docs, mode="words")
+        return retrieval.bm25_passages(chunks, bm25_qt, k=10)
+
+    bench("retrieval_passages", passages)
+    bench("text_collocations",
+          lambda: textstats.collocations(docs, min_count=5, topk=50))
     bench("dedup_substride",
           lambda: dedup.substring_stride_eval(docs, strides=(1, 4)))
 

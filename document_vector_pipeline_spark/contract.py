@@ -955,6 +955,41 @@ from u order by stride
 """
 
 
+def q_text_collocations(spark, sf_dir):
+    """Top collocations by integer PMI-lift (milli-units): the phrase-
+    mining statistic next to raw bigram counts — co-occurrence above
+    chance, exact integers end-to-end."""
+    return textstats.collocations(load_table(spark, sf_dir, "documents"),
+                                  min_count=5, topk=50)
+
+
+def _sql_text_collocations(min_count: int = 5, topk: int = 50) -> str:
+    return f"""
+with t as (
+  select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') as w
+  from documents),
+uni as (select unnest(w) as word from t),
+ucnt as (select word, count(*) as c from uni group by word),
+tot as (select count(*) as n_tok from uni),
+bg as (
+  select w[s] as w1, w[s + 1] as w2
+  from t, unnest(case when len(w) >= 2 then generate_series(1, len(w) - 1)
+                      else cast([] as bigint[]) end) as u(s)),
+bcnt as (select w1, w2, count(*) as c_xy from bg group by w1, w2),
+nbi as (select count(*) as n_bi from bg)
+select b.w1, b.w2, b.c_xy, u1.c as c_x, u2.c as c_y,
+       cast(floor(((1000.0 * b.c_xy) * (t2.n_tok * t2.n_tok))
+                  / ((u1.c * u2.c) * nb.n_bi)) as bigint) as lift_milli
+from bcnt b
+join ucnt u1 on u1.word = b.w1
+join ucnt u2 on u2.word = b.w2, tot t2, nbi nb
+where b.c_xy >= {min_count}
+order by lift_milli desc, w1, w2
+limit {topk}
+"""
+
+
 def q_customer_churn(spark, sf_dir):
     """Year-over-year customer churn with exact integer ppm."""
     return analytics.customer_churn(load_table(spark, sf_dir, "orders"))
@@ -1275,23 +1310,26 @@ def q_hybrid_rrf(spark, sf_dir):
     return retrieval.rrf_fuse(text, vec, k=10)
 
 
-def _sql_bm25_ctes() -> str:
+def _sql_bm25_ctes(src: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
     """Shared BM25 CTE chain ending in ranked rows `r` (rank unlimited);
-    arithmetic mirrors operators/retrieval.bm25_topk expression-for-
+    arithmetic mirrors operators/retrieval.bm25_scores expression-for-
     expression so every double op is the same correctly-rounded IEEE
     operation in both engines (the only transcendental, ln, is rounded
-    to integer micro-units immediately)."""
+    to integer micro-units immediately).  Parameterized over the source
+    relation/columns so the same chain scores documents
+    (text_bm25_topk) or chunks (retrieval_passages)."""
     values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
     terms = ", ".join(sorted({f"'{t}'" for _, t in _BM25_QUERY_TERMS}))
-    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
-            "x -> x <> '')")
+    toks = (f"list_filter(string_split_regex(lower({text_col}), "
+            "'[^a-z0-9]+'), x -> x <> '')")
     return f"""
 tok as (
-  select doc_id, unnest({toks}) as term, len({toks}) as dl
-  from documents),
+  select {id_col} as doc_id, unnest({toks}) as term, len({toks}) as dl
+  from {src}),
 stats as (
   select count(*) as n_docs, sum(len({toks})) as total_len
-  from documents),
+  from {src}),
 qt as (select * from (values {values}) as v(query_id, term)),
 tf as (select doc_id, term, count(*) as tf, min(dl) as dl
        from tok where term in ({terms})
@@ -1315,6 +1353,51 @@ agg as (select query_id, doc_id, cast(count(*) as bigint) as n_terms,
 r as (select *, cast(row_number() over (partition by query_id
             order by score_micro desc, doc_id) as int) as rank
       from agg)"""
+
+
+def q_retrieval_passages(spark, sf_dir):
+    """Passage-level BM25 with document aggregation (the RAG retrieval
+    shape): 41-word-window chunks scored as passages (dl/df/avgdl are
+    chunk-level), best passage kept per doc, docs ranked per query."""
+    from document_vector_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, mode="words")
+    return retrieval.bm25_passages(chunks, _bm25_query_df(spark), k=10)
+
+
+def _sql_retrieval_passages(k: int = 10) -> str:
+    bm = _sql_bm25_ctes(src="src", id_col="cid", text_col="chunk_text")
+    return f"""
+with ch as materialized (
+  select doc_id, cast(cn as int) as chunk_number,
+         array_to_string(w[cn*41 + 1 : cn*41 + 41], ' ') as chunk_text
+  from (select doc_id, w,
+               unnest(generate_series(0, cast((len(w) - 1) // 41 as int)))
+                 as cn
+        from (select doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') as w
+              from documents)
+        where len(w) > 0)),
+src as (select doc_id * 100000 + chunk_number as cid, chunk_text from ch),
+{bm},
+p as (select query_id, doc_id // 100000 as doc,
+             cast(doc_id % 100000 as int) as chunk_number, score_micro
+      from agg),
+best as (
+  select *
+  from (select *, row_number() over (partition by query_id, doc
+                 order by score_micro desc, chunk_number) as rk,
+               count(*) over (partition by query_id, doc) as n_chunks_hit
+        from p)
+  where rk = 1),
+rr as (select *, cast(row_number() over (partition by query_id
+           order by score_micro desc, doc) as int) as rank from best)
+select query_id, doc as doc_id, chunk_number as best_chunk,
+       cast(n_chunks_hit as bigint) as n_chunks_hit, score_micro, rank
+from rr where rank <= {k}
+"""
 
 
 def _sql_text_bm25_topk(k: int = 10) -> str:
@@ -6206,16 +6289,18 @@ def queries():
     return {
         # --- rotation (round 5): the driver caps its correctness pass at
         # ~50 keys/round, so never-driver-checked keys go first.  Order:
-        # 5 new round-5 keys, then the 73 self-sweep-only keys
+        # 7 new round-5 keys, then the 73 self-sweep-only keys
         # (never checked by driver OR judge), then the 27 judge-
         # verified-but-never-driver-checked keys, then the driver-green
-        # rest.  First 50 = the new keys + 45 self-sweep-only; the
+        # rest.  First 50 = the new keys + 43 self-sweep-only; the
         # remaining debt clears in round 6.
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "parse_route_client": q_parse_route_client,
         "dedup_substride": q_dedup_substride,
+        "text_collocations": q_text_collocations,
+        "retrieval_passages": q_retrieval_passages,
         # -- self-sweep-only (never driver/judge-checked) --
         "text_readability": q_text_readability,
         "source_orc": q_source_orc,
@@ -6502,6 +6587,8 @@ from c
         "ann_ivf_upsert": _sql_ann_ivf_upsert(),
         "text_bm25_topk": _sql_text_bm25_topk(),
         "hybrid_rrf": _sql_hybrid_rrf(),
+        "text_collocations": _sql_text_collocations(),
+        "retrieval_passages": _sql_retrieval_passages(),
         "ann_pq": _sql_ann_pq(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),

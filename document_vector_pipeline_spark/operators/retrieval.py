@@ -61,10 +61,14 @@ def _cut_topk(scored: DataFrame, k: int, score_col: str,
     return scored.mapInPandas(cut, schema)
 
 
-def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """BM25 top-k documents per query — (query_id, doc_id, n_terms,
-    score_micro, rank).
+def bm25_scores(docs: DataFrame, query_terms: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Un-ranked BM25 scores per (query, document) — (query_id, doc_id,
+    n_terms, score_micro); only documents matching >= 1 query term
+    appear.  The scoring core shared by ``bm25_topk`` (document
+    retrieval) and ``bm25_passages`` (chunk-level retrieval with
+    doc aggregation).
 
     ``query_terms`` is the exploded query batch (query_id, term); terms
     missing from the corpus simply contribute nothing.  k1 = 6/5 and
@@ -107,17 +111,64 @@ def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
             + (F.lit(3.0) * F.col("total_len")))
            + (F.lit(9.0) * (F.col("dl") * F.col("n_docs")))))
 
-    scored = (joined
-              .withColumn("c_micro", contrib)
-              .groupBy("query_id", "doc_id")
-              .agg(F.count(F.lit(1)).alias("n_terms"),
-                   F.sum("c_micro").alias("score_micro")))
+    return (joined
+            .withColumn("c_micro", contrib)
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("c_micro").alias("score_micro")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 top-k documents per query — (query_id, doc_id, n_terms,
+    score_micro, rank): ``bm25_scores`` fed through a map-side partial
+    top-k cut into the per-query rank window."""
+    scored = bm25_scores(docs, query_terms, id_col, text_col)
     partial = _cut_topk(scored, k, "score_micro", "doc_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"),
                                                F.col("doc_id"))
     return (partial.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_terms", "score_micro", "rank"))
+
+
+def bm25_passages(chunks: DataFrame, query_terms: DataFrame, k: int = 10,
+                  doc_col: str = "doc_id", chunk_col: str = "chunk_number",
+                  text_col: str = "chunk_text") -> DataFrame:
+    """Passage-level BM25 with document aggregation — the RAG retrieval
+    shape: score every CHUNK (passage-length normalization: dl is the
+    chunk's length, avgdl/df are chunk-level statistics), then keep each
+    document's best passage and rank documents per query.  Returns
+    (query_id, doc_id, best_chunk, n_chunks_hit, score_micro, rank):
+    ``best_chunk`` is the top-scoring chunk (lowest chunk number on
+    ties), ``n_chunks_hit`` how many of the doc's chunks matched any
+    query term, ``score_micro`` the best passage's integer BM25.
+
+    Plan: chunk ids are packed into one int64 (doc*100000+chunk) so the
+    scoring core is reused unchanged; the two windows after it run over
+    (query x matched-doc) rows — candidate-sized, never the corpus."""
+    packed = chunks.select(
+        (F.col(doc_col) * F.lit(100000) + F.col(chunk_col)).alias("cid"),
+        F.col(text_col))
+    s = bm25_scores(packed, query_terms, id_col="cid", text_col=text_col)
+    p = s.select(
+        "query_id",
+        F.expr("doc_id div 100000").alias("doc"),
+        (F.col("doc_id") % 100000).cast("int").alias("chunk_number"),
+        "score_micro")
+    wb = Window.partitionBy("query_id", "doc").orderBy(
+        F.desc("score_micro"), F.col("chunk_number"))
+    wc = Window.partitionBy("query_id", "doc")
+    best = (p.withColumn("rk", F.row_number().over(wb))
+            .withColumn("n_chunks_hit", F.count(F.lit(1)).over(wc))
+            .filter(F.col("rk") == 1))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score_micro"),
+                                                F.col("doc"))
+    return (best.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("doc").alias("doc_id"),
+                    F.col("chunk_number").alias("best_chunk"),
+                    "n_chunks_hit", "score_micro", "rank"))
 
 
 def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,

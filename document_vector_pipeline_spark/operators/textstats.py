@@ -162,6 +162,58 @@ def top_bigrams(docs: DataFrame, id_col: str = "doc_id",
             .limit(topk))
 
 
+def collocations(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_count: int = 5,
+                 topk: int = 50) -> DataFrame:
+    """Top word collocations by integer PMI-lift — (w1, w2, c_xy, c_x,
+    c_y, lift_milli): lift = P(xy) / (P(x)·P(y)) in milli-units,
+    computed as floor((1000·c_xy·n_tok²) / (c_x·c_y·n_bi)) with a FIXED
+    double op order so DuckDB replays it bit-for-bit (all inputs are
+    exact integer counts; the one division is correctly rounded in both
+    engines).  The phrase-mining statistic a tokenizer/corpus pipeline
+    ships next to raw bigram counts: lift >> 1000 means the pair
+    co-occurs far above chance ("new york"), lift ≈ 1000 means
+    independence, regardless of raw frequency.
+
+    Plan: one tokenize pass feeds both the unigram and the adjacent-pair
+    explode map-side; two uniform-key count shuffles; totals ride in as
+    broadcast single-row joins; the final rank is over the
+    min_count-filtered pair table (vocab², not corpus, sized).  n_tok²
+    stays in int64 up to ~3e9 tokens per partition-group — beyond that,
+    rescale to per-shard lifts or drop the ×1000 to centi-units."""
+    words_expr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                          lambda w: w != F.lit(""))
+    t = docs.select(words_expr.alias("w"))
+    uni = t.select(F.explode("w").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_tok"))
+
+    idx = (F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1))
+           .otherwise(F.array().cast("array<int>")))
+    pair = F.transform(idx, lambda i: F.struct(
+        F.element_at("w", i).alias("w1"),
+        F.element_at("w", (i + F.lit(1)).cast("int")).alias("w2")))
+    pairs = t.select(F.explode(pair).alias("p")).select("p.w1", "p.w2")
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    nbi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+
+    joined = (bcnt.filter(F.col("c_xy") >= min_count)
+              .join(ucnt.select(F.col("word").alias("w1"),
+                                F.col("c").alias("c_x")), "w1")
+              .join(ucnt.select(F.col("word").alias("w2"),
+                                F.col("c").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(nbi)))
+    lift = F.floor(
+        ((F.lit(1000.0) * F.col("c_xy"))
+         * (F.col("n_tok") * F.col("n_tok")))
+        / ((F.col("c_x") * F.col("c_y")) * F.col("n_bi")))
+    return (joined.withColumn("lift_milli", lift)
+            .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_milli")
+            .orderBy(F.desc("lift_milli"), "w1", "w2")
+            .limit(topk))
+
+
 def doc_domains(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 blocklist: tuple = ("spam.example", "tracker.test")) -> DataFrame:

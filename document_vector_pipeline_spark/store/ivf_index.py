@@ -208,16 +208,15 @@ class IVFIndex:
         cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
 
         cells = self.spark.read.parquet(self._cells)
-        with_codes = self._with_pq_codes(cells, cb, n_sub, dim)
-        tmp = self._cells + "_pq"
+        # checkpoint-materialize the coded rows so the overwrite of the
+        # directory they were read from is legal (no self-overwriting
+        # file plan) WITHOUT a staged double write — one write replaces
+        # the former tmp-dir + rewrite + FS-delete sequence
+        with_codes = (self._with_pq_codes(cells, cb, n_sub, dim)
+                      .localCheckpoint(eager=True))
         (with_codes.repartition("centroid_id").write
-         .partitionBy("centroid_id").mode("overwrite").parquet(tmp))
-        (self.spark.read.parquet(tmp)
-         .repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite")
          .parquet(self._cells))
-        # drop the staging dir through the Hadoop FS (object-store-safe)
-        self._fs_delete(tmp)
 
     def _read_codebook(self) -> list[list[int]]:
         rows = sorted(self.spark.read.parquet(self._codebook).collect(),

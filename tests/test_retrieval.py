@@ -89,3 +89,51 @@ def test_rrf_deterministic_tiebreak(spark):
     got = [r["doc_id"] for r in
            retrieval.rrf_fuse(text, vec, k=10).orderBy("rank").collect()]
     assert got == [3, 5]
+
+
+def test_bm25_passages_hand_case(spark):
+    """Chunk-level scoring + doc aggregation: the doc whose single chunk
+    concentrates the term beats a doc where it is diluted; best_chunk
+    picks the highest-scoring passage with lowest-chunk tie-break."""
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, "apple apple apple apple"),       # dense passage
+            (1, 1, "banana cherry"),                 # no match
+            (2, 0, "apple banana cherry durian"),    # diluted
+            (2, 1, "apple banana cherry durian"),
+        ],
+        "doc_id long, chunk_number int, chunk_text string")
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    rows = {r["doc_id"]: r for r in
+            retrieval.bm25_passages(chunks, qt, k=10).collect()}
+    assert rows[1]["rank"] == 1 and rows[1]["best_chunk"] == 0
+    assert rows[1]["n_chunks_hit"] == 1
+    assert rows[2]["n_chunks_hit"] == 2
+    # doc 2's two chunks tie -> lowest chunk number wins
+    assert rows[2]["best_chunk"] == 0
+
+
+def test_collocations_lift_hand_case(spark):
+    """'strong coffee' always adjacent -> lift >> 1000; a pair of
+    independent frequent words sits near 1000."""
+    import math
+
+    from document_vector_pipeline_spark.operators import textstats
+
+    rows = [(i, "strong coffee " + ("the cat " * 10)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r for r in
+           textstats.collocations(docs, min_count=5, topk=50).collect()}
+    # exact replay: n_tok = 10*(2+20) = 220, n_bi = 10*21 = 210
+    n_tok, n_bi = 220, 210
+    c = got[("strong", "coffee")]
+    assert c["c_xy"] == 10 and c["c_x"] == 10 and c["c_y"] == 10
+    assert c["lift_milli"] == math.floor(
+        ((1000.0 * 10) * (n_tok * n_tok)) / ((10 * 10) * n_bi))
+    assert c["lift_milli"] > 2000          # far above independence
+    # 'the cat' repeats too (deterministic toy text) but its words are
+    # 10x more frequent, so its lift is 10x lower — ordering holds
+    t = got[("the", "cat")]
+    assert t["lift_milli"] == math.floor(
+        ((1000.0 * 100) * (n_tok * n_tok)) / ((100 * 100) * n_bi))
+    assert c["lift_milli"] > 5 * t["lift_milli"]
