@@ -92,9 +92,14 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
 
+    # materialize the term-filtered tf table once: it feeds BOTH the df
+    # aggregation and the scoring join, and without the checkpoint each
+    # consumer re-scans the corpus (3 full scans -> 2); it is candidate-
+    # sized (matched docs x query terms), never corpus-sized
     tf = (tok.filter(F.col("term").isin(terms))
           .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+          .localCheckpoint(eager=True))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     joined = (tf.join(F.broadcast(df_), "term")
