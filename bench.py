@@ -237,6 +237,17 @@ def main() -> None:
         return retrieval.bm25_passages(chunks, bm25_qt, k=10)
 
     bench("retrieval_passages", passages)
+
+    def store_hybrid():
+        return store.hybrid_search(
+            bm25_qt,
+            qdf.filter(F.col("query_id") < 3)
+               .select("query_id",
+                       F.concat(F.col("query_vec"),
+                                F.array_repeat(F.lit(0.0), 1536 - 64))
+                       .alias("query_vec")), k=10)
+
+    bench("store_hybrid_search", store_hybrid)
     bench("text_collocations",
           lambda: textstats.collocations(docs, min_count=5, topk=50))
     bench("dedup_substride",

@@ -1355,6 +1355,73 @@ r as (select *, cast(row_number() over (partition by query_id
       from agg)"""
 
 
+def q_store_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval as a first-class VectorStore API: BM25 over the
+    store's chunk_text (best passage per document) fused by RRF with
+    the batch cosine top-k — the query the reference's vector-only
+    stores can't answer (CosmosDB VectorDistance / AzureSQL
+    VECTOR_DISTANCE are single-leg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _fresh_store(spark, "store_hybrid")
+    store.upsert(_store_chunks(docs))
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    return store.hybrid_search(_bm25_query_df(spark), qv, k=10)
+
+
+def _sql_store_hybrid_search(k: int = 10, c: int = 60) -> str:
+    bm = _sql_bm25_ctes(src="src", id_col="cid", text_col="chunk_text")
+    dot = _dot("e.emb", "q.qv", STORE_DIM)
+    return f"""
+with {_store_sql_cte()},
+src as (select document_url || chr(1) || '0' as cid, chunk_text from e),
+{bm},
+tbest as (select query_id, split_part(doc_id, chr(1), 1) as doc,
+                 max(score_micro) as score_micro
+          from agg group by query_id, doc),
+tr0 as (select query_id, doc,
+               cast(row_number() over (partition by query_id
+                    order by score_micro desc, doc) as int) as rank
+        from tbest),
+tt as (select query_id, doc as doc_id, rank as text_rank
+       from tr0 where rank <= {k}),
+q0 as (select vec_id as query_id, {_EMB_D} as qv from embeddings
+       where vec_id < 3),
+q as (select query_id, qv, sqrt({_ss('qv', STORE_DIM)}) as qnrm from q0),
+s2 as (select q.query_id, e.document_url,
+              round(case when (e.nrm * q.qnrm) = 0 then 0.0
+                         else ({dot}) / (e.nrm * q.qnrm) end, 6) as score
+       from e cross join q),
+vr as (select *, cast(row_number() over (partition by query_id
+            order by score desc, document_url) as int) as rank from s2),
+vv0 as (select query_id, document_url, min(rank) as rank
+        from vr where rank <= {k} group by query_id, document_url),
+vv as (select query_id, document_url as doc_id,
+              cast(rank as int) as vec_rank from vv0),
+f as (select coalesce(tt.query_id, vv.query_id) as query_id,
+             coalesce(tt.doc_id, vv.doc_id) as doc_id,
+             tt.text_rank, vv.vec_rank
+      from tt full outer join vv
+        on tt.query_id = vv.query_id and tt.doc_id = vv.doc_id),
+g as (select query_id, doc_id,
+             cast(coalesce(text_rank, 0) as int) as text_rank,
+             cast(coalesce(vec_rank, 0) as int) as vec_rank,
+             cast((case when text_rank is not null
+                        then floor(1000000.0 / ({c} + text_rank))
+                        else 0 end)
+                + (case when vec_rank is not null
+                        then floor(1000000.0 / ({c} + vec_rank))
+                        else 0 end) as bigint) as rrf_micro
+      from f),
+h as (select *, cast(row_number() over (partition by query_id
+          order by rrf_micro desc, doc_id) as int) as rank from g)
+select query_id, doc_id, text_rank, vec_rank, rrf_micro, rank
+from h where rank <= {k}
+"""
+
+
 def q_retrieval_passages(spark, sf_dir):
     """Passage-level BM25 with document aggregation (the RAG retrieval
     shape): 41-word-window chunks scored as passages (dl/df/avgdl are
@@ -6289,10 +6356,10 @@ def queries():
     return {
         # --- rotation (round 5): the driver caps its correctness pass at
         # ~50 keys/round, so never-driver-checked keys go first.  Order:
-        # 7 new round-5 keys, then the 73 self-sweep-only keys
+        # 8 new round-5 keys, then the 73 self-sweep-only keys
         # (never checked by driver OR judge), then the 27 judge-
         # verified-but-never-driver-checked keys, then the driver-green
-        # rest.  First 50 = the new keys + 43 self-sweep-only; the
+        # rest.  First 50 = the new keys + 42 self-sweep-only; the
         # remaining debt clears in round 6.
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
@@ -6301,6 +6368,7 @@ def queries():
         "dedup_substride": q_dedup_substride,
         "text_collocations": q_text_collocations,
         "retrieval_passages": q_retrieval_passages,
+        "store_hybrid_search": q_store_hybrid_search,
         # -- self-sweep-only (never driver/judge-checked) --
         "text_readability": q_text_readability,
         "source_orc": q_source_orc,
@@ -6589,6 +6657,7 @@ from c
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),
+        "store_hybrid_search": _sql_store_hybrid_search(),
         "ann_pq": _sql_ann_pq(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),

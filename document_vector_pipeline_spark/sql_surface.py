@@ -34,7 +34,8 @@ _STORE_BACKED = frozenset({
     "vector_topk_filtered", "vector_search_batch", "ann_ivf_persisted",
     "source_jsonl", "source_csv", "source_partitioned",
     "source_orc", "source_bucketed", "store_timetravel",
-    "corpus_shards", "ann_ivfpq_persisted",
+    "corpus_shards", "ann_ivfpq_persisted", "ann_ivf_upsert",
+    "store_hybrid_search",
 })
 
 

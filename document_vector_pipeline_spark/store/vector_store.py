@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -539,6 +539,51 @@ class VectorStore:
             "chunk_text", "page_number",
             embed_col_fn(F.col("chunk_text")).alias("embedding"))
         self._overwrite_buckets(self._normalize(chunks))
+
+    def hybrid_search(self, query_terms: DataFrame, queries: DataFrame,
+                      k: int = 10, c: int = 60) -> DataFrame:
+        """Two-leg hybrid retrieval over the store — (query_id, doc_id
+        [= document_url], text_rank, vec_rank, rrf_micro, rank):
+        BM25 over ``chunk_text`` at CHUNK grain (passage-length
+        normalization), best passage kept per document, fused with the
+        batch cosine top-k (``search_many``, best chunk per document)
+        by reciprocal-rank fusion.  This is the query the reference's
+        vector-only stores cannot answer and every retrieval stack in
+        front of one builds by hand (keyword + vector + RRF).
+
+        Plan: the keyword leg tokenizes one column-pruned store scan
+        (term-filtered before its tf shuffle, see bm25_scores); the
+        vector leg is the existing fused Arrow scorer + partial top-k;
+        fusion joins two top-k lists — a few k rows per query.  Chunk
+        identity travels as document_url + chr(1) + id so the scoring
+        core is reused unchanged on a composite string key."""
+        from document_vector_pipeline_spark.operators import retrieval
+
+        sep = "\u0001"
+        chunks = self.read().select(
+            F.concat_ws(sep, F.col("document_url"), F.col("id"))
+             .alias("cid"),
+            "chunk_text")
+        s = retrieval.bm25_scores(chunks, query_terms, id_col="cid",
+                                  text_col="chunk_text")
+        best = (s.select("query_id",
+                         F.substring_index("doc_id", sep, 1).alias("doc"),
+                         "score_micro")
+                .groupBy("query_id", "doc")
+                .agg(F.max("score_micro").alias("score_micro")))
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("score_micro"), F.col("doc"))
+        text = (best.withColumn("rank",
+                                F.row_number().over(wr).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", F.col("doc").alias("doc_id"), "rank"))
+        vec = (self.search_many(queries, k=k)
+               .groupBy("query_id", "document_url")
+               .agg(F.min("rank").alias("rank"))
+               .select("query_id",
+                       F.col("document_url").alias("vec_id"),
+                       F.col("rank").cast("int").alias("rank")))
+        return retrieval.rrf_fuse(text, vec, k=k, c=c)
 
     def quantized_recall(self, queries: DataFrame, k: int = 10,
                          qid_col: str = "query_id",

@@ -298,3 +298,33 @@ def test_versioned_vacuum_drops_old_keeps_latest(spark, tmp_path):
     # v0's data dir is physically gone
     assert not os.path.isdir(
         str(tmp_path / "vt2" / "data" / ("v" + "0" * 12)))
+
+
+def test_hybrid_search_fuses_text_and_vector_legs(spark, store):
+    """A document strong in BOTH legs outranks single-leg documents;
+    multi-chunk docs report their best passage / best chunk rank."""
+    store.upsert(_chunks(spark, [
+        # u1: matches the query term AND is the closest vector
+        ("u1", 0, "apple apple pie", 0, [1.0, 0.0, 0.0, 0.0]),
+        # u2: text-only match (orthogonal vector), two chunks — the
+        # denser second passage is the doc's best
+        ("u2", 0, "apple and banana and cherry", 0, [0.0, 1.0, 0.0, 0.0]),
+        ("u2", 1, "apple apple apple", 0, [0.0, 1.0, 0.0, 0.0]),
+        # u3: vector-only match
+        ("u3", 0, "nothing relevant here", 0, [0.9, 0.1, 0.0, 0.0]),
+    ]))
+    qt = spark.createDataFrame([(7, "apple")], "query_id long, term string")
+    qv = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])],
+                               "query_id long, query_vec array<float>")
+    rows = {r["doc_id"]: r for r in
+            store.hybrid_search(qt, qv, k=10).collect()}
+    assert rows["u1"]["rank"] == 1                 # in both legs
+    assert rows["u1"]["text_rank"] > 0 and rows["u1"]["vec_rank"] > 0
+    assert rows["u2"]["vec_rank"] > 0              # exhaustive k covers all
+    assert rows["u3"]["text_rank"] == 0            # text leg missing
+    # u2's best passage (chunk 1, tf=3 of 3 tokens) beats u1's text leg
+    assert rows["u2"]["text_rank"] == 1
+    # rrf contributions are the exact integer formula
+    r1 = rows["u1"]
+    assert r1["rrf_micro"] == (1000000 // (60 + r1["text_rank"])
+                               + 1000000 // (60 + r1["vec_rank"]))
