@@ -213,6 +213,7 @@ def main() -> None:
         return spark.read.parquet(ivf._cells)
 
     bench("ann_ivf_maintain", ivf_maintain)
+    bench("ann_ivf_stats", lambda: ivf.cell_stats())
 
     from document_vector_pipeline_spark.operators import retrieval
 
@@ -231,6 +232,14 @@ def main() -> None:
         return retrieval.rrf_fuse(text, vec, k=10)
 
     bench("hybrid_rrf", hybrid)
+
+    def hybrid_mm():
+        text = retrieval.bm25_topk(docs, bm25_qt, k=10)
+        vec = similarity.brute_force_topk(
+            emb, qdf.filter(F.col("query_id") < 3), k=10)
+        return retrieval.minmax_fuse(text, vec, k=10)
+
+    bench("hybrid_minmax", hybrid_mm)
 
     def passages():
         chunks = chunk_documents(docs, mode="words")

@@ -1422,6 +1422,71 @@ from h where rank <= {k}
 """
 
 
+def q_hybrid_minmax(spark, sf_dir):
+    """Score-based hybrid fusion: BM25 and cosine top-10 lists min-max
+    normalized to ppm within each (query, leg) list, then summed — the
+    score-magnitude-preserving alternative to rank-only RRF."""
+    from document_vector_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = retrieval.bm25_topk(docs, _bm25_query_df(spark), k=10)
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    vec = similarity.brute_force_topk(emb, qv, k=10)
+    return retrieval.minmax_fuse(text, vec, k=10)
+
+
+def _sql_hybrid_minmax(k: int = 10) -> str:
+    cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
+    return f"""
+with {_sql_bm25_ctes()},
+bm as (select query_id, doc_id, score_micro from r where rank <= {k}),
+tn0 as (select *, min(score_micro) over (partition by query_id) as mn,
+               max(score_micro) over (partition by query_id) as mx
+        from bm),
+tn as (select query_id, doc_id,
+              case when mx = mn then cast(1000000 as bigint)
+                   else cast((1000000 * (score_micro - mn)) // (mx - mn)
+                             as bigint) end as text_norm_ppm
+       from tn0),
+e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+q2 as (select vec_id as query_id, v, nrm from e where vec_id < 3),
+s2 as (select q.query_id, e.vec_id, round({cos}, 6) as score
+       from e cross join q2 q),
+vr as (select *, cast(row_number() over
+         (partition by query_id order by score desc, vec_id) as int) as rank
+       from s2),
+vm as (select query_id, vec_id as doc_id,
+              cast(round(score * 1000000.0) as bigint) as smicro
+       from vr where rank <= {k}),
+vn0 as (select *, min(smicro) over (partition by query_id) as mn,
+               max(smicro) over (partition by query_id) as mx from vm),
+vn as (select query_id, doc_id,
+              case when mx = mn then cast(1000000 as bigint)
+                   else cast((1000000 * (smicro - mn)) // (mx - mn)
+                             as bigint) end as vec_norm_ppm
+       from vn0),
+f as (select coalesce(tn.query_id, vn.query_id) as query_id,
+             coalesce(tn.doc_id, vn.doc_id) as doc_id,
+             tn.text_norm_ppm, vn.vec_norm_ppm
+      from tn full outer join vn
+        on tn.query_id = vn.query_id and tn.doc_id = vn.doc_id),
+g as (select query_id, doc_id,
+             cast(coalesce(text_norm_ppm, 0) as bigint) as text_norm_ppm,
+             cast(coalesce(vec_norm_ppm, 0) as bigint) as vec_norm_ppm,
+             cast(coalesce(text_norm_ppm, 0) + coalesce(vec_norm_ppm, 0)
+                  as bigint) as fused_ppm
+      from f),
+h as (select *, cast(row_number() over (partition by query_id
+          order by fused_ppm desc, doc_id) as int) as rank from g)
+select query_id, doc_id, text_norm_ppm, vec_norm_ppm, fused_ppm, rank
+from h where rank <= {k}
+"""
+
+
 def q_retrieval_passages(spark, sf_dir):
     """Passage-level BM25 with document aggregation (the RAG retrieval
     shape): 41-word-window chunks scored as passages (dl/df/avgdl are
@@ -1509,6 +1574,35 @@ h as (select *, cast(row_number() over (partition by query_id
           order by rrf_micro desc, doc_id) as int) as rank from g)
 select query_id, doc_id, text_rank, vec_rank, rrf_micro, rank
 from h where rank <= {k}
+"""
+
+
+def q_ann_ivf_stats(spark, sf_dir):
+    """Cell-balance monitoring of the persisted IVF index: per-cell
+    population, corpus share (ppm) and fill factor vs uniform (milli;
+    1000 = balanced) — the health metric a frozen-centroid index under
+    incremental upsert is rebuilt on."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_ivf_stats_idx"),
+                   n_centroids=8)
+    idx.build(emb)
+    return idx.cell_stats()
+
+
+def _sql_ann_ivf_stats(n_centroids: int = 8, dim: int = 64) -> str:
+    return f"""
+with {_sql_ivf_asg_ctes(n_centroids, dim)},
+per as (select centroid_id, count(*) as n_vectors
+        from asg group by centroid_id),
+tot as (select cast(sum(n_vectors) as bigint) as n_total,
+               count(*) as n_cells from per)
+select centroid_id, cast(n_vectors as bigint) as n_vectors,
+       cast((1000000 * n_vectors) // n_total as bigint) as share_ppm,
+       cast((1000 * n_vectors * n_cells) // n_total as bigint)
+         as fill_milli
+from per, tot order by centroid_id
 """
 
 
@@ -3604,13 +3698,14 @@ select query_id, vec_id, score, rank from r where rank <= 10
 """
 
 
-def _sql_ann_ivf(n_centroids: int = 8, nprobe: int = 2, dim: int = 64) -> str:
+def _sql_ivf_asg_ctes(n_centroids: int = 8, dim: int = 64) -> str:
+    """Shared IVF CTE chain `e0,e,cents,asg`: deterministic md5-sample
+    centroids + max-cosine assignment (ties to lowest centroid_id) —
+    the SQL twin of IVFIndex.build's layout."""
     h = _md5l("cast(vec_id as varchar)")
     cos_ac = _cos("a.v", "c.cv", dim, "a.nrm", "c.cnrm")
-    cos_qc = _cos("q.v", "c.cv", dim, "q.nrm", "c.cnrm")
-    cos_final = _cos("a.v", "p.v", dim, "a.nrm", "p.nrm")
     return f"""
-with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
 e as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
 cents as materialized (
   select vec_id as centroid_id, v as cv, nrm as cnrm
@@ -3620,7 +3715,14 @@ asg as materialized (
     select a.vec_id, a.v, a.nrm, c.centroid_id,
            row_number() over (partition by a.vec_id
              order by round({cos_ac}, 6) desc, c.centroid_id) as rn
-    from e a cross join cents c) where rn = 1),
+    from e a cross join cents c) where rn = 1)"""
+
+
+def _sql_ann_ivf(n_centroids: int = 8, nprobe: int = 2, dim: int = 64) -> str:
+    cos_qc = _cos("q.v", "c.cv", dim, "q.nrm", "c.cnrm")
+    cos_final = _cos("a.v", "p.v", dim, "a.nrm", "p.nrm")
+    return f"""
+with {_sql_ivf_asg_ctes(n_centroids, dim)},
 probes as (
   select query_id, v, nrm, centroid_id from (
     select q.vec_id as query_id, q.v, q.nrm, c.centroid_id,
@@ -6356,10 +6458,10 @@ def queries():
     return {
         # --- rotation (round 5): the driver caps its correctness pass at
         # ~50 keys/round, so never-driver-checked keys go first.  Order:
-        # 8 new round-5 keys, then the 73 self-sweep-only keys
+        # 10 new round-5 keys, then the 73 self-sweep-only keys
         # (never checked by driver OR judge), then the 27 judge-
         # verified-but-never-driver-checked keys, then the driver-green
-        # rest.  First 50 = the new keys + 42 self-sweep-only; the
+        # rest.  First 50 = the new keys + 40 self-sweep-only; the
         # remaining debt clears in round 6.
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
@@ -6369,6 +6471,8 @@ def queries():
         "text_collocations": q_text_collocations,
         "retrieval_passages": q_retrieval_passages,
         "store_hybrid_search": q_store_hybrid_search,
+        "ann_ivf_stats": q_ann_ivf_stats,
+        "hybrid_minmax": q_hybrid_minmax,
         # -- self-sweep-only (never driver/judge-checked) --
         "text_readability": q_text_readability,
         "source_orc": q_source_orc,
@@ -6658,6 +6762,8 @@ from c
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),
         "store_hybrid_search": _sql_store_hybrid_search(),
+        "ann_ivf_stats": _sql_ann_ivf_stats(),
+        "hybrid_minmax": _sql_hybrid_minmax(),
         "ann_pq": _sql_ann_pq(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),

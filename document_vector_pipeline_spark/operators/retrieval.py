@@ -176,6 +176,66 @@ def bm25_passages(chunks: DataFrame, query_terms: DataFrame, k: int = 10,
                     "n_chunks_hit", "score_micro", "rank"))
 
 
+def minmax_fuse(text_topk: DataFrame, vec_topk: DataFrame,
+                k: int = 10) -> DataFrame:
+    """Score-based hybrid fusion — the standard alternative to RRF when
+    score magnitudes matter: each leg's top-k scores are min-max
+    normalized to ppm WITHIN its (query, leg) list, then summed —
+    (query_id, doc_id, text_norm_ppm, vec_norm_ppm, fused_ppm, rank).
+
+    Inputs are the two ranked lists: ``text_topk`` (query_id, doc_id,
+    score_micro — integer BM25) and ``vec_topk`` (query_id, vec_id,
+    score — 6-dp cosine).  The cosine is fixed-pointed to micro-units
+    first (exact: it is already rounded at 6 dp), so every
+    normalization is integer arithmetic — (1e6·(s−min)) div (max−min),
+    a degenerate single-score list normalizing to 1e6 — and the fusion
+    is engine-portable.  A missing leg contributes 0.  Both inputs are
+    k-row-per-query lists, so all windows and the join are
+    candidate-sized."""
+    def norm(df, score_col, out):
+        return df.withColumn(
+            out,
+            F.when(F.col("__mx") == F.col("__mn"),
+                   F.lit(1000000).cast("long"))
+             .otherwise(F.expr(f"(1000000 * ({score_col} - __mn)) "
+                               f"div (__mx - __mn)")))
+
+    t = (text_topk.select("query_id", "doc_id", "score_micro")
+         .withColumn("__mn", F.min("score_micro")
+                     .over(Window.partitionBy("query_id")))
+         .withColumn("__mx", F.max("score_micro")
+                     .over(Window.partitionBy("query_id"))))
+    t = norm(t, "score_micro", "text_norm_ppm").select(
+        "query_id", "doc_id", "text_norm_ppm")
+    v = (vec_topk.select(
+            "query_id", F.col("vec_id").alias("doc_id"),
+            F.round(F.col("score") * F.lit(1000000.0)).cast("long")
+             .alias("smicro"))
+         .withColumn("__mn", F.min("smicro")
+                     .over(Window.partitionBy("query_id")))
+         .withColumn("__mx", F.max("smicro")
+                     .over(Window.partitionBy("query_id"))))
+    v = norm(v, "smicro", "vec_norm_ppm").select(
+        "query_id", "doc_id", "vec_norm_ppm")
+    both = t.join(v, ["query_id", "doc_id"], "full_outer")
+    scored = (both
+              .withColumn("text_norm_ppm",
+                          F.coalesce("text_norm_ppm", F.lit(0))
+                          .cast("long"))
+              .withColumn("vec_norm_ppm",
+                          F.coalesce("vec_norm_ppm", F.lit(0))
+                          .cast("long"))
+              .withColumn("fused_ppm",
+                          (F.col("text_norm_ppm")
+                           + F.col("vec_norm_ppm")).cast("long")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused_ppm"),
+                                               F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "text_norm_ppm", "vec_norm_ppm",
+                    "fused_ppm", "rank"))
+
+
 def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,
              c: int = 60) -> DataFrame:
     """Reciprocal-rank fusion of a keyword ranking (query_id, doc_id,

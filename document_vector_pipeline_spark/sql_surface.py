@@ -35,7 +35,7 @@ _STORE_BACKED = frozenset({
     "source_jsonl", "source_csv", "source_partitioned",
     "source_orc", "source_bucketed", "store_timetravel",
     "corpus_shards", "ann_ivfpq_persisted", "ann_ivf_upsert",
-    "store_hybrid_search",
+    "store_hybrid_search", "ann_ivf_stats",
 })
 
 

@@ -460,6 +460,29 @@ class IVFIndex:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "vec_id", "score", "rank"))
 
+    def cell_stats(self) -> DataFrame:
+        """Cell-balance monitoring — (centroid_id, n_vectors, share_ppm,
+        fill_milli): per-cell population, corpus share in ppm, and fill
+        factor vs the uniform ideal (1000 = perfectly balanced).  THE
+        health metric for a frozen-centroid index under incremental
+        upsert (assignment drifts as the data distribution shifts; a
+        cell with fill_milli >> 1000 is the signal to rebuild).
+        Column-pruned scan of the partition column only — at 100 TB the
+        scan reads directory metadata plus one column."""
+        cells = self.spark.read.parquet(self._cells).select("centroid_id")
+        per = (cells.groupBy("centroid_id")
+               .agg(F.count(F.lit(1)).alias("n_vectors")))
+        tot = per.agg(F.sum("n_vectors").alias("n_total"),
+                      F.count(F.lit(1)).alias("n_cells"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select("centroid_id",
+                        "n_vectors",
+                        F.expr("(1000000 * n_vectors) div n_total")
+                         .alias("share_ppm"),
+                        F.expr("(1000 * n_vectors * n_cells) div n_total")
+                         .alias("fill_milli"))
+                .orderBy("centroid_id"))
+
     def _probe_ids(self, qd: list[float], nprobe: int) -> list[int]:
         """Pick the nprobe closest centroids driver-side (they are index
         metadata, a few KB — never a Spark job)."""

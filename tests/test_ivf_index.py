@@ -268,3 +268,17 @@ def test_delete_empties_cell_directory(spark, tmp_path):
     imap = spark.read.parquet(str(tmp_path / "empty" / "idmap"))
     assert (_sorted_rows(imap.select("vec_id", "centroid_id"))
             == _sorted_rows(left.select("vec_id", "centroid_id")))
+
+
+def test_cell_stats_population_and_fill(spark, index, embeddings_small):
+    """cell_stats covers the whole corpus exactly once and fill factors
+    average to the uniform ideal."""
+    stats = index.cell_stats().collect()
+    n = embeddings_small.count()
+    assert sum(r["n_vectors"] for r in stats) == n
+    assert len(stats) <= N_CENTROIDS
+    # shares sum to ~1e6 (integer div loses < n_cells ppm)
+    total_ppm = sum(r["share_ppm"] for r in stats)
+    assert 1000000 - len(stats) <= total_ppm <= 1000000
+    for r in stats:
+        assert r["fill_milli"] == 1000 * r["n_vectors"] * len(stats) // n

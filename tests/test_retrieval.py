@@ -137,3 +137,34 @@ def test_collocations_lift_hand_case(spark):
     assert t["lift_milli"] == math.floor(
         ((1000.0 * 100) * (n_tok * n_tok)) / ((100 * 100) * n_bi))
     assert c["lift_milli"] > 5 * t["lift_milli"]
+
+
+def test_minmax_fuse_hand_case(spark):
+    """Exact ppm normalization within each leg; missing legs contribute
+    0; degenerate single-score lists normalize to 1e6."""
+    text = spark.createDataFrame(
+        [(0, 10, 3, 500), (0, 11, 2, 300), (0, 12, 1, 100)],
+        "query_id long, doc_id long, n_terms long, score_micro long")
+    vec = spark.createDataFrame(
+        [(0, 11, 0.9, 1), (0, 13, 0.5, 2)],
+        "query_id long, vec_id long, score double, rank int")
+    rows = {r["doc_id"]: r for r in
+            retrieval.minmax_fuse(text, vec, k=10).collect()}
+    # text leg: min=100 max=500 -> 10:1e6, 11:500000, 12:0
+    assert rows[10]["text_norm_ppm"] == 1000000
+    assert rows[11]["text_norm_ppm"] == 500000
+    assert rows[12]["text_norm_ppm"] == 0
+    # vec leg: 0.9 -> 1e6, 0.5 -> 0
+    assert rows[11]["vec_norm_ppm"] == 1000000
+    assert rows[13]["vec_norm_ppm"] == 0
+    # doc 11 wins on the sum; missing legs are 0
+    assert rows[11]["fused_ppm"] == 1500000 and rows[11]["rank"] == 1
+    assert rows[10]["vec_norm_ppm"] == 0 and rows[13]["text_norm_ppm"] == 0
+    # degenerate one-row leg
+    vec1 = spark.createDataFrame([(1, 99, 0.42, 1)],
+                                 "query_id long, vec_id long, "
+                                 "score double, rank int")
+    text0 = spark.createDataFrame(
+        [], "query_id long, doc_id long, n_terms long, score_micro long")
+    one = retrieval.minmax_fuse(text0, vec1, k=5).collect()[0]
+    assert one["vec_norm_ppm"] == 1000000 and one["fused_ppm"] == 1000000
