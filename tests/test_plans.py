@@ -787,3 +787,48 @@ def test_adc_plan_size_independent_of_query_count(spark, tmp_path):
     p12 = plan_of(idx.search_many_adc(qdf(12), k=3, nprobe=4))
     assert len(p12) < 1.3 * len(p2), \
         f"plan grew with query count: {len(p2)} -> {len(p12)}"
+
+
+def test_round5_operator_shuffle_budgets(spark, t, tmp_path):
+    """Plan pins for the round-5 operators: no cartesian blowups or
+    sort-merge joins where broadcast is intended; column pruning where
+    promised."""
+    from document_vector_pipeline_spark.operators import (
+        retrieval,
+        textstats,
+    )
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    docs = t["documents"]
+    qt = spark.createDataFrame([(0, "vector"), (0, "join"), (1, "stream")],
+                               "query_id long, term string")
+
+    # collocations: totals ride as broadcasts, no cartesian product
+    p = plan_of(textstats.collocations(docs, min_count=5, topk=20))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 2    # tot + nbi single-row joins
+
+    # bm25: document-frequency join and query-terms join broadcast;
+    # partial cut feeds the rank window (asserted elsewhere too)
+    p = plan_of(retrieval.bm25_topk(docs, qt, k=5))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    # minmax fusion over two k-sized lists: candidate-sized windows only
+    text = spark.createDataFrame([(0, 1, 1, 100)],
+                                 "query_id long, doc_id long, "
+                                 "n_terms long, score_micro long")
+    vec = spark.createDataFrame([(0, 1, 0.5, 1)],
+                                "query_id long, vec_id long, "
+                                "score double, rank int")
+    p = plan_of(retrieval.minmax_fuse(text, vec, k=5))
+    assert "CartesianProduct" not in p
+
+    # cell_stats scans ONLY the partition column of the cells layout
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(spark, str(tmp_path / "stats_idx"), n_centroids=4)
+    idx.build(emb)
+    p = plan_of(idx.cell_stats())
+    rs = read_schema(p)
+    assert "v" not in rs.replace("vec_id", "") or rs == "struct<>", rs
+    assert "vnorm" not in rs
