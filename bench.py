@@ -274,6 +274,13 @@ def main() -> None:
                     F.size(F.col("analysis")["words"]).alias("n_words"))
 
     bench("parse_route_client", parse_client_route)
+
+    def mm_resize():
+        from document_vector_pipeline_spark.operators import multimodal
+        return multimodal.resize_assets(
+            multimodal.documents_as_assets(docs))
+
+    bench("mm_resize", mm_resize)
     bench("vector_search_batch",
           lambda: store.search_many(
               qdf.select("query_id",

@@ -1652,6 +1652,47 @@ def q_mm_decode(spark, sf_dir):
     return multimodal.decode_assets(multimodal.documents_as_assets(docs))
 
 
+def q_mm_resize(spark, sf_dir):
+    """Aspect-fit image resize (multimodal.resize_assets): exact integer
+    target dims + proportional byte budget of the stub-resized payload —
+    the resize member of the decode/feature/frame-sample family, with
+    the oracle checking dims and the resized byte count."""
+    assets = multimodal.documents_as_assets(
+        load_table(spark, sf_dir, "documents"))
+    r = multimodal.resize_assets(assets, max_w=640, max_h=480)
+    return (r.select("asset_id", "width", "height", "new_width",
+                     "new_height",
+                     F.length("resized").cast("bigint").alias("n_resized"))
+            .orderBy("asset_id"))
+
+
+def _sql_mm_resize(max_w: int = 640, max_h: int = 480) -> str:
+    return f"""
+with a as materialized (
+  select doc_id as asset_id, md5(text) as h, strlen(text) as n
+  from documents where doc_id % 3 = 0),
+d as (select asset_id, n,
+             cast(cast('0x' || substr(h, 1, 4) as bigint) % 1920 + 1
+                  as int) as width,
+             cast(cast('0x' || substr(h, 5, 4) as bigint) % 1080 + 1
+                  as int) as height
+      from a),
+r as (select *,
+        case when width <= {max_w} and height <= {max_h} then width
+             when width * {max_h} >= height * {max_w} then {max_w}
+             else greatest(1, (width * {max_h}) // height) end as nw,
+        case when width <= {max_w} and height <= {max_h} then height
+             when width * {max_h} >= height * {max_w}
+               then greatest(1, (height * {max_w}) // width)
+             else {max_h} end as nh
+      from d)
+select asset_id, width, height,
+       cast(nw as int) as new_width, cast(nh as int) as new_height,
+       cast((n * (nw * nh)) // (width * height) as bigint) as n_resized
+from r order by asset_id
+"""
+
+
 def q_mm_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.documents_as_assets(docs))
@@ -6458,10 +6499,10 @@ def queries():
     return {
         # --- rotation (round 5): the driver caps its correctness pass at
         # ~50 keys/round, so never-driver-checked keys go first.  Order:
-        # 10 new round-5 keys, then the 73 self-sweep-only keys
+        # 11 new round-5 keys, then the 73 self-sweep-only keys
         # (never checked by driver OR judge), then the 27 judge-
         # verified-but-never-driver-checked keys, then the driver-green
-        # rest.  First 50 = the new keys + 40 self-sweep-only; the
+        # rest.  First 50 = the new keys + 39 self-sweep-only; the
         # remaining debt clears in round 6.
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
@@ -6473,6 +6514,7 @@ def queries():
         "store_hybrid_search": q_store_hybrid_search,
         "ann_ivf_stats": q_ann_ivf_stats,
         "hybrid_minmax": q_hybrid_minmax,
+        "mm_resize": q_mm_resize,
         # -- self-sweep-only (never driver/judge-checked) --
         "text_readability": q_text_readability,
         "source_orc": q_source_orc,
@@ -6764,6 +6806,7 @@ from c
         "store_hybrid_search": _sql_store_hybrid_search(),
         "ann_ivf_stats": _sql_ann_ivf_stats(),
         "hybrid_minmax": _sql_hybrid_minmax(),
+        "mm_resize": _sql_mm_resize(),
         "ann_pq": _sql_ann_pq(),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),

@@ -124,6 +124,62 @@ def sample_frames(assets: DataFrame, every_bytes: int = 64,
             .select("asset_id", F.posexplode(frames).alias("frame_no", "frame")))
 
 
+RESIZED_SCHEMA = ("asset_id long, width int, height int, new_width int, "
+                  "new_height int, resized binary")
+
+
+def resize_assets(assets: DataFrame, max_w: int = 640,
+                  max_h: int = 480) -> DataFrame:
+    """Aspect-fit resize for image-kind assets via mapInPandas —
+    (asset_id, width, height, new_width, new_height, resized binary).
+
+    STUB RESIZER: real codecs are unavailable here, so source dims come
+    from the same deterministic md5 fake as ``decode_assets``, the
+    aspect-fit target is EXACT integer arithmetic (shrink-only:
+    new_w = max_w, new_h = h*max_w // w when width-bound, mirrored when
+    height-bound, floor >= 1), and the "resized" payload is a
+    deterministic byte subsample sized to the proportional pixel budget
+    ``len * new_w*new_h // (w*h)``.  A production deployment swaps the
+    subsample for PIL.Image.resize inside the SAME mapInPandas
+    contract — schema, batching, per-row independence are the real
+    plumbing.  Map-only; at 100 TB this is the classic embarrassingly
+    parallel byte-crunch stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cols = ["asset_id", "width", "height", "new_width", "new_height",
+                "resized"]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "image":
+                    continue
+                payload = row["payload"] or b""
+                h = hashlib.md5(payload).hexdigest()
+                w = int(h[:4], 16) % 1920 + 1
+                ht = int(h[4:8], 16) % 1080 + 1
+                if w <= max_w and ht <= max_h:
+                    nw, nh = w, ht
+                elif w * max_h >= ht * max_w:        # width-bound
+                    nw, nh = max_w, max(1, ht * max_w // w)
+                else:
+                    nw, nh = max(1, w * max_h // ht), max_h
+                n = len(payload)
+                m = n * (nw * nh) // (w * ht)        # byte budget, m <= n
+                if m > 0:
+                    stride = max(1, n // m)
+                    resized = payload[::stride][:m]
+                else:
+                    resized = b""
+                out.append({"asset_id": row["asset_id"], "width": w,
+                            "height": ht, "new_width": nw,
+                            "new_height": nh, "resized": resized})
+            yield pd.DataFrame(out, columns=cols)
+
+    return assets.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def byte_histogram(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Exact long-form byte histogram per asset — the INTEGER twin of
     extract_features (whose unit-normalized float vector cannot be

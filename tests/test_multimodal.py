@@ -68,3 +68,36 @@ def test_byte_histogram_udf_equals_expression(spark, docs_small):
     from pyspark.sql import functions as F
     expect = (assets.select(F.sum(F.length("payload"))).collect()[0][0])
     assert total == expect
+
+
+def test_resize_aspect_fit_and_byte_budget(spark):
+    """Integer aspect-fit shrink-only targets; the stub-resized payload's
+    length equals the proportional byte budget exactly."""
+    from document_vector_pipeline_spark.operators import multimodal
+
+    rows = [(1, "x" * 3000), (2, "y" * 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc_id % 3: 1 -> audio, 2 -> video; force image kinds via adapter?
+    # build assets directly so every row is an image
+    assets = spark.createDataFrame(
+        [(i, "image", t.encode(), None) for i, t in rows],
+        multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in
+           multimodal.resize_assets(assets, max_w=640, max_h=480).collect()}
+    import hashlib
+    for i, t in rows:
+        payload = t.encode()
+        h = hashlib.md5(payload).hexdigest()
+        w = int(h[:4], 16) % 1920 + 1
+        ht = int(h[4:8], 16) % 1080 + 1
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, ht)
+        assert r["new_width"] <= 640 and r["new_height"] <= 480
+        # shrink-only and aspect preserved within integer floor
+        assert r["new_width"] <= w and r["new_height"] <= ht
+        m = len(payload) * (r["new_width"] * r["new_height"]) // (w * ht)
+        assert len(r["resized"]) == m
+    # non-image rows are dropped
+    audio = spark.createDataFrame([(9, "audio", b"abc", None)],
+                                  multimodal.ASSET_SCHEMA)
+    assert multimodal.resize_assets(audio).count() == 0
