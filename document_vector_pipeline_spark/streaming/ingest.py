@@ -30,7 +30,8 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
                   cfg: PipelineConfig = DEFAULT_CONFIG,
                   available_now: bool = True,
                   embed_client=None,
-                  embed_retry_delay_s: float = 10.0) -> StreamingQuery:
+                  embed_retry_delay_s: float = 10.0,
+                  ivf_index=None) -> StreamingQuery:
     """Watch `blob_path`; upsert each microbatch of new files into `store`.
 
     available_now=True drains everything currently present and stops
@@ -42,7 +43,17 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
     instead of the built-in hash embedder — the always-on variant of
     the reference's per-blob embed call (BlobTriggerFunction.cs:
     103-160): retries happen INSIDE the microbatch, so a transient
-    throttle never fails the streaming query."""
+    throttle never fails the streaming query.
+
+    ``ivf_index`` (a pre-built ``IVFIndex`` — centroids/codebook are
+    frozen index metadata, trained offline) keeps the SERVING index
+    fresh alongside the store: every microbatch's chunk embeddings are
+    incrementally upserted (touched cells only, PQ re-encode against
+    the frozen codebook) under a synthetic stable id
+    xxhash64(document_url # chunk_number), so re-ingesting a document
+    replaces its chunk vectors exactly like the store's upsert-merge
+    does — the always-on version of the reference's per-upsert Cosmos
+    index maintenance."""
     blobs = stream_text_blobs(spark, blob_path)
 
     def handle(batch_df, batch_id: int) -> None:
@@ -57,7 +68,18 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
                                        retry_delay_s=embed_retry_delay_s)
         else:
             chunks = add_embeddings(chunks, cfg=cfg)
+        # materialize once: the store upsert and the index upsert must
+        # see the same embeddings without re-running the embed stage
+        if ivf_index is not None:
+            chunks = chunks.localCheckpoint(eager=True)
         store.upsert(chunks)
+        if ivf_index is not None:
+            vecs = chunks.select(
+                F.xxhash64(F.concat_ws(
+                    "#", F.col("document_url"),
+                    F.col("chunk_number").cast("string"))).alias("vec_id"),
+                F.col("embedding"))
+            ivf_index.upsert(vecs)
 
     writer = (blobs.writeStream
               .foreachBatch(handle)

@@ -323,3 +323,51 @@ def test_stream_ingest_with_flaky_embed_client(spark, tmp_path):
     want = sorted(map(tuple, store2.read()
                       .select("document_url", "id", "embedding").collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_ingest_maintains_ivf_index(spark, tmp_path):
+    """Round 5: a pre-built serving IVF index passed to stream_ingest is
+    incrementally maintained per microbatch — after draining, its cells
+    hold exactly the chunk vectors a batch pipeline produces."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators.embed import (
+        add_embeddings,
+    )
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+    from document_vector_pipeline_spark.sources import read_text_blobs
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    blob_dir = tmp_path / "inbox_ivf"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("serving index alpha " * 30)
+
+    def chunk_vecs(path):
+        chunks = add_embeddings(
+            blobs_to_chunks(read_text_blobs(spark, path), CFG), cfg=CFG)
+        return chunks.select(
+            F.xxhash64(F.concat_ws(
+                "#", F.col("document_url"),
+                F.col("chunk_number").cast("string"))).alias("vec_id"),
+            F.col("embedding"))
+
+    # offline build on the initial corpus (file a only)
+    idx = IVFIndex(spark, str(tmp_path / "serve_ivf"), n_centroids=2)
+    idx.build(chunk_vecs(str(blob_dir)))
+
+    # a second document arrives; the stream maintains store AND index
+    (blob_dir / "b.txt").write_text("fresh beta vectors " * 25)
+    store = VectorStore(spark, str(tmp_path / "store_ivf"), CFG)
+    q = stream_ingest(spark, str(blob_dir), store,
+                      checkpoint=str(tmp_path / "ckpt_ivf"), cfg=CFG,
+                      ivf_index=idx)
+    q.awaitTermination(120)
+
+    want = sorted((r["vec_id"], tuple(r["embedding"])) for r in
+                  chunk_vecs(str(blob_dir)).collect())
+    got = sorted((r["vec_id"], tuple(r["v"])) for r in
+                 spark.read.parquet(str(tmp_path / "serve_ivf" / "cells"))
+                 .select("vec_id", "v").collect())
+    assert got == want and len(got) > 0
