@@ -183,3 +183,49 @@ def test_py_round6_np_matches_spark_round(spark, xs):
             spark.createDataFrame([(float(x),) for x in xs], "x double")
             .select(F.round("x", 6).alias("r")).collect()]
     assert got == want
+
+
+def test_bm25_and_fusion_partition_invariant(spark):
+    """The 1000-executor claim, tested: BM25 scores and both fusion
+    operators return IDENTICAL values regardless of input partitioning
+    (integer sums are order-free; every float op is fixed-shape)."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators import retrieval
+
+    rows = [(i, f"alpha beta{i % 7} gamma delta" + " pad" * (i % 5))
+            for i in range(60)]
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta3"), (1, "gamma"), (1, "pad")],
+        "query_id long, term string")
+
+    def run(n_parts):
+        docs = (spark.createDataFrame(rows, "doc_id long, text string")
+                .repartition(n_parts))
+        text = retrieval.bm25_topk(docs, qt, k=10)
+        vec = spark.createDataFrame(
+            [(0, 3, 0.91, 1), (0, 8, 0.42, 2), (1, 5, 0.77, 1)],
+            "query_id long, vec_id long, score double, rank int")
+        rrf = retrieval.rrf_fuse(
+            text.select("query_id", "doc_id", "rank"), vec, k=10)
+        mm = retrieval.minmax_fuse(text, vec, k=10)
+        return (sorted(map(tuple, text.collect())),
+                sorted(map(tuple, rrf.collect())),
+                sorted(map(tuple, mm.collect())))
+
+    assert run(1) == run(13)
+
+
+def test_collocations_partition_invariant(spark):
+    from document_vector_pipeline_spark.operators import textstats
+
+    rows = [(i, "red wine " * (i % 4 + 1) + "blue sky " * 3)
+            for i in range(40)]
+
+    def run(n_parts):
+        docs = (spark.createDataFrame(rows, "doc_id long, text string")
+                .repartition(n_parts))
+        return sorted(map(tuple, textstats.collocations(
+            docs, min_count=3, topk=20).collect()))
+
+    assert run(1) == run(11)
