@@ -281,6 +281,16 @@ def main() -> None:
             multimodal.documents_as_assets(docs))
 
     bench("mm_resize", mm_resize)
+
+    def bloom_fpr():
+        from document_vector_pipeline_spark.plans import joins
+        urgent = t["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        return joins.bloom_fpr(urgent, t["customer"],
+                               "o_custkey", "c_custkey",
+                               m_bits=1 << 16, k=3)
+
+    bench("join_bloom_fpr", bloom_fpr)
     bench("vector_search_batch",
           lambda: store.search_many(
               qdf.select("query_id",

@@ -88,6 +88,59 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
                   probe_key, "left_semi"))
 
 
+def bloom_fpr(build: DataFrame, probe: DataFrame, build_key: str,
+              probe_key: str, m_bits: int = 1 << 12,
+              k: int = 3) -> DataFrame:
+    """Measured false-positive rate of a bloom bitmap over YOUR keys —
+    one row (m_bits, k, n_build, n_probe, n_fp, fpr_ppm): the fraction
+    of DISJOINT probe keys (not in the build set) that still pass all
+    ``k`` membership tests.  The acceptance metric the
+    ``bloom_semi_join`` sizing (m_bits, k) implies but never measures —
+    the same ship-the-metric contract as ann_recall / dedup_minhash_eval.
+
+    Unlike the runtime filter itself (xxhash64 — no cross-engine
+    contract needed because the exact join clears false positives),
+    this MEASUREMENT uses md5-window positions (k disjoint 20-bit hex
+    windows mod m_bits) so a SQL oracle replays it bit-for-bit.
+
+    Plan: positions-set is <= m_bits distinct ints (one bounded
+    shuffle); the membership probe is an equi-join of (probe x k) rows
+    against it; counts are exact integers."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+
+    if m_bits > (1 << 20):
+        raise ValueError("m_bits <= 2^20 with 5-hex-digit windows")
+
+    def positions(col: Column) -> list[Column]:
+        return [md5_long(col.cast("string"), 5, 1 + 5 * i) % m_bits
+                for i in range(k)]
+
+    b = build.select(F.col(build_key).alias("key")).distinct()
+    pos_set = (b.select(F.explode(F.array(*positions(F.col("key"))))
+                        .alias("p"))
+               .distinct())
+    pr = (probe.select(F.col(probe_key).alias("pk")).distinct()
+          .join(b.select(F.col("key").alias("pk")), "pk", "left_anti"))
+    cand = pr.select(
+        "pk", F.posexplode(F.array(*positions(F.col("pk"))))
+        .alias("j", "p"))
+    hits = (cand.join(pos_set, "p")
+            .select("pk", "j").distinct()
+            .groupBy("pk").agg(F.count(F.lit(1)).alias("nh")))
+    n_fp = (hits.filter(F.col("nh") == k)
+            .agg(F.count(F.lit(1)).alias("n_fp")))
+    return (b.agg(F.count(F.lit(1)).alias("n_build"))
+            .crossJoin(F.broadcast(pr.agg(F.count(F.lit(1))
+                                          .alias("n_probe"))))
+            .crossJoin(F.broadcast(n_fp))
+            .select(F.lit(m_bits).cast("int").alias("m_bits"),
+                    F.lit(k).cast("int").alias("k"),
+                    "n_build", "n_probe", "n_fp",
+                    F.expr("case when n_probe = 0 then 0 "
+                           "else (1000000 * n_fp) div n_probe end")
+                    .alias("fpr_ppm")))
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 8) -> DataFrame:
     """Skew-safe equi-join: the manual salting pattern for the case AQE

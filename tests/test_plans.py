@@ -832,3 +832,23 @@ def test_round5_operator_shuffle_budgets(spark, t, tmp_path):
     rs = read_schema(p)
     assert "v" not in rs.replace("vec_id", "") or rs == "struct<>", rs
     assert "vnorm" not in rs
+
+
+def test_bloom_fpr_monotone_in_bits_and_exact_edges(spark, t):
+    """FPR falls as m_bits grows on the same keys; probes fully inside
+    the build set measure zero disjoint probes without dividing by zero."""
+    from document_vector_pipeline_spark.plans import joins
+
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    cust = t["customer"]
+    small = joins.bloom_fpr(urgent, cust, "o_custkey", "c_custkey",
+                            m_bits=1 << 12, k=3).first()
+    big = joins.bloom_fpr(urgent, cust, "o_custkey", "c_custkey",
+                          m_bits=1 << 16, k=3).first()
+    assert small["n_probe"] == big["n_probe"] > 0
+    assert big["fpr_ppm"] <= small["fpr_ppm"]
+    assert 0 <= big["fpr_ppm"] <= 1000000
+    # probe == build -> no disjoint probes, fpr 0 (guarded division)
+    same = joins.bloom_fpr(urgent, urgent, "o_custkey", "o_custkey",
+                           m_bits=1 << 12, k=3).first()
+    assert same["n_probe"] == 0 and same["fpr_ppm"] == 0
