@@ -51,7 +51,20 @@ from document_vector_pipeline_spark.sources import load_table
 from document_vector_pipeline_spark.store.vector_store import VectorStore
 from document_vector_pipeline_spark.streaming import events as sev
 
-SCRATCH = "/root/repo/.scratch"
+# Per-process scratch dir: concurrent harness runs (pytest + selfcheck,
+# or two selfchecks) must not collide on persisted indexes/stores, so the
+# default is suffixed with the PID; SPARK_GRAFT_SCRATCH overrides for a
+# caller that wants a stable location.
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    os.path.join("/root/repo/.scratch", f"p{os.getpid()}"))
+
+if "SPARK_GRAFT_SCRATCH" not in os.environ:
+    # best-effort cleanup of this process's scratch on exit so per-PID
+    # dirs don't accumulate across harness runs
+    import atexit
+
+    atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)

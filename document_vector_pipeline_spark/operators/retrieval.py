@@ -82,8 +82,6 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
     input an exact integer, every float op correctly-rounded double
     arithmetic in a FIXED expression shape, so DuckDB replays it
     bit-for-bit; the final per-(query,doc) score is an integer sum."""
-    terms = [r[0] for r in query_terms.select("term").distinct().collect()]
-
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
@@ -95,8 +93,12 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
     # materialize the term-filtered tf table once: it feeds BOTH the df
     # aggregation and the scoring join, and without the checkpoint each
     # consumer re-scans the corpus (3 full scans -> 2); it is candidate-
-    # sized (matched docs x query terms), never corpus-sized
-    tf = (tok.filter(F.col("term").isin(terms))
+    # sized (matched docs x query terms), never corpus-sized.  The term
+    # filter is a broadcast SEMI-join on the (metadata-sized) query-term
+    # frame, not an isin(literal list): the plan stays constant-size no
+    # matter how many terms the query batch carries.
+    tf = (tok.join(F.broadcast(query_terms.select("term").distinct()),
+                   "term", "left_semi")
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
           .localCheckpoint(eager=True))
@@ -149,27 +151,36 @@ def bm25_passages(chunks: DataFrame, query_terms: DataFrame, k: int = 10,
     ties), ``n_chunks_hit`` how many of the doc's chunks matched any
     query term, ``score_micro`` the best passage's integer BM25.
 
-    Plan: chunk ids are packed into one int64 (doc*100000+chunk) so the
-    scoring core is reused unchanged; the two windows after it run over
-    (query x matched-doc) rows — candidate-sized, never the corpus."""
+    Plan: chunk ids travel as doc \\x01 chunk composite STRINGS (no
+    arithmetic packing — a chunk_number >= 1e5 or a huge doc_id cannot
+    silently corrupt the decode); the per-doc best-passage window runs
+    over (query, doc)-bounded partitions, and the final per-query rank
+    window is fed through the same map-side partial top-k cut as
+    ``bm25_topk`` — at 100 TB a common-term query matches a constant
+    fraction of the corpus, and without the cut that query's window
+    partition receives every matched document in one reducer task."""
+    sep = "\u0001"
     packed = chunks.select(
-        (F.col(doc_col) * F.lit(100000) + F.col(chunk_col)).alias("cid"),
+        F.concat_ws(sep, F.col(doc_col), F.col(chunk_col)).alias("cid"),
         F.col(text_col))
     s = bm25_scores(packed, query_terms, id_col="cid", text_col=text_col)
     p = s.select(
         "query_id",
-        F.expr("doc_id div 100000").alias("doc"),
-        (F.col("doc_id") % 100000).cast("int").alias("chunk_number"),
+        F.substring_index("doc_id", sep, 1).cast("long").alias("doc"),
+        F.substring_index("doc_id", sep, -1).cast("int")
+         .alias("chunk_number"),
         "score_micro")
     wb = Window.partitionBy("query_id", "doc").orderBy(
         F.desc("score_micro"), F.col("chunk_number"))
     wc = Window.partitionBy("query_id", "doc")
     best = (p.withColumn("rk", F.row_number().over(wb))
             .withColumn("n_chunks_hit", F.count(F.lit(1)).over(wc))
-            .filter(F.col("rk") == 1))
+            .filter(F.col("rk") == 1)
+            .drop("rk"))
+    partial = _cut_topk(best, k, "score_micro", "doc")
     wr = Window.partitionBy("query_id").orderBy(F.desc("score_micro"),
                                                 F.col("doc"))
-    return (best.withColumn("rank", F.row_number().over(wr).cast("int"))
+    return (partial.withColumn("rank", F.row_number().over(wr).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("doc").alias("doc_id"),
                     F.col("chunk_number").alias("best_chunk"),

@@ -110,6 +110,11 @@ def bloom_fpr(build: DataFrame, probe: DataFrame, build_key: str,
 
     if m_bits > (1 << 20):
         raise ValueError("m_bits <= 2^20 with 5-hex-digit windows")
+    if k > 6:
+        # each hash reads a disjoint 5-hex-char window of the 32-char
+        # md5 digest starting at 1+5*i; k=7 would run past the digest
+        # and silently shrink the hash range, biasing the measured FPR
+        raise ValueError("k <= 6 (6*5=30 hex chars fit the md5 digest)")
 
     def positions(col: Column) -> list[Column]:
         return [md5_long(col.cast("string"), 5, 1 + 5 * i) % m_bits

@@ -255,6 +255,13 @@ class IVFIndex:
         base = df.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"),
                          l2_norm(vd).alias("vnorm"))
+        # a duplicated id in the batch would survive the anti-join merge
+        # twice (two rows in the cells + idmap that later delete/upsert
+        # calls treat inconsistently) — refuse it up front; the check is
+        # one action over the batch-sized frame, never the index
+        if (base.groupBy("vec_id").count()
+                .filter(F.col("count") > 1).limit(1).count()):
+            raise ValueError("upsert batch contains duplicate vec_id rows")
         assigned = self._assign_np(base, self._centroid_rows())
         if self._fs_exists(self._codebook):
             cb = self._read_codebook()

@@ -50,10 +50,11 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
     fresh alongside the store: every microbatch's chunk embeddings are
     incrementally upserted (touched cells only, PQ re-encode against
     the frozen codebook) under a synthetic stable id
-    xxhash64(document_url # chunk_number), so re-ingesting a document
-    replaces its chunk vectors exactly like the store's upsert-merge
-    does — the always-on version of the reference's per-upsert Cosmos
-    index maintenance."""
+    xxhash64(document_url # chunk_number); re-ingest is per-document
+    REPLACE — stale chunk vectors beyond a shrunken document's new
+    chunk count are deleted from the index via the keys
+    ``replace_documents`` reports — the always-on version of the
+    reference's per-upsert Cosmos index maintenance."""
     blobs = stream_text_blobs(spark, blob_path)
 
     def handle(batch_df, batch_id: int) -> None:
@@ -68,12 +69,19 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
                                        retry_delay_s=embed_retry_delay_s)
         else:
             chunks = add_embeddings(chunks, cfg=cfg)
-        # materialize once: the store upsert and the index upsert must
+        # materialize once: the store replace and the index upsert must
         # see the same embeddings without re-running the embed stage
         if ivf_index is not None:
             chunks = chunks.localCheckpoint(eager=True)
-        store.upsert(chunks)
+        # per-document REPLACE, not key-merge: a re-ingested document
+        # that shrank must lose its stale higher-numbered chunks in the
+        # store AND the serving index (replace_documents returns exactly
+        # the dropped keys)
+        stale = store.replace_documents(chunks)
         if ivf_index is not None:
+            ivf_index.delete(stale.select(
+                F.xxhash64(F.concat_ws("#", F.col("document_url"),
+                                       F.col("id"))).alias("vec_id")))
             vecs = chunks.select(
                 F.xxhash64(F.concat_ws(
                     "#", F.col("document_url"),

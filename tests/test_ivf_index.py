@@ -282,3 +282,24 @@ def test_cell_stats_population_and_fill(spark, index, embeddings_small):
     assert 1000000 - len(stats) <= total_ppm <= 1000000
     for r in stats:
         assert r["fill_milli"] == 1000 * r["n_vectors"] * len(stats) // n
+
+
+def test_upsert_rejects_duplicate_batch_ids(spark, tmp_path):
+    """Round 6 (advisor): two rows with the same vec_id in one upsert
+    batch would both survive the anti-join merge, leaving duplicate ids
+    in the cells/idmap — refused up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(32))
+    idx = IVFIndex(spark, str(tmp_path / "dup_ivf"), n_centroids=2)
+    idx.build(emb)
+    dup = emb.limit(2).union(emb.limit(1))
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        idx.upsert(dup)
+    # a clean batch still works
+    idx.upsert(emb.limit(2).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)))

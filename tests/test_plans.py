@@ -852,3 +852,20 @@ def test_bloom_fpr_monotone_in_bits_and_exact_edges(spark, t):
     same = joins.bloom_fpr(urgent, urgent, "o_custkey", "o_custkey",
                            m_bits=1 << 12, k=3).first()
     assert same["n_probe"] == 0 and same["fpr_ppm"] == 0
+
+
+def test_bloom_fpr_rejects_oversized_k(spark, t):
+    """Round 6 (advisor): k=7 would read past the 32-char md5 digest
+    (windows start at 1+5*i, width 5), silently shrinking the hash
+    range and biasing the measured FPR — refused like m_bits > 2^20."""
+    import pytest
+
+    from document_vector_pipeline_spark.plans import joins
+
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    cust = t["customer"]
+    with pytest.raises(ValueError, match="k <= 6"):
+        joins.bloom_fpr(urgent, cust, "o_custkey", "c_custkey", k=7)
+    # k=6 uses hex chars 1..30 -- legal
+    assert joins.bloom_fpr(urgent, cust, "o_custkey", "c_custkey",
+                           m_bits=1 << 12, k=6).count() == 1

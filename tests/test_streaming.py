@@ -371,3 +371,58 @@ def test_stream_ingest_maintains_ivf_index(spark, tmp_path):
                  spark.read.parquet(str(tmp_path / "serve_ivf" / "cells"))
                  .select("vec_id", "v").collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_reingest_shrunken_document_purges_stale_vectors(
+        spark, tmp_path):
+    """Round 6 (advisor): re-ingesting a document with FEWER chunks than
+    before must remove the old higher-numbered chunk vectors from the
+    store and the serving IVF index — deleted content must not stay
+    searchable."""
+    from document_vector_pipeline_spark.operators.embed import (
+        add_embeddings,
+    )
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+    from document_vector_pipeline_spark.sources import read_text_blobs
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    blob_dir = tmp_path / "inbox_shrink"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("shrink alpha beta " * 40)   # many chunks
+
+    def chunk_vecs(path):
+        chunks = add_embeddings(
+            blobs_to_chunks(read_text_blobs(spark, path), CFG), cfg=CFG)
+        return chunks.select(
+            F.xxhash64(F.concat_ws(
+                "#", F.col("document_url"),
+                F.col("chunk_number").cast("string"))).alias("vec_id"),
+            F.col("embedding"))
+
+    idx = IVFIndex(spark, str(tmp_path / "shrink_ivf"), n_centroids=2)
+    idx.build(chunk_vecs(str(blob_dir)))
+    store = VectorStore(spark, str(tmp_path / "store_shrink"), CFG)
+    q = stream_ingest(spark, str(blob_dir), store,
+                      checkpoint=str(tmp_path / "ckpt_shrink1"), cfg=CFG,
+                      ivf_index=idx)
+    q.awaitTermination(120)
+    n_before = store.read().count()
+    assert n_before > 1
+
+    # the document shrinks to a single chunk; a fresh checkpoint makes
+    # the file source re-deliver it (same document_url)
+    (blob_dir / "a.txt").write_text("tiny now")
+    q2 = stream_ingest(spark, str(blob_dir), store,
+                       checkpoint=str(tmp_path / "ckpt_shrink2"), cfg=CFG,
+                       ivf_index=idx)
+    q2.awaitTermination(120)
+
+    assert store.read().count() == 1        # stale chunks gone from store
+    want = sorted((r["vec_id"], tuple(r["embedding"])) for r in
+                  chunk_vecs(str(blob_dir)).collect())
+    got = sorted((r["vec_id"], tuple(r["v"])) for r in
+                 spark.read.parquet(str(tmp_path / "shrink_ivf" / "cells"))
+                 .select("vec_id", "v").collect())
+    assert got == want and len(got) == 1    # ...and from the index
