@@ -6548,19 +6548,81 @@ limit {top}
 
 
 def queries():
-    # Ordered never-driver-checked-first: the driver's correctness pass
-    # caps at 50 keys per round (observed r1+r2), so rotate coverage so
-    # every key gets a driver-recorded oracle verdict.  Round 3: the 13
-    # keys below were green in the judge's selfcheck but have never had a
-    # driver verdict — they go first, then new round-3 keys, then rotation.
     return {
-        # --- rotation (round 5): the driver caps its correctness pass at
-        # ~50 keys/round, so never-driver-checked keys go first.  Order:
-        # 12 new round-5 keys, then the 73 self-sweep-only keys
-        # (never checked by driver OR judge), then the 27 judge-
-        # verified-but-never-driver-checked keys, then the driver-green
-        # rest.  First 50 = the new keys + 38 self-sweep-only; the
-        # remaining debt clears in round 6.
+    # Ordered never-driver-RECORDED-first: the driver's correctness pass
+    # caps at ~50 keys per round, so rotate coverage until every key has
+    # a driver-recorded oracle verdict.  Round 6 state (VERDICT r5):
+    # every key is green with SOME verifier; 62 keys have only a judge
+    # verdict, never a driver row.  Those lead: the 35 keys the round-5
+    # judge selfchecked, then the 27 keys the round-4 judge selfchecked
+    # (50 fit the r6 cap; ~12 spill to r7).  New round-6 keys are
+    # appended right after that block, then the driver-green tail.
+        # -- judge-r5-verified, never driver-recorded (35) --
+        "vector_topk_filtered": q_vector_topk_filtered,
+        "text_bigrams": q_text_bigrams,
+        "corpus_qualityfilter": q_corpus_qualityfilter,
+        "source_partitioned": q_source_partitioned,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "corpus_repetition": q_corpus_repetition,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "dedup_pipeline": q_dedup_pipeline,
+        "join_bloom": q_join_bloom,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_profile": q_corpus_profile,
+        "corpus_pack": q_corpus_pack,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_ops": q_sketch_kmv_ops,
+        "sketch_histq": q_sketch_histq,
+        "source_jsonl": q_source_jsonl,
+        "source_csv": q_source_csv,
+        "corpus_lenhist": q_corpus_lenhist,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_dropdup": q_stream_dropdup,
+        "stream_topk_windowed": q_stream_topk_windowed,
+        "q7_volume": q_q7_volume,
+        "q8_share": q_q8_share,
+        "q12_priority": q_q12_priority,
+        "q16_suppcnt": q_q16_suppcnt,
+        "q17_small_qty": q_q17_small_qty,
+        "q11_parts": q_q11_parts,
+        "q15_topsupp": q_q15_topsupp,
+        "q20_promo_supp": q_q20_promo_supp,
+        "q2_mincost": q_q2_mincost,
+        "events_pivot": q_events_pivot,
+        "events_cube": q_events_cube,
+        "events_anomalies": q_events_anomalies,
+        "corpus_mixture": q_corpus_mixture,
+        # -- judge-r4-verified, never driver-recorded (27) --
+        "chunk_md_paragraphs": q_chunk_md_paragraphs,
+        "pipeline_sk_chunking": q_pipeline_sk_chunking,
+        "store_cdc": q_store_cdc,
+        "vector_search_batch": q_vector_search_batch,
+        "store_reembed": q_store_reembed,
+        "mm_phash_dedup": q_mm_phash_dedup,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substrings": q_dedup_substrings,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "graph_pagerank": q_graph_pagerank,
+        "layout_zorder": q_layout_zorder,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_pca": q_emb_pca,
+        "emb_covariance": q_emb_covariance,
+        "corpus_quality_model": q_corpus_quality_model,
+        "corpus_token_budget": q_corpus_token_budget,
+        "sketch_cms": q_sketch_cms,
+        "store_compact": q_store_compact,
+        "source_bucketed": q_source_bucketed,
+        "stream_scd2": q_stream_scd2,
+        "events_scd2": q_events_scd2,
+        "asof_nearest": q_asof_nearest,
+        "q9_profit": q_q9_profit,
+        "q21_waiting": q_q21_waiting,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "customer_rfm": q_customer_rfm,
+        # -- new round-6 keys --
+        # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -6573,7 +6635,6 @@ def queries():
         "hybrid_minmax": q_hybrid_minmax,
         "mm_resize": q_mm_resize,
         "join_bloom_fpr": q_join_bloom_fpr,
-        # -- self-sweep-only (never driver/judge-checked) --
         "text_readability": q_text_readability,
         "source_orc": q_source_orc,
         "graph_triangles": q_graph_triangles,
@@ -6612,70 +6673,6 @@ def queries():
         "text_langid_eval": q_text_langid_eval,
         "text_domains": q_text_domains,
         "ann_recall": q_ann_recall,
-        "dedup_pipeline": q_dedup_pipeline,
-        "vector_topk_filtered": q_vector_topk_filtered,
-        "corpus_qualityfilter": q_corpus_qualityfilter,
-        "text_bigrams": q_text_bigrams,
-        "stream_topk_windowed": q_stream_topk_windowed,
-        "source_partitioned": q_source_partitioned,
-        "q7_volume": q_q7_volume,
-        "q8_share": q_q8_share,
-        "q12_priority": q_q12_priority,
-        "q16_suppcnt": q_q16_suppcnt,
-        "q17_small_qty": q_q17_small_qty,
-        "q11_parts": q_q11_parts,
-        "q15_topsupp": q_q15_topsupp,
-        "q20_promo_supp": q_q20_promo_supp,
-        "corpus_split": q_corpus_split,
-        "corpus_sample": q_corpus_sample,
-        "corpus_repetition": q_corpus_repetition,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_pack": q_corpus_pack,
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_histq": q_sketch_histq,
-        "source_jsonl": q_source_jsonl,
-        "source_csv": q_source_csv,
-        "events_anomalies": q_events_anomalies,
-        "corpus_mixture": q_corpus_mixture,
-        "join_bloom": q_join_bloom,
-        "corpus_shuffle": q_corpus_shuffle,
-        "corpus_profile": q_corpus_profile,
-        "sketch_kmv_ops": q_sketch_kmv_ops,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_dropdup": q_stream_dropdup,
-        "q2_mincost": q_q2_mincost,
-        "events_pivot": q_events_pivot,
-        "events_cube": q_events_cube,
-        "corpus_lenhist": q_corpus_lenhist,
-        # -- judge-verified, never driver-checked --
-        "source_bucketed": q_source_bucketed,
-        "emb_covariance": q_emb_covariance,
-        "chunk_md_paragraphs": q_chunk_md_paragraphs,
-        "pipeline_sk_chunking": q_pipeline_sk_chunking,
-        "store_cdc": q_store_cdc,
-        "emb_pca": q_emb_pca,
-        "dedup_substrings": q_dedup_substrings,
-        "dedup_semantic": q_dedup_semantic,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "corpus_token_budget": q_corpus_token_budget,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "mm_phash_dedup": q_mm_phash_dedup,
-        "asof_nearest": q_asof_nearest,
-        "corpus_quality_model": q_corpus_quality_model,
-        "events_scd2": q_events_scd2,
-        "stream_scd2": q_stream_scd2,
-        "customer_rfm": q_customer_rfm,
-        "vector_search_batch": q_vector_search_batch,
-        "store_reembed": q_store_reembed,
-        "q9_profit": q_q9_profit,
-        "q21_waiting": q_q21_waiting,
-        "sketch_cms": q_sketch_cms,
-        "graph_pagerank": q_graph_pagerank,
-        "layout_zorder": q_layout_zorder,
-        "events_funnel": q_events_funnel,
-        "store_compact": q_store_compact,
-        "events_retention": q_events_retention,
-        # -- driver-green (r1/r4) rotation tail --
         "asof_forward": q_asof_forward,
         "hypertable_gapfill": q_hypertable_gapfill,
         "ann_ivfpq": q_ann_ivfpq,
