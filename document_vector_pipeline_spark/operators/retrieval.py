@@ -102,6 +102,19 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
           .localCheckpoint(eager=True))
+    return score_tf(tf, query_terms, stats)
+
+
+def score_tf(tf: DataFrame, query_terms: DataFrame,
+             stats: DataFrame) -> DataFrame:
+    """The BM25 scoring core over an explicit term-frequency relation —
+    ``tf`` is (doc_id, term, tf, dl) restricted to the query batch's
+    terms (each term's posting list COMPLETE, so the per-term df
+    aggregation below is corpus-exact), ``stats`` a one-row
+    (n_docs, total_len).  Shared verbatim by the scan path
+    (``bm25_scores``) and the persisted inverted index
+    (store/text_index.TextIndex.search), which is how index search
+    stays bit-identical to the scan."""
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     joined = (tf.join(F.broadcast(df_), "term")
@@ -125,18 +138,24 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
                  F.sum("c_micro").alias("score_micro")))
 
 
-def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """BM25 top-k documents per query — (query_id, doc_id, n_terms,
-    score_micro, rank): ``bm25_scores`` fed through a map-side partial
-    top-k cut into the per-query rank window."""
-    scored = bm25_scores(docs, query_terms, id_col, text_col)
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partial-cut + per-query rank over a (query_id, doc_id, n_terms,
+    score_micro) scored set — the shared tail of ``bm25_topk`` and the
+    indexed search path."""
     partial = _cut_topk(scored, k, "score_micro", "doc_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"),
                                                F.col("doc_id"))
     return (partial.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_terms", "score_micro", "rank"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 top-k documents per query — (query_id, doc_id, n_terms,
+    score_micro, rank): ``bm25_scores`` fed through a map-side partial
+    top-k cut into the per-query rank window."""
+    return rank_topk(bm25_scores(docs, query_terms, id_col, text_col), k)
 
 
 def bm25_passages(chunks: DataFrame, query_terms: DataFrame, k: int = 10,
@@ -284,3 +303,21 @@ def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "text_rank", "vec_rank",
                     "rrf_micro", "rank"))
+
+
+def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
+                          queries: DataFrame, k: int = 10, c: int = 60,
+                          nprobe: int = 1) -> DataFrame:
+    """Hybrid retrieval over two PERSISTED indexes — the serving-path
+    composition of store/text_index.TextIndex (keyword leg: reads only
+    the query terms' posting buckets) and store/ivf_index.IVFIndex
+    (vector leg: probes only ``nprobe`` cells), fused by RRF.  Neither
+    leg scans a corpus; both read pruned partitions of a pre-built
+    index — the 100 TB serving shape (the scan-path twin is
+    VectorStore.hybrid_search)."""
+    text = text_index.search(query_terms, k=k).select(
+        "query_id", "doc_id", "rank")
+    vec = (ivf_index.search_many(queries, k=k, nprobe=nprobe)
+           .select("query_id", "vec_id", F.col("rank").cast("int")
+                   .alias("rank")))
+    return rrf_fuse(text, vec, k=k, c=c)

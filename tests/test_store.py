@@ -376,3 +376,54 @@ def test_hybrid_search_rank_window_is_partial_cut(spark, store):
     assert plan.index("Window") < plan.index("MapInPandas")
     # and the fusion still returns both documents
     assert df.count() == 2
+
+
+def test_versioned_store_search_asof_and_index_rebuild(spark, tmp_path):
+    """Round 6: VersionedVectorStore composes the manifest log with the
+    store's search — search AS OF version N sees exactly N's corpus;
+    an IVF index rebuilt as of N serves the same ranking; vacuum keeps
+    the latest snapshot readable."""
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs"), CFG)
+    v0 = vvs.upsert(_chunks(spark, [
+        ("u1", 0, "alpha", 0, [1.0, 0.0, 0.0, 0.0]),
+        ("u2", 0, "beta", 0, [0.0, 1.0, 0.0, 0.0]),
+        ("u3", 0, "gamma", 0, [0.0, 0.0, 1.0, 0.0]),
+    ]))
+    v1 = vvs.upsert(_chunks(spark, [       # u2's vector rotates
+        ("u2", 0, "beta2", 0, [1.0, 0.0, 0.0, 0.0]),
+    ]))
+    v2 = vvs.delete_documents(["u1"])
+    assert [v0, v1, v2] == [0, 1, 2]
+
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "query_id long, query_vec array<float>")
+    top = lambda ver: [r["document_url"] for r in
+                       vvs.search_many(q, k=1, version=ver).collect()]
+    assert top(v0) == ["u1"]           # only u1 aligned at v0
+    assert top(v1) == ["u1"]           # u1 and u2 tie on score 1.0 -> url asc
+    assert top(v2) == ["u2"]           # u1 deleted -> u2's new vector wins
+    assert vvs.search_many(q, k=1).collect()[0]["document_url"] == "u2"
+
+    # as-of index rebuild: searching the v1 index ≡ brute force over v1
+    idx = vvs.build_ivf_asof(str(tmp_path / "vvs_idx"), version=v1,
+                             n_centroids=2)
+    got = {r["vec_id"] for r in idx.search_many(
+        q, k=3, nprobe=2).collect()}
+    want = {r["vec_id"] for r in vvs.read(v1).select(
+        F.xxhash64(F.concat_ws("#", F.col("document_url"),
+                               F.col("id"))).alias("vec_id")).collect()}
+    assert got == want and len(got) == 3
+
+    # history + vacuum: old versions drop, latest stays readable
+    assert [r["op"] for r in vvs.history().orderBy("version").collect()] \
+        == ["upsert", "upsert", "delete"]
+    dropped = vvs.vacuum(keep_last=1)
+    assert dropped == [0, 1]
+    assert top(None) == ["u2"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        vvs.read(v0)

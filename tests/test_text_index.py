@@ -1,0 +1,161 @@
+"""Persisted BM25 inverted index (store/text_index.py): build/search
+equivalence with the scan path, incremental maintenance, bucket pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import retrieval
+from document_vector_pipeline_spark.store.text_index import TextIndex
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "apple banana cherry cherry cherry cherry"),
+        (3, "durian durian durian durian durian durian durian durian"),
+        (4, "apple"),
+        (5, ""),                       # empty doc still counts in n_docs
+        (6, "banana cherry apple durian fig"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def qt(spark):
+    return spark.createDataFrame(
+        [(0, "apple"), (0, "cherry"), (1, "durian"), (1, "zzz_absent")],
+        "query_id long, term string")
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_index_search_equals_scan_path(spark, docs, qt, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    assert (_sorted(idx.search(qt, k=10))
+            == _sorted(retrieval.bm25_topk(docs, qt, k=10)))
+    # stats include the empty document
+    st = idx.stats().collect()[0]
+    assert st["n_docs"] == 6 and st["total_len"] == 4 + 6 + 8 + 1 + 0 + 5
+
+
+def test_upsert_and_delete_track_scan_path(spark, docs, qt, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti2"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    # doc 2 shrinks, doc 3 is deleted, doc 7 is new
+    upd = spark.createDataFrame(
+        [(2, "apple"), (7, "fig fig apple")], "doc_id long, text string")
+    idx.upsert(upd)
+    idx.delete([3])
+    cur = (docs.filter(~F.col("doc_id").isin([2, 3]))
+           .unionByName(upd.filter(F.col("doc_id") != 3)))
+    assert (_sorted(idx.search(qt, k=10))
+            == _sorted(retrieval.bm25_topk(cur, qt, k=10)))
+    st = idx.stats().collect()[0]
+    assert st["n_docs"] == 6          # 6 docs: 1,2,4,5,6,7
+    assert st["total_len"] == 4 + 1 + 1 + 0 + 5 + 3
+
+
+def test_delete_to_empty_term_drops_bucket_dir(spark, tmp_path):
+    """A term whose last posting disappears must not leave a stale
+    bucket directory behind (the FS-drop contract of
+    _overwrite_partitions)."""
+    d = spark.createDataFrame([(1, "unique_xyz"), (2, "common")],
+                              "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "ti3"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(d)
+    idx.delete([1])
+    post = spark.read.parquet(os.path.join(str(tmp_path / "ti3"),
+                                           "postings"))
+    assert [r["term"] for r in post.collect()] == ["common"]
+    qt = spark.createDataFrame([(0, "unique_xyz"), (0, "common")],
+                               "query_id long, term string")
+    got = idx.search(qt, k=5).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_search_prunes_to_query_term_buckets(spark, docs, qt, tmp_path):
+    """The posting scan must carry a PartitionFilters entry on tbucket —
+    the pruning that makes indexed search sub-scan at 100 TB."""
+    idx = TextIndex(spark, str(tmp_path / "ti4"), n_term_buckets=8,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    one = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    df = idx.search(one, k=5, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the posting scan carries a partition filter on tbucket
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    # and the rank window sits above the partial-cut MapInPandas
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_upsert_touches_only_affected_term_buckets(spark, tmp_path):
+    """Posting bucket directories not named by the batch's old∪new terms
+    keep their files untouched (mtime check)."""
+    d = spark.createDataFrame(
+        [(i, f"term{i:02d}") for i in range(20)], "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "ti5"), n_term_buckets=8,
+                    n_doc_buckets=4)
+    idx.build(d)
+    base = str(tmp_path / "ti5" / "postings")
+
+    def mtimes():
+        out = {}
+        for b in os.listdir(base):
+            if not b.startswith("tbucket="):
+                continue
+            out[b] = {f: os.path.getmtime(os.path.join(base, b, f))
+                      for f in os.listdir(os.path.join(base, b))
+                      if f.endswith(".parquet")}
+        return out
+
+    before = mtimes()
+    idx.upsert(spark.createDataFrame([(0, "term00 freshterm")],
+                                     "doc_id long, text string"))
+    after = mtimes()
+    tb = {r[0] for r in spark.createDataFrame(
+        [("term00",), ("freshterm",)], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(8)).cast("int")).collect()}
+    untouched = [b for b in before
+                 if int(b.split("=")[1]) not in tb and b in after]
+    assert untouched, "need at least one untouched bucket to assert on"
+    for b in untouched:
+        assert before[b] == after[b], f"bucket {b} was rewritten"
+
+
+def test_hybrid_search_indexed_equals_scan_hybrid(spark, tmp_path):
+    """hybrid_search_indexed over persisted TextIndex + IVFIndex (with
+    exhaustive probe) reproduces the scan-path hybrid_rrf fusion."""
+    from document_vector_pipeline_spark.operators import similarity
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qt = spark.createDataFrame(
+        [(0, "vector"), (0, "join"), (1, "stream"), (1, "window")],
+        "query_id long, term string")
+    qv = (emb.filter(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+
+    ti = TextIndex(spark, str(tmp_path / "h_ti"), n_term_buckets=8,
+                   n_doc_buckets=4)
+    ti.build(docs)
+    vi = IVFIndex(spark, str(tmp_path / "h_vi"), n_centroids=4)
+    vi.build(emb)
+    got = retrieval.hybrid_search_indexed(ti, vi, qt, qv, k=5, nprobe=4)
+
+    text = retrieval.bm25_topk(docs, qt, k=5)
+    vec = similarity.brute_force_topk(emb, qv, k=5)
+    want = retrieval.rrf_fuse(text, vec, k=5)
+    assert _sorted(got) == _sorted(want)
