@@ -48,6 +48,7 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 STORE_PATH = os.path.join(ROOT, ".scratch", "bench_store")
 
 
@@ -112,10 +113,18 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name, fn):
-        t0 = time.perf_counter()
-        df = fn()
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min-of-RUNS per key: this host's noise band is ±50 % (identical
+        # code has measured 3.3 s and 23 s), so a single sample dominates
+        # round-over-round comparison; the min of two back-to-back runs
+        # is the stable statistic.  Stateful fns (ingest, index builds,
+        # maintenance) are idempotent, so re-running them is safe.
+        best, n = float("inf"), 0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn()
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"  {name:>22}: {timings[name]:7.2f}s  ({n} rows)",
               file=sys.stderr)
 
@@ -257,6 +266,50 @@ def main() -> None:
                        .alias("query_vec")), k=10)
 
     bench("store_hybrid_search", store_hybrid)
+
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+    ti = TextIndex(spark, os.path.join(ROOT, ".scratch", "bench_text_idx"))
+
+    def ti_build():
+        ti.build(docs)
+        return spark.read.parquet(ti._postings)
+
+    bench("text_index_build", ti_build)
+    # the serving number that matters: probe-pruned search, no corpus scan
+    bench("text_bm25_indexed", lambda: ti.search(bm25_qt, k=10))
+
+    def ti_maintain():
+        slice_ = docs.filter(F.col("doc_id") % 20 == 0)
+        ti.delete(slice_.select("doc_id"))
+        ti.upsert(slice_)
+        return spark.read.parquet(ti._postings)
+
+    bench("text_index_maintain", ti_maintain)
+    bench("store_hybrid_indexed",
+          lambda: retrieval.hybrid_search_indexed(
+              ti, ivf, bm25_qt, qdf.filter(F.col("query_id") < 3),
+              k=10, nprobe=4))
+
+    def versioned_search():
+        from document_vector_pipeline_spark.store.versioned_store import (
+            VersionedVectorStore,
+        )
+        path = os.path.join(ROOT, ".scratch", "bench_vvs")
+        shutil.rmtree(path, ignore_errors=True)
+        vvs = VersionedVectorStore(spark, path, cfg)
+        chunks = store.read().select(
+            "document_url", F.col("id").cast("int").alias("chunk_number"),
+            "chunk_text", "page_number", "embedding")
+        v0 = vvs.upsert(chunks)
+        vvs.upsert(chunks.filter(F.xxhash64("document_url") % 7 == 0)
+                   .withColumn("page_number", F.lit(1)))
+        return vvs.search_many(
+            qdf.select("query_id",
+                       F.concat(F.col("query_vec"),
+                                F.array_repeat(F.lit(0.0), 1536 - 64))
+                       .alias("query_vec")), k=10, version=v0)
+
+    bench("store_versioned_search", versioned_search)
     bench("text_collocations",
           lambda: textstats.collocations(docs, min_count=5, topk=50))
     bench("dedup_substride",
@@ -595,6 +648,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpus": CPUS,
+        "runs_per_key": RUNS,
         "n_queries": len(timings),
         "total_s": total,
     }))

@@ -326,6 +326,21 @@ class IVFIndex:
                    .localCheckpoint(eager=True))
         self._overwrite_partitions(cur_map, self._idmap, "bucket", bkts)
 
+    def compact(self) -> None:
+        """Coalesce every cell (and the idmap sidecar) back to one file
+        per partition.  upsert/delete already rewrite each touched
+        partition wholesale — one file — so routine maintenance does
+        NOT fragment the index; compact matters after a large parallel
+        build or AQE rebalancing leaves multi-file partitions, or to
+        re-derive the idmap after manual surgery.  Full rewrite through
+        the committer (object-store-safe), search results unchanged."""
+        cells = (self.spark.read.parquet(self._cells)
+                 .localCheckpoint(eager=True))
+        (cells.repartition("centroid_id").write
+         .partitionBy("centroid_id").mode("overwrite")
+         .parquet(self._cells))
+        self._write_idmap_from_cells()
+
     def _overwrite_partitions(self, df: DataFrame, path: str,
                               part_col: str, affected: list) -> None:
         """Dynamic-partition-overwrite ``df`` into ``path`` (only the

@@ -1,35 +1,45 @@
 """Persisted inverted index for BM25 keyword retrieval — the keyword twin
-of store/ivf_index.IVFIndex.
+of store/ivf_index.IVFIndex, with Lucene-style segment maintenance.
 
 The scan path (operators/retrieval.bm25_scores) recomputes tokenization +
 tf + df from a full corpus scan on EVERY query batch; at 100 TB that is a
 full scan per batch.  This index is build-once / probe-pruned / maintained
-incrementally, the same serving contract the vector leg got in rounds 4-5
-(and the reference maintains per write on its side —
-CosmosDBClientWrapper.cs:117-146 keeps its index current on every upsert):
+incrementally (the reference maintains its index on every write —
+CosmosDBClientWrapper.cs:117-146; this is that contract for the keyword
+leg).
 
-- ``build``: ONE tokenize pass over the corpus writes a posting table
-  (term, doc_id, tf, dl) hash-partitioned into ``tbucket=`` directories
-  by term (a term's complete posting list lives in exactly one bucket,
-  so per-term document frequency stays corpus-exact under pruning), plus
-  two metadata-sized sidecars — ``docterms`` (doc_id → its terms, hashed
-  into ``dbucket=`` partitions: locates a document's postings without
-  scanning them) and ``doclens`` (doc_id → token count, every document
-  INCLUDING empty ones: membership + corpus statistics delta), plus a
-  one-row ``stats`` table (n_docs, total_len).
-- ``search``: reads ONLY the query terms' buckets (partition pruning on
-  ``tbucket`` — the keyword analogue of IVF probing cells), scores with
-  the exact integer BM25 core shared verbatim with the scan path
-  (retrieval.score_tf), cuts map-side, ranks.  Bit-identical to
-  ``bm25_topk`` over the same corpus by construction.
-- ``upsert``/``delete``: per-DOCUMENT replace.  The docterms sidecar
-  (pruned to the batch's dbuckets) yields the old postings' term
-  buckets; only (old ∪ new) tbuckets are read, anti-joined on the batch
-  doc ids, merged and dynamically overwritten — untouched buckets are
-  never read or written; emptied directories are dropped through the
-  Hadoop FS.  Corpus stats are adjusted by the (old out, new in) delta,
-  two one-row aggregates.  df needs no maintenance: it is derived from
-  the (complete, pruned) posting lists at query time.
+Why segments: term-hash-partitioned postings make SEARCH prune perfectly
+(a term's complete posting list lives in one bucket), but updates scatter
+— any multi-document batch touches essentially every term bucket (common
+words), so rewrite-in-place maintenance degenerates to a full posting
+rewrite per batch.  The classic fix (Lucene, Elasticsearch) is
+IMMUTABLE SEGMENTS + TOMBSTONES:
+
+    <path>/segments/seg=N/tbucket=M/   postings (term, doc_id, tf, dl),
+                                       term-hash-bucketed WITHIN each
+                                       immutable segment
+    <path>/doclens/seg=N/dbucket=M/    (doc_id, dl) per segment, every
+                                       document INCLUDING empty ones
+    <path>/tombstones/                 append-only (doc_id, seq): doc_id
+                                       is dead in all segments < seq
+    <path>/stats.parquet               one row (n_docs, total_len),
+                                       moved by exact deltas
+
+- ``build``: one tokenize pass → segment 0.
+- ``upsert``: write the batch as a NEW segment + tombstone the batch ids
+  at the new sequence — O(batch) writes, no old bucket is touched.
+- ``delete``: append tombstones + adjust stats — O(batch).
+- ``search``: read the query terms' tbuckets across segments (partition
+  pruning on tbucket; seg is just another partition level), drop
+  tombstoned rows (the tombstone set is metadata-sized between
+  compactions, broadcast), score with the exact integer BM25 core shared
+  verbatim with the scan path (retrieval.score_tf) — bit-identical to
+  ``bm25_topk`` over the live corpus.  Per-term document frequency stays
+  corpus-exact because each live (doc, term) pair exists in exactly one
+  segment and each term in exactly one tbucket per segment.
+- ``compact``: fold all live rows into a single fresh segment and clear
+  tombstones — bounds segment count and tombstone size; search results
+  unchanged.
 """
 
 from __future__ import annotations
@@ -41,9 +51,10 @@ from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.operators import retrieval
 
-POSTING_SCHEMA = "term string, doc_id long, tf bigint, dl int, tbucket int"
-DOCTERMS_SCHEMA = "doc_id long, term string, dbucket int"
-DOCLENS_SCHEMA = "doc_id long, dl int, dbucket int"
+POSTING_SCHEMA = ("term string, doc_id long, tf bigint, dl int, "
+                  "seg int, tbucket int")
+DOCLENS_SCHEMA = "doc_id long, dl int, seg int, dbucket int"
+TOMBSTONE_SCHEMA = "doc_id long, seq int"
 
 
 class TextIndex:
@@ -53,20 +64,24 @@ class TextIndex:
         self.path = path
         self.n_term_buckets = n_term_buckets
         self.n_doc_buckets = n_doc_buckets
+        # one-row corpus stats cached driver-side (single-writer
+        # assumption, like VersionedTable): saves a file-read job on
+        # every search
+        self._stats_cache: list | None = None
 
     # -- layout -------------------------------------------------------------
 
     @property
-    def _postings(self) -> str:
-        return os.path.join(self.path, "postings")
-
-    @property
-    def _docterms(self) -> str:
-        return os.path.join(self.path, "docterms")
+    def _segments(self) -> str:
+        return os.path.join(self.path, "segments")
 
     @property
     def _doclens(self) -> str:
         return os.path.join(self.path, "doclens")
+
+    @property
+    def _tombstones(self) -> str:
+        return os.path.join(self.path, "tombstones")
 
     @property
     def _stats(self) -> str:
@@ -87,6 +102,18 @@ class TextIndex:
     def _fs_delete(self, p: str) -> None:
         jp = self._jpath(p)
         self._fs(jp).delete(jp, True)
+
+    def _seg_list(self) -> list[int]:
+        jp = self._jpath(self._segments)
+        fs = self._fs(jp)
+        if not fs.exists(jp):
+            return []
+        out = []
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("seg="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
 
     # -- bucket expressions -------------------------------------------------
 
@@ -118,45 +145,72 @@ class TextIndex:
             F.size(retrieval._tokens(F.col(text_col))).cast("int").alias("dl"),
             self._dbucket(F.col(id_col)).alias("dbucket"))
 
+    def _write_segment(self, tf: DataFrame, dl: DataFrame, seg: int) -> None:
+        (tf.withColumn("tbucket", self._tbucket(F.col("term")))
+         .repartition("tbucket")
+         .write.partitionBy("tbucket").mode("overwrite")
+         .parquet(os.path.join(self._segments, f"seg={seg}")))
+        (dl.repartition("dbucket")
+         .write.partitionBy("dbucket").mode("overwrite")
+         .parquet(os.path.join(self._doclens, f"seg={seg}")))
+
+    # -- tombstones ---------------------------------------------------------
+
+    def _tombstone_df(self) -> DataFrame:
+        if not self._fs_exists(self._tombstones):
+            return self.spark.createDataFrame([], TOMBSTONE_SCHEMA)
+        return (self.spark.read.schema(TOMBSTONE_SCHEMA)
+                .parquet(self._tombstones))
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Drop rows whose doc_id carries a tombstone with seq > seg.
+        The tombstone set is metadata-sized between compactions
+        (deleted/replaced ids only) — broadcast join."""
+        ts = (self._tombstone_df()
+              .groupBy("doc_id").agg(F.max("seq").alias("__ts_seq")))
+        return (df.join(F.broadcast(ts), "doc_id", "left")
+                .filter(F.col("__ts_seq").isNull()
+                        | (F.col("seg") >= F.col("__ts_seq")))
+                .drop("__ts_seq"))
+
     # -- operations ---------------------------------------------------------
 
     def build(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> None:
-        """One tokenize pass → postings + sidecars + stats; a rebuild
-        replaces everything through the committer (static overwrite)."""
-        tf = self._tf_of(docs, id_col, text_col)
-        (tf.withColumn("tbucket", self._tbucket(F.col("term")))
-         .repartition("tbucket")
-         .write.partitionBy("tbucket").mode("overwrite")
-         .parquet(self._postings))
-        post = self.spark.read.schema(POSTING_SCHEMA).parquet(self._postings)
-        (post.select("doc_id", "term",
-                     self._dbucket(F.col("doc_id")).alias("dbucket"))
-         .repartition("dbucket")
-         .write.partitionBy("dbucket").mode("overwrite")
-         .parquet(self._docterms))
+        """One tokenize pass → segment 0 (a rebuild drops all segments
+        and tombstones through the FS and starts over)."""
+        for sub in (self._segments, self._doclens, self._tombstones):
+            self._fs_delete(sub)
+        # ONE tokenize pass materialized, feeding postings AND doclens —
+        # without it each write re-scans and re-tokenizes the corpus
+        tf = self._tf_of(docs, id_col, text_col).localCheckpoint(eager=True)
         dl = self._doclens_of(docs, id_col, text_col)
-        (dl.repartition("dbucket")
-         .write.partitionBy("dbucket").mode("overwrite")
-         .parquet(self._doclens))
-        self._write_stats(dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
-            .alias("total_len")))
+        self._write_segment(tf, dl, 0)
+        self._write_stats(
+            self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
+                 .alias("total_len")))
 
     def _write_stats(self, one_row: DataFrame) -> None:
         df = one_row.select(F.col("n_docs").cast("long"),
                             F.col("total_len").cast("long"))
         df.coalesce(1).write.mode("overwrite").parquet(self._stats)
+        self._stats_cache = None
 
     def stats(self) -> DataFrame:
-        return self.spark.read.parquet(self._stats)
+        if self._stats_cache is None:
+            self._stats_cache = [
+                (r["n_docs"], r["total_len"])
+                for r in self.spark.read.parquet(self._stats).collect()]
+        return self.spark.createDataFrame(self._stats_cache,
+                                          "n_docs long, total_len long")
 
     def search(self, query_terms: DataFrame, k: int = 10,
                checkpoint: bool = True) -> DataFrame:
         """BM25 top-k per query reading ONLY the query terms' posting
         buckets — (query_id, doc_id, n_terms, score_micro, rank),
-        bit-identical to retrieval.bm25_topk over the same corpus.
+        bit-identical to retrieval.bm25_topk over the live corpus.
 
         The bucket list is a query-batch-sized driver collect (the
         keyword analogue of IVF's probed-cell list); everything after it
@@ -166,10 +220,11 @@ class TextIndex:
         tb = [r[0] for r in query_terms
               .select(self._tbucket(F.col("term"))).distinct().collect()]
         post = (self.spark.read.schema(POSTING_SCHEMA)
-                .parquet(self._postings)
+                .parquet(self._segments)
                 .filter(F.col("tbucket").isin(tb)))
-        tf = (post.join(F.broadcast(query_terms.select("term").distinct()),
-                        "term", "left_semi")
+        tf = (self._live(
+                post.join(F.broadcast(query_terms.select("term").distinct()),
+                          "term", "left_semi"))
               .select("doc_id", "term", "tf", "dl"))
         if checkpoint:
             tf = tf.localCheckpoint(eager=True)
@@ -178,105 +233,81 @@ class TextIndex:
 
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> None:
-        """Per-document replace: the batch documents' OLD postings are
-        removed and their new postings written, touching only the
-        affected term/doc buckets; corpus statistics move by the exact
-        (old out, new in) delta."""
-        self._apply(docs, id_col, text_col)
+        """Per-document replace, O(batch): the batch becomes a NEW
+        immutable segment; the batch ids are tombstoned at the new
+        sequence (killing their rows in every older segment); corpus
+        statistics move by the exact (old live out, new in) delta.  No
+        existing segment file is touched."""
+        seg = (self._seg_list() or [-1])[-1] + 1
+        new_dl = self._doclens_of(docs, id_col, text_col)\
+            .coalesce(1).localCheckpoint(eager=True)
+        new_tf = self._tf_of(docs, id_col, text_col)\
+            .coalesce(1).localCheckpoint(eager=True)
+        victims = new_dl.select("doc_id").distinct()
+        self._apply_stats_delta(victims, new_dl)
+        self._write_segment(new_tf, new_dl.drop("seg"), seg)
+        (victims.select("doc_id", F.lit(seg).cast("int").alias("seq"))
+         .coalesce(1).write.mode("append").parquet(self._tombstones))
 
     def delete(self, doc_ids) -> None:
-        """Remove documents from the index by id — the empty-batch case
-        of the same pruned rewrite."""
+        """Tombstone documents, O(batch): no segment is read or
+        rewritten; stats move by the victims' live (count, dl) sum."""
         if not isinstance(doc_ids, DataFrame):
             doc_ids = self.spark.createDataFrame(
                 [(int(i),) for i in doc_ids], "doc_id long")
-        empty = self.spark.createDataFrame([], "doc_id long, text string")
-        self._apply(empty, "doc_id", "text",
-                    extra_victims=doc_ids.select(
-                        F.col(doc_ids.columns[0]).cast("long")
-                        .alias("doc_id")).distinct())
+        victims = (doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                                  .alias("doc_id")).distinct()
+                   .coalesce(1).localCheckpoint(eager=True))
+        seg = (self._seg_list() or [-1])[-1] + 1
+        self._apply_stats_delta(victims, None)
+        (victims.select("doc_id", F.lit(seg).cast("int").alias("seq"))
+         .coalesce(1).write.mode("append").parquet(self._tombstones))
 
-    def _apply(self, docs: DataFrame, id_col: str, text_col: str,
-               extra_victims: DataFrame | None = None) -> None:
-        new_dl = self._doclens_of(docs, id_col, text_col)\
-            .localCheckpoint(eager=True)
-        victims = new_dl.select("doc_id")
-        if extra_victims is not None:
-            victims = victims.unionByName(extra_victims).distinct()
-        victims = victims.localCheckpoint(eager=True)
-
+    def _apply_stats_delta(self, victims: DataFrame,
+                           new_dl: DataFrame | None) -> None:
+        """stats ← stats − victims' LIVE (count, Σdl) + incoming
+        (count, Σdl), folded into one aggregate job.  The victims' live
+        doclens read is pruned to their dbuckets."""
         dbkts = [r[0] for r in
                  victims.select(self._dbucket(F.col("doc_id")).alias("b"))
                  .distinct().collect()]
-        if not dbkts:
-            return
-
-        old_terms = (self.spark.read.schema(DOCTERMS_SCHEMA)
-                     .parquet(self._docterms)
-                     .filter(F.col("dbucket").isin(dbkts))
-                     .join(F.broadcast(victims), "doc_id", "left_semi"))
-        new_tf = self._tf_of(docs, id_col, text_col)\
-            .localCheckpoint(eager=True)
-        tbkts = sorted({r[0] for r in
-                        old_terms.select(self._tbucket(F.col("term"))
-                                         .alias("b")).distinct().collect()}
-                       | {r[0] for r in
-                          new_tf.select(self._tbucket(F.col("term"))
-                                        .alias("b")).distinct().collect()})
-
-        # stats delta BEFORE doclens is rewritten (two one-row collects)
         old_dl = (self.spark.read.schema(DOCLENS_SCHEMA)
                   .parquet(self._doclens)
                   .filter(F.col("dbucket").isin(dbkts))
                   .join(F.broadcast(victims), "doc_id", "left_semi"))
-        o = old_dl.agg(F.count(F.lit(1)).alias("n"),
-                       F.coalesce(F.sum(F.col("dl").cast("long")),
-                                  F.lit(0)).alias("t")).collect()[0]
-        n = new_dl.agg(F.count(F.lit(1)).alias("n"),
-                       F.coalesce(F.sum(F.col("dl").cast("long")),
-                                  F.lit(0)).alias("t")).collect()[0]
+        old_dl = self._live(old_dl)
+        both = old_dl.select(F.lit(0).alias("g"), "dl")
+        if new_dl is not None:
+            both = both.unionByName(new_dl.select(F.lit(1).alias("g"), "dl"))
+        delta = {r["g"]: r for r in
+                 both.groupBy("g")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.coalesce(F.sum(F.col("dl").cast("long")),
+                                 F.lit(0)).alias("t")).collect()}
+        o_n, o_t = ((delta[0]["n"], delta[0]["t"]) if 0 in delta else (0, 0))
+        n_n, n_t = ((delta[1]["n"], delta[1]["t"]) if 1 in delta else (0, 0))
         cur = self.stats().collect()[0]
         self._write_stats(self.spark.createDataFrame(
-            [(cur["n_docs"] - o["n"] + n["n"],
-              cur["total_len"] - o["t"] + n["t"])],
+            [(cur["n_docs"] - o_n + n_n, cur["total_len"] - o_t + n_t)],
             "n_docs long, total_len long"))
 
-        if tbkts:
-            cur_post = (self.spark.read.schema(POSTING_SCHEMA)
-                        .parquet(self._postings)
-                        .filter(F.col("tbucket").isin(tbkts))
-                        .join(F.broadcast(victims), "doc_id", "left_anti"))
-            add = new_tf.withColumn("tbucket", self._tbucket(F.col("term")))
-            merged = (cur_post.unionByName(add)
-                      .localCheckpoint(eager=True))
-            self._overwrite_partitions(merged, self._postings, "tbucket",
-                                       tbkts)
-
-        cur_dt = (self.spark.read.schema(DOCTERMS_SCHEMA)
-                  .parquet(self._docterms)
-                  .filter(F.col("dbucket").isin(dbkts))
-                  .join(F.broadcast(victims), "doc_id", "left_anti"))
-        add_dt = new_tf.select(
-            "doc_id", "term", self._dbucket(F.col("doc_id")).alias("dbucket"))
-        self._overwrite_partitions(
-            cur_dt.unionByName(add_dt).localCheckpoint(eager=True),
-            self._docterms, "dbucket", dbkts)
-
-        cur_dl = (self.spark.read.schema(DOCLENS_SCHEMA)
-                  .parquet(self._doclens)
-                  .filter(F.col("dbucket").isin(dbkts))
-                  .join(F.broadcast(victims), "doc_id", "left_anti"))
-        self._overwrite_partitions(
-            cur_dl.unionByName(new_dl).localCheckpoint(eager=True),
-            self._doclens, "dbucket", dbkts)
-
-    def _overwrite_partitions(self, df: DataFrame, path: str,
-                              part_col: str, affected: list) -> None:
-        """Dynamic-partition overwrite + FS-drop of affected partitions
-        that received no rows (same contract as IVFIndex)."""
-        present = {r[0] for r in df.select(part_col).distinct().collect()}
-        (df.repartition(part_col).write
-         .partitionBy(part_col).mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic").parquet(path))
-        for p in set(affected) - present:
-            self._fs_delete(os.path.join(path, f"{part_col}={p}"))
+    def compact(self) -> None:
+        """Fold every live posting/doclen row into one fresh segment and
+        clear the tombstones — bounds segment count and tombstone size
+        after many upserts (call on the same cadence as
+        VectorStore.compact).  Search results unchanged."""
+        live_tf = self._live(
+            self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
+            .select("doc_id", "term", "tf", "dl", "seg")) \
+            .drop("seg").localCheckpoint(eager=True)
+        live_dl = self._live(
+            self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
+            .select("doc_id", "dl", "dbucket", "seg")) \
+            .drop("seg").localCheckpoint(eager=True)
+        old_segs = self._seg_list()
+        seg = (old_segs or [-1])[-1] + 1
+        self._write_segment(live_tf, live_dl, seg)
+        for s in old_segs:
+            self._fs_delete(os.path.join(self._segments, f"seg={s}"))
+            self._fs_delete(os.path.join(self._doclens, f"seg={s}"))
+        self._fs_delete(self._tombstones)

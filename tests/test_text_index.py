@@ -65,23 +65,30 @@ def test_upsert_and_delete_track_scan_path(spark, docs, qt, tmp_path):
     assert st["total_len"] == 4 + 1 + 1 + 0 + 5 + 3
 
 
-def test_delete_to_empty_term_drops_bucket_dir(spark, tmp_path):
-    """A term whose last posting disappears must not leave a stale
-    bucket directory behind (the FS-drop contract of
-    _overwrite_partitions)."""
-    d = spark.createDataFrame([(1, "unique_xyz"), (2, "common")],
+def test_delete_tombstones_then_compact_purges(spark, tmp_path):
+    """delete() only tombstones (O(batch): dead postings stay on disk,
+    invisible to search); compact() folds live rows into one fresh
+    segment, physically dropping the dead rows and the tombstones."""
+    d = spark.createDataFrame([(1, "uniqueterm"), (2, "common")],
                               "doc_id long, text string")
     idx = TextIndex(spark, str(tmp_path / "ti3"), n_term_buckets=4,
                     n_doc_buckets=2)
     idx.build(d)
     idx.delete([1])
-    post = spark.read.parquet(os.path.join(str(tmp_path / "ti3"),
-                                           "postings"))
-    assert [r["term"] for r in post.collect()] == ["common"]
-    qt = spark.createDataFrame([(0, "unique_xyz"), (0, "common")],
+    segs = os.path.join(str(tmp_path / "ti3"), "segments")
+    # O(batch): the dead posting is still on disk...
+    assert {r["term"] for r in spark.read.parquet(segs).collect()} \
+        == {"uniqueterm", "common"}
+    qt = spark.createDataFrame([(0, "uniqueterm"), (0, "common")],
                                "query_id long, term string")
-    got = idx.search(qt, k=5).collect()
-    assert [r["doc_id"] for r in got] == [2]
+    # ...but search can't see it
+    assert [r["doc_id"] for r in idx.search(qt, k=5).collect()] == [2]
+    idx.compact()
+    assert [r["term"] for r in spark.read.parquet(segs).collect()] \
+        == ["common"]
+    assert not os.path.isdir(os.path.join(str(tmp_path / "ti3"),
+                                          "tombstones"))
+    assert [r["doc_id"] for r in idx.search(qt, k=5).collect()] == [2]
 
 
 def test_search_prunes_to_query_term_buckets(spark, docs, qt, tmp_path):
@@ -99,38 +106,34 @@ def test_search_prunes_to_query_term_buckets(spark, docs, qt, tmp_path):
     assert plan.index("Window") < plan.index("MapInPandas")
 
 
-def test_upsert_touches_only_affected_term_buckets(spark, tmp_path):
-    """Posting bucket directories not named by the batch's old∪new terms
-    keep their files untouched (mtime check)."""
+def test_upsert_never_touches_existing_segments(spark, tmp_path):
+    """Segments are immutable: an upsert writes ONE new segment + a
+    tombstone file and leaves every pre-existing segment file untouched
+    (mtime + name check) — the O(batch) maintenance contract."""
     d = spark.createDataFrame(
         [(i, f"term{i:02d}") for i in range(20)], "doc_id long, text string")
     idx = TextIndex(spark, str(tmp_path / "ti5"), n_term_buckets=8,
                     n_doc_buckets=4)
     idx.build(d)
-    base = str(tmp_path / "ti5" / "postings")
+    base = str(tmp_path / "ti5" / "segments")
 
-    def mtimes():
+    def snapshot():
         out = {}
-        for b in os.listdir(base):
-            if not b.startswith("tbucket="):
-                continue
-            out[b] = {f: os.path.getmtime(os.path.join(base, b, f))
-                      for f in os.listdir(os.path.join(base, b))
-                      if f.endswith(".parquet")}
+        for root, _, fnames in os.walk(base):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
         return out
 
-    before = mtimes()
+    before = snapshot()
     idx.upsert(spark.createDataFrame([(0, "term00 freshterm")],
                                      "doc_id long, text string"))
-    after = mtimes()
-    tb = {r[0] for r in spark.createDataFrame(
-        [("term00",), ("freshterm",)], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(8)).cast("int")).collect()}
-    untouched = [b for b in before
-                 if int(b.split("=")[1]) not in tb and b in after]
-    assert untouched, "need at least one untouched bucket to assert on"
-    for b in untouched:
-        assert before[b] == after[b], f"bucket {b} was rewritten"
+    after = snapshot()
+    for p, mtime in before.items():
+        assert after.get(p) == mtime, f"pre-existing segment file {p} touched"
+    new_files = set(after) - set(before)
+    assert new_files and all("seg=1" in p for p in new_files)
 
 
 def test_hybrid_search_indexed_equals_scan_hybrid(spark, tmp_path):
