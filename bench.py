@@ -272,7 +272,7 @@ def main() -> None:
 
     def ti_build():
         ti.build(docs)
-        return spark.read.parquet(ti._postings)
+        return spark.read.parquet(ti._segments)
 
     bench("text_index_build", ti_build)
     # the serving number that matters: probe-pruned search, no corpus scan
@@ -282,7 +282,7 @@ def main() -> None:
         slice_ = docs.filter(F.col("doc_id") % 20 == 0)
         ti.delete(slice_.select("doc_id"))
         ti.upsert(slice_)
-        return spark.read.parquet(ti._postings)
+        return spark.read.parquet(ti._segments)
 
     bench("text_index_maintain", ti_maintain)
     bench("store_hybrid_indexed",

@@ -240,9 +240,9 @@ class TextIndex:
         existing segment file is touched."""
         seg = (self._seg_list() or [-1])[-1] + 1
         new_dl = self._doclens_of(docs, id_col, text_col)\
-            .coalesce(1).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
         new_tf = self._tf_of(docs, id_col, text_col)\
-            .coalesce(1).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
         victims = new_dl.select("doc_id").distinct()
         self._apply_stats_delta(victims, new_dl)
         self._write_segment(new_tf, new_dl.drop("seg"), seg)
@@ -257,7 +257,7 @@ class TextIndex:
                 [(int(i),) for i in doc_ids], "doc_id long")
         victims = (doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
                                   .alias("doc_id")).distinct()
-                   .coalesce(1).localCheckpoint(eager=True))
+                   .localCheckpoint(eager=True))
         seg = (self._seg_list() or [-1])[-1] + 1
         self._apply_stats_delta(victims, None)
         (victims.select("doc_id", F.lit(seg).cast("int").alias("seq"))
