@@ -162,3 +162,53 @@ def test_hybrid_search_indexed_equals_scan_hybrid(spark, tmp_path):
     vec = similarity.brute_force_topk(emb, qv, k=5)
     want = retrieval.rrf_fuse(text, vec, k=5)
     assert _sorted(got) == _sorted(want)
+
+
+def test_random_maintenance_sequence_tracks_scan_path(spark, tmp_path):
+    """Deterministic pseudo-random sequence of upserts/deletes/compacts:
+    after EVERY step, indexed search must stay bit-identical to the
+    scan-path BM25 over the live corpus (the segment/tombstone algebra
+    under arbitrary interleaving, including re-delete, re-upsert of a
+    deleted doc, and empty-text versions)."""
+    vocab = ["apple", "banana", "cherry", "durian", "fig", "grape"]
+
+    def text_for(doc, version):
+        h = (doc * 7919 + version * 104729) % (2 ** 31)
+        words = []
+        for i in range((h % 6) + (0 if (h >> 8) % 5 == 0 else 1)):
+            words.append(vocab[(h >> i) % len(vocab)])
+        return " ".join(words)       # may be empty
+
+    idx = TextIndex(spark, str(tmp_path / "ti_rand"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    corpus = {d: text_for(d, 0) for d in range(12)}
+    mk = lambda m: spark.createDataFrame(
+        list(m.items()), "doc_id long, text string")
+    idx.build(mk(corpus))
+    qt = spark.createDataFrame(
+        [(0, "apple"), (0, "cherry"), (1, "durian"), (1, "grape")],
+        "query_id long, term string")
+
+    h = 12345
+    for step in range(6):
+        h = (h * 1103515245 + 12345) % (2 ** 31)
+        op = h % 3
+        picks = sorted({(h >> (3 * j + 2)) % 14 for j in range(3)})
+        if op == 0:                  # upsert (some ids may be brand new)
+            batch = {d: text_for(d, step + 1) for d in picks}
+            idx.upsert(mk(batch))
+            corpus.update(batch)
+        elif op == 1:                # delete (some ids may not exist)
+            idx.delete(list(picks))
+            for d in picks:
+                corpus.pop(d, None)
+        else:
+            idx.compact()
+        if corpus:
+            want = _sorted(retrieval.bm25_topk(mk(corpus), qt, k=10))
+            assert _sorted(idx.search(qt, k=10)) == want, \
+                f"diverged at step {step} (op {op}, picks {picks})"
+            st = idx.stats().collect()[0]
+            assert st["n_docs"] == len(corpus)
+            assert st["total_len"] == sum(
+                len([w for w in t.split() if w]) for t in corpus.values())
