@@ -277,6 +277,7 @@ def main() -> None:
     bench("text_index_build", ti_build)
     # the serving number that matters: probe-pruned search, no corpus scan
     bench("text_bm25_indexed", lambda: ti.search(bm25_qt, k=10))
+    bench("text_df_topk", lambda: ti.df_topk(50))
 
     def ti_maintain():
         slice_ = docs.filter(F.col("doc_id") % 20 == 0)

@@ -1629,6 +1629,37 @@ from r where rank <= {k}
 """
 
 
+def q_text_df_topk(spark, sf_dir):
+    """Vocabulary document-frequency profile served from the persisted
+    inverted index's LIVE posting lists (store/text_index.py df_topk):
+    top-50 terms by df after a maintenance cycle (delete every 10th
+    document) — proves the segment+tombstone algebra yields corpus-exact
+    document frequencies, the quantity BM25 idf depends on."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_df_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    idx.delete(docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    return idx.df_topk(50)
+
+
+def _sql_text_df_topk(k: int = 50) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with t as (
+  select distinct doc_id, term
+  from (select doc_id, unnest({toks}) as term
+        from documents where doc_id % 10 <> 0)),
+d as (select term, cast(count(*) as bigint) as df from t group by term),
+r as (select *, cast(row_number() over (order by df desc, term) as int)
+             as rank from d)
+select term, df, rank from r where rank <= {k}
+"""
+
+
 def q_store_hybrid_indexed(spark, sf_dir):
     """Hybrid retrieval over two PERSISTED indexes — the serving-path
     twin of store_hybrid_search: the keyword leg reads only the query
@@ -6747,6 +6778,7 @@ def queries():
         # -- new round-6 keys --
         "text_bm25_indexed": q_text_bm25_indexed,
         "store_hybrid_indexed": q_store_hybrid_indexed,
+        "text_df_topk": q_text_df_topk,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -6985,6 +7017,7 @@ from c
         # indexed hybrid == scan hybrid by construction (exhaustive
         # probe + complete posting lists) — same oracle
         "store_hybrid_indexed": _sql_hybrid_rrf(),
+        "text_df_topk": _sql_text_df_topk(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

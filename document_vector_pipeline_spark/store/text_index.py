@@ -291,6 +291,25 @@ class TextIndex:
             [(cur["n_docs"] - o_n + n_n, cur["total_len"] - o_t + n_t)],
             "n_docs long, total_len long"))
 
+    def df_topk(self, k: int = 50) -> DataFrame:
+        """Top-k document-frequency terms from the LIVE posting lists —
+        (term, df, rank): the vocabulary profile a tokenizer/stopword
+        decision is made from, served from the index instead of a
+        corpus re-tokenize (and an integrity check: df from postings ≡
+        df from the raw corpus).  Column-pruned posting scan (doc_id,
+        term), one count shuffle on uniform term keys, distributed
+        take-ordered for the top-k — the rank window runs over k rows."""
+        from pyspark.sql import Window
+
+        live = self._live(
+            self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
+            .select("doc_id", "term", "seg"))
+        df_ = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        top = df_.orderBy(F.desc("df"), "term").limit(k)
+        w = Window.orderBy(F.desc("df"), "term")
+        return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+                .select("term", "df", "rank"))
+
     def compact(self) -> None:
         """Fold every live posting/doclen row into one fresh segment and
         clear the tombstones — bounds segment count and tombstone size

@@ -31,7 +31,8 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
                   available_now: bool = True,
                   embed_client=None,
                   embed_retry_delay_s: float = 10.0,
-                  ivf_index=None) -> StreamingQuery:
+                  ivf_index=None,
+                  text_index=None) -> StreamingQuery:
     """Watch `blob_path`; upsert each microbatch of new files into `store`.
 
     available_now=True drains everything currently present and stops
@@ -54,7 +55,14 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
     REPLACE — stale chunk vectors beyond a shrunken document's new
     chunk count are deleted from the index via the keys
     ``replace_documents`` reports — the always-on version of the
-    reference's per-upsert Cosmos index maintenance."""
+    reference's per-upsert Cosmos index maintenance.
+
+    ``text_index`` (a built ``TextIndex``) is the KEYWORD twin: each
+    microbatch's chunks are upserted as one new immutable segment
+    (chunk-grain postings under the same synthetic id), and stale
+    chunks of shrunken documents are tombstoned — so the BM25 leg of
+    hybrid serving stays as fresh as the vector leg, O(batch) per
+    microbatch."""
     blobs = stream_text_blobs(spark, blob_path)
 
     def handle(batch_df, batch_id: int) -> None:
@@ -69,25 +77,31 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
                                        retry_delay_s=embed_retry_delay_s)
         else:
             chunks = add_embeddings(chunks, cfg=cfg)
-        # materialize once: the store replace and the index upsert must
-        # see the same embeddings without re-running the embed stage
-        if ivf_index is not None:
+        # materialize once: the store replace and the index upserts must
+        # see the same chunks without re-running the embed stage
+        if ivf_index is not None or text_index is not None:
             chunks = chunks.localCheckpoint(eager=True)
         # per-document REPLACE, not key-merge: a re-ingested document
         # that shrank must lose its stale higher-numbered chunks in the
-        # store AND the serving index (replace_documents returns exactly
-        # the dropped keys)
-        stale = store.replace_documents(chunks)
+        # store AND the serving indexes (replace_documents returns
+        # exactly the dropped keys)
+        stale = store.replace_documents(chunks)  # checkpointed inside
+        stale_ids = stale.select(
+            F.xxhash64(F.concat_ws("#", F.col("document_url"),
+                                   F.col("id"))).alias("vec_id"))
+        chunk_key = F.xxhash64(F.concat_ws(
+            "#", F.col("document_url"),
+            F.col("chunk_number").cast("string")))
         if ivf_index is not None:
-            ivf_index.delete(stale.select(
-                F.xxhash64(F.concat_ws("#", F.col("document_url"),
-                                       F.col("id"))).alias("vec_id")))
-            vecs = chunks.select(
-                F.xxhash64(F.concat_ws(
-                    "#", F.col("document_url"),
-                    F.col("chunk_number").cast("string"))).alias("vec_id"),
-                F.col("embedding"))
-            ivf_index.upsert(vecs)
+            ivf_index.delete(stale_ids)
+            ivf_index.upsert(chunks.select(chunk_key.alias("vec_id"),
+                                           F.col("embedding")))
+        if text_index is not None:
+            text_index.delete(stale_ids.select(
+                F.col("vec_id").alias("doc_id")))
+            text_index.upsert(chunks.select(chunk_key.alias("doc_id"),
+                                            F.col("chunk_text")),
+                              id_col="doc_id", text_col="chunk_text")
 
     writer = (blobs.writeStream
               .foreachBatch(handle)

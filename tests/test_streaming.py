@@ -426,3 +426,58 @@ def test_stream_reingest_shrunken_document_purges_stale_vectors(
                  spark.read.parquet(str(tmp_path / "shrink_ivf" / "cells"))
                  .select("vec_id", "v").collect())
     assert got == want and len(got) == 1    # ...and from the index
+
+
+def test_stream_ingest_maintains_text_index(spark, tmp_path):
+    """Round 6: a built TextIndex passed to stream_ingest is maintained
+    per microbatch (chunk-grain postings under the synthetic chunk id);
+    after draining — including a shrinking re-ingest — indexed BM25
+    search equals the scan-path BM25 over the batch pipeline's chunks."""
+    from document_vector_pipeline_spark.operators import retrieval
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+    from document_vector_pipeline_spark.sources import read_text_blobs
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    blob_dir = tmp_path / "inbox_ti"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("alpha beta gamma delta " * 20)
+
+    def chunk_docs(path):
+        return blobs_to_chunks(read_text_blobs(spark, path), CFG).select(
+            F.xxhash64(F.concat_ws(
+                "#", F.col("document_url"),
+                F.col("chunk_number").cast("string"))).alias("doc_id"),
+            F.col("chunk_text").alias("text"))
+
+    ti = TextIndex(spark, str(tmp_path / "serve_ti"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(chunk_docs(str(blob_dir)))
+    store = VectorStore(spark, str(tmp_path / "store_ti"), CFG)
+    (blob_dir / "b.txt").write_text("epsilon zeta alpha " * 15)
+    q = stream_ingest(spark, str(blob_dir), store,
+                      checkpoint=str(tmp_path / "ckpt_ti1"), cfg=CFG,
+                      text_index=ti)
+    q.awaitTermination(120)
+
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "epsilon"), (1, "delta")],
+        "query_id long, term string")
+
+    def assert_matches_batch():
+        want = sorted(map(tuple, retrieval.bm25_topk(
+            chunk_docs(str(blob_dir)), qt, k=10).collect()))
+        got = sorted(map(tuple, ti.search(qt, k=10).collect()))
+        assert got == want and len(got) > 0
+
+    assert_matches_batch()
+
+    # document a shrinks; a fresh checkpoint re-delivers it — its stale
+    # chunk postings must be tombstoned out of the serving index
+    (blob_dir / "a.txt").write_text("alpha only now")
+    q2 = stream_ingest(spark, str(blob_dir), store,
+                       checkpoint=str(tmp_path / "ckpt_ti2"), cfg=CFG,
+                       text_index=ti)
+    q2.awaitTermination(120)
+    assert_matches_batch()
