@@ -278,6 +278,11 @@ def main() -> None:
     # the serving number that matters: probe-pruned search, no corpus scan
     bench("text_bm25_indexed", lambda: ti.search(bm25_qt, k=10))
     bench("text_df_topk", lambda: ti.df_topk(50))
+    phrase_qt = spark.createDataFrame(
+        [(0, "table", 0), (0, "hash", 1), (1, "table", 0), (1, "table", 1),
+         (2, "slow", 0), (2, "hash", 1), (2, "batch", 2)],
+        "query_id long, term string, offset int")
+    bench("text_phrase_search", lambda: ti.phrase_search(phrase_qt, k=10))
 
     def ti_maintain():
         slice_ = docs.filter(F.col("doc_id") % 20 == 0)

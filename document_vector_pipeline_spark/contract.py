@@ -1629,6 +1629,59 @@ from r where rank <= {k}
 """
 
 
+# phrase-query batch for the positional-index key: a common bigram, a
+# cross-entity bigram, a REPEATED-term phrase (overlapping occurrences
+# must be counted by position algebra, not string replace), a trigram
+_PHRASES = {
+    0: ["table", "hash"],
+    1: ["customer", "join"],
+    2: ["table", "table"],
+    3: ["slow", "hash", "batch"],
+}
+
+
+def q_text_phrase_search(spark, sf_dir):
+    """Exact phrase search over the persisted positional index
+    (store/text_index.py phrase_search — the Lucene match_phrase shape):
+    documents containing each phrase as consecutive tokens, ranked by
+    occurrence count.  Postings carry sorted token positions; a phrase
+    occurrence is a (doc, base) where every phrase offset aligns —
+    pruned posting read, one candidate-sized aggregation, partial-cut
+    rank window."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_phrase_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    rows = [(q, t, o) for q, ts in _PHRASES.items()
+            for o, t in enumerate(ts)]
+    ph = spark.createDataFrame(rows, "query_id long, term string, offset int")
+    return idx.phrase_search(ph, k=10)
+
+
+def _sql_text_phrase_search(k: int = 10) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    parts = []
+    for q, ts in _PHRASES.items():
+        cond = " and ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        parts.append(
+            f"select {q} as query_id, doc_id, "
+            f"cast(count(*) as bigint) as n_occ "
+            f"from (select doc_id, i from tok, "
+            f"unnest(generate_series(1, len(ts) - {len(ts)} + 1)) as t(i) "
+            f"where {cond}) group by doc_id")
+    u = " union all ".join(parts)
+    return f"""
+with tok as (select doc_id, {toks} as ts from documents),
+occ as ({u}),
+r as (select *, cast(row_number() over (partition by query_id
+        order by n_occ desc, doc_id) as int) as rank from occ)
+select query_id, doc_id, n_occ, rank from r where rank <= {k}
+"""
+
+
 def q_text_df_topk(spark, sf_dir):
     """Vocabulary document-frequency profile served from the persisted
     inverted index's LIVE posting lists (store/text_index.py df_topk):
@@ -6779,6 +6832,7 @@ def queries():
         "text_bm25_indexed": q_text_bm25_indexed,
         "store_hybrid_indexed": q_store_hybrid_indexed,
         "text_df_topk": q_text_df_topk,
+        "text_phrase_search": q_text_phrase_search,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -7018,6 +7072,7 @@ from c
         # probe + complete posting lists) — same oracle
         "store_hybrid_indexed": _sql_hybrid_rrf(),
         "text_df_topk": _sql_text_df_topk(),
+        "text_phrase_search": _sql_text_phrase_search(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from document_vector_pipeline_spark.operators import retrieval
 
 POSTING_SCHEMA = ("term string, doc_id long, tf bigint, dl int, "
-                  "seg int, tbucket int")
+                  "pos array<int>, seg int, tbucket int")
 DOCLENS_SCHEMA = "doc_id long, dl int, seg int, dbucket int"
 TOMBSTONE_SCHEMA = "doc_id long, seq int"
 
@@ -128,13 +128,19 @@ class TextIndex:
     # -- derivation shared by build/upsert ----------------------------------
 
     def _tf_of(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        # positions ride along (sorted 0-based token offsets) — the
+        # standard Lucene tradeoff: ~2x posting bytes for exact
+        # phrase/proximity queries; BM25 search never reads the column
+        # (parquet column pruning)
         toks = retrieval._tokens(F.col(text_col))
         tok = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                          F.explode(toks).alias("term"),
-                          F.size(toks).cast("int").alias("dl"))
+                          F.size(toks).cast("int").alias("dl"),
+                          F.posexplode(toks).alias("pos", "term"))
         return (tok.groupBy("doc_id", "term")
                 .agg(F.count(F.lit(1)).alias("tf"),
-                     F.first("dl").alias("dl")))
+                     F.first("dl").alias("dl"),
+                     F.sort_array(F.collect_list(F.col("pos").cast("int")))
+                     .alias("pos")))
 
     def _doclens_of(self, docs: DataFrame, id_col: str,
                     text_col: str) -> DataFrame:
@@ -291,6 +297,54 @@ class TextIndex:
             [(cur["n_docs"] - o_n + n_n, cur["total_len"] - o_t + n_t)],
             "n_docs long, total_len long"))
 
+    def phrase_search(self, phrases: DataFrame, k: int = 10) -> DataFrame:
+        """Exact phrase search over the positional postings —
+        (query_id, doc_id, n_occ, rank): documents containing the
+        phrase as consecutive tokens, ranked by occurrence count
+        (overlapping occurrences counted — position algebra, not
+        string replace).  ``phrases`` is (query_id, term, offset) with
+        offset = the term's 0-based position in the phrase (repeated
+        terms appear once per offset).
+
+        Plan: pruned posting read (only the phrase terms' tbuckets),
+        positions exploded and re-based (pos − offset), a phrase
+        occurrence is a (doc, base) where ALL offsets align — one
+        candidate-sized aggregation; rank window fed through the
+        map-side partial cut.  The classic positional-index query
+        (Lucene match_phrase) as one declarative plan."""
+        tb = [r[0] for r in phrases
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        need = (phrases.groupBy("query_id")
+                .agg(F.countDistinct("offset").alias("n_terms")))
+        post = (self.spark.read.schema(POSTING_SCHEMA)
+                .parquet(self._segments)
+                .filter(F.col("tbucket").isin(tb)))
+        live = self._live(
+            post.join(F.broadcast(phrases.select("term").distinct()),
+                      "term", "left_semi")
+            .select("doc_id", "term", "pos", "seg"))
+        aligned = (live.join(F.broadcast(phrases), "term")
+                   .select("query_id", "doc_id", "offset",
+                           F.explode("pos").alias("p"))
+                   .select("query_id", "doc_id", "offset",
+                           (F.col("p") - F.col("offset")).alias("base"))
+                   .filter(F.col("base") >= 0))
+        occ = (aligned
+               .groupBy("query_id", "doc_id", "base")
+               .agg(F.countDistinct("offset").alias("n_off"))
+               .join(F.broadcast(need), "query_id")
+               .filter(F.col("n_off") == F.col("n_terms"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n_occ")))
+        partial = retrieval._cut_topk(occ, k, "n_occ", "doc_id")
+        from pyspark.sql import Window
+        w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"),
+                                                   F.col("doc_id"))
+        return (partial
+                .withColumn("rank", F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id", "n_occ", "rank"))
+
     def df_topk(self, k: int = 50) -> DataFrame:
         """Top-k document-frequency terms from the LIVE posting lists —
         (term, df, rank): the vocabulary profile a tokenizer/stopword
@@ -317,7 +371,7 @@ class TextIndex:
         VectorStore.compact).  Search results unchanged."""
         live_tf = self._live(
             self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
-            .select("doc_id", "term", "tf", "dl", "seg")) \
+            .select("doc_id", "term", "tf", "dl", "pos", "seg")) \
             .drop("seg").localCheckpoint(eager=True)
         live_dl = self._live(
             self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)

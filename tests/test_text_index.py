@@ -212,3 +212,37 @@ def test_random_maintenance_sequence_tracks_scan_path(spark, tmp_path):
             assert st["n_docs"] == len(corpus)
             assert st["total_len"] == sum(
                 len([w for w in t.split() if w]) for t in corpus.values())
+
+
+def test_phrase_search_positions_and_maintenance(spark, tmp_path):
+    """Positional phrase queries: consecutive-token matching, overlap
+    counting for self-overlapping phrases, and phrase results tracking
+    upsert/delete through the tombstone algebra."""
+    d = spark.createDataFrame(
+        [(1, "big red fox big red dog"),
+         (2, "red big red fox"),
+         (3, "fox fox fox"),
+         (4, "big red")],
+        "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "ph_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(d)
+    ph = spark.createDataFrame(
+        [(0, "big", 0), (0, "red", 1),        # bigram
+         (1, "fox", 0), (1, "fox", 1),        # self-overlapping
+         (2, "big", 0), (2, "red", 1), (2, "fox", 2)],  # trigram
+        "query_id long, term string, offset int")
+    got = {(r["query_id"], r["doc_id"]): r["n_occ"]
+           for r in idx.phrase_search(ph, k=10).collect()}
+    assert got == {(0, 1): 2, (0, 2): 1, (0, 4): 1,   # 'big red'
+                   (1, 3): 2,                          # overlapping 'fox fox'
+                   (2, 1): 1, (2, 2): 1}               # 'big red fox'
+    # maintenance: doc 1 loses its phrases, doc 5 gains one
+    idx.upsert(spark.createDataFrame([(1, "nothing here")],
+                                     "doc_id long, text string"))
+    idx.delete([2])
+    idx.upsert(spark.createDataFrame([(5, "big red big red")],
+                                     "doc_id long, text string"))
+    got = {(r["query_id"], r["doc_id"]): r["n_occ"]
+           for r in idx.phrase_search(ph, k=10).collect()}
+    assert got == {(0, 4): 1, (0, 5): 2, (1, 3): 2}
