@@ -283,6 +283,10 @@ def main() -> None:
          (2, "slow", 0), (2, "hash", 1), (2, "batch", 2)],
         "query_id long, term string, offset int")
     bench("text_phrase_search", lambda: ti.phrase_search(phrase_qt, k=10))
+    near_qt = spark.createDataFrame(
+        [(0, "table"), (0, "hash"), (1, "vector"), (1, "join"), (1, "scan")],
+        "query_id long, term string")
+    bench("text_near_search", lambda: ti.near_search(near_qt, w=4, k=10))
 
     def ti_maintain():
         slice_ = docs.filter(F.col("doc_id") % 20 == 0)

@@ -1682,6 +1682,55 @@ select query_id, doc_id, n_occ, rank from r where rank <= {k}
 """
 
 
+_NEAR_QUERIES = {0: ["table", "hash"], 1: ["vector", "join", "scan"]}
+_NEAR_W = 4
+
+
+def q_text_near_search(spark, sf_dir):
+    """Proximity search over the persisted positional index
+    (store/text_index.py near_search — the Lucene span_near shape):
+    documents where all the query's terms co-occur inside a sliding
+    4-token window, ranked by qualifying window-start count.  Bounded
+    fan-out (each position to <= w candidate bases), candidate-sized
+    aggregation, partial-cut rank window."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_near_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    rows = [(q, t) for q, ts in _NEAR_QUERIES.items() for t in ts]
+    qt = spark.createDataFrame(rows, "query_id long, term string")
+    return idx.near_search(qt, w=_NEAR_W, k=10)
+
+
+def _sql_text_near_search(k: int = 10) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    w = _NEAR_W
+    parts = []
+    for q, ts in _NEAR_QUERIES.items():
+        tl = ", ".join(f"'{t}'" for t in ts)
+        parts.append(f"""select {q} as query_id, doc_id,
+  cast(count(*) as bigint) as n_windows from (
+  select doc_id, base from (
+    select distinct doc_id, term, base
+    from (select doc_id, ts[i] as term, i-1 as p
+          from tok, unnest(generate_series(1, len(ts))) as t(i)
+          where ts[i] in ({tl})),
+    unnest(generate_series(greatest(p-{w - 1},0), p)) as b(base))
+  group by doc_id, base having count(distinct term) = {len(ts)})
+group by doc_id""")
+    u = " union all ".join(parts)
+    return f"""
+with tok as (select doc_id, {toks} as ts from documents),
+occ as ({u}),
+r as (select *, cast(row_number() over (partition by query_id
+        order by n_windows desc, doc_id) as int) as rank from occ)
+select query_id, doc_id, n_windows, rank from r where rank <= {k}
+"""
+
+
 def q_text_df_topk(spark, sf_dir):
     """Vocabulary document-frequency profile served from the persisted
     inverted index's LIVE posting lists (store/text_index.py df_topk):
@@ -6833,6 +6882,7 @@ def queries():
         "store_hybrid_indexed": q_store_hybrid_indexed,
         "text_df_topk": q_text_df_topk,
         "text_phrase_search": q_text_phrase_search,
+        "text_near_search": q_text_near_search,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -7073,6 +7123,7 @@ from c
         "store_hybrid_indexed": _sql_hybrid_rrf(),
         "text_df_topk": _sql_text_df_topk(),
         "text_phrase_search": _sql_text_phrase_search(),
+        "text_near_search": _sql_text_near_search(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

@@ -345,6 +345,56 @@ class TextIndex:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "doc_id", "n_occ", "rank"))
 
+    def near_search(self, query_terms: DataFrame, w: int = 5,
+                    k: int = 10) -> DataFrame:
+        """Proximity search over the positional postings — (query_id,
+        doc_id, n_windows, rank): documents where ALL the query's terms
+        co-occur inside a sliding token window of width ``w``, ranked
+        by the number of window start positions that qualify (a base b
+        qualifies iff every term has a position in [b, b+w)).  The
+        unordered companion of ``phrase_search`` (Lucene span_near).
+
+        Plan: pruned posting read; each position fans out to at most
+        ``w`` candidate bases (sequence + explode — bounded blowup),
+        distinct (term, base) pairs aggregate to qualifying bases —
+        candidate-sized throughout; partial-cut rank window."""
+        terms = query_terms.select("query_id", "term").distinct()
+        tb = [r[0] for r in terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        need = (terms.groupBy("query_id")
+                .agg(F.countDistinct("term").alias("n_terms")))
+        post = (self.spark.read.schema(POSTING_SCHEMA)
+                .parquet(self._segments)
+                .filter(F.col("tbucket").isin(tb)))
+        live = self._live(
+            post.join(F.broadcast(terms.select("term").distinct()),
+                      "term", "left_semi")
+            .select("doc_id", "term", "pos", "seg"))
+        bases = (live.join(F.broadcast(terms), "term")
+                 .select("query_id", "doc_id", "term",
+                         F.explode("pos").alias("p"))
+                 .select("query_id", "doc_id", "term",
+                         F.explode(F.sequence(
+                             F.greatest(F.col("p") - F.lit(w - 1),
+                                        F.lit(0)),
+                             F.col("p"))).alias("base"))
+                 .distinct())
+        occ = (bases
+               .groupBy("query_id", "doc_id", "base")
+               .agg(F.countDistinct("term").alias("n_t"))
+               .join(F.broadcast(need), "query_id")
+               .filter(F.col("n_t") == F.col("n_terms"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n_windows")))
+        partial = retrieval._cut_topk(occ, k, "n_windows", "doc_id")
+        from pyspark.sql import Window
+        wd = Window.partitionBy("query_id").orderBy(F.desc("n_windows"),
+                                                    F.col("doc_id"))
+        return (partial
+                .withColumn("rank", F.row_number().over(wd).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id", "n_windows", "rank"))
+
     def df_topk(self, k: int = 50) -> DataFrame:
         """Top-k document-frequency terms from the LIVE posting lists —
         (term, df, rank): the vocabulary profile a tokenizer/stopword

@@ -246,3 +246,37 @@ def test_phrase_search_positions_and_maintenance(spark, tmp_path):
     got = {(r["query_id"], r["doc_id"]): r["n_occ"]
            for r in idx.phrase_search(ph, k=10).collect()}
     assert got == {(0, 4): 1, (0, 5): 2, (1, 3): 2}
+
+
+def test_phrase_search_plan_prunes_and_partial_cuts(spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ph_plan"), n_term_buckets=8,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    ph = spark.createDataFrame([(0, "apple", 0), (0, "banana", 1)],
+                               "query_id long, term string, offset int")
+    plan = (idx.phrase_search(ph, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_near_search_window_semantics(spark, tmp_path):
+    """Hand-checked proximity: terms within w tokens qualify, beyond w
+    don't; window count = number of qualifying start positions."""
+    d = spark.createDataFrame(
+        [(1, "cat x dog"),               # distance 2: within w=3
+         (2, "cat x y z dog"),           # distance 4: outside w=3
+         (3, "cat dog cat")],            # dense: many windows
+        "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "nr_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(d)
+    qt = spark.createDataFrame([(0, "cat"), (0, "dog")],
+                               "query_id long, term string")
+    got = {r["doc_id"]: r["n_windows"]
+           for r in idx.near_search(qt, w=3, k=10).collect()}
+    # doc1: bases where both cat(0) and dog(2) in [b,b+3) -> b=0 only
+    # doc3: cat@{0,2} dog@1 -> b=0 ({cat,dog}), b=1? window 1..3: dog@1,
+    #       cat@2 -> yes; b=2? window 2..4: cat@2 only -> no
+    assert got == {1: 1, 3: 2}
+    assert 2 not in got
