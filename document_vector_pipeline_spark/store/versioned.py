@@ -181,3 +181,115 @@ def snapshot_totals(vt: VersionedTable,
              .withColumn("version", F.lit(v).cast("int")))
         out = r if out is None else out.unionByName(r)
     return out.select("version", "n_rows", "sum_id", "sum_val")
+
+
+class BucketedVersionedTable(VersionedTable):
+    """VersionedTable whose rows carry a hash-bucket column and whose
+    commits are BUCKET-INCREMENTAL — the Delta/Iceberg file-level merge
+    the base class's docstring calls out as the missing narrowing:
+
+    - the initial commit writes ``data/v0`` partitioned by the bucket
+      column, and the manifest lists one dir PER BUCKET
+      (``data/v0/bucket=B``);
+    - ``upsert``/``delete_rows`` read and rewrite ONLY the buckets the
+      batch's keys hash into; every untouched bucket's dir is CARRIED
+      BY REFERENCE into the new manifest — zero bytes moved for 1-1/N
+      of a 100 TB table on a one-document commit;
+    - ``read``/``history``/``vacuum`` are inherited unchanged: a
+      manifest is still just a list of live dirs, so snapshot
+      isolation, time travel, and dead-dir vacuuming work identically.
+
+    Row counts are maintained arithmetically (prior − replaced +
+    incoming) instead of the base class's count-the-world scan — a
+    commit's cost is bounded by its affected buckets at any scale."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 bucket_col: str = "bucket"):
+        super().__init__(spark, path)
+        self.bucket_col = bucket_col
+
+    @staticmethod
+    def _bucket_of(d: str) -> str:
+        return d.rsplit("=", 1)[-1]          # '.../__pb=B' -> 'B'
+
+    def _commit_dirs(self, op: str, dirs: list[str],
+                     n_rows: int) -> int:
+        v = (self.latest() + 1) if self.versions() else 0
+        manifest = {"version": v, "op": op, "dirs": sorted(dirs),
+                    "n_rows": int(n_rows)}
+        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
+        return v
+
+    def _write_buckets(self, df: DataFrame, v: int) -> list[str]:
+        # partition on a DUPLICATE of the bucket column: partitionBy
+        # strips its column from the data files, but readers open leaf
+        # dirs directly (no partition inference), so the real bucket
+        # column must survive inside the files
+        new_dir = f"data/v{v:012d}"
+        (df.withColumn("__pb", F.col(self.bucket_col))
+         .repartition(self.bucket_col).write
+         .partitionBy("__pb").mode("overwrite")
+         .parquet(f"{self.path}/{new_dir}"))
+        fs, _ = self._fs()
+        out = []
+        for st in fs.listStatus(self._jpath(new_dir)):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("__pb="):
+                out.append(f"{new_dir}/{name}")
+        return out
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[f"{self.path}/{d}" for d in dirs])
+
+    def _count_dirs(self, dirs: list[str]) -> int:
+        # unfiltered count over parquet dirs is answered from row-group
+        # footers (metadata-only) — row accounting never scans data
+        if not dirs:
+            return 0
+        return self._read_dirs(dirs).count()
+
+    def upsert(self, df: DataFrame, keys: list[str]) -> int:
+        """Merge-on-key touching only the incoming rows' buckets; the
+        merged result is written straight to the NEW version dir (never
+        a self-overwrite, so no checkpoint), and all row accounting is
+        metadata-only footer counts."""
+        df = df.localCheckpoint(eager=True)   # embeddings computed once
+        if not self.versions():
+            dirs = self._write_buckets(df, 0)
+            return self._commit_dirs("upsert", dirs, self._count_dirs(dirs))
+        m = self._manifest(self.latest())
+        affected = {str(r[0]) for r in
+                    df.select(self.bucket_col).distinct().collect()}
+        carried = [d for d in m["dirs"]
+                   if self._bucket_of(d) not in affected]
+        touched = [d for d in m["dirs"] if self._bucket_of(d) in affected]
+        if touched:
+            cur = self._read_dirs(touched)
+            merged = (cur.join(df.select(*keys).distinct(), keys,
+                               "left_anti")
+                      .unionByName(df))
+        else:
+            merged = df
+        v = self.latest() + 1
+        new_dirs = self._write_buckets(merged, v)
+        n_rows = (m["n_rows"] - self._count_dirs(touched)
+                  + self._count_dirs(new_dirs))
+        return self._commit_dirs("upsert", carried + new_dirs, n_rows)
+
+    def delete_rows(self, cond, affected_buckets: list) -> int:
+        """Snapshot delete bounded to ``affected_buckets`` (the caller
+        derives them from the delete predicate's keys): survivors of
+        those buckets are rewritten, every other dir is carried."""
+        m = self._manifest(self.latest())
+        names = {str(b) for b in affected_buckets}
+        carried = [d for d in m["dirs"] if self._bucket_of(d) not in names]
+        touched = [d for d in m["dirs"] if self._bucket_of(d) in names]
+        if not touched:
+            return self._commit_dirs("delete", carried, m["n_rows"])
+        surv = self._read_dirs(touched).filter(~cond)
+        v = self.latest() + 1
+        new_dirs = self._write_buckets(surv, v)
+        n_rows = (m["n_rows"] - self._count_dirs(touched)
+                  + self._count_dirs(new_dirs))
+        return self._commit_dirs("delete", carried + new_dirs, n_rows)

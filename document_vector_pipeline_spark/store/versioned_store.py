@@ -12,10 +12,14 @@ the eval next week, get byte-identical rankings) a production vector
 pipeline wants and the reference's mutate-in-place Cosmos store
 (CosmosDBClientWrapper.cs:36-70) cannot give.
 
-Scale notes: rows are the unchanged VectorStore row model; commits write
-only new files (VersionedTable); search is the existing one-scan
-broadcast-query + map-side partial top-k plan over the snapshot's
-directories — nothing new moves through the driver.
+Scale notes: rows are the unchanged VectorStore row model; commits are
+BUCKET-INCREMENTAL (BucketedVersionedTable): an upsert/delete reads and
+rewrites only the buckets its keys hash into, and every untouched
+bucket's dir is carried by reference into the new manifest — a
+one-document commit on a 100 TB table moves 1/N of one version, not
+the corpus.  Search is the existing one-scan broadcast-query +
+map-side partial top-k plan over the snapshot's directories — nothing
+new moves through the driver.
 """
 
 from __future__ import annotations
@@ -25,7 +29,9 @@ from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
 from document_vector_pipeline_spark.store.vector_store import KEY, VectorStore
-from document_vector_pipeline_spark.store.versioned import VersionedTable
+from document_vector_pipeline_spark.store.versioned import (
+    BucketedVersionedTable,
+)
 
 
 class _SnapshotStore(VectorStore):
@@ -50,7 +56,10 @@ class VersionedVectorStore:
                  cfg: PipelineConfig = DEFAULT_CONFIG):
         self.spark = spark
         self.cfg = cfg
-        self.vt = VersionedTable(spark, path)
+        # bucket-incremental commits: an upsert/delete rewrites only the
+        # buckets its keys hash into; untouched bucket dirs are carried
+        # by reference into the new manifest (zero bytes moved)
+        self.vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
         # row-model normalization only; never reads or writes its path
         self._model = VectorStore(spark, path="<normalize-only>", cfg=cfg)
 
@@ -62,8 +71,16 @@ class VersionedVectorStore:
         return self.vt.upsert(self._model._normalize(chunks), keys=list(KEY))
 
     def delete_documents(self, document_urls: list[str]) -> int:
-        """Snapshot delete of whole documents; returns the new version."""
-        return self.vt.delete_where(F.col("document_url").isin(document_urls))
+        """Snapshot delete of whole documents; returns the new version.
+        Only the urls' hash buckets are read/rewritten."""
+        probe = self.spark.createDataFrame(
+            [(u,) for u in document_urls], "document_url string")
+        bkts = [r[0] for r in probe.select(
+            F.pmod(F.xxhash64("document_url"),
+                   F.lit(self.cfg.store_buckets)).cast("int").alias("b"))
+            .distinct().collect()]
+        return self.vt.delete_rows(
+            F.col("document_url").isin(document_urls), bkts)
 
     # -- reads --------------------------------------------------------------
 

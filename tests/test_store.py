@@ -427,3 +427,63 @@ def test_versioned_store_search_asof_and_index_rebuild(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         vvs.read(v0)
+
+
+def test_versioned_store_commits_are_bucket_incremental(spark, tmp_path):
+    """Round 6: a commit touching one document must carry every
+    untouched bucket's dir BY REFERENCE (same path, same files, same
+    mtimes) and write only the affected bucket under the new version —
+    the Delta-style file-level merge at any scale."""
+    import os
+
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs_inc"), CFG)
+    rows = [(f"u{i}", 0, f"text {i}", 0, [float(i), 1.0, 0.0, 0.0])
+            for i in range(12)]
+    vvs.upsert(_chunks(spark, rows))
+    m0 = vvs.vt._manifest(0)
+    assert len(m0["dirs"]) > 1 and m0["n_rows"] == 12
+
+    def files_of(dirs):
+        out = {}
+        for d in dirs:
+            full = os.path.join(str(tmp_path / "vvs_inc"), d)
+            out[d] = {f: os.path.getmtime(os.path.join(full, f))
+                      for f in os.listdir(full) if f.endswith(".parquet")}
+        return out
+
+    before = files_of(m0["dirs"])
+    v1 = vvs.upsert(_chunks(spark, [
+        ("u3", 0, "text 3 v2", 0, [9.0, 9.0, 0.0, 0.0])]))
+    m1 = vvs.vt._manifest(v1)
+    assert m1["n_rows"] == 12
+    u3_bucket = vvs.vt._bucket_of([d for d in m1["dirs"]
+                                   if d.startswith("data/v" + "0" * 11 + "1")
+                                   ][0])
+    carried = [d for d in m1["dirs"] if d in m0["dirs"]]
+    fresh = [d for d in m1["dirs"] if d not in m0["dirs"]]
+    # exactly one bucket rewritten; the rest carried by reference
+    assert len(fresh) == 1 and fresh[0].endswith(f"__pb={u3_bucket}")
+    assert len(carried) == len(m0["dirs"]) - 1
+    after = files_of(carried)
+    for d in carried:
+        assert before[d] == after[d], f"carried dir {d} was touched"
+    # both versions still read correctly
+    assert vvs.read(0).count() == 12 and vvs.read(v1).count() == 12
+    t0 = {r["chunk_text"] for r in vvs.read(0)
+          .filter(F.col("document_url") == "u3").collect()}
+    t1 = {r["chunk_text"] for r in vvs.read(v1)
+          .filter(F.col("document_url") == "u3").collect()}
+    assert t0 == {"text 3"} and t1 == {"text 3 v2"}
+    # bucket-pruned delete: only u5's bucket rewritten
+    m_before = vvs.vt._manifest(v1)
+    v2 = vvs.delete_documents(["u5"])
+    m2 = vvs.vt._manifest(v2)
+    assert m2["n_rows"] == 11
+    fresh2 = [d for d in m2["dirs"] if d not in m_before["dirs"]]
+    assert len(fresh2) <= 1
+    assert vvs.read(v2).filter(F.col("document_url") == "u5").count() == 0
+    assert vvs.read(v1).filter(F.col("document_url") == "u5").count() == 1
