@@ -414,6 +414,18 @@ class TextIndex:
         return (top.withColumn("rank", F.row_number().over(w).cast("int"))
                 .select("term", "df", "rank"))
 
+    def maybe_compact(self, max_segments: int = 16) -> bool:
+        """Compact iff the segment count exceeds ``max_segments`` — the
+        background-merge policy of a long-running ingest (each
+        microbatch adds one segment; unbounded segments mean unbounded
+        per-search file listings and a growing tombstone join).  One
+        driver-side FS listing when below threshold.  Returns whether a
+        compaction ran."""
+        if len(self._seg_list()) <= max_segments:
+            return False
+        self.compact()
+        return True
+
     def compact(self) -> None:
         """Fold every live posting/doclen row into one fresh segment and
         clear the tombstones — bounds segment count and tombstone size

@@ -102,6 +102,9 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
             text_index.upsert(chunks.select(chunk_key.alias("doc_id"),
                                             F.col("chunk_text")),
                               id_col="doc_id", text_col="chunk_text")
+            # every microbatch adds a segment; fold them back down once
+            # the count crosses the background-merge threshold
+            text_index.maybe_compact()
 
     writer = (blobs.writeStream
               .foreachBatch(handle)

@@ -280,3 +280,23 @@ def test_near_search_window_semantics(spark, tmp_path):
     #       cat@2 -> yes; b=2? window 2..4: cat@2 only -> no
     assert got == {1: 1, 3: 2}
     assert 2 not in got
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """maybe_compact is a no-op below the threshold and folds segments
+    above it, preserving search results."""
+    idx = TextIndex(spark, str(tmp_path / "mc_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(spark.createDataFrame([(1, "alpha beta")],
+                                    "doc_id long, text string"))
+    for i in range(2, 6):
+        idx.upsert(spark.createDataFrame([(i, f"alpha gamma{i}")],
+                                         "doc_id long, text string"))
+    assert len(idx._seg_list()) == 5
+    assert idx.maybe_compact(max_segments=8) is False
+    assert len(idx._seg_list()) == 5
+    qt = spark.createDataFrame([(0, "alpha")], "query_id long, term string")
+    before = sorted(map(tuple, idx.search(qt, k=10).collect()))
+    assert idx.maybe_compact(max_segments=2) is True
+    assert len(idx._seg_list()) == 1
+    assert sorted(map(tuple, idx.search(qt, k=10).collect())) == before
