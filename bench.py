@@ -287,6 +287,8 @@ def main() -> None:
         [(0, "table"), (0, "hash"), (1, "vector"), (1, "join"), (1, "scan")],
         "query_id long, term string")
     bench("text_near_search", lambda: ti.near_search(near_qt, w=4, k=10))
+    bench("text_snippets",
+          lambda: ti.snippets(bm25_qt, docs, w=8, k=5))
 
     def ti_maintain():
         slice_ = docs.filter(F.col("doc_id") % 20 == 0)

@@ -1731,6 +1731,52 @@ select query_id, doc_id, n_windows, rank from r where rank <= {k}
 """
 
 
+def q_text_snippets(spark, sf_dir):
+    """Search-result highlighting off the positional index
+    (store/text_index.py snippets): BM25 top-5 per query, then the best
+    8-token window per hit (max query-term-position density, tie ->
+    lowest start) sliced from the document's normalized tokens.
+    Ranking + window selection run entirely on the index; the only
+    corpus touch is the final k-per-query text fetch."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_snip_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    return idx.snippets(_bm25_query_df(spark), docs, w=8, k=5)
+
+
+def _sql_text_snippets(w: int = 8, k: int = 5) -> str:
+    terms_vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with {_sql_bm25_ctes()},
+top as (select query_id, doc_id, rank from r where rank <= {k}),
+toku as (select doc_id, {toks} as ts from documents),
+qp as (select distinct t.query_id, p.doc_id, p.p from
+       (select doc_id, ts[i] as term, i-1 as p
+        from toku, unnest(generate_series(1, len(ts))) as t(i)) p
+       join (select * from (values {terms_vals}) as v(query_id, term)) t
+         using (term)
+       join top using (query_id, doc_id)),
+dens as (select query_id, doc_id, base,
+                cast(count(*) as bigint) as density
+         from qp, unnest(generate_series(greatest(p-{w - 1},0), p))
+              as b(base)
+         group by query_id, doc_id, base),
+best as (select * from (
+           select *, row_number() over (partition by query_id, doc_id
+                       order by density desc, base) as rr
+           from dens) where rr = 1)
+select b.query_id, b.doc_id, t.rank, cast(b.base as int) as best_base,
+       b.density,
+       array_to_string(ts[b.base+1 : b.base+{w}], ' ') as snippet
+from best b join top t using (query_id, doc_id) join toku using (doc_id)
+"""
+
+
 def q_text_df_topk(spark, sf_dir):
     """Vocabulary document-frequency profile served from the persisted
     inverted index's LIVE posting lists (store/text_index.py df_topk):
@@ -6883,6 +6929,7 @@ def queries():
         "text_df_topk": q_text_df_topk,
         "text_phrase_search": q_text_phrase_search,
         "text_near_search": q_text_near_search,
+        "text_snippets": q_text_snippets,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -7124,6 +7171,7 @@ from c
         "text_df_topk": _sql_text_df_topk(),
         "text_phrase_search": _sql_text_phrase_search(),
         "text_near_search": _sql_text_near_search(),
+        "text_snippets": _sql_text_snippets(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

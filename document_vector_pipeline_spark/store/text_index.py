@@ -395,6 +395,61 @@ class TextIndex:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "doc_id", "n_windows", "rank"))
 
+    def snippets(self, query_terms: DataFrame, docs: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 w: int = 8, k: int = 5) -> DataFrame:
+        """Search-result highlighting — (query_id, doc_id, rank,
+        best_base, density, snippet): BM25 top-k via the index, then for
+        each hit the best ``w``-token window (max count of query-term
+        POSITIONS inside it, tie → lowest start) extracted from the
+        document's normalized tokens.
+
+        Plan: ranking and window selection run entirely off the index
+        (pruned postings; density bases fan out <= w per position); the
+        only corpus touch is the final text fetch — ONE column-pruned
+        scan of ``docs`` joined against the broadcast k-per-query hit
+        list (at scale: the row-fetch any search serving layer does)."""
+        top = self.search(query_terms, k=k).select(
+            "query_id", "doc_id", "rank")
+        live = self._live(
+            self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
+            .filter(F.col("tbucket").isin(
+                [r[0] for r in query_terms
+                 .select(self._tbucket(F.col("term"))).distinct()
+                 .collect()]))
+            .join(F.broadcast(query_terms.select("term").distinct()),
+                  "term", "left_semi")
+            .select("doc_id", "term", "pos", "seg"))
+        hits = (live.join(F.broadcast(query_terms
+                                      .select("query_id", "term")
+                                      .distinct()), "term")
+                .join(F.broadcast(top), ["query_id", "doc_id"], "left_semi"))
+        dens = (hits.select("query_id", "doc_id",
+                            F.explode("pos").alias("p"))
+                .select("query_id", "doc_id",
+                        F.explode(F.sequence(
+                            F.greatest(F.col("p") - F.lit(w - 1), F.lit(0)),
+                            F.col("p"))).alias("base"))
+                .groupBy("query_id", "doc_id", "base")
+                .agg(F.count(F.lit(1)).alias("density")))
+        from pyspark.sql import Window
+        wb = Window.partitionBy("query_id", "doc_id").orderBy(
+            F.desc("density"), F.col("base"))
+        best = (dens.withColumn("__r", F.row_number().over(wb))
+                .filter(F.col("__r") == 1).drop("__r")
+                .join(F.broadcast(top), ["query_id", "doc_id"]))
+        toks = retrieval._tokens(F.col(text_col))
+        text = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                           toks.alias("__toks"))
+        return (text.join(F.broadcast(best), "doc_id")
+                .select("query_id", "doc_id", "rank",
+                        F.col("base").cast("int").alias("best_base"),
+                        F.col("density").cast("long").alias("density"),
+                        F.array_join(
+                            F.slice(F.col("__toks"),
+                                    F.col("base") + F.lit(1), w), " ")
+                        .alias("snippet")))
+
     def df_topk(self, k: int = 50) -> DataFrame:
         """Top-k document-frequency terms from the LIVE posting lists —
         (term, df, rank): the vocabulary profile a tokenizer/stopword

@@ -300,3 +300,26 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert idx.maybe_compact(max_segments=2) is True
     assert len(idx._seg_list()) == 1
     assert sorted(map(tuple, idx.search(qt, k=10).collect())) == before
+
+
+def test_snippets_picks_densest_window(spark, tmp_path):
+    """The snippet is the w-token window holding the most query-term
+    positions (tie -> lowest start), sliced from normalized tokens."""
+    d = spark.createDataFrame(
+        [(1, "x x x cat y dog cat z z z"),
+         (2, "cat a b c d e f g h dog")],
+        "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "sn_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(d)
+    qt = spark.createDataFrame([(0, "cat"), (0, "dog")],
+                               "query_id long, term string")
+    got = {r["doc_id"]: r for r in
+           idx.snippets(qt, d, w=4, k=5).collect()}
+    # doc1: positions cat@{3,6} dog@5 -> window [3,7) holds all 3
+    assert got[1]["best_base"] == 3 and got[1]["density"] == 3
+    assert got[1]["snippet"] == "cat y dog cat"
+    # doc2: cat@0, dog@9 — no 4-window holds both; best density 1,
+    # tie -> lowest base 0
+    assert got[2]["best_base"] == 0 and got[2]["density"] == 1
+    assert got[2]["snippet"] == "cat a b c"
