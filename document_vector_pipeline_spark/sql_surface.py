@@ -36,6 +36,10 @@ _STORE_BACKED = frozenset({
     "source_orc", "source_bucketed", "store_timetravel",
     "corpus_shards", "ann_ivfpq_persisted", "ann_ivf_upsert",
     "store_hybrid_search", "ann_ivf_stats",
+    # round 6: persisted text index / versioned store builders
+    "text_bm25_indexed", "store_hybrid_indexed", "store_versioned_search",
+    "text_df_topk", "text_phrase_search", "text_near_search",
+    "text_snippets",
 })
 
 
