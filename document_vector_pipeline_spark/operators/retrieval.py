@@ -307,17 +307,20 @@ def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,
 
 def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
                           queries: DataFrame, k: int = 10, c: int = 60,
-                          nprobe: int = 1) -> DataFrame:
+                          nprobe: int = 1, use_adc: bool = False) -> DataFrame:
     """Hybrid retrieval over two PERSISTED indexes — the serving-path
     composition of store/text_index.TextIndex (keyword leg: reads only
     the query terms' posting buckets) and store/ivf_index.IVFIndex
-    (vector leg: probes only ``nprobe`` cells), fused by RRF.  Neither
-    leg scans a corpus; both read pruned partitions of a pre-built
-    index — the 100 TB serving shape (the scan-path twin is
-    VectorStore.hybrid_search)."""
+    (vector leg: probes only ``nprobe`` cells; ``use_adc=True`` scores
+    the PQ codes instead of raw vectors — the compressed-serving
+    variant), fused by RRF.  Neither leg scans a corpus; both read
+    pruned partitions of a pre-built index — the 100 TB serving shape
+    (the scan-path twin is VectorStore.hybrid_search)."""
     text = text_index.search(query_terms, k=k).select(
         "query_id", "doc_id", "rank")
-    vec = (ivf_index.search_many(queries, k=k, nprobe=nprobe)
+    vsearch = (ivf_index.search_many_adc if use_adc
+               else ivf_index.search_many)
+    vec = (vsearch(queries, k=k, nprobe=nprobe)
            .select("query_id", "vec_id", F.col("rank").cast("int")
                    .alias("rank")))
     return rrf_fuse(text, vec, k=k, c=c)

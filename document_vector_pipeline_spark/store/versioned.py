@@ -23,8 +23,9 @@ Scale notes: the manifest holds directory PATHS (thousands of entries
 at most), not data — snapshot resolution is a tiny driver-side JSON
 read; data motion is ordinary partitioned parquet IO.  Upsert rewrites
 only the union of prior live dirs it must merge with (here: all live
-dirs — a bucketed layout underneath, as in VectorStore, would narrow
-that; the log layer is orthogonal).  All manifest/vacuum IO goes
+dirs; ``BucketedVersionedTable`` below IS the narrowed variant — its
+commits rewrite only the incoming keys' hash buckets and carry every
+untouched bucket's dir by reference).  All manifest/vacuum IO goes
 through the session's Hadoop FileSystem, so the layout works unchanged
 on s3a/abfs, not just local mounts.
 """

@@ -323,3 +323,29 @@ def test_snippets_picks_densest_window(spark, tmp_path):
     # tie -> lowest base 0
     assert got[2]["best_base"] == 0 and got[2]["density"] == 1
     assert got[2]["snippet"] == "cat a b c"
+
+
+def test_hybrid_indexed_adc_leg(spark, tmp_path):
+    """use_adc=True swaps the vector leg to PQ-code (ADC) scoring —
+    same fusion contract, compressed serving path."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qt = spark.createDataFrame([(0, "vector"), (0, "join")],
+                               "query_id long, term string")
+    qv = (emb.filter(F.col("vec_id") < 1)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    ti = TextIndex(spark, str(tmp_path / "adc_ti"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(docs)
+    vi = IVFIndex(spark, str(tmp_path / "adc_vi"), n_centroids=4)
+    vi.build(emb)
+    vi.build_pq(emb)
+    out = retrieval.hybrid_search_indexed(ti, vi, qt, qv, k=5, nprobe=4,
+                                          use_adc=True)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {c for c in out.columns} == {"query_id", "doc_id", "text_rank",
+                                        "vec_rank", "rrf_micro", "rank"}
