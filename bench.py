@@ -637,6 +637,8 @@ def main() -> None:
     bench("events_pivot", lambda: sev.daily_type_pivot(ev))
     bench("events_cube", lambda: temporal.cube_events(ev))
     bench("corpus_lenhist", lambda: corpus.length_histogram(docs))
+    bench("corpus_dsir", lambda: corpus.dsir_weights(
+        docs, F.col("lang") == "en", m=1024, k=50))
     bench("corpus_percentiles", lambda: corpus.length_percentiles(docs))
 
     def compact():

@@ -1777,6 +1777,51 @@ from best b join top t using (query_id, doc_id) join toku using (doc_id)
 """
 
 
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR importance weights toward the English subset: hashed
+    unigram+bigram features (1024 md5 buckets), Laplace-smoothed
+    target/raw probability ratio, per-feature ln rounded to micro-ints
+    (order-free integer doc sums) — top-50 docs most 'target-like'
+    (operators/corpus.dsir_weights; Xie et al. NeurIPS 2023)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_weights(docs, F.col("lang") == "en",
+                               m=1024, k=50)
+
+
+def _sql_corpus_dsir(m: int = 1024, k: int = 50) -> str:
+    toks = ("list_filter(string_split_regex(lower(trim(text)), "
+            "'[^a-z0-9]+'), x -> x <> '')")
+    h = _md5l("f", 8, 1)
+    return f"""
+with tok as (select doc_id, lang, {toks} as w from documents),
+uni as (select doc_id, lang, unnest(w) as f from tok),
+bi as (select doc_id, lang, w[i] || ' ' || w[i+1] as f
+       from tok, unnest(generate_series(1, len(w) - 1)) as t(i)),
+feats as (select doc_id, lang = 'en' as is_t, {h} % {m} as b
+          from (select * from uni union all select * from bi)),
+raw as (select b, cast(count(*) as bigint) as cr from feats group by b),
+tgt as (select b, cast(count(*) as bigint) as ct
+        from feats where is_t group by b),
+stats as (select raw.b, cr, cast(coalesce(ct, 0) as bigint) as ct
+          from raw left join tgt using (b)),
+tots as (select cast(count(*) as bigint) as totr,
+                cast(sum(case when is_t then 1 else 0 end) as bigint)
+                    as tott
+         from feats),
+contrib as (select f.doc_id,
+    cast(round(ln((((ct + 1.0) * (totr + {m})))
+                  / (((cr + 1.0) * (tott + {m})))) * 1000000.0)
+         as bigint) as c
+    from feats f join stats using (b), tots),
+agg as (select doc_id, cast(count(*) as bigint) as n_feats,
+               cast(sum(c) as bigint) as logw_micro
+        from contrib group by doc_id),
+r as (select *, cast(row_number() over
+        (order by logw_micro desc, doc_id) as int) as rank from agg)
+select doc_id, n_feats, logw_micro, rank from r where rank <= {k}
+"""
+
+
 def q_text_df_topk(spark, sf_dir):
     """Vocabulary document-frequency profile served from the persisted
     inverted index's LIVE posting lists (store/text_index.py df_topk):
@@ -6930,6 +6975,7 @@ def queries():
         "text_phrase_search": q_text_phrase_search,
         "text_near_search": q_text_near_search,
         "text_snippets": q_text_snippets,
+        "corpus_dsir": q_corpus_dsir,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -7172,6 +7218,7 @@ from c
         "text_phrase_search": _sql_text_phrase_search(),
         "text_near_search": _sql_text_near_search(),
         "text_snippets": _sql_text_snippets(),
+        "corpus_dsir": _sql_corpus_dsir(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

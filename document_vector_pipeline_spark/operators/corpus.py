@@ -746,3 +746,78 @@ def quality_model_scores(docs: DataFrame, id_col: str = "doc_id",
         ws["n_feats"].alias("n_feats"),
         ws["logit_milli"].alias("logit_milli"),
         (ws["logit_milli"] > 0).alias("keep"))
+
+
+def dsir_weights(docs: DataFrame, target_cond: Column,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 m: int = 1024, k: int = 50) -> DataFrame:
+    """DSIR-style hashed-ngram importance weights (Data Selection via
+    Importance Resampling, Xie et al. NeurIPS 2023): score every
+    document by how much more likely its features are under the TARGET
+    distribution (the docs matching ``target_cond``) than under the raw
+    corpus — the principled replacement for hand-rules when curating
+    toward a domain.  Returns the top-``k`` (doc_id, n_feats,
+    logw_micro, rank).
+
+    Features are unigrams + adjacent bigrams hashed into ``m`` buckets
+    (md5-prefix — cross-engine exact); bucket probabilities are
+    Laplace-smoothed, and the per-feature log ratio
+
+        ln( ((ct+1) * (totr+m)) / ((cr+1) * (tott+m)) )
+
+    is rounded to integer micro-units immediately (the ln is the only
+    transcendental — same discipline as BM25's idf), so each document's
+    log-weight is an order-free integer sum.
+
+    Plan shape: ONE tokenize pass feeds the feature stream; both bucket
+    count aggregations shuffle on the uniform m-bucket key; scoring
+    joins the stream to the BROADCAST m-row stats table (plus one-row
+    totals) and aggregates per doc — no corpus-sized shuffle beyond the
+    one feature groupBy, and the rank window runs over a k-cut."""
+    from pyspark.sql import Window
+
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), target_cond.alias("is_t"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+                 lambda w: w != F.lit("")).alias("w"))
+    uni = toks.select("doc_id", "is_t", F.explode("w").alias("f"))
+    bi = toks.select(
+        "doc_id", "is_t",
+        F.explode(F.when(
+            F.size("w") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("w") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(F.col("w"), i),
+                            F.element_at(F.col("w"), i + 1))))
+         .otherwise(F.array().cast("array<string>"))).alias("f"))
+    feats = (uni.unionByName(bi)
+             .select("doc_id", "is_t",
+                     (md5_long(F.col("f"), 8) % m).alias("b"))
+             .localCheckpoint(eager=True))
+
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (feats.filter(F.col("is_t"))
+           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    stats = (raw.join(tgt, "b", "left")
+             .withColumn("ct", F.coalesce("ct", F.lit(0)).cast("long")))
+    tots = feats.agg(
+        F.count(F.lit(1)).alias("totr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tott"))
+
+    c = F.round(
+        F.log((((F.col("ct") + F.lit(1.0)) * (F.col("totr") + F.lit(m))))
+              / (((F.col("cr") + F.lit(1.0))
+                  * (F.col("tott") + F.lit(m)))))
+        * F.lit(1000000.0)).cast("long")
+    contrib = (feats.join(F.broadcast(stats), "b")
+               .crossJoin(F.broadcast(tots))
+               .withColumn("c", c))
+    agg = (contrib.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                F.sum("c").alias("logw_micro")))
+    top = agg.orderBy(F.desc("logw_micro"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("logw_micro"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("doc_id", "n_feats", "logw_micro", "rank"))

@@ -368,3 +368,27 @@ def test_lang_mix_shares_sum_per_source(spark, docs_small):
         assert 1_000_000 - len(rs) < ppm <= 1_000_000
         for r in rs:
             assert r.share_ppm == (1_000_000 * r.n_docs) // total
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """Docs made of target-distribution features must out-rank docs of
+    raw-only features; weights are deterministic integers."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators import corpus
+
+    rows = ([(i, "alpha beta alpha beta", "en") for i in range(10)]
+            + [(100 + i, "gamma delta gamma delta", "xx")
+               for i in range(10)]
+            + [(200, "alpha beta alpha", "xx"),     # target-LIKE text
+               (201, "gamma delta gamma", "en")])   # raw-like text in en
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.dsir_weights(d, F.col("lang") == "en", m=64, k=30)
+    ranks = {r["doc_id"]: r["rank"] for r in out.collect()}
+    # the target-like xx doc ranks above the raw-like en doc: weights
+    # follow FEATURES, not the label
+    assert ranks[200] < ranks[201]
+    # all alpha/beta docs outrank all gamma/delta docs
+    ab = [ranks[i] for i in range(10)] + [ranks[200]]
+    gd = [ranks[100 + i] for i in range(10)] + [ranks[201]]
+    assert max(ab) < min(gd)
