@@ -142,14 +142,18 @@ class TextIndex:
                      F.sort_array(F.collect_list(F.col("pos").cast("int")))
                      .alias("pos")))
 
-    def _doclens_of(self, docs: DataFrame, id_col: str,
-                    text_col: str) -> DataFrame:
-        # one row per document, EMPTY documents included — they carry
-        # n_docs weight in the BM25 statistics
-        return docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.size(retrieval._tokens(F.col(text_col))).cast("int").alias("dl"),
-            self._dbucket(F.col(id_col)).alias("dbucket"))
+    def _doclens_from_tf(self, docs: DataFrame, id_col: str,
+                         tf: DataFrame) -> DataFrame:
+        """Doc lengths WITHOUT a second tokenize pass: dl rides in the
+        (already materialized) tf relation; an id-only column-pruned
+        scan of ``docs`` supplies membership so EMPTY documents still
+        get a dl=0 row (they carry n_docs weight in the statistics)."""
+        per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        return (ids.join(per_doc, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("dl", F.lit(0)).cast("int").alias("dl"),
+                        self._dbucket(F.col("doc_id")).alias("dbucket")))
 
     def _write_segment(self, tf: DataFrame, dl: DataFrame, seg: int) -> None:
         (tf.withColumn("tbucket", self._tbucket(F.col("term")))
@@ -187,10 +191,11 @@ class TextIndex:
         and tombstones through the FS and starts over)."""
         for sub in (self._segments, self._doclens, self._tombstones):
             self._fs_delete(sub)
-        # ONE tokenize pass materialized, feeding postings AND doclens —
-        # without it each write re-scans and re-tokenizes the corpus
+        # ONE tokenize pass materialized, feeding postings AND doclens
+        # (dl is derived from tf plus an id-only membership scan — no
+        # second corpus tokenize at any scale)
         tf = self._tf_of(docs, id_col, text_col).localCheckpoint(eager=True)
-        dl = self._doclens_of(docs, id_col, text_col)
+        dl = self._doclens_from_tf(docs, id_col, tf)
         self._write_segment(tf, dl, 0)
         self._write_stats(
             self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
@@ -245,9 +250,9 @@ class TextIndex:
         statistics move by the exact (old live out, new in) delta.  No
         existing segment file is touched."""
         seg = (self._seg_list() or [-1])[-1] + 1
-        new_dl = self._doclens_of(docs, id_col, text_col)\
-            .localCheckpoint(eager=True)
         new_tf = self._tf_of(docs, id_col, text_col)\
+            .localCheckpoint(eager=True)
+        new_dl = self._doclens_from_tf(docs, id_col, new_tf)\
             .localCheckpoint(eager=True)
         victims = new_dl.select("doc_id").distinct()
         self._apply_stats_delta(victims, new_dl)
