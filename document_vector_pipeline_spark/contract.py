@@ -1777,6 +1777,33 @@ from best b join top t using (query_id, doc_id) join toku using (doc_id)
 """
 
 
+def q_text_bm25_filtered(spark, sf_dir):
+    """Filtered keyword search over the persisted index (the keyword
+    twin of vector_topk_filtered): BM25 restricted to doc_id % 3 == 0
+    with Lucene filtered-query semantics — idf/corpus statistics stay
+    CORPUS-level, the predicate drops candidates after scoring."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_filt_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    return idx.search(_bm25_query_df(spark), k=10,
+                      doc_filter=F.col("doc_id") % 3 == 0)
+
+
+def _sql_text_bm25_filtered(k: int = 10) -> str:
+    return f"""
+with {_sql_bm25_ctes()},
+f as (select query_id, doc_id, n_terms, score_micro from agg
+      where doc_id % 3 = 0),
+fr as (select *, cast(row_number() over (partition by query_id
+          order by score_micro desc, doc_id) as int) as rank from f)
+select query_id, doc_id, n_terms, score_micro, rank
+from fr where rank <= {k}
+"""
+
+
 def q_corpus_dsir(spark, sf_dir):
     """DSIR importance weights toward the English subset: hashed
     unigram+bigram features (1024 md5 buckets), Laplace-smoothed
@@ -6976,6 +7003,7 @@ def queries():
         "text_near_search": q_text_near_search,
         "text_snippets": q_text_snippets,
         "corpus_dsir": q_corpus_dsir,
+        "text_bm25_filtered": q_text_bm25_filtered,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -7219,6 +7247,7 @@ from c
         "text_near_search": _sql_text_near_search(),
         "text_snippets": _sql_text_snippets(),
         "corpus_dsir": _sql_corpus_dsir(),
+        "text_bm25_filtered": _sql_text_bm25_filtered(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

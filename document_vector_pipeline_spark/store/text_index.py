@@ -218,7 +218,7 @@ class TextIndex:
                                           "n_docs long, total_len long")
 
     def search(self, query_terms: DataFrame, k: int = 10,
-               checkpoint: bool = True) -> DataFrame:
+               checkpoint: bool = True, doc_filter=None) -> DataFrame:
         """BM25 top-k per query reading ONLY the query terms' posting
         buckets — (query_id, doc_id, n_terms, score_micro, rank),
         bit-identical to retrieval.bm25_topk over the live corpus.
@@ -227,7 +227,13 @@ class TextIndex:
         keyword analogue of IVF's probed-cell list); everything after it
         is candidate-sized.  ``checkpoint`` materializes the pruned tf
         relation once for its two consumers (df aggregation + scoring
-        join); pass False to keep full lineage (plan inspection)."""
+        join); pass False to keep full lineage (plan inspection).
+
+        ``doc_filter`` (a Column predicate over ``doc_id``) restricts
+        the RESULT set — Lucene filtered-query semantics: idf/corpus
+        statistics stay corpus-level, the filter drops candidates after
+        scoring (the keyword twin of the store's filtered vector
+        search)."""
         tb = [r[0] for r in query_terms
               .select(self._tbucket(F.col("term"))).distinct().collect()]
         post = (self.spark.read.schema(POSTING_SCHEMA)
@@ -240,6 +246,8 @@ class TextIndex:
         if checkpoint:
             tf = tf.localCheckpoint(eager=True)
         scored = retrieval.score_tf(tf, query_terms, self.stats())
+        if doc_filter is not None:
+            scored = scored.filter(doc_filter)
         return retrieval.rank_topk(scored, k)
 
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",

@@ -349,3 +349,29 @@ def test_hybrid_indexed_adc_leg(spark, tmp_path):
     assert len(rows) == 5
     assert {c for c in out.columns} == {"query_id", "doc_id", "text_rank",
                                         "vec_rank", "rrf_micro", "rank"}
+
+
+def test_search_robust_to_absent_terms_and_filter(spark, docs, tmp_path):
+    """All-absent query terms -> empty result (no error) across search,
+    phrase and near; doc_filter keeps corpus-level idf while dropping
+    candidates."""
+    idx = TextIndex(spark, str(tmp_path / "rb_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    gone = spark.createDataFrame([(0, "nosuchterm"), (0, "alsogone")],
+                                 "query_id long, term string")
+    assert idx.search(gone, k=5).count() == 0
+    assert idx.phrase_search(spark.createDataFrame(
+        [(0, "nosuchterm", 0)], "query_id long, term string, offset int"),
+        k=5).count() == 0
+    assert idx.near_search(gone, w=3, k=5).count() == 0
+
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    full = {r["doc_id"]: r for r in idx.search(qt, k=10).collect()}
+    filt = {r["doc_id"]: r for r in
+            idx.search(qt, k=10,
+                       doc_filter=F.col("doc_id") % 2 == 0).collect()}
+    assert set(filt) == {d for d in full if d % 2 == 0}
+    # corpus-level idf: per-doc scores identical, only ranks re-pack
+    for d, r in filt.items():
+        assert r["score_micro"] == full[d]["score_micro"]
