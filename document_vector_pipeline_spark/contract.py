@@ -1777,6 +1777,38 @@ from best b join top t using (query_id, doc_id) join toku using (doc_id)
 """
 
 
+def q_ann_ivf_filtered(spark, sf_dir):
+    """Filtered ANN over the persisted IVF index: an id predicate
+    (vec_id % 3 == 0 — a namespace/tenant restriction) applied to the
+    pruned cell scan BEFORE scoring, exhaustive probe so the oracle is
+    brute force over exactly the allowed subset — the vector twin of
+    text_bm25_filtered."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_ivf_filt_idx"),
+                   n_centroids=8)
+    idx.build(emb)
+    return idx.search_many(_queries_df(emb), k=10, nprobe=8,
+                           id_filter=F.col("vec_id") % 3 == 0)
+
+
+def _sql_ann_ivf_filtered(k: int = 10) -> str:
+    cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e1 as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e1 where vec_id < 5),
+e as (select * from e1 where vec_id % 3 = 0),
+s as (select q.query_id, e.vec_id, round({cos}, 6) as score
+      from e cross join q),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= {k}
+"""
+
+
 def q_text_bm25_filtered(spark, sf_dir):
     """Filtered keyword search over the persisted index (the keyword
     twin of vector_topk_filtered): BM25 restricted to doc_id % 3 == 0
@@ -7004,6 +7036,7 @@ def queries():
         "text_snippets": q_text_snippets,
         "corpus_dsir": q_corpus_dsir,
         "text_bm25_filtered": q_text_bm25_filtered,
+        "ann_ivf_filtered": q_ann_ivf_filtered,
         "store_versioned_search": q_store_versioned_search,
         # -- driver-green rotation tail --
         "ann_ivf_upsert": q_ann_ivf_upsert,
@@ -7248,6 +7281,7 @@ from c
         "text_snippets": _sql_text_snippets(),
         "corpus_dsir": _sql_corpus_dsir(),
         "text_bm25_filtered": _sql_text_bm25_filtered(),
+        "ann_ivf_filtered": _sql_ann_ivf_filtered(),
         "store_versioned_search": _sql_store_versioned_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

@@ -39,7 +39,7 @@ _STORE_BACKED = frozenset({
     # round 6: persisted text index / versioned store builders
     "text_bm25_indexed", "store_hybrid_indexed", "store_versioned_search",
     "text_df_topk", "text_phrase_search", "text_near_search",
-    "text_snippets", "text_bm25_filtered",
+    "text_snippets", "text_bm25_filtered", "ann_ivf_filtered",
 })
 
 

@@ -539,7 +539,8 @@ class IVFIndex:
 
     def search_many(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
                     qid_col: str = "query_id",
-                    qvec_col: str = "query_vec") -> DataFrame:
+                    qvec_col: str = "query_vec",
+                    id_filter=None) -> DataFrame:
         """Batch IVF search: every query answered in ONE partition-pruned
         scan — (query_id, vec_id, score, rank).
 
@@ -570,6 +571,11 @@ class IVFIndex:
         denom = F.col("vnorm") * F.col("__qnorm")
         score = F.round(F.when(denom == 0, F.lit(0.0))
                          .otherwise(dot(vd, F.col("__qv")) / denom), 6)
+        # ``id_filter`` (a predicate over vec_id) is filtered-ANN
+        # semantics: applied to the pruned cell scan BEFORE scoring, so
+        # a namespace/tenant restriction also cuts the scoring work
+        if id_filter is not None:
+            cells = cells.filter(id_filter)
         scored = (cells
                   .join(F.broadcast(qdf),
                         F.array_contains("__probes", F.col("centroid_id")))
