@@ -203,6 +203,9 @@ def main() -> None:
     bench("emb_outliers", lambda: similarity.embedding_outliers(emb))
     bench("ann_ivf_build", ivf_build)
     bench("ann_ivf_query", lambda: ivf.search(QVEC, k=10, nprobe=4))
+    bench("ann_ivf_filtered",
+          lambda: ivf.search_many(qdf, k=10, nprobe=4,
+                                  id_filter=F.col("vec_id") % 3 == 0))
 
     def ivfpq_build():
         ivf.build_pq(emb)
@@ -278,6 +281,9 @@ def main() -> None:
     # the serving number that matters: probe-pruned search, no corpus scan
     bench("text_bm25_indexed", lambda: ti.search(bm25_qt, k=10))
     bench("text_df_topk", lambda: ti.df_topk(50))
+    bench("text_bm25_filtered",
+          lambda: ti.search(bm25_qt, k=10,
+                            doc_filter=F.col("doc_id") % 3 == 0))
     phrase_qt = spark.createDataFrame(
         [(0, "table", 0), (0, "hash", 1), (1, "table", 0), (1, "table", 1),
          (2, "slow", 0), (2, "hash", 1), (2, "batch", 2)],
