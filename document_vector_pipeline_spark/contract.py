@@ -66,6 +66,25 @@ if "SPARK_GRAFT_SCRATCH" not in os.environ:
 
     atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)
 
+    # ...and reap dirs left by CRASHED runs (atexit never fired): any
+    # sibling p<pid> dir whose process is gone is safe to drop
+    try:
+        for _e in os.listdir("/root/repo/.scratch"):
+            if not _e.startswith("p") or not _e[1:].isdigit():
+                continue
+            _pid = int(_e[1:])
+            if _pid == os.getpid():
+                continue
+            try:
+                os.kill(_pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join("/root/repo/.scratch", _e),
+                              ignore_errors=True)
+            except PermissionError:
+                pass          # live process owned elsewhere — leave it
+    except FileNotFoundError:
+        pass
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
 # ---------------------------------------------------------------------------
