@@ -197,17 +197,20 @@ class TextIndex:
         tf = self._tf_of(docs, id_col, text_col).localCheckpoint(eager=True)
         dl = self._doclens_from_tf(docs, id_col, tf)
         self._write_segment(tf, dl, 0)
-        self._write_stats(
-            self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
-                 .alias("total_len")))
+        st = (self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
+                   .alias("total_len"))).collect()[0]
+        self._write_stats(int(st["n_docs"]), int(st["total_len"]))
 
-    def _write_stats(self, one_row: DataFrame) -> None:
-        df = one_row.select(F.col("n_docs").cast("long"),
-                            F.col("total_len").cast("long"))
-        df.coalesce(1).write.mode("overwrite").parquet(self._stats)
-        self._stats_cache = None
+    def _write_stats(self, n_docs: int, total_len: int) -> None:
+        # the values are known driver-side at every call site, so the
+        # write doubles as the cache fill — no file-read job on the
+        # next search/maintenance op
+        (self.spark.createDataFrame([(n_docs, total_len)],
+                                    "n_docs long, total_len long")
+         .coalesce(1).write.mode("overwrite").parquet(self._stats))
+        self._stats_cache = [(n_docs, total_len)]
 
     def stats(self) -> DataFrame:
         if self._stats_cache is None:
@@ -306,9 +309,8 @@ class TextIndex:
         o_n, o_t = ((delta[0]["n"], delta[0]["t"]) if 0 in delta else (0, 0))
         n_n, n_t = ((delta[1]["n"], delta[1]["t"]) if 1 in delta else (0, 0))
         cur = self.stats().collect()[0]
-        self._write_stats(self.spark.createDataFrame(
-            [(cur["n_docs"] - o_n + n_n, cur["total_len"] - o_t + n_t)],
-            "n_docs long, total_len long"))
+        self._write_stats(int(cur["n_docs"] - o_n + n_n),
+                          int(cur["total_len"] - o_t + n_t))
 
     def phrase_search(self, phrases: DataFrame, k: int = 10) -> DataFrame:
         """Exact phrase search over the positional postings —
