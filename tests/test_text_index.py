@@ -375,3 +375,38 @@ def test_search_robust_to_absent_terms_and_filter(spark, docs, tmp_path):
     # corpus-level idf: per-doc scores identical, only ranks re-pack
     for d, r in filt.items():
         assert r["score_micro"] == full[d]["score_micro"]
+
+
+def test_pruning_survives_multiple_segments_and_both_hybrid_legs(
+        spark, docs, tmp_path):
+    """After maintenance the index holds several segments; the posting
+    scan must still carry the tbucket partition filter (seg is just
+    another partition level).  And the indexed hybrid's plan prunes
+    BOTH legs: tbucket on the keyword scan, centroid_id on the cells
+    scan."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    idx = TextIndex(spark, str(tmp_path / "ms_ti"), n_term_buckets=8,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    idx.upsert(spark.createDataFrame([(9, "apple fig")],
+                                     "doc_id long, text string"))
+    idx.delete([3])
+    assert len(idx._seg_list()) >= 2
+    one = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    plan = (idx.search(one, k=5, checkpoint=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "tbucket" in plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vi = IVFIndex(spark, str(tmp_path / "ms_vi"), n_centroids=4)
+    vi.build(emb)
+    qv = (emb.filter(F.col("vec_id") < 1)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    hplan = (retrieval.hybrid_search_indexed(idx, vi, one, qv, k=5,
+                                             nprobe=2)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "centroid_id" in hplan          # vector leg cell pruning
+    # keyword leg's scan is behind its localCheckpoint in the fused
+    # plan; its pruning is pinned by the assertion above
