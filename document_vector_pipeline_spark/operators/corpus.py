@@ -778,6 +778,8 @@ def dsir_weights(docs: DataFrame, target_cond: Column,
 
     from document_vector_pipeline_spark.functions.hashing import md5_long
 
+    if m < 2:
+        raise ValueError("dsir_weights needs m >= 2 hash buckets")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), target_cond.alias("is_t"),
         F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),

@@ -111,8 +111,9 @@ class TextIndex:
         out = []
         for st in fs.listStatus(jp):
             name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("seg="):
-                out.append(int(name.split("=", 1)[1]))
+            if (st.isDirectory() and name.startswith("seg=")
+                    and name[4:].isdigit()):
+                out.append(int(name[4:]))
         return sorted(out)
 
     # -- bucket expressions -------------------------------------------------
@@ -373,6 +374,10 @@ class TextIndex:
         ``w`` candidate bases (sequence + explode — bounded blowup),
         distinct (term, base) pairs aggregate to qualifying bases —
         candidate-sized throughout; partial-cut rank window."""
+        if w < 1:
+            # F.sequence(p-w+1, p) would DESCEND for w < 1 and emit
+            # phantom bases — refuse instead of silently mis-counting
+            raise ValueError("near_search window w must be >= 1")
         terms = query_terms.select("query_id", "term").distinct()
         tb = [r[0] for r in terms
               .select(self._tbucket(F.col("term"))).distinct().collect()]
@@ -424,6 +429,8 @@ class TextIndex:
         only corpus touch is the final text fetch — ONE column-pruned
         scan of ``docs`` joined against the broadcast k-per-query hit
         list (at scale: the row-fetch any search serving layer does)."""
+        if w < 1:
+            raise ValueError("snippet window w must be >= 1")
         top = self.search(query_terms, k=k).select(
             "query_id", "doc_id", "rank")
         live = self._live(

@@ -282,6 +282,8 @@ class BucketedVersionedTable(VersionedTable):
         """Snapshot delete bounded to ``affected_buckets`` (the caller
         derives them from the delete predicate's keys): survivors of
         those buckets are rewritten, every other dir is carried."""
+        if not self.versions():
+            raise ValueError(f"no versions to delete from at {self.path}")
         m = self._manifest(self.latest())
         names = {str(b) for b in affected_buckets}
         carried = [d for d in m["dirs"] if self._bucket_of(d) not in names]
