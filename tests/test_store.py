@@ -487,3 +487,49 @@ def test_versioned_store_commits_are_bucket_incremental(spark, tmp_path):
     assert len(fresh2) <= 1
     assert vvs.read(v2).filter(F.col("document_url") == "u5").count() == 0
     assert vvs.read(v1).filter(F.col("document_url") == "u5").count() == 1
+
+
+def test_bucketed_versioned_random_commits_match_model(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    upsert/delete commits against a plain Python dict model — after
+    every commit, EVERY live version's read() must equal the model's
+    snapshot at that version (manifest carried-dir algebra under
+    arbitrary interleaving)."""
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs_rand"), CFG)
+    snapshots = []          # version -> {(url, id): chunk_text}
+    model = {}
+
+    def commit_upsert(rows):
+        vvs.upsert(_chunks(spark, rows))
+        for (u, c, t, _p, _e) in rows:
+            model[(u, str(c))] = t
+        snapshots.append(dict(model))
+
+    def commit_delete(urls):
+        vvs.delete_documents(urls)
+        for key in [k for k in model if k[0] in urls]:
+            del model[key]
+        snapshots.append(dict(model))
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    commit_upsert([(f"u{i}", c, f"t{i}.{c}", 0, vec)
+                   for i in range(6) for c in range(2)])
+    h = 987654321
+    for step in range(5):
+        h = (h * 48271) % (2 ** 31 - 1)
+        picks = sorted({f"u{(h >> (4 * j)) % 8}" for j in range(2)})
+        if h % 3 == 0:
+            commit_delete(picks)
+        else:
+            commit_upsert([(u, c, f"v{step}.{u}.{c}", 0, vec)
+                           for u in picks for c in range((h % 2) + 1)])
+
+    for v, snap in enumerate(snapshots):
+        got = {(r["document_url"], r["id"]): r["chunk_text"]
+               for r in vvs.read(v).collect()}
+        assert got == snap, f"version {v} diverged"
+        assert vvs.vt._manifest(v)["n_rows"] == len(snap)

@@ -481,3 +481,75 @@ def test_stream_ingest_maintains_text_index(spark, tmp_path):
                        text_index=ti)
     q2.awaitTermination(120)
     assert_matches_batch()
+
+
+def test_streamed_serving_stack_answers_hybrid_like_batch(spark, tmp_path):
+    """End-to-end serving story: stream_ingest maintains the store, the
+    IVF index AND the text index across microbatches (including a
+    shrinking re-ingest); afterwards the persisted-index hybrid answers
+    exactly like the scan-path hybrid computed from the final corpus."""
+    from document_vector_pipeline_spark.operators import (
+        retrieval,
+        similarity,
+    )
+    from document_vector_pipeline_spark.operators.embed import (
+        add_embeddings,
+    )
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+    from document_vector_pipeline_spark.sources import read_text_blobs
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    blob_dir = tmp_path / "inbox_serve"
+    blob_dir.mkdir()
+    (blob_dir / "a.txt").write_text("alpha beta gamma " * 30)
+
+    def chunks_of(path):
+        return add_embeddings(
+            blobs_to_chunks(read_text_blobs(spark, path), CFG),
+            cfg=CFG).select(
+            F.xxhash64(F.concat_ws(
+                "#", F.col("document_url"),
+                F.col("chunk_number").cast("string"))).alias("cid"),
+            F.col("chunk_text"), F.col("embedding"))
+
+    base = chunks_of(str(blob_dir))
+    ivf = IVFIndex(spark, str(tmp_path / "sv_ivf"), n_centroids=2)
+    ivf.build(base.select(F.col("cid").alias("vec_id"), "embedding"))
+    ti = TextIndex(spark, str(tmp_path / "sv_ti"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(base.select(F.col("cid").alias("doc_id"),
+                         F.col("chunk_text").alias("text")))
+    store = VectorStore(spark, str(tmp_path / "sv_store"), CFG)
+
+    (blob_dir / "b.txt").write_text("delta epsilon alpha " * 25)
+    q1 = stream_ingest(spark, str(blob_dir), store,
+                       checkpoint=str(tmp_path / "sv_ck1"), cfg=CFG,
+                       ivf_index=ivf, text_index=ti)
+    q1.awaitTermination(120)
+    (blob_dir / "a.txt").write_text("alpha zeta")          # shrinks
+    q2 = stream_ingest(spark, str(blob_dir), store,
+                       checkpoint=str(tmp_path / "sv_ck2"), cfg=CFG,
+                       ivf_index=ivf, text_index=ti)
+    q2.awaitTermination(120)
+
+    cur = chunks_of(str(blob_dir)).localCheckpoint(eager=True)
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "epsilon"), (1, "zeta")],
+        "query_id long, term string")
+    qv = cur.limit(2).select(
+        F.monotonically_increasing_id().alias("query_id"),
+        F.col("embedding").alias("query_vec")).localCheckpoint(eager=True)
+
+    got = retrieval.hybrid_search_indexed(ti, ivf, qt, qv, k=5, nprobe=2)
+    text = retrieval.bm25_topk(
+        cur.select(F.col("cid").alias("doc_id"),
+                   F.col("chunk_text").alias("text")), qt, k=5)
+    vec = similarity.brute_force_topk(
+        cur.select(F.col("cid").alias("vec_id"), "embedding"), qv, k=5)
+    want = retrieval.rrf_fuse(text, vec, k=5)
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+    assert got.count() > 0
