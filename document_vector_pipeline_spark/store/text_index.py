@@ -1,5 +1,6 @@
 """Persisted inverted index for BM25 keyword retrieval — the keyword twin
-of store/ivf_index.IVFIndex, with Lucene-style segment maintenance.
+of store/ivf_index.IVFIndex, with Lucene-style segment maintenance under a
+MANIFEST-COMMIT protocol.
 
 The scan path (operators/retrieval.bm25_scores) recomputes tokenization +
 tf + df from a full corpus scan on EVERY query batch; at 100 TB that is a
@@ -20,30 +21,52 @@ IMMUTABLE SEGMENTS + TOMBSTONES:
                                        immutable segment
     <path>/doclens/seg=N/dbucket=M/    (doc_id, dl) per segment, every
                                        document INCLUDING empty ones
-    <path>/tombstones/                 append-only (doc_id, seq): doc_id
-                                       is dead in all segments < seq
-    <path>/stats.parquet               one row (n_docs, total_len),
-                                       moved by exact deltas
+    <path>/tombstones/t{V}/            (doc_id, seq): doc_id is dead in
+                                       all segments < seq; one immutable
+                                       dir per committing version
+    <path>/_log/v{V}.json              MANIFEST: live segment list, live
+                                       tombstone dirs, exact corpus stats
+                                       (n_docs, total_len) and tombstone
+                                       row count
 
-- ``build``: one tokenize pass → segment 0.
-- ``upsert``: write the batch as a NEW segment + tombstone the batch ids
-  at the new sequence — O(batch) writes, no old bucket is touched.
-- ``delete``: append tombstones + adjust stats — O(batch).
-- ``search``: read the query terms' tbuckets across segments (partition
-  pruning on tbucket; seg is just another partition level), drop
-  tombstoned rows (the tombstone set is metadata-sized between
-  compactions, broadcast), score with the exact integer BM25 core shared
+Commit protocol (mirrors store/versioned.VersionedTable): every
+maintenance op first writes only NEW immutable files, then publishes them
+in ONE manifest write — the last step.  Readers resolve segments and
+tombstones exclusively through the latest manifest, so a crash between
+the data writes and the manifest leaves orphan files that no reader ever
+sees (duplicated postings / doubled df are impossible); compaction's
+post-commit garbage collection is best-effort and sweeps orphans of
+earlier crashes too.  Corpus statistics live IN the manifest (two ints),
+so they commit atomically with the file set and stats reads are
+driver-side metadata.  Writers are single-writer (one driver owns the
+log), the same assumption the reference's one-function-per-blob design
+makes.
+
+- ``build``: one tokenize pass → segment 0, manifest v0.
+- ``upsert``: the batch becomes a NEW segment; only ids that actually
+  have live rows in older segments are tombstoned (a brand-new document
+  writes no tombstone — the tombstone set tracks replaced/deleted ids,
+  not ingest volume) — O(batch) writes, no old bucket touched.
+- ``delete``: tombstone the ids' live rows — O(batch); ids with nothing
+  live are a no-op (no commit, no empty tombstone files).
+- ``search``: read the query terms' tbuckets across live segments
+  (partition pruning on tbucket; seg is just another partition level),
+  drop tombstoned rows, score with the exact integer BM25 core shared
   verbatim with the scan path (retrieval.score_tf) — bit-identical to
-  ``bm25_topk`` over the live corpus.  Per-term document frequency stays
-  corpus-exact because each live (doc, term) pair exists in exactly one
-  segment and each term in exactly one tbucket per segment.
+  ``bm25_topk`` over the live corpus.  The tombstone join broadcasts
+  while the manifest's exact row count stays under
+  ``broadcast_tombstone_rows`` and falls back to a shuffle join above it
+  (a GDPR-purge-sized tombstone set must not ride the driver).
 - ``compact``: fold all live rows into a single fresh segment and clear
-  tombstones — bounds segment count and tombstone size; search results
-  unchanged.
+  tombstones — bounds segment count and tombstone volume; search results
+  unchanged.  ``maybe_compact`` triggers on segment count OR tombstone
+  volume (dir count / exact row count from the manifest — a delete-only
+  retention sweep compacts even though it never adds a segment).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,15 +82,17 @@ TOMBSTONE_SCHEMA = "doc_id long, seq int"
 
 class TextIndex:
     def __init__(self, spark: SparkSession, path: str,
-                 n_term_buckets: int = 64, n_doc_buckets: int = 16):
+                 n_term_buckets: int = 64, n_doc_buckets: int = 16,
+                 broadcast_tombstone_rows: int = 1_000_000):
         self.spark = spark
         self.path = path
         self.n_term_buckets = n_term_buckets
         self.n_doc_buckets = n_doc_buckets
-        # one-row corpus stats cached driver-side (single-writer
-        # assumption, like VersionedTable): saves a file-read job on
-        # every search
-        self._stats_cache: list | None = None
+        self.broadcast_tombstone_rows = broadcast_tombstone_rows
+        # latest manifest cached driver-side (single-writer assumption,
+        # like VersionedTable): searches and the maybe_compact policy
+        # read zero files
+        self._m_cache: dict | None = None
 
     # -- layout -------------------------------------------------------------
 
@@ -84,8 +109,8 @@ class TextIndex:
         return os.path.join(self.path, "tombstones")
 
     @property
-    def _stats(self) -> str:
-        return os.path.join(self.path, "stats.parquet")
+    def _log(self) -> str:
+        return os.path.join(self.path, "_log")
 
     # -- Hadoop-FS helpers (object-store-safe, mirrors IVFIndex) ------------
 
@@ -103,18 +128,93 @@ class TextIndex:
         jp = self._jpath(p)
         self._fs(jp).delete(jp, True)
 
-    def _seg_list(self) -> list[int]:
-        jp = self._jpath(self._segments)
+    def _write_text(self, p: str, text: str) -> None:
+        jp = self._jpath(p)
+        out = self._fs(jp).create(jp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_text(self, p: str) -> str:
+        jp = self._jpath(p)
+        inp = self._fs(jp).open(jp)
+        try:
+            return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                inp, "UTF-8")
+        finally:
+            inp.close()
+
+    def _fs_children(self, p: str, prefix: str) -> list[str]:
+        jp = self._jpath(p)
         fs = self._fs(jp)
         if not fs.exists(jp):
             return []
         out = []
         for st in fs.listStatus(jp):
             name = st.getPath().getName()
-            if (st.isDirectory() and name.startswith("seg=")
-                    and name[4:].isdigit()):
-                out.append(int(name[4:]))
+            if name.startswith(prefix):
+                out.append(name)
         return sorted(out)
+
+    # -- manifest log -------------------------------------------------------
+
+    def _manifest(self) -> dict | None:
+        if self._m_cache is not None:
+            return self._m_cache
+        names = [n for n in self._fs_children(self._log, "v")
+                 if n.endswith(".json")]
+        if not names:
+            return None
+        self._m_cache = json.loads(
+            self._read_text(os.path.join(self._log, names[-1])))
+        return self._m_cache
+
+    def _manifest_required(self) -> dict:
+        m = self._manifest()
+        if m is None:
+            raise ValueError(f"no text index committed at {self.path}")
+        return m
+
+    def _commit(self, v: int, op: str, segments: list[int],
+                tombstones: list[str], n_tombstone_rows: int,
+                n_docs: int, total_len: int) -> None:
+        """Publish a new index state in ONE manifest write — the last
+        step of every maintenance op (data files first, manifest last),
+        so a crash mid-op can never surface a torn state."""
+        m = {"version": int(v), "op": op, "segments": sorted(segments),
+             "tombstones": list(tombstones),
+             "n_tombstone_rows": int(n_tombstone_rows),
+             "n_docs": int(n_docs), "total_len": int(total_len)}
+        self._write_text(os.path.join(self._log, f"v{v:012d}.json"),
+                         json.dumps(m))
+        self._m_cache = m
+
+    def _seg_list(self) -> list[int]:
+        m = self._manifest()
+        return list(m["segments"]) if m else []
+
+    # -- manifest-resolved reads --------------------------------------------
+
+    def _postings(self) -> DataFrame:
+        segs = self._manifest_required()["segments"]
+        dirs = [os.path.join(self._segments, f"seg={s}") for s in segs]
+        return (self.spark.read.schema(POSTING_SCHEMA)
+                .option("basePath", self._segments).parquet(*dirs))
+
+    def _doclens_df(self) -> DataFrame:
+        segs = self._manifest_required()["segments"]
+        dirs = [os.path.join(self._doclens, f"seg={s}") for s in segs]
+        return (self.spark.read.schema(DOCLENS_SCHEMA)
+                .option("basePath", self._doclens).parquet(*dirs))
+
+    def _tombstone_df(self) -> DataFrame:
+        m = self._manifest_required()
+        if not m["tombstones"]:
+            return self.spark.createDataFrame([], TOMBSTONE_SCHEMA)
+        dirs = [os.path.join(self._tombstones, t) for t in m["tombstones"]]
+        return (self.spark.read.schema(TOMBSTONE_SCHEMA)
+                .option("basePath", self._tombstones).parquet(*dirs))
 
     # -- bucket expressions -------------------------------------------------
 
@@ -167,59 +267,88 @@ class TextIndex:
 
     # -- tombstones ---------------------------------------------------------
 
-    def _tombstone_df(self) -> DataFrame:
-        if not self._fs_exists(self._tombstones):
-            return self.spark.createDataFrame([], TOMBSTONE_SCHEMA)
-        return (self.spark.read.schema(TOMBSTONE_SCHEMA)
-                .parquet(self._tombstones))
-
     def _live(self, df: DataFrame) -> DataFrame:
         """Drop rows whose doc_id carries a tombstone with seq > seg.
-        The tombstone set is metadata-sized between compactions
-        (deleted/replaced ids only) — broadcast join."""
+        No-tombstone states skip the join entirely; a metadata-sized
+        tombstone set (replaced/deleted ids only) broadcasts; a set
+        larger than ``broadcast_tombstone_rows`` (known EXACTLY from the
+        manifest, zero jobs) falls back to a shuffle join — a
+        delete-heavy pre-compaction state must not ride the driver."""
+        m = self._manifest_required()
+        if not m["tombstones"]:
+            return df
         ts = (self._tombstone_df()
               .groupBy("doc_id").agg(F.max("seq").alias("__ts_seq")))
-        return (df.join(F.broadcast(ts), "doc_id", "left")
+        if m["n_tombstone_rows"] <= self.broadcast_tombstone_rows:
+            ts = F.broadcast(ts)
+        return (df.join(ts, "doc_id", "left")
                 .filter(F.col("__ts_seq").isNull()
                         | (F.col("seg") >= F.col("__ts_seq")))
                 .drop("__ts_seq"))
+
+    def _old_live(self, victims: DataFrame) -> DataFrame:
+        """The victims' LIVE (doc_id, dl) rows in the current manifest's
+        segments — the doclens read is pruned to the victims' dbuckets
+        and semi-joined on the (batch-sized, broadcast) victim set.
+        Checkpointed: it feeds both the stats delta and the tombstone
+        write without re-scanning."""
+        m = self._manifest()
+        empty = self.spark.createDataFrame([], "doc_id long, dl int")
+        if m is None or not m["segments"]:
+            return empty
+        dbkts = [r[0] for r in
+                 victims.select(self._dbucket(F.col("doc_id")).alias("b"))
+                 .distinct().collect()]
+        if not dbkts:
+            return empty
+        old = (self._doclens_df()
+               .filter(F.col("dbucket").isin(dbkts))
+               .join(F.broadcast(victims), "doc_id", "left_semi"))
+        return (self._live(old).select("doc_id", "dl")
+                .localCheckpoint(eager=True))
+
+    @staticmethod
+    def _count_len(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
+                   .alias("t")).collect()[0]
+        return int(r["n"]), int(r["t"])
+
+    def _write_tombstones(self, ids: DataFrame, seq: int, v: int) -> str:
+        name = f"t{v:012d}"
+        (ids.select("doc_id", F.lit(seq).cast("int").alias("seq"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(self._tombstones, name)))
+        return name
 
     # -- operations ---------------------------------------------------------
 
     def build(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> None:
-        """One tokenize pass → segment 0 (a rebuild drops all segments
-        and tombstones through the FS and starts over)."""
-        for sub in (self._segments, self._doclens, self._tombstones):
+        """One tokenize pass → segment 0 + manifest v0 (a rebuild drops
+        all segments, tombstones, and the log through the FS and starts
+        over).  Ids must be unique (one row per document)."""
+        for sub in (self._segments, self._doclens, self._tombstones,
+                    self._log):
             self._fs_delete(sub)
+        self._m_cache = None
         # ONE tokenize pass materialized, feeding postings AND doclens
         # (dl is derived from tf plus an id-only membership scan — no
         # second corpus tokenize at any scale)
         tf = self._tf_of(docs, id_col, text_col).localCheckpoint(eager=True)
-        dl = self._doclens_from_tf(docs, id_col, tf)
+        dl = self._doclens_from_tf(docs, id_col, tf)\
+            .localCheckpoint(eager=True)
         self._write_segment(tf, dl, 0)
-        st = (self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
-              .agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
-                   .alias("total_len"))).collect()[0]
-        self._write_stats(int(st["n_docs"]), int(st["total_len"]))
-
-    def _write_stats(self, n_docs: int, total_len: int) -> None:
-        # the values are known driver-side at every call site, so the
-        # write doubles as the cache fill — no file-read job on the
-        # next search/maintenance op
-        (self.spark.createDataFrame([(n_docs, total_len)],
-                                    "n_docs long, total_len long")
-         .coalesce(1).write.mode("overwrite").parquet(self._stats))
-        self._stats_cache = [(n_docs, total_len)]
+        n, t = self._count_len(dl)
+        self._commit(0, "build", [0], [], 0, n, t)
 
     def stats(self) -> DataFrame:
-        if self._stats_cache is None:
-            self._stats_cache = [
-                (r["n_docs"], r["total_len"])
-                for r in self.spark.read.parquet(self._stats).collect()]
-        return self.spark.createDataFrame(self._stats_cache,
-                                          "n_docs long, total_len long")
+        """One-row (n_docs, total_len) — read from the manifest: the
+        statistics commit atomically with the file set and cost zero
+        jobs."""
+        m = self._manifest_required()
+        return self.spark.createDataFrame(
+            [(m["n_docs"], m["total_len"])], "n_docs long, total_len long")
 
     def search(self, query_terms: DataFrame, k: int = 10,
                checkpoint: bool = True, doc_filter=None) -> DataFrame:
@@ -240,9 +369,7 @@ class TextIndex:
         search)."""
         tb = [r[0] for r in query_terms
               .select(self._tbucket(F.col("term"))).distinct().collect()]
-        post = (self.spark.read.schema(POSTING_SCHEMA)
-                .parquet(self._segments)
-                .filter(F.col("tbucket").isin(tb)))
+        post = self._postings().filter(F.col("tbucket").isin(tb))
         tf = (self._live(
                 post.join(F.broadcast(query_terms.select("term").distinct()),
                           "term", "left_semi"))
@@ -257,61 +384,70 @@ class TextIndex:
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> None:
         """Per-document replace, O(batch): the batch becomes a NEW
-        immutable segment; the batch ids are tombstoned at the new
-        sequence (killing their rows in every older segment); corpus
-        statistics move by the exact (old live out, new in) delta.  No
-        existing segment file is touched."""
-        seg = (self._seg_list() or [-1])[-1] + 1
+        immutable segment; ids that have live rows in older segments are
+        tombstoned at the new sequence (brand-new documents write NO
+        tombstone — the tombstone set tracks replacements, not ingest
+        volume); corpus statistics move by the exact (old live out, new
+        in) delta inside the same manifest commit.  No existing segment
+        file is touched; the manifest write is the last step."""
+        # a duplicated id in the batch would write two live posting sets
+        # for one document (df/stats double-counted, dl nondeterministic
+        # via F.first) — refuse it up front; the check is one action
+        # over the batch-sized frame, never the index
+        if (docs.groupBy(F.col(id_col).cast("long")).count()
+                .filter(F.col("count") > 1).limit(1).count()):
+            raise ValueError("upsert batch contains duplicate id rows")
+        m = self._manifest_required()
+        seg = m["segments"][-1] + 1
         new_tf = self._tf_of(docs, id_col, text_col)\
             .localCheckpoint(eager=True)
         new_dl = self._doclens_from_tf(docs, id_col, new_tf)\
             .localCheckpoint(eager=True)
-        victims = new_dl.select("doc_id").distinct()
-        self._apply_stats_delta(victims, new_dl)
-        self._write_segment(new_tf, new_dl.drop("seg"), seg)
-        (victims.select("doc_id", F.lit(seg).cast("int").alias("seq"))
-         .coalesce(1).write.mode("append").parquet(self._tombstones))
+        old = self._old_live(new_dl.select("doc_id").distinct())
+        # one aggregate job covers both sides of the stats delta
+        both = (old.select(F.lit(0).alias("g"), "dl")
+                .unionByName(new_dl.select(F.lit(1).alias("g"), "dl")))
+        d = {r["g"]: r for r in
+             both.groupBy("g")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
+                  .alias("t")).collect()}
+        o_n, o_t = ((d[0]["n"], d[0]["t"]) if 0 in d else (0, 0))
+        n_n, n_t = ((d[1]["n"], d[1]["t"]) if 1 in d else (0, 0))
+        self._write_segment(new_tf, new_dl, seg)
+        v = m["version"] + 1
+        tombs, ts_rows = list(m["tombstones"]), m["n_tombstone_rows"]
+        if o_n:
+            tombs.append(self._write_tombstones(
+                old.select("doc_id").distinct(), seg, v))
+            ts_rows += o_n
+        self._commit(v, "upsert", m["segments"] + [seg], tombs, ts_rows,
+                     m["n_docs"] - o_n + n_n, m["total_len"] - o_t + n_t)
 
     def delete(self, doc_ids) -> None:
         """Tombstone documents, O(batch): no segment is read or
-        rewritten; stats move by the victims' live (count, dl) sum."""
+        rewritten; stats move by the victims' live (count, dl) sum.
+        Ids with nothing live (never ingested, or already deleted) are
+        a complete no-op — no commit, no empty tombstone file."""
         if not isinstance(doc_ids, DataFrame):
             doc_ids = self.spark.createDataFrame(
                 [(int(i),) for i in doc_ids], "doc_id long")
         victims = (doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
                                   .alias("doc_id")).distinct()
                    .localCheckpoint(eager=True))
-        seg = (self._seg_list() or [-1])[-1] + 1
-        self._apply_stats_delta(victims, None)
-        (victims.select("doc_id", F.lit(seg).cast("int").alias("seq"))
-         .coalesce(1).write.mode("append").parquet(self._tombstones))
-
-    def _apply_stats_delta(self, victims: DataFrame,
-                           new_dl: DataFrame | None) -> None:
-        """stats ← stats − victims' LIVE (count, Σdl) + incoming
-        (count, Σdl), folded into one aggregate job.  The victims' live
-        doclens read is pruned to their dbuckets."""
-        dbkts = [r[0] for r in
-                 victims.select(self._dbucket(F.col("doc_id")).alias("b"))
-                 .distinct().collect()]
-        old_dl = (self.spark.read.schema(DOCLENS_SCHEMA)
-                  .parquet(self._doclens)
-                  .filter(F.col("dbucket").isin(dbkts))
-                  .join(F.broadcast(victims), "doc_id", "left_semi"))
-        old_dl = self._live(old_dl)
-        both = old_dl.select(F.lit(0).alias("g"), "dl")
-        if new_dl is not None:
-            both = both.unionByName(new_dl.select(F.lit(1).alias("g"), "dl"))
-        delta = {r["g"]: r for r in
-                 both.groupBy("g")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.coalesce(F.sum(F.col("dl").cast("long")),
-                                 F.lit(0)).alias("t")).collect()}
-        o_n, o_t = ((delta[0]["n"], delta[0]["t"]) if 0 in delta else (0, 0))
-        n_n, n_t = ((delta[1]["n"], delta[1]["t"]) if 1 in delta else (0, 0))
-        cur = self.stats().collect()[0]
-        self._write_stats(int(cur["n_docs"] - o_n + n_n),
-                          int(cur["total_len"] - o_t + n_t))
+        m = self._manifest_required()
+        old = self._old_live(victims)
+        o_n, o_t = self._count_len(old)
+        if o_n == 0:
+            return
+        seq = m["segments"][-1] + 1          # dead in every live segment
+        v = m["version"] + 1
+        name = self._write_tombstones(old.select("doc_id").distinct(),
+                                      seq, v)
+        self._commit(v, "delete", m["segments"],
+                     m["tombstones"] + [name],
+                     m["n_tombstone_rows"] + o_n,
+                     m["n_docs"] - o_n, m["total_len"] - o_t)
 
     def phrase_search(self, phrases: DataFrame, k: int = 10) -> DataFrame:
         """Exact phrase search over the positional postings —
@@ -332,9 +468,7 @@ class TextIndex:
               .select(self._tbucket(F.col("term"))).distinct().collect()]
         need = (phrases.groupBy("query_id")
                 .agg(F.countDistinct("offset").alias("n_terms")))
-        post = (self.spark.read.schema(POSTING_SCHEMA)
-                .parquet(self._segments)
-                .filter(F.col("tbucket").isin(tb)))
+        post = self._postings().filter(F.col("tbucket").isin(tb))
         live = self._live(
             post.join(F.broadcast(phrases.select("term").distinct()),
                       "term", "left_semi")
@@ -383,9 +517,7 @@ class TextIndex:
               .select(self._tbucket(F.col("term"))).distinct().collect()]
         need = (terms.groupBy("query_id")
                 .agg(F.countDistinct("term").alias("n_terms")))
-        post = (self.spark.read.schema(POSTING_SCHEMA)
-                .parquet(self._segments)
-                .filter(F.col("tbucket").isin(tb)))
+        post = self._postings().filter(F.col("tbucket").isin(tb))
         live = self._live(
             post.join(F.broadcast(terms.select("term").distinct()),
                       "term", "left_semi")
@@ -434,7 +566,7 @@ class TextIndex:
         top = self.search(query_terms, k=k).select(
             "query_id", "doc_id", "rank")
         live = self._live(
-            self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
+            self._postings()
             .filter(F.col("tbucket").isin(
                 [r[0] for r in query_terms
                  .select(self._tbucket(F.col("term"))).distinct()
@@ -482,44 +614,72 @@ class TextIndex:
         take-ordered for the top-k — the rank window runs over k rows."""
         from pyspark.sql import Window
 
-        live = self._live(
-            self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
-            .select("doc_id", "term", "seg"))
+        live = self._live(self._postings().select("doc_id", "term", "seg"))
         df_ = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         top = df_.orderBy(F.desc("df"), "term").limit(k)
         w = Window.orderBy(F.desc("df"), "term")
         return (top.withColumn("rank", F.row_number().over(w).cast("int"))
                 .select("term", "df", "rank"))
 
-    def maybe_compact(self, max_segments: int = 16) -> bool:
-        """Compact iff the segment count exceeds ``max_segments`` — the
-        background-merge policy of a long-running ingest (each
-        microbatch adds one segment; unbounded segments mean unbounded
-        per-search file listings and a growing tombstone join).  One
-        driver-side FS listing when below threshold.  Returns whether a
-        compaction ran."""
-        if len(self._seg_list()) <= max_segments:
+    def maybe_compact(self, max_segments: int = 16,
+                      max_tombstone_files: int = 16,
+                      max_tombstone_rows: int = 1_000_000) -> bool:
+        """Compact iff the segment count OR the tombstone volume crosses
+        its threshold — the background-merge policy of a long-running
+        ingest.  The tombstone triggers close the delete-only blind
+        spot: a retention sweep / GDPR purge stream appends tombstones
+        WITHOUT adding segments, and its accumulated set rides every
+        search's tombstone join — so tombstone file count (one dir per
+        delete/replace commit) and the manifest's exact row count both
+        fire the merge.  All three signals come from the cached
+        manifest: ZERO file listings or jobs below threshold.  Returns
+        whether a compaction ran."""
+        m = self._manifest()
+        if m is None:
+            return False
+        if (len(m["segments"]) <= max_segments
+                and len(m["tombstones"]) <= max_tombstone_files
+                and m["n_tombstone_rows"] <= max_tombstone_rows):
             return False
         self.compact()
         return True
 
     def compact(self) -> None:
         """Fold every live posting/doclen row into one fresh segment and
-        clear the tombstones — bounds segment count and tombstone size
+        clear the tombstones — bounds segment count and tombstone volume
         after many upserts (call on the same cadence as
-        VectorStore.compact).  Search results unchanged."""
+        VectorStore.compact).  Search results unchanged.
+
+        Crash-safe: the merged segment is written first, then published
+        in one manifest commit; only AFTER the commit are dead files
+        garbage-collected (the sweep also removes orphans of earlier
+        crashed maintenance ops — anything on disk the manifest doesn't
+        name).  A crash at any point leaves a readable, uncorrupted
+        index: before the commit readers still resolve the old state,
+        after it the new one."""
+        m = self._manifest_required()
         live_tf = self._live(
-            self.spark.read.schema(POSTING_SCHEMA).parquet(self._segments)
+            self._postings()
             .select("doc_id", "term", "tf", "dl", "pos", "seg")) \
             .drop("seg").localCheckpoint(eager=True)
         live_dl = self._live(
-            self.spark.read.schema(DOCLENS_SCHEMA).parquet(self._doclens)
+            self._doclens_df()
             .select("doc_id", "dl", "dbucket", "seg")) \
             .drop("seg").localCheckpoint(eager=True)
-        old_segs = self._seg_list()
-        seg = (old_segs or [-1])[-1] + 1
+        seg = m["segments"][-1] + 1
         self._write_segment(live_tf, live_dl, seg)
-        for s in old_segs:
-            self._fs_delete(os.path.join(self._segments, f"seg={s}"))
-            self._fs_delete(os.path.join(self._doclens, f"seg={s}"))
+        v = m["version"] + 1
+        self._commit(v, "compact", [seg], [], 0,
+                     m["n_docs"], m["total_len"])
+        # post-commit GC: drop every segment dir the new manifest does
+        # not name (dead + orphaned), all tombstones, and stale manifests
+        for name in self._fs_children(self._segments, "seg="):
+            if name != f"seg={seg}":
+                self._fs_delete(os.path.join(self._segments, name))
+        for name in self._fs_children(self._doclens, "seg="):
+            if name != f"seg={seg}":
+                self._fs_delete(os.path.join(self._doclens, name))
         self._fs_delete(self._tombstones)
+        for name in self._fs_children(self._log, "v"):
+            if name != f"v{v:012d}.json":
+                self._fs_delete(os.path.join(self._log, name))

@@ -86,6 +86,12 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
         # store AND the serving indexes (replace_documents returns
         # exactly the dropped keys)
         stale = store.replace_documents(chunks)  # checkpointed inside
+        # in the common no-shrink microbatch there is nothing stale:
+        # skip the index delete calls entirely (one cheap isEmpty on the
+        # checkpointed frame) instead of appending empty tombstone files
+        # and rewriting index metadata twice per batch
+        has_stale = ((ivf_index is not None or text_index is not None)
+                     and not stale.isEmpty())
         stale_ids = stale.select(
             F.xxhash64(F.concat_ws("#", F.col("document_url"),
                                    F.col("id"))).alias("vec_id"))
@@ -93,12 +99,14 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
             "#", F.col("document_url"),
             F.col("chunk_number").cast("string")))
         if ivf_index is not None:
-            ivf_index.delete(stale_ids)
+            if has_stale:
+                ivf_index.delete(stale_ids)
             ivf_index.upsert(chunks.select(chunk_key.alias("vec_id"),
                                            F.col("embedding")))
         if text_index is not None:
-            text_index.delete(stale_ids.select(
-                F.col("vec_id").alias("doc_id")))
+            if has_stale:
+                text_index.delete(stale_ids.select(
+                    F.col("vec_id").alias("doc_id")))
             text_index.upsert(chunks.select(chunk_key.alias("doc_id"),
                                             F.col("chunk_text")),
                               id_col="doc_id", text_col="chunk_text")
