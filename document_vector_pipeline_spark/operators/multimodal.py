@@ -128,26 +128,53 @@ RESIZED_SCHEMA = ("asset_id long, width int, height int, new_width int, "
                   "new_height int, resized binary")
 
 
+def _stub_codec():
+    """The deterministic fake codec (no image libraries in this
+    container): source dims from the payload's md5 (same family as
+    decode_assets), 'resize' = a byte subsample sized to the
+    proportional pixel budget ``len * nw*nh // (w*h)``."""
+    import hashlib
+
+    def dims(payload: bytes):
+        h = hashlib.md5(payload).hexdigest()
+        return int(h[:4], 16) % 1920 + 1, int(h[4:8], 16) % 1080 + 1
+
+    def resize(payload: bytes, w: int, ht: int, nw: int, nh: int):
+        n = len(payload)
+        m = n * (nw * nh) // (w * ht)                # byte budget, m <= n
+        if m <= 0:
+            return b""
+        stride = max(1, n // m)
+        return payload[::stride][:m]
+
+    return dims, resize
+
+
 def resize_assets(assets: DataFrame, max_w: int = 640,
-                  max_h: int = 480) -> DataFrame:
+                  max_h: int = 480, codec=None) -> DataFrame:
     """Aspect-fit resize for image-kind assets via mapInPandas —
     (asset_id, width, height, new_width, new_height, resized binary).
 
-    STUB RESIZER: real codecs are unavailable here, so source dims come
-    from the same deterministic md5 fake as ``decode_assets``, the
-    aspect-fit target is EXACT integer arithmetic (shrink-only:
-    new_w = max_w, new_h = h*max_w // w when width-bound, mirrored when
-    height-bound, floor >= 1), and the "resized" payload is a
-    deterministic byte subsample sized to the proportional pixel budget
-    ``len * new_w*new_h // (w*h)``.  A production deployment swaps the
-    subsample for PIL.Image.resize inside the SAME mapInPandas
-    contract — schema, batching, per-row independence are the real
-    plumbing.  Map-only; at 100 TB this is the classic embarrassingly
-    parallel byte-crunch stage."""
+    ``codec`` is the injectable-decoder seam (the multimodal analogue of
+    ``analyze_with_client``): a ``(dims, resize)`` pair of plain
+    callables — ``dims(payload) -> (w, h)`` and
+    ``resize(payload, w, h, new_w, new_h) -> bytes`` — executed per row
+    INSIDE the same mapInPandas contract, so a real library (e.g.
+    PIL.Image.open / .resize, exercised by the optional
+    tests/test_multimodal.py PIL test) drops in without touching the
+    Spark-side plumbing.  Default: the deterministic stub codec (the
+    oracle twin; real image libraries are unavailable in this
+    container).
+
+    The aspect-fit TARGET is exact integer arithmetic computed by the
+    operator, not the codec (shrink-only: new_w = max_w,
+    new_h = h*max_w // w when width-bound, mirrored when height-bound,
+    floor >= 1) — the tested semantics are codec-independent.
+    Map-only; at 100 TB this is the classic embarrassingly parallel
+    byte-crunch stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
+        dims, do_resize = codec if codec is not None else _stub_codec()
         cols = ["asset_id", "width", "height", "new_width", "new_height",
                 "resized"]
         for pdf in batches:
@@ -156,25 +183,17 @@ def resize_assets(assets: DataFrame, max_w: int = 640,
                 if row["kind"] != "image":
                     continue
                 payload = row["payload"] or b""
-                h = hashlib.md5(payload).hexdigest()
-                w = int(h[:4], 16) % 1920 + 1
-                ht = int(h[4:8], 16) % 1080 + 1
+                w, ht = dims(payload)
                 if w <= max_w and ht <= max_h:
                     nw, nh = w, ht
                 elif w * max_h >= ht * max_w:        # width-bound
                     nw, nh = max_w, max(1, ht * max_w // w)
                 else:
                     nw, nh = max(1, w * max_h // ht), max_h
-                n = len(payload)
-                m = n * (nw * nh) // (w * ht)        # byte budget, m <= n
-                if m > 0:
-                    stride = max(1, n // m)
-                    resized = payload[::stride][:m]
-                else:
-                    resized = b""
                 out.append({"asset_id": row["asset_id"], "width": w,
                             "height": ht, "new_width": nw,
-                            "new_height": nh, "resized": resized})
+                            "new_height": nh,
+                            "resized": do_resize(payload, w, ht, nw, nh)})
             yield pd.DataFrame(out, columns=cols)
 
     return assets.mapInPandas(run, RESIZED_SCHEMA)

@@ -94,14 +94,17 @@ class VersionedTable:
         return json.loads(self._read_text(f"_log/v{version:012d}.json"))
 
     def _commit(self, df: DataFrame, op: str,
-                carry_dirs: list[str]) -> int:
+                carry_dirs: list[str], carry_rows: int = 0) -> int:
+        """Row accounting is arithmetic — ``carry_rows`` (the carried
+        dirs' count, known from the prior manifest) plus a footer-only
+        count of the NEWLY written dir — so a commit's cost is bounded
+        by its batch even when the manifest carries a 100 TB tail."""
         v = (self.latest() + 1) if self.versions() else 0
         new_dir = f"data/v{v:012d}"
         full = f"{self.path}/{new_dir}"
         df.write.mode("overwrite").parquet(full)
         dirs = list(carry_dirs) + [new_dir]
-        n_rows = self.spark.read.parquet(
-            *[f"{self.path}/{d}" for d in dirs]).count()
+        n_rows = int(carry_rows) + self.spark.read.parquet(full).count()
         manifest = {"version": v, "op": op, "dirs": dirs,
                     "n_rows": n_rows}
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
@@ -123,9 +126,12 @@ class VersionedTable:
             *[f"{self.path}/{d}" for d in m["dirs"]])
 
     def commit_append(self, df: DataFrame) -> int:
-        prev = (self._manifest(self.latest())["dirs"]
-                if self.versions() else [])
-        return self._commit(df, "append", prev)
+        if self.versions():
+            m = self._manifest(self.latest())
+            prev, prev_rows = m["dirs"], m["n_rows"]
+        else:
+            prev, prev_rows = [], 0
+        return self._commit(df, "append", prev, prev_rows)
 
     def commit_overwrite(self, df: DataFrame) -> int:
         return self._commit(df, "overwrite", [])
@@ -250,11 +256,58 @@ class BucketedVersionedTable(VersionedTable):
             return 0
         return self._read_dirs(dirs).count()
 
+    def _require_bucket(self, df: DataFrame) -> None:
+        if self.bucket_col not in df.columns:
+            raise ValueError(
+                f"BucketedVersionedTable commits require the "
+                f"'{self.bucket_col}' column on every row")
+
+    # The inherited commit methods would write plain 'data/vN' dirs with
+    # no '__pb=' suffix — dirs _bucket_of can never match, so a later
+    # bucketed upsert would silently carry them and keep stale rows for
+    # keys it was supposed to replace.  All three are re-routed through
+    # the bucketed writer so EVERY manifest dir carries its bucket name.
+
+    def commit_overwrite(self, df: DataFrame) -> int:
+        self._require_bucket(df)
+        v = (self.latest() + 1) if self.versions() else 0
+        dirs = self._write_buckets(df, v)
+        return self._commit_dirs("overwrite", dirs, self._count_dirs(dirs))
+
+    def commit_append(self, df: DataFrame) -> int:
+        self._require_bucket(df)
+        # prior dirs are carried: a bucket may then be backed by several
+        # dirs, which upsert/delete_rows handle (they match bucket NAMES,
+        # reading/rewriting every dir of an affected bucket)
+        if self.versions():
+            m = self._manifest(self.latest())
+            prev, prev_rows, v = m["dirs"], m["n_rows"], m["version"] + 1
+        else:
+            prev, prev_rows, v = [], 0, 0
+        new_dirs = self._write_buckets(df, v)
+        return self._commit_dirs("append", prev + new_dirs,
+                                 prev_rows + self._count_dirs(new_dirs))
+
+    def delete_where(self, cond) -> int:
+        """Unrestricted-predicate delete: every bucket is affected, so
+        survivors of ALL dirs are rewritten through the bucketed writer
+        (``delete_rows`` is the narrowed variant when the caller knows
+        the keys' buckets)."""
+        if not self.versions():
+            raise ValueError(f"no versions to delete from at {self.path}")
+        m = self._manifest(self.latest())
+        surv = self._read_dirs(m["dirs"]).filter(~cond)
+        v = self.latest() + 1
+        new_dirs = self._write_buckets(surv, v)
+        return self._commit_dirs("delete", new_dirs,
+                                 self._count_dirs(new_dirs))
+
     def upsert(self, df: DataFrame, keys: list[str]) -> int:
         """Merge-on-key touching only the incoming rows' buckets; the
         merged result is written straight to the NEW version dir (never
         a self-overwrite, so no checkpoint), and all row accounting is
         metadata-only footer counts."""
+        self._require_bucket(df)
         df = df.localCheckpoint(eager=True)   # embeddings computed once
         if not self.versions():
             dirs = self._write_buckets(df, 0)

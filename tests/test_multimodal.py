@@ -101,3 +101,48 @@ def test_resize_aspect_fit_and_byte_budget(spark):
     audio = spark.createDataFrame([(9, "audio", b"abc", None)],
                                   multimodal.ASSET_SCHEMA)
     assert multimodal.resize_assets(audio).count() == 0
+
+
+def test_resize_with_real_codec_if_available(spark):
+    """Optional (the mm symmetry of the pypdf parse-seam test): if a
+    real image library is importable, wire PIL through resize_assets'
+    codec seam — bytes the repo didn't fabricate, decoded and resized
+    by a real codec inside the SAME mapInPandas contract."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from document_vector_pipeline_spark.operators import multimodal
+
+    def make_png(w, h):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), (120, 30, 200)).save(buf, "PNG")
+        return buf.getvalue()
+
+    def pil_dims(payload):
+        with PIL_Image.open(io.BytesIO(payload)) as im:
+            return im.size
+
+    def pil_resize(payload, w, h, nw, nh):
+        with PIL_Image.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize((nw, nh)).save(buf, "PNG")
+            return buf.getvalue()
+
+    rows = [(1, make_png(1600, 400)),     # width-bound shrink
+            (2, make_png(200, 960)),      # height-bound shrink
+            (3, make_png(100, 80))]       # already fits: untouched dims
+    assets = spark.createDataFrame(
+        [(i, "image", p, None) for i, p in rows], multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in
+           multimodal.resize_assets(assets, max_w=640, max_h=480,
+                                    codec=(pil_dims, pil_resize)).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (1600, 400)
+    assert (got[1]["new_width"], got[1]["new_height"]) == (640, 160)
+    assert (got[2]["new_width"], got[2]["new_height"]) == (100, 480)
+    assert (got[3]["new_width"], got[3]["new_height"]) == (100, 80)
+    # the resized payloads are REAL images at exactly the target dims
+    for i, r in got.items():
+        with PIL_Image.open(io.BytesIO(bytes(r["resized"]))) as im:
+            assert im.size == (r["new_width"], r["new_height"])

@@ -533,3 +533,96 @@ def test_bucketed_versioned_random_commits_match_model(spark, tmp_path):
                for r in vvs.read(v).collect()}
         assert got == snap, f"version {v} diverged"
         assert vvs.vt._manifest(v)["n_rows"] == len(snap)
+
+
+def test_bucketed_nonbucketed_commits_route_through_buckets(spark, tmp_path):
+    """Round-6 advice: the inherited commit_append/commit_overwrite/
+    delete_where wrote plain dirs with no '__pb=' suffix, which
+    _bucket_of can never match — a later bucketed upsert would silently
+    carry them and keep stale rows for keys it replaced.  All three now
+    write bucketed dirs (so upsert replaces keys regardless of which
+    commit ingested them) and frames without the bucket column are
+    refused up front."""
+    import pytest as _pt
+
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    bt = BucketedVersionedTable(spark, str(tmp_path / "bvt"), bucket_col="b")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v string, b int")
+
+    with _pt.raises(ValueError, match="'b' column"):
+        bt.commit_append(spark.createDataFrame([(1, "x")],
+                                               "k long, v string"))
+    bt.commit_append(mk([(1, "a", 1), (2, "b", 0)]))
+    bt.commit_append(mk([(3, "c", 1)]))
+    m = bt._manifest(bt.latest())
+    assert all("__pb=" in d for d in m["dirs"]) and m["n_rows"] == 3
+    # the advice scenario: upsert must REPLACE k=1 even though it
+    # arrived via commit_append (pre-fix its dir was carried verbatim)
+    bt.upsert(mk([(1, "a2", 1)]), keys=["k"])
+    got = {(r["k"], r["v"]) for r in bt.read().collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+    assert bt._manifest(bt.latest())["n_rows"] == 3
+    bt.commit_overwrite(mk([(9, "z", 0), (8, "y", 1)]))
+    m = bt._manifest(bt.latest())
+    assert all("__pb=" in d for d in m["dirs"]) and m["n_rows"] == 2
+    bt.delete_where(F.col("k") == 9)
+    m = bt._manifest(bt.latest())
+    assert all("__pb=" in d for d in m["dirs"]) and m["n_rows"] == 1
+    assert {r["k"] for r in bt.read().collect()} == {8}
+    # every historical version still reads through its own manifest
+    assert [r["n_rows"] for r in
+            bt.history().orderBy("version").collect()] == [2, 3, 3, 2, 1]
+
+
+def test_build_text_asof_pins_both_hybrid_legs(spark, tmp_path):
+    """Round 7: the keyword twin of build_ivf_asof — both serving
+    indexes rebuilt AS OF a pinned version give an indexed hybrid that
+    (a) equals the scan-path hybrid over exactly that snapshot and
+    (b) replays byte-identical after ANY amount of later ingest."""
+    from document_vector_pipeline_spark.operators import retrieval, similarity
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs_ta"), CFG)
+    rows = [("u1", 0, "alpha beta", 0, [1.0, 0.0, 0.0, 0.0]),
+            ("u2", 0, "beta gamma", 0, [0.0, 1.0, 0.0, 0.0]),
+            ("u3", 0, "gamma delta", 0, [0.0, 0.0, 1.0, 0.0])]
+    vvs.upsert(_chunks(spark, rows))
+    v1 = vvs.upsert(_chunks(spark, [
+        ("u2", 0, "beta gamma epsilon", 0, [0.5, 0.5, 0.0, 0.0])]))
+    key = F.abs(F.xxhash64(F.col("document_url")))
+    qt = spark.createDataFrame([(0, "beta"), (0, "delta")],
+                               "query_id long, term string")
+    qv = spark.createDataFrame([(0, [1.0, 1.0, 0.0, 0.0])],
+                               "query_id long, query_vec array<float>")
+
+    def asof_hybrid(tag):
+        ti = vvs.build_text_asof(str(tmp_path / f"ta_ti{tag}"),
+                                 version=v1, n_term_buckets=4,
+                                 n_doc_buckets=2, id_expr=key)
+        vi = vvs.build_ivf_asof(str(tmp_path / f"ta_vi{tag}"),
+                                version=v1, n_centroids=2, id_expr=key)
+        return sorted(map(tuple, retrieval.hybrid_search_indexed(
+            ti, vi, qt, qv, k=3, nprobe=2).collect()))
+
+    got = asof_hybrid("a")
+    # scan-path truth over exactly v1's snapshot
+    snap = vvs.read(v1).select(key.alias("doc_id"),
+                               F.col("chunk_text").alias("text"),
+                               F.col("embedding"))
+    text = retrieval.bm25_topk(snap, qt, k=3)
+    vec = similarity.brute_force_topk(
+        snap.select(F.col("doc_id").alias("vec_id"), "embedding"), qv, k=3)
+    want = sorted(map(tuple, retrieval.rrf_fuse(text, vec, k=3).collect()))
+    assert got == want
+    # later ingest must not perturb the pinned serving state
+    vvs.delete_documents(["u1"])
+    vvs.upsert(_chunks(spark, [
+        ("u9", 0, "beta beta beta", 0, [1.0, 1.0, 0.0, 0.0])]))
+    assert asof_hybrid("b") == got
