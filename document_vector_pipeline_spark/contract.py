@@ -2126,6 +2126,85 @@ from h where rank <= {k}
 """
 
 
+def q_store_versioned_ingest(spark, sf_dir):
+    """Commit-per-batch ingest audit (the batch twin of
+    streaming/ingest.stream_ingest_versioned, which is stream≡batch
+    tested): batch 1 ingests the corpus with an EXTRA chunk 1 for every
+    6th document; batch 2 RE-INGESTS those documents with one modified
+    chunk via ``replace_documents`` — per-document replace, so the
+    shrunken documents' chunk 1 must vanish from v1 while v0 keeps it.
+    Output: one audit row per version (version, n_rows, digest) where
+    digest = Σ md5-int13 of (document_url \\x01 id \\x01 chunk_text) —
+    an exact content fingerprint of every snapshot, proving both the
+    replace semantics and snapshot isolation through the manifest log.
+    Plan: each commit rewrites only the touched urls' hash buckets; the
+    audit reads each version through its manifest."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "versioned_ingest")
+    shutil.rmtree(path, ignore_errors=True)
+    vvs = VersionedVectorStore(spark, path,
+                               PipelineConfig(store_buckets=8))
+    six = docs.filter(F.col("doc_id") % 6 == 0)
+    batch1 = _store_chunks(docs).unionByName(
+        _store_chunks(six.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit("part two"))))
+        .withColumn("chunk_number", F.lit(1)))
+    vvs.replace_documents(batch1)
+    vvs.replace_documents(_store_chunks(six.withColumn(
+        "text", F.concat_ws(" ", F.col("text"),
+                            F.lit("replaced edition")))))
+    sig = md5_long(F.concat_ws("\u0001", F.col("document_url"),
+                               F.col("id"), F.col("chunk_text")),
+                   hex_digits=13)
+    out = None
+    for v in vvs.versions():
+        r = (vvs.read(v)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.sum(sig).cast("long").alias("digest"))
+             .withColumn("version", F.lit(v).cast("int")))
+        out = r if out is None else out.unionByName(r)
+    return out.select("version", "n_rows", "digest")
+
+
+def _sql_store_versioned_ingest() -> str:
+    sig = _md5l("document_url || chr(1) || id || chr(1) || chunk_text", 13)
+    return f"""
+with d as (
+  select doc_id, {_URL_SQL} as document_url,
+         {_norm_text('text')} as t0,
+         {_norm_text("text || ' part two'")} as t1,
+         {_norm_text("text || ' replaced edition'")} as t2
+  from documents),
+b1 as (
+  select document_url, '0' as id, t0 as chunk_text from d
+  union all
+  select document_url, '1' as id, t1 as chunk_text from d
+  where doc_id % 6 = 0),
+b2 as (
+  select document_url, '0' as id, t2 as chunk_text from d
+  where doc_id % 6 = 0),
+v0 as (select * from b1),
+v1 as (
+  select * from b1 where document_url not in
+    (select document_url from b2)
+  union all select * from b2),
+a0 as (select cast(0 as int) as version,
+              cast(count(*) as bigint) as n_rows,
+              cast(sum({sig}) as bigint) as digest from v0),
+a1 as (select cast(1 as int) as version,
+              cast(count(*) as bigint) as n_rows,
+              cast(sum({sig}) as bigint) as digest from v1)
+select version, n_rows, digest from a0
+union all
+select version, n_rows, digest from a1
+"""
+
+
 def q_ann_ivf_stats(spark, sf_dir):
     """Cell-balance monitoring of the persisted IVF index: per-cell
     population, corpus share (ppm) and fill factor vs uniform (milli;
@@ -7118,6 +7197,7 @@ def queries():
         "store_versioned_search": q_store_versioned_search,
         # -- new round-7 keys --
         "store_versioned_hybrid": q_store_versioned_hybrid,
+        "store_versioned_ingest": q_store_versioned_ingest,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7417,6 +7497,7 @@ from c
         "ann_ivf_filtered": _sql_ann_ivf_filtered(),
         "store_versioned_search": _sql_store_versioned_search(),
         "store_versioned_hybrid": _sql_store_versioned_hybrid(),
+        "store_versioned_ingest": _sql_store_versioned_ingest(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),

@@ -70,6 +70,21 @@ class VersionedVectorStore:
         returns the new version."""
         return self.vt.upsert(self._model._normalize(chunks), keys=list(KEY))
 
+    def replace_documents(self, chunks: DataFrame) -> int:
+        """Per-document REPLACE as ONE bucket-incremental commit (the
+        versioned twin of VectorStore.replace_documents, and the
+        per-microbatch op of ``stream_ingest_versioned``): every
+        existing chunk of the batch's documents is dropped and the
+        batch's chunks take their place, so a re-ingested document that
+        SHRANK leaves no stale higher-numbered chunks in the NEW
+        version — while every prior version keeps reading its own
+        bytes.  keys=[document_url] turns the bucketed merge's
+        anti-join into whole-document replacement; only the urls' hash
+        buckets are rewritten (untouched bucket dirs carried by
+        reference)."""
+        return self.vt.upsert(self._model._normalize(chunks),
+                              keys=["document_url"])
+
     def delete_documents(self, document_urls: list[str]) -> int:
         """Snapshot delete of whole documents; returns the new version.
         Only the urls' hash buckets are read/rewritten."""

@@ -122,6 +122,49 @@ def stream_ingest(spark: SparkSession, blob_path: str, store: VectorStore,
     return writer.start()
 
 
+def stream_ingest_versioned(spark: SparkSession, blob_path: str,
+                            vstore, checkpoint: str,
+                            cfg: PipelineConfig = DEFAULT_CONFIG,
+                            available_now: bool = True,
+                            embed_client=None,
+                            embed_retry_delay_s: float = 10.0) -> StreamingQuery:
+    """Always-on ingest into a VersionedVectorStore: every non-empty
+    microbatch becomes ONE manifest commit (replace_documents — the
+    re-ingest of a shrunken document purges its stale chunks in the new
+    version), so the stream leaves an AUDITABLE history: ``history()``
+    shows exactly which blob batches arrived when, any prior state stays
+    searchable (``search_many(version=N)``), and a retrieval eval pinned
+    mid-stream replays byte-identical forever.  The commit is
+    bucket-incremental — a microbatch touching few documents rewrites
+    only their hash buckets, whatever the table's total size — which is
+    what makes an always-on commit-per-batch log viable at 100 TB.
+    The mutate-in-place twin is ``stream_ingest`` (the reference's
+    semantics, BlobTriggerFunction.cs:40-56); same file-source
+    exactly-once contract via the checkpointed offsets."""
+    blobs = stream_text_blobs(spark, blob_path)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = blobs_to_chunks(batch_df, cfg)
+        if embed_client is not None:
+            from document_vector_pipeline_spark.operators.embed import (
+                embed_with_client,
+            )
+            chunks = embed_with_client(chunks, embed_client,
+                                       retry_delay_s=embed_retry_delay_s)
+        else:
+            chunks = add_embeddings(chunks, cfg=cfg)
+        vstore.replace_documents(chunks)
+
+    writer = (blobs.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_blob_events(spark: SparkSession, events_path: str,
                        store: VectorStore, checkpoint: str,
                        cfg: PipelineConfig = DEFAULT_CONFIG,

@@ -553,3 +553,74 @@ def test_streamed_serving_stack_answers_hybrid_like_batch(spark, tmp_path):
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, want.collect())))
     assert got.count() > 0
+
+
+def test_stream_ingest_versioned_commits_per_microbatch(spark, tmp_path):
+    """Round 7: streaming ingest into a VersionedVectorStore — every
+    drained batch is one auditable manifest commit; a shrinking
+    re-ingest purges stale chunks in the NEW version while the prior
+    version keeps serving its exact old state (the mid-stream-pinned
+    retrieval eval); the final state equals the batch pipeline."""
+    from document_vector_pipeline_spark.operators.embed import (
+        add_embeddings,
+    )
+    from document_vector_pipeline_spark.operators.pipeline import (
+        blobs_to_chunks,
+    )
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_ingest_versioned,
+    )
+
+    blob_dir = tmp_path / "v_inbox"
+    blob_dir.mkdir()
+    long_text = " ".join(f"w{i}" for i in range(120))   # multi-chunk doc
+    (blob_dir / "a.txt").write_text(long_text)
+    (blob_dir / "b.txt").write_text("steady second doc")
+    vvs = VersionedVectorStore(spark, str(tmp_path / "v_store"), CFG)
+    q = stream_ingest_versioned(spark, str(blob_dir), vvs,
+                                checkpoint=str(tmp_path / "v_ckpt"),
+                                cfg=CFG)
+    q.awaitTermination(120)
+    v0 = vvs.versions()[-1]
+    n0 = vvs.read(v0).count()
+    a0 = vvs.read(v0).filter(F.col("document_url").endswith("a.txt"))
+    assert a0.count() > 1                               # chunked long doc
+
+    # a.txt shrinks to one chunk; a fresh checkpoint re-delivers the
+    # directory (the file source tracks paths, not contents) and the
+    # drain commits ONE new version via replace_documents
+    (blob_dir / "a.txt").write_text("tiny now")
+    q2 = stream_ingest_versioned(spark, str(blob_dir), vvs,
+                                 checkpoint=str(tmp_path / "v_ckpt2"),
+                                 cfg=CFG)
+    q2.awaitTermination(120)
+    v1 = vvs.versions()[-1]
+    assert v1 > v0
+    # new version: exactly one a.txt chunk, no stale survivors
+    a1 = vvs.read(v1).filter(F.col("document_url").endswith("a.txt"))
+    assert [r["chunk_text"] for r in a1.collect()] == ["tiny now"]
+    # pinned version still serves the pre-shrink state byte-for-byte
+    assert vvs.read(v0).count() == n0
+    assert (sorted(r["chunk_text"] for r in
+                   vvs.read(v0).filter(
+                       F.col("document_url").endswith("a.txt")).collect())
+            == sorted(r["chunk_text"] for r in a0.collect()))
+    # final state == batch pipeline over the current blob directory
+    blobs = spark.createDataFrame(
+        [(f"file:{blob_dir}/a.txt", "tiny now"),
+         (f"file:{blob_dir}/b.txt", "steady second doc")],
+        "document_url string, content string")
+    want = add_embeddings(blobs_to_chunks(blobs, CFG), cfg=CFG)
+    got = vvs.read(v1)
+    assert got.count() == want.count()
+    wk = {(r["document_url"].rsplit("/", 1)[-1], r["chunk_number"],
+           r["chunk_text"]) for r in want.collect()}
+    gk = {(r["document_url"].rsplit("/", 1)[-1], int(r["id"]),
+           r["chunk_text"]) for r in got.collect()}
+    assert gk == wk
+    # audit trail: one commit per drained batch, every op a replace
+    ops = [r["op"] for r in vvs.history().orderBy("version").collect()]
+    assert len(ops) == 2 and all(o == "upsert" for o in ops)
