@@ -281,6 +281,7 @@ def main() -> None:
     # the serving number that matters: probe-pruned search, no corpus scan
     bench("text_bm25_indexed", lambda: ti.search(bm25_qt, k=10))
     bench("text_df_topk", lambda: ti.df_topk(50))
+    bench("text_index_stats", lambda: ti.index_stats())
     bench("text_bm25_filtered",
           lambda: ti.search(bm25_qt, k=10,
                             doc_filter=F.col("doc_id") % 3 == 0))

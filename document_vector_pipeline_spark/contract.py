@@ -1648,6 +1648,53 @@ from r where rank <= {k}
 """
 
 
+def q_text_index_stats(spark, sf_dir):
+    """Index-health monitoring for the persisted keyword index
+    (store/text_index.py index_stats — the keyword twin of
+    ann_ivf_stats, and the metric maybe_compact's thresholds read):
+    after the same maintenance cycle as text_bm25_indexed (build →
+    delete every 10th → re-upsert every 20th modified), report segment
+    count, tombstone volume (files + exact rows — note the round-7
+    live-only rule: the re-upserted docs were already dead, so the
+    upsert wrote ZERO tombstones), manifest corpus stats, and a live
+    posting census.  Manifest fields cost zero jobs; the census is one
+    column-pruned posting scan."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_stats_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    idx.delete(docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    idx.upsert(docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.lit("vector index term"))))
+    return idx.index_stats()
+
+
+def _sql_text_index_stats() -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with src as (
+  select doc_id, text from documents where doc_id % 10 <> 0
+  union all
+  select doc_id, text || ' vector index term' as text
+  from documents where doc_id % 20 = 0),
+post as (select distinct doc_id, term
+         from (select doc_id, unnest({toks}) as term from src))
+select cast(2 as int) as n_segments,
+       cast(1 as int) as n_tombstone_files,
+       (select cast(count(*) as bigint) from documents
+        where doc_id % 10 = 0) as n_tombstone_rows,
+       (select cast(count(*) as bigint) from src) as n_docs,
+       (select cast(sum(len({toks})) as bigint) from src) as total_len,
+       (select cast(count(*) as bigint) from post) as live_postings,
+       (select cast(count(distinct term) as bigint) from post)
+         as live_terms
+"""
+
+
 # phrase-query batch for the positional-index key: a common bigram, a
 # cross-entity bigram, a REPEATED-term phrase (overlapping occurrences
 # must be counted by position algebra, not string replace), a trigram
@@ -7198,6 +7245,7 @@ def queries():
         # -- new round-7 keys --
         "store_versioned_hybrid": q_store_versioned_hybrid,
         "store_versioned_ingest": q_store_versioned_ingest,
+        "text_index_stats": q_text_index_stats,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7498,6 +7546,7 @@ from c
         "store_versioned_search": _sql_store_versioned_search(),
         "store_versioned_hybrid": _sql_store_versioned_hybrid(),
         "store_versioned_ingest": _sql_store_versioned_ingest(),
+        "text_index_stats": _sql_text_index_stats(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),

@@ -621,6 +621,29 @@ class TextIndex:
         return (top.withColumn("rank", F.row_number().over(w).cast("int"))
                 .select("term", "df", "rank"))
 
+    def index_stats(self) -> DataFrame:
+        """One-row index health report — (n_segments, n_tombstone_files,
+        n_tombstone_rows, n_docs, total_len, live_postings, live_terms):
+        the keyword twin of IVFIndex.cell_stats, and the metric the
+        maybe_compact thresholds are tuned against.  Manifest fields are
+        driver-side metadata (zero jobs); the posting census is ONE
+        column-pruned scan (doc_id, term, seg) through the live filter —
+        the same read df_topk does."""
+        m = self._manifest_required()
+        live = self._live(self._postings().select("doc_id", "term", "seg"))
+        census = live.agg(
+            F.count(F.lit(1)).cast("long").alias("live_postings"),
+            F.countDistinct("term").cast("long").alias("live_terms"))
+        return census.select(
+            F.lit(len(m["segments"])).cast("int").alias("n_segments"),
+            F.lit(len(m["tombstones"])).cast("int")
+             .alias("n_tombstone_files"),
+            F.lit(m["n_tombstone_rows"]).cast("long")
+             .alias("n_tombstone_rows"),
+            F.lit(m["n_docs"]).cast("long").alias("n_docs"),
+            F.lit(m["total_len"]).cast("long").alias("total_len"),
+            "live_postings", "live_terms")
+
     def maybe_compact(self, max_segments: int = 16,
                       max_tombstone_files: int = 16,
                       max_tombstone_rows: int = 1_000_000) -> bool:

@@ -548,3 +548,30 @@ def test_pruning_survives_multiple_segments_and_both_hybrid_legs(
     assert "centroid_id" in hplan          # vector leg cell pruning
     # keyword leg's scan is behind its localCheckpoint in the fused
     # plan; its pruning is pinned by the assertion above
+
+
+def test_index_stats_reports_manifest_and_census(spark, docs, tmp_path):
+    """index_stats: manifest metadata (segments, tombstone volume,
+    corpus stats) + live posting census, tracking maintenance — and the
+    live-only tombstone rule is visible in the numbers."""
+    idx = TextIndex(spark, str(tmp_path / "st_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)                       # 6 docs, one of them empty
+    r = idx.index_stats().collect()[0]
+    assert (r["n_segments"], r["n_tombstone_files"],
+            r["n_tombstone_rows"]) == (1, 0, 0)
+    assert r["n_docs"] == 6
+    live = {(x["doc_id"], x["term"]) for x in
+            idx._live(idx._postings().select("doc_id", "term", "seg"))
+            .collect()}
+    assert r["live_postings"] == len(live)
+    assert r["live_terms"] == len({t for _, t in live})
+    idx.delete([3])
+    idx.upsert(spark.createDataFrame([(3, "back again")],
+                                     "doc_id long, text string"))
+    r = idx.index_stats().collect()[0]
+    # delete tombstoned the live doc 3; the re-upsert found it dead ->
+    # no second tombstone (live-only rule)
+    assert (r["n_segments"], r["n_tombstone_files"],
+            r["n_tombstone_rows"]) == (2, 1, 1)
+    assert r["n_docs"] == 6 and r["total_len"] == 4 + 6 + 1 + 0 + 5 + 2
