@@ -294,6 +294,11 @@ def main() -> None:
         [(0, "table"), (0, "hash"), (1, "vector"), (1, "join"), (1, "scan")],
         "query_id long, term string")
     bench("text_near_search", lambda: ti.near_search(near_qt, w=4, k=10))
+    span_qt = spark.createDataFrame(
+        [(0, "table", 0), (0, "hash", 1),
+         (1, "vector", 0), (1, "join", 1), (1, "scan", 2)],
+        "query_id long, term string, offset int")
+    bench("text_span_search", lambda: ti.span_search(span_qt, w=6, k=10))
     bench("text_snippets",
           lambda: ti.snippets(bm25_qt, docs, w=8, k=5))
 

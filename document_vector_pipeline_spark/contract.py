@@ -1748,6 +1748,61 @@ select query_id, doc_id, n_occ, rank from r where rank <= {k}
 """
 
 
+_SPAN_QUERIES = {0: ["table", "hash"], 1: ["vector", "join", "scan"]}
+_SPAN_W = 6
+
+
+def q_text_span_search(spark, sf_dir):
+    """ORDERED proximity search over the persisted positional index
+    (store/text_index.py span_search — Lucene span_near with
+    in_order=true): documents where the query's terms occur IN ORDER
+    with total span < 6 tokens, ranked by the exact count of increasing
+    position tuples — the asymmetric relevance signal ("vector … join
+    … scan" as a progression) that unordered near_search cannot
+    express.  Pruned posting read; each extra term is one
+    candidate-sized join bounded by the previous position and the span;
+    partial-cut rank window."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_span_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    rows = [(q, t, o) for q, ts in _SPAN_QUERIES.items()
+            for o, t in enumerate(ts)]
+    ph = spark.createDataFrame(rows, "query_id long, term string, offset int")
+    return idx.span_search(ph, w=_SPAN_W, k=10)
+
+
+def _sql_text_span_search(k: int = 10) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    parts = []
+    for q, ts in _SPAN_QUERIES.items():
+        n = len(ts)
+        froms = ", ".join(
+            f"pos t{i}" if i == 0 else f"pos t{i}" for i in range(n))
+        conds = [f"t{i}.doc_id = t0.doc_id" for i in range(1, n)]
+        conds += [f"t{i}.term = '{t}'" for i, t in enumerate(ts)]
+        conds += [f"t{i}.i > t{i-1}.i" for i in range(1, n)]
+        conds += [f"t{n-1}.i - t0.i < {_SPAN_W}"]
+        parts.append(
+            f"select {q} as query_id, t0.doc_id, "
+            f"cast(count(*) as bigint) as n_spans "
+            f"from {froms} where {' and '.join(conds)} "
+            f"group by t0.doc_id")
+    u = " union all ".join(parts)
+    return f"""
+with tok as (select doc_id, {toks} as ts from documents),
+pos as (select doc_id, i, ts[i] as term
+        from tok, unnest(generate_series(1, len(ts))) as t(i)),
+occ as ({u}),
+r as (select *, cast(row_number() over (partition by query_id
+        order by n_spans desc, doc_id) as int) as rank from occ)
+select query_id, doc_id, n_spans, rank from r where rank <= {k}
+"""
+
+
 _NEAR_QUERIES = {0: ["table", "hash"], 1: ["vector", "join", "scan"]}
 _NEAR_W = 4
 
@@ -7246,6 +7301,7 @@ def queries():
         "store_versioned_hybrid": q_store_versioned_hybrid,
         "store_versioned_ingest": q_store_versioned_ingest,
         "text_index_stats": q_text_index_stats,
+        "text_span_search": q_text_span_search,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7547,6 +7603,7 @@ from c
         "store_versioned_hybrid": _sql_store_versioned_hybrid(),
         "store_versioned_ingest": _sql_store_versioned_ingest(),
         "text_index_stats": _sql_text_index_stats(),
+        "text_span_search": _sql_text_span_search(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),

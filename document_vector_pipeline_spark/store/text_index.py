@@ -547,6 +547,79 @@ class TextIndex:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "doc_id", "n_windows", "rank"))
 
+    def span_search(self, phrases: DataFrame, w: int = 8,
+                    k: int = 10) -> DataFrame:
+        """ORDERED proximity search over the positional postings —
+        (query_id, doc_id, n_spans, rank): the in-order companion of
+        ``near_search`` (Lucene span_near with in_order=true).
+        ``phrases`` is (query_id, term, offset) like ``phrase_search``;
+        a match is an increasing position tuple p_0 < p_1 < … <
+        p_{n-1} — the offset-i term found at p_i — whose span
+        p_{n-1} − p_0 < ``w``; documents rank by the exact tuple
+        count.  ("table … hash" within 6 tokens matches; "hash …
+        table" does not — the distinction near_search cannot make.)
+
+        Plan: pruned posting read; the query batch's offset structure
+        is collected driver-side (metadata-sized, like the tbucket
+        list) and queries fold by LENGTH GROUP — each extra offset is
+        one candidate-sized join constrained by the previous position
+        and the span bound, so intermediate tuples stay
+        window-bounded; partial-cut rank window.  Tuple counts are
+        exact (a term repeated inside one window multiplies tuples —
+        the same combinatorics Lucene spans expose)."""
+        if w < 1:
+            raise ValueError("span window w must be >= 1")
+        struct = sorted({(r["query_id"], int(r["offset"]), r["term"])
+                         for r in phrases.collect()})
+        by_q: dict = {}
+        for qid, off, term in struct:
+            by_q.setdefault(qid, {})[off] = term
+        for qid, offs in by_q.items():
+            if sorted(offs) != list(range(len(offs))):
+                raise ValueError(
+                    f"query {qid}: offsets must be 0..n-1, one term each")
+        tb = [r[0] for r in phrases
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        post = self._postings().filter(F.col("tbucket").isin(tb))
+        live = self._live(
+            post.join(F.broadcast(phrases.select("term").distinct()),
+                      "term", "left_semi")
+            .select("doc_id", "term", "pos", "seg"))
+        pos = (live.join(F.broadcast(phrases), "term")
+               .select("query_id", "doc_id", "offset",
+                       F.explode("pos").alias("p"))
+               .localCheckpoint(eager=True))
+        by_len: dict = {}
+        for qid, offs in by_q.items():
+            by_len.setdefault(len(offs), []).append(qid)
+        out = None
+        for n, qids in sorted(by_len.items()):
+            cur = (pos.filter(F.col("query_id").isin(qids)
+                              & (F.col("offset") == 0))
+                   .select("query_id", "doc_id", F.col("p").alias("p0"))
+                   .withColumn("prev", F.col("p0")))
+            for i in range(1, n):
+                nxt = (pos.filter(F.col("query_id").isin(qids)
+                                  & (F.col("offset") == i))
+                       .select("query_id", "doc_id",
+                               F.col("p").alias("pi")))
+                cur = (cur.join(nxt, ["query_id", "doc_id"])
+                       .filter((F.col("pi") > F.col("prev"))
+                               & (F.col("pi") - F.col("p0") < w))
+                       .drop("prev")
+                       .withColumnRenamed("pi", "prev"))
+            g = (cur.groupBy("query_id", "doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_spans")))
+            out = g if out is None else out.unionByName(g)
+        partial = retrieval._cut_topk(out, k, "n_spans", "doc_id")
+        from pyspark.sql import Window
+        wd = Window.partitionBy("query_id").orderBy(F.desc("n_spans"),
+                                                    F.col("doc_id"))
+        return (partial
+                .withColumn("rank", F.row_number().over(wd).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id", "n_spans", "rank"))
+
     def snippets(self, query_terms: DataFrame, docs: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  w: int = 8, k: int = 5) -> DataFrame:

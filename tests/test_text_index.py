@@ -575,3 +575,44 @@ def test_index_stats_reports_manifest_and_census(spark, docs, tmp_path):
     assert (r["n_segments"], r["n_tombstone_files"],
             r["n_tombstone_rows"]) == (2, 1, 1)
     assert r["n_docs"] == 6 and r["total_len"] == 4 + 6 + 1 + 0 + 5 + 2
+
+
+def test_span_search_ordered_semantics(spark, tmp_path):
+    """Hand-checked ordered proximity: order matters (the distinction
+    near_search cannot make), spans bound the tuple, repeated terms
+    multiply tuples exactly."""
+    d = spark.createDataFrame(
+        [(1, "table x hash"),
+         (2, "hash x table"),              # wrong order: no match
+         (3, "table hash table hash"),
+         (4, "table y y y y y hash")],     # span 6: outside w=3 and w=4
+        "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "sp_ti"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(d)
+    ph = spark.createDataFrame(
+        [(0, "table", 0), (0, "hash", 1)],
+        "query_id long, term string, offset int")
+    got = {r["doc_id"]: r["n_spans"]
+           for r in idx.span_search(ph, w=3, k=10).collect()}
+    # doc1 (0,2); doc3 (0,1),(2,3); doc4 span 6 excluded; doc2 order
+    assert got == {1: 1, 3: 2}
+    got4 = {r["doc_id"]: r["n_spans"]
+            for r in idx.span_search(ph, w=4, k=10).collect()}
+    assert got4 == {1: 1, 3: 3}           # doc3 gains (0,3)
+    # trigram ordered + maintenance through the tombstone algebra
+    tri = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 1), (1, "c", 2)],
+        "query_id long, term string, offset int")
+    idx.upsert(spark.createDataFrame(
+        [(5, "a b c a c"), (6, "c b a")], "doc_id long, text string"))
+    got = {r["doc_id"]: r["n_spans"]
+           for r in idx.span_search(tri, w=5, k=10).collect()}
+    # doc5: a@{0,3} b@1 c@{2,4}: (0,1,2) ✓, (0,1,4) ✓ span4<5 → 2
+    assert got == {5: 2}
+    idx.delete([5])
+    assert idx.span_search(tri, w=5, k=10).count() == 0
+    with pytest.raises(ValueError, match="offsets"):
+        idx.span_search(spark.createDataFrame(
+            [(9, "a", 0), (9, "b", 2)],
+            "query_id long, term string, offset int"))
