@@ -20,6 +20,19 @@ Deterministic-by-construction like everything else: centroids are the
 n smallest md5(id) rows (stable across runs, engines and cluster sizes),
 assignment ties break on centroid_id, scores are rounded at 6 dp with a
 total ranking order.
+
+Crash-recovery contract: unlike TextIndex (whose maintenance is
+manifest-atomic because keyword postings are the PRIMARY copy of their
+statistics), the IVF index is DERIVED data — every row is recomputable
+from the chunk store.  Maintenance mutates cell/idmap partitions in
+place (dynamic partition overwrite + FS-drop of emptied dirs), so a
+mid-op crash can leave cells and the id→cell sidecar inconsistent; the
+recovery action is a rebuild, not a repair: ``build()`` from the live
+store, or ``VersionedVectorStore.build_ivf_asof(version)`` to restore
+the exact serving state as of any committed version (the same applies
+to ``build_text_asof`` for a lost keyword index).  ``cell_stats()`` is
+the drift/health metric that schedules rebuilds anyway; a crashed
+maintenance op just moves one forward.
 """
 
 from __future__ import annotations
