@@ -3649,6 +3649,119 @@ bands as materialized (
   from sig)"""
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental crawl admission (operators/dedup.incremental_dedup):
+    a NEW batch judged against the EXISTING corpus — the per-batch form
+    of the dedup gate (candidates = batch×corpus band join, never
+    corpus²).  Corpus = documents with doc_id % 9 != 0; the batch
+    replays every 9th id as (m = (id div 9) % 3): m=0 an exact copy of
+    its corpus neighbour (id+1), m=1 the neighbour's text plus a fresh
+    tail (near-dup), m=2 entirely synthetic text (keep).  Verdicts:
+    exact-fingerprint hit (min corpus id), best verified milli-Jaccard
+    band candidate >= 500 (tie → min id), keep flag."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 9 != 0)
+    nbr = (docs.alias("a").filter(F.col("a.doc_id") % 9 == 0)
+           .join(docs.alias("b"),
+                 F.col("b.doc_id") == F.col("a.doc_id") + 1)
+           .select(F.col("a.doc_id").alias("doc_id"),
+                   F.col("b.text").alias("ntext")))
+    m = F.expr("(doc_id div 9) % 3")
+    batch = nbr.select(
+        "doc_id",
+        F.when(m == 0, F.col("ntext"))
+         .when(m == 1, F.concat(F.col("ntext"),
+                                F.lit(" fresh crawl tail words")))
+         .otherwise(F.concat(F.lit("unique crawl document "),
+                             F.col("doc_id").cast("string"),
+                             F.lit(" content alpha beta gamma")))
+         .alias("text"))
+    return incremental_dedup(corpus, batch, threshold_milli=500)
+
+
+def _sql_dedup_incremental(threshold_milli: int = 500) -> str:
+    fp = _md5l(_norm_text("text", lower=True))
+    sig_h = _md5l("cast(i as varchar) || '|' || s")
+
+    def side(name, src):
+        return f"""
+{name}t as materialized (
+  select doc_id, {_toks('text', lower=True)} as w from {src}),
+{name}sh as materialized (
+  select doc_id, {_SHINGLES3} as sharr from {name}t),
+{name}sig as materialized (
+  select doc_id, list_transform(generate_series(0, 15), i ->
+    list_min(list_transform(sharr, s -> {sig_h}))) as sig
+  from {name}sh),
+{name}bands as materialized (
+  select doc_id,
+         unnest(generate_series(0, 3)) as band_no,
+         unnest(list_transform(generate_series(0, 3), b ->
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')))) as key
+  from {name}sig),
+{name}sx as materialized (
+  select doc_id, unnest(list_transform(sharr, s -> {_md5l('s')}))
+         as shingle
+  from {name}sh),
+{name}sizes as (select doc_id, count(*) as n from {name}sx
+                group by doc_id)"""
+
+    return f"""
+with corpus as materialized (
+  select doc_id, text from documents where doc_id % 9 <> 0),
+nbr as (select a.doc_id as doc_id, b.text as ntext
+        from documents a join documents b on b.doc_id = a.doc_id + 1
+        where a.doc_id % 9 = 0),
+batch as materialized (
+  select doc_id,
+         case when (doc_id // 9) % 3 = 0 then ntext
+              when (doc_id // 9) % 3 = 1
+                then ntext || ' fresh crawl tail words'
+              else 'unique crawl document ' || cast(doc_id as varchar)
+                   || ' content alpha beta gamma' end as text
+  from nbr),
+bfp as (select doc_id, {fp} as fpv from batch),
+cfp as (select doc_id as c_id, {fp} as fpv from corpus),
+ex as (select doc_id, min(c_id) as exact_dup
+       from bfp join cfp using (fpv) group by doc_id),
+{side('b', 'batch')},
+{side('c', 'corpus')},
+cand as (select distinct b.doc_id as doc_id, c.doc_id as c_id
+         from bbands b join cbands c
+           on b.band_no = c.band_no and b.key = c.key),
+inter as (
+  select s.doc_id, t.doc_id as c_id, count(*) as c
+  from bsx s join csx t on s.shingle = t.shingle
+  join cand on cand.doc_id = s.doc_id and cand.c_id = t.doc_id
+  group by 1, 2),
+jm as (
+  select i.doc_id, i.c_id,
+         (1000 * i.c) // (nb.n + nc.n - i.c) as jacc_milli
+  from inter i
+  join bsizes nb on nb.doc_id = i.doc_id
+  join csizes nc on nc.doc_id = i.c_id
+  where (1000 * i.c) // (nb.n + nc.n - i.c) >= {threshold_milli}),
+near as (
+  select doc_id,
+         min(struct_pack(nj := -jacc_milli, cid := c_id)).cid as near_dup,
+         cast(-min(struct_pack(nj := -jacc_milli, cid := c_id)).nj
+              as bigint) as jacc_milli
+  from jm group by doc_id)
+select b.doc_id,
+       cast(coalesce(ex.exact_dup, -1) as bigint) as exact_dup,
+       cast(coalesce(near.near_dup, -1) as bigint) as near_dup,
+       cast(coalesce(near.jacc_milli, 0) as bigint) as jacc_milli,
+       (ex.exact_dup is null and near.near_dup is null) as keep
+from batch b
+left join ex on ex.doc_id = b.doc_id
+left join near on near.doc_id = b.doc_id
+"""
+
+
 def _sql_dedup_minhash() -> str:
     return f"""
 with {_minhash_ctes()}
@@ -7302,6 +7415,7 @@ def queries():
         "store_versioned_ingest": q_store_versioned_ingest,
         "text_index_stats": q_text_index_stats,
         "text_span_search": q_text_span_search,
+        "dedup_incremental": q_dedup_incremental,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7604,6 +7718,7 @@ from c
         "store_versioned_ingest": _sql_store_versioned_ingest(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
+        "dedup_incremental": _sql_dedup_incremental(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),
         "retrieval_passages": _sql_retrieval_passages(),

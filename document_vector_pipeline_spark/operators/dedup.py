@@ -1103,3 +1103,94 @@ def dedup_summary(docs: DataFrame, id_col: str = "doc_id",
         source_col, "n_docs", "exact_dup_docs", "near_dup_docs",
         F.expr("(1000000 * exact_dup_docs) div n_docs").alias("exact_ppm"),
         F.expr("(1000000 * near_dup_docs) div n_docs").alias("near_ppm"))
+
+
+# ---- incremental admission (batch vs existing corpus) ----------------------
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 16, bands: int = 4, width: int = 3,
+                      threshold_milli: int = 500) -> DataFrame:
+    """Admission verdicts for a NEW batch against an EXISTING corpus —
+    the production crawl-dedup shape (one verdict row per batch doc):
+    (doc_id, exact_dup, near_dup, jacc_milli, keep).  ``exact_dup`` is
+    the smallest corpus id with an identical canonical text (-1 none);
+    ``near_dup`` the corpus doc with the highest exact milli-Jaccard
+    >= threshold among the MinHash band candidates (ties -> smaller
+    id; -1 none); ``keep`` = neither leg fired.
+
+    Scale shape — what makes this the INCREMENTAL form:
+    - candidates come from a band-key equi-join of BATCH signatures
+      against CORPUS signatures, so the shuffled pair set is
+      batch-bounded; the corpus is never self-joined
+      (minhash_lsh_pairs' corpus x corpus band join is the build-once
+      backfill variant, this is the per-batch admission gate);
+    - the corpus-side fingerprints / banded signatures / shingle sets
+      are pure per-row maps of one corpus scan — in production they
+      are persisted artifacts an ingest maintains incrementally (the
+      exact signatures minhash_lsh_pairs already computes), making a
+      batch admission O(batch) new hashing + bounded joins;
+    - exact-integer Jaccard verification (sorted shingle-hash arrays,
+      the similar_docs_topk scorer) clears every band collision —
+      a false positive costs work, never correctness."""
+    rows = num_perm // bands
+
+    def fp_of(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            md5_long(_norm_text(F.col(text_col))).alias("fp"))
+
+    def banded_of(df, out_id):
+        sigs = minhash_signatures(df, id_col, text_col, num_perm, width)
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(F.array_join(
+                    F.slice(F.col("sig"), b * rows + 1, rows), ","))
+                 .alias("key")))
+        return (sigs.select(F.col(id_col).alias(out_id),
+                            F.explode(band_arr).alias("bk"))
+                .select(out_id, F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+
+    def sets_of(df, out_id, arr_name, n_name):
+        return (df.select(
+            F.col(id_col).alias(out_id),
+            F.array_sort(F.transform(_shingles(F.col(text_col), width),
+                                     lambda s: md5_long(s)))
+            .alias(arr_name))
+            .select(out_id, arr_name,
+                    F.size(arr_name).cast("long").alias(n_name)))
+
+    ex = (fp_of(batch, "doc_id").join(fp_of(corpus, "c_id"), "fp")
+          .groupBy("doc_id").agg(F.min("c_id").alias("exact_dup")))
+    cand = (banded_of(batch, "doc_id")
+            .join(banded_of(corpus, "c_id"), ["band", "key"])
+            .select("doc_id", "c_id").distinct())
+    j = (cand
+         .join(sets_of(batch, "doc_id", "arr_b", "nb"), "doc_id")
+         .join(sets_of(corpus, "c_id", "arr_c", "nc"), "c_id")
+         .filter((F.col("nb") > 0) & (F.col("nc") > 0))
+         .withColumn("c", F.size(F.array_intersect("arr_b", "arr_c"))
+                     .cast("long"))
+         .withColumn("jm", F.expr("(1000 * c) div (nb + nc - c)"))
+         .filter(F.col("jm") >= threshold_milli))
+    near = (j.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("jm")).alias("nj"),
+                                F.col("c_id").alias("cid"))).alias("m"))
+            .select("doc_id", F.col("m.cid").alias("near_dup"),
+                    (-F.col("m.nj")).cast("long").alias("jacc_milli")))
+    return (batch.select(F.col(id_col).alias("doc_id"))
+            .join(ex, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("exact_dup", F.lit(-1)).cast("long")
+                 .alias("exact_dup"),
+                F.coalesce("near_dup", F.lit(-1)).cast("long")
+                 .alias("near_dup"),
+                F.coalesce("jacc_milli", F.lit(0)).cast("long")
+                 .alias("jacc_milli"),
+                (F.col("exact_dup").isNull()
+                 & F.col("near_dup").isNull()).alias("keep")))

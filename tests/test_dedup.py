@@ -431,3 +431,41 @@ def test_similar_docs_topk_properties(spark, docs_small):
     for (a, b), s in score.items():
         if (b, a) in score:
             assert score[(b, a)] == s
+
+
+def test_incremental_dedup_admission_verdicts(spark):
+    """Hand-checked batch-vs-corpus admission: exact dup (identical
+    canonical text, min corpus id), near dup (band candidate verified
+    by exact Jaccard >= tau, max-jacc/min-id pick), fresh doc kept;
+    the corpus is never self-joined (corpus dups don't appear)."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(10, base),
+         (11, base),                       # corpus-internal dup: ignored
+         (12, "completely different corpus material about spark plans"),
+         (13, "short text")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "  THE  quick brown fox jumps over the lazy dog again and again  "),
+         (101, base + " with a small fresh tail"),
+         (102, "entirely novel crawl document nothing shared here at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           incremental_dedup(corpus, batch,
+                             threshold_milli=400).collect()}
+    # 100: canonical text == base -> exact dup of min(10, 11) = 10
+    assert got[100]["exact_dup"] == 10 and got[100]["keep"] is False
+    # exact dups are also near dups (jacc 1000) via the band join
+    assert got[100]["near_dup"] == 10 and got[100]["jacc_milli"] == 1000
+    # 101: no exact, near dup of 10 (min id among the 10/11 tie)
+    assert got[101]["exact_dup"] == -1
+    assert got[101]["near_dup"] == 10
+    assert 400 <= got[101]["jacc_milli"] < 1000
+    # 102: fresh
+    assert got[102]["exact_dup"] == -1 and got[102]["near_dup"] == -1
+    assert got[102]["jacc_milli"] == 0 and got[102]["keep"] is True
+    assert len(got) == 3                  # one verdict row per batch doc
