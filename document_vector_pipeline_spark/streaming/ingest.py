@@ -192,3 +192,62 @@ def stream_blob_events(spark: SparkSession, events_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_gate(spark: SparkSession, batches_path: str,
+                      corpus_path: str, checkpoint: str,
+                      available_now: bool = True,
+                      threshold_milli: int = 500) -> StreamingQuery:
+    """Always-on crawl admission gate: each microbatch of candidate
+    documents (JSONL files of (doc_id, text) under ``batches_path``) is
+    judged against the CURRENT admitted corpus with
+    operators/dedup.incremental_dedup; keepers are appended to the
+    corpus parquet at ``corpus_path``, rejects are dropped.  Documents
+    admitted in batch N are part of the corpus batch N+1 is judged
+    against — the sequential semantics a crawl pipeline needs (a page
+    and its later near-copy cannot both be admitted).
+
+    Within one microbatch, exact duplicates collapse to the smallest id
+    before admission; NEAR-dups inside a single microbatch can both be
+    admitted (judging a batch against itself would reject legitimate
+    first occurrences on symmetric collisions) — the periodic
+    minhash_lsh_pairs backfill over the admitted corpus is the
+    catch-all for those, exactly as in production curation stacks.
+
+    Scale: each microbatch costs the batch-bounded band/fingerprint
+    joins of incremental_dedup (the corpus side is one scan of
+    persisted admitted docs; its signatures are recomputed here for
+    self-containment and would be a persisted sidecar in production);
+    the append write touches only the batch's rows."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        exact_dedup_survivors,
+        incremental_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    batches = spark.readStream.schema(schema).json(batches_path)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # within-batch exact collapse (min id per canonical fingerprint)
+        firsts = exact_dedup_survivors(batch_df).select("doc_id")
+        batch_df = batch_df.join(firsts, "doc_id", "left_semi")
+        try:
+            corpus = spark.read.schema(schema).parquet(corpus_path)
+            corpus.limit(1).collect()
+        except Exception:
+            corpus = spark.createDataFrame([], schema)
+        verdicts = incremental_dedup(
+            corpus, batch_df, threshold_milli=threshold_milli)
+        keep = verdicts.filter(F.col("keep")).select("doc_id")
+        keepers = batch_df.join(keep, "doc_id", "left_semi")
+        keepers.write.mode("append").parquet(corpus_path)
+
+    writer = (batches.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

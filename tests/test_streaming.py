@@ -624,3 +624,52 @@ def test_stream_ingest_versioned_commits_per_microbatch(spark, tmp_path):
     # audit trail: one commit per drained batch, every op a replace
     ops = [r["op"] for r in vvs.history().orderBy("version").collect()]
     assert len(ops) == 2 and all(o == "upsert" for o in ops)
+
+
+def test_stream_dedup_gate_sequential_admission(spark, tmp_path):
+    """Round 7: the always-on crawl admission gate — batch 1's admitted
+    docs reject batch 2's copies (sequential semantics), exact
+    within-batch dups collapse to the smallest id, fresh docs pass, and
+    the admitted corpus equals the sequential batch application."""
+    import json
+
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_dedup_gate,
+    )
+
+    inbox = tmp_path / "gate_in"
+    inbox.mkdir()
+    corpus_dir = str(tmp_path / "gate_corpus")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def write_batch(name, rows):
+        (inbox / name).write_text("\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in rows))
+
+    # batch 1: a fresh doc, its exact within-batch dup, another fresh
+    write_batch("b1.jsonl", [
+        (1, base),
+        (2, base),                                  # in-batch exact dup
+        (3, "completely different first crawl material here"),
+    ])
+    q = stream_dedup_gate(spark, str(inbox), corpus_dir,
+                          checkpoint=str(tmp_path / "gate_ck"),
+                          threshold_milli=400)
+    q.awaitTermination(120)
+    admitted = {r["doc_id"] for r in
+                spark.read.parquet(corpus_dir).collect()}
+    assert admitted == {1, 3}
+
+    # batch 2: exact copy of an admitted doc, near-copy, fresh doc
+    write_batch("b2.jsonl", [
+        (10, base),                                  # exact vs admitted 1
+        (11, base + " with a tiny tail"),            # near vs admitted 1
+        (12, "entirely novel second batch document nothing shared"),
+    ])
+    q2 = stream_dedup_gate(spark, str(inbox), corpus_dir,
+                           checkpoint=str(tmp_path / "gate_ck"),
+                           threshold_milli=400)
+    q2.awaitTermination(120)
+    admitted = {r["doc_id"] for r in
+                spark.read.parquet(corpus_dir).collect()}
+    assert admitted == {1, 3, 12}
