@@ -548,7 +548,7 @@ class TextIndex:
                 .select("query_id", "doc_id", "n_windows", "rank"))
 
     def span_search(self, phrases: DataFrame, w: int = 8,
-                    k: int = 10) -> DataFrame:
+                    k: int = 10, checkpoint: bool = True) -> DataFrame:
         """ORDERED proximity search over the positional postings —
         (query_id, doc_id, n_spans, rank): the in-order companion of
         ``near_search`` (Lucene span_near with in_order=true).
@@ -587,8 +587,12 @@ class TextIndex:
             .select("doc_id", "term", "pos", "seg"))
         pos = (live.join(F.broadcast(phrases), "term")
                .select("query_id", "doc_id", "offset",
-                       F.explode("pos").alias("p"))
-               .localCheckpoint(eager=True))
+                       F.explode("pos").alias("p")))
+        if checkpoint:
+            # one materialization feeds every per-offset consumer (each
+            # offset filter re-reads it); False keeps full lineage for
+            # plan inspection
+            pos = pos.localCheckpoint(eager=True)
         by_len: dict = {}
         for qid, offs in by_q.items():
             by_len.setdefault(len(offs), []).append(qid)

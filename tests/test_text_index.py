@@ -616,3 +616,15 @@ def test_span_search_ordered_semantics(spark, tmp_path):
         idx.span_search(spark.createDataFrame(
             [(9, "a", 0), (9, "b", 2)],
             "query_id long, term string, offset int"))
+
+
+def test_span_search_plan_prunes_and_partial_cuts(spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "sp_plan"), n_term_buckets=8,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    ph = spark.createDataFrame([(0, "apple", 0), (0, "banana", 1)],
+                               "query_id long, term string, offset int")
+    plan = (idx.span_search(ph, w=5, k=5, checkpoint=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
