@@ -157,6 +157,11 @@ def main() -> None:
     bench("dedup_containment",
           lambda: dedup.containment_pairs(docs, threshold=0.6))
     bench("dedup_summary", lambda: dedup.dedup_summary(docs))
+    bench("dedup_incremental_eval",
+          lambda: dedup.incremental_dedup_eval(
+              docs.filter(F.col("doc_id") % 9 != 0),
+              docs.filter(F.col("doc_id") % 9 == 0),
+              threshold_milli=500))
     bench("dedup_incremental",
           lambda: dedup.incremental_dedup(
               docs.filter(F.col("doc_id") % 9 != 0),

@@ -1107,6 +1107,57 @@ def dedup_summary(docs: DataFrame, id_col: str = "doc_id",
 
 # ---- incremental admission (batch vs existing corpus) ----------------------
 
+
+def _fp_of(df, id_col, text_col, out_id):
+    """(out_id, fp): canonical-text fingerprint — the exact leg's key."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        md5_long(_norm_text(F.col(text_col))).alias("fp"))
+
+
+def _banded_of(df, id_col, text_col, out_id, num_perm, bands, width):
+    """(out_id, band, key): the LSH band keys of the MinHash signatures
+    (identical construction to minhash_lsh_pairs)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, width)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(
+                F.slice(F.col("sig"), b * rows + 1, rows), ","))
+             .alias("key")))
+    return (sigs.select(F.col(id_col).alias(out_id),
+                        F.explode(band_arr).alias("bk"))
+            .select(out_id, F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+
+
+def _sets_of(df, id_col, text_col, out_id, arr_name, n_name, width=3):
+    """(out_id, sorted shingle-hash array, size) — the exact-Jaccard
+    verify operand."""
+    return (df.select(
+        F.col(id_col).alias(out_id),
+        F.array_sort(F.transform(_shingles(F.col(text_col), width),
+                                 lambda s: md5_long(s)))
+        .alias(arr_name))
+        .select(out_id, arr_name,
+                F.size(arr_name).cast("long").alias(n_name)))
+
+
+def _band_candidates(corpus, batch, id_col, text_col,
+                     num_perm, bands, width):
+    """Distinct (doc_id, c_id) batch-vs-corpus band collisions — the
+    batch-bounded candidate join both the gate and its eval share."""
+    return (_banded_of(batch, id_col, text_col, "doc_id",
+                       num_perm, bands, width)
+            .join(_banded_of(corpus, id_col, text_col, "c_id",
+                             num_perm, bands, width),
+                  ["band", "key"])
+            .select("doc_id", "c_id").distinct())
+
+
+
 def incremental_dedup(corpus: DataFrame, batch: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 16, bands: int = 4, width: int = 3,
@@ -1133,44 +1184,16 @@ def incremental_dedup(corpus: DataFrame, batch: DataFrame,
     - exact-integer Jaccard verification (sorted shingle-hash arrays,
       the similar_docs_topk scorer) clears every band collision —
       a false positive costs work, never correctness."""
-    rows = num_perm // bands
-
-    def fp_of(df, out_id):
-        return df.select(
-            F.col(id_col).alias(out_id),
-            md5_long(_norm_text(F.col(text_col))).alias("fp"))
-
-    def banded_of(df, out_id):
-        sigs = minhash_signatures(df, id_col, text_col, num_perm, width)
-        band_arr = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.md5(F.array_join(
-                    F.slice(F.col("sig"), b * rows + 1, rows), ","))
-                 .alias("key")))
-        return (sigs.select(F.col(id_col).alias(out_id),
-                            F.explode(band_arr).alias("bk"))
-                .select(out_id, F.col("bk.band").alias("band"),
-                        F.col("bk.key").alias("key")))
-
-    def sets_of(df, out_id, arr_name, n_name):
-        return (df.select(
-            F.col(id_col).alias(out_id),
-            F.array_sort(F.transform(_shingles(F.col(text_col), width),
-                                     lambda s: md5_long(s)))
-            .alias(arr_name))
-            .select(out_id, arr_name,
-                    F.size(arr_name).cast("long").alias(n_name)))
-
-    ex = (fp_of(batch, "doc_id").join(fp_of(corpus, "c_id"), "fp")
+    ex = (_fp_of(batch, id_col, text_col, "doc_id")
+          .join(_fp_of(corpus, id_col, text_col, "c_id"), "fp")
           .groupBy("doc_id").agg(F.min("c_id").alias("exact_dup")))
-    cand = (banded_of(batch, "doc_id")
-            .join(banded_of(corpus, "c_id"), ["band", "key"])
-            .select("doc_id", "c_id").distinct())
+    cand = _band_candidates(corpus, batch, id_col, text_col,
+                            num_perm, bands, width)
     j = (cand
-         .join(sets_of(batch, "doc_id", "arr_b", "nb"), "doc_id")
-         .join(sets_of(corpus, "c_id", "arr_c", "nc"), "c_id")
+         .join(_sets_of(batch, id_col, text_col, "doc_id",
+                        "arr_b", "nb", width), "doc_id")
+         .join(_sets_of(corpus, id_col, text_col, "c_id",
+                        "arr_c", "nc", width), "c_id")
          .filter((F.col("nb") > 0) & (F.col("nc") > 0))
          .withColumn("c", F.size(F.array_intersect("arr_b", "arr_c"))
                      .cast("long"))
@@ -1194,3 +1217,53 @@ def incremental_dedup(corpus: DataFrame, batch: DataFrame,
                  .alias("jacc_milli"),
                 (F.col("exact_dup").isNull()
                  & F.col("near_dup").isNull()).alias("keep")))
+
+
+def incremental_dedup_eval(corpus: DataFrame, batch: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_perm: int = 16, bands: int = 4,
+                           width: int = 3,
+                           threshold_milli: int = 500) -> DataFrame:
+    """Measured precision/recall of the incremental gate's band-candidate
+    generation against the EXACT batch-vs-corpus milli-Jaccard >= tau
+    truth — the acceptance metric the gate ships with (the
+    minhash_eval / ann_recall / bloom_fpr discipline applied to the
+    admission path): one row (n_cand, n_true, n_hit, precision_milli,
+    recall_milli).  Precision bounds the wasted verify work per batch;
+    recall is the fraction of true near-dup pairs the bands surface —
+    what the gate can NEVER recover (verification only removes false
+    positives).  Both operands are deterministic md5 plans, so the
+    metric itself is oracle-exact.
+
+    Scale: truth here is the exact shared-shingle batch x corpus join —
+    batch-bounded (never corpus²) but still the expensive side; run it
+    on samples to TUNE (bands, num_perm), then trust the measured curve,
+    exactly like dedup_lsh_tuning does for the backfill join."""
+    cand = _band_candidates(corpus, batch, id_col, text_col,
+                            num_perm, bands, width)\
+        .localCheckpoint(eager=True)
+    bs = _sets_of(batch, id_col, text_col, "doc_id", "arr_b", "nb", width)
+    cs = _sets_of(corpus, id_col, text_col, "c_id", "arr_c", "nc", width)
+    bsh = bs.select("doc_id", "nb", F.explode("arr_b").alias("shingle"))
+    csh = cs.select("c_id", "nc", F.explode("arr_c").alias("shingle"))
+    truth = (bsh.join(csh, "shingle")
+             .groupBy("doc_id", "c_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"),
+                  F.first("nb").alias("nb"), F.first("nc").alias("nc"))
+             .withColumn("jm", F.expr("(1000 * c) div (nb + nc - c)"))
+             .filter(F.col("jm") >= threshold_milli)
+             .select("doc_id", "c_id")
+             .localCheckpoint(eager=True))
+    hit = cand.join(truth, ["doc_id", "c_id"])
+    row = (cand.agg(F.count("*").cast("long").alias("n_cand"))
+           .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+           .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit"))))
+    return row.select(
+        "n_cand", "n_true", "n_hit",
+        F.when(F.col("n_cand") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("(1000 * n_hit) div n_cand"))
+         .alias("precision_milli"),
+        F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("(1000 * n_hit) div n_true"))
+         .alias("recall_milli"))

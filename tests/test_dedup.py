@@ -469,3 +469,28 @@ def test_incremental_dedup_admission_verdicts(spark):
     assert got[102]["exact_dup"] == -1 and got[102]["near_dup"] == -1
     assert got[102]["jacc_milli"] == 0 and got[102]["keep"] is True
     assert len(got) == 3                  # one verdict row per batch doc
+
+
+def test_incremental_dedup_eval_metric(spark):
+    """The gate's acceptance metric: candidates that are true near-dups
+    count as hits; truth the bands miss lowers recall; precision/recall
+    are exact integer milli-units."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        incremental_dedup_eval,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(10, base), (11, "totally unrelated corpus text here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, base + " tail"),                       # true near-dup
+         (101, "nothing in common with anything")],   # fresh
+        "doc_id long, text string")
+    r = incremental_dedup_eval(corpus, batch,
+                               threshold_milli=400).collect()[0]
+    assert r["n_true"] == 1 and r["n_hit"] >= 0
+    assert r["n_hit"] <= min(r["n_cand"], r["n_true"])
+    if r["n_cand"]:
+        assert r["precision_milli"] == 1000 * r["n_hit"] // r["n_cand"]
+    assert r["recall_milli"] == 1000 * r["n_hit"] // max(r["n_true"], 1)
