@@ -1143,6 +1143,18 @@ def q_ann_ivfpq(spark, sf_dir):
                                 n_codes=16, n_sub=8, dim=64)
 
 
+def q_ann_refine(spark, sf_dir):
+    """Compressed-then-exact two-stage ANN (FAISS IndexRefineFlat):
+    IVF+PQ retrieves k*3 candidates from the probed cells' codes, then
+    only those candidates' full vectors are fetched (broadcast-pruned
+    join) and exactly rescored — cheap recall from the ladder, exact
+    precision on the returned scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.refine_ann(emb, _queries_df(emb), k=10,
+                                 refine_factor=3, n_centroids=8, nprobe=2,
+                                 n_codes=16, n_sub=8, dim=64)
+
+
 def q_ann_range(spark, sf_dir):
     """Radius search: all corpus vectors with cosine >= 0.3 to each
     query — zero-shuffle broadcast scan."""
@@ -4822,13 +4834,17 @@ select query_id, vec_id, score, rank from r where rank <= 10
 """
 
 
-def _sql_ann_ivfpq(n_centroids: int = 8, nprobe: int = 2,
-                   n_codes: int = 16, n_sub: int = 8,
-                   dim: int = 64, k: int = 10) -> str:
-    """IVFPQ mirror: the IVF CTEs (exact-cosine cell assignment + probe
-    selection) feed the PQ CTEs (integer encode + ADC LUT); integer ADC
-    sums are associative, so the join shape cannot diverge from Spark's
-    literal-expression/Arrow shape."""
+def _sql_ann_ivfpq_ctes(n_centroids: int = 8, nprobe: int = 2,
+                        n_codes: int = 16, n_sub: int = 8,
+                        dim: int = 64) -> str:
+    """IVFPQ mirror as a reusable CTE chain ending in ranked ADC rows
+    ``r`` (rank unlimited; ``e`` keeps full vectors + norms for
+    downstream exact rescoring): the IVF CTEs (exact-cosine cell
+    assignment + probe selection) feed the PQ CTEs (integer encode +
+    ADC LUT); integer ADC sums are associative, so the join shape
+    cannot diverge from Spark's literal-expression/Arrow shape.
+    Shared by ``ann_ivfpq`` (the ladder alone) and ``ann_refine``
+    (ladder candidates + exact rescore)."""
     sub = dim // n_sub
     h = _md5l("cast(vec_id as varchar)")
     cos_ac = _cos("a.v", "c.cv", dim, "a.nrm", "c.cnrm")
@@ -4838,7 +4854,7 @@ def _sql_ann_ivfpq(n_centroids: int = 8, nprobe: int = 2,
         for i in range(1, sub + 1))
     idot = " + ".join(f"(q.qs6[{i}]*c.cs6[{i}])" for i in range(1, sub + 1))
     return f"""
-with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
 e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
 e as materialized (
   select vec_id, v, nrm,
@@ -4895,8 +4911,41 @@ s as (
   group by p.query_id, a.vec_id),
 r as (select *, cast(row_number() over
         (partition by query_id order by score desc, vec_id) as int) as rank
-      from s)
+      from s)"""
+
+
+def _sql_ann_ivfpq(n_centroids: int = 8, nprobe: int = 2,
+                   n_codes: int = 16, n_sub: int = 8,
+                   dim: int = 64, k: int = 10) -> str:
+    ctes = _sql_ann_ivfpq_ctes(n_centroids, nprobe, n_codes, n_sub, dim)
+    return f"""
+with {ctes}
 select query_id, vec_id, score, rank from r where rank <= {k}
+"""
+
+
+def _sql_ann_refine(refine_factor: int = 3, n_centroids: int = 8,
+                    nprobe: int = 2, n_codes: int = 16, n_sub: int = 8,
+                    dim: int = 64, k: int = 10) -> str:
+    """Refine mirror: the IVFPQ chain's ranked ADC rows `r` cut at
+    k*refine_factor are the candidate set (row_number tie-break is
+    identical in both engines, so the sets match exactly); candidates
+    rejoin `e` for full vectors and are rescored with the exact-cosine
+    expression of the brute-force oracle, then re-ranked."""
+    ctes = _sql_ann_ivfpq_ctes(n_centroids, nprobe, n_codes, n_sub, dim)
+    cos = _cos("e.v", "q.v", dim, "e.nrm", "q.nrm")
+    return f"""
+with {ctes},
+q as (select vec_id as query_id, v, nrm from e where vec_id < 5),
+cand as (select query_id, vec_id from r where rank <= {k * refine_factor}),
+ex as (select c.query_id, e.vec_id, round({cos}, 6) as score
+       from cand c
+       join e on e.vec_id = c.vec_id
+       join q on q.query_id = c.query_id),
+rr as (select *, cast(row_number() over
+         (partition by query_id order by score desc, vec_id) as int) as rank
+       from ex)
+select query_id, vec_id, score, rank from rr where rank <= {k}
 """
 
 
@@ -7625,6 +7674,7 @@ def queries():
         "asof_forward": q_asof_forward,
         "hypertable_gapfill": q_hypertable_gapfill,
         "ann_ivfpq": q_ann_ivfpq,
+        "ann_refine": q_ann_refine,
         "ann_range": q_ann_range,
         "layout_hilbert": q_layout_hilbert,
         "events_sequence_match": q_events_sequence_match,
@@ -7738,6 +7788,7 @@ def oracle_sql():
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),
+        "ann_refine": _sql_ann_refine(),
         "ann_range": _sql_ann_range(),
         "layout_hilbert": _sql_layout_hilbert(),
         "events_sequence_match": _sql_events_sequence_match(),

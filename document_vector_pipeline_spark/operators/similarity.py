@@ -587,6 +587,51 @@ def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _ranked(scored.select("query_id", "vec_id", "score"), k)
 
 
+def refine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               refine_factor: int = 3, n_centroids: int = 8, nprobe: int = 2,
+               n_codes: int = 16, n_sub: int = 8, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+    """Two-stage compressed-then-exact ANN — the FAISS ``IndexRefineFlat``
+    shape (Jégou et al. TPAMI 2011 §V.C, and every production IVFADC
+    deployment): the IVF+PQ ladder (``ivfpq_ann``) retrieves
+    ``k * refine_factor`` candidates per query from the probed cells'
+    PQ codes, then ONLY those candidates' full-precision vectors are
+    fetched and rescored with the exact cosine, and the top ``k`` of the
+    exact scores is returned.  Quantization error from the PQ stage
+    can reorder or drop true neighbors; refine restores exact ordering
+    WITHIN the candidate set, so recall is bounded by the candidate
+    stage while precision of the returned scores is exact — the
+    standard cheap-recall / exact-precision trade.
+
+    Plan (the 100 TB story): the candidate list is (n_queries × k·rf)
+    rows — metadata-sized by construction — so the exact-rescore fetch
+    is a BROADCAST join pruning the corpus scan to candidate rows only;
+    the query vectors ride in as a second broadcast.  The expensive
+    full-vector read happens for k·rf rows per query, never the corpus:
+    at 1000 executors the ADC stage scans codes (n_sub bytes/row in the
+    probed cells) and the refine stage reads a few hundred full
+    vectors, which is exactly why FAISS ships this composition.  The
+    final window is candidate-sized (no partial cut needed).  Exact
+    scores reuse the ``round(cosine, 6)`` contract of
+    ``brute_force_topk``, so the refined ranking is engine-portable."""
+    cand = ivfpq_ann(corpus, queries, k=k * refine_factor,
+                     n_centroids=n_centroids, nprobe=nprobe,
+                     n_codes=n_codes, n_sub=n_sub, dim=dim,
+                     id_col=id_col, vec_col=vec_col,
+                     qid_col=qid_col, qvec_col=qvec_col)
+    pairs = cand.select("query_id", "vec_id")
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("q"))
+    exact = (corpus.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("v"))
+             .join(F.broadcast(pairs), "vec_id")
+             .join(F.broadcast(q), "query_id")
+             .withColumn("score", F.round(cosine_similarity("v", "q"), 6)))
+    return _ranked(exact.select("query_id", "vec_id", "score"), k)
+
+
 def range_search(corpus: DataFrame, queries: DataFrame,
                  threshold: float = 0.3,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -357,3 +357,46 @@ def test_ivf_tuning_monotone_and_exhaustive_is_perfect(spark,
     means = {p: sum(v) / len(v) for p, v in avg.items()}
     assert means[1] <= means[2] <= means[4]
     assert means[4] == 1.0     # nprobe = n_centroids probes every cell
+
+
+def test_refine_exhaustive_candidates_equal_brute_force(spark,
+                                                        embeddings_small,
+                                                        queries):
+    """With every cell probed and refine_factor covering the whole
+    corpus, the candidate stage cannot drop a true neighbor, so refine
+    IS brute force — ids, exact scores, and ranks all equal."""
+    n = embeddings_small.count()
+    got = S.refine_ann(embeddings_small, queries, k=10,
+                       refine_factor=(n + 9) // 10,
+                       n_centroids=4, nprobe=4)
+    exact = S.brute_force_topk(embeddings_small, queries, k=10)
+    g = [(r.query_id, r.rank, r.vec_id, r.score) for r in
+         got.orderBy("query_id", "rank").collect()]
+    e = [(r.query_id, r.rank, r.vec_id, r.score) for r in
+         exact.orderBy("query_id", "rank").collect()]
+    assert g == e
+
+
+def test_refine_scores_exact_and_candidate_bounded(spark, embeddings_small,
+                                                   queries):
+    """Pruned refine: every returned row (a) came from the ADC candidate
+    list, (b) carries the EXACT cosine (not the quantized score), and
+    the candidate fetch is broadcast-pruned (no corpus shuffle join)."""
+    cand = S.ivfpq_ann(embeddings_small, queries, k=30,
+                       n_centroids=8, nprobe=2)
+    cand_ids = {(r.query_id, r.vec_id) for r in cand.collect()}
+    out = S.refine_ann(embeddings_small, queries, k=10, refine_factor=3,
+                       n_centroids=8, nprobe=2)
+    exact = {(r.query_id, r.vec_id): r.score for r in
+             S.brute_force_topk(embeddings_small, queries,
+                                k=embeddings_small.count()).collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert (r.query_id, r.vec_id) in cand_ids
+        assert r.score == exact[(r.query_id, r.vec_id)]
+    plan = (S.refine_ann(embeddings_small, queries, k=10, refine_factor=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    # exact-rescore joins are broadcast: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
