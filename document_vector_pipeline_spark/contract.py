@@ -1337,6 +1337,72 @@ def q_text_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(docs, _bm25_query_df(spark), k=10)
 
 
+def q_retrieval_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion (RM3 / Anserini -rm3): BM25
+    pass 1 picks 3 feedback docs per query, the 5 best new terms
+    (feedback tf × integer idf) join the query, BM25 pass 2 over the
+    expanded query is the final ranking."""
+    from document_vector_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_prf(docs, _bm25_query_df(spark), k=10,
+                              k_fb=3, m=5)
+
+
+def _sql_retrieval_prf(k: int = 10, k_fb: int = 3, m: int = 5) -> str:
+    """Two-pass mirror: pass 1 is the shared BM25 chain; feedback term
+    weights reuse the chain's idf_micro expression verbatim (tf_fb and
+    idf are exact integers, so the top-m cut is engine-portable); pass 2
+    rebuilds contrib/agg/rank over the expanded term set from the same
+    tok relation."""
+    return f"""
+with {_sql_bm25_ctes()},
+fb as (select query_id, doc_id from r where rank <= {k_fb}),
+fbt as (select fb.query_id, t.term, cast(count(*) as bigint) as tf_fb
+        from tok t join fb on t.doc_id = fb.doc_id
+        group by fb.query_id, t.term),
+allt as (select term from qt union select term from fbt),
+tf2 as (select doc_id, term, count(*) as tf, min(dl) as dl
+        from tok where term in (select term from allt)
+        group by doc_id, term),
+df2 as (select term, count(*) as df from tf2 group by term),
+wt as (select f.query_id, f.term,
+              f.tf_fb * cast(round(ln((((2.0 * (s.n_docs - d.df)) + 1.0)
+                                       / ((2.0 * d.df) + 1.0)) + 1.0)
+                                   * 1000000.0) as bigint) as w
+       from fbt f join df2 d using (term), stats s
+       where not exists (select 1 from qt
+                         where qt.query_id = f.query_id
+                           and qt.term = f.term)),
+expn as (select query_id, term from (
+           select *, row_number() over (partition by query_id
+                       order by w desc, term) as rn from wt)
+         where rn <= {m}),
+qt2 as (select query_id, term from qt
+        union all select query_id, term from expn),
+contrib2 as (
+  select qt2.query_id, tf2.doc_id,
+         cast(floor(
+           (cast(round(ln((((2.0 * (s.n_docs - df2.df)) + 1.0)
+                           / ((2.0 * df2.df) + 1.0)) + 1.0)
+                       * 1000000.0) as bigint)
+            * (22.0 * (tf2.tf * s.total_len)))
+           / (((10.0 * (s.total_len * tf2.tf)) + (3.0 * s.total_len))
+              + (9.0 * (tf2.dl * s.n_docs)))) as bigint) as c_micro
+  from qt2
+  join tf2 using (term)
+  join df2 using (term), stats s),
+agg2 as (select query_id, doc_id, cast(count(*) as bigint) as n_terms,
+                cast(sum(c_micro) as bigint) as score_micro
+         from contrib2 group by query_id, doc_id),
+r2 as (select *, cast(row_number() over (partition by query_id
+             order by score_micro desc, doc_id) as int) as rank
+       from agg2)
+select query_id, doc_id, n_terms, score_micro, rank
+from r2 where rank <= {k}
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 keyword top-10 + exact cosine vector top-10
     fused by reciprocal-rank fusion (c=60, micro-integer scores) — the
@@ -7675,6 +7741,7 @@ def queries():
         "hypertable_gapfill": q_hypertable_gapfill,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_refine": q_ann_refine,
+        "retrieval_prf": q_retrieval_prf,
         "ann_range": q_ann_range,
         "layout_hilbert": q_layout_hilbert,
         "events_sequence_match": q_events_sequence_match,
@@ -7789,6 +7856,7 @@ def oracle_sql():
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),
         "ann_refine": _sql_ann_refine(),
+        "retrieval_prf": _sql_retrieval_prf(),
         "ann_range": _sql_ann_range(),
         "layout_hilbert": _sql_layout_hilbert(),
         "events_sequence_match": _sql_events_sequence_match(),

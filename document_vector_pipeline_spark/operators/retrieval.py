@@ -206,6 +206,77 @@ def bm25_passages(chunks: DataFrame, query_terms: DataFrame, k: int = 10,
                     "n_chunks_hit", "score_micro", "rank"))
 
 
+def bm25_prf(docs: DataFrame, query_terms: DataFrame, k: int = 10,
+             k_fb: int = 3, m: int = 5, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Pseudo-relevance-feedback query expansion — the RM3 / Rocchio
+    shape every Lucene-era stack ships (Anserini's ``-rm3`` flag,
+    Abdul-Jaleel et al. TREC 2004): a first BM25 pass retrieves the
+    ``k_fb`` feedback documents per query, the ``m`` highest-weighted
+    NEW terms from those documents (weight = feedback term frequency ×
+    corpus idf — the integer-exact RM1 surrogate) are appended to the
+    query, and a second BM25 pass over the expanded query produces the
+    final ranking — (query_id, doc_id, n_terms, score_micro, rank),
+    the same contract as ``bm25_topk`` (n_terms counts matched
+    EXPANDED terms).
+
+    Determinism: the expansion weight reuses the scoring path's
+    idf_micro expression verbatim (the one transcendental rounded to
+    integer micro-units immediately), so weights are products of exact
+    integers and the top-m cut under (weight desc, term asc) is
+    engine-portable — the oracle replays the whole two-pass flow.
+
+    Plan shape (100 TB): the feedback fetch joins the corpus against a
+    BROADCAST k_fb-rows-per-query id list; candidate terms are the
+    feedback docs' vocabulary (bounded by k_fb docs × doc length per
+    query — metadata-sized); the second pass does NOT rescan per term
+    set — one tf relation is built over (original ∪ candidate) terms
+    via a broadcast semi-join and localCheckpointed, then BOTH the
+    expansion weights (via its df aggregation) and the final scoring
+    read that candidate-sized table.  Total corpus scans: pass-1
+    scoring + one combined pass-2/weights scan — independent of m."""
+    # pass 1: feedback documents
+    fb = (bm25_topk(docs, query_terms, k=k_fb,
+                    id_col=id_col, text_col=text_col)
+          .select("query_id", "doc_id"))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+        F.size(_tokens(F.col(text_col))).alias("dl"))
+    # candidate expansion terms: per-query feedback term frequencies
+    fb_tf = (tok.join(F.broadcast(fb), "doc_id")
+             .groupBy("query_id", "term")
+             .agg(F.count(F.lit(1)).alias("tf_fb"))
+             .localCheckpoint(eager=True))
+    all_terms = (query_terms.select("term")
+                 .union(fb_tf.select("term")).distinct())
+    # ONE corpus scan builds the tf relation for original + candidate
+    # terms; it feeds the expansion df, the final df, and the scoring
+    tf2 = (tok.join(F.broadcast(all_terms), "term", "left_semi")
+           .groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+           .localCheckpoint(eager=True))
+    df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
+    idf_micro = F.round(
+        F.log((((F.lit(2.0) * (F.col("n_docs") - F.col("df"))) + F.lit(1.0))
+               / ((F.lit(2.0) * F.col("df")) + F.lit(1.0))) + F.lit(1.0))
+        * F.lit(1000000.0)).cast("long")
+    wts = (fb_tf.join(F.broadcast(df2), "term")
+           .crossJoin(F.broadcast(stats))
+           .withColumn("w", F.col("tf_fb") * idf_micro)
+           .join(query_terms.select("query_id", "term"),
+                 ["query_id", "term"], "left_anti"))
+    we = Window.partitionBy("query_id").orderBy(F.desc("w"), F.col("term"))
+    expansion = (wts.withColumn("rn", F.row_number().over(we))
+                 .filter(F.col("rn") <= m)
+                 .select("query_id", "term"))
+    qt2 = query_terms.select("query_id", "term").union(expansion)
+    return rank_topk(score_tf(tf2, qt2, stats), k)
+
+
 def minmax_fuse(text_topk: DataFrame, vec_topk: DataFrame,
                 k: int = 10) -> DataFrame:
     """Score-based hybrid fusion — the standard alternative to RRF when

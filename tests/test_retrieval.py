@@ -196,3 +196,42 @@ def test_bm25_passages_survives_large_chunk_numbers(spark):
             retrieval.bm25_passages(chunks, qt, k=10).collect()}
     assert rows[7]["best_chunk"] == 123456 and rows[7]["n_chunks_hit"] == 1
     assert rows[9]["best_chunk"] == 999999999
+
+
+def test_prf_zero_expansion_equals_plain_bm25(spark, tiny_docs):
+    """m=0 adds no terms, so the second pass must reproduce bm25_topk
+    exactly — proves the shared tf relation changes nothing."""
+    qt = spark.createDataFrame([(0, "apple"), (1, "durian")],
+                               "query_id long, term string")
+    plain = [(r.query_id, r.rank, r.doc_id, r.score_micro) for r in
+             retrieval.bm25_topk(tiny_docs, qt, k=10)
+             .orderBy("query_id", "rank").collect()]
+    prf = [(r.query_id, r.rank, r.doc_id, r.score_micro) for r in
+           retrieval.bm25_prf(tiny_docs, qt, k=10, k_fb=2, m=0)
+           .orderBy("query_id", "rank").collect()]
+    assert prf == plain
+
+
+def test_prf_expands_with_cooccurring_terms(spark, tiny_docs):
+    """Feedback docs for 'apple' contain banana/cherry; after expansion
+    a cherry-only doc (never matching the original query) can be
+    retrieved, and n_terms can exceed the original query length."""
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    plain_docs = {r.doc_id for r in
+                  retrieval.bm25_topk(tiny_docs, qt, k=10).collect()}
+    docs2 = tiny_docs.union(spark.createDataFrame(
+        [(5, "cherry cherry banana")], "doc_id long, text string"))
+    out = retrieval.bm25_prf(docs2, qt, k=10, k_fb=3, m=5).collect()
+    got_docs = {r.doc_id for r in out}
+    # doc 5 has no 'apple' yet is found via expansion terms
+    assert 5 in got_docs and 5 not in plain_docs
+    assert max(r.n_terms for r in out) > 1   # expanded terms matched
+
+
+def test_prf_expansion_excludes_original_terms_and_caps_m(spark, tiny_docs):
+    """The expansion set never re-adds a query's own terms and is capped
+    at m per query: with m=1 each query gains at most one term, so
+    n_terms <= len(original)+1 for every hit."""
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    out = retrieval.bm25_prf(tiny_docs, qt, k=10, k_fb=3, m=1).collect()
+    assert out and max(r.n_terms for r in out) <= 2
