@@ -1155,6 +1155,80 @@ def q_ann_refine(spark, sf_dir):
                                  n_codes=16, n_sub=8, dim=64)
 
 
+def q_retrieval_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998): exact top-20 candidates per query, greedy pick of
+    5 maximizing lam*relevance - (1-lam)*max-sim-to-selected
+    (lam=0.7) — the RAG result diversifier, integer-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, _queries_df(emb), k=5, n=20,
+                                 lam_ppm=700000)
+
+
+def _sql_retrieval_mmr(k: int = 5, n: int = 20, lam: int = 700000,
+                       dim: int = 64) -> str:
+    """Greedy-loop mirror: candidates + pairwise fixed-point cosines,
+    then k unrolled selection steps — step t computes every remaining
+    candidate's max similarity to the selected set (mx{t}) and its MMR
+    objective (m{t}), picks the (mmr desc, vec_id) winner (sel{t}r) and
+    accumulates it (sel{t}).  Pure int64 arithmetic after the shared
+    floor(round6(cos)*1e6 + 0.5) fixed-pointing, so the loop replays
+    Spark's applyInPandas greedy bit-for-bit."""
+    lam2 = 1000000 - lam
+    cos_ab = _cos("a.v", "b.v", dim, "a.nrm", "b.nrm")
+    cos_eq = _cos("e.v", "q.v", dim, "e.nrm", "q.nrm")
+    steps = []
+    prev = "sel0"
+    for t in range(1, k + 1):
+        steps.append(f"""
+mx{t} as (select p.query_id, p.i as vec_id, max(p.sim) as ms
+          from ps p join {prev} s
+            on s.query_id = p.query_id and s.vec_id = p.j
+          group by p.query_id, p.i),
+m{t} as (select c.query_id, c.vec_id, c.rel_micro,
+                ({lam} * c.rel_micro) - ({lam2} * coalesce(mx.ms, 0)) as mmr
+         from cv c
+         left join mx{t} mx on mx.query_id = c.query_id
+                           and mx.vec_id = c.vec_id
+         where not exists (select 1 from {prev} s
+                           where s.query_id = c.query_id
+                             and s.vec_id = c.vec_id)),
+sel{t}r as (select query_id, vec_id, rel_micro, mmr from (
+    select *, row_number() over (partition by query_id
+               order by mmr desc, vec_id) as rn from m{t}) where rn = 1),
+sel{t} as (select query_id, vec_id from {prev}
+           union all select query_id, vec_id from sel{t}r)""")
+        prev = f"sel{t}"
+    union = "\nunion all ".join(
+        f"select query_id, vec_id, rel_micro, mmr, {t} as so from sel{t}r"
+        for t in range(1, k + 1))
+    return f"""
+with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e where vec_id < 5),
+s as (select q.query_id, e.vec_id, round({cos_eq}, 6) as score
+      from e cross join q),
+rb as (select *, row_number() over (partition by query_id
+          order by score desc, vec_id) as rank from s),
+cand as (select query_id, vec_id,
+                cast(floor((score * 1000000.0) + 0.5) as bigint) as rel_micro
+         from rb where rank <= {n}),
+cv as materialized (
+  select c.query_id, c.vec_id, c.rel_micro, e.v, e.nrm
+  from cand c join e on e.vec_id = c.vec_id),
+ps as materialized (
+  select a.query_id, a.vec_id as i, b.vec_id as j,
+         cast(floor((round({cos_ab}, 6) * 1000000.0) + 0.5) as bigint) as sim
+  from cv a join cv b on a.query_id = b.query_id),
+sel0 as (select cast(null as bigint) as query_id,
+                cast(null as bigint) as vec_id where 1 = 0),
+{",".join(steps)}
+select query_id, vec_id, cast(rel_micro as bigint) as rel_micro,
+       cast(mmr as bigint) as mmr_micro, cast(so as int) as sel_order
+from ({union})
+"""
+
+
 def q_ann_range(spark, sf_dir):
     """Radius search: all corpus vectors with cosine >= 0.3 to each
     query — zero-shuffle broadcast scan."""
@@ -7742,6 +7816,7 @@ def queries():
         "ann_ivfpq": q_ann_ivfpq,
         "ann_refine": q_ann_refine,
         "retrieval_prf": q_retrieval_prf,
+        "retrieval_mmr": q_retrieval_mmr,
         "ann_range": q_ann_range,
         "layout_hilbert": q_layout_hilbert,
         "events_sequence_match": q_events_sequence_match,
@@ -7857,6 +7932,7 @@ def oracle_sql():
         "ann_ivfpq": _sql_ann_ivfpq(),
         "ann_refine": _sql_ann_refine(),
         "retrieval_prf": _sql_retrieval_prf(),
+        "retrieval_mmr": _sql_retrieval_mmr(),
         "ann_range": _sql_ann_range(),
         "layout_hilbert": _sql_layout_hilbert(),
         "events_sequence_match": _sql_events_sequence_match(),

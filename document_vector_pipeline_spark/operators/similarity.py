@@ -632,6 +632,81 @@ def refine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _ranked(exact.select("query_id", "vec_id", "score"), k)
 
 
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n: int = 20, lam_ppm: int = 700000,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    SIGIR 1998 — the standard RAG result-diversifier, e.g. LangChain's
+    ``search_type="mmr"``): take the exact cosine top-``n`` candidates
+    per query, then greedily select ``k`` of them, each step maximizing
+
+        lam * relevance  -  (1 - lam) * max_sim_to_already_selected
+
+    so near-duplicate passages don't crowd the context window.  Returns
+    (query_id, vec_id, rel_micro, mmr_micro, sel_order): ``sel_order``
+    is the greedy pick position, ``mmr_micro`` the winning objective at
+    selection time (ppm·micro fixed point).
+
+    Determinism: relevance and pairwise similarities are fixed-pointed
+    with the shared floor(round6(cos)·1e6 + 0.5) contract, the
+    objective is pure int64 arithmetic with ties broken by vec_id —
+    the oracle replays the greedy loop as k unrolled CTE steps.
+
+    Plan shape (100 TB): the expensive part is the candidate stage
+    (brute-force scan — swap in any ANN ladder upstream); everything
+    after is per-query work over n<=20 rows, grouped applyInPandas
+    with the candidate vectors fetched by ONE broadcast-pruned join
+    (mirrors refine_ann's fetch).  The O(k·n) greedy loop and the
+    n×n similarity matrix live entirely inside a query's group —
+    no shuffle grows with the corpus."""
+    import numpy as np
+
+    from document_vector_pipeline_spark.functions.vectors import py_round6_np
+
+    cand = brute_force_topk(corpus, queries, k=n, id_col=id_col,
+                            vec_col=vec_col, qid_col=qid_col,
+                            qvec_col=qvec_col)
+    cv = (corpus.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"))
+          .join(F.broadcast(cand.select("query_id", "vec_id", "score")),
+                "vec_id"))
+    qid_type = cand.schema["query_id"].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = (f"query_id {qid_type}, vec_id {id_type}, rel_micro long, "
+              "mmr_micro long, sel_order int")
+    lam2 = 1000000 - lam_ppm
+
+    def pick(pdf):
+        import pandas as pd
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        rel = np.floor(pdf["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        qid = pdf["query_id"].iloc[0]
+        # pairwise round6 cosines in the exact left-fold shape of the
+        # expression path (cumsum last element == sequential sum)
+        dots = np.cumsum(V[:, None, :] * V[None, :, :], axis=2)[:, :, -1]
+        denom = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom == 0.0, 0.0, dots / denom)
+        simm = np.floor(py_round6_np(sim) * 1e6 + 0.5).astype(np.int64)
+        maxsim = np.zeros(len(ids), dtype=np.int64)
+        remaining = list(range(len(ids)))
+        out = []
+        for step in range(1, min(k, len(ids)) + 1):
+            mmr = lam_ppm * rel - lam2 * maxsim
+            bi = min(remaining, key=lambda i: (-int(mmr[i]), ids[i]))
+            out.append((qid, ids[bi], int(rel[bi]), int(mmr[bi]), step))
+            remaining.remove(bi)
+            maxsim = np.maximum(maxsim, simm[:, bi])
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "rel_micro",
+                                          "mmr_micro", "sel_order"])
+
+    return cv.groupBy("query_id").applyInPandas(pick, schema)
+
+
 def range_search(corpus: DataFrame, queries: DataFrame,
                  threshold: float = 0.3,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -400,3 +400,54 @@ def test_refine_scores_exact_and_candidate_bounded(spark, embeddings_small,
     # exact-rescore joins are broadcast: no SortMergeJoin anywhere
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mmr_pure_relevance_is_brute_force_order(spark, embeddings_small,
+                                                 queries):
+    """lam=1.0 zeroes the diversity term, so greedy MMR must pick the
+    exact top-k in relevance order."""
+    got = S.mmr_rerank(embeddings_small, queries, k=5, n=20,
+                       lam_ppm=1000000)
+    exact = S.brute_force_topk(embeddings_small, queries, k=5)
+    g = [(r.query_id, r.sel_order, r.vec_id) for r in
+         got.orderBy("query_id", "sel_order").collect()]
+    e = [(r.query_id, r.rank, r.vec_id) for r in
+         exact.orderBy("query_id", "rank").collect()]
+    assert g == e
+
+
+def test_mmr_skips_near_duplicate(spark):
+    """Corpus: near-duplicate pair (10, 11) both highly relevant, plus a
+    diverse low-sim doc 12.  Top-2 by relevance is the duplicate pair;
+    diversity-weighted MMR (lam=0.2) keeps the best duplicate and swaps
+    the second for the diverse doc."""
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.98, 0.19899, 0.0, 0.0]),   # sim(10,11) ~ 0.98
+        (12, [0.0, 1.0, 0.0, 0.0]),        # sim to 10 = 0, to 11 ~ 0.2
+        (13, [0.0, 0.0, 0.0, 1.0]),        # irrelevant (outside top-3)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [0.9, 0.1, 0.42, 0.0])],
+                              "query_id long, query_vec array<double>")
+    top2 = [r.vec_id for r in S.brute_force_topk(emb, q, k=2)
+            .orderBy("rank").collect()]
+    assert top2 == [11, 10]                # the duplicate pair crowds top-2
+    sel = [r.vec_id for r in S.mmr_rerank(emb, q, k=2, n=3, lam_ppm=200000)
+           .orderBy("sel_order").collect()]
+    assert sel == [11, 12]                 # duplicate 10 displaced
+
+
+def test_mmr_output_shape_and_first_pick(spark, embeddings_small, queries):
+    """k rows per query, sel_order 1..k, and the first pick is always
+    the relevance argmax (self-retrieval on this corpus)."""
+    out = S.mmr_rerank(embeddings_small, queries, k=5, n=20,
+                       lam_ppm=700000).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert sorted(x.sel_order for x in rs) == [1, 2, 3, 4, 5]
+        first = [x for x in rs if x.sel_order == 1][0]
+        assert first.vec_id == qid      # self is most relevant
+    assert len(by_q) == 3
