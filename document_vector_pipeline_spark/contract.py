@@ -2459,6 +2459,88 @@ select version, n_rows, digest from a1
 """
 
 
+def q_store_versioned_diff(spark, sf_dir):
+    """Key-level CDC between two snapshots of the versioned store
+    (Delta's table_changes over the manifest log): v0 ingests the
+    corpus plus an EXTRA chunk 1 for every 6th document; v1 re-ingests
+    those documents with a MODIFIED chunk 0 and a NEW chunk 2 via
+    ``replace_documents``.  diff(0, 1) must report exactly chunk 0 as
+    'changed', chunk 1 as 'removed' (replace drops it), chunk 2 as
+    'added' — and NOTHING for the untouched 5/6 of the corpus, even
+    though those documents share hash buckets with the rewritten ones.
+    Plan (BucketedVersionedTable.diff): a dir carried by reference
+    between the manifests is the same immutable path in both versions,
+    so only buckets in the manifests' symmetric difference are read
+    from either side — diffing adjacent commits of a 100 TB table
+    costs the touched buckets, not two table scans; unchanged keys
+    inside a rewritten bucket drop out by content-digest equality."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "versioned_diff")
+    shutil.rmtree(path, ignore_errors=True)
+    vvs = VersionedVectorStore(spark, path,
+                               PipelineConfig(store_buckets=8))
+    six = docs.filter(F.col("doc_id") % 6 == 0)
+    batch1 = _store_chunks(docs).unionByName(
+        _store_chunks(six.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit("part two"))))
+        .withColumn("chunk_number", F.lit(1)))
+    vvs.replace_documents(batch1)
+    batch2 = _store_chunks(six.withColumn(
+        "text", F.concat_ws(" ", F.col("text"),
+                            F.lit("replaced edition")))).unionByName(
+        _store_chunks(six.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit("appendix"))))
+        .withColumn("chunk_number", F.lit(2)))
+    vvs.replace_documents(batch2)
+    digest = md5_long(F.col("chunk_text"), hex_digits=13)
+    return (vvs.vt.diff(0, 1, keys=["document_url", "id"], digest=digest)
+            .select("status", "document_url", "id"))
+
+
+def _sql_store_versioned_diff() -> str:
+    dig = _md5l("chunk_text", 13)
+    return f"""
+with d as (
+  select doc_id, {_URL_SQL} as document_url,
+         {_norm_text('text')} as t0,
+         {_norm_text("text || ' part two'")} as t1,
+         {_norm_text("text || ' replaced edition'")} as t2,
+         {_norm_text("text || ' appendix'")} as t3
+  from documents),
+v0 as (
+  select document_url, '0' as id, t0 as chunk_text from d
+  union all
+  select document_url, '1' as id, t1 as chunk_text from d
+  where doc_id % 6 = 0),
+v1 as (
+  select * from v0 where document_url not in
+    (select document_url from d where doc_id % 6 = 0)
+  union all
+  select document_url, '0' as id, t2 as chunk_text from d
+  where doc_id % 6 = 0
+  union all
+  select document_url, '2' as id, t3 as chunk_text from d
+  where doc_id % 6 = 0),
+a as (select document_url, id, cast(sum({dig}) as bigint) as da
+      from v0 group by document_url, id),
+b as (select document_url, id, cast(sum({dig}) as bigint) as db
+      from v1 group by document_url, id)
+select case when a.document_url is null then 'added'
+            when b.document_url is null then 'removed'
+            else 'changed' end as status,
+       coalesce(a.document_url, b.document_url) as document_url,
+       coalesce(a.id, b.id) as id
+from a full outer join b
+  on a.document_url = b.document_url and a.id = b.id
+where a.document_url is null or b.document_url is null or a.da <> b.db
+"""
+
+
 def q_ann_ivf_stats(spark, sf_dir):
     """Cell-balance monitoring of the persisted IVF index: per-cell
     population, corpus share (ppm) and fill factor vs uniform (milli;
@@ -7708,6 +7790,7 @@ def queries():
         "text_index_stats": q_text_index_stats,
         "text_span_search": q_text_span_search,
         "dedup_incremental": q_dedup_incremental,
+        "store_versioned_diff": q_store_versioned_diff,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7735,8 +7818,8 @@ def queries():
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
         # -- rest of the r1 block --
+        "text_fingerprint": q_text_fingerprint,
         "ann_bruteforce_np": q_ann_bruteforce_np,
         "text_topterms": q_text_topterms,
         "mm_decode": q_mm_decode,
@@ -8017,6 +8100,7 @@ from c
         "store_versioned_search": _sql_store_versioned_search(),
         "store_versioned_hybrid": _sql_store_versioned_hybrid(),
         "store_versioned_ingest": _sql_store_versioned_ingest(),
+        "store_versioned_diff": _sql_store_versioned_diff(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),

@@ -331,6 +331,54 @@ class BucketedVersionedTable(VersionedTable):
                   + self._count_dirs(new_dirs))
         return self._commit_dirs("upsert", carried + new_dirs, n_rows)
 
+    def diff(self, v_a: int, v_b: int, keys: list[str],
+             digest) -> DataFrame:
+        """Key-level change set between two snapshots — (status, *keys)
+        with status in {added, removed, changed} — computed
+        BUCKET-INCREMENTALLY: a dir carried by reference between the
+        two manifests is the SAME immutable path, so its rows are
+        bit-identical in both versions and (keys hashing to buckets)
+        cannot differ anywhere else — only buckets owning a dir in the
+        manifests' symmetric difference are read, from BOTH sides.
+        This is the CDC-between-commits query Delta calls
+        table_changes: diffing adjacent versions of a 100 TB table
+        costs the touched buckets, not two table scans.
+
+        ``digest`` is a long Column over the row (content fingerprint,
+        e.g. md5 of the concatenated payload); per-key digests are
+        SUMMED so duplicate keys from ``commit_append`` fold
+        order-freely, and 'changed' means the summed fingerprints
+        differ.  Unchanged keys inside a rewritten bucket drop out."""
+        ma, mb = self._manifest(v_a), self._manifest(v_b)
+        da, db = set(ma["dirs"]), set(mb["dirs"])
+        touched = {self._bucket_of(d) for d in da.symmetric_difference(db)}
+        ra = [d for d in ma["dirs"] if self._bucket_of(d) in touched]
+        rb = [d for d in mb["dirs"] if self._bucket_of(d) in touched]
+
+        def side(dirs, out):
+            if not dirs:
+                return None
+            return (self._read_dirs(dirs)
+                    .groupBy(*keys)
+                    .agg(F.sum(digest).cast("long").alias(out)))
+
+        a, b = side(ra, "__da"), side(rb, "__db")
+        if a is None and b is None:
+            fields = ", ".join(["status string"]
+                               + [f"`{c}` string" for c in keys])
+            return self.spark.createDataFrame([], fields)
+        if a is None:
+            return b.select(F.lit("added").alias("status"), *keys)
+        if b is None:
+            return a.select(F.lit("removed").alias("status"), *keys)
+        j = a.join(b, keys, "full_outer")
+        status = (F.when(F.col("__da").isNull(), "added")
+                  .when(F.col("__db").isNull(), "removed")
+                  .when(F.col("__da") != F.col("__db"), "changed"))
+        return (j.withColumn("status", status)
+                .filter(F.col("status").isNotNull())
+                .select("status", *keys))
+
     def delete_rows(self, cond, affected_buckets: list) -> int:
         """Snapshot delete bounded to ``affected_buckets`` (the caller
         derives them from the delete predicate's keys): survivors of

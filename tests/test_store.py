@@ -626,3 +626,78 @@ def test_build_text_asof_pins_both_hybrid_legs(spark, tmp_path):
     vvs.upsert(_chunks(spark, [
         ("u9", 0, "beta beta beta", 0, [1.0, 1.0, 0.0, 0.0])]))
     assert asof_hybrid("b") == got
+
+
+def test_bucketed_versioned_diff_matches_model_and_prunes(spark, tmp_path):
+    """diff(v_a, v_b) = key-level CDC between snapshots.  Checked two
+    ways: (1) against the plain dict model across every adjacent and
+    spanning version pair of a mixed upsert/delete history; (2) the
+    pruning contract — diff must read ONLY dirs of buckets in the two
+    manifests' symmetric difference (carried dirs are the same
+    immutable path in both versions, so their rows cannot differ)."""
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs_diff"), CFG)
+    vt = vvs.vt
+    snapshots = []          # version -> {(url, id): chunk_text}
+    model = {}
+    vec = [1.0, 0.0, 0.0, 0.0]
+
+    def commit_upsert(rows):
+        vvs.upsert(_chunks(spark, [(u, c, t, 0, vec) for (u, c, t) in rows]))
+        for (u, c, t) in rows:
+            model[(u, str(c))] = t
+        snapshots.append(dict(model))
+
+    def commit_delete(urls):
+        vvs.delete_documents(urls)
+        for key in [k for k in model if k[0] in urls]:
+            del model[key]
+        snapshots.append(dict(model))
+
+    commit_upsert([(f"u{i}", c, f"t{i}.{c}")
+                   for i in range(8) for c in range(2)])
+    commit_upsert([("u1", 0, "t1.0-edited"), ("u9", 0, "new-doc")])
+    commit_delete(["u2", "u5"])
+    commit_upsert([("u2", 0, "t2.0-back"), ("u1", 1, "t1.1")])  # no-op text on u1/1
+
+    def expected(a, b):
+        sa, sb = snapshots[a], snapshots[b]
+        out = set()
+        for k in sb.keys() - sa.keys():
+            out.add(("added",) + k)
+        for k in sa.keys() - sb.keys():
+            out.add(("removed",) + k)
+        for k in sa.keys() & sb.keys():
+            if sa[k] != sb[k]:
+                out.add(("changed",) + k)
+        return out
+
+    digest = F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 13),
+                    16, 10).cast("long")
+    read_dirs = []
+    orig = vt._read_dirs
+    vt._read_dirs = lambda dirs: (read_dirs.append(list(dirs)),
+                                  orig(dirs))[1]
+    try:
+        pairs = [(v, v + 1) for v in range(len(snapshots) - 1)]
+        pairs += [(0, len(snapshots) - 1), (1, 3)]
+        for a, b in pairs:
+            read_dirs.clear()
+            got = {tuple(r) for r in vt.diff(
+                a, b, keys=["document_url", "id"], digest=digest).collect()}
+            assert got == expected(a, b), f"diff({a},{b}) diverged"
+            ma, mb = set(vt._manifest(a)["dirs"]), set(vt._manifest(b)["dirs"])
+            touched = {vt._bucket_of(d) for d in ma ^ mb}
+            for dirs in read_dirs:
+                assert all(vt._bucket_of(d) in touched for d in dirs), \
+                    f"diff({a},{b}) read a carried (untouched) bucket"
+        # identical manifests: empty result, zero reads
+        read_dirs.clear()
+        assert vt.diff(2, 2, keys=["document_url", "id"],
+                       digest=digest).count() == 0
+        assert read_dirs == []
+    finally:
+        vt._read_dirs = orig
