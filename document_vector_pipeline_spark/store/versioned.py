@@ -157,6 +157,27 @@ class VersionedTable:
         return self.spark.createDataFrame(
             rows, "version int, op string, n_dirs int, n_rows long")
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: re-publish ``version``'s snapshot as a
+        NEW commit by carrying that manifest's dirs by reference — one
+        driver-side JSON write, ZERO bytes moved at any table size.
+        Rollback is itself an auditable commit (history keeps the bad
+        versions), later commits continue from the restored state, and
+        ``vacuum`` keeps the restored dirs live because the newest
+        manifest references them.  Works unchanged on the bucketed
+        subclass: carried dirs keep their bucket names, so subsequent
+        bucket-incremental upserts match them."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not in log (vacuumed or never "
+                f"written); available: {self.versions()}")
+        m = self._manifest(version)
+        v = self.latest() + 1
+        manifest = {"version": v, "op": "restore", "dirs": m["dirs"],
+                    "n_rows": m["n_rows"]}
+        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
+        return v
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions: delete their
         manifests, then every data dir no kept manifest references.

@@ -111,6 +111,17 @@ class VersionedVectorStore:
     def vacuum(self, keep_last: int = 1) -> list[int]:
         return self.vt.vacuum(keep_last)
 
+    def restore(self, version: int) -> int:
+        """Zero-copy rollback: re-publish ``version`` as a new commit
+        (manifest-only — see VersionedTable.restore)."""
+        return self.vt.restore(version)
+
+    def diff(self, v_a: int, v_b: int, digest) -> DataFrame:
+        """Key-level CDC between two snapshots on the store's natural
+        key (document_url, id) — see BucketedVersionedTable.diff."""
+        return self.vt.diff(v_a, v_b, keys=["document_url", "id"],
+                            digest=digest)
+
     def _asof(self, version: int | None) -> _SnapshotStore:
         return _SnapshotStore(self.spark, self.read(version), self.cfg)
 

@@ -701,3 +701,41 @@ def test_bucketed_versioned_diff_matches_model_and_prunes(spark, tmp_path):
         assert read_dirs == []
     finally:
         vt._read_dirs = orig
+
+
+def test_versioned_restore_is_manifest_only_and_composable(spark, tmp_path):
+    """restore(v) republishes v's dirs by reference: ZERO new data dirs
+    (one JSON manifest write), read(v_new) == read(v) exactly, history
+    keeps the rolled-back versions, and a later upsert merges against
+    the RESTORED state — while vacuum keeps restored dirs live."""
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs_restore"), CFG)
+    vec = [1.0, 0.0, 0.0, 0.0]
+    vvs.upsert(_chunks(spark, [(f"u{i}", 0, f"good{i}", 0, vec)
+                               for i in range(6)]))          # v0
+    vvs.upsert(_chunks(spark, [("u1", 0, "BAD", 0, vec),
+                               ("u7", 0, "BAD-NEW", 0, vec)]))  # v1
+    fs, _ = vvs.vt._fs()
+    n_data_dirs = len(fs.listStatus(vvs.vt._jpath("data")))
+    assert vvs.restore(0) == 2
+    # manifest-only: the data/ listing did not grow
+    assert len(fs.listStatus(vvs.vt._jpath("data"))) == n_data_dirs
+    assert vvs.vt._manifest(2)["dirs"] == vvs.vt._manifest(0)["dirs"]
+    snap = lambda v: {(r["document_url"], r["id"]): r["chunk_text"]
+                      for r in vvs.read(v).collect()}
+    assert snap(2) == snap(0)
+    assert "BAD" not in dict(snap(2)).values()
+    # later commit continues from the restored base, not v1
+    vvs.upsert(_chunks(spark, [("u2", 0, "patched", 0, vec)]))  # v3
+    want = dict(snap(0)); want[("u2", "0")] = "patched"
+    assert snap(3) == want
+    assert [r["op"] for r in vvs.history().orderBy("version").collect()] \
+        == ["upsert", "upsert", "restore", "upsert"]
+    # vacuum to the latest two keeps every dir the restored lineage needs
+    vvs.vacuum(keep_last=2)
+    assert snap(3) == want and snap(2) == snap(2)
+    with pytest.raises(ValueError):
+        vvs.read(0)
