@@ -1800,6 +1800,105 @@ from r where rank <= {k}
 """
 
 
+# boolean-query batch: q0 = conjunction with an exclusion, q1 = one
+# required term broadened by two optional ones, q2 = pure disjunction
+# with an exclusion (no must clause), q3 = three-way conjunction
+_BOOL_CLAUSES = [
+    (0, "vector", "must"), (0, "join", "must"), (0, "hash", "must_not"),
+    (1, "stream", "must"), (1, "window", "should"), (1, "batch", "should"),
+    (2, "customer", "should"), (2, "table", "should"),
+    (2, "zebra", "must_not"),
+    (3, "table", "must"), (3, "hash", "must"), (3, "join", "must"),
+]
+
+
+def q_text_boolean_search(spark, sf_dir):
+    """Boolean retrieval (Lucene BooleanQuery) over the persisted
+    inverted index — store/text_index.TextIndex.boolean_search: must
+    terms are a conjunction, should terms broaden scoring (and are the
+    match set when a query has no must clause), must_not excludes;
+    qualifying documents are BM25-ranked over their must+should
+    matches.  Plan: ONE tbucket-pruned posting read serves all three
+    clause roles; qualification is candidate-sized; scoring shares
+    retrieval.score_tf verbatim with the plain search path."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_bool_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    clauses = spark.createDataFrame(
+        _BOOL_CLAUSES, "query_id long, term string, clause string")
+    return idx.boolean_search(clauses, k=10)
+
+
+def _sql_text_boolean_search(k: int = 10) -> str:
+    values = ", ".join(f"({q}, '{t}', '{c}')"
+                       for q, t, c in _BOOL_CLAUSES)
+    terms = ", ".join(sorted({f"'{t}'" for _, t, _c in _BOOL_CLAUSES}))
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with tok as (
+  select doc_id, unnest({toks}) as term, len({toks}) as dl
+  from documents),
+stats as (
+  select count(*) as n_docs, sum(len({toks})) as total_len
+  from documents),
+ct as (select * from (values {values}) as v(query_id, term, clause)),
+tf as (select doc_id, term, count(*) as tf, min(dl) as dl
+       from tok where term in ({terms})
+       group by doc_id, term),
+dfr as (select term, count(*) as df from tf group by term),
+hits as (select ct.query_id, tf.doc_id, ct.clause
+         from ct join tf using (term)),
+nmust as (select query_id, count(distinct term) as n_must
+          from ct where clause = 'must' group by query_id),
+cand_must as (
+  select h.query_id, h.doc_id
+  from hits h join nmust n using (query_id)
+  where h.clause = 'must'
+  group by h.query_id, h.doc_id, n.n_must
+  having count(*) = n.n_must),
+cand_should as (
+  select distinct query_id, doc_id from hits
+  where clause = 'should'
+    and query_id not in (select query_id from nmust)),
+excl as (select distinct query_id, doc_id from hits
+         where clause = 'must_not'),
+cand as (
+  select * from (select * from cand_must
+                 union all select * from cand_should) c
+  where not exists (select 1 from excl e
+                    where e.query_id = c.query_id
+                      and e.doc_id = c.doc_id)),
+qt as (select query_id, term from ct where clause <> 'must_not'),
+contrib as (
+  select qt.query_id, tf.doc_id,
+         cast(floor(
+           (cast(round(ln((((2.0 * (s.n_docs - dfr.df)) + 1.0)
+                           / ((2.0 * dfr.df) + 1.0)) + 1.0)
+                       * 1000000.0) as bigint)
+            * (22.0 * (tf.tf * s.total_len)))
+           / (((10.0 * (s.total_len * tf.tf)) + (3.0 * s.total_len))
+              + (9.0 * (tf.dl * s.n_docs)))) as bigint) as c_micro
+  from qt
+  join tf using (term)
+  join dfr using (term), stats s),
+agg as (
+  select query_id, doc_id, cast(count(*) as bigint) as n_terms,
+         cast(sum(c_micro) as bigint) as score_micro
+  from contrib
+  join cand using (query_id, doc_id)
+  group by query_id, doc_id),
+r as (select *, cast(row_number() over (partition by query_id
+            order by score_micro desc, doc_id) as int) as rank
+      from agg)
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank <= {k}
+"""
+
+
 def q_text_index_stats(spark, sf_dir):
     """Index-health monitoring for the persisted keyword index
     (store/text_index.py index_stats — the keyword twin of
@@ -7879,6 +7978,7 @@ def queries():
         "dedup_incremental": q_dedup_incremental,
         "store_versioned_diff": q_store_versioned_diff,
         "store_versioned_restore": q_store_versioned_restore,
+        "text_boolean_search": q_text_boolean_search,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7904,8 +8004,8 @@ def queries():
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq": q_ann_pq,
         "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
         # -- rest of the r1 block --
+        "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "ann_bruteforce_np": q_ann_bruteforce_np,
@@ -8190,6 +8290,7 @@ from c
         "store_versioned_ingest": _sql_store_versioned_ingest(),
         "store_versioned_diff": _sql_store_versioned_diff(),
         "store_versioned_restore": _sql_store_versioned_restore(),
+        "text_boolean_search": _sql_text_boolean_search(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),

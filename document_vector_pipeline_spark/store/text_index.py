@@ -381,6 +381,68 @@ class TextIndex:
             scored = scored.filter(doc_filter)
         return retrieval.rank_topk(scored, k)
 
+    def boolean_search(self, clauses: DataFrame, k: int = 10,
+                       checkpoint: bool = True) -> DataFrame:
+        """Lucene-style BooleanQuery over the persisted index —
+        ``clauses`` is (query_id, term, clause) with clause in
+        {'must', 'should', 'must_not'}; a term appears in ONE clause
+        per query.  A document qualifies when it contains EVERY must
+        term of its query (or, for a query with no must clauses, at
+        least one should term) and NO must_not term; qualifying
+        documents are BM25-ranked over their must+should matches
+        (must_not never contributes to the score) — (query_id,
+        doc_id, n_terms, score_micro, rank).
+
+        Plan: ONE pruned posting read covers all three clause roles
+        (the tbucket list spans every clause term — a must_not term's
+        postings are needed to exclude its documents); qualification
+        is candidate-sized groupBys against broadcast clause metadata;
+        scoring shares retrieval.score_tf verbatim, so a query with
+        only must/should clauses ranks bit-identically to ``search``
+        over the same terms.  At 100 TB nothing beyond the clause
+        terms' posting buckets is read, and every post-read join is
+        bounded by candidates x clause terms."""
+        clauses = clauses.select("query_id", "term", "clause").distinct()
+        tb = [r[0] for r in clauses
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        post = self._postings().filter(F.col("tbucket").isin(tb))
+        tf = (self._live(
+                post.join(F.broadcast(clauses.select("term").distinct()),
+                          "term", "left_semi"))
+              .select("doc_id", "term", "tf", "dl"))
+        if checkpoint:
+            tf = tf.localCheckpoint(eager=True)
+        # live tf is unique per (doc_id, term), so the counts below are
+        # exact term-presence counts
+        hits = (tf.join(F.broadcast(clauses), "term")
+                .select("query_id", "doc_id", "clause"))
+        n_must = (clauses.filter(F.col("clause") == "must")
+                  .groupBy("query_id")
+                  .agg(F.countDistinct("term").alias("n_must")))
+        cand_must = (hits.filter(F.col("clause") == "must")
+                     .groupBy("query_id", "doc_id")
+                     .agg(F.count(F.lit(1)).alias("n_hit"))
+                     .join(F.broadcast(n_must), "query_id")
+                     .filter(F.col("n_hit") == F.col("n_must"))
+                     .select("query_id", "doc_id"))
+        no_must = (clauses.groupBy("query_id")
+                   .agg(F.sum(F.when(F.col("clause") == "must", 1)
+                              .otherwise(0)).alias("nm"))
+                   .filter(F.col("nm") == 0).select("query_id"))
+        cand_should = (hits.filter(F.col("clause") == "should")
+                       .join(F.broadcast(no_must), "query_id",
+                             "left_semi")
+                       .select("query_id", "doc_id").distinct())
+        excl = (hits.filter(F.col("clause") == "must_not")
+                .select("query_id", "doc_id").distinct())
+        cand = (cand_must.unionByName(cand_should)
+                .join(excl, ["query_id", "doc_id"], "left_anti"))
+        scoring = (clauses.filter(F.col("clause") != "must_not")
+                   .select("query_id", "term").distinct())
+        scored = (retrieval.score_tf(tf, scoring, self.stats())
+                  .join(cand, ["query_id", "doc_id"], "left_semi"))
+        return retrieval.rank_topk(scored, k)
+
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> None:
         """Per-document replace, O(batch): the batch becomes a NEW

@@ -628,3 +628,38 @@ def test_span_search_plan_prunes_and_partial_cuts(spark, docs, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "tbucket" in plan
     assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_boolean_search_semantics_and_scan_consistency(
+        spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti_bool"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+
+    # must = conjunction, must_not = exclusion: docs with apple AND
+    # banana but NOT cherry -> only doc 1 (docs 2 and 6 have cherry)
+    cl = spark.createDataFrame(
+        [(0, "apple", "must"), (0, "banana", "must"),
+         (0, "cherry", "must_not")],
+        "query_id long, term string, clause string")
+    got = idx.boolean_search(cl, k=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == [(1, 1)]
+    # must+should: candidates need ALL must terms, should still scores
+    cl2 = spark.createDataFrame(
+        [(1, "banana", "must"), (1, "cherry", "should")],
+        "query_id long, term string, clause string")
+    got2 = idx.boolean_search(cl2, k=10)
+    assert {r["doc_id"] for r in got2.collect()} == {1, 2, 6}
+    # the should term contributed: doc 2 (cherry x4) must outrank doc 1
+    ranks = {r["doc_id"]: r["rank"] for r in got2.collect()}
+    assert ranks[2] < ranks[1]
+    # a should-only query IS plain BM25: bit-identical to search()
+    qt = spark.createDataFrame(
+        [(2, "apple"), (2, "durian")], "query_id long, term string")
+    cl3 = qt.withColumn("clause", F.lit("should"))
+    assert (sorted(map(tuple, idx.boolean_search(cl3, k=10).collect()))
+            == sorted(map(tuple, idx.search(qt, k=10).collect())))
+    # boolean search over a maintained index keeps the contract: delete
+    # doc 1 -> the conjunction query finds nothing
+    idx.delete([1])
+    assert idx.boolean_search(cl, k=10).count() == 0
