@@ -1899,6 +1899,145 @@ from r where rank <= {k}
 """
 
 
+# prefix-query batch: q0 = a 6-way expansion (s -> scan small slow
+# stream spark sort), q1/q2 narrower, q3 = two prefixes in one query,
+# one of which matches nothing
+_PREFIXES = [(0, "s"), (1, "c"), (2, "ba"), (3, "f"), (3, "qq")]
+
+
+def q_text_prefix_search(spark, sf_dir):
+    """Prefix (multi-term) retrieval over the persisted inverted index
+    — store/text_index.TextIndex.prefix_search: each query expands
+    against the per-segment TERM DICTIONARIES (vocab-sized sidecars
+    written with every segment — Lucene's term dict) to every indexed
+    term starting with its prefix, then runs the ordinary
+    bucket-pruned BM25 search as a scoring disjunction (Lucene
+    PrefixQuery under SCORING_BOOLEAN rewrite).  Term discovery never
+    touches postings; postings IO stays bounded by the matched terms'
+    tbuckets."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_prefix_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    prefixes = spark.createDataFrame(
+        _PREFIXES, "query_id long, prefix string")
+    return idx.prefix_search(prefixes, k=10)
+
+
+def _sql_text_prefix_search(k: int = 10) -> str:
+    values = ", ".join(f"({q}, '{p}')" for q, p in _PREFIXES)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with tok as (
+  select doc_id, unnest({toks}) as term, len({toks}) as dl
+  from documents),
+stats as (
+  select count(*) as n_docs, sum(len({toks})) as total_len
+  from documents),
+px as (select * from (values {values}) as v(query_id, prefix)),
+qt as (select distinct px.query_id, t.term
+       from (select distinct term from tok) t
+       join px on t.term like px.prefix || '%'),
+tf as (select doc_id, term, count(*) as tf, min(dl) as dl
+       from tok where term in (select distinct term from qt)
+       group by doc_id, term),
+dfr as (select term, count(*) as df from tf group by term),
+contrib as (
+  select qt.query_id, tf.doc_id,
+         cast(floor(
+           (cast(round(ln((((2.0 * (s.n_docs - dfr.df)) + 1.0)
+                           / ((2.0 * dfr.df) + 1.0)) + 1.0)
+                       * 1000000.0) as bigint)
+            * (22.0 * (tf.tf * s.total_len)))
+           / (((10.0 * (s.total_len * tf.tf)) + (3.0 * s.total_len))
+              + (9.0 * (tf.dl * s.n_docs)))) as bigint) as c_micro
+  from qt
+  join tf using (term)
+  join dfr using (term), stats s),
+agg as (select query_id, doc_id, cast(count(*) as bigint) as n_terms,
+               cast(sum(c_micro) as bigint) as score_micro
+        from contrib group by query_id, doc_id),
+r as (select *, cast(row_number() over (partition by query_id
+            order by score_micro desc, doc_id) as int) as rank
+      from agg)
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank <= {k}
+"""
+
+
+# fuzzy-query batch: one-edit typos (deletion, insertion,
+# substitution), an exact term (its own 0-edit expansion), and a
+# no-match garbage term; all share their first letter with the target
+# (the required-prefix optimization is part of the semantics)
+_FUZZY_TERMS = [(0, "vectr"), (0, "joins"), (1, "strean"),
+                (1, "windoe"), (2, "scan"), (3, "hach"), (3, "qqqq")]
+
+
+def q_text_fuzzy_search(spark, sf_dir):
+    """Fuzzy retrieval (Lucene FuzzyQuery) over the persisted inverted
+    index — store/text_index.TextIndex.fuzzy_search: each query term
+    expands against the per-segment term dictionaries to every indexed
+    term within 1 Levenshtein edit sharing its first character, then
+    runs the ordinary bucket-pruned BM25 search as a scoring
+    disjunction.  Levenshtein runs on the VOCAB-sized dictionary only
+    — never on postings or documents."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_fuzzy_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    qt = spark.createDataFrame(_FUZZY_TERMS,
+                               "query_id long, term string")
+    return idx.fuzzy_search(qt, k=10, max_edits=1, prefix_len=1)
+
+
+def _sql_text_fuzzy_search(k: int = 10) -> str:
+    values = ", ".join(f"({q}, '{t}')" for q, t in _FUZZY_TERMS)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with tok as (
+  select doc_id, unnest({toks}) as term, len({toks}) as dl
+  from documents),
+stats as (
+  select count(*) as n_docs, sum(len({toks})) as total_len
+  from documents),
+qx as (select * from (values {values}) as v(query_id, qterm)),
+qt as (select distinct qx.query_id, t.term
+       from (select distinct term from tok) t
+       join qx on levenshtein(t.term, qx.qterm) <= 1
+              and substr(t.term, 1, 1) = substr(qx.qterm, 1, 1)),
+tf as (select doc_id, term, count(*) as tf, min(dl) as dl
+       from tok where term in (select distinct term from qt)
+       group by doc_id, term),
+dfr as (select term, count(*) as df from tf group by term),
+contrib as (
+  select qt.query_id, tf.doc_id,
+         cast(floor(
+           (cast(round(ln((((2.0 * (s.n_docs - dfr.df)) + 1.0)
+                           / ((2.0 * dfr.df) + 1.0)) + 1.0)
+                       * 1000000.0) as bigint)
+            * (22.0 * (tf.tf * s.total_len)))
+           / (((10.0 * (s.total_len * tf.tf)) + (3.0 * s.total_len))
+              + (9.0 * (tf.dl * s.n_docs)))) as bigint) as c_micro
+  from qt
+  join tf using (term)
+  join dfr using (term), stats s),
+agg as (select query_id, doc_id, cast(count(*) as bigint) as n_terms,
+               cast(sum(c_micro) as bigint) as score_micro
+        from contrib group by query_id, doc_id),
+r as (select *, cast(row_number() over (partition by query_id
+            order by score_micro desc, doc_id) as int) as rank
+      from agg)
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank <= {k}
+"""
+
+
 def q_text_index_stats(spark, sf_dir):
     """Index-health monitoring for the persisted keyword index
     (store/text_index.py index_stats — the keyword twin of
@@ -7979,6 +8118,8 @@ def queries():
         "store_versioned_diff": q_store_versioned_diff,
         "store_versioned_restore": q_store_versioned_restore,
         "text_boolean_search": q_text_boolean_search,
+        "text_prefix_search": q_text_prefix_search,
+        "text_fuzzy_search": q_text_fuzzy_search,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
@@ -7997,14 +8138,14 @@ def queries():
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq": q_ann_pq,
-        "text_langid": q_text_langid,
         # -- rest of the r1 block --
+        "dedup_embedding": q_dedup_embedding,
+        "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
@@ -8291,6 +8432,8 @@ from c
         "store_versioned_diff": _sql_store_versioned_diff(),
         "store_versioned_restore": _sql_store_versioned_restore(),
         "text_boolean_search": _sql_text_boolean_search(),
+        "text_prefix_search": _sql_text_prefix_search(),
+        "text_fuzzy_search": _sql_text_fuzzy_search(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),

@@ -78,6 +78,7 @@ POSTING_SCHEMA = ("term string, doc_id long, tf bigint, dl int, "
                   "pos array<int>, seg int, tbucket int")
 DOCLENS_SCHEMA = "doc_id long, dl int, seg int, dbucket int"
 TOMBSTONE_SCHEMA = "doc_id long, seq int"
+DICT_SCHEMA = "term string, df bigint, seg int"
 
 
 class TextIndex:
@@ -107,6 +108,10 @@ class TextIndex:
     @property
     def _tombstones(self) -> str:
         return os.path.join(self.path, "tombstones")
+
+    @property
+    def _dicts(self) -> str:
+        return os.path.join(self.path, "dict")
 
     @property
     def _log(self) -> str:
@@ -264,6 +269,22 @@ class TextIndex:
         (dl.repartition("dbucket")
          .write.partitionBy("dbucket").mode("overwrite")
          .parquet(os.path.join(self._doclens, f"seg={seg}")))
+        # per-segment term dictionary (Lucene's term dict, minus the
+        # FST): VOCAB-sized, one file — the sidecar multi-term queries
+        # (prefix/wildcard) expand against, so term DISCOVERY never
+        # scans postings.  df is the segment's raw document frequency
+        # (diagnostic only: scoring recomputes live df from the pruned
+        # posting read, so stale dictionary entries can't skew BM25)
+        (tf.groupBy("term")
+         .agg(F.count(F.lit(1)).cast("long").alias("df"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(self._dicts, f"seg={seg}")))
+
+    def _dict_df(self) -> DataFrame:
+        segs = self._manifest_required()["segments"]
+        dirs = [os.path.join(self._dicts, f"seg={s}") for s in segs]
+        return (self.spark.read.schema(DICT_SCHEMA)
+                .option("basePath", self._dicts).parquet(*dirs))
 
     # -- tombstones ---------------------------------------------------------
 
@@ -442,6 +463,68 @@ class TextIndex:
         scored = (retrieval.score_tf(tf, scoring, self.stats())
                   .join(cand, ["query_id", "doc_id"], "left_semi"))
         return retrieval.rank_topk(scored, k)
+
+    def prefix_search(self, prefixes: DataFrame, k: int = 10,
+                      checkpoint: bool = True) -> DataFrame:
+        """Prefix (multi-term) query — ``prefixes`` is (query_id,
+        prefix); each query expands to every indexed term starting
+        with its prefix, then runs as a scoring-boolean disjunction
+        (Lucene's PrefixQuery under the SCORING_BOOLEAN rewrite — BM25
+        sum over matched terms, NOT constant-score) — (query_id,
+        doc_id, n_terms, score_micro, rank).
+
+        Plan: expansion reads ONLY the per-segment term dictionaries
+        (vocab-sized sidecars, never postings) against the broadcast
+        prefix batch; the expanded term set then takes the ordinary
+        pruned-search path, so postings IO is bounded by the matched
+        terms' tbuckets.  A dictionary entry whose term has no live
+        posting left (all its docs tombstoned) expands but contributes
+        nothing — live df is recomputed from the pruned posting read,
+        so staleness costs a probe, never correctness."""
+        prefixes = prefixes.select("query_id", "prefix").distinct()
+        exp = (self._dict_df().select("term").distinct()
+               .join(F.broadcast(prefixes),
+                     F.col("term").startswith(F.col("prefix")))
+               .select("query_id", "term").distinct())
+        if checkpoint:
+            # the expansion feeds two consumers inside search() (bucket
+            # collect + scoring join) — materialize the vocab-bounded
+            # set once
+            exp = exp.localCheckpoint(eager=True)
+        return self.search(exp, k=k, checkpoint=checkpoint)
+
+    def fuzzy_search(self, query_terms: DataFrame, k: int = 10,
+                     max_edits: int = 1, prefix_len: int = 1,
+                     checkpoint: bool = True) -> DataFrame:
+        """Fuzzy query (Lucene FuzzyQuery): each (query_id, term)
+        expands to every indexed term within ``max_edits`` Levenshtein
+        edits that shares the first ``prefix_len`` characters (Lucene's
+        required-prefix optimization — typos rarely hit the first
+        letter, and the prefix turns the dictionary scan's candidate
+        set from vocab to a prefix slice), then runs as a scoring
+        disjunction over the expanded set — (query_id, doc_id,
+        n_terms, score_micro, rank).  The exact term, when indexed,
+        is its own 0-edit expansion.
+
+        Plan: expansion reads only the vocab-sized term dictionaries
+        against the broadcast query batch (Levenshtein on the
+        dictionary, never on postings or documents); the expanded set
+        then takes the ordinary tbucket-pruned BM25 path.  Like
+        prefix_search, a stale dictionary entry with no live postings
+        expands but contributes nothing."""
+        qt = query_terms.select(
+            "query_id", F.col("term").alias("qterm")).distinct()
+        cond = (F.levenshtein(F.col("term"), F.col("qterm"))
+                <= F.lit(max_edits))
+        if prefix_len > 0:
+            cond = cond & (F.substring(F.col("term"), 1, prefix_len)
+                           == F.substring(F.col("qterm"), 1, prefix_len))
+        exp = (self._dict_df().select("term").distinct()
+               .join(F.broadcast(qt), cond)
+               .select("query_id", "term").distinct())
+        if checkpoint:
+            exp = exp.localCheckpoint(eager=True)
+        return self.search(exp, k=k, checkpoint=checkpoint)
 
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> None:
@@ -841,6 +924,9 @@ class TextIndex:
         for name in self._fs_children(self._doclens, "seg="):
             if name != f"seg={seg}":
                 self._fs_delete(os.path.join(self._doclens, name))
+        for name in self._fs_children(self._dicts, "seg="):
+            if name != f"seg={seg}":
+                self._fs_delete(os.path.join(self._dicts, name))
         self._fs_delete(self._tombstones)
         for name in self._fs_children(self._log, "v"):
             if name != f"v{v:012d}.json":

@@ -663,3 +663,87 @@ def test_boolean_search_semantics_and_scan_consistency(
     # doc 1 -> the conjunction query finds nothing
     idx.delete([1])
     assert idx.boolean_search(cl, k=10).count() == 0
+
+
+def test_prefix_search_expands_dict_and_tracks_scan_path(
+        spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti_prefix"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    px = spark.createDataFrame(
+        [(0, "app"), (1, "b"), (1, "dur"), (2, "zzz")],
+        "query_id long, prefix string")
+    got = idx.prefix_search(px, k=10)
+    # equals scan-path BM25 over the corpus-derived expansion
+    exp = spark.createDataFrame(
+        [(0, "apple"), (1, "banana"), (1, "durian")],
+        "query_id long, term string")
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, retrieval.bm25_topk(docs, exp, k=10)
+                          .collect())))
+    assert got.filter(F.col("query_id") == 2).count() == 0
+    # maintenance: delete every durian doc -> the dictionary still
+    # carries 'durian' (stale sidecar) but it must contribute nothing
+    idx.delete([3, 6])
+    live = docs.filter(~F.col("doc_id").isin([3, 6]))
+    exp2 = spark.createDataFrame(
+        [(1, "banana")], "query_id long, term string")
+    assert (sorted(map(tuple, idx.prefix_search(px, k=10)
+                       .filter(F.col("query_id") == 1).collect()))
+            == sorted(map(tuple, retrieval.bm25_topk(live, exp2, k=10)
+                          .collect())))
+    # one dictionary sidecar per segment; compact folds them to one
+    import os as _os
+    ddir = _os.path.join(str(tmp_path / "ti_prefix"), "dict")
+    upd = spark.createDataFrame([(8, "apple appleseed")],
+                                "doc_id long, text string")
+    idx.upsert(upd)
+    assert len([d for d in _os.listdir(ddir) if d.startswith("seg=")]) == 2
+    idx.compact()
+    assert len([d for d in _os.listdir(ddir) if d.startswith("seg=")]) == 1
+    exp3 = spark.createDataFrame(
+        [(0, "apple"), (0, "appleseed")], "query_id long, term string")
+    live3 = live.unionByName(upd)
+    assert (sorted(map(tuple, idx.prefix_search(px, k=10)
+                       .filter(F.col("query_id") == 0).collect()))
+            == sorted(map(tuple, retrieval.bm25_topk(live3, exp3, k=10)
+                          .collect())))
+
+
+def test_fuzzy_search_expansion_semantics(spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti_fuzzy"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    qt = spark.createDataFrame(
+        [(0, "aple"),      # 1 edit from apple
+         (1, "banana"),    # exact = 0-edit self-expansion
+         (2, "burian"),    # 1 edit from durian BUT first letter differs
+         (3, "chery")],    # 1 edit from cherry
+        "query_id long, term string")
+    got = idx.fuzzy_search(qt, k=10, max_edits=1, prefix_len=1)
+    exp = spark.createDataFrame(
+        [(0, "apple"), (1, "banana"), (3, "cherry")],
+        "query_id long, term string")
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, retrieval.bm25_topk(docs, exp, k=10)
+                          .collect())))
+    # required-prefix gate: 'burian' found nothing despite edit dist 1
+    assert got.filter(F.col("query_id") == 2).count() == 0
+    # dropping the prefix gate admits it
+    got2 = idx.fuzzy_search(qt, k=10, max_edits=1, prefix_len=0)
+    exp2 = spark.createDataFrame(
+        [(2, "durian")], "query_id long, term string")
+    assert (sorted(map(tuple, got2.filter(F.col("query_id") == 2)
+                       .collect()))
+            == sorted(map(tuple, retrieval.bm25_topk(docs, exp2, k=10)
+                          .collect())))
+    # wider radius: 2 edits reaches banana from 'banna' and cherry+apple
+    # stay reachable — expansion can hit multiple vocab terms per query
+    qt3 = spark.createDataFrame([(4, "aplle")],
+                                "query_id long, term string")
+    got3 = idx.fuzzy_search(qt3, k=10, max_edits=2, prefix_len=1)
+    exp3 = spark.createDataFrame([(4, "apple")],
+                                 "query_id long, term string")
+    assert (sorted(map(tuple, got3.collect()))
+            == sorted(map(tuple, retrieval.bm25_topk(docs, exp3, k=10)
+                          .collect())))
