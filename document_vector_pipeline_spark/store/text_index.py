@@ -526,6 +526,38 @@ class TextIndex:
             exp = exp.localCheckpoint(eager=True)
         return self.search(exp, k=k, checkpoint=checkpoint)
 
+    def facet_counts(self, query_terms: DataFrame, attrs: DataFrame,
+                     facet_col: str) -> DataFrame:
+        """Search-result faceting (Elasticsearch's terms aggregation):
+        per (query_id, facet value) count of LIVE documents matching
+        >= 1 of the query's terms — over the FULL match set, not the
+        top page, which is what makes facets useful as navigation.
+        ``attrs`` is a (doc_id, <facet_col>) relation (e.g. a
+        column-pruned read of the corpus table); returns (query_id,
+        ``facet_col``, n_docs).
+
+        Plan: the match set comes from the same tbucket-pruned posting
+        read as search (only the query terms' buckets are opened; BM25
+        columns pruned away), distinct-ed to (query_id, doc_id), then
+        shuffle-joined to ``attrs`` on doc_id — candidate-bounded on
+        the left, column-pruned on the right; the facet aggregation is
+        map-side-combinable.  No scoring work is done."""
+        tb = [r[0] for r in query_terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        post = self._postings().filter(F.col("tbucket").isin(tb))
+        hits = self._live(
+            post.join(F.broadcast(query_terms.select("term").distinct()),
+                      "term", "left_semi")).select("doc_id", "term")
+        match = (hits.join(F.broadcast(
+                    query_terms.select("query_id", "term").distinct()),
+                    "term")
+                 .select("query_id", "doc_id").distinct())
+        return (match
+                .join(attrs.select(F.col(attrs.columns[0]).cast("long")
+                                   .alias("doc_id"), facet_col), "doc_id")
+                .groupBy("query_id", facet_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> None:
         """Per-document replace, O(batch): the batch becomes a NEW

@@ -400,6 +400,26 @@ class BucketedVersionedTable(VersionedTable):
                 .filter(F.col("status").isNotNull())
                 .select("status", *keys))
 
+    def drop_buckets(self, buckets: list) -> int:
+        """Whole-partition retention drop (DROP PARTITION / Timescale
+        drop_chunks): the new manifest carries every dir whose bucket
+        is NOT in ``buckets`` — a METADATA-ONLY commit; zero data
+        bytes are read or written regardless of table size, because a
+        bucket is dropped by omitting its dirs, and row accounting
+        subtracts the dropped dirs' footer-only counts.  The dropped
+        bytes stay on disk for older versions (time travel across the
+        sweep) until ``vacuum`` reclaims them.  With a time-derived
+        bucket column this IS the retention sweep a 100 TB event
+        store runs nightly."""
+        if not self.versions():
+            raise ValueError(f"no versions to drop from at {self.path}")
+        victims = {str(b) for b in buckets}
+        m = self._manifest(self.latest())
+        dropped = [d for d in m["dirs"] if self._bucket_of(d) in victims]
+        kept = [d for d in m["dirs"] if self._bucket_of(d) not in victims]
+        n_rows = m["n_rows"] - self._count_dirs(dropped)
+        return self._commit_dirs("drop", kept, n_rows)
+
     def delete_rows(self, cond, affected_buckets: list) -> int:
         """Snapshot delete bounded to ``affected_buckets`` (the caller
         derives them from the delete predicate's keys): survivors of

@@ -739,3 +739,50 @@ def test_versioned_restore_is_manifest_only_and_composable(spark, tmp_path):
     assert snap(3) == want and snap(2) == snap(2)
     with pytest.raises(ValueError):
         vvs.read(0)
+
+
+def test_drop_buckets_is_metadata_only_and_time_travels(spark, tmp_path):
+    """drop_buckets(victims) commits by OMITTING the victims' dirs:
+    zero new data dirs, footer-only reads of ONLY the dropped dirs
+    (row accounting), survivors untouched; earlier versions still read
+    the dropped rows until vacuum reclaims them."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "ret"),
+                                bucket_col="day")
+    rows = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(40)], "id long, day string")
+    vt.commit_overwrite(rows)
+    fs, _ = vt._fs()
+    n_dirs = len(fs.listStatus(vt._jpath("data")))
+
+    read_dirs = []
+    orig = vt._read_dirs
+    vt._read_dirs = lambda dirs: (read_dirs.append(list(dirs)),
+                                  orig(dirs))[1]
+    try:
+        v = vt.drop_buckets(["d0", "d1", "never-existed"])
+    finally:
+        vt._read_dirs = orig
+    assert v == 1
+    # metadata-only: no new data dir; only the dropped dirs were read
+    assert len(fs.listStatus(vt._jpath("data"))) == n_dirs
+    assert all(vt._bucket_of(d) in {"d0", "d1"}
+               for dirs in read_dirs for d in dirs) and read_dirs
+    assert vt._manifest(1)["n_rows"] == 20
+    assert {r["day"] for r in vt.read(1).select("day").collect()} \
+        == {"d2", "d3"}
+    # time travel across the sweep
+    assert vt.read(0).count() == 40
+    # an upsert after the sweep only sees surviving buckets
+    vt.upsert(spark.createDataFrame([(100, "d2")], "id long, day string"),
+              keys=["id"])
+    assert vt.read(2).count() == 21
+    # vacuum reclaims the dropped days' bytes
+    vt.vacuum(keep_last=1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vt.read(0)
+    assert vt.read(2).count() == 21

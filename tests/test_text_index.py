@@ -747,3 +747,27 @@ def test_fuzzy_search_expansion_semantics(spark, docs, tmp_path):
     assert (sorted(map(tuple, got3.collect()))
             == sorted(map(tuple, retrieval.bm25_topk(docs, exp3, k=10)
                           .collect())))
+
+
+def test_facet_counts_full_match_set_and_liveness(spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti_facet"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    attrs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr"), (5, "en"), (6, "de")],
+        "doc_id long, lang string")
+    qt = spark.createDataFrame(
+        [(0, "apple"), (0, "durian"), (1, "cherry")],
+        "query_id long, term string")
+    got = {(r["query_id"], r["lang"]): r["n_docs"]
+           for r in idx.facet_counts(qt, attrs, "lang").collect()}
+    # q0 matches docs 1,2,4,6 (apple) + 3,6 (durian) = en:{1,2,4->fr}
+    # docs: 1 en, 2 en, 3 de, 4 fr, 6 de
+    assert got == {(0, "en"): 2, (0, "de"): 2, (0, "fr"): 1,
+                   (1, "en"): 1, (1, "de"): 1}
+    # liveness: delete doc 6 -> both q0 facets shrink
+    idx.delete([6])
+    got2 = {(r["query_id"], r["lang"]): r["n_docs"]
+            for r in idx.facet_counts(qt, attrs, "lang").collect()}
+    assert got2 == {(0, "en"): 2, (0, "de"): 1, (0, "fr"): 1,
+                    (1, "en"): 1}
