@@ -2074,6 +2074,72 @@ group by match.query_id, d.lang
 """
 
 
+def q_text_more_like_this(spark, sf_dir):
+    """MoreLikeThis recommendation over the persisted index —
+    store/text_index.TextIndex.more_like_this with term_vectors=True
+    (the doc-bucketed sidecar, opt-in like Lucene's): each source
+    document's top-5 terms by exact-integer tf·idf become a BM25
+    disjunction whose top-k OTHER documents are its neighbors.  The
+    sources' terms come from the vbucket-pruned term-vector sidecar;
+    one tbucket-pruned live posting read serves both the
+    term-selection df and the final scoring."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_mlt_idx"),
+                    n_term_buckets=16, n_doc_buckets=8,
+                    term_vectors=True)
+    idx.build(docs)
+    return idx.more_like_this([1, 2, 3], m=5, k=10)
+
+
+def _sql_text_more_like_this(m: int = 5, k: int = 10) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    idf = ("cast(round(ln((((2.0 * (s.n_docs - dfr.df)) + 1.0)"
+           " / ((2.0 * dfr.df) + 1.0)) + 1.0) * 1000000.0) as bigint)")
+    return f"""
+with tok as (
+  select doc_id, unnest({toks}) as term, len({toks}) as dl
+  from documents),
+stats as (
+  select count(*) as n_docs, sum(len({toks})) as total_len
+  from documents),
+stf as (select doc_id, term, count(*) as tf from tok
+        where doc_id in (1, 2, 3) group by doc_id, term),
+tf as (select doc_id, term, count(*) as tf, min(dl) as dl
+       from tok where term in (select distinct term from stf)
+       group by doc_id, term),
+dfr as (select term, count(*) as df from tf group by term),
+sel as (select stf.doc_id, stf.term,
+               row_number() over (partition by stf.doc_id
+                 order by ({idf} * stf.tf) desc, stf.term) as rn
+        from stf join dfr using (term), stats s),
+qt as (select doc_id as query_id, term from sel where rn <= {m}),
+contrib as (
+  select qt.query_id, tf.doc_id,
+         cast(floor(
+           (cast(round(ln((((2.0 * (s.n_docs - dfr.df)) + 1.0)
+                           / ((2.0 * dfr.df) + 1.0)) + 1.0)
+                       * 1000000.0) as bigint)
+            * (22.0 * (tf.tf * s.total_len)))
+           / (((10.0 * (s.total_len * tf.tf)) + (3.0 * s.total_len))
+              + (9.0 * (tf.dl * s.n_docs)))) as bigint) as c_micro
+  from qt
+  join tf using (term)
+  join dfr using (term), stats s
+  where tf.doc_id <> qt.query_id),
+agg as (select query_id, doc_id, cast(count(*) as bigint) as n_terms,
+               cast(sum(c_micro) as bigint) as score_micro
+        from contrib group by query_id, doc_id),
+r as (select *, cast(row_number() over (partition by query_id
+            order by score_micro desc, doc_id) as int) as rank
+      from agg)
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank <= {k}
+"""
+
+
 def q_text_index_stats(spark, sf_dir):
     """Index-health monitoring for the persisted keyword index
     (store/text_index.py index_stats — the keyword twin of
@@ -8215,6 +8281,7 @@ def queries():
         "text_prefix_search": q_text_prefix_search,
         "text_fuzzy_search": q_text_fuzzy_search,
         "text_search_facets": q_text_search_facets,
+        "text_more_like_this": q_text_more_like_this,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -8233,12 +8300,12 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq": q_ann_pq,
         # -- rest of the r1 block --
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "dedup_embedding": q_dedup_embedding,
         "text_langid": q_text_langid,
@@ -8531,6 +8598,7 @@ from c
         "text_prefix_search": _sql_text_prefix_search(),
         "text_fuzzy_search": _sql_text_fuzzy_search(),
         "text_search_facets": _sql_text_search_facets(),
+        "text_more_like_this": _sql_text_more_like_this(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

@@ -69,7 +69,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.operators import retrieval
@@ -79,17 +79,24 @@ POSTING_SCHEMA = ("term string, doc_id long, tf bigint, dl int, "
 DOCLENS_SCHEMA = "doc_id long, dl int, seg int, dbucket int"
 TOMBSTONE_SCHEMA = "doc_id long, seq int"
 DICT_SCHEMA = "term string, df bigint, seg int"
+TVEC_SCHEMA = "doc_id long, term string, tf bigint, dl int, seg int, vbucket int"
 
 
 class TextIndex:
     def __init__(self, spark: SparkSession, path: str,
                  n_term_buckets: int = 64, n_doc_buckets: int = 16,
-                 broadcast_tombstone_rows: int = 1_000_000):
+                 broadcast_tombstone_rows: int = 1_000_000,
+                 term_vectors: bool = False):
         self.spark = spark
         self.path = path
         self.n_term_buckets = n_term_buckets
         self.n_doc_buckets = n_doc_buckets
         self.broadcast_tombstone_rows = broadcast_tombstone_rows
+        # opt-in (Lucene term vectors are opt-in too): a doc-bucketed
+        # copy of each segment's tf rows, so doc-keyed lookups
+        # (more_like_this) prune by DBUCKET instead of scanning every
+        # term bucket; costs one extra write per segment when on
+        self.term_vectors = term_vectors
         # latest manifest cached driver-side (single-writer assumption,
         # like VersionedTable): searches and the maybe_compact policy
         # read zero files
@@ -112,6 +119,10 @@ class TextIndex:
     @property
     def _dicts(self) -> str:
         return os.path.join(self.path, "dict")
+
+    @property
+    def _tvecs(self) -> str:
+        return os.path.join(self.path, "tvecs")
 
     @property
     def _log(self) -> str:
@@ -279,6 +290,21 @@ class TextIndex:
          .agg(F.count(F.lit(1)).cast("long").alias("df"))
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(self._dicts, f"seg={seg}")))
+        if self.term_vectors:
+            (tf.select("doc_id", "term", "tf", "dl")
+             .withColumn("vbucket", self._dbucket(F.col("doc_id")))
+             .repartition("vbucket")
+             .write.partitionBy("vbucket").mode("overwrite")
+             .parquet(os.path.join(self._tvecs, f"seg={seg}")))
+
+    def _tvecs_df(self) -> DataFrame:
+        if not self.term_vectors:
+            raise ValueError(
+                "this index was not built with term_vectors=True")
+        segs = self._manifest_required()["segments"]
+        dirs = [os.path.join(self._tvecs, f"seg={s}") for s in segs]
+        return (self.spark.read.schema(TVEC_SCHEMA)
+                .option("basePath", self._tvecs).parquet(*dirs))
 
     def _dict_df(self) -> DataFrame:
         segs = self._manifest_required()["segments"]
@@ -525,6 +551,64 @@ class TextIndex:
         if checkpoint:
             exp = exp.localCheckpoint(eager=True)
         return self.search(exp, k=k, checkpoint=checkpoint)
+
+    def more_like_this(self, doc_ids, m: int = 5, k: int = 10,
+                       checkpoint: bool = True) -> DataFrame:
+        """Lucene MoreLikeThis: for each SOURCE document, pick its
+        top-``m`` terms by exact-integer tf·idf (idf_micro over LIVE
+        corpus df; ties lowest term), run them as a BM25 disjunction,
+        and return the top-k OTHER documents — (query_id = source
+        doc_id, doc_id, n_terms, score_micro, rank).  Requires
+        ``term_vectors=True`` (the doc-bucketed sidecar, opt-in like
+        Lucene's).
+
+        Plan: the sources' own terms come from the term-vector sidecar
+        pruned to their vbuckets (never a term-bucket scan); one
+        tbucket-pruned LIVE posting read over just those terms then
+        serves BOTH the df for term selection and the final scoring
+        (score_tf recomputes per-term df from the same relation, so
+        selection and scoring agree by construction); everything
+        between is bounded by sources x their vocabulary."""
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long")
+        src = (doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                              .alias("doc_id")).distinct()
+               .localCheckpoint(eager=True))
+        vb = [r[0] for r in src.select(
+            self._dbucket(F.col("doc_id")).alias("b")).distinct().collect()]
+        stf = (self._live(self._tvecs_df()
+                          .filter(F.col("vbucket").isin(vb))
+                          .join(F.broadcast(src), "doc_id", "left_semi"))
+               .select("doc_id", "term", "tf"))
+        if checkpoint:
+            stf = stf.localCheckpoint(eager=True)
+        tb = [r[0] for r in stf
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        tf_rel = (self._live(
+                    self._postings().filter(F.col("tbucket").isin(tb))
+                    .join(F.broadcast(stf.select("term").distinct()),
+                          "term", "left_semi"))
+                  .select("doc_id", "term", "tf", "dl"))
+        if checkpoint:
+            tf_rel = tf_rel.localCheckpoint(eager=True)
+        df_ = tf_rel.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf_micro = F.round(
+            F.log((((F.lit(2.0) * (F.col("n_docs") - F.col("df")))
+                    + F.lit(1.0))
+                   / ((F.lit(2.0) * F.col("df")) + F.lit(1.0)))
+                  + F.lit(1.0)) * F.lit(1000000.0)).cast("long")
+        sel = (stf.join(F.broadcast(df_), "term")
+               .crossJoin(F.broadcast(self.stats()))
+               .withColumn("sel_score", idf_micro * F.col("tf")))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("sel_score"), F.col("term"))
+        qt = (sel.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= m)
+              .select(F.col("doc_id").alias("query_id"), "term"))
+        scored = (retrieval.score_tf(tf_rel, qt, self.stats())
+                  .filter(F.col("doc_id") != F.col("query_id")))
+        return retrieval.rank_topk(scored, k)
 
     def facet_counts(self, query_terms: DataFrame, attrs: DataFrame,
                      facet_col: str) -> DataFrame:
@@ -959,6 +1043,9 @@ class TextIndex:
         for name in self._fs_children(self._dicts, "seg="):
             if name != f"seg={seg}":
                 self._fs_delete(os.path.join(self._dicts, name))
+        for name in self._fs_children(self._tvecs, "seg="):
+            if name != f"seg={seg}":
+                self._fs_delete(os.path.join(self._tvecs, name))
         self._fs_delete(self._tombstones)
         for name in self._fs_children(self._log, "v"):
             if name != f"v{v:012d}.json":

@@ -771,3 +771,36 @@ def test_facet_counts_full_match_set_and_liveness(spark, docs, tmp_path):
             for r in idx.facet_counts(qt, attrs, "lang").collect()}
     assert got2 == {(0, "en"): 2, (0, "de"): 1, (0, "fr"): 1,
                     (1, "en"): 1}
+
+
+def test_more_like_this_selection_and_maintenance(spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti_mlt"), n_term_buckets=4,
+                    n_doc_buckets=2, term_vectors=True)
+    idx.build(docs)
+    # doc 2 = 'apple banana cherry*4': m=1 selects its top tf*idf term
+    # (cherry: tf 4, rarest) -> neighbors = other cherry docs = {6}
+    got = idx.more_like_this([2], m=1, k=10).collect()
+    assert [(r["query_id"], r["doc_id"]) for r in got] == [(2, 6)]
+    # m=3 uses all three terms; neighbors ranked by BM25 over them and
+    # the source itself is excluded everywhere
+    got3 = idx.more_like_this([2, 4], m=3, k=10)
+    assert got3.filter(F.col("query_id") == F.col("doc_id")).count() == 0
+    # maintenance: re-upsert doc 2 with durian-only text -> its term
+    # vector is replaced (old tvec rows tombstoned), neighbors change
+    idx.upsert(spark.createDataFrame([(2, "durian durian")],
+                                     "doc_id long, text string"))
+    got4 = idx.more_like_this([2], m=1, k=10).collect()
+    assert {r["doc_id"] for r in got4} == {3, 6}
+    # compact folds tvec sidecars too; results unchanged
+    idx.compact()
+    got5 = idx.more_like_this([2], m=1, k=10).collect()
+    assert sorted(map(tuple, got4)) == sorted(map(tuple, got5))
+    import os as _os
+    tdir = _os.path.join(str(tmp_path / "ti_mlt"), "tvecs")
+    assert len([d for d in _os.listdir(tdir) if d.startswith("seg=")]) == 1
+    # an index without the sidecar refuses doc-keyed lookup up front
+    idx2 = TextIndex(spark, str(tmp_path / "ti_mlt2"), n_term_buckets=4,
+                     n_doc_buckets=2)
+    idx2.build(docs)
+    with pytest.raises(ValueError):
+        idx2.more_like_this([2])
