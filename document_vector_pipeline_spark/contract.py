@@ -2883,6 +2883,89 @@ where a.document_url is null or b.document_url is null or a.da <> b.db
 """
 
 
+def q_store_versioned_diff_rows(spark, sf_dir):
+    """CDC payload (Delta table_changes row content) for the same
+    two-version history as store_versioned_diff: 'removed' rows carry
+    v0's content (before-image), 'added'/'changed' carry v1's
+    (after-image) — exactly what a downstream consumer applies to
+    mirror the store.  Reads only the touched buckets; projected here
+    to (status, document_url, id, chunk_text)."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "versioned_diff_rows")
+    shutil.rmtree(path, ignore_errors=True)
+    vvs = VersionedVectorStore(spark, path,
+                               PipelineConfig(store_buckets=8))
+    six = docs.filter(F.col("doc_id") % 6 == 0)
+    batch1 = _store_chunks(docs).unionByName(
+        _store_chunks(six.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit("part two"))))
+        .withColumn("chunk_number", F.lit(1)))
+    vvs.replace_documents(batch1)
+    batch2 = _store_chunks(six.withColumn(
+        "text", F.concat_ws(" ", F.col("text"),
+                            F.lit("replaced edition")))).unionByName(
+        _store_chunks(six.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit("appendix"))))
+        .withColumn("chunk_number", F.lit(2)))
+    vvs.replace_documents(batch2)
+    digest = md5_long(F.col("chunk_text"), hex_digits=13)
+    return (vvs.diff_rows(0, 1, digest=digest)
+            .select("status", "document_url", "id", "chunk_text"))
+
+
+def _sql_store_versioned_diff_rows() -> str:
+    dig = _md5l("chunk_text", 13)
+    return f"""
+with d as (
+  select doc_id, {_URL_SQL} as document_url,
+         {_norm_text('text')} as t0,
+         {_norm_text("text || ' part two'")} as t1,
+         {_norm_text("text || ' replaced edition'")} as t2,
+         {_norm_text("text || ' appendix'")} as t3
+  from documents),
+v0 as (
+  select document_url, '0' as id, t0 as chunk_text from d
+  union all
+  select document_url, '1' as id, t1 as chunk_text from d
+  where doc_id % 6 = 0),
+v1 as (
+  select * from v0 where document_url not in
+    (select document_url from d where doc_id % 6 = 0)
+  union all
+  select document_url, '0' as id, t2 as chunk_text from d
+  where doc_id % 6 = 0
+  union all
+  select document_url, '2' as id, t3 as chunk_text from d
+  where doc_id % 6 = 0),
+a as (select document_url, id, cast(sum({dig}) as bigint) as da
+      from v0 group by document_url, id),
+b as (select document_url, id, cast(sum({dig}) as bigint) as db
+      from v1 group by document_url, id),
+ch as (
+  select case when a.document_url is null then 'added'
+              when b.document_url is null then 'removed'
+              else 'changed' end as status,
+         coalesce(a.document_url, b.document_url) as document_url,
+         coalesce(a.id, b.id) as id
+  from a full outer join b
+    on a.document_url = b.document_url and a.id = b.id
+  where a.document_url is null or b.document_url is null
+     or a.da <> b.db)
+select ch.status, ch.document_url, ch.id, v0.chunk_text
+from ch join v0 using (document_url, id)
+where ch.status = 'removed'
+union all
+select ch.status, ch.document_url, ch.id, v1.chunk_text
+from ch join v1 using (document_url, id)
+where ch.status <> 'removed'
+"""
+
+
 def q_events_retention_drop(spark, sf_dir):
     """Whole-partition retention sweep as a METADATA-ONLY commit
     (DROP PARTITION / Timescale drop_chunks, store/versioned.py
@@ -8284,6 +8367,7 @@ def queries():
         "text_fuzzy_search": q_text_fuzzy_search,
         "text_search_facets": q_text_search_facets,
         "text_more_like_this": q_text_more_like_this,
+        "store_versioned_diff_rows": q_store_versioned_diff_rows,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -8301,12 +8385,12 @@ def queries():
         "vector_quantized": q_vector_quantized,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq": q_ann_pq,
         # -- rest of the r1 block --
+        "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "dedup_embedding": q_dedup_embedding,
@@ -8601,6 +8685,7 @@ from c
         "text_fuzzy_search": _sql_text_fuzzy_search(),
         "text_search_facets": _sql_text_search_facets(),
         "text_more_like_this": _sql_text_more_like_this(),
+        "store_versioned_diff_rows": _sql_store_versioned_diff_rows(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

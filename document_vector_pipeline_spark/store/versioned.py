@@ -352,6 +352,18 @@ class BucketedVersionedTable(VersionedTable):
                   + self._count_dirs(new_dirs))
         return self._commit_dirs("upsert", carried + new_dirs, n_rows)
 
+    def _touched_dirs(self, v_a: int, v_b: int) -> tuple[list, list]:
+        """Each version's dirs restricted to buckets in the two
+        manifests' symmetric difference — the only buckets whose rows
+        can differ (a carried dir is the same immutable path in both
+        versions).  Metadata-only: two driver-side JSON reads."""
+        ma, mb = self._manifest(v_a), self._manifest(v_b)
+        da, db = set(ma["dirs"]), set(mb["dirs"])
+        touched = {self._bucket_of(d) for d in da.symmetric_difference(db)}
+        ra = [d for d in ma["dirs"] if self._bucket_of(d) in touched]
+        rb = [d for d in mb["dirs"] if self._bucket_of(d) in touched]
+        return ra, rb
+
     def diff(self, v_a: int, v_b: int, keys: list[str],
              digest) -> DataFrame:
         """Key-level change set between two snapshots — (status, *keys)
@@ -370,11 +382,7 @@ class BucketedVersionedTable(VersionedTable):
         SUMMED so duplicate keys from ``commit_append`` fold
         order-freely, and 'changed' means the summed fingerprints
         differ.  Unchanged keys inside a rewritten bucket drop out."""
-        ma, mb = self._manifest(v_a), self._manifest(v_b)
-        da, db = set(ma["dirs"]), set(mb["dirs"])
-        touched = {self._bucket_of(d) for d in da.symmetric_difference(db)}
-        ra = [d for d in ma["dirs"] if self._bucket_of(d) in touched]
-        rb = [d for d in mb["dirs"] if self._bucket_of(d) in touched]
+        ra, rb = self._touched_dirs(v_a, v_b)
 
         def side(dirs, out):
             if not dirs:
@@ -419,6 +427,40 @@ class BucketedVersionedTable(VersionedTable):
         kept = [d for d in m["dirs"] if self._bucket_of(d) not in victims]
         n_rows = m["n_rows"] - self._count_dirs(dropped)
         return self._commit_dirs("drop", kept, n_rows)
+
+    def diff_rows(self, v_a: int, v_b: int, keys: list[str],
+                  digest) -> DataFrame:
+        """The CDC PAYLOAD (Delta table_changes): ``diff``'s change set
+        joined back to row content — 'removed' keys carry version
+        ``v_a``'s rows, 'added'/'changed' carry ``v_b``'s (the
+        after-image a downstream consumer applies).  Output: (status,
+        <table columns...>); a multi-row key (commit_append) yields one
+        payload row per physical row.  Reads the SAME touched buckets
+        the key diff reads — the change set of adjacent commits on a
+        100 TB table ships for the cost of its buckets."""
+        d = (self.diff(v_a, v_b, keys, digest)
+             .localCheckpoint(eager=True))
+        ra, rb = self._touched_dirs(v_a, v_b)
+
+        def side(dirs, part):
+            if not dirs or part.isEmpty():
+                return None
+            rows = self._read_dirs(dirs)
+            return rows.join(part, keys).select("status", *rows.columns)
+
+        out_a = side(ra, d.filter(F.col("status") == "removed"))
+        out_b = side(rb, d.filter(F.col("status") != "removed"))
+        if out_a is None and out_b is None:
+            cols = (self._read_dirs(rb or ra).columns
+                    if (ra or rb) else keys)
+            fields = ", ".join(["status string"]
+                               + [f"`{c}` string" for c in cols])
+            return self.spark.createDataFrame([], fields)
+        if out_a is None:
+            return out_b
+        if out_b is None:
+            return out_a
+        return out_a.unionByName(out_b)
 
     def delete_rows(self, cond, affected_buckets: list) -> int:
         """Snapshot delete bounded to ``affected_buckets`` (the caller

@@ -122,6 +122,13 @@ class VersionedVectorStore:
         return self.vt.diff(v_a, v_b, keys=["document_url", "id"],
                             digest=digest)
 
+    def diff_rows(self, v_a: int, v_b: int, digest) -> DataFrame:
+        """CDC payload between two snapshots (after-images for
+        added/changed, before-images for removed) — see
+        BucketedVersionedTable.diff_rows."""
+        return self.vt.diff_rows(v_a, v_b, keys=["document_url", "id"],
+                                 digest=digest)
+
     def _asof(self, version: int | None) -> _SnapshotStore:
         return _SnapshotStore(self.spark, self.read(version), self.cfg)
 

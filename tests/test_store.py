@@ -786,3 +786,38 @@ def test_drop_buckets_is_metadata_only_and_time_travels(spark, tmp_path):
     with _pytest.raises(ValueError):
         vt.read(0)
     assert vt.read(2).count() == 21
+
+
+def test_diff_rows_payload_applies_to_mirror_snapshots(spark, tmp_path):
+    """CDC-apply round trip: for every adjacent version pair, (snapshot
+    A minus removed/changed keys) + diff_rows' after-images == snapshot
+    B, on full row content — the property a downstream mirror relies
+    on."""
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    vvs = VersionedVectorStore(spark, str(tmp_path / "vvs_cdc"), CFG)
+    vec = [1.0, 0.0, 0.0, 0.0]
+    vvs.upsert(_chunks(spark, [(f"u{i}", c, f"t{i}.{c}", 0, vec)
+                               for i in range(6) for c in range(2)]))
+    vvs.upsert(_chunks(spark, [("u1", 0, "edit", 0, vec),
+                               ("u9", 0, "new", 0, vec)]))
+    vvs.delete_documents(["u2"])
+    digest = F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 13),
+                    16, 10).cast("long")
+
+    def snap(v):
+        return {(r["document_url"], r["id"]): r["chunk_text"]
+                for r in vvs.read(v).collect()}
+
+    for a, b in [(0, 1), (1, 2), (0, 2)]:
+        payload = vvs.diff_rows(a, b, digest=digest).collect()
+        mirror = snap(a)
+        for r in payload:
+            key = (r["document_url"], r["id"])
+            if r["status"] == "removed":
+                del mirror[key]
+            else:
+                mirror[key] = r["chunk_text"]
+        assert mirror == snap(b), f"apply({a}->{b}) diverged"
