@@ -129,6 +129,28 @@ class VersionedVectorStore:
         return self.vt.diff_rows(v_a, v_b, keys=["document_url", "id"],
                                  digest=digest)
 
+    def cdc_feed(self, digest, from_version: int | None = None) -> DataFrame:
+        """The change stream a downstream consumer tails (Delta's
+        readChangeFeed over the manifest log): for every commit after
+        ``from_version`` (default: everything after the first), the
+        CDC payload of (prev -> v) stamped with the producing
+        ``version``.  The version loop is driver-side over manifests —
+        metadata-only and bounded by the consumer's lag (a tailing
+        consumer reads a handful of transitions, not history) — and
+        each transition reads only its touched buckets."""
+        vs = self.versions()
+        if from_version is not None:
+            vs = [v for v in vs if v >= from_version]
+        out = None
+        for prev, v in zip(vs[:-1], vs[1:]):
+            p = (self.diff_rows(prev, v, digest=digest)
+                 .withColumn("version", F.lit(v).cast("int")))
+            out = p if out is None else out.unionByName(p)
+        if out is None:
+            raise ValueError(
+                f"no transitions after version {from_version}")
+        return out
+
     def _asof(self, version: int | None) -> _SnapshotStore:
         return _SnapshotStore(self.spark, self.read(version), self.cfg)
 
