@@ -3066,6 +3066,58 @@ from (select * from p01 union all select * from p12)
 """
 
 
+def q_store_versioned_optimize(spark, sf_dir):
+    """Bucket compaction (Delta OPTIMIZE, store/versioned.py optimize):
+    three appends each touching EVERY day bucket leave each bucket
+    backed by 3 dirs; optimize rewrites only fragmented buckets into
+    one dir each (single-dir buckets carried by reference — cost
+    bounded by fragmentation, not table size) and the snapshot is
+    content-identical.  Output: (version, n_rows, digest) for the 3
+    append versions + the optimized version; v3 must equal v2
+    exactly."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(SCRATCH, "versioned_optimize")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="day")
+    rows = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    for r in range(3):
+        vt.commit_append(rows.filter(F.col("event_id") % 3 == r))
+    vt.optimize()
+    sig = md5_long(F.concat_ws("\u0001", F.col("event_id"),
+                               F.col("event_type")), hex_digits=11)
+    out = None
+    for v in vt.versions():
+        r = (vt.read(v)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.sum(sig).cast("long").alias("digest"))
+             .withColumn("version", F.lit(v).cast("int")))
+        out = r if out is None else out.unionByName(r)
+    return out.select("version", "n_rows", "digest")
+
+
+def _sql_store_versioned_optimize() -> str:
+    sig = _md5l("event_id || chr(1) || event_type", 11)
+    return f"""
+with a as (
+  select 0 as version, count(*) as n, sum({sig}) as g from events
+  where event_id % 3 = 0
+  union all
+  select 1, count(*), sum({sig}) from events where event_id % 3 in (0, 1)
+  union all
+  select 2, count(*), sum({sig}) from events
+  union all
+  select 3, count(*), sum({sig}) from events)
+select cast(version as int) as version, cast(n as bigint) as n_rows,
+       cast(g as bigint) as digest
+from a
+"""
+
+
 def q_events_retention_drop(spark, sf_dir):
     """Whole-partition retention sweep as a METADATA-ONLY commit
     (DROP PARTITION / Timescale drop_chunks, store/versioned.py
@@ -8469,6 +8521,7 @@ def queries():
         "text_more_like_this": q_text_more_like_this,
         "store_versioned_diff_rows": q_store_versioned_diff_rows,
         "store_cdc_feed": q_store_cdc_feed,
+        "store_versioned_optimize": q_store_versioned_optimize,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -8788,6 +8841,7 @@ from c
         "text_more_like_this": _sql_text_more_like_this(),
         "store_versioned_diff_rows": _sql_store_versioned_diff_rows(),
         "store_cdc_feed": _sql_store_cdc_feed(),
+        "store_versioned_optimize": _sql_store_versioned_optimize(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

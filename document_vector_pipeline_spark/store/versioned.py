@@ -408,6 +408,31 @@ class BucketedVersionedTable(VersionedTable):
                 .filter(F.col("status").isNotNull())
                 .select("status", *keys))
 
+    def optimize(self) -> int:
+        """Bucket compaction (Delta OPTIMIZE): after N appends a bucket
+        is backed by N dirs and every read of it opens N file sets —
+        rewrite ONLY the buckets backed by MORE THAN ONE dir into a
+        single fresh dir each, carrying every single-dir bucket by
+        reference.  The snapshot is content-identical (row accounting
+        unchanged); cost is bounded by the FRAGMENTED buckets, not the
+        table — the maintenance op an append-heavy 100 TB table runs
+        on a schedule.  No-op (no commit) when nothing is fragmented;
+        returns the resulting latest version either way."""
+        if not self.versions():
+            raise ValueError(f"no versions to optimize at {self.path}")
+        m = self._manifest(self.latest())
+        per_bucket: dict[str, list[str]] = {}
+        for d in m["dirs"]:
+            per_bucket.setdefault(self._bucket_of(d), []).append(d)
+        frag = [d for ds in per_bucket.values() if len(ds) > 1 for d in ds]
+        if not frag:
+            return self.latest()
+        carried = [ds[0] for ds in per_bucket.values() if len(ds) == 1]
+        v = self.latest() + 1
+        new_dirs = self._write_buckets(self._read_dirs(frag), v)
+        return self._commit_dirs("optimize", carried + new_dirs,
+                                 m["n_rows"])
+
     def drop_buckets(self, buckets: list) -> int:
         """Whole-partition retention drop (DROP PARTITION / Timescale
         drop_chunks): the new manifest carries every dir whose bucket

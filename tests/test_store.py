@@ -821,3 +821,39 @@ def test_diff_rows_payload_applies_to_mirror_snapshots(spark, tmp_path):
             else:
                 mirror[key] = r["chunk_text"]
         assert mirror == snap(b), f"apply({a}->{b}) diverged"
+
+
+def test_optimize_merges_only_fragmented_buckets(spark, tmp_path):
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "opt"),
+                                bucket_col="b")
+    # bucket x fragments across two appends; bucket y stays single-dir
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, b string"))
+    vt.commit_append(spark.createDataFrame(
+        [(3, "x")], "id long, b string"))
+    m1 = vt._manifest(1)
+    y_dirs_before = [d for d in m1["dirs"] if vt._bucket_of(d) == "y"]
+    assert len([d for d in m1["dirs"] if vt._bucket_of(d) == "x"]) == 2
+    v = vt.optimize()
+    assert v == 2
+    m2 = vt._manifest(2)
+    # fragmented bucket folded to one dir; untouched bucket carried by
+    # the SAME path (no rewrite); rows/content identical
+    assert len([d for d in m2["dirs"] if vt._bucket_of(d) == "x"]) == 1
+    assert [d for d in m2["dirs"] if vt._bucket_of(d) == "y"] \
+        == y_dirs_before
+    assert m2["n_rows"] == 3
+    assert (sorted(map(tuple, vt.read(2).select("id", "b").collect()))
+            == sorted(map(tuple, vt.read(1).select("id", "b").collect())))
+    # older versions still read their own bytes
+    assert vt.read(0).count() == 2
+    # idempotent: nothing fragmented -> no new commit
+    assert vt.optimize() == 2
+    # later upsert replaces keys regardless of which commit wrote them
+    vt.upsert(spark.createDataFrame([(3, "x")], "id long, b string"),
+              keys=["id"])
+    assert vt.read().count() == 3
