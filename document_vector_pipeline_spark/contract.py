@@ -8536,6 +8536,7 @@ def queries():
         "store_upsert": q_store_upsert,
         "store_delete": q_store_delete,
         "vector_topk": q_vector_topk,
+        # -- rest of the r1 block (continued) --
         "vector_quantized": q_vector_quantized,
         "dedup_exact": q_dedup_exact,
         "ann_lsh": q_ann_lsh,

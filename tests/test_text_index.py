@@ -804,3 +804,25 @@ def test_more_like_this_selection_and_maintenance(spark, docs, tmp_path):
     idx2.build(docs)
     with pytest.raises(ValueError):
         idx2.more_like_this([2])
+
+
+def test_facet_and_mlt_plans_prune_posting_buckets(spark, docs, tmp_path):
+    """facet_counts' posting scan prunes to the query terms' tbuckets
+    (same contract as search — faceting must stay sub-scan at 100 TB);
+    more_like_this' source lookup prunes the term-vector sidecar to
+    the sources' vbuckets."""
+    idx = TextIndex(spark, str(tmp_path / "ti_plans2"), n_term_buckets=8,
+                    n_doc_buckets=4, term_vectors=True)
+    idx.build(docs)
+    qt = spark.createDataFrame([(0, "apple")],
+                               "query_id long, term string")
+    attrs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = (idx.facet_counts(qt, attrs, "lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    # term-vector read path: vbucket partition filter reaches the scan
+    vb = idx._dbucket(F.lit(1))
+    b = spark.range(1).select(vb.alias("b")).collect()[0]["b"]
+    tv = idx._tvecs_df().filter(F.col("vbucket").isin([b]))
+    tvplan = tv._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in tvplan and "vbucket" in tvplan
