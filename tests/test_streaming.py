@@ -624,6 +624,22 @@ def test_stream_ingest_versioned_commits_per_microbatch(spark, tmp_path):
     # audit trail: one commit per drained batch, every op a replace
     ops = [r["op"] for r in vvs.history().orderBy("version").collect()]
     assert len(ops) == 2 and all(o == "upsert" for o in ops)
+    # a CDC consumer tailing the stream's commits mirrors the store:
+    # applying the feed's payloads in version order from v0 yields v1
+    digest = F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 13),
+                    16, 10).cast("long")
+    mirror = {(r["document_url"], r["id"]): r["chunk_text"]
+              for r in vvs.read(v0).collect()}
+    feed = (vvs.cdc_feed(digest=digest, from_version=v0)
+            .orderBy("version").collect())
+    for r in feed:
+        key = (r["document_url"], r["id"])
+        if r["status"] == "removed":
+            del mirror[key]
+        else:
+            mirror[key] = r["chunk_text"]
+    assert mirror == {(r["document_url"], r["id"]): r["chunk_text"]
+                      for r in vvs.read(v1).collect()}
 
 
 def test_stream_dedup_gate_sequential_admission(spark, tmp_path):
