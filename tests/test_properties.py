@@ -229,3 +229,38 @@ def test_collocations_partition_invariant(spark):
             docs, min_count=3, topk=20).collect()))
 
     assert run(1) == run(11)
+
+
+AWORD = st.sampled_from(
+    ["apple", "apricot", "banana", "band", "cherry", "chess",
+     "durian", "dust", "fig", "fog"])
+ADOC = st.lists(AWORD, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(ADOC, min_size=2, max_size=10),
+       st.sampled_from(["a", "ap", "b", "ch", "d", "f", "zz"]))
+def test_prefix_search_equals_scan_expansion(spark, tmp_path_factory, texts, prefix):
+    """prefix_search over the dictionary == scan-path BM25 over the
+    corpus-derived expansion, for random corpora and prefixes."""
+    import uuid
+
+    from document_vector_pipeline_spark.operators import retrieval
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = _docs_df(spark, texts)
+    base = tmp_path_factory.mktemp("pfx") / uuid.uuid4().hex
+    idx = TextIndex(spark, str(base), n_term_buckets=4, n_doc_buckets=2)
+    idx.build(docs)
+    px = spark.createDataFrame([(0, prefix)], "query_id long, prefix string")
+    got = sorted(map(tuple, idx.prefix_search(px, k=10).collect()))
+    vocab = {w for t in texts for w in t.split()}
+    exp_terms = sorted(w for w in vocab if w.startswith(prefix))
+    if not exp_terms:
+        assert got == []
+        return
+    exp = spark.createDataFrame([(0, w) for w in exp_terms],
+                                "query_id long, term string")
+    want = sorted(map(tuple, retrieval.bm25_topk(docs, exp, k=10).collect()))
+    assert got == want
