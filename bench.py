@@ -371,6 +371,73 @@ def main() -> None:
             k=10, nprobe=4)
 
     bench("store_versioned_hybrid", versioned_hybrid)
+
+    # multi-term queries over the persisted index (round 7): boolean
+    # clauses, dictionary-expanded prefix/fuzzy, full-match-set facets
+    bool_qt = spark.createDataFrame(
+        [(0, "vector", "must"), (0, "join", "must"),
+         (0, "hash", "must_not"), (1, "stream", "must"),
+         (1, "window", "should"), (1, "batch", "should"),
+         (2, "customer", "should"), (2, "table", "should"),
+         (2, "zebra", "must_not")],
+        "query_id long, term string, clause string")
+    bench("text_boolean_search", lambda: ti.boolean_search(bool_qt, k=10))
+    prefix_qt = spark.createDataFrame(
+        [(0, "s"), (1, "c"), (2, "ba"), (3, "f")],
+        "query_id long, prefix string")
+    bench("text_prefix_search", lambda: ti.prefix_search(prefix_qt, k=10))
+    fuzzy_qt = spark.createDataFrame(
+        [(0, "vectr"), (0, "joins"), (1, "strean"), (2, "hach")],
+        "query_id long, term string")
+    bench("text_fuzzy_search", lambda: ti.fuzzy_search(fuzzy_qt, k=10))
+    bench("text_search_facets",
+          lambda: ti.facet_counts(bm25_qt,
+                                  docs.select("doc_id", "lang"), "lang"))
+
+    def text_mlt():
+        # build-inside-the-timer like versioned_search: the term-vector
+        # sidecar is opt-in, so its cost is attributed to THIS key, not
+        # to every text_index_* number
+        mpath = os.path.join(ROOT, ".scratch", "bench_mlt_idx")
+        shutil.rmtree(mpath, ignore_errors=True)
+        mi = TextIndex(spark, mpath, n_term_buckets=16, n_doc_buckets=8,
+                       term_vectors=True)
+        mi.build(docs)
+        return mi.more_like_this([1, 2, 3], m=5, k=10)
+
+    bench("text_more_like_this", text_mlt)
+
+    def versioned_cdc():
+        # the change feed across bench_vvs's two commits (written by
+        # versioned_search above); 11-hex digest units keep snapshot
+        # sums inside int64 at any bench SF
+        from document_vector_pipeline_spark.functions.hashing import (
+            md5_long,
+        )
+        from document_vector_pipeline_spark.store.versioned_store import (
+            VersionedVectorStore,
+        )
+        vvs = VersionedVectorStore(
+            spark, os.path.join(ROOT, ".scratch", "bench_vvs"), cfg)
+        return vvs.cdc_feed(md5_long(F.col("chunk_text"), hex_digits=11))
+
+    bench("store_cdc_feed", versioned_cdc)
+
+    def retention_drop():
+        from document_vector_pipeline_spark.store.versioned import (
+            BucketedVersionedTable,
+        )
+        rpath = os.path.join(ROOT, ".scratch", "bench_retention")
+        shutil.rmtree(rpath, ignore_errors=True)
+        vt = BucketedVersionedTable(spark, rpath, bucket_col="day")
+        vt.commit_overwrite(t["events"].withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")))
+        days = sorted(r[0] for r in vt.read()
+                      .select("day").distinct().collect())
+        vt.drop_buckets(days[:len(days) // 4])
+        return vt.read()
+
+    bench("events_retention_drop", retention_drop)
     bench("text_collocations",
           lambda: textstats.collocations(docs, min_count=5, topk=50))
     bench("dedup_substride",

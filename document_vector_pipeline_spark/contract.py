@@ -3118,6 +3118,84 @@ from a
 """
 
 
+def q_store_versioned_vacuum(spark, sf_dir):
+    """Version-retention lifecycle: v0 ingests the corpus (+ extra
+    chunk for %6 docs), v1 re-ingests the %6 docs modified, v2 deletes
+    the %9 documents, then ``vacuum(keep_last=2)`` drops v0's manifest
+    and every data dir only v0 referenced.  Output: (version, n_rows,
+    digest) for the versions STILL READABLE after the sweep — exactly
+    v1 and v2, content-exact — proving vacuum reclaims the right
+    bytes and nothing a kept snapshot needs.  Plan: vacuum is
+    driver-side manifest set algebra + dir deletes; no data is read."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned_store import (
+        VersionedVectorStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "versioned_vacuum")
+    shutil.rmtree(path, ignore_errors=True)
+    vvs = VersionedVectorStore(spark, path,
+                               PipelineConfig(store_buckets=8))
+    six = docs.filter(F.col("doc_id") % 6 == 0)
+    batch1 = _store_chunks(docs).unionByName(
+        _store_chunks(six.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit("part two"))))
+        .withColumn("chunk_number", F.lit(1)))
+    vvs.replace_documents(batch1)
+    vvs.replace_documents(_store_chunks(six.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("edited")))))
+    nine = [r[0] for r in
+            _store_chunks(docs.filter(F.col("doc_id") % 9 == 0))
+            .select("document_url").distinct().collect()]
+    vvs.delete_documents(nine)
+    vvs.vacuum(keep_last=2)
+    sig = md5_long(F.concat_ws("\u0001", F.col("document_url"),
+                               F.col("id"), F.col("chunk_text")),
+                   hex_digits=11)
+    out = None
+    for v in vvs.versions():
+        r = (vvs.read(v)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.sum(sig).cast("long").alias("digest"))
+             .withColumn("version", F.lit(v).cast("int")))
+        out = r if out is None else out.unionByName(r)
+    return out.select("version", "n_rows", "digest")
+
+
+def _sql_store_versioned_vacuum() -> str:
+    sig = _md5l("document_url || chr(1) || id || chr(1) || chunk_text", 11)
+    return f"""
+with d as (
+  select doc_id, {_URL_SQL} as document_url,
+         {_norm_text('text')} as t0,
+         {_norm_text("text || ' part two'")} as t1,
+         {_norm_text("text || ' edited'")} as t2
+  from documents),
+v0 as (
+  select document_url, '0' as id, t0 as chunk_text from d
+  union all
+  select document_url, '1' as id, t1 as chunk_text from d
+  where doc_id % 6 = 0),
+v1 as (
+  select * from v0 where document_url not in
+    (select document_url from d where doc_id % 6 = 0)
+  union all
+  select document_url, '0' as id, t2 as chunk_text from d
+  where doc_id % 6 = 0),
+v2 as (
+  select * from v1 where document_url not in
+    (select document_url from d where doc_id % 9 = 0)),
+a as (
+  select 1 as version, count(*) as n, sum({sig}) as g from v1
+  union all
+  select 2, count(*), sum({sig}) from v2)
+select cast(version as int) as version, cast(n as bigint) as n_rows,
+       cast(g as bigint) as digest
+from a
+"""
+
+
 def q_events_retention_drop(spark, sf_dir):
     """Whole-partition retention sweep as a METADATA-ONLY commit
     (DROP PARTITION / Timescale drop_chunks, store/versioned.py
@@ -8522,6 +8600,7 @@ def queries():
         "store_versioned_diff_rows": q_store_versioned_diff_rows,
         "store_cdc_feed": q_store_cdc_feed,
         "store_versioned_optimize": q_store_versioned_optimize,
+        "store_versioned_vacuum": q_store_versioned_vacuum,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -8843,6 +8922,7 @@ from c
         "store_versioned_diff_rows": _sql_store_versioned_diff_rows(),
         "store_cdc_feed": _sql_store_cdc_feed(),
         "store_versioned_optimize": _sql_store_versioned_optimize(),
+        "store_versioned_vacuum": _sql_store_versioned_vacuum(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
