@@ -15,6 +15,9 @@ import sys
 
 
 def main() -> None:
+    # tolerate `| head` on the long per-key listing
+    import signal
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     old_p, new_p = sys.argv[1], sys.argv[2]
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old = json.load(open(old_p))["queries"]
