@@ -7240,6 +7240,50 @@ af as (
     return "".join(parts)
 
 
+def q_emb_silhouette(spark, sf_dir):
+    """Simplified (centroid-based, O(n·k)) silhouette of the k-means
+    assignment — the internal clustering-quality metric that needs no
+    labels (the external twin is emb_cluster_purity): per cluster, the
+    mean of s = (b−a)/b over its points, in exact micro units."""
+    return similarity.cluster_silhouette(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_emb_silhouette(n_clusters: int = 8, iters: int = 3,
+                        dim: int = 64) -> str:
+    """cluster_silhouette twin: top-2 centroid distances per vector off
+    the shared Lloyd CTE's final centroids, the pinned sqrt/divide
+    shape rounded to micro per point, integer mean per cluster."""
+    def dist(v, c):
+        return (f"list_sum(list_transform(generate_series(1,{dim}), "
+                f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))")
+
+    return f"""{_sql_kmeans_cte(n_clusters, iters, dim)},
+sf as (
+  select vec_id, cluster, d, rn from (
+    select a.vec_id, c.cluster, {dist('a.v6', 'c.c6')} as d,
+           row_number() over (partition by a.vec_id
+             order by {dist('a.v6', 'c.c6')}, c.cluster) as rn
+    from v a cross join c{iters} c) where rn <= 2),
+pp as (
+  select s1.vec_id, s1.cluster,
+         cast(s1.d as double) as d1, cast(s2.d as double) as d2
+  from (select * from sf where rn = 1) s1
+  join (select * from sf where rn = 2) s2 using (vec_id)),
+sm as (
+  select cluster,
+         case when sqrt(d2) = 0.0 then cast(0 as bigint)
+              else cast(round(((sqrt(d2) - sqrt(d1)) / sqrt(d2))
+                              * 1000000.0) as bigint)
+         end as s
+  from pp)
+select cast(cluster as int) as cluster,
+       cast(count(*) as bigint) as n,
+       cast(sum(s) // count(*) as bigint) as mean_sil_micro
+from sm group by cluster order by cluster
+"""
+
+
 def _sql_emb_kmeans(n_clusters: int = 8, iters: int = 3,
                     dim: int = 64) -> str:
     """kmeans_fixed twin — see _sql_kmeans_cte."""
@@ -8601,6 +8645,7 @@ def queries():
         "store_cdc_feed": q_store_cdc_feed,
         "store_versioned_optimize": q_store_versioned_optimize,
         "store_versioned_vacuum": q_store_versioned_vacuum,
+        "emb_silhouette": q_emb_silhouette,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -8923,6 +8968,7 @@ from c
         "store_cdc_feed": _sql_store_cdc_feed(),
         "store_versioned_optimize": _sql_store_versioned_optimize(),
         "store_versioned_vacuum": _sql_store_versioned_vacuum(),
+        "emb_silhouette": _sql_emb_silhouette(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

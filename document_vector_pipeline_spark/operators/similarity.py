@@ -970,9 +970,10 @@ def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                                .cast("long")).alias("v6"))
 
 
-def _kmeans_best_expr(cents: list[list[int]]):
-    """Map-only argmin over the centroid literals: struct(d, c) of the
-    nearest centroid (exact int64 squared distance, ties on cluster id)."""
+def _kmeans_cands(cents: list[list[int]]):
+    """Array of struct(d, c) over the centroid literals — exact int64
+    squared distance per centroid; struct field order makes array_min/
+    array_sort break distance ties on the lowest cluster id."""
     cands = []
     for ci, c6 in enumerate(cents, start=1):
         carr = F.array(*[F.lit(x) for x in c6])
@@ -980,7 +981,13 @@ def _kmeans_best_expr(cents: list[list[int]]):
             F.zip_with(F.col("v6"), carr, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
         cands.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-    return F.array_min(F.array(*cands))
+    return F.array(*cands)
+
+
+def _kmeans_best_expr(cents: list[list[int]]):
+    """Map-only argmin over the centroid literals: struct(d, c) of the
+    nearest centroid (exact int64 squared distance, ties on cluster id)."""
+    return F.array_min(_kmeans_cands(cents))
 
 
 def _kmeans_assign_np(base: DataFrame, cents: list[list[int]],
@@ -1173,6 +1180,51 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
                     F.col("dim"),
                     F.round(F.col("c6") / 1e6, 6).alias("centroid"))
             .orderBy("cluster", "dim"))
+
+
+def cluster_silhouette(emb: DataFrame, n_clusters: int = 8,
+                       iters: int = 3, dim: int = 64,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       use_udf: bool = True) -> DataFrame:
+    """Simplified silhouette of the k-means assignment — per cluster
+    (cluster, n, mean_sil_micro): s(i) = (b − a)/b with a = Euclidean
+    distance to the OWN (nearest) centroid and b = distance to the
+    nearest OTHER centroid.  This is the O(n·k) centroid variant
+    (Vendramin et al.'s simplified silhouette), not the O(n²) pairwise
+    original — which is what makes the metric computable at corpus
+    scale: distances stay the map-only fold over centroid literals the
+    assignment already uses, and the only shuffle is the k-group mean.
+
+    Exactness: squared distances are the assignment's exact int64s;
+    the single float step (int64→double, two sqrt, one subtract, one
+    divide — all correctly-rounded IEEE in a pinned expression shape)
+    is rounded to integer micro-units PER POINT, so the per-cluster
+    mean is an order-free integer sum ÷ count.  b ≥ a by construction,
+    so s ∈ [0, 1]; b = 0 (point equal to two centroids) scores 0.
+    Pairs with cluster_purity: purity scores agreement with labels,
+    silhouette scores geometric separation without needing any."""
+    base = _kmeans_base(emb, id_col, vec_col)
+    loop_base, release = _lloyd_loop_frame(base)
+    cents = _lloyd_centroids(loop_base, n_clusters, iters, dim,
+                             use_udf=use_udf)
+    release()
+    two = F.slice(F.array_sort(_kmeans_cands(cents)), 1, 2)
+    pp = base.select(
+        two[0]["c"].alias("cluster"),
+        two[0]["d"].cast("double").alias("d1"),
+        two[1]["d"].cast("double").alias("d2"))
+    sa, sb = F.sqrt(F.col("d1")), F.sqrt(F.col("d2"))
+    s_micro = (F.when(sb == F.lit(0.0), F.lit(0).cast("long"))
+               .otherwise(F.round(((sb - sa) / sb) * F.lit(1000000.0))
+                          .cast("long")))
+    return (pp.select(F.col("cluster"), s_micro.alias("s"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("s").alias("ss"))
+            .select(F.col("cluster").cast("int").alias("cluster"), "n",
+                    F.expr("ss div n").cast("long")
+                     .alias("mean_sil_micro"))
+            .orderBy("cluster"))
 
 
 def cluster_purity(emb: DataFrame, label_col: str = "label",

@@ -451,3 +451,25 @@ def test_mmr_output_shape_and_first_pick(spark, embeddings_small, queries):
         first = [x for x in rs if x.sel_order == 1][0]
         assert first.vec_id == qid      # self is most relevant
     assert len(by_q) == 3
+
+
+def test_cluster_silhouette_separation_ordering(spark):
+    """Well-separated synthetic clusters score near 1e6; the same data
+    collapsed onto one point scores 0 for the merged cluster."""
+    from document_vector_pipeline_spark.operators import similarity
+
+    rows = []
+    for i in range(12):
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[i % 2] = 10.0                       # two tight, far groups
+        base[2] = (i % 3) * 0.01                 # tiny within-group spread
+        rows.append((i, base, i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.cluster_silhouette(emb, n_clusters=2, iters=2, dim=4)
+    got = out.collect()
+    assert len(got) == 2 and sum(r["n"] for r in got) == 12
+    for r in got:
+        assert 0 <= r["mean_sil_micro"] <= 1_000_000
+        # groups are ~14 apart with ~0.02 spread: near-perfect score
+        assert r["mean_sil_micro"] > 950_000
