@@ -3196,6 +3196,43 @@ from a
 """
 
 
+def q_events_seasonal(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event
+    count (plans/analytics.events_seasonal): centered 7-day MA trend,
+    per-ISO-weekday seasonal, exact residual — all in integer
+    micro-units with exact floor-division means, so the decomposition
+    identity holds bit-exactly.  One map-side-combinable pass over
+    events; everything else runs on the day-grain frame."""
+    return analytics.events_seasonal(load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_seasonal() -> str:
+    return """
+with dd as (
+  select cast(ts as date) as day,
+         cast(count(*) as bigint) as n_events
+  from events group by 1),
+tr as (
+  select day, n_events,
+         cast((1000000 * sum(n_events) over w) // (count(*) over w)
+              as bigint) as trend_micro
+  from dd
+  window w as (order by day rows between 3 preceding and 3 following)),
+det as (
+  select day, n_events, trend_micro, isodow(day) as dow,
+         1000000 * n_events - trend_micro as det
+  from tr),
+se as (
+  select dow, cast(sum(det) // count(*) as bigint) as seasonal_micro
+  from det group by dow)
+select strftime(det.day, '%Y-%m-%d') as day, det.n_events,
+       det.trend_micro, se.seasonal_micro,
+       cast(det.det - se.seasonal_micro as bigint) as resid_micro
+from det join se using (dow)
+order by day
+"""
+
+
 def q_events_retention_drop(spark, sf_dir):
     """Whole-partition retention sweep as a METADATA-ONLY commit
     (DROP PARTITION / Timescale drop_chunks, store/versioned.py
@@ -8646,6 +8683,7 @@ def queries():
         "store_versioned_optimize": q_store_versioned_optimize,
         "store_versioned_vacuum": q_store_versioned_vacuum,
         "emb_silhouette": q_emb_silhouette,
+        "events_seasonal": q_events_seasonal,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -8969,6 +9007,7 @@ from c
         "store_versioned_optimize": _sql_store_versioned_optimize(),
         "store_versioned_vacuum": _sql_store_versioned_vacuum(),
         "emb_silhouette": _sql_emb_silhouette(),
+        "events_seasonal": _sql_events_seasonal(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

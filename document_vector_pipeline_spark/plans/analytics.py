@@ -1402,3 +1402,48 @@ def customer_rfm(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     return (tiled.groupBy("r_score", "f_score", "m_score")
             .agg(F.count("*").cast("long").alias("n_customers"),
                  (F.sum("cents").cast("long") / 100.0).alias("revenue")))
+
+
+def events_seasonal(events: DataFrame) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count — (day, n_events, trend_micro, seasonal_micro, resid_micro):
+    trend = centered 7-day moving average (partial windows at the
+    edges), seasonal = per-ISO-weekday mean of the detrended series,
+    residual = the exact remainder.  The capacity-planning /
+    anomaly-baseline view of an event stream (what events_anomalies'
+    z-scores lack: a day-of-week-aware baseline).
+
+    Exactness + scale: the corpus collapses to day grain in ONE
+    map-side-combinable aggregation (the only pass over the events);
+    everything after runs on the day-grain frame (365 rows/year at any
+    corpus size) in pure integer micro-units — means are exact floor
+    divisions, so no float ever enters and the identity
+    n*1e6 = trend + seasonal + resid holds bit-exactly."""
+    dd = (events.groupBy(F.col("ts").cast("date").alias("day"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    # `div` is truncating integer division in BOTH Spark and DuckDB
+    # (// in DuckDB truncates toward zero too) — exact, no float
+    tr = (dd.select(
+            "day", "n_events",
+            (F.lit(1000000) * F.sum("n_events").over(w)).alias("__ws"),
+            F.count(F.lit(1)).over(w).alias("__wc"))
+          .select("day", "n_events",
+                  F.expr("__ws div __wc").cast("long")
+                  .alias("trend_micro")))
+    # ISO weekday (Mon=1..Sun=7): Spark weekday() is Mon=0
+    dow = (F.weekday(F.col("day")) + F.lit(1)).alias("dow")
+    det = tr.select(
+        "day", "n_events", "trend_micro", dow,
+        (F.lit(1000000) * F.col("n_events") - F.col("trend_micro"))
+        .alias("det"))
+    se = (det.groupBy("dow")
+          .agg(F.sum("det").alias("__sd"), F.count(F.lit(1)).alias("__n"))
+          .select("dow", F.expr("__sd div __n").cast("long")
+                  .alias("seasonal_micro")))
+    return (det.join(F.broadcast(se), "dow")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_events", "trend_micro", "seasonal_micro",
+                    (F.col("det") - F.col("seasonal_micro"))
+                    .cast("long").alias("resid_micro"))
+            .orderBy("day"))
