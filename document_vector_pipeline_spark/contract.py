@@ -3196,6 +3196,65 @@ from a
 """
 
 
+def q_text_pii_census(spark, sf_dir):
+    """Per-source PII audit (operators/textstats.pii_census — the
+    governance assessment that pairs with text_scrub's remediation):
+    synthetic PII is injected into every 4th document (email+url) and
+    every 6th (phone), then the census reports, per source, document
+    counts plus per-type totals and documents-with-at-least-one.
+    Map-only regexp counts; one groups-sized aggregation."""
+    from document_vector_pipeline_spark.operators.textstats import (
+        pii_census,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(
+                F.lit(" mail u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com see https://ex.org/p"),
+                F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.concat(
+                F.lit(" call +1555"),
+                F.lpad(F.col("doc_id").cast("string"), 6, "0")))
+            .otherwise(F.lit(""))))
+    return pii_census(inj, by="source")
+
+
+def _sql_text_pii_census() -> str:
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[a-zA-Z0-9./_-]+"
+    phone = r"\+[0-9]{7,15}"
+    inj = ("text || case when doc_id % 4 = 0 then "
+           "' mail u' || cast(doc_id as varchar) || '@example.com see "
+           "https://ex.org/p' || cast(doc_id as varchar) else '' end "
+           "|| case when doc_id % 6 = 0 then "
+           "' call +1555' || lpad(cast(doc_id as varchar), 6, '0') "
+           "else '' end")
+    return f"""
+with i as (select source, {inj} as t from documents),
+per as (
+  select source,
+         cast(len(regexp_extract_all(t, '{email}')) as bigint) as n_email,
+         cast(len(regexp_extract_all(t, '{url}')) as bigint) as n_url,
+         cast(len(regexp_extract_all(t, '{phone}')) as bigint) as n_phone
+  from i)
+select source, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_email) as bigint) as n_email,
+       cast(sum(case when n_email > 0 then 1 else 0 end) as bigint)
+         as docs_email,
+       cast(sum(n_url) as bigint) as n_url,
+       cast(sum(case when n_url > 0 then 1 else 0 end) as bigint)
+         as docs_url,
+       cast(sum(n_phone) as bigint) as n_phone,
+       cast(sum(case when n_phone > 0 then 1 else 0 end) as bigint)
+         as docs_phone
+from per group by source order by source
+"""
+
+
 def q_events_seasonal(spark, sf_dir):
     """Classical additive seasonal decomposition of the daily event
     count (plans/analytics.events_seasonal): centered 7-day MA trend,
@@ -8684,6 +8743,7 @@ def queries():
         "store_versioned_vacuum": q_store_versioned_vacuum,
         "emb_silhouette": q_emb_silhouette,
         "events_seasonal": q_events_seasonal,
+        "text_pii_census": q_text_pii_census,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -9008,6 +9068,7 @@ from c
         "store_versioned_vacuum": _sql_store_versioned_vacuum(),
         "emb_silhouette": _sql_emb_silhouette(),
         "events_seasonal": _sql_events_seasonal(),
+        "text_pii_census": _sql_text_pii_census(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

@@ -124,6 +124,29 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
         .orderBy(id_col))
 
 
+def pii_census(docs: DataFrame, by: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Privacy audit: per ``by`` group, the document count plus — for
+    every PII type — total matches and how many documents carry at
+    least one.  The census a data-governance review runs BEFORE
+    deciding what to scrub (scrub_pii is the remediation; this is the
+    assessment), and the per-source report that localizes a leaky
+    crawl source.  Map-only regexp_count inside whole-stage codegen
+    (scan speed at any corpus size); the only shuffle is the
+    groups-sized aggregation, map-side combinable."""
+    col = F.col(text_col)
+    per = docs.select(
+        F.col(by),
+        *[F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{name}")
+          for name, pat, _ in PII_PATTERNS])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for name, _, _ in PII_PATTERNS:
+        aggs.append(F.sum(f"n_{name}").cast("long").alias(f"n_{name}"))
+        aggs.append(F.sum(F.when(F.col(f"n_{name}") > 0, 1).otherwise(0))
+                    .cast("long").alias(f"docs_{name}"))
+    return per.groupBy(by).agg(*aggs).orderBy(by)
+
+
 def document_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", window: int = 8) -> DataFrame:
     """(id, fingerprint): exploded rolling-window fingerprints — the
