@@ -3292,6 +3292,81 @@ order by day
 """
 
 
+def q_store_versioned_clone(spark, sf_dir):
+    """Zero-copy shallow clone (store/versioned.py clone_from — Delta
+    CLONE SHALLOW): the day-bucketed events table is cloned by ONE
+    manifest write borrowing the source dirs by absolute path; the
+    clone then modifies the first three days' %7 events (copy-on-write
+    at bucket grain: only those day buckets materialize locally) while
+    the SOURCE independently modifies its %5 events — and neither edit
+    leaks into the other table or into either v0.  Output: (side,
+    version, n_rows, digest) for both versions of both tables."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    p_src = os.path.join(SCRATCH, "clone_src")
+    p_cl = os.path.join(SCRATCH, "clone_dst")
+    shutil.rmtree(p_src, ignore_errors=True)
+    shutil.rmtree(p_cl, ignore_errors=True)
+    src = BucketedVersionedTable(spark, p_src, bucket_col="day")
+    src.commit_overwrite(rows)
+    clone = BucketedVersionedTable(spark, p_cl, bucket_col="day")
+    clone.clone_from(src)
+    clone.upsert(
+        rows.filter((F.col("day") < "2024-01-04")
+                    & (F.col("event_id") % 7 == 0))
+        .withColumn("event_type",
+                    F.concat(F.col("event_type"), F.lit(" clonemod"))),
+        keys=["event_id"])
+    src.upsert(
+        rows.filter(F.col("event_id") % 5 == 0)
+        .withColumn("event_type",
+                    F.concat(F.col("event_type"), F.lit(" srcmod"))),
+        keys=["event_id"])
+    sig = md5_long(F.concat_ws("\u0001", F.col("event_id"),
+                               F.col("event_type")), hex_digits=11)
+    out = None
+    for side, vt in (("src", src), ("clone", clone)):
+        for v in vt.versions():
+            r = (vt.read(v)
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                      F.sum(sig).cast("long").alias("digest"))
+                 .withColumn("side", F.lit(side))
+                 .withColumn("version", F.lit(v).cast("int")))
+            out = r if out is None else out.unionByName(r)
+    return out.select("side", "version", "n_rows", "digest")
+
+
+def _sql_store_versioned_clone() -> str:
+    def agg(side, v, et):
+        sig = _md5l(f"event_id || chr(1) || ({et})", 11)
+        return (f"select '{side}' as side, {v} as version, "
+                f"count(*) as n, sum({sig}) as g from events")
+
+    orig = "event_type"
+    srcmod = ("case when event_id % 5 = 0 then event_type || ' srcmod' "
+              "else event_type end")
+    clmod = ("case when event_id % 7 = 0 and ts < timestamp '2024-01-04' "
+             "then event_type || ' clonemod' else event_type end")
+    return f"""
+with a as (
+  {agg('src', 0, orig)}
+  union all
+  {agg('src', 1, srcmod)}
+  union all
+  {agg('clone', 0, orig)}
+  union all
+  {agg('clone', 1, clmod)})
+select side, cast(version as int) as version,
+       cast(n as bigint) as n_rows, cast(g as bigint) as digest
+from a
+"""
+
+
 def q_events_retention_drop(spark, sf_dir):
     """Whole-partition retention sweep as a METADATA-ONLY commit
     (DROP PARTITION / Timescale drop_chunks, store/versioned.py
@@ -8744,6 +8819,7 @@ def queries():
         "emb_silhouette": q_emb_silhouette,
         "events_seasonal": q_events_seasonal,
         "text_pii_census": q_text_pii_census,
+        "store_versioned_clone": q_store_versioned_clone,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -9069,6 +9145,7 @@ from c
         "emb_silhouette": _sql_emb_silhouette(),
         "events_seasonal": _sql_events_seasonal(),
         "text_pii_census": _sql_text_pii_census(),
+        "store_versioned_clone": _sql_store_versioned_clone(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

@@ -51,9 +51,21 @@ class VersionedTable:
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         return p.getFileSystem(conf), jvm
 
+    def _resolve(self, d: str) -> str:
+        """Manifest dirs are normally RELATIVE to the table root; a dir
+        written by ``clone_from`` is ABSOLUTE (it lives under the
+        SOURCE table) and passes through untouched."""
+        return d if (d.startswith("/") or "://" in d) \
+            else f"{self.path}/{d}"
+
+    def _is_foreign(self, d: str) -> bool:
+        """True for a dir that does not live under this table's root —
+        clone-borrowed data this table must never delete."""
+        return not self._resolve(d).startswith(f"{self.path}/")
+
     def _jpath(self, rel: str):
         return self.spark._jvm.org.apache.hadoop.fs.Path(
-            f"{self.path}/{rel}")
+            self._resolve(rel))
 
     def _write_text(self, rel: str, text: str) -> None:
         fs, _ = self._fs()
@@ -123,7 +135,7 @@ class VersionedTable:
                 f"written); available: {self.versions()}")
         m = self._manifest(version)
         return self.spark.read.parquet(
-            *[f"{self.path}/{d}" for d in m["dirs"]])
+            *[self._resolve(d) for d in m["dirs"]])
 
     def commit_append(self, df: DataFrame) -> int:
         if self.versions():
@@ -156,6 +168,29 @@ class VersionedTable:
                 for m in (self._manifest(v) for v in self.versions())]
         return self.spark.createDataFrame(
             rows, "version int, op string, n_dirs int, n_rows long")
+
+    def clone_from(self, src: "VersionedTable",
+                   version: int | None = None) -> int:
+        """Zero-copy SHALLOW CLONE (Delta's CLONE ... SHALLOW): publish
+        the SOURCE table's version-N snapshot as this table's next
+        commit by writing one manifest whose dirs are the source dirs'
+        ABSOLUTE paths — no data bytes move at any table size.  The
+        clone then evolves independently: its own commits write local
+        dirs, and bucket-incremental upserts rewrite borrowed buckets
+        into local dirs on first touch (copy-on-write at bucket
+        grain).  Safety: this table's ``vacuum`` never deletes a
+        foreign (source-owned) dir; conversely the SOURCE's vacuum
+        does not know about clones — keep the cloned version alive in
+        the source (or never vacuum it) for as long as the clone
+        borrows it, exactly Delta's shallow-clone contract."""
+        m = src._manifest(version if version is not None
+                          else src.latest())
+        dirs = [src._resolve(d) for d in m["dirs"]]
+        v = (self.latest() + 1) if self.versions() else 0
+        manifest = {"version": v, "op": "clone", "dirs": dirs,
+                    "n_rows": m["n_rows"]}
+        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
+        return v
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: re-publish ``version``'s snapshot as a
@@ -191,6 +226,8 @@ class VersionedTable:
         for v in drop:
             fs.delete(self._jpath(f"_log/v{v:012d}.json"), False)
         for d in dead:
+            if self._is_foreign(d):
+                continue          # clone-borrowed: the source owns it
             fs.delete(self._jpath(d), True)
         return drop
 
@@ -268,7 +305,7 @@ class BucketedVersionedTable(VersionedTable):
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         return self.spark.read.parquet(
-            *[f"{self.path}/{d}" for d in dirs])
+            *[self._resolve(d) for d in dirs])
 
     def _count_dirs(self, dirs: list[str]) -> int:
         # unfiltered count over parquet dirs is answered from row-group

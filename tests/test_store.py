@@ -857,3 +857,45 @@ def test_optimize_merges_only_fragmented_buckets(spark, tmp_path):
     vt.upsert(spark.createDataFrame([(3, "x")], "id long, b string"),
               keys=["id"])
     assert vt.read().count() == 3
+
+
+def test_clone_from_is_zero_copy_and_copy_on_write(spark, tmp_path):
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    src = BucketedVersionedTable(spark, str(tmp_path / "src"),
+                                 bucket_col="b")
+    src.commit_overwrite(spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b"), (3, "x", "c")],
+        "id long, b string, payload string"))
+    clone = BucketedVersionedTable(spark, str(tmp_path / "cl"),
+                                   bucket_col="b")
+    clone.clone_from(src)
+    fs, _ = clone._fs()
+    # zero-copy: the clone has a manifest but NO data directory at all
+    assert not fs.exists(clone._jpath("data"))
+    assert (sorted(map(tuple, clone.read().collect()))
+            == sorted(map(tuple, src.read().collect())))
+    # copy-on-write at bucket grain: touching bucket x materializes it
+    # locally; bucket y stays a borrowed absolute source path
+    clone.upsert(spark.createDataFrame([(1, "x", "edited")],
+                                       "id long, b string, payload string"),
+                 keys=["id"])
+    m = clone._manifest(1)
+    x_dirs = [d for d in m["dirs"] if clone._bucket_of(d) == "x"]
+    y_dirs = [d for d in m["dirs"] if clone._bucket_of(d) == "y"]
+    assert all(not clone._is_foreign(d) for d in x_dirs)
+    assert y_dirs and all(clone._is_foreign(d) for d in y_dirs)
+    # edits are isolated in both directions
+    assert [r["payload"] for r in
+            src.read().filter(F.col("id") == 1).collect()] == ["a"]
+    src.upsert(spark.createDataFrame([(2, "y", "srcedit")],
+                                     "id long, b string, payload string"),
+               keys=["id"])
+    assert [r["payload"] for r in
+            clone.read().filter(F.col("id") == 2).collect()] == ["b"]
+    # the clone's vacuum never deletes borrowed (source-owned) files
+    clone.vacuum(keep_last=1)
+    assert src.read(0).count() == 3          # source v0 bytes intact
+    assert clone.read().count() == 3
