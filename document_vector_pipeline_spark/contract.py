@@ -3367,6 +3367,93 @@ from a
 """
 
 
+def q_store_schema_evolution(spark, sf_dir):
+    """Additive schema evolution on the versioned table (Delta keeps
+    schema in the log; so does store/versioned.py): v0 commits the
+    even events WITHOUT a score column; v1 appends the odd events WITH
+    one (the manifest schema grows; v0-era files read under it with
+    score null-filled — never a schema-inference scan); v2 upserts
+    score=777 onto every 10th even event (bucket-incremental merge
+    across MIXED schemas).  Output per version: n_rows, rows with a
+    score, exact score sum, and a content digest over the stable
+    columns — proving old snapshots keep their own schema, new
+    snapshots null-fill history, and evolution composes with the
+    bucket algebra."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+          .select("event_id", "event_type", "value", "day"))
+    path = os.path.join(SCRATCH, "schema_evolution")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="day")
+    vt.commit_overwrite(ev.filter(F.col("event_id") % 2 == 0)
+                        .select("event_id", "event_type", "day"))
+    vt.commit_append(ev.filter(F.col("event_id") % 2 == 1)
+                     .select("event_id", "event_type", "day",
+                             F.floor(F.col("value") * F.lit(100.0))
+                             .cast("long").alias("score")))
+    vt.upsert(ev.filter((F.col("event_id") % 10 == 0))
+              .select("event_id", "event_type", "day",
+                      F.lit(777).cast("long").alias("score")),
+              keys=["event_id"])
+    sig = md5_long(F.concat_ws("\u0001", F.col("event_id"),
+                               F.col("event_type")), hex_digits=11)
+    out = None
+    for v in vt.versions():
+        df = vt.read(v)
+        score = (F.col("score") if "score" in df.columns
+                 else F.lit(None).cast("long"))
+        r = (df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(score).cast("long").alias("n_with_score"),
+                F.coalesce(F.sum(score), F.lit(0)).cast("long")
+                 .alias("sum_score"),
+                F.sum(sig).cast("long").alias("digest"))
+             .withColumn("version", F.lit(v).cast("int")))
+        out = r if out is None else out.unionByName(r)
+    return out.select("version", "n_rows", "n_with_score",
+                      "sum_score", "digest")
+
+
+def _sql_store_schema_evolution() -> str:
+    sig = _md5l("event_id || chr(1) || event_type", 11)
+    return f"""
+with e as (
+  select event_id, event_type, value from events),
+v0 as (
+  select event_id, event_type, cast(null as bigint) as score
+  from e where event_id % 2 = 0),
+v1 as (
+  select * from v0
+  union all
+  select event_id, event_type,
+         cast(floor(value * 100.0) as bigint) as score
+  from e where event_id % 2 = 1),
+v2 as (
+  select event_id, event_type,
+         case when event_id % 10 = 0 then cast(777 as bigint)
+              else score end as score
+  from v1),
+a as (
+  select 0 as version, count(*) as n, count(score) as ws,
+         coalesce(sum(score), 0) as ss, sum({sig}) as g from v0
+  union all
+  select 1, count(*), count(score), coalesce(sum(score), 0),
+         sum({sig}) from v1
+  union all
+  select 2, count(*), count(score), coalesce(sum(score), 0),
+         sum({sig}) from v2)
+select cast(version as int) as version, cast(n as bigint) as n_rows,
+       cast(ws as bigint) as n_with_score,
+       cast(ss as bigint) as sum_score, cast(g as bigint) as digest
+from a
+"""
+
+
 def q_events_retention_drop(spark, sf_dir):
     """Whole-partition retention sweep as a METADATA-ONLY commit
     (DROP PARTITION / Timescale drop_chunks, store/versioned.py
@@ -8820,6 +8907,7 @@ def queries():
         "events_seasonal": q_events_seasonal,
         "text_pii_census": q_text_pii_census,
         "store_versioned_clone": q_store_versioned_clone,
+        "store_schema_evolution": q_store_schema_evolution,
         "events_retention_drop": q_events_retention_drop,
         # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
         "chunk_chars": q_chunk_chars,
@@ -9146,6 +9234,7 @@ from c
         "events_seasonal": _sql_events_seasonal(),
         "text_pii_census": _sql_text_pii_census(),
         "store_versioned_clone": _sql_store_versioned_clone(),
+        "store_schema_evolution": _sql_store_schema_evolution(),
         "events_retention_drop": _sql_events_retention_drop(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),

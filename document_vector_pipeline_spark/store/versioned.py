@@ -36,6 +36,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class VersionedTable:
@@ -105,8 +106,34 @@ class VersionedTable:
     def _manifest(self, version: int) -> dict:
         return json.loads(self._read_text(f"_log/v{version:012d}.json"))
 
+    def _schema_of(self, version: int) -> StructType | None:
+        """The snapshot's schema as committed in its manifest (Delta
+        keeps schema in the log for the same reason): readers never
+        infer from data files, so a snapshot whose older files predate
+        an ADDED column still reads uniformly — parquet fills the
+        missing column with nulls.  None for pre-schema manifests."""
+        sj = self._manifest(version).get("schema")
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
+    def _merged_schema_json(self, df: DataFrame) -> str:
+        """Prior manifest schema extended by ``df``'s NEW fields (by
+        name, appended in df order) — additive schema evolution: an
+        append/upsert may add columns; existing columns keep their
+        committed type, dropped-from-batch columns stay in the table
+        (the batch's rows read as null there)."""
+        if not self.versions():
+            return df.schema.json()
+        prior = self._schema_of(self.latest())
+        if prior is None:
+            return df.schema.json()
+        have = {f.name for f in prior.fields}
+        fields = list(prior.fields) + [f for f in df.schema.fields
+                                       if f.name not in have]
+        return StructType(fields).json()
+
     def _commit(self, df: DataFrame, op: str,
-                carry_dirs: list[str], carry_rows: int = 0) -> int:
+                carry_dirs: list[str], carry_rows: int = 0,
+                schema_json: str | None = None) -> int:
         """Row accounting is arithmetic — ``carry_rows`` (the carried
         dirs' count, known from the prior manifest) plus a footer-only
         count of the NEWLY written dir — so a commit's cost is bounded
@@ -118,7 +145,8 @@ class VersionedTable:
         dirs = list(carry_dirs) + [new_dir]
         n_rows = int(carry_rows) + self.spark.read.parquet(full).count()
         manifest = {"version": v, "op": op, "dirs": dirs,
-                    "n_rows": n_rows}
+                    "n_rows": n_rows, "schema": schema_json
+                    if schema_json is not None else df.schema.json()}
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -134,8 +162,11 @@ class VersionedTable:
                 f"version {version} not in log (vacuumed or never "
                 f"written); available: {self.versions()}")
         m = self._manifest(version)
-        return self.spark.read.parquet(
-            *[self._resolve(d) for d in m["dirs"]])
+        reader = self.spark.read
+        st = self._schema_of(version)
+        if st is not None:
+            reader = reader.schema(st)
+        return reader.parquet(*[self._resolve(d) for d in m["dirs"]])
 
     def commit_append(self, df: DataFrame) -> int:
         if self.versions():
@@ -143,7 +174,8 @@ class VersionedTable:
             prev, prev_rows = m["dirs"], m["n_rows"]
         else:
             prev, prev_rows = [], 0
-        return self._commit(df, "append", prev, prev_rows)
+        return self._commit(df, "append", prev, prev_rows,
+                            schema_json=self._merged_schema_json(df))
 
     def commit_overwrite(self, df: DataFrame) -> int:
         return self._commit(df, "overwrite", [])
@@ -156,7 +188,8 @@ class VersionedTable:
             return self._commit(df, "upsert", [])
         cur = self.read()
         kept = cur.join(df.select(*keys).distinct(), keys, "left_anti")
-        return self._commit(kept.unionByName(df), "upsert", [])
+        return self._commit(
+            kept.unionByName(df, allowMissingColumns=True), "upsert", [])
 
     def delete_where(self, cond) -> int:
         """Snapshot delete: survivors written as a fresh overwrite
@@ -188,7 +221,7 @@ class VersionedTable:
         dirs = [src._resolve(d) for d in m["dirs"]]
         v = (self.latest() + 1) if self.versions() else 0
         manifest = {"version": v, "op": "clone", "dirs": dirs,
-                    "n_rows": m["n_rows"]}
+                    "n_rows": m["n_rows"], "schema": m.get("schema")}
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -209,7 +242,7 @@ class VersionedTable:
         m = self._manifest(version)
         v = self.latest() + 1
         manifest = {"version": v, "op": "restore", "dirs": m["dirs"],
-                    "n_rows": m["n_rows"]}
+                    "n_rows": m["n_rows"], "schema": m.get("schema")}
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -277,11 +310,17 @@ class BucketedVersionedTable(VersionedTable):
     def _bucket_of(d: str) -> str:
         return d.rsplit("=", 1)[-1]          # '.../__pb=B' -> 'B'
 
-    def _commit_dirs(self, op: str, dirs: list[str],
-                     n_rows: int) -> int:
+    def _commit_dirs(self, op: str, dirs: list[str], n_rows: int,
+                     schema_json: str | None = None) -> int:
+        """``schema_json`` defaults to the PRIOR manifest's schema —
+        correct for every dir-algebra op (drop/restore/optimize/
+        delete); commits that can EVOLVE the schema (overwrite/append/
+        upsert) pass the batch-merged schema explicitly."""
+        if schema_json is None and self.versions():
+            schema_json = self._manifest(self.latest()).get("schema")
         v = (self.latest() + 1) if self.versions() else 0
         manifest = {"version": v, "op": op, "dirs": sorted(dirs),
-                    "n_rows": int(n_rows)}
+                    "n_rows": int(n_rows), "schema": schema_json}
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -303,9 +342,19 @@ class BucketedVersionedTable(VersionedTable):
                 out.append(f"{new_dir}/{name}")
         return out
 
-    def _read_dirs(self, dirs: list[str]) -> DataFrame:
-        return self.spark.read.parquet(
-            *[self._resolve(d) for d in dirs])
+    def _read_dirs(self, dirs: list[str],
+                   version: int | None = None) -> DataFrame:
+        """``version`` selects which manifest's committed schema reads
+        the dirs (default: latest) — after additive evolution, older
+        files lack the new columns and must be read under the
+        snapshot's schema so parquet null-fills them uniformly."""
+        reader = self.spark.read
+        if self.versions():
+            st = self._schema_of(self.latest() if version is None
+                                 else version)
+            if st is not None:
+                reader = reader.schema(st)
+        return reader.parquet(*[self._resolve(d) for d in dirs])
 
     def _count_dirs(self, dirs: list[str]) -> int:
         # unfiltered count over parquet dirs is answered from row-group
@@ -330,7 +379,8 @@ class BucketedVersionedTable(VersionedTable):
         self._require_bucket(df)
         v = (self.latest() + 1) if self.versions() else 0
         dirs = self._write_buckets(df, v)
-        return self._commit_dirs("overwrite", dirs, self._count_dirs(dirs))
+        return self._commit_dirs("overwrite", dirs, self._count_dirs(dirs),
+                                 schema_json=df.schema.json())
 
     def commit_append(self, df: DataFrame) -> int:
         self._require_bucket(df)
@@ -344,7 +394,8 @@ class BucketedVersionedTable(VersionedTable):
             prev, prev_rows, v = [], 0, 0
         new_dirs = self._write_buckets(df, v)
         return self._commit_dirs("append", prev + new_dirs,
-                                 prev_rows + self._count_dirs(new_dirs))
+                                 prev_rows + self._count_dirs(new_dirs),
+                                 schema_json=self._merged_schema_json(df))
 
     def delete_where(self, cond) -> int:
         """Unrestricted-predicate delete: every bucket is affected, so
@@ -369,7 +420,8 @@ class BucketedVersionedTable(VersionedTable):
         df = df.localCheckpoint(eager=True)   # embeddings computed once
         if not self.versions():
             dirs = self._write_buckets(df, 0)
-            return self._commit_dirs("upsert", dirs, self._count_dirs(dirs))
+            return self._commit_dirs("upsert", dirs, self._count_dirs(dirs),
+                                     schema_json=df.schema.json())
         m = self._manifest(self.latest())
         affected = {str(r[0]) for r in
                     df.select(self.bucket_col).distinct().collect()}
@@ -380,14 +432,15 @@ class BucketedVersionedTable(VersionedTable):
             cur = self._read_dirs(touched)
             merged = (cur.join(df.select(*keys).distinct(), keys,
                                "left_anti")
-                      .unionByName(df))
+                      .unionByName(df, allowMissingColumns=True))
         else:
             merged = df
         v = self.latest() + 1
         new_dirs = self._write_buckets(merged, v)
         n_rows = (m["n_rows"] - self._count_dirs(touched)
                   + self._count_dirs(new_dirs))
-        return self._commit_dirs("upsert", carried + new_dirs, n_rows)
+        return self._commit_dirs("upsert", carried + new_dirs, n_rows,
+                                 schema_json=self._merged_schema_json(df))
 
     def _touched_dirs(self, v_a: int, v_b: int) -> tuple[list, list]:
         """Each version's dirs restricted to buckets in the two

@@ -899,3 +899,36 @@ def test_clone_from_is_zero_copy_and_copy_on_write(spark, tmp_path):
     clone.vacuum(keep_last=1)
     assert src.read(0).count() == 3          # source v0 bytes intact
     assert clone.read().count() == 3
+
+
+def test_schema_evolution_is_additive_and_snapshot_scoped(spark, tmp_path):
+    """The manifest carries the snapshot's schema (never inferred from
+    files): v0 has no 'extra' column at all; v1's append adds it and
+    v0-era files read under v1 with extra null-filled; a bucketed
+    upsert merges mixed-schema dirs; dropping a column from a batch
+    does NOT drop it from the table (additive evolution)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "evo"),
+                                bucket_col="b")
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, b string"))
+    assert "extra" not in vt.read(0).columns
+    vt.commit_append(spark.createDataFrame(
+        [(3, "x", 30)], "id long, b string, extra long"))
+    got1 = {r["id"]: r["extra"] for r in vt.read(1).collect()}
+    assert got1 == {1: None, 2: None, 3: 30}
+    assert "extra" not in vt.read(0).columns          # v0 unchanged
+    # mixed-schema bucketed merge: replace id 1 (pre-evolution row)
+    vt.upsert(spark.createDataFrame([(1, "x", 11)],
+                                    "id long, b string, extra long"),
+              keys=["id"])
+    got2 = {r["id"]: r["extra"] for r in vt.read(2).collect()}
+    assert got2 == {1: 11, 2: None, 3: 30}
+    # a batch MISSING the evolved column keeps the column (null there)
+    vt.upsert(spark.createDataFrame([(4, "y")], "id long, b string"),
+              keys=["id"])
+    got3 = {r["id"]: r["extra"] for r in vt.read(3).collect()}
+    assert got3 == {1: 11, 2: None, 3: 30, 4: None}
