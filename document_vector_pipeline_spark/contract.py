@@ -2142,6 +2142,55 @@ from r where rank <= {k}
 """
 
 
+# did-you-mean batch: 1-edit and 2-edit misspellings, an exact term
+# (its own rank-1 suggestion at 0 edits), and a no-match garbage term
+_SUGGEST_TERMS = [(0, "vektor"), (0, "stram"), (1, "tabel"),
+                  (2, "join"), (3, "qqqq")]
+
+
+def q_text_suggest(spark, sf_dir):
+    """Did-you-mean spelling suggestions (Lucene DirectSpellChecker —
+    store/text_index.TextIndex.suggest): candidates within 2
+    Levenshtein edits sharing the first character come from the
+    vocab-sized term dictionaries; ranking document frequency is LIVE
+    (one tbucket-pruned posting read over just the candidates), so a
+    fully-deleted term can never be suggested.  Top-3 per query term
+    by (edits asc, df desc, term asc)."""
+    idx = _shared_text_index(spark, sf_dir)
+    qt = spark.createDataFrame(_SUGGEST_TERMS,
+                               "query_id long, term string")
+    return (idx.suggest(qt, max_edits=2, prefix_len=1)
+            .filter(F.col("rank") <= 3))
+
+
+def _sql_text_suggest(k: int = 3) -> str:
+    values = ", ".join(f"({q}, '{t}')" for q, t in _SUGGEST_TERMS)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with tok as (
+  select doc_id, unnest({toks}) as term from documents),
+qx as (select * from (values {values}) as v(query_id, qterm)),
+cand as (
+  select q.query_id, q.qterm, t.term,
+         levenshtein(t.term, q.qterm) as edits
+  from (select distinct term from tok) t
+  join qx q on levenshtein(t.term, q.qterm) <= 2
+           and substr(t.term, 1, 1) = substr(q.qterm, 1, 1)),
+dfr as (
+  select term, count(distinct doc_id) as df from tok
+  where term in (select term from cand) group by term),
+r as (
+  select c.query_id, c.qterm as term, c.term as suggestion,
+         cast(c.edits as int) as edits, cast(d.df as bigint) as df,
+         cast(row_number() over (partition by c.query_id, c.qterm
+           order by c.edits, d.df desc, c.term) as int) as rank
+  from cand c join dfr d using (term))
+select query_id, term, suggestion, edits, df, rank
+from r where rank <= {k}
+"""
+
+
 def q_text_index_stats(spark, sf_dir):
     """Index-health monitoring for the persisted keyword index
     (store/text_index.py index_stats — the keyword twin of
@@ -8899,6 +8948,7 @@ def queries():
         "text_fuzzy_search": q_text_fuzzy_search,
         "text_search_facets": q_text_search_facets,
         "text_more_like_this": q_text_more_like_this,
+        "text_suggest": q_text_suggest,
         "store_versioned_diff_rows": q_store_versioned_diff_rows,
         "store_cdc_feed": q_store_cdc_feed,
         "store_versioned_optimize": q_store_versioned_optimize,
@@ -9226,6 +9276,7 @@ from c
         "text_fuzzy_search": _sql_text_fuzzy_search(),
         "text_search_facets": _sql_text_search_facets(),
         "text_more_like_this": _sql_text_more_like_this(),
+        "text_suggest": _sql_text_suggest(),
         "store_versioned_diff_rows": _sql_store_versioned_diff_rows(),
         "store_cdc_feed": _sql_store_cdc_feed(),
         "store_versioned_optimize": _sql_store_versioned_optimize(),

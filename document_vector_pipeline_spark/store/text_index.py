@@ -610,6 +610,55 @@ class TextIndex:
                   .filter(F.col("doc_id") != F.col("query_id")))
         return retrieval.rank_topk(scored, k)
 
+    def suggest(self, query_terms: DataFrame, max_edits: int = 2,
+                prefix_len: int = 1) -> DataFrame:
+        """Did-you-mean spelling suggestions (Lucene
+        DirectSpellChecker): for each (query_id, term), every indexed
+        term within ``max_edits`` Levenshtein edits sharing the first
+        ``prefix_len`` characters, ranked by (edit distance asc, LIVE
+        document frequency desc, term asc) — (query_id, term,
+        suggestion, edits, df, rank).  A term that is itself indexed
+        still gets suggestions (rank 1 = itself at 0 edits, ranked
+        ahead by distance), so the caller decides the replace policy.
+
+        Plan: candidate discovery is the vocab-sized dictionary scan
+        against the broadcast query batch (same shape as
+        fuzzy_search); ranking df is LIVE — one tbucket-pruned posting
+        read over just the candidate terms — so a fully-deleted term
+        can never be suggested (df 0 rows drop in the inner join)."""
+        qt = query_terms.select(
+            "query_id", F.col("term").alias("qterm")).distinct()
+        cond = (F.levenshtein(F.col("term"), F.col("qterm"))
+                <= F.lit(max_edits))
+        if prefix_len > 0:
+            cond = cond & (F.substring(F.col("term"), 1, prefix_len)
+                           == F.substring(F.col("qterm"), 1, prefix_len))
+        cand = (self._dict_df().select("term").distinct()
+                .join(F.broadcast(qt), cond)
+                .select("query_id", "qterm", "term",
+                        F.levenshtein(F.col("term"), F.col("qterm"))
+                        .cast("int").alias("edits"))
+                .localCheckpoint(eager=True))
+        tb = [r[0] for r in cand
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        if not tb:
+            return self.spark.createDataFrame(
+                [], "query_id long, term string, suggestion string, "
+                    "edits int, df long, rank int")
+        live_df = (self._live(
+                     self._postings().filter(F.col("tbucket").isin(tb))
+                     .join(F.broadcast(cand.select("term").distinct()),
+                           "term", "left_semi"))
+                   .groupBy("term")
+                   .agg(F.count(F.lit(1)).cast("long").alias("df")))
+        w = Window.partitionBy("query_id", "qterm").orderBy(
+            "edits", F.desc("df"), "term")
+        return (cand.join(live_df, "term")
+                .withColumn("rank", F.row_number().over(w).cast("int"))
+                .select("query_id", F.col("qterm").alias("term"),
+                        F.col("term").alias("suggestion"), "edits",
+                        "df", "rank"))
+
     def facet_counts(self, query_terms: DataFrame, attrs: DataFrame,
                      facet_col: str) -> DataFrame:
         """Search-result faceting (Elasticsearch's terms aggregation):

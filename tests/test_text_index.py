@@ -826,3 +826,28 @@ def test_facet_and_mlt_plans_prune_posting_buckets(spark, docs, tmp_path):
     tv = idx._tvecs_df().filter(F.col("vbucket").isin([b]))
     tvplan = tv._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in tvplan and "vbucket" in tvplan
+
+
+def test_suggest_ranks_by_edits_then_live_df(spark, docs, tmp_path):
+    idx = TextIndex(spark, str(tmp_path / "ti_sug"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    qt = spark.createDataFrame(
+        [(0, "aple"),      # 1 edit from apple, 2 from ...
+         (1, "banana")],   # exact: itself at 0 edits ranks first
+        "query_id long, term string")
+    got = idx.suggest(qt, max_edits=2, prefix_len=1).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["suggestion"], r["edits"], r["df"]))
+    # apple (1 edit, df 4) beats any 2-edit candidate
+    q0 = sorted(by_q[0])
+    assert q0[0][1:] == ("apple", 1, 4)
+    q1 = sorted(by_q[1])
+    assert q1[0][1:] == ("banana", 0, 3)
+    # liveness: delete every banana doc -> banana can never be
+    # suggested (its dictionary entry is stale but df has no live rows)
+    idx.delete([1, 2, 6])
+    got2 = idx.suggest(qt, max_edits=2, prefix_len=1)
+    assert got2.filter(F.col("suggestion") == "banana").count() == 0
