@@ -26,7 +26,7 @@ import hashlib
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from document_vector_pipeline_spark.config import PipelineConfig
@@ -3500,6 +3500,58 @@ select cast(version as int) as version, cast(n as bigint) as n_rows,
        cast(ws as bigint) as n_with_score,
        cast(ss as bigint) as sum_score, cast(g as bigint) as digest
 from a
+"""
+
+
+def q_events_pareto(spark, sf_dir):
+    """Activity-concentration (Pareto) curve: users ranked by event
+    count into deciles (ntile over count desc, user_id asc — the
+    deterministic tie-break), then per decile the user count, event
+    total, and the CUMULATIVE share of all events in exact ppm — the
+    'top 10% of users generate X% of events' report.  Plan: one
+    map-side-combinable user aggregation, then all math on the
+    users-sized frame; the single unpartitioned ntile window runs on
+    the ALREADY-AGGREGATED per-user rows (users ≪ events — the same
+    bounded global stage customer_deciles documents as the one every
+    exact ranked-decile needs)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), "user_id")
+    dec = per.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    agg = (dec.groupBy("decile")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("n").cast("long").alias("n_events")))
+    w2 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    total = per.agg(F.sum("n").cast("long").alias("t"))
+    return (agg.crossJoin(F.broadcast(total))
+            .withColumn("cum", F.sum("n_events").over(w2))
+            .select("decile", "n_users", "n_events",
+                    F.expr("(1000000 * cum) div t").cast("long")
+                    .alias("cum_share_ppm"))
+            .orderBy("decile"))
+
+
+def _sql_events_pareto() -> str:
+    return """
+with per as (
+  select user_id, cast(count(*) as bigint) as n
+  from events group by user_id),
+dec as (
+  select n, ntile(10) over (order by n desc, user_id) as decile
+  from per),
+agg as (
+  select decile, cast(count(*) as bigint) as n_users,
+         cast(sum(n) as bigint) as n_events
+  from dec group by decile),
+t as (select cast(sum(n) as bigint) as t from per)
+select cast(agg.decile as int) as decile, agg.n_users, agg.n_events,
+       cast((1000000 * sum(agg.n_events) over
+             (order by agg.decile rows between unbounded preceding
+              and current row)) // t.t as bigint) as cum_share_ppm
+from agg, t
+order by decile
 """
 
 
@@ -8965,6 +9017,9 @@ def queries():
         "chunk_tokens": q_chunk_tokens,
         "chunk_tokens_overlap": q_chunk_tokens_overlap,
         "parse_route": q_parse_route,
+        # -- late round-7 key (position 51: keeps the swept head-50
+        #    composition intact; rotate forward in r8) --
+        "events_pareto": q_events_pareto,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9287,6 +9342,7 @@ from c
         "store_versioned_clone": _sql_store_versioned_clone(),
         "store_schema_evolution": _sql_store_schema_evolution(),
         "events_retention_drop": _sql_events_retention_drop(),
+        "events_pareto": _sql_events_pareto(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
