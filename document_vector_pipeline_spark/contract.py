@@ -3503,6 +3503,52 @@ from a
 """
 
 
+def q_events_markov(spark, sf_dir):
+    """Near-stationary distribution of the event-type Markov chain
+    (plans/analytics.markov_stationary): ppm transition matrix from
+    per-user lag pairs, uniform start, 3 exact-integer power-method
+    steps (sum pi_i·p_ij exactly, divide by 1e6 once per destination)
+    — where user attention settles under observed dynamics.  After the
+    transition aggregation every step is types-sized."""
+    return analytics.markov_stationary(load_table(spark, sf_dir,
+                                                  "events"))
+
+
+def _sql_events_markov(iters: int = 3) -> str:
+    parts = ["""
+with pairs as (
+  select lag(event_type) over (partition by user_id
+                               order by ts, event_id) as src,
+         event_type as dst
+  from events),
+c as (
+  select src, dst, cast(count(*) as bigint) as n
+  from pairs where src is not null group by src, dst),
+r as (select src, sum(n) as row_n from c group by src),
+pm as (
+  select c.src, c.dst,
+         cast((1000000 * c.n) // r.row_n as bigint) as p
+  from c join r using (src)),
+st as (
+  select src as state from pm union select dst from pm),
+i0 as (
+  select state,
+         cast(1000000 // (select count(*) from st) as bigint) as pi
+  from st)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+i{t} as (
+  select pm.dst as state,
+         cast(sum(i{t - 1}.pi * pm.p) // 1000000 as bigint) as pi
+  from i{t - 1} join pm on i{t - 1}.state = pm.src
+  group by pm.dst)""")
+    parts.append(f"""
+select state as event_type, pi as pi_ppm
+from i{iters} order by event_type
+""")
+    return "".join(parts)
+
+
 def q_events_pareto(spark, sf_dir):
     """Activity-concentration (Pareto) curve: users ranked by event
     count into deciles (ntile over count desc, user_id asc — the
@@ -9020,6 +9066,7 @@ def queries():
         # -- late round-7 key (position 51: keeps the swept head-50
         #    composition intact; rotate forward in r8) --
         "events_pareto": q_events_pareto,
+        "events_markov": q_events_markov,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9343,6 +9390,7 @@ from c
         "store_schema_evolution": _sql_store_schema_evolution(),
         "events_retention_drop": _sql_events_retention_drop(),
         "events_pareto": _sql_events_pareto(),
+        "events_markov": _sql_events_markov(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),

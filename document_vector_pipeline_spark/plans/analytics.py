@@ -1447,3 +1447,50 @@ def events_seasonal(events: DataFrame) -> DataFrame:
                     (F.col("det") - F.col("seasonal_micro"))
                     .cast("long").alias("resid_micro"))
             .orderBy("day"))
+
+
+def markov_stationary(events: DataFrame, iters: int = 3) -> DataFrame:
+    """Near-stationary distribution of the first-order event-type
+    Markov chain — (event_type, pi_ppm): the transition matrix in
+    exact ppm (truncating div of transition counts), a uniform start,
+    and ``iters`` power-method steps with EXACT integer arithmetic
+    (each step sums pi_i * p_ij over sources exactly, then divides by
+    1e6 ONCE per destination — order-free, so engines cannot diverge).
+    Answers 'where does user attention settle': the long-run share of
+    each event type under observed dynamics, vs the raw frequency mix.
+
+    Scale: transition counting is one lag window per user partition +
+    a (types²)-group aggregation; every iteration is a join between
+    the types-sized pi vector and the types²-sized matrix — after the
+    first aggregation nothing depends on corpus size.  States with no
+    observed outgoing transitions shed their mass (no renormalization
+    — a fixed-step mixing diagnostic, not an eigensolver), identically
+    on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (events.select(F.col("event_type").alias("dst"),
+                       F.lag("event_type").over(w).alias("src"))
+         .filter(F.col("src").isNotNull())
+         .groupBy("src", "dst")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    row = c.groupBy("src").agg(F.sum("n").alias("row_n"))
+    P = (c.join(row, "src")
+         .select("src", "dst",
+                 F.expr("(1000000 * n) div row_n").cast("long")
+                 .alias("p_ppm"))
+         .localCheckpoint(eager=True))
+    states = (P.select(F.col("src").alias("state"))
+              .unionByName(P.select(F.col("dst").alias("state")))
+              .distinct())
+    n_states = states.count()
+    pi = states.select(
+        "state",
+        F.lit(1000000 // n_states).cast("long").alias("pi_ppm"))
+    for _ in range(iters):
+        pi = (P.join(pi, P.src == pi.state)
+              .groupBy("dst")
+              .agg(F.sum(F.col("pi_ppm") * F.col("p_ppm")).alias("__m"))
+              .select(F.col("dst").alias("state"),
+                      F.expr("__m div 1000000").cast("long")
+                      .alias("pi_ppm")))
+    return (pi.select(F.col("state").alias("event_type"), "pi_ppm")
+            .orderBy("event_type"))
