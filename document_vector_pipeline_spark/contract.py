@@ -3549,6 +3549,53 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_events_gini(spark, sf_dir):
+    """Gini coefficient of user activity in exact ppm (the single-
+    number twin of events_pareto's curve): users ranked ascending by
+    event count (ties user_id), G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    with every sum an exact integer and ONE final cleared-denominator
+    division — 0 = perfectly equal, →1 = one user generates all
+    events.  Plan: one user aggregation, then the customer_deciles-
+    style bounded global rank window on the users-sized frame, one
+    2-column total, one arithmetic row.  (int64 headroom: the ppm
+    numerator needs 1e6·2·Σi·x < 2^63 — beyond ~10^8 heavy users,
+    lift the final row to decimal(38,0); everything upstream is
+    per-group counts.)"""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per.select(
+        "x", F.row_number().over(w).cast("long").alias("i"))
+    return (ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"))
+        .select(
+            "n", "sx",
+            F.expr("(1000000 * (2 * six - (n + 1) * sx)) div (n * sx)")
+            .cast("long").alias("gini_ppm")))
+
+
+def _sql_events_gini() -> str:
+    return """
+with per as (
+  select user_id, cast(count(*) as bigint) as x
+  from events group by user_id),
+ranked as (
+  select x, cast(row_number() over (order by x, user_id) as bigint) as i
+  from per),
+s as (
+  select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as sx,
+         cast(sum(i * x) as bigint) as six
+  from ranked)
+select n, sx,
+       cast((1000000 * (2 * six - (n + 1) * sx)) // (n * sx) as bigint)
+         as gini_ppm
+from s
+"""
+
+
 def q_events_pareto(spark, sf_dir):
     """Activity-concentration (Pareto) curve: users ranked by event
     count into deciles (ntile over count desc, user_id asc — the
@@ -9067,6 +9114,7 @@ def queries():
         #    composition intact; rotate forward in r8) --
         "events_pareto": q_events_pareto,
         "events_markov": q_events_markov,
+        "events_gini": q_events_gini,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9391,6 +9439,7 @@ from c
         "events_retention_drop": _sql_events_retention_drop(),
         "events_pareto": _sql_events_pareto(),
         "events_markov": _sql_events_markov(),
+        "events_gini": _sql_events_gini(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
