@@ -3549,6 +3549,89 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_corpus_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus head (top-100 terms by
+    frequency, ties lexicographic): least-squares slope/intercept of
+    ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
+    slopes ≈ −1; templated/boilerplate corpora flatten or steepen).
+    Exactness: x/y are ln values rounded to integer micro per term, so
+    all five regression sums are EXACT int64 (headroom proven for the
+    top-100 head at any corpus size); the closed-form slope/intercept
+    then run in correctly-rounded doubles with a pinned expression
+    shape, rounded back to micro.  Plan: one tokenize + term count
+    (map-side combinable), a 100-row take-ordered head, arithmetic on
+    one row."""
+    from document_vector_pipeline_spark.operators.retrieval import (
+        _tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    w = Window.orderBy(F.desc("freq"), "term")
+    head = (tf.withColumn("i", F.row_number().over(w).cast("long"))
+            .filter(F.col("i") <= 100))
+    pts = head.select(
+        F.round(F.log(F.col("i").cast("double")) * F.lit(1000000.0))
+        .cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(1000000.0))
+        .cast("long").alias("y"))
+    s = pts.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    sl = num / den
+    ic = ((F.col("sy").cast("double") - (sl * F.col("sx").cast("double")))
+          / F.col("n").cast("double"))
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(sl * F.lit(1000000.0)).cast("long").alias("slope_micro"),
+        F.round(ic).cast("long").alias("intercept_micro"))
+
+
+def _sql_corpus_zipf(k: int = 100) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with tf as (
+  select term, cast(count(*) as bigint) as freq
+  from (select unnest({toks}) as term from documents)
+  group by term),
+head as (
+  select freq,
+         cast(row_number() over (order by freq desc, term) as bigint)
+           as i
+  from tf qualify i <= {k}),
+pts as (
+  select cast(round(ln(cast(i as double)) * 1000000.0) as bigint) as x,
+         cast(round(ln(cast(freq as double)) * 1000000.0) as bigint)
+           as y
+  from head),
+s as (
+  select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as sx,
+         cast(sum(y) as bigint) as sy,
+         cast(sum(x * y) as bigint) as sxy,
+         cast(sum(x * x) as bigint) as sxx
+  from pts)
+select n as n_terms,
+       cast(round((cast(n * sxy - sx * sy as double)
+                   / cast(n * sxx - sx * sx as double))
+                  * 1000000.0) as bigint) as slope_micro,
+       cast(round((cast(sy as double)
+                   - ((cast(n * sxy - sx * sy as double)
+                       / cast(n * sxx - sx * sx as double))
+                      * cast(sx as double)))
+                  / cast(n as double)) as bigint) as intercept_micro
+from s
+"""
+
+
 def q_events_gini(spark, sf_dir):
     """Gini coefficient of user activity in exact ppm (the single-
     number twin of events_pareto's curve): users ranked ascending by
@@ -9115,6 +9198,7 @@ def queries():
         "events_pareto": q_events_pareto,
         "events_markov": q_events_markov,
         "events_gini": q_events_gini,
+        "corpus_zipf": q_corpus_zipf,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9440,6 +9524,7 @@ from c
         "events_pareto": _sql_events_pareto(),
         "events_markov": _sql_events_markov(),
         "events_gini": _sql_events_gini(),
+        "corpus_zipf": _sql_corpus_zipf(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
