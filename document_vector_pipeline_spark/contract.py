@@ -3549,6 +3549,76 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_events_autocorr(spark, sf_dir):
+    """Autocorrelation of the daily event count at lags 1..7 —
+    (lag, n_pairs, acf_micro): the weekly-cycle detector that says
+    WHICH seasonal period events_seasonal should decompose (a lag-7
+    peak = day-of-week cycle).  Exactness: deviations are computed in
+    n-cleared integers (n·x_i − Σx, no division, no float), so the
+    lag products and the denominator are exact int64 sums; only the
+    final ratio runs in pinned-shape doubles, rounded to micro.
+    Plan: one map-side-combinable day aggregation; everything after is
+    the days-sized frame (365 rows/year at any corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    dd = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+          .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    tot = dd.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("x").cast("long").alias("s"))
+    dev = (dd.crossJoin(F.broadcast(tot))
+           .select("day", (F.col("n") * F.col("x") - F.col("s"))
+                   .cast("long").alias("d"))
+           .localCheckpoint(eager=True))
+    w = Window.orderBy("day")
+    out = None
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    for lag in range(1, 8):
+        pair = (dev.select(
+                    "d", F.lead("d", lag).over(w).alias("d2"))
+                .filter(F.col("d2").isNotNull())
+                .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                     F.sum(F.col("d") * F.col("d2")).alias("num"))
+                .crossJoin(F.broadcast(den))
+                .select(F.lit(lag).cast("int").alias("lag"), "n_pairs",
+                        F.round((F.col("num").cast("double")
+                                 / F.col("den").cast("double"))
+                                * F.lit(1000000.0)).cast("long")
+                        .alias("acf_micro")))
+        out = pair if out is None else out.unionByName(pair)
+    return out.orderBy("lag")
+
+
+def _sql_events_autocorr(max_lag: int = 7) -> str:
+    lags = ",\n  ".join(
+        f"""l{k} as (
+    select {k} as lag, cast(count(*) as bigint) as n_pairs,
+           cast(sum(d.d * d2.d) as bigint) as num
+    from dev d join dev d2 on d2.rn = d.rn + {k})"""
+        for k in range(1, max_lag + 1))
+    union = "\n  union all\n  ".join(
+        f"select lag, n_pairs, num from l{k}"
+        for k in range(1, max_lag + 1))
+    return f"""
+with dd as (
+  select cast(ts as date) as day, cast(count(*) as bigint) as x
+  from events group by 1),
+t as (select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as s
+      from dd),
+dev as (
+  select cast(row_number() over (order by day) as bigint) as rn,
+         cast(t.n * dd.x - t.s as bigint) as d
+  from dd, t),
+den as (select cast(sum(d * d) as bigint) as den from dev),
+  {lags},
+u as (
+  {union})
+select cast(u.lag as int) as lag, u.n_pairs,
+       cast(round((cast(u.num as double) / cast(den.den as double))
+                  * 1000000.0) as bigint) as acf_micro
+from u, den
+order by lag
+"""
+
+
 def q_corpus_zipf(spark, sf_dir):
     """Zipf rank-frequency fit over the corpus head (top-100 terms by
     frequency, ties lexicographic): least-squares slope/intercept of
@@ -9199,6 +9269,7 @@ def queries():
         "events_markov": q_events_markov,
         "events_gini": q_events_gini,
         "corpus_zipf": q_corpus_zipf,
+        "events_autocorr": q_events_autocorr,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9525,6 +9596,7 @@ from c
         "events_markov": _sql_events_markov(),
         "events_gini": _sql_events_gini(),
         "corpus_zipf": _sql_corpus_zipf(),
+        "events_autocorr": _sql_events_autocorr(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
