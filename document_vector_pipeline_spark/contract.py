@@ -3549,6 +3549,55 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_dedup_graph_reciprocity(spark, sf_dir):
+    """Symmetry audit of the related-documents graph — (rank, n_edges,
+    reciprocal_ppm): for each neighbor rank, how many a→b edges have a
+    RETURN edge b→a at any rank (exact ppm).  Asymmetric neighborhoods
+    mark hub documents (boilerplate attracting everyone's top-k) —
+    the graph-quality check a reviewer runs before trusting dup
+    clusters built from these edges.  Plan: the edge list is the
+    bounded LSH-band candidate join (similar_docs_topk, never
+    all-pairs); reciprocity is one self-semi-join on the k·n-sized
+    edge list; the report is a k-row aggregation."""
+    from document_vector_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.similar_docs_topk(docs, k=3).localCheckpoint(eager=True)
+    rev = (edges.select(F.col("nbr_id").alias("doc_id"),
+                        F.col("doc_id").alias("nbr_id")).distinct())
+    recip = (edges.join(rev, ["doc_id", "nbr_id"], "left_semi")
+             .groupBy("rank")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rec")))
+    base = (edges.groupBy("rank")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    return (base.join(recip, "rank", "left")
+            .select(F.col("rank").cast("int").alias("rank"), "n_edges",
+                    F.expr("(1000000 * coalesce(n_rec, 0)) div n_edges")
+                    .cast("long").alias("reciprocal_ppm"))
+            .orderBy("rank"))
+
+
+def _sql_dedup_graph_reciprocity(k: int = 3) -> str:
+    inner = _sql_dedup_similar_docs(k=k).strip()
+    return f"""
+with e as materialized (
+  from ({inner})),
+rev as (select distinct nbr_id as doc_id, doc_id as nbr_id from e),
+rec as (
+  select e.rank, cast(count(*) as bigint) as n_rec
+  from e join rev using (doc_id, nbr_id)
+  group by e.rank),
+base as (
+  select rank, cast(count(*) as bigint) as n_edges
+  from e group by rank)
+select cast(base.rank as int) as rank, base.n_edges,
+       cast((1000000 * coalesce(rec.n_rec, 0)) // base.n_edges
+            as bigint) as reciprocal_ppm
+from base left join rec using (rank)
+order by rank
+"""
+
+
 def q_events_autocorr(spark, sf_dir):
     """Autocorrelation of the daily event count at lags 1..7 —
     (lag, n_pairs, acf_micro): the weekly-cycle detector that says
@@ -9270,6 +9319,7 @@ def queries():
         "events_gini": q_events_gini,
         "corpus_zipf": q_corpus_zipf,
         "events_autocorr": q_events_autocorr,
+        "dedup_graph_reciprocity": q_dedup_graph_reciprocity,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9597,6 +9647,7 @@ from c
         "events_gini": _sql_events_gini(),
         "corpus_zipf": _sql_corpus_zipf(),
         "events_autocorr": _sql_events_autocorr(),
+        "dedup_graph_reciprocity": _sql_dedup_graph_reciprocity(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
