@@ -3549,6 +3549,53 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_events_decile_migration(spark, sf_dir):
+    """User-activity mobility: users active in BOTH halves of the
+    window are quintiled by event count in each half (ntile with
+    deterministic ties on the users-sized frame), and the 5×5
+    transition matrix (q_first, q_second, n_users) says whether heavy
+    users stay heavy — the engagement-mobility report behind churn
+    models (diagonal mass = stable tiers, below-diagonal = decay).
+    Plan: two map-side-combinable user aggregations, one users-sized
+    join, two bounded global rank windows (customer_deciles
+    precedent), a 25-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+
+    def half(cond, out):
+        w = Window.orderBy(F.desc("n"), "user_id")
+        return (ev.filter(cond).groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .select("user_id",
+                        F.ntile(5).over(w).cast("int").alias(out)))
+
+    a = half(F.col("ts") < split, "q_first")
+    b = half(F.col("ts") >= split, "q_second")
+    return (a.join(b, "user_id")
+            .groupBy("q_first", "q_second")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .orderBy("q_first", "q_second"))
+
+
+def _sql_events_decile_migration() -> str:
+    return """
+with a as (
+  select user_id,
+         cast(ntile(5) over (order by count(*) desc, user_id) as int)
+           as q_first
+  from events where ts < timestamp '2024-01-16' group by user_id),
+b as (
+  select user_id,
+         cast(ntile(5) over (order by count(*) desc, user_id) as int)
+           as q_second
+  from events where ts >= timestamp '2024-01-16' group by user_id)
+select a.q_first, b.q_second, cast(count(*) as bigint) as n_users
+from a join b using (user_id)
+group by a.q_first, b.q_second
+order by a.q_first, b.q_second
+"""
+
+
 def q_dedup_graph_reciprocity(spark, sf_dir):
     """Symmetry audit of the related-documents graph — (rank, n_edges,
     reciprocal_ppm): for each neighbor rank, how many a→b edges have a
@@ -9320,6 +9367,7 @@ def queries():
         "corpus_zipf": q_corpus_zipf,
         "events_autocorr": q_events_autocorr,
         "dedup_graph_reciprocity": q_dedup_graph_reciprocity,
+        "events_decile_migration": q_events_decile_migration,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9648,6 +9696,7 @@ from c
         "corpus_zipf": _sql_corpus_zipf(),
         "events_autocorr": _sql_events_autocorr(),
         "dedup_graph_reciprocity": _sql_dedup_graph_reciprocity(),
+        "events_decile_migration": _sql_events_decile_migration(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
