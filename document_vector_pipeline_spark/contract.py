@@ -3549,6 +3549,50 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_mm_phash_tuning(spark, sf_dir):
+    """Perceptual-hash threshold calibration (multimodal twin of
+    dedup_lsh_tuning — operators/multimodal.phash_candidate_hist):
+    the hamming histogram of every banded candidate pair, so the
+    max_hamming cut for mm_phash_dedup is CHOSEN from data rather than
+    guessed; candidates stay the bounded (band, slice) equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.phash_candidate_hist(
+        multimodal.documents_as_assets(docs))
+
+
+def _sql_mm_phash_tuning(dim: int = 32, bands: int = 4) -> str:
+    width = dim // bands
+    band_vals = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+with h as (
+  select doc_id as asset_id, cast(unicode(c) % {dim} as int) as bucket,
+         cast(count(*) as bigint) as n
+  from (select doc_id, unnest(string_split(text, '')) as c from documents)
+  where c <> ''
+  group by 1, 2),
+tot as (select asset_id, sum(n) as total from h group by asset_id),
+ph0 as (
+  select h.asset_id,
+         sum(case when h.n * {dim} > t.total
+                  then (cast(1 as bigint) << h.bucket) else 0 end) as phash
+  from h join tot t using (asset_id) group by h.asset_id),
+ph as (select d.doc_id as asset_id,
+              cast(coalesce(p.phash, 0) as bigint) as phash
+       from documents d left join ph0 p on p.asset_id = d.doc_id),
+bk as (
+  select asset_id, phash, b.band,
+         (phash >> (b.band * {width})) % {1 << width} as key
+  from ph, (values {band_vals}) as b(band)),
+cand as (
+  select distinct a.asset_id as id_a, b.asset_id as id_b,
+         cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+  from bk a join bk b
+    on a.band = b.band and a.key = b.key and a.asset_id < b.asset_id)
+select hamming, cast(count(*) as bigint) as n_pairs
+from cand group by hamming order by hamming
+"""
+
+
 def q_events_decile_migration(spark, sf_dir):
     """User-activity mobility: users active in BOTH halves of the
     window are quintiled by event count in each half (ntile with
@@ -9368,6 +9412,7 @@ def queries():
         "events_autocorr": q_events_autocorr,
         "dedup_graph_reciprocity": q_dedup_graph_reciprocity,
         "events_decile_migration": q_events_decile_migration,
+        "mm_phash_tuning": q_mm_phash_tuning,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9697,6 +9742,7 @@ from c
         "events_autocorr": _sql_events_autocorr(),
         "dedup_graph_reciprocity": _sql_dedup_graph_reciprocity(),
         "events_decile_migration": _sql_events_decile_migration(),
+        "mm_phash_tuning": _sql_mm_phash_tuning(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),

@@ -316,3 +316,41 @@ def phash_pairs(assets: DataFrame, dim: int = 32,
             .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming").distinct())
+
+
+def phash_candidate_hist(assets: DataFrame, dim: int = 32,
+                         bands: int = 4) -> DataFrame:
+    """Threshold calibration for ``phash_pairs`` — (hamming, n_pairs):
+    the hamming-distance histogram of EVERY banded candidate pair
+    (before any max_hamming cut), the dedup_lsh_tuning discipline
+    applied to the multimodal member of the family: the histogram's
+    valley says where to set max_hamming, and the tail volume says
+    what the verify stage will cost.  Candidates stay the bounded
+    (band, slice) equi-join — never all-pairs — so the calibration
+    itself runs at corpus scale."""
+    width = dim // bands
+    ph = phash(assets, dim)
+    slices = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("phash"), b * width) % F.lit(1 << width))
+                .alias("key"))
+        for b in range(bands)])
+    banded = (ph.select("asset_id", "phash",
+                        F.explode(slices).alias("bk"))
+              .select("asset_id", "phash",
+                      F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    left = banded.select(F.col("asset_id").alias("id_a"),
+                         F.col("phash").alias("ph_a"), "band", "key")
+    right = banded.select(F.col("asset_id").alias("id_b"),
+                          F.col("phash").alias("ph_b"), "band", "key")
+    cand = (left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.expr("ph_a ^ ph_b")).cast("int")
+                    .alias("hamming"))
+            .distinct())
+    return (cand.groupBy("hamming")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .orderBy("hamming"))
