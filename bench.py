@@ -438,6 +438,33 @@ def main() -> None:
         return vt.read()
 
     bench("events_retention_drop", retention_drop)
+
+    # round-7 tail keys: ranked-decile/inequality/time-series/graph
+    # diagnostics + dictionary suggestions + phash calibration
+    from document_vector_pipeline_spark.contract import (
+        q_corpus_zipf,
+        q_dedup_graph_reciprocity,
+        q_events_autocorr,
+        q_events_decile_migration,
+        q_events_gini,
+        q_events_markov,
+        q_events_pareto,
+        q_mm_phash_tuning,
+    )
+    for key, fn in (("events_pareto", q_events_pareto),
+                    ("events_markov", q_events_markov),
+                    ("events_gini", q_events_gini),
+                    ("corpus_zipf", q_corpus_zipf),
+                    ("events_autocorr", q_events_autocorr),
+                    ("dedup_graph_reciprocity", q_dedup_graph_reciprocity),
+                    ("events_decile_migration", q_events_decile_migration),
+                    ("mm_phash_tuning", q_mm_phash_tuning)):
+        bench(key, lambda fn=fn: fn(spark, SF_DIR))
+    suggest_qt = spark.createDataFrame(
+        [(0, "vektor"), (1, "stram"), (2, "tabel")],
+        "query_id long, term string")
+    bench("text_suggest",
+          lambda: ti.suggest(suggest_qt, max_edits=2, prefix_len=1))
     bench("text_collocations",
           lambda: textstats.collocations(docs, min_count=5, topk=50))
     bench("dedup_substride",
