@@ -3549,6 +3549,57 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_events_kanon(spark, sf_dir):
+    """k-anonymity audit of the event stream (the events-side
+    governance twin of text_pii_census): treating (event_type, day,
+    hour) as the quasi-identifier an adversary could observe, report —
+    for k in {2, 5, 10} — how many quasi-identifier groups have fewer
+    than k events and what share of ALL events sits in those
+    re-identifiable groups (exact ppm).  The release-readiness check a
+    privacy review runs before publishing event aggregates.  Plan: one
+    map-side-combinable quasi-group aggregation; every k row is
+    arithmetic over the groups-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy("event_type",
+                    F.col("ts").cast("date").alias("day"),
+                    F.hour("ts").alias("hr"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+         .localCheckpoint(eager=True))
+    out = None
+    for k in (2, 5, 10):
+        r = g.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n") < k, 1).otherwise(0)).cast("long")
+             .alias("small_groups"),
+            F.expr(f"(1000000 * sum(case when n < {k} then n else 0 "
+                   f"end)) div sum(n)").cast("long")
+             .alias("rows_at_risk_ppm"))
+        out = r if out is None else out.unionByName(r)
+    return out.select("k", "n_groups", "small_groups",
+                      "rows_at_risk_ppm").orderBy("k")
+
+
+def _sql_events_kanon() -> str:
+    rows = "\n  union all\n  ".join(f"""
+  select {k} as k, count(*) as n_groups,
+         sum(case when n < {k} then 1 else 0 end) as small_groups,
+         (1000000 * sum(case when n < {k} then n else 0 end)) // sum(n)
+           as rows_at_risk_ppm
+  from g""" for k in (2, 5, 10))
+    return f"""
+with g as (
+  select event_type, cast(ts as date) as day, hour(ts) as hr,
+         cast(count(*) as bigint) as n
+  from events group by 1, 2, 3)
+select cast(k as int) as k, cast(n_groups as bigint) as n_groups,
+       cast(small_groups as bigint) as small_groups,
+       cast(rows_at_risk_ppm as bigint) as rows_at_risk_ppm
+from ({rows})
+order by k
+"""
+
+
 def q_mm_phash_tuning(spark, sf_dir):
     """Perceptual-hash threshold calibration (multimodal twin of
     dedup_lsh_tuning — operators/multimodal.phash_candidate_hist):
@@ -9413,6 +9464,7 @@ def queries():
         "dedup_graph_reciprocity": q_dedup_graph_reciprocity,
         "events_decile_migration": q_events_decile_migration,
         "mm_phash_tuning": q_mm_phash_tuning,
+        "events_kanon": q_events_kanon,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9743,6 +9795,7 @@ from c
         "dedup_graph_reciprocity": _sql_dedup_graph_reciprocity(),
         "events_decile_migration": _sql_events_decile_migration(),
         "mm_phash_tuning": _sql_mm_phash_tuning(),
+        "events_kanon": _sql_events_kanon(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
