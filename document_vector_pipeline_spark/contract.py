@@ -3549,6 +3549,73 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_emb_isotropy(spark, sf_dir):
+    """Embedding-space isotropy diagnostic — one row (n_vecs,
+    argmax_dim, max_share_ppm): each dimension's variance NUMERATOR
+    n·Σx² − (Σx)² computed in exact int64 over 1e-3 fixed-point
+    components (headroom proven for 64 dims at bench scale), then the
+    largest dimension's share of total variance in ppm (uniform space
+    → 1e6/64 ≈ 15625; a dominant 'rogue dimension' — common in
+    contrastive embedding spaces and fatal to cosine retrieval —
+    drives it toward 1e6).  Pairs with emb_pca/emb_covariance: this is
+    the one-number alarm, those are the investigation.  Plan: one
+    posexplode + (dim)-group aggregation, arithmetic on a 64-row
+    frame; the only float is the final pinned-shape share division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")).select(
+        "dim", F.round(F.col("x").cast("double") * F.lit(1000.0))
+        .cast("long").alias("x3"))
+    per = (comp.groupBy("dim")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x3").cast("long").alias("s"),
+                F.sum(F.col("x3") * F.col("x3")).cast("long").alias("sq"))
+           .select("dim", "n",
+                   (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+                   .cast("long").alias("varnum")))
+    w = Window.orderBy(F.desc("varnum"), "dim")
+    tot = per.agg(F.sum("varnum").cast("long").alias("total"),
+                  F.max("n").cast("long").alias("n_vecs"))
+    top = (per.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select(F.col("dim").cast("int").alias("argmax_dim"),
+                   F.col("varnum").alias("mx")))
+    return (top.crossJoin(F.broadcast(tot))
+            .select("n_vecs", "argmax_dim",
+                    F.round((F.col("mx").cast("double")
+                             / F.col("total").cast("double"))
+                            * F.lit(1000000.0)).cast("long")
+                    .alias("max_share_ppm")))
+
+
+def _sql_emb_isotropy() -> str:
+    return """
+with comp as (
+  select cast(pos - 1 as int) as dim,
+         cast(round(cast(x as double) * 1000.0) as bigint) as x3
+  from (select unnest(embedding) as x,
+               generate_subscripts(embedding, 1) as pos
+        from embeddings)),
+per as (
+  select dim, cast(count(*) as bigint) as n,
+         cast(sum(x3) as bigint) as s,
+         cast(sum(x3 * x3) as bigint) as sq
+  from comp group by dim),
+v as (select dim, n, cast(n * sq - s * s as bigint) as varnum from per),
+tot as (select cast(sum(varnum) as bigint) as total,
+               cast(max(n) as bigint) as n_vecs from v),
+top as (
+  select dim, varnum from (
+    select *, row_number() over (order by varnum desc, dim) as rn
+    from v) where rn = 1)
+select tot.n_vecs, cast(top.dim as int) as argmax_dim,
+       cast(round((cast(top.varnum as double)
+                   / cast(tot.total as double)) * 1000000.0) as bigint)
+         as max_share_ppm
+from top, tot
+"""
+
+
 def q_events_kanon(spark, sf_dir):
     """k-anonymity audit of the event stream (the events-side
     governance twin of text_pii_census): treating (event_type, day,
@@ -9465,6 +9532,7 @@ def queries():
         "events_decile_migration": q_events_decile_migration,
         "mm_phash_tuning": q_mm_phash_tuning,
         "events_kanon": q_events_kanon,
+        "emb_isotropy": q_emb_isotropy,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9796,6 +9864,7 @@ from c
         "events_decile_migration": _sql_events_decile_migration(),
         "mm_phash_tuning": _sql_mm_phash_tuning(),
         "events_kanon": _sql_events_kanon(),
+        "emb_isotropy": _sql_emb_isotropy(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
