@@ -3549,6 +3549,92 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_text_burstiness(spark, sf_dir):
+    """Term burstiness (Church–Gale): tf/df in exact milli for every
+    term with df ≥ 5, top-30 by (burst desc, term) — terms that CLUMP
+    (high mean occurrences within the documents they touch) are
+    content words; terms spread thin are function words/boilerplate —
+    the data-driven stopword-discovery signal a fixed stopword list
+    approximates.  One tokenize pass, one (term)-group aggregation,
+    a 30-row take-ordered head."""
+    from document_vector_pipeline_spark.operators.retrieval import (
+        _tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (docs.select(F.col("doc_id"),
+                         F.explode(_tokens(F.col("text"))).alias("term"))
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                  F.countDistinct("doc_id").cast("long").alias("df"))
+             .filter(F.col("df") >= 5)
+             .select("term", "tf", "df",
+                     F.expr("(1000 * tf) div df").cast("long")
+                     .alias("burst_milli")))
+    w = Window.orderBy(F.desc("burst_milli"), "term")
+    return (stats.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 30)
+            .select("rank", "term", "tf", "df", "burst_milli"))
+
+
+def _sql_text_burstiness(min_df: int = 5, k: int = 30) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with t as (
+  select term, cast(count(*) as bigint) as tf,
+         cast(count(distinct doc_id) as bigint) as df
+  from (select doc_id, unnest({toks}) as term from documents)
+  group by term),
+b as (
+  select term, tf, df,
+         cast((1000 * tf) // df as bigint) as burst_milli
+  from t where df >= {min_df}),
+r as (select *, cast(row_number() over
+        (order by burst_milli desc, term) as int) as rank
+      from b)
+select rank, term, tf, df, burst_milli from r where rank <= {k}
+"""
+
+
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival cadence histogram: per-user gaps between
+    consecutive events, bucketed by floor(log2(gap_seconds)) computed
+    EXACTLY as bit-length arithmetic (no float log) — (log2_bucket,
+    n_gaps).  The behavioral fingerprint behind events_bots' verdict:
+    human traffic spreads across high buckets, automation spikes in
+    low ones.  One lag window per user partition, then a
+    buckets-sized aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (ev.select(
+                F.col("user_id"),
+                (F.unix_timestamp("ts")
+                 - F.unix_timestamp(F.lag("ts").over(w)))
+                .cast("long").alias("gap_s"))
+            .filter(F.col("gap_s").isNotNull())
+            .filter(F.col("gap_s") >= 1))
+    bucket = (F.length(F.bin(F.col("gap_s"))) - F.lit(1)).cast("int")
+    return (gaps.select(bucket.alias("log2_bucket"))
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+            .orderBy("log2_bucket"))
+
+
+def _sql_events_interarrival() -> str:
+    return """
+with g as (
+  select epoch(ts) - epoch(lag(ts) over
+           (partition by user_id order by ts, event_id)) as gap_s
+  from events),
+f as (select cast(gap_s as bigint) as gap_s from g
+      where gap_s is not null and gap_s >= 1)
+select cast(length(printf('%b', gap_s)) - 1 as int) as log2_bucket,
+       cast(count(*) as bigint) as n_gaps
+from f group by 1 order by 1
+"""
+
+
 def q_emb_isotropy(spark, sf_dir):
     """Embedding-space isotropy diagnostic — one row (n_vecs,
     argmax_dim, max_share_ppm): each dimension's variance NUMERATOR
@@ -9533,6 +9619,8 @@ def queries():
         "mm_phash_tuning": q_mm_phash_tuning,
         "events_kanon": q_events_kanon,
         "emb_isotropy": q_emb_isotropy,
+        "text_burstiness": q_text_burstiness,
+        "events_interarrival": q_events_interarrival,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9865,6 +9953,8 @@ from c
         "mm_phash_tuning": _sql_mm_phash_tuning(),
         "events_kanon": _sql_events_kanon(),
         "emb_isotropy": _sql_emb_isotropy(),
+        "text_burstiness": _sql_text_burstiness(),
+        "events_interarrival": _sql_events_interarrival(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
