@@ -3549,6 +3549,44 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_basket_lift(spark, sf_dir):
+    """Association lift for co-ordered part pairs (the a-priori second
+    pass over basket_pairs' support counts — plans/analytics.
+    basket_lift): exact-milli lift with marginals and the
+    deterministic top-30; separates real affinities from
+    popular-by-coincidence pairs."""
+    return analytics.basket_lift(load_table(spark, sf_dir, "lineitem"))
+
+
+def _sql_basket_lift(min_support: int = 2, topk: int = 30) -> str:
+    return f"""
+with d as (select distinct l_orderkey, l_partkey from lineitem),
+n as (select cast(count(distinct l_orderkey) as bigint) as nt from d),
+marg as (select l_partkey, cast(count(*) as bigint) as n_part
+         from d group by l_partkey),
+p as (
+  select a.l_partkey as part_a, b.l_partkey as part_b,
+         cast(count(*) as bigint) as n_ab
+  from d a join d b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+  group by 1, 2),
+s as (
+  select p.part_a, p.part_b, p.n_ab,
+         ma.n_part as n_a, mb.n_part as n_b,
+         cast((1000 * p.n_ab * n.nt) // (ma.n_part * mb.n_part)
+              as bigint) as lift_milli
+  from p
+  join marg ma on ma.l_partkey = p.part_a
+  join marg mb on mb.l_partkey = p.part_b, n
+  where p.n_ab >= {min_support}),
+r as (select *, cast(row_number() over
+        (order by lift_milli desc, part_a, part_b) as int) as rank
+      from s)
+select rank, part_a, part_b, n_ab, n_a, n_b, lift_milli
+from r where rank <= {topk}
+"""
+
+
 def q_text_burstiness(spark, sf_dir):
     """Term burstiness (Church–Gale): tf/df in exact milli for every
     term with df ≥ 5, top-30 by (burst desc, term) — terms that CLUMP
@@ -9621,6 +9659,7 @@ def queries():
         "emb_isotropy": q_emb_isotropy,
         "text_burstiness": q_text_burstiness,
         "events_interarrival": q_events_interarrival,
+        "basket_lift": q_basket_lift,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9955,6 +9994,7 @@ from c
         "emb_isotropy": _sql_emb_isotropy(),
         "text_burstiness": _sql_text_burstiness(),
         "events_interarrival": _sql_events_interarrival(),
+        "basket_lift": _sql_basket_lift(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),

@@ -1494,3 +1494,56 @@ def markov_stationary(events: DataFrame, iters: int = 3) -> DataFrame:
                       .alias("pi_ppm")))
     return (pi.select(F.col("state").alias("event_type"), "pi_ppm")
             .orderBy("event_type"))
+
+
+def basket_lift(lineitem: DataFrame, min_support: int = 2,
+                topk: int = 30) -> DataFrame:
+    """Association strength for co-ordered part pairs — lift in exact
+    milli: lift = P(a,b) / (P(a)·P(b)) = (n_ab · N) / (n_a · n_b) over
+    orders.  The a-priori second pass that separates real affinities
+    from popular-by-coincidence pairs (raw support just promotes pairs
+    of bestsellers; lift > 1000 milli = appear together MORE than
+    independence predicts).  Output: top-``topk`` qualifying pairs by
+    (lift desc, part_a, part_b) with their support and marginals.
+
+    Plan: the pair counts reuse basket_pairs' map-side basket
+    expansion (never a fact-table self-join); the marginals are one
+    part-keyed aggregation BROADCAST to the pair frame; N is a scalar.
+    Integer headroom: 1000·n_ab·N must fit int64 — fine through ~10^7
+    orders; past that lift the numerator to decimal(38,0)."""
+    items = (lineitem.select("l_orderkey", "l_partkey")
+             .groupBy("l_orderkey")
+             .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    items = items.localCheckpoint(eager=True)   # pairs + marginals + N
+    pair_arr = F.flatten(F.transform(
+        F.col("items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + F.lit(2),
+                    F.size(F.col("items"))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    pairs = (items.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.part_a"), F.col("p.part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count("*").cast("long").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_support))
+    marg = (items.select(F.explode("items").alias("part"))
+            .groupBy("part")
+            .agg(F.count("*").cast("long").alias("n_part")))
+    n = items.agg(F.count("*").cast("long").alias("n_orders_total"))
+    scored = (pairs
+              .join(F.broadcast(marg.select(
+                  F.col("part").alias("part_a"),
+                  F.col("n_part").alias("n_a"))), "part_a")
+              .join(F.broadcast(marg.select(
+                  F.col("part").alias("part_b"),
+                  F.col("n_part").alias("n_b"))), "part_b")
+              .crossJoin(F.broadcast(n))
+              .select("part_a", "part_b", "n_ab", "n_a", "n_b",
+                      F.expr("(1000 * n_ab * n_orders_total) "
+                             "div (n_a * n_b)").cast("long")
+                      .alias("lift_milli")))
+    w = Window.orderBy(F.desc("lift_milli"), "part_a", "part_b")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select("rank", "part_a", "part_b", "n_ab", "n_a", "n_b",
+                    "lift_milli"))
