@@ -3549,6 +3549,62 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_part_corr(spark, sf_dir):
+    """Pearson correlation primitive on the star schema — does part
+    SIZE predict RETAIL PRICE?  (n_parts, corr_micro): all five moment
+    sums computed as exact int64 over (size, price-in-cents), the
+    correlation itself in pinned-shape correctly-rounded doubles
+    (numerator and both variance terms cast once), rounded to micro.
+    The same n-cleared-integer discipline as events_autocorr, applied
+    as a reusable two-column statistic; one map-side-combinable
+    aggregation, zero shuffles beyond it.  (int64 headroom: n·Σy²
+    needs cents²·rows² < 2^63 — beyond ~10^8 parts lift the moment
+    sums to decimal(38,0).)"""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * F.lit(100.0), 0).cast("long")
+        .alias("y"))
+    s = pts.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return s.select(
+        F.col("n").alias("n_parts"),
+        F.round((num / F.sqrt(vx * vy)) * F.lit(1000000.0))
+        .cast("long").alias("corr_micro"))
+
+
+def _sql_part_corr() -> str:
+    return """
+with pts as (
+  select cast(p_size as bigint) as x,
+         cast(round(p_retailprice * 100.0, 0) as bigint) as y
+  from part),
+s as (
+  select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as sx,
+         cast(sum(y) as bigint) as sy,
+         cast(sum(x * y) as bigint) as sxy,
+         cast(sum(x * x) as bigint) as sxx,
+         cast(sum(y * y) as bigint) as syy
+  from pts)
+select n as n_parts,
+       cast(round((cast(n * sxy - sx * sy as double)
+                   / sqrt(cast(n * sxx - sx * sx as double)
+                          * cast(n * syy - sy * sy as double)))
+                  * 1000000.0) as bigint) as corr_micro
+from s
+"""
+
+
 def q_basket_lift(spark, sf_dir):
     """Association lift for co-ordered part pairs (the a-priori second
     pass over basket_pairs' support counts — plans/analytics.
@@ -9660,6 +9716,7 @@ def queries():
         "text_burstiness": q_text_burstiness,
         "events_interarrival": q_events_interarrival,
         "basket_lift": q_basket_lift,
+        "part_corr": q_part_corr,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9995,6 +10052,7 @@ from c
         "text_burstiness": _sql_text_burstiness(),
         "events_interarrival": _sql_events_interarrival(),
         "basket_lift": _sql_basket_lift(),
+        "part_corr": _sql_part_corr(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
