@@ -3549,6 +3549,84 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_corpus_heldout_coverage(spark, sf_dir):
+    """Held-out n-gram coverage — the generalization/diversity check a
+    corpus split should pass before training: with every 5th document
+    held out, what share of the holdout's DISTINCT unigrams and
+    bigrams already appears in the training remainder (exact ppm)?
+    Low bigram coverage = the holdout contains genuinely novel
+    phrasing (good diversity); near-1e6 = the corpus is internally
+    repetitive and the split leaks.  Plan: one tokenize pass per side,
+    distinct n-gram sets, a broadcast-free LEFT SEMI join on the
+    n-gram key (uniform hash key, no skew), two scalar ratios."""
+    from document_vector_pipeline_spark.operators.retrieval import (
+        _tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hold = docs.filter(F.col("doc_id") % 5 == 0)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def grams(df, n):
+        toks = _tokens(F.col("text"))
+        if n == 1:
+            g = F.explode(toks).alias("g")
+        else:
+            # equal-length slices: zip_with must never null-pad (a
+            # padded pair would fabricate a trailing pseudo-bigram)
+            m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+            pairs = F.zip_with(
+                F.slice(toks, 1, m), F.slice(toks, 2, m),
+                lambda a, b: F.concat_ws("\u0001", a, b))
+            g = F.explode(pairs).alias("g")
+        return df.select(g).distinct()
+
+    out = None
+    for n, name in ((1, "unigram"), (2, "bigram")):
+        h, t = grams(hold, n), grams(train, n)
+        covered = h.join(t, "g", "left_semi")
+        r = (h.agg(F.count(F.lit(1)).cast("long").alias("n_holdout"))
+             .crossJoin(covered.agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n_covered")))
+             .select(F.lit(name).alias("gram"), "n_holdout", "n_covered",
+                     F.expr("(1000000 * n_covered) div n_holdout")
+                     .cast("long").alias("coverage_ppm")))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("gram")
+
+
+def _sql_corpus_heldout_coverage() -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    bi = (f"list_transform(generate_series(1, len({toks}) - 1), "
+          f"i -> {toks}[i] || chr(1) || {toks}[i + 1])")
+
+    def side(cond, n):
+        src = f"select unnest({'(' + toks + ')' if n == 1 else bi}) as g" \
+              f" from documents where {cond}"
+        return f"select distinct g from ({src}) where g is not null"
+
+    rows = []
+    for n, name in ((1, "unigram"), (2, "bigram")):
+        h = side("doc_id % 5 = 0", n)
+        t = side("doc_id % 5 <> 0", n)
+        rows.append(f"""
+  select '{name}' as gram,
+         (select cast(count(*) as bigint) from ({h})) as n_holdout,
+         (select cast(count(*) as bigint) from ({h}) hh
+          where exists (select 1 from ({t}) tt where tt.g = hh.g))
+           as n_covered""")
+    union = "\n  union all\n  ".join(rows)
+    return f"""
+with u as (
+  {union})
+select gram, n_holdout, n_covered,
+       cast((1000000 * n_covered) // n_holdout as bigint)
+         as coverage_ppm
+from u order by gram
+"""
+
+
 def q_part_corr(spark, sf_dir):
     """Pearson correlation primitive on the star schema — does part
     SIZE predict RETAIL PRICE?  (n_parts, corr_micro): all five moment
@@ -9717,6 +9795,7 @@ def queries():
         "events_interarrival": q_events_interarrival,
         "basket_lift": q_basket_lift,
         "part_corr": q_part_corr,
+        "corpus_heldout_coverage": q_corpus_heldout_coverage,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -10053,6 +10132,7 @@ from c
         "events_interarrival": _sql_events_interarrival(),
         "basket_lift": _sql_basket_lift(),
         "part_corr": _sql_part_corr(),
+        "corpus_heldout_coverage": _sql_corpus_heldout_coverage(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
