@@ -3549,6 +3549,89 @@ from i{iters} order by event_type
     return "".join(parts)
 
 
+def q_orders_basket_size(spark, sf_dir):
+    """Basket-size profile: histogram of DISTINCT parts per order —
+    (basket_size, n_orders, n_orders_cum) with a deterministic
+    cumulative — the retail shape behind basket_pairs/basket_lift
+    (how much pair-expansion work a basket mining pass faces is
+    quadratic in exactly this distribution).  One distinct + one
+    order-keyed count + a sizes-sized window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = (li.select("l_orderkey", "l_partkey").distinct()
+             .groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).cast("int").alias("basket_size")))
+    hist = (sizes.groupBy("basket_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+    w = Window.orderBy("basket_size").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (hist.withColumn("n_orders_cum",
+                            F.sum("n_orders").over(w).cast("long"))
+            .orderBy("basket_size"))
+
+
+def _sql_orders_basket_size() -> str:
+    return """
+with s as (
+  select l_orderkey, cast(count(distinct l_partkey) as int)
+           as basket_size
+  from lineitem group by l_orderkey),
+h as (select basket_size, cast(count(*) as bigint) as n_orders
+      from s group by basket_size)
+select basket_size, n_orders,
+       cast(sum(n_orders) over (order by basket_size
+            rows between unbounded preceding and current row) as bigint)
+         as n_orders_cum
+from h order by basket_size
+"""
+
+
+def q_events_type_entropy(spark, sf_dir):
+    """Daily Shannon entropy of the event-type mix — (day, n_events,
+    entropy_micro): the one-number drift monitor for WHAT users do
+    (volume drift is events_seasonal's job; mix drift is this one's —
+    a product change shows up as an entropy step).  Per-type ln shares
+    are rounded to integer micro immediately (the house transcendental
+    mitigation), then H = −Σ n_t·ln_micro(p_t) div N is pure integer
+    arithmetic — order-free.  One (day, type) aggregation; everything
+    after runs on the day×types frame."""
+    ev = load_table(spark, sf_dir, "events")
+    dt = (ev.groupBy(F.col("ts").cast("date").alias("d"),
+                     F.col("event_type"))
+          .agg(F.count(F.lit(1)).cast("long").alias("nt")))
+    day = dt.groupBy("d").agg(F.sum("nt").cast("long").alias("n"))
+    lnp = F.round(
+        F.log(F.col("nt").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0)).cast("long")
+    return (dt.join(day, "d")
+            .select("d", "n", (F.col("nt") * lnp).alias("term"))
+            .groupBy("d", "n")
+            .agg((-F.sum("term")).alias("ts_"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("n").alias("n_events"),
+                    F.expr("ts_ div n").cast("long")
+                    .alias("entropy_micro"))
+            .orderBy("day"))
+
+
+def _sql_events_type_entropy() -> str:
+    return """
+with dt as (
+  select cast(ts as date) as d, event_type,
+         cast(count(*) as bigint) as nt
+  from events group by 1, 2),
+day as (select d, cast(sum(nt) as bigint) as n from dt group by d),
+t as (
+  select dt.d, day.n,
+         dt.nt * cast(round(ln(cast(dt.nt as double)
+                               / cast(day.n as double))
+                            * 1000000.0) as bigint) as term
+  from dt join day using (d))
+select strftime(d, '%Y-%m-%d') as day, n as n_events,
+       cast((-sum(term)) // n as bigint) as entropy_micro
+from t group by d, n order by day
+"""
+
+
 def q_corpus_heldout_coverage(spark, sf_dir):
     """Held-out n-gram coverage — the generalization/diversity check a
     corpus split should pass before training: with every 5th document
@@ -9796,6 +9879,8 @@ def queries():
         "basket_lift": q_basket_lift,
         "part_corr": q_part_corr,
         "corpus_heldout_coverage": q_corpus_heldout_coverage,
+        "orders_basket_size": q_orders_basket_size,
+        "events_type_entropy": q_events_type_entropy,
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -10133,6 +10218,8 @@ from c
         "basket_lift": _sql_basket_lift(),
         "part_corr": _sql_part_corr(),
         "corpus_heldout_coverage": _sql_corpus_heldout_coverage(),
+        "orders_basket_size": _sql_orders_basket_size(),
+        "events_type_entropy": _sql_events_type_entropy(),
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
