@@ -442,14 +442,23 @@ def main() -> None:
     # round-7 tail keys: ranked-decile/inequality/time-series/graph
     # diagnostics + dictionary suggestions + phash calibration
     from document_vector_pipeline_spark.contract import (
+        q_basket_lift,
+        q_corpus_heldout_coverage,
         q_corpus_zipf,
         q_dedup_graph_reciprocity,
+        q_emb_isotropy,
         q_events_autocorr,
         q_events_decile_migration,
         q_events_gini,
+        q_events_interarrival,
+        q_events_kanon,
         q_events_markov,
         q_events_pareto,
+        q_events_type_entropy,
         q_mm_phash_tuning,
+        q_orders_basket_size,
+        q_part_corr,
+        q_text_burstiness,
     )
     for key, fn in (("events_pareto", q_events_pareto),
                     ("events_markov", q_events_markov),
@@ -458,7 +467,16 @@ def main() -> None:
                     ("events_autocorr", q_events_autocorr),
                     ("dedup_graph_reciprocity", q_dedup_graph_reciprocity),
                     ("events_decile_migration", q_events_decile_migration),
-                    ("mm_phash_tuning", q_mm_phash_tuning)):
+                    ("mm_phash_tuning", q_mm_phash_tuning),
+                    ("events_kanon", q_events_kanon),
+                    ("emb_isotropy", q_emb_isotropy),
+                    ("text_burstiness", q_text_burstiness),
+                    ("events_interarrival", q_events_interarrival),
+                    ("basket_lift", q_basket_lift),
+                    ("part_corr", q_part_corr),
+                    ("corpus_heldout_coverage", q_corpus_heldout_coverage),
+                    ("orders_basket_size", q_orders_basket_size),
+                    ("events_type_entropy", q_events_type_entropy)):
         bench(key, lambda fn=fn: fn(spark, SF_DIR))
     suggest_qt = spark.createDataFrame(
         [(0, "vektor"), (1, "stram"), (2, "tabel")],
