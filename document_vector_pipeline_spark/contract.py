@@ -46,7 +46,8 @@ from document_vector_pipeline_spark.operators.parse import (
     route_blobs,
 )
 from document_vector_pipeline_spark.operators.pipeline import blobs_to_chunks
-from document_vector_pipeline_spark.plans import analytics, joins, temporal
+from document_vector_pipeline_spark.plans import (
+    analytics, joins, ranking, temporal)
 from document_vector_pipeline_spark.sources import load_table
 from document_vector_pipeline_spark.store.vector_store import VectorStore
 from document_vector_pipeline_spark.streaming import events as sev
@@ -4060,17 +4061,17 @@ def q_events_decile_migration(spark, sf_dir):
     users stay heavy — the engagement-mobility report behind churn
     models (diagonal mass = stable tiers, below-diagonal = decay).
     Plan: two map-side-combinable user aggregations, one users-sized
-    join, two bounded global rank windows (customer_deciles
-    precedent), a 25-group aggregate."""
+    join, two TWO-PHASE exact global ntiles (plans/ranking.py — no
+    single-task window), a 25-group aggregate."""
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp")
 
     def half(cond, out):
-        w = Window.orderBy(F.desc("n"), "user_id")
-        return (ev.filter(cond).groupBy("user_id")
-                .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                .select("user_id",
-                        F.ntile(5).over(w).cast("int").alias(out)))
+        per = (ev.filter(cond).groupBy("user_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        return (ranking.global_ntile(
+                    per, [F.desc("n"), F.col("user_id")], 5, out=out)
+                .select("user_id", out))
 
     a = half(F.col("ts") < split, "q_first")
     b = half(F.col("ts") >= split, "q_second")
@@ -4307,8 +4308,9 @@ def q_events_gini(spark, sf_dir):
     event count (ties user_id), G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
     with every sum an exact integer and ONE final cleared-denominator
     division — 0 = perfectly equal, →1 = one user generates all
-    events.  Plan: one user aggregation, then the customer_deciles-
-    style bounded global rank window on the users-sized frame, one
+    events.  Plan: one user aggregation, then the TWO-PHASE exact
+    global rank (plans/ranking.py: range exchange + partition-offset
+    row_number — no single-task window) on the users-sized frame, one
     2-column total, one arithmetic row.  (int64 headroom: the ppm
     numerator needs 1e6·2·Σi·x < 2^63 — beyond ~10^8 heavy users,
     lift the final row to decimal(38,0); everything upstream is
@@ -4316,9 +4318,9 @@ def q_events_gini(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per.select(
-        "x", F.row_number().over(w).cast("long").alias("i"))
+    ranked, _ = ranking.global_row_number(
+        per, [F.col("x"), F.col("user_id")], out="i")
+    ranked = ranked.select("x", "i")
     return (ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -4355,15 +4357,15 @@ def q_events_pareto(spark, sf_dir):
     total, and the CUMULATIVE share of all events in exact ppm — the
     'top 10% of users generate X% of events' report.  Plan: one
     map-side-combinable user aggregation, then all math on the
-    users-sized frame; the single unpartitioned ntile window runs on
-    the ALREADY-AGGREGATED per-user rows (users ≪ events — the same
-    bounded global stage customer_deciles documents as the one every
-    exact ranked-decile needs)."""
+    users-sized frame; the decile assignment is the TWO-PHASE exact
+    global ntile (plans/ranking.py — range exchange +
+    partition-offset arithmetic, bit-identical to the unpartitioned
+    window with none of its single-task stage)."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
-    w = Window.orderBy(F.desc("n"), "user_id")
-    dec = per.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    dec = ranking.global_ntile(
+        per, [F.desc("n"), F.col("user_id")], 10, out="decile")
     agg = (dec.groupBy("decile")
            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
                 F.sum("n").cast("long").alias("n_events")))

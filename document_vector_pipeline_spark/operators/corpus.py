@@ -685,28 +685,28 @@ def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
     Tokens = ceil(n_chars / 4) (the chars-per-token heuristic used by
     text_tokens).  Output: (doc_id, source, tokens, cum_tokens, kept).
 
-    Scale: one shuffle (window partitioned by source).  A per-source
-    running sum is sequential by definition; with only a handful of
-    sources each window partition is a whole source, so at 100 TB you run
-    the two-phase form — per-shard partial sums, tiny exclusive-prefix
-    table of shard offsets, map-side cum = offset + local running sum —
-    which this window plan is the single-stage specialization of.
+    Scale: a per-source running sum is sequential by definition, and
+    with only a handful of sources a source-partitioned window is ONE
+    TASK PER SOURCE — so this runs the TWO-PHASE form directly
+    (plans/ranking.grouped_running_sum): range exchange on (source,
+    priority), per-(shard, source) partial sums as plan metadata,
+    map-side cum = source offset within shard order + local running
+    sum.  Bit-identical to the window, fully distributed at 100 TB.
     """
-    from pyspark.sql import Window
-
     from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.plans.ranking import (
+        grouped_running_sum)
 
     # ceil(n/4) in pure integer form: (n+3) div 4 (floor((n+3)/4.0) is
     # exact in double for any realistic n, and DuckDB mirrors it as //)
     toks = F.floor((F.col(chars_col).cast("long") + 3) / 4).cast("long")
     pri = md5_long(F.col(id_col).cast("string"))
-    w = (Window.partitionBy(source_col)
-         .orderBy(pri, id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (docs
-            .select(F.col(id_col), F.col(source_col), toks.alias("tokens"),
-                    pri.alias("__pri"))
-            .withColumn("cum_tokens", F.sum("tokens").over(w))
+    base = docs.select(F.col(id_col), F.col(source_col),
+                       toks.alias("tokens"), pri.alias("__pri"))
+    summed = grouped_running_sum(
+        base, source_col, [F.col("__pri"), F.col(id_col)], "tokens",
+        out="cum_tokens")
+    return (summed
             .withColumn("kept", F.col("cum_tokens") <= budget_tokens)
             .select(id_col, source_col, "tokens", "cum_tokens", "kept"))
 

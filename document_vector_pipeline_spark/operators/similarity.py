@@ -1203,6 +1203,10 @@ def cluster_silhouette(emb: DataFrame, n_clusters: int = 8,
     so s ∈ [0, 1]; b = 0 (point equal to two centroids) scores 0.
     Pairs with cluster_purity: purity scores agreement with labels,
     silhouette scores geometric separation without needing any."""
+    if n_clusters < 2:
+        raise ValueError(
+            f"silhouette is undefined for n_clusters={n_clusters}: "
+            "there is no 'nearest OTHER centroid' with fewer than 2")
     base = _kmeans_base(emb, id_col, vec_col)
     loop_base, release = _lloyd_loop_frame(base)
     cents = _lloyd_centroids(loop_base, n_clusters, iters, dim,

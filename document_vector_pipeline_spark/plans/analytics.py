@@ -784,20 +784,18 @@ def customer_deciles(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
     """Customer lifetime-value deciles: rank customers by total order value
     into n equal tiles and report each tile's size and value share.
 
-    Two uniform shuffles (per-customer rollup, then the tile aggregate);
-    the ntile ranking runs on the ALREADY-AGGREGATED per-customer rows —
-    one row per customer, not per order — with a total tie-break order
-    (cents, custkey) so tile membership is deterministic.  The single
-    unpartitioned window is bounded by customer cardinality, the one
-    global stage every exact ranked-decile needs; at 100 TB you'd feed it
-    the same pre-aggregated frame (customers ≪ orders)."""
-    from pyspark.sql import Window
+    Per-customer rollup, then the TWO-PHASE exact global ntile
+    (plans/ranking.py: range exchange + partition-offset arithmetic,
+    bit-identical to the unpartitioned ntile window) with a total
+    tie-break order (cents, custkey) so tile membership is
+    deterministic — no single-task stage even at 10^9 customers."""
+    from document_vector_pipeline_spark.plans.ranking import global_ntile
 
     rev = (orders.groupBy("o_custkey")
            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
                 .alias("cents")))
-    w = Window.orderBy(F.desc("cents"), "o_custkey")
-    tiled = rev.withColumn("decile", F.ntile(n_tiles).over(w).cast("int"))
+    tiled = global_ntile(rev, [F.desc("cents"), F.col("o_custkey")],
+                         n_tiles, out="decile")
     return (tiled.groupBy("decile")
             .agg(F.count("*").cast("long").alias("n_customers"),
                  (F.sum("cents") / 100).alias("revenue"))
@@ -1378,10 +1376,12 @@ def customer_rfm(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     Same shape discipline as customer_deciles: all three ntile rankings
     run on the ALREADY-AGGREGATED one-row-per-customer frame with total
     tie-break orders (metric, custkey), so segment membership is
-    deterministic and the unpartitioned windows are bounded by customer
-    cardinality (customers ≪ orders at any scale).  Recency is measured
-    in days against the corpus max order date (plan metadata)."""
-    from pyspark.sql import Window
+    deterministic — each as the TWO-PHASE exact global ntile
+    (plans/ranking.py), so none of the three rankings has a
+    single-task stage at any customer cardinality.  Recency is
+    measured in days against the corpus max order date (plan
+    metadata)."""
+    from document_vector_pipeline_spark.plans.ranking import global_ntile
 
     per = (orders.groupBy("o_custkey")
            .agg(F.max("o_orderdate").alias("last_dt"),
@@ -1392,13 +1392,12 @@ def customer_rfm(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     scored = (per.crossJoin(F.broadcast(mx))
               .withColumn("rec_days",
                           F.datediff(F.col("mx"), F.col("last_dt"))))
-    wr = Window.orderBy("rec_days", "o_custkey")
-    wf = Window.orderBy(F.desc("freq"), "o_custkey")
-    wm = Window.orderBy(F.desc("cents"), "o_custkey")
-    tiled = (scored
-             .withColumn("r_score", F.ntile(n_tiles).over(wr).cast("int"))
-             .withColumn("f_score", F.ntile(n_tiles).over(wf).cast("int"))
-             .withColumn("m_score", F.ntile(n_tiles).over(wm).cast("int")))
+    tiled = scored
+    for cols, out in (
+            ([F.col("rec_days"), F.col("o_custkey")], "r_score"),
+            ([F.desc("freq"), F.col("o_custkey")], "f_score"),
+            ([F.desc("cents"), F.col("o_custkey")], "m_score")):
+        tiled = global_ntile(tiled, cols, n_tiles, out=out)
     return (tiled.groupBy("r_score", "f_score", "m_score")
             .agg(F.count("*").cast("long").alias("n_customers"),
                  (F.sum("cents").cast("long") / 100.0).alias("revenue")))
@@ -1482,6 +1481,10 @@ def markov_stationary(events: DataFrame, iters: int = 3) -> DataFrame:
               .unionByName(P.select(F.col("dst").alias("state")))
               .distinct())
     n_states = states.count()
+    if n_states == 0:
+        # no user has two events → no transitions; empty, typed result
+        return events.sparkSession.createDataFrame(
+            [], "event_type string, pi_ppm long")
     pi = states.select(
         "state",
         F.lit(1000000 // n_states).cast("long").alias("pi_ppm"))

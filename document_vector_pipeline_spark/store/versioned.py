@@ -36,7 +36,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 class VersionedTable:
@@ -454,6 +454,28 @@ class BucketedVersionedTable(VersionedTable):
         rb = [d for d in mb["dirs"] if self._bucket_of(d) in touched]
         return ra, rb
 
+    def _typed_empty(self, version: int, keys: list[str] | None) -> DataFrame:
+        """Empty change-set frame with the REAL committed column types
+        (from the snapshot's manifest schema, or a limit(0) read of its
+        dirs when the manifest predates schema tracking) so a caller
+        that unions a no-change transition's diff with typed frames
+        from other transitions never hits NUM_COLUMNS_MISMATCH or an
+        incompatible-type union.  ``keys=None`` → all table columns
+        (diff_rows payload shape); otherwise just the key columns."""
+        st = self._schema_of(version)
+        if st is None:
+            m = self._manifest(version)
+            if m["dirs"]:
+                st = self._read_dirs(m["dirs"]).schema
+        fields = [StructField("status", StringType())]
+        if st is not None:
+            pick = (list(st.fields) if keys is None
+                    else [f for c in keys for f in st.fields if f.name == c])
+            fields += pick
+        elif keys is not None:
+            fields += [StructField(c, StringType()) for c in keys]
+        return self.spark.createDataFrame([], StructType(fields))
+
     def diff(self, v_a: int, v_b: int, keys: list[str],
              digest) -> DataFrame:
         """Key-level change set between two snapshots — (status, *keys)
@@ -483,9 +505,7 @@ class BucketedVersionedTable(VersionedTable):
 
         a, b = side(ra, "__da"), side(rb, "__db")
         if a is None and b is None:
-            fields = ", ".join(["status string"]
-                               + [f"`{c}` string" for c in keys])
-            return self.spark.createDataFrame([], fields)
+            return self._typed_empty(v_b, keys)
         if a is None:
             return b.select(F.lit("added").alias("status"), *keys)
         if b is None:
@@ -566,11 +586,7 @@ class BucketedVersionedTable(VersionedTable):
         out_a = side(ra, d.filter(F.col("status") == "removed"))
         out_b = side(rb, d.filter(F.col("status") != "removed"))
         if out_a is None and out_b is None:
-            cols = (self._read_dirs(rb or ra).columns
-                    if (ra or rb) else keys)
-            fields = ", ".join(["status string"]
-                               + [f"`{c}` string" for c in cols])
-            return self.spark.createDataFrame([], fields)
+            return self._typed_empty(v_b, None)
         if out_a is None:
             return out_b
         if out_b is None:

@@ -234,10 +234,17 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
         # within-batch exact collapse (min id per canonical fingerprint)
         firsts = exact_dedup_survivors(batch_df).select("doc_id")
         batch_df = batch_df.join(firsts, "doc_id", "left_semi")
-        try:
+        # Probe for the corpus EXPLICITLY: only a genuinely absent path
+        # means "first batch, empty corpus".  A corrupted file or a
+        # transient FS error must PROPAGATE so the microbatch retries —
+        # swallowing it would silently admit near-duplicates of
+        # already-admitted documents.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(corpus_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             corpus = spark.read.schema(schema).parquet(corpus_path)
-            corpus.limit(1).collect()
-        except Exception:
+        else:
             corpus = spark.createDataFrame([], schema)
         verdicts = incremental_dedup(
             corpus, batch_df, threshold_milli=threshold_milli)
