@@ -1495,6 +1495,61 @@ def q_hybrid_rrf(spark, sf_dir):
     return retrieval.rrf_fuse(text, vec, k=10)
 
 
+def q_retrieval_reranked(spark, sf_dir):
+    """Cross-encoder rerank of the fused hybrid top-k — the
+    industry-standard final retrieval stage, via the injectable
+    rerank client seam (operators/retrieval.rerank_with_client, the
+    embed_with_client batch/retry contract applied to (query, doc)
+    scoring).  The deterministic md5 stub scorer stands in for the
+    model (swap-in point for a real cross-encoder); candidates are
+    k rows/query by construction, so the model stage cost is
+    independent of corpus size."""
+    from document_vector_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = retrieval.bm25_topk(docs, _bm25_query_df(spark), k=10)
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    vec = similarity.brute_force_topk(emb, qv, k=10)
+    fused = retrieval.rrf_fuse(text, vec, k=10)
+    qtexts = {}
+    for q, t in _BM25_QUERY_TERMS:
+        qtexts.setdefault(q, []).append(t)
+    qdf = spark.createDataFrame(
+        [(q, " ".join(ts)) for q, ts in qtexts.items()],
+        "query_id long, query_text string")
+    cand = (fused.select("query_id", "doc_id")
+            .join(F.broadcast(qdf), "query_id")
+            .join(docs.select("doc_id", "text"), "doc_id"))
+    return retrieval.rerank_with_client(
+        cand, retrieval.stub_cross_encoder, k=10)
+
+
+def _sql_retrieval_reranked(k: int = 10) -> str:
+    qtexts: dict = {}
+    for q, t in _BM25_QUERY_TERMS:
+        qtexts.setdefault(q, []).append(t)
+    values = ", ".join(f"({q}, '{' '.join(ts)}')"
+                       for q, ts in qtexts.items())
+    score = _md5l("qx.query_text || chr(31) || d.text")
+    return f"""
+with fused as ({_sql_hybrid_rrf(k=k)}),
+qx as (select * from (values {values}) as v(query_id, query_text)),
+rr as (select f.query_id, f.doc_id,
+              cast({score} % 1000001 as bigint) as rr_score_micro
+       from fused f
+       join qx on qx.query_id = f.query_id
+       join documents d on d.doc_id = f.doc_id),
+rk as (select *, cast(row_number() over (partition by query_id
+           order by rr_score_micro desc, doc_id) as int) as rank
+       from rr)
+select query_id, doc_id, rr_score_micro, rank
+from rk where rank <= {k}
+"""
+
+
 def _sql_bm25_ctes(src: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text") -> str:
     """Shared BM25 CTE chain ending in ranked rows `r` (rank unlimited);
@@ -1826,6 +1881,19 @@ def _shared_text_index(spark, sf_dir):
     idx.build(docs)
     _TEXT_IDX_CACHE[key] = idx
     return idx
+
+
+def q_text_prf_indexed(spark, sf_dir):
+    """RM3 pseudo-relevance feedback served off the persisted inverted
+    index (store/text_index.TextIndex.prf_search): pass 1 and the
+    final pass read tbucket-pruned postings, the feedback docs'
+    vocabularies come from the vbucket-pruned term-vector sidecar —
+    NO corpus re-tokenization anywhere, the serving-tier form of
+    retrieval_prf.  The oracle is the scan-path two-pass SQL, so a
+    green row IS the indexed ≡ scan proof (the text_bm25_indexed
+    discipline)."""
+    idx = _shared_text_index(spark, sf_dir)
+    return idx.prf_search(_bm25_query_df(spark), k=10, k_fb=3, m=5)
 
 
 # boolean-query batch: q0 = conjunction with an exclusion, q1 = one
@@ -9811,6 +9879,9 @@ def queries():
     # the cap: their oracle slots go to hash-checkable keys).  The tail
     # is ordered oldest-verdict-first (rest of r1, then r4/r5, then the
     # 50 keys round 6 just recorded) so future rotations stay honest.
+        # -- new round-8 keys --
+        "text_prf_indexed": q_text_prf_indexed,
+        "retrieval_reranked": q_retrieval_reranked,
         # -- never driver-recorded (22, judge-green r6) --
         "corpus_token_budget": q_corpus_token_budget,
         "sketch_cms": q_sketch_cms,
@@ -10102,6 +10173,8 @@ def oracle_sql():
         "ann_ivfpq": _sql_ann_ivfpq(),
         "ann_refine": _sql_ann_refine(),
         "retrieval_prf": _sql_retrieval_prf(),
+        "text_prf_indexed": _sql_retrieval_prf(),
+        "retrieval_reranked": _sql_retrieval_reranked(),
         "retrieval_mmr": _sql_retrieval_mmr(),
         "ann_range": _sql_ann_range(),
         "layout_hilbert": _sql_layout_hilbert(),

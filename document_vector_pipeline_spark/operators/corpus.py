@@ -130,7 +130,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 def pack_sequences(docs: DataFrame, budget: int = 512,
                    group_col: str = "source", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", token_client=None) -> DataFrame:
     """Sequence packing: assign documents to contiguous token-budget
     training shards (concatenate-then-chunk semantics — a document may
     straddle a shard boundary, as in GPT-style token-stream packing).
@@ -140,14 +140,32 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     shard = tokens_before // budget.  One window shuffle on the group key;
     the cumulative sum is a single pass.  At 100 TB, groups are the
     natural parallel unit (source/domain shards) — no global ordering is
-    ever required."""
-    toks = F.size(F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                           lambda w: w != F.lit("")))
+    ever required.
+
+    ``token_client`` (Callable[[list[str]], list[int]], see
+    operators/tokenize.py) swaps the whitespace heuristic for a REAL
+    trained tokenizer's counts — the budget numbers then mean model
+    tokens.  None (default) keeps the JVM expression; injecting
+    tokenize.stub_token_counter reproduces it bit for bit."""
+    if token_client is not None:
+        from document_vector_pipeline_spark.operators.tokenize import (
+            count_tokens_with_client)
+        counted = count_tokens_with_client(
+            docs.select(id_col, group_col, text_col), token_client,
+            text_col=text_col, out_col="n_tokens")
+        counted = counted.select(id_col, group_col,
+                                 F.col("n_tokens").cast("long")
+                                 .alias("n_tokens"))
+    else:
+        toks = F.size(F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != F.lit("")))
+        counted = docs.select(id_col, group_col,
+                              toks.cast("long").alias("n_tokens"))
     w = (Window.partitionBy(group_col).orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (docs
-            .select(id_col, group_col, toks.cast("long").alias("n_tokens"))
+    return (counted
             .withColumn("shard", F.floor(before / budget).cast("long"))
             .withColumn("offset", (before % budget).cast("long"))
             .orderBy(group_col, id_col))
@@ -674,7 +692,9 @@ def novelty_scores(docs: DataFrame, id_col: str = "doc_id",
 
 def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
                         source_col: str = "source", id_col: str = "doc_id",
-                        chars_col: str = "n_chars") -> DataFrame:
+                        chars_col: str = "n_chars",
+                        text_col: str = "text",
+                        token_client=None) -> DataFrame:
     """Greedy per-source token-budget selection: admit documents in a
     deterministic pseudo-random order (md5(id), id — the same uniform
     priority as hash_split) until each source's cumulative token count
@@ -683,7 +703,10 @@ def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
     of code" becomes one pass with a kept flag.
 
     Tokens = ceil(n_chars / 4) (the chars-per-token heuristic used by
-    text_tokens).  Output: (doc_id, source, tokens, cum_tokens, kept).
+    text_tokens), or a REAL trained tokenizer's counts when
+    ``token_client`` is injected (operators/tokenize.py seam — the
+    budget then means model tokens).  Output: (doc_id, source, tokens,
+    cum_tokens, kept).
 
     Scale: a per-source running sum is sequential by definition, and
     with only a handful of sources a source-partitioned window is ONE
@@ -697,12 +720,25 @@ def token_budget_select(docs: DataFrame, budget_tokens: int = 50_000,
     from document_vector_pipeline_spark.plans.ranking import (
         grouped_running_sum)
 
-    # ceil(n/4) in pure integer form: (n+3) div 4 (floor((n+3)/4.0) is
-    # exact in double for any realistic n, and DuckDB mirrors it as //)
-    toks = F.floor((F.col(chars_col).cast("long") + 3) / 4).cast("long")
     pri = md5_long(F.col(id_col).cast("string"))
-    base = docs.select(F.col(id_col), F.col(source_col),
-                       toks.alias("tokens"), pri.alias("__pri"))
+    if token_client is not None:
+        # trained-tokenizer budgets (operators/tokenize.py seam):
+        # counts come from the injected client over the text itself
+        from document_vector_pipeline_spark.operators.tokenize import (
+            count_tokens_with_client)
+        base = (count_tokens_with_client(
+                    docs.select(id_col, source_col, text_col),
+                    token_client, text_col=text_col, out_col="tokens")
+                .select(F.col(id_col), F.col(source_col),
+                        F.col("tokens").cast("long").alias("tokens"),
+                        pri.alias("__pri")))
+    else:
+        # ceil(n/4) in pure integer form: (n+3) div 4 (floor((n+3)/4.0)
+        # is exact in double for any realistic n; DuckDB mirrors as //)
+        toks = F.floor((F.col(chars_col).cast("long") + 3) / 4) \
+            .cast("long")
+        base = docs.select(F.col(id_col), F.col(source_col),
+                           toks.alias("tokens"), pri.alias("__pri"))
     summed = grouped_running_sum(
         base, source_col, [F.col("__pri"), F.col(id_col)], "tokens",
         out="cum_tokens")

@@ -395,3 +395,100 @@ def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
            .select("query_id", "vec_id", F.col("rank").cast("int")
                    .alias("rank")))
     return rrf_fuse(text, vec, k=k, c=c)
+
+
+def stub_cross_encoder(pairs: list) -> list:
+    """Deterministic stand-in for a cross-encoder scoring client — the
+    same stand-in philosophy as the hash embedder and the quality-model
+    stub weights: score(q, d) = md5("q\\x1f d")'s first 15 hex digits
+    mod 1,000,001, in [0, 1] at micro precision.  Exactly mirrorable in
+    ANSI SQL (md5 + substr + mod), so the oracle can replay the rerank;
+    swap in a real model client at deployment — every Spark-side shape
+    stays identical.  Self-contained (hashlib only): cloudpickles by
+    value with no reference to this package."""
+    import hashlib
+
+    out = []
+    for q, d in pairs:
+        h = hashlib.md5(f"{q}\x1f{d}".encode("utf-8")).hexdigest()
+        out.append((int(h[:15], 16) % 1000001) / 1e6)
+    return out
+
+
+def rerank_with_client(candidates: DataFrame, client,
+                       k: int = 10,
+                       query_col: str = "query_text",
+                       text_col: str = "text",
+                       batch_size: int = 10,
+                       max_retries: int = 100,
+                       retry_delay_s: float = 10.0,
+                       retry_on=(429, 401)) -> DataFrame:
+    """Cross-encoder reranking of a fused candidate list via an
+    injectable scoring client — the industry-standard final retrieval
+    stage (rerank the hybrid top-k with a (query, document) model),
+    with the SAME seam discipline as embed_with_client
+    (operators/embed.py, mirroring BlobTriggerFunction.cs:118-160's
+    batch/retry contract): ``client`` is any
+    ``Callable[[list[tuple[str, str]]], list[float]]``, cloudpickled
+    by value, sliced into ``batch_size`` call groups, retried on a
+    status in ``retry_on`` up to ``max_retries`` with
+    ``retry_delay_s`` between attempts.
+
+    Input: ``candidates`` with (query_id, doc_id, ``query_col``,
+    ``text_col``) — k rows per query by construction (the fused
+    top-k), so the model stage is candidates-sized no matter the
+    corpus.  Output: (query_id, doc_id, rr_score_micro, rank) ranked
+    by (score desc, doc_id) per query.  Scores are fixed-pointed to
+    exact micro integers (int(round(s·1e6)) — exact for any client
+    emitting micro-precision values), so ranking is engine-portable.
+
+    Plan: ONE map-only mapInPandas over the candidate rows (no
+    shuffle), then the per-query rank window on ≤ k·n_queries rows."""
+    import time
+
+    from pyspark.sql import types as T
+
+    base = candidates.select("query_id", "doc_id",
+                             F.col(query_col).alias("__q"),
+                             F.col(text_col).alias("__d"))
+    schema = T.StructType([
+        T.StructField("query_id", base.schema["query_id"].dataType),
+        T.StructField("doc_id", base.schema["doc_id"].dataType),
+        T.StructField("rr_score_micro", T.LongType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pairs = list(zip(pdf["__q"].tolist(), pdf["__d"].tolist()))
+            scores: list = []
+            for s in range(0, len(pairs), batch_size):
+                group = pairs[s:s + batch_size]
+                attempt = 0
+                while True:
+                    try:
+                        got = client(group)
+                        break
+                    except Exception as e:
+                        status = getattr(e, "status_code", None)
+                        if (status not in retry_on
+                                or attempt >= max_retries):
+                            raise
+                        attempt += 1
+                        if retry_delay_s:
+                            time.sleep(retry_delay_s)
+                if len(got) != len(group):
+                    raise ValueError(
+                        f"rerank client returned {len(got)} scores "
+                        f"for a batch of {len(group)} pairs")
+                scores.extend(got)
+            out = pdf[["query_id", "doc_id"]].copy()
+            out["rr_score_micro"] = [int(round(s * 1e6)) for s in scores]
+            yield out
+
+    scored = base.mapInPandas(run, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rr_score_micro"), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))

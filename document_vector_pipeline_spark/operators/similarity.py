@@ -636,7 +636,8 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                n: int = 20, lam_ppm: int = 700000,
                id_col: str = "vec_id", vec_col: str = "embedding",
                qid_col: str = "query_id",
-               qvec_col: str = "query_vec") -> DataFrame:
+               qvec_col: str = "query_vec",
+               candidates: DataFrame | None = None) -> DataFrame:
     """Maximal-marginal-relevance diversification (Carbonell & Goldstein
     SIGIR 1998 — the standard RAG result-diversifier, e.g. LangChain's
     ``search_type="mmr"``): take the exact cosine top-``n`` candidates
@@ -654,20 +655,25 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     objective is pure int64 arithmetic with ties broken by vec_id —
     the oracle replays the greedy loop as k unrolled CTE steps.
 
-    Plan shape (100 TB): the expensive part is the candidate stage
-    (brute-force scan — swap in any ANN ladder upstream); everything
-    after is per-query work over n<=20 rows, grouped applyInPandas
-    with the candidate vectors fetched by ONE broadcast-pruned join
-    (mirrors refine_ann's fetch).  The O(k·n) greedy loop and the
-    n×n similarity matrix live entirely inside a query's group —
-    no shuffle grows with the corpus."""
+    Plan shape (100 TB): the expensive part is the candidate stage —
+    brute-force scan by default, or ANY ladder stage passed as
+    ``candidates`` ((query_id, vec_id, score) with score the round6
+    cosine: refine_ann's rescored output, ivfpq_topk, lsh — the
+    serving path feeds IVF/ADC candidates here instead of a corpus
+    scan); everything after is per-query work over n<=20 rows,
+    grouped applyInPandas with the candidate vectors fetched by ONE
+    broadcast-pruned join (mirrors refine_ann's fetch).  The O(k·n)
+    greedy loop and the n×n similarity matrix live entirely inside a
+    query's group — no shuffle grows with the corpus."""
     import numpy as np
 
     from document_vector_pipeline_spark.functions.vectors import py_round6_np
 
-    cand = brute_force_topk(corpus, queries, k=n, id_col=id_col,
-                            vec_col=vec_col, qid_col=qid_col,
-                            qvec_col=qvec_col)
+    cand = (candidates.select("query_id", "vec_id", "score")
+            if candidates is not None
+            else brute_force_topk(corpus, queries, k=n, id_col=id_col,
+                                  vec_col=vec_col, qid_col=qid_col,
+                                  qvec_col=qvec_col))
     cv = (corpus.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("v"))
           .join(F.broadcast(cand.select("query_id", "vec_id", "score")),

@@ -1,0 +1,137 @@
+"""Injectable tokenizer-client seam: count tokens with a REAL trained
+tokenizer instead of the whitespace/chars heuristics.
+
+Token budgets (corpus.pack_sequences, corpus.token_budget_select,
+chunking) ship with deterministic heuristic counters — fine for oracle
+exactness, but a production mixture is budgeted in TRAINED-tokenizer
+tokens (BPE/WordPiece).  This module is the same seam discipline as
+embed_with_client / rerank_with_client (the injectable-client contract
+mirroring BlobTriggerFunction.cs:118-160's batch/retry shape): a
+``client`` is any ``Callable[[list[str]], list[int]]`` returning a
+token count per text — the hook where tiktoken/HF-tokenizers (or a
+remote tokenize service) goes.  It is cloudpickled BY VALUE to
+executor workers: build the vocab/trie lazily inside the callable,
+never at closure-build time.
+
+``stub_token_counter`` replays the house whitespace count exactly
+(Java ``\\s`` semantics, the same split the JVM expression uses), so
+wiring the seam changes NOTHING until a real client is injected —
+the oracle-green keys stay green by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stub_token_counter", "make_vocab_token_counter",
+           "count_tokens_with_client"]
+
+# Java \s (what Spark's split(text, '\\s+') matches): ASCII whitespace
+# only — Python's \s is unicode-wide, so spell the class out
+_JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def stub_token_counter(texts: list) -> list:
+    """Whitespace token counts with EXACTLY the JVM expression's
+    semantics (lower(trim(text)) split on Java ``\\s+``, empties
+    dropped) — the stub client: injecting it reproduces the built-in
+    heuristic bit for bit.  Self-contained (re only): cloudpickles by
+    value with no reference to this package."""
+    import re
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    out = []
+    for t in texts:
+        out.append(len([w for w in ws.split(t.strip().lower()) if w]))
+    return out
+
+
+def make_vocab_token_counter(vocab: list) -> "callable":
+    """A real (non-stub) counter from a trained vocabulary: greedy
+    longest-match WordPiece-style segmentation of each whitespace word
+    against ``vocab`` (longest prefix wins, unknown chars count 1) —
+    the swap-in example proving the seam carries an actual trained
+    tokenizer, and the shape a vocab/merges file from any BPE trainer
+    reduces to for COUNTING purposes.  The vocab list travels inside
+    the closure; the prefix index builds lazily on first call in each
+    worker."""
+    def count(texts: list) -> list:
+        import re
+
+        if not hasattr(count, "_by_len"):
+            by_len: dict = {}
+            for piece in vocab:
+                by_len.setdefault(len(piece), set()).add(piece)
+            count._lens = sorted(by_len, reverse=True)
+            count._by_len = by_len
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        out = []
+        for t in texts:
+            n = 0
+            for w in ws.split(t.strip().lower()):
+                i = 0
+                while i < len(w):
+                    for ln in count._lens:
+                        if w[i:i + ln] in count._by_len[ln]:
+                            i += ln
+                            break
+                    else:
+                        i += 1
+                    n += 1
+            out.append(n)
+        return out
+
+    return count
+
+
+def count_tokens_with_client(docs: DataFrame, client,
+                             text_col: str = "text",
+                             out_col: str = "n_tokens",
+                             batch_size: int = 1000,
+                             max_retries: int = 100,
+                             retry_delay_s: float = 10.0,
+                             retry_on=(429, 401)) -> DataFrame:
+    """Append ``out_col`` (long) = ``client``'s token count of
+    ``text_col`` — ONE map-only mapInPandas stage (no shuffle; the
+    Arrow batch is sliced into ``batch_size`` call groups), with the
+    embed_with_client retry contract for remote tokenize services
+    (a local tokenizer never raises and never pays it)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(docs.schema.fields)
+                          + [T.StructField(out_col, T.LongType())])
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = pdf[text_col].tolist()
+            counts: list = []
+            for s in range(0, len(texts), batch_size):
+                group = texts[s:s + batch_size]
+                attempt = 0
+                while True:
+                    try:
+                        got = client(group)
+                        break
+                    except Exception as e:
+                        status = getattr(e, "status_code", None)
+                        if (status not in retry_on
+                                or attempt >= max_retries):
+                            raise
+                        attempt += 1
+                        if retry_delay_s:
+                            time.sleep(retry_delay_s)
+                if len(got) != len(group):
+                    raise ValueError(
+                        f"tokenizer client returned {len(got)} counts "
+                        f"for a batch of {len(group)} texts")
+                counts.extend(got)
+            out = pdf.copy()
+            out[out_col] = [int(c) for c in counts]
+            yield out
+
+    return docs.mapInPandas(run, schema)

@@ -354,6 +354,58 @@ class IVFIndex:
          .parquet(self._cells))
         self._write_idmap_from_cells()
 
+    def maybe_rebuild(self, corpus: DataFrame | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      max_fill_milli: int = 3000,
+                      max_empty_milli: int = 500,
+                      n_sub: int = 8, use_udf: bool = True) -> bool:
+        """Rebuild POLICY consuming ``cell_stats`` — the symmetry of
+        TextIndex.maybe_compact: upsert/delete freeze the centroids
+        (FAISS add_with_ids aging), so under sustained drift cells go
+        out of balance and search quality/cost degrades with nobody
+        responsible for noticing.  This is the scheduled check that
+        notices.  Triggers when the HOTTEST cell exceeds
+        ``max_fill_milli`` (3000 = 3x the uniform share) or more than
+        ``max_empty_milli`` per-mille of centroids own NO vectors
+        (mass migrated away); below both thresholds the only cost is
+        the partition-column-only stats scan (footer metadata) plus
+        the KB-sized centroid read — no data job, no write.
+
+        On trigger: full ``build`` from ``corpus`` (or, when omitted,
+        from the index's own LIVE rows — checkpoint-materialized
+        first, so rebuilding from the directory being overwritten is
+        legal), and if the index is PQ-augmented the codebook is
+        RETRAINED on the same source via ``build_pq`` (a drift big
+        enough to rebuild invalidates the frozen codebook too; shape
+        n_codes/dim carries over from the existing codebook,
+        ``n_sub`` from the caller).  Returns True iff it rebuilt."""
+        # a prior delete may have FS-dropped emptied cell dirs; the
+        # session file-status cache can still list them — refresh so
+        # the stats scan and the live-rows read see the real layout
+        self.spark.catalog.refreshByPath(self._cells)
+        hottest = (self.cell_stats()
+                   .agg(F.max("fill_milli").alias("mx")).collect()[0]["mx"])
+        n_cents = len(self._centroid_rows())
+        observed = (self.spark.read.parquet(self._cells)
+                    .select("centroid_id").distinct().count())
+        empty_milli = (1000 * (n_cents - observed)) // max(n_cents, 1)
+        if ((hottest or 0) <= max_fill_milli
+                and empty_milli <= max_empty_milli):
+            return False
+        if corpus is None:
+            corpus = (self.spark.read.parquet(self._cells)
+                      .select(F.col("vec_id").alias(id_col),
+                              F.col("v").alias(vec_col))
+                      .localCheckpoint(eager=True))
+        had_pq = self._fs_exists(self._codebook)
+        if had_pq:
+            cb = self._read_codebook()
+        self.build(corpus, id_col=id_col, vec_col=vec_col, use_udf=use_udf)
+        if had_pq:
+            self.build_pq(corpus, id_col=id_col, vec_col=vec_col,
+                          n_codes=len(cb), n_sub=n_sub, dim=len(cb[0]))
+        return True
+
     def _overwrite_partitions(self, df: DataFrame, path: str,
                               part_col: str, affected: list) -> None:
         """Dynamic-partition-overwrite ``df`` into ``path`` (only the

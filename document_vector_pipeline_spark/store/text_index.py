@@ -490,6 +490,71 @@ class TextIndex:
                   .join(cand, ["query_id", "doc_id"], "left_semi"))
         return retrieval.rank_topk(scored, k)
 
+    def prf_search(self, query_terms: DataFrame, k: int = 10,
+                   k_fb: int = 3, m: int = 5,
+                   checkpoint: bool = True) -> DataFrame:
+        """RM3 pseudo-relevance feedback served ENTIRELY off the
+        persisted index — bit-identical to the scan path
+        (retrieval.bm25_prf) over the live corpus, the way a 100 TB
+        serving tier must run it (re-tokenizing the corpus per query
+        batch is not an option; reference analogue: the always-indexed
+        serving of CosmosDBClientWrapper.cs:117-146).  Requires
+        ``term_vectors=True``: the feedback docs' vocabularies come
+        from the doc-bucketed term-vector sidecar, the same read
+        more_like_this does.
+
+        Plan: pass 1 = ``search`` (tbucket-pruned posting read);
+        feedback tfs = vbucket-pruned term-vector read against the
+        BROADCAST k_fb-rows-per-query feedback list (Σ tf ≡ the scan
+        path's occurrence count); then ONE tbucket-pruned posting read
+        over (original ∪ candidate) terms serves BOTH the expansion
+        weights' df and the final scoring — the same
+        selection-and-scoring-agree-by-construction discipline as
+        more_like_this.  Total index reads: pass-1 postings + feedback
+        tvecs + one combined pass-2 postings — independent of m, all
+        candidate-bounded."""
+        qt = query_terms.select("query_id", "term")
+        fb = (self.search(qt, k=k_fb, checkpoint=checkpoint)
+              .select("query_id", "doc_id")
+              .localCheckpoint(eager=True))
+        vb = [r[0] for r in fb.select(
+            self._dbucket(F.col("doc_id")).alias("b")).distinct().collect()]
+        fb_tf = (self._live(self._tvecs_df()
+                            .filter(F.col("vbucket").isin(vb)))
+                 .join(F.broadcast(fb), "doc_id")
+                 .groupBy("query_id", "term")
+                 .agg(F.sum("tf").alias("tf_fb")))
+        if checkpoint:
+            fb_tf = fb_tf.localCheckpoint(eager=True)
+        all_terms = (qt.select("term")
+                     .union(fb_tf.select("term")).distinct())
+        tb = [r[0] for r in all_terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        tf2 = (self._live(
+                 self._postings().filter(F.col("tbucket").isin(tb))
+                 .join(F.broadcast(all_terms), "term", "left_semi"))
+               .select("doc_id", "term", "tf", "dl"))
+        if checkpoint:
+            tf2 = tf2.localCheckpoint(eager=True)
+        df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf_micro = F.round(
+            F.log((((F.lit(2.0) * (F.col("n_docs") - F.col("df")))
+                    + F.lit(1.0))
+                   / ((F.lit(2.0) * F.col("df")) + F.lit(1.0)))
+                  + F.lit(1.0)) * F.lit(1000000.0)).cast("long")
+        wts = (fb_tf.join(F.broadcast(df2), "term")
+               .crossJoin(F.broadcast(self.stats()))
+               .withColumn("w", F.col("tf_fb") * idf_micro)
+               .join(qt, ["query_id", "term"], "left_anti"))
+        we = Window.partitionBy("query_id").orderBy(
+            F.desc("w"), F.col("term"))
+        expansion = (wts.withColumn("__rn", F.row_number().over(we))
+                     .filter(F.col("__rn") <= m)
+                     .select("query_id", "term"))
+        qt2 = qt.union(expansion)
+        return retrieval.rank_topk(
+            retrieval.score_tf(tf2, qt2, self.stats()), k)
+
     def prefix_search(self, prefixes: DataFrame, k: int = 10,
                       checkpoint: bool = True) -> DataFrame:
         """Prefix (multi-term) query — ``prefixes`` is (query_id,

@@ -358,3 +358,61 @@ def test_upserts_do_not_fragment_and_compact_restores_single_files(
     assert all(n == 1 for n in counts.values()), counts
     after = sorted(map(tuple, idx.search_many(q, k=5, nprobe=4).collect()))
     assert after == before
+
+
+def test_maybe_rebuild_policy(spark, embeddings_small, tmp_path):
+    """Balanced index → maybe_rebuild is a no-op returning False;
+    drifted upserts (a pile of near-identical vectors landing in one
+    cell) push that cell past the fill threshold → it rebuilds, and
+    exhaustive-probe search equals brute force over the live corpus
+    afterwards."""
+    emb = embeddings_small.select("vec_id", "embedding")
+    idx = IVFIndex(spark, str(tmp_path / "rb"), n_centroids=N_CENTROIDS)
+    idx.build(emb)
+    assert idx.maybe_rebuild() is False
+
+    donor = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    n = emb.count()
+    batch = spark.createDataFrame(
+        [(100_000 + i, [float(x) for x in donor]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    idx.upsert(batch)
+    assert idx.maybe_rebuild() is True
+
+    merged = emb.unionByName(batch)
+    qdf = (emb.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    got = idx.search_many(qdf, k=10, nprobe=N_CENTROIDS)
+    want = brute_force_topk(merged, qdf, k=10)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_maybe_rebuild_triggers_on_empty_cells(spark, embeddings_small,
+                                               tmp_path):
+    """Deleting everything outside one cell leaves most centroids
+    empty — the dead-cell trigger fires and the rebuild restores a
+    fully-populated index over the survivors."""
+    emb = embeddings_small.select("vec_id", "embedding")
+    idx = IVFIndex(spark, str(tmp_path / "empty"),
+                   n_centroids=N_CENTROIDS)
+    idx.build(emb)
+    cells = spark.read.parquet(str(tmp_path / "empty" / "cells"))
+    keep_cell = cells.select("centroid_id").orderBy("centroid_id").first()[0]
+    # materialize ids driver-side: a lazy frame over the cells path
+    # would re-read it mid-delete, after its dirs were rewritten
+    victims = [r[0] for r in
+               cells.filter(F.col("centroid_id") != keep_cell)
+               .select("vec_id").collect()]
+    survivors = [r[0] for r in
+                 cells.filter(F.col("centroid_id") == keep_cell)
+                 .select("vec_id").collect()]
+    idx.delete(victims)
+    assert idx.maybe_rebuild() is True
+    live = emb.filter(F.col("vec_id").isin(survivors))
+    qdf = (live.limit(3)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    got = idx.search_many(qdf, k=5, nprobe=N_CENTROIDS)
+    want = brute_force_topk(live, qdf, k=5)
+    assert _sorted_rows(got) == _sorted_rows(want)

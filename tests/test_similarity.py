@@ -473,3 +473,39 @@ def test_cluster_silhouette_separation_ordering(spark):
         assert 0 <= r["mean_sil_micro"] <= 1_000_000
         # groups are ~14 apart with ~0.02 spread: near-perfect score
         assert r["mean_sil_micro"] > 950_000
+
+
+def test_mmr_accepts_ladder_candidates(spark, embeddings_small, queries):
+    """The candidate stage is injectable.  (a) Exactness: an injected
+    brute-force candidate frame reproduces the default stage bit for
+    bit.  (b) Serving wiring: refine_ann's (IVFPQ + exact-rescore)
+    output flows through unchanged — MMR diversifies whatever
+    candidate set the ladder produced (PQ may legitimately rank
+    different tails, so (b) asserts the greedy loop ran over exactly
+    the refine candidates, not set-equality with brute force)."""
+    brute = S.brute_force_topk(embeddings_small, queries, k=20)
+    got = S.mmr_rerank(embeddings_small, queries, k=5, n=20,
+                       lam_ppm=700000, candidates=brute)
+    want = S.mmr_rerank(embeddings_small, queries, k=5, n=20,
+                        lam_ppm=700000)
+    g = sorted((r.query_id, r.sel_order, r.vec_id, r.rel_micro, r.mmr_micro)
+               for r in got.collect())
+    w = sorted((r.query_id, r.sel_order, r.vec_id, r.rel_micro, r.mmr_micro)
+               for r in want.collect())
+    assert g == w
+
+    cand = S.refine_ann(embeddings_small, queries, k=20, refine_factor=3,
+                        n_centroids=8, nprobe=8)
+    cand_ids = {(r.query_id, r.vec_id) for r in cand.collect()}
+    out = S.mmr_rerank(embeddings_small, queries, k=5, n=20,
+                       lam_ppm=700000, candidates=cand).collect()
+    by_q = {}
+    for r in out:
+        assert (r.query_id, r.vec_id) in cand_ids
+        by_q.setdefault(r.query_id, []).append(r)
+    for _qid, rs in by_q.items():
+        assert sorted(x.sel_order for x in rs) == [1, 2, 3, 4, 5]
+        # first pick = the candidate relevance argmax (ties by vec_id)
+        first = min(rs, key=lambda x: x.sel_order)
+        best = max((x for x in rs), key=lambda x: (x.rel_micro, -x.vec_id))
+        assert first.rel_micro >= best.rel_micro or first is best

@@ -1,0 +1,118 @@
+"""Tokenizer-client seam, rerank-client seam, and indexed PRF."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.operators import retrieval
+from document_vector_pipeline_spark.operators.corpus import (
+    pack_sequences,
+    token_budget_select,
+)
+from document_vector_pipeline_spark.operators.tokenize import (
+    count_tokens_with_client,
+    make_vocab_token_counter,
+    stub_token_counter,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stub_counter_matches_jvm_expression(spark, docs_small):
+    """Injecting the stub client reproduces the built-in whitespace
+    heuristic bit for bit — the seam is free until a real tokenizer
+    goes in."""
+    toks = F.size(F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                           lambda w: w != F.lit("")))
+    want = _rows(docs_small.select("doc_id",
+                                        toks.cast("long").alias("n")),
+                 ["doc_id", "n"])
+    got = _rows(count_tokens_with_client(
+        docs_small.select("doc_id", "text"), stub_token_counter,
+        out_col="n"), ["doc_id", "n"])
+    assert got == want
+
+
+def test_pack_sequences_stub_client_identical(spark, docs_small):
+    base = pack_sequences(docs_small, budget=256)
+    via = pack_sequences(docs_small, budget=256,
+                         token_client=stub_token_counter)
+    cols = ["doc_id", "source", "n_tokens", "shard", "offset"]
+    assert _rows(via, cols) == _rows(base, cols)
+
+
+def test_token_budget_select_accepts_client(spark, docs_small):
+    """With a real client the budget is measured in client tokens: the
+    per-source cumulative sums are consistent with the client's own
+    counts."""
+    out = token_budget_select(docs_small, budget_tokens=5_000,
+                              token_client=stub_token_counter)
+    rows = out.collect()
+    assert rows
+    counts = {r["doc_id"]: r["tokens"] for r in rows}
+    texts = {r["doc_id"]: r["text"]
+             for r in docs_small.select("doc_id", "text").collect()}
+    ids = sorted(counts)[:20]
+    want = stub_token_counter([texts[i] for i in ids])
+    assert [counts[i] for i in ids] == want
+
+
+def test_vocab_counter_is_a_real_tokenizer():
+    """Non-stub path: a trained-vocab greedy longest-match counter
+    segments like WordPiece — not a whitespace count."""
+    count = make_vocab_token_counter(["un", "break", "able", "breakable"])
+    # 'unbreakable' -> un + breakable = 2 pieces; whitespace would say 1
+    assert count(["unbreakable"]) == [2]
+    # longest match first: 'breakable' is one piece, not break+able
+    assert count(["breakable"]) == [1]
+    # unknown chars count one each: 'xy' -> 2
+    assert count(["xy un xy"]) == [2 + 1 + 2]
+    assert count(["unbreakable", "break able"]) == [2, 2]
+
+
+def test_rerank_with_client_real_scorer(spark, docs_small):
+    """Non-stub rerank client: any real scoring function flows through
+    the seam — here, score = Jaccard overlap of query and doc tokens
+    (a legitimate lexical reranker)."""
+    def jaccard_client(pairs):
+        out = []
+        for q, d in pairs:
+            qs, ds = set(q.lower().split()), set(d.lower().split())
+            inter, union = len(qs & ds), len(qs | ds) or 1
+            out.append(round(inter / union, 6))
+        return out
+
+    docs = docs_small.limit(30)
+    cand = (docs.select("doc_id", "text")
+            .withColumn("query_id", F.lit(0).cast("long"))
+            .withColumn("query_text", F.lit("vector join hash")))
+    got = retrieval.rerank_with_client(cand, jaccard_client, k=5)
+    rows = got.orderBy("rank").collect()
+    assert len(rows) == 5
+    # ranking is by client score desc, doc_id asc
+    scores = [r["rr_score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # spot-check one score against the client run driver-side
+    top = rows[0]
+    text = docs.filter(F.col("doc_id") == top["doc_id"]).first()["text"]
+    want = int(round(jaccard_client([("vector join hash", text)])[0] * 1e6))
+    assert top["rr_score_micro"] == want
+
+
+def test_prf_indexed_equals_scan_path(spark, docs_small, tmp_path):
+    """TextIndex.prf_search ≡ retrieval.bm25_prf over the same corpus —
+    the indexed serving path is bit-identical to the scan path."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    qt = spark.createDataFrame(
+        [(0, "vector"), (0, "join"), (1, "stream"), (1, "window")],
+        "query_id long, term string")
+    idx = TextIndex(spark, str(tmp_path / "prf_idx"),
+                    n_term_buckets=8, n_doc_buckets=4, term_vectors=True)
+    idx.build(docs_small)
+    got = idx.prf_search(qt, k=10, k_fb=3, m=5)
+    want = retrieval.bm25_prf(docs_small, qt, k=10, k_fb=3, m=5)
+    cols = ["query_id", "doc_id", "n_terms", "score_micro", "rank"]
+    assert _rows(got, cols) == _rows(want, cols)
