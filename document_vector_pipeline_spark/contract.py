@@ -9871,72 +9871,19 @@ limit {top}
 
 def queries():
     return {
-    # Round-7 rotation (driver caps at ~50 keys/round): the 22 keys no
-    # driver round has ever hash-recorded lead (12 r6-cap spills + the
-    # 10 round-6 additions, all judge-green in r6), then the NEW
-    # round-7 key, then the STALEST driver verdicts — the r1 keys were
-    # last hash-checked five rounds ago (rows-only twins excluded from
-    # the cap: their oracle slots go to hash-checkable keys).  The tail
-    # is ordered oldest-verdict-first (rest of r1, then r4/r5, then the
-    # 50 keys round 6 just recorded) so future rotations stay honest.
+    # Round-8 rotation (driver caps at ~50 keys/round): the 2 NEW
+    # round-8 keys lead, then the 21 keys no driver round has ever
+    # hash-recorded (17 post-freeze tail keys + ann_refine/
+    # retrieval_prf/retrieval_mmr/dedup_incremental_eval — all
+    # judge-green in r7), then 27 of the 42 keys whose only driver
+    # verdict is round 1 (five rounds stale).  The tail is ordered
+    # oldest-verdict-first (rest of r1, rows-only twins, r4/r5, r6,
+    # then the 50 keys round 7 just recorded) so rotations stay
+    # honest.
         # -- new round-8 keys --
         "text_prf_indexed": q_text_prf_indexed,
         "retrieval_reranked": q_retrieval_reranked,
-        # -- never driver-recorded (22, judge-green r6) --
-        "corpus_token_budget": q_corpus_token_budget,
-        "sketch_cms": q_sketch_cms,
-        "store_compact": q_store_compact,
-        "source_bucketed": q_source_bucketed,
-        "stream_scd2": q_stream_scd2,
-        "events_scd2": q_events_scd2,
-        "asof_nearest": q_asof_nearest,
-        "q9_profit": q_q9_profit,
-        "q21_waiting": q_q21_waiting,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "customer_rfm": q_customer_rfm,
-        "text_bm25_indexed": q_text_bm25_indexed,
-        "store_hybrid_indexed": q_store_hybrid_indexed,
-        "text_df_topk": q_text_df_topk,
-        "text_phrase_search": q_text_phrase_search,
-        "text_near_search": q_text_near_search,
-        "text_snippets": q_text_snippets,
-        "corpus_dsir": q_corpus_dsir,
-        "text_bm25_filtered": q_text_bm25_filtered,
-        "ann_ivf_filtered": q_ann_ivf_filtered,
-        "store_versioned_search": q_store_versioned_search,
-        # -- new round-7 keys --
-        "store_versioned_hybrid": q_store_versioned_hybrid,
-        "store_versioned_ingest": q_store_versioned_ingest,
-        "text_index_stats": q_text_index_stats,
-        "text_span_search": q_text_span_search,
-        "dedup_incremental": q_dedup_incremental,
-        "store_versioned_diff": q_store_versioned_diff,
-        "store_versioned_restore": q_store_versioned_restore,
-        "text_boolean_search": q_text_boolean_search,
-        "text_prefix_search": q_text_prefix_search,
-        "text_fuzzy_search": q_text_fuzzy_search,
-        "text_search_facets": q_text_search_facets,
-        "text_more_like_this": q_text_more_like_this,
-        "text_suggest": q_text_suggest,
-        "store_versioned_diff_rows": q_store_versioned_diff_rows,
-        "store_cdc_feed": q_store_cdc_feed,
-        "store_versioned_optimize": q_store_versioned_optimize,
-        "store_versioned_vacuum": q_store_versioned_vacuum,
-        "emb_silhouette": q_emb_silhouette,
-        "events_seasonal": q_events_seasonal,
-        "text_pii_census": q_text_pii_census,
-        "store_versioned_clone": q_store_versioned_clone,
-        "store_schema_evolution": q_store_schema_evolution,
-        "events_retention_drop": q_events_retention_drop,
-        # -- stalest driver verdicts: r1 keys (re-check, fills the 50 cap) --
-        "chunk_chars": q_chunk_chars,
-        "chunk_words": q_chunk_words,
-        "chunk_tokens": q_chunk_tokens,
-        "chunk_tokens_overlap": q_chunk_tokens_overlap,
-        "parse_route": q_parse_route,
-        # -- late round-7 key (position 51: keeps the swept head-50
-        #    composition intact; rotate forward in r8) --
+        # -- never driver-recorded (21, judge-green r7) --
         "events_pareto": q_events_pareto,
         "events_markov": q_events_markov,
         "events_gini": q_events_gini,
@@ -9954,6 +9901,11 @@ def queries():
         "corpus_heldout_coverage": q_corpus_heldout_coverage,
         "orders_basket_size": q_orders_basket_size,
         "events_type_entropy": q_events_type_entropy,
+        "ann_refine": q_ann_refine,
+        "retrieval_prf": q_retrieval_prf,
+        "retrieval_mmr": q_retrieval_mmr,
+        "dedup_incremental_eval": q_dedup_incremental_eval,
+        # -- stalest driver verdicts: r1-only keys (27 of 42) --
         "embed_hash": q_embed_hash,
         "embed_json_roundtrip": q_embed_json_roundtrip,
         "pipeline_e2e": q_pipeline_e2e,
@@ -9961,14 +9913,12 @@ def queries():
         "store_upsert": q_store_upsert,
         "store_delete": q_store_delete,
         "vector_topk": q_vector_topk,
-        # -- rest of the r1 block (continued) --
         "vector_quantized": q_vector_quantized,
         "dedup_exact": q_dedup_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq": q_ann_pq,
-        # -- rest of the r1 block --
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -9978,14 +9928,12 @@ def queries():
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
-        "ann_bruteforce_np": q_ann_bruteforce_np,
         "text_topterms": q_text_topterms,
         "mm_decode": q_mm_decode,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
         "stream_windowed": q_stream_windowed,
         "stream_sliding": q_stream_sliding,
         "stream_sessionize": q_stream_sessionize,
+        # -- rest of the r1-only block (rotate into the r9 head) --
         "stream_first_seen": q_stream_first_seen,
         "stream_running_totals": q_stream_running_totals,
         "events_topusers": q_events_topusers,
@@ -10001,7 +9949,11 @@ def queries():
         "q18_large": q_q18_large,
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
-        # -- r4/r5 driver-green --
+        # -- rows-only by design (oracle-green exact twins) --
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        # -- r4/r5/r6 driver-green (oldest first) --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -10055,9 +10007,6 @@ def queries():
         "asof_forward": q_asof_forward,
         "hypertable_gapfill": q_hypertable_gapfill,
         "ann_ivfpq": q_ann_ivfpq,
-        "ann_refine": q_ann_refine,
-        "retrieval_prf": q_retrieval_prf,
-        "retrieval_mmr": q_retrieval_mmr,
         "ann_range": q_ann_range,
         "layout_hilbert": q_layout_hilbert,
         "events_sequence_match": q_events_sequence_match,
@@ -10105,7 +10054,6 @@ def queries():
         "dedup_url": q_dedup_url,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "basket_pairs": q_basket_pairs,
-        # -- r6 driver-recorded (freshest) --
         "vector_topk_filtered": q_vector_topk_filtered,
         "text_bigrams": q_text_bigrams,
         "corpus_qualityfilter": q_corpus_qualityfilter,
@@ -10156,9 +10104,57 @@ def queries():
         "emb_pca": q_emb_pca,
         "emb_covariance": q_emb_covariance,
         "corpus_quality_model": q_corpus_quality_model,
-        # -- new round-7 tail additions (judge-checkable; rotate to the
-        # -- head in round 8) --
-        "dedup_incremental_eval": q_dedup_incremental_eval,
+        # -- r7 driver-recorded (freshest) --
+        "corpus_token_budget": q_corpus_token_budget,
+        "sketch_cms": q_sketch_cms,
+        "store_compact": q_store_compact,
+        "source_bucketed": q_source_bucketed,
+        "stream_scd2": q_stream_scd2,
+        "events_scd2": q_events_scd2,
+        "asof_nearest": q_asof_nearest,
+        "q9_profit": q_q9_profit,
+        "q21_waiting": q_q21_waiting,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "customer_rfm": q_customer_rfm,
+        "text_bm25_indexed": q_text_bm25_indexed,
+        "store_hybrid_indexed": q_store_hybrid_indexed,
+        "text_df_topk": q_text_df_topk,
+        "text_phrase_search": q_text_phrase_search,
+        "text_near_search": q_text_near_search,
+        "text_snippets": q_text_snippets,
+        "corpus_dsir": q_corpus_dsir,
+        "text_bm25_filtered": q_text_bm25_filtered,
+        "ann_ivf_filtered": q_ann_ivf_filtered,
+        "store_versioned_search": q_store_versioned_search,
+        "store_versioned_hybrid": q_store_versioned_hybrid,
+        "store_versioned_ingest": q_store_versioned_ingest,
+        "text_index_stats": q_text_index_stats,
+        "text_span_search": q_text_span_search,
+        "dedup_incremental": q_dedup_incremental,
+        "store_versioned_diff": q_store_versioned_diff,
+        "store_versioned_restore": q_store_versioned_restore,
+        "text_boolean_search": q_text_boolean_search,
+        "text_prefix_search": q_text_prefix_search,
+        "text_fuzzy_search": q_text_fuzzy_search,
+        "text_search_facets": q_text_search_facets,
+        "text_more_like_this": q_text_more_like_this,
+        "text_suggest": q_text_suggest,
+        "store_versioned_diff_rows": q_store_versioned_diff_rows,
+        "store_cdc_feed": q_store_cdc_feed,
+        "store_versioned_optimize": q_store_versioned_optimize,
+        "store_versioned_vacuum": q_store_versioned_vacuum,
+        "emb_silhouette": q_emb_silhouette,
+        "events_seasonal": q_events_seasonal,
+        "text_pii_census": q_text_pii_census,
+        "store_versioned_clone": q_store_versioned_clone,
+        "store_schema_evolution": q_store_schema_evolution,
+        "events_retention_drop": q_events_retention_drop,
+        "chunk_chars": q_chunk_chars,
+        "chunk_words": q_chunk_words,
+        "chunk_tokens": q_chunk_tokens,
+        "chunk_tokens_overlap": q_chunk_tokens_overlap,
+        "parse_route": q_parse_route,
     }
 
 
