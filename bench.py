@@ -237,6 +237,28 @@ def main() -> None:
     bench("ann_ivf_maintain", ivf_maintain)
     bench("ann_ivf_stats", lambda: ivf.cell_stats())
 
+    def ivf_rebuild():
+        # policy-triggered full rebuild under drift (build + corpus-
+        # sized hot-cell upsert + rebuild — expensive by declared
+        # design, the scheduled-maintenance number)
+        from document_vector_pipeline_spark.store.ivf_index import (
+            IVFIndex,
+        )
+        rpath = os.path.join(ROOT, ".scratch", "bench_ivf_rebuild")
+        shutil.rmtree(rpath, ignore_errors=True)
+        ri = IVFIndex(spark, rpath, n_centroids=8)
+        ri.build(emb)
+        donor = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                            .select(F.col("embedding").alias("__dv")))
+        drift = (emb.select("vec_id").crossJoin(donor)
+                 .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                         F.col("__dv").alias("embedding")))
+        ri.upsert(drift)
+        assert ri.maybe_rebuild()
+        return spark.read.parquet(ri._cells)
+
+    bench("ann_ivf_rebuild", ivf_rebuild)
+
     from document_vector_pipeline_spark.operators import retrieval
 
     bm25_qt = spark.createDataFrame(
@@ -406,6 +428,43 @@ def main() -> None:
         return mi.more_like_this([1, 2, 3], m=5, k=10)
 
     bench("text_more_like_this", text_mlt)
+
+    bench("retrieval_prf",
+          lambda: retrieval.bm25_prf(docs, bm25_qt, k=10, k_fb=3, m=5))
+
+    def prf_indexed():
+        # build-inside-the-timer (the text_mlt discipline): the
+        # term-vector sidecar is opt-in, so its cost lands here
+        ppath = os.path.join(ROOT, ".scratch", "bench_prf_idx")
+        shutil.rmtree(ppath, ignore_errors=True)
+        pi = TextIndex(spark, ppath, n_term_buckets=16, n_doc_buckets=8,
+                       term_vectors=True)
+        pi.build(docs)
+        return pi.prf_search(bm25_qt, k=10, k_fb=3, m=5)
+
+    bench("text_prf_indexed", prf_indexed)
+
+    q3 = qdf.filter(F.col("query_id") < 3)
+    bench("ann_refine",
+          lambda: similarity.refine_ann(emb, q3, k=10, refine_factor=3))
+    bench("retrieval_mmr",
+          lambda: similarity.mmr_rerank(emb, q3, k=5, n=20))
+
+    def reranked():
+        text = retrieval.bm25_topk(docs, bm25_qt, k=10)
+        vec = similarity.brute_force_topk(emb, q3, k=10)
+        fused = retrieval.rrf_fuse(text, vec, k=10)
+        qtx = spark.createDataFrame(
+            [(0, "vector join hash"), (1, "stream window batch"),
+             (2, "customer table scan")],
+            "query_id long, query_text string")
+        cand = (fused.select("query_id", "doc_id")
+                .join(F.broadcast(qtx), "query_id")
+                .join(docs.select("doc_id", "text"), "doc_id"))
+        return retrieval.rerank_with_client(
+            cand, retrieval.stub_cross_encoder, k=10)
+
+    bench("retrieval_reranked", reranked)
 
     def versioned_cdc():
         # the change feed across bench_vvs's two commits (written by

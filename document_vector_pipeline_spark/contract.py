@@ -1386,6 +1386,56 @@ select query_id, vec_id, score, rank from r where rank <= 10
 """
 
 
+def q_ann_ivf_rebuild(spark, sf_dir):
+    """The maybe_rebuild POLICY proven through search (store/
+    ivf_index.py — the symmetry of TextIndex.maybe_compact): build the
+    index, upsert a DRIFT batch (a corpus-sized cohort all carrying
+    doc 0's embedding under new ids — mass piling into one cell:
+    that cell's share goes from ~1/8 to >1/2, fill ≈ 4500 milli at
+    any SF), then maybe_rebuild() with the default thresholds.  The
+    hot-cell fill trigger must fire (asserted — a silently-skipped
+    rebuild would still pass search at exhaustive probe), centroids
+    and cells are rebuilt from the drifted corpus, and
+    exhaustive-probe search equals brute force over exactly
+    corpus ∪ batch — which is what the oracle checks."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_ivf_rebuild_idx"),
+                   n_centroids=8)
+    idx.build(emb)
+    donor = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                        .select(F.col("embedding").alias("__dv")))
+    drift = (emb.select("vec_id")
+             .crossJoin(donor)
+             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     F.col("__dv").alias("embedding")))
+    idx.upsert(drift)
+    if not idx.maybe_rebuild():
+        raise AssertionError("drift batch did not trigger maybe_rebuild")
+    return idx.search_many(_queries_df(emb), k=10, nprobe=8)
+
+
+def _sql_ann_ivf_rebuild() -> str:
+    cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
+    return f"""
+with e0 as materialized (
+  select vec_id, {_EMB_D} as v from embeddings
+  union all
+  select b.vec_id + 1000000 as vec_id, d.v
+  from (select vec_id from embeddings) b
+  cross join (select {_EMB_D} as v from embeddings where vec_id = 0) d),
+e as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e where vec_id < 5),
+s as (select q.query_id, e.vec_id, round({cos}, 6) as score
+      from e cross join q),
+r as (select *, cast(row_number() over
+        (partition by query_id order by score desc, vec_id) as int) as rank
+      from s)
+select query_id, vec_id, score, rank from r where rank <= 10
+"""
+
+
 # hybrid-retrieval query batch: 3 queries x 3 terms over the synthetic
 # vocabulary ('zebra' is absent from the corpus — exercises the
 # missing-term path: it simply contributes nothing)
@@ -9883,6 +9933,7 @@ def queries():
         # -- new round-8 keys --
         "text_prf_indexed": q_text_prf_indexed,
         "retrieval_reranked": q_retrieval_reranked,
+        "ann_ivf_rebuild": q_ann_ivf_rebuild,
         # -- never driver-recorded (21, judge-green r7) --
         "events_pareto": q_events_pareto,
         "events_markov": q_events_markov,
@@ -10171,6 +10222,7 @@ def oracle_sql():
         "retrieval_prf": _sql_retrieval_prf(),
         "text_prf_indexed": _sql_retrieval_prf(),
         "retrieval_reranked": _sql_retrieval_reranked(),
+        "ann_ivf_rebuild": _sql_ann_ivf_rebuild(),
         "retrieval_mmr": _sql_retrieval_mmr(),
         "ann_range": _sql_ann_range(),
         "layout_hilbert": _sql_layout_hilbert(),

@@ -1,0 +1,96 @@
+"""One-decade scale spot-check (SURVEY §6): synthesize a 10x replica of
+sf0.1 (ids shifted per copy; document text perturbed with a per-copy
+token so near-dup structure is preserved instead of degenerating into
+exact-duplicate cliques) and measure headline families at both scales.
+A ~linear wall-time slope across the decade is the evidence the ±50 %
+noise band at one SF cannot give: O(n²) stages or single-task
+stragglers show up as slope >> data ratio.
+
+Usage: python tools/scale_check.py [out_dir] [key ...]
+Writes the 10x tables to out_dir (default /tmp/sf1synth) on first run,
+reuses them after, and prints one wall-time line per (key, sf).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+DEFAULT_KEYS = ["pipeline_e2e", "dedup_minhash", "dedup_clusters",
+                "text_bm25_indexed", "ann_ivfpq_persisted",
+                "events_pareto", "events_gini", "customer_rfm",
+                "corpus_token_budget", "events_topusers"]
+
+
+def build_synth(spark, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    scaled = {
+        "documents": ("doc_id",),
+        "embeddings": ("vec_id",),
+        "events": ("event_id", "user_id"),
+        "orders": ("o_orderkey", "o_custkey"),
+    }
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "lineitem"):
+        shutil.copy(f"{SRC}/{name}.parquet", f"{out}/{name}.parquet")
+    for name, id_cols in scaled.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        shifts = {c: int(df.agg(F.max(c)).collect()[0][0]) + 1
+                  for c in id_cols}
+        parts = []
+        for i in range(COPIES):
+            p = df
+            for c, s in shifts.items():
+                p = p.withColumn(c, (F.col(c) + F.lit(i * s))
+                                 .cast(df.schema[c].dataType))
+            if name == "documents" and i > 0:
+                p = p.withColumn(
+                    "text", F.concat_ws(" ", F.col("text"),
+                                        F.lit(f"copytoken{i}")))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(f"synth {name}: {COPIES}x written", flush=True)
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1synth"
+    keys = sys.argv[2:] or DEFAULT_KEYS
+
+    import __spark_entry__ as entrymod
+    from document_vector_pipeline_spark import get_spark
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out}/documents.parquet"):
+        build_synth(spark, out)
+
+    qs = entrymod.queries()
+    print(f"{'key':28s} {'sf0.1':>8s} {'10x':>8s} {'slope':>6s}")
+    for k in keys:
+        times = []
+        for sf_dir in (SRC, out):
+            t0 = time.monotonic()
+            df = qs[k](spark, sf_dir)
+            n = df.count()
+            times.append(time.monotonic() - t0)
+        slope = times[1] / times[0] if times[0] > 0 else float("inf")
+        print(f"{k:28s} {times[0]:7.2f}s {times[1]:7.2f}s "
+              f"{slope:5.1f}x  ({n} rows at 10x)", flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
