@@ -3945,8 +3945,12 @@ def q_text_burstiness(spark, sf_dir):
              .select("term", "tf", "df",
                      F.expr("(1000 * tf) div df").cast("long")
                      .alias("burst_milli")))
+    # vocab-sized frame: map-side partial top-30 per partition first
+    # (lossless for rank<=30), so the global rank window is bounded
+    cut = ranking.partial_topk(
+        stats, [F.desc("burst_milli"), F.col("term")], 30)
     w = Window.orderBy(F.desc("burst_milli"), "term")
-    return (stats.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (cut.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= 30)
             .select("rank", "term", "tf", "df", "burst_milli"))
 
@@ -4357,8 +4361,10 @@ def q_corpus_zipf(spark, sf_dir):
     tf = (docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
           .groupBy("term")
           .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    # vocab-sized frame: partial top-100 pre-cut bounds the rank window
+    cut = ranking.partial_topk(tf, [F.desc("freq"), F.col("term")], 100)
     w = Window.orderBy(F.desc("freq"), "term")
-    head = (tf.withColumn("i", F.row_number().over(w).cast("long"))
+    head = (cut.withColumn("i", F.row_number().over(w).cast("long"))
             .filter(F.col("i") <= 100))
     pts = head.select(
         F.round(F.log(F.col("i").cast("double")) * F.lit(1000000.0))
@@ -5102,10 +5108,15 @@ def q_corpus_percentiles(spark, sf_dir):
 def q_events_top_sessions(spark, sf_dir):
     """Top-20 sessions by fixed-point total value (sessionize -> global
     rank): the "most valuable visits" composition every session analytic
-    feeds.  Ties break on (user_id, session_start) for determinism."""
+    feeds.  Ties break on (user_id, session_start) for determinism.
+    Sessions-sized frame, so the global rank window consumes a
+    map-side partial top-20 pre-cut (plans/ranking.partial_topk)."""
     from pyspark.sql import Window
 
     sess = sev.sessionize(load_table(spark, sf_dir, "events"))
+    sess = ranking.partial_topk(
+        sess, [F.desc("total_value"), F.col("user_id"),
+               F.col("session_start")], 20)
     w = Window.orderBy(F.desc("total_value"), "user_id", "session_start")
     return (sess.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= 20)

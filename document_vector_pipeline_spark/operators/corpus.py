@@ -225,16 +225,19 @@ def shuffle_assign(docs: DataFrame, id_col: str = "doc_id",
     sorted by md5(doc_id) (a seedless uniform permutation, reproducible
     across runs and engines) with contiguous shard assignment.
 
-    The global row_number is ONE ordered exchange; at 100 TB scale swap it
-    for zipWithIndex-style per-partition offsets (rank = partition offset
-    + local index) — same order, no single-reducer sort.  Shard boundaries
-    are pure integer division of the position."""
-    from pyspark.sql import Window
+    The global position is the TWO-PHASE exact rank (plans/ranking.py:
+    range exchange + partition-offset row_number — the zipWithIndex
+    shape, no single-reducer sort at any corpus size).  Shard
+    boundaries are pure integer division of the position."""
+    from document_vector_pipeline_spark.plans.ranking import (
+        global_row_number)
 
     h = md5_long(F.col(id_col).cast("string"))
-    w = Window.orderBy(h, F.col(id_col))
-    pos = F.row_number().over(w).cast("long") - 1
-    return (docs.select(F.col(id_col), pos.alias("pos"))
+    base = docs.select(F.col(id_col), h.alias("__h"))
+    ranked, _ = global_row_number(
+        base, [F.col("__h"), F.col(id_col)], out="__rn")
+    return (ranked.select(F.col(id_col),
+                          (F.col("__rn") - 1).alias("pos"))
             .withColumn("shard", F.floor(F.col("pos") / shard_size)
                         .cast("long"))
             .orderBy("pos"))
@@ -465,16 +468,17 @@ def lm_buckets(docs: DataFrame, id_col: str = "doc_id",
     (doc_id, n_bigrams, score, tile, bucket).
 
     Plan: the LM scoring is bigram_lm_scores (oracle-exact fixed-point);
-    the ntile window runs over the per-document SCORE table — one row
-    per doc, never tokens — with a deterministic total tie-break
-    (score desc, doc_id).  An unpartitioned ntile over billions of docs
-    would single-task; the two-phase range-partition form (sample
-    boundaries, map-side assign) is the scale path, same note as
-    customer_deciles."""
+    the tiling runs over the per-document SCORE table — one row per
+    doc, never tokens — as the TWO-PHASE exact global ntile
+    (plans/ranking.py: range exchange + partition-offset arithmetic)
+    with a deterministic total tie-break (score desc, doc_id), so
+    billions of docs never single-task."""
+    from document_vector_pipeline_spark.plans.ranking import global_ntile
+
     scored = bigram_lm_scores(docs, id_col, text_col)
-    w = Window.orderBy(F.desc("score"), "doc_id")
-    t = F.ntile(3).over(w)
-    return (scored.withColumn("tile", t.cast("int"))
+    tiled = global_ntile(scored, [F.desc("score"), F.col("doc_id")], 3,
+                         out="tile")
+    return (tiled
             .withColumn("bucket",
                         F.when(F.col("tile") == 1, "head")
                          .when(F.col("tile") == 2, "middle")
@@ -557,25 +561,31 @@ def interleave_by_mixture(docs: DataFrame, source_col: str = "source",
     by (source, doc_id).  Reproducible across runs, engines and cluster
     sizes.
 
-    One shuffle on source (rank + count via one window pass each), then
-    the same single ordered exchange as shuffle_assign for the global
-    position — swap for per-partition offsets at 100 TB."""
-    from pyspark.sql import Window
+    Fully two-phase (plans/ranking.py): the per-source rank is a
+    grouped running count (a source-partitioned window would be ONE
+    TASK PER SOURCE with a handful of sources), per-source totals ride
+    in as a broadcast aggregate, and the global position is the
+    partition-offset exact rank — no single-task stage anywhere at
+    any corpus size."""
+    from document_vector_pipeline_spark.plans.ranking import (
+        global_row_number, grouped_running_sum)
 
     h = md5_long(F.col(id_col).cast("string"))
-    ws = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
-    wn = Window.partitionBy(source_col)
-    ranked = docs.select(
-        F.col(id_col), F.col(source_col).alias("source"),
-        (F.row_number().over(ws)).cast("long").alias("r"),
-        F.count("*").over(wn).cast("long").alias("n"))
+    base = docs.select(F.col(id_col), F.col(source_col).alias("source"),
+                       h.alias("__h"), F.lit(1).cast("long").alias("__one"))
+    ranked = grouped_running_sum(
+        base, "source", [F.col("__h"), F.col(id_col)], "__one", out="r")
+    n_per = (docs.groupBy(F.col(source_col).alias("source"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ranked = ranked.join(F.broadcast(n_per), "source")
     w6 = F.floor(F.sqrt(F.col("n") * F.lit(1_000_000))).cast("long")
     ranked = ranked.withColumn("w6", w6) \
                    .withColumn("v6", F.expr("(r * 1000000) div w6"))
-    wg = Window.orderBy("v6", "source", F.col(id_col))
-    return (ranked.select(id_col, "source", "v6",
-                          (F.row_number().over(wg).cast("long") - 1)
-                          .alias("pos"))
+    pos_ranked, _ = global_row_number(
+        ranked.select(id_col, "source", "v6"),
+        [F.col("v6"), F.col("source"), F.col(id_col)], out="__grn")
+    return (pos_ranked.select(id_col, "source", "v6",
+                              (F.col("__grn") - 1).alias("pos"))
             .orderBy("pos"))
 
 

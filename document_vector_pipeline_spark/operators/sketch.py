@@ -30,12 +30,16 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     """(group, n_kept, h_k, estimate): KMV distinct-count estimate of
     ``value_col`` per ``group_col``.
 
-    Plan: distinct (group, hash) — one partial-combined shuffle — then a
-    per-group window keeps the k minima (reducers never hold more than a
-    group's distinct hashes; with pre-aggregation enabled Spark combines
-    map-side so the shuffle carries at most k·partitions rows per group
-    in the sketch-merge variant).  Estimate arithmetic is all-double over
-    exact integer hashes: bit-identical at any parallelism."""
+    Plan: distinct (group, hash) — one partial-combined shuffle — then
+    the k minima per group.  The ``rank <= k`` filter on a PARTITIONED
+    window triggers Spark's rank-limit pushdown (SPARK-37099:
+    ``WindowGroupLimit Partial`` runs map-side BEFORE the exchange),
+    so each reducer group receives ≤ n_partitions·k survivors, never a
+    group's full distinct-hash set — scale-safe natively, no manual
+    pre-cut needed (unpartitioned windows get no such pushdown; those
+    use plans/ranking.partial_topk).  Estimate arithmetic is
+    all-double over exact integer hashes: bit-identical at any
+    parallelism."""
     h = md5_long(F.col(value_col).cast("string"))
     hashes = (df.select(F.col(group_col).alias("grp"), h.alias("h"))
               .distinct())
@@ -68,6 +72,9 @@ def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
             .select(F.col(group_col).alias("grp"),
                     md5_long(F.col(value_col).cast("string")).alias("h"))
             .distinct())
+    # per-group k-min: the rank<=k filter on the partitioned window
+    # triggers WindowGroupLimit's map-side partial cut (see
+    # kmv_distinct) — bounded reducer input without a manual pre-cut
     w = Window.partitionBy("grp").orderBy("h")
     kept = (kept.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
@@ -140,6 +147,11 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, depth: int = 4,
     est = (cand.join(F.broadcast(cells), ["r", "b"])
            .groupBy("v", "exact")
            .agg(F.min("c").alias("estimate")))
+    from document_vector_pipeline_spark.plans.ranking import partial_topk
+
+    # distinct-values-sized frame: partial top-k pre-cut bounds the
+    # global rank window (lossless for rank<=k)
+    est = partial_topk(est, [F.desc("estimate"), F.col("v")], k)
     w = Window.orderBy(F.desc("estimate"), F.col("v"))
     return (est.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

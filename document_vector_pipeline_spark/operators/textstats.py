@@ -297,29 +297,27 @@ def vocab_coverage(docs: DataFrame, text_col: str = "text",
     first) cover 50/90/99 % of all token occurrences — the statistic that
     sizes a tokenizer's vocab against a corpus.
 
-    ONE tokenize+explode pass → term counts (one shuffle) → a cumulative
-    window over the TERM table (vocab-sized, not corpus-sized) → a single
-    aggregation answers every coverage target at once (conditional mins,
-    then an explode back to long form).  Exact: n_terms is the first rank
-    whose cumulative count × 10⁶ ≥ target × total — cleared-denominator
+    ONE tokenize+explode pass → term counts (one shuffle) → the
+    TWO-PHASE exact cumulative sum + rank over the TERM table
+    (plans/ranking.global_cumsum — vocab-sized, and at web scale a
+    vocabulary IS corpus-class, so no single-task window; the token
+    total comes back as plan metadata) → a single aggregation answers
+    every coverage target at once (conditional mins, then an explode
+    back to long form).  Exact: n_terms is the first rank whose
+    cumulative count × 10⁶ ≥ target × total — cleared-denominator
     integer comparison, no division."""
-    from pyspark.sql import Window
+    from document_vector_pipeline_spark.plans.ranking import global_cumsum
 
     toks = docs.select(F.explode(
         F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                  lambda w: w != F.lit(""))).alias("term"))
     counts = toks.groupBy("term").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), "term") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.rowsBetween(Window.unboundedPreceding,
-                            Window.unboundedFollowing)
-    ranked = (counts
-              .withColumn("cum", F.sum("n").over(w))
-              .withColumn("rank", F.count("*").over(w))
-              .withColumn("total", F.sum("n").over(wt).cast("long")))
+    ranked, _, total = global_cumsum(
+        counts, [F.desc("n"), F.col("term")], "n",
+        out="cum", rn_out="rank")
     agg = ranked.agg(*[
         F.min(F.when(F.lit(1_000_000) * F.col("cum")
-                     >= F.lit(t).cast("long") * F.col("total"),
+                     >= F.lit(t).cast("long") * F.lit(total),
                      F.col("rank"))).cast("long").alias(f"t{t}")
         for t in targets])
     rows = F.array(*[

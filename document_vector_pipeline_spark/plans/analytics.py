@@ -420,15 +420,23 @@ def events_percentiles(events: DataFrame) -> DataFrame:
     """Discrete percentiles (p50/p90/p99) of value per event type, by exact
     rank selection: idx_p = (n-1)·p (integer arithmetic), total order
     (value, event_id).  No interpolation — the selected values are raw
-    input doubles, so both engines agree bit-for-bit.  One window pass +
-    one partial-aggregated shuffle."""
-    from pyspark.sql import Window
+    input doubles, so both engines agree bit-for-bit.  The ranking is
+    TWO-PHASE per-group (plans/ranking.grouped_running_sum): this
+    frame is the RAW EVENTS table and event types are a handful, so a
+    type-partitioned window would drag the whole corpus through a few
+    tasks — the worst few-huge-groups shape in the repo."""
+    from document_vector_pipeline_spark.plans.ranking import (
+        grouped_running_sum)
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = events.select(
-        "event_type", "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    base = events.select("event_type", "value", "event_id",
+                         F.lit(1).cast("long").alias("__one"))
+    n_per = (events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ranked = (grouped_running_sum(
+                  base, "event_type",
+                  [F.col("value"), F.col("event_id")], "__one", out="rn")
+              .join(F.broadcast(n_per), "event_type")
+              .select("event_type", "value", "rn", "n"))
 
     def at(pct: int):
         idx = ((F.col("n") - 1) * pct - ((F.col("n") - 1) * pct) % 100) / 100
@@ -451,8 +459,14 @@ def orders_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
     Plan: one orderkey-join shuffle attaches min(l_shipdate) per order
     (partial-aggregated map-side), day difference is integer µs
-    division, and the percentile window runs on the per-ORDER table —
-    one row per order, never per lineitem."""
+    division, and the percentile ranking runs on the per-ORDER table —
+    one row per order, never per lineitem — in TWO-PHASE per-group
+    form (plans/ranking.grouped_running_sum): with only 5 priorities a
+    priority-partitioned window is one task per priority, the same
+    few-huge-groups trap as token budgets."""
+    from document_vector_pipeline_spark.plans.ranking import (
+        grouped_running_sum)
+
     first_ship = (lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
                   .agg(F.min("l_shipdate").alias("first_ship")))
     us_diff = (epoch_us(F.date_trunc("day", F.col("first_ship")))
@@ -463,12 +477,15 @@ def orders_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     per = (orders.join(first_ship, "o_orderkey")
            .select(F.col("o_orderpriority").alias("priority"),
                    F.col("o_orderkey").alias("okey"),
-                   days.alias("days")))
-    w = Window.partitionBy("priority").orderBy("days", "okey")
-    ranked = per.select(
-        "priority", "days",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("priority")).alias("n"))
+                   days.alias("days"),
+                   F.lit(1).cast("long").alias("__one")))
+    n_per = (per.groupBy(F.col("priority").alias("priority"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ranked = (grouped_running_sum(
+                  per, "priority", [F.col("days"), F.col("okey")],
+                  "__one", out="rn")
+              .join(F.broadcast(n_per), "priority")
+              .select("priority", "days", "rn", "n"))
 
     def at(pct: int):
         idx = ((F.col("n") - 1) * pct
@@ -878,25 +895,35 @@ def events_mad_outliers(events: DataFrame,
     k = 4448 ≈ 3·1.4826·1000, all exact integer cents (cleared
     denominators, rank-selected medians, no interpolation).
 
-    Two rank windows + the reduction, all partitioned on event_type; the
-    per-type medians broadcast back as a tiny join."""
-    from pyspark.sql import Window
+    Two rank selections + the reduction — each in TWO-PHASE per-group
+    form (plans/ranking.grouped_running_sum): both ranked frames are
+    the RAW events table and event types are a handful, so a
+    type-partitioned window would funnel the corpus through a few
+    tasks.  The per-type medians broadcast back as a tiny join."""
+    from document_vector_pipeline_spark.plans.ranking import (
+        grouped_running_sum)
 
     cents = F.round(F.col("value") * 100, 0).cast("long")
     e = events.select("event_type", "event_id", cents.alias("x"))
-    w1 = Window.partitionBy("event_type").orderBy("x", "event_id")
-    wc = Window.partitionBy("event_type")
-    med = (e.withColumn("rk", F.row_number().over(w1))
-           .withColumn("n", F.count("*").over(wc))
-           .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
-           .select("event_type", F.col("x").alias("med")))
+    n_per = (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    def median_of(df, order_col, out):
+        ranked = (grouped_running_sum(
+                      df.withColumn("__one", F.lit(1).cast("long")),
+                      "event_type",
+                      [F.col(order_col), F.col("event_id")],
+                      "__one", out="rk")
+                  .join(F.broadcast(n_per), "event_type"))
+        return (ranked
+                .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+                .select("event_type", F.col(order_col).alias(out)))
+
+    med = median_of(e, "x", "med")
     d = (e.join(F.broadcast(med), "event_type")
          .withColumn("dev", F.abs(F.col("x") - F.col("med"))))
-    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
-    mad = (d.withColumn("rk", F.row_number().over(w2))
-           .withColumn("n", F.count("*").over(wc))
-           .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
-           .select("event_type", F.col("dev").alias("mad")))
+    mad = median_of(d.select("event_type", "event_id", "dev"),
+                    "dev", "mad")
     flagged = (d.join(F.broadcast(mad), "event_type")
                .withColumn("is_out",
                            F.lit(1000) * F.col("dev")
@@ -918,9 +945,14 @@ def conversion_latency(events: DataFrame, from_type: str = "view",
     convention as events_percentiles) plus the converter count.
 
     One exchange on user_id covers the first-view window and the
-    per-user reduction; the percentile window then runs over ONE ROW PER
-    CONVERTER, not per event."""
+    per-user reduction; the percentile ranking then runs over ONE ROW
+    PER CONVERTER as the TWO-PHASE exact global rank
+    (plans/ranking.py — converters are users-sized, so no single-task
+    window), with the converter count riding in as plan metadata."""
     from pyspark.sql import Window
+
+    from document_vector_pipeline_spark.plans.ranking import (
+        global_row_number)
 
     w = Window.partitionBy("user_id")
     df = events.withColumn(
@@ -931,20 +963,15 @@ def conversion_latency(events: DataFrame, from_type: str = "view",
             .groupBy("user_id")
             .agg((F.min(epoch_us(F.col("ts")))
                   - F.max(epoch_us(F.col("t1")))).alias("latency_us")))
-    wr = Window.orderBy("latency_us", "user_id")
-    ranked = conv.select(
-        "latency_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(
-            Window.rowsBetween(Window.unboundedPreceding,
-                               Window.unboundedFollowing)).alias("n"))
+    ranked, total = global_row_number(
+        conv, [F.col("latency_us"), F.col("user_id")], out="rn")
 
     def at(pct: int):
-        idx = ((F.col("n") - 1) * pct - ((F.col("n") - 1) * pct) % 100) / 100
-        return F.max(F.when(F.col("rn") == idx.cast("long") + 1,
+        idx = ((total - 1) * pct - ((total - 1) * pct) % 100) // 100
+        return F.max(F.when(F.col("rn") == F.lit(idx + 1),
                             F.col("latency_us")))
 
-    return ranked.agg(F.max("n").cast("long").alias("n_converters"),
+    return ranked.agg(F.lit(total).cast("long").alias("n_converters"),
                       at(50).alias("p50_us"), at(90).alias("p90_us"),
                       at(99).alias("p99_us"))
 
@@ -1189,22 +1216,27 @@ def customer_skyline(orders: DataFrame) -> DataFrame:
     Dominance is strict on both dimensions (c' dominates c iff
     n' > n AND cents' > cents), so a customer survives exactly when
     its spend is >= the max spend among customers with strictly more
-    orders — a RANGE frame (current n_orders + 1 … unbounded) over the
-    per-customer rollup computes that max directly.  All integer cents;
-    the window sees one row per customer, never orders.  At billions of
-    customers the same plan holds: the rollup is the shuffle, the
-    frontier window is a single ordered pass."""
+    orders — the strictly-greater suffix max over the per-customer
+    rollup computes that directly, in TWO-PHASE form
+    (plans/ranking.global_suffix_max: range exchange on n_orders,
+    later-partition maxes as plan metadata, local range frame inside
+    each partition — bit-identical to the unpartitioned RANGE window
+    with no single-task pass).  All integer cents; the frame sees one
+    row per customer, never orders, and holds at billions of
+    customers."""
+    from document_vector_pipeline_spark.plans.ranking import (
+        global_suffix_max)
+
     per = (orders.groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.count("*").cast("long").alias("n_orders"),
                 F.sum(F.round(F.col("o_totalprice") * 100.0, 0)
                       .cast("long")).alias("cents")))
-    # max spend among customers with STRICTLY more orders: range frame
-    # on n_orders, upper bound unbounded, lower bound current+1
-    w = (Window.orderBy("n_orders")
-         .rangeBetween(1, Window.unboundedFollowing))
-    return (per
+    # max spend among customers with STRICTLY more orders
+    withmax = global_suffix_max(per, "n_orders", "cents",
+                                out="best_above")
+    return (withmax
             .withColumn("best_above",
-                        F.coalesce(F.max("cents").over(w),
+                        F.coalesce(F.col("best_above"),
                                    F.lit(-1).cast("long")))
             .filter(F.col("cents") >= F.col("best_above"))
             .select("custkey", "n_orders",
@@ -1545,6 +1577,13 @@ def basket_lift(lineitem: DataFrame, min_support: int = 2,
                       F.expr("(1000 * n_ab * n_orders_total) "
                              "div (n_a * n_b)").cast("long")
                       .alias("lift_milli")))
+    from document_vector_pipeline_spark.plans.ranking import partial_topk
+
+    # co-occurrence-pairs-sized frame: map-side partial top-k pre-cut
+    # bounds the global rank window (lossless for rank<=topk)
+    scored = partial_topk(
+        scored, [F.desc("lift_milli"), F.col("part_a"), F.col("part_b")],
+        topk)
     w = Window.orderBy(F.desc("lift_milli"), "part_a", "part_b")
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= topk)

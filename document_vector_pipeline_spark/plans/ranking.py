@@ -25,6 +25,17 @@ form stay green.  ``ntile`` is derived arithmetically from the global
 row_number with the standard SQL bucket rule (first N%k buckets get
 one extra row), which Spark and DuckDB share.
 
+The eager localCheckpoint after the range exchange is load-bearing,
+not a convenience: the offsets job and the ranked-output job MUST see
+identical partition membership, and RangePartitioner's boundaries come
+from a reservoir sample whose draw depends on upstream row ORDER —
+which shuffle fetch does not reproduce across recomputes.  The
+checkpoint is the TeraSort write barrier: one linear, fully
+distributed materialization of the frame being ranked (executor-local
+storage), paid once per ranking — still strictly better than the
+single-task sort it replaces, and free for the common case where the
+input is an already-aggregated users/vocab-sized frame.
+
 Reference analogue: the reference engine has no ranked-decile surface
 (BlobTriggerFunction.cs is a per-blob trigger); this module exists for
 the analytics keys the brief adds on top.
@@ -35,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "global_ntile", "grouped_running_sum"]
+__all__ = ["global_row_number", "global_ntile", "grouped_running_sum",
+           "partial_topk", "global_cumsum", "global_suffix_max"]
 
 
 def _default_parts(df: DataFrame) -> int:
@@ -153,3 +165,104 @@ def grouped_running_sum(df: DataFrame, group_col: str, order_cols: list,
                               + F.sum(F.col(val_col)).over(wl))
                         .cast("long"))
             .drop("__pid", "__goff"))
+
+
+def partial_topk(df: DataFrame, order_cols: list, k: int,
+                 group_cols: tuple = ()) -> DataFrame:
+    """Map-side pre-cut for a global (or per-group) top-k window: keep
+    the best ``k`` rows per (physical partition, *group_cols) first, so
+    the final unpartitioned/per-group rank window sees at most
+    n_partitions·k rows per group instead of the whole frame — the JVM
+    twin of similarity._partial_cut.  LOSSLESS for any downstream
+    ``rank <= k`` filter: a row outside its partition's local top-k
+    cannot be in the global top-k.  The pre-cut window partitions on
+    spark_partition_id(), so its groups are the input partitions —
+    fully distributed, no single task anywhere; the survivor frame is
+    bounded (n_parts·k), making the final global window a
+    constant-size stage at any corpus size."""
+    pre = Window.partitionBy(F.spark_partition_id(), *[F.col(c) for c
+                                                       in group_cols]) \
+        .orderBy(*order_cols)
+    return (df.withColumn("__prn", F.row_number().over(pre))
+            .filter(F.col("__prn") <= k).drop("__prn"))
+
+
+def global_cumsum(df: DataFrame, order_cols: list, val_col: str,
+                  out: str = "cum", rn_out: str | None = None,
+                  n_partitions: int | None = None):
+    """``(df + out [+ rn_out], total_rows, total_sum)``: exact global
+    running sum (and optionally the global row_number) over a total
+    order, two-phase — range exchange, per-partition (count, sum)
+    pairs as plan metadata, map-side cum = partition sum-offset +
+    local running sum.  Equivalent to ``SUM(val) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` with no single-task stage; the totals
+    come back as plan metadata so callers can drop their
+    whole-frame-count windows too."""
+    n_parts = n_partitions or _default_parts(df)
+    part = (df.repartitionByRange(n_parts, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    stats = {int(r["__pid"]): (int(r["n"]), int(r["s"]))
+             for r in part.groupBy("__pid")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col(val_col)).cast("long").alias("s"))
+             .collect()}
+    rows, nacc, sacc = [], 0, 0
+    for pid in sorted(stats):
+        rows.append((pid, nacc, sacc))
+        nacc += stats[pid][0]
+        sacc += stats[pid][1]
+    if not rows:
+        rows = [(0, 0, 0)]
+    off = df.sparkSession.createDataFrame(
+        rows, "__pid int, __noff long, __soff long")
+    wl = Window.partitionBy("__pid").orderBy(*order_cols)
+    wls = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    res = (part.join(F.broadcast(off), "__pid")
+           .withColumn(out, (F.col("__soff")
+                             + F.sum(F.col(val_col)).over(wls))
+                       .cast("long")))
+    if rn_out is not None:
+        res = res.withColumn(rn_out, (F.col("__noff")
+                                      + F.row_number().over(wl))
+                             .cast("long"))
+    return res.drop("__pid", "__noff", "__soff"), nacc, sacc
+
+
+def global_suffix_max(df: DataFrame, order_col: str, val_col: str,
+                      out: str = "suffix_max",
+                      n_partitions: int | None = None) -> DataFrame:
+    """``out`` = max of ``val_col`` over every row whose ``order_col``
+    is STRICTLY GREATER than this row's — the frontier/skyline window
+    (``RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING``) in
+    two-phase form: range exchange on ``order_col`` (equal keys are
+    never split across partitions, so "strictly greater" rows live in
+    this partition — handled by the local range window — or in LATER
+    partitions, whose maxes are plan metadata folded into a per-pid
+    suffix), null when no greater row exists.  Bit-identical to the
+    unpartitioned range window, no single-task stage."""
+    n_parts = n_partitions or _default_parts(df)
+    part = (df.repartitionByRange(n_parts, F.col(order_col))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    maxes = {int(r["__pid"]): int(r["m"])
+             for r in part.groupBy("__pid")
+             .agg(F.max(F.col(val_col)).cast("long").alias("m"))
+             .collect()}
+    rows, suffix = [], None
+    for pid in sorted(maxes, reverse=True):
+        rows.append((pid, suffix))
+        suffix = maxes[pid] if suffix is None else max(suffix, maxes[pid])
+    if not rows:
+        rows = [(0, None)]
+    off = df.sparkSession.createDataFrame(
+        rows, "__pid int, __later long")
+    wl = (Window.partitionBy("__pid").orderBy(order_col)
+          .rangeBetween(1, Window.unboundedFollowing))
+    local = F.max(F.col(val_col)).over(wl)
+    return (part.join(F.broadcast(off), "__pid")
+            .withColumn(out,
+                        F.when(local.isNull(), F.col("__later"))
+                         .when(F.col("__later").isNull(), local)
+                         .otherwise(F.greatest(local, F.col("__later"))))
+            .drop("__pid", "__later"))

@@ -915,3 +915,60 @@ def test_grouped_running_sum_no_single_task_stage(spark, t):
 
     out = token_budget_select(t["documents"], budget_tokens=50_000)
     assert _unpartitioned_windows(plan_of(out)) == []
+
+
+def test_two_phase_family_has_no_unpartitioned_windows(spark, t):
+    """Round 8 sweep: every rank/cumsum/suffix-max over an unbounded
+    frame (docs, users, customers, vocab, converters) is two-phase —
+    zero unpartitioned Window nodes in the whole plan.  (Top-k keys
+    like text_burstiness keep ONE unpartitioned window by design, but
+    it consumes the bounded partial_topk survivor frame.)"""
+    from document_vector_pipeline_spark.operators.corpus import (
+        interleave_by_mixture,
+        lm_buckets,
+        shuffle_assign,
+    )
+    from document_vector_pipeline_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    frames = [
+        analytics.customer_skyline(t["orders"]),
+        analytics.conversion_latency(t["events"]),
+        analytics.orders_latency(t["orders"], t["lineitem"]),
+        lm_buckets(t["documents"].limit(200)),
+        shuffle_assign(t["documents"]),
+        interleave_by_mixture(t["documents"]),
+        vocab_coverage(t["documents"].limit(200)),
+    ]
+    for df in frames:
+        assert _unpartitioned_windows(plan_of(df)) == []
+
+
+def test_partial_topk_bounds_topk_windows(spark, t):
+    """Per-group k-min windows lean on Spark's native rank-limit
+    pushdown: a map-side WindowGroupLimit(Partial) must cut BEFORE the
+    exchange so no reducer group ever receives a group's full frame.
+    Unpartitioned top-k windows get no such pushdown — those go
+    through plans/ranking.partial_topk: the pre-cut window partitions
+    on SPARK_PARTITION_ID (earning its own Partial pushdown), and the
+    final global window consumes only the bounded survivors."""
+    from document_vector_pipeline_spark.operators.sketch import (
+        kmv_distinct,
+    )
+    from document_vector_pipeline_spark.plans.ranking import partial_topk
+
+    plan = plan_of(kmv_distinct(t["events"], "event_type", "user_id"))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert _unpartitioned_windows(plan) == []
+
+    per = (t["events"].groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    cut = partial_topk(per, [F.desc("n"), F.col("user_id")], 20)
+    plan2 = plan_of(cut)
+    # spark_partition_id materializes as a _w window key; the Partial
+    # WindowGroupLimit must sit BELOW the exchange (map-side cut)
+    assert ", Partial" in plan2 and "WindowGroupLimit" in plan2
+    assert plan2.index(", Partial") > plan2.index("Exchange")
+    assert _unpartitioned_windows(plan2) == []

@@ -1,0 +1,116 @@
+"""plans/ranking.py: two-phase exact ranking primitives — each must be
+bit-identical to its unpartitioned-window counterpart (that is the
+whole contract: same answer, no single-task stage)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.plans.ranking import (
+    global_cumsum,
+    global_ntile,
+    global_row_number,
+    global_suffix_max,
+    grouped_running_sum,
+    partial_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    random.seed(7)
+    rows = [(i, random.randint(0, 50), random.choice("abc"))
+            for i in range(997)]
+    return (spark.createDataFrame(rows, "id long, n long, g string")
+            .repartition(8).localCheckpoint(eager=True))
+
+
+def ORDER():
+    return [F.desc("n"), F.col("id")]
+
+
+def W():
+    return Window.orderBy(F.desc("n"), "id")
+
+
+def test_global_row_number_equals_window(frame):
+    got, total = global_row_number(frame, ORDER(), out="rn")
+    want = frame.withColumn("rn", F.row_number().over(W()).cast("long"))
+    assert total == 997
+    assert ({(r.id, r.rn) for r in got.collect()}
+            == {(r.id, r.rn) for r in want.collect()})
+
+
+@pytest.mark.parametrize("k", [10, 3, 997, 1200])
+def test_global_ntile_equals_window(frame, k):
+    got = global_ntile(frame, ORDER(), k, out="t")
+    want = frame.withColumn("t", F.ntile(k).over(W()))
+    assert ({(r.id, r.t) for r in got.collect()}
+            == {(r.id, r.t) for r in want.collect()})
+
+
+def test_grouped_running_sum_equals_window(frame):
+    wg = (Window.partitionBy("g").orderBy(F.desc("n"), "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = frame.withColumn("c", F.sum("n").over(wg).cast("long"))
+    got = grouped_running_sum(frame, "g", ORDER(), "n", out="c")
+    assert ({(r.id, r.c) for r in got.collect()}
+            == {(r.id, r.c) for r in want.collect()})
+
+
+def test_global_cumsum_equals_window(frame):
+    ws = Window.orderBy("n", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = (frame
+            .withColumn("c", F.sum("n").over(ws).cast("long"))
+            .withColumn("rk", F.row_number()
+                        .over(Window.orderBy("n", "id")).cast("long")))
+    got, total, tsum = global_cumsum(
+        frame, [F.col("n"), F.col("id")], "n", out="c", rn_out="rk")
+    assert total == 997
+    assert tsum == sum(r["n"] for r in frame.select("n").collect())
+    assert ({(r.id, r.c, r.rk) for r in got.collect()}
+            == {(r.id, r.c, r.rk) for r in want.collect()})
+
+
+def test_global_suffix_max_equals_range_window(frame):
+    wr = Window.orderBy("n").rangeBetween(1, Window.unboundedFollowing)
+    want = frame.withColumn("sm", F.max("id").over(wr).cast("long"))
+    got = global_suffix_max(frame, "n", "id", out="sm")
+    assert ({(r.id, r.sm) for r in got.collect()}
+            == {(r.id, r.sm) for r in want.collect()})
+
+
+def test_partial_topk_lossless_for_rank_cut(frame):
+    want = {r.id for r in frame.withColumn("rk", F.row_number().over(W()))
+            .filter(F.col("rk") <= 25).collect()}
+    cut = partial_topk(frame, ORDER(), 25)
+    got = {r.id for r in cut.withColumn("rk", F.row_number().over(W()))
+           .filter(F.col("rk") <= 25).collect()}
+    assert got == want
+    # survivor frame is partition-bounded
+    assert cut.count() <= 8 * 25 * 2
+
+    wg = Window.partitionBy("g").orderBy(F.desc("n"), "id")
+    wantg = {(r.g, r.id) for r in frame
+             .withColumn("rk", F.row_number().over(wg))
+             .filter(F.col("rk") <= 10).collect()}
+    cutg = partial_topk(frame, ORDER(), 10, group_cols=("g",))
+    gotg = {(r.g, r.id) for r in cutg
+            .withColumn("rk", F.row_number().over(wg))
+            .filter(F.col("rk") <= 10).collect()}
+    assert gotg == wantg
+
+
+def test_empty_frames(frame):
+    e = frame.limit(0)
+    ranked, total = global_row_number(e, ORDER())
+    assert total == 0 and ranked.count() == 0
+    assert global_ntile(e, ORDER(), 10).count() == 0
+    res, n, s = global_cumsum(e, ORDER(), "n")
+    assert n == 0 and s == 0 and res.count() == 0
+    assert global_suffix_max(e, "n", "id").count() == 0
