@@ -1411,7 +1411,13 @@ def q_ann_ivf_rebuild(spark, sf_dir):
              .select((F.col("vec_id") + 1000000).alias("vec_id"),
                      F.col("__dv").alias("embedding")))
     idx.upsert(drift)
-    if not idx.maybe_rebuild():
+    rebuilt = idx.maybe_rebuild()
+    if (not rebuilt and drift.limit(1).count()
+            and len(idx._centroid_rows()) > 1):
+        # the trigger must fire whenever the drift CAN unbalance a cell:
+        # a non-empty batch against a multi-cell index.  (An empty corpus
+        # yields an empty batch; a single-vector corpus yields a single
+        # cell that no drift can push out of balance.)
         raise AssertionError("drift batch did not trigger maybe_rebuild")
     return idx.search_many(_queries_df(emb), k=10, nprobe=8)
 
@@ -5093,7 +5099,8 @@ def q_source_partitioned(spark, sf_dir):
     path = os.path.join(SCRATCH, "source_partitioned")
     shutil.rmtree(path, ignore_errors=True)
     sources.write_partitioned(docs, path, "lang")
-    back = sources.read_partitioned(spark, path).filter(F.col("lang") == "en")
+    back = (sources.read_partitioned(spark, path, schema=docs.schema)
+            .filter(F.col("lang") == "en"))
     return (back.select("doc_id", F.col("lang").cast("string").alias("lang"),
                         "source", F.col("n_chars").cast("long").alias("n_chars"),
                         F.md5("text").alias("digest"))

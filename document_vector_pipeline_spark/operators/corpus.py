@@ -264,7 +264,9 @@ def write_shards(docs: DataFrame, path: str, id_col: str = "doc_id",
     (rows.repartition("shard")
      .sortWithinPartitions("shard", "pos")
      .write.partitionBy("shard").mode("overwrite").parquet(path))
-    back = docs.sparkSession.read.parquet(path)
+    # explicit schema: an empty corpus writes zero shard files and
+    # inference would fail; the schema is known — it's what we wrote
+    back = docs.sparkSession.read.schema(rows.schema).parquet(path)
     toks = F.size(F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda w: w != F.lit("")))

@@ -153,12 +153,16 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 10,
     import numpy as np
 
     q_rows = queries.select(qid_col, qvec_col).collect()
+    out_schema = "query_id long, vec_id long, score double"
+    if not q_rows:
+        # no queries → typed-empty result (np.linalg.norm(axis=1) on a
+        # zero-row matrix would raise instead)
+        return queries.sparkSession.createDataFrame([], out_schema)
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = 1.0
     qn = q_mat / q_norm[:, None]
-    out_schema = "query_id long, vec_id long, score double"
 
     def score_partition(batches):
         import pandas as pd
@@ -314,6 +318,14 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     smallest centroid_id exactly like the window's (desc score,
     centroid_id) order."""
     cents = centroids.select("centroid_id", "centroid").collect()
+    if not cents:
+        # empty corpus trains no centroids; typed-empty assignment (the
+        # argmin expression below would not analyze over a zero-arm array)
+        cid_t = centroids.schema["centroid_id"].dataType.simpleString()
+        return (corpus.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("v"),
+                              F.lit(None).cast(cid_t).alias("centroid_id"))
+                .filter(F.lit(False)))
     cands = []
     for r in cents:
         carr = F.array(*[F.lit(float(x)) for x in r["centroid"]])
@@ -979,7 +991,16 @@ def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _kmeans_cands(cents: list[list[int]]):
     """Array of struct(d, c) over the centroid literals — exact int64
     squared distance per centroid; struct field order makes array_min/
-    array_sort break distance ties on the lowest cluster id."""
+    array_sort break distance ties on the lowest cluster id.
+
+    An EMPTY centroid list only ever happens when the corpus itself is
+    empty (seeds are sampled from it), so the consuming frame has zero
+    rows; return a typed null-struct sentinel so the expression still
+    ANALYZES (array_min over a literal empty array is VOID and fails
+    resolution) — it can never reach a real row."""
+    if not cents:
+        return F.array(F.struct(F.lit(None).cast("long").alias("d"),
+                                F.lit(None).cast("int").alias("c")))
     cands = []
     for ci, c6 in enumerate(cents, start=1):
         carr = F.array(*[F.lit(x) for x in c6])
@@ -1011,9 +1032,15 @@ def _kmeans_assign_np(base: DataFrame, cents: list[list[int]],
     """
     import numpy as np
 
+    id_type = base.schema["vec_id"].dataType.simpleString()
+    schema = {"assign": f"vec_id {id_type}, cluster int, d long",
+              "partials": "cluster int, pos int, s long, n long",
+              "stats": "cluster int, n long, sd long"}[out]
+    if not cents:
+        # empty corpus → no centroids trained; typed-empty result
+        return base.sparkSession.createDataFrame([], schema)
     C = np.array(cents, dtype=np.int64)
     k, dim = C.shape
-    id_type = base.schema["vec_id"].dataType.simpleString()
 
     def run(batches):
         import pandas as pd
@@ -1048,12 +1075,7 @@ def _kmeans_assign_np(base: DataFrame, cents: list[list[int]],
                             for p in range(dim))
             yield pd.DataFrame(recs, columns=["cluster", "pos", "s", "n"])
 
-    schema = {"assign": f"vec_id {id_type}, cluster int, d long",
-              "partials": "cluster int, pos int, s long, n long",
-              "stats": "cluster int, n long, sd long"}[out]
     cols = ["vec_id", "v6"] if out == "assign" else ["v6"]
-    if out == "assign":
-        return base.select(*cols).mapInPandas(run, schema)
     return base.select(*cols).mapInPandas(run, schema)
 
 
@@ -1102,6 +1124,8 @@ def _lloyd_centroids(base: DataFrame, n_clusters: int, iters: int,
              .orderBy("h", "vec_id").limit(n_clusters)
              .select("v6").collect())
     cents = [[int(x) for x in r["v6"]] for r in seeds]
+    if not cents:
+        return []
     for _ in range(iters):
         if use_udf:
             upd = (_kmeans_assign_np(base, cents, out="partials")
@@ -1119,10 +1143,13 @@ def _lloyd_centroids(base: DataFrame, n_clusters: int, iters: int,
         sums: dict[int, dict[int, tuple[int, int]]] = {}
         for r in upd:
             sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        # range over len(cents), not n_clusters: a corpus smaller than
+        # n_clusters seeds fewer centroids (empty corpus seeds none and
+        # skips the loop entirely — the callers' typed-empty paths)
         cents = [
             [_div_half_away(*sums[ci][p]) for p in range(dim)]
             if ci in sums else cents[ci - 1]
-            for ci in range(1, n_clusters + 1)]
+            for ci in range(1, len(cents) + 1)]
     return cents
 
 

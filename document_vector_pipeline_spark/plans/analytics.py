@@ -1378,6 +1378,13 @@ def seasonal_baseline_mae(events: DataFrame,
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr"))
     bound_row = ev.agg(F.min("ts").alias("t0")).collect()[0]
     split = bound_row["t0"]
+    if split is None:
+        # empty stream: no split boundary exists — typed-empty result
+        return (ev.groupBy("event_type")
+                .agg(F.lit(0).cast("long").alias("n_train"),
+                     F.lit(0).cast("long").alias("n_test"),
+                     F.lit(0).cast("long").alias("mae_cents"))
+                .orderBy("event_type"))
     train = ev.filter(
         F.col("ts") < F.lit(split) + F.expr(f"INTERVAL {train_days} DAYS"))
     test = ev.filter(

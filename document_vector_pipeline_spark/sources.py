@@ -183,10 +183,15 @@ def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
     df.write.partitionBy(*part_cols).mode("overwrite").parquet(path)
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned(spark: SparkSession, path: str,
+                     schema=None) -> DataFrame:
     """Read a partitioned parquet dataset; partition columns come back as
-    directory-derived columns and filters on them prune at planning time."""
-    return spark.read.parquet(path)
+    directory-derived columns and filters on them prune at planning time.
+    Pass ``schema`` (the written frame's StructType) when the dataset may
+    be empty — a zero-row write leaves no files to infer from — or to
+    skip footer inference on wide datasets."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(path)
 
 
 def write_orc(df: DataFrame, path: str) -> None:

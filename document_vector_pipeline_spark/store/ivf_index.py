@@ -37,11 +37,13 @@ maintenance op just moves one forward.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from document_vector_pipeline_spark.functions.hashing import md5_long
 from document_vector_pipeline_spark.functions.vectors import dot, l2_norm
@@ -85,6 +87,70 @@ class IVFIndex:
         jp = self._jpath(p)
         self._fs(jp).delete(jp, True)
 
+    # -- schema sidecar -----------------------------------------------------
+    # ``build`` records the cells/idmap schemas in _schema.json so every
+    # later read passes an EXPLICIT schema: (1) an index built over an
+    # empty corpus writes zero data files into the partitioned dirs and
+    # schema inference would fail (UNABLE_TO_INFER_SCHEMA) even though
+    # the index state is perfectly well-defined; (2) explicit schemas
+    # skip footer inference on every maintenance/search read.  Indexes
+    # from before this sidecar existed fall back to plain inference.
+    # The sidecar is AUTHORITATIVE (the Delta/Iceberg discipline —
+    # schema lives in the log, not in file footers): manual surgery
+    # that changes the cell layout must call _record_schemas.
+
+    @property
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _write_text(self, p: str, text: str) -> None:
+        jp = self._jpath(p)
+        out = self._fs(jp).create(jp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_text(self, p: str) -> str:
+        jp = self._jpath(p)
+        inp = self._fs(jp).open(jp)
+        try:
+            return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                inp, "UTF-8")
+        finally:
+            inp.close()
+
+    def _record_schemas(self, **schemas: StructType) -> None:
+        merged = {k: v.jsonValue() for k, v in self._schemas().items()}
+        merged.update({k: v.jsonValue() for k, v in schemas.items()})
+        self._write_text(self._schema_file, json.dumps(merged))
+        self._schemas_cache = None
+
+    def _schemas(self) -> dict:
+        cache = getattr(self, "_schemas_cache", None)
+        if cache is not None:
+            return cache
+        if not self._fs_exists(self._schema_file):
+            self._schemas_cache = {}
+        else:
+            raw = json.loads(self._read_text(self._schema_file))
+            self._schemas_cache = {k: StructType.fromJson(v)
+                                   for k, v in raw.items()}
+        return self._schemas_cache
+
+    def _read_dir(self, path: str, key: str) -> DataFrame:
+        sch = self._schemas().get(key)
+        reader = self.spark.read
+        if sch is not None:
+            reader = reader.schema(sch)
+        return reader.parquet(path)
+
+    def _read_cells(self) -> DataFrame:
+        return self._read_dir(self._cells, "cells")
+
+    def _read_idmap(self) -> DataFrame:
+        return self._read_dir(self._idmap, "idmap")
+
     def build(self, corpus: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", use_udf: bool = True) -> None:
         """Assign every vector to its max-cosine centroid and persist the
@@ -112,9 +178,14 @@ class IVFIndex:
                          F.col("v").alias("centroid"),
                          F.col("vnorm").alias("cnorm")))
         cents.coalesce(1).write.mode("overwrite").parquet(self._cents)
-        cent_rows = sorted(self.spark.read.parquet(self._cents).collect(),
+        self._record_schemas(cents=cents.schema)
+        cent_rows = sorted(self._read_dir(self._cents, "cents").collect(),
                            key=lambda r: r["centroid_id"])
-        if use_udf:
+        if not cent_rows:
+            # empty corpus: a well-defined empty index (the argmin fold
+            # below would not analyze over a zero-arm candidate array)
+            assigned = self._assign_np(base, cent_rows)
+        elif use_udf:
             assigned = self._assign_np(base, cent_rows)
         else:
             vd2 = F.transform(F.col("v"), lambda v: v.cast("double"))
@@ -131,6 +202,10 @@ class IVFIndex:
                         .select("vec_id", "v", "vnorm", "centroid_id"))
         (assigned.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite").parquet(self._cells))
+        idmap_schema = StructType([assigned.schema["vec_id"],
+                                   assigned.schema["centroid_id"]]
+                                  ).add("bucket", "long")
+        self._record_schemas(cells=assigned.schema, idmap=idmap_schema)
         self._write_idmap_from_cells()
 
     def _bucket_expr(self, vec_id):
@@ -143,7 +218,7 @@ class IVFIndex:
         ``n_buckets`` partitions.  The sidecar is what lets upsert/delete
         find a vector's CURRENT cell without scanning the corpus — reads
         prune to the buckets the batch's ids hash into."""
-        imap = (self.spark.read.parquet(self._cells)
+        imap = (self._read_cells()
                 .select("vec_id", "centroid_id",
                         self._bucket_expr(F.col("vec_id"))))
         (imap.repartition("bucket").write
@@ -165,13 +240,16 @@ class IVFIndex:
             py_round6_np,
         )
 
+        id_type = base.schema["vec_id"].dataType.simpleString()
+        schema = (f"vec_id {id_type}, v array<float>, vnorm double, "
+                  "centroid_id long")
+        if not cent_rows:
+            # empty corpus → no centroids; typed-empty assignment
+            return base.sparkSession.createDataFrame([], schema)
         C = np.array([[float(x) for x in r["centroid"]]
                       for r in cent_rows], dtype=np.float64)
         cnorms = np.array([float(r["cnorm"]) for r in cent_rows])
         cids = np.array([int(r["centroid_id"]) for r in cent_rows])
-        id_type = base.schema["vec_id"].dataType.simpleString()
-        schema = (f"vec_id {id_type}, v array<float>, vnorm double, "
-                  "centroid_id long")
 
         def run(batches):
             import pandas as pd
@@ -220,7 +298,7 @@ class IVFIndex:
             "code int, c6 array<bigint>")
         cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
 
-        cells = self.spark.read.parquet(self._cells)
+        cells = self._read_cells()
         # checkpoint-materialize the coded rows so the overwrite of the
         # directory they were read from is legal (no self-overwriting
         # file plan) WITHOUT a staged double write — one write replaces
@@ -230,14 +308,16 @@ class IVFIndex:
         (with_codes.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite")
          .parquet(self._cells))
+        self._record_schemas(cells=with_codes.schema,
+                             codebook=cb_df.schema)
 
     def _read_codebook(self) -> list[list[int]]:
-        rows = sorted(self.spark.read.parquet(self._codebook).collect(),
+        rows = sorted(self._read_dir(self._codebook, "codebook").collect(),
                       key=lambda r: r["code"])
         return [list(r["c6"]) for r in rows]
 
     def _centroid_rows(self):
-        return sorted(self.spark.read.parquet(self._cents).collect(),
+        return sorted(self._read_dir(self._cents, "cents").collect(),
                       key=lambda r: r["centroid_id"])
 
     def upsert(self, df: DataFrame, id_col: str = "vec_id",
@@ -286,7 +366,7 @@ class IVFIndex:
         bkts = [r[0] for r in
                 ids.select(self._bucket_expr(F.col("vec_id")))
                 .distinct().collect()]
-        imap = (self.spark.read.parquet(self._idmap)
+        imap = (self._read_idmap()
                 .filter(F.col("bucket").isin(bkts)))
         old_cells = {r[0] for r in imap.join(F.broadcast(ids), "vec_id")
                      .select("centroid_id").distinct().collect()}
@@ -294,7 +374,7 @@ class IVFIndex:
                      assigned.select("centroid_id").distinct().collect()}
         affected = sorted(old_cells | new_cells)
 
-        cur = (self.spark.read.parquet(self._cells)
+        cur = (self._read_cells()
                .filter(F.col("centroid_id").isin(affected))
                .join(F.broadcast(ids), "vec_id", "left_anti"))
         merged = cur.unionByName(assigned).localCheckpoint(eager=True)
@@ -323,13 +403,13 @@ class IVFIndex:
         bkts = [r[0] for r in
                 ids.select(self._bucket_expr(F.col("vec_id")))
                 .distinct().collect()]
-        imap = (self.spark.read.parquet(self._idmap)
+        imap = (self._read_idmap()
                 .filter(F.col("bucket").isin(bkts)))
         affected = sorted({r[0] for r in imap.join(F.broadcast(ids), "vec_id")
                            .select("centroid_id").distinct().collect()})
         if not affected:
             return
-        cur = (self.spark.read.parquet(self._cells)
+        cur = (self._read_cells()
                .filter(F.col("centroid_id").isin(affected))
                .join(F.broadcast(ids), "vec_id", "left_anti")
                .localCheckpoint(eager=True))
@@ -347,7 +427,7 @@ class IVFIndex:
         build or AQE rebalancing leaves multi-file partitions, or to
         re-derive the idmap after manual surgery.  Full rewrite through
         the committer (object-store-safe), search results unchanged."""
-        cells = (self.spark.read.parquet(self._cells)
+        cells = (self._read_cells()
                  .localCheckpoint(eager=True))
         (cells.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite")
@@ -386,14 +466,14 @@ class IVFIndex:
         hottest = (self.cell_stats()
                    .agg(F.max("fill_milli").alias("mx")).collect()[0]["mx"])
         n_cents = len(self._centroid_rows())
-        observed = (self.spark.read.parquet(self._cells)
+        observed = (self._read_cells()
                     .select("centroid_id").distinct().count())
         empty_milli = (1000 * (n_cents - observed)) // max(n_cents, 1)
         if ((hottest or 0) <= max_fill_milli
                 and empty_milli <= max_empty_milli):
             return False
         if corpus is None:
-            corpus = (self.spark.read.parquet(self._cells)
+            corpus = (self._read_cells()
                       .select(F.col("vec_id").alias(id_col),
                               F.col("v").alias(vec_col))
                       .localCheckpoint(eager=True))
@@ -402,8 +482,11 @@ class IVFIndex:
             cb = self._read_codebook()
         self.build(corpus, id_col=id_col, vec_col=vec_col, use_udf=use_udf)
         if had_pq:
+            # a codebook trained on an empty corpus has no rows to carry
+            # shape from — fall back to the build_pq defaults
             self.build_pq(corpus, id_col=id_col, vec_col=vec_col,
-                          n_codes=len(cb), n_sub=n_sub, dim=len(cb[0]))
+                          n_codes=len(cb) or 16, n_sub=n_sub,
+                          dim=len(cb[0]) if cb else 64)
         return True
 
     def _overwrite_partitions(self, df: DataFrame, path: str,
@@ -478,7 +561,7 @@ class IVFIndex:
         )
 
         sub = dim // n_sub
-        cb_rows = sorted(self.spark.read.parquet(self._codebook).collect(),
+        cb_rows = sorted(self._read_dir(self._codebook, "codebook").collect(),
                          key=lambda r: r["code"])
         cb = [list(r["c6"]) for r in cb_rows]
         q6_rows = (queries
@@ -500,7 +583,7 @@ class IVFIndex:
         probes = self.spark.createDataFrame(
             probe_pairs, "query_id long, centroid_id long")
         all_cells = sorted({c for _, c in probe_pairs})
-        cells = (self.spark.read.parquet(self._cells)
+        cells = (self._read_cells()
                  .filter(F.col("centroid_id").isin(all_cells))
                  .select("vec_id", "centroid_id", "pq_codes"))
         cand = cells.join(F.broadcast(probes), "centroid_id")
@@ -556,7 +639,7 @@ class IVFIndex:
         cell with fill_milli >> 1000 is the signal to rebuild).
         Column-pruned scan of the partition column only — at 100 TB the
         scan reads directory metadata plus one column."""
-        cells = self.spark.read.parquet(self._cells).select("centroid_id")
+        cells = self._read_cells().select("centroid_id")
         per = (cells.groupBy("centroid_id")
                .agg(F.count(F.lit(1)).alias("n_vectors")))
         tot = per.agg(F.sum("n_vectors").alias("n_total"),
@@ -574,7 +657,7 @@ class IVFIndex:
         """Pick the nprobe closest centroids driver-side (they are index
         metadata, a few KB — never a Spark job)."""
         qnorm = math.sqrt(sum(v * v for v in qd))
-        rows = self.spark.read.parquet(self._cents).collect()
+        rows = self._read_dir(self._cents, "cents").collect()
         scored = []
         for r in rows:
             c = [float(x) for x in r["centroid"]]
@@ -591,7 +674,7 @@ class IVFIndex:
         qd = [float(v) for v in query_vector]
         qnorm = math.sqrt(sum(v * v for v in qd))
         probes = self._probe_ids(qd, nprobe)
-        cells = (self.spark.read.parquet(self._cells)
+        cells = (self._read_cells()
                  .filter(F.col("centroid_id").isin(probes)))
         q = F.array(*[F.lit(v) for v in qd])
         vd = F.transform(F.col("v"), lambda v: v.cast("double"))
@@ -630,7 +713,7 @@ class IVFIndex:
         qdf = self.spark.createDataFrame(
             recs, "query_id long, __qv array<double>, __qnorm double, "
                   "__probes array<bigint>")
-        cells = (self.spark.read.parquet(self._cells)
+        cells = (self._read_cells()
                  .filter(F.col("centroid_id").isin(all_cells)))
         vd = F.transform(F.col("v"), lambda v: v.cast("double"))
         denom = F.col("vnorm") * F.col("__qnorm")

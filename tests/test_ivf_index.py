@@ -239,6 +239,9 @@ def test_pq_upsert_keeps_adc_consistent(spark, embeddings_small, tmp_path):
     (spark.read.parquet(tmp).repartition("centroid_id").write
      .partitionBy("centroid_id").mode("overwrite")
      .parquet(str(tmp_path / "pq_ref" / "cells")))
+    # manual surgery behind the index's back must record the new layout
+    # in the schema sidecar — it is authoritative for every read
+    ref._record_schemas(cells=coded.schema, codebook=cb_df.schema)
     want = ref.search_many_adc(qdf, k=10, nprobe=N_CENTROIDS)
     assert _sorted_rows(got) == _sorted_rows(want)
 
