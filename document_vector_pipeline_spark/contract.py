@@ -4556,7 +4556,10 @@ def q_events_retention_drop(spark, sf_dir):
     vt = BucketedVersionedTable(spark, path, bucket_col="day")
     rows = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     vt.commit_overwrite(rows)
-    days = sorted(r[0] for r in rows.select("day").distinct().collect())
+    # a null ts yields a null day bucket: retention sweeps only drop
+    # NAMED days, so unparseable rows are retained for manual triage
+    days = sorted(r[0] for r in rows.select("day").distinct().collect()
+                  if r[0] is not None)
     vt.drop_buckets([d for d in days if d < "2024-01-08"])
     vt.drop_buckets([d for d in days if d < "2024-01-15"])
     # 11 hex digits (44 bits): the snapshot sum stays inside int64

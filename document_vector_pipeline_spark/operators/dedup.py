@@ -496,7 +496,11 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     ``prefilter=False`` keeps the pure O(n²) JVM fold path for audit.
     """
     from document_vector_pipeline_spark.functions.vectors import normalize
+    from document_vector_pipeline_spark.operators.similarity import (
+        _live_vectors,
+    )
 
+    emb = _live_vectors(emb, vec_col)
     a = emb.select(F.col(id_col).alias("id_a"),
                    normalize(F.col(vec_col)).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"),

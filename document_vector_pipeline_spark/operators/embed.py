@@ -38,14 +38,17 @@ def hash_embedding_expr(text: Column, dim: int) -> Column:
     pairs = F.transform(words, lambda w: F.struct(
         token_bucket(w, dim).alias("b"), token_sign(w).alias("s")))
     # bind the (bucket, sign) pairs once: inlining them in the per-bucket
-    # lambda would re-split and re-hash the text dim times per row
-    return bound(
+    # lambda would re-split and re-hash the text dim times per row.
+    # NULL text embeds to NULL (not an array of null components, which
+    # the bare aggregate would produce) — downstream vector operators
+    # drop null vectors at ingress.
+    return F.when(text.isNotNull(), bound(
         pairs,
         lambda ps: F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda b: F.aggregate(
                 ps, F.lit(0),
-                lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(0))))
+                lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(0)))))
 
 
 def make_embed_udf(dim: int):
@@ -103,7 +106,9 @@ def make_embed_udf(dim: int):
         norms = _np.sqrt((mat.astype(_np.float64) ** 2).sum(axis=1))
         nz = norms > 0
         mat[nz] = (mat[nz] / norms[nz, None]).astype(_np.float32)
-        return _pd.Series(list(mat))
+        # NULL text embeds to NULL ('' still embeds to the zero vector)
+        return _pd.Series([None if t is None else v
+                           for t, v in zip(texts, mat)])
 
     return embed
 

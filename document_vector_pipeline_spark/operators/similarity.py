@@ -60,6 +60,15 @@ def _partial_cut(scored: DataFrame, k: int) -> DataFrame:
     return scored.mapInPandas(cut, schema)
 
 
+def _live_vectors(df: DataFrame, col: str) -> DataFrame:
+    """Drop rows whose vector column is NULL — the ingress rule for
+    every vector operator: a null vector cannot be scored, encoded or
+    ranked, so it doesn't participate (SQL aggregate null semantics).
+    At 100 TB a dirty row must degrade to a skipped row, never kill the
+    job or poison a numpy batch."""
+    return df.filter(F.col(col).isNotNull())
+
+
 def _score_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
                    id_col: str, vec_col: str, qid_col: str, qvec_col: str,
                    lo: float | None = None, hi: float | None = None,
@@ -77,7 +86,9 @@ def _score_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
 
     from document_vector_pipeline_spark.functions.vectors import py_round6_np
 
-    q_rows = queries.select(qid_col, qvec_col).collect()
+    corpus = _live_vectors(corpus, vec_col)
+    q_rows = _live_vectors(queries, qvec_col).select(
+        qid_col, qvec_col).collect()
     qids = [r[0] for r in q_rows]
     qvecs = [np.asarray([float(x) for x in r[1]], dtype=np.float64)
              for r in q_rows]
@@ -131,6 +142,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``use_udf=True`` (default) scores + partial-cuts in one Arrow pass
     (bit-identical, see _score_topk_np); ``use_udf=False`` keeps the
     broadcast-join + interpreted-fold plan as the oracle-facing twin."""
+    corpus = _live_vectors(corpus, vec_col)
+    queries = _live_vectors(queries, qvec_col)
     if use_udf:
         return _ranked(_score_topk_np(corpus, queries, k, id_col, vec_col,
                                       qid_col, qvec_col), k)
@@ -152,7 +165,9 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rank)."""
     import numpy as np
 
-    q_rows = queries.select(qid_col, qvec_col).collect()
+    corpus = _live_vectors(corpus, vec_col)
+    q_rows = _live_vectors(queries, qvec_col).select(
+        qid_col, qvec_col).collect()
     out_schema = "query_id long, vec_id long, score double"
     if not q_rows:
         # no queries → typed-empty result (np.linalg.norm(axis=1) on a
@@ -259,6 +274,8 @@ def lsh_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Recall < 1 by design; the bucket join replaces the full scan.
     Signatures come from the Arrow UDF (default) or the pure-expression
     fold (``use_udf=False``) — value-identical, equivalence-tested."""
+    corpus = _live_vectors(corpus, vec_col)
+    queries = _live_vectors(queries, qvec_col)
     if use_udf:
         sig_udf = make_lsh_sig_udf(tables, planes, dim)
 
@@ -296,7 +313,7 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 8,
     """Deterministic coarse centroids: the n vectors with the smallest
     md5_long(vec_id) (a uniform pseudo-random sample, stable across runs
     and engines)."""
-    return (corpus
+    return (_live_vectors(corpus, vec_col)
             .select(F.col(id_col).alias("centroid_id"),
                     F.col(vec_col).alias("centroid"),
                     md5_long(F.col(id_col).cast("string")).alias("h"))
@@ -317,6 +334,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     fold, and min(-score, centroid_id) picks max score with ties to the
     smallest centroid_id exactly like the window's (desc score,
     centroid_id) order."""
+    corpus = _live_vectors(corpus, vec_col)
     cents = centroids.select("centroid_id", "centroid").collect()
     if not cents:
         # empty corpus trains no centroids; typed-empty assignment (the
@@ -347,8 +365,8 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     query.  Recall < 1 by design."""
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(qvec_col).alias("q"))
+    q = _live_vectors(queries, qvec_col).select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("q"))
     qc = (q.join(F.broadcast(cents))
           .withColumn("cscore", F.round(cosine_similarity("q", "centroid"), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
@@ -385,7 +403,7 @@ def pq_codebook(corpus: DataFrame, n_codes: int = 16, dim: int = 64,
     Collected to the driver — a real PQ index ships its trained codebook
     to every executor as plan metadata; 16×64 longs is nothing.  Codes are
     1-based positions in (md5, vec_id) order."""
-    rows = (corpus
+    rows = (_live_vectors(corpus, vec_col)
             .select(pq_fixed_point(F.col(vec_col), dim).alias("v6"),
                     md5_long(F.col(id_col).cast("string")).alias("h"),
                     F.col(id_col).alias("i"))
@@ -448,7 +466,8 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     end."""
     sub = dim // n_sub
     cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
-    q_rows = (queries
+    corpus = _live_vectors(corpus, vec_col)
+    q_rows = (_live_vectors(queries, qvec_col)
               .select(F.col(qid_col).alias("query_id"),
                       pq_fixed_point(F.col(qvec_col), dim).alias("q6"))
               .collect())
@@ -556,6 +575,7 @@ def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     are exact integers (same 1e-6 fixed-point domain as ``pq_ann``),
     so results are bit-identical across engines and plan shapes."""
     sub = dim // n_sub
+    queries = _live_vectors(queries, qvec_col)
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = queries.select(F.col(qid_col).alias("query_id"),
@@ -980,8 +1000,10 @@ def _div_half_away(s: int, n: int) -> int:
 
 
 def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(vec_id, v6): the corpus in the 1e-6 fixed-point integer domain."""
-    return corpus.select(
+    """(vec_id, v6): the corpus in the 1e-6 fixed-point integer domain.
+    Null vectors are dropped at ingress (_live_vectors) — they can
+    neither seed nor be assigned."""
+    return _live_vectors(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * 1e6, 0)
@@ -1313,7 +1335,9 @@ def _gram_moments(emb: DataFrame, id_col: str, vec_col: str,
     (dim_i, dim_j, v) moment table — upper-triangle Σqᵢqⱼ cells, the
     (i, 0) component sums, and the (0, 0) row count — where q is the
     10⁻⁶-quantized embedding.  See embedding_covariance for the scale
-    shape and the int64 bound."""
+    shape and the int64 bound.  Null vectors drop at ingress — a moment
+    over nothing contributes nothing (and would poison np.stack)."""
+    emb = _live_vectors(emb, vec_col)
     if use_udf:
         def part(batches):
             import numpy as np

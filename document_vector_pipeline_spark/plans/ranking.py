@@ -145,7 +145,11 @@ def grouped_running_sum(df: DataFrame, group_col: str, order_cols: list,
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint(eager=True))
     partials = (part.groupBy("__pid", group_col)
-                .agg(F.sum(F.col(val_col)).cast("long").alias("__s"))
+                # coalesce: a (partition, group) slice whose values are
+                # all NULL sums to NULL — it contributes 0 to the prefix
+                # (SQL running sums skip nulls)
+                .agg(F.coalesce(F.sum(F.col(val_col)), F.lit(0))
+                     .cast("long").alias("__s"))
                 .collect())
     by_group: dict = {}
     for r in sorted(partials, key=lambda r: int(r["__pid"])):

@@ -166,6 +166,8 @@ class IVFIndex:
         interpreted argmin-fold expression kept as the twin.  The
         tie-break replays array_min(struct(-score, cid)): max score, then
         lowest centroid id."""
+        # null vectors can't be assigned or scored — drop at ingress
+        corpus = corpus.filter(F.col(vec_col).isNotNull())
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = corpus.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"),
@@ -344,6 +346,7 @@ class IVFIndex:
         big enough to invalidate them is a ``build``/``build_pq``
         rebuild, not an upsert."""
         self._ensure_idmap()
+        df = df.filter(F.col(vec_col).isNotNull())
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = df.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"),
@@ -564,6 +567,7 @@ class IVFIndex:
         cb_rows = sorted(self._read_dir(self._codebook, "codebook").collect(),
                          key=lambda r: r["code"])
         cb = [list(r["c6"]) for r in cb_rows]
+        queries = queries.filter(F.col(qvec_col).isNotNull())
         q6_rows = (queries
                    .select(F.col(qid_col).alias("query_id"),
                            pq_fixed_point(F.col(qvec_col), dim)
@@ -703,7 +707,8 @@ class IVFIndex:
         skinny rows per query reach the exchange, never the scored scan.
         This replaces the one-search-per-query loop: N queries cost one
         pruned scan instead of N."""
-        q_rows = queries.select(qid_col, qvec_col).collect()
+        q_rows = (queries.filter(F.col(qvec_col).isNotNull())
+                  .select(qid_col, qvec_col).collect())
         recs = []
         for r in q_rows:
             qd = [float(v) for v in r[1]]

@@ -372,8 +372,11 @@ class VectorStore:
 
         df = self.read()
         if use_udf:
+            # null query vectors can't be scored — skip them (ingress
+            # rule shared with operators/similarity._live_vectors)
             q_rows = [(r[0], [float(v) for v in r[1]])
-                      for r in queries.select(qid_col, qvec_col).collect()]
+                      for r in queries.filter(F.col(qvec_col).isNotNull())
+                      .select(qid_col, qvec_col).collect()]
             qid_type = queries.schema[qid_col].dataType.simpleString()
             partial = self._score_cut_np(df, q_rows, k, quantized,
                                          qid_type=qid_type)
@@ -484,6 +487,10 @@ class VectorStore:
         def score_cut(batches):
             import pandas as pd
             for pdf in batches:
+                # rows with a NULL vector are keyword-only documents —
+                # they can't be cosine-scored, so the vector leg skips
+                # them (the _live_vectors ingress rule)
+                pdf = pdf[pdf[vec_col].notna()]
                 if pdf.empty:
                     continue
                 n = len(pdf)

@@ -35,6 +35,23 @@ EMPTY_PINNED = [
 ]
 
 
+# null-payload class: one intact row + one row with every payload
+# column NULL (keys stay non-null).  The ingress rule under test:
+# null vectors/text don't participate (SQL aggregate null semantics)
+# instead of poisoning numpy batches or driver-side collects.
+NULLS_PINNED = [
+    "ann_bruteforce", "ann_ivf", "ann_ivfpq_persisted", "ann_lsh",
+    "dedup_embedding", "dedup_semantic", "emb_kmeans", "emb_covariance",
+    "vector_search_batch", "store_hybrid_search", "store_versioned_search",
+    "store_versioned_hybrid", "corpus_token_budget", "events_retention_drop",
+    "retrieval_mmr", "hybrid_rrf",
+]
+
+KEY_COLS = {"doc_id", "event_id", "vec_id", "o_orderkey", "l_orderkey",
+            "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+            "n_nationkey", "r_regionkey"}
+
+
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
@@ -44,8 +61,52 @@ def empty_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("nulls_sf")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        first, second = tbl.slice(0, 1), tbl.slice(1, 1)
+        cols = [second.column(i) if f.name in KEY_COLS
+                else pa.nulls(1, f.type)
+                for i, f in enumerate(tbl.schema)]
+        nulled = pa.table(cols, schema=tbl.schema)
+        pq.write_table(pa.concat_tables([first, nulled]),
+                       str(d / f"{t}.parquet"))
+    return str(d)
+
+
 @pytest.mark.parametrize("key", EMPTY_PINNED)
 def test_key_evaluates_on_empty_corpus(spark, empty_dir, key):
     df = entry.queries()[key](spark, empty_dir)
     assert df.count() >= 0  # evaluates without raising; schema defined
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("key", NULLS_PINNED)
+def test_key_evaluates_on_null_payloads(spark, nulls_dir, key):
+    df = entry.queries()[key](spark, nulls_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_null_text_embeds_to_null(spark):
+    from document_vector_pipeline_spark.operators.embed import (
+        hash_embedding_expr, make_embed_udf,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, "")], "id long, text string")
+    expr = df.select("id", hash_embedding_expr(F.col("text"), 8)
+                     .alias("e")).orderBy("id").collect()
+    assert expr[0]["e"] is not None
+    assert expr[1]["e"] is None          # NULL text -> NULL embedding
+    assert expr[2]["e"] == [0] * 8       # '' still embeds (zero vector)
+    udf = df.select("id", make_embed_udf(8)(F.col("text")).alias("e")
+                    ).orderBy("id").collect()
+    assert udf[0]["e"] is not None
+    assert udf[1]["e"] is None
+    assert list(udf[2]["e"]) == [0.0] * 8

@@ -12,7 +12,12 @@ round-7 ADVICE class: markov_stationary ZeroDivisionError,
 diff_rows typed-empty union, silhouette null family).
 
 Usage:
-    python tools/empty_sweep.py [empty|tiny] [key_prefix ...]
+    python tools/empty_sweep.py [empty|tiny|nulls] [key_prefix ...]
+
+Modes: ``empty`` = zero-row tables; ``tiny`` = one row per table;
+``nulls`` = two rows per table, the second with every payload column
+NULL (keys stay non-null — a null primary key is invalid input, not a
+robustness scenario).
 """
 import os
 import sys
@@ -28,14 +33,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SRC = "/root/testdata/sf0.001"
 
 
-def build_replica(dst: str, n_rows: int) -> None:
+# key columns stay non-null in the nulls replica (a null primary key is
+# invalid input, not a robustness scenario); every payload column nulls
+KEY_COLS = {"doc_id", "event_id", "vec_id", "o_orderkey", "l_orderkey",
+            "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+            "n_nationkey", "r_regionkey"}
+
+
+def build_replica(dst: str, n_rows: int, nulls: bool = False) -> None:
+    import pyarrow as pa
+
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         out = os.path.join(dst, f"{t}.parquet")
         if os.path.exists(out):
             continue
         tbl = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
-        pq.write_table(tbl.slice(0, n_rows), out)
+        if not nulls:
+            pq.write_table(tbl.slice(0, n_rows), out)
+            continue
+        # one intact row + one row with every payload column NULL
+        first = tbl.slice(0, 1)
+        second = tbl.slice(1, 1)
+        cols = []
+        for i, f in enumerate(tbl.schema):
+            if f.name in KEY_COLS:
+                cols.append(second.column(i))
+            else:
+                cols.append(pa.nulls(1, f.type))
+        nulled = pa.table(cols, schema=tbl.schema)
+        pq.write_table(pa.concat_tables([first, nulled]), out)
 
 
 def main() -> None:
@@ -43,7 +70,7 @@ def main() -> None:
     prefixes = sys.argv[2:]
     n_rows = 0 if mode == "empty" else 1
     dst = os.path.join(ROOT, ".scratch", f"sweep_{mode}")
-    build_replica(dst, n_rows)
+    build_replica(dst, n_rows, nulls=(mode == "nulls"))
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
