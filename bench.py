@@ -537,6 +537,54 @@ def main() -> None:
                     ("orders_basket_size", q_orders_basket_size),
                     ("events_type_entropy", q_events_type_entropy)):
         bench(key, lambda fn=fn: fn(spark, SF_DIR))
+
+    # round-8: streaming maintenance of both serving indexes — builds
+    # on a third of a 1500-doc slice, streams the rest as two
+    # foreachBatch upsert microbatches (text segment + touched-cell IVF
+    # rewrite each), runs the indexed hybrid.  Subsampled: the key
+    # itself is 7 index jobs + streaming scaffolding (~40 s at full
+    # sf0.1 — it would dominate the suite); the per-microbatch upsert
+    # costs are already benched at full SF by text_index_maintain and
+    # ann_ivf_maintain, so this case times the STREAMING composition.
+    def stream_maintain():
+        import json as _json
+
+        from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+        from document_vector_pipeline_spark.store.text_index import TextIndex
+        from document_vector_pipeline_spark.streaming.ingest import (
+            stream_index_maintain,
+        )
+
+        root = os.path.join(ROOT, ".scratch", "bench_stream_maintain")
+        shutil.rmtree(root, ignore_errors=True)
+        rows = (docs.select("doc_id", "text").filter(F.col("doc_id") < 1500)
+                .join(emb.select(F.col("vec_id").alias("doc_id"),
+                                 "embedding"), "doc_id", "left")
+                .localCheckpoint(eager=True))
+        smti = TextIndex(spark, os.path.join(root, "text"),
+                         n_term_buckets=16, n_doc_buckets=8)
+        smti.build(rows.filter(F.col("doc_id") % 3 == 0)
+                   .select("doc_id", "text"))
+        smvi = IVFIndex(spark, os.path.join(root, "ivf"), n_centroids=8)
+        smvi.build(rows.filter(F.col("doc_id") % 3 == 0)
+                   .select(F.col("doc_id").alias("vec_id"), "embedding"))
+        bdir = os.path.join(root, "batches")
+        os.makedirs(bdir, exist_ok=True)
+        for m in (1, 2):
+            batch = rows.filter(F.col("doc_id") % 3 == m).collect()
+            with open(os.path.join(bdir, f"b{m}.json"), "w") as f:
+                for r in batch:
+                    f.write(_json.dumps(
+                        {"doc_id": r["doc_id"], "text": r["text"],
+                         "embedding": [float(x) for x in r["embedding"]]
+                         if r["embedding"] is not None else None}) + "\n")
+        stream_index_maintain(spark, bdir, smti, smvi,
+                              os.path.join(root, "ckpt")).awaitTermination()
+        return retrieval.hybrid_search_indexed(
+            smti, smvi, bm25_qt, qdf.filter(F.col("query_id") < 3),
+            k=10, nprobe=8)
+
+    bench("stream_index_maintain", stream_maintain)
     suggest_qt = spark.createDataFrame(
         [(0, "vektor"), (1, "stram"), (2, "tabel")],
         "query_id long, term string")

@@ -2728,6 +2728,59 @@ def q_store_hybrid_indexed(spark, sf_dir):
         ti, vi, _bm25_query_df(spark), qv, k=10, nprobe=8)
 
 
+def q_stream_index_maintain(spark, sf_dir):
+    """Streaming maintenance of BOTH persisted serving indexes
+    (streaming/ingest.stream_index_maintain): build TextIndex + IVFIndex
+    over a third of the corpus, stream the other two thirds as JSONL
+    microbatches — each applied as one manifest-atomic text segment and
+    one touched-cell IVF rewrite via foreachBatch — then run the indexed
+    hybrid over the maintained indexes.  The oracle is the FULL-corpus
+    scan-path hybrid SQL (_sql_hybrid_rrf): a green row proves the
+    drained stream left both serving indexes bit-identical to batch
+    builds over everything (upserts maintain exact BM25 stats deltas;
+    IVF probes exhaustively, so frozen initial-third centroids cannot
+    change the result).  Documents without a vector stream with a NULL
+    embedding — the keyword leg indexes them, the vector leg skips them
+    at ingress."""
+    from document_vector_pipeline_spark.operators import retrieval
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_index_maintain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (docs.select("doc_id", "text")
+            .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+                  "doc_id", "left"))
+    base = rows.filter(F.col("doc_id") % 3 == 0).localCheckpoint(eager=True)
+    root = os.path.join(SCRATCH, "stream_maintain")
+    shutil.rmtree(root, ignore_errors=True)
+    ti = TextIndex(spark, os.path.join(root, "text"), n_term_buckets=16,
+                   n_doc_buckets=8)
+    ti.build(base.select("doc_id", "text"))
+    vi = IVFIndex(spark, os.path.join(root, "ivf"), n_centroids=8)
+    vi.build(base.select(F.col("doc_id").alias("vec_id"), "embedding"))
+    bdir = os.path.join(root, "batches")
+    os.makedirs(bdir, exist_ok=True)
+    for m in (1, 2):
+        stage = os.path.join(root, f"stage{m}")
+        (rows.filter(F.col("doc_id") % 3 == m).coalesce(1)
+         .write.mode("overwrite").json(stage))
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.startswith("part-"):
+                shutil.move(os.path.join(stage, f),
+                            os.path.join(bdir, f"batch{m}_{i}.json"))
+    stream_index_maintain(spark, bdir, ti, vi,
+                          os.path.join(root, "ckpt")).awaitTermination()
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    return retrieval.hybrid_search_indexed(
+        ti, vi, _bm25_query_df(spark), qv, k=10, nprobe=8)
+
+
 def q_store_versioned_search(spark, sf_dir):
     """Time-travelable vector search (store/versioned_store.py): commit
     v0 = the full chunk corpus, v1 = modified text (and therefore
@@ -9952,6 +10005,7 @@ def queries():
     # then the 50 keys round 7 just recorded) so rotations stay
     # honest.
         # -- new round-8 keys --
+        "stream_index_maintain": q_stream_index_maintain,
         "text_prf_indexed": q_text_prf_indexed,
         "retrieval_reranked": q_retrieval_reranked,
         "ann_ivf_rebuild": q_ann_ivf_rebuild,
@@ -10319,6 +10373,9 @@ from c
         # indexed hybrid == scan hybrid by construction (exhaustive
         # probe + complete posting lists) — same oracle
         "store_hybrid_indexed": _sql_hybrid_rrf(),
+        # the stream-maintained indexes must equal full-corpus builds,
+        # so the oracle is the same full-corpus scan-path hybrid
+        "stream_index_maintain": _sql_hybrid_rrf(),
         "text_df_topk": _sql_text_df_topk(),
         "text_phrase_search": _sql_text_phrase_search(),
         "text_near_search": _sql_text_near_search(),

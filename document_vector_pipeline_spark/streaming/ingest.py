@@ -258,3 +258,58 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_index_maintain(spark: SparkSession, batches_path: str,
+                          text_index, ivf_index, checkpoint: str,
+                          available_now: bool = True,
+                          max_files_per_trigger: int = 1) -> StreamingQuery:
+    """Streaming maintenance of BOTH persisted serving indexes — the
+    freshness loop that closes the gap between "the stream keeps the
+    STORE current" (stream_ingest) and "the serving tier answers from
+    PRE-BUILT indexes" (TextIndex / IVFIndex): without it, every
+    streamed document is invisible to indexed search until the next
+    batch rebuild.
+
+    Each microbatch of (doc_id, text, embedding) JSONL rows is applied
+    as ONE TextIndex.upsert (a new immutable segment + tombstones for
+    replaced ids, manifest-atomic, O(batch)) and ONE IVFIndex.upsert
+    (assignment against the FROZEN centroids is map-only; only the
+    touched cells and idmap buckets rewrite, O(batch)) — so the
+    per-microbatch cost is bounded by the batch regardless of index
+    size, the property that makes an always-on maintainer viable at
+    100 TB.  Rows with a NULL embedding are keyword-only documents:
+    the text leg indexes them, the vector leg skips them at ingress.
+
+    Exactness: both indexes' upserts maintain exact statistics
+    (BM25 df/dl deltas; frozen-codebook re-encode), so after the
+    stream drains, indexed search over the maintained indexes is
+    bit-identical to a scan of the full corpus — that equivalence IS
+    the oracle of the stream_index_maintain contract key.
+
+    Failure semantics: foreachBatch retries a failed microbatch after
+    restart (offsets checkpoint only on success).  TextIndex.upsert is
+    manifest-atomic, so a replayed batch re-applies cleanly (same ids
+    tombstone their previous segment).  IVFIndex maintenance is
+    derived-data (see ivf_index.py's crash-recovery contract): a torn
+    cell write is repaired by the replay's own anti-join-then-merge.
+    """
+    schema = "doc_id long, text string, embedding array<float>"
+    batches = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .json(batches_path))
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        text_index.upsert(batch_df.select("doc_id", "text"))
+        ivf_index.upsert(batch_df.select(F.col("doc_id").alias("vec_id"),
+                                         "embedding"))
+
+    writer = (batches.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -689,3 +689,81 @@ def test_stream_dedup_gate_sequential_admission(spark, tmp_path):
     admitted = {r["doc_id"] for r in
                 spark.read.parquet(corpus_dir).collect()}
     assert admitted == {1, 3, 12}
+
+
+def test_stream_index_maintain_equals_batch_builds(spark, tmp_path):
+    """A drained maintenance stream leaves BOTH serving indexes
+    bit-identical to batch builds over the final corpus — including a
+    mid-stream REPLACEMENT of an already-indexed document (upsert
+    semantics through foreachBatch, not just appends)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_index_maintain,
+    )
+
+    words = ["vector", "join", "stream", "window", "batch", "table"]
+
+    def doc(i, tag=""):
+        txt = " ".join(words[i % 3:i % 3 + 3]) + f" doc{i} {tag}"
+        vec = [float((i * 7 + j) % 5 - 2) for j in range(8)]
+        return {"doc_id": i, "text": txt.strip(),
+                "embedding": vec if i < 20 else None}
+
+    initial = [doc(i) for i in range(10)]
+    batch1 = [doc(i) for i in range(10, 20)]
+    # batch 2: new ids + a REPLACEMENT of doc 5 with fresh text
+    batch2 = [doc(i) for i in range(20, 30)] + [doc(5, tag="edited")]
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["embedding"]) for r in rows],
+            "doc_id long, text string, embedding array<float>")
+
+    ti = TextIndex(spark, str(tmp_path / "text"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(to_df(initial).select("doc_id", "text"))
+    vi = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=4)
+    vi.build(to_df(initial).select(F.col("doc_id").alias("vec_id"),
+                                   "embedding"))
+
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    for n, rows in (("b1", batch1), ("b2", batch2)):
+        with open(bdir / f"{n}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    q = stream_index_maintain(spark, str(bdir), ti, vi,
+                              str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    final = {r["doc_id"]: r for r in initial + batch1 + batch2}.values()
+    final_df = to_df(sorted(final, key=lambda r: r["doc_id"]))
+
+    ref_t = TextIndex(spark, str(tmp_path / "text_ref"), n_term_buckets=4,
+                      n_doc_buckets=2)
+    ref_t.build(final_df.select("doc_id", "text"))
+    qt = spark.createDataFrame(
+        [(0, "vector"), (0, "doc5"), (1, "stream"), (1, "edited")],
+        "query_id long, term string")
+    got_t = ti.search(qt, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).values.tolist()
+    want_t = ref_t.search(qt, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).values.tolist()
+    assert got_t == want_t and len(got_t) > 0
+
+    ref_v = IVFIndex(spark, str(tmp_path / "ivf_ref"), n_centroids=4)
+    ref_v.build(final_df.select(F.col("doc_id").alias("vec_id"),
+                                "embedding"))
+    qv = to_df([doc(1), doc(13)]).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    got_v = vi.search_many(qv, k=5, nprobe=4).toPandas().sort_values(
+        ["query_id", "rank"]).values.tolist()
+    want_v = ref_v.search_many(qv, k=5, nprobe=4).toPandas().sort_values(
+        ["query_id", "rank"]).values.tolist()
+    assert got_v == want_v and len(got_v) > 0
