@@ -293,6 +293,13 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     tombstone their previous segment).  IVFIndex maintenance is
     derived-data (see ivf_index.py's crash-recovery contract): a torn
     cell write is repaired by the replay's own anti-join-then-merge.
+
+    A microbatch carrying the SAME doc_id twice fails its trigger —
+    both indexes refuse ambiguous upserts (the Delta-MERGE
+    multiple-source-rows-match discipline) rather than pick a survivor
+    nondeterministically.  A source that can emit several versions of
+    one document inside a trigger interval must carry a per-id
+    sequence and collapse to the latest upstream of this maintainer.
     """
     schema = "doc_id long, text string, embedding array<float>"
     batches = (spark.readStream.schema(schema)
