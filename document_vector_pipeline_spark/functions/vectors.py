@@ -26,11 +26,23 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity in double precision; 0.0 for zero vectors."""
+    """Cosine similarity in double precision; 0.0 for zero vectors.
+
+    Mismatched dimensions raise a NAMED error per row instead of the
+    silent wrong answer zip_with would give (it pads the shorter array
+    with nulls, so a 32-dim query against a 64-dim corpus 'works' and
+    ranks garbage).  Null vectors pass through as null — the ingress
+    rule (operators/similarity._live_vectors) is where they drop."""
     ad = F.transform(a, lambda v: v.cast("double"))
     bd = F.transform(b, lambda v: v.cast("double"))
     denom = l2_norm(ad) * l2_norm(bd)
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(ad, bd) / denom)
+    return F.when(
+        F.size(a) != F.size(b),
+        F.raise_error(F.concat(
+            F.lit("cosine_similarity: vector dimensions differ ("),
+            F.size(a).cast("string"), F.lit(" vs "),
+            F.size(b).cast("string"), F.lit(")")))
+    ).when(denom == 0, F.lit(0.0)).otherwise(dot(ad, bd) / denom)
 
 
 def normalize(a: Column) -> Column:

@@ -108,6 +108,13 @@ def _score_topk_np(corpus: DataFrame, queries: DataFrame, k: int,
             ids = pdf[id_col].to_numpy()
             outs = []
             for qi, qid in enumerate(qids):
+                if V.shape[1] != qvecs[qi].size:
+                    # named error instead of numpy's opaque
+                    # could-not-broadcast (same contract as
+                    # VectorStore._score_cut_np's dimension guard)
+                    raise ValueError(
+                        f"query vector dimension {qvecs[qi].size} != "
+                        f"corpus embedding dimension {V.shape[1]}")
                 dots = np.cumsum(V * qvecs[qi][None, :], axis=1)[:, -1]
                 denom = vnorm * qnorms[qi]
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -254,6 +261,10 @@ def make_lsh_sig_udf(tables: int, planes: int, dim: int):
         out = []
         for v in vecs:
             a = np.asarray(v, dtype=np.float64)     # float32 → exact
+            if a.size != h.shape[2]:
+                raise ValueError(
+                    f"lsh signature: vector dimension {a.size} != "
+                    f"configured dim {h.shape[2]}")
             prods = a[None, None, :] * h            # (T, P, D)
             dots = np.cumsum(prods, axis=2)[:, :, -1]
             bits = dots > 0                          # (T, P)

@@ -92,6 +92,32 @@ def test_key_evaluates_on_null_payloads(spark, nulls_dir, key):
     assert len(df.columns) > 0
 
 
+def test_dim_mismatch_raises_named_error(spark):
+    """A 32-dim query against a 64-dim corpus must raise a NAMED
+    dimension error on every ANN path — never numpy's opaque
+    could-not-broadcast, and never zip_with's silent wrong answer
+    (it pads the shorter array with nulls and ranks garbage)."""
+    import pytest as _pytest
+
+    from document_vector_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q32 = (emb.filter(F.col("vec_id") < 2)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.slice("embedding", 1, 32).alias("query_vec")))
+    for fn, marker in [
+        (lambda: S.brute_force_topk(emb, q32, k=5), "dimension"),
+        (lambda: S.brute_force_topk(emb, q32, k=5, use_udf=False),
+         "dimensions differ"),
+        (lambda: S.ivf_ann(emb, q32, k=5), "dimensions differ"),
+        (lambda: S.lsh_ann(emb, q32, k=5), "dimension"),
+        (lambda: S.range_search(emb, q32), "dimension"),
+    ]:
+        with _pytest.raises(Exception, match=marker):
+            fn().count()
+
+
 def test_null_text_embeds_to_null(spark):
     from document_vector_pipeline_spark.operators.embed import (
         hash_embedding_expr, make_embed_udf,
