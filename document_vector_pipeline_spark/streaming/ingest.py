@@ -300,8 +300,16 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     nondeterministically.  A source that can emit several versions of
     one document inside a trigger interval must carry a per-id
     sequence and collapse to the latest upstream of this maintainer.
+
+    CDC deletes: rows may carry ``op: "delete"`` (any other value, or
+    the field absent, means upsert).  Deletes in a microbatch apply
+    BEFORE its upserts — so a batch that deletes id X and upserts id X
+    nets to the new version, matching CDC log-replay order per trigger.
+    Both indexes' deletes are O(batch): tombstones for the text leg,
+    touched-cell rewrites for the vector leg; deleting a never-indexed
+    id is a no-op on both.
     """
-    schema = "doc_id long, text string, embedding array<float>"
+    schema = "doc_id long, text string, embedding array<float>, op string"
     batches = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", max_files_per_trigger)
                .json(batches_path))
@@ -310,9 +318,17 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint(eager=True)
-        text_index.upsert(batch_df.select("doc_id", "text"))
-        ivf_index.upsert(batch_df.select(F.col("doc_id").alias("vec_id"),
-                                         "embedding"))
+        is_del = F.col("op") == "delete"
+        dels = batch_df.filter(is_del).select("doc_id")
+        if not dels.isEmpty():
+            text_index.delete(dels)
+            ivf_index.delete(dels.select(F.col("doc_id").alias("vec_id")))
+        ups = batch_df.filter(~F.coalesce(is_del, F.lit(False)))
+        if ups.isEmpty():
+            return
+        text_index.upsert(ups.select("doc_id", "text"))
+        ivf_index.upsert(ups.select(F.col("doc_id").alias("vec_id"),
+                                    "embedding"))
 
     writer = (batches.writeStream
               .foreachBatch(handle)

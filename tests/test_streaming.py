@@ -716,8 +716,10 @@ def test_stream_index_maintain_equals_batch_builds(spark, tmp_path):
 
     initial = [doc(i) for i in range(10)]
     batch1 = [doc(i) for i in range(10, 20)]
-    # batch 2: new ids + a REPLACEMENT of doc 5 with fresh text
-    batch2 = [doc(i) for i in range(20, 30)] + [doc(5, tag="edited")]
+    # batch 2: new ids + a REPLACEMENT of doc 5 + a CDC DELETE of doc 3
+    batch2 = ([doc(i) for i in range(20, 30)] + [doc(5, tag="edited")]
+              + [{"doc_id": 3, "text": None, "embedding": None,
+                  "op": "delete"}])
 
     def to_df(rows):
         return spark.createDataFrame(
@@ -741,7 +743,8 @@ def test_stream_index_maintain_equals_batch_builds(spark, tmp_path):
                               str(tmp_path / "ckpt"))
     q.awaitTermination(180)
 
-    final = {r["doc_id"]: r for r in initial + batch1 + batch2}.values()
+    final = {r["doc_id"]: r for r in initial + batch1 + batch2
+             if r.get("op") != "delete" and r["doc_id"] != 3}.values()
     final_df = to_df(sorted(final, key=lambda r: r["doc_id"]))
 
     ref_t = TextIndex(spark, str(tmp_path / "text_ref"), n_term_buckets=4,
