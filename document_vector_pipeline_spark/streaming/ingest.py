@@ -263,7 +263,9 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
 def stream_index_maintain(spark: SparkSession, batches_path: str,
                           text_index, ivf_index, checkpoint: str,
                           available_now: bool = True,
-                          max_files_per_trigger: int = 1) -> StreamingQuery:
+                          max_files_per_trigger: int = 1,
+                          compact_opts: dict | None = None,
+                          rebuild_check_every: int = 8) -> StreamingQuery:
     """Streaming maintenance of BOTH persisted serving indexes — the
     freshness loop that closes the gap between "the stream keeps the
     STORE current" (stream_ingest) and "the serving tier answers from
@@ -308,6 +310,18 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     Both indexes' deletes are O(batch): tombstones for the text leg,
     touched-cell rewrites for the vector leg; deleting a never-indexed
     id is a no-op on both.
+
+    Self-maintenance: an always-on maintainer writes one text segment
+    (and possibly a tombstone dir) per trigger, so segment/tombstone
+    volume grows with uptime — after each batch the stream consults
+    ``TextIndex.maybe_compact(**compact_opts)`` (manifest-metadata-only
+    below its thresholds, a full merge above) and, every
+    ``rebuild_check_every`` batches, ``IVFIndex.maybe_rebuild()`` (a
+    partition-column stats scan below threshold; a rebuild from the
+    index's own live rows above — the frozen-centroid drift check).
+    Set ``rebuild_check_every=0`` to disable the drift check.  Neither
+    policy changes search results — compaction is exact and rebuilds
+    only re-cluster.
     """
     schema = "doc_id long, text string, embedding array<float>, op string"
     batches = (spark.readStream.schema(schema)
@@ -324,11 +338,13 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
             text_index.delete(dels)
             ivf_index.delete(dels.select(F.col("doc_id").alias("vec_id")))
         ups = batch_df.filter(~F.coalesce(is_del, F.lit(False)))
-        if ups.isEmpty():
-            return
-        text_index.upsert(ups.select("doc_id", "text"))
-        ivf_index.upsert(ups.select(F.col("doc_id").alias("vec_id"),
-                                    "embedding"))
+        if not ups.isEmpty():
+            text_index.upsert(ups.select("doc_id", "text"))
+            ivf_index.upsert(ups.select(F.col("doc_id").alias("vec_id"),
+                                        "embedding"))
+        text_index.maybe_compact(**(compact_opts or {}))
+        if rebuild_check_every and (batch_id + 1) % rebuild_check_every == 0:
+            ivf_index.maybe_rebuild()
 
     writer = (batches.writeStream
               .foreachBatch(handle)

@@ -739,9 +739,15 @@ def test_stream_index_maintain_equals_batch_builds(spark, tmp_path):
         with open(bdir / f"{n}.json", "w") as f:
             for r in rows:
                 f.write(_json.dumps(r) + "\n")
+    # tight compaction threshold so the 3rd segment (batch 2) forces a
+    # mid-stream merge; rebuild check every batch exercises the drift
+    # policy path (it should NOT trigger on this balanced data)
     q = stream_index_maintain(spark, str(bdir), ti, vi,
-                              str(tmp_path / "ckpt"))
+                              str(tmp_path / "ckpt"),
+                              compact_opts={"max_segments": 2},
+                              rebuild_check_every=1)
     q.awaitTermination(180)
+    assert len(ti._manifest()["segments"]) <= 2  # compaction fired
 
     final = {r["doc_id"]: r for r in initial + batch1 + batch2
              if r.get("op") != "delete" and r["doc_id"] != 3}.values()
