@@ -585,6 +585,20 @@ def main() -> None:
             k=10, nprobe=8)
 
     bench("stream_index_maintain", stream_maintain)
+
+    def retrieval_eval_case():
+        text10 = retrieval.bm25_topk(docs, bm25_qt, k=10)
+        hybrid = retrieval.rrf_fuse(
+            text10,
+            similarity.brute_force_topk(
+                emb, qdf.filter(F.col("query_id") < 3), k=10), k=10)
+        qrels = (retrieval.bm25_topk(docs, bm25_qt, k=5)
+                 .select("query_id", "doc_id",
+                         (F.lit(6) - F.col("rank")).cast("long")
+                         .alias("rel")))
+        return retrieval.ranking_eval(hybrid, qrels, k=10)
+
+    bench("retrieval_eval", retrieval_eval_case)
     suggest_qt = spark.createDataFrame(
         [(0, "vektor"), (1, "stram"), (2, "tabel")],
         "query_id long, term string")

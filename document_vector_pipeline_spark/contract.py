@@ -1551,6 +1551,75 @@ def q_hybrid_rrf(spark, sf_dir):
     return retrieval.rrf_fuse(text, vec, k=10)
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Ranking-quality scorecard (operators/retrieval.ranking_eval —
+    the TREC/BEIR metric battery): MRR, nDCG@10 and P@10 of the fused
+    hybrid ranking, judged against graded qrels derived from the pure
+    BM25 top-5 (rel = 6 − keyword rank) — 'how much does rank fusion
+    preserve of what the keyword leg alone considered most relevant',
+    a non-trivial value strictly inside (0, 1].  All integers: the
+    log2 discounts ship as micro-int literals shared verbatim with the
+    oracle, so no transcendental is evaluated in either engine."""
+    from document_vector_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = _bm25_query_df(spark)
+    text = retrieval.bm25_topk(docs, terms, k=10)
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    hybrid = retrieval.rrf_fuse(
+        text, similarity.brute_force_topk(emb, qv, k=10), k=10)
+    qrels = (retrieval.bm25_topk(docs, terms, k=5)
+             .select("query_id", "doc_id",
+                     (F.lit(6) - F.col("rank")).cast("long").alias("rel")))
+    return retrieval.ranking_eval(hybrid, qrels, k=10)
+
+
+def _sql_retrieval_eval(k: int = 10, n_rel: int = 5) -> str:
+    from document_vector_pipeline_spark.operators.retrieval import (
+        ndcg_discounts,
+    )
+
+    disc = ", ".join(f"({r + 1}, {d})"
+                     for r, d in enumerate(ndcg_discounts(k)))
+    return f"""
+with h as (select query_id, doc_id, rank from ({_sql_hybrid_rrf(k)}) t),
+qr0 as (select query_id, doc_id, rank
+        from ({_sql_text_bm25_topk(n_rel)}) t),
+qr as (select query_id, doc_id, cast(6 - rank as bigint) as rel from qr0),
+d as (select * from (values {disc}) v(rank, disc)),
+hits as (select h.query_id, h.rank, qr.rel, d.disc
+         from h join qr on h.query_id = qr.query_id
+                       and h.doc_id = qr.doc_id
+         join d on d.rank = h.rank),
+ph as (select query_id, cast(count(*) as bigint) as n_hit,
+              cast(sum(rel * disc) as bigint) as dcg_micro,
+              min(rank) as first_rel_rank
+       from hits group by query_id),
+ideal0 as (select query_id, rel, cast(row_number() over
+             (partition by query_id order by rel desc, doc_id) as int)
+             as irank from qr),
+ideal as (select i.query_id, cast(sum(i.rel * d.disc) as bigint)
+            as idcg_micro
+          from ideal0 i join d on d.rank = i.irank
+          where i.irank <= {k} group by i.query_id),
+nr as (select query_id, cast(count(*) as bigint) as n_rel
+       from qr group by query_id)
+select nr.query_id, nr.n_rel,
+       cast(coalesce(ph.n_hit, 0) as bigint) as n_hit,
+       (1000000 * coalesce(ph.n_hit, 0)) // {k} as p_at_k_ppm,
+       cast(coalesce(round(1000000.0 / ph.first_rel_rank), 0) as bigint)
+         as mrr_micro,
+       (1000000 * coalesce(ph.dcg_micro, 0)) // ideal.idcg_micro
+         as ndcg_ppm
+from nr join ideal on nr.query_id = ideal.query_id
+left join ph on nr.query_id = ph.query_id
+order by nr.query_id
+"""
+
+
 def q_retrieval_reranked(spark, sf_dir):
     """Cross-encoder rerank of the fused hybrid top-k — the
     industry-standard final retrieval stage, via the injectable
@@ -10006,6 +10075,7 @@ def queries():
     # honest.
         # -- new round-8 keys --
         "stream_index_maintain": q_stream_index_maintain,
+        "retrieval_eval": q_retrieval_eval,
         "text_prf_indexed": q_text_prf_indexed,
         "retrieval_reranked": q_retrieval_reranked,
         "ann_ivf_rebuild": q_ann_ivf_rebuild,
@@ -10376,6 +10446,7 @@ from c
         # the stream-maintained indexes must equal full-corpus builds,
         # so the oracle is the same full-corpus scan-path hybrid
         "stream_index_maintain": _sql_hybrid_rrf(),
+        "retrieval_eval": _sql_retrieval_eval(),
         "text_df_topk": _sql_text_df_topk(),
         "text_phrase_search": _sql_text_phrase_search(),
         "text_near_search": _sql_text_near_search(),

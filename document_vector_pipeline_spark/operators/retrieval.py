@@ -492,3 +492,72 @@ def rerank_with_client(candidates: DataFrame, client,
         F.desc("rr_score_micro"), F.col("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k))
+
+
+def ndcg_discounts(k: int) -> list[int]:
+    """Micro-integer rank discounts round(1e6 / log2(rank+1)) for ranks
+    1..k, computed ONCE driver-side (half-away-from-zero, matching SQL
+    round).  Positions are fixed, so shipping them as literals removes
+    the only transcendental from ranking evaluation — Spark and the
+    DuckDB oracle consume the SAME integers and every downstream number
+    is an exact sum/division."""
+    import math
+
+    return [int(1000000.0 / math.log2(r + 1) + 0.5) for r in range(1, k + 1)]
+
+
+def ranking_eval(ranked: DataFrame, qrels: DataFrame,
+                 k: int = 10) -> DataFrame:
+    """Graded ranking-quality evaluation — the scorecard every retrieval
+    stack ships (TREC / BEIR metrics): per query over a (query_id,
+    doc_id, rank ≤ k) ranking and a (query_id, doc_id, rel > 0) qrels
+    table, reports (query_id, n_rel, n_hit, p_at_k_ppm, mrr_micro,
+    ndcg_ppm) — all exact integers.
+
+    Exactness: DCG's 1/log2(rank+1) discounts come from
+    ``ndcg_discounts`` as micro-integer literals, so DCG = Σ rel·disc
+    and IDCG (the same discounts against the rel-sorted ideal prefix)
+    are integer sums; nDCG is an integer ppm division; MRR is
+    round(1e6 / first-relevant-rank).  Queries with no relevant hit in
+    the top-k score 0 (never null).
+
+    Plan: ``ranked`` is ≤ k rows per query by construction and qrels is
+    eval-set-sized, so every join here is broadcast-scale; the ideal
+    ranking is a per-query window over the qrels rows alone (the corpus
+    is never touched — only the upstream ranking saw it)."""
+    spark = ranked.sparkSession
+    disc = spark.createDataFrame(
+        [(r + 1, d) for r, d in enumerate(ndcg_discounts(k))],
+        "rank int, disc long")
+    qr = qrels.select("query_id", "doc_id",
+                      F.col("rel").cast("long").alias("rel"))
+    hits = (ranked.select("query_id", "doc_id", F.col("rank").cast("int")
+                          .alias("rank"))
+            .join(qr, ["query_id", "doc_id"])
+            .join(F.broadcast(disc), "rank"))
+    per_hit = (hits.groupBy("query_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_hit"),
+                    F.sum(F.col("rel") * F.col("disc")).alias("dcg_micro"),
+                    F.min("rank").alias("first_rel_rank")))
+    iw = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    ideal = (qr.withColumn("irank", F.row_number().over(iw))
+             .filter(F.col("irank") <= k)
+             .join(F.broadcast(disc.select(F.col("rank").alias("irank"),
+                                           "disc")), "irank")
+             .groupBy("query_id")
+             .agg(F.sum(F.col("rel") * F.col("disc")).alias("idcg_micro")))
+    n_rel = qr.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"))
+    return (n_rel.join(ideal, "query_id")
+            .join(per_hit, "query_id", "left")
+            .select(
+                "query_id", "n_rel",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                F.expr(f"(1000000 * coalesce(n_hit, 0)) div {k}")
+                 .alias("p_at_k_ppm"),
+                F.coalesce(
+                    F.round(F.lit(1000000.0) / F.col("first_rel_rank"))
+                     .cast("long"), F.lit(0)).alias("mrr_micro"),
+                F.expr("(1000000 * coalesce(dcg_micro, 0))"
+                       " div idcg_micro").alias("ndcg_ppm"))
+            .orderBy("query_id"))
