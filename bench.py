@@ -599,6 +599,19 @@ def main() -> None:
         return retrieval.ranking_eval(hybrid, qrels, k=10)
 
     bench("retrieval_eval", retrieval_eval_case)
+
+    def decontam_semantic():
+        from document_vector_pipeline_spark.operators.embed import (
+            hash_embedding_expr,
+        )
+        de = docs.select(
+            "doc_id", hash_embedding_expr(F.col("text"), 64)
+            .cast("array<float>").alias("embedding"))
+        return corpus.semantic_decontaminate(
+            de.filter(F.col("doc_id") % 10 != 0),
+            de.filter(F.col("doc_id") % 10 == 0), threshold=0.9)
+
+    bench("corpus_decontaminate_semantic", decontam_semantic)
     suggest_qt = spark.createDataFrame(
         [(0, "vektor"), (1, "stram"), (2, "tabel")],
         "query_id long, term string")

@@ -5152,6 +5152,46 @@ def q_corpus_decontaminate(spark, sf_dir):
         docs.filter(F.col("source") == "src0"))
 
 
+def q_corpus_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination (corpus.semantic_decontaminate —
+    the paraphrase-leak second pass n-gram overlap misses): every
+    training document whose hash-embedding cosine against ANY held-out
+    doc (doc_id % 10 == 0) meets 0.9, with its best-matching eval doc.
+    Plan: the eval side broadcasts into range_search's zero-shuffle
+    band scan; the argmax regroup is contamination-sized.  Exact:
+    integer hash embeddings → exact dots, round-6 cosine — the same
+    discipline as the store-search oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id",
+        hash_embedding_expr(F.col("text"), 64).cast("array<float>")
+        .alias("embedding"))
+    heldout = emb.filter(F.col("doc_id") % 10 == 0)
+    train = emb.filter(F.col("doc_id") % 10 != 0)
+    return corpus.semantic_decontaminate(train, heldout, threshold=0.9)
+
+
+def _sql_corpus_decontaminate_semantic(threshold: float = 0.9,
+                                       dim: int = 64) -> str:
+    cos = _cos("c.v", "h.v", dim, "c.nrm", "h.nrm")
+    return f"""
+with e0 as materialized (
+  select doc_id, list_transform({_emb_sql(dim)},
+                                x -> cast(cast(x as float) as double)) as v
+  from documents),
+e as materialized (
+  select doc_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+h as (select * from e where doc_id % 10 = 0),
+c as (select * from e where doc_id % 10 <> 0),
+s as (select c.doc_id, h.doc_id as eval_id, round({cos}, 6) as score
+      from c cross join h),
+f as (select *, row_number() over
+        (partition by doc_id order by score desc, eval_id) as rn
+      from s where score >= {threshold})
+select doc_id, eval_id, score from f where rn = 1 order by doc_id
+"""
+
+
 def q_text_scrub(spark, sf_dir):
     """PII scrub over documents with deterministic synthetic PII appended
     (the corpus itself is digit-free word soup, so the injection is what
@@ -10076,6 +10116,7 @@ def queries():
         # -- new round-8 keys --
         "stream_index_maintain": q_stream_index_maintain,
         "retrieval_eval": q_retrieval_eval,
+        "corpus_decontaminate_semantic": q_corpus_decontaminate_semantic,
         "text_prf_indexed": q_text_prf_indexed,
         "retrieval_reranked": q_retrieval_reranked,
         "ann_ivf_rebuild": q_ann_ivf_rebuild,
@@ -10447,6 +10488,8 @@ from c
         # so the oracle is the same full-corpus scan-path hybrid
         "stream_index_maintain": _sql_hybrid_rrf(),
         "retrieval_eval": _sql_retrieval_eval(),
+        "corpus_decontaminate_semantic":
+            _sql_corpus_decontaminate_semantic(),
         "text_df_topk": _sql_text_df_topk(),
         "text_phrase_search": _sql_text_phrase_search(),
         "text_near_search": _sql_text_near_search(),

@@ -871,3 +871,37 @@ def dsir_weights(docs: DataFrame, target_cond: Column,
     w = Window.orderBy(F.desc("logw_micro"), "doc_id")
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("doc_id", "n_feats", "logw_micro", "rank"))
+
+
+def semantic_decontaminate(emb: DataFrame, heldout: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "doc_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space decontamination — the semantic companion to the
+    n-gram ``decontaminate``: flags every corpus document whose
+    embedding cosine against ANY held-out eval document meets
+    ``threshold``, reporting its best-matching eval doc —
+    (id_col, eval_id, score), ties on max score to the smallest
+    eval id.  N-gram overlap misses paraphrased leakage; this is the
+    standard second pass (e.g. SemDeDup-style eval-leak audits).
+
+    Plan: the held-out set is eval-set-sized by definition, so it
+    broadcasts as the query side of ``range_search``'s ZERO-shuffle
+    band scan (one Arrow pass over the corpus; only pairs ≥ threshold
+    leave each batch) — the argmax regroup then runs on the
+    contamination-sized pair list, never the corpus.  At 100 TB this
+    is one scan, no corpus-keyed exchange."""
+    from document_vector_pipeline_spark.operators.similarity import (
+        range_search,
+    )
+
+    q = heldout.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("query_vec"))
+    pairs = range_search(emb, q, threshold=threshold,
+                         id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "query_id")
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("vec_id").alias(id_col),
+                    F.col("query_id").alias("eval_id"), "score")
+            .orderBy(id_col))
