@@ -909,6 +909,46 @@ def q_mm_byte_hist(spark, sf_dir):
     return multimodal.byte_histogram(multimodal.documents_as_assets(docs))
 
 
+def q_mm_embed(spark, sf_dir):
+    """Asset bytes → embedding via the injectable model-client seam
+    (multimodal.embed_assets_with_client — the batch/retry contract of
+    embed_with_client applied to binary payloads), wired straight into
+    dedup as the EMBEDDING leg of multimodal near-dup (next to
+    phash_pairs): cosine pairs over the client-embedded assets through
+    embedding_neardup_pairs' blocked-matmul prune + exact verify.
+    The stub client decodes the payload and replays the house
+    hashing-trick embedder (unnormalized exact integer bucket sums),
+    so the oracle rebuilds the identical vectors from the text the
+    payloads encode; a real CLIP-style client drops into the same
+    seam (tests/test_multimodal.py proves the retry contract and a
+    non-stub client)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    emb = multimodal.embed_assets_with_client(
+        assets, multimodal.stub_asset_embedder(dim=32), retry_delay_s=0.0)
+    return dedup.embedding_neardup_pairs(
+        emb.select(F.col("asset_id").alias("vec_id"), "embedding"),
+        threshold=0.9)
+
+
+def _sql_mm_embed(dim: int = 32, threshold: float = 0.9) -> str:
+    # normalize-then-join form, mirroring _sql_dedup_embedding; the
+    # vectors are the hashing-trick bucket sums of the payload text
+    cos = f"round({_dot('a.vn', 'b.vn', dim)}, 6)"
+    return f"""
+with e0 as materialized (select doc_id as vec_id,
+       list_transform({_emb_sql(dim)}, x -> cast(x as double)) as v
+  from documents),
+e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+e as materialized (select vec_id,
+       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn
+  from e1)
+select a.vec_id as id_a, b.vec_id as id_b, {cos} as cos
+from e a join e b on a.vec_id < b.vec_id
+where {cos} >= {threshold!r}
+"""
+
+
 def q_events_session_hist(spark, sf_dir):
     """Session-size histogram (power-of-two buckets over sessionized
     events, exact integer durations)."""
@@ -2797,6 +2837,97 @@ def q_store_hybrid_indexed(spark, sf_dir):
         ti, vi, _bm25_query_df(spark), qv, k=10, nprobe=8)
 
 
+# One immutable IVF build over the embeddings table, shared by
+# BUILD-ONLY serving keys (same discipline + caveats as
+# _shared_text_index above); maintenance keys build their own.
+_IVF_IDX_CACHE: dict = {}
+
+
+def _shared_ivf_index(spark, sf_dir):
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _IVF_IDX_CACHE:
+        return _IVF_IDX_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    path = os.path.join(SCRATCH, f"ivf_shared_idx_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = IVFIndex(spark, path, n_centroids=8)
+    idx.build(emb)
+    _IVF_IDX_CACHE[key] = idx
+    return idx
+
+
+def q_store_hybrid_filtered(spark, sf_dir):
+    """FILTERED hybrid serving — the most common production query
+    ("top-k for this tenant/namespace, keyword + vector") as ONE call:
+    hybrid_search_indexed with the predicate applied per-leg BEFORE
+    fusion (operators/retrieval.py) — the keyword leg keeps
+    corpus-level idf and drops non-matching candidates before its
+    top-k (text_bm25_filtered semantics), the vector leg cuts the
+    pruned cell scan before scoring (ann_ivf_filtered semantics), so
+    each leg's k survivors already satisfy the filter and fused ranks
+    equal the scan-path filtered hybrid.  Reference shape: the one
+    query the reference serves is exactly partition-key-filtered
+    vector search (CosmosDBClientWrapper.cs:117-146); this is its
+    hybrid twin.  Both indexes are the shared build-only artifacts
+    (no mutation), IVF probed exhaustively so the oracle replays the
+    vector leg as filtered brute force."""
+    from document_vector_pipeline_spark.operators import retrieval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ti = _shared_text_index(spark, sf_dir)
+    vi = _shared_ivf_index(spark, sf_dir)
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    return retrieval.hybrid_search_indexed(
+        ti, vi, _bm25_query_df(spark), qv, k=10, nprobe=8,
+        doc_filter=F.col("doc_id") % 3 == 0,
+        id_filter=F.col("vec_id") % 3 == 0)
+
+
+def _sql_store_hybrid_filtered(k: int = 10, c: int = 60) -> str:
+    cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
+    return f"""
+with {_sql_bm25_ctes()},
+fagg as (select * from agg where doc_id % 3 = 0),
+fr as (select *, cast(row_number() over (partition by query_id
+            order by score_micro desc, doc_id) as int) as rank from fagg),
+bm as (select query_id, doc_id, rank as text_rank from fr where rank <= {k}),
+e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
+q as (select vec_id as query_id, v, nrm from e where vec_id < 3),
+s as (select q.query_id, e.vec_id, round({cos}, 6) as score
+      from (select * from e where vec_id % 3 = 0) e cross join q),
+vr as (select query_id, vec_id, cast(row_number() over
+         (partition by query_id order by score desc, vec_id) as int) as rank
+       from s),
+vv as (select query_id, vec_id as doc_id, rank as vec_rank
+       from vr where rank <= {k}),
+f as (select coalesce(bm.query_id, vv.query_id) as query_id,
+             coalesce(bm.doc_id, vv.doc_id) as doc_id,
+             bm.text_rank, vv.vec_rank
+      from bm full outer join vv
+        on bm.query_id = vv.query_id and bm.doc_id = vv.doc_id),
+g as (select query_id, doc_id,
+             cast(coalesce(text_rank, 0) as int) as text_rank,
+             cast(coalesce(vec_rank, 0) as int) as vec_rank,
+             cast((case when text_rank is not null
+                        then floor(1000000.0 / ({c} + text_rank))
+                        else 0 end)
+                + (case when vec_rank is not null
+                        then floor(1000000.0 / ({c} + vec_rank))
+                        else 0 end) as bigint) as rrf_micro
+      from f),
+h as (select *, cast(row_number() over (partition by query_id
+          order by rrf_micro desc, doc_id) as int) as rank from g)
+select query_id, doc_id, text_rank, vec_rank, rrf_micro, rank
+from h where rank <= {k}
+"""
+
+
 def q_stream_index_maintain(spark, sf_dir):
     """Streaming maintenance of BOTH persisted serving indexes
     (streaming/ingest.stream_index_maintain): build TextIndex + IVFIndex
@@ -2809,8 +2940,9 @@ def q_stream_index_maintain(spark, sf_dir):
     builds over everything (upserts maintain exact BM25 stats deltas;
     IVF probes exhaustively, so frozen initial-third centroids cannot
     change the result).  Documents without a vector stream with a NULL
-    embedding — the keyword leg indexes them, the vector leg skips them
-    at ingress."""
+    embedding — the keyword leg indexes them, the vector leg treats
+    them as deletes of any previously-served vector for that id (a
+    no-op here: these ids never had one)."""
     from document_vector_pipeline_spark.operators import retrieval
     from document_vector_pipeline_spark.store.ivf_index import IVFIndex
     from document_vector_pipeline_spark.store.text_index import TextIndex
@@ -9552,6 +9684,59 @@ def q_text_bpe_pairs(spark, sf_dir):
     return textstats.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """Exact BPE tokenizer TRAINING (operators/tokenize.bpe_train):
+    iterate the merge step 8 times over the corpus word histogram —
+    each iteration's pair counts are exact integer sums, the chosen
+    merge is the (n desc, a, b) argmax, and the merge applies as one
+    literal string replace whose left-to-right semantics both engines
+    share, so the oracle replays every iteration bit-for-bit.  Closes
+    the loop text_bpe_pairs opens: the output merge table feeds
+    vocab_from_merges → make_vocab_token_counter → token budgets under
+    the TRAINED vocab (tests/test_tokenize.py)."""
+    from document_vector_pipeline_spark.operators.tokenize import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _sql_text_bpe_train(n_merges: int = 8) -> str:
+    # unrolled merge iterations; every stage MATERIALIZED (the chain
+    # s{i}→b{i}→p{i}→s{i-1} otherwise inlines the base scan 4^N times)
+    ctes = [
+        """wh as materialized (
+  select w, cast(count(*) as bigint) as cnt from
+    (select unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) as w from documents)
+  group by w)""",
+        """s0 as materialized (
+  select cnt, ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+           as seq
+  from wh)"""]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} as materialized (
+  select u.p[1] as a, u.p[2] as b, cast(sum(cnt) as bigint) as n
+  from (select cnt, string_split(trim(seq), '  ') as syms from s{i}) t,
+       unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) as u(p)
+  group by a, b)""")
+        ctes.append(f"b{i} as materialized "
+                    f"(select a, b, n from p{i} order by n desc, a, b "
+                    f"limit 1)")
+        if i < n_merges - 1:
+            ctes.append(f"""s{i + 1} as materialized (
+  select cnt,
+         replace(seq,
+                 ' '||(select a from b{i})||'  '||(select b from b{i})||' ',
+                 ' '||(select a||b from b{i})||' ') as seq
+  from s{i})""")
+    union = "\nunion all\n".join(
+        f"select cast({i + 1} as int) as merge_rank, a, b, "
+        f"a||b as token, n from b{i}"
+        for i in range(n_merges))
+    return ("with " + ",\n".join(ctes)
+            + f"\nselect * from (\n{union}\n) order by merge_rank")
+
+
 def q_asof_nearest(spark, sf_dir):
     """Nearest as-of join: each purchase gets the user's temporally
     closest click in either direction (exact ties prefer the earlier
@@ -10104,93 +10289,38 @@ limit {top}
 
 def queries():
     return {
-    # Round-8 rotation (driver caps at ~50 keys/round): the 2 NEW
-    # round-8 keys lead, then the 21 keys no driver round has ever
-    # hash-recorded (17 post-freeze tail keys + ann_refine/
-    # retrieval_prf/retrieval_mmr/dedup_incremental_eval — all
-    # judge-green in r7), then 27 of the 42 keys whose only driver
-    # verdict is round 1 (five rounds stale).  The tail is ordered
-    # oldest-verdict-first (rest of r1, rows-only twins, r4/r5, r6,
-    # then the 50 keys round 7 just recorded) so rotations stay
-    # honest.
-        # -- new round-8 keys --
-        "stream_index_maintain": q_stream_index_maintain,
-        "retrieval_eval": q_retrieval_eval,
-        "corpus_decontaminate_semantic": q_corpus_decontaminate_semantic,
-        "text_prf_indexed": q_text_prf_indexed,
-        "retrieval_reranked": q_retrieval_reranked,
-        "ann_ivf_rebuild": q_ann_ivf_rebuild,
-        # -- never driver-recorded (21, judge-green r7) --
-        "events_pareto": q_events_pareto,
-        "events_markov": q_events_markov,
-        "events_gini": q_events_gini,
-        "corpus_zipf": q_corpus_zipf,
-        "events_autocorr": q_events_autocorr,
-        "dedup_graph_reciprocity": q_dedup_graph_reciprocity,
-        "events_decile_migration": q_events_decile_migration,
-        "mm_phash_tuning": q_mm_phash_tuning,
-        "events_kanon": q_events_kanon,
-        "emb_isotropy": q_emb_isotropy,
-        "text_burstiness": q_text_burstiness,
-        "events_interarrival": q_events_interarrival,
-        "basket_lift": q_basket_lift,
-        "part_corr": q_part_corr,
-        "corpus_heldout_coverage": q_corpus_heldout_coverage,
-        "orders_basket_size": q_orders_basket_size,
-        "events_type_entropy": q_events_type_entropy,
-        "ann_refine": q_ann_refine,
-        "retrieval_prf": q_retrieval_prf,
-        "retrieval_mmr": q_retrieval_mmr,
-        "dedup_incremental_eval": q_dedup_incremental_eval,
-        # -- stalest driver verdicts: r1-only keys (27 of 42) --
-        "embed_hash": q_embed_hash,
-        "embed_json_roundtrip": q_embed_json_roundtrip,
-        "pipeline_e2e": q_pipeline_e2e,
-        "store_schema": q_store_schema,
-        "store_upsert": q_store_upsert,
-        "store_delete": q_store_delete,
-        "vector_topk": q_vector_topk,
-        "vector_quantized": q_vector_quantized,
-        "dedup_exact": q_dedup_exact,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_persisted": q_ann_ivf_persisted,
-        "ann_pq": q_ann_pq,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_bruteforce": q_ann_bruteforce,
-        "dedup_embedding": q_dedup_embedding,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "text_topterms": q_text_topterms,
+    # Round-9 rotation (driver caps at ~50 keys/round): the 3 NEW
+    # round-9 keys lead, then the 19 keys whose newest driver record
+    # is round 1 (stream_windowed/q1-q22 block — eight rounds of
+    # refactors stale, flagged by the round-8 verdict), then the 28
+    # stalest r4/r5 greens.  The tail stays oldest-verdict-first
+    # (rows-only twins, r4/r5/r6 remainder, r7, then the 50 keys
+    # round 8 just recorded) so rotations stay honest.
+        # -- new round-9 keys --
+        "store_hybrid_filtered": q_store_hybrid_filtered,
+        "text_bpe_train": q_text_bpe_train,
+        "mm_embed": q_mm_embed,
+        # -- stalest driver verdicts: r1-only keys (19) --
         "mm_decode": q_mm_decode,
         "stream_windowed": q_stream_windowed,
         "stream_sliding": q_stream_sliding,
         "stream_sessionize": q_stream_sessionize,
-        # -- rest of the r1-only block (rotate into the r9 head) --
         "stream_first_seen": q_stream_first_seen,
         "stream_running_totals": q_stream_running_totals,
         "events_topusers": q_events_topusers,
+        "events_enrich": q_events_enrich,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
+        "q4_late": q_q4_late,
         "q5_local": q_q5_local,
         "q6_forecast": q_q6_forecast,
-        "q14_promo": q_q14_promo,
-        "events_enrich": q_events_enrich,
-        "q4_late": q_q4_late,
         "q10_returned": q_q10_returned,
         "q13_custdist": q_q13_custdist,
+        "q14_promo": q_q14_promo,
         "q18_large": q_q18_large,
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
-        # -- rows-only by design (oracle-green exact twins) --
-        "ann_bruteforce_np": q_ann_bruteforce_np,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
-        # -- r4/r5/r6 driver-green (oldest first) --
+        # -- stalest r4/r5 driver greens (28) --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -10219,6 +10349,11 @@ def queries():
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
         "events_conversion": q_events_conversion,
+        # -- rows-only by design (oracle-green exact twins) --
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        # -- r4/r5/r6 driver-green remainder (oldest first) --
         "customer_churn": q_customer_churn,
         "events_diversity": q_events_diversity,
         "graph_degrees": q_graph_degrees,
@@ -10341,7 +10476,7 @@ def queries():
         "emb_pca": q_emb_pca,
         "emb_covariance": q_emb_covariance,
         "corpus_quality_model": q_corpus_quality_model,
-        # -- r7 driver-recorded (freshest) --
+        # -- r7 driver-recorded --
         "corpus_token_budget": q_corpus_token_budget,
         "sketch_cms": q_sketch_cms,
         "store_compact": q_store_compact,
@@ -10392,6 +10527,57 @@ def queries():
         "chunk_tokens": q_chunk_tokens,
         "chunk_tokens_overlap": q_chunk_tokens_overlap,
         "parse_route": q_parse_route,
+        # -- r8 driver-recorded (freshest) --
+        "stream_index_maintain": q_stream_index_maintain,
+        "retrieval_eval": q_retrieval_eval,
+        "corpus_decontaminate_semantic": q_corpus_decontaminate_semantic,
+        "text_prf_indexed": q_text_prf_indexed,
+        "retrieval_reranked": q_retrieval_reranked,
+        "ann_ivf_rebuild": q_ann_ivf_rebuild,
+        "events_pareto": q_events_pareto,
+        "events_markov": q_events_markov,
+        "events_gini": q_events_gini,
+        "corpus_zipf": q_corpus_zipf,
+        "events_autocorr": q_events_autocorr,
+        "dedup_graph_reciprocity": q_dedup_graph_reciprocity,
+        "events_decile_migration": q_events_decile_migration,
+        "mm_phash_tuning": q_mm_phash_tuning,
+        "events_kanon": q_events_kanon,
+        "emb_isotropy": q_emb_isotropy,
+        "text_burstiness": q_text_burstiness,
+        "events_interarrival": q_events_interarrival,
+        "basket_lift": q_basket_lift,
+        "part_corr": q_part_corr,
+        "corpus_heldout_coverage": q_corpus_heldout_coverage,
+        "orders_basket_size": q_orders_basket_size,
+        "events_type_entropy": q_events_type_entropy,
+        "ann_refine": q_ann_refine,
+        "retrieval_prf": q_retrieval_prf,
+        "retrieval_mmr": q_retrieval_mmr,
+        "dedup_incremental_eval": q_dedup_incremental_eval,
+        "embed_hash": q_embed_hash,
+        "embed_json_roundtrip": q_embed_json_roundtrip,
+        "pipeline_e2e": q_pipeline_e2e,
+        "store_schema": q_store_schema,
+        "store_upsert": q_store_upsert,
+        "store_delete": q_store_delete,
+        "vector_topk": q_vector_topk,
+        "vector_quantized": q_vector_quantized,
+        "dedup_exact": q_dedup_exact,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq": q_ann_pq,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "dedup_embedding": q_dedup_embedding,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_topterms": q_text_topterms,
     }
 
 
@@ -10484,6 +10670,9 @@ from c
         # indexed hybrid == scan hybrid by construction (exhaustive
         # probe + complete posting lists) — same oracle
         "store_hybrid_indexed": _sql_hybrid_rrf(),
+        "store_hybrid_filtered": _sql_store_hybrid_filtered(),
+        "text_bpe_train": _sql_text_bpe_train(),
+        "mm_embed": _sql_mm_embed(),
         # the stream-maintained indexes must equal full-corpus builds,
         # so the oracle is the same full-corpus scan-path hybrid
         "stream_index_maintain": _sql_hybrid_rrf(),

@@ -248,6 +248,107 @@ def byte_histogram_expr(assets: DataFrame,
             .orderBy("asset_id", "bucket"))
 
 
+def stub_asset_embedder(dim: int = 32):
+    """Deterministic stand-in for an asset-embedding model client — the
+    same stand-in philosophy as the hash text embedder, the quality-model
+    stub weights, and stub_cross_encoder: decode the payload bytes as
+    UTF-8 and replay the house hashing-trick embedding EXACTLY
+    (operators/embed.hash_embedding_expr: per whitespace token,
+    vec[md5_32(token) % dim] += ±1 by md5 hex digit 9) — unnormalized
+    integer bucket sums as floats, exact, so the DuckDB oracle rebuilds
+    the identical vector from the text the payload encodes.
+    Empty/NULL payloads embed to the zero vector (cosine 0 against
+    everything).  Self-contained (hashlib only): cloudpickles by value
+    with no reference to this package; swap in a CLIP/SigLIP-style
+    bytes→vector model client at deployment — every Spark-side shape
+    stays identical."""
+    def client(payloads: list) -> list:
+        import hashlib
+
+        out = []
+        for p in payloads:
+            vec = [0] * dim
+            text = (p or b"").decode("utf-8", errors="replace")
+            for w in text.strip().split():
+                h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                s = 1 if int(h[8], 16) % 2 == 0 else -1
+                vec[int(h[:8], 16) % dim] += s
+            out.append([float(x) for x in vec])
+        return out
+
+    return client
+
+
+def embed_assets_with_client(assets: DataFrame, client,
+                             payload_col: str = "payload",
+                             out_col: str = "embedding",
+                             batch_size: int = 10,
+                             max_retries: int = 100,
+                             retry_delay_s: float = 10.0,
+                             retry_on=(429, 401)) -> DataFrame:
+    """Asset bytes → embedding vector via an injectable model client —
+    the multimodal member of the house client-seam family
+    (embed_with_client / parse_route_client / rerank_with_client /
+    count_tokens_with_client, all mirroring BlobTriggerFunction.cs:
+    118-160's batch/retry contract): ``client`` is any
+    ``Callable[[list[bytes]], list[list[float]]]``, cloudpickled BY
+    VALUE, sliced into ``batch_size`` call groups per Arrow batch,
+    retried on an exception whose ``status_code`` is in ``retry_on``
+    up to ``max_retries`` times with ``retry_delay_s`` between
+    attempts — transient model-service throttles never fail the task.
+
+    This is the hook where a real image/audio embedding model goes
+    (CLIP-style bytes → vector), which is what joint image-text dedup
+    and retrieval need: the output frame feeds
+    dedup.embedding_neardup_pairs (the second leg next to phash_pairs)
+    and IVFIndex.build unchanged.
+
+    Plan: ONE map-only mapInPandas stage (no shuffle; the payload
+    bytes cross to Python once via Arrow) appending ``out_col``
+    (array<float>) to the input schema — at 100 TB the classic
+    embarrassingly parallel byte-crunch stage, same shape as
+    resize_assets."""
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(assets.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pdf[payload_col].tolist()
+            vecs: list = []
+            for s in range(0, len(payloads), batch_size):
+                group = payloads[s:s + batch_size]
+                attempt = 0
+                while True:
+                    try:
+                        got = client(group)
+                        break
+                    except Exception as e:
+                        status = getattr(e, "status_code", None)
+                        if (status not in retry_on
+                                or attempt >= max_retries):
+                            raise
+                        attempt += 1
+                        if retry_delay_s:
+                            time.sleep(retry_delay_s)
+                if len(got) != len(group):
+                    raise ValueError(
+                        f"asset embedding client returned {len(got)} "
+                        f"vectors for a batch of {len(group)} payloads")
+                vecs.extend(got)
+            out = pdf.copy()
+            out[out_col] = [[float(x) for x in v] for v in vecs]
+            yield out
+
+    return assets.mapInPandas(run, schema)
+
+
 def phash(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """(asset_id, phash): perceptual hash of each asset — bit i set iff
     byte-bucket count i exceeds the asset's mean bucket count

@@ -378,7 +378,8 @@ def rrf_fuse(text_ranked: DataFrame, vec_ranked: DataFrame, k: int = 10,
 
 def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
                           queries: DataFrame, k: int = 10, c: int = 60,
-                          nprobe: int = 1, use_adc: bool = False) -> DataFrame:
+                          nprobe: int = 1, use_adc: bool = False,
+                          doc_filter=None, id_filter=None) -> DataFrame:
     """Hybrid retrieval over two PERSISTED indexes — the serving-path
     composition of store/text_index.TextIndex (keyword leg: reads only
     the query terms' posting buckets) and store/ivf_index.IVFIndex
@@ -386,14 +387,35 @@ def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
     the PQ codes instead of raw vectors — the compressed-serving
     variant), fused by RRF.  Neither leg scans a corpus; both read
     pruned partitions of a pre-built index — the 100 TB serving shape
-    (the scan-path twin is VectorStore.hybrid_search)."""
-    text = text_index.search(query_terms, k=k).select(
+    (the scan-path twin is VectorStore.hybrid_search).
+
+    ``doc_filter`` / ``id_filter`` make this FILTERED hybrid serving —
+    the most common production query ("top-k for this tenant/namespace,
+    keyword + vector") as one call, the hybrid twin of the reference's
+    partition-key-filtered vector search (CosmosDBClientWrapper.cs:
+    117-146).  ``doc_filter`` is a Column predicate over the keyword
+    leg's ``doc_id``; ``id_filter`` the same restriction over the
+    vector leg's ``vec_id`` (two Column objects because each leg binds
+    its own id column).  BOTH legs apply the predicate BEFORE their
+    top-k and therefore before fusion — each leg's k survivors already
+    satisfy the filter, so fused ranks equal the scan-path filtered
+    hybrid (filter-then-rank, never rank-then-filter which could
+    return < k matching rows while matches exist).  The vector leg's
+    cut happens pre-scoring on the pruned cell scan; the keyword leg's
+    post-scoring with corpus-level idf (Lucene filtered-query
+    semantics).  ``id_filter`` requires raw-vector search (the ADC
+    path has no filtered form yet)."""
+    if use_adc and id_filter is not None:
+        raise ValueError("id_filter is not supported with use_adc=True")
+    text = text_index.search(query_terms, k=k, doc_filter=doc_filter).select(
         "query_id", "doc_id", "rank")
-    vsearch = (ivf_index.search_many_adc if use_adc
-               else ivf_index.search_many)
-    vec = (vsearch(queries, k=k, nprobe=nprobe)
-           .select("query_id", "vec_id", F.col("rank").cast("int")
-                   .alias("rank")))
+    if use_adc:
+        vec_ranked = ivf_index.search_many_adc(queries, k=k, nprobe=nprobe)
+    else:
+        vec_ranked = ivf_index.search_many(queries, k=k, nprobe=nprobe,
+                                           id_filter=id_filter)
+    vec = vec_ranked.select("query_id", "vec_id", F.col("rank").cast("int")
+                            .alias("rank"))
     return rrf_fuse(text, vec, k=k, c=c)
 
 
@@ -529,8 +551,13 @@ def ranking_eval(ranked: DataFrame, qrels: DataFrame,
     disc = spark.createDataFrame(
         [(r + 1, d) for r, d in enumerate(ndcg_discounts(k))],
         "rank int, disc long")
-    qr = qrels.select("query_id", "doc_id",
-                      F.col("rel").cast("long").alias("rel"))
+    # enforce the rel > 0 ingress contract instead of assuming it: a
+    # query whose qrels rows are all rel <= 0 (or NULL) would otherwise
+    # reach the ndcg division with idcg_micro = 0.  Such queries have
+    # no relevant documents — they drop out of the scorecard entirely.
+    qr = (qrels.select("query_id", "doc_id",
+                       F.col("rel").cast("long").alias("rel"))
+          .filter(F.col("rel") > 0))
     hits = (ranked.select("query_id", "doc_id", F.col("rank").cast("int")
                           .alias("rank"))
             .join(qr, ["query_id", "doc_id"])

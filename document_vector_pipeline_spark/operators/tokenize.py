@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["stub_token_counter", "make_vocab_token_counter",
-           "count_tokens_with_client"]
+           "count_tokens_with_client", "bpe_train", "vocab_from_merges"]
 
 # Java \s (what Spark's split(text, '\\s+') matches): ASCII whitespace
 # only — Python's \s is unicode-wide, so spell the class out
@@ -83,6 +83,91 @@ def make_vocab_token_counter(vocab: list) -> "callable":
         return out
 
     return count
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """Exact BPE tokenizer training (Sennrich et al. 2016): iterate the
+    merge step ``n_merges`` times and return the merge table —
+    (merge_rank 1.., a, b, token = a||b, n = the pair's exact corpus
+    count when it was chosen).  This closes the loop the single-step
+    ``textstats.bpe_pair_counts`` opens: merges → a (token, rank)
+    vocabulary (``vocab_from_merges``) → ``make_vocab_token_counter``
+    → token budgets under the TRAINED vocab.
+
+    Exactness (the oracle replays every iteration): the corpus state
+    is the WORD HISTOGRAM (word, count) — BPE statistics only depend
+    on it — and each word's symbol sequence is encoded as a string
+    with every symbol wrapped in single spaces ('hello' → ' h  e  l
+    l  o '  [two spaces between symbols]).  Applying a merge is then
+    ONE literal string replace: ``replace(seq, ' a  b ', ' ab ')`` —
+    left-to-right non-overlapping replacement IS greedy BPE merge
+    order, and Spark's ``replace`` and ANSI SQL's share it.  Pair
+    counts are integer sums weighted by word count; the argmax
+    tie-break is (n desc, a, b) — binary string order, engine-portable
+    for the ASCII corpus.  Training stops early if no pair is left.
+
+    Plan shape (100 TB): ONE corpus scan builds the word histogram
+    (the only corpus-sized shuffle, on the word key); all ``n_merges``
+    iterations run over the VOCAB-sized checkpointed histogram — per
+    iteration one bounded-key pair aggregation (≤ |vocab| · avg word
+    length pairs) and a 1-row driver collect (the chosen merge is plan
+    metadata, exactly the PQ-codebook discipline).  The merge applies
+    lazily as a chained replace expression — no per-iteration
+    materialization of the histogram."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != F.lit(""))
+    wh = (docs.select(F.explode(words).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+          .select(F.concat(F.lit(" "),
+                           F.array_join(F.split(F.col("w"), ""), "  "),
+                           F.lit(" ")).alias("seq"),
+                  "cnt")
+          .localCheckpoint(eager=True))
+    merges: list = []
+    cur = wh
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        pair = F.zip_with(
+            F.slice(syms, F.lit(1), F.size(syms) - 1),
+            F.slice(syms, F.lit(2), F.size(syms) - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+        best = (cur.select(F.explode(pair).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((rank, a, b, a + b, n))
+        cur = cur.withColumn(
+            "seq", F.replace(F.col("seq"),
+                             F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")))
+    spark = docs.sparkSession
+    if not merges:
+        return spark.createDataFrame(
+            [], "merge_rank int, a string, b string, token string, n long")
+    return spark.createDataFrame(
+        merges, "merge_rank int, a string, b string, token string, n long")
+
+
+def vocab_from_merges(merges: DataFrame) -> list:
+    """Flatten a ``bpe_train`` merge table into the vocabulary list
+    ``make_vocab_token_counter`` consumes: every merged token plus both
+    sides of every merge (covering intermediate symbols), deduplicated,
+    merge order preserved (earlier merges first — the counter's
+    longest-match doesn't need ranks, but a real BPE segmenter would).
+    Driver-side: the merge table is n_merges rows of plan metadata."""
+    rows = sorted(merges.collect(), key=lambda r: r["merge_rank"])
+    out: list = []
+    seen: set = set()
+    for r in rows:
+        for tok in (r["token"], r["a"], r["b"]):
+            if tok not in seen:
+                seen.add(tok)
+                out.append(tok)
+    return out
 
 
 def count_tokens_with_client(docs: DataFrame, client,

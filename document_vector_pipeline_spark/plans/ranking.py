@@ -164,11 +164,18 @@ def grouped_running_sum(df: DataFrame, group_col: str, order_cols: list,
     off = df.sparkSession.createDataFrame(rows, schema)
     wl = (Window.partitionBy("__pid", group_col).orderBy(*order_cols)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (part.join(F.broadcast(off), ["__pid", group_col])
+    # eqNullSafe on the group key: a NULL group is a real partition in
+    # the window form (SQL PARTITION BY groups nulls together) — a
+    # null-unsafe equi-join would silently drop those rows.
+    offr = off.select(F.col("__pid").alias("__opid"),
+                      F.col(group_col).alias("__og"), "__goff")
+    return (part.join(F.broadcast(offr),
+                      (F.col("__pid") == F.col("__opid"))
+                      & F.col(group_col).eqNullSafe(F.col("__og")))
             .withColumn(out, (F.col("__goff")
                               + F.sum(F.col(val_col)).over(wl))
                         .cast("long"))
-            .drop("__pid", "__goff"))
+            .drop("__pid", "__opid", "__og", "__goff"))
 
 
 def partial_topk(df: DataFrame, order_cols: list, k: int,
@@ -206,10 +213,14 @@ def global_cumsum(df: DataFrame, order_cols: list, val_col: str,
     part = (df.repartitionByRange(n_parts, *order_cols)
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint(eager=True))
+    # coalesce: a partition whose values are all NULL sums to NULL —
+    # it contributes 0 to the prefix (running sums skip nulls), and
+    # int(None) would raise driver-side.
     stats = {int(r["__pid"]): (int(r["n"]), int(r["s"]))
              for r in part.groupBy("__pid")
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.col(val_col)).cast("long").alias("s"))
+                  F.coalesce(F.sum(F.col(val_col)), F.lit(0))
+                  .cast("long").alias("s"))
              .collect()}
     rows, nacc, sacc = [], 0, 0
     for pid in sorted(stats):
@@ -249,14 +260,19 @@ def global_suffix_max(df: DataFrame, order_col: str, val_col: str,
     part = (df.repartitionByRange(n_parts, F.col(order_col))
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint(eager=True))
-    maxes = {int(r["__pid"]): int(r["m"])
+    # m may be NULL (partition whose values are all NULL): MAX skips
+    # nulls, so a None partial must not fold into the suffix (and
+    # int(None) would raise driver-side).
+    maxes = {int(r["__pid"]): (None if r["m"] is None else int(r["m"]))
              for r in part.groupBy("__pid")
              .agg(F.max(F.col(val_col)).cast("long").alias("m"))
              .collect()}
     rows, suffix = [], None
     for pid in sorted(maxes, reverse=True):
         rows.append((pid, suffix))
-        suffix = maxes[pid] if suffix is None else max(suffix, maxes[pid])
+        m = maxes[pid]
+        if m is not None:
+            suffix = m if suffix is None else max(suffix, m)
     if not rows:
         rows = [(0, None)]
     off = df.sparkSession.createDataFrame(

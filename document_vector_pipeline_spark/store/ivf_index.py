@@ -346,18 +346,33 @@ class IVFIndex:
         big enough to invalidate them is a ``build``/``build_pq``
         rebuild, not an upsert."""
         self._ensure_idmap()
+        # a duplicated id in the batch would survive the anti-join merge
+        # twice (two rows in the cells + idmap that later delete/upsert
+        # calls treat inconsistently) — refuse it up front; the check
+        # runs on the FULL batch (null embeddings included) so an id
+        # carrying both a vectored and a vector-less row is refused as
+        # the same ambiguity.  One action over the batch-sized frame,
+        # never the index.
+        all_ids = df.select(F.col(id_col).alias("vec_id"))
+        if (all_ids.groupBy("vec_id").count()
+                .filter(F.col("count") > 1).limit(1).count()):
+            raise ValueError("upsert batch contains duplicate vec_id rows")
+        # CDC semantics: an upsert row whose embedding is NULL replaces
+        # a previously-vectored document with a keyword-only version —
+        # the old vector must LEAVE the index, not survive as a stale
+        # serving row (keeps stream_index_maintain's drained-stream ≡
+        # batch-build bit-identity for vector-dropping replacements).
+        null_ids = (df.filter(F.col(vec_col).isNull())
+                    .select(F.col(id_col).alias("vec_id")).distinct())
+        if null_ids.limit(1).count():
+            self.delete(null_ids)
         df = df.filter(F.col(vec_col).isNotNull())
+        if df.isEmpty():
+            return  # batch was all vector-less rows; deletes done above
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = df.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"),
                          l2_norm(vd).alias("vnorm"))
-        # a duplicated id in the batch would survive the anti-join merge
-        # twice (two rows in the cells + idmap that later delete/upsert
-        # calls treat inconsistently) — refuse it up front; the check is
-        # one action over the batch-sized frame, never the index
-        if (base.groupBy("vec_id").count()
-                .filter(F.col("count") > 1).limit(1).count()):
-            raise ValueError("upsert batch contains duplicate vec_id rows")
         assigned = self._assign_np(base, self._centroid_rows())
         if self._fs_exists(self._codebook):
             cb = self._read_codebook()

@@ -75,14 +75,25 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
 
 def top_users_by_activity(events: DataFrame, n: int = 20) -> DataFrame:
     """Per-user activity rollup with rank (batch analytics on the stream's
-    history)."""
+    history).
+
+    Scale shape: the per-user aggregate is users-sized, so the final
+    rank window is preceded by a partial_topk pre-cut — each physical
+    partition surrenders at most n rows, making the unpartitioned
+    window a constant-size (n_parts·n) stage at any user count.
+    Bit-identical to the plain window for rank <= n (a row outside its
+    partition's local top-n cannot rank <= n globally)."""
     from pyspark.sql import Window
+
+    from ..plans.ranking import partial_topk
     agg = (events.groupBy("user_id")
            .agg(F.count("*").alias("n_events"),
                 money_sum(F.col("value"), 2).alias("total_value"),
                 F.countDistinct("event_type").alias("n_types")))
-    w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
-    return (agg.withColumn("rank", F.row_number().over(w))
+    order = [F.desc("n_events"), F.col("user_id")]
+    cut = partial_topk(agg, order, n)
+    w = Window.orderBy(*order)
+    return (cut.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n))
 
 

@@ -265,7 +265,8 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
                           available_now: bool = True,
                           max_files_per_trigger: int = 1,
                           compact_opts: dict | None = None,
-                          rebuild_check_every: int = 8) -> StreamingQuery:
+                          rebuild_check_every: int = 8,
+                          seq_col: str | None = None) -> StreamingQuery:
     """Streaming maintenance of BOTH persisted serving indexes — the
     freshness loop that closes the gap between "the stream keeps the
     STORE current" (stream_ingest) and "the serving tier answers from
@@ -281,7 +282,11 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     per-microbatch cost is bounded by the batch regardless of index
     size, the property that makes an always-on maintainer viable at
     100 TB.  Rows with a NULL embedding are keyword-only documents:
-    the text leg indexes them, the vector leg skips them at ingress.
+    the text leg indexes them, and the vector leg treats them as
+    DELETES of any previously-served vector for that id (IVFIndex.
+    upsert routes null-embedding ids through delete) — a replacement
+    that drops its embedding must not leave the stale old vector
+    serving.
 
     Exactness: both indexes' upserts maintain exact statistics
     (BM25 df/dl deltas; frozen-codebook re-encode), so after the
@@ -300,8 +305,13 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     both indexes refuse ambiguous upserts (the Delta-MERGE
     multiple-source-rows-match discipline) rather than pick a survivor
     nondeterministically.  A source that can emit several versions of
-    one document inside a trigger interval must carry a per-id
-    sequence and collapse to the latest upstream of this maintainer.
+    one document inside a trigger interval (any real CDC feed) should
+    pass ``seq_col``: the source schema gains that long column and
+    each microbatch collapses to the HIGHEST-seq row per doc_id before
+    either index is touched (the surviving row's op decides delete vs
+    upsert — log-replay latest-wins).  Rows with a NULL seq sort below
+    every non-null seq; a doc_id whose maximal seq is carried by MORE
+    than one row is still ambiguous and fails the trigger.
 
     CDC deletes: rows may carry ``op: "delete"`` (any other value, or
     the field absent, means upsert).  Deletes in a microbatch apply
@@ -324,6 +334,8 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     only re-cluster.
     """
     schema = "doc_id long, text string, embedding array<float>, op string"
+    if seq_col is not None:
+        schema += f", {seq_col} long"
     batches = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", max_files_per_trigger)
                .json(batches_path))
@@ -332,6 +344,25 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint(eager=True)
+        if seq_col is not None:
+            # latest-wins collapse per id: keep the max-seq row (its op
+            # decides delete vs upsert).  eqNullSafe so an id whose
+            # rows all carry NULL seq keeps its single row; MAX skips
+            # nulls, so a null-seq row loses to any sequenced one.
+            # All joins are batch-sized.
+            mx = batch_df.groupBy("doc_id").agg(
+                F.max(F.col(seq_col)).alias("__mx"))
+            winners = (batch_df.join(mx, "doc_id")
+                       .filter(F.col(seq_col).eqNullSafe(F.col("__mx")))
+                       .drop("__mx"))
+            if not (winners.groupBy("doc_id").count()
+                    .filter(F.col("count") > 1).isEmpty()):
+                raise ValueError(
+                    "stream_index_maintain: a doc_id's maximal "
+                    f"{seq_col} is carried by more than one row — "
+                    "ambiguous latest version; fix the source's "
+                    "sequence assignment")
+            batch_df = winners.localCheckpoint(eager=True)
         is_del = F.col("op") == "delete"
         dels = batch_df.filter(is_del).select("doc_id")
         if not dels.isEmpty():
