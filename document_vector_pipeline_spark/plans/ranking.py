@@ -147,20 +147,24 @@ def grouped_running_sum(df: DataFrame, group_col: str, order_cols: list,
     partials = (part.groupBy("__pid", group_col)
                 # coalesce: a (partition, group) slice whose values are
                 # all NULL sums to NULL — it contributes 0 to the prefix
-                # (SQL running sums skip nulls)
+                # (SQL running sums skip nulls); the non-null count
+                # rides along so NULL-vs-0 is decidable downstream
                 .agg(F.coalesce(F.sum(F.col(val_col)), F.lit(0))
-                     .cast("long").alias("__s"))
+                     .cast("long").alias("__s"),
+                     F.count(F.col(val_col)).cast("long").alias("__c"))
                 .collect())
     by_group: dict = {}
     for r in sorted(partials, key=lambda r: int(r["__pid"])):
         g = r[group_col]
         seen = by_group.setdefault(g, [])
-        prior = seen[-1][1] + seen[-1][2] if seen else 0
-        seen.append((int(r["__pid"]), prior, int(r["__s"])))
-    rows = [(pid, g, off) for g, lst in by_group.items()
-            for pid, off, _ in lst]
+        ps = seen[-1][1] + seen[-1][3] if seen else 0
+        pc = seen[-1][2] + seen[-1][4] if seen else 0
+        seen.append((int(r["__pid"]), ps, pc, int(r["__s"]), int(r["__c"])))
+    rows = [(pid, g, offs, offc) for g, lst in by_group.items()
+            for pid, offs, offc, _, _ in lst]
     schema = (part.select("__pid", group_col).limit(0)
-              .withColumn("__goff", F.lit(0).cast("long")).schema)
+              .withColumn("__goff", F.lit(0).cast("long"))
+              .withColumn("__gcnt", F.lit(0).cast("long")).schema)
     off = df.sparkSession.createDataFrame(rows, schema)
     wl = (Window.partitionBy("__pid", group_col).orderBy(*order_cols)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -168,14 +172,19 @@ def grouped_running_sum(df: DataFrame, group_col: str, order_cols: list,
     # the window form (SQL PARTITION BY groups nulls together) — a
     # null-unsafe equi-join would silently drop those rows.
     offr = off.select(F.col("__pid").alias("__opid"),
-                      F.col(group_col).alias("__og"), "__goff")
+                      F.col(group_col).alias("__og"), "__goff", "__gcnt")
+    local = F.sum(F.col(val_col)).over(wl)
+    # SQL running sums are NULL only while ZERO non-null values have
+    # been seen; a NULL local slice after earlier-partition values must
+    # surface the offset, not NULL out.
+    cum = (F.when(local.isNull() & (F.col("__gcnt") == 0),
+                  F.lit(None).cast("long"))
+           .otherwise(F.col("__goff") + F.coalesce(local, F.lit(0))))
     return (part.join(F.broadcast(offr),
                       (F.col("__pid") == F.col("__opid"))
                       & F.col(group_col).eqNullSafe(F.col("__og")))
-            .withColumn(out, (F.col("__goff")
-                              + F.sum(F.col(val_col)).over(wl))
-                        .cast("long"))
-            .drop("__pid", "__opid", "__og", "__goff"))
+            .withColumn(out, cum.cast("long"))
+            .drop("__pid", "__opid", "__og", "__goff", "__gcnt"))
 
 
 def partial_topk(df: DataFrame, order_cols: list, k: int,
@@ -215,33 +224,41 @@ def global_cumsum(df: DataFrame, order_cols: list, val_col: str,
             .localCheckpoint(eager=True))
     # coalesce: a partition whose values are all NULL sums to NULL —
     # it contributes 0 to the prefix (running sums skip nulls), and
-    # int(None) would raise driver-side.
-    stats = {int(r["__pid"]): (int(r["n"]), int(r["s"]))
+    # int(None) would raise driver-side; the non-null count rides
+    # along so NULL-vs-0 is decidable downstream.
+    stats = {int(r["__pid"]): (int(r["n"]), int(r["s"]), int(r["c"]))
              for r in part.groupBy("__pid")
              .agg(F.count(F.lit(1)).alias("n"),
                   F.coalesce(F.sum(F.col(val_col)), F.lit(0))
-                  .cast("long").alias("s"))
+                  .cast("long").alias("s"),
+                  F.count(F.col(val_col)).cast("long").alias("c"))
              .collect()}
-    rows, nacc, sacc = [], 0, 0
+    rows, nacc, sacc, cacc = [], 0, 0, 0
     for pid in sorted(stats):
-        rows.append((pid, nacc, sacc))
+        rows.append((pid, nacc, sacc, cacc))
         nacc += stats[pid][0]
         sacc += stats[pid][1]
+        cacc += stats[pid][2]
     if not rows:
-        rows = [(0, 0, 0)]
+        rows = [(0, 0, 0, 0)]
     off = df.sparkSession.createDataFrame(
-        rows, "__pid int, __noff long, __soff long")
+        rows, "__pid int, __noff long, __soff long, __coff long")
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
     wls = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    res = (part.join(F.broadcast(off), "__pid")
-           .withColumn(out, (F.col("__soff")
-                             + F.sum(F.col(val_col)).over(wls))
-                       .cast("long")))
+    local = F.sum(F.col(val_col)).over(wls)
+    # NULL only while ZERO non-null values precede globally (window
+    # semantics); a NULL local prefix after earlier-partition values
+    # must surface the offset, not NULL out.
+    cum = (F.when(local.isNull() & (F.col("__coff") == 0),
+                  F.lit(None).cast("long"))
+           .otherwise(F.col("__soff") + F.coalesce(local, F.lit(0))))
+    res = part.join(F.broadcast(off), "__pid").withColumn(
+        out, cum.cast("long"))
     if rn_out is not None:
         res = res.withColumn(rn_out, (F.col("__noff")
                                       + F.row_number().over(wl))
                              .cast("long"))
-    return res.drop("__pid", "__noff", "__soff"), nacc, sacc
+    return res.drop("__pid", "__noff", "__soff", "__coff"), nacc, sacc
 
 
 def global_suffix_max(df: DataFrame, order_col: str, val_col: str,

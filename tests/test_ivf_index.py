@@ -419,3 +419,52 @@ def test_maybe_rebuild_triggers_on_empty_cells(spark, embeddings_small,
     got = idx.search_many(qdf, k=5, nprobe=N_CENTROIDS)
     want = brute_force_topk(live, qdf, k=5)
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_upsert_null_embedding_deletes_stale_vector(spark, embeddings_small,
+                                                    tmp_path):
+    """Round-8 ADVICE (medium): an upsert row whose embedding is NULL is
+    a keyword-only REPLACEMENT — the previously-served vector must leave
+    the index (cells AND idmap), not keep serving; remaining search is
+    bit-identical to a fresh build without the victims.  A mixed batch
+    (one NULL + one vectored row) and an all-NULL batch both work; an id
+    carrying both a NULL and a vectored row in one batch is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    idx = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=4)
+    idx.build(embeddings_small)
+    n0 = idx._read_cells().count()
+
+    new_vec = [float(j % 5 - 2) for j in range(64)]
+    batch = spark.createDataFrame(
+        [(0, None), (1, new_vec)], "vec_id long, embedding array<float>")
+    idx.upsert(batch)
+    cells = idx._read_cells()
+    assert cells.count() == n0 - 1        # id 0 out; id 1 replaced in place
+    assert cells.filter(F.col("vec_id") == 0).count() == 0
+    assert idx._read_idmap().filter(F.col("vec_id") == 0).count() == 0
+
+    # search ≡ fresh build over the surviving corpus
+    ref = IVFIndex(spark, str(tmp_path / "ref"), n_centroids=4)
+    ref.build(embeddings_small.select("vec_id", "embedding")
+              .filter(F.col("vec_id") > 1)
+              .unionByName(batch.filter(F.col("embedding").isNotNull())))
+    q = spark.createDataFrame([(0, new_vec)],
+                              "query_id long, query_vec array<float>")
+    got = idx.search_many(q, k=5, nprobe=4).toPandas().values.tolist()
+    want = ref.search_many(q, k=5, nprobe=4).toPandas().values.tolist()
+    assert got == want and got
+
+    # all-NULL batch: pure delete, no empty write jobs blow up
+    idx.upsert(spark.createDataFrame([(2, None)],
+                                     "vec_id long, embedding array<float>"))
+    assert idx._read_cells().filter(F.col("vec_id") == 2).count() == 0
+
+    # NULL + vectored rows for ONE id: ambiguous — refused
+    dup = spark.createDataFrame(
+        [(3, None), (3, new_vec)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        idx.upsert(dup)

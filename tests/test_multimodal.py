@@ -146,3 +146,107 @@ def test_resize_with_real_codec_if_available(spark):
     for i, r in got.items():
         with PIL_Image.open(io.BytesIO(bytes(r["resized"]))) as im:
             assert im.size == (r["new_width"], r["new_height"])
+
+
+# ---- asset-embedding client seam (round 9) ---------------------------------
+
+def test_embed_assets_stub_matches_hash_embedder(spark, docs_small):
+    """The stub asset embedder replays the house hashing-trick embedding
+    over the decoded payload EXACTLY: normalize(stub vector) equals
+    add_embeddings over the same text at the same dim."""
+    from document_vector_pipeline_spark.functions.vectors import normalize
+    from document_vector_pipeline_spark.operators import multimodal
+    from document_vector_pipeline_spark.operators.embed import make_embed_udf
+
+    docs = docs_small.limit(40)
+    assets = multimodal.documents_as_assets(docs)
+    got = (multimodal.embed_assets_with_client(
+               assets, multimodal.stub_asset_embedder(dim=32),
+               retry_delay_s=0.0)
+           .select("asset_id",
+                   normalize(F.col("embedding")).alias("v")))
+    embed = make_embed_udf(32)
+    # the house embedder lowercases nothing; the stub doesn't either
+    want = docs.select(F.col("doc_id").alias("asset_id"),
+                       embed(F.col("text")).alias("v"))
+    g = {r["asset_id"]: [round(float(x), 5) for x in r["v"]]
+         for r in got.collect()}
+    w = {r["asset_id"]: [round(float(x), 5) for x in r["v"]]
+         for r in want.collect()}
+    assert g == w
+
+
+def test_embed_assets_retry_contract(spark):
+    """A client that throttles (status_code 429) twice before succeeding
+    never fails the task; a non-retryable status propagates."""
+    import pytest
+
+    from document_vector_pipeline_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, "image", b"abc def", None), (2, "image", b"ghi", None)],
+        multimodal.ASSET_SCHEMA).coalesce(1)
+
+    class Err(Exception):
+        def __init__(self, status):
+            super().__init__(f"status {status}")
+            self.status_code = status
+
+    def flaky(payloads, _state={"calls": 0}):
+        _state["calls"] += 1
+        if _state["calls"] <= 2:
+            raise Err(429)
+        return [[float(len(p))] for p in payloads]
+
+    got = multimodal.embed_assets_with_client(
+        assets, flaky, retry_delay_s=0.0).collect()
+    assert sorted((r["asset_id"], r["embedding"][0]) for r in got) \
+        == [(1, 7.0), (2, 3.0)]
+
+    def fatal(payloads):
+        raise Err(500)
+
+    with pytest.raises(Exception, match="status 500"):
+        multimodal.embed_assets_with_client(
+            assets, fatal, retry_delay_s=0.0).collect()
+
+
+def test_embed_assets_real_client_if_available(spark):
+    """Non-stub proof: a REAL image model stand-in — PIL decodes the
+    payload and the embedding is the downsampled pixel grid (an actual
+    bytes→vector model pipeline, not a byte hash) — through the same
+    seam, then fed to the embedding-leg dedup: identical images pair at
+    cos 1.0, a different image does not."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from document_vector_pipeline_spark.operators import dedup, multimodal
+
+    def make_png(color):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (64, 64), color).save(buf, "PNG")
+        return buf.getvalue()
+
+    def pil_embed(payloads):
+        out = []
+        for p in payloads:
+            with PIL_Image.open(io.BytesIO(bytes(p))) as im:
+                px = list(im.convert("L").resize((4, 4)).getdata())
+            out.append([float(v) for v in px])
+        return out
+
+    assets = spark.createDataFrame(
+        [(1, "image", make_png((200, 10, 10)), None),
+         (2, "image", make_png((200, 10, 10)), None),
+         (3, "image", make_png((10, 10, 200)), None)],
+        multimodal.ASSET_SCHEMA)
+    emb = multimodal.embed_assets_with_client(assets, pil_embed,
+                                              retry_delay_s=0.0)
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             dedup.embedding_neardup_pairs(
+                 emb.select(F.col("asset_id").alias("vec_id"),
+                            "embedding"),
+                 threshold=0.999999).collect()}
+    assert set(pairs) == {(1, 2)}

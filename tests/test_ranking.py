@@ -114,3 +114,58 @@ def test_empty_frames(frame):
     res, n, s = global_cumsum(e, ORDER(), "n")
     assert n == 0 and s == 0 and res.count() == 0
     assert global_suffix_max(e, "n", "id").count() == 0
+
+
+def test_grouped_running_sum_keeps_null_groups(spark):
+    """Round-8 ADVICE: a NULL group key is a real window partition (SQL
+    PARTITION BY groups nulls together) — the offsets join must be
+    null-safe, not silently drop those rows."""
+    rows = [("a", 1, 10), (None, 2, 5), ("a", 3, 7),
+            (None, 4, 3), (None, 5, None), ("b", 6, 2)]
+    df = (spark.createDataFrame(rows, "g string, o int, v int")
+          .repartition(4))
+    wg = (Window.partitionBy("g").orderBy("o")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r.g, r.o, r.c) for r in
+            df.withColumn("c", F.sum("v").over(wg).cast("long")).collect()}
+    got = {(r.g, r.o, r.c) for r in
+           grouped_running_sum(df, "g", [F.col("o")], "v",
+                               out="c").collect()}
+    assert got == want
+    assert any(g is None for g, _, _ in got)
+
+
+def test_cumsum_and_suffix_max_tolerate_all_null_partitions(spark):
+    """Round-8 ADVICE: a range partition whose values are all NULL sums
+    (maxes) to NULL — the driver-side offset fold must skip it like the
+    window form does, not raise int(None)."""
+    rows = [(1, None), (2, None), (3, 4), (4, None), (5, 9)]
+    df = (spark.createDataFrame(rows, "o int, v int").repartition(5))
+    ws = Window.orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want_c = {(r.o, r.c) for r in
+              df.withColumn("c", F.sum("v").over(ws).cast("long"))
+              .collect()}
+    got, n, s = global_cumsum(df, [F.col("o")], "v", out="c",
+                              n_partitions=5)
+    assert n == 5 and s == 13
+    got_c = {(r.o, r.c) for r in got.collect()}
+    # bit-identical incl. NULL placement: NULL only before the first
+    # non-null value globally, the real prefix sum everywhere after —
+    # even when a partition's local slice is all-NULL.
+    assert got_c == want_c
+
+    wr = Window.orderBy("o").rangeBetween(1, Window.unboundedFollowing)
+    want_m = {(r.o, r.m) for r in
+              df.withColumn("m", F.max("v").over(wr).cast("long"))
+              .collect()}
+    got_m = {(r.o, r.m) for r in
+             global_suffix_max(df, "o", "v", out="m",
+                               n_partitions=5).collect()}
+    assert got_m == want_m
+
+    # fully-null value column: totals are 0, no driver-side TypeError
+    alln = spark.createDataFrame([(1, None), (2, None)], "o int, v int")
+    _, n2, s2 = global_cumsum(alln, [F.col("o")], "v")
+    assert (n2, s2) == (2, 0)
+    assert global_suffix_max(alln, "o", "v").count() == 2

@@ -235,3 +235,75 @@ def test_prf_expansion_excludes_original_terms_and_caps_m(spark, tiny_docs):
     qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
     out = retrieval.bm25_prf(tiny_docs, qt, k=10, k_fb=3, m=1).collect()
     assert out and max(r.n_terms for r in out) <= 2
+
+
+def test_hybrid_search_indexed_filtered_equals_composed_legs(
+        spark, docs_small, embeddings_small, tmp_path):
+    """Round 9: store_hybrid_filtered semantics — the one-call filtered
+    hybrid equals the hand-composed filtered legs (each leg filtered
+    BEFORE its top-k, then RRF), and every returned doc satisfies the
+    predicate.  Also pins the ADC guard: id_filter + use_adc refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    ti = TextIndex(spark, str(tmp_path / "text"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(docs_small)
+    vi = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=4)
+    vi.build(embeddings_small)
+    qt = spark.createDataFrame([(0, "data"), (1, "market")],
+                               "query_id long, term string")
+    qv = (embeddings_small.filter(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+
+    got = retrieval.hybrid_search_indexed(
+        ti, vi, qt, qv, k=10, nprobe=4,
+        doc_filter=F.col("doc_id") % 3 == 0,
+        id_filter=F.col("vec_id") % 3 == 0).collect()
+    assert got and all(r["doc_id"] % 3 == 0 for r in got)
+
+    text = ti.search(qt, k=10, doc_filter=F.col("doc_id") % 3 == 0) \
+        .select("query_id", "doc_id", "rank")
+    vec = (vi.search_many(qv, k=10, nprobe=4,
+                          id_filter=F.col("vec_id") % 3 == 0)
+           .select("query_id", "vec_id",
+                   F.col("rank").cast("int").alias("rank")))
+    want = retrieval.rrf_fuse(text, vec, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # filter-then-rank, not rank-then-filter: a predicate that excludes
+    # every unfiltered top-k row still returns k matching docs per query
+    unfiltered = {(r["query_id"], r["doc_id"]) for r in
+                  retrieval.hybrid_search_indexed(ti, vi, qt, qv, k=10,
+                                                  nprobe=4).collect()}
+    assert any((q, d) not in unfiltered for q, d in
+               {(r["query_id"], r["doc_id"]) for r in got})
+
+    with pytest.raises(ValueError, match="id_filter"):
+        retrieval.hybrid_search_indexed(
+            ti, vi, qt, qv, k=10, nprobe=4, use_adc=True,
+            id_filter=F.col("vec_id") % 3 == 0)
+
+
+def test_ranking_eval_enforces_positive_rel(spark):
+    """Round-8 ADVICE: a query whose qrels are all rel <= 0 (or NULL)
+    must not reach the nDCG division with a zero ideal DCG — it has no
+    relevant documents and drops out; mixed qrels keep only rel > 0
+    rows (n_rel counts RELEVANT docs, the TREC definition)."""
+    ranked = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (1, 200, 1), (2, 300, 1)],
+        "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [(0, 100, 2), (0, 101, 0), (1, 200, 0), (1, 201, 0),
+         (2, 300, None)],
+        "query_id long, doc_id long, rel int")
+    rows = {r["query_id"]: r for r in
+            retrieval.ranking_eval(ranked, qrels, k=10).collect()}
+    assert set(rows) == {0}
+    assert rows[0]["n_rel"] == 1 and rows[0]["n_hit"] == 1
+    assert rows[0]["ndcg_ppm"] == 1_000_000

@@ -776,3 +776,84 @@ def test_stream_index_maintain_equals_batch_builds(spark, tmp_path):
     want_v = ref_v.search_many(qv, k=5, nprobe=4).toPandas().sort_values(
         ["query_id", "rank"]).values.tolist()
     assert got_v == want_v and len(got_v) > 0
+
+
+def test_stream_index_maintain_seq_collapse(spark, tmp_path):
+    """Round 9: a CDC source that emits several versions of one document
+    inside a trigger interval works with ``seq_col`` — the microbatch
+    collapses to the highest-seq row per id before either index is
+    touched.  Covers: two versions of one doc (latest text wins), a
+    delete-then-upsert of one id (the upsert wins — log-replay order),
+    and a VECTOR-DROPPING replacement (v2 has no embedding: the stale
+    v1 vector must leave the IVF index, not keep serving)."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_index_maintain,
+    )
+
+    def vec(i):
+        return [float((i * 7 + j) % 5 - 2) for j in range(8)]
+
+    initial = [(i, f"base text doc{i}", vec(i)) for i in range(8)]
+    init_df = spark.createDataFrame(
+        initial, "doc_id long, text string, embedding array<float>")
+    ti = TextIndex(spark, str(tmp_path / "text"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(init_df.select("doc_id", "text"))
+    vi = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=4)
+    vi.build(init_df.select(F.col("doc_id").alias("vec_id"), "embedding"))
+
+    # ONE microbatch carrying: doc 1 v1 then v2 (v2 drops its vector),
+    # doc 2 delete(seq 1) then upsert(seq 2), doc 9 a plain new row
+    batch = [
+        {"doc_id": 1, "text": "stale version", "embedding": vec(1),
+         "op": None, "seq": 1},
+        {"doc_id": 1, "text": "fresh zebra version", "embedding": None,
+         "op": None, "seq": 2},
+        {"doc_id": 2, "text": None, "embedding": None,
+         "op": "delete", "seq": 1},
+        {"doc_id": 2, "text": "resurrected quagga", "embedding": vec(2),
+         "op": None, "seq": 2},
+        {"doc_id": 9, "text": "brand new okapi", "embedding": vec(9),
+         "op": None, "seq": 1},
+    ]
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    with open(bdir / "b1.json", "w") as f:
+        for r in batch:
+            f.write(_json.dumps(r) + "\n")
+    stream_index_maintain(spark, str(bdir), ti, vi,
+                          str(tmp_path / "ckpt"),
+                          seq_col="seq").awaitTermination(180)
+
+    qt = spark.createDataFrame(
+        [(0, "zebra"), (1, "stale"), (2, "quagga"), (3, "okapi")],
+        "query_id long, term string")
+    hits = {(r["query_id"], r["doc_id"])
+            for r in ti.search(qt, k=5).collect()}
+    assert (0, 1) in hits          # latest version indexed
+    assert (1, 1) not in hits      # stale v1 text gone
+    assert (2, 2) in hits          # delete-then-upsert nets to upsert
+    assert (3, 9) in hits
+    # vector leg: doc 1's v2 dropped its embedding — stale v1 vector out
+    live = {r["vec_id"] for r in vi._read_cells().collect()}
+    assert 1 not in live and 2 in live and 9 in live
+
+    # ambiguous: two rows sharing one id's maximal seq fail the trigger
+    bdir2 = tmp_path / "batches2"
+    bdir2.mkdir()
+    with open(bdir2 / "b1.json", "w") as f:
+        for txt in ("left", "right"):
+            f.write(_json.dumps({"doc_id": 7, "text": txt,
+                                 "embedding": None, "op": None,
+                                 "seq": 5}) + "\n")
+    with pytest.raises(Exception, match="ambiguous"):
+        stream_index_maintain(spark, str(bdir2), ti, vi,
+                              str(tmp_path / "ckpt2"),
+                              seq_col="seq").awaitTermination(180)

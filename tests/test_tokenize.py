@@ -116,3 +116,97 @@ def test_prf_indexed_equals_scan_path(spark, docs_small, tmp_path):
     want = retrieval.bm25_prf(docs_small, qt, k=10, k_fb=3, m=5)
     cols = ["query_id", "doc_id", "n_terms", "score_micro", "rank"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+# ---- BPE training (round 9: closes the tokenizer loop) ---------------------
+
+def _bpe_reference(texts, n_merges):
+    """Driver-side reference BPE trainer: word histogram, greedy
+    left-to-right merges, argmax tie-break (n desc, a, b) — the
+    textbook algorithm bpe_train's string-replace encoding must equal."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            words[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, cnt in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, n))
+        new_words = Counter()
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == a and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] += cnt
+        words = new_words
+    return merges
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """bpe_train's string-replace merge application IS greedy BPE:
+    exact equality with the textbook sequence-rewriting trainer on a
+    corpus engineered with overlapping repeats (aaa), chained merges
+    (multi-symbol pairs), and count ties."""
+    from document_vector_pipeline_spark.operators.tokenize import bpe_train
+
+    texts = ["aaa abab abab banana banana banana",
+             "low lower lowest low low",
+             "aaa ab banana b a n"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = [tuple(r) for r in
+           bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()]
+    want = _bpe_reference(texts, 6)
+    assert got == want
+
+
+def test_bpe_train_stops_early_when_exhausted(spark):
+    """Single-char words have no pairs — training returns an empty
+    merge table instead of failing."""
+    from document_vector_pipeline_spark.operators.tokenize import bpe_train
+
+    docs = spark.createDataFrame([(0, "a b c a b")],
+                                 "doc_id long, text string")
+    # 'ab' never occurs INSIDE a word, so no adjacent pairs exist
+    assert bpe_train(docs, n_merges=4).count() == 0
+
+
+def test_trained_vocab_drives_token_budgets(spark, docs_small):
+    """The closed loop: train merges on the corpus, flatten to a vocab,
+    count under the trained tokenizer, and budget-select with it — the
+    selected prefix's counts equal the trained counter's own numbers
+    (a NON-stub token budget)."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        bpe_train,
+        vocab_from_merges,
+    )
+
+    merges = bpe_train(docs_small, n_merges=8)
+    vocab = vocab_from_merges(merges)
+    assert len(vocab) >= 8 and any(len(v) > 2 for v in vocab)
+    counter = make_vocab_token_counter(vocab)
+    out = token_budget_select(docs_small, budget_tokens=5_000,
+                              token_client=counter)
+    rows = out.collect()
+    assert rows
+    texts = {r["doc_id"]: r["text"]
+             for r in docs_small.select("doc_id", "text").collect()}
+    ids = sorted(r["doc_id"] for r in rows)[:20]
+    counts = {r["doc_id"]: r["tokens"] for r in rows}
+    assert [counts[i] for i in ids] == counter([texts[i] for i in ids])
+    # trained counts differ from the whitespace stub (it IS a tokenizer)
+    assert counter([texts[ids[0]]]) != stub_token_counter([texts[ids[0]]])
