@@ -345,6 +345,14 @@ def main() -> None:
           lambda: retrieval.hybrid_search_indexed(
               ti, ivf, bm25_qt, qdf.filter(F.col("query_id") < 3),
               k=10, nprobe=4))
+    # filtered hybrid shares the SAME persisted indexes — the marginal
+    # cost over store_hybrid_indexed is the per-leg predicate only
+    bench("store_hybrid_filtered",
+          lambda: retrieval.hybrid_search_indexed(
+              ti, ivf, bm25_qt, qdf.filter(F.col("query_id") < 3),
+              k=10, nprobe=4,
+              doc_filter=F.col("doc_id") % 3 == 0,
+              id_filter=F.col("vec_id") % 3 == 0))
 
     def versioned_search():
         from document_vector_pipeline_spark.store.versioned_store import (
@@ -680,11 +688,27 @@ def main() -> None:
     # corpus), so bench the build and leave pairs to the sf0.01 oracle
     bench("mm_phash", lambda: multimodal.phash(
         multimodal.documents_as_assets(docs)))
+    # asset-embedding seam + embedding-leg near-dup (client stage is
+    # map-only; the pair stage is the blocked matmul prune + verify)
+    bench("mm_embed", lambda: dedup.embedding_neardup_pairs(
+        multimodal.embed_assets_with_client(
+            multimodal.documents_as_assets(docs),
+            multimodal.stub_asset_embedder(dim=32), retry_delay_s=0.0)
+        .select(F.col("asset_id").alias("vec_id"), "embedding"),
+        threshold=0.9))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_readability", lambda: textstats.readability(docs))
     bench("basket_pairs", lambda: analytics.basket_pairs(t["lineitem"]))
     bench("text_bigrams", lambda: textstats.top_bigrams(docs))
     bench("text_bpe_pairs", lambda: textstats.bpe_pair_counts(docs))
+
+    def bpe_train_case():
+        from document_vector_pipeline_spark.operators.tokenize import (
+            bpe_train,
+        )
+        return bpe_train(docs, n_merges=8)
+
+    bench("text_bpe_train", bpe_train_case)
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
     bench("corpus_quality_model", lambda: corpus.quality_model_scores(docs))
