@@ -224,6 +224,12 @@ def main() -> None:
     bench("ann_ivfpq_build", ivfpq_build)
     bench("ann_ivfpq_query",
           lambda: ivf.search_many_adc(qdf, k=10, nprobe=4))
+    # filtered compressed serving shares the live IVFADC index — the
+    # marginal cost over ann_ivfpq_query is the candidate predicate
+    bench("ann_adc_filtered",
+          lambda: ivf.search_many_adc(
+              qdf, k=10, nprobe=4,
+              id_filter=F.col("vec_id") % 3 == 0))
 
     def ivf_maintain():
         # incremental maintenance on the live IVFADC index: delete a 5 %
@@ -709,6 +715,15 @@ def main() -> None:
         return bpe_train(docs, n_merges=8)
 
     bench("text_bpe_train", bpe_train_case)
+
+    def bpe_encode_case():
+        from document_vector_pipeline_spark.operators.tokenize import (
+            bpe_token_hist,
+            bpe_train,
+        )
+        return bpe_token_hist(docs, bpe_train(docs, n_merges=8), top=50)
+
+    bench("text_bpe_encode", bpe_encode_case)
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
     bench("corpus_quality_model", lambda: corpus.quality_model_scores(docs))

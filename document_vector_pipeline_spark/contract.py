@@ -1391,6 +1391,26 @@ def q_ann_ivfpq_persisted(spark, sf_dir):
     return idx.search_many_adc(_queries_df(emb), k=10, nprobe=8)
 
 
+def q_ann_adc_filtered(spark, sf_dir):
+    """Filtered COMPRESSED serving (round 9 — completes the filtered
+    ladder next to vector_topk_filtered / ann_ivf_filtered /
+    text_bm25_filtered / store_hybrid_filtered): search_many_adc with
+    an id predicate cutting the pruned cell scan BEFORE any LUT work;
+    the PQ codebook stays trained on the full index (FAISS IDSelector
+    semantics — the filter changes WHICH rows rank, never how a row
+    scores).  Exhaustive probe so the oracle replays it as filtered
+    PQ-ADC."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_adc_filt_idx"),
+                   n_centroids=8)
+    idx.build(emb)
+    idx.build_pq(emb)
+    return idx.search_many_adc(_queries_df(emb), k=10, nprobe=8,
+                               id_filter=F.col("vec_id") % 3 == 0)
+
+
 def q_ann_ivf_upsert(spark, sf_dir):
     """Incremental IVF maintenance proven through search: build the full
     index, DELETE every 10th vector, re-UPSERT half of them, then probe
@@ -7442,10 +7462,13 @@ select query_id, vec_id, score, rank from r where rank <= 10
 """
 
 
-def _sql_ann_pq(n_codes: int = 16, n_sub: int = 8, dim: int = 64) -> str:
+def _sql_ann_pq(n_codes: int = 16, n_sub: int = 8, dim: int = 64,
+                where_: str = "") -> str:
     """PQ mirror: identical fixed-point integer arithmetic (1e-6-unit
     normalized vectors), join-based argmin/ADC — integers are associative,
-    so the join shape vs Spark's literal-expression shape cannot diverge."""
+    so the join shape vs Spark's literal-expression shape cannot diverge.
+    ``where_`` filters the scored rows BEFORE ranking (filtered-ANN:
+    codebook/encode stay full-corpus, only candidacy is cut)."""
     sub = dim // n_sub
     h = _md5l("cast(vec_id as varchar)")
     dist = " + ".join(
@@ -7490,7 +7513,7 @@ s as (
   group by l.query_id, enc.vec_id),
 r as (select *, cast(row_number() over
         (partition by query_id order by score desc, vec_id) as int) as rank
-      from s)
+      from s {where_})
 select query_id, vec_id, score, rank from r where rank <= 10
 """
 
@@ -9699,9 +9722,11 @@ def q_text_bpe_train(spark, sf_dir):
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
-def _sql_text_bpe_train(n_merges: int = 8) -> str:
+def _bpe_train_ctes(n_merges: int = 8, final_state: bool = False) -> list:
     # unrolled merge iterations; every stage MATERIALIZED (the chain
-    # s{i}→b{i}→p{i}→s{i-1} otherwise inlines the base scan 4^N times)
+    # s{i}→b{i}→p{i}→s{i-1} otherwise inlines the base scan 4^N times).
+    # final_state=True also emits s{n_merges} — the fully-encoded word
+    # histogram the token-histogram oracle reads.
     ctes = [
         """wh as materialized (
   select w, cast(count(*) as bigint) as cnt from
@@ -9722,19 +9747,51 @@ def _sql_text_bpe_train(n_merges: int = 8) -> str:
         ctes.append(f"b{i} as materialized "
                     f"(select a, b, n from p{i} order by n desc, a, b "
                     f"limit 1)")
-        if i < n_merges - 1:
+        if i < n_merges - 1 or final_state:
             ctes.append(f"""s{i + 1} as materialized (
   select cnt,
          replace(seq,
                  ' '||(select a from b{i})||'  '||(select b from b{i})||' ',
                  ' '||(select a||b from b{i})||' ') as seq
   from s{i})""")
+    return ctes
+
+
+def _sql_text_bpe_train(n_merges: int = 8) -> str:
     union = "\nunion all\n".join(
         f"select cast({i + 1} as int) as merge_rank, a, b, "
         f"a||b as token, n from b{i}"
         for i in range(n_merges))
-    return ("with " + ",\n".join(ctes)
+    return ("with " + ",\n".join(_bpe_train_ctes(n_merges))
             + f"\nselect * from (\n{union}\n) order by merge_rank")
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """The ENCODE half of the tokenizer loop (tokenize.bpe_token_hist):
+    train 8 exact merges, apply them to the word histogram in rank
+    order (same literal-replace semantics as training), and report the
+    corpus token histogram under the trained tokenizer — the
+    vocabulary-coverage / OOV view a mixture budgeted in trained
+    tokens reads.  The oracle replays training AND encoding, so a
+    green row proves the full train→encode round trip bit-exact."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        bpe_token_hist,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_hist(docs, bpe_train(docs, n_merges=8), top=50)
+
+
+def _sql_text_bpe_encode(n_merges: int = 8, top: int = 50) -> str:
+    ctes = _bpe_train_ctes(n_merges, final_state=True)
+    return ("with " + ",\n".join(ctes) + f"""
+select token, cast(sum(cnt) as bigint) as n
+from (select cnt, unnest(string_split(trim(seq), '  ')) as token
+      from s{n_merges})
+group by token
+order by n desc, token
+limit {top}""")
 
 
 def q_asof_nearest(spark, sf_dir):
@@ -10289,17 +10346,19 @@ limit {top}
 
 def queries():
     return {
-    # Round-9 rotation (driver caps at ~50 keys/round): the 3 NEW
+    # Round-9 rotation (driver caps at ~50 keys/round): the 5 NEW
     # round-9 keys lead, then the 19 keys whose newest driver record
     # is round 1 (stream_windowed/q1-q22 block — eight rounds of
     # refactors stale, flagged by the round-8 verdict), then the 28
-    # stalest r4/r5 greens.  The tail stays oldest-verdict-first
+    # stalest r4/r5 greens (26 fit).  The tail stays oldest-verdict-first
     # (rows-only twins, r4/r5/r6 remainder, r7, then the 50 keys
     # round 8 just recorded) so rotations stay honest.
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
         "mm_embed": q_mm_embed,
+        "text_bpe_encode": q_text_bpe_encode,
+        "ann_adc_filtered": q_ann_adc_filtered,
         # -- stalest driver verdicts: r1-only keys (19) --
         "mm_decode": q_mm_decode,
         "stream_windowed": q_stream_windowed,
@@ -10320,7 +10379,7 @@ def queries():
         "q18_large": q_q18_large,
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
-        # -- stalest r4/r5 driver greens (28) --
+        # -- stalest r4/r5 driver greens (26) --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -10347,13 +10406,13 @@ def queries():
         "text_vocab_coverage": q_text_vocab_coverage,
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
-        "corpus_source_sim": q_corpus_source_sim,
-        "events_conversion": q_events_conversion,
         # -- rows-only by design (oracle-green exact twins) --
         "ann_bruteforce_np": q_ann_bruteforce_np,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         # -- r4/r5/r6 driver-green remainder (oldest first) --
+        "corpus_source_sim": q_corpus_source_sim,
+        "events_conversion": q_events_conversion,
         "customer_churn": q_customer_churn,
         "events_diversity": q_events_diversity,
         "graph_degrees": q_graph_degrees,
@@ -10672,6 +10731,8 @@ from c
         "store_hybrid_indexed": _sql_hybrid_rrf(),
         "store_hybrid_filtered": _sql_store_hybrid_filtered(),
         "text_bpe_train": _sql_text_bpe_train(),
+        "text_bpe_encode": _sql_text_bpe_encode(),
+        "ann_adc_filtered": _sql_ann_pq(where_="where vec_id % 3 = 0"),
         "mm_embed": _sql_mm_embed(),
         # the stream-maintained indexes must equal full-corpus builds,
         # so the oracle is the same full-corpus scan-path hybrid

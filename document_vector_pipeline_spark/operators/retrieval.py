@@ -401,16 +401,14 @@ def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
     satisfy the filter, so fused ranks equal the scan-path filtered
     hybrid (filter-then-rank, never rank-then-filter which could
     return < k matching rows while matches exist).  The vector leg's
-    cut happens pre-scoring on the pruned cell scan; the keyword leg's
-    post-scoring with corpus-level idf (Lucene filtered-query
-    semantics).  ``id_filter`` requires raw-vector search (the ADC
-    path has no filtered form yet)."""
-    if use_adc and id_filter is not None:
-        raise ValueError("id_filter is not supported with use_adc=True")
+    cut happens pre-scoring on the pruned cell scan (both the raw and
+    the ADC path); the keyword leg's post-scoring with corpus-level
+    idf (Lucene filtered-query semantics)."""
     text = text_index.search(query_terms, k=k, doc_filter=doc_filter).select(
         "query_id", "doc_id", "rank")
     if use_adc:
-        vec_ranked = ivf_index.search_many_adc(queries, k=k, nprobe=nprobe)
+        vec_ranked = ivf_index.search_many_adc(queries, k=k, nprobe=nprobe,
+                                               id_filter=id_filter)
     else:
         vec_ranked = ivf_index.search_many(queries, k=k, nprobe=nprobe,
                                            id_filter=id_filter)

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["stub_token_counter", "make_vocab_token_counter",
-           "count_tokens_with_client", "bpe_train", "vocab_from_merges"]
+           "count_tokens_with_client", "bpe_train", "vocab_from_merges",
+           "bpe_token_hist"]
 
 # Java \s (what Spark's split(text, '\\s+') matches): ASCII whitespace
 # only — Python's \s is unicode-wide, so spell the class out
@@ -85,6 +86,62 @@ def make_vocab_token_counter(vocab: list) -> "callable":
     return count
 
 
+def _word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
+    """(seq, cnt): the corpus word histogram with each word's symbol
+    sequence encoded as a string — every symbol wrapped in single
+    spaces ('hello' → ' h  e  l  l  o '), so a BPE merge applies as
+    one literal replace.  One corpus scan, one word-keyed shuffle;
+    checkpointed because every training/encoding iteration re-reads
+    it."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != F.lit(""))
+    return (docs.select(F.explode(words).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(F.concat(F.lit(" "),
+                             F.array_join(F.split(F.col("w"), ""), "  "),
+                             F.lit(" ")).alias("seq"),
+                    "cnt")
+            .localCheckpoint(eager=True))
+
+
+def _apply_merges(wh: DataFrame, merge_rows) -> DataFrame:
+    """Chain the literal replaces of a merge table (rank order) onto a
+    word-histogram frame — the ENCODE step, shared by training (which
+    derives the table as it goes) and bpe_token_hist (which consumes a
+    trained one)."""
+    for r in sorted(merge_rows, key=lambda r: r["merge_rank"]):
+        a, b = r["a"], r["b"]
+        wh = wh.withColumn(
+            "seq", F.replace(F.col("seq"),
+                             F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")))
+    return wh
+
+
+def bpe_token_hist(docs: DataFrame, merges: DataFrame, top: int = 50,
+                   text_col: str = "text") -> DataFrame:
+    """Corpus token histogram under a TRAINED BPE tokenizer — (token,
+    n), top ``top`` by count with a lexicographic tie-break: apply the
+    merge table's replaces in rank order to the word histogram, split
+    the surviving symbol sequences back into tokens, and weight each
+    token by its word's corpus count.  This is the segmentation
+    (encode) half of the tokenizer loop — what vocabulary coverage /
+    OOV analysis under the trained vocab actually reads.
+
+    Plan: merges are n_merges rows of plan metadata (collected); all
+    work after the shared one-scan word histogram is vocab-sized —
+    chained JVM string replaces, one explode, one bounded-key
+    aggregation, a tiny top-k."""
+    wh = _apply_merges(_word_histogram(docs, text_col),
+                       merges.collect())
+    toks = wh.select(
+        F.explode(F.split(F.trim(F.col("seq")), "  ")).alias("token"),
+        "cnt")
+    return (toks.groupBy("token")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "token")
+            .limit(top))
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8,
               text_col: str = "text") -> DataFrame:
     """Exact BPE tokenizer training (Sennrich et al. 2016): iterate the
@@ -115,15 +172,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     metadata, exactly the PQ-codebook discipline).  The merge applies
     lazily as a chained replace expression — no per-iteration
     materialization of the histogram."""
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                     lambda x: x != F.lit(""))
-    wh = (docs.select(F.explode(words).alias("w"))
-          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-          .select(F.concat(F.lit(" "),
-                           F.array_join(F.split(F.col("w"), ""), "  "),
-                           F.lit(" ")).alias("seq"),
-                  "cnt")
-          .localCheckpoint(eager=True))
+    wh = _word_histogram(docs, text_col)
     merges: list = []
     cur = wh
     for rank in range(1, n_merges + 1):

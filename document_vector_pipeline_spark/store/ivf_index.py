@@ -559,7 +559,8 @@ class IVFIndex:
     def search_many_adc(self, queries: DataFrame, k: int = 10,
                         nprobe: int = 4, n_sub: int = 8, dim: int = 64,
                         qid_col: str = "query_id",
-                        qvec_col: str = "query_vec") -> DataFrame:
+                        qvec_col: str = "query_vec",
+                        id_filter=None) -> DataFrame:
         """Batch ADC search over the PQ-augmented index: probed cells
         are read once (partition-pruned), each surviving row is scored
         by ``n_sub`` integer LUT lookups on its stored codes — no
@@ -605,6 +606,11 @@ class IVFIndex:
         cells = (self._read_cells()
                  .filter(F.col("centroid_id").isin(all_cells))
                  .select("vec_id", "centroid_id", "pq_codes"))
+        # filtered-ANN semantics on the compressed path too: the
+        # predicate cuts the pruned cell scan BEFORE any LUT work; the
+        # codebook stays trained on the full index (FAISS IDSelector)
+        if id_filter is not None:
+            cells = cells.filter(id_filter)
         cand = cells.join(F.broadcast(probes), "centroid_id")
 
         import numpy as np

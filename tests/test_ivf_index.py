@@ -468,3 +468,36 @@ def test_upsert_null_embedding_deletes_stale_vector(spark, embeddings_small,
         [(3, None), (3, new_vec)], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="duplicate vec_id"):
         idx.upsert(dup)
+
+
+def test_adc_id_filter_equals_postfiltered_rerank(spark, embeddings_small,
+                                                  tmp_path):
+    """Filtered compressed serving (round 9): search_many_adc with an
+    id_filter equals the unfiltered ADC scores restricted to matching
+    ids and re-ranked — the predicate changes WHICH rows rank, never
+    how a row scores (codebook stays trained on the full index)."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    idx = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=4)
+    idx.build(embeddings_small)
+    idx.build_pq(embeddings_small)
+    q = (embeddings_small.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    got = [tuple(r) for r in
+           idx.search_many_adc(q, k=10, nprobe=4,
+                               id_filter=F.col("vec_id") % 3 == 0)
+           .orderBy("query_id", "rank").collect()]
+    # expected: full ADC scores, post-filtered, re-ranked per query
+    full = idx.search_many_adc(q, k=10_000, nprobe=4)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    want = [tuple(r) for r in
+            (full.filter(F.col("vec_id") % 3 == 0)
+             .withColumn("rank", F.row_number().over(w).cast("int"))
+             .filter(F.col("rank") <= 10)
+             .select("query_id", "vec_id", "score", "rank")
+             .orderBy("query_id", "rank")).collect()]
+    assert got == want and got

@@ -242,8 +242,8 @@ def test_hybrid_search_indexed_filtered_equals_composed_legs(
     """Round 9: store_hybrid_filtered semantics — the one-call filtered
     hybrid equals the hand-composed filtered legs (each leg filtered
     BEFORE its top-k, then RRF), and every returned doc satisfies the
-    predicate.  Also pins the ADC guard: id_filter + use_adc refuses."""
-    import pytest
+    predicate.  The ADC (compressed) vector leg honors the same
+    id_filter."""
     from pyspark.sql import functions as F
 
     from document_vector_pipeline_spark.store.ivf_index import IVFIndex
@@ -284,10 +284,19 @@ def test_hybrid_search_indexed_filtered_equals_composed_legs(
     assert any((q, d) not in unfiltered for q, d in
                {(r["query_id"], r["doc_id"]) for r in got})
 
-    with pytest.raises(ValueError, match="id_filter"):
-        retrieval.hybrid_search_indexed(
-            ti, vi, qt, qv, k=10, nprobe=4, use_adc=True,
-            id_filter=F.col("vec_id") % 3 == 0)
+    # ADC path: filtered compressed serving returns only matching ids
+    vi.build_pq(spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"))
+    adc = retrieval.hybrid_search_indexed(
+        ti, vi, qt, qv, k=10, nprobe=4, use_adc=True,
+        doc_filter=F.col("doc_id") % 3 == 0,
+        id_filter=F.col("vec_id") % 3 == 0).collect()
+    assert adc and all(r["doc_id"] % 3 == 0 for r in adc)
+    adc_vec = {(r["query_id"], r["vec_id"]) for r in
+               vi.search_many_adc(qv, k=10, nprobe=4,
+                                  id_filter=F.col("vec_id") % 3 == 0)
+               .collect()}
+    assert adc_vec and all(v % 3 == 0 for _, v in adc_vec)
 
 
 def test_ranking_eval_enforces_positive_rel(spark):

@@ -210,3 +210,49 @@ def test_trained_vocab_drives_token_budgets(spark, docs_small):
     assert [counts[i] for i in ids] == counter([texts[i] for i in ids])
     # trained counts differ from the whitespace stub (it IS a tokenizer)
     assert counter([texts[ids[0]]]) != stub_token_counter([texts[ids[0]]])
+
+
+def test_bpe_token_hist_matches_reference_encode(spark):
+    """The encode half round-trips: applying the trained merges via
+    string replaces yields exactly the textbook trainer's final word
+    segmentation, token for token, count for count."""
+    from collections import Counter
+
+    from document_vector_pipeline_spark.operators.tokenize import (
+        bpe_token_hist,
+        bpe_train,
+    )
+
+    texts = ["aaa abab abab banana banana banana",
+             "low lower lowest low low",
+             "aaa ab banana b a n"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    got = {r["token"]: r["n"] for r in
+           bpe_token_hist(docs, merges, top=1000).collect()}
+
+    # reference: replay the textbook trainer's segmentation
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            words[tuple(w)] += 1
+    for r in sorted(merges.collect(), key=lambda x: x["merge_rank"]):
+        a, b = r["a"], r["b"]
+        nw = Counter()
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nw[tuple(out)] += cnt
+        words = nw
+    want: Counter = Counter()
+    for syms, cnt in words.items():
+        for s in syms:
+            want[s] += cnt
+    assert got == dict(want)
