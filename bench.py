@@ -167,6 +167,19 @@ def main() -> None:
               docs.filter(F.col("doc_id") % 9 != 0),
               docs.filter(F.col("doc_id") % 9 == 0),
               threshold_milli=500))
+
+    # persisted-sidecar admission: build the artifact sidecar ONCE
+    # (outside the timed lambda — production amortizes it across every
+    # later batch), then each admission reads columnar artifacts only
+    art_path = os.path.join(ROOT, ".scratch", "bench_dedup_art")
+    shutil.rmtree(art_path, ignore_errors=True)
+    (dedup.dedup_artifacts(docs.filter(F.col("doc_id") % 9 != 0))
+     .write.mode("overwrite").parquet(art_path))
+    art_df = spark.read.parquet(art_path)
+    bench("dedup_incremental_persisted",
+          lambda: dedup.incremental_dedup_artifacts(
+              art_df, docs.filter(F.col("doc_id") % 9 == 0),
+              threshold_milli=500))
     bench("dedup_similar_docs",
           lambda: dedup.similar_docs_topk(docs, k=3))
     bench("dedup_lsh_tuning",

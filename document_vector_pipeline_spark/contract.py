@@ -6357,6 +6357,15 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    corpus, batch = _incr_corpus_and_batch(docs)
+    return incremental_dedup(corpus, batch, threshold_milli=500)
+
+
+def _incr_corpus_and_batch(docs):
+    """The shared corpus/batch split of the incremental-admission keys
+    (dedup_incremental, dedup_incremental_persisted): corpus = id % 9
+    != 0; the batch replays every 9th id as exact copy / near-dup /
+    fresh text by (id div 9) % 3."""
     corpus = docs.filter(F.col("doc_id") % 9 != 0)
     nbr = (docs.alias("a").filter(F.col("a.doc_id") % 9 == 0)
            .join(docs.alias("b"),
@@ -6373,7 +6382,32 @@ def q_dedup_incremental(spark, sf_dir):
                              F.col("doc_id").cast("string"),
                              F.lit(" content alpha beta gamma")))
          .alias("text"))
-    return incremental_dedup(corpus, batch, threshold_milli=500)
+    return corpus, batch
+
+
+def q_dedup_incremental_persisted(spark, sf_dir):
+    """The PERSISTED-SIDECAR form of the admission gate (round 9 —
+    closes the 'signatures recomputed for self-containment' note):
+    dedup_artifacts(corpus) materialized as a parquet sidecar, the
+    batch judged by incremental_dedup_artifacts reading ONLY that
+    sidecar (no corpus text touched at admission time).  Same
+    corpus/batch split and the SAME oracle as dedup_incremental — a
+    green row IS the sidecar ≡ derive-from-text proof, the
+    text_bm25_indexed discipline applied to the dedup gate.
+    stream_dedup_gate(artifacts_path=...) maintains this sidecar
+    append-only per admitted microbatch."""
+    from document_vector_pipeline_spark.operators.dedup import (
+        dedup_artifacts,
+        incremental_dedup_artifacts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, batch = _incr_corpus_and_batch(docs)
+    path = os.path.join(SCRATCH, "dedup_art_sidecar")
+    shutil.rmtree(path, ignore_errors=True)
+    dedup_artifacts(corpus).write.mode("overwrite").parquet(path)
+    art = spark.read.parquet(path)
+    return incremental_dedup_artifacts(art, batch, threshold_milli=500)
 
 
 def _sql_dedup_incremental(threshold_milli: int = 500) -> str:
@@ -10346,11 +10380,11 @@ limit {top}
 
 def queries():
     return {
-    # Round-9 rotation (driver caps at ~50 keys/round): the 5 NEW
+    # Round-9 rotation (driver caps at ~50 keys/round): the 6 NEW
     # round-9 keys lead, then the 19 keys whose newest driver record
     # is round 1 (stream_windowed/q1-q22 block — eight rounds of
     # refactors stale, flagged by the round-8 verdict), then the 28
-    # stalest r4/r5 greens (26 fit).  The tail stays oldest-verdict-first
+    # stalest r4/r5 greens (25 fit).  The tail stays oldest-verdict-first
     # (rows-only twins, r4/r5/r6 remainder, r7, then the 50 keys
     # round 8 just recorded) so rotations stay honest.
         # -- new round-9 keys --
@@ -10359,6 +10393,7 @@ def queries():
         "mm_embed": q_mm_embed,
         "text_bpe_encode": q_text_bpe_encode,
         "ann_adc_filtered": q_ann_adc_filtered,
+        "dedup_incremental_persisted": q_dedup_incremental_persisted,
         # -- stalest driver verdicts: r1-only keys (19) --
         "mm_decode": q_mm_decode,
         "stream_windowed": q_stream_windowed,
@@ -10379,7 +10414,7 @@ def queries():
         "q18_large": q_q18_large,
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
-        # -- stalest r4/r5 driver greens (26) --
+        # -- stalest r4/r5 driver greens (25) --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -10405,12 +10440,12 @@ def queries():
         "corpus_boilerplate": q_corpus_boilerplate,
         "text_vocab_coverage": q_text_vocab_coverage,
         "dedup_shingle_hist": q_dedup_shingle_hist,
-        "events_mad_outliers": q_events_mad_outliers,
         # -- rows-only by design (oracle-green exact twins) --
         "ann_bruteforce_np": q_ann_bruteforce_np,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         # -- r4/r5/r6 driver-green remainder (oldest first) --
+        "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
         "events_conversion": q_events_conversion,
         "customer_churn": q_customer_churn,
@@ -10788,6 +10823,7 @@ from c
         "text_index_stats": _sql_text_index_stats(),
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
+        "dedup_incremental_persisted": _sql_dedup_incremental(),
         "dedup_incremental_eval": _sql_dedup_incremental_eval(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

@@ -1162,6 +1162,95 @@ def _band_candidates(corpus, batch, id_col, text_col,
 
 
 
+def dedup_artifacts(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", num_perm: int = 16,
+                    bands: int = 4, width: int = 3) -> DataFrame:
+    """One row per document carrying every CORPUS-SIDE artifact the
+    incremental admission gate reads — (doc_id, fp, bands
+    array<struct<band,key>>, shingles array<long>, n): the exact
+    fingerprint, the LSH band keys, and the sorted shingle-hash verify
+    operand.  This is the PERSISTED-SIDECAR form the gate's docstring
+    promised: build it once (or let ``stream_dedup_gate`` maintain it
+    append-only), and every later admission batch reads columnar
+    artifacts instead of re-tokenizing and re-hashing the WHOLE corpus
+    per trigger — at 100 TB the difference between a per-batch corpus
+    recompute and a signature-table scan.  Constructions are byte-
+    identical to the derive-from-text path (same md5s, same band
+    slicing), so gate verdicts cannot differ."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, width)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(
+                F.slice(F.col("sig"), b * rows + 1, rows), ","))
+             .alias("key")))
+    banded = sigs.select(F.col(id_col).alias("doc_id"),
+                         band_arr.alias("bands"))
+    fp = _fp_of(docs, id_col, text_col, "doc_id")
+    sets = _sets_of(docs, id_col, text_col, "doc_id",
+                    "shingles", "n", width)
+    return fp.join(banded, "doc_id").join(sets, "doc_id")
+
+
+def incremental_dedup_artifacts(art: DataFrame, batch: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_perm: int = 16, bands: int = 4,
+                                width: int = 3,
+                                threshold_milli: int = 500) -> DataFrame:
+    """``incremental_dedup`` with the corpus side read from a
+    ``dedup_artifacts`` frame (usually a persisted parquet sidecar)
+    instead of derived from corpus text: the batch side still hashes
+    its own O(batch) rows; the corpus side costs one columnar artifact
+    scan, no tokenization.  Verdicts are bit-identical to the
+    derive-from-text path (the artifacts ARE those expressions,
+    materialized)."""
+    corpus_fp = art.select(F.col("doc_id").alias("c_id"), "fp")
+    ex = (_fp_of(batch, id_col, text_col, "doc_id")
+          .join(corpus_fp, "fp")
+          .groupBy("doc_id").agg(F.min("c_id").alias("exact_dup")))
+    corpus_banded = (art.select(F.col("doc_id").alias("c_id"),
+                                F.explode("bands").alias("bk"))
+                     .select("c_id", F.col("bk.band").alias("band"),
+                             F.col("bk.key").alias("key")))
+    cand = (_banded_of(batch, id_col, text_col, "doc_id",
+                       num_perm, bands, width)
+            .join(corpus_banded, ["band", "key"])
+            .select("doc_id", "c_id").distinct())
+    corpus_sets = art.select(F.col("doc_id").alias("c_id"),
+                             F.col("shingles").alias("arr_c"),
+                             F.col("n").alias("nc"))
+    j = (cand
+         .join(_sets_of(batch, id_col, text_col, "doc_id",
+                        "arr_b", "nb", width), "doc_id")
+         .join(corpus_sets, "c_id")
+         .filter((F.col("nb") > 0) & (F.col("nc") > 0))
+         .withColumn("c", F.size(F.array_intersect("arr_b", "arr_c"))
+                     .cast("long"))
+         .withColumn("jm", F.expr("(1000 * c) div (nb + nc - c)"))
+         .filter(F.col("jm") >= threshold_milli))
+    near = (j.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("jm")).alias("nj"),
+                                F.col("c_id").alias("cid"))).alias("m"))
+            .select("doc_id", F.col("m.cid").alias("near_dup"),
+                    (-F.col("m.nj")).cast("long").alias("jacc_milli")))
+    return (batch.select(F.col(id_col).alias("doc_id"))
+            .join(ex, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("exact_dup", F.lit(-1)).cast("long")
+                 .alias("exact_dup"),
+                F.coalesce("near_dup", F.lit(-1)).cast("long")
+                 .alias("near_dup"),
+                F.coalesce("jacc_milli", F.lit(0)).cast("long")
+                 .alias("jacc_milli"),
+                (F.col("exact_dup").isNull()
+                 & F.col("near_dup").isNull()).alias("keep")))
+
+
 def incremental_dedup(corpus: DataFrame, batch: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 16, bands: int = 4, width: int = 3,
@@ -1181,13 +1270,22 @@ def incremental_dedup(corpus: DataFrame, batch: DataFrame,
       (minhash_lsh_pairs' corpus x corpus band join is the build-once
       backfill variant, this is the per-batch admission gate);
     - the corpus-side fingerprints / banded signatures / shingle sets
-      are pure per-row maps of one corpus scan — in production they
-      are persisted artifacts an ingest maintains incrementally (the
-      exact signatures minhash_lsh_pairs already computes), making a
-      batch admission O(batch) new hashing + bounded joins;
+      here derive from one corpus scan for self-containment; the
+      PERSISTED form is ``dedup_artifacts`` +
+      ``incremental_dedup_artifacts`` (bit-identical verdicts), which
+      ``stream_dedup_gate(artifacts_path=...)`` maintains append-only
+      so a batch admission costs O(batch) new hashing + one columnar
+      sidecar scan;
     - exact-integer Jaccard verification (sorted shingle-hash arrays,
       the similar_docs_topk scorer) clears every band collision —
-      a false positive costs work, never correctness."""
+      a false positive costs work, never correctness.
+
+    Each leg derives ONLY its own corpus artifact here (fp / bands /
+    shingle sets as three independent scans Catalyst prunes
+    separately) — routing the lazy path through the joined
+    ``dedup_artifacts`` frame would make every leg pay the full
+    three-way artifact join; equivalence of the two paths is pinned in
+    tests/test_dedup.py instead."""
     ex = (_fp_of(batch, id_col, text_col, "doc_id")
           .join(_fp_of(corpus, id_col, text_col, "c_id"), "fp")
           .groupBy("doc_id").agg(F.min("c_id").alias("exact_dup")))

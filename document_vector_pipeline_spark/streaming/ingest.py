@@ -197,7 +197,8 @@ def stream_blob_events(spark: SparkSession, events_path: str,
 def stream_dedup_gate(spark: SparkSession, batches_path: str,
                       corpus_path: str, checkpoint: str,
                       available_now: bool = True,
-                      threshold_milli: int = 500) -> StreamingQuery:
+                      threshold_milli: int = 500,
+                      artifacts_path: str | None = None) -> StreamingQuery:
     """Always-on crawl admission gate: each microbatch of candidate
     documents (JSONL files of (doc_id, text) under ``batches_path``) is
     judged against the CURRENT admitted corpus with
@@ -215,13 +216,22 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
     catch-all for those, exactly as in production curation stacks.
 
     Scale: each microbatch costs the batch-bounded band/fingerprint
-    joins of incremental_dedup (the corpus side is one scan of
-    persisted admitted docs; its signatures are recomputed here for
-    self-containment and would be a persisted sidecar in production);
-    the append write touches only the batch's rows."""
+    joins of incremental_dedup; the append writes touch only the
+    batch's rows.  Without ``artifacts_path`` the corpus-side
+    signatures are recomputed from admitted text each trigger
+    (self-contained, fine for tests).  WITH ``artifacts_path`` the
+    gate maintains a PERSISTED dedup_artifacts sidecar: bootstrap once
+    from whatever corpus already exists, read the columnar artifacts
+    per trigger instead of re-tokenizing the corpus, and append only
+    the keepers' artifact rows after each admission — at 100 TB the
+    difference between a per-batch corpus recompute and a
+    signature-table scan.  Verdicts are bit-identical either way
+    (incremental_dedup_artifacts materializes the same expressions)."""
     from document_vector_pipeline_spark.operators.dedup import (
+        dedup_artifacts,
         exact_dedup_survivors,
         incremental_dedup,
+        incremental_dedup_artifacts,
     )
 
     schema = "doc_id long, text string"
@@ -239,18 +249,40 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
         # transient FS error must PROPAGATE so the microbatch retries —
         # swallowing it would silently admit near-duplicates of
         # already-admitted documents.
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(corpus_path)
+        jvm = spark._jvm.org.apache.hadoop.fs.Path
+        jvm_path = jvm(corpus_path)
         fs = jvm_path.getFileSystem(
             spark._jsc.hadoopConfiguration())
         if fs.exists(jvm_path):
             corpus = spark.read.schema(schema).parquet(corpus_path)
         else:
             corpus = spark.createDataFrame([], schema)
-        verdicts = incremental_dedup(
-            corpus, batch_df, threshold_milli=threshold_milli)
+        if artifacts_path is not None:
+            # bootstrap the sidecar exactly once (covers a pre-existing
+            # corpus without one); afterwards every trigger reads the
+            # columnar artifacts — no corpus re-tokenization
+            if not fs.exists(jvm(artifacts_path)):
+                (dedup_artifacts(corpus).write.mode("overwrite")
+                 .parquet(artifacts_path))
+            art = spark.read.parquet(artifacts_path)
+            verdicts = incremental_dedup_artifacts(
+                art, batch_df, threshold_milli=threshold_milli)
+        else:
+            verdicts = incremental_dedup(
+                corpus, batch_df, threshold_milli=threshold_milli)
         keep = verdicts.filter(F.col("keep")).select("doc_id")
-        keepers = batch_df.join(keep, "doc_id", "left_semi")
+        # checkpoint: keepers feeds TWO writes (corpus + sidecar) and
+        # its lineage reads the sidecar being appended — materialize
+        # once so neither write re-runs the verdict joins or re-reads
+        # a directory mid-append
+        keepers = (batch_df.join(keep, "doc_id", "left_semi")
+                   .localCheckpoint(eager=True))
         keepers.write.mode("append").parquet(corpus_path)
+        if artifacts_path is not None and not keepers.isEmpty():
+            # O(batch) sidecar maintenance: only the admitted rows'
+            # artifacts append (an all-rejected batch appends nothing)
+            (dedup_artifacts(keepers).write.mode("append")
+             .parquet(artifacts_path))
 
     writer = (batches.writeStream
               .foreachBatch(handle)

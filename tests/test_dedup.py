@@ -494,3 +494,33 @@ def test_incremental_dedup_eval_metric(spark):
     if r["n_cand"]:
         assert r["precision_milli"] == 1000 * r["n_hit"] // r["n_cand"]
     assert r["recall_milli"] == 1000 * r["n_hit"] // max(r["n_true"], 1)
+
+
+def test_incremental_dedup_artifacts_equals_direct(spark, docs_small):
+    """The persisted-sidecar admission path (dedup_artifacts →
+    incremental_dedup_artifacts, round-trip through parquet) returns
+    verdicts bit-identical to the derive-from-text incremental_dedup —
+    the artifacts ARE those expressions, materialized."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators.dedup import (
+        dedup_artifacts,
+        incremental_dedup,
+        incremental_dedup_artifacts,
+    )
+
+    corpus = docs_small.filter(F.col("doc_id") % 9 != 0)
+    batch = (docs_small.filter(F.col("doc_id") % 9 == 0)
+             .select("doc_id", "text"))
+    want = sorted(map(tuple,
+                      incremental_dedup(corpus, batch,
+                                        threshold_milli=500).collect()))
+    with tempfile.TemporaryDirectory() as d:
+        dedup_artifacts(corpus).write.mode("overwrite").parquet(d + "/art")
+        art = spark.read.parquet(d + "/art")
+        got = sorted(map(tuple,
+                         incremental_dedup_artifacts(
+                             art, batch, threshold_milli=500).collect()))
+    assert got == want and got

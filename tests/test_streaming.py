@@ -857,3 +857,47 @@ def test_stream_index_maintain_seq_collapse(spark, tmp_path):
         stream_index_maintain(spark, str(bdir2), ti, vi,
                               str(tmp_path / "ckpt2"),
                               seq_col="seq").awaitTermination(180)
+
+
+def test_stream_dedup_gate_with_persisted_artifacts(spark, tmp_path):
+    """Round 9: the gate run with artifacts_path admits EXACTLY the
+    same documents as the recompute-per-batch form, while maintaining
+    the sidecar append-only — after the drain, the sidecar holds one
+    artifact row per admitted document (bootstrap + per-batch keeper
+    appends, nothing for rejected rows)."""
+    import json as _json
+
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_dedup_gate,
+    )
+
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different first document about spark joins"),
+         (3, "the quick brown fox jumps over the lazy dog today")],
+        [(4, "the quick brown fox jumps over the lazy dog today"),
+         (5, "completely different first document about spark joins plus"),
+         (6, "an entirely novel third topic on columnar storage")],
+    ]
+
+    def run(root, artifacts):
+        bdir = root / "batches"
+        bdir.mkdir(parents=True)
+        for i, rows in enumerate(batches):
+            with open(bdir / f"b{i}.json", "w") as f:
+                for did, txt in rows:
+                    f.write(_json.dumps({"doc_id": did, "text": txt})
+                            + "\n")
+        kw = {"artifacts_path": str(root / "art")} if artifacts else {}
+        stream_dedup_gate(spark, str(bdir), str(root / "corpus"),
+                          str(root / "ckpt"), threshold_milli=500,
+                          **kw).awaitTermination(180)
+        return {r["doc_id"] for r in
+                spark.read.parquet(str(root / "corpus")).collect()}
+
+    plain = run(tmp_path / "plain", artifacts=False)
+    side = run(tmp_path / "side", artifacts=True)
+    assert side == plain and side
+    art = spark.read.parquet(str(tmp_path / "side" / "art"))
+    assert {r["doc_id"] for r in art.select("doc_id").collect()} == side
+    assert set(art.columns) == {"doc_id", "fp", "bands", "shingles", "n"}
