@@ -121,9 +121,13 @@ def exact_dedup_survivors(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_perm: int = 16,
                        shingle_width: int = 3,
-                       use_udf: bool = True) -> DataFrame:
+                       use_udf: bool = True,
+                       keep_text: bool = False) -> DataFrame:
     """(id, sig array<bigint>[num_perm]): sig_i = min over shingles of
     md5(i || '|' || shingle).  Pure per-row map — no shuffle.
+    ``keep_text`` carries the text column through so a caller can
+    derive further per-row artifacts in the SAME map stage
+    (dedup_artifacts) instead of re-joining on id.
 
     Two value-identical implementations (equivalence-tested):
     - ``use_udf=False``: built-in HOF fold — the oracle-facing definition,
@@ -135,6 +139,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
       corpora flip to the expression path (Java vs Python Unicode casing
       can diverge on exotic code points).
     """
+    extra = [F.col(text_col)] if keep_text else []
     if not use_udf:
         sig = bound(
             _shingles(F.col(text_col), shingle_width),
@@ -142,7 +147,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                 F.sequence(F.lit(0), F.lit(num_perm - 1)),
                 lambda i: F.array_min(F.transform(
                     sh, lambda s: md5_long_seeded_col(s, i)))))
-        return docs.select(F.col(id_col), sig.alias("sig"))
+        return docs.select(F.col(id_col), sig.alias("sig"), *extra)
 
     from pyspark.sql.types import ArrayType, LongType
 
@@ -176,7 +181,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
             out.append(sig)
         return _pd.Series(out)
 
-    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"),
+                       *extra)
 
 
 def md5_long_seeded_col(col: Column, seed_col: Column) -> Column:
@@ -1176,9 +1182,14 @@ def dedup_artifacts(docs: DataFrame, id_col: str = "doc_id",
     per trigger — at 100 TB the difference between a per-batch corpus
     recompute and a signature-table scan.  Constructions are byte-
     identical to the derive-from-text path (same md5s, same band
-    slicing), so gate verdicts cannot differ."""
+    slicing), so gate verdicts cannot differ.
+
+    ONE map-only pass (zero shuffles): the signature UDF keeps the
+    text column alongside, so fp / band keys / shingle sets all derive
+    in the same select — no per-artifact re-join on id."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, width)
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, width,
+                              keep_text=True)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -1186,12 +1197,15 @@ def dedup_artifacts(docs: DataFrame, id_col: str = "doc_id",
             F.md5(F.array_join(
                 F.slice(F.col("sig"), b * rows + 1, rows), ","))
              .alias("key")))
-    banded = sigs.select(F.col(id_col).alias("doc_id"),
-                         band_arr.alias("bands"))
-    fp = _fp_of(docs, id_col, text_col, "doc_id")
-    sets = _sets_of(docs, id_col, text_col, "doc_id",
-                    "shingles", "n", width)
-    return fp.join(banded, "doc_id").join(sets, "doc_id")
+    shingle_arr = F.array_sort(
+        F.transform(_shingles(F.col(text_col), width),
+                    lambda s: md5_long(s)))
+    return (sigs.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long(_norm_text(F.col(text_col))).alias("fp"),
+        band_arr.alias("bands"),
+        shingle_arr.alias("shingles"))
+        .withColumn("n", F.size("shingles").cast("long")))
 
 
 def incremental_dedup_artifacts(art: DataFrame, batch: DataFrame,
