@@ -1005,3 +1005,34 @@ def test_top_users_rank_window_consumes_partial_cut(spark, t):
             .filter(F.col("rank") <= 15).orderBy("rank").collect()]
     got = [tuple(r) for r in out.orderBy("rank").collect()]
     assert got == want
+
+
+def test_round9_operator_shuffle_budgets(spark, t):
+    """Plan pins for the round-9 operators: the artifact sidecar builds
+    map-only; BPE training/encoding shuffles only on bounded keys; the
+    filtered hybrid keeps both legs broadcast-joined (no sort-merge,
+    no cartesian)."""
+    from document_vector_pipeline_spark.operators import dedup
+    from document_vector_pipeline_spark.operators.tokenize import (
+        bpe_token_hist,
+    )
+
+    docs = t["documents"]
+
+    # dedup_artifacts: ONE map-only pass — zero exchanges of any kind
+    p = plan_of(dedup.dedup_artifacts(docs))
+    assert "Exchange" not in p, p[:600]
+
+    # the sidecar admission path: band/fp/verify joins, never corpus²
+    art = dedup.dedup_artifacts(docs.filter(F.col("doc_id") % 9 != 0))
+    batch = docs.filter(F.col("doc_id") % 9 == 0).select("doc_id", "text")
+    p = plan_of(dedup.incremental_dedup_artifacts(art, batch))
+    assert "CartesianProduct" not in p
+
+    # bpe token histogram under a tiny merge table: word-key exchange +
+    # token-key exchange + the top-k — all bounded-key; no joins at all
+    merges = spark.createDataFrame(
+        [(1, "t", "h", "th", 10)],
+        "merge_rank int, a string, b string, token string, n long")
+    p = plan_of(bpe_token_hist(docs, merges, top=10))
+    assert "Join" not in p and "CartesianProduct" not in p
