@@ -243,6 +243,10 @@ def main() -> None:
           lambda: ivf.search_many_adc(
               qdf, k=10, nprobe=4,
               id_filter=F.col("vec_id") % 3 == 0))
+    bench("ann_filtered_recall",
+          lambda: similarity.ivf_filtered_tuning(
+              emb, qdf, id_filter=F.col("vec_id") % 3 == 0,
+              k=10, nprobe_list=(1, 2, 4, 8), n_centroids=8))
 
     def ivf_maintain():
         # incremental maintenance on the live IVFADC index: delete a 5 %

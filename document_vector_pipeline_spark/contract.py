@@ -5523,6 +5523,41 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_ann_filtered_recall(spark, sf_dir):
+    """The measured-acceptance metric for FILTERED ANN (round 9 —
+    the ann_ivf_tuning discipline applied to the filtered path):
+    recall@10 per (nprobe, query) of id-filtered IVF against brute
+    force over the ALLOWED subset.  Filtered search has a failure mode
+    the unfiltered curve can't see — a selective predicate can empty
+    the probed cells of matching rows, so recall at a fixed nprobe is
+    typically lower than unfiltered (FAISS's IDSelector × nprobe
+    interaction); this curve is how a serving nprobe is chosen under a
+    tenant filter.  nprobe = n_centroids reproduces filtered brute
+    force (the built-in 1.0 sanity rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_filtered_tuning(
+        emb, _queries_df(emb), id_filter=F.col("vec_id") % 3 == 0,
+        k=10, nprobe_list=(1, 2, 4, 8), n_centroids=8)
+
+
+def _sql_ann_filtered_recall(k: int = 10,
+                             nprobe_list: tuple = (1, 2, 4, 8)) -> str:
+    parts = []
+    bf = _sql_ann_bruteforce(where_="where e.vec_id % 3 = 0")
+    for np_ in nprobe_list:
+        ivf = _sql_ann_ivf(nprobe=np_, where_="where a.vec_id % 3 = 0")
+        parts.append(f"""
+select cast({np_} as int) as nprobe, bf.query_id,
+       cast(count(a.vec_id) as bigint) as n_hits,
+       round(count(a.vec_id) / {k}, 6) as recall
+from ({bf}) bf
+left join ({ivf}) a
+  on a.query_id = bf.query_id and a.vec_id = bf.vec_id
+group by bf.query_id""")
+    return (" union all ".join(parts)
+            + " order by nprobe, query_id")
+
+
 def q_corpus_interleave(spark, sf_dir):
     """Deterministic sqrt-temperature weighted interleaving of sources
     into one training order (fair-queueing virtual time)."""
@@ -7410,14 +7445,17 @@ where {cos} >= {threshold!r}
 """
 
 
-def _sql_ann_bruteforce() -> str:
+def _sql_ann_bruteforce(where_: str = "") -> str:
+    # ``where_`` (e.g. "where e.vec_id % 3 = 0") restricts the CORPUS
+    # side before scoring — the filtered-ANN ground truth; queries stay
+    # unrestricted.
     cos = _cos("e.v", "q.v", 64, "e.nrm", "q.nrm")
     return f"""
 with e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
 e as materialized (select vec_id, v, sqrt({_ss('v', 64)}) as nrm from e0),
 q as (select vec_id as query_id, v, nrm from e where vec_id < 5),
 s as (select q.query_id, e.vec_id, round({cos}, 6) as score
-      from e cross join q),
+      from e cross join q {where_}),
 r as (select *, cast(row_number() over
         (partition by query_id order by score desc, vec_id) as int) as rank
       from s)
@@ -7476,7 +7514,11 @@ asg as materialized (
     from e a cross join cents c) where rn = 1)"""
 
 
-def _sql_ann_ivf(n_centroids: int = 8, nprobe: int = 2, dim: int = 64) -> str:
+def _sql_ann_ivf(n_centroids: int = 8, nprobe: int = 2, dim: int = 64,
+                 where_: str = "") -> str:
+    # ``where_`` (e.g. "where a.vec_id % 3 = 0") cuts the assigned rows
+    # before scoring — filtered-ANN; centroids/assignment stay
+    # full-corpus.
     cos_qc = _cos("q.v", "c.cv", dim, "q.nrm", "c.cnrm")
     cos_final = _cos("a.v", "p.v", dim, "a.nrm", "p.nrm")
     return f"""
@@ -7488,7 +7530,7 @@ probes as (
              order by round({cos_qc}, 6) desc, c.centroid_id) as rn
     from e q cross join cents c where q.vec_id < 5) where rn <= {nprobe}),
 s as (select p.query_id, a.vec_id, round({cos_final}, 6) as score
-      from asg a join probes p on p.centroid_id = a.centroid_id),
+      from asg a join probes p on p.centroid_id = a.centroid_id {where_}),
 r as (select *, cast(row_number() over
         (partition by query_id order by score desc, vec_id) as int) as rank
       from s)
@@ -10380,11 +10422,11 @@ limit {top}
 
 def queries():
     return {
-    # Round-9 rotation (driver caps at ~50 keys/round): the 6 NEW
+    # Round-9 rotation (driver caps at ~50 keys/round): the 7 NEW
     # round-9 keys lead, then the 19 keys whose newest driver record
     # is round 1 (stream_windowed/q1-q22 block — eight rounds of
     # refactors stale, flagged by the round-8 verdict), then the 28
-    # stalest r4/r5 greens (25 fit).  The tail stays oldest-verdict-first
+    # stalest r4/r5 greens (24 fit).  The tail stays oldest-verdict-first
     # (rows-only twins, r4/r5/r6 remainder, r7, then the 50 keys
     # round 8 just recorded) so rotations stay honest.
         # -- new round-9 keys --
@@ -10394,6 +10436,7 @@ def queries():
         "text_bpe_encode": q_text_bpe_encode,
         "ann_adc_filtered": q_ann_adc_filtered,
         "dedup_incremental_persisted": q_dedup_incremental_persisted,
+        "ann_filtered_recall": q_ann_filtered_recall,
         # -- stalest driver verdicts: r1-only keys (19) --
         "mm_decode": q_mm_decode,
         "stream_windowed": q_stream_windowed,
@@ -10414,7 +10457,7 @@ def queries():
         "q18_large": q_q18_large,
         "q19_disjuncts": q_q19_disjuncts,
         "q22_inactive": q_q22_inactive,
-        # -- stalest r4/r5 driver greens (25) --
+        # -- stalest r4/r5 driver greens (24) --
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -10439,12 +10482,12 @@ def queries():
         "yearly_growth": q_yearly_growth,
         "corpus_boilerplate": q_corpus_boilerplate,
         "text_vocab_coverage": q_text_vocab_coverage,
-        "dedup_shingle_hist": q_dedup_shingle_hist,
         # -- rows-only by design (oracle-green exact twins) --
         "ann_bruteforce_np": q_ann_bruteforce_np,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         # -- r4/r5/r6 driver-green remainder (oldest first) --
+        "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
         "events_conversion": q_events_conversion,
@@ -10824,6 +10867,7 @@ from c
         "text_span_search": _sql_text_span_search(),
         "dedup_incremental": _sql_dedup_incremental(),
         "dedup_incremental_persisted": _sql_dedup_incremental(),
+        "ann_filtered_recall": _sql_ann_filtered_recall(),
         "dedup_incremental_eval": _sql_dedup_incremental_eval(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "text_collocations": _sql_text_collocations(),

@@ -371,11 +371,17 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
 def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             n_centroids: int = 8, nprobe: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+            qid_col: str = "query_id", qvec_col: str = "query_vec",
+            id_filter=None) -> DataFrame:
     """IVF-style ANN: search only the nprobe centroid cells closest to the
-    query.  Recall < 1 by design."""
+    query.  Recall < 1 by design.  ``id_filter`` is filtered-ANN
+    semantics: the predicate cuts the assigned rows BEFORE scoring
+    (centroids stay full-corpus — the filter changes candidacy, never
+    assignment)."""
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if id_filter is not None:
+        assigned = assigned.filter(id_filter)
     q = _live_vectors(queries, qvec_col).select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("q"))
     qc = (q.join(F.broadcast(cents))
@@ -968,6 +974,43 @@ def ivf_tuning(corpus: DataFrame, queries: DataFrame, k: int = 10,
     for np_ in nprobe_list:
         approx = ivf_ann(corpus, queries, k=k,
                          n_centroids=n_centroids, nprobe=np_)
+        hits = exact.alias("e").join(
+            approx.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.vec_id") == F.col("a.vec_id")), "left")
+        r = (hits.groupBy(F.col("e.query_id").alias("query_id"))
+             .agg(F.count(F.col("a.vec_id")).cast("long")
+                  .alias("n_hits"))
+             .select(F.lit(np_).cast("int").alias("nprobe"), "query_id",
+                     "n_hits",
+                     F.round(F.col("n_hits") / k, 6).alias("recall")))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("nprobe", "query_id")
+
+
+def ivf_filtered_tuning(corpus: DataFrame, queries: DataFrame,
+                        id_filter, k: int = 10,
+                        nprobe_list: tuple = (1, 2, 4, 8),
+                        n_centroids: int = 8) -> DataFrame:
+    """The nprobe recall curve for FILTERED IVF — (nprobe, query_id,
+    n_hits, recall) with ground truth = brute force over the ALLOWED
+    subset.  Filtered ANN has a failure mode the unfiltered curve
+    cannot see: a selective predicate can empty the probed cells of
+    matching rows (the allowed ids may cluster elsewhere), so recall
+    at a given nprobe is typically LOWER than unfiltered — FAISS's
+    IDSelector + nprobe interaction.  This measures it on YOUR corpus
+    and predicate before committing a serving nprobe; recall at
+    nprobe = n_centroids is 1.0 by construction.  Centroids stay
+    full-corpus (the filter changes candidacy, never assignment) —
+    same semantics as IVFIndex.search_many(id_filter=...)."""
+    allowed = corpus.filter(id_filter)
+    exact = (brute_force_topk(allowed, queries, k=k)
+             .localCheckpoint(eager=True))
+    out = None
+    for np_ in nprobe_list:
+        approx = ivf_ann(corpus, queries, k=k,
+                         n_centroids=n_centroids, nprobe=np_,
+                         id_filter=id_filter)
         hits = exact.alias("e").join(
             approx.alias("a"),
             (F.col("e.query_id") == F.col("a.query_id"))

@@ -509,3 +509,40 @@ def test_mmr_accepts_ladder_candidates(spark, embeddings_small, queries):
         first = min(rs, key=lambda x: x.sel_order)
         best = max((x for x in rs), key=lambda x: (x.rel_micro, -x.vec_id))
         assert first.rel_micro >= best.rel_micro or first is best
+
+
+def test_ivf_filtered_tuning_curve(spark, embeddings_small):
+    """Round 9: the filtered-ANN recall curve — per-nprobe mean recall
+    is nondecreasing, exhaustive probing reproduces filtered brute
+    force exactly (recall 1.0 on every query), and every approx hit
+    satisfies the predicate by construction."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann,
+        ivf_filtered_tuning,
+    )
+
+    q = (embeddings_small.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    flt = F.col("vec_id") % 3 == 0
+    out = ivf_filtered_tuning(embeddings_small, q, id_filter=flt,
+                              k=10, nprobe_list=(1, 4, 8), n_centroids=8)
+    rows = out.collect()
+    by_np = {}
+    for r in rows:
+        by_np.setdefault(r["nprobe"], []).append(r["recall"])
+    means = [sum(v) / len(v) for _, v in sorted(by_np.items())]
+    assert means == sorted(means)
+    assert all(r == 1.0 for r in by_np[8])
+
+    # filtered ivf_ann returns only allowed ids, and at full probe it
+    # equals brute force over the allowed subset row for row
+    full = ivf_ann(embeddings_small, q, k=10, n_centroids=8, nprobe=8,
+                   id_filter=flt)
+    assert all(r["vec_id"] % 3 == 0 for r in full.collect())
+    want = brute_force_topk(embeddings_small.filter(flt), q, k=10)
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, want.collect()))
