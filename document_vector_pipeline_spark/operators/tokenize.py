@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["stub_token_counter", "make_vocab_token_counter",
-           "count_tokens_with_client", "bpe_train", "vocab_from_merges",
-           "bpe_token_hist"]
+           "make_bpe_token_counter", "count_tokens_with_client",
+           "bpe_train", "vocab_from_merges", "bpe_token_hist"]
 
 # Java \s (what Spark's split(text, '\\s+') matches): ASCII whitespace
 # only — Python's \s is unicode-wide, so spell the class out
@@ -217,6 +217,57 @@ def vocab_from_merges(merges: DataFrame) -> list:
                 seen.add(tok)
                 out.append(tok)
     return out
+
+
+def make_bpe_token_counter(merge_pairs: list):
+    """A TRUE BPE tokenizer client from a trained merge table: apply
+    the merges to each whitespace word IN RANK ORDER (greedy
+    left-to-right per merge — exactly the semantics ``bpe_train``
+    trained under and ``bpe_token_hist`` aggregates with), and count
+    the surviving symbols.  ``merge_pairs`` is [(a, b), ...] in merge
+    rank order (e.g. ``[(r["a"], r["b"]) for r in
+    merges.orderBy("merge_rank").collect()]``).
+
+    This differs from ``make_vocab_token_counter`` (greedy
+    longest-match, WordPiece-style): BPE segmentation is determined by
+    merge ORDER, not piece length — the pair makes the client seam and
+    the corpus-histogram path agree token for token (tested).
+    Self-contained closure; the word→count memo builds lazily per
+    worker (Zipf makes it ~one segmentation per distinct word)."""
+    pairs = [tuple(p) for p in merge_pairs]
+
+    def count(texts: list) -> list:
+        import re
+
+        if not hasattr(count, "_memo"):
+            count._memo = {}
+            count._ws = re.compile("[ \t\n\x0b\f\r]+")
+
+        def seg_len(w: str) -> int:
+            n = count._memo.get(w)
+            if n is None:
+                syms = list(w)
+                for a, b in pairs:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                n = len(syms)
+                if len(count._memo) < 1_000_000:
+                    count._memo[w] = n
+            return n
+
+        return [sum(seg_len(w)
+                    for w in count._ws.split(t.strip().lower()) if w)
+                for t in texts]
+
+    return count
 
 
 def count_tokens_with_client(docs: DataFrame, client,

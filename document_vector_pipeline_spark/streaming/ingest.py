@@ -367,6 +367,9 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     """
     schema = "doc_id long, text string, embedding array<float>, op string"
     if seq_col is not None:
+        if seq_col in ("doc_id", "text", "embedding", "op"):
+            raise ValueError(
+                f"seq_col {seq_col!r} collides with a source column")
         schema += f", {seq_col} long"
     batches = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", max_files_per_trigger)

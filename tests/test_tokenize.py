@@ -256,3 +256,48 @@ def test_bpe_token_hist_matches_reference_encode(spark):
         for s in syms:
             want[s] += cnt
     assert got == dict(want)
+
+
+def test_bpe_counter_agrees_with_token_hist(spark, docs_small):
+    """The true-BPE client (merge-order segmentation) and the corpus
+    histogram path agree exactly: total client tokens over the corpus
+    == the full token histogram's count sum — one segmentation
+    semantics across the seam and the distributed operator."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        _apply_merges,
+        _word_histogram,
+        bpe_token_hist,
+        bpe_train,
+        make_bpe_token_counter,
+    )
+
+    merges = bpe_train(docs_small, n_merges=8)
+    enc = _apply_merges(_word_histogram(docs_small, "text"),
+                        merges.collect())
+    hist_total = (enc.select(
+        (F.size(F.split(F.trim(F.col("seq")), "  ")) * F.col("cnt"))
+        .alias("t")).agg(F.sum("t")).collect()[0][0])
+    # the public top-k surface: after 8 merges the symbol vocabulary is
+    # roughly alphabet + merge tokens — every row a positive count, the
+    # merged tokens present
+    top = bpe_token_hist(docs_small, merges, top=50).collect()
+    toks = {r["token"] for r in top}
+    assert all(r["n"] > 0 for r in top)
+    assert any(len(t) > 1 for t in toks)
+    counter = make_bpe_token_counter(
+        [(r["a"], r["b"]) for r in
+         sorted(merges.collect(), key=lambda x: x["merge_rank"])])
+    texts = [r["text"] for r in docs_small.select("text").collect()]
+    assert sum(counter(texts)) == hist_total
+    # and it is a REAL tokenizer: differs from the whitespace count
+    assert counter([texts[0]]) != stub_token_counter([texts[0]])
+    # budgets run under it through the standard client seam
+    out = token_budget_select(docs_small, budget_tokens=5_000,
+                              token_client=counter)
+    rows = out.collect()
+    assert rows
+    tx = {r["doc_id"]: r["text"]
+          for r in docs_small.select("doc_id", "text").collect()}
+    ids = sorted(r["doc_id"] for r in rows)[:10]
+    counts = {r["doc_id"]: r["tokens"] for r in rows}
+    assert [counts[i] for i in ids] == counter([tx[i] for i in ids])
