@@ -14,6 +14,8 @@ batch", with maxFilesPerTrigger bounding latency vs. throughput.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -216,17 +218,31 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
     catch-all for those, exactly as in production curation stacks.
 
     Scale: each microbatch costs the batch-bounded band/fingerprint
-    joins of incremental_dedup; the append writes touch only the
-    batch's rows.  Without ``artifacts_path`` the corpus-side
-    signatures are recomputed from admitted text each trigger
-    (self-contained, fine for tests).  WITH ``artifacts_path`` the
-    gate maintains a PERSISTED dedup_artifacts sidecar: bootstrap once
-    from whatever corpus already exists, read the columnar artifacts
-    per trigger instead of re-tokenizing the corpus, and append only
-    the keepers' artifact rows after each admission — at 100 TB the
-    difference between a per-batch corpus recompute and a
-    signature-table scan.  Verdicts are bit-identical either way
-    (incremental_dedup_artifacts materializes the same expressions)."""
+    joins of incremental_dedup; the writes touch only the batch's
+    rows.  Without ``artifacts_path`` the corpus-side signatures are
+    recomputed from admitted text each trigger (self-contained, fine
+    for tests).  WITH ``artifacts_path`` the gate maintains a
+    PERSISTED dedup_artifacts sidecar: bootstrap once from whatever
+    corpus already exists, read the columnar artifacts per trigger
+    instead of re-tokenizing the corpus, and write only the keepers'
+    artifact rows after each admission — at 100 TB the difference
+    between a per-batch corpus recompute and a signature-table scan.
+    Verdicts are bit-identical either way
+    (incremental_dedup_artifacts materializes the same expressions).
+
+    Exactly-once: both sinks use the batch_id-keyed idempotent-write
+    idiom — each trigger OVERWRITES its own ``batch_<id>``
+    subdirectory under the corpus and sidecar roots (reads use a
+    recursive file lookup).  foreachBatch replays a failed trigger
+    after restart; with two independent appends a crash between them
+    would re-admit the batch against a sidecar that never saw it and
+    double the corpus rows.  Per-batch overwrite alone is not enough
+    either: a replay would judge the batch against state containing
+    its OWN first attempt and self-reject, so the gate also anti-joins
+    the batch's ids out of the judged state (ids are unique per
+    document — any state row carrying a batch id IS that earlier
+    attempt), making replay verdicts deterministic and the overwrite
+    a true no-op rewrite."""
     from document_vector_pipeline_spark.operators.dedup import (
         dedup_artifacts,
         exact_dedup_survivors,
@@ -254,17 +270,29 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
         fs = jvm_path.getFileSystem(
             spark._jsc.hadoopConfiguration())
         if fs.exists(jvm_path):
-            corpus = spark.read.schema(schema).parquet(corpus_path)
+            corpus = (spark.read.schema(schema)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(corpus_path))
         else:
             corpus = spark.createDataFrame([], schema)
+        # Judge against the state MINUS this batch's own ids: ids are
+        # unique per document, so any state row with a batch id is this
+        # batch's own earlier (crashed/replayed) attempt — leaving it
+        # in would make the replay self-reject and the idempotent
+        # overwrite below would then wipe the rows.  Batch-bounded
+        # broadcast anti-joins.
+        bids = F.broadcast(batch_df.select("doc_id"))
+        corpus = corpus.join(bids, "doc_id", "left_anti")
         if artifacts_path is not None:
             # bootstrap the sidecar exactly once (covers a pre-existing
             # corpus without one); afterwards every trigger reads the
             # columnar artifacts — no corpus re-tokenization
             if not fs.exists(jvm(artifacts_path)):
                 (dedup_artifacts(corpus).write.mode("overwrite")
-                 .parquet(artifacts_path))
-            art = spark.read.parquet(artifacts_path)
+                 .parquet(os.path.join(artifacts_path, "bootstrap")))
+            art = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(artifacts_path)
+                   .join(bids, "doc_id", "left_anti"))
             verdicts = incremental_dedup_artifacts(
                 art, batch_df, threshold_milli=threshold_milli)
         else:
@@ -272,17 +300,18 @@ def stream_dedup_gate(spark: SparkSession, batches_path: str,
                 corpus, batch_df, threshold_milli=threshold_milli)
         keep = verdicts.filter(F.col("keep")).select("doc_id")
         # checkpoint: keepers feeds TWO writes (corpus + sidecar) and
-        # its lineage reads the sidecar being appended — materialize
+        # its lineage reads the sidecar being written — materialize
         # once so neither write re-runs the verdict joins or re-reads
-        # a directory mid-append
+        # a directory mid-write
         keepers = (batch_df.join(keep, "doc_id", "left_semi")
                    .localCheckpoint(eager=True))
-        keepers.write.mode("append").parquet(corpus_path)
+        (keepers.write.mode("overwrite")
+         .parquet(os.path.join(corpus_path, f"batch_{batch_id}")))
         if artifacts_path is not None and not keepers.isEmpty():
             # O(batch) sidecar maintenance: only the admitted rows'
-            # artifacts append (an all-rejected batch appends nothing)
-            (dedup_artifacts(keepers).write.mode("append")
-             .parquet(artifacts_path))
+            # artifacts land (an all-rejected batch writes nothing)
+            (dedup_artifacts(keepers).write.mode("overwrite")
+             .parquet(os.path.join(artifacts_path, f"batch_{batch_id}")))
 
     writer = (batches.writeStream
               .foreachBatch(handle)

@@ -672,9 +672,12 @@ def test_stream_dedup_gate_sequential_admission(spark, tmp_path):
                           checkpoint=str(tmp_path / "gate_ck"),
                           threshold_milli=400)
     q.awaitTermination(120)
-    admitted = {r["doc_id"] for r in
-                spark.read.parquet(corpus_dir).collect()}
-    assert admitted == {1, 3}
+    def read_corpus():
+        return {r["doc_id"] for r in
+                (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(corpus_dir)).collect()}
+
+    assert read_corpus() == {1, 3}
 
     # batch 2: exact copy of an admitted doc, near-copy, fresh doc
     write_batch("b2.jsonl", [
@@ -686,9 +689,7 @@ def test_stream_dedup_gate_sequential_admission(spark, tmp_path):
                            checkpoint=str(tmp_path / "gate_ck"),
                            threshold_milli=400)
     q2.awaitTermination(120)
-    admitted = {r["doc_id"] for r in
-                spark.read.parquet(corpus_dir).collect()}
-    assert admitted == {1, 3, 12}
+    assert read_corpus() == {1, 3, 12}
 
 
 def test_stream_index_maintain_equals_batch_builds(spark, tmp_path):
@@ -893,11 +894,54 @@ def test_stream_dedup_gate_with_persisted_artifacts(spark, tmp_path):
                           str(root / "ckpt"), threshold_milli=500,
                           **kw).awaitTermination(180)
         return {r["doc_id"] for r in
-                spark.read.parquet(str(root / "corpus")).collect()}
+                (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(str(root / "corpus"))).collect()}
 
     plain = run(tmp_path / "plain", artifacts=False)
     side = run(tmp_path / "side", artifacts=True)
     assert side == plain and side
-    art = spark.read.parquet(str(tmp_path / "side" / "art"))
+    art = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(str(tmp_path / "side" / "art")))
     assert {r["doc_id"] for r in art.select("doc_id").collect()} == side
     assert set(art.columns) == {"doc_id", "fp", "bands", "shingles", "n"}
+
+
+def test_stream_dedup_gate_replay_is_idempotent(spark, tmp_path):
+    """Round 9: both gate sinks use batch_id-keyed overwrite, so a full
+    replay (fresh checkpoint over the same inbox — the worst-case
+    foreachBatch retry) rewrites the same per-batch directories instead
+    of doubling rows: corpus and sidecar row COUNTS are unchanged, not
+    just id sets."""
+    import json as _json
+
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_dedup_gate,
+    )
+
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    with open(inbox / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "alpha beta gamma "
+                             "delta epsilon zeta"}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "text": "one two three four "
+                             "five six seven"}) + "\n")
+
+    def counts():
+        c = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(tmp_path / "corpus"))).count()
+        a = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(tmp_path / "art"))).count()
+        return c, a
+
+    stream_dedup_gate(spark, str(inbox), str(tmp_path / "corpus"),
+                      str(tmp_path / "ck1"),
+                      artifacts_path=str(tmp_path / "art")) \
+        .awaitTermination(120)
+    first = counts()
+    assert first == (2, 2)
+    # full replay: fresh checkpoint, same inbox, same batch ids
+    stream_dedup_gate(spark, str(inbox), str(tmp_path / "corpus"),
+                      str(tmp_path / "ck2"),
+                      artifacts_path=str(tmp_path / "art")) \
+        .awaitTermination(120)
+    assert counts() == first
