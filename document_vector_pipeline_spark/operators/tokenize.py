@@ -1,5 +1,14 @@
-"""Injectable tokenizer-client seam: count tokens with a REAL trained
-tokenizer instead of the whitespace/chars heuristics.
+"""Tokenizer training and the injectable tokenizer-client seam.
+
+Round 9 closes the full loop: ``bpe_train`` (exact iterated BPE merges
+over the corpus word histogram — each merge one literal string replace,
+engine-portable), ``bpe_token_hist`` (the corpus token histogram under
+the trained merges — the encode half), ``vocab_from_merges`` +
+``make_vocab_token_counter`` (longest-match counting under the trained
+vocab), and ``make_bpe_token_counter`` (TRUE merge-order segmentation
+as a client — agrees token-for-token with the histogram path).  Token
+budgets (corpus_pack, corpus_token_budget) run under any of these via
+``count_tokens_with_client``.
 
 Token budgets (corpus.pack_sequences, corpus.token_budget_select,
 chunking) ship with deterministic heuristic counters — fine for oracle
