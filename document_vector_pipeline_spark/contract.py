@@ -2081,6 +2081,38 @@ def q_text_prf_indexed(spark, sf_dir):
     return idx.prf_search(_bm25_query_df(spark), k=10, k_fb=3, m=5)
 
 
+def q_text_search_after(spark, sf_dir):
+    """Keyset pagination over the persisted inverted index
+    (store/text_index.TextIndex.search_after — Elasticsearch
+    search_after / Lucene searchAfter): page 1 is a plain indexed
+    top-5, its last hit per query becomes the cursor
+    (after_score_micro, after_doc_id, rank_offset), and page 2 is
+    served by CUTTING every candidate at-or-above the cursor BEFORE
+    the partial top-k — page depth never grows the ranking work,
+    unlike OFFSET pagination which ranks offset+k candidates per
+    query.  Oracle = scan-path BM25 ranks 6..10, so a green row proves
+    page 2 ≡ the global ranking's second page bit-for-bit (absolute
+    ranks included).  Reference analogue: the TOP-k-only query shape
+    of CosmosDBClientWrapper.cs:117-146, which cannot scroll at all."""
+    idx = _shared_text_index(spark, sf_dir)
+    q = _bm25_query_df(spark)
+    page1 = idx.search(q, k=5)
+    cursors = (page1.filter(F.col("rank") == 5)
+               .select("query_id",
+                       F.col("score_micro").alias("after_score_micro"),
+                       F.col("doc_id").alias("after_doc_id"),
+                       F.col("rank").alias("rank_offset")))
+    return idx.search_after(q, cursors, k=5)
+
+
+def _sql_text_search_after(k: int = 5) -> str:
+    return f"""
+with {_sql_bm25_ctes()}
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank between {k + 1} and {2 * k}
+"""
+
+
 # boolean-query batch: q0 = conjunction with an exclusion, q1 = one
 # required term broadened by two optional ones, q2 = pure disjunction
 # with an exclusion (no must clause), q3 = three-way conjunction
@@ -10429,6 +10461,8 @@ def queries():
     # stalest r4/r5 greens (24 fit).  The tail stays oldest-verdict-first
     # (rows-only twins, r4/r5/r6 remainder, r7, then the 50 keys
     # round 8 just recorded) so rotations stay honest.
+        # -- new round-10 keys --
+        "text_search_after": q_text_search_after,
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
@@ -10724,6 +10758,7 @@ def oracle_sql():
     # ANSI-SQL twin (the exact variants ann_bruteforce / mm_decode are
     # oracle-checked instead).
     return {
+        "text_search_after": _sql_text_search_after(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

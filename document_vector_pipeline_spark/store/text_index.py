@@ -428,6 +428,61 @@ class TextIndex:
             scored = scored.filter(doc_filter)
         return retrieval.rank_topk(scored, k)
 
+    def search_after(self, query_terms: DataFrame, cursors: DataFrame,
+                     k: int = 10, checkpoint: bool = True,
+                     doc_filter=None) -> DataFrame:
+        """Keyset pagination over the persisted index (Elasticsearch
+        ``search_after`` / Lucene ``searchAfter``): ``cursors`` is one
+        row per query — (query_id, after_score_micro, after_doc_id,
+        rank_offset), the LAST hit of the previous page in the total
+        order (score_micro desc, doc_id asc) plus that page's absolute
+        depth — and the result is the next ``k`` hits per query with
+        ABSOLUTE ranks (rank_offset + page position), bit-identical to
+        rows rank_offset+1 .. rank_offset+k of ``search`` run with a
+        larger k.
+
+        Why keyset and not OFFSET: an offset-p page must still rank
+        p+k candidates per query through the top-k machinery, so page
+        depth grows the reducer input without bound; the cursor
+        predicate instead drops every candidate at-or-above the cursor
+        BEFORE the partial top-k cut, keeping each page's ranking work
+        constant no matter how deep the client scrolls — the only
+        pagination that survives a common-term query against a 100 TB
+        posting list.  The posting read itself is the same
+        tbucket-pruned scan as ``search``.
+
+        A query absent from ``cursors`` is dropped (its pagination is
+        exhausted — the previous page came back short).  ``doc_filter``
+        keeps ``search``'s filtered-query semantics: corpus-level
+        statistics, candidates dropped after scoring."""
+        cur = cursors.select("query_id", "after_score_micro",
+                             "after_doc_id", "rank_offset")
+        tb = [r[0] for r in query_terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        post = self._postings().filter(F.col("tbucket").isin(tb))
+        tf = (self._live(
+                post.join(F.broadcast(query_terms.select("term").distinct()),
+                          "term", "left_semi"))
+              .select("doc_id", "term", "tf", "dl"))
+        if checkpoint:
+            tf = tf.localCheckpoint(eager=True)
+        scored = retrieval.score_tf(tf, query_terms, self.stats())
+        if doc_filter is not None:
+            scored = scored.filter(doc_filter)
+        after = (scored.join(F.broadcast(cur), "query_id")
+                 .filter((F.col("score_micro") < F.col("after_score_micro"))
+                         | ((F.col("score_micro")
+                             == F.col("after_score_micro"))
+                            & (F.col("doc_id") > F.col("after_doc_id"))))
+                 .drop("after_score_micro", "after_doc_id", "rank_offset"))
+        page = retrieval.rank_topk(after, k)
+        return (page.join(F.broadcast(cur.select("query_id", "rank_offset")),
+                          "query_id")
+                .withColumn("rank", (F.col("rank")
+                                     + F.col("rank_offset")).cast("int"))
+                .select("query_id", "doc_id", "n_terms", "score_micro",
+                        "rank"))
+
     def boolean_search(self, clauses: DataFrame, k: int = 10,
                        checkpoint: bool = True) -> DataFrame:
         """Lucene-style BooleanQuery over the persisted index —

@@ -851,3 +851,51 @@ def test_suggest_ranks_by_edits_then_live_df(spark, docs, tmp_path):
     idx.delete([1, 2, 6])
     got2 = idx.suggest(qt, max_edits=2, prefix_len=1)
     assert got2.filter(F.col("suggestion") == "banana").count() == 0
+
+
+def test_search_after_pages_tile_the_global_ranking(spark, docs, qt,
+                                                    tmp_path):
+    """Page 1 (k=2) + search_after page 2 must equal one search with
+    k=4 row-for-row, absolute ranks included; an exhausted query (no
+    rank-2 cursor) simply disappears from page 2."""
+    idx = TextIndex(spark, str(tmp_path / "tisa"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    full = idx.search(qt, k=4)
+    page1 = idx.search(qt, k=2)
+    cursors = (page1.filter(F.col("rank") == 2)
+               .select("query_id",
+                       F.col("score_micro").alias("after_score_micro"),
+                       F.col("doc_id").alias("after_doc_id"),
+                       F.col("rank").alias("rank_offset")))
+    page2 = idx.search_after(qt, cursors, k=2)
+    assert (_sorted(page1) + _sorted(page2)
+            == _sorted(full.filter(F.col("rank") <= 2))
+            + _sorted(full.filter(F.col("rank") > 2)))
+    # deep-scroll to exhaustion: paging past the last hit returns nothing
+    last = (full.groupBy("query_id")
+            .agg(F.max("rank").alias("rank"))
+            .join(full, ["query_id", "rank"])
+            .select("query_id",
+                    F.col("score_micro").alias("after_score_micro"),
+                    F.col("doc_id").alias("after_doc_id"),
+                    F.col("rank").alias("rank_offset")))
+    assert idx.search_after(qt, last, k=2).count() == 0
+
+
+def test_search_after_respects_doc_filter(spark, docs, qt, tmp_path):
+    """Filtered pagination: pages tile the FILTERED ranking (corpus
+    statistics stay corpus-level, exactly like search's doc_filter)."""
+    idx = TextIndex(spark, str(tmp_path / "tisaf"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    flt = F.col("doc_id") % 2 == 0
+    full = idx.search(qt, k=4, doc_filter=flt)
+    page1 = idx.search(qt, k=1, doc_filter=flt)
+    cursors = (page1.filter(F.col("rank") == 1)
+               .select("query_id",
+                       F.col("score_micro").alias("after_score_micro"),
+                       F.col("doc_id").alias("after_doc_id"),
+                       F.col("rank").alias("rank_offset")))
+    page2 = idx.search_after(qt, cursors, k=3, doc_filter=flt)
+    assert _sorted(page2) == _sorted(full.filter(F.col("rank") > 1))
