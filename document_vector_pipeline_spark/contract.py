@@ -3598,6 +3598,73 @@ from a
 """
 
 
+def q_store_merge(spark, sf_dir):
+    """Delta-style MERGE INTO as ONE bucket-incremental commit
+    (store/versioned.BucketedVersionedTable.merge): v0 is the corpus;
+    one merge batch then UPDATES every 7th document (new text),
+    DELETES every 13th, and INSERTS 1/17th as new ids — and the whole
+    batch lands as a single manifest version, so no reader between
+    versions can observe deletes applied but inserts missing (the
+    atomicity separate delete+upsert commits cannot give a CDC-apply
+    job).  Only the source keys' buckets are rewritten; untouched
+    buckets are carried by reference.  Output: the final snapshot's
+    (doc_id, exact md5-int text digest) plus n_versions — which must
+    be 2, proving the three-way batch was ONE commit.  Reference
+    contrast: CosmosDBClientWrapper.cs:36-70 mutates per document
+    with no batch atomicity at all."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(SCRATCH, "store_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+
+    def wb(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+
+    vt.commit_overwrite(wb(docs))
+    upd = (docs.filter((F.col("doc_id") % 7 == 0)
+                       & (F.col("doc_id") % 13 != 0))
+           .withColumn("text", F.concat_ws(" ", F.col("text"),
+                                           F.lit("merged edition")))
+           .withColumn("_deleted", F.lit(False)))
+    dele = (docs.filter(F.col("doc_id") % 13 == 0)
+            .withColumn("_deleted", F.lit(True)))
+    ins = (docs.filter(F.col("doc_id") % 17 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat_ws(" ", F.col("text"),
+                               F.lit("appendix")).alias("text"))
+           .withColumn("_deleted", F.lit(False)))
+    vt.merge(wb(upd.unionByName(dele).unionByName(ins)), ["doc_id"])
+    n_v = len(vt.versions())
+    return (vt.read()
+            .select("doc_id",
+                    md5_long(F.col("text"), hex_digits=13).alias("text_h"))
+            .withColumn("n_versions", F.lit(n_v).cast("int")))
+
+
+def _sql_store_merge() -> str:
+    th = _md5l("text", 13)
+    return f"""
+with final as (
+  select doc_id, text from documents
+  where doc_id % 13 <> 0 and doc_id % 7 <> 0
+  union all
+  select doc_id, concat_ws(' ', text, 'merged edition') as text
+  from documents where doc_id % 7 = 0 and doc_id % 13 <> 0
+  union all
+  select doc_id + 1000000 as doc_id,
+         concat_ws(' ', text, 'appendix') as text
+  from documents where doc_id % 17 = 0)
+select doc_id, {th} as text_h, cast(2 as int) as n_versions
+from final
+"""
+
+
 def q_store_versioned_vacuum(spark, sf_dir):
     """Version-retention lifecycle: v0 ingests the corpus (+ extra
     chunk for %6 docs), v1 re-ingests the %6 docs modified, v2 deletes
@@ -10463,6 +10530,7 @@ def queries():
     # round 8 just recorded) so rotations stay honest.
         # -- new round-10 keys --
         "text_search_after": q_text_search_after,
+        "store_merge": q_store_merge,
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
@@ -10759,6 +10827,7 @@ def oracle_sql():
     # oracle-checked instead).
     return {
         "text_search_after": _sql_text_search_after(),
+        "store_merge": _sql_store_merge(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

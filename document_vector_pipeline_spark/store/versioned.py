@@ -442,6 +442,65 @@ class BucketedVersionedTable(VersionedTable):
         return self._commit_dirs("upsert", carried + new_dirs, n_rows,
                                  schema_json=self._merged_schema_json(df))
 
+    def merge(self, src: DataFrame, keys: list[str],
+              delete_col: str = "_deleted") -> int:
+        """Delta-style MERGE INTO as ONE commit: a source row with
+        ``delete_col`` true deletes its matching target rows; every
+        other source row updates its match or inserts (``upsert``
+        semantics).  A single manifest version captures the whole
+        batch, so no reader can observe the half-applied state that
+        separate delete+upsert commits expose between versions — the
+        atomicity a CDC-apply job needs.
+
+        Cost model is ``upsert``'s: only the source keys' buckets are
+        read and rewritten, every untouched bucket's dir is carried by
+        reference, and row accounting is metadata-only footer counts —
+        a one-document merge against a 100 TB table moves one bucket.
+
+        The source must carry each key ONCE (a delete and an upsert of
+        the same key in one batch is order-ambiguous — collapse
+        upstream, e.g. streaming/ingest's seq_col latest-wins); dup
+        keys raise.  ``delete_col`` is stripped before writing and
+        never evolves the schema.  Reference contrast: the mutate-in-
+        place store (CosmosDBClientWrapper.cs:36-70) applies each
+        document separately with no batch atomicity at all."""
+        if delete_col not in src.columns:
+            raise ValueError(f"merge source must carry '{delete_col}'")
+        self._require_bucket(src)
+        src = src.localCheckpoint(eager=True)   # computed once, used 3x
+        dups = (src.groupBy(*keys).count()
+                .filter(F.col("count") > 1).limit(1).collect())
+        if dups:
+            raise ValueError(
+                f"merge source carries duplicate keys (e.g. "
+                f"{tuple(dups[0][k] for k in keys)}) — collapse to one "
+                f"row per key upstream")
+        live = src.filter(~F.coalesce(F.col(delete_col), F.lit(False)))\
+            .drop(delete_col)
+        if not self.versions():
+            dirs = self._write_buckets(live, 0)
+            return self._commit_dirs("merge", dirs, self._count_dirs(dirs),
+                                     schema_json=live.schema.json())
+        m = self._manifest(self.latest())
+        affected = {str(r[0]) for r in
+                    src.select(self.bucket_col).distinct().collect()}
+        carried = [d for d in m["dirs"]
+                   if self._bucket_of(d) not in affected]
+        touched = [d for d in m["dirs"] if self._bucket_of(d) in affected]
+        if touched:
+            cur = self._read_dirs(touched)
+            merged = (cur.join(src.select(*keys).distinct(), keys,
+                               "left_anti")
+                      .unionByName(live, allowMissingColumns=True))
+        else:
+            merged = live
+        v = self.latest() + 1
+        new_dirs = self._write_buckets(merged, v)
+        n_rows = (m["n_rows"] - self._count_dirs(touched)
+                  + self._count_dirs(new_dirs))
+        return self._commit_dirs("merge", carried + new_dirs, n_rows,
+                                 schema_json=self._merged_schema_json(live))
+
     def _touched_dirs(self, v_a: int, v_b: int) -> tuple[list, list]:
         """Each version's dirs restricted to buckets in the two
         manifests' symmetric difference — the only buckets whose rows

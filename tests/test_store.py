@@ -932,3 +932,52 @@ def test_schema_evolution_is_additive_and_snapshot_scoped(spark, tmp_path):
               keys=["id"])
     got3 = {r["id"]: r["extra"] for r in vt.read(3).collect()}
     assert got3 == {1: 11, 2: None, 3: 30, 4: None}
+
+
+def test_merge_applies_update_delete_insert_in_one_commit(spark, tmp_path):
+    """merge = one manifest version for the whole batch; untouched
+    buckets carried by reference; delete/update/insert all correct."""
+    import json
+    import os
+
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    bt = BucketedVersionedTable(spark, str(tmp_path / "m"), bucket_col="b")
+    rows = spark.createDataFrame(
+        [(i, f"t{i}", str(i % 4)) for i in range(12)],
+        "id long, text string, b string")
+    bt.commit_overwrite(rows)
+    src = spark.createDataFrame(
+        [(1, "t1-upd", "1", False),     # update
+         (2, None, "2", True),          # delete
+         (100, "t100", "0", False)],    # insert
+        "id long, text string, b string, _deleted boolean")
+    v = bt.merge(src, ["id"])
+    assert v == 1 and bt.versions() == [0, 1]
+    got = {r["id"]: r["text"] for r in bt.read().collect()}
+    assert got[1] == "t1-upd" and 2 not in got and got[100] == "t100"
+    assert len(got) == 12                      # 12 - 1 del + 1 ins
+    # bucket 3 was untouched: its v0 dir is carried by reference
+    log = sorted(os.listdir(tmp_path / "m" / "_log"))
+    m1 = json.loads((tmp_path / "m" / "_log" / log[-1]).read_text())
+    assert any("v000000000000" in d and d.endswith("=3") for d in m1["dirs"])
+    # the delete-col never lands in the table schema
+    assert "_deleted" not in bt.read().columns
+
+
+def test_merge_refuses_duplicate_source_keys(spark, tmp_path):
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    bt = BucketedVersionedTable(spark, str(tmp_path / "md"), bucket_col="b")
+    bt.commit_overwrite(spark.createDataFrame(
+        [(1, "x", "0")], "id long, text string, b string"))
+    src = spark.createDataFrame(
+        [(1, None, "0", True), (1, "new", "0", False)],
+        "id long, text string, b string, _deleted boolean")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        bt.merge(src, ["id"])
+    assert bt.versions() == [0]               # refused before any commit
