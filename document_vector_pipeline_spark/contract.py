@@ -6267,6 +6267,49 @@ def q_graph_pagerank(spark, sf_dir):
     return graph.pagerank(edges, "a", "b", iterations=3)
 
 
+def q_graph_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    operators/graph.label_propagation) over the undirected
+    customer↔supplier trade graph — 4 fixed rounds, most-frequent-
+    neighbour-label updates with smallest-label tie-break: the
+    community detector that separates dense groups a single bridge
+    edge would fuse under connected components.  Exact by
+    construction (integer counts + total tie order), so the oracle
+    replays every round as unrolled materialized CTEs bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+             .distinct())
+    return graph.label_propagation(pairs, "a", "b", iterations=4)
+
+
+def _sql_graph_label_prop(iterations: int = 4) -> str:
+    step = """
+f{n} as (select s.n, l.lbl, count(*) as c
+         from sym s join l{p} l on l.n = s.m
+         group by s.n, l.lbl),
+l{n} as materialized (
+  select n, lbl from (
+    select n, lbl, row_number() over (partition by n
+           order by c desc, lbl) as rn from f{n}) where rn = 1)"""
+    iters = ",".join(step.format(n=i + 1, p=i)
+                     for i in range(iterations))
+    return f"""
+with p as materialized (
+  select distinct 'c' || cast(o_custkey as varchar) as a,
+         's' || cast(l_suppkey as varchar) as b
+  from lineitem join orders on l_orderkey = o_orderkey),
+sym as materialized (select a as n, b as m from p
+                     union select b as n, a as m from p),
+l0 as (select distinct n, n as lbl from sym),
+{iters}
+select n as id, lbl as community from l{iterations}
+"""
+
+
 def q_text_tfidf(spark, sf_dir):
     return textstats.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -10531,6 +10574,7 @@ def queries():
         # -- new round-10 keys --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
+        "graph_label_prop": q_graph_label_prop,
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
@@ -10828,6 +10872,7 @@ def oracle_sql():
     return {
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
+        "graph_label_prop": _sql_graph_label_prop(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

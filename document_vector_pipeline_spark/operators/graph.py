@@ -130,6 +130,52 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .orderBy(F.desc("rank"), "node"))
 
 
+def label_propagation(edges: DataFrame, src: str = "id_a",
+                      dst: str = "id_b",
+                      iterations: int = 4) -> DataFrame:
+    """(id, community): synchronous label propagation (Raghavan et al.
+    2007) after a FIXED number of rounds — community detection where
+    connected components are too coarse: one bridge edge fuses two
+    dense groups CC can never separate, while LPA assigns them
+    different majority labels.  The curation use is grouping near-dup
+    /citation/trade graphs into behaviourally-cohesive families for
+    per-family sampling quotas.
+
+    Deterministic contract (what makes it oracle-checkable): labels
+    init to the node's own id; each round EVERY node simultaneously
+    adopts the most frequent label among its neighbours, ties broken
+    by smallest label; fixed ``iterations`` (no convergence test —
+    synchronous LPA can oscillate on bipartite structure, so a fixed
+    round count is the only engine-portable stopping rule).
+
+    Plan: per round ONE equi-join (neighbour labels), ONE (node,
+    label) groupBy (map-side combinable frequencies), ONE per-node
+    argmax window — the window partitions by node, so no task ever
+    sees more than one node's neighbour-label histogram regardless of
+    graph size.  Each round localCheckpoints (labels feed the next
+    round's join once, but the plan would otherwise nest a copy of
+    the upstream edge pipeline per round — the connected_components
+    lesson)."""
+    sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+           .union(edges.select(F.col(dst).alias("n"),
+                               F.col(src).alias("m")))
+           .distinct().cache())
+    labels = (sym.select("n").distinct()
+              .select("n", F.col("n").alias("lbl"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iterations):
+        freq = (sym.join(labels.select(F.col("n").alias("m"), "lbl"), "m")
+                .groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c")))
+        new_labels = (freq.withColumn("rn", F.row_number().over(w))
+                      .filter(F.col("rn") == 1).select("n", "lbl")
+                      .localCheckpoint(eager=True))
+        labels = new_labels
+    sym.unpersist()
+    return labels.select(F.col("n").alias("id"),
+                         F.col("lbl").alias("community"))
+
+
 def triangle_count(pairs: DataFrame, a_col: str = "id_a",
                    b_col: str = "id_b") -> DataFrame:
     """Exact triangle count of an undirected graph given as ordered edges

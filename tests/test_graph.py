@@ -142,3 +142,39 @@ def test_kcore_peels_low_degree_nodes(spark):
     # loop must not accumulate unboundedly beyond that
     assert (len(list(jsc.getRDDStorageInfo()))
             <= cached_before + 2 * (4 + 2))
+
+
+def _lp(spark, edges, iterations=4):
+    from document_vector_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r["id"]: r["community"]
+            for r in label_propagation(df, iterations=iterations).collect()}
+
+
+def test_lp_two_cliques_with_bridge_split_where_cc_fuses(spark):
+    """Two triangles joined by one bridge edge: CC gives one component,
+    LPA keeps each triangle on its own majority label."""
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    edges = tri1 + tri2 + bridge
+    assert len(set(_cc(spark, edges).values())) == 1
+    lab = _lp(spark, edges)
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[10] == lab[11] == lab[12]
+    assert lab[1] != lab[10]
+
+
+def test_lp_one_round_adopts_min_neighbour_on_ties(spark):
+    """Round 1 on a path 1-2-3: node 2's neighbours {1,3} tie at count
+    1 → smallest label 1; endpoints adopt their only neighbour."""
+    lab = _lp(spark, [(1, 2), (2, 3)], iterations=1)
+    assert lab == {1: 2, 2: 1, 3: 2}
+
+
+def test_lp_deterministic_across_runs(spark):
+    edges = [(i, (i * 7) % 23 + 100) for i in range(40)]
+    assert _lp(spark, edges) == _lp(spark, edges)
