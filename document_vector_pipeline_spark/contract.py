@@ -796,6 +796,65 @@ def q_source_bucketed(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+def q_emb_drift(spark, sf_dir):
+    """Embedding population drift monitor (similarity.embedding_drift):
+    per-dimension mean/variance shift between a reference slice (even
+    vec_ids — 'the corpus as embedded today') and a candidate slice
+    (odd vec_ids — 'the re-embedded batch'), with the pooled-variance
+    standardized mean shift as the drift score.  Moments are exact
+    integer sums of 10⁻⁶-quantized components via the shared
+    _gram_moments pass (one map-only pass per side, corpus never
+    shuffled); every float is one division chain on exact integers, so
+    the oracle replays it bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1))
+
+
+def _sql_emb_drift() -> str:
+    def side(tag, pred):
+        return f"""
+e_{tag} as materialized (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000, 0) as bigint))
+           as qv
+  from embeddings where {pred}),
+x_{tag} as (
+  select unnest(qv) as q, generate_subscripts(qv, 1) as pos from e_{tag}),
+n_{tag} as (select count(*) as n from e_{tag}),
+d_{tag} as (
+  select pos, sum(q) as s, sum(q * q) as m2 from x_{tag} group by pos)"""
+
+    def stats(tag):
+        mean = f"((cast(d_{tag}.s as double) / cast(n_{tag}.n as double)) / 1e6)"
+        var = (f"(cast(n_{tag}.n * d_{tag}.m2 - d_{tag}.s * d_{tag}.s "
+               f"as double) / (cast(n_{tag}.n as double) "
+               f"* cast(n_{tag}.n as double) * 1e12))")
+        return mean, var
+
+    mean_r, var_r = stats("ref")
+    mean_c, var_c = stats("cand")
+    pool = f"(({var_r} + {var_c}) / 2.0)"
+    return f"""
+with {side('ref', 'vec_id % 2 = 0')},
+{side('cand', 'vec_id % 2 = 1')}
+select cast(d_ref.pos as int) as dim,
+       cast(n_ref.n as bigint) as n_ref,
+       cast(n_cand.n as bigint) as n_cand,
+       round({mean_r}, 9) as mean_ref,
+       round({mean_c}, 9) as mean_cand,
+       round({var_r}, 9) as var_ref,
+       round({var_c}, 9) as var_cand,
+       case when {pool} = 0 then 0.0
+            else round(({mean_c} - {mean_r}) / sqrt({pool}), 6)
+       end as std_shift
+from d_ref join d_cand on d_cand.pos = d_ref.pos, n_ref, n_cand
+order by dim
+"""
+
+
 def q_emb_covariance(spark, sf_dir):
     """Exact long-form covariance matrix of the embedding corpus (the
     PCA/whitening second-moment reduce; per-partition integer Gram blocks,
@@ -10575,6 +10634,7 @@ def queries():
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
         "graph_label_prop": q_graph_label_prop,
+        "emb_drift": q_emb_drift,
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
@@ -10873,6 +10933,7 @@ def oracle_sql():
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),
+        "emb_drift": _sql_emb_drift(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

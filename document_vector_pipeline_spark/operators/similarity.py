@@ -1495,6 +1495,67 @@ def embedding_covariance(emb: DataFrame, id_col: str = "vec_id",
         .orderBy("dim_i", "dim_j"))
 
 
+def embedding_drift(ref: DataFrame, cand: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, use_udf: bool = True) -> DataFrame:
+    """Per-dimension distribution drift between a REFERENCE embedding
+    population and a CANDIDATE one — the gate a 100 TB embedding
+    refresh runs before swapping in a re-embedded corpus (a changed
+    model/preprocessing shows up as mean shift or variance collapse on
+    specific dimensions long before retrieval metrics move).
+
+    Returns one row per dimension: (dim, n_ref, n_cand, mean_ref,
+    mean_cand, var_ref, var_cand, std_shift) where std_shift is the
+    pooled-variance standardized mean shift
+    (mean_cand − mean_ref)/√((var_ref+var_cand)/2) — 0.0 when both
+    variances vanish.  All moments are exact integer sums of the
+    10⁻⁶-quantized components (the ``_gram_moments`` pass shared with
+    covariance/PCA), so every surfaced float is ONE division chain on
+    exact integers — bit-identical across engines and partitionings.
+
+    Scale shape: one moment pass per side (d²-row partials per
+    partition, corpus never shuffled), then all arithmetic happens on
+    two d-row tables joined broadcast-size."""
+    def side(df, tag):
+        agg = _gram_moments(df, id_col, vec_col, dim, use_udf)
+        n = (agg.filter((F.col("dim_i") == 0) & (F.col("dim_j") == 0))
+             .select(F.col("v").alias(f"n_{tag}")))
+        s = (agg.filter((F.col("dim_i") > 0) & (F.col("dim_j") == 0))
+             .select(F.col("dim_i").alias("dim"),
+                     F.col("v").alias(f"s_{tag}")))
+        m2 = (agg.filter((F.col("dim_i") > 0)
+                         & (F.col("dim_i") == F.col("dim_j")))
+              .select(F.col("dim_i").alias("dim"),
+                      F.col("v").alias(f"m2_{tag}")))
+        return s.join(m2, "dim").crossJoin(F.broadcast(n))
+
+    j = side(ref, "ref").join(side(cand, "cand"), "dim")
+
+    def stats(tag):
+        n_d = F.col(f"n_{tag}").cast("double")
+        mean = ((F.col(f"s_{tag}").cast("double") / n_d) / F.lit(1e6))
+        css = (F.col(f"n_{tag}") * F.col(f"m2_{tag}")
+               - F.col(f"s_{tag}") * F.col(f"s_{tag}"))
+        var = css.cast("double") / (n_d * n_d * F.lit(1e12))
+        return mean, var
+
+    mean_r, var_r = stats("ref")
+    mean_c, var_c = stats("cand")
+    pool = (var_r + var_c) / F.lit(2.0)
+    std_shift = F.when(pool == 0, F.lit(0.0)).otherwise(
+        F.round((mean_c - mean_r) / F.sqrt(pool), 6))
+    return (j.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.round(mean_r, 9).alias("mean_ref"),
+        F.round(mean_c, 9).alias("mean_cand"),
+        F.round(var_r, 9).alias("var_ref"),
+        F.round(var_c, 9).alias("var_cand"),
+        std_shift.alias("std_shift"))
+        .orderBy("dim"))
+
+
 def pca_project(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding", dim: int = 64,
                 iters: int = 4, use_udf: bool = True) -> DataFrame:

@@ -546,3 +546,31 @@ def test_ivf_filtered_tuning_curve(spark, embeddings_small):
     want = brute_force_topk(embeddings_small.filter(flt), q, k=10)
     assert sorted(map(tuple, full.collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_embedding_drift_detects_injected_shift(spark, embeddings_small):
+    """Shifting dim 1 of the candidate population by +0.5 must surface
+    as a large positive std_shift on dim 1 and ~0 elsewhere; the UDF
+    moment pass and the expression twin agree exactly."""
+    ref = embeddings_small
+    shifted = embeddings_small.withColumn(
+        "embedding",
+        F.transform("embedding",
+                    lambda x, i: F.when(i == 0, x + F.lit(0.5).cast("float"))
+                    .otherwise(x)))
+    out = S.embedding_drift(ref, shifted).collect()
+    by_dim = {r["dim"]: r for r in out}
+    assert len(by_dim) == 64
+    assert by_dim[1]["std_shift"] > 2.0
+    assert abs(by_dim[1]["mean_cand"] - by_dim[1]["mean_ref"] - 0.5) < 1e-5
+    others = [abs(by_dim[d]["std_shift"]) for d in range(2, 65)]
+    assert max(others) < 0.2
+    twin = S.embedding_drift(ref, shifted, use_udf=False).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, twin))
+
+
+def test_embedding_drift_identical_populations_are_flat(spark,
+                                                        embeddings_small):
+    out = S.embedding_drift(embeddings_small, embeddings_small).collect()
+    assert all(r["std_shift"] == 0.0 and r["mean_ref"] == r["mean_cand"]
+               for r in out)
