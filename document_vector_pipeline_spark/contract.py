@@ -4864,6 +4864,48 @@ from s
 """
 
 
+def q_events_ab_lift(spark, sf_dir):
+    """A/B experiment scorecard (plans/analytics.ab_lift): cohorts by
+    user_id parity (the deterministic stand-in for hashing the
+    randomization unit), conversion = any 'purchase' event, and the
+    two-proportion z-test under the pooled rate — the readout every
+    event-logging experiment platform computes.  Four exact integer
+    counts feed one fixed float expression tree, so the oracle replays
+    z/rates/lift bit-for-bit.  Plan: one map-side-combinable
+    user-keyed aggregation + a 2-row cohort aggregation — no joins,
+    no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.ab_lift(ev)
+
+
+def _sql_events_ab_lift() -> str:
+    p_a = "(cast(conv_a as double) / cast(n_a as double))"
+    p_b = "(cast(conv_b as double) / cast(n_b as double))"
+    p = "(cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+    se = (f"sqrt(({p} * (1.0 - {p})) * ((1.0 / cast(n_a as double))"
+          " + (1.0 / cast(n_b as double))))")
+    return f"""
+with pu as (
+  select user_id as u,
+         max(case when event_type = 'purchase' then 1 else 0 end)
+           as converted
+  from events group by user_id),
+c as (select (u % 2 = 0) as is_a, count(*) as n,
+             cast(sum(converted) as bigint) as conv
+      from pu where u % 2 is not null group by 1),
+a as (select n as n_a, conv as conv_a from c where is_a),
+b as (select n as n_b, conv as conv_b from c where not is_a)
+select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+       conv_a, conv_b,
+       round({p_a}, 6) as rate_a,
+       round({p_b}, 6) as rate_b,
+       round({p_b} - {p_a}, 6) as abs_lift,
+       case when {se} = 0 then 0.0
+            else round(({p_b} - {p_a}) / {se}, 6) end as z_score
+from a, b
+"""
+
+
 def q_events_gini(spark, sf_dir):
     """Gini coefficient of user activity in exact ppm (the single-
     number twin of events_pareto's curve): users ranked ascending by
@@ -10635,6 +10677,7 @@ def queries():
         "store_merge": q_store_merge,
         "graph_label_prop": q_graph_label_prop,
         "emb_drift": q_emb_drift,
+        "events_ab_lift": q_events_ab_lift,
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
@@ -10934,6 +10977,7 @@ def oracle_sql():
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),
         "emb_drift": _sql_emb_drift(),
+        "events_ab_lift": _sql_events_ab_lift(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -1596,3 +1596,58 @@ def basket_lift(lineitem: DataFrame, min_support: int = 2,
             .filter(F.col("rank") <= topk)
             .select("rank", "part_a", "part_b", "n_ab", "n_a", "n_b",
                     "lift_milli"))
+
+
+def ab_lift(events: DataFrame, user_col: str = "user_id",
+            type_col: str = "event_type",
+            convert_type: str = "purchase") -> DataFrame:
+    """Two-cohort A/B conversion readout with the two-proportion
+    z-test — the experiment scorecard run over the raw event log
+    (cohort = user_id parity here; production would hash the
+    randomization unit the same way).  A user converts when they have
+    at least one ``convert_type`` event.
+
+    One row: (n_a, n_b, conv_a, conv_b, rate_a, rate_b, abs_lift,
+    z_score) with z = (p_b − p_a)/√(p̂(1−p̂)(1/n_a + 1/n_b)) under the
+    pooled rate p̂; 0.0 when the standard error vanishes (empty cohort
+    or degenerate pooled rate).  Every float derives from four exact
+    integer counts in one fixed expression tree, so the oracle
+    replays it bit-for-bit.
+
+    Plan: one user-keyed aggregation (map-side combinable max), one
+    2-row cohort aggregation — no joins, no windows; the user-keyed
+    exchange is the irreducible cost of user-level conversion at any
+    scale."""
+    per_user = (events
+                .select(F.col(user_col).alias("u"),
+                        (F.col(type_col) == convert_type)
+                        .cast("int").alias("cv"))
+                .groupBy("u").agg(F.max("cv").alias("converted")))
+    cohort = (per_user
+              .groupBy((F.pmod(F.col("u"), F.lit(2)) == 0)
+                       .alias("is_a"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("converted").alias("conv")))
+    a = cohort.filter(F.col("is_a")).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = cohort.filter(~F.col("is_a")).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(b)
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p_a = F.col("conv_a").cast("double") / n_a
+    p_b = F.col("conv_b").cast("double") / n_b
+    p = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+         / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt((p * (F.lit(1.0) - p))
+                * ((F.lit(1.0) / n_a) + (F.lit(1.0) / n_b)))
+    z = F.when(se == 0, F.lit(0.0)).otherwise(
+        F.round((p_b - p_a) / se, 6))
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("abs_lift"),
+        z.alias("z_score"))

@@ -347,3 +347,24 @@ def test_orders_mix_trend_shares(spark, t):
         total = sum(r.n_orders for r in rs)
         for r in rs:
             assert r.share_ppm == (1_000_000 * r.n_orders) // total
+
+
+def test_ab_lift_counts_and_z_sign(spark):
+    """Hand-built log: cohort A (even users 0,2) converts 1/2, cohort B
+    (odd users 1,3) converts 2/2 — positive lift, positive z, exact
+    counts; a user with many purchases still counts once."""
+    rows = [(0, "view"), (0, "purchase"), (0, "purchase"),
+            (2, "view"),
+            (1, "purchase"), (3, "purchase"), (3, "view")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = A.ab_lift(ev).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (2, 1, 2, 2)
+    assert r["rate_a"] == 0.5 and r["rate_b"] == 1.0
+    assert r["abs_lift"] == 0.5 and r["z_score"] > 0
+
+
+def test_ab_lift_no_conversions_z_zero(spark):
+    ev = spark.createDataFrame([(0, "view"), (1, "view")],
+                               "user_id long, event_type string")
+    r = A.ab_lift(ev).collect()[0]
+    assert r["conv_a"] == 0 and r["conv_b"] == 0 and r["z_score"] == 0.0
