@@ -6148,6 +6148,68 @@ def q_join_bloom(spark, sf_dir):
             .orderBy("l_linestatus"))
 
 
+def q_join_skew_profile(spark, sf_dir):
+    """Shuffle-key skew advisor (plans/joins.skew_profile): for three
+    join/aggregation keys — events.user_id, lineitem.l_orderkey,
+    documents.source — measure how each would load a 32-way hash
+    shuffle: hottest-key share, exact key-size percentiles,
+    hot-partition ratio, and the salt fan-out that levels it
+    (⌈top1·P/n⌉; 1 = salting buys nothing).  The measurement you take
+    BEFORE choosing plain join vs AQE skew handling vs salted_join at
+    100 TB.  Exact int64 arithmetic; key-size percentiles run on the
+    DISTINCT-SIZE histogram through the two-phase global_cumsum, so no
+    unpartitioned window ever sees a keys-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    return (joins.skew_profile(ev, "user_id", "events.user_id")
+            .unionByName(joins.skew_profile(li, "l_orderkey",
+                                            "lineitem.l_orderkey"))
+            .unionByName(joins.skew_profile(docs, "source",
+                                            "documents.source")))
+
+
+def _sql_join_skew_profile(p: int = 32) -> str:
+    def rel(label: str, table: str, key: str) -> str:
+        return f"""
+select '{label}' as relation_key,
+       cast(t.n_rows as bigint) as n_rows,
+       cast(t.n_keys as bigint) as n_keys,
+       cast(t.top1_rows as bigint) as top1_rows,
+       cast((t.top1_rows * 1000000) // t.n_rows as bigint)
+         as top1_share_ppm,
+       cast((select min(x) from (
+               select x, sum(cnt) over (order by x
+                 rows unbounded preceding) as cum
+               from (select x, count(*) as cnt from (
+                       select count(*) as x from {table} group by {key})
+                     group by x))
+             where cum >= (50 * t.n_keys + 99) // 100) as bigint)
+         as p50_key_rows,
+       cast((select min(x) from (
+               select x, sum(cnt) over (order by x
+                 rows unbounded preceding) as cum
+               from (select x, count(*) as cnt from (
+                       select count(*) as x from {table} group by {key})
+                     group by x))
+             where cum >= (99 * t.n_keys + 99) // 100) as bigint)
+         as p99_key_rows,
+       cast(((t.top1_rows * {p}) // t.n_rows) * 1000000
+            + (((t.top1_rows * {p}) % t.n_rows) * 1000000) // t.n_rows
+            as bigint) as skew_ratio_ppm,
+       cast(greatest(1, (t.top1_rows * {p} + t.n_rows - 1) // t.n_rows)
+            as bigint) as recommended_salt
+from (select sum(x) as n_rows, count(*) as n_keys, max(x) as top1_rows
+      from (select count(*) as x from {table} group by {key})) t
+where t.n_keys > 0"""
+
+    return (rel("events.user_id", "events", "user_id")
+            + "\nunion all\n"
+            + rel("lineitem.l_orderkey", "lineitem", "l_orderkey")
+            + "\nunion all\n"
+            + rel("documents.source", "documents", "source"))
+
+
 def q_join_salted(spark, sf_dir):
     """Salted skew-safe join: lineitem ⋈ supplier on suppkey with the
     small side replicated 8 ways, rolled up per nation.  Result ≡ the
@@ -10678,6 +10740,7 @@ def queries():
         "graph_label_prop": q_graph_label_prop,
         "emb_drift": q_emb_drift,
         "events_ab_lift": q_events_ab_lift,
+        "join_skew_profile": q_join_skew_profile,
         # -- new round-9 keys --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
@@ -10978,6 +11041,7 @@ def oracle_sql():
         "graph_label_prop": _sql_graph_label_prop(),
         "emb_drift": _sql_emb_drift(),
         "events_ab_lift": _sql_events_ab_lift(),
+        "join_skew_profile": _sql_join_skew_profile(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -169,3 +169,65 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         .withColumn("__salt", F.col("__salt").cast("int")))
     return b.join(s, [key, "__salt"]).drop("__salt")
+
+
+def skew_profile(df: DataFrame, key_col: str, label: str,
+                 n_partitions: int = 32,
+                 quantiles: tuple = (50, 99)) -> DataFrame:
+    """Shuffle-key skew advisor: ONE row describing how ``key_col``
+    would load a ``n_partitions``-way hash shuffle — the measurement
+    you take BEFORE deciding between a plain join, AQE skew handling,
+    and explicit salting (``salted_join``).
+
+    Columns: (relation_key, n_rows, n_keys, top1_rows, top1_share_ppm,
+    p50_key_rows, p99_key_rows, skew_ratio_ppm, recommended_salt).
+    skew_ratio_ppm is the hottest key's load relative to a perfectly
+    level partition (1e6 = level; n_partitions×1e6 = one key owns the
+    table); recommended_salt = ⌈top1_rows·P/n_rows⌉ is the fan-out
+    that brings the hottest key's shards back to the average partition
+    load (1 = salting buys nothing).  All arithmetic is exact int64
+    (the ppm split q·1e6 + (r·1e6 div n) keeps headroom to ~9·10¹²
+    rows; beyond that lift to decimal).
+
+    Plan: one key-sized aggregation (map-side combinable), a
+    DISTINCT-SIZE histogram (≪ keys), and the two-phase exact
+    ``global_cumsum`` over it for the key-size percentiles — no
+    unpartitioned window ever sees a keys-sized frame.  Key counts
+    come back as plan metadata (bounded counters), never key data."""
+    from document_vector_pipeline_spark.plans import ranking
+
+    sizes = (df.groupBy(F.col(key_col).alias("k"))
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    hist = sizes.groupBy("x").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("cnt"))
+    cum, _, n_keys = ranking.global_cumsum(hist, [F.col("x")], "cnt")
+    spark = df.sparkSession
+    out_schema = ("relation_key string, n_rows long, n_keys long, "
+                  "top1_rows long, top1_share_ppm long, "
+                  "p50_key_rows long, p99_key_rows long, "
+                  "skew_ratio_ppm long, recommended_salt long")
+    if n_keys == 0:
+        return spark.createDataFrame([], out_schema)
+    tot = sizes.agg(F.sum("x").cast("long").alias("n_rows"),
+                    F.lit(int(n_keys)).cast("long").alias("n_keys"),
+                    F.max("x").cast("long").alias("top1_rows"))
+    row = tot
+    for q in quantiles:
+        target = (q * int(n_keys) + 99) // 100
+        pq = (cum.filter(F.col("cum") >= target)
+              .agg(F.min("x").cast("long").alias(f"p{q}_key_rows")))
+        row = row.crossJoin(F.broadcast(pq))
+    p = int(n_partitions)
+    ratio_ppm = F.expr(
+        f"((top1_rows * {p}) div n_rows) * 1000000 "
+        f"+ (((top1_rows * {p}) % n_rows) * 1000000) div n_rows")
+    salt = F.expr(f"greatest(1, (top1_rows * {p} + n_rows - 1) "
+                  "div n_rows)")
+    return row.select(
+        F.lit(label).alias("relation_key"),
+        "n_rows", "n_keys", "top1_rows",
+        F.expr("(top1_rows * 1000000) div n_rows").cast("long")
+         .alias("top1_share_ppm"),
+        *[F.col(f"p{q}_key_rows") for q in quantiles],
+        ratio_ppm.cast("long").alias("skew_ratio_ppm"),
+        salt.cast("long").alias("recommended_salt"))

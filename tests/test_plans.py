@@ -1036,3 +1036,31 @@ def test_round9_operator_shuffle_budgets(spark, t):
         "merge_rank int, a string, b string, token string, n long")
     p = plan_of(bpe_token_hist(docs, merges, top=10))
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_skew_profile_hand_graded(spark):
+    """9 rows over keys {a:6, b:2, c:1}: top1 share 666666 ppm; on a
+    4-way shuffle the hot key loads 6/(9/4) = 2.66x a level partition
+    and needs a salt fan-out of 3."""
+    from document_vector_pipeline_spark.plans import joins as J
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [("c",)],
+        "k string")
+    r = J.skew_profile(df, "k", "t.k", n_partitions=4).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["top1_rows"]) == (9, 3, 6)
+    assert r["top1_share_ppm"] == 666666
+    assert r["skew_ratio_ppm"] == 2666666
+    assert r["recommended_salt"] == 3
+    assert r["p50_key_rows"] == 2 and r["p99_key_rows"] == 6
+
+
+def test_skew_profile_uniform_keys_need_no_salt(spark):
+    from document_vector_pipeline_spark.plans import joins as J
+
+    df = spark.createDataFrame([(i % 64,) for i in range(640)], "k long")
+    r = J.skew_profile(df, "k", "u.k", n_partitions=32).collect()[0]
+    assert r["recommended_salt"] == 1
+    assert r["skew_ratio_ppm"] == 500000     # top key at half a level slot
+    assert r["p50_key_rows"] == r["p99_key_rows"] == 10
+    assert J.skew_profile(df.filter("k < 0"), "k", "e.k").count() == 0
