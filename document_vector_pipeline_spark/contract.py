@@ -10727,13 +10727,11 @@ limit {top}
 
 def queries():
     return {
-    # Round-9 rotation (driver caps at ~50 keys/round): the 7 NEW
-    # round-9 keys lead, then the 19 keys whose newest driver record
-    # is round 1 (stream_windowed/q1-q22 block — eight rounds of
-    # refactors stale, flagged by the round-8 verdict), then the 28
-    # stalest r4/r5 greens (24 fit).  The tail stays oldest-verdict-first
-    # (rows-only twins, r4/r5/r6 remainder, r7, then the 50 keys
-    # round 8 just recorded) so rotations stay honest.
+    # Round-10 rotation (driver caps at ~50 keys/round): the 6 NEW
+    # round-10 keys lead, then 44 of the r4/r5/r6-green remainder —
+    # the stalest verdicts once round 9 re-certified the ex-r1 block
+    # and the oldest r4/r5 keys.  Tail stays oldest-verdict-first with
+    # the 50 keys round 9 just recorded at the bottom.
         # -- new round-10 keys --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
@@ -10741,64 +10739,7 @@ def queries():
         "emb_drift": q_emb_drift,
         "events_ab_lift": q_events_ab_lift,
         "join_skew_profile": q_join_skew_profile,
-        # -- new round-9 keys --
-        "store_hybrid_filtered": q_store_hybrid_filtered,
-        "text_bpe_train": q_text_bpe_train,
-        "mm_embed": q_mm_embed,
-        "text_bpe_encode": q_text_bpe_encode,
-        "ann_adc_filtered": q_ann_adc_filtered,
-        "dedup_incremental_persisted": q_dedup_incremental_persisted,
-        "ann_filtered_recall": q_ann_filtered_recall,
-        # -- stalest driver verdicts: r1-only keys (19) --
-        "mm_decode": q_mm_decode,
-        "stream_windowed": q_stream_windowed,
-        "stream_sliding": q_stream_sliding,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_first_seen": q_stream_first_seen,
-        "stream_running_totals": q_stream_running_totals,
-        "events_topusers": q_events_topusers,
-        "events_enrich": q_events_enrich,
-        "q1_pricing": q_q1_pricing,
-        "q3_shipping": q_q3_shipping,
-        "q4_late": q_q4_late,
-        "q5_local": q_q5_local,
-        "q6_forecast": q_q6_forecast,
-        "q10_returned": q_q10_returned,
-        "q13_custdist": q_q13_custdist,
-        "q14_promo": q_q14_promo,
-        "q18_large": q_q18_large,
-        "q19_disjuncts": q_q19_disjuncts,
-        "q22_inactive": q_q22_inactive,
-        # -- stalest r4/r5 driver greens (24) --
-        "ann_ivf_upsert": q_ann_ivf_upsert,
-        "text_bm25_topk": q_text_bm25_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "parse_route_client": q_parse_route_client,
-        "dedup_substride": q_dedup_substride,
-        "text_collocations": q_text_collocations,
-        "retrieval_passages": q_retrieval_passages,
-        "store_hybrid_search": q_store_hybrid_search,
-        "ann_ivf_stats": q_ann_ivf_stats,
-        "hybrid_minmax": q_hybrid_minmax,
-        "mm_resize": q_mm_resize,
-        "join_bloom_fpr": q_join_bloom_fpr,
-        "text_readability": q_text_readability,
-        "source_orc": q_source_orc,
-        "graph_triangles": q_graph_triangles,
-        "events_active_users": q_events_active_users,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "events_heatmap": q_events_heatmap,
-        "customer_deciles": q_customer_deciles,
-        "vector_quantized_recall": q_vector_quantized_recall,
-        "events_bots": q_events_bots,
-        "yearly_growth": q_yearly_growth,
-        "corpus_boilerplate": q_corpus_boilerplate,
-        "text_vocab_coverage": q_text_vocab_coverage,
-        # -- rows-only by design (oracle-green exact twins) --
-        "ann_bruteforce_np": q_ann_bruteforce_np,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
-        # -- r4/r5/r6 driver-green remainder (oldest first) --
+        # -- stalest driver greens: r4/r5/r6 remainder (44 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
@@ -10843,6 +10784,11 @@ def queries():
         "emb_cluster_purity": q_emb_cluster_purity,
         "orders_latency": q_orders_latency,
         "join_salted": q_join_salted,
+        # -- rows-only by design (oracle-green exact twins) --
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        # -- r4/r5/r6 remainder past the head window --
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "ann_ivf_tuning": q_ann_ivf_tuning,
         "events_benford": q_events_benford,
@@ -10976,7 +10922,7 @@ def queries():
         "chunk_tokens": q_chunk_tokens,
         "chunk_tokens_overlap": q_chunk_tokens_overlap,
         "parse_route": q_parse_route,
-        # -- r8 driver-recorded (freshest) --
+        # -- r8 driver-recorded --
         "stream_index_maintain": q_stream_index_maintain,
         "retrieval_eval": q_retrieval_eval,
         "corpus_decontaminate_semantic": q_corpus_decontaminate_semantic,
@@ -11027,6 +10973,57 @@ def queries():
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_topterms": q_text_topterms,
+        # -- r9 driver-recorded (freshest: the 7 r9 keys + the 19 ex-r1 + 24 ex-r4/r5) --
+        "store_hybrid_filtered": q_store_hybrid_filtered,
+        "text_bpe_train": q_text_bpe_train,
+        "mm_embed": q_mm_embed,
+        "text_bpe_encode": q_text_bpe_encode,
+        "ann_adc_filtered": q_ann_adc_filtered,
+        "dedup_incremental_persisted": q_dedup_incremental_persisted,
+        "ann_filtered_recall": q_ann_filtered_recall,
+        "mm_decode": q_mm_decode,
+        "stream_windowed": q_stream_windowed,
+        "stream_sliding": q_stream_sliding,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
+        "stream_running_totals": q_stream_running_totals,
+        "events_topusers": q_events_topusers,
+        "events_enrich": q_events_enrich,
+        "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
+        "q4_late": q_q4_late,
+        "q5_local": q_q5_local,
+        "q6_forecast": q_q6_forecast,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q14_promo": q_q14_promo,
+        "q18_large": q_q18_large,
+        "q19_disjuncts": q_q19_disjuncts,
+        "q22_inactive": q_q22_inactive,
+        "ann_ivf_upsert": q_ann_ivf_upsert,
+        "text_bm25_topk": q_text_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "parse_route_client": q_parse_route_client,
+        "dedup_substride": q_dedup_substride,
+        "text_collocations": q_text_collocations,
+        "retrieval_passages": q_retrieval_passages,
+        "store_hybrid_search": q_store_hybrid_search,
+        "ann_ivf_stats": q_ann_ivf_stats,
+        "hybrid_minmax": q_hybrid_minmax,
+        "mm_resize": q_mm_resize,
+        "join_bloom_fpr": q_join_bloom_fpr,
+        "text_readability": q_text_readability,
+        "source_orc": q_source_orc,
+        "graph_triangles": q_graph_triangles,
+        "events_active_users": q_events_active_users,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "events_heatmap": q_events_heatmap,
+        "customer_deciles": q_customer_deciles,
+        "vector_quantized_recall": q_vector_quantized_recall,
+        "events_bots": q_events_bots,
+        "yearly_growth": q_yearly_growth,
+        "corpus_boilerplate": q_corpus_boilerplate,
+        "text_vocab_coverage": q_text_vocab_coverage,
     }
 
 
