@@ -221,6 +221,9 @@ def main() -> None:
           lambda: similarity.hard_negatives(emb, qdf, k=5, lo=0.05, hi=0.5))
     bench("emb_cluster_purity", lambda: similarity.cluster_purity(emb))
     bench("emb_covariance", lambda: similarity.embedding_covariance(emb))
+    bench("emb_drift", lambda: similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1)))
     bench("emb_pca", lambda: similarity.pca_project(emb))
     bench("emb_norm_hist", lambda: similarity.norm_histogram(emb))
     bench("emb_outliers", lambda: similarity.embedding_outliers(emb))
@@ -335,6 +338,18 @@ def main() -> None:
     bench("text_index_build", ti_build)
     # the serving number that matters: probe-pruned search, no corpus scan
     bench("text_bm25_indexed", lambda: ti.search(bm25_qt, k=10))
+    def ti_page2():
+        page1 = ti.search(bm25_qt, k=5)
+        cursors = (page1.filter(F.col("rank") == 5)
+                   .select("query_id",
+                           F.col("score_micro").alias("after_score_micro"),
+                           F.col("doc_id").alias("after_doc_id"),
+                           F.col("rank").alias("rank_offset")))
+        return ti.search_after(bm25_qt, cursors, k=5)
+
+    # keyset pagination: page-1 search + cursor cut + page-2 rank —
+    # the marginal cost over one search is the cursor predicate only
+    bench("text_search_after", ti_page2)
     bench("text_df_topk", lambda: ti.df_topk(50))
     bench("text_index_stats", lambda: ti.index_stats())
     bench("text_bm25_filtered",
@@ -887,6 +902,17 @@ def main() -> None:
         return graph.pagerank(edges, "a", "b", iterations=3)
 
     bench("graph_pagerank", pagerank_trade)
+
+    def label_prop_trade():
+        pairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
+                 .join(t["orders"].select("o_orderkey", "o_custkey"),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                         F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+                 .distinct())
+        return graph.label_propagation(pairs, "a", "b", iterations=4)
+
+    bench("graph_label_prop", label_prop_trade)
     bench("graph_triangles",
           lambda: graph.triangle_count(dedup.minhash_lsh_pairs(docs)))
     bench("graph_degrees",
@@ -897,6 +923,7 @@ def main() -> None:
     bench("events_bots", lambda: analytics.events_bots(ev))
     bench("events_mad_outliers",
           lambda: analytics.events_mad_outliers(ev))
+    bench("events_ab_lift", lambda: analytics.ab_lift(ev))
     bench("events_diversity",
           lambda: analytics.events_user_diversity(ev))
     bench("yearly_growth", lambda: analytics.yearly_growth(
@@ -940,6 +967,27 @@ def main() -> None:
     bench("store_timetravel", timetravel)
     bench("sketch_hll",
           lambda: _sk.hll_distinct(ev, "event_type", "event_id", p=10))
+    bench("join_skew_profile", lambda: joins.skew_profile(
+        t["lineitem"], "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(joins.skew_profile(ev, "user_id", "events.user_id")))
+
+    def store_merge_case():
+        from document_vector_pipeline_spark.store.versioned import (
+            BucketedVersionedTable,
+        )
+
+        path = os.path.join(ROOT, ".scratch", "bench_merge")
+        shutil.rmtree(path, ignore_errors=True)
+        vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+        base = docs.select("doc_id", "text").withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+        vt.commit_overwrite(base)
+        src = (base.filter(F.col("doc_id") % 7 == 0)
+               .withColumn("_deleted", F.col("doc_id") % 14 == 0))
+        vt.merge(src, ["doc_id"])
+        return vt.read().groupBy("bucket").count()
+
+    bench("store_merge", store_merge_case)
     bench("join_salted", lambda: joins.salted_join(
         t["lineitem"].select("l_suppkey", "l_extendedprice"),
         t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"),
