@@ -3706,7 +3706,82 @@ def q_store_merge(spark, sf_dir):
             .withColumn("n_versions", F.lit(n_v).cast("int")))
 
 
-def _sql_store_merge() -> str:
+def q_stream_merge_apply(spark, sf_dir):
+    """CDC stream applied to the versioned table of record — one atomic
+    MERGE commit per microbatch (streaming/ingest.stream_merge_apply):
+    v0 is the corpus; three JSONL microbatches then stream through —
+    updates for every 7th document (carried as TWO versions of each
+    row, seq 1 'stale edition' / seq 2 'merged edition', so the
+    latest-wins collapse is exercised on every updated key), deletes
+    for every 13th, inserts for 1/17th as new ids.  After the drain
+    the snapshot must equal the one-shot batch merge (store_merge's
+    oracle) and the manifest log must show EXACTLY four versions —
+    one per trigger, none duplicated: each commit is stamped with its
+    batch id and a replay is detected off the manifest log (the
+    exactly-once discipline of the admission gate, here for the
+    table of record)."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_merge_apply,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = os.path.join(SCRATCH, "stream_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, os.path.join(root, "table"),
+                                bucket_col="bucket")
+
+    def wb(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+
+    vt.commit_overwrite(wb(docs))
+    upd = docs.filter((F.col("doc_id") % 7 == 0)
+                      & (F.col("doc_id") % 13 != 0))
+    b1 = (upd.withColumn("text", F.concat_ws(" ", F.col("text"),
+                                             F.lit("stale edition")))
+          .withColumn("seq", F.lit(1).cast("long"))
+          .unionByName(
+              upd.withColumn("text",
+                             F.concat_ws(" ", F.col("text"),
+                                         F.lit("merged edition")))
+              .withColumn("seq", F.lit(2).cast("long")))
+          .withColumn("op", F.lit("upsert")))
+    b2 = (docs.filter(F.col("doc_id") % 13 == 0)
+          .withColumn("seq", F.lit(1).cast("long"))
+          .withColumn("op", F.lit("delete")))
+    b3 = (docs.filter(F.col("doc_id") % 17 == 0)
+          .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                  F.concat_ws(" ", F.col("text"),
+                              F.lit("appendix")).alias("text"))
+          .withColumn("seq", F.lit(1).cast("long"))
+          .withColumn("op", F.lit("upsert")))
+    bdir = os.path.join(root, "batches")
+    os.makedirs(bdir, exist_ok=True)
+    for m, b in enumerate((b1, b2, b3), start=1):
+        stage = os.path.join(root, f"stage{m}")
+        (wb(b).select("doc_id", "text", "bucket", "op", "seq")
+         .coalesce(1).write.mode("overwrite").json(stage))
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.startswith("part-"):
+                shutil.move(os.path.join(stage, f),
+                            os.path.join(bdir, f"batch{m}_{i}.json"))
+    stream_merge_apply(
+        spark, bdir, vt, ["doc_id"], os.path.join(root, "ckpt"),
+        schema="doc_id long, text string, bucket string, op string, "
+               "seq long",
+        seq_col="seq").awaitTermination()
+    n_v = len(vt.versions())
+    return (vt.read()
+            .select("doc_id",
+                    md5_long(F.col("text"), hex_digits=13).alias("text_h"))
+            .withColumn("n_versions", F.lit(n_v).cast("int")))
+
+
+def _sql_store_merge(n_versions: int = 2) -> str:
     th = _md5l("text", 13)
     return f"""
 with final as (
@@ -3719,7 +3794,7 @@ with final as (
   select doc_id + 1000000 as doc_id,
          concat_ws(' ', text, 'appendix') as text
   from documents where doc_id % 17 = 0)
-select doc_id, {th} as text_h, cast(2 as int) as n_versions
+select doc_id, {th} as text_h, cast({n_versions} as int) as n_versions
 from final
 """
 
@@ -10739,6 +10814,7 @@ def queries():
         "emb_drift": q_emb_drift,
         "events_ab_lift": q_events_ab_lift,
         "join_skew_profile": q_join_skew_profile,
+        "stream_merge_apply": q_stream_merge_apply,
         # -- stalest driver greens: r4/r5/r6 remainder (44 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11039,6 +11115,7 @@ def oracle_sql():
         "emb_drift": _sql_emb_drift(),
         "events_ab_lift": _sql_events_ab_lift(),
         "join_skew_profile": _sql_join_skew_profile(),
+        "stream_merge_apply": _sql_store_merge(n_versions=4),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -443,7 +443,7 @@ class BucketedVersionedTable(VersionedTable):
                                  schema_json=self._merged_schema_json(df))
 
     def merge(self, src: DataFrame, keys: list[str],
-              delete_col: str = "_deleted") -> int:
+              delete_col: str = "_deleted", op: str = "merge") -> int:
         """Delta-style MERGE INTO as ONE commit: a source row with
         ``delete_col`` true deletes its matching target rows; every
         other source row updates its match or inserts (``upsert``
@@ -461,7 +461,9 @@ class BucketedVersionedTable(VersionedTable):
         the same key in one batch is order-ambiguous — collapse
         upstream, e.g. streaming/ingest's seq_col latest-wins); dup
         keys raise.  ``delete_col`` is stripped before writing and
-        never evolves the schema.  Reference contrast: the mutate-in-
+        never evolves the schema.  ``op`` labels the manifest commit
+        (streaming callers stamp it with the batch id for replay
+        detection).  Reference contrast: the mutate-in-
         place store (CosmosDBClientWrapper.cs:36-70) applies each
         document separately with no batch atomicity at all."""
         if delete_col not in src.columns:
@@ -479,7 +481,7 @@ class BucketedVersionedTable(VersionedTable):
             .drop(delete_col)
         if not self.versions():
             dirs = self._write_buckets(live, 0)
-            return self._commit_dirs("merge", dirs, self._count_dirs(dirs),
+            return self._commit_dirs(op, dirs, self._count_dirs(dirs),
                                      schema_json=live.schema.json())
         m = self._manifest(self.latest())
         affected = {str(r[0]) for r in
@@ -498,7 +500,7 @@ class BucketedVersionedTable(VersionedTable):
         new_dirs = self._write_buckets(merged, v)
         n_rows = (m["n_rows"] - self._count_dirs(touched)
                   + self._count_dirs(new_dirs))
-        return self._commit_dirs("merge", carried + new_dirs, n_rows,
+        return self._commit_dirs(op, carried + new_dirs, n_rows,
                                  schema_json=self._merged_schema_json(live))
 
     def _touched_dirs(self, v_a: int, v_b: int) -> tuple[list, list]:

@@ -447,3 +447,71 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_apply(spark: SparkSession, batches_path: str,
+                       table, keys: list[str], checkpoint: str,
+                       schema: str,
+                       available_now: bool = True,
+                       max_files_per_trigger: int = 1,
+                       op_col: str = "op",
+                       seq_col: str | None = None) -> StreamingQuery:
+    """CDC stream → one atomic ``BucketedVersionedTable.merge`` per
+    microbatch: the always-on form of store_merge, and the missing
+    third leg next to stream_ingest (store freshness) and
+    stream_index_maintain (serving-index freshness) — here the
+    VERSIONED table of record follows the feed, one auditable manifest
+    version per trigger.
+
+    ``schema`` is the source JSONL schema and must carry the table's
+    columns (including its bucket column) plus ``op_col`` (rows with
+    op='delete' delete; anything else upserts).  With ``seq_col`` the
+    microbatch first collapses latest-wins per key — a real CDC feed
+    emits several versions of one key inside a trigger interval — and
+    a key whose maximal seq is ambiguous fails the trigger (merge's
+    duplicate-source-keys refusal backstops it).
+
+    EXACTLY-ONCE, not at-least-once: every merge commit is stamped
+    ``merge:b{batch_id}`` in its manifest, and a replayed microbatch
+    (foreachBatch re-delivers after a crash between sink commit and
+    offset checkpoint) is detected by scanning the manifest log for
+    its own stamp and skipped — the versioned twin of the admission
+    gate's batch-keyed idempotent sinks.  The scan is driver-side
+    manifest-JSON reads, bounded by retained versions (vacuum keeps it
+    short on an always-on table).
+
+    Per-trigger cost is merge's: only the batch's buckets rewrite,
+    untouched dirs carried by reference — O(batch) against a 100 TB
+    table.  Reference contrast: BlobTriggerFunction.cs:42-56 applies
+    one document per invocation with no replay detection beyond blob
+    receipts, and no version audit at all."""
+    batches = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .json(batches_path))
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"merge:b{batch_id}"
+        for v in reversed(table.versions()):
+            if table._manifest(v).get("op") == tag:
+                return                       # replayed batch — already live
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if seq_col is not None:
+            mx = batch_df.groupBy(*keys).agg(
+                F.max(F.col(seq_col)).alias("__mx"))
+            winners = (batch_df.join(mx, keys)
+                       .filter(F.col(seq_col).eqNullSafe(F.col("__mx")))
+                       .drop("__mx"))
+            batch_df = winners.localCheckpoint(eager=True)
+        src = (batch_df
+               .withColumn("_deleted", F.col(op_col) == "delete")
+               .drop(op_col, *([seq_col] if seq_col else [])))
+        table.merge(src, keys, op=tag)
+
+    writer = (batches.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -945,3 +945,60 @@ def test_stream_dedup_gate_replay_is_idempotent(spark, tmp_path):
                       artifacts_path=str(tmp_path / "art")) \
         .awaitTermination(120)
     assert counts() == first
+
+
+def _write_jsonl(path, rows):
+    import json
+
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_stream_merge_apply_exactly_once_and_seq_collapse(spark, tmp_path):
+    """Three-file CDC drain: latest-wins collapse inside a trigger, one
+    manifest version per trigger, and a full fresh-checkpoint replay
+    changes NOTHING (batch-id stamps detected off the manifest log)."""
+    import shutil
+
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_merge_apply,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "t"),
+                                bucket_col="b")
+    base = spark.createDataFrame(
+        [(i, f"t{i}", str(i % 2)) for i in range(8)],
+        "id long, text string, b string")
+    vt.commit_overwrite(base)
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    # batch 1: id 1 carried twice (seq 1 stale, seq 2 wins) + id 2 delete
+    _write_jsonl(bdir / "b1.json", [
+        {"id": 1, "text": "stale", "b": "1", "op": "upsert", "seq": 1},
+        {"id": 1, "text": "fresh", "b": "1", "op": "upsert", "seq": 2},
+        {"id": 2, "text": None, "b": "0", "op": "delete", "seq": 1},
+    ])
+    # batch 2: insert id 100
+    _write_jsonl(bdir / "b2.json", [
+        {"id": 100, "text": "new", "b": "0", "op": "upsert", "seq": 1},
+    ])
+    schema = "id long, text string, b string, op string, seq long"
+
+    def drain(ck):
+        stream_merge_apply(spark, str(bdir), vt, ["id"], str(ck),
+                           schema=schema, seq_col="seq").awaitTermination()
+
+    drain(tmp_path / "ck1")
+    got = {r["id"]: r["text"] for r in vt.read().collect()}
+    assert got[1] == "fresh" and 2 not in got and got[100] == "new"
+    assert len(vt.versions()) == 3          # v0 + one per trigger
+    ops = [vt._manifest(v)["op"] for v in vt.versions()]
+    assert ops[1:] == ["merge:b0", "merge:b1"]
+    # fresh checkpoint = full replay; every batch must self-detect
+    drain(tmp_path / "ck2")
+    assert len(vt.versions()) == 3
+    assert {r["id"]: r["text"] for r in vt.read().collect()} == got
