@@ -1064,3 +1064,18 @@ def test_skew_profile_uniform_keys_need_no_salt(spark):
     assert r["skew_ratio_ppm"] == 500000     # top key at half a level slot
     assert r["p50_key_rows"] == r["p99_key_rows"] == 10
     assert J.skew_profile(df.filter("k < 0"), "k", "e.k").count() == 0
+
+
+def test_round10_operators_have_no_unpartitioned_windows(spark, t):
+    """skew_profile's percentile machinery (two-phase global_cumsum
+    over the distinct-size histogram) and ab_lift (pure aggregations)
+    must never put an unbounded frame through one window task."""
+    from document_vector_pipeline_spark.plans import analytics
+    from document_vector_pipeline_spark.plans import joins as J
+
+    frames = [
+        J.skew_profile(t["events"], "user_id", "events.user_id"),
+        analytics.ab_lift(t["events"]),
+    ]
+    for df in frames:
+        assert _unpartitioned_windows(plan_of(df)) == []
