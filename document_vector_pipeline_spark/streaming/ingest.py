@@ -474,11 +474,13 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
     EXACTLY-ONCE, not at-least-once: every merge commit is stamped
     ``merge:b{batch_id}`` in its manifest, and a replayed microbatch
     (foreachBatch re-delivers after a crash between sink commit and
-    offset checkpoint) is detected by scanning the manifest log for
-    its own stamp and skipped — the versioned twin of the admission
-    gate's batch-keyed idempotent sinks.  The scan is driver-side
-    manifest-JSON reads, bounded by retained versions (vacuum keeps it
-    short on an always-on table).
+    offset checkpoint; a fresh checkpoint re-drains everything) is
+    detected off the manifest log and skipped — the versioned twin of
+    the admission gate's batch-keyed idempotent sinks.  Batch ids are
+    monotone and availableNow+mtime ordering re-delivers files in the
+    same order, so the newest merge stamp IS the highest applied batch
+    id: the backward scan stops at the first stamp it meets — O(1)
+    manifest reads per trigger on a table this stream maintains.
 
     Per-trigger cost is merge's: only the batch's buckets rewrite,
     untouched dirs carried by reference — O(batch) against a 100 TB
@@ -493,9 +495,19 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
         if batch_df.isEmpty():
             return
         tag = f"merge:b{batch_id}"
+        # Replay detection in O(1) manifest reads: batch ids are
+        # monotone within a checkpoint AND across a fresh-checkpoint
+        # re-drain (availableNow + mtime file order re-deliver the same
+        # files in the same order), so the NEWEST merge stamp is the
+        # highest applied batch id — scan backward, stop at the first
+        # stamp (usually this stream's own previous commit), skip if it
+        # already covers this batch.
         for v in reversed(table.versions()):
-            if table._manifest(v).get("op") == tag:
-                return                       # replayed batch — already live
+            op = table._manifest(v).get("op", "")
+            if op.startswith("merge:b"):
+                if int(op[7:]) >= batch_id:
+                    return               # replayed batch — already live
+                break
         batch_df = batch_df.localCheckpoint(eager=True)
         if seq_col is not None:
             mx = batch_df.groupBy(*keys).agg(
