@@ -981,3 +981,24 @@ def test_merge_refuses_duplicate_source_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate keys"):
         bt.merge(src, ["id"])
     assert bt.versions() == [0]               # refused before any commit
+
+
+def test_merge_evolves_schema_additively(spark, tmp_path):
+    """An upsert batch arriving through merge may ADD a column: the
+    committed schema evolves, prior rows read as null there, and the
+    delete flag itself never leaks into the schema."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    bt = BucketedVersionedTable(spark, str(tmp_path / "ms"), bucket_col="b")
+    bt.commit_overwrite(spark.createDataFrame(
+        [(1, "x", "0"), (2, "y", "1")], "id long, text string, b string"))
+    src = spark.createDataFrame(
+        [(1, "x2", "0", "en", False)],
+        "id long, text string, b string, lang string, _deleted boolean")
+    bt.merge(src, ["id"])
+    rows = {r["id"]: r for r in bt.read().collect()}
+    assert rows[1]["lang"] == "en" and rows[1]["text"] == "x2"
+    assert rows[2]["lang"] is None          # old row null-fills the new col
+    assert "_deleted" not in bt.read().columns
