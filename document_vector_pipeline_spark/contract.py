@@ -4981,6 +4981,62 @@ from a, b
 """
 
 
+def q_events_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (plans/analytics.ab_cuped,
+    Deng et al. WSDM 2013): per-user pre-period value (before Jan 16)
+    is the covariate, post-period value the metric; θ = cov/var pooled
+    over both cohorts, each cohort reports mean, adjusted mean, and
+    the variance-reduction ratio.  Exact integer cents per user feed
+    exact decimal moments; every surfaced float is one fixed
+    expression tree, replayed bit-for-bit by the oracle.  One
+    user-keyed aggregation, then 2-row algebra — the experimentation
+    stack's second reading next to events_ab_lift."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.ab_cuped(ev)
+
+
+def _sql_events_ab_cuped(split_ts: str = "2024-01-16") -> str:
+    cents = "cast(round(value * 100.0, 0) as bigint)"
+    theta_den = "(p.pn * p.psx2 - p.psx * p.psx)"
+    theta = (f"case when {theta_den} = 0 then 0.0 else "
+             f"cast(p.pn * p.psxy - p.psx * p.psy as double)"
+             f" / cast({theta_den} as double) end")
+    mean_x_all = "(cast(p.psx as double) / cast(p.pn as double))"
+    n_d = "cast(c.n as double)"
+    mean_y = f"(cast(c.sy as double) / {n_d})"
+    mean_x = f"(cast(c.sx as double) / {n_d})"
+    mean_y_adj = f"({mean_y} - ({theta} * ({mean_x} - {mean_x_all})))"
+    nn = f"({n_d} * {n_d})"
+    var_y = f"(cast(c.n * c.sy2 - c.sy * c.sy as double) / {nn})"
+    cov = f"(cast(c.n * c.sxy - c.sx * c.sy as double) / {nn})"
+    var_x = f"(cast(c.n * c.sx2 - c.sx * c.sx as double) / {nn})"
+    var_y_adj = (f"(({var_y} - ((2.0 * {theta}) * {cov}))"
+                 f" + (({theta} * {theta}) * {var_x}))")
+    return f"""
+with pu as (
+  select user_id as u,
+         sum(case when ts < timestamp '{split_ts}'
+             then {cents} else 0 end) as x,
+         sum(case when ts >= timestamp '{split_ts}'
+             then {cents} else 0 end) as y
+  from events where user_id is not null group by user_id),
+p as (select count(*) as pn, sum(x) as psx, sum(y) as psy,
+             sum(x * y) as psxy, sum(x * x) as psx2 from pu),
+c as (select case when u % 2 = 0 then 'A' else 'B' end as cohort,
+             count(*) as n, sum(x) as sx, sum(y) as sy,
+             sum(x * y) as sxy, sum(x * x) as sx2, sum(y * y) as sy2
+      from pu group by 1)
+select c.cohort, cast(c.n as bigint) as n_users,
+       round({mean_y}, 6) as mean_y,
+       round({mean_y_adj}, 6) as mean_y_adj,
+       round({theta}, 6) as theta,
+       case when {var_y} = 0 then 1.0
+            else round({var_y_adj} / {var_y}, 6) end as var_reduction
+from c, p
+order by cohort
+"""
+
+
 def q_events_gini(spark, sf_dir):
     """Gini coefficient of user activity in exact ppm (the single-
     number twin of events_pareto's curve): users ranked ascending by
@@ -10815,6 +10871,7 @@ def queries():
         "events_ab_lift": q_events_ab_lift,
         "join_skew_profile": q_join_skew_profile,
         "stream_merge_apply": q_stream_merge_apply,
+        "events_ab_cuped": q_events_ab_cuped,
         # -- stalest driver greens: r4/r5/r6 remainder (44 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11116,6 +11173,7 @@ def oracle_sql():
         "events_ab_lift": _sql_events_ab_lift(),
         "join_skew_profile": _sql_join_skew_profile(),
         "stream_merge_apply": _sql_store_merge(n_versions=4),
+        "events_ab_cuped": _sql_events_ab_cuped(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -1651,3 +1651,83 @@ def ab_lift(events: DataFrame, user_col: str = "user_id",
         F.round(p_b, 6).alias("rate_b"),
         F.round(p_b - p_a, 6).alias("abs_lift"),
         z.alias("z_score"))
+
+
+def ab_cuped(events: DataFrame, user_col: str = "user_id",
+             value_col: str = "value", ts_col: str = "ts",
+             split_ts: str = "2024-01-16") -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) —
+    the adjustment every large experimentation platform applies before
+    reading a metric: each user's post-period value Y is shifted by
+    θ·(X − mean(X)) where X is the user's PRE-period value and
+    θ = cov(X,Y)/var(X) pooled over both cohorts, removing the
+    between-user variance the randomization already balanced.
+
+    Two rows (cohort A/B): (cohort, n_users, mean_y, mean_y_adj,
+    theta, var_reduction) — var_reduction = var(Y_adj)/var(Y), 1.0
+    when var(Y) is 0, θ = 0.0 on a degenerate pre-period.  Values are
+    exact integer cents per user; every surfaced float is one fixed
+    expression tree over exact decimal moments (n·Σxy − Σx·Σy style),
+    so the oracle replays it bit-for-bit.
+
+    Plan: one user-keyed aggregation (map-side combinable conditional
+    sums — the same irreducible exchange as ab_lift), then ALL moment
+    algebra on a 2-row cohort table × a 1-row pooled table — nothing
+    after the user agg scales with the log."""
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    split = F.to_timestamp(F.lit(split_ts))
+    per_user = (events.filter(F.col(user_col).isNotNull())
+                .groupBy(F.col(user_col).alias("u"))
+                .agg(F.sum(F.when(F.col(ts_col) < split, cents)
+                           .otherwise(F.lit(0))).alias("x"),
+                     F.sum(F.when(F.col(ts_col) >= split, cents)
+                           .otherwise(F.lit(0))).alias("y")))
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("pn"),
+        F.sum(d("x")).cast("decimal(38,0)").alias("psx"),
+        F.sum(d("y")).cast("decimal(38,0)").alias("psy"),
+        F.sum(d("x") * d("y")).cast("decimal(38,0)").alias("psxy"),
+        F.sum(d("x") * d("x")).cast("decimal(38,0)").alias("psx2"))
+    cohort = (per_user
+              .groupBy(F.when(F.pmod(F.col("u"), F.lit(2)) == 0, "A")
+                       .otherwise("B").alias("cohort"))
+              .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                   F.sum(d("x")).cast("decimal(38,0)").alias("sx"),
+                   F.sum(d("y")).cast("decimal(38,0)").alias("sy"),
+                   F.sum(d("x") * d("y")).cast("decimal(38,0)")
+                   .alias("sxy"),
+                   F.sum(d("x") * d("x")).cast("decimal(38,0)")
+                   .alias("sx2"),
+                   F.sum(d("y") * d("y")).cast("decimal(38,0)")
+                   .alias("sy2")))
+    j = cohort.crossJoin(F.broadcast(pooled))
+    den = F.col("pn") * F.col("psx2") - F.col("psx") * F.col("psx")
+    theta = F.when(den == 0, F.lit(0.0)).otherwise(
+        (F.col("pn") * F.col("psxy")
+         - F.col("psx") * F.col("psy")).cast("double")
+        / den.cast("double"))
+    mean_x_all = F.col("psx").cast("double") / F.col("pn").cast("double")
+    n_d = F.col("n").cast("double")
+    mean_y = F.col("sy").cast("double") / n_d
+    mean_x = F.col("sx").cast("double") / n_d
+    mean_y_adj = mean_y - (theta * (mean_x - mean_x_all))
+    nn = n_d * n_d
+    var_y = (F.col("n") * F.col("sy2")
+             - F.col("sy") * F.col("sy")).cast("double") / nn
+    cov = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double") / nn
+    var_x = (F.col("n") * F.col("sx2")
+             - F.col("sx") * F.col("sx")).cast("double") / nn
+    var_y_adj = (var_y - ((F.lit(2.0) * theta) * cov)) \
+        + ((theta * theta) * var_x)
+    vr = F.when(var_y == 0, F.lit(1.0)).otherwise(
+        F.round(var_y_adj / var_y, 6))
+    return (j.select(
+        "cohort",
+        F.col("n").cast("long").alias("n_users"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_y_adj, 6).alias("mean_y_adj"),
+        F.round(theta, 6).alias("theta"),
+        vr.alias("var_reduction"))
+        .orderBy("cohort"))

@@ -368,3 +368,38 @@ def test_ab_lift_no_conversions_z_zero(spark):
                                "user_id long, event_type string")
     r = A.ab_lift(ev).collect()[0]
     assert r["conv_a"] == 0 and r["conv_b"] == 0 and r["z_score"] == 0.0
+
+
+def test_ab_cuped_removes_pre_period_variance(spark):
+    """y = x + cohort effect: theta ~ 1, per-cohort variance collapses
+    after adjustment, and the adjusted means keep the true +100-cent
+    B-over-A effect."""
+    rows = []
+    for u in range(8):
+        rows.append((u, 2024_01_10, float(u + 1)))          # pre
+        rows.append((u, 2024_01_20, float(u + 1) + (u % 2)))  # post
+    ev = spark.createDataFrame(
+        [(u, f"2024-01-{d % 100:02d} 12:00:00", v) for u, d, v in rows],
+        "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {r["cohort"]: r for r in A.ab_cuped(ev).collect()}
+    assert out["A"]["n_users"] == 4 and out["B"]["n_users"] == 4
+    assert 0.9 < out["A"]["theta"] < 1.1
+    assert out["A"]["theta"] == out["B"]["theta"]       # pooled
+    for c in "AB":
+        assert out[c]["var_reduction"] < 0.2
+    lift = out["B"]["mean_y_adj"] - out["A"]["mean_y_adj"]
+    assert abs(lift - 100.0) < 15.0                     # cents
+
+
+def test_ab_cuped_degenerate_pre_period_theta_zero(spark):
+    """All users share one pre-period value -> var(X)=0 -> theta=0 and
+    the adjusted mean equals the raw mean."""
+    ev = spark.createDataFrame(
+        [(u, "2024-01-10 00:00:00", 5.0) for u in range(4)]
+        + [(u, "2024-01-20 00:00:00", float(u)) for u in range(4)],
+        "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = A.ab_cuped(ev).collect()
+    assert all(r["theta"] == 0.0 and r["mean_y"] == r["mean_y_adj"]
+               for r in out)

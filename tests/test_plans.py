@@ -1076,6 +1076,7 @@ def test_round10_operators_have_no_unpartitioned_windows(spark, t):
     frames = [
         J.skew_profile(t["events"], "user_id", "events.user_id"),
         analytics.ab_lift(t["events"]),
+        analytics.ab_cuped(t["events"]),
     ]
     for df in frames:
         assert _unpartitioned_windows(plan_of(df)) == []
