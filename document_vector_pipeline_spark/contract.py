@@ -3093,6 +3093,77 @@ def q_stream_index_maintain(spark, sf_dir):
         ti, vi, _bm25_query_df(spark), qv, k=10, nprobe=8)
 
 
+def q_stream_late_audit(spark, sf_dir):
+    """Late-data accounting under the watermark contract
+    (streaming/ingest.stream_late_audit): the event log streams in 4
+    microbatches split by event_id % 4 — so each batch interleaves the
+    full time range and batches 1-3 necessarily carry rows behind the
+    watermark Spark's formula implies (max prior event time − 600 s).
+    One audit row per microbatch: rows, late rows, worst lateness in
+    exact microseconds; the watermark state persists IN the audit
+    table (batch-keyed idempotent sink — a redelivered batch rewrites
+    identical rows), so a restart recomputes it without driver memory.
+    The oracle replays the formula over the same batch assignment —
+    the honest answer to 'how late is my feed', which windowed-agg
+    correctness silently depends on."""
+    from document_vector_pipeline_spark.streaming.ingest import (
+        read_late_audit,
+        stream_late_audit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(SCRATCH, "late_audit")
+    shutil.rmtree(root, ignore_errors=True)
+    bdir = os.path.join(root, "batches")
+    os.makedirs(bdir, exist_ok=True)
+    for m in range(4):
+        stage = os.path.join(root, f"stage{m}")
+        (ev.filter(F.col("event_id") % 4 == m)
+         .select("event_id", epoch_us(F.col("ts")).alias("ts_us"),
+                 "user_id")
+         .coalesce(1).write.mode("overwrite").json(stage))
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.startswith("part-"):
+                dst = os.path.join(bdir, f"batch{m}_{i}.json")
+                shutil.move(os.path.join(stage, f), dst)
+                # batch order IS the watermark contract here: pin the
+                # file-source's mtime ordering explicitly
+                os.utime(dst, (1_700_000_000 + m, 1_700_000_000 + m))
+    stream_late_audit(
+        spark, bdir, os.path.join(root, "audit"),
+        os.path.join(root, "ckpt"),
+        schema="event_id long, ts_us long, user_id long",
+        ts_col="ts_us", delay_seconds=600).awaitTermination()
+    return read_late_audit(spark, os.path.join(root, "audit"))
+
+
+def _sql_stream_late_audit(delay_s: int = 600) -> str:
+    d_us = delay_s * 1_000_000
+    return f"""
+with b as (
+  select cast(event_id % 4 as bigint) as batch_id, epoch_us(ts) as us
+  from events),
+mx as (select batch_id, max(us) as mxus, count(*) as n
+       from b group by batch_id),
+wm as (select m.batch_id, m.n,
+              (select max(p.mxus) from mx p
+               where p.batch_id < m.batch_id) as pmax
+       from mx m)
+select w.batch_id,
+       cast(w.n as bigint) as n_rows,
+       cast(coalesce(sum(case when w.pmax is not null
+                              and b.us < w.pmax - {d_us}
+                         then 1 else 0 end), 0) as bigint) as n_late,
+       cast(coalesce(max(case when w.pmax is not null
+                              and b.us < w.pmax - {d_us}
+                         then (w.pmax - {d_us}) - b.us end), 0) as bigint)
+         as max_lag_us
+from wm w join b on b.batch_id = w.batch_id
+group by w.batch_id, w.n
+order by w.batch_id
+"""
+
+
 def q_store_versioned_search(spark, sf_dir):
     """Time-travelable vector search (store/versioned_store.py): commit
     v0 = the full chunk corpus, v1 = modified text (and therefore
@@ -10872,6 +10943,7 @@ def queries():
         "join_skew_profile": q_join_skew_profile,
         "stream_merge_apply": q_stream_merge_apply,
         "events_ab_cuped": q_events_ab_cuped,
+        "stream_late_audit": q_stream_late_audit,
         # -- stalest driver greens: r4/r5/r6 remainder (44 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11174,6 +11246,7 @@ def oracle_sql():
         "join_skew_profile": _sql_join_skew_profile(),
         "stream_merge_apply": _sql_store_merge(n_versions=4),
         "events_ab_cuped": _sql_events_ab_cuped(),
+        "stream_late_audit": _sql_stream_late_audit(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -527,3 +527,93 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_late_audit(spark: SparkSession, batches_path: str,
+                      audit_path: str, checkpoint: str, schema: str,
+                      delay_seconds: int = 600, ts_col: str = "ts",
+                      available_now: bool = True,
+                      max_files_per_trigger: int = 1) -> StreamingQuery:
+    """Late-data accounting under the watermark contract — the ops
+    readout every watermarked pipeline needs before anyone trusts its
+    windowed aggregates: per microbatch, how many rows arrived with an
+    event time already BEHIND the watermark (Spark would route them
+    into evicted window state), and how far behind the worst one was.
+
+    The watermark is tracked by the audit itself with Spark's formula
+    — wm(k) = max(event time over batches < k) − delay — persisted IN
+    the audit rows (each batch records its own max event time), so a
+    restarted stream recomputes it from the audit table, not from
+    driver memory.  One audit row per microbatch: (batch_id, n_rows,
+    n_late, max_lag_us) where max_lag_us is the worst lateness among
+    the batch's late rows in exact microseconds (0 when none).
+
+    The audit sink is EXACTLY-ONCE: each batch overwrites its own
+    ``batch=K`` directory (the admission gate's batch-keyed idempotent
+    sink), so a foreachBatch redelivery rewrites identical rows
+    instead of double-counting.  Per-trigger cost: one batch-sized
+    aggregation + one tiny-table read of prior audit rows — O(batch)
+    at any feed size."""
+    batches = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .json(batches_path))
+    delay_us = int(delay_seconds) * 1_000_000
+
+    def handle(batch_df, batch_id: int) -> None:
+        from pyspark.sql.types import LongType
+
+        from document_vector_pipeline_spark.functions.expr import epoch_us
+
+        if batch_df.isEmpty():
+            return
+        prior_max = None
+        try:
+            prior = (spark.read.parquet(audit_path)
+                     .filter(F.col("batch_id") < batch_id)
+                     .agg(F.max("batch_max_us")).collect()[0][0])
+            prior_max = int(prior) if prior is not None else None
+        except Exception:
+            prior_max = None        # no audit rows yet (first batch)
+        wm = (prior_max - delay_us) if prior_max is not None else None
+        # a LONG ts column is taken as epoch MICROSECONDS verbatim —
+        # the lossless staging for feeds serialized through JSON, whose
+        # timestamp round-trip truncates to milliseconds
+        if isinstance(batch_df.schema[ts_col].dataType, LongType):
+            ts_us = F.col(ts_col)
+        else:
+            ts_us = epoch_us(F.col(ts_col))
+        late = (F.lit(False) if wm is None
+                else ts_us < F.lit(wm))
+        row = (batch_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(late.cast("long")).cast("long").alias("n_late"),
+            F.coalesce(
+                F.max(F.when(late, F.lit(wm) - ts_us)),
+                F.lit(0)).cast("long").alias("max_lag_us"),
+            F.max(ts_us).cast("long").alias("batch_max_us"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long")))
+        (row.write.mode("overwrite")
+         .parquet(f"{audit_path}/batch={batch_id}"))
+
+    writer = (batches.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_late_audit(spark: SparkSession, audit_path: str):
+    """The drained audit table: one row per microbatch.  A feed that
+    never delivered a row wrote no audit dirs — that is the typed
+    empty audit, not an error (explicit FS probe, not exception
+    control flow)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(audit_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return spark.createDataFrame(
+            [], "batch_id long, n_rows long, n_late long, max_lag_us long")
+    return (spark.read.parquet(audit_path)
+            .select("batch_id", "n_rows", "n_late", "max_lag_us")
+            .orderBy("batch_id"))

@@ -1002,3 +1002,56 @@ def test_stream_merge_apply_exactly_once_and_seq_collapse(spark, tmp_path):
     drain(tmp_path / "ck2")
     assert len(vt.versions()) == 3
     assert {r["id"]: r["text"] for r in vt.read().collect()} == got
+
+
+def test_stream_late_audit_flags_and_measures_late_rows(spark, tmp_path):
+    """Batch 0 advances the watermark to 11:00-10m; batch 1's 10:30 row
+    is late by exactly 20 minutes. A fresh-checkpoint re-drain rewrites
+    identical audit rows (batch-keyed idempotent sink)."""
+    from document_vector_pipeline_spark.streaming.ingest import (
+        read_late_audit,
+        stream_late_audit,
+    )
+
+    def us(h, m):
+        import datetime
+
+        return int(datetime.datetime(
+            2024, 1, 1, h, m, tzinfo=datetime.timezone.utc).timestamp()
+        ) * 1_000_000
+
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    _write_jsonl(bdir / "b0.json", [
+        {"id": 1, "ts_us": us(10, 0)},
+        {"id": 2, "ts_us": us(11, 0)},
+    ])
+    _write_jsonl(bdir / "b1.json", [
+        {"id": 3, "ts_us": us(10, 30)},     # 20 min behind the watermark
+        {"id": 4, "ts_us": us(11, 5)},      # on time
+    ])
+    # the file source orders batches by mtime — pin it explicitly (two
+    # writes can land inside one filesystem timestamp granule)
+    import os as _os
+
+    _os.utime(bdir / "b0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(bdir / "b1.json", (1_700_000_100, 1_700_000_100))
+    audit = str(tmp_path / "audit")
+    schema = "id long, ts_us long"
+
+    def drain(ck):
+        stream_late_audit(spark, str(bdir), audit, str(tmp_path / ck),
+                          schema=schema, ts_col="ts_us",
+                          delay_seconds=600).awaitTermination()
+
+    drain("ck1")
+    rows = {r["batch_id"]: r for r in read_late_audit(spark, audit).collect()}
+    assert rows[0]["n_rows"] == 2 and rows[0]["n_late"] == 0
+    assert rows[0]["max_lag_us"] == 0
+    assert rows[1]["n_rows"] == 2 and rows[1]["n_late"] == 1
+    assert rows[1]["max_lag_us"] == 20 * 60 * 1_000_000
+    drain("ck2")                             # full replay: identical audit
+    again = {r["batch_id"]: r
+             for r in read_late_audit(spark, audit).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} \
+        == {k: tuple(v) for k, v in again.items()}
