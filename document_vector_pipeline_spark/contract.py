@@ -3777,6 +3777,63 @@ def q_store_merge(spark, sf_dir):
             .withColumn("n_versions", F.lit(n_v).cast("int")))
 
 
+def q_store_constraints(spark, sf_dir):
+    """Commit-time data-quality constraints (store/versioned.
+    constraint_violations — Delta CHECK / NOT NULL / uniqueness at the
+    commit gate): census a deliberately dirty batch — every 15th
+    document's text NULLed, every 25th given a negative n_chars, every
+    35th duplicated — against three declared constraints.  One row per
+    constraint (clean ones report 0, so the output doubles as the
+    table's constraint catalog).  The GATE itself (merge(...,
+    constraints=...) refuses the batch before any write, leaving no
+    version behind) is pinned by unit test; this key proves the census
+    arithmetic the refusal message carries.  Plan: one batch-sized
+    aggregation pass for null/check counts + a keys-sized groupBy for
+    uniqueness — nothing scales beyond the batch."""
+    from document_vector_pipeline_spark.store.versioned import (
+        constraint_violations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "n_chars")
+    d0 = (docs.filter(F.col("doc_id") % 5 == 0)
+          .withColumn("text", F.when(F.col("doc_id") % 15 == 0,
+                                     F.lit(None)).otherwise(F.col("text")))
+          .withColumn("n_chars", F.when(F.col("doc_id") % 25 == 0,
+                                        F.lit(-1))
+                      .otherwise(F.col("n_chars"))))
+    dirty = d0.unionByName(d0.filter(F.col("doc_id") % 35 == 0))
+    return constraint_violations(
+        dirty, not_null=["text"], unique=[["doc_id"]],
+        checks={"n_chars_nonneg": F.col("n_chars") >= 0})
+
+
+def _sql_store_constraints() -> str:
+    return """
+with d0 as (
+  select doc_id,
+         case when doc_id % 15 = 0 then null else text end as text,
+         case when doc_id % 25 = 0 then -1 else n_chars end as n_chars
+  from documents where doc_id % 5 = 0),
+d as (select * from d0
+      union all select * from d0 where doc_id % 35 = 0)
+select 'not_null(text)' as "constraint",
+       cast(coalesce(sum(case when text is null then 1 else 0 end), 0)
+            as bigint) as n_violations
+from d
+union all
+select 'check(n_chars_nonneg)',
+       cast(coalesce(sum(case when not coalesce(n_chars >= 0, false)
+                         then 1 else 0 end), 0) as bigint)
+from d
+union all
+select 'unique(doc_id)',
+       cast(coalesce((select sum(c - 1) from (
+           select count(*) as c from d group by doc_id) where c > 1), 0)
+            as bigint)
+"""
+
+
 def q_stream_merge_apply(spark, sf_dir):
     """CDC stream applied to the versioned table of record — one atomic
     MERGE commit per microbatch (streaming/ingest.stream_merge_apply):
@@ -10944,6 +11001,7 @@ def queries():
         "stream_merge_apply": q_stream_merge_apply,
         "events_ab_cuped": q_events_ab_cuped,
         "stream_late_audit": q_stream_late_audit,
+        "store_constraints": q_store_constraints,
         # -- stalest driver greens: r4/r5/r6 remainder (44 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11247,6 +11305,7 @@ def oracle_sql():
         "stream_merge_apply": _sql_store_merge(n_versions=4),
         "events_ab_cuped": _sql_events_ab_cuped(),
         "stream_late_audit": _sql_stream_late_audit(),
+        "store_constraints": _sql_store_constraints(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

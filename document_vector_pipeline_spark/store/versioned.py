@@ -39,6 +39,66 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 
+def constraint_violations(df: DataFrame, not_null: list[str] = (),
+                          unique: list[list[str]] = (),
+                          checks: dict | None = None) -> DataFrame:
+    """Long-form violation census for a batch against declared table
+    constraints (Delta's CHECK/NOT NULL, plus key uniqueness): one row
+    per constraint — (constraint, n_violations) — ALL constraints
+    reported even when clean (n_violations = 0), so the output doubles
+    as the table's constraint catalog.
+
+    ``not_null``: column names that must be non-null.  ``unique``:
+    key-column lists that must identify at most one batch row each.
+    ``checks``: {name: Column predicate} — a row VIOLATES when the
+    predicate is false or null (Delta CHECK semantics: null fails).
+
+    Plan: one batch-sized aggregation per constraint class (null
+    counts fold into ONE pass; uniqueness is a keys-sized groupBy),
+    unioned into a constraints-sized frame — nothing scales beyond
+    the batch."""
+    spark = df.sparkSession
+    schema = "constraint string, n_violations long"
+    parts = []
+    agg_cols = [F.sum(F.col(c).isNull().cast("long")).cast("long")
+                .alias(f"nn_{i}") for i, c in enumerate(not_null)]
+    agg_cols += [F.sum((~F.coalesce(pred, F.lit(False))).cast("long"))
+                 .cast("long").alias(f"ck_{i}")
+                 for i, (_nm, pred) in
+                 enumerate(sorted((checks or {}).items()))]
+    if agg_cols:
+        one = df.agg(*agg_cols)
+        names = ([f"not_null({c})" for c in not_null]
+                 + [f"check({nm})" for nm in sorted(checks or {})])
+        cols = ([f"nn_{i}" for i in range(len(not_null))]
+                + [f"ck_{i}" for i in range(len(checks or {}))])
+        stacked = one.selectExpr(
+            "stack({n}, {args}) as (constraint, n_violations)".format(
+                n=len(cols),
+                args=", ".join(f"'{nm}', coalesce({c}, 0)"
+                               for nm, c in zip(names, cols))))
+        parts.append(stacked)
+    for keys in unique:
+        dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") > 1)
+               .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+                    .cast("long").alias("n_violations"))
+               .select(F.lit(f"unique({', '.join(keys)})")
+                       .alias("constraint"), "n_violations"))
+        parts.append(dup)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class ConstraintViolation(ValueError):
+    """A commit was refused because its batch violates a declared
+    constraint; carries the violation census for the error message."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -443,7 +503,8 @@ class BucketedVersionedTable(VersionedTable):
                                  schema_json=self._merged_schema_json(df))
 
     def merge(self, src: DataFrame, keys: list[str],
-              delete_col: str = "_deleted", op: str = "merge") -> int:
+              delete_col: str = "_deleted", op: str = "merge",
+              constraints: dict | None = None) -> int:
         """Delta-style MERGE INTO as ONE commit: a source row with
         ``delete_col`` true deletes its matching target rows; every
         other source row updates its match or inserts (``upsert``
@@ -463,7 +524,12 @@ class BucketedVersionedTable(VersionedTable):
         keys raise.  ``delete_col`` is stripped before writing and
         never evolves the schema.  ``op`` labels the manifest commit
         (streaming callers stamp it with the batch id for replay
-        detection).  Reference contrast: the mutate-in-
+        detection).  ``constraints`` (kwargs for
+        ``constraint_violations``: not_null/unique/checks) are
+        enforced on the batch's live rows BEFORE any write — a
+        violating batch raises ConstraintViolation with the census
+        and leaves no version behind (Delta CHECK/NOT NULL
+        semantics at the commit gate).  Reference contrast: the mutate-in-
         place store (CosmosDBClientWrapper.cs:36-70) applies each
         document separately with no batch atomicity at all."""
         if delete_col not in src.columns:
@@ -479,6 +545,17 @@ class BucketedVersionedTable(VersionedTable):
                 f"row per key upstream")
         live = src.filter(~F.coalesce(F.col(delete_col), F.lit(False)))\
             .drop(delete_col)
+        if constraints:
+            # validate the batch's LIVE rows (deletes carry no payload
+            # obligations) BEFORE any write — a refused merge leaves no
+            # version behind.  The census collect is constraints-sized.
+            bad = [(r["constraint"], r["n_violations"]) for r in
+                   constraint_violations(live, **constraints)
+                   .filter(F.col("n_violations") > 0).collect()]
+            if bad:
+                raise ConstraintViolation(
+                    "merge refused — batch violates declared "
+                    f"constraints: {bad}")
         if not self.versions():
             dirs = self._write_buckets(live, 0)
             return self._commit_dirs(op, dirs, self._count_dirs(dirs),

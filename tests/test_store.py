@@ -1002,3 +1002,36 @@ def test_merge_evolves_schema_additively(spark, tmp_path):
     assert rows[1]["lang"] == "en" and rows[1]["text"] == "x2"
     assert rows[2]["lang"] is None          # old row null-fills the new col
     assert "_deleted" not in bt.read().columns
+
+
+def test_merge_constraint_gate_refuses_before_any_write(spark, tmp_path):
+    """A batch violating a declared constraint raises
+    ConstraintViolation with the census and leaves NO new version; the
+    cleaned batch then commits under the same constraints."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+        ConstraintViolation,
+    )
+
+    bt = BucketedVersionedTable(spark, str(tmp_path / "cg"), bucket_col="b")
+    bt.commit_overwrite(spark.createDataFrame(
+        [(1, "x", 3, "0")], "id long, text string, n int, b string"))
+    cons = {"not_null": ["text"],
+            "checks": {"n_nonneg": F.col("n") >= 0}}
+    bad = spark.createDataFrame(
+        [(2, None, 1, "0", False), (3, "y", -5, "1", False)],
+        "id long, text string, n int, b string, _deleted boolean")
+    with pytest.raises(ConstraintViolation, match="not_null\\(text\\)"):
+        bt.merge(bad, ["id"], constraints=cons)
+    assert bt.versions() == [0]
+    good = spark.createDataFrame(
+        [(2, "z", 1, "0", False)],
+        "id long, text string, n int, b string, _deleted boolean")
+    assert bt.merge(good, ["id"], constraints=cons) == 1
+    # deletes carry no payload obligations: a delete row with null text
+    # passes the gate
+    dele = spark.createDataFrame(
+        [(1, None, None, "0", True)],
+        "id long, text string, n int, b string, _deleted boolean")
+    assert bt.merge(dele, ["id"], constraints=cons) == 2
+    assert {r["id"] for r in bt.read().collect()} == {2}
