@@ -10986,8 +10986,8 @@ limit {top}
 
 def queries():
     return {
-    # Round-10 rotation (driver caps at ~50 keys/round): the 6 NEW
-    # round-10 keys lead, then 44 of the r4/r5/r6-green remainder —
+    # Round-10 rotation (driver caps at ~50 keys/round): the 10 NEW
+    # round-10 keys lead, then 40 of the r4/r5/r6-green remainder —
     # the stalest verdicts once round 9 re-certified the ex-r1 block
     # and the oldest r4/r5 keys.  Tail stays oldest-verdict-first with
     # the 50 keys round 9 just recorded at the bottom.
@@ -11002,7 +11002,7 @@ def queries():
         "events_ab_cuped": q_events_ab_cuped,
         "stream_late_audit": q_stream_late_audit,
         "store_constraints": q_store_constraints,
-        # -- stalest driver greens: r4/r5/r6 remainder (44 fill the head) --
+        # -- stalest driver greens: r4/r5/r6 remainder (40 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
