@@ -989,6 +989,20 @@ def main() -> None:
         return vt.read().groupBy("bucket").count()
 
     bench("store_merge", store_merge_case)
+
+    def store_constraints_case():
+        from document_vector_pipeline_spark.store.versioned import (
+            constraint_violations,
+        )
+
+        dirty = docs.withColumn(
+            "text", F.when(F.col("doc_id") % 15 == 0, F.lit(None))
+            .otherwise(F.col("text")))
+        return constraint_violations(
+            dirty, not_null=["text"], unique=[["doc_id"]],
+            checks={"n_chars_nonneg": F.col("n_chars") >= 0})
+
+    bench("store_constraints", store_constraints_case)
     bench("join_salted", lambda: joins.salted_join(
         t["lineitem"].select("l_suppkey", "l_extendedprice"),
         t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"),

@@ -455,7 +455,8 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
                        available_now: bool = True,
                        max_files_per_trigger: int = 1,
                        op_col: str = "op",
-                       seq_col: str | None = None) -> StreamingQuery:
+                       seq_col: str | None = None,
+                       constraints: dict | None = None) -> StreamingQuery:
     """CDC stream → one atomic ``BucketedVersionedTable.merge`` per
     microbatch: the always-on form of store_merge, and the missing
     third leg next to stream_ingest (store freshness) and
@@ -469,7 +470,10 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
     microbatch first collapses latest-wins per key — a real CDC feed
     emits several versions of one key inside a trigger interval — and
     a key whose maximal seq is ambiguous fails the trigger (merge's
-    duplicate-source-keys refusal backstops it).
+    duplicate-source-keys refusal backstops it).  ``constraints``
+    (constraint_violations kwargs) enforce data quality at the merge
+    gate: a violating microbatch fails its trigger with no version
+    written — the feed stops rather than admit bad data.
 
     EXACTLY-ONCE, not at-least-once: every merge commit is stamped
     ``merge:b{batch_id}`` in its manifest, and a replayed microbatch
@@ -519,7 +523,11 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
         src = (batch_df
                .withColumn("_deleted", F.col(op_col) == "delete")
                .drop(op_col, *([seq_col] if seq_col else [])))
-        table.merge(src, keys, op=tag)
+        # constraints enforce at the merge gate: a violating microbatch
+        # fails its trigger (ConstraintViolation) with NO version
+        # written — the stream stops rather than admit bad data, and a
+        # restart after the fix replays the batch cleanly
+        table.merge(src, keys, op=tag, constraints=constraints)
 
     writer = (batches.writeStream
               .foreachBatch(handle)

@@ -1055,3 +1055,39 @@ def test_stream_late_audit_flags_and_measures_late_rows(spark, tmp_path):
              for r in read_late_audit(spark, audit).collect()}
     assert {k: tuple(v) for k, v in rows.items()} \
         == {k: tuple(v) for k, v in again.items()}
+
+
+def test_stream_merge_apply_constraint_gate_stops_the_feed(spark,
+                                                           tmp_path):
+    """A microbatch violating a declared constraint fails its trigger
+    with NO version written; the table still serves the last good
+    snapshot."""
+    import pyspark.errors
+
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_merge_apply,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "t"), bucket_col="b")
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "x", "0")], "id long, text string, b string"))
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    _write_jsonl(bdir / "b1.json", [
+        {"id": 2, "text": None, "b": "0", "op": "upsert"},   # null text
+    ])
+    q = stream_merge_apply(
+        spark, str(bdir), vt, ["id"], str(tmp_path / "ck"),
+        schema="id long, text string, b string, op string",
+        constraints={"not_null": ["text"]})
+    try:
+        q.awaitTermination()
+        raised = False
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        raised = True
+    assert raised
+    assert vt.versions() == [0]
+    assert [r["id"] for r in vt.read().collect()] == [1]
