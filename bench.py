@@ -350,6 +350,7 @@ def main() -> None:
     # keyset pagination: page-1 search + cursor cut + page-2 rank —
     # the marginal cost over one search is the cursor predicate only
     bench("text_search_after", ti_page2)
+    bench("text_search_count", lambda: ti.search_count(bm25_qt))
     bench("text_df_topk", lambda: ti.df_topk(50))
     bench("text_index_stats", lambda: ti.index_stats())
     bench("text_bm25_filtered",
@@ -1003,6 +1004,30 @@ def main() -> None:
             checks={"n_chars_nonneg": F.col("n_chars") >= 0})
 
     bench("store_constraints", store_constraints_case)
+
+    def store_merge_cdc_case():
+        from document_vector_pipeline_spark.functions.hashing import (
+            md5_long,
+        )
+        from document_vector_pipeline_spark.store.versioned import (
+            BucketedVersionedTable,
+        )
+
+        path = os.path.join(ROOT, ".scratch", "bench_merge_cdc")
+        shutil.rmtree(path, ignore_errors=True)
+        vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+        base = docs.select("doc_id", "text").withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+        vt.commit_overwrite(base)
+        src = (base.filter(F.col("doc_id") % 7 == 0)
+               .withColumn("text", F.concat_ws(" ", F.col("text"),
+                                               F.lit("v2")))
+               .withColumn("_deleted", F.col("doc_id") % 14 == 0))
+        vt.merge(src, ["doc_id"])
+        return vt.diff(0, 1, ["doc_id"],
+                       digest=md5_long(F.col("text"), hex_digits=13))
+
+    bench("store_merge_cdc", store_merge_cdc_case)
     bench("join_salted", lambda: joins.salted_join(
         t["lineitem"].select("l_suppkey", "l_extendedprice"),
         t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"),

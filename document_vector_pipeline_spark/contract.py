@@ -2164,6 +2164,32 @@ def q_text_search_after(spark, sf_dir):
     return idx.search_after(q, cursors, k=5)
 
 
+def q_text_search_count(spark, sf_dir):
+    """Total-hits count per query off the persisted inverted index
+    (TextIndex.search_count — Lucene totalHits, the number a
+    pagination UI shows next to page 1): same tbucket-pruned posting
+    read as search, no scoring, no top-k — just a distinct count of
+    live matching documents per query.  Oracle = the scan-path
+    distinct count, so a green row proves the pruned read sees exactly
+    the live corpus."""
+    idx = _shared_text_index(spark, sf_dir)
+    return idx.search_count(_bm25_query_df(spark))
+
+
+def _sql_text_search_count() -> str:
+    values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    return f"""
+with qt as (select * from (values {values}) as v(query_id, term)),
+tok as (select doc_id, unnest({toks}) as term from documents)
+select qt.query_id,
+       cast(count(distinct tok.doc_id) as bigint) as total_hits
+from qt join tok using (term)
+group by qt.query_id
+"""
+
+
 def _sql_text_search_after(k: int = 5) -> str:
     return f"""
 with {_sql_bm25_ctes()}
@@ -3775,6 +3801,59 @@ def q_store_merge(spark, sf_dir):
             .select("doc_id",
                     md5_long(F.col("text"), hex_digits=13).alias("text_h"))
             .withColumn("n_versions", F.lit(n_v).cast("int")))
+
+
+def q_store_merge_cdc(spark, sf_dir):
+    """The merge commit is AUDITABLE: diff(v0, v1) after store_merge's
+    three-way batch must report exactly the batch — 'changed' for the
+    updated 7ths, 'removed' for the deleted 13ths, 'added' for the
+    inserted 17ths — and NOTHING for the untouched rest of the corpus,
+    even though they share hash buckets with rewritten keys
+    (content-digest equality drops them).  Composition proof: MERGE's
+    one-commit semantics expressed through the bucket-incremental CDC
+    query, the post-apply audit a CDC pipeline runs to certify what a
+    batch actually did."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(SCRATCH, "store_merge_cdc")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+
+    def wb(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+
+    vt.commit_overwrite(wb(docs))
+    upd = (docs.filter((F.col("doc_id") % 7 == 0)
+                       & (F.col("doc_id") % 13 != 0))
+           .withColumn("text", F.concat_ws(" ", F.col("text"),
+                                           F.lit("merged edition")))
+           .withColumn("_deleted", F.lit(False)))
+    dele = (docs.filter(F.col("doc_id") % 13 == 0)
+            .withColumn("_deleted", F.lit(True)))
+    ins = (docs.filter(F.col("doc_id") % 17 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat_ws(" ", F.col("text"),
+                               F.lit("appendix")).alias("text"))
+           .withColumn("_deleted", F.lit(False)))
+    vt.merge(wb(upd.unionByName(dele).unionByName(ins)), ["doc_id"])
+    return vt.diff(0, 1, ["doc_id"],
+                   digest=md5_long(F.col("text"), hex_digits=13))
+
+
+def _sql_store_merge_cdc() -> str:
+    return """
+select 'changed' as status, doc_id from documents
+where doc_id % 7 = 0 and doc_id % 13 <> 0
+union all
+select 'removed', doc_id from documents where doc_id % 13 = 0
+union all
+select 'added', doc_id + 1000000 from documents where doc_id % 17 = 0
+"""
 
 
 def q_store_constraints(spark, sf_dir):
@@ -11002,6 +11081,8 @@ def queries():
         "events_ab_cuped": q_events_ab_cuped,
         "stream_late_audit": q_stream_late_audit,
         "store_constraints": q_store_constraints,
+        "text_search_count": q_text_search_count,
+        "store_merge_cdc": q_store_merge_cdc,
         # -- stalest driver greens: r4/r5/r6 remainder (40 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11306,6 +11387,8 @@ def oracle_sql():
         "events_ab_cuped": _sql_events_ab_cuped(),
         "stream_late_audit": _sql_stream_late_audit(),
         "store_constraints": _sql_store_constraints(),
+        "text_search_count": _sql_text_search_count(),
+        "store_merge_cdc": _sql_store_merge_cdc(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -428,6 +428,32 @@ class TextIndex:
             scored = scored.filter(doc_filter)
         return retrieval.rank_topk(scored, k)
 
+    def search_count(self, query_terms: DataFrame,
+                     doc_filter=None) -> DataFrame:
+        """Total-hits count per query (Lucene totalHits — what a
+        pagination UI shows next to page 1): the number of live
+        documents matching ANY of the query's terms, from the same
+        tbucket-pruned posting read as ``search`` but with NO scoring,
+        no top-k, and no per-document work beyond a distinct count —
+        (query_id, total_hits).  ``doc_filter`` restricts the counted
+        set with ``search``'s filtered-query semantics.  At 100 TB the
+        count is a query-terms-pruned aggregation, never a corpus
+        scan."""
+        tb = [r[0] for r in query_terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        post = self._postings().filter(F.col("tbucket").isin(tb))
+        tf = (self._live(
+                post.join(F.broadcast(query_terms.select("term").distinct()),
+                          "term", "left_semi"))
+              .select("doc_id", "term"))
+        hits = tf.join(F.broadcast(query_terms.select("query_id", "term")
+                                   .distinct()), "term")
+        if doc_filter is not None:
+            hits = hits.filter(doc_filter)
+        return (hits.groupBy("query_id")
+                .agg(F.countDistinct("doc_id").cast("long")
+                     .alias("total_hits")))
+
     def search_after(self, query_terms: DataFrame, cursors: DataFrame,
                      k: int = 10, checkpoint: bool = True,
                      doc_filter=None) -> DataFrame:

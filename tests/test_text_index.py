@@ -899,3 +899,33 @@ def test_search_after_respects_doc_filter(spark, docs, qt, tmp_path):
                        F.col("rank").alias("rank_offset")))
     page2 = idx.search_after(qt, cursors, k=3, doc_filter=flt)
     assert _sorted(page2) == _sorted(full.filter(F.col("rank") > 1))
+
+
+def test_search_count_matches_scan_and_respects_maintenance(spark, docs,
+                                                            qt, tmp_path):
+    """total_hits = distinct live docs matching any query term; tracks
+    deletes/upserts; doc_filter restricts the counted set."""
+    idx = TextIndex(spark, str(tmp_path / "tic"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+
+    def scan_counts(cur):
+        toks = cur.select(
+            "doc_id", F.explode(F.split(F.lower("text"),
+                                        "[^a-z0-9]+")).alias("term"))
+        return {r["query_id"]: r["n"] for r in
+                (toks.join(qt, "term")
+                 .groupBy("query_id")
+                 .agg(F.countDistinct("doc_id").alias("n")).collect())}
+
+    got = {r["query_id"]: r["total_hits"]
+           for r in idx.search_count(qt).collect()}
+    assert got == scan_counts(docs)
+    idx.delete([2])
+    cur = docs.filter(F.col("doc_id") != 2)
+    assert ({r["query_id"]: r["total_hits"]
+             for r in idx.search_count(qt).collect()} == scan_counts(cur))
+    flt = {r["query_id"]: r["total_hits"] for r in
+           idx.search_count(qt, doc_filter=F.col("doc_id") % 2 == 0)
+           .collect()}
+    assert flt == scan_counts(cur.filter(F.col("doc_id") % 2 == 0))
