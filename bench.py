@@ -926,6 +926,7 @@ def main() -> None:
           lambda: analytics.events_mad_outliers(ev))
     bench("events_ab_lift", lambda: analytics.ab_lift(ev))
     bench("events_ab_cuped", lambda: analytics.ab_cuped(ev))
+    bench("events_ab_health", lambda: analytics.ab_health(ev))
     bench("events_diversity",
           lambda: analytics.events_user_diversity(ev))
     bench("yearly_growth", lambda: analytics.yearly_growth(

@@ -5244,6 +5244,47 @@ order by cohort
 """
 
 
+def q_events_ab_health(spark, sf_dir):
+    """Experiment health panel (plans/analytics.ab_health): sample-
+    ratio-mismatch chi-square of the cohort sizes vs the designed
+    50/50 split (the broken-randomizer detector) plus the minimum
+    detectable effect at the current sample size — the two readings
+    an experimentation platform checks before trusting events_ab_lift.
+    z constants are shared literals; everything else is one float
+    expression tree over exact integer counts, oracle bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.ab_health(ev)
+
+
+def _sql_events_ab_health() -> str:
+    e = "((cast(n_a as double) + cast(n_b as double)) / 2.0)"
+    chi2 = (f"((((cast(n_a as double) - {e}) * (cast(n_a as double)"
+            f" - {e})) / {e}) + (((cast(n_b as double) - {e})"
+            f" * (cast(n_b as double) - {e})) / {e}))")
+    p = "(cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+    mde = (f"(1.959964 + 0.841621) * sqrt(({p} * (1.0 - {p}))"
+           " * ((1.0 / cast(n_a as double))"
+           " + (1.0 / cast(n_b as double))))")
+    return f"""
+with pu as (
+  select user_id as u,
+         max(case when event_type = 'purchase' then 1 else 0 end)
+           as converted
+  from events where user_id is not null group by user_id),
+c as (select (u % 2 = 0) as is_a, count(*) as n,
+             cast(sum(converted) as bigint) as conv
+      from pu group by 1),
+a as (select n as n_a, conv as conv_a from c where is_a),
+b as (select n as n_b, conv as conv_b from c where not is_a)
+select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+       round({chi2}, 6) as srm_chi2,
+       ({chi2} > 3.841) as srm_flag,
+       round({p}, 6) as pooled_rate,
+       round({mde}, 6) as mde_abs
+from a, b
+"""
+
+
 def q_events_gini(spark, sf_dir):
     """Gini coefficient of user activity in exact ppm (the single-
     number twin of events_pareto's curve): users ranked ascending by
@@ -11083,6 +11124,7 @@ def queries():
         "store_constraints": q_store_constraints,
         "text_search_count": q_text_search_count,
         "store_merge_cdc": q_store_merge_cdc,
+        "events_ab_health": q_events_ab_health,
         # -- stalest driver greens: r4/r5/r6 remainder (40 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11389,6 +11431,7 @@ def oracle_sql():
         "store_constraints": _sql_store_constraints(),
         "text_search_count": _sql_text_search_count(),
         "store_merge_cdc": _sql_store_merge_cdc(),
+        "events_ab_health": _sql_events_ab_health(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

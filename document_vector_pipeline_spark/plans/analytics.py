@@ -1731,3 +1731,51 @@ def ab_cuped(events: DataFrame, user_col: str = "user_id",
         F.round(theta, 6).alias("theta"),
         vr.alias("var_reduction"))
         .orderBy("cohort"))
+
+
+def ab_health(events: DataFrame, user_col: str = "user_id",
+              type_col: str = "event_type",
+              convert_type: str = "purchase") -> DataFrame:
+    """Experiment health panel — the two checks an experimentation
+    platform runs BEFORE anyone reads a lift number: sample-ratio
+    mismatch (Pearson chi-square of cohort sizes against the designed
+    50/50 split; chi2 > 3.841 ≈ p<0.05 flags a broken randomizer or a
+    logging bias, the most common silent experiment killer) and the
+    minimum detectable effect at the current sample size
+    (MDE = (z_{0.025}+z_{0.8})·√(p̂(1−p̂)(1/n_a+1/n_b)) — the smallest
+    absolute lift this experiment could currently certify at 95 %
+    confidence / 80 % power).
+
+    One row: (n_a, n_b, srm_chi2, srm_flag, pooled_rate, mde_abs).
+    The z constants ship as shared literals, so both engines compute
+    the identical float expression over exact integer counts.  Plan:
+    the same single user-keyed aggregation as ab_lift."""
+    per_user = (events
+                .select(F.col(user_col).alias("u"),
+                        (F.col(type_col) == convert_type)
+                        .cast("int").alias("cv"))
+                .groupBy("u").agg(F.max("cv").alias("converted")))
+    cohort = (per_user
+              .groupBy((F.pmod(F.col("u"), F.lit(2)) == 0).alias("is_a"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("converted").alias("conv")))
+    a = cohort.filter(F.col("is_a")).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = cohort.filter(~F.col("is_a")).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(b)
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    e = (n_a + n_b) / F.lit(2.0)
+    chi2 = (((n_a - e) * (n_a - e)) / e) + (((n_b - e) * (n_b - e)) / e)
+    p = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+         / (F.col("n_a") + F.col("n_b")).cast("double"))
+    mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
+        (p * (F.lit(1.0) - p))
+        * ((F.lit(1.0) / n_a) + (F.lit(1.0) / n_b)))
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(mde, 6).alias("mde_abs"))

@@ -403,3 +403,31 @@ def test_ab_cuped_degenerate_pre_period_theta_zero(spark):
     out = A.ab_cuped(ev).collect()
     assert all(r["theta"] == 0.0 and r["mean_y"] == r["mean_y_adj"]
                for r in out)
+
+
+def test_ab_health_flags_sample_ratio_mismatch(spark):
+    """Balanced cohorts: chi2 = 0, no flag; a 90/10 split flags."""
+    bal = spark.createDataFrame(
+        [(u, "view") for u in range(20)],
+        "user_id long, event_type string")
+    r = A.ab_health(bal).collect()[0]
+    assert r["srm_chi2"] == 0.0 and not r["srm_flag"]
+    # 18 even users vs 2 odd users: chi2 = (8^2/10)*2 = 12.8 -> flag
+    skew = spark.createDataFrame(
+        [(2 * u, "view") for u in range(18)]
+        + [(2 * u + 1, "view") for u in range(2)],
+        "user_id long, event_type string")
+    r2 = A.ab_health(skew).collect()[0]
+    assert r2["srm_chi2"] == 12.8 and r2["srm_flag"]
+
+
+def test_ab_health_mde_shrinks_with_sample_size(spark):
+    small = spark.createDataFrame(
+        [(u, "purchase" if u % 4 == 0 else "view") for u in range(20)],
+        "user_id long, event_type string")
+    big = spark.createDataFrame(
+        [(u, "purchase" if u % 4 == 0 else "view") for u in range(2000)],
+        "user_id long, event_type string")
+    m_small = A.ab_health(small).collect()[0]["mde_abs"]
+    m_big = A.ab_health(big).collect()[0]["mde_abs"]
+    assert m_big < m_small / 5          # ~1/sqrt(100x) shrink
