@@ -485,6 +485,10 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
     same order, so the newest merge stamp IS the highest applied batch
     id: the backward scan stops at the first stamp it meets — O(1)
     manifest reads per trigger on a table this stream maintains.
+    The stamp↔batch correspondence assumes the batch directory is
+    APPEND-ONLY (the file-source contract anyway): removing already-
+    processed files before a fresh-checkpoint re-drain would renumber
+    batches against the stamps.
 
     Per-trigger cost is merge's: only the batch's buckets rewrite,
     untouched dirs carried by reference — O(batch) against a 100 TB
