@@ -178,3 +178,8 @@ def test_lp_one_round_adopts_min_neighbour_on_ties(spark):
 def test_lp_deterministic_across_runs(spark):
     edges = [(i, (i * 7) % 23 + 100) for i in range(40)]
     assert _lp(spark, edges) == _lp(spark, edges)
+
+
+def test_lp_zero_iterations_is_identity_labels(spark):
+    lab = _lp(spark, [(1, 2), (3, 4)], iterations=0)
+    assert lab == {1: 1, 2: 2, 3: 3, 4: 4}

@@ -1080,3 +1080,14 @@ def test_round10_operators_have_no_unpartitioned_windows(spark, t):
     ]
     for df in frames:
         assert _unpartitioned_windows(plan_of(df)) == []
+
+
+def test_skew_profile_null_keys_form_one_group(spark):
+    """NULL join keys co-locate in a shuffle like any value: the
+    profiler counts them as one (potentially hot) key."""
+    from document_vector_pipeline_spark.plans import joins as J
+
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [("a",)], "k string")
+    r = J.skew_profile(df, "k", "n.k", n_partitions=4).collect()[0]
+    assert r["n_keys"] == 2 and r["top1_rows"] == 5

@@ -929,3 +929,25 @@ def test_search_count_matches_scan_and_respects_maintenance(spark, docs,
            idx.search_count(qt, doc_filter=F.col("doc_id") % 2 == 0)
            .collect()}
     assert flt == scan_counts(cur.filter(F.col("doc_id") % 2 == 0))
+
+
+def test_search_after_tracks_index_maintenance(spark, docs, qt, tmp_path):
+    """Pagination cursors stay valid across delete/upsert: page 2 after
+    maintenance equals the maintained index's own ranking tail."""
+    idx = TextIndex(spark, str(tmp_path / "tisam"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    idx.delete([4])
+    upd = spark.createDataFrame([(8, "apple cherry durian")],
+                                "doc_id long, text string")
+    idx.upsert(upd)
+    full = idx.search(qt, k=4)
+    page1 = idx.search(qt, k=2)
+    cursors = (page1.filter(F.col("rank") == 2)
+               .select("query_id",
+                       F.col("score_micro").alias("after_score_micro"),
+                       F.col("doc_id").alias("after_doc_id"),
+                       F.col("rank").alias("rank_offset")))
+    page2 = idx.search_after(qt, cursors, k=2)
+    assert _sorted(page2) == _sorted(full.filter(F.col("rank") > 2)
+                                     .filter(F.col("rank") <= 4))
