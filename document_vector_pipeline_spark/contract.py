@@ -3856,6 +3856,62 @@ select 'added', doc_id + 1000000 from documents where doc_id % 17 = 0
 """
 
 
+def q_store_tags(spark, sf_dir):
+    """Named snapshot pins + tag-aware retention (store/versioned.tag,
+    Delta/Iceberg tags): v0 (the full corpus) is tagged 'prod', two
+    merge-deletes advance the table, then vacuum(keep_last=1) — the
+    middle version drops but the TAGGED v0 survives retention (the
+    lineage pin a training run takes on its input so retention can't
+    break a reproducibility claim).  Output: (snapshot, n_rows, exact
+    text digest, n_versions) for read(tag='prod') and read() — prod
+    must still be the untouched corpus, latest the twice-deleted one,
+    and exactly 2 versions remain readable."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(SCRATCH, "store_tags")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+
+    def wb(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+
+    vt.commit_overwrite(wb(docs))
+    vt.tag("prod")
+    dele = lambda m: wb(docs.filter(F.col("doc_id") % m == 0)  # noqa: E731
+                        .withColumn("_deleted", F.lit(True)))
+    vt.merge(dele(3), ["doc_id"])
+    vt.merge(dele(5), ["doc_id"])
+    vt.vacuum(keep_last=1)
+    n_v = len(vt.versions())
+    sig = md5_long(F.col("text"), hex_digits=13)
+    out = None
+    for label, df in (("prod", vt.read(tag="prod")), ("latest", vt.read())):
+        r = (df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(sig).cast("long").alias("digest"))
+             .select(F.lit(label).alias("snapshot"), "n_rows", "digest",
+                     F.lit(n_v).cast("int").alias("n_versions")))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _sql_store_tags() -> str:
+    sig = _md5l("text", 13)
+    return f"""
+select 'prod' as snapshot, cast(count(*) as bigint) as n_rows,
+       cast(sum({sig}) as bigint) as digest, cast(2 as int) as n_versions
+from documents
+union all
+select 'latest', cast(count(*) as bigint), cast(sum({sig}) as bigint),
+       cast(2 as int)
+from documents where doc_id % 3 <> 0 and doc_id % 5 <> 0
+"""
+
+
 def q_store_constraints(spark, sf_dir):
     """Commit-time data-quality constraints (store/versioned.
     constraint_violations — Delta CHECK / NOT NULL / uniqueness at the
@@ -11125,6 +11181,7 @@ def queries():
         "text_search_count": q_text_search_count,
         "store_merge_cdc": q_store_merge_cdc,
         "events_ab_health": q_events_ab_health,
+        "store_tags": q_store_tags,
         # -- stalest driver greens: r4/r5/r6 remainder (40 fill the head) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
@@ -11432,6 +11489,7 @@ def oracle_sql():
         "text_search_count": _sql_text_search_count(),
         "store_merge_cdc": _sql_store_merge_cdc(),
         "events_ab_health": _sql_events_ab_health(),
+        "store_tags": _sql_store_tags(),
         "asof_forward": _sql_asof_forward(),
         "hypertable_gapfill": _sql_hypertable_gapfill(),
         "ann_ivfpq": _sql_ann_ivfpq(),

@@ -212,7 +212,15 @@ class VersionedTable:
 
     # ---- operations -------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             tag: str | None = None) -> DataFrame:
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            t = self.tags()
+            if tag not in t:
+                raise ValueError(f"unknown tag {tag!r}; have {sorted(t)}")
+            version = t[tag]
         if version is None:
             version = self.latest()
             if version is None:
@@ -285,6 +293,43 @@ class VersionedTable:
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
+    # ---- tags ---------------------------------------------------------
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Named snapshot pin (Delta/Iceberg tags): ``read(tag=name)``
+        resolves through it forever, and ``vacuum`` NEVER drops a
+        tagged version — the lineage pin a training run takes on its
+        input table ('prod', 'eval-2026-08') so retention policy can't
+        pull the data out from under a reproducibility claim.  One
+        driver-side JSON write; re-tagging a name moves it."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.latest() if version is None else version
+        if v not in self.versions():
+            raise ValueError(
+                f"version {v} not in log; available: {self.versions()}")
+        self._write_text(f"_tags/{name}.json", json.dumps({"version": v}))
+        return v
+
+    def tags(self) -> dict[str, int]:
+        fs, _ = self._fs()
+        p = self._jpath("_tags")
+        if not fs.exists(p):
+            return {}
+        out = {}
+        for st in fs.listStatus(p):
+            n = st.getPath().getName()
+            if n.endswith(".json"):
+                out[n[:-5]] = json.loads(
+                    self._read_text(f"_tags/{n}"))["version"]
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        fs, _ = self._fs()
+        fs.delete(self._jpath(f"_tags/{name}.json"), False)
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: re-publish ``version``'s snapshot as a
         NEW commit by carrying that manifest's dirs by reference — one
@@ -309,10 +354,14 @@ class VersionedTable:
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions: delete their
         manifests, then every data dir no kept manifest references.
-        Returns the dropped version numbers.  All deletes go through the
-        Hadoop FileSystem — object-store-safe."""
+        TAGGED versions are always kept (retention cannot break a
+        lineage pin — delete the tag first to release it).  Returns the
+        dropped version numbers.  All deletes go through the Hadoop
+        FileSystem — object-store-safe."""
         vs = self.versions()
-        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        tagged = set(self.tags().values())
+        drop = [v for v in vs[:-keep_last] if v not in tagged]
+        keep = [v for v in vs if v in tagged or v in vs[-keep_last:]]
         live = {d for v in keep for d in self._manifest(v)["dirs"]}
         dead = {d for v in drop for d in self._manifest(v)["dirs"]} - live
         fs, _ = self._fs()

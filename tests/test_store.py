@@ -1035,3 +1035,31 @@ def test_merge_constraint_gate_refuses_before_any_write(spark, tmp_path):
         "id long, text string, n int, b string, _deleted boolean")
     assert bt.merge(dele, ["id"], constraints=cons) == 2
     assert {r["id"] for r in bt.read().collect()} == {2}
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    """A tagged version survives retention; releasing the tag releases
+    the data; a moved tag follows; read(tag=) resolves forever."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    bt = BucketedVersionedTable(spark, str(tmp_path / "tg"), bucket_col="b")
+    for i in range(3):
+        bt.commit_overwrite(spark.createDataFrame(
+            [(i, f"v{i}", "0")], "id long, text string, b string"))
+    bt.tag("prod", version=0)
+    assert bt.tags() == {"prod": 0}
+    dropped = bt.vacuum(keep_last=1)
+    assert dropped == [1]                       # v0 tagged, v2 latest
+    assert bt.read(tag="prod").collect()[0]["text"] == "v0"
+    assert bt.read().collect()[0]["text"] == "v2"
+    # re-tagging moves the pin; the old version becomes collectable
+    bt.tag("prod", version=2)
+    assert bt.vacuum(keep_last=1) == [0]
+    assert bt.versions() == [2]
+    # unknown tag and tag-on-missing-version refuse loudly
+    with pytest.raises(ValueError, match="unknown tag"):
+        bt.read(tag="nope")
+    with pytest.raises(ValueError, match="not in log"):
+        bt.tag("x", version=99)
