@@ -202,10 +202,14 @@ def skew_profile(df: DataFrame, key_col: str, label: str,
                                   .alias("cnt"))
     cum, _, n_keys = ranking.global_cumsum(hist, [F.col("x")], "cnt")
     spark = df.sparkSession
+    # the empty-input schema must track the `quantiles` parameter —
+    # the non-empty path names percentile columns from it, and a mixed
+    # unionByName over profiles breaks if the empty branch hardcodes
+    # p50/p99
     out_schema = ("relation_key string, n_rows long, n_keys long, "
                   "top1_rows long, top1_share_ppm long, "
-                  "p50_key_rows long, p99_key_rows long, "
-                  "skew_ratio_ppm long, recommended_salt long")
+                  + "".join(f"p{q}_key_rows long, " for q in quantiles)
+                  + "skew_ratio_ppm long, recommended_salt long")
     if n_keys == 0:
         return spark.createDataFrame([], out_schema)
     tot = sizes.agg(F.sum("x").cast("long").alias("n_rows"),

@@ -72,10 +72,16 @@ def constraint_violations(df: DataFrame, not_null: list[str] = (),
                  + [f"check({nm})" for nm in sorted(checks or {})])
         cols = ([f"nn_{i}" for i in range(len(not_null))]
                 + [f"ck_{i}" for i in range(len(checks or {}))])
+        # constraint names are DATA, not SQL: a column or check name
+        # carrying a quote/backslash must not break (or worse, rewrite)
+        # the stack() expression at the commit gate
+        def _q(nm: str) -> str:
+            return "'" + nm.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         stacked = one.selectExpr(
             "stack({n}, {args}) as (constraint, n_violations)".format(
                 n=len(cols),
-                args=", ".join(f"'{nm}', coalesce({c}, 0)"
+                args=", ".join(f"{_q(nm)}, coalesce({c}, 0)"
                                for nm, c in zip(names, cols))))
         parts.append(stacked)
     for keys in unique:

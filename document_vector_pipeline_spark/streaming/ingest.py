@@ -456,7 +456,8 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
                        max_files_per_trigger: int = 1,
                        op_col: str = "op",
                        seq_col: str | None = None,
-                       constraints: dict | None = None) -> StreamingQuery:
+                       constraints: dict | None = None,
+                       stream_id: str | None = None) -> StreamingQuery:
     """CDC stream → one atomic ``BucketedVersionedTable.merge`` per
     microbatch: the always-on form of store_merge, and the missing
     third leg next to stream_ingest (store freshness) and
@@ -476,16 +477,22 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
     written — the feed stops rather than admit bad data.
 
     EXACTLY-ONCE, not at-least-once: every merge commit is stamped
-    ``merge:b{batch_id}`` in its manifest, and a replayed microbatch
-    (foreachBatch re-delivers after a crash between sink commit and
-    offset checkpoint; a fresh checkpoint re-drains everything) is
-    detected off the manifest log and skipped — the versioned twin of
-    the admission gate's batch-keyed idempotent sinks.  Batch ids are
-    monotone and availableNow+mtime ordering re-delivers files in the
-    same order, so the newest merge stamp IS the highest applied batch
-    id: the backward scan stops at the first stamp it meets — O(1)
-    manifest reads per trigger on a table this stream maintains.
-    The stamp↔batch correspondence assumes the batch directory is
+    ``merge:{feed}:b{batch_id}`` in its manifest — ``feed`` is
+    ``stream_id`` if given, else a stable hash of ``batches_path`` —
+    and a replayed microbatch (foreachBatch re-delivers after a crash
+    between sink commit and offset checkpoint; a fresh checkpoint
+    re-drains everything) is detected off the manifest log and skipped
+    — the versioned twin of the admission gate's batch-keyed
+    idempotent sinks.  Batch ids are monotone PER FEED and
+    availableNow+mtime ordering re-delivers files in the same order,
+    so the newest stamp carrying THIS feed's id is the highest batch
+    id this feed applied: the backward scan stops at the first
+    same-feed stamp — O(1) manifest reads per trigger on a table this
+    stream alone maintains.  Scoping the stamp to the feed means a NEW
+    stream (fresh checkpoint, different batch directory) pointed at a
+    table that already carries another feed's high merge stamps does
+    NOT have its first microbatches misread as replays.  The
+    stamp↔batch correspondence assumes each feed's batch directory is
     APPEND-ONLY (the file-source contract anyway): removing already-
     processed files before a fresh-checkpoint re-drain would renumber
     batches against the stamps.
@@ -495,25 +502,31 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
     table.  Reference contrast: BlobTriggerFunction.cs:42-56 applies
     one document per invocation with no replay detection beyond blob
     receipts, and no version audit at all."""
+    import hashlib
+
     batches = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", max_files_per_trigger)
                .json(batches_path))
+    feed = stream_id if stream_id is not None else \
+        hashlib.sha256(batches_path.encode("utf-8")).hexdigest()[:12]
+    prefix = f"merge:{feed}:b"
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        tag = f"merge:b{batch_id}"
+        tag = f"{prefix}{batch_id}"
         # Replay detection in O(1) manifest reads: batch ids are
         # monotone within a checkpoint AND across a fresh-checkpoint
         # re-drain (availableNow + mtime file order re-deliver the same
-        # files in the same order), so the NEWEST merge stamp is the
-        # highest applied batch id — scan backward, stop at the first
-        # stamp (usually this stream's own previous commit), skip if it
-        # already covers this batch.
+        # files in the same order), so the NEWEST stamp carrying THIS
+        # feed's id is the highest batch id this feed applied — scan
+        # backward, skip other feeds' stamps, stop at the first
+        # same-feed stamp (usually this stream's own previous commit),
+        # skip the batch if that stamp already covers it.
         for v in reversed(table.versions()):
             op = table._manifest(v).get("op", "")
-            if op.startswith("merge:b"):
-                if int(op[7:]) >= batch_id:
+            if op.startswith(prefix):
+                if int(op[len(prefix):]) >= batch_id:
                     return               # replayed batch — already live
                 break
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -578,14 +591,19 @@ def stream_late_audit(spark: SparkSession, batches_path: str,
 
         if batch_df.isEmpty():
             return
+        # "no audit rows yet" is an explicit FS probe (as read_late_audit
+        # does), NOT exception control flow: a transient FS error or a
+        # corrupt prior audit must FAIL the trigger rather than silently
+        # audit this batch as if it were the first (watermark=None,
+        # n_late=0) and overwrite its batch=K dir with wrong rows.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(audit_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         prior_max = None
-        try:
+        if fs.exists(jpath):
             prior = (spark.read.parquet(audit_path)
                      .filter(F.col("batch_id") < batch_id)
                      .agg(F.max("batch_max_us")).collect()[0][0])
             prior_max = int(prior) if prior is not None else None
-        except Exception:
-            prior_max = None        # no audit rows yet (first batch)
         wm = (prior_max - delay_us) if prior_max is not None else None
         # a LONG ts column is taken as epoch MICROSECONDS verbatim —
         # the lossless staging for feeds serialized through JSON, whose

@@ -1082,6 +1082,21 @@ def test_round10_operators_have_no_unpartitioned_windows(spark, t):
         assert _unpartitioned_windows(plan_of(df)) == []
 
 
+def test_skew_profile_empty_schema_tracks_quantiles(spark):
+    """The empty-input branch must name percentile columns from the
+    `quantiles` parameter exactly like the non-empty path, so
+    unionByName over mixed (empty + non-empty) profiles works."""
+    from document_vector_pipeline_spark.plans import joins as J
+
+    df = spark.createDataFrame([("a",)], "k string")
+    empty = J.skew_profile(df.filter("k = 'zz'"), "k", "e.k",
+                           quantiles=(90, 99))
+    full = J.skew_profile(df, "k", "f.k", quantiles=(90, 99))
+    assert empty.columns == full.columns
+    assert "p90_key_rows" in empty.columns
+    assert empty.unionByName(full).count() == 1
+
+
 def test_skew_profile_null_keys_form_one_group(spark):
     """NULL join keys co-locate in a shuffle like any value: the
     profiler counts them as one (potentially hot) key."""

@@ -1037,6 +1037,23 @@ def test_merge_constraint_gate_refuses_before_any_write(spark, tmp_path):
     assert {r["id"] for r in bt.read().collect()} == {2}
 
 
+def test_constraint_names_with_quotes_are_data_not_sql(spark):
+    """A check name (or not_null column) carrying a single quote must
+    come back verbatim in the census, not break or rewrite the stack()
+    expression at the commit gate."""
+    from document_vector_pipeline_spark.store.versioned import (
+        constraint_violations,
+    )
+
+    df = spark.createDataFrame([(1, -2)], "`it's` long, n long")
+    rows = {r["constraint"]: r["n_violations"]
+            for r in constraint_violations(
+                df, not_null=["it's"],
+                checks={"n >= 0, isn't it": F.col("n") >= 0}).collect()}
+    assert rows["not_null(it's)"] == 0
+    assert rows["check(n >= 0, isn't it)"] == 1
+
+
 def test_tags_pin_versions_through_vacuum(spark, tmp_path):
     """A tagged version survives retention; releasing the tag releases
     the data; a moved tag follows; read(tag=) resolves forever."""

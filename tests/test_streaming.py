@@ -997,11 +997,38 @@ def test_stream_merge_apply_exactly_once_and_seq_collapse(spark, tmp_path):
     assert got[1] == "fresh" and 2 not in got and got[100] == "new"
     assert len(vt.versions()) == 3          # v0 + one per trigger
     ops = [vt._manifest(v)["op"] for v in vt.versions()]
-    assert ops[1:] == ["merge:b0", "merge:b1"]
+    import hashlib as _hashlib
+
+    feed = _hashlib.sha256(str(bdir).encode()).hexdigest()[:12]
+    assert ops[1:] == [f"merge:{feed}:b0", f"merge:{feed}:b1"]
     # fresh checkpoint = full replay; every batch must self-detect
     drain(tmp_path / "ck2")
     assert len(vt.versions()) == 3
     assert {r["id"]: r["text"] for r in vt.read().collect()} == got
+    # a SECOND feed (different batch dir, fresh checkpoint) pointed at
+    # the same table must NOT have its first batches misread as replays
+    # of the first feed's high stamps — stamps are feed-scoped
+    bdir2 = tmp_path / "batches2"
+    bdir2.mkdir()
+    _write_jsonl(bdir2 / "c1.json", [
+        {"id": 200, "text": "feed2", "b": "0", "op": "upsert", "seq": 1},
+    ])
+    stream_merge_apply(spark, str(bdir2), vt, ["id"],
+                       str(tmp_path / "ck3"), schema=schema,
+                       seq_col="seq").awaitTermination()
+    got2 = {r["id"]: r["text"] for r in vt.read().collect()}
+    assert got2[200] == "feed2"
+    assert len(vt.versions()) == 4
+    # an explicit stream_id overrides the path hash in the stamp
+    _write_jsonl(bdir2 / "c2.json", [
+        {"id": 201, "text": "named", "b": "1", "op": "upsert", "seq": 1},
+    ])
+    stream_merge_apply(spark, str(bdir2), vt, ["id"],
+                       str(tmp_path / "ck4"), schema=schema,
+                       seq_col="seq", stream_id="feed-two"
+                       ).awaitTermination()
+    ops = [vt._manifest(v)["op"] for v in vt.versions()]
+    assert any(op.startswith("merge:feed-two:b") for op in ops)
 
 
 def test_stream_late_audit_flags_and_measures_late_rows(spark, tmp_path):
