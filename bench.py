@@ -142,6 +142,12 @@ def main() -> None:
           lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.1))
     bench("dedup_embedding",
           lambda: dedup.embedding_neardup_pairs(emb, threshold=0.35))
+    bench("dedup_embedding_lsh",
+          lambda: dedup.embedding_lsh_pairs(emb, threshold=0.35,
+                                            planes=4, tables=16, dim=64))
+    bench("dedup_embedding_lsh_eval",
+          lambda: dedup.embedding_lsh_eval(emb, threshold=0.35,
+                                           planes=4, tables=16, dim=64))
     bench("dedup_url", lambda: dedup.url_dedup(docs.select(
         "doc_id",
         F.concat(F.lit("HTTPS://WWW."), F.col("source"),
@@ -728,13 +734,15 @@ def main() -> None:
     bench("mm_phash", lambda: multimodal.phash(
         multimodal.documents_as_assets(docs)))
     # asset-embedding seam + embedding-leg near-dup (client stage is
-    # map-only; the pair stage is the blocked matmul prune + verify)
-    bench("mm_embed", lambda: dedup.embedding_neardup_pairs(
+    # map-only; the pair stage is the banded LSH candidate join + exact
+    # verify — bounded at scale; ~3x the blocked matmul HERE because
+    # 5k×32-dim is far below the n² crossover, the documented tradeoff)
+    bench("mm_embed", lambda: dedup.embedding_lsh_pairs(
         multimodal.embed_assets_with_client(
             multimodal.documents_as_assets(docs),
             multimodal.stub_asset_embedder(dim=32), retry_delay_s=0.0)
         .select(F.col("asset_id").alias("vec_id"), "embedding"),
-        threshold=0.9))
+        threshold=0.9, planes=12, tables=16, dim=32))
     bench("text_stats", lambda: textstats.analyze_documents(docs))
     bench("text_readability", lambda: textstats.readability(docs))
     bench("basket_pairs", lambda: analytics.basket_pairs(t["lineitem"]))

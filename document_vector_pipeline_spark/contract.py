@@ -710,6 +710,30 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_neardup_pairs(emb, threshold=0.35)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup through the banded random-hyperplane candidate
+    pass + exact verify (the bounded-candidate production twin of
+    dedup_embedding: Σ_bucket |bucket|² multiply-adds, never n²).  The
+    synthetic embeddings top out near cos 0.5, so the key runs in the
+    τ=0.35 weak-signal regime with wide buckets (planes=4) and recall
+    bought by tables=16; the oracle replays the identical hyperplane
+    signatures as literals (the _sql_ann_lsh discipline), so the result
+    is exact regardless of the measured recall —
+    dedup_embedding_lsh_eval reports that honestly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(emb, threshold=0.35,
+                                     planes=4, tables=16, dim=64)
+
+
+def q_dedup_embedding_lsh_eval(spark, sf_dir):
+    """Measured candidate precision/recall of the banded LSH pair
+    generator vs the exact cosine ≥ τ truth (minhash_eval / ann_recall
+    acceptance discipline for the embedding-dedup family)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_eval(emb, threshold=0.35,
+                                    planes=4, tables=16, dim=64)
+
+
 def q_dedup_url(spark, sf_dir):
     """URL-canonicalization dedup over deterministic synthetic URLs (the
     corpus has no URL column, so the query constructs one per doc with
@@ -974,25 +998,33 @@ def q_mm_embed(spark, sf_dir):
     embed_with_client applied to binary payloads), wired straight into
     dedup as the EMBEDDING leg of multimodal near-dup (next to
     phash_pairs): cosine pairs over the client-embedded assets through
-    embedding_neardup_pairs' blocked-matmul prune + exact verify.
-    The stub client decodes the payload and replays the house
-    hashing-trick embedder (unnormalized exact integer bucket sums),
-    so the oracle rebuilds the identical vectors from the text the
-    payloads encode; a real CLIP-style client drops into the same
-    seam (tests/test_multimodal.py proves the retry contract and a
-    non-stub client)."""
+    the banded random-hyperplane candidate pass + exact verify
+    (dedup.embedding_lsh_pairs) — the bounded-candidate default that
+    replaced the blocked all-pairs matmul as the prune (Σ_bucket
+    |bucket|² multiply-adds, never n²; the blocked exact path remains
+    as embedding_neardup_pairs for audit).  The stub client decodes
+    the payload and replays the house hashing-trick embedder
+    (unnormalized exact integer bucket sums), so the oracle rebuilds
+    the identical vectors from the text the payloads encode AND
+    replays the identical hyperplane signatures as literals — exact by
+    construction regardless of band recall; a real CLIP-style client
+    drops into the same seam (tests/test_multimodal.py proves the
+    retry contract and a non-stub client)."""
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.documents_as_assets(docs)
     emb = multimodal.embed_assets_with_client(
         assets, multimodal.stub_asset_embedder(dim=32), retry_delay_s=0.0)
-    return dedup.embedding_neardup_pairs(
+    return dedup.embedding_lsh_pairs(
         emb.select(F.col("asset_id").alias("vec_id"), "embedding"),
-        threshold=0.9)
+        threshold=0.9, planes=12, tables=16, dim=32)
 
 
-def _sql_mm_embed(dim: int = 32, threshold: float = 0.9) -> str:
-    # normalize-then-join form, mirroring _sql_dedup_embedding; the
-    # vectors are the hashing-trick bucket sums of the payload text
+def _sql_mm_embed(dim: int = 32, threshold: float = 0.9,
+                  planes: int = 12, tables: int = 16) -> str:
+    # banded-candidates + exact-verify form, mirroring
+    # _sql_dedup_embedding_lsh; the vectors are the hashing-trick bucket
+    # sums of the payload text, the signatures literal-replayed
+    join_cond = " or ".join(f"a.s{t} = b.s{t}" for t in range(tables))
     cos = f"round({_dot('a.vn', 'b.vn', dim)}, 6)"
     return f"""
 with e0 as materialized (select doc_id as vec_id,
@@ -1000,10 +1032,15 @@ with e0 as materialized (select doc_id as vec_id,
   from documents),
 e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
 e as materialized (select vec_id,
-       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn
-  from e1)
-select a.vec_id as id_a, b.vec_id as id_b, {cos} as cos
-from e a join e b on a.vec_id < b.vec_id
+       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn,
+       {', '.join(_lsh_sig_sql(tables, planes, dim))}
+  from e1),
+cand as (
+  select a.vec_id as id_a, b.vec_id as id_b
+  from e a join e b on a.vec_id < b.vec_id and ({join_cond}))
+select c.id_a, c.id_b, {cos} as cos
+from cand c join e a on a.vec_id = c.id_a
+            join e b on b.vec_id = c.id_b
 where {cos} >= {threshold!r}
 """
 
@@ -8185,6 +8222,77 @@ where {cos} >= {threshold!r}
 """
 
 
+def _lsh_sig_sql(tables: int, planes: int, dim: int,
+                 v: str = "v") -> list[str]:
+    """Per-table signature columns `s0..s{T-1}` as SQL — the hyperplane
+    coefficients baked as literals, the same left-associative sum order
+    as the Arrow UDF's cumsum (every sign bit agrees exactly)."""
+    sig_cols = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            coefs = similarity.hyperplane_coefs(t, p, dim)
+            d = _dot_lit(v, coefs, dim)
+            bits.append(f"(case when ({d}) > 0 then '1' else '0' end)")
+        sig_cols.append(" || ".join(bits) + f" as s{t}")
+    return sig_cols
+
+
+def _sql_dedup_embedding_lsh_ctes(threshold: float, planes: int,
+                                  tables: int, dim: int) -> str:
+    """Shared CTE chain for the banded embedding near-dup oracle:
+    normalized vectors + literal-replayed signatures + the ≥1-table
+    candidate join + the exact verify — mirrors
+    dedup.embedding_lsh_pairs stage for stage."""
+    join_cond = " or ".join(f"a.s{t} = b.s{t}" for t in range(tables))
+    cos = f"round({_dot('a.vn', 'b.vn', dim)}, 6)"
+    return f"""
+e0 as materialized (select vec_id, {_EMB_D} as v from embeddings),
+e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
+e as materialized (select vec_id,
+       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn,
+       {', '.join(_lsh_sig_sql(tables, planes, dim))}
+  from e1),
+cand as (
+  select a.vec_id as id_a, b.vec_id as id_b
+  from e a join e b on a.vec_id < b.vec_id and ({join_cond})),
+pairs as (
+  select c.id_a, c.id_b, {cos} as cos
+  from cand c join e a on a.vec_id = c.id_a
+              join e b on b.vec_id = c.id_b
+  where {cos} >= {threshold!r})"""
+
+
+def _sql_dedup_embedding_lsh(threshold: float = 0.35, planes: int = 4,
+                             tables: int = 16, dim: int = 64) -> str:
+    return f"""
+with {_sql_dedup_embedding_lsh_ctes(threshold, planes, tables, dim)}
+select id_a, id_b, cos from pairs
+"""
+
+
+def _sql_dedup_embedding_lsh_eval(threshold: float = 0.35, planes: int = 4,
+                                  tables: int = 16, dim: int = 64) -> str:
+    cos = f"round({_dot('a.vn', 'b.vn', dim)}, 6)"
+    return f"""
+with {_sql_dedup_embedding_lsh_ctes(threshold, planes, tables, dim)},
+truth as (
+  select a.vec_id as id_a, b.vec_id as id_b
+  from e a join e b on a.vec_id < b.vec_id
+  where {cos} >= {threshold!r}),
+counts as (
+  select cast((select count(*) from cand) as bigint) as n_cand,
+         cast((select count(*) from truth) as bigint) as n_true,
+         cast((select count(*) from pairs) as bigint) as n_hit)
+select n_cand, n_true, n_hit,
+       cast(case when n_cand = 0 then 0
+            else (1000 * n_hit) // n_cand end as bigint) as precision_milli,
+       cast(case when n_true = 0 then 0
+            else (1000 * n_hit) // n_true end as bigint) as recall_milli
+from counts
+"""
+
+
 def _sql_ann_bruteforce(where_: str = "") -> str:
     # ``where_`` (e.g. "where e.vec_id % 3 = 0") restricts the CORPUS
     # side before scoring — the filtered-ANN ground truth; queries stay
@@ -11162,12 +11270,15 @@ limit {top}
 
 def queries():
     return {
-    # Round-10 rotation (driver caps at ~50 keys/round): the 10 NEW
-    # round-10 keys lead, then 40 of the r4/r5/r6-green remainder —
-    # the stalest verdicts once round 9 re-certified the ex-r1 block
-    # and the oldest r4/r5 keys.  Tail stays oldest-verdict-first with
-    # the 50 keys round 9 just recorded at the bottom.
-        # -- new round-10 keys --
+    # Round-11 rotation (driver caps at ~50 keys/round): the NEW
+    # round-11 keys lead, then the stalest r4/r5/r6 remainder past
+    # round 10's window plus the r7 block fills the head.  Tail stays
+    # oldest-verdict-first with round 10's freshly recorded keys at
+    # the bottom.
+        # -- new round-11 keys --
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_embedding_lsh_eval": q_dedup_embedding_lsh_eval,
+        # -- round-10 keys (driver-r10 green) --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
         "graph_label_prop": q_graph_label_prop,
@@ -11476,6 +11587,8 @@ def oracle_sql():
     # ANSI-SQL twin (the exact variants ann_bruteforce / mm_decode are
     # oracle-checked instead).
     return {
+        "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
+        "dedup_embedding_lsh_eval": _sql_dedup_embedding_lsh_eval(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),

@@ -568,6 +568,128 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cos"))
 
 
+# ---- 17b. embedding near-dup, LSH-banded (the 100 TB path) -----------------
+
+def embedding_lsh_candidates(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             planes: int = 8, tables: int = 16,
+                             dim: int = 64) -> DataFrame:
+    """Bounded candidate pairs for embedding near-dup: vectors sharing a
+    random-hyperplane signature in ≥1 of ``tables`` hash tables (the
+    lsh_ann bucketing, similarity.py, turned from query-vs-corpus into a
+    corpus self-join).  Distinct (id_a < id_b) pairs, NO similarity
+    scores — this is the pair *generator* the exact verify stage and the
+    accuracy eval consume.
+
+    Scale shape: signatures are one Arrow matmul pass per row (no
+    shuffle), each row explodes to ``tables`` (t, sig) keys, and
+    candidates come from an equi-join on the band key — the classic
+    banded plan, identical in shape to minhash_lsh_pairs' band join.
+    Work is Σ_bucket |bucket|², never n²: at 100 TB the bucket count
+    (2^planes per table) keeps buckets small, and AQE skew-join splits
+    the hot buckets a template-heavy corpus produces.  More tables ⇒
+    recall up / candidates up; more planes ⇒ buckets tighter (recall
+    down, precision up) — measured, not guessed, by
+    embedding_lsh_eval."""
+    from document_vector_pipeline_spark.operators.similarity import (
+        _live_vectors,
+        make_lsh_sig_udf,
+    )
+
+    emb = _live_vectors(emb, vec_col)
+    sig_udf = make_lsh_sig_udf(tables, planes, dim)
+    sigs = (emb.select(F.col(id_col).alias("id"),
+                       F.posexplode(sig_udf(F.col(vec_col)))
+                       .alias("t", "sig")))
+    a = sigs.select(F.col("id").alias("id_a"), "t", "sig")
+    b = sigs.select(F.col("id").alias("id_b"), "t", "sig")
+    return (a.join(b, ["t", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+
+
+def embedding_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        planes: int = 8, tables: int = 16,
+                        dim: int = 64) -> DataFrame:
+    """Embedding cosine near-dup pairs via banded LSH candidates + exact
+    verify — the production twin of ``embedding_neardup_pairs``: same
+    output shape (id_a < id_b, cos ≥ τ rounded 6 dp), same exact
+    normalize-then-dot verify (bit-identical to the DuckDB oracle
+    expression), but the candidates come from the bounded band join
+    instead of the blocked all-pairs matmul, so multiply-adds are
+    Σ_bucket |bucket|² instead of O(n²).  Recall < 1 by design (a true
+    pair landing in no shared bucket is never scored) — ship it with
+    ``embedding_lsh_eval``'s measured precision/recall, exactly as
+    ann_lsh ships with ann_recall.
+
+    Defaults (planes=8, tables=16) target the near-dup regime τ≈0.95
+    where a 0.95-cos pair agrees with a random hyperplane ~90% of the
+    time (sig collision 0.9^8 ≈ 0.43/table, ≥1-of-16 ≈ 0.9999); lower
+    thresholds need fewer planes / more tables — sweep with the eval."""
+    from document_vector_pipeline_spark.functions.vectors import normalize
+    from document_vector_pipeline_spark.operators.similarity import (
+        _live_vectors,
+    )
+
+    emb = _live_vectors(emb, vec_col)
+    cand = embedding_lsh_candidates(emb, id_col=id_col, vec_col=vec_col,
+                                    planes=planes, tables=tables, dim=dim)
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   normalize(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   normalize(F.col(vec_col)).alias("vb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("cos",
+                        F.round(dot_product(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+def embedding_lsh_eval(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95,
+                       planes: int = 8, tables: int = 16,
+                       dim: int = 64, n_blocks: int = 8) -> DataFrame:
+    """Measured candidate precision/recall of the banded LSH pair
+    generator against the EXACT cosine ≥ τ truth (the
+    minhash_eval / ann_recall acceptance discipline applied to the
+    embedding-dedup family): one row — (n_cand, n_true, n_hit,
+    precision_milli, recall_milli) in exact integer milli-units.
+
+    n_hit = |candidates ∩ truth| is also exactly the pair count
+    ``embedding_lsh_pairs`` emits (verify keeps a candidate iff it is a
+    true pair), so recall_milli reads directly as "fraction of true
+    near-dup pairs the production path finds" and precision_milli as
+    "fraction of generated candidates the verify stage keeps" (the
+    wasted-verify-work dial).  Both operands are deterministic
+    md5-derived plans — the metric itself is oracle-exact.  Truth uses
+    the blocked exact prune (sound), candidates the band join; both
+    pair tables are tiny vs the corpus and eager-checkpointed so each
+    generator runs once."""
+    cand = embedding_lsh_candidates(emb, id_col=id_col, vec_col=vec_col,
+                                    planes=planes, tables=tables, dim=dim
+                                    ).localCheckpoint(eager=True)
+    truth = embedding_neardup_pairs(emb, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold, n_blocks=n_blocks
+                                    ).select("id_a", "id_b"
+                                             ).localCheckpoint(eager=True)
+    hit = cand.join(truth, ["id_a", "id_b"])
+    row = (cand.agg(F.count("*").cast("long").alias("n_cand"))
+           .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+           .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit"))))
+    return row.select(
+        "n_cand", "n_true", "n_hit",
+        F.when(F.col("n_cand") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("(1000 * n_hit) div n_cand"))
+         .alias("precision_milli"),
+        F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("(1000 * n_hit) div n_true"))
+         .alias("recall_milli"))
+
+
 # ---- end-to-end near-dup removal ------------------------------------------
 
 def neardup_dedup(docs: DataFrame, id_col: str = "doc_id",

@@ -115,6 +115,47 @@ def test_embedding_prefilter_equals_exact(spark):
     assert fast == slow and len(fast) > 0
 
 
+def test_embedding_lsh_pairs_subset_of_exact_and_verified(spark):
+    """The banded path's output must be a SUBSET of the exact pair set
+    (candidates can only MISS true pairs, never invent them — the
+    exact verify guarantees every emitted cos is the true one), and at
+    high cosine + enough tables it should find them all."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos for r in
+             D.embedding_neardup_pairs(emb, threshold=0.35).collect()}
+    banded = {(r.id_a, r.id_b): r.cos for r in
+              D.embedding_lsh_pairs(emb, threshold=0.35, planes=4,
+                                    tables=16, dim=64).collect()}
+    assert set(banded) <= set(exact)
+    assert all(exact[p] == c for p, c in banded.items())
+    assert len(banded) >= 0.8 * len(exact) > 0
+    # a truly-identical pair collides in EVERY table — recall 1 at cos=1
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 4.0, 6.0, 8.0]),
+            (3, [-1.0, 5.0, -2.0, 0.5])]
+    tiny = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    got = D.embedding_lsh_pairs(tiny, threshold=0.99, planes=8,
+                                tables=4, dim=4).collect()
+    assert [(r.id_a, r.id_b, r.cos) for r in got] == [(1, 2, 1.0)]
+
+
+def test_embedding_lsh_eval_metric_consistent(spark):
+    """n_hit == the production path's emitted pair count; milli metrics
+    are the exact integer ratios; empty corpus yields the typed zero
+    row, not a crash."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    r = D.embedding_lsh_eval(emb, threshold=0.35, planes=4, tables=16,
+                             dim=64).collect()[0]
+    n_pairs = D.embedding_lsh_pairs(emb, threshold=0.35, planes=4,
+                                    tables=16, dim=64).count()
+    assert r.n_hit == n_pairs
+    assert r.precision_milli == 1000 * r.n_hit // r.n_cand
+    assert r.recall_milli == 1000 * r.n_hit // r.n_true
+    empty = D.embedding_lsh_eval(emb.filter("vec_id < 0"), planes=2,
+                                 tables=2, dim=64).collect()[0]
+    assert tuple(empty) == (0, 0, 0, 0, 0)
+
+
 def test_neardup_dedup_keeps_min_id_per_cluster(spark):
     from document_vector_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
