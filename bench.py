@@ -362,6 +362,16 @@ def main() -> None:
     bench("text_bm25_filtered",
           lambda: ti.search(bm25_qt, k=10,
                             doc_filter=F.col("doc_id") % 3 == 0))
+    # block-max WAND serving: needs multi-segment state to have
+    # anything to skip — 3 segments built untimed, serving timed
+    ti_w = TextIndex(spark, os.path.join(ROOT, ".scratch",
+                                         "bench_wand_idx"))
+    ti_w.build(docs.filter(F.col("doc_id") % 3 != 0))
+    ti_w.upsert(docs.filter(F.col("doc_id") % 3 == 0))
+    ti_w.upsert(docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.lit("wand serving term"))))
+    bench("text_wand_search", lambda: ti_w.wand_search(bm25_qt, k=10))
     phrase_qt = spark.createDataFrame(
         [(0, "table", 0), (0, "hash", 1), (1, "table", 0), (1, "table", 1),
          (2, "slow", 0), (2, "hash", 1), (2, "batch", 2)],

@@ -2137,6 +2137,52 @@ from r where rank <= {k}
 """
 
 
+def q_text_wand_search(spark, sf_dir):
+    """Block-max WAND/MaxScore serving off the persisted text index
+    (store/text_index.wand_search): per-(term, segment) score ceilings
+    (max_tf, min_dl) in the dictionary sidecar let a common-term query
+    skip segments that provably cannot reach the running kth score —
+    EXACT, so the result is bit-identical to plain search over the
+    same live corpus (the oracle is scan-path BM25).  Proven through
+    maintenance: build, delete every 10th, re-upsert every 20th with
+    modified text, upsert every 15th again (3 live segments +
+    tombstones — the live-df correction path runs)."""
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TextIndex(spark, os.path.join(SCRATCH, "text_wand_idx"),
+                    n_term_buckets=16, n_doc_buckets=8)
+    idx.build(docs)
+    idx.delete(docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    idx.upsert(docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.lit("vector index term"))))
+    idx.upsert(docs.filter(F.col("doc_id") % 15 == 0).withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.lit("wand pruned serving"))))
+    return idx.wand_search(_bm25_query_df(spark), k=10)
+
+
+def _sql_text_wand_search(k: int = 10) -> str:
+    # the block-max cut is exact, so the oracle is plain scan-path BM25
+    # over the post-maintenance live corpus (last upsert wins)
+    bm = _sql_bm25_ctes(src="src", id_col="doc_id", text_col="text")
+    return f"""
+with src as (
+  select doc_id, text || ' wand pruned serving' as text
+  from documents where doc_id % 15 = 0
+  union all
+  select doc_id, text || ' vector index term' as text
+  from documents where doc_id % 20 = 0 and doc_id % 15 <> 0
+  union all
+  select doc_id, text from documents
+  where doc_id % 10 <> 0 and doc_id % 15 <> 0),
+{bm}
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank <= {k}
+"""
+
+
 # One immutable build of the documents TextIndex (term_vectors on)
 # shared by the BUILD-ONLY query keys (boolean/prefix/fuzzy/facets/
 # MLT) — they never mutate it, so rebuilding per key is pure waste in
@@ -11278,6 +11324,7 @@ def queries():
         # -- new round-11 keys --
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_embedding_lsh_eval": q_dedup_embedding_lsh_eval,
+        "text_wand_search": q_text_wand_search,
         # -- round-10 keys (driver-r10 green) --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
@@ -11589,6 +11636,7 @@ def oracle_sql():
     return {
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
         "dedup_embedding_lsh_eval": _sql_dedup_embedding_lsh_eval(),
+        "text_wand_search": _sql_text_wand_search(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),

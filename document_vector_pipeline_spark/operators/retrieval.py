@@ -106,7 +106,7 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
 
 
 def score_tf(tf: DataFrame, query_terms: DataFrame,
-             stats: DataFrame) -> DataFrame:
+             stats: DataFrame, df: DataFrame | None = None) -> DataFrame:
     """The BM25 scoring core over an explicit term-frequency relation —
     ``tf`` is (doc_id, term, tf, dl) restricted to the query batch's
     terms (each term's posting list COMPLETE, so the per-term df
@@ -114,8 +114,16 @@ def score_tf(tf: DataFrame, query_terms: DataFrame,
     (n_docs, total_len).  Shared verbatim by the scan path
     (``bm25_scores``) and the persisted inverted index
     (store/text_index.TextIndex.search), which is how index search
-    stays bit-identical to the scan."""
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stays bit-identical to the scan.
+
+    ``df`` (optional, a (term, df) frame) supplies the per-term live
+    document frequencies EXPLICITLY — wand_search's segment-skipping
+    path passes them (derived exactly from the dictionary sidecar +
+    tombstone correction) because its pruned ``tf`` relation no longer
+    carries every segment's rows; integer-equal to the aggregation
+    below over the full live read, so scores stay bit-identical."""
+    df_ = df if df is not None else \
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     joined = (tf.join(F.broadcast(df_), "term")
               .join(F.broadcast(query_terms), "term")

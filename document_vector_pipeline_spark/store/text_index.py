@@ -78,7 +78,8 @@ POSTING_SCHEMA = ("term string, doc_id long, tf bigint, dl int, "
                   "pos array<int>, seg int, tbucket int")
 DOCLENS_SCHEMA = "doc_id long, dl int, seg int, dbucket int"
 TOMBSTONE_SCHEMA = "doc_id long, seq int"
-DICT_SCHEMA = "term string, df bigint, seg int"
+DICT_SCHEMA = ("term string, df bigint, max_tf bigint, min_dl int, "
+               "seg int")
 TVEC_SCHEMA = "doc_id long, term string, tf bigint, dl int, seg int, vbucket int"
 
 
@@ -212,8 +213,12 @@ class TextIndex:
 
     # -- manifest-resolved reads --------------------------------------------
 
-    def _postings(self) -> DataFrame:
-        segs = self._manifest_required()["segments"]
+    def _postings(self, segs: list[int] | None = None) -> DataFrame:
+        """Manifest-resolved posting read; ``segs`` restricts to a
+        subset of the live segments (wand_search's survivor set) —
+        pruning whole segment directories before the scan plans."""
+        if segs is None:
+            segs = self._manifest_required()["segments"]
         dirs = [os.path.join(self._segments, f"seg={s}") for s in segs]
         return (self.spark.read.schema(POSTING_SCHEMA)
                 .option("basePath", self._segments).parquet(*dirs))
@@ -284,10 +289,19 @@ class TextIndex:
         # FST): VOCAB-sized, one file — the sidecar multi-term queries
         # (prefix/wildcard) expand against, so term DISCOVERY never
         # scans postings.  df is the segment's raw document frequency
-        # (diagnostic only: scoring recomputes live df from the pruned
-        # posting read, so stale dictionary entries can't skew BM25)
+        # (plain search recomputes live df from the pruned posting
+        # read; wand_search derives the SAME live df as raw-sum minus
+        # an exact tombstone correction).  max_tf / min_dl are the
+        # block-max sidecar (Lucene BMW impacts at segment granularity):
+        # BM25's per-term contribution is increasing in tf and
+        # decreasing in dl, so contrib(max_tf, min_dl) upper-bounds
+        # every live doc's contribution in the segment — tombstones
+        # only remove docs, which can never raise the true max, so the
+        # raw bound stays sound without maintenance
         (tf.groupBy("term")
-         .agg(F.count(F.lit(1)).cast("long").alias("df"))
+         .agg(F.count(F.lit(1)).cast("long").alias("df"),
+              F.max("tf").cast("long").alias("max_tf"),
+              F.min("dl").cast("int").alias("min_dl"))
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(self._dicts, f"seg={seg}")))
         if self.term_vectors:
@@ -453,6 +467,184 @@ class TextIndex:
         return (hits.groupBy("query_id")
                 .agg(F.countDistinct("doc_id").cast("long")
                      .alias("total_hits")))
+
+    # -- block-max (WAND/MaxScore) serving ----------------------------------
+
+    def _live_df_map(self, query_terms: DataFrame) -> tuple[dict, dict]:
+        """Exact live document frequency per query term WITHOUT the
+        scoring read, plus the per-(term, seg) block-max rows.
+
+        live_df(t) = Σ_seg dict.df(t, seg) − |dead posting rows of t|:
+        every live doc owns rows in exactly ONE live segment (upsert
+        tombstones the replaced copy), so the raw dictionary sum counts
+        each live doc once plus each tombstoned row once, and the
+        correction is exact.  The correction job reads only the query
+        terms' tbuckets, only 3 narrow columns (term, doc_id, seg —
+        never tf/dl/pos), and only runs when tombstones exist; its
+        output is query-term-sized."""
+        m = self._manifest_required()
+        drows = (self._dict_df()
+                 .join(F.broadcast(query_terms.select("term").distinct()),
+                       "term", "left_semi")
+                 .collect())
+        raw: dict[str, int] = {}
+        blocks: dict[tuple, tuple] = {}
+        for r in drows:
+            raw[r["term"]] = raw.get(r["term"], 0) + int(r["df"])
+            blocks[(r["term"], int(r["seg"]))] = (r["max_tf"], r["min_dl"])
+        dead: dict[str, int] = {}
+        if m["tombstones"] and drows:
+            tb = [r[0] for r in query_terms
+                  .select(self._tbucket(F.col("term"))).distinct()
+                  .collect()]
+            post = (self._postings()
+                    .filter(F.col("tbucket").isin(tb))
+                    .join(F.broadcast(query_terms.select("term")
+                                      .distinct()), "term", "left_semi")
+                    .select("term", "doc_id", "seg"))
+            ts = (self._tombstone_df()
+                  .groupBy("doc_id").agg(F.max("seq").alias("__ts_seq")))
+            if m["n_tombstone_rows"] <= self.broadcast_tombstone_rows:
+                ts = F.broadcast(ts)
+            dead = {r["term"]: int(r["n"]) for r in
+                    (post.join(ts, "doc_id")
+                     .filter(F.col("seg") < F.col("__ts_seq"))
+                     .groupBy("term")
+                     .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        live = {t: raw[t] - dead.get(t, 0) for t in raw}
+        return live, blocks
+
+    def _wand_survivors(self, query_terms: DataFrame,
+                        k: int = 10, doc_filter=None):
+        """The segment-skip plan: per-(query, segment) score upper
+        bounds from the dictionary sidecar, a seed pass over each
+        query's best-bound segment to establish θ (the kth score), and
+        the survivor set {seg : ∃q bound(q, seg) ≥ θ_q}.  Returns
+        (survivors, df_frame, qterms_rows) — df_frame carries the exact
+        live per-term df so BOTH passes score with identical idf.
+
+        Soundness: bound(q, s) = Σ_t ⌈contrib(idf⁺, max_tf, min_dl)⌉+1
+        over q's terms present in s — contrib is increasing in tf and
+        decreasing in dl, idf⁺ = ⌊idf⌋+1 ≥ the engine's half-up
+        rounding, and the +1 absorbs float-order differences between
+        this Python mirror and the JVM expression, so the bound can
+        only OVER-estimate.  θ_q comes from exactly-scored seed docs,
+        hence θ_q ≤ the true kth score; a segment with bound < θ_q
+        cannot hold a top-k doc.  A query with fewer than k seed hits
+        gets no θ and skips nothing."""
+        import math
+
+        m = self._manifest_required()
+        segs = list(m["segments"])
+        n_docs, total_len = int(m["n_docs"]), int(m["total_len"])
+        live_df, blocks = self._live_df_map(query_terms)
+        qrows = [(r["query_id"], r["term"]) for r in
+                 query_terms.select("query_id", "term").distinct()
+                 .collect()]
+        df_frame = self.spark.createDataFrame(
+            [(t, n) for t, n in live_df.items()] or
+            [("", 0)], "term string, df long").filter(F.col("term") != "")
+
+        def idf_plus(dfv: int) -> float:
+            x = math.log((2.0 * (n_docs - dfv) + 1.0)
+                         / (2.0 * dfv + 1.0) + 1.0) * 1e6
+            return math.floor(x) + 1.0
+
+        bounds: dict = {}
+        for qid, term in qrows:
+            if term not in live_df:
+                continue
+            iplus = idf_plus(live_df[term])
+            for s in segs:
+                blk = blocks.get((term, s))
+                if blk is None:
+                    continue
+                max_tf, min_dl = blk
+                if max_tf is None or min_dl is None:
+                    ub = math.inf          # pre-upgrade dict: never skip
+                else:
+                    ub = math.floor(
+                        iplus * (22.0 * (float(max_tf) * total_len))
+                        / ((10.0 * (total_len * float(max_tf)))
+                           + (3.0 * total_len)
+                           + (9.0 * (float(min_dl) * n_docs)))) + 1
+                bounds.setdefault(qid, {})
+                bounds[qid][s] = bounds[qid].get(s, 0) + ub
+        seeds = set()
+        for qid, per_seg in bounds.items():
+            best = max(per_seg.items(), key=lambda kv: (kv[1], -kv[0]))
+            seeds.add(best[0])
+        if not seeds:
+            return [], df_frame, qrows
+        seed_scored = self._score_segs(sorted(seeds), query_terms,
+                                       df_frame)
+        if doc_filter is not None:
+            seed_scored = seed_scored.filter(doc_filter)
+        theta = {r["query_id"]: int(r["score_micro"]) for r in
+                 retrieval.rank_topk(seed_scored, k)
+                 .filter(F.col("rank") == k)
+                 .select("query_id", "score_micro").collect()}
+        survivors = set(seeds)
+        for qid, per_seg in bounds.items():
+            th = theta.get(qid)
+            for s, b in per_seg.items():
+                if th is None or b >= th:
+                    survivors.add(s)
+        return sorted(survivors), df_frame, qrows
+
+    def _score_segs(self, segs: list[int], query_terms: DataFrame,
+                    df_frame: DataFrame, checkpoint: bool = True
+                    ) -> DataFrame:
+        """search's pruned-read scoring restricted to a segment subset,
+        with the live df supplied explicitly (a subset read no longer
+        sees every posting row, so df must not be recomputed from it).
+        A doc's rows live in exactly one segment, so every doc the
+        subset DOES contain is scored completely."""
+        tb = [r[0] for r in query_terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        post = self._postings(segs).filter(F.col("tbucket").isin(tb))
+        tf = (self._live(
+                post.join(F.broadcast(query_terms.select("term")
+                                      .distinct()), "term", "left_semi"))
+              .select("doc_id", "term", "tf", "dl"))
+        if checkpoint:
+            tf = tf.localCheckpoint(eager=True)
+        return retrieval.score_tf(tf, query_terms, self.stats(),
+                                  df=F.broadcast(df_frame))
+
+    def wand_search(self, query_terms: DataFrame, k: int = 10,
+                    doc_filter=None) -> DataFrame:
+        """Top-k BM25 with block-max segment skipping (the WAND /
+        MaxScore top-k cut — Broder et al. CIKM 2003, Ding & Suel
+        SIGIR 2011 — at Spark's natural skip granularity, the
+        segment): BIT-IDENTICAL to ``search`` (it is exact — the bound
+        only discards segments that provably cannot reach the running
+        kth score), but a common-term query stops being
+        posting-length-bound: segments whose per-(term, segment) score
+        ceilings (max_tf, min_dl in the dictionary sidecar) sum below
+        θ are never read — at 100 TB, a hot term's cold segments drop
+        out of the scan entirely, turning the read k-bound.
+
+        Two passes: seed (each query's best-bound segment, exactly
+        scored, establishing θ = its kth score) and final (surviving
+        segments only, scored with the SAME explicit live-df map so
+        idf is identical in both).  Worst case — bounds too loose to
+        cut anything — it degrades to ``search`` plus one vocab-sized
+        dictionary read and one seed pass."""
+        m = self._manifest_required()
+        if len(m["segments"]) <= 1:
+            return self.search(query_terms, k, doc_filter=doc_filter)
+        survivors, df_frame, _ = self._wand_survivors(query_terms, k,
+                                                      doc_filter)
+        if not survivors:
+            qt = query_terms.schema["query_id"].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [], f"query_id {qt}, doc_id long, n_terms bigint, "
+                    f"score_micro bigint, rank int")
+        scored = self._score_segs(survivors, query_terms, df_frame)
+        if doc_filter is not None:
+            scored = scored.filter(doc_filter)
+        return retrieval.rank_topk(scored, k)
 
     def search_after(self, query_terms: DataFrame, cursors: DataFrame,
                      k: int = 10, checkpoint: bool = True,

@@ -951,3 +951,83 @@ def test_search_after_tracks_index_maintenance(spark, docs, qt, tmp_path):
     page2 = idx.search_after(qt, cursors, k=2)
     assert _sorted(page2) == _sorted(full.filter(F.col("rank") > 2)
                                      .filter(F.col("rank") <= 4))
+
+
+def test_wand_search_equals_search_through_maintenance(spark, docs, qt,
+                                                       tmp_path):
+    """Block-max segment skipping must be INVISIBLE in the results:
+    wand_search ≡ search on a multi-segment index, through upserts
+    (new segments), deletes (tombstones — the live-df correction
+    path), absent terms, doc_filter, and k beyond the hit count."""
+    idx = TextIndex(spark, str(tmp_path / "wz"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    upd = spark.createDataFrame(
+        [(2, "apple apple cherry"), (8, "apple fig fig"),
+         (9, "cherry cherry cherry durian")], "doc_id long, text string")
+    idx.upsert(upd)
+    idx.upsert(spark.createDataFrame(
+        [(10, "apple apple apple apple")], "doc_id long, text string"))
+    idx.delete([3, 8])
+    assert len(idx._seg_list()) == 3
+    for k in (2, 3, 50):
+        assert _sorted(idx.wand_search(qt, k=k)) \
+            == _sorted(idx.search(qt, k=k))
+    flt = F.col("doc_id") % 2 == 0
+    assert _sorted(idx.wand_search(qt, k=3, doc_filter=flt)) \
+        == _sorted(idx.search(qt, k=3, doc_filter=flt))
+    absent = spark.createDataFrame([(0, "zzz_absent")],
+                                   "query_id long, term string")
+    assert idx.wand_search(absent, k=5).count() == 0
+
+
+def test_wand_search_skips_provably_cold_segments(spark, tmp_path):
+    """A segment whose per-term score ceilings cannot reach θ is never
+    in the survivor set: seg 0 holds high-tf short docs (hot), the
+    upserted segments hold single-occurrence long docs (cold).  The
+    result must still equal plain search."""
+    hot = spark.createDataFrame(
+        [(i, "needle " * 8) for i in range(1, 6)],
+        "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "wskip"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(hot)
+    pad = "filler " * 60
+    for b in range(2):
+        cold = spark.createDataFrame(
+            [(100 + 10 * b + j, pad + "needle") for j in range(5)],
+            "doc_id long, text string")
+        idx.upsert(cold)
+    qt1 = spark.createDataFrame([(0, "needle")],
+                                "query_id long, term string")
+    survivors, _, _ = idx._wand_survivors(qt1, k=3)
+    assert survivors == [0], survivors       # both cold segments skipped
+    assert _sorted(idx.wand_search(qt1, k=3)) == _sorted(idx.search(qt1, k=3))
+    # k large enough to need the cold docs -> they must come back
+    assert _sorted(idx.wand_search(qt1, k=12)) \
+        == _sorted(idx.search(qt1, k=12))
+
+
+def test_wand_live_df_map_is_exact(spark, docs, tmp_path):
+    """The dictionary-sum-minus-tombstone-correction df must equal the
+    df the plain scoring path counts from the live posting read."""
+    idx = TextIndex(spark, str(tmp_path / "wdf"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    idx.build(docs)
+    idx.upsert(spark.createDataFrame(
+        [(2, "apple"), (7, "fig fig apple")], "doc_id long, text string"))
+    idx.delete([1, 4])
+    qterms = spark.createDataFrame(
+        [(0, "apple"), (0, "banana"), (1, "fig")],
+        "query_id long, term string")
+    live, blocks = idx._live_df_map(qterms)
+    truth = {r["term"]: r["n"] for r in
+             (idx._live(idx._postings())
+              .join(F.broadcast(qterms.select("term").distinct()),
+                    "term", "left_semi")
+              .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+              .collect())}
+    assert live == truth
+    # block rows exist for every (query term, segment) that holds it
+    assert all(v[0] is not None and v[1] is not None
+               for v in blocks.values())
