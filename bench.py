@@ -214,6 +214,8 @@ def main() -> None:
         return spark.read.parquet(ivf._cells)
 
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
+    bench("ann_opq_recall",
+          lambda: similarity.opq_recall(emb, qdf, k=10))
     bench("ann_ivf_tuning",
           lambda: similarity.ivf_tuning(emb, qdf, k=10,
                                         nprobe_list=(1, 2, 4, 8)))
@@ -560,6 +562,23 @@ def main() -> None:
         return vt.read()
 
     bench("events_retention_drop", retention_drop)
+
+    def optimize_zorder():
+        from document_vector_pipeline_spark.store.versioned import (
+            BucketedVersionedTable,
+        )
+        zpath = os.path.join(ROOT, ".scratch", "bench_opt_zorder")
+        shutil.rmtree(zpath, ignore_errors=True)
+        vt = BucketedVersionedTable(spark, zpath, bucket_col="day")
+        rows = t["events"].withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd"))
+        vt.commit_append(rows.filter(F.col("event_id") % 2 == 0))
+        vt.commit_append(rows.filter(F.col("event_id") % 2 == 1))
+        v = vt.optimize(cluster_by=("user_id", "event_id"),
+                        curve="zorder")
+        return vt.read(v)
+
+    bench("store_optimize_zorder", optimize_zorder)
 
     # round-7 tail keys: ranked-decile/inequality/time-series/graph
     # diagnostics + dictionary suggestions + phash calibration

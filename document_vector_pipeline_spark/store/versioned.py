@@ -439,14 +439,24 @@ class BucketedVersionedTable(VersionedTable):
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
-    def _write_buckets(self, df: DataFrame, v: int) -> list[str]:
+    def _write_buckets(self, df: DataFrame, v: int,
+                       sort_key=None) -> list[str]:
         # partition on a DUPLICATE of the bucket column: partitionBy
         # strips its column from the data files, but readers open leaf
         # dirs directly (no partition inference), so the real bucket
-        # column must survive inside the files
+        # column must survive inside the files.
+        # ``sort_key`` (a Column) range-clusters rows WITHIN each bucket
+        # on write (optimize's ZORDER/HILBERT path): rows are sorted by
+        # (bucket, key) inside each task, so parquet row groups cover
+        # narrow key ranges and footer min/max stats prune scans on the
+        # clustered dimensions — content identical either way.
         new_dir = f"data/v{v:012d}"
-        (df.withColumn("__pb", F.col(self.bucket_col))
-         .repartition(self.bucket_col).write
+        w = df.withColumn("__pb", F.col(self.bucket_col)) \
+              .repartition(self.bucket_col)
+        if sort_key is not None:
+            w = (w.withColumn("__ck", sort_key)
+                 .sortWithinPartitions("__pb", "__ck").drop("__ck"))
+        (w.write
          .partitionBy("__pb").mode("overwrite")
          .parquet(f"{self.path}/{new_dir}"))
         fs, _ = self._fs()
@@ -711,7 +721,8 @@ class BucketedVersionedTable(VersionedTable):
                 .filter(F.col("status").isNotNull())
                 .select("status", *keys))
 
-    def optimize(self) -> int:
+    def optimize(self, cluster_by: tuple | None = None,
+                 curve: str = "zorder", bits: int = 16) -> int:
         """Bucket compaction (Delta OPTIMIZE): after N appends a bucket
         is backed by N dirs and every read of it opens N file sets —
         rewrite ONLY the buckets backed by MORE THAN ONE dir into a
@@ -720,13 +731,34 @@ class BucketedVersionedTable(VersionedTable):
         unchanged); cost is bounded by the FRAGMENTED buckets, not the
         table — the maintenance op an append-heavy 100 TB table runs
         on a schedule.  No-op (no commit) when nothing is fragmented;
-        returns the resulting latest version either way."""
+        returns the resulting latest version either way.
+
+        ``cluster_by=(col_a, col_b)`` is Delta/Iceberg's
+        OPTIMIZE ... ZORDER BY: compaction also range-clusters rows
+        WITHIN each bucket on the interleaved key of the two columns
+        (``curve`` = 'zorder' | 'hilbert', plans/layout.py), so
+        parquet footer min/max stats prune scans filtered on EITHER
+        column inside a bucket — the second pruning level under the
+        bucket partition.  Clustering rewrites EVERY bucket (the point
+        is the layout, not just the dir count), still one
+        content-identical commit."""
         if not self.versions():
             raise ValueError(f"no versions to optimize at {self.path}")
         m = self._manifest(self.latest())
         per_bucket: dict[str, list[str]] = {}
         for d in m["dirs"]:
             per_bucket.setdefault(self._bucket_of(d), []).append(d)
+        if cluster_by is not None:
+            from document_vector_pipeline_spark.plans import layout
+
+            idx = {"zorder": layout.zorder_index,
+                   "hilbert": layout.hilbert_index}[curve]
+            key = idx(F.col(cluster_by[0]), F.col(cluster_by[1]), bits)
+            v = self.latest() + 1
+            new_dirs = self._write_buckets(self._read_dirs(m["dirs"]), v,
+                                           sort_key=key)
+            return self._commit_dirs(f"optimize_{curve}", new_dirs,
+                                     m["n_rows"])
         frag = [d for ds in per_bucket.values() if len(ds) > 1 for d in ds]
         if not frag:
             return self.latest()

@@ -126,6 +126,51 @@ def test_pq_corpus_side_is_map_only(spark, embeddings_small, queries):
     assert plan.count("Exchange") == 1
 
 
+def test_wht_rotation_is_an_isometry_and_udf_equals_expr(spark):
+    """The Walsh–Hadamard grid is orthogonal (H·Hᵀ = dim·I — exact
+    integers), the Arrow rotation is bit-identical to the fold twin,
+    and rotated-PQ self-retrieval holds."""
+    dim = 64
+    S_ = S.wht_signs(dim)
+    for i in range(0, dim, 17):
+        for j in range(0, dim, 13):
+            dot = sum(S_[i][d] * S_[j][d] for d in range(dim))
+            assert dot == (dim if i == j else 0)
+    from document_vector_pipeline_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = (emb.filter(F.col("vec_id") < 3)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    fast = sorted(map(tuple, S.opq_ann(emb, qdf, k=10,
+                                       use_udf=True).collect()))
+    slow = sorted(map(tuple, S.opq_ann(emb, qdf, k=10,
+                                       use_udf=False).collect()))
+    assert fast == slow and len(fast) > 0
+    first = {r[0]: r[1] for r in fast if r[3] == 1}
+    assert first == {0: 0, 1: 1, 2: 2}      # self-retrieval survives R
+
+
+def test_opq_recall_consistent_with_members(spark):
+    """opq_recall's per-query hit counts must equal the intersections
+    of its member rankings with the exact top-k."""
+    from document_vector_pipeline_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = (emb.filter(F.col("vec_id") < 5)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+    r = {x["query_id"]: x for x in S.opq_recall(emb, qdf, k=10).collect()}
+    exact = S.brute_force_topk(emb, qdf, k=10).collect()
+    e = {}
+    for row in exact:
+        e.setdefault(row.query_id, set()).add(row.vec_id)
+    for name, fn in (("n_hits_pq", S.pq_ann), ("n_hits_opq", S.opq_ann)):
+        a = {}
+        for row in fn(emb, qdf, k=10).collect():
+            a.setdefault(row.query_id, set()).add(row.vec_id)
+        for q in e:
+            assert r[q][name] == len(e[q] & a.get(q, set())), (name, q)
+
+
 def test_pq_codebook_deterministic(spark, embeddings_small):
     a = S.pq_codebook(embeddings_small, n_codes=8, dim=64)
     b = S.pq_codebook(embeddings_small, n_codes=8, dim=64)

@@ -1054,6 +1054,77 @@ def test_constraint_names_with_quotes_are_data_not_sql(spark):
     assert rows["check(n >= 0, isn't it)"] == 1
 
 
+def test_optimize_zorder_clusters_within_buckets(spark, tmp_path):
+    """optimize(cluster_by=...) must (a) keep the snapshot content-
+    identical, (b) stamp the curve in the op label, and (c) physically
+    sort each bucket's file by the interleaved key, with per-row-group
+    footer spans far narrower than the unclustered layout — the
+    mechanical precondition for min/max pruning on either column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from document_vector_pipeline_spark.plans.layout import zorder_index
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)   # many row groups
+    try:
+        n = 20_000
+        rows = spark.range(n).select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 2).cast("string").alias("b"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(512)).alias("u"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(365)).alias("d"))
+        vt = BucketedVersionedTable(spark, str(tmp_path / "zc"),
+                                    bucket_col="b")
+        vt.commit_append(rows.filter(F.col("rid") % 2 == 0))
+        vt.commit_append(rows.filter(F.col("rid") % 2 == 1))
+        before = vt.read().agg(F.sum("u"), F.sum("d"),
+                               F.count("*")).collect()[0]
+        v = vt.optimize(cluster_by=("u", "d"), curve="zorder", bits=10)
+        m = vt._manifest(v)
+        assert m["op"] == "optimize_zorder"
+        after = vt.read(v).agg(F.sum("u"), F.sum("d"),
+                               F.count("*")).collect()[0]
+        assert tuple(before) == tuple(after)
+
+        def rg_spans(dirs):
+            tot, cnt = 0, 0
+            for d in dirs:
+                for f in glob.glob(f"{tmp_path}/zc/{d}/*.parquet"):
+                    md = pq.ParquetFile(f).metadata
+                    names = {md.schema.column(i).name: i
+                             for i in range(md.num_columns)}
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        su = (rg.column(names["u"]).statistics.max
+                              - rg.column(names["u"]).statistics.min)
+                        sd = (rg.column(names["d"]).statistics.max
+                              - rg.column(names["d"]).statistics.min)
+                        tot += su * sd
+                        cnt += 1
+            return tot / cnt
+        clustered = rg_spans(m["dirs"])
+        unclustered = rg_spans(vt._manifest(1)["dirs"])
+        assert clustered < 0.35 * unclustered, (clustered, unclustered)
+        # and each clustered file is genuinely sorted by the z-key
+        zk = zorder_index(F.col("u"), F.col("d"), 10)
+        for d in m["dirs"]:
+            vals = [r[0] for r in
+                    spark.read.parquet(f"{tmp_path}/zc/{d}")
+                    .select(zk).collect()]
+            assert vals == sorted(vals)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+
 def test_tags_pin_versions_through_vacuum(spark, tmp_path):
     """A tagged version survives retention; releasing the tag releases
     the data; a moved tag follows; read(tag=) resolves forever."""
