@@ -794,6 +794,24 @@ def main() -> None:
         return bpe_token_hist(docs, bpe_train(docs, n_merges=8), top=50)
 
     bench("text_bpe_encode", bpe_encode_case)
+
+    def unigram_train_case():
+        from document_vector_pipeline_spark.operators.tokenize import (
+            unigram_train,
+        )
+        return unigram_train(docs, seed_len=4, seed_size=128,
+                             vocab_size=32)
+
+    bench("text_unigram_train", unigram_train_case)
+
+    def unigram_encode_case():
+        from document_vector_pipeline_spark.operators.tokenize import (
+            unigram_token_hist,
+        )
+        return unigram_token_hist(docs, top=50, seed_len=4,
+                                  seed_size=128, vocab_size=32)
+
+    bench("text_unigram_encode", unigram_encode_case)
     bench("text_domains", lambda: textstats.doc_domains(docs))
     bench("corpus_qualityfilter", lambda: corpus.quality_filters(docs))
     bench("corpus_quality_model", lambda: corpus.quality_model_scores(docs))

@@ -10826,6 +10826,124 @@ def q_text_bpe_pairs(spark, sf_dir):
     return textstats.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_unigram_train(spark, sf_dir):
+    """Unigram-style tokenizer TRAINING (operators/tokenize.
+    unigram_train — the SentencePiece seed → count → prune →
+    re-estimate shape, Kudo 2018, with greedy longest-match hard-EM
+    segmentation so every step is exactly replayable): returns the
+    trained model table (piece, n, prob_micro) with exact integer MLE
+    probabilities.  The oracle re-derives the substring seed, both
+    segmentation passes (a recursive position scan with longest-first
+    piece joins), the single-chars-never-pruned rule, and the final
+    fixed-point probabilities."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        unigram_train,
+    )
+
+    return unigram_train(load_table(spark, sf_dir, "documents"),
+                         seed_len=4, seed_size=128, vocab_size=32)
+
+
+def q_text_unigram_encode(spark, sf_dir):
+    """Corpus token histogram under the TRAINED unigram-style vocab
+    (the encode half, companion of text_bpe_encode): top-50 (token, n)
+    of the final segmentation pass."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        unigram_token_hist,
+    )
+
+    return unigram_token_hist(load_table(spark, sf_dir, "documents"),
+                              top=50, seed_len=4, seed_size=128,
+                              vocab_size=32)
+
+
+def _unigram_ctes(seed_len: int = 4, seed_size: int = 128,
+                  vocab_size: int = 32) -> str:
+    """Shared CTE chain for the unigram trainer oracle, ending in
+    ``voc1`` (the final vocab), ``cnt2`` (final piece counts), and
+    ``tot``.  Each segmentation pass is a recursive scan over word
+    positions choosing the longest vocab piece at each offset
+    (coalesce over per-length piece views — exactly the UDF's
+    longest-first loop)."""
+
+    def seg(name: str, voc: str) -> str:
+        views = ",\n".join(
+            f"{voc}_{ln} as (select piece from {voc} "
+            f"where len(piece) = {ln})"
+            for ln in range(1, seed_len + 1))
+        co = "coalesce(" + ", ".join(
+            [f"v{ln}.piece" for ln in range(seed_len, 0, -1)]
+            + ["substr(s.w, s.i, 1)"]) + ")"
+        joins = "\n  ".join(
+            f"left join {voc}_{ln} v{ln} "
+            f"on v{ln}.piece = substr(s.w, s.i, {ln})"
+            for ln in range(seed_len, 0, -1))
+        return f"""{views},
+{name} as (
+  select w, cnt, 1 as i, cast(null as varchar) as piece from words
+  union all
+  select s.w, s.cnt, s.i + len({co}), {co}
+  from {name} s
+  {joins}
+  where s.i <= len(s.w))"""
+
+    return f"""
+words as materialized (
+  select w, cast(count(*) as bigint) as cnt from
+    (select unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) as w from documents)
+  group by w),
+subs as materialized (
+  select piece, sum(cnt) as n from (
+    select substr(w, cast(i as int), cast(l as int)) as piece, cnt
+    from words,
+         unnest(generate_series(1, {seed_len})) as tl(l),
+         unnest(generate_series(1, greatest(len(w) - l + 1, 0))) as ti(i))
+  group by piece),
+chars as (select piece from subs where len(piece) = 1),
+multi as (select piece from subs where len(piece) > 1
+          order by n desc, piece limit {seed_size}),
+voc0 as (select piece from chars union all select piece from multi),
+{seg('st0', 'voc0')},
+cnt1 as (select piece, sum(cnt) as n from st0
+         where piece is not null group by piece),
+voc1 as (
+  select piece from chars
+  union all
+  select piece from (select c.piece, c.n from cnt1 c
+                     where len(c.piece) > 1
+                     order by c.n desc, c.piece limit {vocab_size})),
+{seg('st1', 'voc1')},
+cnt2 as (select piece, sum(cnt) as n from st1
+         where piece is not null group by piece),
+tot as (select sum(n) as t from cnt2)"""
+
+
+def _sql_text_unigram_train() -> str:
+    return f"""
+with recursive
+{_unigram_ctes()}
+select v.piece, cast(coalesce(c.n, 0) as bigint) as n,
+       cast(case when t = 0 then 0
+            else (1000000 * coalesce(c.n, 0)) // t end as bigint)
+         as prob_micro
+from voc1 v left join cnt2 c on c.piece = v.piece, tot
+order by n desc, v.piece
+"""
+
+
+def _sql_text_unigram_encode(top: int = 50) -> str:
+    return f"""
+with recursive
+{_unigram_ctes()}
+select piece as token, cast(n as bigint) as n
+from cnt2
+order by n desc, token
+limit {top}
+"""
+
+
 def q_text_bpe_train(spark, sf_dir):
     """Exact BPE tokenizer TRAINING (operators/tokenize.bpe_train):
     iterate the merge step 8 times over the corpus word histogram —
@@ -11476,6 +11594,8 @@ def queries():
         "text_wand_search": q_text_wand_search,
         "ann_opq_recall": q_ann_opq_recall,
         "store_optimize_zorder": q_store_optimize_zorder,
+        "text_unigram_train": q_text_unigram_train,
+        "text_unigram_encode": q_text_unigram_encode,
         # -- round-10 keys (driver-r10 green) --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
@@ -11790,6 +11910,8 @@ def oracle_sql():
         "text_wand_search": _sql_text_wand_search(),
         "ann_opq_recall": _sql_ann_opq_recall(),
         "store_optimize_zorder": _sql_store_optimize_zorder(),
+        "text_unigram_train": _sql_text_unigram_train(),
+        "text_unigram_encode": _sql_text_unigram_encode(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["stub_token_counter", "make_vocab_token_counter",
            "make_bpe_token_counter", "count_tokens_with_client",
-           "bpe_train", "vocab_from_merges", "bpe_token_hist"]
+           "bpe_train", "vocab_from_merges", "bpe_token_hist",
+           "unigram_train", "unigram_token_hist"]
 
 # Java \s (what Spark's split(text, '\\s+') matches): ASCII whitespace
 # only — Python's \s is unicode-wide, so spell the class out
@@ -329,3 +330,143 @@ def count_tokens_with_client(docs: DataFrame, client,
             yield out
 
     return docs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-style tokenizer training (SentencePiece's seed → count → prune →
+# re-estimate loop, Kudo 2018) — round 11.
+# ---------------------------------------------------------------------------
+
+
+def _plain_word_hist(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt): the plain corpus word histogram (house normalization —
+    lower(trim) split on \\s+, empties dropped).  One corpus scan, one
+    word-keyed shuffle; checkpointed because both training passes
+    re-read it."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != F.lit(""))
+    return (docs.select(F.explode(words).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .localCheckpoint(eager=True))
+
+
+def _greedy_seg_udf(vocab: list, max_len: int):
+    """Greedy longest-match segmentation of a word against ``vocab``
+    (longest piece at each position wins; every corpus character is in
+    the vocab, so the single-char fallback never fires but keeps the
+    closure total).  Arrow-batched over the VOCAB-SIZED word histogram
+    — never the corpus; bit-identical to the oracle's recursive
+    coalesce(v4..v1) scan because both try lengths longest-first."""
+    vs = set(vocab)
+
+    @F.pandas_udf("array<string>")
+    def seg(ws):
+        import pandas as _pd
+        out = []
+        for w in ws:
+            i, toks = 0, []
+            while i < len(w):
+                for ln in range(min(max_len, len(w) - i), 0, -1):
+                    if w[i:i + ln] in vs:
+                        toks.append(w[i:i + ln])
+                        i += ln
+                        break
+                else:
+                    toks.append(w[i])
+                    i += 1
+            out.append(toks)
+        return _pd.Series(out)
+
+    return seg
+
+
+def _unigram_counts(wh: DataFrame, vocab: list,
+                    max_len: int) -> DataFrame:
+    """(piece, n): expected piece counts of the greedy (hard-EM)
+    segmentation of the word histogram under ``vocab``, weighted by
+    word count — the E-step."""
+    seg = _greedy_seg_udf(vocab, max_len)
+    return (wh.select(F.explode(seg(F.col("w"))).alias("piece"), "cnt")
+            .groupBy("piece").agg(F.sum("cnt").cast("long").alias("n")))
+
+
+def unigram_train(docs: DataFrame, seed_len: int = 4,
+                  seed_size: int = 128, vocab_size: int = 32,
+                  text_col: str = "text") -> DataFrame:
+    """Unigram-style tokenizer training (the SentencePiece shape, Kudo
+    2018: over-complete substring seed → E-step expected counts →
+    prune to the target vocabulary → re-estimate): returns the trained
+    model table (piece, n, prob_micro) ordered (n desc, piece), with
+    prob_micro the exact integer MLE probability (1e6·n div total).
+
+    The E-step uses greedy longest-match (hard-EM) segmentation
+    instead of Viterbi under the current probabilities — the one
+    substitution that makes EVERY training step exactly replayable by
+    the DuckDB oracle (a recursive position scan with longest-first
+    piece joins) while keeping the seed-prune-re-estimate structure;
+    all counts and probabilities are exact integers.  Single
+    characters are never pruned (SentencePiece's rule — keeps every
+    word segmentable); ``seed_size`` / ``vocab_size`` budget the
+    MULTI-character pieces only.
+
+    Plan shape (100 TB): one corpus scan builds the word histogram
+    (the only corpus-sized shuffle); the substring seed explode, both
+    segmentation passes (Arrow, vocab in the closure), and every
+    aggregation run over the vocab-sized histogram; the two pruning
+    collects are plan metadata (≤ seed_size rows) — the PQ-codebook
+    discipline, like bpe_train's per-merge collect."""
+    wh = _plain_word_hist(docs, text_col)
+    parts = None
+    for ln in range(1, seed_len + 1):
+        idx = F.when(F.length("w") >= ln,
+                     F.sequence(F.lit(1), F.length("w") - ln + 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        p = wh.select(
+            F.explode(F.transform(idx, lambda i: F.col("w")
+                                  .substr(i, F.lit(ln)))).alias("piece"),
+            "cnt")
+        parts = p if parts is None else parts.unionByName(p)
+    subs = (parts.groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .localCheckpoint(eager=True))
+    chars = sorted(r["piece"] for r in
+                   subs.filter(F.length("piece") == 1)
+                   .select("piece").collect())
+    multi0 = [r["piece"] for r in
+              subs.filter(F.length("piece") > 1)
+              .orderBy(F.desc("n"), "piece").limit(seed_size).collect()]
+    c1 = _unigram_counts(wh, chars + multi0, seed_len)
+    multi1 = [r["piece"] for r in
+              c1.filter(F.length("piece") > 1)
+              .orderBy(F.desc("n"), "piece").limit(vocab_size).collect()]
+    voc = chars + multi1
+    c2 = _unigram_counts(wh, voc, seed_len).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    vdf = spark.createDataFrame([(p,) for p in voc], "piece string")
+    tot = c2.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t"))
+    return (vdf.join(c2, "piece", "left")
+            .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+            .crossJoin(F.broadcast(tot))
+            .withColumn("prob_micro",
+                        F.when(F.col("t") == 0, F.lit(0))
+                        .otherwise(F.expr("(1000000 * n) div t"))
+                        .cast("long"))
+            .select("piece", "n", "prob_micro")
+            .orderBy(F.desc("n"), "piece"))
+
+
+def unigram_token_hist(docs: DataFrame, top: int = 50,
+                       seed_len: int = 4, seed_size: int = 128,
+                       vocab_size: int = 32,
+                       text_col: str = "text") -> DataFrame:
+    """Corpus token histogram under the TRAINED unigram-style vocab —
+    (token, n), top ``top`` by (n desc, token): the encode half of the
+    loop (what coverage/OOV analysis reads), sharing the train path's
+    final segmentation pass exactly — the companion of
+    ``bpe_token_hist`` for the unigram trainer."""
+    model = unigram_train(docs, seed_len=seed_len, seed_size=seed_size,
+                          vocab_size=vocab_size, text_col=text_col)
+    return (model.filter(F.col("n") > 0)
+            .select(F.col("piece").alias("token"), "n")
+            .orderBy(F.desc("n"), "token")
+            .limit(top))

@@ -301,3 +301,64 @@ def test_bpe_counter_agrees_with_token_hist(spark, docs_small):
     ids = sorted(r["doc_id"] for r in rows)[:10]
     counts = {r["doc_id"]: r["tokens"] for r in rows}
     assert [counts[i] for i in ids] == counter([tx[i] for i in ids])
+
+
+def test_unigram_train_model_properties(spark, docs_small):
+    """The trained table keeps every corpus character (never pruned),
+    multi pieces within budget, exact integer probabilities summing
+    to ≤ 1e6, and greedy segmentation under the model re-produces the
+    reported counts."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        _greedy_seg_udf,
+        _plain_word_hist,
+        unigram_token_hist,
+        unigram_train,
+    )
+
+    model = unigram_train(docs_small, seed_len=4, seed_size=32,
+                          vocab_size=8)
+    rows = model.collect()
+    pieces = [r["piece"] for r in rows]
+    assert len(set(pieces)) == len(pieces)
+    corpus_chars = {c for r in
+                    _plain_word_hist(docs_small, "text").collect()
+                    for c in r["w"]}
+    assert corpus_chars <= {p for p in pieces if len(p) == 1}
+    assert sum(1 for p in pieces if len(p) > 1) <= 8
+    assert all(len(p) <= 4 for p in pieces)
+    tot = sum(r["n"] for r in rows)
+    assert all(r["prob_micro"] == (1_000_000 * r["n"]) // tot
+               for r in rows)
+    # counts really are the greedy segmentation's piece counts
+    wh = _plain_word_hist(docs_small, "text")
+    seg = _greedy_seg_udf(pieces, 4)
+    truth: dict = {}
+    for r in wh.select(seg(F.col("w")).alias("t"), "cnt").collect():
+        for p in r["t"]:
+            truth[p] = truth.get(p, 0) + r["cnt"]
+    assert {r["piece"]: r["n"] for r in rows if r["n"] > 0} == truth
+    # encode = the n>0 slice, ranked
+    enc = unigram_token_hist(docs_small, top=10, seed_len=4,
+                             seed_size=32, vocab_size=8).collect()
+    want = sorted(((n, t) for t, n in truth.items()),
+                  key=lambda x: (-x[0], x[1]))[:10]
+    assert [(r["n"], r["token"]) for r in enc] == want
+
+
+def test_unigram_multi_pieces_beat_chars_on_repetitive_text(spark):
+    """A corpus dominated by one repeated word must train multi-char
+    pieces that cover it (the whole point of subword training)."""
+    from document_vector_pipeline_spark.operators.tokenize import (
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "banana banana banana split") for i in range(20)],
+        "doc_id long, text string")
+    rows = unigram_train(docs, seed_len=4, seed_size=16,
+                         vocab_size=4).collect()
+    used_multi = [r["piece"] for r in rows
+                  if len(r["piece"]) > 1 and r["n"] > 0]
+    assert used_multi                       # e.g. 'anan', 'ana', 'ba'
+    top = rows[0]
+    assert len(top["piece"]) > 1            # a multi piece dominates
