@@ -620,6 +620,11 @@ def main() -> None:
                     ("events_type_entropy", q_events_type_entropy)):
         bench(key, lambda fn=fn: fn(spark, SF_DIR))
 
+    # round-11: stream-static as-of enrichment (3 microbatches against
+    # the versioned customer dimension, exactly the contract key)
+    from document_vector_pipeline_spark.contract import q_stream_dim_join
+    bench("stream_dim_join", lambda: q_stream_dim_join(spark, SF_DIR))
+
     # round-8: streaming maintenance of both serving indexes — builds
     # on a third of a 1500-doc slice, streams the rest as two
     # foreachBatch upsert microbatches (text segment + touched-cell IVF
@@ -981,6 +986,7 @@ def main() -> None:
           lambda: analytics.events_mad_outliers(ev))
     bench("events_ab_lift", lambda: analytics.ab_lift(ev))
     bench("events_ab_cuped", lambda: analytics.ab_cuped(ev))
+    bench("events_ab_sequential", lambda: analytics.ab_sequential(ev))
     bench("events_ab_health", lambda: analytics.ab_health(ev))
     bench("events_diversity",
           lambda: analytics.events_user_diversity(ev))

@@ -4097,6 +4097,66 @@ select 'unique(doc_id)',
 """
 
 
+def q_stream_dim_join(spark, sf_dir):
+    """Stream-static AS-OF enrichment (streaming/ingest.
+    stream_dim_join): an events feed streamed as 3 JSONL microbatches,
+    each left-joined to the VERSIONED customer dimension at its latest
+    committed manifest version — pinned once per trigger, so a
+    concurrent dimension commit can never tear a batch (the pickup-at-
+    next-trigger contract is pinned in tests/test_streaming.py; here
+    the dimension is static, so the drained output must equal the
+    one-shot batch join with every row stamped dim_version = 0)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        read_dim_joined,
+        stream_dim_join,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type"))
+    cust = load_table(spark, sf_dir, "customer")
+    root = os.path.join(SCRATCH, "stream_dim_join")
+    shutil.rmtree(root, ignore_errors=True)
+    dim = BucketedVersionedTable(spark, os.path.join(root, "dim"),
+                                 bucket_col="bucket")
+    dim.commit_overwrite(cust.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment",
+        "c_nationkey",
+        F.pmod(F.col("c_custkey"), F.lit(8)).cast("string")
+        .alias("bucket")))
+    bdir = os.path.join(root, "batches")
+    os.makedirs(bdir, exist_ok=True)
+    for m in range(3):
+        stage = os.path.join(root, f"stage{m}")
+        (ev.filter(F.col("event_id") % 3 == m)
+         .coalesce(1).write.mode("overwrite").json(stage))
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.startswith("part-"):
+                shutil.move(os.path.join(stage, f),
+                            os.path.join(bdir, f"b{m}_{i}.json"))
+    stream_dim_join(
+        spark, bdir, dim, ["user_id"], os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        schema="event_id long, user_id long, event_type string",
+        broadcast_dim=True).awaitTermination()
+    return read_dim_joined(spark, os.path.join(root, "out")).select(
+        "event_id", "user_id", "event_type", "c_mktsegment",
+        "c_nationkey", "bucket", "dim_version")
+
+
+def _sql_stream_dim_join() -> str:
+    return """
+select e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment, c.c_nationkey,
+       cast(c.c_custkey % 8 as varchar) as bucket,
+       cast(0 as bigint) as dim_version
+from events e
+left join customer c on c.c_custkey = e.user_id
+"""
+
+
 def q_stream_merge_apply(spark, sf_dir):
     """CDC stream applied to the versioned table of record — one atomic
     MERGE commit per microbatch (streaming/ingest.stream_merge_apply):
@@ -5369,6 +5429,79 @@ select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
        case when {se} = 0 then 0.0
             else round(({p_b} - {p_a}) / {se}, 6) end as z_score
 from a, b
+"""
+
+
+def q_events_ab_sequential(spark, sf_dir):
+    """Always-valid sequential A/B readout (plans/analytics.
+    ab_sequential — the mSPRT of Johari et al. KDD 2017): one row per
+    experiment day with cumulative cohort counts, the naive z, the
+    micro-rounded mixture log-likelihood ratio, its running max, and
+    the always-valid reject flags at 95/99 (exact INTEGER comparisons
+    against ln(1/α)·1e6 literal thresholds — no float boundary in the
+    decision).  The capstone that makes daily peeks at events_ab_lift
+    safe."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.ab_sequential(ev)
+
+
+def _sql_events_ab_sequential(tau2: float = 0.01) -> str:
+    import math
+
+    thr95 = round(math.log(1.0 / 0.05) * 1e6)
+    thr99 = round(math.log(1.0 / 0.01) * 1e6)
+    n_a = "cast(n_a as double)"
+    n_b = "cast(n_b as double)"
+    p_a = f"(cast(conv_a as double) / {n_a})"
+    p_b = f"(cast(conv_b as double) / {n_b})"
+    p = "(cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+    v = (f"(({p} * (1.0 - {p})) * ((1.0 / {n_a}) + (1.0 / {n_b})))")
+    theta = f"({p_b} - {p_a})"
+    ll = (f"(0.5 * ln({v} / ({v} + {tau2!r})) + ({tau2!r} * ({theta} * "
+          f"{theta})) / ((2.0 * {v}) * ({v} + {tau2!r})))")
+    return f"""
+with pu as (
+  select user_id as u, min(cast(ts as date)) as first_day,
+         min(case when event_type = 'purchase'
+                  then cast(ts as date) end) as conv_day,
+         (user_id % 2 = 0) as is_a
+  from events group by user_id),
+days as (select distinct cast(ts as date) as day from events),
+g as (
+  select d.day,
+         cast(coalesce(sum(case when pu.is_a
+                                and pu.first_day <= d.day
+                           then 1 end), 0) as bigint) as n_a,
+         cast(coalesce(sum(case when not pu.is_a
+                                and pu.first_day <= d.day
+                           then 1 end), 0) as bigint) as n_b,
+         cast(coalesce(sum(case when pu.is_a
+                                and pu.conv_day <= d.day
+                           then 1 end), 0) as bigint) as conv_a,
+         cast(coalesce(sum(case when not pu.is_a
+                                and pu.conv_day <= d.day
+                           then 1 end), 0) as bigint) as conv_b
+  from days d, pu group by d.day),
+s as (
+  select day, n_a, n_b, conv_a, conv_b,
+         case when n_a = 0 or n_b = 0 then 0.0
+              when sqrt({v}) = 0 then 0.0
+              else round({theta} / sqrt({v}), 6) end as z_score,
+         cast(case when n_a = 0 or n_b = 0 or {v} <= 0 then 0
+              else round({ll} * 1000000.0, 0) end as bigint)
+           as log_lambda_micro
+  from g),
+r as (
+  select *, cast(max(log_lambda_micro) over
+           (order by day rows between unbounded preceding
+            and current row) as bigint) as log_lambda_max_micro
+  from s)
+select strftime(day, '%Y-%m-%d') as day,
+       n_a, n_b, conv_a, conv_b, z_score, log_lambda_micro,
+       log_lambda_max_micro,
+       log_lambda_max_micro > {thr95} as reject_95,
+       log_lambda_max_micro > {thr99} as reject_99
+from r order by day
 """
 
 
@@ -11596,6 +11729,8 @@ def queries():
         "store_optimize_zorder": q_store_optimize_zorder,
         "text_unigram_train": q_text_unigram_train,
         "text_unigram_encode": q_text_unigram_encode,
+        "stream_dim_join": q_stream_dim_join,
+        "events_ab_sequential": q_events_ab_sequential,
         # -- round-10 keys (driver-r10 green) --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
@@ -11912,6 +12047,8 @@ def oracle_sql():
         "store_optimize_zorder": _sql_store_optimize_zorder(),
         "text_unigram_train": _sql_text_unigram_train(),
         "text_unigram_encode": _sql_text_unigram_encode(),
+        "stream_dim_join": _sql_stream_dim_join(),
+        "events_ab_sequential": _sql_events_ab_sequential(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),

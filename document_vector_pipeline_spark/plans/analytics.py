@@ -1653,6 +1653,105 @@ def ab_lift(events: DataFrame, user_col: str = "user_id",
         z.alias("z_score"))
 
 
+def ab_sequential(events: DataFrame, user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  convert_type: str = "purchase",
+                  ts_col: str = "ts", tau2: float = 0.01) -> DataFrame:
+    """Always-valid sequential A/B readout (the mSPRT of Johari et al.,
+    "Peeking at A/B Tests", KDD 2017) — the reading that makes daily
+    peeks at ab_lift's z-score safe: the z-test's 1.96 threshold only
+    holds at ONE predetermined look, while an experimenter who peeks
+    every day inflates false positives several-fold.  The mixture
+    sequential probability ratio test pays a small power tax for a
+    statistic whose rejection threshold is valid at EVERY peek.
+
+    One row per experiment day (cumulative counts as of that day):
+    (day, n_a, n_b, conv_a, conv_b, z_score, log_lambda_micro,
+    log_lambda_max_micro, reject_95, reject_99).  With θ̂ = p_b − p_a
+    and V = p̂(1−p̂)(1/n_a + 1/n_b) (ab_lift's pooled variance),
+
+        ln Λ = ½·ln(V/(V+τ²)) + τ²·θ̂² / (2·V·(V+τ²))
+
+    under the normal mixture with variance ``tau2`` (the shared
+    literal constant).  The always-valid decision uses the RUNNING MAX
+    of ln Λ (once crossed, always rejected): reject_95/99 compare the
+    integer micro-rounded running max against the integer-rounded
+    literal thresholds ln(1/0.05)·1e6 / ln(1/0.01)·1e6 — an exact
+    integer comparison, no float boundary anywhere in the decision.
+    ln Λ itself surfaces micro-rounded (the idf_micro discipline: the
+    engines' ln differ in the last ulp, the 1e-6 grid absorbs it);
+    z_score rides along for the naive-vs-sequential contrast.
+
+    Plan: one user-keyed aggregation (the irreducible exchange), then
+    ALL cumulation and algebra on the days-sized grid (a day×day
+    triangle join and one unpartitioned running-max window over ≤
+    experiment-length rows — bounded, never user- or event-sized)."""
+    import math
+
+    day = F.to_date(F.col(ts_col))
+    per_user = (events
+                .select(F.col(user_col).alias("u"), day.alias("d"),
+                        (F.col(type_col) == convert_type).alias("cv"))
+                .groupBy("u")
+                .agg(F.min("d").alias("first_day"),
+                     F.min(F.when(F.col("cv"), F.col("d")))
+                     .alias("conv_day"))
+                .withColumn("is_a", F.pmod(F.col("u"), F.lit(2)) == 0))
+    days = events.select(day.alias("day")).distinct()
+    arr = per_user.groupBy("first_day", "is_a").agg(
+        F.count(F.lit(1)).alias("n"))
+    cnv = (per_user.filter(F.col("conv_day").isNotNull())
+           .groupBy("conv_day", "is_a").agg(F.count(F.lit(1)).alias("n")))
+
+    def cum(src, key, flag, out):
+        return (days.join(src, (F.col(key) <= F.col("day"))
+                          & (F.col("is_a") == flag))
+                .groupBy("day").agg(F.sum("n").alias(out)))
+
+    j = days
+    for src, key, flag, out in ((arr, "first_day", True, "n_a"),
+                                (arr, "first_day", False, "n_b"),
+                                (cnv, "conv_day", True, "conv_a"),
+                                (cnv, "conv_day", False, "conv_b")):
+        j = (j.join(cum(src, key, flag, out), "day", "left")
+             .withColumn(out, F.coalesce(out, F.lit(0)).cast("long")))
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p_a = F.col("conv_a").cast("double") / n_a
+    p_b = F.col("conv_b").cast("double") / n_b
+    p = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+         / (F.col("n_a") + F.col("n_b")).cast("double"))
+    v = ((p * (F.lit(1.0) - p))
+         * ((F.lit(1.0) / n_a) + (F.lit(1.0) / n_b)))
+    theta = p_b - p_a
+    t2 = F.lit(float(tau2))
+    ll = (F.lit(0.5) * F.log(v / (v + t2))
+          + (t2 * (theta * theta))
+          / ((F.lit(2.0) * v) * (v + t2)))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    se = F.sqrt(v)
+    z = (F.when(~ok, F.lit(0.0))
+         .when(se == 0, F.lit(0.0))
+         .otherwise(F.round(theta / se, 6)))
+    llm = (F.when(~ok | (v <= 0), F.lit(0))
+           .otherwise(F.round(ll * F.lit(1e6), 0))).cast("long")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    thr95 = round(math.log(1.0 / 0.05) * 1e6)
+    thr99 = round(math.log(1.0 / 0.01) * 1e6)
+    return (j.withColumn("z_score", z)
+            .withColumn("log_lambda_micro", llm)
+            .withColumn("log_lambda_max_micro",
+                        F.max("log_lambda_micro").over(w).cast("long"))
+            .withColumn("reject_95",
+                        F.col("log_lambda_max_micro") > F.lit(thr95))
+            .withColumn("reject_99",
+                        F.col("log_lambda_max_micro") > F.lit(thr99))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_a", "n_b", "conv_a", "conv_b", "z_score",
+                    "log_lambda_micro", "log_lambda_max_micro",
+                    "reject_95", "reject_99")
+            .orderBy("day"))
+
+
 def ab_cuped(events: DataFrame, user_col: str = "user_id",
              value_col: str = "value", ts_col: str = "ts",
              split_ts: str = "2024-01-16") -> DataFrame:

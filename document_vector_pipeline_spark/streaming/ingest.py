@@ -647,3 +647,73 @@ def read_late_audit(spark: SparkSession, audit_path: str):
     return (spark.read.parquet(audit_path)
             .select("batch_id", "n_rows", "n_late", "max_lag_us")
             .orderBy("batch_id"))
+
+
+def stream_dim_join(spark: SparkSession, batches_path: str,
+                    dim_table, keys: list[str], out_path: str,
+                    checkpoint: str, schema: str,
+                    dim_version_col: str = "dim_version",
+                    broadcast_dim: bool = False,
+                    available_now: bool = True,
+                    max_files_per_trigger: int = 1) -> StreamingQuery:
+    """Stream-static AS-OF enrichment: each microbatch of the fact feed
+    left-joins the VERSIONED dimension table at its latest COMMITTED
+    version, pinned ONCE per trigger — the streaming twin of
+    events_enrich against a dimension that itself receives commits.
+
+    Why pin per trigger: Spark's native stream-static join re-plans
+    the static side per microbatch but gives no versioned-read
+    guarantee — against a table of plain parquet dirs a concurrent
+    dimension writer can TEAR a batch (some partitions join the old
+    files, some the new, some crash on vanished ones).  Reading
+    ``dim_table.read(v)`` for the manifest-resolved latest ``v``
+    makes every row of a trigger join exactly one dimension snapshot;
+    a mid-stream dimension commit is picked up at the NEXT trigger,
+    never mid-batch.  Each output row is stamped ``dim_version_col``
+    = v, so downstream consumers (and audits) can see exactly which
+    snapshot enriched it.
+
+    The sink is EXACTLY-ONCE: each batch overwrites its own
+    ``batch=K`` dir (the admission gate's batch-keyed idempotent
+    sink), so a foreachBatch redelivery rewrites identical rows —
+    identical because the replayed trigger re-reads the SAME manifest
+    version only if the dimension hasn't committed since; if it has,
+    the replay joins the newer snapshot, which is the documented
+    at-least-once-enrichment caveat every stream-static join carries
+    (exactly-once would need the version stamped into the checkpoint;
+    stamping it into the OUTPUT makes the difference observable).
+
+    ``broadcast_dim`` hints the dimension side broadcast (right for a
+    dims-sized table at any fact-feed scale); per-trigger cost is one
+    batch×dimension join — the dimension read is manifest-pruned to
+    its live dirs, never a directory listing race."""
+    batches = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .json(batches_path))
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = dim_table.latest()
+        dim = dim_table.read(v)
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        out = (batch_df.join(dim, keys, "left")
+               .withColumn(dim_version_col,
+                           F.lit(int(v)).cast("long")))
+        (out.write.mode("overwrite")
+         .parquet(f"{out_path}/batch={batch_id}"))
+
+    writer = (batches.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dim_joined(spark: SparkSession, out_path: str):
+    """The drained enriched feed across all batch dirs (empty-feed →
+    typed error surface is the caller's: an enrichment with no output
+    has no schema to synthesize)."""
+    return spark.read.parquet(out_path)

@@ -1118,3 +1118,50 @@ def test_stream_merge_apply_constraint_gate_stops_the_feed(spark,
     assert raised
     assert vt.versions() == [0]
     assert [r["id"] for r in vt.read().collect()] == [1]
+
+
+def test_stream_dim_join_pins_version_per_trigger(spark, tmp_path):
+    """Each microbatch joins the dimension AS OF its latest committed
+    version: a dimension commit between triggers is picked up at the
+    NEXT trigger (never mid-batch), and every output row is stamped
+    with the version that enriched it.  A fresh-checkpoint replay
+    against the now-newer dimension rewrites batch dirs under the new
+    version — the documented observable difference."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        read_dim_joined,
+        stream_dim_join,
+    )
+
+    dim = BucketedVersionedTable(spark, str(tmp_path / "dim"),
+                                 bucket_col="b")
+    dim.commit_overwrite(spark.createDataFrame(
+        [(1, "north", "0"), (2, "south", "1")],
+        "user_id long, region string, b string"))
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, user_id long"
+    _write_jsonl(bdir / "b0.json", [{"event_id": 10, "user_id": 1},
+                                    {"event_id": 11, "user_id": 3}])
+    stream_dim_join(spark, str(bdir), dim, ["user_id"], out, ck,
+                    schema=schema).awaitTermination()
+    # dimension evolves BETWEEN triggers: user 1 moves, user 3 appears
+    dim.upsert(spark.createDataFrame(
+        [(1, "east", "0"), (3, "west", "1")],
+        "user_id long, region string, b string"), ["user_id"])
+    _write_jsonl(bdir / "b1.json", [{"event_id": 20, "user_id": 1},
+                                    {"event_id": 21, "user_id": 3}])
+    stream_dim_join(spark, str(bdir), dim, ["user_id"], out, ck,
+                    schema=schema).awaitTermination()
+    rows = {r["event_id"]: r for r in
+            read_dim_joined(spark, out).collect()}
+    # trigger 1 saw v0: user 1 = north, user 3 unknown
+    assert rows[10]["region"] == "north" and rows[10]["dim_version"] == 0
+    assert rows[11]["region"] is None and rows[11]["dim_version"] == 0
+    # trigger 2 saw v1: the commit landed at the NEXT trigger
+    assert rows[20]["region"] == "east" and rows[20]["dim_version"] == 1
+    assert rows[21]["region"] == "west" and rows[21]["dim_version"] == 1
