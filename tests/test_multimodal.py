@@ -103,32 +103,29 @@ def test_resize_aspect_fit_and_byte_budget(spark):
     assert multimodal.resize_assets(audio).count() == 0
 
 
-def test_resize_with_real_codec_if_available(spark):
-    """Optional (the mm symmetry of the pypdf parse-seam test): if a
-    real image library is importable, wire PIL through resize_assets'
-    codec seam — bytes the repo didn't fabricate, decoded and resized
-    by a real codec inside the SAME mapInPandas contract."""
-    import pytest
-
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
-
+def test_resize_with_real_codec(spark):
+    """Real image bytes through resize_assets' codec seam,
+    UNCONDITIONALLY (round 11 — previously an optional PIL skip): the
+    vendored pure-stdlib PNG codec (functions/minipng) decodes and
+    nearest-neighbor resizes actual PNGs inside the SAME mapInPandas
+    contract; when PIL happens to be importable it cross-validates our
+    encoder's output bytes."""
+    from document_vector_pipeline_spark.functions.minipng import (
+        png_decode,
+        png_encode,
+        png_resize_nearest,
+    )
     from document_vector_pipeline_spark.operators import multimodal
 
     def make_png(w, h):
-        buf = io.BytesIO()
-        PIL_Image.new("RGB", (w, h), (120, 30, 200)).save(buf, "PNG")
-        return buf.getvalue()
+        return png_encode([(120, 30, 200)] * (w * h), w, h)
 
-    def pil_dims(payload):
-        with PIL_Image.open(io.BytesIO(payload)) as im:
-            return im.size
+    def png_dims(payload):
+        w, h, _, _ = png_decode(bytes(payload))
+        return w, h
 
-    def pil_resize(payload, w, h, nw, nh):
-        with PIL_Image.open(io.BytesIO(payload)) as im:
-            buf = io.BytesIO()
-            im.resize((nw, nh)).save(buf, "PNG")
-            return buf.getvalue()
+    def png_resize(payload, w, h, nw, nh):
+        return png_resize_nearest(bytes(payload), nw, nh)
 
     rows = [(1, make_png(1600, 400)),     # width-bound shrink
             (2, make_png(200, 960)),      # height-bound shrink
@@ -137,13 +134,22 @@ def test_resize_with_real_codec_if_available(spark):
         [(i, "image", p, None) for i, p in rows], multimodal.ASSET_SCHEMA)
     got = {r["asset_id"]: r for r in
            multimodal.resize_assets(assets, max_w=640, max_h=480,
-                                    codec=(pil_dims, pil_resize)).collect()}
+                                    codec=(png_dims, png_resize)).collect()}
     assert (got[1]["width"], got[1]["height"]) == (1600, 400)
     assert (got[1]["new_width"], got[1]["new_height"]) == (640, 160)
     assert (got[2]["new_width"], got[2]["new_height"]) == (100, 480)
     assert (got[3]["new_width"], got[3]["new_height"]) == (100, 80)
     # the resized payloads are REAL images at exactly the target dims
     for i, r in got.items():
+        w, h, _, _ = png_decode(bytes(r["resized"]))
+        assert (w, h) == (r["new_width"], r["new_height"])
+    try:
+        import io
+
+        import PIL.Image as PIL_Image
+    except ImportError:
+        return
+    for r in got.values():                 # bonus: a real codec agrees
         with PIL_Image.open(io.BytesIO(bytes(r["resized"]))) as im:
             assert im.size == (r["new_width"], r["new_height"])
 
@@ -211,36 +217,49 @@ def test_embed_assets_retry_contract(spark):
             assets, fatal, retry_delay_s=0.0).collect()
 
 
-def test_embed_assets_real_client_if_available(spark):
-    """Non-stub proof: a REAL image model stand-in — PIL decodes the
-    payload and the embedding is the downsampled pixel grid (an actual
-    bytes→vector model pipeline, not a byte hash) — through the same
-    seam, then fed to the embedding-leg dedup: identical images pair at
-    cos 1.0, a different image does not."""
-    import pytest
-
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
-
+def test_embed_assets_real_client(spark):
+    """Non-stub proof, UNCONDITIONAL (round 11 — previously an optional
+    PIL skip): a REAL image model stand-in — the vendored PNG codec
+    decodes the payload and the embedding is the downsampled greyscale
+    pixel grid (an actual bytes→vector pipeline, not a byte hash) —
+    through the same seam, then fed to the embedding-leg dedup:
+    identical images pair at cos 1.0, a different image does not."""
+    from document_vector_pipeline_spark.functions.minipng import (
+        png_encode,
+    )
     from document_vector_pipeline_spark.operators import dedup, multimodal
 
-    def make_png(color):
-        buf = io.BytesIO()
-        PIL_Image.new("RGB", (64, 64), color).save(buf, "PNG")
-        return buf.getvalue()
+    def make_png(color, gradient=False):
+        if not gradient:
+            return png_encode([color] * (64 * 64), 64, 64)
+        # spatially varying image: a constant image's grey grid is a
+        # scaled all-ones vector, PARALLEL to any other constant's —
+        # the non-pair needs real structure to score below threshold
+        px = [(4 * (x + y) % 256, 10, 10)
+              for y in range(64) for x in range(64)]
+        return png_encode(px, 64, 64)
 
     def pil_embed(payloads):
+        from document_vector_pipeline_spark.functions.minipng import (
+            png_decode,
+        )
         out = []
         for p in payloads:
-            with PIL_Image.open(io.BytesIO(bytes(p))) as im:
-                px = list(im.convert("L").resize((4, 4)).getdata())
-            out.append([float(v) for v in px])
+            w, h, ch, px = png_decode(bytes(p))
+            vec = []
+            for gy in range(4):
+                for gx in range(4):
+                    o = ((gy * h // 4) * w + (gx * w // 4)) * ch
+                    r, g, b = px[o], px[o + 1], px[o + 2]
+                    vec.append(float((r * 299 + g * 587 + b * 114)
+                                     // 1000))
+            out.append(vec)
         return out
 
     assets = spark.createDataFrame(
         [(1, "image", make_png((200, 10, 10)), None),
          (2, "image", make_png((200, 10, 10)), None),
-         (3, "image", make_png((10, 10, 200)), None)],
+         (3, "image", make_png((10, 10, 200), gradient=True), None)],
         multimodal.ASSET_SCHEMA)
     emb = multimodal.embed_assets_with_client(assets, pil_embed,
                                               retry_delay_s=0.0)
@@ -250,3 +269,60 @@ def test_embed_assets_real_client_if_available(spark):
                             "embedding"),
                  threshold=0.999999).collect()}
     assert set(pairs) == {(1, 2)}
+
+
+def test_minipng_decodes_all_standard_filters():
+    """The vendored decoder must invert every standard scanline filter
+    (our encoder only writes filter 0, so 1-4 need explicit coverage):
+    hand-build a 4-row RGB PNG using Sub/Up/Average/Paeth and assert
+    the recovered pixels."""
+    import struct
+    import zlib
+
+    from document_vector_pipeline_spark.functions.minipng import (
+        png_decode,
+    )
+
+    w = 3
+    rows = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+            [(11, 21, 31), (41, 51, 61), (71, 81, 91)],
+            [(12, 22, 32), (42, 52, 62), (72, 82, 92)],
+            [(13, 23, 33), (43, 53, 63), (73, 83, 93)]]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    flat = [bytes(b for px in r for b in px) for r in rows]
+    raw = bytearray()
+    raw += b"\x01" + bytes((flat[0][i] - (flat[0][i - 3] if i >= 3
+                                          else 0)) & 0xFF
+                           for i in range(len(flat[0])))       # Sub
+    raw += b"\x02" + bytes((flat[1][i] - flat[0][i]) & 0xFF
+                           for i in range(len(flat[1])))       # Up
+    raw += b"\x03" + bytes((flat[2][i] - (((flat[2][i - 3] if i >= 3
+                                            else 0)
+                                           + flat[1][i]) >> 1)) & 0xFF
+                           for i in range(len(flat[2])))       # Average
+    raw += b"\x04" + bytes((flat[3][i] - paeth(
+        flat[3][i - 3] if i >= 3 else 0, flat[2][i],
+        flat[2][i - 3] if i >= 3 else 0)) & 0xFF
+        for i in range(len(flat[3])))                          # Paeth
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    gw, gh, ch, px = png_decode(png)
+    assert (gw, gh, ch) == (3, 4, 3)
+    assert px == b"".join(flat)
+    # non-PNG and unsupported modes fail loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError):
+        png_decode(b"JFIF not a png")
