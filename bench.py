@@ -768,10 +768,10 @@ def main() -> None:
     bench("mm_phash", lambda: multimodal.phash(
         multimodal.documents_as_assets(docs)))
     # asset-embedding seam + embedding-leg near-dup (client stage is
-    # map-only; the pair stage is the banded LSH candidate join + exact
-    # verify — bounded at scale; ~3x the blocked matmul HERE because
-    # 5k×32-dim is far below the n² crossover, the documented tradeoff)
-    bench("mm_embed", lambda: dedup.embedding_lsh_pairs(
+    # map-only; the pair stage is embedding_neardup_auto's measured
+    # strategy dispatch — blocked exact BLAS at this corpus size,
+    # banded LSH above the flops budget)
+    bench("mm_embed", lambda: dedup.embedding_neardup_auto(
         multimodal.embed_assets_with_client(
             multimodal.documents_as_assets(docs),
             multimodal.stub_asset_embedder(dim=32), retry_delay_s=0.0)

@@ -998,33 +998,32 @@ def q_mm_embed(spark, sf_dir):
     embed_with_client applied to binary payloads), wired straight into
     dedup as the EMBEDDING leg of multimodal near-dup (next to
     phash_pairs): cosine pairs over the client-embedded assets through
-    the banded random-hyperplane candidate pass + exact verify
-    (dedup.embedding_lsh_pairs) — the bounded-candidate default that
-    replaced the blocked all-pairs matmul as the prune (Σ_bucket
-    |bucket|² multiply-adds, never n²; the blocked exact path remains
-    as embedding_neardup_pairs for audit).  The stub client decodes
-    the payload and replays the house hashing-trick embedder
-    (unnormalized exact integer bucket sums), so the oracle rebuilds
-    the identical vectors from the text the payloads encode AND
-    replays the identical hyperplane signatures as literals — exact by
-    construction regardless of band recall; a real CLIP-style client
-    drops into the same seam (tests/test_multimodal.py proves the
-    retry contract and a non-stub client)."""
+    dedup.embedding_neardup_auto — the MEASURED strategy dispatch
+    (round 11): blocked exact BLAS under the flops budget (this corpus
+    — the decade measurement showed exact at 0.5× wall where banded
+    LSH pays 25× on dup-dense data, SURVEY §6), banded LSH + exact
+    verify beyond it (the only viable shape once n² flops are
+    impossible; its recall is measured by dedup_embedding_lsh_eval).
+    The stub client decodes the payload and replays the house
+    hashing-trick embedder (unnormalized exact integer bucket sums),
+    so the oracle rebuilds the identical vectors from the text the
+    payloads encode; a real CLIP-style client drops into the same
+    seam (tests/test_multimodal.py proves the retry contract and a
+    non-stub client)."""
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.documents_as_assets(docs)
     emb = multimodal.embed_assets_with_client(
         assets, multimodal.stub_asset_embedder(dim=32), retry_delay_s=0.0)
-    return dedup.embedding_lsh_pairs(
+    return dedup.embedding_neardup_auto(
         emb.select(F.col("asset_id").alias("vec_id"), "embedding"),
         threshold=0.9, planes=12, tables=16, dim=32)
 
 
-def _sql_mm_embed(dim: int = 32, threshold: float = 0.9,
-                  planes: int = 12, tables: int = 16) -> str:
-    # banded-candidates + exact-verify form, mirroring
-    # _sql_dedup_embedding_lsh; the vectors are the hashing-trick bucket
-    # sums of the payload text, the signatures literal-replayed
-    join_cond = " or ".join(f"a.s{t} = b.s{t}" for t in range(tables))
+def _sql_mm_embed(dim: int = 32, threshold: float = 0.9) -> str:
+    # normalize-then-join form, mirroring _sql_dedup_embedding; the
+    # vectors are the hashing-trick bucket sums of the payload text
+    # (the dispatch resolves to the blocked EXACT path at every test
+    # SF, so the oracle is the exact pair set)
     cos = f"round({_dot('a.vn', 'b.vn', dim)}, 6)"
     return f"""
 with e0 as materialized (select doc_id as vec_id,
@@ -1032,15 +1031,10 @@ with e0 as materialized (select doc_id as vec_id,
   from documents),
 e1 as materialized (select vec_id, v, sqrt({_ss('v', dim)}) as nrm from e0),
 e as materialized (select vec_id,
-       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn,
-       {', '.join(_lsh_sig_sql(tables, planes, dim))}
-  from e1),
-cand as (
-  select a.vec_id as id_a, b.vec_id as id_b
-  from e a join e b on a.vec_id < b.vec_id and ({join_cond}))
-select c.id_a, c.id_b, {cos} as cos
-from cand c join e a on a.vec_id = c.id_a
-            join e b on b.vec_id = c.id_b
+       list_transform(v, x -> case when nrm = 0 then x else x/nrm end) as vn
+  from e1)
+select a.vec_id as id_a, b.vec_id as id_b, {cos} as cos
+from e a join e b on a.vec_id < b.vec_id
 where {cos} >= {threshold!r}
 """
 
@@ -11731,6 +11725,50 @@ def queries():
         "text_unigram_encode": q_text_unigram_encode,
         "stream_dim_join": q_stream_dim_join,
         "events_ab_sequential": q_events_ab_sequential,
+        # -- stalest driver-ledger keys: r4/r5/r6 remainder from
+        #    sketch_kmv onward + the leading r7 block (41 keys fill
+        #    the round-11 head-50) --
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_ops": q_sketch_kmv_ops,
+        "sketch_histq": q_sketch_histq,
+        "source_jsonl": q_source_jsonl,
+        "source_csv": q_source_csv,
+        "corpus_lenhist": q_corpus_lenhist,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_dropdup": q_stream_dropdup,
+        "stream_topk_windowed": q_stream_topk_windowed,
+        "q7_volume": q_q7_volume,
+        "q8_share": q_q8_share,
+        "q12_priority": q_q12_priority,
+        "q16_suppcnt": q_q16_suppcnt,
+        "q17_small_qty": q_q17_small_qty,
+        "q11_parts": q_q11_parts,
+        "q15_topsupp": q_q15_topsupp,
+        "q20_promo_supp": q_q20_promo_supp,
+        "q2_mincost": q_q2_mincost,
+        "events_pivot": q_events_pivot,
+        "events_cube": q_events_cube,
+        "events_anomalies": q_events_anomalies,
+        "corpus_mixture": q_corpus_mixture,
+        "chunk_md_paragraphs": q_chunk_md_paragraphs,
+        "pipeline_sk_chunking": q_pipeline_sk_chunking,
+        "store_cdc": q_store_cdc,
+        "vector_search_batch": q_vector_search_batch,
+        "store_reembed": q_store_reembed,
+        "mm_phash_dedup": q_mm_phash_dedup,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substrings": q_dedup_substrings,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "graph_pagerank": q_graph_pagerank,
+        "layout_zorder": q_layout_zorder,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_pca": q_emb_pca,
+        "emb_covariance": q_emb_covariance,
+        "corpus_quality_model": q_corpus_quality_model,
+        "corpus_token_budget": q_corpus_token_budget,
+        "sketch_cms": q_sketch_cms,
+        "store_compact": q_store_compact,
+        "source_bucketed": q_source_bucketed,
         # -- round-10 keys (driver-r10 green) --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
@@ -11746,7 +11784,7 @@ def queries():
         "store_merge_cdc": q_store_merge_cdc,
         "events_ab_health": q_events_ab_health,
         "store_tags": q_store_tags,
-        # -- stalest driver greens: r4/r5/r6 remainder (40 fill the head) --
+        # -- r10-head keys (driver-r10 green; were the r10 stale fill) --
         "dedup_shingle_hist": q_dedup_shingle_hist,
         "events_mad_outliers": q_events_mad_outliers,
         "corpus_source_sim": q_corpus_source_sim,
@@ -11841,48 +11879,7 @@ def queries():
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_profile": q_corpus_profile,
         "corpus_pack": q_corpus_pack,
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_kmv_ops": q_sketch_kmv_ops,
-        "sketch_histq": q_sketch_histq,
-        "source_jsonl": q_source_jsonl,
-        "source_csv": q_source_csv,
-        "corpus_lenhist": q_corpus_lenhist,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_dropdup": q_stream_dropdup,
-        "stream_topk_windowed": q_stream_topk_windowed,
-        "q7_volume": q_q7_volume,
-        "q8_share": q_q8_share,
-        "q12_priority": q_q12_priority,
-        "q16_suppcnt": q_q16_suppcnt,
-        "q17_small_qty": q_q17_small_qty,
-        "q11_parts": q_q11_parts,
-        "q15_topsupp": q_q15_topsupp,
-        "q20_promo_supp": q_q20_promo_supp,
-        "q2_mincost": q_q2_mincost,
-        "events_pivot": q_events_pivot,
-        "events_cube": q_events_cube,
-        "events_anomalies": q_events_anomalies,
-        "corpus_mixture": q_corpus_mixture,
-        "chunk_md_paragraphs": q_chunk_md_paragraphs,
-        "pipeline_sk_chunking": q_pipeline_sk_chunking,
-        "store_cdc": q_store_cdc,
-        "vector_search_batch": q_vector_search_batch,
-        "store_reembed": q_store_reembed,
-        "mm_phash_dedup": q_mm_phash_dedup,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_substrings": q_dedup_substrings,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "graph_pagerank": q_graph_pagerank,
-        "layout_zorder": q_layout_zorder,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "emb_pca": q_emb_pca,
-        "emb_covariance": q_emb_covariance,
-        "corpus_quality_model": q_corpus_quality_model,
-        # -- r7 driver-recorded --
-        "corpus_token_budget": q_corpus_token_budget,
-        "sketch_cms": q_sketch_cms,
-        "store_compact": q_store_compact,
-        "source_bucketed": q_source_bucketed,
+        # -- r7 driver-recorded (remainder) --
         "stream_scd2": q_stream_scd2,
         "events_scd2": q_events_scd2,
         "asof_nearest": q_asof_nearest,

@@ -690,6 +690,45 @@ def embedding_lsh_eval(emb: DataFrame, id_col: str = "vec_id",
          .alias("recall_milli"))
 
 
+def embedding_neardup_auto(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95,
+                           planes: int = 8, tables: int = 16,
+                           dim: int = 64, n_blocks: int = 8,
+                           blas_budget_rows: int = 1_000_000,
+                           n_rows: int | None = None) -> DataFrame:
+    """Strategy dispatch for embedding near-dup pair listing (the
+    ngram_jaccard discipline: measure the crossover, encode it as a
+    rule): BLOCKED EXACT BLAS while the corpus fits the flops budget,
+    BANDED LSH + exact verify beyond it.
+
+    Why a dispatch and not one winner — measured on the 10× synthetic
+    decade (SURVEY §6, round 11): at 50 k dup-dense rows the exact
+    blocked matmul runs the decade at 0.5× wall (n² multiply-adds at
+    BLAS speed are CHEAPER per true pair than the banded join's
+    per-candidate shuffle row), while the banded path pays 25×.  The
+    banded path's win condition is the regime this machine cannot
+    reach: n where n² flops are simply impossible (100 TB ⇒ n ≈ 10¹¹ ⇒
+    10²² flops) and near-dup density is sparse at high τ — there its
+    Σ_bucket |bucket|² work is the only viable shape.  The default
+    budget (10⁶ rows ⇒ 10¹² multiply-adds ≈ a minute of one node's
+    BLAS) marks that crossover explicitly; override it per cluster.
+
+    Both members keep their exact output contract (banded verifies
+    with the exact dot, it only MISSES pairs — measured by
+    embedding_lsh_eval), so the dispatch changes cost, and recall only
+    above the budget."""
+    n = emb.count() if n_rows is None else int(n_rows)
+    if n <= blas_budget_rows:
+        return embedding_neardup_pairs(emb, id_col=id_col,
+                                       vec_col=vec_col,
+                                       threshold=threshold,
+                                       n_blocks=n_blocks)
+    return embedding_lsh_pairs(emb, id_col=id_col, vec_col=vec_col,
+                               threshold=threshold, planes=planes,
+                               tables=tables, dim=dim)
+
+
 # ---- end-to-end near-dup removal ------------------------------------------
 
 def neardup_dedup(docs: DataFrame, id_col: str = "doc_id",

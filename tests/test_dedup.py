@@ -156,6 +156,24 @@ def test_embedding_lsh_eval_metric_consistent(spark):
     assert tuple(empty) == (0, 0, 0, 0, 0)
 
 
+def test_embedding_neardup_auto_dispatch(spark):
+    """The measured strategy dispatch: under the flops budget the
+    output IS the exact blocked pair set; above it, the banded path's
+    (a verified subset)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = sorted(map(tuple, D.embedding_neardup_pairs(
+        emb, threshold=0.35).collect()))
+    auto = sorted(map(tuple, D.embedding_neardup_auto(
+        emb, threshold=0.35, planes=4, tables=16, dim=64).collect()))
+    assert auto == exact and len(exact) > 0
+    banded = sorted(map(tuple, D.embedding_lsh_pairs(
+        emb, threshold=0.35, planes=4, tables=16, dim=64).collect()))
+    forced = sorted(map(tuple, D.embedding_neardup_auto(
+        emb, threshold=0.35, planes=4, tables=16, dim=64,
+        blas_budget_rows=10).collect()))
+    assert forced == banded
+
+
 def test_neardup_dedup_keeps_min_id_per_cluster(spark):
     from document_vector_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
