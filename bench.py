@@ -214,6 +214,7 @@ def main() -> None:
         return spark.read.parquet(ivf._cells)
 
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
+    bench("ann_opq", lambda: similarity.opq_ann(emb, qdf, k=10))
     bench("ann_opq_recall",
           lambda: similarity.opq_recall(emb, qdf, k=10))
     bench("ann_ivf_tuning",

@@ -6413,6 +6413,18 @@ def q_ann_recall(spark, sf_dir):
                                  planes=8, tables=4, dim=64)
 
 
+def q_ann_opq(spark, sf_dir):
+    """Rotated-PQ serving (similarity.opq_ann): the OPQ-family ladder
+    rung between plain PQ and IVFADC — Walsh–Hadamard rotation, then
+    the identical map-only encode + Arrow ADC + partial-top-k plan as
+    ann_pq, exact integers in the rotated domain; the oracle re-derives
+    the rotation relationally (bit_count parity) and replays the
+    encode/ADC joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.opq_ann(emb, _queries_df(emb), k=10,
+                              n_codes=16, n_sub=8, dim=64)
+
+
 def q_ann_opq_recall(spark, sf_dir):
     """Measured recall@10 of plain PQ vs Walsh–Hadamard-rotated PQ
     (the OPQ family's rotation R fixed to the structured isometry —
@@ -11725,6 +11737,7 @@ def queries():
         "text_unigram_encode": q_text_unigram_encode,
         "stream_dim_join": q_stream_dim_join,
         "events_ab_sequential": q_events_ab_sequential,
+        "ann_opq": q_ann_opq,
         # -- stalest driver-ledger keys: r4/r5/r6 remainder from
         #    sketch_kmv onward + the leading r7 block (41 keys fill
         #    the round-11 head-50) --
@@ -12046,6 +12059,7 @@ def oracle_sql():
         "text_unigram_encode": _sql_text_unigram_encode(),
         "stream_dim_join": _sql_stream_dim_join(),
         "events_ab_sequential": _sql_events_ab_sequential(),
+        "ann_opq": _sql_ann_opq(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),
