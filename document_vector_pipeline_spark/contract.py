@@ -4135,7 +4135,14 @@ def q_stream_dim_join(spark, sf_dir):
         os.path.join(root, "ckpt"),
         schema="event_id long, user_id long, event_type string",
         broadcast_dim=True).awaitTermination()
-    return read_dim_joined(spark, os.path.join(root, "out")).select(
+    # typed-empty twin of the enrichment (an EMPTY feed writes no batch
+    # dirs — the probe returns this schema instead of a missing-path
+    # error, matching the oracle's zero rows)
+    empty_like = (ev.join(dim.read(dim.latest()), ["user_id"], "left")
+                  .withColumn("dim_version", F.lit(0).cast("long"))
+                  .schema)
+    return read_dim_joined(spark, os.path.join(root, "out"),
+                           schema=empty_like).select(
         "event_id", "user_id", "event_type", "c_mktsegment",
         "c_nationkey", "bucket", "dim_version")
 

@@ -712,8 +712,15 @@ def stream_dim_join(spark: SparkSession, batches_path: str,
     return writer.start()
 
 
-def read_dim_joined(spark: SparkSession, out_path: str):
-    """The drained enriched feed across all batch dirs (empty-feed →
-    typed error surface is the caller's: an enrichment with no output
-    has no schema to synthesize)."""
+def read_dim_joined(spark: SparkSession, out_path: str, schema=None):
+    """The drained enriched feed across all batch dirs.  A feed that
+    never delivered a row wrote no batch dirs — with ``schema`` (a
+    StructType or DDL string) that is the TYPED EMPTY enrichment
+    (explicit FS probe, the read_late_audit discipline), not an
+    error; without it the missing path propagates (no schema to
+    synthesize)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if schema is not None and not fs.exists(jpath):
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(out_path)
