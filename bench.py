@@ -148,6 +148,10 @@ def main() -> None:
     bench("dedup_embedding_lsh_eval",
           lambda: dedup.embedding_lsh_eval(emb, threshold=0.35,
                                            planes=4, tables=16, dim=64))
+    bench("dedup_embedding_lsh_tuning",
+          lambda: dedup.embedding_lsh_tuning(emb, threshold=0.35,
+                                             planes_list=(2, 4, 6),
+                                             tables=8, dim=64))
     bench("dedup_url", lambda: dedup.url_dedup(docs.select(
         "doc_id",
         F.concat(F.lit("HTTPS://WWW."), F.col("source"),

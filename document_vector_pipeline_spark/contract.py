@@ -734,6 +734,31 @@ def q_dedup_embedding_lsh_eval(spark, sf_dir):
                                     planes=4, tables=16, dim=64)
 
 
+def q_dedup_embedding_lsh_tuning(spark, sf_dir):
+    """The (planes, tables) sizing sweep for banded embedding near-dup
+    (the dedup_lsh_tuning discipline): per plane count, measured
+    candidate precision/recall vs the exact cosine ≥ τ truth — the
+    S-curve the production planes ≈ log₂(n/bucket-size) rule reads its
+    constants from."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_tuning(emb, threshold=0.35,
+                                      planes_list=(2, 4, 6), tables=8,
+                                      dim=64)
+
+
+def _sql_dedup_embedding_lsh_tuning(threshold: float = 0.35,
+                                    planes_list: tuple = (2, 4, 6),
+                                    tables: int = 8,
+                                    dim: int = 64) -> str:
+    parts = []
+    for p in planes_list:
+        inner = _sql_dedup_embedding_lsh_eval(threshold, p, tables, dim)
+        parts.append(
+            f"select cast({p} as int) as planes, "
+            f"cast({tables} as int) as tables, t.* from ({inner}) t")
+    return " union all ".join(parts) + " order by planes"
+
+
 def q_dedup_url(spark, sf_dir):
     """URL-canonicalization dedup over deterministic synthetic URLs (the
     corpus has no URL column, so the query constructs one per doc with
@@ -11745,6 +11770,7 @@ def queries():
         "stream_dim_join": q_stream_dim_join,
         "events_ab_sequential": q_events_ab_sequential,
         "ann_opq": q_ann_opq,
+        "dedup_embedding_lsh_tuning": q_dedup_embedding_lsh_tuning,
         # -- stalest driver-ledger keys: r4/r5/r6 remainder from
         #    sketch_kmv onward + the leading r7 block (41 keys fill
         #    the round-11 head-50) --
@@ -12067,6 +12093,7 @@ def oracle_sql():
         "stream_dim_join": _sql_stream_dim_join(),
         "events_ab_sequential": _sql_events_ab_sequential(),
         "ann_opq": _sql_ann_opq(),
+        "dedup_embedding_lsh_tuning": _sql_dedup_embedding_lsh_tuning(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),

@@ -690,6 +690,55 @@ def embedding_lsh_eval(emb: DataFrame, id_col: str = "vec_id",
          .alias("recall_milli"))
 
 
+def embedding_lsh_tuning(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         planes_list: tuple = (2, 4, 6),
+                         tables: int = 8, dim: int = 64,
+                         n_blocks: int = 8) -> DataFrame:
+    """The (planes, tables) sizing sweep for banded embedding near-dup
+    (the dedup_lsh_tuning / ann_ivf_tuning discipline applied to the
+    hyperplane family): one row per plane count with measured
+    candidate precision/recall vs the exact cosine ≥ τ truth —
+    (planes, tables, n_cand, n_true, n_hit, precision_milli,
+    recall_milli).  More planes ⇒ tighter buckets ⇒ candidates down /
+    recall down; this measures the S-curve on YOUR corpus, which is
+    how the production planes ≈ log₂(n/bucket-size) rule gets its
+    constants before a 100 TB run (SURVEY §6 round-11 note).  The
+    exact truth is computed ONCE (eager checkpoint — the expensive
+    operand); each configuration re-runs the same band join
+    embedding_lsh_candidates runs standalone."""
+    truth = embedding_neardup_pairs(emb, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold,
+                                    n_blocks=n_blocks
+                                    ).select("id_a", "id_b"
+                                             ).localCheckpoint(eager=True)
+    out = None
+    for planes in planes_list:
+        cand = embedding_lsh_candidates(emb, id_col=id_col,
+                                        vec_col=vec_col, planes=planes,
+                                        tables=tables, dim=dim
+                                        ).localCheckpoint(eager=True)
+        hit = cand.join(truth, ["id_a", "id_b"])
+        row = (cand.agg(F.count("*").cast("long").alias("n_cand"))
+               .crossJoin(truth.agg(F.count("*").cast("long")
+                                    .alias("n_true")))
+               .crossJoin(hit.agg(F.count("*").cast("long")
+                                  .alias("n_hit"))))
+        row = row.select(
+            F.lit(planes).cast("int").alias("planes"),
+            F.lit(tables).cast("int").alias("tables"),
+            "n_cand", "n_true", "n_hit",
+            F.when(F.col("n_cand") == 0, F.lit(0).cast("long"))
+             .otherwise(F.expr("(1000 * n_hit) div n_cand"))
+             .alias("precision_milli"),
+            F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+             .otherwise(F.expr("(1000 * n_hit) div n_true"))
+             .alias("recall_milli"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("planes")
+
+
 def embedding_neardup_auto(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95,
