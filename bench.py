@@ -219,6 +219,17 @@ def main() -> None:
 
     bench("ann_recall", lambda: similarity.ann_recall(emb, qdf, k=10))
     bench("ann_opq", lambda: similarity.opq_ann(emb, qdf, k=10))
+
+    def opq_persisted():
+        from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+        idx = IVFIndex(spark, os.path.join(ROOT, ".scratch",
+                                           "bench_opq_idx"),
+                       n_centroids=8)
+        idx.build(emb)
+        idx.build_pq(emb, rotate=True)
+        return idx.search_many_adc(qdf, k=10, nprobe=8)
+
+    bench("ann_opq_persisted", opq_persisted)
     bench("ann_opq_recall",
           lambda: similarity.opq_recall(emb, qdf, k=10))
     bench("ann_ivf_tuning",

@@ -1506,6 +1506,26 @@ def q_ann_ivfpq_persisted(spark, sf_dir):
     return idx.search_many_adc(_queries_df(emb), k=10, nprobe=8)
 
 
+def q_ann_opq_persisted(spark, sf_dir):
+    """Persisted OPQ-IVFADC (round 11 — FAISS's ``OPQ..,IVF..,PQ..``
+    chain with the Walsh–Hadamard isometry as R): build_pq(rotate=True)
+    trains and stores the codes in the rotated domain and persists the
+    flag as index metadata, so upserts and query LUTs stay in the same
+    domain without the caller restating it; the coarse quantizer stays
+    in the original space (cell geometry, probing, and rebuild policy
+    rotation-blind).  Probed exhaustively, the ADC result — and the
+    oracle — is exactly opq_ann; low-nprobe pruned serving and the
+    upsert domain-persistence are pinned in tests/test_ivf_index.py."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, os.path.join(SCRATCH, "ann_opq_idx"),
+                   n_centroids=8)
+    idx.build(emb)
+    idx.build_pq(emb, rotate=True)
+    return idx.search_many_adc(_queries_df(emb), k=10, nprobe=8)
+
+
 def q_ann_adc_filtered(spark, sf_dir):
     """Filtered COMPRESSED serving (round 9 — completes the filtered
     ladder next to vector_topk_filtered / ann_ivf_filtered /
@@ -11771,6 +11791,7 @@ def queries():
         "events_ab_sequential": q_events_ab_sequential,
         "ann_opq": q_ann_opq,
         "dedup_embedding_lsh_tuning": q_dedup_embedding_lsh_tuning,
+        "ann_opq_persisted": q_ann_opq_persisted,
         # -- stalest driver-ledger keys: r4/r5/r6 remainder from
         #    sketch_kmv onward + the leading r7 block (41 keys fill
         #    the round-11 head-50) --
@@ -12094,6 +12115,7 @@ def oracle_sql():
         "events_ab_sequential": _sql_events_ab_sequential(),
         "ann_opq": _sql_ann_opq(),
         "dedup_embedding_lsh_tuning": _sql_dedup_embedding_lsh_tuning(),
+        "ann_opq_persisted": _sql_ann_opq(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),

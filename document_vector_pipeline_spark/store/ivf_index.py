@@ -278,9 +278,26 @@ class IVFIndex:
     def _codebook(self) -> str:
         return os.path.join(self.path, "codebook.parquet")
 
+    @property
+    def _pq_meta(self) -> str:
+        return os.path.join(self.path, "pq_meta.json")
+
+    def _pq_rotate(self) -> bool:
+        """Whether this index's PQ stage runs in the Walsh–Hadamard
+        rotated domain — persisted INDEX METADATA (like the codebook):
+        encode at build/upsert and the query LUT must agree, so the
+        flag travels with the files, not the caller."""
+        if not self._fs_exists(self._pq_meta):
+            return False
+        import json as _json
+
+        return bool(_json.loads(self._read_text(self._pq_meta))
+                    .get("rotate", False))
+
     def build_pq(self, corpus: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_codes: int = 16,
-                 n_sub: int = 8, dim: int = 64) -> None:
+                 n_sub: int = 8, dim: int = 64,
+                 rotate: bool = False) -> None:
         """Augment the index with PQ codes: after ``build``, re-persist
         each cell row with its ``n_sub`` codebook codes (array<int>) and
         write the codebook alongside the centroids.  An ADC search then
@@ -289,23 +306,40 @@ class IVFIndex:
         bytes the surviving cells cost).  Codes use the same exact
         1e-6 fixed-point integer encode as ``pq_ann`` (argmin integer
         subspace L2, ties to the lowest code), so an exhaustive-probe
-        ADC search is bit-identical to ``pq_ann`` — the oracle."""
+        ADC search is bit-identical to ``pq_ann`` — the oracle.
+
+        ``rotate=True`` trains and encodes in the Walsh–Hadamard
+        rotated domain (similarity.opq_fixed_point — the OPQ-family
+        preprocessing, measured +6pp recall@10 on this corpus, see
+        ann_opq_recall): FAISS's ``OPQ..,IVF..,PQ..`` chain with the
+        structured isometry as R.  The coarse quantizer stays in the
+        ORIGINAL space (cell geometry unchanged — probing, upsert
+        assignment, and rebuild policy are rotation-blind); only the
+        PQ encode and the query LUT rotate, and the flag persists as
+        index metadata so every later encode agrees.  Exhaustive-probe
+        ADC is then bit-identical to ``opq_ann``."""
         from document_vector_pipeline_spark.operators.similarity import (
+            opq_fixed_point,
             pq_codebook,
         )
 
-        cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
+        fp = ((lambda c: opq_fixed_point(c, dim)) if rotate else None)
+        cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp)
         cb_df = self.spark.createDataFrame(
             [(i + 1, list(c)) for i, c in enumerate(cb)],
             "code int, c6 array<bigint>")
         cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
+        import json as _json
+
+        self._write_text(self._pq_meta, _json.dumps({"rotate": rotate}))
 
         cells = self._read_cells()
         # checkpoint-materialize the coded rows so the overwrite of the
         # directory they were read from is legal (no self-overwriting
         # file plan) WITHOUT a staged double write — one write replaces
         # the former tmp-dir + rewrite + FS-delete sequence
-        with_codes = (self._with_pq_codes(cells, cb, n_sub, dim)
+        with_codes = (self._with_pq_codes(cells, cb, n_sub, dim,
+                                          rotate=rotate)
                       .localCheckpoint(eager=True))
         (with_codes.repartition("centroid_id").write
          .partitionBy("centroid_id").mode("overwrite")
@@ -376,7 +410,9 @@ class IVFIndex:
         assigned = self._assign_np(base, self._centroid_rows())
         if self._fs_exists(self._codebook):
             cb = self._read_codebook()
-            assigned = self._with_pq_codes(assigned, cb, n_sub, len(cb[0]))
+            assigned = self._with_pq_codes(assigned, cb, n_sub,
+                                           len(cb[0]),
+                                           rotate=self._pq_rotate())
         # materialize once: reused for cell lists, both merges, both writes
         assigned = assigned.localCheckpoint(eager=True)
         ids = assigned.select("vec_id").distinct()
@@ -498,13 +534,15 @@ class IVFIndex:
         had_pq = self._fs_exists(self._codebook)
         if had_pq:
             cb = self._read_codebook()
+            had_rotate = self._pq_rotate()     # survives the rebuild
         self.build(corpus, id_col=id_col, vec_col=vec_col, use_udf=use_udf)
         if had_pq:
             # a codebook trained on an empty corpus has no rows to carry
             # shape from — fall back to the build_pq defaults
             self.build_pq(corpus, id_col=id_col, vec_col=vec_col,
                           n_codes=len(cb) or 16, n_sub=n_sub,
-                          dim=len(cb[0]) if cb else 64)
+                          dim=len(cb[0]) if cb else 64,
+                          rotate=had_rotate)
         return True
 
     def _overwrite_partitions(self, df: DataFrame, path: str,
@@ -524,14 +562,16 @@ class IVFIndex:
 
     @staticmethod
     def _with_pq_codes(df: DataFrame, cb: list[list[int]], n_sub: int,
-                       dim: int) -> DataFrame:
+                       dim: int, rotate: bool = False) -> DataFrame:
         """Add ``pq_codes`` (argmin integer subspace L2, 1-based, ties to
         the lowest code — first-min == struct(d, code) min) to a cells
         DataFrame with a ``v`` vector column.  Map-only; the codebook is
-        a numpy closure."""
+        a numpy closure.  ``rotate`` encodes in the WHT-rotated domain
+        (must match the codebook's — build_pq persists the flag)."""
         import numpy as np
 
         from document_vector_pipeline_spark.operators.similarity import (
+            opq_fixed_point,
             pq_fixed_point,
         )
 
@@ -552,7 +592,9 @@ class IVFIndex:
                 out.append(codes)
             return pd.Series(out)
 
-        return (df.withColumn("__v6", pq_fixed_point(F.col("v"), dim))
+        v6 = (opq_fixed_point(F.col("v"), dim) if rotate
+              else pq_fixed_point(F.col("v"), dim))
+        return (df.withColumn("__v6", v6)
                 .withColumn("pq_codes", encode(F.col("__v6")))
                 .drop("__v6"))
 
@@ -576,6 +618,7 @@ class IVFIndex:
         import math as _math
 
         from document_vector_pipeline_spark.operators.similarity import (
+            opq_fixed_point,
             pq_fixed_point,
         )
 
@@ -584,10 +627,14 @@ class IVFIndex:
                          key=lambda r: r["code"])
         cb = [list(r["c6"]) for r in cb_rows]
         queries = queries.filter(F.col(qvec_col).isNotNull())
+        # query LUTs must live in the SAME domain the stored codes were
+        # encoded in — the persisted pq_meta flag decides, not the caller
+        q6_expr = (opq_fixed_point(F.col(qvec_col), dim)
+                   if self._pq_rotate()
+                   else pq_fixed_point(F.col(qvec_col), dim))
         q6_rows = (queries
                    .select(F.col(qid_col).alias("query_id"),
-                           pq_fixed_point(F.col(qvec_col), dim)
-                           .alias("q6"))
+                           q6_expr.alias("q6"))
                    .collect())
         lut = {r["query_id"]: [[sum(r["q6"][m * sub + i] * cw[m * sub + i]
                                     for i in range(sub))

@@ -501,3 +501,56 @@ def test_adc_id_filter_equals_postfiltered_rerank(spark, embeddings_small,
              .select("query_id", "vec_id", "score", "rank")
              .orderBy("query_id", "rank")).collect()]
     assert got == want and got
+
+
+def test_rotated_pq_index_exhaustive_probe_equals_opq_ann(
+        spark, embeddings_small, tmp_path):
+    """build_pq(rotate=True) persists the WHT-rotated codes + the
+    rotation flag as index metadata: exhaustive-probe ADC must be
+    bit-identical to similarity.opq_ann, the rotation must survive an
+    upsert (new rows encode in the same domain without the caller
+    restating the flag), and a plain index must stay bit-identical to
+    pq_ann (flag off by default)."""
+    from document_vector_pipeline_spark.operators.similarity import (
+        opq_ann,
+        pq_ann,
+    )
+
+    qdf = (embeddings_small.filter(F.col("vec_id") < 3)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("query_vec")))
+
+    rot = IVFIndex(spark, str(tmp_path / "opq_idx"), n_centroids=4)
+    rot.build(embeddings_small)
+    rot.build_pq(embeddings_small, n_codes=8, n_sub=8, rotate=True)
+    assert rot._pq_rotate() is True
+    got = sorted(map(tuple, rot.search_many_adc(qdf, k=10,
+                                                nprobe=4).collect()))
+    want = sorted(map(tuple, opq_ann(embeddings_small, qdf, k=10,
+                                     n_codes=8, n_sub=8).collect()))
+    assert got == want and len(got) > 0
+
+    plain = IVFIndex(spark, str(tmp_path / "pq_idx"), n_centroids=4)
+    plain.build(embeddings_small)
+    plain.build_pq(embeddings_small, n_codes=8, n_sub=8)
+    assert plain._pq_rotate() is False
+    gotp = sorted(map(tuple, plain.search_many_adc(qdf, k=10,
+                                                   nprobe=4).collect()))
+    wantp = sorted(map(tuple, pq_ann(embeddings_small, qdf, k=10,
+                                     n_codes=8, n_sub=8).collect()))
+    assert gotp == wantp
+    assert got != gotp          # the rotation genuinely changes ranks
+
+    # upsert re-encodes in the persisted domain: the rotated index's
+    # post-upsert exhaustive probe equals opq_ann over the merged corpus
+    batch = embeddings_small.filter(F.col("vec_id") < 4).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x * F.lit(-1.0)))
+    rot.upsert(batch)
+    merged = (embeddings_small.filter(F.col("vec_id") >= 4)
+              .unionByName(batch))
+    got2 = sorted(map(tuple, rot.search_many_adc(qdf, k=10,
+                                                 nprobe=4).collect()))
+    want2 = sorted(map(tuple, opq_ann(merged, qdf, k=10, n_codes=8,
+                                      n_sub=8).collect()))
+    assert got2 == want2
