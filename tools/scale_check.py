@@ -91,9 +91,30 @@ def _semantic_decon_fixed(spark, sf_dir):
     return corpus.semantic_decontaminate(train, heldout, threshold=0.9)
 
 
+def _embedding_lsh_autoplanes(spark, sf_dir):
+    """Round-12 verdict item 2's decade row: the banded embedding-LSH
+    path at lsh_auto_size's SCALED planes (planes ≈ log₂(n/64), tables
+    from the Charikar model) — replaces the round-11 fixed-planes row
+    that paid 25.4× on the dup-dense replica.  At 10× data the auto
+    rule adds ~3-4 planes, holding expected bucket occupancy (and so
+    the Σ|bucket|² candidate join) roughly constant per row."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from document_vector_pipeline_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    planes, tables = dedup.lsh_auto_size(n, 0.35)
+    print(f"    [autoplanes] n={n} -> planes={planes} tables={tables}",
+          flush=True)
+    return dedup.embedding_lsh_pairs(emb, threshold=0.35, planes=planes,
+                                     tables=tables, dim=64)
+
+
 # measurement-only variants that are not contract keys
 EXTRA_KEYS = {
     "corpus_decontaminate_semantic_fixedeval": _semantic_decon_fixed,
+    "dedup_embedding_lsh_autoplanes": _embedding_lsh_autoplanes,
 }
 
 
