@@ -202,6 +202,8 @@ def main() -> None:
     bench("ann_lsh", lambda: similarity.lsh_ann(emb, qdf, k=10))
     bench("ann_ivf", lambda: similarity.ivf_ann(emb, qdf, k=10))
     bench("ann_pq", lambda: similarity.pq_ann(emb, qdf, k=10))
+    bench("ann_pq_wide",
+          lambda: similarity.pq_ann(emb, qdf, k=10, n_codes=256))
     bench("ann_ivfpq", lambda: similarity.ivfpq_ann(emb, qdf, k=10))
     bench("ann_range",
           lambda: similarity.range_search(emb, qdf, threshold=0.3))

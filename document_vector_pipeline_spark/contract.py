@@ -1290,6 +1290,21 @@ def q_ann_pq(spark, sf_dir):
                              n_codes=16, n_sub=8, dim=64)
 
 
+def q_ann_pq_wide(spark, sf_dir):
+    """PQ at production codebook width (round 12): 256 codes per
+    subspace (8 bits — FAISS ProductQuantizer's default) TRAINED with
+    per-subspace exact-integer Lloyd (pq_codebook iters=2), same
+    map-only encode + Arrow ADC + partial-top-k plan as ann_pq.
+    Measured at sf0.1 (SURVEY §6 round-12 table): recall@10 0.52 vs
+    0.26 for the round-11 16-code sampled codebook — width is the
+    bigger lever, training adds +12pp on top of 256 sampled codes.
+    At small SF the seed list caps at the corpus size (every vector
+    its own seed), which both engines replay identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_ann(emb, _queries_df(emb), k=10,
+                             n_codes=256, n_sub=8, dim=64)
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF+PQ composed ANN (FAISS IVFADC shape): coarse cells pruned to
     nprobe per query, PQ asymmetric-distance scoring on survivors."""
@@ -3918,6 +3933,67 @@ select cast(3 as int) as n_versions,
        cast(count(*) as bigint) as n_rows,
        cast(sum({sig}) as bigint) as digest
 from events
+"""
+
+
+def q_store_data_skipping(spark, sf_dir):
+    """Manifest column stats + data skipping (round 12 — Delta/Iceberg
+    file skipping): set_stats_columns declares event_id, every commit
+    records per-dir min/max in the manifest (one grouped aggregation
+    over the commit's batch; carried dirs reuse prior entries), and
+    read(predicate=...) drops day-dirs whose stats PROVE them disjoint
+    before any parquet footer is opened — driver-side arithmetic, never
+    a scan.  Output: the count of dirs kept/skipped (the pruning
+    decision itself, oracle-replayed from per-day min/max ranges — the
+    synthetic events assign event_id in ts order, so day dirs have
+    disjoint id ranges) plus the row count and content digest of the
+    skipping read, which must equal a plain filter.  The z-order key
+    (store_optimize_zorder) composes below this: cluster-on-write
+    tightens the same stats WITHIN each surviving dir."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(SCRATCH, "store_data_skipping")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="day")
+    vt.set_stats_columns(["event_id"])
+    rows = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    vt.commit_overwrite(rows)
+    pred = [("event_id", "between", (500, 1200))]
+    kept, skipped = vt.prune_dirs(pred)
+    sig = md5_long(F.concat_ws("\x01", F.col("event_id"),
+                               F.col("event_type"), F.col("user_id")),
+                   hex_digits=11)
+    return (vt.read(predicate=pred)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.coalesce(F.sum(sig), F.lit(0)).cast("long")
+                  .alias("digest"))
+            .withColumn("n_dirs_kept", F.lit(len(kept)).cast("int"))
+            .withColumn("n_dirs_skipped", F.lit(len(skipped)).cast("int"))
+            .select("n_dirs_kept", "n_dirs_skipped", "n_rows", "digest"))
+
+
+def _sql_store_data_skipping(lo: int = 500, hi: int = 1200) -> str:
+    sig = _md5l("event_id || chr(1) || event_type || chr(1) || user_id",
+                11)
+    return f"""
+with days as (
+  select strftime(ts, '%Y-%m-%d') as day,
+         min(event_id) as mn, max(event_id) as mx
+  from events group by day),
+decide as (
+  select cast(count(*) filter (mn <= {hi} and mx >= {lo}) as int) as n_dirs_kept,
+         cast(count(*) filter (not (mn <= {hi} and mx >= {lo})) as int)
+           as n_dirs_skipped
+  from days),
+f as (select * from events where event_id between {lo} and {hi})
+select d.n_dirs_kept, d.n_dirs_skipped,
+       (select cast(count(*) as bigint) from f) as n_rows,
+       (select cast(coalesce(sum({sig}), 0) as bigint) from f) as digest
+from decide d
 """
 
 
@@ -8680,11 +8756,66 @@ select query_id, vec_id, score, rank from r where rank <= 10
 """
 
 
+def _sql_pq_train_ctes(n_sub: int, sub: int, cb_iters: int,
+                       vec_rel: str = "e") -> str:
+    """Per-subspace exact-integer Lloyd as unrolled CTE stages (the
+    _sql_kmeans_cte discipline applied to PQ training — round-12
+    verdict item 1): consumes a ``cents(code, c6)`` CTE of seed
+    codewords and a ``{vec_rel}(vec_id, v6)`` vector relation, emits
+    ``sub`` / ``esub`` and the trained ``csub(code, m, cs6)`` after
+    ``cb_iters`` rounds of assignment (argmin int64 subspace L2, ties
+    to the lowest code) + update (half-away integer division of exact
+    component sums; empty cells carry over).  Integer arithmetic end
+    to end, so the join shape cannot diverge from Spark's Arrow
+    pass (similarity._pq_lloyd).  ``cb_iters=0`` degrades to the
+    round-≤11 sample codebook."""
+    dist = " + ".join(
+        f"(e.s6[{i}]-c.cs6[{i}])*(e.s6[{i}]-c.cs6[{i}])"
+        for i in range(1, sub + 1))
+    parts = [f"""
+sub as (select unnest(generate_series(0, {n_sub - 1})) as m),
+esub as materialized (
+  select vec_id, m, list_slice(v6, m*{sub}+1, m*{sub}+{sub}) as s6
+  from {vec_rel} cross join sub),
+cs0 as materialized (
+  select code, m, list_slice(c6, m*{sub}+1, m*{sub}+{sub}) as cs6
+  from cents cross join sub)"""]
+    for t in range(1, cb_iters + 1):
+        parts.append(f""",
+en{t} as materialized (
+  select vec_id, m, code from (
+    select e.vec_id, e.m, c.code,
+           row_number() over (partition by e.vec_id, e.m
+             order by {dist}, c.code) as rn
+    from esub e join cs{t - 1} c on e.m = c.m) where rn = 1),
+ux{t} as (
+  select en.m, en.code, unnest(e.s6) as x,
+         unnest(generate_series(1,{sub})) as pos
+  from en{t} en join esub e on e.vec_id = en.vec_id and e.m = en.m),
+us{t} as (
+  select m, code, pos, sum(x) as s, count(*) as n
+  from ux{t} group by m, code, pos),
+cn{t} as (
+  select m, code,
+         list(cast(case when s >= 0 then (2*s+n)//(2*n)
+                        else -((-2*s+n)//(2*n)) end as bigint)
+              order by pos) as cs6
+  from us{t} group by m, code),
+cs{t} as materialized (
+  select p.code, p.m, coalesce(n.cs6, p.cs6) as cs6
+  from cs{t - 1} p left join cn{t} n on n.m = p.m and n.code = p.code)""")
+    parts.append(f""",
+csub as materialized (select code, m, cs6 from cs{cb_iters})""")
+    return "".join(parts)
+
+
 def _sql_ann_pq(n_codes: int = 16, n_sub: int = 8, dim: int = 64,
-                where_: str = "") -> str:
+                where_: str = "", cb_iters: int = 2) -> str:
     """PQ mirror: identical fixed-point integer arithmetic (1e-6-unit
     normalized vectors), join-based argmin/ADC — integers are associative,
     so the join shape vs Spark's literal-expression shape cannot diverge.
+    The codebook is TRAINED: seeds by (md5, vec_id) then ``cb_iters``
+    per-subspace Lloyd rounds (_sql_pq_train_ctes — round 12).
     ``where_`` filters the scored rows BEFORE ranking (filtered-ANN:
     codebook/encode stay full-corpus, only candidacy is cut)."""
     sub = dim // n_sub
@@ -8706,13 +8837,7 @@ e as materialized (
 cents as materialized (
   select cast(row_number() over (order by hh, vec_id) as int) as code, v6 as c6
   from (select * from e order by hh, vec_id limit {n_codes})),
-sub as (select unnest(generate_series(0, {n_sub - 1})) as m),
-esub as materialized (
-  select vec_id, m, list_slice(v6, m*{sub}+1, m*{sub}+{sub}) as s6
-  from e cross join sub),
-csub as materialized (
-  select code, m, list_slice(c6, m*{sub}+1, m*{sub}+{sub}) as cs6
-  from cents cross join sub),
+{_sql_pq_train_ctes(n_sub, sub, cb_iters).lstrip()},
 enc as materialized (
   select vec_id, m, code from (
     select e.vec_id, e.m, c.code,
@@ -8736,7 +8861,8 @@ select query_id, vec_id, score, rank from r where rank <= 10
 """
 
 
-def _sql_ann_opq(n_codes: int = 16, n_sub: int = 8, dim: int = 64) -> str:
+def _sql_ann_opq(n_codes: int = 16, n_sub: int = 8, dim: int = 64,
+                 cb_iters: int = 2) -> str:
     """Rotated-PQ mirror (similarity.opq_ann): the Walsh–Hadamard
     rotation derived relationally — sign(i, j) = 1 − 2·(popcount(i&j)
     mod 2), rotated component j = Σ_i v6[i]·sign — pure int64 sums in
@@ -8778,13 +8904,7 @@ cents as materialized (
          rv.v6 as c6
   from (select vec_id, hh from e order by hh, vec_id limit {n_codes}) s
   join rv on rv.vec_id = s.vec_id),
-sub as (select unnest(generate_series(0, {n_sub - 1})) as m),
-esub as materialized (
-  select vec_id, m, list_slice(v6, m*{sub}+1, m*{sub}+{sub}) as s6
-  from rv cross join sub),
-csub as materialized (
-  select code, m, list_slice(c6, m*{sub}+1, m*{sub}+{sub}) as cs6
-  from cents cross join sub),
+{_sql_pq_train_ctes(n_sub, sub, cb_iters, 'rv').lstrip()},
 enc as materialized (
   select vec_id, m, code from (
     select e.vec_id, e.m, c.code,
@@ -8830,7 +8950,7 @@ order by bf.query_id
 
 def _sql_ann_ivfpq_ctes(n_centroids: int = 8, nprobe: int = 2,
                         n_codes: int = 16, n_sub: int = 8,
-                        dim: int = 64) -> str:
+                        dim: int = 64, cb_iters: int = 2) -> str:
     """IVFPQ mirror as a reusable CTE chain ending in ranked ADC rows
     ``r`` (rank unlimited; ``e`` keeps full vectors + norms for
     downstream exact rescoring): the IVF CTEs (exact-cosine cell
@@ -8876,13 +8996,7 @@ cents as materialized (
   select cast(row_number() over (order by hh, vec_id) as int) as code,
          v6 as c6
   from (select * from e order by hh, vec_id limit {n_codes})),
-sub as (select unnest(generate_series(0, {n_sub - 1})) as m),
-esub as materialized (
-  select vec_id, m, list_slice(v6, m*{sub}+1, m*{sub}+{sub}) as s6
-  from e cross join sub),
-csub as materialized (
-  select code, m, list_slice(c6, m*{sub}+1, m*{sub}+{sub}) as cs6
-  from cents cross join sub),
+{_sql_pq_train_ctes(n_sub, sub, cb_iters).lstrip()},
 enc as materialized (
   select vec_id, m, code from (
     select e.vec_id, e.m, c.code,
@@ -11785,6 +11899,7 @@ def queries():
         "text_wand_search": q_text_wand_search,
         "ann_opq_recall": q_ann_opq_recall,
         "store_optimize_zorder": q_store_optimize_zorder,
+        "store_data_skipping": q_store_data_skipping,
         "text_unigram_train": q_text_unigram_train,
         "text_unigram_encode": q_text_unigram_encode,
         "stream_dim_join": q_stream_dim_join,
@@ -12034,6 +12149,7 @@ def queries():
         "ann_ivf": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_pq": q_ann_pq,
+        "ann_pq_wide": q_ann_pq_wide,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -12109,6 +12225,7 @@ def oracle_sql():
         "text_wand_search": _sql_text_wand_search(),
         "ann_opq_recall": _sql_ann_opq_recall(),
         "store_optimize_zorder": _sql_store_optimize_zorder(),
+        "store_data_skipping": _sql_store_data_skipping(),
         "text_unigram_train": _sql_text_unigram_train(),
         "text_unigram_encode": _sql_text_unigram_encode(),
         "stream_dim_join": _sql_stream_dim_join(),
@@ -12284,6 +12401,7 @@ from c
         "mm_resize": _sql_mm_resize(),
         "join_bloom_fpr": _sql_join_bloom_fpr(),
         "ann_pq": _sql_ann_pq(),
+        "ann_pq_wide": _sql_ann_pq(n_codes=256),
         "text_langid": _sql_text_langid(),
         "text_quality": _sql_text_quality(),
         "text_tokens": _sql_text_tokens(),

@@ -413,23 +413,111 @@ def pq_fixed_point(vec, dim: int):
 
 def pq_codebook(corpus: DataFrame, n_codes: int = 16, dim: int = 64,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding", fp=None) -> list[list[int]]:
-    """Train-equivalent deterministic codebook: the fixed-point normalized
-    vectors of the `n_codes` corpus rows with smallest md5_long(vec_id)
-    (uniform pseudo-random sample, stable across runs and engines).
-    Collected to the driver — a real PQ index ships its trained codebook
-    to every executor as plan metadata; 16×64 longs is nothing.  Codes are
-    1-based positions in (md5, vec_id) order.  ``fp`` overrides the
-    fixed-point transform (opq_fixed_point injects its rotation here so
-    the codebook lives in the rotated domain)."""
+                vec_col: str = "embedding", fp=None,
+                n_sub: int | None = None,
+                iters: int = 0) -> list[list[int]]:
+    """Deterministic PQ codebook, optionally TRAINED (round-12 verdict
+    item 1).  Seeds are the fixed-point normalized vectors of the
+    `n_codes` corpus rows with smallest md5_long(vec_id) (uniform
+    pseudo-random sample, stable across runs and engines); with
+    ``iters > 0`` and ``n_sub`` given, each of the ``n_sub`` subspaces
+    then runs `iters` rounds of exact-integer Lloyd (the emb_kmeans
+    machinery applied per-subspace — FAISS ``ProductQuantizer::train``'s
+    shape, Jégou et al. TPAMI 2011) and codeword c is the concatenation
+    of subspace centroid c, so the downstream encode/ADC shape is
+    unchanged.  ``iters=0`` reproduces the round-≤11 sample codebook.
+
+    Everything stays in the exact-integer domain so Spark and the
+    DuckDB oracle cannot diverge: assignment = argmin int64 subspace
+    L2 (ties to the lowest code), update = half-away-from-zero integer
+    division of exact component sums, empty codes carry their previous
+    centroid.  Collected to the driver — a real PQ index ships its
+    trained codebook to every executor as plan metadata; ≤256×64 longs
+    is nothing.  Codes are 1-based positions in (md5, vec_id) seed
+    order.  ``fp`` overrides the fixed-point transform
+    (opq_fixed_point injects its rotation here so the codebook lives
+    in the rotated domain).
+
+    Plan shape per training round: ONE Arrow pass over the corpus
+    computing per-(subspace, code, component) partial sums (map-side
+    reduced n_batches-fold), one (n_sub·n_codes·sub)-group shuffle,
+    collect a few KB of update rows.  iters passes total; at 100 TB
+    you train on a sampled slice like FAISS does — the pass count, not
+    the corpus, is the knob."""
     fp = fp or (lambda c: pq_fixed_point(c, dim))
-    rows = (_live_vectors(corpus, vec_col)
+    base = (_live_vectors(corpus, vec_col)
             .select(fp(F.col(vec_col)).alias("v6"),
                     md5_long(F.col(id_col).cast("string")).alias("h"),
-                    F.col(id_col).alias("i"))
-            .orderBy("h", "i").limit(n_codes)
+                    F.col(id_col).alias("i")))
+    rows = (base.orderBy("h", "i").limit(n_codes)
             .select("v6").collect())
-    return [list(r["v6"]) for r in rows]
+    cb = [list(r["v6"]) for r in rows]
+    if not cb or iters <= 0 or not n_sub:
+        return cb
+    return _pq_lloyd(base.select("v6"), cb, n_sub, dim // n_sub, iters)
+
+
+def _pq_lloyd(vdf: DataFrame, cb: list[list[int]], n_sub: int,
+              sub: int, iters: int) -> list[list[int]]:
+    """Per-subspace exact-integer Lloyd over (v6) rows seeded with
+    ``cb``: one Arrow partials pass per round covering ALL subspaces
+    (assignment + component sums fused, batch-reduced before the
+    (m, code, pos)-group shuffle), updates applied driver-side with
+    half-away division; empty (subspace, code) cells keep their
+    previous centroid.  Returns n_codes full-dim codewords."""
+    import numpy as np
+
+    C = np.array(cb, dtype=np.int64)                 # (c, dim)
+    n_codes = len(cb)
+    cached = vdf.persist()
+    cached.count()
+    try:
+        for _ in range(iters):
+            Cb = C.copy()
+
+            def run(batches, Cb=Cb):
+                import pandas as pd
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    V = np.array(list(pdf["v6"]), dtype=np.int64)
+                    recs = []
+                    for m in range(n_sub):
+                        Vm = V[:, m * sub:(m + 1) * sub]
+                        Cm = Cb[:, m * sub:(m + 1) * sub]
+                        best = np.empty(len(Vm), dtype=np.int64)
+                        for s in range(0, len(Vm), 4096):
+                            e = min(s + 4096, len(Vm))
+                            D = ((Vm[s:e, None, :] - Cm[None, :, :]) ** 2
+                                 ).sum(axis=2)
+                            best[s:e] = D.argmin(axis=1)
+                        for c in np.unique(best):
+                            msk = best == c
+                            s_vec = Vm[msk].sum(axis=0)
+                            n = int(msk.sum())
+                            recs.extend((m, int(c) + 1, p, int(s_vec[p]), n)
+                                        for p in range(sub))
+                    yield pd.DataFrame(
+                        recs, columns=["m", "code", "pos", "s", "n"])
+
+            upd = (cached.mapInPandas(
+                       run, "m int, code int, pos int, s long, n long")
+                   .groupBy("m", "code", "pos")
+                   .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                   .collect())
+            got = {}
+            for r in upd:
+                got[(r["m"], r["code"], r["pos"])] = (r["s"], r["n"])
+            for m in range(n_sub):
+                for c in range(1, n_codes + 1):
+                    if (m, c, 0) not in got:
+                        continue                    # empty cell: carry over
+                    for p in range(sub):
+                        C[c - 1, m * sub + p] = _div_half_away(
+                            *got[(m, c, p)])
+    finally:
+        cached.unpersist()
+    return [[int(x) for x in row] for row in C]
 
 
 def wht_signs(dim: int) -> list[list[int]]:
@@ -532,7 +620,8 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
            n_codes: int = 16, n_sub: int = 8, dim: int = 64,
            id_col: str = "vec_id", vec_col: str = "embedding",
            qid_col: str = "query_id", qvec_col: str = "query_vec",
-           use_udf: bool = True, fp=None) -> DataFrame:
+           use_udf: bool = True, fp=None, cb_iters: int = 2,
+           cb: list[list[int]] | None = None) -> DataFrame:
     """Product-quantization ANN: split `dim` into `n_sub` subspaces, encode
     every corpus vector as `n_sub` codes (argmin integer L2 to the
     codebook's subvectors), score queries by asymmetric-distance lookup —
@@ -550,7 +639,9 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     end."""
     sub = dim // n_sub
     fp = fp or (lambda c: pq_fixed_point(c, dim))
-    cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp)
+    if cb is None:
+        cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp,
+                         n_sub=n_sub, iters=cb_iters)
     corpus = _live_vectors(corpus, vec_col)
     q_rows = (_live_vectors(queries, qvec_col)
               .select(F.col(qid_col).alias("query_id"),
@@ -642,7 +733,8 @@ def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
               n_codes: int = 16, n_sub: int = 8, dim: int = 64,
               id_col: str = "vec_id", vec_col: str = "embedding",
               qid_col: str = "query_id",
-              qvec_col: str = "query_vec") -> DataFrame:
+              qvec_col: str = "query_vec",
+              cb_iters: int = 2) -> DataFrame:
     """IVF+PQ composed index — the FAISS ``IVFADC`` shape (Jégou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011): a
     coarse quantizer prunes the corpus to the ``nprobe`` probed cells
@@ -674,7 +766,8 @@ def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col("rn") <= nprobe)
               .select("query_id", "centroid_id"))
 
-    cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col)
+    cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col,
+                     n_sub=n_sub, iters=cb_iters)
     q_rows = (queries
               .select(F.col(qid_col).alias("query_id"),
                       pq_fixed_point(F.col(qvec_col), dim).alias("q6"))
@@ -1117,7 +1210,8 @@ def opq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             n_codes: int = 16, n_sub: int = 8, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
             qid_col: str = "query_id", qvec_col: str = "query_vec",
-            use_udf: bool = True) -> DataFrame:
+            use_udf: bool = True, cb_iters: int = 2,
+            cb: list[list[int]] | None = None) -> DataFrame:
     """PQ in the Walsh–Hadamard-rotated space (see opq_fixed_point) —
     identical plan shape to ``pq_ann`` (the rotation is one extra
     map-only integer pass; codebook and query LUTs are built in the
@@ -1127,7 +1221,8 @@ def opq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return pq_ann(corpus, queries, k=k, n_codes=n_codes, n_sub=n_sub,
                   dim=dim, id_col=id_col, vec_col=vec_col,
                   qid_col=qid_col, qvec_col=qvec_col, use_udf=use_udf,
-                  fp=lambda c: opq_fixed_point(c, dim, use_udf=use_udf))
+                  fp=lambda c: opq_fixed_point(c, dim, use_udf=use_udf),
+                  cb_iters=cb_iters, cb=cb)
 
 
 def opq_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -297,7 +297,7 @@ class IVFIndex:
     def build_pq(self, corpus: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_codes: int = 16,
                  n_sub: int = 8, dim: int = 64,
-                 rotate: bool = False) -> None:
+                 rotate: bool = False, cb_iters: int = 2) -> None:
         """Augment the index with PQ codes: after ``build``, re-persist
         each cell row with its ``n_sub`` codebook codes (array<int>) and
         write the codebook alongside the centroids.  An ADC search then
@@ -324,7 +324,8 @@ class IVFIndex:
         )
 
         fp = ((lambda c: opq_fixed_point(c, dim)) if rotate else None)
-        cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp)
+        cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp,
+                         n_sub=n_sub, iters=cb_iters)
         cb_df = self.spark.createDataFrame(
             [(i + 1, list(c)) for i, c in enumerate(cb)],
             "code int, c6 array<bigint>")

@@ -430,14 +430,187 @@ class BucketedVersionedTable(VersionedTable):
         """``schema_json`` defaults to the PRIOR manifest's schema —
         correct for every dir-algebra op (drop/restore/optimize/
         delete); commits that can EVOLVE the schema (overwrite/append/
-        upsert) pass the batch-merged schema explicitly."""
+        upsert) pass the batch-merged schema explicitly.
+
+        When stats columns are declared (``set_stats_columns``), the
+        manifest also records per-dir min/max for them — carried dirs
+        reuse the prior manifest's entries (zero reads), new dirs are
+        profiled in ONE grouped aggregation over the commit's batch
+        (Delta/Iceberg file statistics; the read-side consumer is
+        ``read(predicate=...)``)."""
         if schema_json is None and self.versions():
             schema_json = self._manifest(self.latest()).get("schema")
         v = (self.latest() + 1) if self.versions() else 0
         manifest = {"version": v, "op": op, "dirs": sorted(dirs),
                     "n_rows": int(n_rows), "schema": schema_json}
+        stats = self._stats_for_commit(dirs)
+        if stats:
+            manifest["stats"] = stats
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
+
+    # ---- manifest column stats + data skipping (round 12) -----------------
+    #
+    # The Delta/Iceberg file-skipping layer: per-dir min/max for DECLARED
+    # columns live in the manifest, so a predicate read drops whole dirs
+    # from the listing before any parquet footer is opened — the pruning
+    # level ABOVE parquet row-group stats (which z-order clustering
+    # tightens WITHIN a dir; the two compose).  At 100 TB a manifest is
+    # a few KB per thousand dirs and the skip decision is driver-side
+    # arithmetic, never a scan.
+
+    def set_stats_columns(self, cols: list[str]) -> None:
+        """Declare the columns whose per-dir min/max every FUTURE commit
+        records (Delta's dataSkippingNumIndexedCols, explicit).  Dirs
+        committed before the declaration have no stats and are never
+        skipped — the honest migration semantics (OPTIMIZE rewrites
+        them under stats)."""
+        self._write_text("_log/stats_cols.json", json.dumps(sorted(cols)))
+
+    def stats_columns(self) -> list[str]:
+        fs, _ = self._fs()
+        if not fs.exists(self._jpath("_log/stats_cols.json")):
+            return []
+        return json.loads(self._read_text("_log/stats_cols.json"))
+
+    @staticmethod
+    def _stat_val(x):
+        if x is None or isinstance(x, (int, float, str, bool)):
+            return x
+        return str(x)            # dates/timestamps: ISO strings sort right
+
+    def _stats_for_commit(self, dirs: list[str]) -> dict:
+        cols = self.stats_columns()
+        if not cols:
+            return {}
+        pm = self._manifest(self.latest()) if self.versions() else {}
+        prior = pm.get("stats", {})
+        prior_dirs = set(pm.get("dirs", []))
+        out = {d: prior[d] for d in dirs if d in prior}
+        # profile ONLY dirs this commit wrote: a carried dir without
+        # stats (written before set_stats_columns) stays stats-less —
+        # re-profiling it here would make one commit read the whole
+        # carried tail, which is exactly the O(table) cost the manifest
+        # design forbids.  OPTIMIZE rewrites such dirs under stats.
+        new = [d for d in dirs if d not in prior and d not in prior_dirs]
+        if not new:
+            return out
+        # every new dir of one commit shares the version prefix and
+        # differs only by bucket — ONE groupBy(bucket) aggregation
+        # profiles them all (the bucket column survives inside files)
+        by_prefix: dict[str, list[str]] = {}
+        for d in new:
+            by_prefix.setdefault(d.rsplit("/", 1)[0], []).append(d)
+        for prefix, ds in by_prefix.items():
+            df = self._read_dirs(ds)
+            have = [c for c in cols if c in df.columns]
+            if not have:
+                continue
+            aggs = []
+            for c in have:
+                aggs += [F.min(c).alias(f"__mn_{c}"),
+                         F.max(c).alias(f"__mx_{c}")]
+            rows = df.groupBy(F.col(self.bucket_col).alias("__b")) \
+                     .agg(*aggs).collect()
+            by_bucket = {str(r["__b"]): r for r in rows}
+            for d in ds:
+                r = by_bucket.get(self._bucket_of(d))
+                if r is None:
+                    continue
+                out[d] = {c: [self._stat_val(r[f"__mn_{c}"]),
+                              self._stat_val(r[f"__mx_{c}"])]
+                          for c in have}
+        return out
+
+    @staticmethod
+    def _dir_survives(st: dict | None, conjuncts) -> bool:
+        """False only when the dir's stats PROVE it disjoint with every
+        row the predicate admits; missing stats (undeclared column,
+        pre-declaration dir, all-null min/max) always keep the dir."""
+        if st is None:
+            return True
+        for col, op, val in conjuncts:
+            mm = st.get(col)
+            if mm is None or mm[0] is None or mm[1] is None:
+                continue
+            mn, mx = mm
+            if op == ">=" and not (mx >= val):
+                return False
+            if op == ">" and not (mx > val):
+                return False
+            if op == "<=" and not (mn <= val):
+                return False
+            if op == "<" and not (mn < val):
+                return False
+            if op == "=" and not (mn <= val <= mx):
+                return False
+            if op == "between" and not (mn <= val[1] and mx >= val[0]):
+                return False
+        return True
+
+    def prune_dirs(self, predicate, version: int | None = None
+                   ) -> tuple[list[str], list[str]]:
+        """(kept_dirs, skipped_dirs) for a conjunctive predicate
+        [(col, op, value), ...], ops in <, <=, >, >=, =, between
+        (value=(lo, hi)) — the skip decision alone, exposed so tests
+        and operators can PROVE dirs were dropped, not trust it."""
+        v = self.latest() if version is None else version
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        kept, skipped = [], []
+        for d in m["dirs"]:
+            (kept if self._dir_survives(stats.get(d), predicate)
+             else skipped).append(d)
+        return kept, skipped
+
+    @staticmethod
+    def _predicate_expr(conjuncts):
+        e = F.lit(True)
+        for col, op, val in conjuncts:
+            c = F.col(col)
+            if op == "between":
+                e = e & (c >= val[0]) & (c <= val[1])
+            elif op == "<":
+                e = e & (c < val)
+            elif op == "<=":
+                e = e & (c <= val)
+            elif op == ">":
+                e = e & (c > val)
+            elif op == ">=":
+                e = e & (c >= val)
+            elif op == "=":
+                e = e & (c == val)
+            else:
+                raise ValueError(f"unsupported predicate op {op!r}")
+        return e
+
+    def read(self, version: int | None = None, tag: str | None = None,
+             predicate=None) -> DataFrame:
+        """``predicate`` (conjunct list, see ``prune_dirs``) turns the
+        snapshot read into a SKIPPING read: dirs whose manifest stats
+        prove them disjoint are dropped BEFORE listing, the survivors
+        are read under the snapshot schema, and the predicate is still
+        applied as a row filter (skipping is an optimization, never the
+        correctness boundary — exactly Delta's contract)."""
+        if predicate is None:
+            return super().read(version, tag)
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            t = self.tags()
+            if tag not in t:
+                raise ValueError(f"unknown tag {tag!r}; have {sorted(t)}")
+            version = t[tag]
+        if version is None:
+            version = self.latest()
+            if version is None:
+                raise ValueError(f"no versions at {self.path}")
+        kept, _ = self.prune_dirs(predicate, version=version)
+        flt = self._predicate_expr(predicate)
+        if not kept:
+            st = self._schema_of(version)
+            return self.spark.createDataFrame([], st)
+        return self._read_dirs(kept, version=version).filter(flt)
 
     def _write_buckets(self, df: DataFrame, v: int,
                        sort_key=None) -> list[str]:

@@ -226,7 +226,9 @@ def test_pq_upsert_keeps_adc_consistent(spark, embeddings_small, tmp_path):
     ref = IVFIndex(spark, str(tmp_path / "pq_ref"), n_centroids=N_CENTROIDS)
     merged = keep.unionByName(back)
     ref.build(merged)
-    cb = pq_codebook(keep, 16, 64)   # the codebook inc trained on `keep`
+    # the codebook inc TRAINED on `keep` (round 12: build_pq's default
+    # is 2 per-subspace Lloyd rounds, so replay them here)
+    cb = pq_codebook(keep, 16, 64, n_sub=8, iters=2)
     cb_df = spark.createDataFrame([(i + 1, list(c)) for i, c in enumerate(cb)],
                                   "code int, c6 array<bigint>")
     cb_df.coalesce(1).write.mode("overwrite").parquet(
@@ -551,6 +553,11 @@ def test_rotated_pq_index_exhaustive_probe_equals_opq_ann(
               .unionByName(batch))
     got2 = sorted(map(tuple, rot.search_many_adc(qdf, k=10,
                                                  nprobe=4).collect()))
+    # the index's codebook is FROZEN at build_pq time (trained on the
+    # original corpus — round 12: training makes this distinction real,
+    # any new row would shift the centroids), so the twin is opq_ann
+    # over the merged corpus WITH that frozen codebook injected
+    frozen_cb = rot._read_codebook()
     want2 = sorted(map(tuple, opq_ann(merged, qdf, k=10, n_codes=8,
-                                      n_sub=8).collect()))
+                                      n_sub=8, cb=frozen_cb).collect()))
     assert got2 == want2
