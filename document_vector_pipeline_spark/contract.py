@@ -4372,6 +4372,55 @@ from final
 """
 
 
+def q_store_merge_dv(spark, sf_dir):
+    """MERGE with deletion vectors (round 12 — Delta DV semantics):
+    the SAME three-way batch as store_merge (update 7ths, delete
+    13ths, insert 17ths) applied through merge_dv — the touched
+    buckets' prior data dirs are carried BYTE-IDENTICALLY (pinned in
+    tests/test_store.py), the batch's keys land in a dv/vN sidecar
+    mapped onto them, live rows append as fresh dirs, and reads
+    subtract DV keys with a broadcast anti join scoped per dir.
+    Delete/update cost drops from touched-bucket rewrite to O(batch)
+    + one key-column accounting scan; OPTIMIZE materializes the DVs
+    later.  Output — and oracle — is EXACTLY store_merge's final
+    snapshot (doc_id, text digest, n_versions=2): the two merge
+    routes are observationally identical, only the write
+    amplification differs."""
+    from document_vector_pipeline_spark.functions.hashing import md5_long
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(SCRATCH, "store_merge_dv")
+    shutil.rmtree(path, ignore_errors=True)
+    vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+
+    def wb(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+
+    vt.commit_overwrite(wb(docs))
+    upd = (docs.filter((F.col("doc_id") % 7 == 0)
+                       & (F.col("doc_id") % 13 != 0))
+           .withColumn("text", F.concat_ws(" ", F.col("text"),
+                                           F.lit("merged edition")))
+           .withColumn("_deleted", F.lit(False)))
+    dele = (docs.filter(F.col("doc_id") % 13 == 0)
+            .withColumn("_deleted", F.lit(True)))
+    ins = (docs.filter(F.col("doc_id") % 17 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat_ws(" ", F.col("text"),
+                               F.lit("appendix")).alias("text"))
+           .withColumn("_deleted", F.lit(False)))
+    vt.merge_dv(wb(upd.unionByName(dele).unionByName(ins)), ["doc_id"])
+    n_v = len(vt.versions())
+    return (vt.read()
+            .select("doc_id",
+                    md5_long(F.col("text"), hex_digits=13).alias("text_h"))
+            .withColumn("n_versions", F.lit(n_v).cast("int")))
+
+
 def q_store_versioned_vacuum(spark, sf_dir):
     """Version-retention lifecycle: v0 ingests the corpus (+ extra
     chunk for %6 docs), v1 re-ingests the %6 docs modified, v2 deletes
@@ -11954,6 +12003,7 @@ def queries():
         # -- round-10 keys (driver-r10 green) --
         "text_search_after": q_text_search_after,
         "store_merge": q_store_merge,
+        "store_merge_dv": q_store_merge_dv,
         "graph_label_prop": q_graph_label_prop,
         "emb_drift": q_emb_drift,
         "events_ab_lift": q_events_ab_lift,
@@ -12235,6 +12285,7 @@ def oracle_sql():
         "ann_opq_persisted": _sql_ann_opq(),
         "text_search_after": _sql_text_search_after(),
         "store_merge": _sql_store_merge(),
+        "store_merge_dv": _sql_store_merge(),
         "graph_label_prop": _sql_graph_label_prop(),
         "emb_drift": _sql_emb_drift(),
         "events_ab_lift": _sql_events_ab_lift(),

@@ -411,8 +411,16 @@ def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
     return < k matching rows while matches exist).  The vector leg's
     cut happens pre-scoring on the pruned cell scan (both the raw and
     the ADC path); the keyword leg's post-scoring with corpus-level
-    idf (Lucene filtered-query semantics)."""
-    text = text_index.search(query_terms, k=k, doc_filter=doc_filter).select(
+    idf (Lucene filtered-query semantics).
+
+    Round 12: the keyword leg routes through ``wand_search`` — exact
+    (bit-identical to ``search``, so the fusion oracle is unchanged)
+    but k-bound on common terms: segments whose block-max score
+    ceilings cannot reach the running kth score are never read, so a
+    hot term's cold segments drop out of the hybrid serving scan too
+    (single-segment indexes degrade to ``search`` automatically)."""
+    text = text_index.wand_search(query_terms, k=k,
+                                  doc_filter=doc_filter).select(
         "query_id", "doc_id", "rank")
     if use_adc:
         vec_ranked = ivf_index.search_many_adc(queries, k=k, nprobe=nprobe,

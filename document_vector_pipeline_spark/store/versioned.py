@@ -368,8 +368,15 @@ class VersionedTable:
         tagged = set(self.tags().values())
         drop = [v for v in vs[:-keep_last] if v not in tagged]
         keep = [v for v in vs if v in tagged or v in vs[-keep_last:]]
-        live = {d for v in keep for d in self._manifest(v)["dirs"]}
-        dead = {d for v in drop for d in self._manifest(v)["dirs"]} - live
+        def refs(v):
+            m = self._manifest(v)
+            out = set(m["dirs"])
+            for es in m.get("dv", {}).values():
+                out |= set(es)
+            return out
+
+        live = {d for v in keep for d in refs(v)}
+        dead = {d for v in drop for d in refs(v)} - live
         fs, _ = self._fs()
         for v in drop:
             fs.delete(self._jpath(f"_log/v{v:012d}.json"), False)
@@ -426,7 +433,8 @@ class BucketedVersionedTable(VersionedTable):
         return d.rsplit("=", 1)[-1]          # '.../__pb=B' -> 'B'
 
     def _commit_dirs(self, op: str, dirs: list[str], n_rows: int,
-                     schema_json: str | None = None) -> int:
+                     schema_json: str | None = None,
+                     dv: dict | None = None) -> int:
         """``schema_json`` defaults to the PRIOR manifest's schema —
         correct for every dir-algebra op (drop/restore/optimize/
         delete); commits that can EVOLVE the schema (overwrite/append/
@@ -446,6 +454,15 @@ class BucketedVersionedTable(VersionedTable):
         stats = self._stats_for_commit(dirs)
         if stats:
             manifest["stats"] = stats
+        if dv is None and self.versions():
+            # default deletion-vector carry: prior entries restricted to
+            # dirs still present (a rewritten dir sheds its DVs — the
+            # rewrite materialized them)
+            prior_dv = self._manifest(self.latest()).get("dv", {})
+            keep = set(dirs)
+            dv = {d: e for d, e in prior_dv.items() if d in keep and e}
+        if dv:
+            manifest["dv"] = dv
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -592,8 +609,6 @@ class BucketedVersionedTable(VersionedTable):
         are read under the snapshot schema, and the predicate is still
         applied as a row filter (skipping is an optimization, never the
         correctness boundary — exactly Delta's contract)."""
-        if predicate is None:
-            return super().read(version, tag)
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
@@ -605,12 +620,141 @@ class BucketedVersionedTable(VersionedTable):
             version = self.latest()
             if version is None:
                 raise ValueError(f"no versions at {self.path}")
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not in log (vacuumed or never "
+                f"written); available: {self.versions()}")
+        m = self._manifest(version)
+        if predicate is None:
+            if not m.get("dv"):
+                return super().read(version)
+            return self._read_live(m["dirs"], version=version, m=m)
         kept, _ = self.prune_dirs(predicate, version=version)
         flt = self._predicate_expr(predicate)
         if not kept:
             st = self._schema_of(version)
             return self.spark.createDataFrame([], st)
-        return self._read_dirs(kept, version=version).filter(flt)
+        return self._read_live(kept, version=version, m=m).filter(flt)
+
+    # ---- deletion vectors (round 12) ---------------------------------------
+    #
+    # Delta deletion-vector semantics at this store's natural
+    # granularity, the KEY: a merge_dv commit appends its live rows as
+    # fresh dirs and records the batch's keys in a small sidecar
+    # (``dv/v{N}``), mapped in the manifest to the prior dirs of the
+    # affected buckets.  NO data file is read-for-rewrite: delete/update
+    # cost is O(batch) + a key-column-pruned accounting scan, and the
+    # physical rewrite is deferred to OPTIMIZE, which materializes the
+    # DVs and sheds them.  Readers subtract DV keys with a broadcast
+    # anti join scoped to exactly the dirs each DV covers, so a key
+    # re-inserted AFTER its deletion (living in a newer dir the DV does
+    # not cover) survives correctly.
+
+    def _read_live(self, dirs: list[str], version: int | None = None,
+                   m: dict | None = None) -> DataFrame:
+        """DV-aware read of ``dirs`` under manifest ``m`` (default: the
+        version's): dirs are grouped by their deletion-vector set and
+        each group anti-joins its DV keys (broadcast — DVs are
+        batch-sized); DV-free groups read straight through."""
+        if m is None:
+            m = self._manifest(self.latest() if version is None
+                               else version)
+        dv = m.get("dv", {})
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            groups.setdefault(tuple(sorted(dv.get(d, []))), []).append(d)
+        frames = []
+        for dvset in sorted(groups):
+            df = self._read_dirs(groups[dvset], version)
+            if dvset:
+                dvdf = self.spark.read.parquet(
+                    *[self._resolve(x) for x in dvset]).distinct()
+                df = df.join(F.broadcast(dvdf), on=list(dvdf.columns),
+                             how="left_anti")
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _live_count(self, dirs: list[str], m: dict) -> int:
+        """Row count of ``dirs`` net of deletion vectors — footer-only
+        when no DV covers them (the common case), a key-column scan
+        otherwise."""
+        if not dirs:
+            return 0
+        if not any(m.get("dv", {}).get(d) for d in dirs):
+            return self._count_dirs(dirs)
+        return self._read_live(dirs, m=m).count()
+
+    def merge_dv(self, src: DataFrame, keys: list[str],
+                 delete_col: str = "_deleted", op: str = "merge_dv",
+                 constraints: dict | None = None) -> int:
+        """MERGE with deletion vectors: same contract and final
+        snapshot as ``merge`` (one atomic version; source rows with
+        ``delete_col`` delete, others upsert; dup keys raise;
+        constraints gate the commit) but ZERO data-file rewrite — the
+        touched buckets' prior dirs are carried BYTE-IDENTICALLY, the
+        batch's keys land in a ``dv/v{N}`` sidecar mapped onto those
+        dirs, and the live rows append as fresh dirs.  Cost is the
+        appended batch plus one key-column-pruned scan of the touched
+        buckets (row accounting); ``merge`` pays a full rewrite of
+        every touched bucket.  OPTIMIZE later materializes the DVs
+        (Delta's purge).  The trade: reads of DV'd buckets pay a
+        broadcast anti join until then — the standard
+        write-amplification-vs-read-amplification dial."""
+        if delete_col not in src.columns:
+            raise ValueError(f"merge source must carry '{delete_col}'")
+        self._require_bucket(src)
+        src = src.localCheckpoint(eager=True)
+        dups = (src.groupBy(*keys).count()
+                .filter(F.col("count") > 1).limit(1).collect())
+        if dups:
+            raise ValueError(
+                f"merge source carries duplicate keys (e.g. "
+                f"{tuple(dups[0][k] for k in keys)}) — collapse to one "
+                f"row per key upstream")
+        live = src.filter(~F.coalesce(F.col(delete_col), F.lit(False)))\
+            .drop(delete_col)
+        if constraints:
+            bad = [(r["constraint"], r["n_violations"]) for r in
+                   constraint_violations(live, **constraints)
+                   .filter(F.col("n_violations") > 0).collect()]
+            if bad:
+                raise ConstraintViolation(
+                    "merge refused — batch violates declared "
+                    f"constraints: {bad}")
+        if not self.versions():
+            dirs = self._write_buckets(live, 0)
+            return self._commit_dirs(op, dirs, self._count_dirs(dirs),
+                                     schema_json=live.schema.json())
+        m = self._manifest(self.latest())
+        affected = {str(r[0]) for r in
+                    src.select(self.bucket_col).distinct().collect()}
+        prior_dirs = [d for d in m["dirs"]
+                      if self._bucket_of(d) in affected]
+        v = self.latest() + 1
+        # accounting scan BEFORE the DV lands: how many currently-live
+        # rows does this batch kill (updates + deletes)?  Key columns
+        # only — parquet column pruning keeps this metadata-cheap.
+        n_killed = 0
+        if prior_dirs:
+            n_killed = (self._read_live(prior_dirs, m=m)
+                        .select(*keys)
+                        .join(F.broadcast(src.select(*keys).distinct()),
+                              keys, "left_semi").count())
+        dv_dir = f"dv/v{v:012d}"
+        (src.select(*keys).distinct().coalesce(1)
+         .write.mode("overwrite").parquet(self._resolve(dv_dir)))
+        prior_dv = m.get("dv", {})
+        dv = {d: e for d, e in prior_dv.items() if d in set(m["dirs"])}
+        for d in prior_dirs:
+            dv[d] = dv.get(d, []) + [dv_dir]
+        new_dirs = self._write_buckets(live, v) if live.take(1) else []
+        n_rows = m["n_rows"] - n_killed + self._count_dirs(new_dirs)
+        return self._commit_dirs(
+            op, m["dirs"] + new_dirs, n_rows,
+            schema_json=self._merged_schema_json(live), dv=dv)
 
     def _write_buckets(self, df: DataFrame, v: int,
                        sort_key=None) -> list[str]:
@@ -703,7 +847,7 @@ class BucketedVersionedTable(VersionedTable):
         if not self.versions():
             raise ValueError(f"no versions to delete from at {self.path}")
         m = self._manifest(self.latest())
-        surv = self._read_dirs(m["dirs"]).filter(~cond)
+        surv = self._read_live(m["dirs"], m=m).filter(~cond)
         v = self.latest() + 1
         new_dirs = self._write_buckets(surv, v)
         return self._commit_dirs("delete", new_dirs,
@@ -727,7 +871,7 @@ class BucketedVersionedTable(VersionedTable):
                    if self._bucket_of(d) not in affected]
         touched = [d for d in m["dirs"] if self._bucket_of(d) in affected]
         if touched:
-            cur = self._read_dirs(touched)
+            cur = self._read_live(touched, m=m)   # net of deletion vectors
             merged = (cur.join(df.select(*keys).distinct(), keys,
                                "left_anti")
                       .unionByName(df, allowMissingColumns=True))
@@ -735,7 +879,7 @@ class BucketedVersionedTable(VersionedTable):
             merged = df
         v = self.latest() + 1
         new_dirs = self._write_buckets(merged, v)
-        n_rows = (m["n_rows"] - self._count_dirs(touched)
+        n_rows = (m["n_rows"] - self._live_count(touched, m)
                   + self._count_dirs(new_dirs))
         return self._commit_dirs("upsert", carried + new_dirs, n_rows,
                                  schema_json=self._merged_schema_json(df))
@@ -805,7 +949,7 @@ class BucketedVersionedTable(VersionedTable):
                    if self._bucket_of(d) not in affected]
         touched = [d for d in m["dirs"] if self._bucket_of(d) in affected]
         if touched:
-            cur = self._read_dirs(touched)
+            cur = self._read_live(touched, m=m)   # net of deletion vectors
             merged = (cur.join(src.select(*keys).distinct(), keys,
                                "left_anti")
                       .unionByName(live, allowMissingColumns=True))
@@ -813,7 +957,7 @@ class BucketedVersionedTable(VersionedTable):
             merged = live
         v = self.latest() + 1
         new_dirs = self._write_buckets(merged, v)
-        n_rows = (m["n_rows"] - self._count_dirs(touched)
+        n_rows = (m["n_rows"] - self._live_count(touched, m)
                   + self._count_dirs(new_dirs))
         return self._commit_dirs(op, carried + new_dirs, n_rows,
                                  schema_json=self._merged_schema_json(live))
@@ -826,6 +970,12 @@ class BucketedVersionedTable(VersionedTable):
         ma, mb = self._manifest(v_a), self._manifest(v_b)
         da, db = set(ma["dirs"]), set(mb["dirs"])
         touched = {self._bucket_of(d) for d in da.symmetric_difference(db)}
+        # deletion vectors mutate a dir's LIVE content without changing
+        # its path — a dir whose DV set differs between the manifests is
+        # touched even though it is carried byte-identically
+        dva, dvb = ma.get("dv", {}), mb.get("dv", {})
+        touched |= {self._bucket_of(d) for d in (da & db)
+                    if dva.get(d, []) != dvb.get(d, [])}
         ra = [d for d in ma["dirs"] if self._bucket_of(d) in touched]
         rb = [d for d in mb["dirs"] if self._bucket_of(d) in touched]
         return ra, rb
@@ -872,14 +1022,14 @@ class BucketedVersionedTable(VersionedTable):
         differ.  Unchanged keys inside a rewritten bucket drop out."""
         ra, rb = self._touched_dirs(v_a, v_b)
 
-        def side(dirs, out):
+        def side(dirs, out, v):
             if not dirs:
                 return None
-            return (self._read_dirs(dirs)
+            return (self._read_live(dirs, m=self._manifest(v))
                     .groupBy(*keys)
                     .agg(F.sum(digest).cast("long").alias(out)))
 
-        a, b = side(ra, "__da"), side(rb, "__db")
+        a, b = side(ra, "__da", v_a), side(rb, "__db", v_b)
         if a is None and b is None:
             return self._typed_empty(v_b, keys)
         if a is None:
@@ -918,6 +1068,7 @@ class BucketedVersionedTable(VersionedTable):
         if not self.versions():
             raise ValueError(f"no versions to optimize at {self.path}")
         m = self._manifest(self.latest())
+        dv = m.get("dv", {})
         per_bucket: dict[str, list[str]] = {}
         for d in m["dirs"]:
             per_bucket.setdefault(self._bucket_of(d), []).append(d)
@@ -928,16 +1079,23 @@ class BucketedVersionedTable(VersionedTable):
                    "hilbert": layout.hilbert_index}[curve]
             key = idx(F.col(cluster_by[0]), F.col(cluster_by[1]), bits)
             v = self.latest() + 1
-            new_dirs = self._write_buckets(self._read_dirs(m["dirs"]), v,
-                                           sort_key=key)
+            new_dirs = self._write_buckets(
+                self._read_live(m["dirs"], m=m), v, sort_key=key)
             return self._commit_dirs(f"optimize_{curve}", new_dirs,
-                                     m["n_rows"])
-        frag = [d for ds in per_bucket.values() if len(ds) > 1 for d in ds]
+                                     m["n_rows"], dv={})
+        # a bucket is fragmented when backed by >1 dir OR any of its
+        # dirs carries a deletion vector — OPTIMIZE is where DVs get
+        # MATERIALIZED (Delta's purge): the rewrite drops dead rows and
+        # the new manifest sheds the DV entries
+        frag = [d for ds in per_bucket.values()
+                if len(ds) > 1 or any(dv.get(x) for x in ds)
+                for d in ds]
         if not frag:
             return self.latest()
-        carried = [ds[0] for ds in per_bucket.values() if len(ds) == 1]
+        carried = [ds[0] for ds in per_bucket.values()
+                   if len(ds) == 1 and not dv.get(ds[0])]
         v = self.latest() + 1
-        new_dirs = self._write_buckets(self._read_dirs(frag), v)
+        new_dirs = self._write_buckets(self._read_live(frag, m=m), v)
         return self._commit_dirs("optimize", carried + new_dirs,
                                  m["n_rows"])
 
@@ -958,7 +1116,7 @@ class BucketedVersionedTable(VersionedTable):
         m = self._manifest(self.latest())
         dropped = [d for d in m["dirs"] if self._bucket_of(d) in victims]
         kept = [d for d in m["dirs"] if self._bucket_of(d) not in victims]
-        n_rows = m["n_rows"] - self._count_dirs(dropped)
+        n_rows = m["n_rows"] - self._live_count(dropped, m)
         return self._commit_dirs("drop", kept, n_rows)
 
     def diff_rows(self, v_a: int, v_b: int, keys: list[str],
@@ -1003,9 +1161,9 @@ class BucketedVersionedTable(VersionedTable):
         touched = [d for d in m["dirs"] if self._bucket_of(d) in names]
         if not touched:
             return self._commit_dirs("delete", carried, m["n_rows"])
-        surv = self._read_dirs(touched).filter(~cond)
+        surv = self._read_live(touched, m=m).filter(~cond)
         v = self.latest() + 1
         new_dirs = self._write_buckets(surv, v)
-        n_rows = (m["n_rows"] - self._count_dirs(touched)
+        n_rows = (m["n_rows"] - self._live_count(touched, m)
                   + self._count_dirs(new_dirs))
         return self._commit_dirs("delete", carried + new_dirs, n_rows)

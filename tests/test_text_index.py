@@ -164,6 +164,51 @@ def test_hybrid_search_indexed_equals_scan_hybrid(spark, tmp_path):
     assert _sorted(got) == _sorted(want)
 
 
+def test_hybrid_indexed_keyword_leg_skips_segments(spark, tmp_path):
+    """Round-12 verdict item 8: the indexed hybrid's keyword leg runs
+    through wand_search, so on a MULTI-segment index a k-bound query
+    provably skips cold segments (survivors < segments) while the
+    fusion stays bit-identical to the plain-search fusion (WAND is
+    exact)."""
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = (emb.filter(F.col("vec_id") < 1)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+
+    ti = TextIndex(spark, str(tmp_path / "sk_ti"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    # hot segment: apple-dense short docs; cold segments: apple appears
+    # once in long docs, so their per-(term, segment) ceilings cannot
+    # reach the seed's kth score
+    ti.build(spark.createDataFrame(
+        [(i, "apple apple apple apple") for i in range(6)],
+        "doc_id long, text string"))
+    filler = " ".join(["zzz"] * 60)
+    ti.upsert(spark.createDataFrame(
+        [(100 + i, f"apple {filler}") for i in range(4)],
+        "doc_id long, text string"))
+    ti.upsert(spark.createDataFrame(
+        [(200 + i, f"apple {filler}") for i in range(4)],
+        "doc_id long, text string"))
+    segs = ti._seg_list()
+    assert len(segs) == 3
+    survivors, _, _ = ti._wand_survivors(qt, k=3)
+    assert len(survivors) < len(segs)          # cold segments skipped
+
+    vi = IVFIndex(spark, str(tmp_path / "sk_vi"), n_centroids=4)
+    vi.build(emb)
+    got = retrieval.hybrid_search_indexed(ti, vi, qt, qv, k=3, nprobe=4)
+    text = ti.search(qt, k=3)                  # the exact plain leg
+    vec = vi.search_many(qv, k=3, nprobe=4).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
+    want = retrieval.rrf_fuse(text.select("query_id", "doc_id", "rank"),
+                              vec, k=3)
+    assert _sorted(got) == _sorted(want)
+
+
 def test_random_maintenance_sequence_tracks_scan_path(spark, tmp_path):
     """Deterministic pseudo-random sequence of upserts/deletes/compacts:
     after EVERY step, indexed search must stay bit-identical to the
