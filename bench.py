@@ -208,6 +208,8 @@ def main() -> None:
     bench("ann_range",
           lambda: similarity.range_search(emb, qdf, threshold=0.3))
     bench("ann_binary", lambda: similarity.binary_ann(emb, qdf, k=10))
+    bench("ann_nsw", lambda: similarity.nsw_ann(emb, qdf, k=10, nprobe=2,
+                                                ef=12))
     bench("emb_mrl_recall",
           lambda: similarity.mrl_recall(emb, qdf, k=10, dims=(8, 32)))
 

@@ -1305,6 +1305,35 @@ def q_ann_pq_wide(spark, sf_dir):
                              n_codes=256, n_sub=8, dim=64)
 
 
+def q_ann_nsw(spark, sf_dir):
+    """Graph-ANN rung (round-12 stretch — similarity.nsw_ann): an NSW
+    graph (Malkov et al. 2014, HNSW's single-layer core) built per IVF
+    cell inside one applyInPandas group, searched by a greedy
+    best-first beam from a deterministic entry point; IVF routes each
+    query to its nprobe cells first.  Exact int64 fixed-point
+    distances, md5-ordered insertion, vec_id tie-breaks — fully
+    deterministic, but the graph WALK is not SQL-expressible, so this
+    key is declared rows-only; its oracle-green exact twin is ann_ivf
+    (same probed cells, exhaustive scoring — tests pin nsw(ef ≥ cell
+    size) ≡ ivf_ann), and ann_nsw_recall measures the walk's loss."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.nsw_ann(emb, _queries_df(emb), k=10,
+                              n_centroids=8, nprobe=2,
+                              m_links=6, ef=12, dim=64)
+
+
+def q_ann_nsw_recall(spark, sf_dir):
+    """Acceptance metric for the graph rung: recall@10 of the per-cell
+    NSW walk vs the exact cosine ranking AND vs the same-probes
+    exhaustive IVF ranking (the walk's own ceiling — separates routing
+    loss from graph loss).  Rows-only for the same reason as ann_nsw
+    (the measured side contains the walk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.nsw_recall(emb, _queries_df(emb), k=10,
+                                 n_centroids=8, nprobe=2,
+                                 m_links=6, ef=12, dim=64)
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF+PQ composed ANN (FAISS IVFADC shape): coarse cells pruned to
     nprobe per query, PQ asymmetric-distance scoring on survivors."""
@@ -11818,6 +11847,20 @@ def q_mm_phash_dedup(spark, sf_dir):
     return multimodal.phash_pairs(multimodal.documents_as_assets(docs))
 
 
+def q_mm_phash_pixel(spark, sf_dir):
+    """PIXEL-domain perceptual hash (round 12 — upgrades the
+    byte-histogram stub): deterministic text-derived 16×16 grayscale
+    images run the REAL vendored PNG codec round trip (encode → RFC
+    2083 filter/zlib decode) inside one Arrow pass, then the luma-block
+    average-hash thresholds exact integer block sums.  Lossless round
+    trip ⇒ the oracle replays the pixel formula + block algebra without
+    a codec; the float-DCT classic pHash over the same pipeline is
+    doc_phash_dct (measured in tests/test_multimodal.py, cosines being
+    exactly what the oracle discipline keeps out of checked columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.doc_phash_luma(docs)
+
+
 def q_emb_outliers(spark, sf_dir):
     """Embedding-space outliers: per-cluster 90th-percentile distance
     rank cut over the shared exact-integer Lloyd assignment."""
@@ -11846,6 +11889,39 @@ select a.asset_id as id_a, b.asset_id as id_b,
        cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
 from ph a join ph b on a.asset_id < b.asset_id
 where bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
+def _sql_mm_phash_pixel(w: int = 16, h: int = 16, grid: int = 8) -> str:
+    bw, bh = w // grid, h // grid
+    npx, bpx = w * h, bw * bh
+    return f"""
+with px as (
+  select doc_id as asset_id, p.p,
+         case when length(text) = 0 then 0
+              else unicode(substr(text,
+                     cast(p.p % length(text) as int) + 1, 1)) % 256
+         end as v
+  from documents,
+       (select unnest(generate_series(0, {npx - 1})) as p) p),
+cells as (
+  select asset_id,
+         cast(((p // {w}) // {bh}) * {grid} + ((p % {w}) // {bw}) as int)
+           as cell,
+         sum(v) as s
+  from px group by 1, 2),
+tot as (select asset_id, sum(s) as t from cells group by 1),
+ph as (
+  select c.asset_id,
+         sum(case when c.s * {npx} > t.t * {bpx}
+                  then (cast(1 as hugeint) << c.cell)
+                  else 0 end) as hsum
+  from cells c join tot t using (asset_id) group by 1)
+select asset_id,
+       cast(case when hsum >= 9223372036854775808
+                 then hsum - 18446744073709551616
+                 else hsum end as bigint) as phash
+from ph
 """
 
 
@@ -11937,122 +12013,20 @@ limit {top}
 
 def queries():
     return {
-    # Round-11 rotation (driver caps at ~50 keys/round): the NEW
-    # round-11 keys lead, then the stalest r4/r5/r6 remainder past
-    # round 10's window plus the r7 block fills the head.  Tail stays
-    # oldest-verdict-first with round 10's freshly recorded keys at
-    # the bottom.
-        # -- new round-11 keys --
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_embedding_lsh_eval": q_dedup_embedding_lsh_eval,
-        "text_wand_search": q_text_wand_search,
-        "ann_opq_recall": q_ann_opq_recall,
-        "store_optimize_zorder": q_store_optimize_zorder,
+    # Round-12 rotation (driver caps at ~50 keys/round): the 4 NEW
+    # round-12 keys lead, then 46 keys with NO on-disk driver green
+    # across r1/r10/r11 (the verdict's never-tested ~155 backlog —
+    # temporal/TPC-H/sketch/text-serving families).  Tail keeps the
+    # remaining never-green keys first, previously-green last.
+        # -- new round-12 keys --
+        "ann_pq_wide": q_ann_pq_wide,
         "store_data_skipping": q_store_data_skipping,
-        "text_unigram_train": q_text_unigram_train,
-        "text_unigram_encode": q_text_unigram_encode,
-        "stream_dim_join": q_stream_dim_join,
-        "events_ab_sequential": q_events_ab_sequential,
-        "ann_opq": q_ann_opq,
-        "dedup_embedding_lsh_tuning": q_dedup_embedding_lsh_tuning,
-        "ann_opq_persisted": q_ann_opq_persisted,
-        # -- stalest driver-ledger keys: r4/r5/r6 remainder from
-        #    sketch_kmv onward + the leading r7 block (41 keys fill
-        #    the round-11 head-50) --
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_kmv_ops": q_sketch_kmv_ops,
-        "sketch_histq": q_sketch_histq,
-        "source_jsonl": q_source_jsonl,
-        "source_csv": q_source_csv,
-        "corpus_lenhist": q_corpus_lenhist,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_dropdup": q_stream_dropdup,
-        "stream_topk_windowed": q_stream_topk_windowed,
-        "q7_volume": q_q7_volume,
-        "q8_share": q_q8_share,
-        "q12_priority": q_q12_priority,
-        "q16_suppcnt": q_q16_suppcnt,
-        "q17_small_qty": q_q17_small_qty,
-        "q11_parts": q_q11_parts,
-        "q15_topsupp": q_q15_topsupp,
-        "q20_promo_supp": q_q20_promo_supp,
-        "q2_mincost": q_q2_mincost,
-        "events_pivot": q_events_pivot,
-        "events_cube": q_events_cube,
-        "events_anomalies": q_events_anomalies,
-        "corpus_mixture": q_corpus_mixture,
-        "chunk_md_paragraphs": q_chunk_md_paragraphs,
-        "pipeline_sk_chunking": q_pipeline_sk_chunking,
-        "store_cdc": q_store_cdc,
-        "vector_search_batch": q_vector_search_batch,
-        "store_reembed": q_store_reembed,
-        "mm_phash_dedup": q_mm_phash_dedup,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_substrings": q_dedup_substrings,
-        "text_bpe_pairs": q_text_bpe_pairs,
-        "graph_pagerank": q_graph_pagerank,
-        "layout_zorder": q_layout_zorder,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "emb_pca": q_emb_pca,
-        "emb_covariance": q_emb_covariance,
-        "corpus_quality_model": q_corpus_quality_model,
-        "corpus_token_budget": q_corpus_token_budget,
+        "store_merge_dv": q_store_merge_dv,
+        "mm_phash_pixel": q_mm_phash_pixel,
+        # -- never-driver-green backlog (r12 window) --
         "sketch_cms": q_sketch_cms,
         "store_compact": q_store_compact,
         "source_bucketed": q_source_bucketed,
-        # -- round-10 keys (driver-r10 green) --
-        "text_search_after": q_text_search_after,
-        "store_merge": q_store_merge,
-        "store_merge_dv": q_store_merge_dv,
-        "graph_label_prop": q_graph_label_prop,
-        "emb_drift": q_emb_drift,
-        "events_ab_lift": q_events_ab_lift,
-        "join_skew_profile": q_join_skew_profile,
-        "stream_merge_apply": q_stream_merge_apply,
-        "events_ab_cuped": q_events_ab_cuped,
-        "stream_late_audit": q_stream_late_audit,
-        "store_constraints": q_store_constraints,
-        "text_search_count": q_text_search_count,
-        "store_merge_cdc": q_store_merge_cdc,
-        "events_ab_health": q_events_ab_health,
-        "store_tags": q_store_tags,
-        # -- r10-head keys (driver-r10 green; were the r10 stale fill) --
-        "dedup_shingle_hist": q_dedup_shingle_hist,
-        "events_mad_outliers": q_events_mad_outliers,
-        "corpus_source_sim": q_corpus_source_sim,
-        "events_conversion": q_events_conversion,
-        "customer_churn": q_customer_churn,
-        "events_diversity": q_events_diversity,
-        "graph_degrees": q_graph_degrees,
-        "events_session_hist": q_events_session_hist,
-        "mm_byte_hist": q_mm_byte_hist,
-        "events_trigrams": q_events_trigrams,
-        "emb_outliers": q_emb_outliers,
-        "events_multitouch": q_events_multitouch,
-        "events_cohort_ltv": q_events_cohort_ltv,
-        "events_forecast_mae": q_events_forecast_mae,
-        "graph_kcore": q_graph_kcore,
-        "dedup_containment": q_dedup_containment,
-        "dedup_summary": q_dedup_summary,
-        "corpus_novelty": q_corpus_novelty,
-        "supplier_hhi": q_supplier_hhi,
-        "emb_norm_hist": q_emb_norm_hist,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "corpus_percentiles": q_corpus_percentiles,
-        "events_top_sessions": q_events_top_sessions,
-        "text_langid_eval": q_text_langid_eval,
-        "text_domains": q_text_domains,
-        "ann_recall": q_ann_recall,
-        "asof_forward": q_asof_forward,
-        "hypertable_gapfill": q_hypertable_gapfill,
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_range": q_ann_range,
-        "layout_hilbert": q_layout_hilbert,
-        "events_sequence_match": q_events_sequence_match,
-        "sketch_hll": q_sketch_hll,
-        "ann_binary": q_ann_binary,
-        "emb_mrl_recall": q_emb_mrl_recall,
-        "store_timetravel": q_store_timetravel,
         "corpus_lm_buckets": q_corpus_lm_buckets,
         "dedup_lsh_tuning": q_dedup_lsh_tuning,
         "events_burst": q_events_burst,
@@ -12061,11 +12035,6 @@ def queries():
         "emb_cluster_purity": q_emb_cluster_purity,
         "orders_latency": q_orders_latency,
         "join_salted": q_join_salted,
-        # -- rows-only by design (oracle-green exact twins) --
-        "ann_bruteforce_np": q_ann_bruteforce_np,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
-        # -- r4/r5/r6 remainder past the head window --
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "ann_ivf_tuning": q_ann_ivf_tuning,
         "events_benford": q_events_benford,
@@ -12101,6 +12070,10 @@ def queries():
         "vector_topk_filtered": q_vector_topk_filtered,
         "text_bigrams": q_text_bigrams,
         "corpus_qualityfilter": q_corpus_qualityfilter,
+        # -- remaining never-green backlog (next rounds' windows) --
+        # (rows-only keys stay out of the head-50 by contract)
+        "ann_nsw": q_ann_nsw,
+        "ann_nsw_recall": q_ann_nsw_recall,
         "source_partitioned": q_source_partitioned,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
@@ -12111,7 +12084,6 @@ def queries():
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_profile": q_corpus_profile,
         "corpus_pack": q_corpus_pack,
-        # -- r7 driver-recorded (remainder) --
         "stream_scd2": q_stream_scd2,
         "events_scd2": q_events_scd2,
         "asof_nearest": q_asof_nearest,
@@ -12153,12 +12125,6 @@ def queries():
         "store_versioned_clone": q_store_versioned_clone,
         "store_schema_evolution": q_store_schema_evolution,
         "events_retention_drop": q_events_retention_drop,
-        "chunk_chars": q_chunk_chars,
-        "chunk_words": q_chunk_words,
-        "chunk_tokens": q_chunk_tokens,
-        "chunk_tokens_overlap": q_chunk_tokens_overlap,
-        "parse_route": q_parse_route,
-        # -- r8 driver-recorded --
         "stream_index_maintain": q_stream_index_maintain,
         "retrieval_eval": q_retrieval_eval,
         "corpus_decontaminate_semantic": q_corpus_decontaminate_semantic,
@@ -12186,31 +12152,6 @@ def queries():
         "retrieval_prf": q_retrieval_prf,
         "retrieval_mmr": q_retrieval_mmr,
         "dedup_incremental_eval": q_dedup_incremental_eval,
-        "embed_hash": q_embed_hash,
-        "embed_json_roundtrip": q_embed_json_roundtrip,
-        "pipeline_e2e": q_pipeline_e2e,
-        "store_schema": q_store_schema,
-        "store_upsert": q_store_upsert,
-        "store_delete": q_store_delete,
-        "vector_topk": q_vector_topk,
-        "vector_quantized": q_vector_quantized,
-        "dedup_exact": q_dedup_exact,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_persisted": q_ann_ivf_persisted,
-        "ann_pq": q_ann_pq,
-        "ann_pq_wide": q_ann_pq_wide,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_bruteforce": q_ann_bruteforce,
-        "dedup_embedding": q_dedup_embedding,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "text_topterms": q_text_topterms,
-        # -- r9 driver-recorded (freshest: the 7 r9 keys + the 19 ex-r1 + 24 ex-r4/r5) --
         "store_hybrid_filtered": q_store_hybrid_filtered,
         "text_bpe_train": q_text_bpe_train,
         "mm_embed": q_mm_embed,
@@ -12218,25 +12159,6 @@ def queries():
         "ann_adc_filtered": q_ann_adc_filtered,
         "dedup_incremental_persisted": q_dedup_incremental_persisted,
         "ann_filtered_recall": q_ann_filtered_recall,
-        "mm_decode": q_mm_decode,
-        "stream_windowed": q_stream_windowed,
-        "stream_sliding": q_stream_sliding,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_first_seen": q_stream_first_seen,
-        "stream_running_totals": q_stream_running_totals,
-        "events_topusers": q_events_topusers,
-        "events_enrich": q_events_enrich,
-        "q1_pricing": q_q1_pricing,
-        "q3_shipping": q_q3_shipping,
-        "q4_late": q_q4_late,
-        "q5_local": q_q5_local,
-        "q6_forecast": q_q6_forecast,
-        "q10_returned": q_q10_returned,
-        "q13_custdist": q_q13_custdist,
-        "q14_promo": q_q14_promo,
-        "q18_large": q_q18_large,
-        "q19_disjuncts": q_q19_disjuncts,
-        "q22_inactive": q_q22_inactive,
         "ann_ivf_upsert": q_ann_ivf_upsert,
         "text_bm25_topk": q_text_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -12261,6 +12183,157 @@ def queries():
         "yearly_growth": q_yearly_growth,
         "corpus_boilerplate": q_corpus_boilerplate,
         "text_vocab_coverage": q_text_vocab_coverage,
+        # -- previously driver-green (r1/r10/r11 ledgers) --
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_embedding_lsh_eval": q_dedup_embedding_lsh_eval,
+        "text_wand_search": q_text_wand_search,
+        "ann_opq_recall": q_ann_opq_recall,
+        "store_optimize_zorder": q_store_optimize_zorder,
+        "text_unigram_train": q_text_unigram_train,
+        "text_unigram_encode": q_text_unigram_encode,
+        "stream_dim_join": q_stream_dim_join,
+        "events_ab_sequential": q_events_ab_sequential,
+        "ann_opq": q_ann_opq,
+        "dedup_embedding_lsh_tuning": q_dedup_embedding_lsh_tuning,
+        "ann_opq_persisted": q_ann_opq_persisted,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_ops": q_sketch_kmv_ops,
+        "sketch_histq": q_sketch_histq,
+        "source_jsonl": q_source_jsonl,
+        "source_csv": q_source_csv,
+        "corpus_lenhist": q_corpus_lenhist,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_dropdup": q_stream_dropdup,
+        "stream_topk_windowed": q_stream_topk_windowed,
+        "q7_volume": q_q7_volume,
+        "q8_share": q_q8_share,
+        "q12_priority": q_q12_priority,
+        "q16_suppcnt": q_q16_suppcnt,
+        "q17_small_qty": q_q17_small_qty,
+        "q11_parts": q_q11_parts,
+        "q15_topsupp": q_q15_topsupp,
+        "q20_promo_supp": q_q20_promo_supp,
+        "q2_mincost": q_q2_mincost,
+        "events_pivot": q_events_pivot,
+        "events_cube": q_events_cube,
+        "events_anomalies": q_events_anomalies,
+        "corpus_mixture": q_corpus_mixture,
+        "chunk_md_paragraphs": q_chunk_md_paragraphs,
+        "pipeline_sk_chunking": q_pipeline_sk_chunking,
+        "store_cdc": q_store_cdc,
+        "vector_search_batch": q_vector_search_batch,
+        "store_reembed": q_store_reembed,
+        "mm_phash_dedup": q_mm_phash_dedup,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substrings": q_dedup_substrings,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "graph_pagerank": q_graph_pagerank,
+        "layout_zorder": q_layout_zorder,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_pca": q_emb_pca,
+        "emb_covariance": q_emb_covariance,
+        "corpus_quality_model": q_corpus_quality_model,
+        "corpus_token_budget": q_corpus_token_budget,
+        "text_search_after": q_text_search_after,
+        "store_merge": q_store_merge,
+        "graph_label_prop": q_graph_label_prop,
+        "emb_drift": q_emb_drift,
+        "events_ab_lift": q_events_ab_lift,
+        "join_skew_profile": q_join_skew_profile,
+        "stream_merge_apply": q_stream_merge_apply,
+        "events_ab_cuped": q_events_ab_cuped,
+        "stream_late_audit": q_stream_late_audit,
+        "store_constraints": q_store_constraints,
+        "text_search_count": q_text_search_count,
+        "store_merge_cdc": q_store_merge_cdc,
+        "events_ab_health": q_events_ab_health,
+        "store_tags": q_store_tags,
+        "dedup_shingle_hist": q_dedup_shingle_hist,
+        "events_mad_outliers": q_events_mad_outliers,
+        "corpus_source_sim": q_corpus_source_sim,
+        "events_conversion": q_events_conversion,
+        "customer_churn": q_customer_churn,
+        "events_diversity": q_events_diversity,
+        "graph_degrees": q_graph_degrees,
+        "events_session_hist": q_events_session_hist,
+        "mm_byte_hist": q_mm_byte_hist,
+        "events_trigrams": q_events_trigrams,
+        "emb_outliers": q_emb_outliers,
+        "events_multitouch": q_events_multitouch,
+        "events_cohort_ltv": q_events_cohort_ltv,
+        "events_forecast_mae": q_events_forecast_mae,
+        "graph_kcore": q_graph_kcore,
+        "dedup_containment": q_dedup_containment,
+        "dedup_summary": q_dedup_summary,
+        "corpus_novelty": q_corpus_novelty,
+        "supplier_hhi": q_supplier_hhi,
+        "emb_norm_hist": q_emb_norm_hist,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "corpus_percentiles": q_corpus_percentiles,
+        "events_top_sessions": q_events_top_sessions,
+        "text_langid_eval": q_text_langid_eval,
+        "text_domains": q_text_domains,
+        "ann_recall": q_ann_recall,
+        "asof_forward": q_asof_forward,
+        "hypertable_gapfill": q_hypertable_gapfill,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_range": q_ann_range,
+        "layout_hilbert": q_layout_hilbert,
+        "events_sequence_match": q_events_sequence_match,
+        "sketch_hll": q_sketch_hll,
+        "ann_binary": q_ann_binary,
+        "emb_mrl_recall": q_emb_mrl_recall,
+        "store_timetravel": q_store_timetravel,
+        "ann_bruteforce_np": q_ann_bruteforce_np,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        "chunk_chars": q_chunk_chars,
+        "chunk_words": q_chunk_words,
+        "chunk_tokens": q_chunk_tokens,
+        "chunk_tokens_overlap": q_chunk_tokens_overlap,
+        "parse_route": q_parse_route,
+        "embed_hash": q_embed_hash,
+        "embed_json_roundtrip": q_embed_json_roundtrip,
+        "pipeline_e2e": q_pipeline_e2e,
+        "store_schema": q_store_schema,
+        "store_upsert": q_store_upsert,
+        "store_delete": q_store_delete,
+        "vector_topk": q_vector_topk,
+        "vector_quantized": q_vector_quantized,
+        "dedup_exact": q_dedup_exact,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_pq": q_ann_pq,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "dedup_embedding": q_dedup_embedding,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_topterms": q_text_topterms,
+        "mm_decode": q_mm_decode,
+        "stream_windowed": q_stream_windowed,
+        "stream_sliding": q_stream_sliding,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
+        "stream_running_totals": q_stream_running_totals,
+        "events_topusers": q_events_topusers,
+        "events_enrich": q_events_enrich,
+        "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
+        "q4_late": q_q4_late,
+        "q5_local": q_q5_local,
+        "q6_forecast": q_q6_forecast,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q14_promo": q_q14_promo,
+        "q18_large": q_q18_large,
+        "q19_disjuncts": q_q19_disjuncts,
+        "q22_inactive": q_q22_inactive,
     }
 
 
@@ -12428,6 +12501,7 @@ from c
         "dedup_graph_reciprocity": _sql_dedup_graph_reciprocity(),
         "events_decile_migration": _sql_events_decile_migration(),
         "mm_phash_tuning": _sql_mm_phash_tuning(),
+        "mm_phash_pixel": _sql_mm_phash_pixel(),
         "events_kanon": _sql_events_kanon(),
         "emb_isotropy": _sql_emb_isotropy(),
         "text_burstiness": _sql_text_burstiness(),

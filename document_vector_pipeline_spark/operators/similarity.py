@@ -1931,3 +1931,186 @@ def embedding_outliers(emb: DataFrame, n_clusters: int = 8, iters: int = 3,
                     F.round(F.col("d") / 1e12, 6).alias("dist"),
                     (F.lit(100) * F.col("rn") > F.lit(pct) * F.col("n_c"))
                     .alias("outlier")))
+
+
+def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            n_centroids: int = 8, nprobe: int = 2,
+            m_links: int = 6, ef: int = 24, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "query_id",
+            qvec_col: str = "query_vec") -> DataFrame:
+    """Graph-ANN rung (round-12 stretch): a navigable-small-world graph
+    (Malkov et al., "Approximate nearest neighbor algorithm based on
+    navigable small world graphs", Inf. Systems 2014 — the single-layer
+    core HNSW stacks) built PER IVF CELL, searched with a greedy
+    best-first beam.  The Spark-feasible shape the verdict names: IVF
+    routes queries to ``nprobe`` cells (the distributed decision),
+    each cell's graph is built and walked SEQUENTIALLY inside one
+    ``applyInPandas`` group (graph walks don't parallelize across a
+    shuffle; cells bound the memory), entry points and probe lists
+    ride in as broadcast-sized closure literals.  At 100 TB the cell
+    count scales out while per-cell cost stays bounded — exactly how
+    partitioned HNSW serving (e.g. per-shard graphs) deploys.
+
+    Deterministic end to end, like every rung: vectors live in the
+    1e-6 fixed-point integer domain, distances are exact int64 L2
+    (monotone-equivalent to cosine on normalized vectors), ties break
+    on vec_id, insertion order is (md5(vec_id), vec_id), the entry
+    point is the first-inserted node.  Build inserts each node by
+    SEARCHING the partial graph (beam ef) and linking bidirectionally
+    to its ``m_links`` nearest visited nodes — the real NSW insert, so
+    build cost is O(n·ef·m) per cell, never O(n²).
+
+    Approximate by design (beam can miss across weakly-linked
+    regions): ``nsw_recall`` measures it against the exact ranking —
+    the acceptance discipline every ANN rung here ships with.  Scores
+    are exact integer dots scaled once (round(i/1e12, 6)), so results
+    are engine-portable; the graph walk itself is not SQL-expressible,
+    which is why the contract key is rows-only with ann_ivf (same
+    probed cells, exhaustive scoring) as the oracle-green exact twin."""
+    import heapq
+
+    import numpy as np
+
+    queries = _live_vectors(queries, qvec_col)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("q"))
+    qc = (q.join(F.broadcast(cents))
+          .withColumn("cscore",
+                      F.round(cosine_similarity("q", "centroid"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
+                                               F.col("centroid_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "centroid_id"))
+    # metadata-sized: which queries probe which cell, and the queries'
+    # fixed-point vectors — closure literals for the per-cell walker
+    probe_rows = probes.collect()
+    cell_queries: dict = {}
+    for r in probe_rows:
+        cell_queries.setdefault(r["centroid_id"], []).append(r["query_id"])
+    q_rows = (queries.select(F.col(qid_col).alias("query_id"),
+                             pq_fixed_point(F.col(qvec_col), dim)
+                             .alias("q6")).collect())
+    q6 = {r["query_id"]: np.array(r["q6"], dtype=np.int64) for r in q_rows}
+
+    cells = assigned.filter(
+        F.col("centroid_id").isin(list(cell_queries)) if cell_queries
+        else F.lit(False))
+    base = cells.select(
+        "centroid_id", "vec_id",
+        pq_fixed_point(F.col("v"), dim).alias("v6"),
+        md5_long(F.col("vec_id").cast("string")).alias("h"))
+    id_type = assigned.schema["vec_id"].dataType.simpleString()
+
+    def search(adj, V, ids, entry, qv, beam):
+        """Greedy best-first over the partial graph: exact int64 L2,
+        ties on vec_id; returns the best ``beam`` visited nodes as
+        sorted (dist, vec_id, idx) tuples."""
+        d0 = int(((V[entry] - qv) ** 2).sum())
+        cand = [(d0, ids[entry], entry)]
+        visited = {entry}
+        best = [(d0, ids[entry], entry)]
+        while cand:
+            d, _tie, i = heapq.heappop(cand)
+            if len(best) >= beam and d > best[-1][0]:
+                break
+            for j in adj[i]:
+                if j in visited:
+                    continue
+                visited.add(j)
+                dj = int(((V[j] - qv) ** 2).sum())
+                heapq.heappush(cand, (dj, ids[j], j))
+                best.append((dj, ids[j], j))
+                best.sort()
+                if len(best) > beam:
+                    best.pop()
+        return best
+
+    def per_cell(pdf):
+        import pandas as pd
+        cell = pdf["centroid_id"].iloc[0]
+        qids = cell_queries.get(cell, [])
+        if not qids or pdf.empty:
+            return pd.DataFrame(columns=["query_id", "vec_id", "score"])
+        pdf = pdf.sort_values(["h", "vec_id"], kind="mergesort")
+        V = np.array(list(pdf["v6"]), dtype=np.int64)
+        ids = list(pdf["vec_id"])
+        n = len(ids)
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for i in range(1, n):
+            found = search(adj, V, ids, 0, V[i], ef)
+            for _d, _vid, j in found[:m_links]:
+                if j == i:
+                    continue
+                adj[i].append(j)
+                adj[j].append(i)
+        rows = []
+        for qid in sorted(qids):
+            qv = q6[qid]
+            for _d, vid, _j in search(adj, V, ids, 0, qv, max(ef, k)):
+                rows.append((qid, vid))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id"])
+
+    # the walk NOMINATES candidates (integer-domain beam); the final
+    # scores are the SAME round(cosine, 6) expression ivf_ann ranks by
+    # — so with beam >= cell size the output is bit-identical to
+    # ivf_ann (the exact-twin contract), and at small beams the
+    # returned scores stay exact, only recall drops (the refine_ann
+    # composition applied to the graph rung)
+    cand = base.groupBy("centroid_id").applyInPandas(
+        per_cell, f"query_id long, vec_id {id_type}")
+    exact = (assigned.select("vec_id", "v")
+             .join(F.broadcast(cand), "vec_id")
+             .join(F.broadcast(q), "query_id")
+             .withColumn("score",
+                         F.round(cosine_similarity("v", "q"), 6)))
+    return _ranked(exact.select("query_id", "vec_id", "score"), k)
+
+
+def nsw_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               n_centroids: int = 8, nprobe: int = 2,
+               m_links: int = 6, ef: int = 24, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+    """Measured recall@k of the per-cell NSW graph walk against BOTH
+    the exact cosine ranking (absolute quality) and the same-probes
+    exhaustive IVF ranking (the graph's own ceiling — what the walk
+    can lose ON TOP of the cell routing): (query_id, n_hits_exact,
+    recall_exact, n_hits_ivf, recall_vs_ivf).  The ann_recall
+    acceptance discipline for the graph rung."""
+    exact = (brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                              vec_col=vec_col, qid_col=qid_col,
+                              qvec_col=qvec_col)
+             .select("query_id", "vec_id").localCheckpoint(eager=True))
+    ivf = ivf_ann(corpus, queries, k=k, n_centroids=n_centroids,
+                  nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                  qid_col=qid_col, qvec_col=qvec_col).select(
+        F.col("query_id").alias("iq"), F.col("vec_id").alias("iv"))
+    nsw = nsw_ann(corpus, queries, k=k, n_centroids=n_centroids,
+                  nprobe=nprobe, m_links=m_links, ef=ef, dim=dim,
+                  id_col=id_col, vec_col=vec_col, qid_col=qid_col,
+                  qvec_col=qvec_col).select(
+        F.col("query_id").alias("nq"), F.col("vec_id").alias("nv"),
+        F.lit(1).alias("hit"))
+    vs_exact = (exact.join(nsw, (F.col("query_id") == F.col("nq"))
+                           & (F.col("vec_id") == F.col("nv")), "left")
+                .groupBy("query_id")
+                .agg(F.count("hit").cast("long").alias("n_hits_exact")))
+    vs_ivf = (ivf.join(nsw, (F.col("iq") == F.col("nq"))
+                       & (F.col("iv") == F.col("nv")), "left")
+              .groupBy(F.col("iq").alias("query_id"))
+              .agg(F.count("hit").cast("long").alias("n_hits_ivf")))
+    return (vs_exact.join(vs_ivf, "query_id", "full_outer")
+            .select("query_id",
+                    F.coalesce("n_hits_exact", F.lit(0)).alias(
+                        "n_hits_exact"),
+                    F.round(F.coalesce("n_hits_exact", F.lit(0)) / k, 6)
+                     .alias("recall_exact"),
+                    F.coalesce("n_hits_ivf", F.lit(0)).alias("n_hits_ivf"),
+                    F.round(F.coalesce("n_hits_ivf", F.lit(0)) / k, 6)
+                     .alias("recall_vs_ivf"))
+            .orderBy("query_id"))

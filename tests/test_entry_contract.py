@@ -11,7 +11,11 @@ import __spark_entry__ as entrymod
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-ROWS_ONLY = {"ann_bruteforce_np", "mm_features", "mm_frames"}
+ROWS_ONLY = {"ann_bruteforce_np", "mm_features", "mm_frames",
+             # round 12: the NSW graph walk is deterministic but not
+             # SQL-expressible; exact twin ann_ivf is oracle-green and
+             # tests pin nsw(ef >= cell size) == ivf_ann
+             "ann_nsw", "ann_nsw_recall"}
 
 
 def test_survey_section2_matches_queries():
@@ -56,3 +60,18 @@ def test_head_50_all_oracle_checked():
     head = list(entrymod.queries())[:50]
     o = set(entrymod.oracle_sql())
     assert [k for k in head if k not in o] == []
+
+
+def test_survey_section2_row_ids_unique():
+    """Round-12 verdict item 9: §2 table row ids must be UNIQUE so the
+    table stays diffable round-over-round (keys were always unique; the
+    id column had 19 reused ids misleading a reader)."""
+    import collections
+
+    with open(os.path.join(ROOT, "SURVEY.md"), encoding="utf-8") as f:
+        survey = f.read()
+    sec2 = survey.split("## §2")[1].split("## §3")[0]
+    ids = [i.strip() for i in
+           re.findall(r"^\| ([^|]+) \| `[a-z0-9_]+` \|", sec2, re.M)]
+    dups = {k: v for k, v in collections.Counter(ids).items() if v > 1}
+    assert not dups, f"SURVEY §2 reuses row ids: {dups}"

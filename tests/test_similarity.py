@@ -674,3 +674,43 @@ def test_embedding_drift_identical_populations_are_flat(spark,
     out = S.embedding_drift(embeddings_small, embeddings_small).collect()
     assert all(r["std_shift"] == 0.0 and r["mean_ref"] == r["mean_cand"]
                for r in out)
+
+
+def test_nsw_exhaustive_beam_equals_ivf(spark, embeddings_small, queries):
+    """Round-12 stretch — the graph rung's exact-twin proof: every NSW
+    insert links into the existing component, so the per-cell graph is
+    CONNECTED; with beam >= cell size the best-first walk visits every
+    node and nsw_ann is bit-identical to ivf_ann over the same probed
+    cells.  Shrinking the beam makes it approximate, never broken:
+    self-retrieval holds and results stay deterministic."""
+    n = embeddings_small.count()
+    exact_twin = S.nsw_ann(embeddings_small, queries, k=10,
+                           n_centroids=4, nprobe=4, ef=n)
+    ivf = S.ivf_ann(embeddings_small, queries, k=10,
+                    n_centroids=4, nprobe=4)
+    assert sorted(map(tuple, exact_twin.collect())) \
+        == sorted(map(tuple, ivf.collect()))
+
+    small = S.nsw_ann(embeddings_small, queries, k=10,
+                      n_centroids=4, nprobe=2, m_links=4, ef=6)
+    rows = small.collect()
+    first = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert first == {0: 0, 1: 1, 2: 2}
+    again = S.nsw_ann(embeddings_small, queries, k=10,
+                      n_centroids=4, nprobe=2, m_links=4, ef=6).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_nsw_recall_measures_walk_loss(spark, embeddings_small, queries):
+    """nsw_recall separates routing loss from graph loss: at full probe
+    + full beam both recalls are 1.0; recall_vs_ivf bounds recall_exact
+    from above at restricted probes (the walk can only lose within its
+    cells)."""
+    full = S.nsw_recall(embeddings_small, queries, k=10,
+                        n_centroids=4, nprobe=4,
+                        ef=embeddings_small.count()).collect()
+    assert all(r["recall_exact"] == 1.0 and r["recall_vs_ivf"] == 1.0
+               for r in full)
+    cut = S.nsw_recall(embeddings_small, queries, k=10,
+                       n_centroids=4, nprobe=1, m_links=4, ef=8).collect()
+    assert all(r["n_hits_exact"] <= r["n_hits_ivf"] for r in cut)
