@@ -469,8 +469,19 @@ def _pq_lloyd(vdf: DataFrame, cb: list[list[int]], n_sub: int,
 
     C = np.array(cb, dtype=np.int64)                 # (c, dim)
     n_codes = len(cb)
+    # right-size the loop input exactly like _lloyd_loop_frame: the
+    # iters driver-synchronized rounds cost per-task scheduling + Arrow
+    # setup on a small corpus, so collapse the cached frame to
+    # ~50k-row tasks (no-op at 100 TB, where natural parallelism wins)
     cached = vdf.persist()
-    cached.count()
+    n_rows = cached.count()
+    parts = cached.rdd.getNumPartitions()
+    target = max(1, min(parts, -(-n_rows // 50_000)))
+    if target < parts:
+        looped = cached.coalesce(target).persist()
+        looped.count()
+        cached.unpersist()
+        cached = looped
     try:
         for _ in range(iters):
             Cb = C.copy()

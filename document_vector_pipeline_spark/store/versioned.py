@@ -296,6 +296,17 @@ class VersionedTable:
         v = (self.latest() + 1) if self.versions() else 0
         manifest = {"version": v, "op": "clone", "dirs": dirs,
                     "n_rows": m["n_rows"], "schema": m.get("schema")}
+        # deletion vectors ride along, keys and sidecar paths
+        # absolutized to the source like the data dirs (round 12:
+        # cloning a DV snapshot must not resurrect its deleted rows);
+        # per-dir stats carry under the same absolutized keys
+        if m.get("dv"):
+            manifest["dv"] = {
+                src._resolve(d): [src._resolve(e) for e in es]
+                for d, es in m["dv"].items()}
+        if m.get("stats"):
+            manifest["stats"] = {src._resolve(d): st
+                                 for d, st in m["stats"].items()}
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -354,6 +365,12 @@ class VersionedTable:
         v = self.latest() + 1
         manifest = {"version": v, "op": "restore", "dirs": m["dirs"],
                     "n_rows": m["n_rows"], "schema": m.get("schema")}
+        # deletion vectors and column stats are PART of the snapshot:
+        # restoring without them would resurrect DV'd rows / lose the
+        # skipping index (round 12)
+        for extra in ("dv", "stats"):
+            if m.get(extra):
+                manifest[extra] = m[extra]
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 

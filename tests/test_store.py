@@ -1295,3 +1295,40 @@ def test_merge_dv_zero_rewrite_and_identical_snapshot(spark, tmp_path):
                 dv.read(version=v1).collect())
     assert tt == sorted((r["id"], r["text"]) for r in
                         rw.read(version=rw.latest()).collect())
+
+
+def test_restore_and_clone_carry_deletion_vectors(spark, tmp_path):
+    """Round-12 follow-up: DVs and column stats are PART of a snapshot —
+    RESTORE of a DV version must not resurrect its deleted rows, and a
+    shallow CLONE of a DV snapshot must subtract the source's DVs
+    (keys + sidecar paths absolutized like the borrowed data dirs)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    src = BucketedVersionedTable(spark, str(tmp_path / "src"),
+                                 bucket_col="b")
+    src.commit_overwrite(spark.createDataFrame(
+        [(i, f"t{i}", str(i % 2)) for i in range(8)],
+        "id long, text string, b string"))
+    v_dv = src.merge_dv(spark.createDataFrame(
+        [(2, None, "0", True), (3, "upd", "1", False)],
+        "id long, text string, b string, _deleted boolean"), ["id"])
+    want = sorted((r["id"], r["text"]) for r in src.read().collect())
+    assert (2, "t2") not in want and ("upd" in dict(want).values()
+                                      or dict(want)[3] == "upd")
+
+    # a later commit, then RESTORE back to the DV version
+    src.upsert(spark.createDataFrame([(7, "later", "1")],
+                                     "id long, text string, b string"),
+               keys=["id"])
+    src.restore(v_dv)
+    got = sorted((r["id"], r["text"]) for r in src.read().collect())
+    assert got == want                       # id 2 stays deleted
+
+    clone = BucketedVersionedTable(spark, str(tmp_path / "cl"),
+                                   bucket_col="b")
+    clone.clone_from(src, version=v_dv)
+    gotc = sorted((r["id"], r["text"]) for r in clone.read().collect())
+    assert gotc == want
+
