@@ -1332,3 +1332,34 @@ def test_restore_and_clone_carry_deletion_vectors(spark, tmp_path):
     gotc = sorted((r["id"], r["text"]) for r in clone.read().collect())
     assert gotc == want
 
+
+
+def test_data_skipping_composes_with_time_travel(spark, tmp_path):
+    """read(version=V, predicate=...) prunes against VERSION V's
+    manifest stats — a snapshot pinned before a later overwrite keeps
+    its own pruning decisions and its own rows."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "ttsk"),
+                                bucket_col="b")
+    vt.set_stats_columns(["id"])
+    v0_rows = [(i, f"a{i}", str(i // 10)) for i in range(30)]
+    vt.commit_overwrite(spark.createDataFrame(
+        v0_rows, "id long, text string, b string"))
+    v0 = vt.latest()
+    # later overwrite shifts every id by +100: latest prunes differently
+    vt.commit_overwrite(spark.createDataFrame(
+        [(i + 100, f"b{i}", str(i // 10)) for i in range(30)],
+        "id long, text string, b string"))
+
+    pred = [("id", "between", (12, 17))]
+    kept0, skip0 = vt.prune_dirs(pred, version=v0)
+    keptL, skipL = vt.prune_dirs(pred)
+    assert len(kept0) == 1 and len(skip0) == 2
+    assert len(keptL) == 0 and len(skipL) == 3     # all ids >= 100 now
+    got = sorted(r["id"] for r in
+                 vt.read(version=v0, predicate=pred).collect())
+    assert got == list(range(12, 18))
+    assert vt.read(predicate=pred).count() == 0
