@@ -94,7 +94,18 @@ def _parse_objects(data: bytes) -> dict:
             stream_end = esm.start() if esm is not None else len(data)
             stream = data[stream_start:stream_end]
             if b"/FlateDecode" in header:
-                stream = zlib.decompress(stream)
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error as exc:
+                    # no /Length AND keyword-truncated Flate bytes:
+                    # nothing left to try — degrade like any other
+                    # unparseable input (ValueError is the seam's
+                    # fall-back-to-raw-content signal), never a raw
+                    # zlib.error out of an Arrow task
+                    raise ValueError(
+                        "undecodable FlateDecode stream (missing or "
+                        "unresolvable /Length and keyword scan "
+                        f"truncated the data): {exc}") from exc
             length = stream_end - stream_start
         pos = data.find(b"endobj", stream_start + length)
         pos = pos + 6 if pos != -1 else stream_start + length
@@ -301,7 +312,15 @@ def pdf_analysis_client(payloads: list) -> list:
     for p in payloads:
         data = p if isinstance(p, (bytes, bytearray)) \
             else (p or "").encode("latin-1")
-        pages = extract_pdf_text(bytes(data))
+        try:
+            pages = extract_pdf_text(bytes(data))
+        except ValueError:
+            # not a PDF / undecodable stream: degrade to the cascade's
+            # last rung — raw bytes as content, no structure (the
+            # prebuilt-read fallback order ends at `content`)
+            out.append({"lines": [], "paragraphs": [], "words": [],
+                        "content": bytes(data).decode("latin-1")})
+            continue
         lines = [ln for pg in pages for ln in pg.splitlines()
                  if ln.strip()]
         out.append({"lines": lines,

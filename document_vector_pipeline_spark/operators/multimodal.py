@@ -457,6 +457,23 @@ def phash_candidate_hist(assets: DataFrame, dim: int = 32,
             .orderBy("hamming"))
 
 
+def _text_pixels_roundtrip(text: str | None, w: int, h: int,
+                           png_encode, png_decode) -> list[int]:
+    """The SHARED pixel source + REAL codec round trip behind both
+    perceptual hashes (round-12 review: two hand-copied blocks had to
+    stay in sync for the luma/DCT pairing — now one function): pixel
+    p = ord(text[p mod len]) mod 256 (0 for empty text), grayscale
+    PNG-encoded then decoded through the vendored codec, returning the
+    w*h luma values.  Lossless by construction — asserted."""
+    text = text or ""
+    n = len(text)
+    vals = [(ord(text[p % n]) % 256 if n else 0) for p in range(w * h)]
+    png = png_encode([(v, v, v) for v in vals], w, h)
+    dw, dh, ch, px = png_decode(png)
+    assert (dw, dh, ch) == (w, h, 3)
+    return [px[i * 3] for i in range(w * h)]   # gray: r==g==b
+
+
 def doc_phash_luma(docs: DataFrame, w: int = 16, h: int = 16,
                    grid: int = 8, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -501,14 +518,8 @@ def doc_phash_luma(docs: DataFrame, w: int = 16, h: int = 16,
                 continue
             out = []
             for _, row in pdf.iterrows():
-                text = row[text_col] or ""
-                n = len(text)
-                vals = [(ord(text[p % n]) % 256 if n else 0)
-                        for p in range(w * h)]
-                png = png_encode([(v, v, v) for v in vals], w, h)
-                dw, dh, ch, px = png_decode(png)
-                assert (dw, dh, ch) == (w, h, 3)
-                luma = [px[i * 3] for i in range(w * h)]   # gray: r==g==b
+                luma = _text_pixels_roundtrip(row[text_col], w, h,
+                                              png_encode, png_decode)
                 sums = [0] * (grid * grid)
                 for y in range(h):
                     for x in range(w):
@@ -556,14 +567,9 @@ def doc_phash_dct(docs: DataFrame, w: int = 32, h: int = 32,
                 continue
             out = []
             for _, row in pdf.iterrows():
-                text = row[text_col] or ""
-                n = len(text)
-                vals = [(ord(text[p % n]) % 256 if n else 0)
-                        for p in range(w * h)]
-                png = png_encode([(v, v, v) for v in vals], w, h)
-                _dw, _dh, _ch, px = png_decode(png)
-                img = np.frombuffer(px, dtype=np.uint8)[::3] \
-                        .reshape(h, w).astype(np.float64)
+                luma = _text_pixels_roundtrip(row[text_col], w, h,
+                                              png_encode, png_decode)
+                img = np.array(luma, dtype=np.float64).reshape(h, w)
                 d = basis @ img @ basis.T                 # 2-D DCT-II
                 low = d[:keep, :keep].flatten()[1:]       # drop DC
                 med = np.median(low)

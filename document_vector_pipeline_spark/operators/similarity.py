@@ -372,13 +372,15 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             n_centroids: int = 8, nprobe: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding",
             qid_col: str = "query_id", qvec_col: str = "query_vec",
-            id_filter=None) -> DataFrame:
+            id_filter=None, cents: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: search only the nprobe centroid cells closest to the
     query.  Recall < 1 by design.  ``id_filter`` is filtered-ANN
     semantics: the predicate cuts the assigned rows BEFORE scoring
     (centroids stay full-corpus — the filter changes candidacy, never
-    assignment)."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assignment).  ``cents`` injects precomputed centroids (nsw_recall
+    shares one table across its two rungs)."""
+    if cents is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     if id_filter is not None:
         assigned = assigned.filter(id_filter)
@@ -739,6 +741,23 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _ranked(_partial_cut(scored, k), k)
 
 
+def ivf_probes(q: DataFrame, cents: DataFrame,
+               nprobe: int) -> DataFrame:
+    """(query_id, centroid_id) probe list shared VERBATIM by ivfpq_ann
+    and nsw_ann (round-12 review: three hand-copied blocks had to stay
+    bit-identical for the exact-twin contracts — now one function):
+    max rounded cosine per query, ties to the lowest centroid_id.
+    ``q`` is (query_id, q)."""
+    qc = (q.join(F.broadcast(cents))
+          .withColumn("cscore",
+                      F.round(cosine_similarity("q", "centroid"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
+                                               F.col("centroid_id"))
+    return (qc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "centroid_id"))
+
+
 def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
               n_centroids: int = 8, nprobe: int = 2,
               n_codes: int = 16, n_sub: int = 8, dim: int = 64,
@@ -768,14 +787,7 @@ def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qvec_col).alias("q"))
-    qc = (q.join(F.broadcast(cents))
-          .withColumn("cscore",
-                      F.round(cosine_similarity("q", "centroid"), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
-                                               F.col("centroid_id"))
-    probes = (qc.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= nprobe)
-              .select("query_id", "centroid_id"))
+    probes = ivf_probes(q, cents, nprobe)
 
     cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col,
                      n_sub=n_sub, iters=cb_iters)
@@ -1949,7 +1961,8 @@ def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             m_links: int = 6, ef: int = 24, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
             qid_col: str = "query_id",
-            qvec_col: str = "query_vec") -> DataFrame:
+            qvec_col: str = "query_vec",
+            cents: DataFrame | None = None) -> DataFrame:
     """Graph-ANN rung (round-12 stretch): a navigable-small-world graph
     (Malkov et al., "Approximate nearest neighbor algorithm based on
     navigable small world graphs", Inf. Systems 2014 — the single-layer
@@ -1984,18 +1997,12 @@ def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     import numpy as np
 
     queries = _live_vectors(queries, qvec_col)
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qvec_col).alias("q"))
-    qc = (q.join(F.broadcast(cents))
-          .withColumn("cscore",
-                      F.round(cosine_similarity("q", "centroid"), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cscore"),
-                                               F.col("centroid_id"))
-    probes = (qc.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= nprobe)
-              .select("query_id", "centroid_id"))
+    probes = ivf_probes(q, cents, nprobe)
     # metadata-sized: which queries probe which cell, and the queries'
     # fixed-point vectors — closure literals for the per-cell walker
     probe_rows = probes.collect()
@@ -2045,7 +2052,7 @@ def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cell = pdf["centroid_id"].iloc[0]
         qids = cell_queries.get(cell, [])
         if not qids or pdf.empty:
-            return pd.DataFrame(columns=["query_id", "vec_id", "score"])
+            return pd.DataFrame(columns=["query_id", "vec_id"])
         pdf = pdf.sort_values(["h", "vec_id"], kind="mergesort")
         V = np.array(list(pdf["v6"]), dtype=np.int64)
         ids = list(pdf["vec_id"])
@@ -2097,14 +2104,18 @@ def nsw_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
                               vec_col=vec_col, qid_col=qid_col,
                               qvec_col=qvec_col)
              .select("query_id", "vec_id").localCheckpoint(eager=True))
+    # ONE centroid table for both rungs (round-12 review): the shared
+    # probes are the point of recall_vs_ivf — and the sample is only
+    # collected once
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     ivf = ivf_ann(corpus, queries, k=k, n_centroids=n_centroids,
                   nprobe=nprobe, id_col=id_col, vec_col=vec_col,
-                  qid_col=qid_col, qvec_col=qvec_col).select(
+                  qid_col=qid_col, qvec_col=qvec_col, cents=cents).select(
         F.col("query_id").alias("iq"), F.col("vec_id").alias("iv"))
     nsw = nsw_ann(corpus, queries, k=k, n_centroids=n_centroids,
                   nprobe=nprobe, m_links=m_links, ef=ef, dim=dim,
                   id_col=id_col, vec_col=vec_col, qid_col=qid_col,
-                  qvec_col=qvec_col).select(
+                  qvec_col=qvec_col, cents=cents).select(
         F.col("query_id").alias("nq"), F.col("vec_id").alias("nv"),
         F.lit(1).alias("hit"))
     vs_exact = (exact.join(nsw, (F.col("query_id") == F.col("nq"))

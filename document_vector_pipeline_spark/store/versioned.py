@@ -307,6 +307,13 @@ class VersionedTable:
         if m.get("stats"):
             manifest["stats"] = {src._resolve(d): st
                                  for d, st in m["stats"].items()}
+        # the stats-column DECLARATION travels with the clone too —
+        # without it the clone's first commit would find stats_columns()
+        # empty and silently drop every carried stats entry
+        sfs, _ = src._fs()
+        if sfs.exists(src._jpath("_log/stats_cols.json")):
+            self._write_text("_log/stats_cols.json",
+                             src._read_text("_log/stats_cols.json"))
         self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
         return v
 
@@ -536,7 +543,11 @@ class BucketedVersionedTable(VersionedTable):
         for d in new:
             by_prefix.setdefault(d.rsplit("/", 1)[0], []).append(d)
         for prefix, ds in by_prefix.items():
-            df = self._read_dirs(ds)
+            # plain schema-inferring read: these dirs were written by
+            # THIS commit, and the prior manifest's schema (_read_dirs)
+            # would hide a declared column the batch just added via
+            # schema evolution — it would then never get stats at all
+            df = self.spark.read.parquet(*[self._resolve(d) for d in ds])
             have = [c for c in cols if c in df.columns]
             if not have:
                 continue
@@ -568,18 +579,26 @@ class BucketedVersionedTable(VersionedTable):
             if mm is None or mm[0] is None or mm[1] is None:
                 continue
             mn, mx = mm
-            if op == ">=" and not (mx >= val):
-                return False
-            if op == ">" and not (mx > val):
-                return False
-            if op == "<=" and not (mn <= val):
-                return False
-            if op == "<" and not (mn < val):
-                return False
-            if op == "=" and not (mn <= val <= mx):
-                return False
-            if op == "between" and not (mn <= val[1] and mx >= val[0]):
-                return False
+            try:
+                if op == ">=" and not (mx >= val):
+                    return False
+                if op == ">" and not (mx > val):
+                    return False
+                if op == "<=" and not (mn <= val):
+                    return False
+                if op == "<" and not (mn < val):
+                    return False
+                if op == "=" and not (mn <= val <= mx):
+                    return False
+                if op == "between" and not (mn <= val[1]
+                                            and mx >= val[0]):
+                    return False
+            except TypeError:
+                # stats stored via _stat_val stringification vs a
+                # non-string predicate value (e.g. datetime): skipping
+                # is an OPTIMIZATION — degrade to keeping the dir, the
+                # row filter stays correct
+                continue
         return True
 
     def prune_dirs(self, predicate, version: int | None = None
@@ -760,13 +779,17 @@ class BucketedVersionedTable(VersionedTable):
                         .select(*keys)
                         .join(F.broadcast(src.select(*keys).distinct()),
                               keys, "left_semi").count())
-        dv_dir = f"dv/v{v:012d}"
-        (src.select(*keys).distinct().coalesce(1)
-         .write.mode("overwrite").parquet(self._resolve(dv_dir)))
         prior_dv = m.get("dv", {})
         dv = {d: e for d, e in prior_dv.items() if d in set(m["dirs"])}
-        for d in prior_dirs:
-            dv[d] = dv.get(d, []) + [dv_dir]
+        if prior_dirs:
+            # insert-only batches (no prior dirs in the affected
+            # buckets) write NO sidecar — an unmapped dv dir would be
+            # unreferenced garbage vacuum could never reclaim
+            dv_dir = f"dv/v{v:012d}"
+            (src.select(*keys).distinct().coalesce(1)
+             .write.mode("overwrite").parquet(self._resolve(dv_dir)))
+            for d in prior_dirs:
+                dv[d] = dv.get(d, []) + [dv_dir]
         new_dirs = self._write_buckets(live, v) if live.take(1) else []
         n_rows = m["n_rows"] - n_killed + self._count_dirs(new_dirs)
         return self._commit_dirs(

@@ -266,3 +266,38 @@ def test_pdf_indirect_length_reference_resolves():
     out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF"
 
     assert extract_pdf_text(bytes(out)) == ["indirect len ok"]
+
+
+def test_pdf_client_degrades_on_undecodable_stream():
+    """Round-12 review fix: a Flate stream with no resolvable /Length
+    whose keyword-truncated bytes cannot inflate raises ValueError from
+    the extractor (never a raw zlib.error out of an Arrow task), and
+    pdf_analysis_client degrades to the cascade's content rung."""
+    import zlib
+
+    import pytest
+
+    from document_vector_pipeline_spark.functions.minipdf import (
+        extract_pdf_text,
+        pdf_analysis_client,
+    )
+
+    body = b"BT /F1 12 Tf (x\nendstream\ny) Tj ET"
+    co = zlib.compressobj(level=0)
+    comp = co.compress(body) + co.flush()
+    assert b"\nendstream\n" in comp
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        # NO /Length at all: the keyword fallback truncates inside comp
+        b"<< /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"%%EOF"
+    with pytest.raises(ValueError, match="undecodable FlateDecode"):
+        extract_pdf_text(bytes(out))
+    got = pdf_analysis_client([bytes(out)])
+    assert got[0]["lines"] == [] and got[0]["content"].startswith("%PDF")

@@ -1363,3 +1363,98 @@ def test_data_skipping_composes_with_time_travel(spark, tmp_path):
                  vt.read(version=v0, predicate=pred).collect())
     assert got == list(range(12, 18))
     assert vt.read(predicate=pred).count() == 0
+
+
+def test_merge_dv_insert_only_writes_no_sidecar(spark, tmp_path):
+    """Round-12 review fix: an insert-only merge_dv (no prior dirs in
+    the affected buckets) must not write an unmapped dv sidecar —
+    unreferenced dirs would be garbage vacuum can never reclaim."""
+    import os
+
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "io"),
+                                bucket_col="b")
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "a", "0")], "id long, text string, b string"))
+    vt.merge_dv(spark.createDataFrame(
+        [(50, "new", "9", False)],
+        "id long, text string, b string, _deleted boolean"), ["id"])
+    assert not vt._manifest(vt.latest()).get("dv")
+    assert not os.path.exists(str(tmp_path / "io" / "dv"))
+    got = {r["id"] for r in vt.read().collect()}
+    assert got == {1, 50}
+
+
+def test_clone_carries_stats_declaration(spark, tmp_path):
+    """Round-12 review fix: clone_from copies the stats-column
+    declaration, so the clone's own commits keep profiling (previously
+    the first commit silently dropped every carried stats entry)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    src = BucketedVersionedTable(spark, str(tmp_path / "s"),
+                                 bucket_col="b")
+    src.set_stats_columns(["id"])
+    src.commit_overwrite(spark.createDataFrame(
+        [(i, f"t{i}", str(i // 10)) for i in range(20)],
+        "id long, text string, b string"))
+    clone = BucketedVersionedTable(spark, str(tmp_path / "c"),
+                                   bucket_col="b")
+    clone.clone_from(src)
+    assert clone.stats_columns() == ["id"]
+    clone.commit_append(spark.createDataFrame(
+        [(100, "new", "5")], "id long, text string, b string"))
+    m = clone._manifest(clone.latest())
+    # carried (absolutized) entries survived AND the new dir profiled
+    assert len(m.get("stats", {})) == 3
+    kept, skipped = clone.prune_dirs([("id", ">=", 100)])
+    assert len(skipped) == 2 and len(kept) == 1
+
+
+def test_stats_profile_column_added_by_this_commit(spark, tmp_path):
+    """Round-12 review fix: a commit that ADDS a declared column via
+    schema evolution profiles it (the new dirs are read
+    schema-inferring, not under the prior manifest's schema)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "ev"),
+                                bucket_col="b")
+    vt.set_stats_columns(["score"])
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "a", "0")], "id long, text string, b string"))
+    vt.commit_append(spark.createDataFrame(
+        [(2, "b", "1", 42)], "id long, text string, b string, score int"))
+    m = vt._manifest(vt.latest())
+    new_dir = [d for d in m["dirs"] if "v000000000001" in d][0]
+    assert m["stats"][new_dir]["score"] == [42, 42]
+
+
+def test_dir_survives_type_mismatch_keeps_dir(spark, tmp_path):
+    """Round-12 review fix: a predicate value whose type cannot compare
+    with the stringified stats (e.g. datetime vs ISO string) degrades
+    to keeping the dir — never a TypeError out of read()."""
+    import datetime
+
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "tm"),
+                                bucket_col="b")
+    vt.set_stats_columns(["ts"])
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 5), "0"),
+         (2, datetime.datetime(2024, 2, 5), "1")],
+        "id long, ts timestamp, b string"))
+    kept, skipped = vt.prune_dirs(
+        [("ts", ">=", datetime.datetime(2024, 3, 1))])
+    assert skipped == [] and len(kept) == 2      # conservative, no crash
+    # string-form predicates DO prune (ISO strings sort correctly)
+    kept2, skipped2 = vt.prune_dirs([("ts", ">=", "2024-02-01")])
+    assert len(skipped2) == 1 and len(kept2) == 1
