@@ -695,6 +695,11 @@ class BucketedVersionedTable(VersionedTable):
         if m is None:
             m = self._manifest(self.latest() if version is None
                                else version)
+        if not dirs:
+            # zero live dirs (empty table): the schema'd reader returns
+            # the typed-empty frame _read_dirs always has — frames[0]
+            # below would IndexError (round-12 full-sweep regression)
+            return self._read_dirs(dirs, version)
         dv = m.get("dv", {})
         groups: dict[tuple, list[str]] = {}
         for d in dirs:

@@ -1458,3 +1458,23 @@ def test_dir_survives_type_mismatch_keeps_dir(spark, tmp_path):
     # string-form predicates DO prune (ISO strings sort correctly)
     kept2, skipped2 = vt.prune_dirs([("ts", ">=", "2024-02-01")])
     assert len(skipped2) == 1 and len(kept2) == 1
+
+
+def test_read_live_empty_dirs_returns_typed_empty(spark, tmp_path):
+    """Round-12 full-sweep regression pin: optimize/read over a table
+    whose manifest lists ZERO dirs (every commit was empty) returns the
+    typed-empty frame instead of IndexError in the DV-aware reader."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "z"),
+                                bucket_col="b")
+    empty = spark.createDataFrame([], "id long, text string, b string")
+    vt.commit_append(empty)
+    vt.commit_append(empty)
+    assert vt.read().count() == 0
+    v = vt.optimize(cluster_by=("id", "id"), curve="zorder")
+    assert vt.read(v).count() == 0
+    assert [f.name for f in vt.read().schema.fields] \
+        == ["id", "text", "b"]
