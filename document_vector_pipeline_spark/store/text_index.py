@@ -581,11 +581,17 @@ class TextIndex:
             best = max(per_seg.items(), key=lambda kv: (kv[1], -kv[0]))
             seeds.add(best[0])
         if not seeds:
-            return [], df_frame, qrows
+            return [], df_frame, set(), None
+        # the seed pass is EXACT scoring of the seed segments — keep it
+        # (checkpointed: the θ collect materializes it anyway) so the
+        # final pass only scores the NON-seed survivors instead of
+        # re-reading the hottest segments twice (round 12: the no-prune
+        # worst case — uniform synthetic corpora — was paying 2×)
         seed_scored = self._score_segs(sorted(seeds), query_terms,
                                        df_frame)
         if doc_filter is not None:
             seed_scored = seed_scored.filter(doc_filter)
+        seed_scored = seed_scored.localCheckpoint(eager=True)
         theta = {r["query_id"]: int(r["score_micro"]) for r in
                  retrieval.rank_topk(seed_scored, k)
                  .filter(F.col("rank") == k)
@@ -596,7 +602,7 @@ class TextIndex:
             for s, b in per_seg.items():
                 if th is None or b >= th:
                     survivors.add(s)
-        return sorted(survivors), df_frame, qrows
+        return sorted(survivors), df_frame, seeds, seed_scored
 
     def _score_segs(self, segs: list[int], query_terms: DataFrame,
                     df_frame: DataFrame, checkpoint: bool = True
@@ -646,16 +652,23 @@ class TextIndex:
         m = self._manifest_required()
         if len(m["segments"]) <= 1:
             return self.search(query_terms, k, doc_filter=doc_filter)
-        survivors, df_frame, _ = self._wand_survivors(query_terms, k,
-                                                      doc_filter)
+        survivors, df_frame, seeds, seed_scored = self._wand_survivors(
+            query_terms, k, doc_filter)
         if not survivors:
             qt = query_terms.schema["query_id"].dataType.simpleString()
             return self.spark.createDataFrame(
                 [], f"query_id {qt}, doc_id long, n_terms bigint, "
                     f"score_micro bigint, rank int")
-        scored = self._score_segs(survivors, query_terms, df_frame)
-        if doc_filter is not None:
-            scored = scored.filter(doc_filter)
+        # seed segments are already exactly scored (and doc-filtered,
+        # and checkpointed) by the seed pass; a live doc's rows live in
+        # exactly ONE segment, so the union is disjoint by construction
+        rest = [seg for seg in survivors if seg not in seeds]
+        scored = seed_scored
+        if rest:
+            extra = self._score_segs(rest, query_terms, df_frame)
+            if doc_filter is not None:
+                extra = extra.filter(doc_filter)
+            scored = scored.unionByName(extra)
         return retrieval.rank_topk(scored, k)
 
     def search_after(self, query_terms: DataFrame, cursors: DataFrame,
