@@ -770,10 +770,16 @@ def lsh_auto_size(n: int, threshold: float,
     p_band = p ** planes
     if p_band >= 1.0:
         return planes, 1
-    if p_band <= 0.0:
+    # log1p(-p_band) is exact where log(1.0 - p_band) underflows to
+    # log(1.0) == 0.0 (p_band < ~1e-16, e.g. deep-negative thresholds
+    # at planes=24) — the round-12 ADVICE ZeroDivisionError; a 0.0
+    # denominator still means "no finite table count reaches the
+    # recall target", so clamp to max_tables
+    denom = math.log1p(-p_band) if p_band > 0.0 else 0.0
+    if denom == 0.0:
         return planes, max_tables
     tables = max(1, min(max_tables, math.ceil(
-        math.log(1.0 - recall_target) / math.log(1.0 - p_band))))
+        math.log(1.0 - recall_target) / denom)))
     return planes, tables
 
 

@@ -556,9 +556,13 @@ def doc_phash_dct(docs: DataFrame, w: int = 32, h: int = 32,
         png_encode,
     )
 
-    k = np.arange(w)
-    # orthonormal DCT-II basis, built once per executor
-    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * w))
+    # separate DCT-II bases for rows (size h) and columns (size w) so
+    # non-square calls transform correctly (round-13 ADVICE fix: one
+    # w-sized basis on an h×w image was a shape mismatch for h != w)
+    kw = np.arange(w)
+    kh = np.arange(h)
+    basis_w = np.cos(np.pi * (2 * kw[None, :] + 1) * kw[:, None] / (2 * w))
+    basis_h = np.cos(np.pi * (2 * kh[None, :] + 1) * kh[:, None] / (2 * h))
     id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -570,7 +574,7 @@ def doc_phash_dct(docs: DataFrame, w: int = 32, h: int = 32,
                 luma = _text_pixels_roundtrip(row[text_col], w, h,
                                               png_encode, png_decode)
                 img = np.array(luma, dtype=np.float64).reshape(h, w)
-                d = basis @ img @ basis.T                 # 2-D DCT-II
+                d = basis_h @ img @ basis_w.T             # 2-D DCT-II
                 low = d[:keep, :keep].flatten()[1:]       # drop DC
                 med = np.median(low)
                 bits = 0

@@ -432,8 +432,12 @@ class TextIndex:
         Query terms are SET-normalized first (``.distinct()``): a term
         repeated in one query scores once — the same multiset the
         wand_search bounds are computed over, so the exactness contract
-        (wand_search ≡ search) holds on duplicate-term input too."""
-        query_terms = query_terms.distinct()
+        (wand_search ≡ search) holds on duplicate-term input too.
+        Normalization is over the CONTRACT columns (query_id, term)
+        explicitly, so extra caller columns (weights, source tags)
+        cannot survive the distinct and double-score a term
+        (round-13 ADVICE fix)."""
+        query_terms = query_terms.select("query_id", "term").distinct()
         tb = [r[0] for r in query_terms
               .select(self._tbucket(F.col("term"))).distinct().collect()]
         post = self._postings().filter(F.col("tbucket").isin(tb))
@@ -647,8 +651,10 @@ class TextIndex:
         Query terms are SET-normalized up front (``.distinct()``), the
         same normalization ``search`` applies: bounds, θ and the final
         scoring all see one row per (query_id, term), so duplicate-term
-        input cannot under-bound a segment (round-12 ADVICE fix)."""
-        query_terms = query_terms.distinct()
+        input cannot under-bound a segment (round-12 ADVICE fix); the
+        distinct is over the contract columns (query_id, term) so
+        caller-side extra columns cannot defeat it (round-13)."""
+        query_terms = query_terms.select("query_id", "term").distinct()
         m = self._manifest_required()
         if len(m["segments"]) <= 1:
             return self.search(query_terms, k, doc_filter=doc_filter)

@@ -524,18 +524,27 @@ def stream_merge_apply(spark: SparkSession, batches_path: str,
         # same-feed stamp (usually this stream's own previous commit),
         # skip the batch if that stamp already covers it.  Pre-feed-
         # scoping stamps (`merge:b{id}`, written before round 11 added
-        # the feed segment) are treated as THIS feed's: a table written
-        # under the legacy format keeps its replay detection across a
-        # fresh-checkpoint re-drain instead of re-applying every batch
-        # (round-12 ADVICE fix; legacy tables were single-feed by
-        # construction, so the attribution is safe).
+        # the feed segment) are attributed to THIS feed only while the
+        # log shows no feed-scoped stamp from a DIFFERENT feed: legacy
+        # tables were single-feed by construction, but once a second
+        # feed attaches, a legacy stamp is no longer attributable and
+        # honoring it would silently skip that feed's early batches as
+        # replays (round-13 ADVICE fix).  Feed-scoped stamps are
+        # strictly newer than legacy ones, so the newest-first scan has
+        # seen every scoped stamp before it reaches a legacy stamp —
+        # `other_feed_seen` is complete at decision time.
         legacy = "merge:b"
+        other_feed_seen = False
         for v in reversed(table.versions()):
             op = table._manifest(v).get("op", "")
             stamped = None
             if op.startswith(prefix):
                 stamped = op[len(prefix):]
+            elif op.startswith("merge:") and ":b" in op[len("merge:"):]:
+                other_feed_seen = True   # another feed's scoped stamp
             elif op.startswith(legacy) and op[len(legacy):].isdigit():
+                if other_feed_seen:
+                    break   # ambiguous on a multi-feed table — apply
                 stamped = op[len(legacy):]
             if stamped is not None:
                 if int(stamped) >= batch_id:

@@ -199,6 +199,18 @@ def test_lsh_auto_size_pins_the_production_rule():
     assert 1 <= D.lsh_auto_size(10**15, 0.5)[1] <= 64
 
 
+def test_lsh_auto_size_survives_pband_float_underflow():
+    """Round-13 ADVICE fix: when p^planes underflows so that
+    1.0 - p_band rounds to 1.0 (deep-negative thresholds at the plane
+    cap), the denominator is computed via log1p and a 0.0 denominator
+    clamps to max_tables instead of raising ZeroDivisionError."""
+    planes, tables = D.lsh_auto_size(10**9, -0.9)
+    assert planes == 24 and tables == 64
+    # the boundary regime still behaves: very small but representable
+    # p_band yields the max-tables clamp too, monotonically
+    assert D.lsh_auto_size(10**9, -0.5)[1] == 64
+
+
 def test_embedding_neardup_auto_autosizes_above_budget(spark):
     """Above the flops budget with planes/tables unset, the dispatch
     runs the banded path at lsh_auto_size's computed configuration

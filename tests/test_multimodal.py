@@ -370,3 +370,10 @@ def test_doc_phash_pixel_family(spark):
     # a 4x-repeated base shifts few low-frequency coefficients
     hd = {r["asset_id"]: r["phash"] for r in doc_phash_dct(docs).collect()}
     assert ham(hd[1], hd[2]) <= 16
+    # Round-13 ADVICE fix: non-square calls build separate row/column
+    # DCT bases — h != w must run (previously a numpy shape mismatch)
+    # and keep the near-dup < unrelated ordering.
+    hr = {r["asset_id"]: r["phash"]
+          for r in doc_phash_dct(docs, w=32, h=16).collect()}
+    assert hr[4] == 0 and hr[1] != 0
+    assert ham(hr[1], hr[2]) < ham(hr[1], hr[3])

@@ -1083,6 +1083,59 @@ def test_stream_merge_apply_legacy_stamps_keep_replay_detection(
     assert got == {1: "applied-pre-upgrade", 2: "post-upgrade"}
 
 
+def test_legacy_stamp_not_attributed_on_multifeed_table(spark, tmp_path):
+    """Round-13 ADVICE fix: once a feed-scoped stamp from ANOTHER feed
+    exists in the log, a legacy ``merge:b{id}`` stamp is no longer
+    attributable to any particular feed — a NEW feed's batch 0 must
+    APPLY rather than be silently skipped as a replay of the legacy
+    stamp (which would be silent data loss)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_merge_apply,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "t"),
+                                bucket_col="b")
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "base", "0")], "id long, text string, b string"))
+    # legacy stamp (pre-feed-scoping engine) covering batch ids <= 3
+    src = spark.createDataFrame(
+        [(1, "legacy-write", "0", False)],
+        "id long, text string, b string, _deleted boolean")
+    vt.merge(src, ["id"], op="merge:b3")
+    # a DIFFERENT feed later attached with a scoped stamp — the table
+    # is provably multi-feed from here on
+    src2 = spark.createDataFrame(
+        [(2, "feed-one-write", "1", False)],
+        "id long, text string, b string, _deleted boolean")
+    vt.merge(src2, ["id"], op="merge:feed-one:b0")
+    # now a THIRD feed drains batch 0: the legacy stamp (3 >= 0) must
+    # NOT swallow it
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    _write_jsonl(bdir / "b1.json", [
+        {"id": 3, "text": "feed-two-batch0", "b": "2",
+         "op": "upsert", "seq": 1},
+    ])
+    schema = "id long, text string, b string, op string, seq long"
+    stream_merge_apply(spark, str(bdir), vt, ["id"],
+                       str(tmp_path / "ck"), schema=schema,
+                       seq_col="seq", stream_id="feed-two"
+                       ).awaitTermination()
+    got = {r["id"]: r["text"] for r in vt.read().collect()}
+    assert got[3] == "feed-two-batch0"
+    # and the single-feed legacy path (previous test) still holds:
+    # feed-two's OWN scoped stamp now guards its replays
+    stream_merge_apply(spark, str(bdir), vt, ["id"],
+                       str(tmp_path / "ck2"), schema=schema,
+                       seq_col="seq", stream_id="feed-two"
+                       ).awaitTermination()
+    ops = [vt._manifest(v)["op"] for v in vt.versions()]
+    assert sum(op == "merge:feed-two:b0" for op in ops) == 1
+
+
 def test_stream_late_audit_flags_and_measures_late_rows(spark, tmp_path):
     """Batch 0 advances the watermark to 11:00-10m; batch 1's 10:30 row
     is late by exactly 20 minutes. A fresh-checkpoint re-drain rewrites

@@ -1030,6 +1030,15 @@ def test_wand_search_equals_search_through_maintenance(spark, docs, qt,
     dup = qt.unionAll(qt).unionAll(qt.limit(1))
     assert _sorted(idx.wand_search(dup, k=3)) == _sorted(idx.search(dup, k=3))
     assert _sorted(idx.search(dup, k=3)) == _sorted(idx.search(qt, k=3))
+    # Round-13 ADVICE fix: set-normalization is over the CONTRACT
+    # columns — duplicate (query_id, term) rows that differ only in a
+    # caller-side extra column (a weight, a source tag) still collapse
+    # to one scoring row in both paths.
+    extra = (qt.withColumn("src", F.lit("a"))
+             .unionAll(qt.withColumn("src", F.lit("b"))))
+    assert _sorted(idx.search(extra, k=3)) == _sorted(idx.search(qt, k=3))
+    assert _sorted(idx.wand_search(extra, k=3)) \
+        == _sorted(idx.search(qt, k=3))
 
 
 def test_wand_search_skips_provably_cold_segments(spark, tmp_path):
