@@ -15,9 +15,24 @@ snapshot is exactly the directories its manifest names.  Readers
 resolve a version (default: latest) from the log and read those
 directories — never a listing of ``data/`` — so appends, upserts, and
 ``vacuum`` never disturb a reader pinned to a snapshot, and any
-historical version stays readable until vacuumed.  Writers are
-single-writer (one driver owns the log), the same assumption the
-reference's one-function-per-blob design makes.
+historical version stays readable until vacuumed.
+
+Writers use OPTIMISTIC CONCURRENCY (round 13 — Delta's commit
+protocol): every commit writes its data under a writer-unique dir
+name, then publishes the manifest with a PUT-IF-ABSENT log write
+(``fs.create(path, overwrite=False)`` — atomic on HDFS/ABFS, the same
+primitive Delta requires of its log store).  A writer that loses the
+race re-reads the new latest and either REBASES (recomputes carried
+dirs/row arithmetic and retries — safe exactly when the concurrent
+commits are commutative: blind overwrites, appends, and bucket-level
+merges whose touched buckets are disjoint and whose schema is
+unchanged) or raises ``ConcurrentCommitError`` (Delta's
+ConcurrentModificationException: key/bucket overlap, schema change,
+or a vacuumed base — the caller re-reads and re-derives).  Lost
+commits are impossible either way: a version number is owned by
+exactly the writer whose put-if-absent won it, and a failed writer's
+orphaned data dirs are unreferenced by any manifest, so ``vacuum``
+reclaims them.
 
 Scale notes: the manifest holds directory PATHS (thousands of entries
 at most), not data — snapshot resolution is a tiny driver-side JSON
@@ -105,6 +120,20 @@ class ConstraintViolation(ValueError):
     constraint; carries the violation census for the error message."""
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Delta's ConcurrentModificationException: a concurrent commit
+    changed state this commit read, and the change is not provably
+    commutative — touched buckets overlap, the schema evolved under
+    us, or the base version was vacuumed mid-flight.  The caller
+    re-reads the table and re-derives its commit; nothing was
+    written to the log by the failed attempt."""
+
+
+class _ManifestExists(Exception):
+    """Internal: the put-if-absent manifest write lost the race for
+    its version number (another writer owns it)."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -134,13 +163,74 @@ class VersionedTable:
         return self.spark._jvm.org.apache.hadoop.fs.Path(
             self._resolve(rel))
 
-    def _write_text(self, rel: str, text: str) -> None:
+    def _write_text(self, rel: str, text: str,
+                    overwrite: bool = True) -> None:
+        """``overwrite=False`` is the put-if-absent commit primitive.
+
+        Local paths publish via write-temp + ``os.link`` — the hard
+        link is atomic-exclusive at the kernel (EEXIST on a lost
+        race) AND the winning manifest appears fully written, so no
+        reader can observe a torn JSON.  Non-local stores go through
+        ``fs.create(path, false)``, atomic on HDFS/ABFS — the same
+        per-store delegation Delta's LogStore makes.  A lost race
+        surfaces as ``_ManifestExists`` so the committer can rebase."""
+        target = self._resolve(rel)
+        if not overwrite and "://" not in target \
+                and not target.startswith("file:"):
+            import os
+            import tempfile
+
+            d = os.path.dirname(target)
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, prefix="._commit_")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(text.encode("utf-8"))
+                try:
+                    os.link(tmp, target)
+                except FileExistsError:
+                    raise _ManifestExists(rel) from None
+            finally:
+                os.unlink(tmp)
+            return
+        from py4j.protocol import Py4JJavaError
+
         fs, _ = self._fs()
-        out = fs.create(self._jpath(rel), True)
+        try:
+            out = fs.create(self._jpath(rel), overwrite)
+        except Py4JJavaError as e:
+            if not overwrite and ("xists" in str(e)):
+                raise _ManifestExists(rel) from None
+            raise
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    @staticmethod
+    def _commit_token() -> str:
+        """Writer-unique suffix for data/sidecar dir names: two racing
+        writers at the same anticipated version must never address the
+        same physical path, or the loser's parquet write would clobber
+        files the winner's manifest already references."""
+        import uuid
+
+        return uuid.uuid4().hex[:8]
+
+    def _put_manifest(self, v: int, manifest: dict) -> None:
+        """Publish version ``v`` put-if-absent; raises _ManifestExists
+        when another writer owns ``v``.  On success, every Nth commit
+        refreshes the log checkpoint (``_last_checkpoint`` parity) so
+        version listing stays O(tail) at any log length."""
+        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest),
+                         overwrite=False)
+        if v > 0 and v % self.checkpoint_interval == 0:
+            try:
+                self._write_checkpoint()
+            except Exception:
+                # the checkpoint is derivable metadata — a failed
+                # refresh (e.g. a racing writer) never fails the commit
+                pass
 
     def _read_text(self, rel: str) -> str:
         fs, jvm = self._fs()
@@ -152,8 +242,24 @@ class VersionedTable:
             inp.close()
 
     # ---- log --------------------------------------------------------------
+    #
+    # Log resolution is CHECKPOINTED (round 13 — Delta's
+    # `_last_checkpoint` parity): every `checkpoint_interval` commits,
+    # `_log/_last_checkpoint.json` records the version list and the
+    # history rows up to that version.  `versions()` then resolves as
+    # checkpoint + EXISTENCE PROBES for the tail (v+1, v+2, ... until
+    # the first missing manifest) instead of a full `_log/` listing —
+    # O(tail) point reads per operation at any log length, where a
+    # 10k-commit log would otherwise pay a 10k-entry (paginated, on
+    # object stores) listing per read/commit.  Tail probing is sound
+    # because put-if-absent allocates versions contiguously; the only
+    # gap-maker is `vacuum`, which rewrites the checkpoint.
 
-    def versions(self) -> list[int]:
+    checkpoint_interval = 20
+
+    def _list_log_versions(self) -> list[int]:
+        """Full `_log/` listing — the uncheckpointed fallback and the
+        checkpoint writer's ground truth."""
         fs, _ = self._fs()
         log = self._jpath("_log")
         if not fs.exists(log):
@@ -164,6 +270,57 @@ class VersionedTable:
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-5]))
         return sorted(out)
+
+    def _read_checkpoint(self) -> dict | None:
+        fs, _ = self._fs()
+        if not fs.exists(self._jpath("_log/_last_checkpoint.json")):
+            return None
+        return json.loads(self._read_text("_log/_last_checkpoint.json"))
+
+    def _write_checkpoint(self) -> None:
+        """Refresh `_log/_last_checkpoint.json` from the prior
+        checkpoint plus the tail (O(tail) manifest reads in the steady
+        state; a full listing only when no checkpoint exists yet or
+        after vacuum).  Overwrite-racy by design: concurrent refreshes
+        both write a valid checkpoint (the lists only ever extend
+        between vacuums) and probing absorbs either winner."""
+        ck = self._read_checkpoint()
+        if ck is None:
+            vs = self._list_log_versions()
+            hist = []
+        else:
+            vs = list(ck["versions"])
+            hist = [list(r) for r in ck["history"]]
+            top = vs[-1] if vs else -1
+            while True:
+                fs, _ = self._fs()
+                nxt = top + 1
+                if not fs.exists(self._jpath(f"_log/v{nxt:012d}.json")):
+                    break
+                vs.append(nxt)
+                top = nxt
+        known = {r[0] for r in hist}
+        for v in vs:
+            if v not in known:
+                m = self._manifest(v)
+                hist.append([m["version"], m["op"], len(m["dirs"]),
+                             m["n_rows"]])
+        hist.sort()
+        self._write_text("_log/_last_checkpoint.json", json.dumps(
+            {"version": vs[-1] if vs else -1, "versions": vs,
+             "history": hist}))
+
+    def versions(self) -> list[int]:
+        ck = self._read_checkpoint()
+        if ck is None:
+            return self._list_log_versions()
+        fs, _ = self._fs()
+        out = list(ck["versions"])
+        nxt = (out[-1] if out else ck["version"]) + 1
+        while fs.exists(self._jpath(f"_log/v{nxt:012d}.json")):
+            out.append(nxt)
+            nxt += 1
+        return out
 
     def latest(self) -> int | None:
         vs = self.versions()
@@ -199,22 +356,59 @@ class VersionedTable:
 
     def _commit(self, df: DataFrame, op: str,
                 carry_dirs: list[str], carry_rows: int = 0,
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None,
+                conflict: str = "fail",
+                base_version: int | None = None) -> int:
         """Row accounting is arithmetic — ``carry_rows`` (the carried
         dirs' count, known from the prior manifest) plus a footer-only
         count of the NEWLY written dir — so a commit's cost is bounded
-        by its batch even when the manifest carries a 100 TB tail."""
-        v = (self.latest() + 1) if self.versions() else 0
-        new_dir = f"data/v{v:012d}"
+        by its batch even when the manifest carries a 100 TB tail.
+
+        ``conflict`` is the Delta conflict policy when the put-if-
+        absent manifest write loses its race: 'blind' (overwrite reads
+        nothing — retry at the new head), 'append' (commutative —
+        rebase carried dirs/rows onto the new head and retry), 'fail'
+        (read-modify-write over the whole snapshot — raise
+        ConcurrentCommitError, the caller re-derives).
+
+        ``base_version`` is the version the caller READ its carried
+        state from; non-blind commits publish at exactly base+1 (OCC
+        pinning — publishing at latest()+1 would let a stale writer
+        land at a fresh number without ever colliding)."""
+        if conflict == "blind":
+            v = (self.latest() + 1) if self.versions() else 0
+        else:
+            v = 0 if base_version is None else base_version + 1
+        new_dir = f"data/v{v:012d}-{self._commit_token()}"
         full = f"{self.path}/{new_dir}"
         df.write.mode("overwrite").parquet(full)
+        batch_rows = self.spark.read.parquet(full).count()
         dirs = list(carry_dirs) + [new_dir]
-        n_rows = int(carry_rows) + self.spark.read.parquet(full).count()
-        manifest = {"version": v, "op": op, "dirs": dirs,
-                    "n_rows": n_rows, "schema": schema_json
-                    if schema_json is not None else df.schema.json()}
-        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
-        return v
+        n_rows = int(carry_rows) + batch_rows
+        while True:
+            manifest = {"version": v, "op": op, "dirs": dirs,
+                        "n_rows": n_rows, "schema": schema_json
+                        if schema_json is not None else df.schema.json()}
+            try:
+                self._put_manifest(v, manifest)
+                return v
+            except _ManifestExists:
+                if conflict == "blind":
+                    v = self.latest() + 1
+                elif conflict == "append":
+                    # rebase onto the new head: carry ITS dirs/rows and
+                    # re-merge the schema against ITS committed schema
+                    # (additive evolution composes — appends commute)
+                    m = self._manifest(self.latest())
+                    dirs = list(m["dirs"]) + [new_dir]
+                    n_rows = int(m["n_rows"]) + batch_rows
+                    schema_json = self._merged_schema_json(df)
+                    v = m["version"] + 1
+                else:
+                    raise ConcurrentCommitError(
+                        f"{op} against {self.path} lost its commit "
+                        f"race for v{v} to a concurrent writer; "
+                        "re-read and re-derive") from None
 
     # ---- operations -------------------------------------------------------
 
@@ -245,14 +439,15 @@ class VersionedTable:
     def commit_append(self, df: DataFrame) -> int:
         if self.versions():
             m = self._manifest(self.latest())
-            prev, prev_rows = m["dirs"], m["n_rows"]
+            prev, prev_rows, base = m["dirs"], m["n_rows"], m["version"]
         else:
-            prev, prev_rows = [], 0
+            prev, prev_rows, base = [], 0, None
         return self._commit(df, "append", prev, prev_rows,
-                            schema_json=self._merged_schema_json(df))
+                            schema_json=self._merged_schema_json(df),
+                            conflict="append", base_version=base)
 
     def commit_overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite", [])
+        return self._commit(df, "overwrite", [], conflict="blind")
 
     def upsert(self, df: DataFrame, keys: list[str]) -> int:
         """Merge-on-key: incoming rows replace matching keys; the merged
@@ -260,19 +455,31 @@ class VersionedTable:
         every earlier version keeps reading its own bytes)."""
         if not self.versions():
             return self._commit(df, "upsert", [])
-        cur = self.read()
+        base = self.latest()
+        cur = self.read(base)
         kept = cur.join(df.select(*keys).distinct(), keys, "left_anti")
         return self._commit(
-            kept.unionByName(df, allowMissingColumns=True), "upsert", [])
+            kept.unionByName(df, allowMissingColumns=True), "upsert", [],
+            base_version=base)
 
     def delete_where(self, cond) -> int:
         """Snapshot delete: survivors written as a fresh overwrite
         commit (the engine-level delete — no file mutation)."""
-        return self._commit(self.read().filter(~cond), "delete", [])
+        base = self.latest()
+        return self._commit(self.read(base).filter(~cond), "delete", [],
+                            base_version=base)
 
     def history(self) -> DataFrame:
-        rows = [(m["version"], m["op"], len(m["dirs"]), m["n_rows"])
-                for m in (self._manifest(v) for v in self.versions())]
+        """Commit audit rows — EXACT at any log length, but resolved
+        from the checkpoint's pre-aggregated rows plus tail-manifest
+        reads (O(tail) point reads) when a checkpoint exists."""
+        vs = self.versions()
+        ck = self._read_checkpoint()
+        pre = {r[0]: r for r in (ck or {}).get("history", [])}
+        rows = [tuple(pre[v]) if v in pre else
+                (lambda m: (m["version"], m["op"], len(m["dirs"]),
+                            m["n_rows"]))(self._manifest(v))
+                for v in vs]
         return self.spark.createDataFrame(
             rows, "version int, op string, n_dirs int, n_rows long")
 
@@ -294,7 +501,7 @@ class VersionedTable:
                           else src.latest())
         dirs = [src._resolve(d) for d in m["dirs"]]
         v = (self.latest() + 1) if self.versions() else 0
-        manifest = {"version": v, "op": "clone", "dirs": dirs,
+        manifest = {"op": "clone", "dirs": dirs,
                     "n_rows": m["n_rows"], "schema": m.get("schema")}
         # deletion vectors ride along, keys and sidecar paths
         # absolutized to the source like the data dirs (round 12:
@@ -314,8 +521,15 @@ class VersionedTable:
         if sfs.exists(src._jpath("_log/stats_cols.json")):
             self._write_text("_log/stats_cols.json",
                              src._read_text("_log/stats_cols.json"))
-        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
-        return v
+        while True:
+            manifest["version"] = v
+            try:
+                # blind retry: a clone publishes an external snapshot
+                # and reads nothing from the head it lands on
+                self._put_manifest(v, manifest)
+                return v
+            except _ManifestExists:
+                v = self.latest() + 1
 
     # ---- tags ---------------------------------------------------------
 
@@ -370,16 +584,23 @@ class VersionedTable:
                 f"written); available: {self.versions()}")
         m = self._manifest(version)
         v = self.latest() + 1
-        manifest = {"version": v, "op": "restore", "dirs": m["dirs"],
-                    "n_rows": m["n_rows"], "schema": m.get("schema")}
-        # deletion vectors and column stats are PART of the snapshot:
-        # restoring without them would resurrect DV'd rows / lose the
-        # skipping index (round 12)
-        for extra in ("dv", "stats"):
-            if m.get(extra):
-                manifest[extra] = m[extra]
-        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
-        return v
+        while True:
+            manifest = {"version": v, "op": "restore",
+                        "dirs": m["dirs"], "n_rows": m["n_rows"],
+                        "schema": m.get("schema")}
+            # deletion vectors and column stats are PART of the
+            # snapshot: restoring without them would resurrect DV'd
+            # rows / lose the skipping index (round 12)
+            for extra in ("dv", "stats"):
+                if m.get(extra):
+                    manifest[extra] = m[extra]
+            try:
+                # blind retry on a lost race: "make the head equal
+                # snapshot X" reads nothing from the head it replaces
+                self._put_manifest(v, manifest)
+                return v
+            except _ManifestExists:
+                v = self.latest() + 1
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions: delete their
@@ -408,6 +629,31 @@ class VersionedTable:
             if self._is_foreign(d):
                 continue          # clone-borrowed: the source owns it
             fs.delete(self._jpath(d), True)
+        # reclaim ORPHANED data dirs: a writer that lost its commit race
+        # (ConcurrentCommitError) wrote dirs no manifest ever published —
+        # referenced by neither kept (live) nor dropped (dead) manifests
+        referenced = {self._resolve(d) for d in live | dead}
+        for sub in ("data", "dv"):
+            if not fs.exists(self._jpath(sub)):
+                continue
+            for st in fs.listStatus(self._jpath(sub)):
+                p = f"{sub}/{st.getPath().getName()}"
+                if not st.isDirectory():
+                    continue
+                # a bucketed manifest references LEAF dirs
+                # (data/vN-tok/__pb=B) — a parent is orphaned only
+                # when it is not referenced itself AND none of its
+                # leaves is
+                pref = self._resolve(p)
+                if pref not in referenced and not any(
+                        x.startswith(pref + "/") for x in referenced):
+                    fs.delete(self._jpath(p), True)
+        # the checkpoint's version list must not claim vacuumed
+        # versions, and tail probing must restart from a surviving
+        # contiguity point — rebuild it from the post-vacuum listing
+        if self._read_checkpoint() is not None:
+            fs.delete(self._jpath("_log/_last_checkpoint.json"), False)
+            self._write_checkpoint()
         return drop
 
 
@@ -458,7 +704,8 @@ class BucketedVersionedTable(VersionedTable):
 
     def _commit_dirs(self, op: str, dirs: list[str], n_rows: int,
                      schema_json: str | None = None,
-                     dv: dict | None = None) -> int:
+                     dv: dict | None = None,
+                     rebase: dict | None = None) -> int:
         """``schema_json`` defaults to the PRIOR manifest's schema —
         correct for every dir-algebra op (drop/restore/optimize/
         delete); commits that can EVOLVE the schema (overwrite/append/
@@ -469,26 +716,138 @@ class BucketedVersionedTable(VersionedTable):
         reuse the prior manifest's entries (zero reads), new dirs are
         profiled in ONE grouped aggregation over the commit's batch
         (Delta/Iceberg file statistics; the read-side consumer is
-        ``read(predicate=...)``)."""
+        ``read(predicate=...)``).
+
+        The manifest publishes PUT-IF-ABSENT (round 13).  ``rebase``
+        is the commit's Delta conflict policy for a lost race:
+
+        - ``None`` — raise ConcurrentCommitError (read-modify-write
+          over state the commit cannot prove untouched: whole-table
+          delete, optimize, schema evolution);
+        - ``{"blind": True}`` — retry at the new head unchanged
+          (overwrite reads nothing);
+        - ``{"base_version", "affected", "new_dirs", "new_rows",
+          "removed_rows", "keep_affected"?, "dv_touched"?}`` — bucket-
+          level rebase: verify every concurrent commit since
+          ``base_version`` left the ``affected`` buckets AND the schema
+          untouched, then recompute carried dirs / row arithmetic /
+          deletion vectors against the new head and retry.  Appends
+          pass ``affected=∅`` (commute with everything but schema
+          changes); merges/upserts pass their touched bucket set —
+          disjoint writers all land, overlapping writers fail with
+          the Delta ConcurrentModification semantics."""
         if schema_json is None and self.versions():
             schema_json = self._manifest(self.latest()).get("schema")
-        v = (self.latest() + 1) if self.versions() else 0
-        manifest = {"version": v, "op": op, "dirs": sorted(dirs),
-                    "n_rows": int(n_rows), "schema": schema_json}
-        stats = self._stats_for_commit(dirs)
-        if stats:
-            manifest["stats"] = stats
-        if dv is None and self.versions():
-            # default deletion-vector carry: prior entries restricted to
-            # dirs still present (a rewritten dir sheds its DVs — the
-            # rewrite materialized them)
-            prior_dv = self._manifest(self.latest()).get("dv", {})
+        # OCC version pinning: a commit that READ base version B may
+        # only publish as B+1 — publishing at latest()+1 would let a
+        # stale writer land at a fresh number without ever colliding
+        # (silent lost update).  Blind commits and legacy callers
+        # without a base target the current head and rely on the
+        # put-if-absent loop alone.
+        pinned = (rebase is not None and not rebase.get("blind")
+                  and "base_version" in rebase)
+        while True:
+            if pinned:
+                b = rebase["base_version"]
+                v = 0 if b is None else b + 1
+            else:
+                v = (self.latest() + 1) if self.versions() else 0
+            manifest = {"version": v, "op": op, "dirs": sorted(dirs),
+                        "n_rows": int(n_rows), "schema": schema_json}
+            stats = self._stats_for_commit(dirs)
+            if stats:
+                manifest["stats"] = stats
+            eff_dv = dv
+            if eff_dv is None and self.versions():
+                # default deletion-vector carry: prior entries
+                # restricted to dirs still present (a rewritten dir
+                # sheds its DVs — the rewrite materialized them)
+                prior_dv = self._manifest(self.latest()).get("dv", {})
+                keep = set(dirs)
+                eff_dv = {d: e for d, e in prior_dv.items()
+                          if d in keep and e}
+            if eff_dv:
+                manifest["dv"] = eff_dv
+            try:
+                self._put_manifest(v, manifest)
+                return v
+            except _ManifestExists:
+                if rebase is not None and rebase.get("blind"):
+                    continue     # only the version number moves
+                dirs, n_rows, dv, head = self._rebase_commit(op, rebase)
+                rebase = dict(rebase, base_version=head)
+
+    def _changed_buckets(self, m_prev: dict, m_next: dict) -> set:
+        """Bucket names whose live content differs between two
+        adjacent manifests: dirs in the symmetric difference, plus
+        carried dirs whose deletion-vector set changed."""
+        d0, d1 = set(m_prev["dirs"]), set(m_next["dirs"])
+        dv0 = m_prev.get("dv", {})
+        dv1 = m_next.get("dv", {})
+        ch = d0 ^ d1
+        ch |= {d for d in (d0 & d1)
+               if dv0.get(d, []) != dv1.get(d, [])}
+        return {self._bucket_of(d) for d in ch}
+
+    def _rebase_commit(self, op: str, rebase: dict | None):
+        """Recompute (dirs, n_rows, dv) against the new head after a
+        lost manifest race, or raise ConcurrentCommitError when the
+        concurrent commits are not provably commutative with ours —
+        see ``_commit_dirs`` for the policy table."""
+        if rebase is None:
+            raise ConcurrentCommitError(
+                f"{op} against {self.path} lost its commit race and "
+                "reads state it cannot prove untouched; re-read and "
+                "re-derive")
+        base = rebase.get("base_version")
+        if base is None:
+            raise ConcurrentCommitError(
+                f"{op} against {self.path}: first-commit race "
+                "(another writer initialized the table)")
+        if rebase.get("affected") is None:
+            # base known but no commutativity info: the op read state
+            # it cannot prove untouched (optimize, whole-table delete)
+            raise ConcurrentCommitError(
+                f"{op} against {self.path} lost its commit race for "
+                f"v{base + 1}; re-read and re-derive")
+        vs = self.versions()
+        if base not in vs:
+            raise ConcurrentCommitError(
+                f"{op} against {self.path}: base version {base} was "
+                "vacuumed mid-flight")
+        affected = {str(b) for b in rebase["affected"]}
+        base_schema = self._manifest(base).get("schema")
+        prev_m = self._manifest(base)
+        for w in [x for x in vs if x > base]:
+            mw = self._manifest(w)
+            if mw.get("schema") != base_schema:
+                raise ConcurrentCommitError(
+                    f"{op} against {self.path}: concurrent commit "
+                    f"v{w} changed the schema")
+            overlap = self._changed_buckets(prev_m, mw) & affected
+            if overlap:
+                raise ConcurrentCommitError(
+                    f"{op} against {self.path}: concurrent commit "
+                    f"v{w} touched buckets {sorted(overlap)} this "
+                    "commit also touches")
+            prev_m = mw
+        m_head = prev_m
+        if rebase.get("keep_affected"):
+            carried = list(m_head["dirs"])
+        else:
+            carried = [d for d in m_head["dirs"]
+                       if self._bucket_of(d) not in affected]
+        dirs = carried + list(rebase["new_dirs"])
+        n_rows = (int(m_head["n_rows"])
+                  - int(rebase.get("removed_rows") or 0)
+                  + int(rebase.get("new_rows") or 0))
+        dv = None
+        if rebase.get("dv_touched") is not None:
             keep = set(dirs)
-            dv = {d: e for d, e in prior_dv.items() if d in keep and e}
-        if dv:
-            manifest["dv"] = dv
-        self._write_text(f"_log/v{v:012d}.json", json.dumps(manifest))
-        return v
+            dv = {d: e for d, e in m_head.get("dv", {}).items()
+                  if d in keep and e}
+            dv.update(rebase["dv_touched"])
+        return dirs, n_rows, dv, m_head["version"]
 
     # ---- manifest column stats + data skipping (round 12) -----------------
     #
@@ -768,7 +1127,9 @@ class BucketedVersionedTable(VersionedTable):
         if not self.versions():
             dirs = self._write_buckets(live, 0)
             return self._commit_dirs(op, dirs, self._count_dirs(dirs),
-                                     schema_json=live.schema.json())
+                                     schema_json=live.schema.json(),
+                                     rebase={"base_version": None,
+                                             "affected": None})
         m = self._manifest(self.latest())
         affected = {str(r[0]) for r in
                     src.select(self.bucket_col).distinct().collect()}
@@ -790,16 +1151,25 @@ class BucketedVersionedTable(VersionedTable):
             # insert-only batches (no prior dirs in the affected
             # buckets) write NO sidecar — an unmapped dv dir would be
             # unreferenced garbage vacuum could never reclaim
-            dv_dir = f"dv/v{v:012d}"
+            dv_dir = f"dv/v{v:012d}-{self._commit_token()}"
             (src.select(*keys).distinct().coalesce(1)
              .write.mode("overwrite").parquet(self._resolve(dv_dir)))
             for d in prior_dirs:
                 dv[d] = dv.get(d, []) + [dv_dir]
         new_dirs = self._write_buckets(live, v) if live.take(1) else []
-        n_rows = m["n_rows"] - n_killed + self._count_dirs(new_dirs)
+        new_rows = self._count_dirs(new_dirs)
+        n_rows = m["n_rows"] - n_killed + new_rows
         return self._commit_dirs(
             op, m["dirs"] + new_dirs, n_rows,
-            schema_json=self._merged_schema_json(live), dv=dv)
+            schema_json=self._merged_schema_json(live), dv=dv,
+            rebase={"base_version": m["version"], "affected": affected,
+                    "new_dirs": new_dirs, "new_rows": new_rows,
+                    "removed_rows": n_killed,
+                    # prior affected dirs are CARRIED (the DV covers
+                    # them), so the rebase keeps the whole head and
+                    # overlays this commit's sidecar mappings
+                    "keep_affected": True,
+                    "dv_touched": {d: dv[d] for d in prior_dirs}})
 
     def _write_buckets(self, df: DataFrame, v: int,
                        sort_key=None) -> list[str]:
@@ -812,7 +1182,10 @@ class BucketedVersionedTable(VersionedTable):
         # (bucket, key) inside each task, so parquet row groups cover
         # narrow key ranges and footer min/max stats prune scans on the
         # clustered dimensions — content identical either way.
-        new_dir = f"data/v{v:012d}"
+        # writer-unique token: racing writers at the same anticipated
+        # version must never address the same physical path (the
+        # version prefix is advisory — manifests address dirs by name)
+        new_dir = f"data/v{v:012d}-{self._commit_token()}"
         w = df.withColumn("__pb", F.col(self.bucket_col)) \
               .repartition(self.bucket_col)
         if sort_key is not None:
@@ -867,7 +1240,8 @@ class BucketedVersionedTable(VersionedTable):
         v = (self.latest() + 1) if self.versions() else 0
         dirs = self._write_buckets(df, v)
         return self._commit_dirs("overwrite", dirs, self._count_dirs(dirs),
-                                 schema_json=df.schema.json())
+                                 schema_json=df.schema.json(),
+                                 rebase={"blind": True})
 
     def commit_append(self, df: DataFrame) -> int:
         self._require_bucket(df)
@@ -877,12 +1251,23 @@ class BucketedVersionedTable(VersionedTable):
         if self.versions():
             m = self._manifest(self.latest())
             prev, prev_rows, v = m["dirs"], m["n_rows"], m["version"] + 1
+            base = m["version"]
         else:
             prev, prev_rows, v = [], 0, 0
+            base = None
         new_dirs = self._write_buckets(df, v)
+        new_rows = self._count_dirs(new_dirs)
+        # appends commute with everything but schema change:
+        # affected=∅ + keep_affected carries the WHOLE new head
         return self._commit_dirs("append", prev + new_dirs,
-                                 prev_rows + self._count_dirs(new_dirs),
-                                 schema_json=self._merged_schema_json(df))
+                                 prev_rows + new_rows,
+                                 schema_json=self._merged_schema_json(df),
+                                 rebase={"base_version": base,
+                                         "affected": set(),
+                                         "new_dirs": new_dirs,
+                                         "new_rows": new_rows,
+                                         "removed_rows": 0,
+                                         "keep_affected": True})
 
     def delete_where(self, cond) -> int:
         """Unrestricted-predicate delete: every bucket is affected, so
@@ -896,7 +1281,9 @@ class BucketedVersionedTable(VersionedTable):
         v = self.latest() + 1
         new_dirs = self._write_buckets(surv, v)
         return self._commit_dirs("delete", new_dirs,
-                                 self._count_dirs(new_dirs))
+                                 self._count_dirs(new_dirs),
+                                 rebase={"base_version": m["version"],
+                                         "affected": None})
 
     def upsert(self, df: DataFrame, keys: list[str]) -> int:
         """Merge-on-key touching only the incoming rows' buckets; the
@@ -908,7 +1295,9 @@ class BucketedVersionedTable(VersionedTable):
         if not self.versions():
             dirs = self._write_buckets(df, 0)
             return self._commit_dirs("upsert", dirs, self._count_dirs(dirs),
-                                     schema_json=df.schema.json())
+                                     schema_json=df.schema.json(),
+                                     rebase={"base_version": None,
+                                             "affected": None})
         m = self._manifest(self.latest())
         affected = {str(r[0]) for r in
                     df.select(self.bucket_col).distinct().collect()}
@@ -924,10 +1313,16 @@ class BucketedVersionedTable(VersionedTable):
             merged = df
         v = self.latest() + 1
         new_dirs = self._write_buckets(merged, v)
-        n_rows = (m["n_rows"] - self._live_count(touched, m)
-                  + self._count_dirs(new_dirs))
+        removed = self._live_count(touched, m)
+        new_rows = self._count_dirs(new_dirs)
+        n_rows = m["n_rows"] - removed + new_rows
         return self._commit_dirs("upsert", carried + new_dirs, n_rows,
-                                 schema_json=self._merged_schema_json(df))
+                                 schema_json=self._merged_schema_json(df),
+                                 rebase={"base_version": m["version"],
+                                         "affected": affected,
+                                         "new_dirs": new_dirs,
+                                         "new_rows": new_rows,
+                                         "removed_rows": removed})
 
     def merge(self, src: DataFrame, keys: list[str],
               delete_col: str = "_deleted", op: str = "merge",
@@ -986,7 +1381,9 @@ class BucketedVersionedTable(VersionedTable):
         if not self.versions():
             dirs = self._write_buckets(live, 0)
             return self._commit_dirs(op, dirs, self._count_dirs(dirs),
-                                     schema_json=live.schema.json())
+                                     schema_json=live.schema.json(),
+                                     rebase={"base_version": None,
+                                             "affected": None})
         m = self._manifest(self.latest())
         affected = {str(r[0]) for r in
                     src.select(self.bucket_col).distinct().collect()}
@@ -1002,10 +1399,18 @@ class BucketedVersionedTable(VersionedTable):
             merged = live
         v = self.latest() + 1
         new_dirs = self._write_buckets(merged, v)
-        n_rows = (m["n_rows"] - self._live_count(touched, m)
-                  + self._count_dirs(new_dirs))
+        removed = self._live_count(touched, m)
+        new_rows = self._count_dirs(new_dirs)
+        n_rows = m["n_rows"] - removed + new_rows
+        # disjoint-bucket merges are the commutative case Delta
+        # rebases; overlapping writers fail in _rebase_commit
         return self._commit_dirs(op, carried + new_dirs, n_rows,
-                                 schema_json=self._merged_schema_json(live))
+                                 schema_json=self._merged_schema_json(live),
+                                 rebase={"base_version": m["version"],
+                                         "affected": affected,
+                                         "new_dirs": new_dirs,
+                                         "new_rows": new_rows,
+                                         "removed_rows": removed})
 
     def _touched_dirs(self, v_a: int, v_b: int) -> tuple[list, list]:
         """Each version's dirs restricted to buckets in the two
@@ -1127,7 +1532,9 @@ class BucketedVersionedTable(VersionedTable):
             new_dirs = self._write_buckets(
                 self._read_live(m["dirs"], m=m), v, sort_key=key)
             return self._commit_dirs(f"optimize_{curve}", new_dirs,
-                                     m["n_rows"], dv={})
+                                     m["n_rows"], dv={},
+                                     rebase={"base_version": m["version"],
+                                             "affected": None})
         # a bucket is fragmented when backed by >1 dir OR any of its
         # dirs carries a deletion vector — OPTIMIZE is where DVs get
         # MATERIALIZED (Delta's purge): the rewrite drops dead rows and
@@ -1142,7 +1549,9 @@ class BucketedVersionedTable(VersionedTable):
         v = self.latest() + 1
         new_dirs = self._write_buckets(self._read_live(frag, m=m), v)
         return self._commit_dirs("optimize", carried + new_dirs,
-                                 m["n_rows"])
+                                 m["n_rows"],
+                                 rebase={"base_version": m["version"],
+                                         "affected": None})
 
     def drop_buckets(self, buckets: list) -> int:
         """Whole-partition retention drop (DROP PARTITION / Timescale
@@ -1161,8 +1570,12 @@ class BucketedVersionedTable(VersionedTable):
         m = self._manifest(self.latest())
         dropped = [d for d in m["dirs"] if self._bucket_of(d) in victims]
         kept = [d for d in m["dirs"] if self._bucket_of(d) not in victims]
-        n_rows = m["n_rows"] - self._live_count(dropped, m)
-        return self._commit_dirs("drop", kept, n_rows)
+        removed = self._live_count(dropped, m)
+        return self._commit_dirs("drop", kept, m["n_rows"] - removed,
+                                 rebase={"base_version": m["version"],
+                                         "affected": victims,
+                                         "new_dirs": [], "new_rows": 0,
+                                         "removed_rows": removed})
 
     def diff_rows(self, v_a: int, v_b: int, keys: list[str],
                   digest) -> DataFrame:
@@ -1205,10 +1618,18 @@ class BucketedVersionedTable(VersionedTable):
         carried = [d for d in m["dirs"] if self._bucket_of(d) not in names]
         touched = [d for d in m["dirs"] if self._bucket_of(d) in names]
         if not touched:
-            return self._commit_dirs("delete", carried, m["n_rows"])
+            return self._commit_dirs(
+                "delete", carried, m["n_rows"],
+                rebase={"base_version": m["version"], "affected": names,
+                        "new_dirs": [], "new_rows": 0,
+                        "removed_rows": 0})
         surv = self._read_live(touched, m=m).filter(~cond)
         v = self.latest() + 1
         new_dirs = self._write_buckets(surv, v)
-        n_rows = (m["n_rows"] - self._live_count(touched, m)
-                  + self._count_dirs(new_dirs))
-        return self._commit_dirs("delete", carried + new_dirs, n_rows)
+        removed = self._live_count(touched, m)
+        new_rows = self._count_dirs(new_dirs)
+        return self._commit_dirs(
+            "delete", carried + new_dirs, m["n_rows"] - removed + new_rows,
+            rebase={"base_version": m["version"], "affected": names,
+                    "new_dirs": new_dirs, "new_rows": new_rows,
+                    "removed_rows": removed})

@@ -1478,3 +1478,292 @@ def test_read_live_empty_dirs_returns_typed_empty(spark, tmp_path):
     assert vt.read(v).count() == 0
     assert [f.name for f in vt.read().schema.fields] \
         == ["id", "text", "b"]
+
+
+# ---- round 13: optimistic concurrency + log checkpointing ------------------
+#
+# Delta's commit protocol on the manifest log: put-if-absent version
+# allocation, rebase for provably-commutative concurrent commits
+# (blind overwrite / append / disjoint-bucket merge), and
+# ConcurrentCommitError (ConcurrentModificationException semantics)
+# for everything else.  The conflict matrix below is pinned by forcing
+# a DETERMINISTIC race: the first writer's manifest put is intercepted
+# and a competing commit is applied synchronously before it proceeds.
+
+
+def _cvt(spark, path):
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    t = BucketedVersionedTable(spark, path, bucket_col="b")
+    return t
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string, b string")
+
+
+def _msrc(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, text string, b string, _deleted boolean")
+
+
+def _race(victim, run_competitor):
+    """Arrange for ``run_competitor()`` to commit between ``victim``'s
+    snapshot read and its first manifest put — the classic lost-update
+    window, made deterministic."""
+    import types
+
+    orig = type(victim)._put_manifest
+    state = {"armed": True}
+
+    def hook(self, v, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            run_competitor()
+        return orig(self, v, manifest)
+
+    victim._put_manifest = types.MethodType(hook, victim)
+
+
+def test_concurrent_disjoint_merges_both_land(spark, tmp_path):
+    """Two writers merge DISJOINT buckets from the same base: the loser
+    of the manifest race rebases (Delta: commutative) and BOTH commits
+    land — no lost update, row accounting exact."""
+    path = str(tmp_path / "cc1")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [
+        (1, "one", "0"), (2, "two", "1"), (3, "three", "2"),
+        (4, "four", "3")]))
+    _race(a, lambda: b.merge(_msrc(
+        spark, [(3, "three-B", "2", False)]), ["id"], op="merge-b"))
+    a.merge(_msrc(spark, [(1, "one-A", "0", False)]), ["id"],
+            op="merge-a")
+    assert a.versions() == [0, 1, 2]
+    got = {r["id"]: r["text"] for r in a.read().collect()}
+    assert got == {1: "one-A", 2: "two", 3: "three-B", 4: "four"}
+    assert a._manifest(a.latest())["n_rows"] == 4
+    ops = [a._manifest(v)["op"] for v in a.versions()]
+    assert set(ops[1:]) == {"merge-a", "merge-b"}
+
+
+def test_concurrent_overlapping_merge_raises(spark, tmp_path):
+    """Two writers merge the SAME bucket: the loser must raise
+    ConcurrentCommitError (never silently drop the winner), the
+    winner's commit stands, and the loser's orphaned data dirs are
+    unreferenced (vacuum-reclaimable)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "cc2")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [(1, "one", "0"), (2, "two", "1")]))
+    _race(a, lambda: b.merge(_msrc(
+        spark, [(1, "one-B", "0", False)]), ["id"], op="merge-b"))
+    with pytest.raises(ConcurrentCommitError):
+        a.merge(_msrc(spark, [(1, "one-A", "0", False)]), ["id"],
+                op="merge-a")
+    assert a.versions() == [0, 1]
+    got = {r["id"]: r["text"] for r in a.read().collect()}
+    assert got == {1: "one-B", 2: "two"}
+
+
+def test_concurrent_append_rebases(spark, tmp_path):
+    """Appends commute: the losing append carries the WINNER's head
+    dirs and lands on top — all rows from both writers present."""
+    path = str(tmp_path / "cc3")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [(1, "one", "0")]))
+    _race(a, lambda: b.commit_append(_rows(spark, [(2, "two", "1")])))
+    a.commit_append(_rows(spark, [(3, "three", "2")]))
+    assert a.versions() == [0, 1, 2]
+    got = {r["id"] for r in a.read().collect()}
+    assert got == {1, 2, 3}
+    assert a._manifest(a.latest())["n_rows"] == 3
+
+
+def test_concurrent_overwrite_blind_retries(spark, tmp_path):
+    """Overwrite reads nothing: on a lost race it retries at the new
+    head and becomes the latest snapshot (last-writer-wins is the
+    overwrite contract); the interleaved commit stays in history."""
+    path = str(tmp_path / "cc4")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [(1, "one", "0")]))
+    _race(a, lambda: b.commit_append(_rows(spark, [(2, "two", "1")])))
+    a.commit_overwrite(_rows(spark, [(9, "nine", "0")]))
+    assert a.versions() == [0, 1, 2]
+    got = {r["id"] for r in a.read().collect()}
+    assert got == {9}
+    assert {r["id"] for r in a.read(1).collect()} == {1, 2}
+
+
+def test_concurrent_schema_change_fails_merge(spark, tmp_path):
+    """A concurrent commit that EVOLVES the schema defeats the rebase
+    even on disjoint buckets (Delta metadata-change conflict)."""
+    from document_vector_pipeline_spark.store.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "cc5")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [(1, "one", "0"), (2, "two", "1")]))
+    wide = spark.createDataFrame(
+        [(5, "five", "3", "extra")],
+        "id long, text string, b string, note string")
+    _race(a, lambda: b.commit_append(wide))
+    with pytest.raises(ConcurrentCommitError):
+        a.merge(_msrc(spark, [(1, "one-A", "0", False)]), ["id"])
+    # winner's evolution intact; loser left nothing in the log
+    assert a.versions() == [0, 1]
+    assert "note" in a.read().columns
+
+
+def test_concurrent_merge_dv_disjoint_rebases(spark, tmp_path):
+    """merge_dv rebases like merge: carried head + this commit's DV
+    sidecar mappings overlaid; both writers' deletes/updates visible,
+    DV accounting exact."""
+    path = str(tmp_path / "cc6")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [
+        (1, "one", "0"), (2, "two", "1"), (3, "three", "2")]))
+    _race(a, lambda: b.merge_dv(_msrc(
+        spark, [(3, None, "2", True)]), ["id"], op="dv-b"))
+    a.merge_dv(_msrc(spark, [(1, "one-A", "0", False)]), ["id"],
+               op="dv-a")
+    assert a.versions() == [0, 1, 2]
+    got = {r["id"]: r["text"] for r in a.read().collect()}
+    assert got == {1: "one-A", 2: "two"}
+    assert a._manifest(a.latest())["n_rows"] == 2
+
+
+def test_concurrent_two_real_threads_no_lost_commit(spark, tmp_path):
+    """The non-deterministic version: two OS threads merge disjoint
+    buckets starting from the same base behind a barrier.  Whatever
+    the interleaving, both versions land (or one raises — which the
+    protocol forbids here since buckets are disjoint) and the final
+    snapshot holds both writers' rows."""
+    import threading
+
+    path = str(tmp_path / "cc7")
+    a, b = _cvt(spark, path), _cvt(spark, path)
+    a.commit_overwrite(_rows(spark, [
+        (1, "one", "0"), (2, "two", "1"), (3, "three", "2"),
+        (4, "four", "3")]))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def run(t, src, op):
+        try:
+            barrier.wait(timeout=60)
+            t.merge(src, ["id"], op=op)
+        except Exception as e:       # noqa: BLE001 - collected for assert
+            errs.append(e)
+
+    srcs = [_msrc(spark, [(1, "one-A", "0", False)]),
+            _msrc(spark, [(3, "three-B", "2", False)])]
+    th = [threading.Thread(target=run, args=(a, srcs[0], "t-a")),
+          threading.Thread(target=run, args=(b, srcs[1], "t-b"))]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert a.versions() == [0, 1, 2]
+    got = {r["id"]: r["text"] for r in a.read().collect()}
+    assert got == {1: "one-A", 2: "two", 3: "three-B", 4: "four"}
+
+
+def test_log_checkpoint_gives_o_tail_resolution(spark, tmp_path):
+    """After a checkpoint lands, version/history resolution never
+    lists `_log/` (O(tail) point reads — Delta `_last_checkpoint`
+    parity): pinned by making the full-listing fallback raise.
+    history() stays EXACT and reads only tail manifests."""
+    path = str(tmp_path / "ck1")
+    t = _cvt(spark, path)
+    t.checkpoint_interval = 4
+    t.commit_overwrite(_rows(spark, [(1, "one", "0")]))
+    for i in range(5):
+        t.commit_append(_rows(spark, [(10 + i, f"r{i}", str(i % 3))]))
+    ck = t._read_checkpoint()
+    assert ck is not None and ck["version"] == 4
+    expected_hist = [(r["version"], r["op"], r["n_dirs"], r["n_rows"])
+                     for r in t.history().collect()]
+    expected_rows = {r["id"] for r in t.read().collect()}
+
+    def boom(self):
+        raise AssertionError("full _log listing after checkpoint")
+
+    import types
+
+    t2 = _cvt(spark, path)
+    t2.checkpoint_interval = 4
+    t2._list_log_versions = types.MethodType(boom, t2)
+    assert t2.versions() == [0, 1, 2, 3, 4, 5]
+    assert t2.latest() == 5
+    assert {r["id"] for r in t2.read().collect()} == expected_rows
+    # history(): checkpointed rows reused, only tail manifests read
+    reads = []
+    orig_manifest = type(t2)._manifest
+
+    def counting(self, v):
+        reads.append(v)
+        return orig_manifest(self, v)
+
+    t2._manifest = types.MethodType(counting, t2)
+    hist = [(r["version"], r["op"], r["n_dirs"], r["n_rows"])
+            for r in t2.history().collect()]
+    assert hist == expected_hist
+    assert all(v > 4 for v in reads), reads
+    # commits keep working with the listing fallback disabled
+    t2.commit_append(_rows(spark, [(99, "tail", "0")]))
+    assert t2.latest() == 6
+
+
+def test_vacuum_rebuilds_checkpoint_and_reclaims_orphans(spark, tmp_path):
+    """vacuum after checkpointing: the checkpoint is rebuilt over the
+    kept versions (tail probing stays sound across the gap), and a
+    conflict-loser's ORPHANED data dirs are reclaimed."""
+    from document_vector_pipeline_spark.store.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "ck2")
+    t = _cvt(spark, path)
+    t.checkpoint_interval = 3
+    t.commit_overwrite(_rows(spark, [(1, "one", "0"), (2, "two", "1")]))
+    for i in range(4):
+        t.commit_append(_rows(spark, [(10 + i, f"r{i}", "2")]))
+    # manufacture an orphan: a losing overlapping merge leaves its
+    # written-but-never-published dirs on disk
+    b = _cvt(spark, path)
+    _race(t, lambda: b.merge(_msrc(
+        spark, [(1, "one-B", "0", False)]), ["id"], op="win"))
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(_msrc(spark, [(1, "one-T", "0", False)]), ["id"])
+    import os
+
+    n_data_before = len(os.listdir(os.path.join(path, "data")))
+    live_dirs = {d.split("/")[1]
+                 for d in t._manifest(t.latest())["dirs"]}
+    assert n_data_before > len({d.split("/")[1] for v in t.versions()
+                                for d in t._manifest(v)["dirs"]}) \
+        or n_data_before >= len(live_dirs)
+    dropped = t.vacuum(keep_last=2)
+    assert dropped
+    # checkpoint rebuilt: versions()/read() exact without full listing
+    import types
+
+    def boom(self):
+        raise AssertionError("full _log listing after vacuum rebuild")
+
+    t3 = _cvt(spark, path)
+    t3._list_log_versions = types.MethodType(boom, t3)
+    assert t3.versions() == t.versions()
+    got = {r["id"]: r["text"] for r in t3.read().collect()}
+    assert got[1] == "one-B"
+    # every remaining data dir is referenced by a kept manifest
+    live = {d for v in t.versions() for d in t._manifest(v)["dirs"]}
+    live_parents = {d.split("/")[1] for d in live}
+    on_disk = set(os.listdir(os.path.join(path, "data")))
+    assert on_disk <= live_parents
