@@ -1956,6 +1956,60 @@ def embedding_outliers(emb: DataFrame, n_clusters: int = 8, iters: int = 3,
                     .alias("outlier")))
 
 
+def nsw_greedy_search(adj, V, ids, entry, qv, beam):
+    """Greedy best-first walk over an NSW adjacency (shared by the
+    one-shot ``nsw_ann`` and the persisted ``store/nsw_index`` — the
+    exact-twin contract requires ONE walker): exact int64 L2, ties on
+    vec_id; returns the best ``beam`` visited nodes as sorted
+    (dist, vec_id, idx) tuples, entered at node ``entry``."""
+    import heapq
+
+    d0 = int(((V[entry] - qv) ** 2).sum())
+    cand = [(d0, ids[entry], entry)]
+    visited = {entry}
+    best = [(d0, ids[entry], entry)]
+    while cand:
+        d, _tie, i = heapq.heappop(cand)
+        if len(best) >= beam and d > best[-1][0]:
+            break
+        for j in adj[i]:
+            if j in visited:
+                continue
+            visited.add(j)
+            dj = int(((V[j] - qv) ** 2).sum())
+            heapq.heappush(cand, (dj, ids[j], j))
+            best.append((dj, ids[j], j))
+            best.sort()
+            if len(best) > beam:
+                best.pop()
+    return best
+
+
+def nsw_build_adjacency(V, ids, m_links, ef, adj=None, start=None):
+    """The NSW insert-by-search build loop (Malkov et al. 2014),
+    shared by ``nsw_ann`` and the persisted index: each node from
+    ``start`` (default 1 — node 0 is the entry) is inserted by
+    SEARCHING the partial graph (beam ``ef``) and linking
+    bidirectionally to its ``m_links`` nearest visited nodes.
+    ``adj`` continues an EXISTING adjacency (the persisted index's
+    O(batch) insert path); rows ``>= start`` are the new nodes.
+    O(n·ef·m) per cell, never O(n²)."""
+    n = len(ids)
+    if adj is None:
+        adj = [[] for _ in range(n)]
+        start = 1
+    else:
+        adj = [list(a) for a in adj] + [[] for _ in range(n - len(adj))]
+    for i in range(start, n):
+        found = nsw_greedy_search(adj, V, ids, 0, V[i], ef)
+        for _d, _vid, j in found[:m_links]:
+            if j == i:
+                continue
+            adj[i].append(j)
+            adj[j].append(i)
+    return adj
+
+
 def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             n_centroids: int = 8, nprobe: int = 2,
             m_links: int = 6, ef: int = 24, dim: int = 64,
@@ -1992,8 +2046,6 @@ def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     are engine-portable; the graph walk itself is not SQL-expressible,
     which is why the contract key is rows-only with ann_ivf (same
     probed cells, exhaustive scoring) as the oracle-green exact twin."""
-    import heapq
-
     import numpy as np
 
     queries = _live_vectors(queries, qvec_col)
@@ -2023,30 +2075,6 @@ def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
         md5_long(F.col("vec_id").cast("string")).alias("h"))
     id_type = assigned.schema["vec_id"].dataType.simpleString()
 
-    def search(adj, V, ids, entry, qv, beam):
-        """Greedy best-first over the partial graph: exact int64 L2,
-        ties on vec_id; returns the best ``beam`` visited nodes as
-        sorted (dist, vec_id, idx) tuples."""
-        d0 = int(((V[entry] - qv) ** 2).sum())
-        cand = [(d0, ids[entry], entry)]
-        visited = {entry}
-        best = [(d0, ids[entry], entry)]
-        while cand:
-            d, _tie, i = heapq.heappop(cand)
-            if len(best) >= beam and d > best[-1][0]:
-                break
-            for j in adj[i]:
-                if j in visited:
-                    continue
-                visited.add(j)
-                dj = int(((V[j] - qv) ** 2).sum())
-                heapq.heappush(cand, (dj, ids[j], j))
-                best.append((dj, ids[j], j))
-                best.sort()
-                if len(best) > beam:
-                    best.pop()
-        return best
-
     def per_cell(pdf):
         import pandas as pd
         cell = pdf["centroid_id"].iloc[0]
@@ -2056,19 +2084,12 @@ def nsw_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
         pdf = pdf.sort_values(["h", "vec_id"], kind="mergesort")
         V = np.array(list(pdf["v6"]), dtype=np.int64)
         ids = list(pdf["vec_id"])
-        n = len(ids)
-        adj: list[list[int]] = [[] for _ in range(n)]
-        for i in range(1, n):
-            found = search(adj, V, ids, 0, V[i], ef)
-            for _d, _vid, j in found[:m_links]:
-                if j == i:
-                    continue
-                adj[i].append(j)
-                adj[j].append(i)
+        adj = nsw_build_adjacency(V, ids, m_links, ef)
         rows = []
         for qid in sorted(qids):
             qv = q6[qid]
-            for _d, vid, _j in search(adj, V, ids, 0, qv, max(ef, k)):
+            for _d, vid, _j in nsw_greedy_search(adj, V, ids, 0, qv,
+                                                 max(ef, k)):
                 rows.append((qid, vid))
         return pd.DataFrame(rows, columns=["query_id", "vec_id"])
 

@@ -15,7 +15,10 @@ ROWS_ONLY = {"ann_bruteforce_np", "mm_features", "mm_frames",
              # round 12: the NSW graph walk is deterministic but not
              # SQL-expressible; exact twin ann_ivf is oracle-green and
              # tests pin nsw(ef >= cell size) == ivf_ann
-             "ann_nsw", "ann_nsw_recall"}
+             "ann_nsw", "ann_nsw_recall",
+             # round 13: the persisted graph serves the SAME walk
+             # (bit-identical to ann_nsw, test-pinned)
+             "ann_nsw_persisted"}
 
 
 def test_survey_section2_matches_queries():
