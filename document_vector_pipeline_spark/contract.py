@@ -5408,47 +5408,16 @@ order by k
 
 
 def q_mm_phash_tuning(spark, sf_dir):
-    """Perceptual-hash threshold calibration (multimodal twin of
-    dedup_lsh_tuning — operators/multimodal.phash_candidate_hist):
-    the hamming histogram of every banded candidate pair, so the
-    max_hamming cut for mm_phash_dedup is CHOSEN from data rather than
-    guessed; candidates stay the bounded (band, slice) equi-join."""
+    """Perceptual-hash threshold calibration in the PIXEL domain
+    (round 13, multimodal twin of dedup_lsh_tuning —
+    multimodal.phash_pixel_candidate_hist): the hamming histogram of
+    every banded candidate pair over the luma-block hash, so
+    mm_phash_dedup's max_hamming cut is CHOSEN from data; candidates
+    stay the bounded (band, slice) equi-join and the oracle replays
+    pixel hash + banding end to end."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.phash_candidate_hist(
-        multimodal.documents_as_assets(docs))
+    return multimodal.phash_pixel_candidate_hist(docs)
 
-
-def _sql_mm_phash_tuning(dim: int = 32, bands: int = 4) -> str:
-    width = dim // bands
-    band_vals = ", ".join(f"({b})" for b in range(bands))
-    return f"""
-with h as (
-  select doc_id as asset_id, cast(unicode(c) % {dim} as int) as bucket,
-         cast(count(*) as bigint) as n
-  from (select doc_id, unnest(string_split(text, '')) as c from documents)
-  where c <> ''
-  group by 1, 2),
-tot as (select asset_id, sum(n) as total from h group by asset_id),
-ph0 as (
-  select h.asset_id,
-         sum(case when h.n * {dim} > t.total
-                  then (cast(1 as bigint) << h.bucket) else 0 end) as phash
-  from h join tot t using (asset_id) group by h.asset_id),
-ph as (select d.doc_id as asset_id,
-              cast(coalesce(p.phash, 0) as bigint) as phash
-       from documents d left join ph0 p on p.asset_id = d.doc_id),
-bk as (
-  select asset_id, phash, b.band,
-         (phash >> (b.band * {width})) % {1 << width} as key
-  from ph, (values {band_vals}) as b(band)),
-cand as (
-  select distinct a.asset_id as id_a, b.asset_id as id_b,
-         cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
-  from bk a join bk b
-    on a.band = b.band and a.key = b.key and a.asset_id < b.asset_id)
-select hamming, cast(count(*) as bigint) as n_pairs
-from cand group by hamming order by hamming
-"""
 
 
 def q_events_decile_migration(spark, sf_dir):
@@ -11953,10 +11922,17 @@ from g
 
 
 def q_mm_phash_dedup(spark, sf_dir):
-    """Perceptual-hash near-dup pairs over multimodal assets (average-hash
-    on the byte histogram, banded hamming ≤ 2 join)."""
+    """Perceptual-hash near-dup pairs in the PIXEL domain (round 13 —
+    verdict item 4 promotes the dedup member off the byte-histogram
+    stub): doc_phash_luma's 64-bit luma-block hash over REAL
+    PNG-codec-round-tripped pixels feeds the SAME banded hamming join
+    (shared _banded_phash_candidates plan, 4 bands × 16-bit slices).
+    max_hamming=8 exceeds the band count, so the oracle replays the
+    BANDING itself (unsigned slice keys over the pre-wrap hash sum),
+    not just the hamming cut — the banded candidate set is the
+    checked artifact, exactly what runs at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.phash_pairs(multimodal.documents_as_assets(docs))
+    return multimodal.phash_pixel_pairs(docs)
 
 
 def q_mm_phash_pixel(spark, sf_dir):
@@ -11980,31 +11956,11 @@ def q_emb_outliers(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"))
 
 
-def _sql_mm_phash_dedup(dim: int = 32, max_hamming: int = 2) -> str:
-    return f"""
-with h as (
-  select doc_id as asset_id, cast(unicode(c) % {dim} as int) as bucket,
-         cast(count(*) as bigint) as n
-  from (select doc_id, unnest(string_split(text, '')) as c from documents)
-  where c <> ''
-  group by 1, 2),
-tot as (select asset_id, sum(n) as total from h group by asset_id),
-ph0 as (
-  select h.asset_id,
-         sum(case when h.n * {dim} > t.total
-                  then (cast(1 as bigint) << h.bucket) else 0 end) as phash
-  from h join tot t using (asset_id) group by h.asset_id),
-ph as (select d.doc_id as asset_id,
-              cast(coalesce(p.phash, 0) as bigint) as phash
-       from documents d left join ph0 p on p.asset_id = d.doc_id)
-select a.asset_id as id_a, b.asset_id as id_b,
-       cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
-from ph a join ph b on a.asset_id < b.asset_id
-where bit_count(xor(a.phash, b.phash)) <= {max_hamming}
-"""
 
-
-def _sql_mm_phash_pixel(w: int = 16, h: int = 16, grid: int = 8) -> str:
+def _sql_pixel_ph_ctes(w: int = 16, h: int = 16, grid: int = 8) -> str:
+    """The shared pixel-hash CTE chain (round 13 — also feeds the
+    pixel-domain dedup/tuning oracles): `ph` ends with (asset_id,
+    hsum [unsigned hugeint], phash [wrapped signed bigint])."""
     bw, bh = w // grid, h // grid
     npx, bpx = w * h, bw * bh
     return f"""
@@ -12027,13 +11983,57 @@ ph as (
   select c.asset_id,
          sum(case when c.s * {npx} > t.t * {bpx}
                   then (cast(1 as hugeint) << c.cell)
-                  else 0 end) as hsum
-  from cells c join tot t using (asset_id) group by 1)
-select asset_id,
-       cast(case when hsum >= 9223372036854775808
-                 then hsum - 18446744073709551616
-                 else hsum end as bigint) as phash
-from ph
+                  else 0 end) as hsum,
+         cast(case when sum(case when c.s * {npx} > t.t * {bpx}
+                                 then (cast(1 as hugeint) << c.cell)
+                                 else 0 end) >= 9223372036854775808
+                   then sum(case when c.s * {npx} > t.t * {bpx}
+                                 then (cast(1 as hugeint) << c.cell)
+                                 else 0 end) - 18446744073709551616
+                   else sum(case when c.s * {npx} > t.t * {bpx}
+                                 then (cast(1 as hugeint) << c.cell)
+                                 else 0 end) end as bigint) as phash
+  from cells c join tot t using (asset_id) group by 1)"""
+
+
+def _sql_mm_phash_pixel(w: int = 16, h: int = 16, grid: int = 8) -> str:
+    return f"""{_sql_pixel_ph_ctes(w, h, grid)}
+select asset_id, phash from ph
+"""
+
+
+def _sql_pixel_band_cand(w: int = 16, h: int = 16, grid: int = 8,
+                         bands: int = 4) -> str:
+    """Banded-candidate CTE tail over `ph`: `cand` = the DISTINCT
+    (id_a < id_b, hamming) pairs sharing >= 1 of the ``bands``
+    bit-slices — the oracle replay of _banded_phash_candidates
+    (unsigned slice keys computed on the pre-wrap hsum, matching
+    shiftrightunsigned on the signed hash)."""
+    width = (grid * grid) // bands
+    band_vals = ", ".join(f"({b})" for b in range(bands))
+    return f""",
+bk as (
+  select asset_id, phash, b.band,
+         cast((hsum >> (b.band * {width})) % {1 << width} as bigint)
+           as key
+  from ph, (values {band_vals}) as b(band)),
+cand as (
+  select distinct a.asset_id as id_a, b.asset_id as id_b,
+         cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+  from bk a join bk b on a.band = b.band and a.key = b.key
+                      and a.asset_id < b.asset_id)"""
+
+
+def _sql_mm_phash_dedup_pixel(max_hamming: int = 8) -> str:
+    return f"""{_sql_pixel_ph_ctes()}{_sql_pixel_band_cand()}
+select id_a, id_b, hamming from cand where hamming <= {max_hamming}
+"""
+
+
+def _sql_mm_phash_tuning_pixel() -> str:
+    return f"""{_sql_pixel_ph_ctes()}{_sql_pixel_band_cand()}
+select hamming, cast(count(*) as bigint) as n_pairs
+from cand group by hamming order by hamming
 """
 
 
@@ -12618,7 +12618,7 @@ from c
         "events_autocorr": _sql_events_autocorr(),
         "dedup_graph_reciprocity": _sql_dedup_graph_reciprocity(),
         "events_decile_migration": _sql_events_decile_migration(),
-        "mm_phash_tuning": _sql_mm_phash_tuning(),
+        "mm_phash_tuning": _sql_mm_phash_tuning_pixel(),
         "mm_phash_pixel": _sql_mm_phash_pixel(),
         "events_kanon": _sql_events_kanon(),
         "emb_isotropy": _sql_emb_isotropy(),
@@ -12710,7 +12710,7 @@ from events group by user_id
         "corpus_token_budget": _sql_corpus_token_budget(),
         "events_trigrams": _sql_events_trigrams(),
         "text_bpe_pairs": _sql_text_bpe_pairs(),
-        "mm_phash_dedup": _sql_mm_phash_dedup(),
+        "mm_phash_dedup": _sql_mm_phash_dedup_pixel(),
         "emb_outliers": _sql_emb_outliers(),
         "asof_nearest": _sql_asof_nearest(),
         "corpus_quality_model": _sql_corpus_quality_model(),

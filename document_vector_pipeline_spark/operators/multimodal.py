@@ -384,24 +384,25 @@ def phash(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                      .alias("phash")))
 
 
-def phash_pairs(assets: DataFrame, dim: int = 32,
-                max_hamming: int = 2, bands: int = 4) -> DataFrame:
-    """Near-duplicate asset pairs by perceptual hash: (id_a < id_b,
-    hamming) with hamming(phash) ≤ max_hamming — the multimodal member
-    of the dedup family (image near-dup via average-hash).
-
-    Same banded plan as simhash_pairs: any pair within hamming
-    d < bands collides on ≥ 1 of the `bands` bit-slices, so candidates
-    come from an equi-join on (band, slice) and the hamming verify is
-    map-side before the distinct.  The phash build itself is one
-    mapInPandas histogram pass + one groupBy — no joins."""
-    width = dim // bands
-    ph = phash(assets, dim)
+def _banded_phash_candidates(ph: DataFrame, nbits: int,
+                             bands: int) -> DataFrame:
+    """(id_a < id_b, hamming) candidate pairs from the (band, slice)
+    equi-join over an (asset_id, phash) frame — the ONE banded plan
+    behind every perceptual-hash dedup member (byte-hist and pixel
+    domain; round-13 refactor of two hand-copied blocks).  Any pair
+    within hamming d < bands collides on ≥ 1 of the ``bands``
+    bit-slices; the hamming verify is map-side before the distinct.
+    Slices use an UNSIGNED shift + mask so 64-bit hashes with the
+    sign bit set band correctly (identical to the old arithmetic
+    shift/% for the 32-bit byte-hist domain, whose hashes are
+    nonnegative)."""
+    width = nbits // bands
+    mask = (1 << width) - 1
     slices = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            (F.shiftright(F.col("phash"), b * width) % F.lit(1 << width))
-                .alias("key"))
+            F.shiftrightunsigned(F.col("phash"), b * width)
+             .bitwiseAND(F.lit(mask)).alias("key"))
         for b in range(bands)])
     banded = (ph.select("asset_id", "phash", F.explode(slices).alias("bk"))
               .select("asset_id", "phash",
@@ -411,12 +412,67 @@ def phash_pairs(assets: DataFrame, dim: int = 32,
                          F.col("phash").alias("ph_a"), "band", "key")
     right = banded.select(F.col("asset_id").alias("id_b"),
                           F.col("phash").alias("ph_b"), "band", "key")
-    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
     return (left.join(right, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("hamming", hamming)
+            .select("id_a", "id_b",
+                    F.bit_count(F.expr("ph_a ^ ph_b")).cast("int")
+                    .alias("hamming"))
+            .distinct())
+
+
+def phash_pairs(assets: DataFrame, dim: int = 32,
+                max_hamming: int = 2, bands: int = 4) -> DataFrame:
+    """Near-duplicate asset pairs by perceptual hash: (id_a < id_b,
+    hamming) with hamming(phash) ≤ max_hamming — the multimodal member
+    of the dedup family (image near-dup via average-hash) in the
+    BYTE-HISTOGRAM domain (the codec-free twin; the pixel-domain
+    production member is ``phash_pixel_pairs``).
+
+    Same banded plan as simhash_pairs via _banded_phash_candidates.
+    The phash build itself is one mapInPandas histogram pass + one
+    groupBy — no joins."""
+    return (_banded_phash_candidates(phash(assets, dim), dim, bands)
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming").distinct())
+            .select("id_a", "id_b", "hamming"))
+
+
+def phash_pixel_pairs(docs: DataFrame, w: int = 16, h: int = 16,
+                      grid: int = 8, max_hamming: int = 8,
+                      bands: int = 4, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """PIXEL-domain perceptual near-dup pairs (round 13 — promotes the
+    dedup member of the phash family onto the real decoded-pixel hash
+    the round-12 verdict asked for): ``doc_phash_luma``'s 64-bit
+    luma-block average-hash (REAL PNG codec round trip inside one
+    Arrow pass) feeds the SAME banded hamming join as the byte-hist
+    member — only the hash domain changes, the candidate plan is
+    shared code.  Exact integers end to end, so the DuckDB oracle
+    replays pixel formula + block algebra + banding without a codec.
+    ``max_hamming`` defaults wider than the byte-hist member because
+    the 64-bit block hash distributes edits over 4× the bits (the
+    mm_phash_tuning histogram is how the cut is CHOSEN)."""
+    ph = doc_phash_luma(docs, w=w, h=h, grid=grid, id_col=id_col,
+                        text_col=text_col)
+    return (_banded_phash_candidates(ph, grid * grid, bands)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def phash_pixel_candidate_hist(docs: DataFrame, w: int = 16,
+                               h: int = 16, grid: int = 8,
+                               bands: int = 4, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Threshold calibration for ``phash_pixel_pairs`` — the hamming
+    histogram of every banded candidate pair in the PIXEL domain
+    (round 13): the valley picks max_hamming, the tail prices the
+    verify stage, and candidates stay the bounded (band, slice)
+    equi-join at any corpus size."""
+    ph = doc_phash_luma(docs, w=w, h=h, grid=grid, id_col=id_col,
+                        text_col=text_col)
+    return (_banded_phash_candidates(ph, grid * grid, bands)
+            .groupBy("hamming")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .orderBy("hamming"))
 
 
 def phash_candidate_hist(assets: DataFrame, dim: int = 32,
@@ -429,30 +485,8 @@ def phash_candidate_hist(assets: DataFrame, dim: int = 32,
     what the verify stage will cost.  Candidates stay the bounded
     (band, slice) equi-join — never all-pairs — so the calibration
     itself runs at corpus scale."""
-    width = dim // bands
-    ph = phash(assets, dim)
-    slices = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            (F.shiftright(F.col("phash"), b * width) % F.lit(1 << width))
-                .alias("key"))
-        for b in range(bands)])
-    banded = (ph.select("asset_id", "phash",
-                        F.explode(slices).alias("bk"))
-              .select("asset_id", "phash",
-                      F.col("bk.band").alias("band"),
-                      F.col("bk.key").alias("key")))
-    left = banded.select(F.col("asset_id").alias("id_a"),
-                         F.col("phash").alias("ph_a"), "band", "key")
-    right = banded.select(F.col("asset_id").alias("id_b"),
-                          F.col("phash").alias("ph_b"), "band", "key")
-    cand = (left.join(right, ["band", "key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.bit_count(F.expr("ph_a ^ ph_b")).cast("int")
-                    .alias("hamming"))
-            .distinct())
-    return (cand.groupBy("hamming")
+    return (_banded_phash_candidates(phash(assets, dim), dim, bands)
+            .groupBy("hamming")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
             .orderBy("hamming"))
 

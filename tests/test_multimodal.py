@@ -377,3 +377,46 @@ def test_doc_phash_pixel_family(spark):
           for r in doc_phash_dct(docs, w=32, h=16).collect()}
     assert hr[4] == 0 and hr[1] != 0
     assert ham(hr[1], hr[2]) < ham(hr[1], hr[3])
+
+
+def test_pixel_phash_dedup_family(spark):
+    """Round-13 verdict item 4 — the phash dedup pair generator and its
+    calibration run in the PIXEL domain: (a) near-dup documents (same
+    length, one char) pair up under the luma-block hash while unrelated
+    documents don't; (b) the banded candidate set is a SUBSET of
+    all-pairs and exact on hamming < bands (the LSH guarantee); (c) the
+    tuning histogram counts exactly the banded candidates."""
+    from document_vector_pipeline_spark.operators.multimodal import (
+        _banded_phash_candidates,
+        doc_phash_luma,
+        phash_pixel_candidate_hist,
+        phash_pixel_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "jumping through the corpus " * 4)
+    rows = [(1, base), (2, "a" + base[1:]), (3, base[:-1] + "x"),
+            (4, "completely different payload about spark shuffles "
+                "and partition pruning " * 4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_pixel_pairs(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs or (1, 3) in pairs
+    assert all({a, b} != {1, 4} and {a, b} != {2, 4} and {a, b} != {3, 4}
+               for a, b in pairs)
+    # banded candidates == all-pairs on hamming < bands (4)
+    ph = doc_phash_luma(docs)
+    hs = {r["asset_id"]: r["phash"] for r in ph.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    all_close = {(a, b) for a in hs for b in hs if a < b
+                 and ham(hs[a], hs[b]) < 4}
+    banded = {(r["id_a"], r["id_b"])
+              for r in _banded_phash_candidates(ph, 64, 4).collect()}
+    assert all_close <= banded
+    # tuning histogram totals the banded candidate set exactly
+    hist = {r["hamming"]: r["n_pairs"]
+            for r in phash_pixel_candidate_hist(docs).collect()}
+    assert sum(hist.values()) == len(banded)
