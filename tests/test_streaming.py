@@ -1270,3 +1270,134 @@ def test_stream_dim_join_pins_version_per_trigger(spark, tmp_path):
     # trigger 2 saw v1: the commit landed at the NEXT trigger
     assert rows[20]["region"] == "east" and rows[20]["dim_version"] == 1
     assert rows[21]["region"] == "west" and rows[21]["dim_version"] == 1
+
+
+def test_stream_index_maintain_survives_restart(spark, tmp_path):
+    """Round-13 verdict item 7 — kill-and-resume for the index
+    maintainer: drain batch 1, STOP (the driver-crash boundary), add
+    batch 2, restart from the SAME checkpoint.  The restart must apply
+    ONLY batch 2 (offsets live in the checkpoint — segment count pins
+    it), and both serving indexes end bit-identical to batch builds
+    over the final corpus, exactly as an uninterrupted run would."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.ivf_index import IVFIndex
+    from document_vector_pipeline_spark.store.text_index import TextIndex
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_index_maintain,
+    )
+
+    def doc(i, tag=""):
+        txt = f"alpha beta doc{i} {tag}".strip()
+        vec = [float((i * 7 + j) % 5 - 2) for j in range(8)]
+        return {"doc_id": i, "text": txt, "embedding": vec}
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["embedding"]) for r in rows],
+            "doc_id long, text string, embedding array<float>")
+
+    initial = [doc(i) for i in range(6)]
+    b1 = [doc(i) for i in range(6, 10)]
+    b2 = ([doc(10), doc(3, tag="edited")]
+          + [{"doc_id": 4, "text": None, "embedding": None,
+              "op": "delete"}])
+
+    ti = TextIndex(spark, str(tmp_path / "text"), n_term_buckets=4,
+                   n_doc_buckets=2)
+    ti.build(to_df(initial).select("doc_id", "text"))
+    vi = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=4)
+    vi.build(to_df(initial).select(F.col("doc_id").alias("vec_id"),
+                                   "embedding"))
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    with open(bdir / "b1.json", "w") as f:
+        for r in b1:
+            f.write(_json.dumps(r) + "\n")
+    ck = str(tmp_path / "ckpt")
+    stream_index_maintain(spark, str(bdir), ti, vi, ck,
+                          rebuild_check_every=0).awaitTermination(180)
+    segs_after_run1 = len(ti._manifest()["segments"])
+    # stopped between triggers; batch 2 lands, restart SAME checkpoint
+    with open(bdir / "b2.json", "w") as f:
+        for r in b2:
+            f.write(_json.dumps(r) + "\n")
+    stream_index_maintain(spark, str(bdir), ti, vi, ck,
+                          rebuild_check_every=0).awaitTermination(180)
+    # exactly-once across the restart: ONE new segment (batch 2) —
+    # a replayed batch 1 would have written a second
+    assert len(ti._manifest()["segments"]) == segs_after_run1 + 1
+
+    final = {r["doc_id"]: r for r in initial + b1 + b2
+             if r.get("op") != "delete"}
+    final.pop(4, None)
+    final_df = to_df(sorted(final.values(), key=lambda r: r["doc_id"]))
+    ref_t = TextIndex(spark, str(tmp_path / "tref"), n_term_buckets=4,
+                      n_doc_buckets=2)
+    ref_t.build(final_df.select("doc_id", "text"))
+    qt = spark.createDataFrame(
+        [(0, "doc3"), (0, "edited"), (1, "doc7"), (2, "doc4")],
+        "query_id long, term string")
+    assert (ti.search(qt, k=10).toPandas().sort_values(
+                ["query_id", "rank"]).values.tolist()
+            == ref_t.search(qt, k=10).toPandas().sort_values(
+                ["query_id", "rank"]).values.tolist())
+    ref_v = IVFIndex(spark, str(tmp_path / "vref"), n_centroids=4)
+    ref_v.build(final_df.select(F.col("doc_id").alias("vec_id"),
+                                "embedding"))
+    qv = to_df([doc(1), doc(8)]).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    got_v = vi.search_many(qv, k=5, nprobe=4).toPandas().sort_values(
+        ["query_id", "rank"]).values.tolist()
+    want_v = ref_v.search_many(qv, k=5, nprobe=4).toPandas().sort_values(
+        ["query_id", "rank"]).values.tolist()
+    assert got_v == want_v and len(got_v) > 0
+
+
+def test_stream_merge_apply_survives_restart(spark, tmp_path):
+    """Kill-and-resume for the CDC merge stream: stop after batch 0,
+    add batch 1, restart from the SAME checkpoint — exactly one new
+    version lands (the exactly-once batch stamps are per-feed and the
+    checkpoint carries the offsets), and the table equals what an
+    uninterrupted drain of both batches produces."""
+    from document_vector_pipeline_spark.store.versioned import (
+        BucketedVersionedTable,
+    )
+    from document_vector_pipeline_spark.streaming.ingest import (
+        stream_merge_apply,
+    )
+
+    vt = BucketedVersionedTable(spark, str(tmp_path / "t"),
+                                bucket_col="b")
+    vt.commit_overwrite(spark.createDataFrame(
+        [(1, "one", "0"), (2, "two", "1")],
+        "id long, text string, b string"))
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    schema = "id long, text string, b string, op string, seq long"
+    _write_jsonl(bdir / "b0.json", [
+        {"id": 2, "text": "two-v2", "b": "1", "op": "upsert", "seq": 1},
+        {"id": 3, "text": "three", "b": "2", "op": "upsert", "seq": 1},
+    ])
+    ck = str(tmp_path / "ck")
+    stream_merge_apply(spark, str(bdir), vt, ["id"], ck, schema=schema,
+                       seq_col="seq", stream_id="feed"
+                       ).awaitTermination(180)
+    assert len(vt.versions()) == 2
+    # crash boundary: batch 1 arrives, restart from the SAME checkpoint
+    _write_jsonl(bdir / "b1.json", [
+        {"id": 1, "text": None, "b": "0", "op": "delete", "seq": 2},
+        {"id": 4, "text": "four", "b": "3", "op": "upsert", "seq": 2},
+    ])
+    stream_merge_apply(spark, str(bdir), vt, ["id"], ck, schema=schema,
+                       seq_col="seq", stream_id="feed"
+                       ).awaitTermination(180)
+    ops = [vt._manifest(v)["op"] for v in vt.versions()]
+    # exactly one version per batch, stamps monotone, no replays
+    assert len(vt.versions()) == 3
+    assert ops[1:] == ["merge:feed:b0", "merge:feed:b1"]
+    got = {r["id"]: r["text"] for r in vt.read().collect()}
+    assert got == {2: "two-v2", 3: "three", 4: "four"}

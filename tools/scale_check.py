@@ -111,10 +111,80 @@ def _embedding_lsh_autoplanes(spark, sf_dir):
                                      tables=tables, dim=64)
 
 
+def _emb1536(spark, sf_dir):
+    """Production-dimension synthetic corpus (round-13 verdict item 5):
+    dim=1536 hash-trick embeddings of the documents text (the same
+    Arrow embedder the pipeline uses at its reference parity dim), so
+    ANN recall/wall is MEASURED at the width the store keys claim
+    instead of extrapolated ×24 from the 64-dim testdata."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators.embed import (
+        make_embed_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embed = make_embed_udf(1536)
+    return (docs.select(F.col("doc_id").alias("vec_id"),
+                        embed(F.col("text")).alias("embedding"))
+            .localCheckpoint(eager=True))
+
+
+def _dim1536_queries(emb):
+    from pyspark.sql import functions as F
+
+    return (emb.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def _dim1536_recall(spark, sf_dir, rung: str):
+    """recall@10 at dim=1536 for one rung, n_sub by the dim/sub rule
+    (subspace width FIXED at 8 dims -> n_sub = 1536/8 = 192 — the
+    FAISS convention: quantization error is governed by subspace
+    width, so n_sub scales linearly with dim and the per-row code
+    size stays dim/8 bytes).  Prints mean recall; returns the
+    per-query frame so the harness times the full build+search."""
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.operators import similarity as S
+
+    dim, n_sub, n_codes = 1536, 192, 256
+    emb = _emb1536(spark, sf_dir)
+    q = _dim1536_queries(emb)
+    exact = (S.brute_force_topk(emb, q, k=10)
+             .localCheckpoint(eager=True))
+    if rung == "pq":
+        approx = S.pq_ann(emb, q, k=10, n_codes=n_codes, n_sub=n_sub,
+                          dim=dim)
+    elif rung == "opq":
+        approx = S.opq_ann(emb, q, k=10, n_codes=n_codes, n_sub=n_sub,
+                           dim=dim)
+    else:
+        approx = S.ivfpq_ann(emb, q, k=10, n_centroids=8, nprobe=4,
+                             n_codes=n_codes, n_sub=n_sub, dim=dim)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.vec_id") == F.col("a.vec_id")), "left")
+    out = (hits.groupBy(F.col("e.query_id").alias("query_id"))
+           .agg(F.count(F.col("a.vec_id")).cast("long").alias("n_hits"))
+           .select("query_id", "n_hits",
+                   F.round(F.col("n_hits") / 10, 6).alias("recall"))
+           .localCheckpoint(eager=True))
+    mean = out.agg(F.avg("recall")).collect()[0][0]
+    print(f"    [dim1536/{rung}] n_sub={n_sub} n_codes={n_codes} "
+          f"mean recall@10 = {mean:.2f}", flush=True)
+    return out
+
+
 # measurement-only variants that are not contract keys
 EXTRA_KEYS = {
     "corpus_decontaminate_semantic_fixedeval": _semantic_decon_fixed,
     "dedup_embedding_lsh_autoplanes": _embedding_lsh_autoplanes,
+    "ann_pq256_dim1536": lambda s, d: _dim1536_recall(s, d, "pq"),
+    "ann_opq256_dim1536": lambda s, d: _dim1536_recall(s, d, "opq"),
+    "ann_ivfpq_dim1536": lambda s, d: _dim1536_recall(s, d, "ivfpq"),
 }
 
 
