@@ -2404,6 +2404,148 @@ _BOOL_CLAUSES = [
 ]
 
 
+# two-level boolean tree: each row is (query_id, sub_id, clause,
+# qtype, value) — q0 mixes a must PHRASE with a should term and a
+# must_not term; q1 conjoins a FUZZY rewrite (tabl -> table, 1 edit)
+# with a term; q2 is pure-should with a PREFIX expansion; q3 excludes
+# by a must_not PHRASE
+_TREE_SUBQUERIES = [
+    (0, 0, "must", "phrase", "table hash"),
+    (0, 1, "should", "term", "join"),
+    (0, 2, "must_not", "term", "zebra"),
+    (1, 0, "must", "fuzzy", "tabl"),
+    (1, 1, "must", "term", "join"),
+    (2, 0, "should", "prefix", "cust"),
+    (2, 1, "should", "term", "window"),
+    (3, 0, "must", "term", "stream"),
+    (3, 1, "must_not", "phrase", "slow hash"),
+]
+
+
+def q_text_query_tree(spark, sf_dir):
+    """Composable boolean TREE over typed sub-queries (round 13 —
+    store/text_index.TextIndex.query_tree, Lucene's BooleanQuery over
+    sub-queries): must:[phrase], should:[fuzzy/prefix rewrites], etc.
+    compose behind ONE entry point reusing one tbucket-pruned posting
+    read for every leaf — the composition layer the separate
+    phrase/fuzzy/prefix entry points could not give.  Qualification
+    is boolean algebra at sub-query granularity (phrase leaves match
+    positionally); scoring is BM25 over the must+should expansions,
+    sharing retrieval.score_tf verbatim.  The oracle hand-composes
+    the same two-level tree in SQL — proving tree ≡ composition."""
+    idx = _shared_text_index(spark, sf_dir)
+    sq = spark.createDataFrame(
+        _TREE_SUBQUERIES,
+        "query_id long, sub_id long, clause string, "
+        "qtype string, value string")
+    return idx.query_tree(sq, k=10)
+
+
+def _sql_text_query_tree(k: int = 10) -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+    clause_vals = ", ".join(f"({q}, {s}, '{c}')"
+                            for q, s, c, _t, _v in _TREE_SUBQUERIES)
+    fuzzy_exp = ("select term from vocab where "
+                 "levenshtein(term, 'tabl') <= 1 "
+                 "and substr(term, 1, 1) = 't'")
+    prefix_exp = "select term from vocab where term like 'cust%'"
+    return f"""
+with tok as (select doc_id, {toks} as ts from documents),
+flat as (select doc_id, unnest(ts) as term, len(ts) as dl from tok),
+stats as (select count(*) as n_docs, sum(len(ts)) as total_len
+          from tok),
+vocab as (select distinct term from flat),
+tf as (select doc_id, term, count(*) as tf, min(dl) as dl
+       from flat group by doc_id, term),
+clauses as (select * from (values {clause_vals})
+            as v(query_id, sub_id, clause)),
+mem as (
+  select 0 as query_id, 0 as sub_id, 'must' as clause, t.term
+  from (values ('table'), ('hash')) t(term)
+  union all select 0, 1, 'should', 'join'
+  union all select 0, 2, 'must_not', 'zebra'
+  union all select 1, 0, 'must', term from ({fuzzy_exp})
+  union all select 1, 1, 'must', 'join'
+  union all select 2, 0, 'should', term from ({prefix_exp})
+  union all select 2, 1, 'should', 'window'
+  union all select 3, 0, 'must', 'stream'
+  union all select 3, 1, 'must_not', t.term
+  from (values ('slow'), ('hash')) t(term)),
+hits as (
+  select 0 as query_id, 0 as sub_id, doc_id from tok,
+         unnest(generate_series(1, len(ts) - 1)) as t(i)
+   where ts[i] = 'table' and ts[i+1] = 'hash'
+  union
+  select 0, 1, doc_id from tf where term = 'join'
+  union
+  select 0, 2, doc_id from tf where term = 'zebra'
+  union
+  select 1, 0, doc_id from tf where term in ({fuzzy_exp})
+  union
+  select 1, 1, doc_id from tf where term = 'join'
+  union
+  select 2, 0, doc_id from tf where term in ({prefix_exp})
+  union
+  select 2, 1, doc_id from tf where term = 'window'
+  union
+  select 3, 0, doc_id from tf where term = 'stream'
+  union
+  select 3, 1, doc_id from tok,
+         unnest(generate_series(1, len(ts) - 1)) as t(i)
+   where ts[i] = 'slow' and ts[i+1] = 'hash'),
+h as (select distinct hits.query_id, hits.sub_id, hits.doc_id,
+             c.clause
+      from hits join clauses c using (query_id, sub_id)),
+nmust as (select query_id, count(distinct sub_id) as n_must
+          from clauses where clause = 'must' group by query_id),
+cand_must as (
+  select h.query_id, h.doc_id
+  from h join nmust n using (query_id)
+  where h.clause = 'must'
+  group by h.query_id, h.doc_id, n.n_must
+  having count(distinct h.sub_id) = n.n_must),
+cand_should as (
+  select distinct query_id, doc_id from h
+  where clause = 'should'
+    and query_id not in (select query_id from nmust)),
+excl as (select distinct query_id, doc_id from h
+         where clause = 'must_not'),
+cand as (
+  select * from (select * from cand_must
+                 union all select * from cand_should) c
+  where not exists (select 1 from excl e
+                    where e.query_id = c.query_id
+                      and e.doc_id = c.doc_id)),
+qt as (select distinct query_id, term from mem
+       where clause <> 'must_not'),
+dfr as (select term, count(*) as df from tf group by term),
+contrib as (
+  select qt.query_id, tf.doc_id,
+         cast(floor(
+           (cast(round(ln((((2.0 * (s.n_docs - dfr.df)) + 1.0)
+                           / ((2.0 * dfr.df) + 1.0)) + 1.0)
+                       * 1000000.0) as bigint)
+            * (22.0 * (tf.tf * s.total_len)))
+           / (((10.0 * (s.total_len * tf.tf)) + (3.0 * s.total_len))
+              + (9.0 * (tf.dl * s.n_docs)))) as bigint) as c_micro
+  from qt
+  join tf using (term)
+  join dfr using (term), stats s),
+agg as (
+  select query_id, doc_id, cast(count(*) as bigint) as n_terms,
+         cast(sum(c_micro) as bigint) as score_micro
+  from contrib
+  join cand using (query_id, doc_id)
+  group by query_id, doc_id),
+r as (select *, cast(row_number() over (partition by query_id
+            order by score_micro desc, doc_id) as int) as rank
+      from agg)
+select query_id, doc_id, n_terms, score_micro, rank
+from r where rank <= {k}
+"""
+
+
 def q_text_boolean_search(spark, sf_dir):
     """Boolean retrieval (Lucene BooleanQuery) over the persisted
     inverted index — store/text_index.TextIndex.boolean_search: must
@@ -12134,6 +12276,7 @@ def queries():
         # therefore lives OUT of the driver's hash-checked head-50,
         # beside its ann_nsw twin) --
         "store_concurrent_merge": q_store_concurrent_merge,
+        "text_query_tree": q_text_query_tree,
         # -- new round-12 keys --
         "ann_pq_wide": q_ann_pq_wide,
         "store_data_skipping": q_store_data_skipping,
@@ -12596,6 +12739,7 @@ from c
         "store_versioned_diff": _sql_store_versioned_diff(),
         "store_versioned_restore": _sql_store_versioned_restore(),
         "text_boolean_search": _sql_text_boolean_search(),
+        "text_query_tree": _sql_text_query_tree(),
         "text_prefix_search": _sql_text_prefix_search(),
         "text_fuzzy_search": _sql_text_fuzzy_search(),
         "text_search_facets": _sql_text_search_facets(),

@@ -794,6 +794,158 @@ class TextIndex:
                   .join(cand, ["query_id", "doc_id"], "left_semi"))
         return retrieval.rank_topk(scored, k)
 
+    def query_tree(self, subqueries: DataFrame, k: int = 10,
+                   max_edits: int = 1, prefix_len: int = 1,
+                   checkpoint: bool = True) -> DataFrame:
+        """Composable BOOLEAN TREE over typed sub-queries (round 13 —
+        Lucene's BooleanQuery over arbitrary sub-queries, the
+        composition layer the separate phrase/fuzzy/prefix entry
+        points lacked): ``subqueries`` is (query_id, sub_id, clause,
+        qtype, value) with clause in {'must', 'should', 'must_not'}
+        and qtype in {'term', 'phrase', 'fuzzy', 'prefix'} — a
+        two-level tree whose root is the boolean over sub-queries and
+        whose leaves are the sub-query matchers:
+
+        - 'term'    value = one term; matches docs containing it;
+        - 'phrase'  value = space-joined terms; matches docs holding
+          them CONSECUTIVELY (the phrase_search position algebra);
+        - 'fuzzy'   value = a term; Lucene FuzzyQuery rewrite — docs
+          containing ANY indexed term within ``max_edits`` sharing
+          the first ``prefix_len`` chars;
+        - 'prefix'  value = a prefix; docs containing any indexed
+          term starting with it.
+
+        A doc qualifies when it matches EVERY must sub-query (or ≥ 1
+        should sub-query for a query with no must clauses) and NO
+        must_not sub-query; qualifying docs are BM25-ranked over the
+        DISTINCT expanded terms of the must+should sub-queries (a
+        phrase contributes its constituent terms; must_not never
+        scores) — the boolean_search scoring discipline, so output is
+        (query_id, doc_id, n_terms, score_micro, rank).
+
+        Plan: fuzzy/prefix rewrite reads only the vocab-sized term
+        dictionaries against the broadcast sub-query batch; then ONE
+        tbucket-pruned posting read (positions included) serves every
+        leaf — qualification is candidate-sized boolean algebra at
+        sub_id granularity, scoring shares retrieval.score_tf
+        verbatim.  At 100 TB nothing beyond the expanded terms'
+        posting buckets is read."""
+        sq = (subqueries.select("query_id", "sub_id", "clause",
+                                "qtype", "value").distinct()
+              .localCheckpoint(eager=True))
+        struct = sq.collect()           # a query batch: metadata-sized
+        bad = {r["qtype"] for r in struct} \
+            - {"term", "phrase", "fuzzy", "prefix"}
+        if bad:
+            raise ValueError(f"unknown sub-query qtype(s): {sorted(bad)}")
+        clause_of = {(r["query_id"], r["sub_id"]): r["clause"]
+                     for r in struct}
+        # direct members: term + phrase leaves expand driver-side
+        direct = []
+        for r in struct:
+            if r["qtype"] == "term":
+                direct.append((r["query_id"], r["sub_id"],
+                               r["value"], None))
+            elif r["qtype"] == "phrase":
+                for o, t in enumerate(r["value"].split()):
+                    direct.append((r["query_id"], r["sub_id"], t, o))
+        members = self.spark.createDataFrame(
+            direct, "query_id long, sub_id long, term string, offset int")
+        # dictionary rewrites: fuzzy (Levenshtein on vocab) and prefix
+        vocab = self._dict_df().select("term").distinct()
+        fz = sq.filter(F.col("qtype") == "fuzzy").select(
+            "query_id", "sub_id", F.col("value").alias("qterm"))
+        if fz.take(1):
+            cond = (F.levenshtein(F.col("term"), F.col("qterm"))
+                    <= F.lit(max_edits))
+            if prefix_len > 0:
+                cond = cond & (
+                    F.substring(F.col("term"), 1, prefix_len)
+                    == F.substring(F.col("qterm"), 1, prefix_len))
+            members = members.unionByName(
+                vocab.join(F.broadcast(fz), cond)
+                .select("query_id", "sub_id", "term",
+                        F.lit(None).cast("int").alias("offset")))
+        px = sq.filter(F.col("qtype") == "prefix").select(
+            "query_id", "sub_id", F.col("value").alias("pfx"))
+        if px.take(1):
+            members = members.unionByName(
+                vocab.join(F.broadcast(px),
+                           F.col("term").startswith(F.col("pfx")))
+                .select("query_id", "sub_id", "term",
+                        F.lit(None).cast("int").alias("offset")))
+        members = members.distinct().localCheckpoint(eager=True)
+        # ONE pruned posting read serves every leaf (tf+dl for
+        # scoring, positions for the phrase algebra)
+        tb = [r[0] for r in members
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        live = self._live(
+            self._postings().filter(F.col("tbucket").isin(tb))
+            .join(F.broadcast(members.select("term").distinct()),
+                  "term", "left_semi")
+            .select("doc_id", "term", "tf", "dl", "pos", "seg"))
+        if checkpoint:
+            live = live.localCheckpoint(eager=True)
+        # per-sub-query qualification -> (query_id, sub_id, doc_id)
+        mem_np = members.filter(F.col("offset").isNull()) \
+            .select("query_id", "sub_id", "term")
+        hits = (live.join(F.broadcast(mem_np), "term")
+                .select("query_id", "sub_id", "doc_id").distinct())
+        ph = members.filter(F.col("offset").isNotNull())
+        if ph.take(1):
+            need = (ph.groupBy("query_id", "sub_id")
+                    .agg(F.countDistinct("offset").alias("n_off")))
+            aligned = (live.select("doc_id", "term",
+                                   F.explode("pos").alias("p"))
+                       .join(F.broadcast(ph), "term")
+                       .select("query_id", "sub_id", "doc_id", "offset",
+                               (F.col("p") - F.col("offset"))
+                               .alias("base"))
+                       .filter(F.col("base") >= 0))
+            ph_hits = (aligned
+                       .groupBy("query_id", "sub_id", "doc_id", "base")
+                       .agg(F.countDistinct("offset").alias("n"))
+                       .join(F.broadcast(need), ["query_id", "sub_id"])
+                       .filter(F.col("n") == F.col("n_off"))
+                       .select("query_id", "sub_id", "doc_id")
+                       .distinct())
+            hits = hits.unionByName(ph_hits)
+        h = hits.join(F.broadcast(sq.select("query_id", "sub_id",
+                                            "clause")),
+                      ["query_id", "sub_id"])
+        n_must = (sq.filter(F.col("clause") == "must")
+                  .groupBy("query_id")
+                  .agg(F.countDistinct("sub_id").alias("n_must")))
+        cand_must = (h.filter(F.col("clause") == "must")
+                     .groupBy("query_id", "doc_id")
+                     .agg(F.countDistinct("sub_id").alias("n_hit"))
+                     .join(F.broadcast(n_must), "query_id")
+                     .filter(F.col("n_hit") == F.col("n_must"))
+                     .select("query_id", "doc_id"))
+        no_must = (sq.groupBy("query_id")
+                   .agg(F.sum(F.when(F.col("clause") == "must", 1)
+                              .otherwise(0)).alias("nm"))
+                   .filter(F.col("nm") == 0).select("query_id"))
+        cand_should = (h.filter(F.col("clause") == "should")
+                       .join(F.broadcast(no_must), "query_id",
+                             "left_semi")
+                       .select("query_id", "doc_id").distinct())
+        excl = (h.filter(F.col("clause") == "must_not")
+                .select("query_id", "doc_id").distinct())
+        cand = (cand_must.unionByName(cand_should)
+                .join(excl, ["query_id", "doc_id"], "left_anti"))
+        scoring = self.spark.createDataFrame(
+            [(q, s) for (q, s), c in clause_of.items()
+             if c != "must_not"], "query_id long, sub_id long")
+        score_terms = (members.join(F.broadcast(scoring),
+                                    ["query_id", "sub_id"])
+                       .select("query_id", "term").distinct())
+        scored = (retrieval.score_tf(
+                     live.select("doc_id", "term", "tf", "dl"),
+                     score_terms, self.stats())
+                  .join(cand, ["query_id", "doc_id"], "left_semi"))
+        return retrieval.rank_topk(scored, k)
+
     def prf_search(self, query_terms: DataFrame, k: int = 10,
                    k_fb: int = 3, m: int = 5,
                    checkpoint: bool = True) -> DataFrame:

@@ -1091,3 +1091,64 @@ def test_wand_live_df_map_is_exact(spark, docs, tmp_path):
     # block rows exist for every (query term, segment) that holds it
     assert all(v[0] is not None and v[1] is not None
                for v in blocks.values())
+
+
+def test_query_tree_composes_and_degenerates(spark, docs, qt, tmp_path):
+    """Round-13 verdict item 8 — the boolean tree is COMPOSITION, not a
+    new matcher: (a) a tree whose leaves are all plain terms ranks
+    bit-identically to boolean_search over the same clauses; (b) a
+    must:[phrase] leaf restricts candidates exactly to the positional
+    phrase matches (hand-checked on a pinned corpus); (c) a fuzzy
+    must leaf conjoined with a term leaf equals the hand-composed
+    intersection of fuzzy_search and search candidates."""
+    idx = TextIndex(spark, str(tmp_path / "qt"), n_term_buckets=4,
+                    n_doc_buckets=2)
+    corpus = spark.createDataFrame(
+        [(1, "apple banana cherry durian"),
+         (2, "banana cherry apple apple"),
+         (3, "cherry banana fig"),
+         (4, "apple fig banana cherry"),
+         (5, "durian fig")],
+        "doc_id long, text string")
+    idx.build(corpus)
+    # (a) all-term tree == boolean_search
+    clauses = spark.createDataFrame(
+        [(0, "apple", "must"), (0, "banana", "should"),
+         (0, "durian", "must_not"),
+         (1, "cherry", "should"), (1, "fig", "should")],
+        "query_id long, term string, clause string")
+    tree = spark.createDataFrame(
+        [(0, 0, "must", "term", "apple"),
+         (0, 1, "should", "term", "banana"),
+         (0, 2, "must_not", "term", "durian"),
+         (1, 0, "should", "term", "cherry"),
+         (1, 1, "should", "term", "fig")],
+        "query_id long, sub_id long, clause string, qtype string, "
+        "value string")
+    assert _sorted(idx.query_tree(tree, k=10)) \
+        == _sorted(idx.boolean_search(clauses, k=10))
+    # (b) must:[phrase "banana cherry"]: docs 1, 2, 4 hold the tokens
+    # consecutively in order; doc 3 ("cherry banana fig") does NOT —
+    # the positional restriction term-presence matching cannot make
+    t2 = spark.createDataFrame(
+        [(0, 0, "must", "phrase", "banana cherry")],
+        "query_id long, sub_id long, clause string, qtype string, "
+        "value string")
+    got = {r["doc_id"] for r in idx.query_tree(t2, k=10).collect()}
+    assert got == {1, 2, 4}
+    # (c) fuzzy must ("aple" -> apple) AND term must ("fig") ==
+    # intersection of the two candidate sets (doc 4 only)
+    t3 = spark.createDataFrame(
+        [(0, 0, "must", "fuzzy", "aple"),
+         (0, 1, "must", "term", "fig")],
+        "query_id long, sub_id long, clause string, qtype string, "
+        "value string")
+    got3 = {r["doc_id"] for r in idx.query_tree(t3, k=10).collect()}
+    assert got3 == {4}
+    # empty fuzzy expansion in a must clause -> query matches nothing
+    t4 = spark.createDataFrame(
+        [(0, 0, "must", "fuzzy", "zzzzqqq"),
+         (0, 1, "must", "term", "fig")],
+        "query_id long, sub_id long, clause string, qtype string, "
+        "value string")
+    assert idx.query_tree(t4, k=10).count() == 0
