@@ -1362,6 +1362,29 @@ def q_ann_nsw_persisted(spark, sf_dir):
     return idx.search(_queries_df(emb), k=10, nprobe=2)
 
 
+def q_ann_hnsw(spark, sf_dir):
+    """HNSW proper on the persisted graph layout (round-13 stretch —
+    store/nsw_index.HNSWIndex, Malkov & Yashunin TPAMI 2018): the
+    multi-layer entry-point hierarchy over the persisted per-cell
+    graph — node levels are trailing zeros of the md5 hash (exactly
+    the Geometric(1/2) layer law, zero RNG state), serving descends
+    the tower greedily (beam 1) and beam-searches layer 0 only.
+    Same determinism and storage discipline as ann_nsw_persisted;
+    recall measured vs exact AND vs the single-layer NSW walk in
+    tests/test_similarity.py, and full-probe full-beam search equals
+    exhaustive IVF (the exact-twin ladder).  Rows-only like its
+    family (the walk is not SQL-expressible)."""
+    from document_vector_pipeline_spark.store.nsw_index import HNSWIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(SCRATCH, "ann_hnsw_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = HNSWIndex(spark, path, n_centroids=8, m_links=6, ef=12,
+                    dim=64)
+    idx.build(emb)
+    return idx.search(_queries_df(emb), k=10, nprobe=2)
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF+PQ composed ANN (FAISS IVFADC shape): coarse cells pruned to
     nprobe per query, PQ asymmetric-distance scoring on survivors."""
@@ -12363,6 +12386,7 @@ def _registry():
         # (rows-only keys stay out of the head-50 by contract)
         "ann_nsw": q_ann_nsw,
         "ann_nsw_persisted": q_ann_nsw_persisted,
+        "ann_hnsw": q_ann_hnsw,
         "ann_nsw_recall": q_ann_nsw_recall,
         "source_partitioned": q_source_partitioned,
         "corpus_split": q_corpus_split,

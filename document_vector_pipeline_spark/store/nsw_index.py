@@ -335,3 +335,259 @@ class NSWIndex:
         vector replacement, scheduled by the same cell_stats drift
         metric the IVF rebuild uses."""
         self._build_graph_for(list(cells))
+
+
+def _hnsw_level(h: int, cap: int = 6) -> int:
+    """Deterministic HNSW level assignment: trailing-zero count of the
+    node's md5 hash — a uniform 64-bit hash's trailing zeros are
+    exactly Geometric(1/2), i.e. P(level >= l) = 2^-l, the standard
+    HNSW layer distribution at mL = 1/ln 2 (Malkov & Yashunin 2018)
+    with no RNG state to carry (the determinism discipline every rung
+    here follows).  Capped so a pathological hash cannot build a
+    50-layer tower over a 100-row cell."""
+    u = h & ((1 << 64) - 1)
+    if u == 0:
+        return cap
+    lv = 0
+    while u & 1 == 0 and lv < cap:
+        u >>= 1
+        lv += 1
+    return lv
+
+
+def _hnsw_search_layer(adj_l, V, ids, entries, qv, beam):
+    """Best-first beam over ONE layer's adjacency (``adj_l`` maps node
+    -> neighbor list at this layer; nodes absent from the layer have
+    no entry and are unreachable).  Same exact-int64-L2 / vec_id-tie
+    discipline as nsw_greedy_search, generalized to multiple entry
+    points (the descend hands down one, inserts may seed several)."""
+    import heapq
+
+    best = []
+    cand = []
+    visited = set()
+    for e in entries:
+        if e in visited:
+            continue
+        visited.add(e)
+        d = int(((V[e] - qv) ** 2).sum())
+        heapq.heappush(cand, (d, ids[e], e))
+        best.append((d, ids[e], e))
+    best.sort()
+    del best[beam:]
+    while cand:
+        d, _tie, i = heapq.heappop(cand)
+        if len(best) >= beam and d > best[-1][0]:
+            break
+        for j in adj_l.get(i, ()):
+            if j in visited:
+                continue
+            visited.add(j)
+            dj = int(((V[j] - qv) ** 2).sum())
+            heapq.heappush(cand, (dj, ids[j], j))
+            best.append((dj, ids[j], j))
+            best.sort()
+            if len(best) > beam:
+                best.pop()
+    return best
+
+
+def hnsw_build(V, ids, levels, m_links, ef):
+    """HNSW proper (Malkov & Yashunin, TPAMI 2018) for one cell:
+    insert in the given order; each node descends greedily from the
+    top layer to its own level, then links bidirectionally to its m
+    nearest on every layer it occupies.  Returns (adj, entry) where
+    ``adj[node]`` is a list of per-layer neighbor lists
+    (len = level+1) and ``entry`` is the global entry point (the
+    highest-level node, first-inserted on ties)."""
+    n = len(ids)
+    adj = [[[] for _ in range(levels[i] + 1)] for i in range(n)]
+    if n == 0:
+        return adj, None
+    entry, cur_max = 0, levels[0]
+    for i in range(1, n):
+        ep = [entry]
+        # phase 1: greedy descend (beam 1) through layers above ours
+        for lv in range(cur_max, levels[i], -1):
+            found = _hnsw_search_layer(
+                {j: adj[j][lv] for j in range(i) if levels[j] >= lv},
+                V, ids, ep, V[i], 1)
+            ep = [found[0][2]]
+        # phase 2: link on every layer we occupy, top-down
+        for lv in range(min(levels[i], cur_max), -1, -1):
+            found = _hnsw_search_layer(
+                {j: adj[j][lv] for j in range(i) if levels[j] >= lv},
+                V, ids, ep, V[i], ef)
+            for _d, _vid, j in found[:m_links]:
+                if j == i:
+                    continue
+                adj[i][lv].append(j)
+                adj[j][lv].append(i)
+            ep = [f[2] for f in found]
+        if levels[i] > cur_max:
+            entry, cur_max = i, levels[i]
+    return adj, entry
+
+
+def hnsw_search(adj, levels, entry, V, ids, qv, beam):
+    """Serve path: greedy descend (beam 1) from the entry's top layer
+    to layer 1, then a beam search on layer 0 — the standard HNSW
+    query; returns nsw_greedy_search-shaped (dist, vec_id, idx)."""
+    if entry is None:
+        return []
+    n = len(ids)
+    ep = [entry]
+    for lv in range(levels[entry], 0, -1):
+        found = _hnsw_search_layer(
+            {j: adj[j][lv] for j in range(n) if levels[j] >= lv},
+            V, ids, ep, qv, 1)
+        ep = [found[0][2]]
+    return _hnsw_search_layer(
+        {j: adj[j][0] for j in range(n)}, V, ids, ep, qv, beam)
+
+
+class HNSWIndex(NSWIndex):
+    """Multi-layer HNSW over the same persisted per-cell layout
+    (round-13 stretch — the entry-point hierarchy on top of the
+    persisted single-layer graph): graph rows gain ``level`` and
+    per-layer neighbor lists; serving descends the tower greedily and
+    beam-searches layer 0 only.  Same storage discipline (vectors
+    inline, partition-pruned probes), same determinism (md5 insertion
+    order, trailing-zero levels, int64 distances, vec_id ties), and
+    the same acceptance contract: recall is MEASURED against exact
+    and against the single-layer NSW walk (tests/test_similarity.py);
+    with beam >= cell size layer 0 is exhaustive over the connected
+    cell graph, so full-probe full-beam search equals exhaustive IVF
+    — the family's exact-twin ladder."""
+
+    def _graph_schema(self, id_type: str) -> str:
+        return (f"ord int, vec_id {id_type}, v6 array<long>, "
+                "level int, nbrs array<array<int>>, centroid_id long")
+
+    def _build_graph_for(self, cells: list | None) -> None:
+        base = self.ivf._read_cells()
+        if cells is not None:
+            base = base.filter(F.col("centroid_id").isin(list(cells)))
+        src = base.select(
+            "centroid_id", "vec_id",
+            pq_fixed_point(F.col("v"), self.dim).alias("v6"),
+            md5_long(F.col("vec_id").cast("string")).alias("h"))
+        id_type = self._id_type()
+        m_links, ef = self.m_links, self.ef
+
+        def per_cell(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values(["h", "vec_id"], kind="mergesort")
+            V = np.array(list(pdf["v6"]), dtype=np.int64)
+            ids = list(pdf["vec_id"])
+            levels = [_hnsw_level(int(h)) for h in pdf["h"]]
+            adj, _entry = hnsw_build(V, ids, levels, m_links, ef)
+            return pd.DataFrame({
+                "ord": range(len(ids)), "vec_id": ids,
+                "v6": [list(map(int, v)) for v in V],
+                "level": levels,
+                "nbrs": [[list(map(int, layer)) for layer in a]
+                         for a in adj],
+                "centroid_id": pdf["centroid_id"].iloc[0]})
+
+        rows = src.groupBy("centroid_id").applyInPandas(
+            per_cell, self._graph_schema(id_type))
+        if cells is None:
+            (rows.repartition("centroid_id").write
+             .partitionBy("centroid_id").mode("overwrite")
+             .parquet(self._graph))
+        else:
+            rows = rows.localCheckpoint(eager=True)
+            self.ivf._overwrite_partitions(rows, self._graph,
+                                           "centroid_id", list(cells))
+
+    def search(self, queries: DataFrame, k: int = 10, nprobe: int = 2,
+               qid_col: str = "query_id",
+               qvec_col: str = "query_vec") -> DataFrame:
+        queries = queries.filter(F.col(qvec_col).isNotNull())
+        cents = (self.ivf._read_dir(self.ivf._cents, "cents")
+                 .select("centroid_id", "centroid"))
+        q = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(qvec_col).alias("q"))
+        probes = ivf_probes(q, cents, nprobe)
+        cell_queries: dict = {}
+        for r in probes.collect():
+            cell_queries.setdefault(r["centroid_id"],
+                                    []).append(r["query_id"])
+        q_rows = (queries.select(
+            F.col(qid_col).alias("query_id"),
+            pq_fixed_point(F.col(qvec_col), self.dim).alias("q6"))
+            .collect())
+        import numpy as np
+
+        q6 = {r["query_id"]: np.array(r["q6"], dtype=np.int64)
+              for r in q_rows}
+        ef, k_beam = self.ef, k
+        id_type = self._id_type()
+        graph = self._read_graph().filter(
+            F.col("centroid_id").isin(list(cell_queries))
+            if cell_queries else F.lit(False))
+
+        def per_cell(pdf):
+            import pandas as pd
+            cell = pdf["centroid_id"].iloc[0]
+            qids = cell_queries.get(cell, [])
+            if not qids or pdf.empty:
+                return pd.DataFrame(columns=["query_id", "vec_id"])
+            pdf = pdf.sort_values("ord", kind="mergesort")
+            V = np.array(list(pdf["v6"]), dtype=np.int64)
+            ids = list(pdf["vec_id"])
+            levels = [int(x) for x in pdf["level"]]
+            adj = [[list(layer) for layer in a] for a in pdf["nbrs"]]
+            # the entry point is the highest-level node, first-inserted
+            # on ties — recomputed from persisted state, no extra file
+            entry = max(range(len(ids)),
+                        key=lambda i: (levels[i], -i)) if ids else None
+            rows = []
+            for qid in sorted(qids):
+                qv = q6[qid]
+                for _d, vid, _j in hnsw_search(
+                        adj, levels, entry, V, ids, qv,
+                        max(ef, k_beam)):
+                    rows.append((qid, vid))
+            return pd.DataFrame(rows, columns=["query_id", "vec_id"])
+
+        cand = graph.groupBy("centroid_id").applyInPandas(
+            per_cell, f"query_id long, vec_id {id_type}")
+        probed_cells = list(cell_queries)
+        cells = (self.ivf._read_cells()
+                 .filter(F.col("centroid_id").isin(probed_cells)
+                         if probed_cells else F.lit(False)))
+        exact = (cells.select("vec_id", "v")
+                 .join(F.broadcast(cand), "vec_id")
+                 .join(F.broadcast(q), "query_id")
+                 .withColumn("score",
+                             F.round(cosine_similarity("v", "q"), 6)))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.col("vec_id"))
+        return (exact.select("query_id", "vec_id", "score")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+    def insert(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list:
+        """HNSW maintenance = cell-bounded RE-CANONICALIZATION: the
+        batch routes through IVFIndex.upsert (frozen centroids), then
+        the touched cells rebuild their towers from scratch — an
+        O(cell) cost, not O(batch), which is the honest price of the
+        multi-layer structure (incremental tower insertion changes
+        entry-point history; the single-layer NSWIndex is the O(batch)
+        member of the family)."""
+        new = df.filter(F.col(vec_col).isNotNull())
+        self.ivf.upsert(df, id_col=id_col, vec_col=vec_col)
+        self.ivf._ensure_idmap()
+        touched = sorted({
+            r[0] for r in self.ivf._read_idmap()
+            .join(F.broadcast(new.select(F.col(id_col).alias("vec_id"))),
+                  "vec_id", "left_semi")
+            .select("centroid_id").distinct().collect()})
+        if touched:
+            self.rebuild_cells(touched)
+        return touched

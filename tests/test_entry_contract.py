@@ -17,8 +17,9 @@ ROWS_ONLY = {"ann_bruteforce_np", "mm_features", "mm_frames",
              # tests pin nsw(ef >= cell size) == ivf_ann
              "ann_nsw", "ann_nsw_recall",
              # round 13: the persisted graph serves the SAME walk
-             # (bit-identical to ann_nsw, test-pinned)
-             "ann_nsw_persisted"}
+             # (bit-identical to ann_nsw, test-pinned); the HNSW tower
+             # adds layers over it (full-beam ≡ exhaustive IVF pinned)
+             "ann_nsw_persisted", "ann_hnsw"}
 
 
 def test_survey_section2_matches_queries():

@@ -811,3 +811,64 @@ def test_nsw_persisted_serves_bit_identical_and_maintains(
                        .filter(F.col("centroid_id").isin(touched))
                        .collect()))
     assert canon == again
+
+
+def test_hnsw_tower_exact_twin_and_recall(spark, embeddings_small,
+                                          queries, tmp_path):
+    """Round-13 stretch — HNSW proper on the persisted layout: (a)
+    full-probe full-beam search equals exhaustive IVF (layer 0 is the
+    connected NSW-insert graph, the tower only picks entry points);
+    (b) at serving beams, measured recall@10 vs exact is within the
+    single-layer NSW walk's ballpark (the tower buys hop count, not
+    recall, on bounded cells) and every query retrieves itself at
+    rank 1; (c) deterministic: two builds serve identical results;
+    (d) insert re-canonicalizes only the touched cells and the new
+    ids are served."""
+    from document_vector_pipeline_spark.store.nsw_index import HNSWIndex
+
+    n = embeddings_small.count()
+    full = HNSWIndex(spark, str(tmp_path / "hf"), n_centroids=4,
+                     m_links=6, ef=n, dim=64)
+    full.build(embeddings_small)
+    got = sorted(map(tuple,
+                     full.search(queries, k=10, nprobe=4).collect()))
+    ivf = sorted(map(tuple, S.ivf_ann(
+        embeddings_small, queries, k=10, n_centroids=4,
+        nprobe=4).collect()))
+    assert got == ivf
+
+    idx = HNSWIndex(spark, str(tmp_path / "h1"), n_centroids=4,
+                    m_links=4, ef=12, dim=64)
+    idx.build(embeddings_small)
+    res = idx.search(queries, k=10, nprobe=2)
+    rows = res.collect()
+    first = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert first == {0: 0, 1: 1, 2: 2}
+    exact = {(r["query_id"], r["vec_id"]) for r in S.brute_force_topk(
+        embeddings_small, queries, k=10).collect()}
+    hits = sum((r["query_id"], r["vec_id"]) in exact for r in rows)
+    nsw_rows = S.nsw_ann(embeddings_small, queries, k=10,
+                         n_centroids=4, nprobe=2, m_links=4,
+                         ef=12).collect()
+    nsw_hits = sum((r["query_id"], r["vec_id"]) in exact
+                   for r in nsw_rows)
+    assert hits >= nsw_hits - 5       # tower must not crater recall
+    idx2 = HNSWIndex(spark, str(tmp_path / "h2"), n_centroids=4,
+                     m_links=4, ef=12, dim=64)
+    idx2.build(embeddings_small)
+    assert sorted(map(tuple, rows)) == sorted(map(
+        tuple, idx2.search(queries, k=10, nprobe=2).collect()))
+    new = (embeddings_small.limit(4)
+           .select((F.col("vec_id") + 80000).alias("vec_id"),
+                   "embedding", "label"))
+    touched = idx.insert(new)
+    assert touched and len(touched) <= 4
+    q_new = (new.limit(2)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    perfect = {}
+    for r in idx.search(q_new, k=5, nprobe=2).collect():
+        if r["score"] == 1.0:
+            perfect.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in q_new.select("query_id").collect():
+        assert r["query_id"] in perfect.get(r["query_id"], set())
