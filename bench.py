@@ -210,6 +210,37 @@ def main() -> None:
     bench("ann_binary", lambda: similarity.binary_ann(emb, qdf, k=10))
     bench("ann_nsw", lambda: similarity.nsw_ann(emb, qdf, k=10, nprobe=2,
                                                 ef=12))
+
+    # round 13: persisted graph serving — the build pays the O(n·ef·m)
+    # insert-by-search ONCE; the serve entry walks the persisted
+    # adjacency only (serve ≪ build is the point of the split)
+    from document_vector_pipeline_spark.store.nsw_index import (
+        HNSWIndex,
+        NSWIndex,
+    )
+    nsw_path = os.path.join(ROOT, ".scratch", "bench_nsw")
+    hnsw_path = os.path.join(ROOT, ".scratch", "bench_hnsw")
+
+    def nsw_build():
+        shutil.rmtree(nsw_path, ignore_errors=True)
+        idx = NSWIndex(spark, nsw_path, n_centroids=16, ef=12)
+        idx.build(emb)
+        return idx.search(qdf.limit(1), k=1, nprobe=1)
+
+    bench("ann_nsw_persisted_build", nsw_build)
+    nsw_idx = NSWIndex(spark, nsw_path, n_centroids=16, ef=12)
+    bench("ann_nsw_persisted",
+          lambda: nsw_idx.search(qdf, k=10, nprobe=2))
+
+    def hnsw_build():
+        shutil.rmtree(hnsw_path, ignore_errors=True)
+        idx = HNSWIndex(spark, hnsw_path, n_centroids=16, ef=12)
+        idx.build(emb)
+        return idx.search(qdf.limit(1), k=1, nprobe=1)
+
+    bench("ann_hnsw_build", hnsw_build)
+    hnsw_idx = HNSWIndex(spark, hnsw_path, n_centroids=16, ef=12)
+    bench("ann_hnsw", lambda: hnsw_idx.search(qdf, k=10, nprobe=2))
     bench("emb_mrl_recall",
           lambda: similarity.mrl_recall(emb, qdf, k=10, dims=(8, 32)))
 
@@ -489,6 +520,14 @@ def main() -> None:
          (2, "zebra", "must_not")],
         "query_id long, term string, clause string")
     bench("text_boolean_search", lambda: ti.boolean_search(bool_qt, k=10))
+    # round 13: the boolean TREE over typed sub-queries (phrase/fuzzy/
+    # prefix leaves) through the same pruned posting read
+    from document_vector_pipeline_spark.contract import _TREE_SUBQUERIES
+    tree_qt = spark.createDataFrame(
+        _TREE_SUBQUERIES,
+        "query_id long, sub_id long, clause string, qtype string, "
+        "value string")
+    bench("text_query_tree", lambda: ti.query_tree(tree_qt, k=10))
     prefix_qt = spark.createDataFrame(
         [(0, "s"), (1, "c"), (2, "ba"), (3, "f")],
         "query_id long, prefix string")
@@ -640,6 +679,13 @@ def main() -> None:
                     ("events_type_entropy", q_events_type_entropy)):
         bench(key, lambda fn=fn: fn(spark, SF_DIR))
 
+    # round 13: the two-writer no-lost-commit merge (OCC rebase path)
+    from document_vector_pipeline_spark.contract import (
+        q_store_concurrent_merge,
+    )
+    bench("store_concurrent_merge",
+          lambda: q_store_concurrent_merge(spark, SF_DIR))
+
     # round-11: stream-static as-of enrichment (3 microbatches against
     # the versioned customer dimension, exactly the contract key)
     from document_vector_pipeline_spark.contract import q_stream_dim_join
@@ -787,6 +833,10 @@ def main() -> None:
     # corpus), so bench the build and leave pairs to the sf0.01 oracle
     bench("mm_phash", lambda: multimodal.phash(
         multimodal.documents_as_assets(docs)))
+    # round 13: the PIXEL-domain hash build (real PNG codec round trip
+    # per asset) — the pair join stays corpus-duplication-bound like
+    # mm_phash's, so the per-asset hash cost is the benched stage
+    bench("mm_phash_pixel", lambda: multimodal.doc_phash_luma(docs))
     # asset-embedding seam + embedding-leg near-dup (client stage is
     # map-only; the pair stage is embedding_neardup_auto's measured
     # strategy dispatch — blocked exact BLAS at this corpus size,

@@ -602,13 +602,23 @@ class VersionedTable:
             except _ManifestExists:
                 v = self.latest() + 1
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
+    def vacuum(self, keep_last: int = 1,
+               orphan_grace_ms: int = 3_600_000) -> list[int]:
         """Drop all but the newest ``keep_last`` versions: delete their
         manifests, then every data dir no kept manifest references.
         TAGGED versions are always kept (retention cannot break a
         lineage pin — delete the tag first to release it).  Returns the
         dropped version numbers.  All deletes go through the Hadoop
-        FileSystem — object-store-safe."""
+        FileSystem — object-store-safe.
+
+        Orphan reclaim (round 13): data/dv dirs referenced by NO
+        manifest — a conflict-loser's write, or a crash between data
+        write and manifest put — are deleted too, but only when older
+        than ``orphan_grace_ms``: an IN-FLIGHT writer's dir looks
+        identical to an orphan until its manifest publishes, so the
+        grace window is what keeps vacuum safe to run beside live
+        writers (Delta's retention-check discipline, applied to
+        unpublished files)."""
         vs = self.versions()
         tagged = set(self.tags().values())
         drop = [v for v in vs[:-keep_last] if v not in tagged]
@@ -632,7 +642,10 @@ class VersionedTable:
         # reclaim ORPHANED data dirs: a writer that lost its commit race
         # (ConcurrentCommitError) wrote dirs no manifest ever published —
         # referenced by neither kept (live) nor dropped (dead) manifests
+        import time as _time
+
         referenced = {self._resolve(d) for d in live | dead}
+        now_ms = int(_time.time() * 1000)
         for sub in ("data", "dv"):
             if not fs.exists(self._jpath(sub)):
                 continue
@@ -640,6 +653,8 @@ class VersionedTable:
                 p = f"{sub}/{st.getPath().getName()}"
                 if not st.isDirectory():
                     continue
+                if now_ms - st.getModificationTime() < orphan_grace_ms:
+                    continue      # possibly an in-flight writer's dir
                 # a bucketed manifest references LEAF dirs
                 # (data/vN-tok/__pb=B) — a parent is orphaned only
                 # when it is not referenced itself AND none of its

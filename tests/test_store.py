@@ -1749,7 +1749,9 @@ def test_vacuum_rebuilds_checkpoint_and_reclaims_orphans(spark, tmp_path):
     assert n_data_before > len({d.split("/")[1] for v in t.versions()
                                 for d in t._manifest(v)["dirs"]}) \
         or n_data_before >= len(live_dirs)
-    dropped = t.vacuum(keep_last=2)
+    # grace 0: the test's orphan IS freshly written; production default
+    # (1 h) is what makes vacuum safe beside in-flight writers
+    dropped = t.vacuum(keep_last=2, orphan_grace_ms=0)
     assert dropped
     # checkpoint rebuilt: versions()/read() exact without full listing
     import types

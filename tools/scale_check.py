@@ -178,8 +178,42 @@ def _dim1536_recall(spark, sf_dir, rung: str):
     return out
 
 
+def _nsw_persisted_split(spark, sf_dir):
+    """Round-13 decade row for the PERSISTED graph rung, split into
+    its two phases: the O(n·ef·m) per-cell build (paid once) and the
+    serve walk against the persisted adjacency (paid per query batch).
+    The harness line shows build+serve; the printed split is the
+    datum — serve must stay flat across the decade while build grows
+    with the corpus, which is exactly why the round-12 per-call-build
+    nsw_ann was the verdict's weak item."""
+    import shutil as _sh
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from document_vector_pipeline_spark.store.nsw_index import NSWIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (emb.orderBy("vec_id").limit(5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    path = "/tmp/scale_nsw_idx"
+    _sh.rmtree(path, ignore_errors=True)
+    idx = NSWIndex(spark, path, n_centroids=8, m_links=6, ef=12, dim=64)
+    t0 = _t.monotonic()
+    idx.build(emb)
+    t_build = _t.monotonic() - t0
+    t0 = _t.monotonic()
+    out = idx.search(q, k=10, nprobe=2).localCheckpoint(eager=True)
+    t_serve = _t.monotonic() - t0
+    print(f"    [nsw_persisted] build={t_build:.2f}s "
+          f"serve={t_serve:.2f}s", flush=True)
+    return out
+
+
 # measurement-only variants that are not contract keys
 EXTRA_KEYS = {
+    "ann_nsw_persisted_split": _nsw_persisted_split,
     "corpus_decontaminate_semantic_fixedeval": _semantic_decon_fixed,
     "dedup_embedding_lsh_autoplanes": _embedding_lsh_autoplanes,
     "ann_pq256_dim1536": lambda s, d: _dim1536_recall(s, d, "pq"),
