@@ -403,14 +403,40 @@ def pq_fixed_point(vec, dim: int):
     the exact-integer domain every PQ computation below lives in (integer
     distances / dots are associative, so results are invariant to plan
     shape and bit-identical across engines; same idiom as label_centroids
-    and the store's quantized search)."""
+    and the store's quantized search).
+
+    The doubled array and its norm are bound ONCE through
+    functions/expr.bound (round 13): the naive form inlined the O(dim)
+    sum-of-squares into every element of the output transform, making
+    the expression O(dim²) per row — invisible at dim=64 (4k ops), a
+    2.4M-op-per-row cliff at the production dim=1536 (the exact
+    landmine normalize/quantize_int8 already guard against).
+    Value-identical: same left-fold accumulation order, same
+    per-element rounding.
+
+    The zero-vector guard binds as a SAFE DIVISOR (nrm == 0 → 1.0,
+    and x / 1.0 ≡ x in IEEE) rather than a per-element CASE WHEN: a
+    `when` that references an outer bound lambda variable inside a
+    nested HOF lambda defeats Spark's Python-UDF extraction (the OPQ
+    rotation UDF then lands in an InterpretedUnsafeProjection and
+    throws INTERNAL_ERROR — observed on Spark 4.1, pinned in
+    tests/test_similarity.py)."""
+    from document_vector_pipeline_spark.functions.expr import bound
+
     vd = F.transform(vec, lambda x: x.cast("double"))
-    ss = F.aggregate(F.zip_with(vd, vd, lambda a, b: a * b),
-                     F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(ss)
-    return F.transform(
-        vd, lambda x: F.round(F.when(nrm == 0, x).otherwise(x / nrm) * 1e6, 0)
-                       .cast("long"))
+
+    def _nrm(v):
+        return F.sqrt(F.aggregate(v, F.lit(0.0),
+                                  lambda acc, x: acc + x * x))
+
+    # the CASE WHEN lives in the bound VALUE (its branches re-derive
+    # the O(dim) norm, so the guard costs one extra fold per row, not
+    # one per element) — putting it inside ANY lambda body re-triggers
+    # the extraction bug above
+    return bound(vd, lambda v: bound(
+        F.when(_nrm(v) == 0, F.lit(1.0)).otherwise(_nrm(v)),
+        lambda sn: F.transform(
+            v, lambda x: F.round(x / sn * 1e6, 0).cast("long"))))
 
 
 def pq_codebook(corpus: DataFrame, n_codes: int = 16, dim: int = 64,
@@ -447,16 +473,24 @@ def pq_codebook(corpus: DataFrame, n_codes: int = 16, dim: int = 64,
     you train on a sampled slice like FAISS does — the pass count, not
     the corpus, is the knob."""
     fp = fp or (lambda c: pq_fixed_point(c, dim))
-    base = (_live_vectors(corpus, vec_col)
-            .select(fp(F.col(vec_col)).alias("v6"),
-                    md5_long(F.col(id_col).cast("string")).alias("h"),
-                    F.col(id_col).alias("i")))
-    rows = (base.orderBy("h", "i").limit(n_codes)
-            .select("v6").collect())
+    live = _live_vectors(corpus, vec_col)
+    # the seed cut runs BEFORE the fixed-point transform and is
+    # materialized (n_codes rows) so the transform never rides inside
+    # a TakeOrderedAndProject — an Arrow UDF there (opq's rotation)
+    # cannot be evaluated by the JVM-side interpreted projection
+    # (round 13; also avoids transforming the whole corpus just to
+    # keep 256 rows)
+    seeds = (live.select(F.col(vec_col).alias("_v"),
+                         md5_long(F.col(id_col).cast("string")).alias("h"),
+                         F.col(id_col).alias("i"))
+             .orderBy("h", "i").limit(n_codes)
+             .localCheckpoint(eager=True))
+    rows = seeds.select(fp(F.col("_v")).alias("v6")).collect()
     cb = [list(r["v6"]) for r in rows]
     if not cb or iters <= 0 or not n_sub:
         return cb
-    return _pq_lloyd(base.select("v6"), cb, n_sub, dim // n_sub, iters)
+    return _pq_lloyd(live.select(fp(F.col(vec_col)).alias("v6")),
+                     cb, n_sub, dim // n_sub, iters)
 
 
 def _pq_lloyd(vdf: DataFrame, cb: list[list[int]], n_sub: int,
@@ -578,6 +612,65 @@ def make_wht_rotate_udf(dim: int):
     return rot_udf
 
 
+def np_fixed_point_fn():
+    """Factory for the numpy replay of ``pq_fixed_point``,
+    BIT-IDENTICAL by construction: sequential cumsum for the
+    left-assoc sum of squares (the _assign_np precedent), HALF_UP
+    shortest-repr rounding for Round(_, 0) (the py_round6_np
+    discipline at scale 1), safe-divisor zero guard (x / 1.0 ≡ x).
+    Returned as a CLOSURE so cloudpickle ships it by value — every
+    Arrow consumer that must not take the expression form as its UDF
+    input (the Spark 4.1 extraction bug in pq_fixed_point's
+    docstring) builds its copy from here."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def fp(a) -> "np.ndarray":
+        a = np.asarray(a, dtype=np.float64)
+        ss = float(np.cumsum(a * a)[-1]) if a.size else 0.0
+        nrm = math.sqrt(ss)
+        t = a / (1.0 if nrm == 0.0 else nrm) * 1e6
+        absd = np.abs(t)
+        flo = np.floor(absd)
+        out = np.sign(t) * np.floor(absd + 0.5)
+        sus = np.nonzero(np.abs(absd - flo - 0.5) < 1e-9)[0]
+        for i in sus:
+            out[i] = float(Decimal(repr(float(t[i])))
+                           .quantize(Decimal("1"),
+                                     rounding=ROUND_HALF_UP))
+        return out.astype(np.int64)
+
+    return fp
+
+
+def make_opq_fixed_point_udf(dim: int):
+    """FUSED Arrow OPQ preprocessing: raw float vector → fixed-point
+    normalize (np_fixed_point_fn) → integer WHT rotation, in ONE
+    pandas UDF.  Exists because composing the rotate UDF OVER the
+    bound-form normalize EXPRESSION trips the Spark 4.1
+    Python-UDF-extraction bug (see pq_fixed_point); fusing removes
+    the UDF-over-HOF composition and saves an Arrow round trip."""
+    import numpy as np
+
+    S = np.array(wht_signs(dim), dtype=np.int64)
+    np_fp = np_fixed_point_fn()
+
+    @F.pandas_udf("array<long>")
+    def opq_fp_udf(vecs):
+        import pandas as _pd
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            out.append([int(x) for x in np_fp(v) @ S])
+        return _pd.Series(out)
+
+    return opq_fp_udf
+
+
 def opq_fixed_point(vec, dim: int, use_udf: bool = True):
     """The OPQ-family preprocessing: fixed-point normalize, then rotate
     by the Walsh–Hadamard isometry — OPQ (Ge et al., CVPR 2013) with
@@ -590,11 +683,15 @@ def opq_fixed_point(vec, dim: int, use_udf: bool = True):
     TRAINED variance-balancing permutation measured 0.22–0.28 and was
     rejected.  Entirely in the integer domain (rotated units are
     dim⁻¹·1e-6): signed int64 sums, nothing rounds, the oracle replays
-    it relationally via bit_count parity."""
-    v6 = pq_fixed_point(vec, dim)
+    it relationally via bit_count parity.
+
+    The Arrow path runs normalize + rotate FUSED in one UDF
+    (make_opq_fixed_point_udf — the Spark 4.1 extraction-bug
+    workaround and one fewer Arrow hop); the expression path stays
+    the compositional twin the equality test pins it against."""
     if use_udf:
-        return make_wht_rotate_udf(dim)(v6)
-    return wht_rotate_expr(v6, dim)
+        return make_opq_fixed_point_udf(dim)(vec)
+    return wht_rotate_expr(pq_fixed_point(vec, dim), dim)
 
 
 def make_pq_score_udf(cb: list[list[int]], lut: dict, n_sub: int, sub: int):
@@ -604,20 +701,24 @@ def make_pq_score_udf(cb: list[list[int]], lut: dict, n_sub: int, sub: int):
     integer.  One vectorized pass replaces ~n_sub*n_codes*sub codegen'd
     multiply-adds per row (the expression tree compiles slowly and runs
     interpreted-fold speed); returns array<long> of per-query iscores in
-    sorted-query-id order."""
+    sorted-query-id order.  Takes the RAW vector and replays the
+    fixed-point in numpy (np_fixed_point_fn) — an expression-form v6
+    input would collapse into the UDF argument and trip the Spark 4.1
+    extraction bug (see pq_fixed_point)."""
     import numpy as np
 
     cbm = np.array(cb, dtype=np.int64)              # (C, dim)
     qids = sorted(lut)
     # (Q, n_sub, C) lookup of integer dots
     lutm = np.array([lut[q] for q in qids], dtype=np.int64)
+    np_fp = np_fixed_point_fn()
 
     @F.pandas_udf("array<long>")
-    def score_udf(v6s):
+    def score_udf(vs):
         import pandas as _pd
         out = []
-        for v in v6s:
-            a = np.asarray(v, dtype=np.int64)
+        for v in vs:
+            a = np_fp(v)
             codes = np.empty(n_sub, dtype=np.int64)
             for m in range(n_sub):
                 d = a[m * sub:(m + 1) * sub] - cbm[:, m * sub:(m + 1) * sub]
@@ -806,9 +907,8 @@ def ivfpq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cells = probes.select("centroid_id").distinct()
     cand = assigned.join(F.broadcast(cells), "centroid_id")
     scored_all = (cand
-                  .withColumn("v6", pq_fixed_point(F.col("v"), dim))
                   .select("vec_id", "centroid_id",
-                          F.posexplode(score_udf(F.col("v6")))
+                          F.posexplode(score_udf(F.col("v")))
                           .alias("pos", "i"))
                   .select("vec_id", "centroid_id",
                           F.element_at(qid_arr, F.col("pos") + 1)

@@ -572,19 +572,27 @@ class IVFIndex:
         import numpy as np
 
         from document_vector_pipeline_spark.operators.similarity import (
-            opq_fixed_point,
-            pq_fixed_point,
+            np_fixed_point_fn,
+            wht_signs,
         )
 
         sub = dim // n_sub
         cbm = np.array(cb, dtype=np.int64)
+        S = np.array(wht_signs(dim), dtype=np.int64) if rotate else None
+        np_fp = np_fixed_point_fn()
 
+        # the encode UDF takes the RAW vector and replays the
+        # fixed-point (+ optional rotation) in numpy — feeding it the
+        # expression form would collapse into its input and trip the
+        # Spark 4.1 UDF-extraction bug (similarity.pq_fixed_point)
         @F.pandas_udf("array<int>")
-        def encode(v6s):
+        def encode(vs):
             import pandas as pd
             out = []
-            for v in v6s:
-                a = np.asarray(v, dtype=np.int64)
+            for v in vs:
+                a = np_fp(v)
+                if S is not None:
+                    a = a @ S
                 codes = []
                 for m in range(n_sub):
                     d = (a[m * sub:(m + 1) * sub]
@@ -593,11 +601,7 @@ class IVFIndex:
                 out.append(codes)
             return pd.Series(out)
 
-        v6 = (opq_fixed_point(F.col("v"), dim) if rotate
-              else pq_fixed_point(F.col("v"), dim))
-        return (df.withColumn("__v6", v6)
-                .withColumn("pq_codes", encode(F.col("__v6")))
-                .drop("__v6"))
+        return df.withColumn("pq_codes", encode(F.col("v")))
 
     def search_many_adc(self, queries: DataFrame, k: int = 10,
                         nprobe: int = 4, n_sub: int = 8, dim: int = 64,

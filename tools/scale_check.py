@@ -111,12 +111,16 @@ def _embedding_lsh_autoplanes(spark, sf_dir):
                                      tables=tables, dim=64)
 
 
-def _emb1536(spark, sf_dir):
+def _emb1536(spark, sf_dir, dim: int = 1536):
     """Production-dimension synthetic corpus (round-13 verdict item 5):
     dim=1536 hash-trick embeddings of the documents text (the same
     Arrow embedder the pipeline uses at its reference parity dim), so
     ANN recall/wall is MEASURED at the width the store keys claim
-    instead of extrapolated ×24 from the 64-dim testdata."""
+    instead of extrapolated ×24 from the 64-dim testdata.  The OPQ
+    rung measures at dim=2048 (the structured WHT rotation needs a
+    power-of-two dim; a production 1536-dim OPQ would train an
+    unstructured R — FAISS's default — which is outside the
+    deterministic-oracle discipline here)."""
     from pyspark.sql import functions as F
 
     from document_vector_pipeline_spark.operators.embed import (
@@ -124,9 +128,10 @@ def _emb1536(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    embed = make_embed_udf(1536)
+    embed = make_embed_udf(dim)
     return (docs.select(F.col("doc_id").alias("vec_id"),
                         embed(F.col("text")).alias("embedding"))
+            .repartition(spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True))
 
 
@@ -149,8 +154,9 @@ def _dim1536_recall(spark, sf_dir, rung: str):
 
     from document_vector_pipeline_spark.operators import similarity as S
 
-    dim, n_sub, n_codes = 1536, 192, 256
-    emb = _emb1536(spark, sf_dir)
+    dim = 2048 if rung == "opq" else 1536   # WHT needs a power of two
+    n_sub, n_codes = dim // 8, 256          # subspace width fixed at 8
+    emb = _emb1536(spark, sf_dir, dim=dim)
     q = _dim1536_queries(emb)
     exact = (S.brute_force_topk(emb, q, k=10)
              .localCheckpoint(eager=True))
@@ -173,7 +179,7 @@ def _dim1536_recall(spark, sf_dir, rung: str):
                    F.round(F.col("n_hits") / 10, 6).alias("recall"))
            .localCheckpoint(eager=True))
     mean = out.agg(F.avg("recall")).collect()[0][0]
-    print(f"    [dim1536/{rung}] n_sub={n_sub} n_codes={n_codes} "
+    print(f"    [dim{dim}/{rung}] n_sub={n_sub} n_codes={n_codes} "
           f"mean recall@10 = {mean:.2f}", flush=True)
     return out
 
