@@ -3654,11 +3654,11 @@ def q_store_versioned_hybrid(spark, sf_dir):
     # (the oracle can replay it; the xxhash default serves production)
     doc_key = F.regexp_extract(F.col("document_url"),
                                r"mem://docs/(\d+)\.", 1).cast("long")
-    ti = vvs.build_text_asof(os.path.join(SCRATCH, "vh_text_idx"),
-                             version=v1, n_term_buckets=16,
-                             n_doc_buckets=8, id_expr=doc_key)
-    vi = vvs.build_ivf_asof(os.path.join(SCRATCH, "vh_ivf_idx"),
-                            version=v1, n_centroids=8, id_expr=doc_key)
+    ti, vi = vvs.build_hybrid_asof(
+        os.path.join(SCRATCH, "vh_text_idx"),
+        os.path.join(SCRATCH, "vh_ivf_idx"),
+        version=v1, n_term_buckets=16, n_doc_buckets=8,
+        n_centroids=8, id_expr=doc_key)
     qv = spark.createDataFrame(
         [(q, [float(x) for x in v]) for q, v in sorted(_VH_QVECS.items())],
         "query_id long, query_vec array<float>")

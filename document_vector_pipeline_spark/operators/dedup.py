@@ -1089,6 +1089,12 @@ def similar_docs_topk(docs: DataFrame, id_col: str = "doc_id",
     (two hash joins against the per-doc set table), then mirrored to
     both directions for the per-doc rank window.  Exact integer
     milli-Jaccard, deterministic ties (jacc desc, nbr_id)."""
+    # signature + shingle-set building is CPU-dense (md5 per shingle):
+    # fan out an under-partitioned scan before the two passes below
+    # (no-op at production parallelism), projecting to the two columns
+    # both passes read (§2.3)
+    from document_vector_pipeline_spark.functions.par import fan_out
+    docs = fan_out(docs.select(id_col, text_col))
     pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
                               num_perm=num_perm, bands=bands,
                               shingle_width=width)

@@ -545,6 +545,11 @@ def doc_phash_luma(docs: DataFrame, w: int = 16, h: int = 16,
 
     bw, bh = w // grid, h // grid
     id_type = docs.schema[id_col].dataType.simpleString()
+    # the codec round trip is CPU-dense per-row Python: an
+    # under-partitioned input (single-row-group parquet) would run it
+    # serial — fan out first (no-op at production parallelism)
+    from document_vector_pipeline_spark.functions.par import fan_out
+    docs = fan_out(docs.select(id_col, text_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -598,6 +603,10 @@ def doc_phash_dct(docs: DataFrame, w: int = 32, h: int = 32,
     basis_w = np.cos(np.pi * (2 * kw[None, :] + 1) * kw[:, None] / (2 * w))
     basis_h = np.cos(np.pi * (2 * kh[None, :] + 1) * kh[:, None] / (2 * h))
     id_type = docs.schema[id_col].dataType.simpleString()
+    # codec + DCT per row is CPU-dense Python — fan out an
+    # under-partitioned scan first (no-op at production parallelism)
+    from document_vector_pipeline_spark.functions.par import fan_out
+    docs = fan_out(docs.select(id_col, text_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

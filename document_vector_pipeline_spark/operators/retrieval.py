@@ -82,10 +82,20 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
     input an exact integer, every float op correctly-rounded double
     arithmetic in a FIXED expression shape, so DuckDB replays it
     bit-for-bit; the final per-(query,doc) score is an integer sum."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(F.col(text_col))).alias("term"),
-        F.size(_tokens(F.col(text_col))).alias("dl"))
+    # stage the token array in its own projection: explode and size
+    # then consume the SAME computed array (a column reference).  The
+    # inlined form puts `size(_tokens(text))` in the Project ABOVE the
+    # Generate, re-running the regex tokenize once per exploded TOKEN
+    # (~dl x the work — measured 17 s of task CPU per partition on the
+    # bench corpus, java.util.regex at the top of every executor stack
+    # dump); CollapseProject keeps a non-cheap expression referenced
+    # twice staged, so the tokenize runs once per document (guide §1.2:
+    # don't compute things you throw away).  Value-identical.
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("__toks"))
+           .select("doc_id",
+                   F.explode(F.col("__toks")).alias("term"),
+                   F.size(F.col("__toks")).alias("dl")))
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
@@ -247,10 +257,13 @@ def bm25_prf(docs: DataFrame, query_terms: DataFrame, k: int = 10,
     fb = (bm25_topk(docs, query_terms, k=k_fb,
                     id_col=id_col, text_col=text_col)
           .select("query_id", "doc_id"))
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(F.col(text_col))).alias("term"),
-        F.size(_tokens(F.col(text_col))).alias("dl"))
+    # staged token array — same one-tokenize-per-document shape as
+    # bm25_scores (the inlined dl recomputed the regex per token)
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("__toks"))
+           .select("doc_id",
+                   F.explode(F.col("__toks")).alias("term"),
+                   F.size(F.col("__toks")).alias("dl")))
     # candidate expansion terms: per-query feedback term frequencies
     fb_tf = (tok.join(F.broadcast(fb), "doc_id")
              .groupBy("query_id", "term")
@@ -419,15 +432,26 @@ def hybrid_search_indexed(text_index, ivf_index, query_terms: DataFrame,
     ceilings cannot reach the running kth score are never read, so a
     hot term's cold segments drop out of the hybrid serving scan too
     (single-segment indexes degrade to ``search`` automatically)."""
-    text = text_index.wand_search(query_terms, k=k,
-                                  doc_filter=doc_filter).select(
-        "query_id", "doc_id", "rank")
-    if use_adc:
-        vec_ranked = ivf_index.search_many_adc(queries, k=k, nprobe=nprobe,
-                                               id_filter=id_filter)
-    else:
-        vec_ranked = ivf_index.search_many(queries, k=k, nprobe=nprobe,
-                                           id_filter=id_filter)
+    # the two legs are independent until fusion, and each does eager
+    # driver work up front (wand's dictionary/seed passes, the vector
+    # leg's probe planning) — prepare them CONCURRENTLY (guide §2.6)
+    # so one leg's jobs back-fill the other's scheduling gaps; the
+    # fused plan and its results are unchanged
+    from document_vector_pipeline_spark.functions.par import run_parallel
+
+    def text_leg():
+        return text_index.wand_search(query_terms, k=k,
+                                      doc_filter=doc_filter).select(
+            "query_id", "doc_id", "rank")
+
+    def vec_leg():
+        if use_adc:
+            return ivf_index.search_many_adc(queries, k=k, nprobe=nprobe,
+                                             id_filter=id_filter)
+        return ivf_index.search_many(queries, k=k, nprobe=nprobe,
+                                     id_filter=id_filter)
+
+    text, vec_ranked = run_parallel(text_leg, vec_leg)
     vec = vec_ranked.select("query_id", "vec_id", F.col("rank").cast("int")
                             .alias("rank"))
     return rrf_fuse(text, vec, k=k, c=c)

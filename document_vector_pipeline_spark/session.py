@@ -38,7 +38,8 @@ def get_spark(app_name: str = "document_vector_pipeline_spark",
         # force one periodically so hour-long local sessions don't slow
         # down as state piles up (no effect on short-lived sessions)
         .config("spark.cleaner.periodicGC.interval", "3min")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     spark = builder.getOrCreate()

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from document_vector_pipeline_spark.functions.hashing import md5_long
+from document_vector_pipeline_spark.functions.par import run_parallel
 from document_vector_pipeline_spark.functions.vectors import dot, l2_norm
 
 
@@ -58,6 +59,15 @@ class IVFIndex:
         # idmap hash-bucket count: an upsert/delete batch only reads and
         # rewrites the buckets its ids hash into, never the whole map
         self.n_buckets = n_buckets
+        # centroids + codebook cached driver-side (single-writer
+        # assumption, the TextIndex._m_cache discipline): they are
+        # index METADATA, frozen between builds — without the cache
+        # every _probe_ids call re-reads + collects the centroid
+        # parquet, which in search_many/search_many_adc ran ONE Spark
+        # job PER QUERY of the batch (§1: don't pay a job for plan
+        # metadata).  Invalidated by build/build_pq.
+        self._cents_cache: list | None = None
+        self._cb_cache: list | None = None
 
     @property
     def _cells(self) -> str:
@@ -181,8 +191,9 @@ class IVFIndex:
                          F.col("vnorm").alias("cnorm")))
         cents.coalesce(1).write.mode("overwrite").parquet(self._cents)
         self._record_schemas(cents=cents.schema)
-        cent_rows = sorted(self._read_dir(self._cents, "cents").collect(),
-                           key=lambda r: r["centroid_id"])
+        self._cents_cache = None        # new build: refresh the cache
+        self._cb_cache = None           # any prior codebook is stale
+        cent_rows = self._centroid_rows()
         if not cent_rows:
             # empty corpus: a well-defined empty index (the argmin fold
             # below would not analyze over a zero-arm candidate array)
@@ -330,6 +341,7 @@ class IVFIndex:
             [(i + 1, list(c)) for i, c in enumerate(cb)],
             "code int, c6 array<bigint>")
         cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
+        self._cb_cache = [list(c) for c in cb]   # fresh codebook
         import json as _json
 
         self._write_text(self._pq_meta, _json.dumps({"rotate": rotate}))
@@ -349,13 +361,19 @@ class IVFIndex:
                              codebook=cb_df.schema)
 
     def _read_codebook(self) -> list[list[int]]:
-        rows = sorted(self._read_dir(self._codebook, "codebook").collect(),
-                      key=lambda r: r["code"])
-        return [list(r["c6"]) for r in rows]
+        if self._cb_cache is None:
+            rows = sorted(self._read_dir(self._codebook,
+                                         "codebook").collect(),
+                          key=lambda r: r["code"])
+            self._cb_cache = [list(r["c6"]) for r in rows]
+        return self._cb_cache
 
     def _centroid_rows(self):
-        return sorted(self._read_dir(self._cents, "cents").collect(),
-                      key=lambda r: r["centroid_id"])
+        if self._cents_cache is None:
+            self._cents_cache = sorted(
+                self._read_dir(self._cents, "cents").collect(),
+                key=lambda r: r["centroid_id"])
+        return self._cents_cache
 
     def upsert(self, df: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding", n_sub: int = 8) -> None:
@@ -386,23 +404,33 @@ class IVFIndex:
         # calls treat inconsistently) — refuse it up front; the check
         # runs on the FULL batch (null embeddings included) so an id
         # carrying both a vectored and a vector-less row is refused as
-        # the same ambiguity.  One action over the batch-sized frame,
-        # never the index.
-        all_ids = df.select(F.col(id_col).alias("vec_id"))
-        if (all_ids.groupBy("vec_id").count()
-                .filter(F.col("count") > 1).limit(1).count()):
+        # the same ambiguity.  ONE aggregate job over the batch-sized
+        # frame covers all three ingress questions (duplicate ids?
+        # null-embedding rows? anything left to upsert?) — the previous
+        # three separate actions cost three driver round-trips per
+        # upsert (§1.2: fewer passes).
+        ing = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(id_col)).alias("n_ids"),
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0))
+            .alias("n_null_ids"),
+            F.count(F.col(vec_col)).alias("n_vec")).collect()[0]
+        # distinct id GROUPS including the null group — countDistinct
+        # skips nulls, and a batch with two null ids is the same
+        # ambiguity as two equal ids
+        n_groups = ing["n_ids"] + (1 if ing["n_null_ids"] else 0)
+        if ing["n_rows"] != n_groups:
             raise ValueError("upsert batch contains duplicate vec_id rows")
         # CDC semantics: an upsert row whose embedding is NULL replaces
         # a previously-vectored document with a keyword-only version —
         # the old vector must LEAVE the index, not survive as a stale
         # serving row (keeps stream_index_maintain's drained-stream ≡
         # batch-build bit-identity for vector-dropping replacements).
-        null_ids = (df.filter(F.col(vec_col).isNull())
-                    .select(F.col(id_col).alias("vec_id")).distinct())
-        if null_ids.limit(1).count():
-            self.delete(null_ids)
+        if ing["n_rows"] > ing["n_vec"]:
+            self.delete(df.filter(F.col(vec_col).isNull())
+                        .select(F.col(id_col).alias("vec_id")).distinct())
         df = df.filter(F.col(vec_col).isNotNull())
-        if df.isEmpty():
+        if ing["n_vec"] == 0:
             return  # batch was all vector-less rows; deletes done above
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = df.select(F.col(id_col).alias("vec_id"),
@@ -418,31 +446,38 @@ class IVFIndex:
         assigned = assigned.localCheckpoint(eager=True)
         ids = assigned.select("vec_id").distinct()
 
-        bkts = [r[0] for r in
-                ids.select(self._bucket_expr(F.col("vec_id")))
-                .distinct().collect()]
+        # ONE collect over the checkpointed batch yields both the
+        # touched idmap buckets and the new home cells (they were two
+        # separate jobs)
+        meta = (assigned.select(self._bucket_expr(F.col("vec_id")),
+                                "centroid_id").distinct().collect())
+        bkts = sorted({r["bucket"] for r in meta})
+        new_cells = {r["centroid_id"] for r in meta}
         imap = (self._read_idmap()
                 .filter(F.col("bucket").isin(bkts)))
         old_cells = {r[0] for r in imap.join(F.broadcast(ids), "vec_id")
                      .select("centroid_id").distinct().collect()}
-        new_cells = {r[0] for r in
-                     assigned.select("centroid_id").distinct().collect()}
         affected = sorted(old_cells | new_cells)
 
         cur = (self._read_cells()
                .filter(F.col("centroid_id").isin(affected))
                .join(F.broadcast(ids), "vec_id", "left_anti"))
-        merged = cur.unionByName(assigned).localCheckpoint(eager=True)
-        self._overwrite_partitions(merged, self._cells, "centroid_id",
-                                   affected)
-
         cur_map = imap.join(F.broadcast(ids), "vec_id", "left_anti")
         new_map = assigned.select(
             "vec_id", "centroid_id", self._bucket_expr(F.col("vec_id")))
-        merged_map = (cur_map.unionByName(new_map)
-                      .localCheckpoint(eager=True))
+        # cells and idmap are independent targets fed by the same
+        # checkpointed batch: materialize and overwrite them
+        # CONCURRENTLY (§2.6) instead of paying four sequential walls
+        merged, merged_map = run_parallel(
+            lambda: cur.unionByName(assigned).localCheckpoint(eager=True),
+            lambda: (cur_map.unionByName(new_map)
+                     .localCheckpoint(eager=True)))
         # every batch bucket receives >= 1 new row, so none can empty
-        self._overwrite_partitions(merged_map, self._idmap, "bucket", bkts)
+        run_parallel(
+            lambda: self._overwrite_partitions(merged, self._cells,
+                                               "centroid_id", affected),
+            lambda: self._overwrite_partitions(merged_map, self._idmap,
+                                               "bucket", bkts))
 
     def delete(self, ids) -> None:
         """Remove vectors from the index by id: the idmap sidecar (pruned
@@ -464,15 +499,20 @@ class IVFIndex:
                            .select("centroid_id").distinct().collect()})
         if not affected:
             return
-        cur = (self._read_cells()
-               .filter(F.col("centroid_id").isin(affected))
-               .join(F.broadcast(ids), "vec_id", "left_anti")
-               .localCheckpoint(eager=True))
-        self._overwrite_partitions(cur, self._cells, "centroid_id", affected)
-
-        cur_map = (imap.join(F.broadcast(ids), "vec_id", "left_anti")
-                   .localCheckpoint(eager=True))
-        self._overwrite_partitions(cur_map, self._idmap, "bucket", bkts)
+        # the two survivor frames and their overwrites are independent
+        # (different directories) — overlap them (§2.6)
+        cur, cur_map = run_parallel(
+            lambda: (self._read_cells()
+                     .filter(F.col("centroid_id").isin(affected))
+                     .join(F.broadcast(ids), "vec_id", "left_anti")
+                     .localCheckpoint(eager=True)),
+            lambda: (imap.join(F.broadcast(ids), "vec_id", "left_anti")
+                     .localCheckpoint(eager=True)))
+        run_parallel(
+            lambda: self._overwrite_partitions(cur, self._cells,
+                                               "centroid_id", affected),
+            lambda: self._overwrite_partitions(cur_map, self._idmap,
+                                               "bucket", bkts))
 
     def compact(self) -> None:
         """Coalesce every cell (and the idmap sidecar) back to one file
@@ -628,9 +668,7 @@ class IVFIndex:
         )
 
         sub = dim // n_sub
-        cb_rows = sorted(self._read_dir(self._codebook, "codebook").collect(),
-                         key=lambda r: r["code"])
-        cb = [list(r["c6"]) for r in cb_rows]
+        cb = self._read_codebook()
         queries = queries.filter(F.col(qvec_col).isNotNull())
         # query LUTs must live in the SAME domain the stored codes were
         # encoded in — the persisted pq_meta flag decides, not the caller
@@ -732,9 +770,10 @@ class IVFIndex:
 
     def _probe_ids(self, qd: list[float], nprobe: int) -> list[int]:
         """Pick the nprobe closest centroids driver-side (they are index
-        metadata, a few KB — never a Spark job)."""
+        metadata, a few KB — cached, so a query batch costs zero jobs
+        here)."""
         qnorm = math.sqrt(sum(v * v for v in qd))
-        rows = self._read_dir(self._cents, "cents").collect()
+        rows = self._centroid_rows()
         scored = []
         for r in rows:
             c = [float(x) for x in r["centroid"]]

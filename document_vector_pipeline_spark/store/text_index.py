@@ -72,6 +72,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.par import run_parallel
 from document_vector_pipeline_spark.operators import retrieval
 
 POSTING_SCHEMA = ("term string, doc_id long, tf bigint, dl int, "
@@ -254,10 +255,16 @@ class TextIndex:
         # standard Lucene tradeoff: ~2x posting bytes for exact
         # phrase/proximity queries; BM25 search never reads the column
         # (parquet column pruning)
+        # token array staged in its own projection so dl and the
+        # posexplode consume ONE computed array — inlining size(...)
+        # next to posexplode(...) re-runs the regex tokenize per
+        # exploded token (retrieval.bm25_scores has the measurement)
         toks = retrieval._tokens(F.col(text_col))
-        tok = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                          F.size(toks).cast("int").alias("dl"),
-                          F.posexplode(toks).alias("pos", "term"))
+        tok = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                           toks.alias("__toks"))
+               .select("doc_id",
+                       F.size(F.col("__toks")).cast("int").alias("dl"),
+                       F.posexplode(F.col("__toks")).alias("pos", "term")))
         return (tok.groupBy("doc_id", "term")
                 .agg(F.count(F.lit(1)).alias("tf"),
                      F.first("dl").alias("dl"),
@@ -278,13 +285,21 @@ class TextIndex:
                         self._dbucket(F.col("doc_id")).alias("dbucket")))
 
     def _write_segment(self, tf: DataFrame, dl: DataFrame, seg: int) -> None:
-        (tf.withColumn("tbucket", self._tbucket(F.col("term")))
-         .repartition("tbucket")
-         .write.partitionBy("tbucket").mode("overwrite")
-         .parquet(os.path.join(self._segments, f"seg={seg}")))
-        (dl.repartition("dbucket")
-         .write.partitionBy("dbucket").mode("overwrite")
-         .parquet(os.path.join(self._doclens, f"seg={seg}")))
+        # the 3-4 sidecar writes of a segment (postings, doclens, term
+        # dictionary, optional term vectors) target DISTINCT immutable
+        # directories and read from checkpoint-materialized inputs —
+        # submit them concurrently (§2.6) so one segment commit pays
+        # one wall, not the sum of four
+        writes = []
+        writes.append(lambda: (
+            tf.withColumn("tbucket", self._tbucket(F.col("term")))
+            .repartition("tbucket")
+            .write.partitionBy("tbucket").mode("overwrite")
+            .parquet(os.path.join(self._segments, f"seg={seg}"))))
+        writes.append(lambda: (
+            dl.repartition("dbucket")
+            .write.partitionBy("dbucket").mode("overwrite")
+            .parquet(os.path.join(self._doclens, f"seg={seg}"))))
         # per-segment term dictionary (Lucene's term dict, minus the
         # FST): VOCAB-sized, one file — the sidecar multi-term queries
         # (prefix/wildcard) expand against, so term DISCOVERY never
@@ -298,18 +313,21 @@ class TextIndex:
         # every live doc's contribution in the segment — tombstones
         # only remove docs, which can never raise the true max, so the
         # raw bound stays sound without maintenance
-        (tf.groupBy("term")
-         .agg(F.count(F.lit(1)).cast("long").alias("df"),
-              F.max("tf").cast("long").alias("max_tf"),
-              F.min("dl").cast("int").alias("min_dl"))
-         .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(self._dicts, f"seg={seg}")))
+        writes.append(lambda: (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.max("tf").cast("long").alias("max_tf"),
+                 F.min("dl").cast("int").alias("min_dl"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(self._dicts, f"seg={seg}"))))
         if self.term_vectors:
-            (tf.select("doc_id", "term", "tf", "dl")
-             .withColumn("vbucket", self._dbucket(F.col("doc_id")))
-             .repartition("vbucket")
-             .write.partitionBy("vbucket").mode("overwrite")
-             .parquet(os.path.join(self._tvecs, f"seg={seg}")))
+            writes.append(lambda: (
+                tf.select("doc_id", "term", "tf", "dl")
+                .withColumn("vbucket", self._dbucket(F.col("doc_id")))
+                .repartition("vbucket")
+                .write.partitionBy("vbucket").mode("overwrite")
+                .parquet(os.path.join(self._tvecs, f"seg={seg}"))))
+        run_parallel(*writes)
 
     def _tvecs_df(self) -> DataFrame:
         if not self.term_vectors:
@@ -399,8 +417,11 @@ class TextIndex:
         tf = self._tf_of(docs, id_col, text_col).localCheckpoint(eager=True)
         dl = self._doclens_from_tf(docs, id_col, tf)\
             .localCheckpoint(eager=True)
-        self._write_segment(tf, dl, 0)
-        n, t = self._count_len(dl)
+        # segment writes and the stats count read the same checkpointed
+        # frames — overlap them (§2.6); the manifest commit stays last
+        _, (n, t) = run_parallel(
+            lambda: self._write_segment(tf, dl, 0),
+            lambda: self._count_len(dl))
         self._commit(0, "build", [0], [], 0, n, t)
 
     def stats(self) -> DataFrame:
@@ -480,7 +501,8 @@ class TextIndex:
 
     # -- block-max (WAND/MaxScore) serving ----------------------------------
 
-    def _live_df_map(self, query_terms: DataFrame) -> tuple[dict, dict]:
+    def _live_df_map(self, query_terms: DataFrame,
+                     tb: list | None = None) -> tuple[dict, dict]:
         """Exact live document frequency per query term WITHOUT the
         scoring read, plus the per-(term, seg) block-max rows.
 
@@ -504,9 +526,10 @@ class TextIndex:
             blocks[(r["term"], int(r["seg"]))] = (r["max_tf"], r["min_dl"])
         dead: dict[str, int] = {}
         if m["tombstones"] and drows:
-            tb = [r[0] for r in query_terms
-                  .select(self._tbucket(F.col("term"))).distinct()
-                  .collect()]
+            if tb is None:
+                tb = [r[0] for r in query_terms
+                      .select(self._tbucket(F.col("term"))).distinct()
+                      .collect()]
             post = (self._postings()
                     .filter(F.col("tbucket").isin(tb))
                     .join(F.broadcast(query_terms.select("term")
@@ -530,8 +553,10 @@ class TextIndex:
         bounds from the dictionary sidecar, a seed pass over each
         query's best-bound segment to establish θ (the kth score), and
         the survivor set {seg : ∃q bound(q, seg) ≥ θ_q}.  Returns
-        (survivors, df_frame, qterms_rows) — df_frame carries the exact
-        live per-term df so BOTH passes score with identical idf.
+        (survivors, df_frame, seeds, seed_scored, tb) — df_frame
+        carries the exact live per-term df so BOTH passes score with
+        identical idf, tb the once-collected tbucket list both passes
+        prune with.
 
         Soundness: bound(q, s) = Σ_t ⌈contrib(idf⁺, max_tf, min_dl)⌉+1
         over q's terms present in s — contrib is increasing in tf and
@@ -547,10 +572,17 @@ class TextIndex:
         m = self._manifest_required()
         segs = list(m["segments"])
         n_docs, total_len = int(m["n_docs"]), int(m["total_len"])
-        live_df, blocks = self._live_df_map(query_terms)
-        qrows = [(r["query_id"], r["term"]) for r in
-                 query_terms.select("query_id", "term").distinct()
-                 .collect()]
+        # one tbucket collect serves the df correction AND both scoring
+        # passes (it was re-collected per pass); the dictionary read
+        # and the query-structure collect are independent driver
+        # actions — overlap them (§2.6)
+        tb = [r[0] for r in query_terms
+              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        (live_df, blocks), qrows = run_parallel(
+            lambda: self._live_df_map(query_terms, tb=tb),
+            lambda: [(r["query_id"], r["term"]) for r in
+                     query_terms.select("query_id", "term").distinct()
+                     .collect()])
         df_frame = self.spark.createDataFrame(
             [(t, n) for t, n in live_df.items()] or
             [("", 0)], "term string, df long").filter(F.col("term") != "")
@@ -585,14 +617,14 @@ class TextIndex:
             best = max(per_seg.items(), key=lambda kv: (kv[1], -kv[0]))
             seeds.add(best[0])
         if not seeds:
-            return [], df_frame, set(), None
+            return [], df_frame, set(), None, tb
         # the seed pass is EXACT scoring of the seed segments — keep it
         # (checkpointed: the θ collect materializes it anyway) so the
         # final pass only scores the NON-seed survivors instead of
         # re-reading the hottest segments twice (round 12: the no-prune
         # worst case — uniform synthetic corpora — was paying 2×)
         seed_scored = self._score_segs(sorted(seeds), query_terms,
-                                       df_frame)
+                                       df_frame, tb=tb)
         if doc_filter is not None:
             seed_scored = seed_scored.filter(doc_filter)
         seed_scored = seed_scored.localCheckpoint(eager=True)
@@ -606,18 +638,23 @@ class TextIndex:
             for s, b in per_seg.items():
                 if th is None or b >= th:
                     survivors.add(s)
-        return sorted(survivors), df_frame, seeds, seed_scored
+        return sorted(survivors), df_frame, seeds, seed_scored, tb
 
     def _score_segs(self, segs: list[int], query_terms: DataFrame,
-                    df_frame: DataFrame, checkpoint: bool = True
-                    ) -> DataFrame:
+                    df_frame: DataFrame, checkpoint: bool = True,
+                    tb: list | None = None) -> DataFrame:
         """search's pruned-read scoring restricted to a segment subset,
         with the live df supplied explicitly (a subset read no longer
         sees every posting row, so df must not be recomputed from it).
         A doc's rows live in exactly one segment, so every doc the
-        subset DOES contain is scored completely."""
-        tb = [r[0] for r in query_terms
-              .select(self._tbucket(F.col("term"))).distinct().collect()]
+        subset DOES contain is scored completely.  ``tb`` lets the
+        caller reuse an already-collected tbucket list — wand_search
+        scores two segment subsets of the SAME query terms, and the
+        bucket list is one driver job per collect."""
+        if tb is None:
+            tb = [r[0] for r in query_terms
+                  .select(self._tbucket(F.col("term"))).distinct()
+                  .collect()]
         post = self._postings(segs).filter(F.col("tbucket").isin(tb))
         tf = (self._live(
                 post.join(F.broadcast(query_terms.select("term")
@@ -658,8 +695,8 @@ class TextIndex:
         m = self._manifest_required()
         if len(m["segments"]) <= 1:
             return self.search(query_terms, k, doc_filter=doc_filter)
-        survivors, df_frame, seeds, seed_scored = self._wand_survivors(
-            query_terms, k, doc_filter)
+        survivors, df_frame, seeds, seed_scored, tb = \
+            self._wand_survivors(query_terms, k, doc_filter)
         if not survivors:
             qt = query_terms.schema["query_id"].dataType.simpleString()
             return self.spark.createDataFrame(
@@ -671,7 +708,7 @@ class TextIndex:
         rest = [seg for seg in survivors if seg not in seeds]
         scored = seed_scored
         if rest:
-            extra = self._score_segs(rest, query_terms, df_frame)
+            extra = self._score_segs(rest, query_terms, df_frame, tb=tb)
             if doc_filter is not None:
                 extra = extra.filter(doc_filter)
             scored = scored.unionByName(extra)
@@ -1238,14 +1275,22 @@ class TextIndex:
         # one aggregate job covers both sides of the stats delta
         both = (old.select(F.lit(0).alias("g"), "dl")
                 .unionByName(new_dl.select(F.lit(1).alias("g"), "dl")))
-        d = {r["g"]: r for r in
-             both.groupBy("g")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.coalesce(F.sum(F.col("dl").cast("long")), F.lit(0))
-                  .alias("t")).collect()}
+
+        def stats_delta():
+            return {r["g"]: r for r in
+                    both.groupBy("g")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.coalesce(F.sum(F.col("dl").cast("long")),
+                                    F.lit(0)).alias("t")).collect()}
+
+        # the stats-delta aggregate and the new segment's writes read
+        # only checkpointed frames — overlap them (§2.6); tombstones
+        # (conditional on the delta) and the commit stay sequential
+        d, _ = run_parallel(stats_delta,
+                            lambda: self._write_segment(new_tf, new_dl,
+                                                        seg))
         o_n, o_t = ((d[0]["n"], d[0]["t"]) if 0 in d else (0, 0))
         n_n, n_t = ((d[1]["n"], d[1]["t"]) if 1 in d else (0, 0))
-        self._write_segment(new_tf, new_dl, seg)
         v = m["version"] + 1
         tombs, ts_rows = list(m["tombstones"]), m["n_tombstone_rows"]
         if o_n:
@@ -1589,14 +1634,17 @@ class TextIndex:
         index: before the commit readers still resolve the old state,
         after it the new one."""
         m = self._manifest_required()
-        live_tf = self._live(
-            self._postings()
-            .select("doc_id", "term", "tf", "dl", "pos", "seg")) \
-            .drop("seg").localCheckpoint(eager=True)
-        live_dl = self._live(
-            self._doclens_df()
-            .select("doc_id", "dl", "dbucket", "seg")) \
-            .drop("seg").localCheckpoint(eager=True)
+        # the two live-survivor materializations read different
+        # directories — overlap them (§2.6)
+        live_tf, live_dl = run_parallel(
+            lambda: self._live(
+                self._postings()
+                .select("doc_id", "term", "tf", "dl", "pos", "seg"))
+            .drop("seg").localCheckpoint(eager=True),
+            lambda: self._live(
+                self._doclens_df()
+                .select("doc_id", "dl", "dbucket", "seg"))
+            .drop("seg").localCheckpoint(eager=True))
         seg = m["segments"][-1] + 1
         self._write_segment(live_tf, live_dl, seg)
         v = m["version"] + 1

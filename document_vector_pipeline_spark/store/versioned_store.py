@@ -212,3 +212,27 @@ class VersionedVectorStore:
                         n_doc_buckets=n_doc_buckets)
         idx.build(snap, id_col="doc_id", text_col="chunk_text")
         return idx
+
+    def build_hybrid_asof(self, text_path: str, ivf_path: str,
+                          version: int | None = None,
+                          n_term_buckets: int = 64,
+                          n_doc_buckets: int = 16,
+                          n_centroids: int = 16, id_expr=None):
+        """Both serving legs AS OF one snapshot, built CONCURRENTLY
+        (guide §2.6): the keyword and vector index builds read the same
+        immutable snapshot and write disjoint directories, so their
+        jobs overlap instead of summing — the wall of a pinned-eval
+        rebuild drops to ~max(text, ivf) without changing either
+        index's bytes.  Returns (TextIndex, IVFIndex)."""
+        from document_vector_pipeline_spark.functions.par import (
+            run_parallel,
+        )
+
+        return tuple(run_parallel(
+            lambda: self.build_text_asof(
+                text_path, version=version,
+                n_term_buckets=n_term_buckets,
+                n_doc_buckets=n_doc_buckets, id_expr=id_expr),
+            lambda: self.build_ivf_asof(
+                ivf_path, version=version, n_centroids=n_centroids,
+                id_expr=id_expr)))

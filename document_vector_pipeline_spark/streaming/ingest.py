@@ -428,15 +428,32 @@ def stream_index_maintain(spark: SparkSession, batches_path: str,
                     "sequence assignment")
             batch_df = winners.localCheckpoint(eager=True)
         is_del = F.col("op") == "delete"
-        dels = batch_df.filter(is_del).select("doc_id")
-        if not dels.isEmpty():
-            text_index.delete(dels)
-            ivf_index.delete(dels.select(F.col("doc_id").alias("vec_id")))
-        ups = batch_df.filter(~F.coalesce(is_del, F.lit(False)))
-        if not ups.isEmpty():
-            text_index.upsert(ups.select("doc_id", "text"))
-            ivf_index.upsert(ups.select(F.col("doc_id").alias("vec_id"),
-                                        "embedding"))
+        # one aggregate over the checkpointed batch answers both
+        # any-deletes? / any-upserts? (two isEmpty jobs before); the
+        # keyword and vector legs of each phase touch DISJOINT index
+        # directories and are applied concurrently (§2.6) — delete
+        # before upsert ordering per trigger is preserved
+        from document_vector_pipeline_spark.functions.par import (
+            run_parallel,
+        )
+        cnt = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_del, 1).otherwise(0)).alias("nd")).collect()[0]
+        n_del = int(cnt["nd"] or 0)
+        n_ups = int(cnt["n"]) - n_del
+        if n_del:
+            dels = batch_df.filter(is_del).select("doc_id")
+            run_parallel(
+                lambda: text_index.delete(dels),
+                lambda: ivf_index.delete(
+                    dels.select(F.col("doc_id").alias("vec_id"))))
+        if n_ups:
+            ups = batch_df.filter(~F.coalesce(is_del, F.lit(False)))
+            run_parallel(
+                lambda: text_index.upsert(ups.select("doc_id", "text")),
+                lambda: ivf_index.upsert(
+                    ups.select(F.col("doc_id").alias("vec_id"),
+                               "embedding")))
         text_index.maybe_compact(**(compact_opts or {}))
         if rebuild_check_every and (batch_id + 1) % rebuild_check_every == 0:
             ivf_index.maybe_rebuild()
