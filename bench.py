@@ -23,6 +23,8 @@ sys.path.insert(0, ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from document_vector_pipeline_spark.functions.localrel import local_df  # noqa: E402
+
 from document_vector_pipeline_spark import PipelineConfig, get_spark  # noqa: E402
 from document_vector_pipeline_spark.contract import QVEC, _doc_url  # noqa: E402
 from document_vector_pipeline_spark.operators import (  # noqa: E402
@@ -355,7 +357,8 @@ def main() -> None:
 
     from document_vector_pipeline_spark.operators import retrieval
 
-    bm25_qt = spark.createDataFrame(
+    bm25_qt = local_df(
+        spark,
         [(0, "vector"), (0, "join"), (0, "hash"),
          (1, "stream"), (1, "window"), (1, "batch"),
          (2, "customer"), (2, "table"), (2, "scan")],
@@ -434,16 +437,19 @@ def main() -> None:
         "text",
         F.concat_ws(" ", F.col("text"), F.lit("wand serving term"))))
     bench("text_wand_search", lambda: ti_w.wand_search(bm25_qt, k=10))
-    phrase_qt = spark.createDataFrame(
+    phrase_qt = local_df(
+        spark,
         [(0, "table", 0), (0, "hash", 1), (1, "table", 0), (1, "table", 1),
          (2, "slow", 0), (2, "hash", 1), (2, "batch", 2)],
         "query_id long, term string, offset int")
     bench("text_phrase_search", lambda: ti.phrase_search(phrase_qt, k=10))
-    near_qt = spark.createDataFrame(
+    near_qt = local_df(
+        spark,
         [(0, "table"), (0, "hash"), (1, "vector"), (1, "join"), (1, "scan")],
         "query_id long, term string")
     bench("text_near_search", lambda: ti.near_search(near_qt, w=4, k=10))
-    span_qt = spark.createDataFrame(
+    span_qt = local_df(
+        spark,
         [(0, "table", 0), (0, "hash", 1),
          (1, "vector", 0), (1, "join", 1), (1, "scan", 2)],
         "query_id long, term string, offset int")
@@ -519,7 +525,8 @@ def main() -> None:
 
     # multi-term queries over the persisted index (round 7): boolean
     # clauses, dictionary-expanded prefix/fuzzy, full-match-set facets
-    bool_qt = spark.createDataFrame(
+    bool_qt = local_df(
+        spark,
         [(0, "vector", "must"), (0, "join", "must"),
          (0, "hash", "must_not"), (1, "stream", "must"),
          (1, "window", "should"), (1, "batch", "should"),
@@ -530,16 +537,19 @@ def main() -> None:
     # round 13: the boolean TREE over typed sub-queries (phrase/fuzzy/
     # prefix leaves) through the same pruned posting read
     from document_vector_pipeline_spark.contract import _TREE_SUBQUERIES
-    tree_qt = spark.createDataFrame(
+    tree_qt = local_df(
+        spark,
         _TREE_SUBQUERIES,
         "query_id long, sub_id long, clause string, qtype string, "
         "value string")
     bench("text_query_tree", lambda: ti.query_tree(tree_qt, k=10))
-    prefix_qt = spark.createDataFrame(
+    prefix_qt = local_df(
+        spark,
         [(0, "s"), (1, "c"), (2, "ba"), (3, "f")],
         "query_id long, prefix string")
     bench("text_prefix_search", lambda: ti.prefix_search(prefix_qt, k=10))
-    fuzzy_qt = spark.createDataFrame(
+    fuzzy_qt = local_df(
+        spark,
         [(0, "vectr"), (0, "joins"), (1, "strean"), (2, "hach")],
         "query_id long, term string")
     bench("text_fuzzy_search", lambda: ti.fuzzy_search(fuzzy_qt, k=10))
@@ -585,7 +595,8 @@ def main() -> None:
         text = retrieval.bm25_topk(docs, bm25_qt, k=10)
         vec = similarity.brute_force_topk(emb, q3, k=10)
         fused = retrieval.rrf_fuse(text, vec, k=10)
-        qtx = spark.createDataFrame(
+        qtx = local_df(
+        spark,
             [(0, "vector join hash"), (1, "stream window batch"),
              (2, "customer table scan")],
             "query_id long, query_text string")
@@ -772,7 +783,8 @@ def main() -> None:
             de.filter(F.col("doc_id") % 10 == 0), threshold=0.9)
 
     bench("corpus_decontaminate_semantic", decontam_semantic)
-    suggest_qt = spark.createDataFrame(
+    suggest_qt = local_df(
+        spark,
         [(0, "vektor"), (1, "stram"), (2, "tabel")],
         "query_id long, term string")
     bench("text_suggest",

@@ -29,6 +29,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.localrel import local_df
+
 from document_vector_pipeline_spark.config import PipelineConfig
 from document_vector_pipeline_spark.functions import text as X
 from document_vector_pipeline_spark.functions.expr import epoch_us
@@ -1743,7 +1745,7 @@ _BM25_QUERY_TERMS = [
 
 
 def _bm25_query_df(spark):
-    return spark.createDataFrame(_BM25_QUERY_TERMS,
+    return local_df(spark, _BM25_QUERY_TERMS,
                                  "query_id long, term string")
 
 
@@ -1932,7 +1934,8 @@ def q_retrieval_reranked(spark, sf_dir):
     qtexts = {}
     for q, t in _BM25_QUERY_TERMS:
         qtexts.setdefault(q, []).append(t)
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         [(q, " ".join(ts)) for q, ts in qtexts.items()],
         "query_id long, query_text string")
     cand = (fused.select("query_id", "doc_id")
@@ -2457,7 +2460,8 @@ def q_text_query_tree(spark, sf_dir):
     sharing retrieval.score_tf verbatim.  The oracle hand-composes
     the same two-level tree in SQL — proving tree ≡ composition."""
     idx = _shared_text_index(spark, sf_dir)
-    sq = spark.createDataFrame(
+    sq = local_df(
+        spark,
         _TREE_SUBQUERIES,
         "query_id long, sub_id long, clause string, "
         "qtype string, value string")
@@ -2579,7 +2583,8 @@ def q_text_boolean_search(spark, sf_dir):
     clause roles; qualification is candidate-sized; scoring shares
     retrieval.score_tf verbatim with the plain search path."""
     idx = _shared_text_index(spark, sf_dir)
-    clauses = spark.createDataFrame(
+    clauses = local_df(
+        spark,
         _BOOL_CLAUSES, "query_id long, term string, clause string")
     return idx.boolean_search(clauses, k=10)
 
@@ -2668,7 +2673,8 @@ def q_text_prefix_search(spark, sf_dir):
     touches postings; postings IO stays bounded by the matched terms'
     tbuckets."""
     idx = _shared_text_index(spark, sf_dir)
-    prefixes = spark.createDataFrame(
+    prefixes = local_df(
+        spark,
         _PREFIXES, "query_id long, prefix string")
     return idx.prefix_search(prefixes, k=10)
 
@@ -2732,7 +2738,7 @@ def q_text_fuzzy_search(spark, sf_dir):
     disjunction.  Levenshtein runs on the VOCAB-sized dictionary only
     — never on postings or documents."""
     idx = _shared_text_index(spark, sf_dir)
-    qt = spark.createDataFrame(_FUZZY_TERMS,
+    qt = local_df(spark, _FUZZY_TERMS,
                                "query_id long, term string")
     return idx.fuzzy_search(qt, k=10, max_edits=1, prefix_len=1)
 
@@ -2887,7 +2893,7 @@ def q_text_suggest(spark, sf_dir):
     fully-deleted term can never be suggested.  Top-3 per query term
     by (edits asc, df desc, term asc)."""
     idx = _shared_text_index(spark, sf_dir)
-    qt = spark.createDataFrame(_SUGGEST_TERMS,
+    qt = local_df(spark, _SUGGEST_TERMS,
                                "query_id long, term string")
     return (idx.suggest(qt, max_edits=2, prefix_len=1)
             .filter(F.col("rank") <= 3))
@@ -2995,7 +3001,7 @@ def q_text_phrase_search(spark, sf_dir):
     idx.build(docs)
     rows = [(q, t, o) for q, ts in _PHRASES.items()
             for o, t in enumerate(ts)]
-    ph = spark.createDataFrame(rows, "query_id long, term string, offset int")
+    ph = local_df(spark, rows, "query_id long, term string, offset int")
     return idx.phrase_search(ph, k=10)
 
 
@@ -3043,7 +3049,7 @@ def q_text_span_search(spark, sf_dir):
     idx.build(docs)
     rows = [(q, t, o) for q, ts in _SPAN_QUERIES.items()
             for o, t in enumerate(ts)]
-    ph = spark.createDataFrame(rows, "query_id long, term string, offset int")
+    ph = local_df(spark, rows, "query_id long, term string, offset int")
     return idx.span_search(ph, w=_SPAN_W, k=10)
 
 
@@ -3094,7 +3100,7 @@ def q_text_near_search(spark, sf_dir):
                     n_term_buckets=16, n_doc_buckets=8)
     idx.build(docs)
     rows = [(q, t) for q, ts in _NEAR_QUERIES.items() for t in ts]
-    qt = spark.createDataFrame(rows, "query_id long, term string")
+    qt = local_df(spark, rows, "query_id long, term string")
     return idx.near_search(qt, w=_NEAR_W, k=10)
 
 
@@ -3576,7 +3582,7 @@ def q_store_versioned_search(spark, sf_dir):
     vvs.delete_documents([r[0] for r in
                           docs.filter(F.col("doc_id") % 5 == 0)
                           .select(_doc_url()).collect()])
-    qdf = spark.createDataFrame([(0, [float(v) for v in QVEC])],
+    qdf = local_df(spark, [(0, [float(v) for v in QVEC])],
                                 "query_id long, query_vec array<float>")
     return vvs.search_many(qdf, k=10, version=v1)
 
@@ -3659,7 +3665,8 @@ def q_store_versioned_hybrid(spark, sf_dir):
         os.path.join(SCRATCH, "vh_ivf_idx"),
         version=v1, n_term_buckets=16, n_doc_buckets=8,
         n_centroids=8, id_expr=doc_key)
-    qv = spark.createDataFrame(
+    qv = local_df(
+        spark,
         [(q, [float(x) for x in v]) for q, v in sorted(_VH_QVECS.items())],
         "query_id long, query_vec array<float>")
     return retrieval.hybrid_search_indexed(

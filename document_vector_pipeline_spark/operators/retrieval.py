@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.localrel import local_df
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
@@ -586,7 +588,8 @@ def ranking_eval(ranked: DataFrame, qrels: DataFrame,
     ranking is a per-query window over the qrels rows alone (the corpus
     is never touched — only the upstream ranking saw it)."""
     spark = ranked.sparkSession
-    disc = spark.createDataFrame(
+    disc = local_df(
+        spark,
         [(r + 1, d) for r, d in enumerate(ndcg_discounts(k))],
         "rank int, disc long")
     # enforce the rel > 0 ingress contract instead of assuming it: a

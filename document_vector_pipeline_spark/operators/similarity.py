@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.localrel import local_df
+
 from document_vector_pipeline_spark.functions.hashing import md5_long
 from document_vector_pipeline_spark.functions.vectors import cosine_similarity
 
@@ -1615,11 +1617,11 @@ def kmeans_fixed(corpus: DataFrame, n_clusters: int = 8, iters: int = 3,
     stats_rows = [(int(r["cluster"]), int(r["n"]), int(r["sd"]))
                   for r in stats.collect()]
     release()
-    stats = spark.createDataFrame(stats_rows, "cluster int, n long, sd long")
+    stats = local_df(spark, stats_rows, "cluster int, n long, sd long")
     cent_rows = [(ci, p + 1, c6[p])
                  for ci, c6 in enumerate(cents, start=1)
                  for p in range(dim)]
-    cdf = spark.createDataFrame(cent_rows, "cluster int, dim int, c6 long")
+    cdf = local_df(spark, cent_rows, "cluster int, dim int, c6 long")
     return (cdf.join(F.broadcast(stats), "cluster", "left")
             .select(F.col("cluster"),
                     F.coalesce("n", F.lit(0)).cast("long").alias("n"),

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.localrel import local_df
+
 __all__ = ["stub_token_counter", "make_vocab_token_counter",
            "make_bpe_token_counter", "count_tokens_with_client",
            "bpe_train", "vocab_from_merges", "bpe_token_hist",
@@ -207,7 +209,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     if not merges:
         return spark.createDataFrame(
             [], "merge_rank int, a string, b string, token string, n long")
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges, "merge_rank int, a string, b string, token string, n long")
 
 
@@ -442,7 +445,7 @@ def unigram_train(docs: DataFrame, seed_len: int = 4,
     voc = chars + multi1
     c2 = _unigram_counts(wh, voc, seed_len).localCheckpoint(eager=True)
     spark = docs.sparkSession
-    vdf = spark.createDataFrame([(p,) for p in voc], "piece string")
+    vdf = local_df(spark, [(p,) for p in voc], "piece string")
     tot = c2.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t"))
     return (vdf.join(c2, "piece", "left")
             .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))

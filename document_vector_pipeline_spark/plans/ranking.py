@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.localrel import local_df
+
 __all__ = ["global_row_number", "global_ntile", "grouped_running_sum",
            "partial_topk", "global_cumsum", "global_suffix_max"]
 
@@ -74,7 +76,7 @@ def _ranged(df: DataFrame, order_cols: list, n_parts: int):
         acc += counts[pid]
     if not offsets:
         offsets = [(0, 0)]
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    off = local_df(df.sparkSession, offsets, "__pid int, __off long")
     return part, off, acc
 
 
@@ -165,7 +167,7 @@ def grouped_running_sum(df: DataFrame, group_col: str, order_cols: list,
     schema = (part.select("__pid", group_col).limit(0)
               .withColumn("__goff", F.lit(0).cast("long"))
               .withColumn("__gcnt", F.lit(0).cast("long")).schema)
-    off = df.sparkSession.createDataFrame(rows, schema)
+    off = local_df(df.sparkSession, rows, schema)
     wl = (Window.partitionBy("__pid", group_col).orderBy(*order_cols)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # eqNullSafe on the group key: a NULL group is a real partition in
@@ -241,7 +243,8 @@ def global_cumsum(df: DataFrame, order_cols: list, val_col: str,
         cacc += stats[pid][2]
     if not rows:
         rows = [(0, 0, 0, 0)]
-    off = df.sparkSession.createDataFrame(
+    off = local_df(
+        df.sparkSession,
         rows, "__pid int, __noff long, __soff long, __coff long")
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
     wls = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -292,7 +295,8 @@ def global_suffix_max(df: DataFrame, order_col: str, val_col: str,
             suffix = m if suffix is None else max(suffix, m)
     if not rows:
         rows = [(0, None)]
-    off = df.sparkSession.createDataFrame(
+    off = local_df(
+        df.sparkSession,
         rows, "__pid int, __later long")
     wl = (Window.partitionBy("__pid").orderBy(order_col)
           .rangeBetween(1, Window.unboundedFollowing))

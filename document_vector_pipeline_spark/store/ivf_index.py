@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from document_vector_pipeline_spark.functions.hashing import md5_long
+from document_vector_pipeline_spark.functions.localrel import local_df
 from document_vector_pipeline_spark.functions.par import run_parallel
 from document_vector_pipeline_spark.functions.vectors import dot, l2_norm
 
@@ -337,7 +338,8 @@ class IVFIndex:
         fp = ((lambda c: opq_fixed_point(c, dim)) if rotate else None)
         cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp,
                          n_sub=n_sub, iters=cb_iters)
-        cb_df = self.spark.createDataFrame(
+        cb_df = local_df(
+            self.spark,
             [(i + 1, list(c)) for i, c in enumerate(cb)],
             "code int, c6 array<bigint>")
         cb_df.coalesce(1).write.mode("overwrite").parquet(self._codebook)
@@ -690,7 +692,8 @@ class IVFIndex:
         for qid, qd in raw.items():
             for cid in self._probe_ids(qd, nprobe):
                 probe_pairs.append((qid, cid))
-        probes = self.spark.createDataFrame(
+        probes = local_df(
+            self.spark,
             probe_pairs, "query_id long, centroid_id long")
         all_cells = sorted({c for _, c in probe_pairs})
         cells = (self._read_cells()
@@ -827,7 +830,8 @@ class IVFIndex:
             recs.append((r[0], qd, math.sqrt(sum(v * v for v in qd)),
                          self._probe_ids(qd, nprobe)))
         all_cells = sorted({c for _, _, _, ps in recs for c in ps})
-        qdf = self.spark.createDataFrame(
+        qdf = local_df(
+            self.spark,
             recs, "query_id long, __qv array<double>, __qnorm double, "
                   "__probes array<bigint>")
         cells = (self._read_cells()

@@ -72,6 +72,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from document_vector_pipeline_spark.functions.localrel import local_df
 from document_vector_pipeline_spark.functions.par import run_parallel
 from document_vector_pipeline_spark.operators import retrieval
 
@@ -429,7 +430,8 @@ class TextIndex:
         statistics commit atomically with the file set and cost zero
         jobs."""
         m = self._manifest_required()
-        return self.spark.createDataFrame(
+        return local_df(
+            self.spark,
             [(m["n_docs"], m["total_len"])], "n_docs long, total_len long")
 
     def search(self, query_terms: DataFrame, k: int = 10,
@@ -583,7 +585,8 @@ class TextIndex:
             lambda: [(r["query_id"], r["term"]) for r in
                      query_terms.select("query_id", "term").distinct()
                      .collect()])
-        df_frame = self.spark.createDataFrame(
+        df_frame = local_df(
+            self.spark,
             [(t, n) for t, n in live_df.items()] or
             [("", 0)], "term string, df long").filter(F.col("term") != "")
 
@@ -886,7 +889,8 @@ class TextIndex:
             elif r["qtype"] == "phrase":
                 for o, t in enumerate(r["value"].split()):
                     direct.append((r["query_id"], r["sub_id"], t, o))
-        members = self.spark.createDataFrame(
+        members = local_df(
+            self.spark,
             direct, "query_id long, sub_id long, term string, offset int")
         # dictionary rewrites: fuzzy (Levenshtein on vocab) and prefix
         vocab = self._dict_df().select("term").distinct()
@@ -971,7 +975,8 @@ class TextIndex:
                 .select("query_id", "doc_id").distinct())
         cand = (cand_must.unionByName(cand_should)
                 .join(excl, ["query_id", "doc_id"], "left_anti"))
-        scoring = self.spark.createDataFrame(
+        scoring = local_df(
+            self.spark,
             [(q, s) for (q, s), c in clause_of.items()
              if c != "must_not"], "query_id long, sub_id long")
         score_terms = (members.join(F.broadcast(scoring),

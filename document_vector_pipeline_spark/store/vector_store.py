@@ -31,6 +31,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from document_vector_pipeline_spark.functions.localrel import local_df
 from pyspark.sql import types as T
 
 from document_vector_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
@@ -171,8 +173,9 @@ class VectorStore:
         the buckets hosting the deleted urls are read back and rewritten."""
         if not self.exists() or not document_urls:
             return
-        urls = (self.spark.createDataFrame(
-                    [(u,) for u in document_urls], "document_url string")
+        urls = (local_df(self.spark,
+                         [(u,) for u in document_urls],
+                         "document_url string")
                 .withColumn("bucket", self._bucket(F.col("document_url"))))
         buckets = [r["bucket"] for r in urls.select("bucket").distinct().collect()]
         current = self.read().filter(F.col("bucket").isin(buckets))

@@ -480,7 +480,11 @@ class VersionedTable:
                 (lambda m: (m["version"], m["op"], len(m["dirs"]),
                             m["n_rows"]))(self._manifest(v))
                 for v in vs]
-        return self.spark.createDataFrame(
+        from document_vector_pipeline_spark.functions.localrel import (
+            local_df,
+        )
+        return local_df(
+            self.spark,
             rows, "version int, op string, n_dirs int, n_rows long")
 
     def clone_from(self, src: "VersionedTable",

@@ -88,8 +88,12 @@ class VersionedVectorStore:
     def delete_documents(self, document_urls: list[str]) -> int:
         """Snapshot delete of whole documents; returns the new version.
         Only the urls' hash buckets are read/rewritten."""
-        probe = self.spark.createDataFrame(
-            [(u,) for u in document_urls], "document_url string")
+        from document_vector_pipeline_spark.functions.localrel import (
+            local_df,
+        )
+        probe = local_df(self.spark,
+                         [(u,) for u in document_urls],
+                         "document_url string")
         bkts = [r[0] for r in probe.select(
             F.pmod(F.xxhash64("document_url"),
                    F.lit(self.cfg.store_buckets)).cast("int").alias("b"))

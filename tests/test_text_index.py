@@ -195,7 +195,7 @@ def test_hybrid_indexed_keyword_leg_skips_segments(spark, tmp_path):
         "doc_id long, text string"))
     segs = ti._seg_list()
     assert len(segs) == 3
-    survivors, _, _, _ = ti._wand_survivors(qt, k=3)
+    survivors, _, _, _, _ = ti._wand_survivors(qt, k=3)
     assert len(survivors) < len(segs)          # cold segments skipped
 
     vi = IVFIndex(spark, str(tmp_path / "sk_vi"), n_centroids=4)
@@ -1060,7 +1060,7 @@ def test_wand_search_skips_provably_cold_segments(spark, tmp_path):
         idx.upsert(cold)
     qt1 = spark.createDataFrame([(0, "needle")],
                                 "query_id long, term string")
-    survivors, _, _, _ = idx._wand_survivors(qt1, k=3)
+    survivors, _, _, _, _ = idx._wand_survivors(qt1, k=3)
     assert survivors == [0], survivors       # both cold segments skipped
     assert _sorted(idx.wand_search(qt1, k=3)) == _sorted(idx.search(qt1, k=3))
     # k large enough to need the cold docs -> they must come back
