@@ -194,18 +194,24 @@ def md5_long_seeded_col(col: Column, seed_col: Column) -> Column:
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 16,
-                      bands: int = 4, shingle_width: int = 3) -> DataFrame:
+                      bands: int = 4, shingle_width: int = 3,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
 
     Band key = md5 of the concatenated band slice of the signature; the
-    only shuffle is the equi-join on (band, key).
+    only shuffle is the equi-join on (band, key).  ``sigs`` injects an
+    already-materialized (id, sig) signature table — banding is the only
+    band-count-dependent step, so a sweep caller (lsh_tuning) computes
+    the signatures once and re-bands them per configuration.
     """
     rows = num_perm // bands
     # both join sides scan the banded frame; persist the signatures (one
     # small array per doc) so shingling + num_perm md5 passes run once.
-    sigs = _scoped_persist(
-        "minhash_sigs",
-        minhash_signatures(docs, id_col, text_col, num_perm, shingle_width))
+    if sigs is None:
+        sigs = _scoped_persist(
+            "minhash_sigs",
+            minhash_signatures(docs, id_col, text_col, num_perm,
+                               shingle_width))
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -1047,11 +1053,16 @@ def lsh_tuning(docs: DataFrame, id_col: str = "doc_id",
                                 width=width, threshold=threshold
                                 ).select("id_a", "id_b"
                                          ).localCheckpoint(eager=True)
+    # the signatures are band-count-independent — materialize them ONCE
+    # and re-band per sweep entry (the docstring's promise, now literal:
+    # previously each entry re-shingled + re-hashed the whole corpus)
+    sigs = (minhash_signatures(docs, id_col, text_col, num_perm, width)
+            .localCheckpoint(eager=True))
     out = None
     for b in bands_list:
         pred = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
                                  num_perm=num_perm, bands=b,
-                                 shingle_width=width
+                                 shingle_width=width, sigs=sigs
                                  ).localCheckpoint(eager=True)
         hit = pred.join(truth, ["id_a", "id_b"])
         row = (pred.agg(F.count("*").cast("long").alias("n_pred"))
@@ -1207,13 +1218,17 @@ def substring_stride_eval(docs: DataFrame, id_col: str = "doc_id",
     substring dedup at stride k) a measurement on YOUR corpus instead
     of a promise — the same ship-the-acceptance-metric contract as
     ann_recall / dedup_minhash_eval.  Exact integers throughout."""
-    exact = (substring_dup_stats(docs, id_col, text_col, width, 1)
-             .select(F.col(id_col),
-                     (F.col("dup_ppm") >= flag_ppm).alias("exact_flag"))
-             .localCheckpoint(eager=True))
+    # the stride=1 profile is BOTH the truth source and (when 1 is in
+    # the sweep) a sweep entry — materialize it once and reuse it for
+    # both roles instead of running the most expensive stride twice
+    exact_stats = (substring_dup_stats(docs, id_col, text_col, width, 1)
+                   .localCheckpoint(eager=True))
+    exact = exact_stats.select(
+        F.col(id_col), (F.col("dup_ppm") >= flag_ppm).alias("exact_flag"))
     out = None
     for s in sorted(strides):
-        st = substring_dup_stats(docs, id_col, text_col, width, s)
+        st = (exact_stats if s == 1 else
+              substring_dup_stats(docs, id_col, text_col, width, s))
         joined = st.join(exact, id_col)
         row = joined.agg(
             F.lit(s).cast("int").alias("stride"),

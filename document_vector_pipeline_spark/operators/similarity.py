@@ -374,18 +374,24 @@ def ivf_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
             n_centroids: int = 8, nprobe: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding",
             qid_col: str = "query_id", qvec_col: str = "query_vec",
-            id_filter=None, cents: DataFrame | None = None) -> DataFrame:
+            id_filter=None, cents: DataFrame | None = None,
+            assigned: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: search only the nprobe centroid cells closest to the
     query.  Recall < 1 by design.  ``id_filter`` is filtered-ANN
     semantics: the predicate cuts the assigned rows BEFORE scoring
     (centroids stay full-corpus — the filter changes candidacy, never
     assignment).  ``cents`` injects precomputed centroids (nsw_recall
-    shares one table across its two rungs)."""
+    shares one table across its two rungs).  ``assigned`` injects the
+    already-materialized (and already-id_filtered) assignment table —
+    the assignment is nprobe-independent, so a sweep caller
+    (ivf_tuning / ivf_filtered_tuning) pays the full-corpus assignment
+    scan once instead of once per probe count; requires ``cents``."""
     if cents is None:
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    if id_filter is not None:
-        assigned = assigned.filter(id_filter)
+    if assigned is None:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        if id_filter is not None:
+            assigned = assigned.filter(id_filter)
     q = _live_vectors(queries, qvec_col).select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("q"))
     qc = (q.join(F.broadcast(cents))
@@ -1256,10 +1262,18 @@ def ivf_tuning(corpus: DataFrame, queries: DataFrame, k: int = 10,
     construction — a built-in sanity row."""
     exact = (brute_force_topk(corpus, queries, k=k)
              .localCheckpoint(eager=True))
+    # centroids and the full-corpus assignment are nprobe-independent:
+    # materialize each ONCE and share across the sweep (previously every
+    # entry re-ran the assignment scan — the dominant cost)
+    cents = (ivf_centroids(corpus, n_centroids)
+             .localCheckpoint(eager=True))
+    assigned = (ivf_assign(corpus, cents)
+                .localCheckpoint(eager=True))
     out = None
     for np_ in nprobe_list:
         approx = ivf_ann(corpus, queries, k=k,
-                         n_centroids=n_centroids, nprobe=np_)
+                         n_centroids=n_centroids, nprobe=np_,
+                         cents=cents, assigned=assigned)
         hits = exact.alias("e").join(
             approx.alias("a"),
             (F.col("e.query_id") == F.col("a.query_id"))
@@ -1292,11 +1306,18 @@ def ivf_filtered_tuning(corpus: DataFrame, queries: DataFrame,
     allowed = corpus.filter(id_filter)
     exact = (brute_force_topk(allowed, queries, k=k)
              .localCheckpoint(eager=True))
+    # centroids stay full-corpus; the filtered assignment is
+    # nprobe-independent — materialize both ONCE for the sweep
+    cents = (ivf_centroids(corpus, n_centroids)
+             .localCheckpoint(eager=True))
+    assigned = (ivf_assign(corpus, cents).filter(id_filter)
+                .localCheckpoint(eager=True))
     out = None
     for np_ in nprobe_list:
         approx = ivf_ann(corpus, queries, k=k,
                          n_centroids=n_centroids, nprobe=np_,
-                         id_filter=id_filter)
+                         id_filter=id_filter,
+                         cents=cents, assigned=assigned)
         hits = exact.alias("e").join(
             approx.alias("a"),
             (F.col("e.query_id") == F.col("a.query_id"))
