@@ -1526,6 +1526,12 @@ def _lloyd_loop_frame(base: DataFrame,
     32 × 62-row tasks → 1).  On a 100 TB corpus rows/rows_per_task
     exceeds the partition count and this is a no-op — full scan
     parallelism is exactly right there.  Returns (frame, release)."""
+    # NOTE (r13): sizing before caching looks cheaper (one cache build)
+    # but regresses — coalesce(target) pulls the whole fixed-point
+    # transform into `target` tasks (serial compute), while the
+    # two-step form computes it cache-wide at full parallelism and only
+    # re-lays-out the cached bytes.  Measured: emb_kmeans 1.7 s (this
+    # form) vs 2.9 s (count-then-coalesce).  Keep the two-step form.
     cached = base.persist()
     n = cached.count()
     parts = cached.rdd.getNumPartitions()

@@ -713,9 +713,17 @@ class BucketedVersionedTable(VersionedTable):
     commit's cost is bounded by its affected buckets at any scale."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 bucket_col: str = "bucket"):
+                 bucket_col: str = "bucket", codec: str | None = None):
         super().__init__(spark, path)
         self.bucket_col = bucket_col
+        # per-table parquet codec override for data-dir writes (None =
+        # session default).  The embedding-carrying vector store passes
+        # "snappy": 1536-dim float arrays dominate its bytes and zstd
+        # spends ~2x the encode CPU for a few MB saved — the same
+        # tradeoff VectorStore._overwrite_buckets documents.  Readers
+        # are codec-agnostic (parquet footer metadata), so results are
+        # unchanged.
+        self.codec = codec
 
     @staticmethod
     def _bucket_of(d: str) -> str:
@@ -1210,7 +1218,10 @@ class BucketedVersionedTable(VersionedTable):
         if sort_key is not None:
             w = (w.withColumn("__ck", sort_key)
                  .sortWithinPartitions("__pb", "__ck").drop("__ck"))
-        (w.write
+        writer = w.write
+        if self.codec is not None:
+            writer = writer.option("compression", self.codec)
+        (writer
          .partitionBy("__pb").mode("overwrite")
          .parquet(f"{self.path}/{new_dir}"))
         fs, _ = self._fs()
@@ -1310,13 +1321,17 @@ class BucketedVersionedTable(VersionedTable):
         a self-overwrite, so no checkpoint), and all row accounting is
         metadata-only footer counts."""
         self._require_bucket(df)
-        df = df.localCheckpoint(eager=True)   # embeddings computed once
         if not self.versions():
+            # initial commit: the batch has exactly ONE consumer (the
+            # bucket write) — a checkpoint here would materialize the
+            # rows twice for nothing (row accounting is footer counts,
+            # schema_json is metadata)
             dirs = self._write_buckets(df, 0)
             return self._commit_dirs("upsert", dirs, self._count_dirs(dirs),
                                      schema_json=df.schema.json(),
                                      rebase={"base_version": None,
                                              "affected": None})
+        df = df.localCheckpoint(eager=True)   # embeddings computed once
         m = self._manifest(self.latest())
         affected = {str(r[0]) for r in
                     df.select(self.bucket_col).distinct().collect()}

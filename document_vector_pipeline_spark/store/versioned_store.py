@@ -58,8 +58,11 @@ class VersionedVectorStore:
         self.cfg = cfg
         # bucket-incremental commits: an upsert/delete rewrites only the
         # buckets its keys hash into; untouched bucket dirs are carried
-        # by reference into the new manifest (zero bytes moved)
-        self.vt = BucketedVersionedTable(spark, path, bucket_col="bucket")
+        # by reference into the new manifest (zero bytes moved).
+        # snappy codec: embedding float arrays dominate the bytes —
+        # the VectorStore._overwrite_buckets encode-CPU tradeoff
+        self.vt = BucketedVersionedTable(spark, path, bucket_col="bucket",
+                                         codec="snappy")
         # row-model normalization only; never reads or writes its path
         self._model = VectorStore(spark, path="<normalize-only>", cfg=cfg)
 
