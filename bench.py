@@ -1259,9 +1259,12 @@ def main() -> None:
     print(json.dumps(payload))
     # the driver persists only a ~2000-char tail of stdout, which
     # truncates most of the per-key dict — write the full record to its
-    # own artifact so round-over-round comparison covers EVERY key
-    with open(os.path.join(ROOT, "BENCH_KEYS.json"), "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+    # own artifact so round-over-round comparison covers EVERY key.
+    # Skipped under the dev-only key filter: a subset run must never
+    # clobber the full-suite ledger.
+    if not only:
+        with open(os.path.join(ROOT, "BENCH_KEYS.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
     spark.stop()
 
 
