@@ -1175,11 +1175,21 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
     tokenization differences (whitespace, punctuation).
 
     Every window position is hashed map-side (one md5 per char position,
-    HOF fold — no Python); the df aggregation and the flag join shuffle
-    (id, hash) pairs.  Docs shorter than ``width`` chars contribute one
-    whole-text window.  ``stride`` > 1 samples every k-th position — the
-    k× cheaper approximation the 100 TB deployment runs (a duplicated
-    span ≥ width+stride chars still collides); stride=1 is exact."""
+    HOF fold — no Python).  Docs shorter than ``width`` chars contribute
+    one whole-text window.  ``stride`` > 1 samples every k-th position —
+    the k× cheaper approximation the 100 TB deployment runs (a duplicated
+    span ≥ width+stride chars still collides); stride=1 is exact.
+
+    Plan shape: ONE hash-partitioning exchange on the window hash serves
+    everything downstream — the per-(hash, doc) multiplicity aggregate,
+    the distinct-doc df aggregate and the flag join are all clustered by
+    ``h``, so the (id, hash) pair stream is hashed once and shuffled once
+    (the previous form computed the explode+md5 twice — once under the
+    distinct, once under the join — and shuffled it twice).  Skew note:
+    a single window hash's partition share is bounded by its doc count,
+    so only a degenerate corpus (one boilerplate window in most docs)
+    concentrates this exchange; the per-doc reduction at the end is
+    map-side combined as before."""
     t = F.col(text_col)
     n = F.length(t)
     starts = (F.when(n >= width,
@@ -1189,15 +1199,20 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
     grams = bound(t, lambda tt: F.transform(
         starts, lambda s: F.substring(tt, s, width)))
     keyed = (docs.select(F.col(id_col), F.explode(grams).alias("g"))
-             .select(id_col, md5_long(F.col("g")).alias("h")))
+             .select(id_col, md5_long(F.col("g")).alias("h"))
+             .repartition(F.col("h")))
+    # per-(hash, doc) window multiplicity: no exchange (clustered by h)
+    per_doc_hash = (keyed.groupBy("h", id_col)
+                    .agg(F.count(F.lit(1)).cast("long").alias("__c")))
     # a window duplicated WITHIN one doc must not count as cross-doc
-    # reuse: df = distinct docs containing the hash
-    dfreq = (keyed.distinct().groupBy("h")
-             .agg(F.count("*").alias("df")))
-    flagged = keyed.join(dfreq, "h")
+    # reuse: df = distinct docs containing the hash (rows of the
+    # multiplicity aggregate) — again no exchange
+    dfreq = per_doc_hash.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    flagged = per_doc_hash.join(dfreq, "h")
     return (flagged.groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("n_windows"),
-                 F.count(F.when(F.col("df") >= 2, 1)).cast("long")
+            .agg(F.sum("__c").cast("long").alias("n_windows"),
+                 F.coalesce(F.sum(F.when(F.col("df") >= 2, F.col("__c"))),
+                            F.lit(0)).cast("long")
                   .alias("n_dup_windows"))
             .withColumn("dup_ppm",
                         F.expr("(1000000 * n_dup_windows) div n_windows"))

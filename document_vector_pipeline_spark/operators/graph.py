@@ -149,13 +149,16 @@ def label_propagation(edges: DataFrame, src: str = "id_a",
     round count is the only engine-portable stopping rule).
 
     Plan: per round ONE equi-join (neighbour labels), ONE (node,
-    label) groupBy (map-side combinable frequencies), ONE per-node
-    argmax window — the window partitions by node, so no task ever
-    sees more than one node's neighbour-label histogram regardless of
-    graph size.  Each round localCheckpoints (labels feed the next
-    round's join once, but the plan would otherwise nest a copy of
-    the upstream edge pipeline per round — the connected_components
-    lesson)."""
+    label) groupBy (map-side combinable frequencies), then the
+    per-node argmax as a second AGGREGATE — min over the
+    struct(-count, label) lexicographic order, identical winner to
+    the (c desc, lbl asc) rank-1 window row but map-side combinable
+    and sort-free (the window form paid an exchange + full sort and
+    shuffled every (node, label) histogram row; the aggregate ships
+    at most one candidate per node per map task).  Each round
+    localCheckpoints (labels feed the next round's join once, but
+    the plan would otherwise nest a copy of the upstream edge
+    pipeline per round — the connected_components lesson)."""
     sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
            .union(edges.select(F.col(dst).alias("n"),
                                F.col(src).alias("m")))
@@ -163,12 +166,14 @@ def label_propagation(edges: DataFrame, src: str = "id_a",
     labels = (sym.select("n").distinct()
               .select("n", F.col("n").alias("lbl"))
               .localCheckpoint(eager=True))
-    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(iterations):
         freq = (sym.join(labels.select(F.col("n").alias("m"), "lbl"), "m")
                 .groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c")))
-        new_labels = (freq.withColumn("rn", F.row_number().over(w))
-                      .filter(F.col("rn") == 1).select("n", "lbl")
+        new_labels = (freq.groupBy("n")
+                      .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                          F.col("lbl").alias("lbl")))
+                           .alias("__s"))
+                      .select("n", F.col("__s.lbl").alias("lbl"))
                       .localCheckpoint(eager=True))
         labels = new_labels
     sym.unpersist()

@@ -895,35 +895,40 @@ def events_mad_outliers(events: DataFrame,
     k = 4448 ≈ 3·1.4826·1000, all exact integer cents (cleared
     denominators, rank-selected medians, no interpolation).
 
-    Two rank selections + the reduction — each in TWO-PHASE per-group
-    form (plans/ranking.grouped_running_sum): both ranked frames are
-    the RAW events table and event types are a handful, so a
-    type-partitioned window would funnel the corpus through a few
-    tasks.  The per-type medians broadcast back as a tiny join."""
-    from document_vector_pipeline_spark.plans.ranking import (
-        grouped_running_sum)
+    Each rank-selected median is computed on the per-type DISTINCT-VALUE
+    histogram, not the raw frame: one map-side-combined (type, value)
+    count aggregate, then a running-sum window over the histogram picks
+    the value whose cumulative count first reaches floor((n+1)/2) — the
+    k-th order statistic with multiplicity, value-identical to ranking
+    the raw rows (the rank's event_id tie-break never changes WHICH
+    value holds rank k).  The windows run over histogram rows (bounded
+    by distinct cent values per type), so nothing funnels the raw
+    corpus through per-type tasks, and — unlike the previous two-phase
+    ranked form — no full-frame materialization or driver collect is
+    needed: the whole statistic is one lazy plan.  The per-type medians
+    broadcast back as a tiny join."""
+    from pyspark.sql import Window
 
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    e = events.select("event_type", "event_id", cents.alias("x"))
-    n_per = (e.groupBy("event_type")
-             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    e = events.select("event_type", cents.alias("x"))
 
     def median_of(df, order_col, out):
-        ranked = (grouped_running_sum(
-                      df.withColumn("__one", F.lit(1).cast("long")),
-                      "event_type",
-                      [F.col(order_col), F.col("event_id")],
-                      "__one", out="rk")
-                  .join(F.broadcast(n_per), "event_type"))
-        return (ranked
-                .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        h = (df.groupBy("event_type", order_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+        wcum = (Window.partitionBy("event_type").orderBy(order_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wall = Window.partitionBy("event_type")
+        k = F.floor((F.sum("__c").over(wall) + 1) / 2)
+        cum = F.sum("__c").over(wcum)
+        return (h.withColumn("__cum", cum).withColumn("__k", k)
+                .filter((F.col("__cum") >= F.col("__k"))
+                        & (F.col("__cum") - F.col("__c") < F.col("__k")))
                 .select("event_type", F.col(order_col).alias(out)))
 
     med = median_of(e, "x", "med")
     d = (e.join(F.broadcast(med), "event_type")
          .withColumn("dev", F.abs(F.col("x") - F.col("med"))))
-    mad = median_of(d.select("event_type", "event_id", "dev"),
-                    "dev", "mad")
+    mad = median_of(d.select("event_type", "dev"), "dev", "mad")
     flagged = (d.join(F.broadcast(mad), "event_type")
                .withColumn("is_out",
                            F.lit(1000) * F.col("dev")
