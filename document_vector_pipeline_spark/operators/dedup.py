@@ -1189,7 +1189,15 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
     a single window hash's partition share is bounded by its doc count,
     so only a degenerate corpus (one boilerplate window in most docs)
     concentrates this exchange; the per-doc reduction at the end is
-    map-side combined as before."""
+    map-side combined as before.
+
+    The window explode + per-window md5 is the CPU-dense map pass (one
+    hash per char position), so an under-partitioned scan — the single
+    unsplittable-file case — is fanned out first (§2.5); no-op at
+    production parallelism where the corpus arrives as many files."""
+    from document_vector_pipeline_spark.functions.par import fan_out
+
+    docs = fan_out(docs.select(id_col, text_col))
     t = F.col(text_col)
     n = F.length(t)
     starts = (F.when(n >= width,

@@ -260,19 +260,30 @@ def make_lsh_sig_udf(tables: int, planes: int, dim: int):
     @F.pandas_udf("array<string>")
     def sig_udf(vecs):
         import pandas as _pd
-        out = []
-        for v in vecs:
-            a = np.asarray(v, dtype=np.float64)     # float32 → exact
-            if a.size != h.shape[2]:
+        n = len(vecs)
+        if n == 0:
+            return _pd.Series([], dtype=object)
+        T, P, D = h.shape
+        V = np.empty((n, D), dtype=np.float64)      # float32 → exact
+        for i, v in enumerate(vecs):
+            a = np.asarray(v, dtype=np.float64)
+            if a.size != D:
                 raise ValueError(
                     f"lsh signature: vector dimension {a.size} != "
-                    f"configured dim {h.shape[2]}")
-            prods = a[None, None, :] * h            # (T, P, D)
-            dots = np.cumsum(prods, axis=2)[:, :, -1]
-            bits = dots > 0                          # (T, P)
-            out.append(["".join("1" if b else "0" for b in row)
-                        for row in bits])
-        return _pd.Series(out)
+                    f"configured dim {D}")
+            V[i] = a
+        # accumulate component-by-component: acc_d = acc_{d-1} + v_d·h_d
+        # is EXACTLY the left-associative IEEE order of the old per-row
+        # np.cumsum(...)[..., -1] (0.0 + x == x exactly), vectorized
+        # across the whole batch instead of a Python loop per row
+        dots = np.zeros((n, T, P), dtype=np.float64)
+        for d in range(D):
+            dots += V[:, d, None, None] * h[None, :, :, d]
+        bits = dots > 0                              # (n, T, P)
+        chars = np.where(bits, b"1", b"0").astype("S1")
+        strs = (np.ascontiguousarray(chars).view(f"S{P}")[:, :, 0]
+                .astype(f"U{P}"))                    # (n, T) of '01...' str
+        return _pd.Series(strs.tolist())
 
     return sig_udf
 

@@ -340,10 +340,15 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
     Plan: map-side explode of words then in-word pairs (no joins), one
     shuffle on the bounded pair key space (≤ alphabet², uniform), tiny
     global top-k.  The iterated trainer repeats this with the previous
-    merges applied; one exact iteration is the oracle-checkable unit."""
+    merges applied; one exact iteration is the oracle-checkable unit.
+    The per-char pair explode is the CPU-dense map pass — an
+    under-partitioned scan is fanned out first (§2.5; no-op at
+    production parallelism)."""
+    from document_vector_pipeline_spark.functions.par import fan_out
+
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda x: x != F.lit(""))
-    w = docs.select(F.explode(words).alias("w"))
+    w = fan_out(docs.select(text_col)).select(F.explode(words).alias("w"))
     starts = (F.when(F.length("w") >= 2,
                      F.sequence(F.lit(1), F.length("w") - 1))
               .otherwise(F.array().cast("array<int>")))

@@ -104,10 +104,14 @@ def _word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
     spaces ('hello' → ' h  e  l  l  o '), so a BPE merge applies as
     one literal replace.  One corpus scan, one word-keyed shuffle;
     checkpointed because every training/encoding iteration re-reads
-    it."""
+    it.  The tokenize+explode map pass is CPU-dense, so an
+    under-partitioned scan is fanned out first (§2.5; no-op at
+    production parallelism)."""
+    from document_vector_pipeline_spark.functions.par import fan_out
+
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda x: x != F.lit(""))
-    return (docs.select(F.explode(words).alias("w"))
+    return (fan_out(docs.select(text_col)).select(F.explode(words).alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .select(F.concat(F.lit(" "),
                              F.array_join(F.split(F.col("w"), ""), "  "),
@@ -345,10 +349,12 @@ def _plain_word_hist(docs: DataFrame, text_col: str) -> DataFrame:
     """(w, cnt): the plain corpus word histogram (house normalization —
     lower(trim) split on \\s+, empties dropped).  One corpus scan, one
     word-keyed shuffle; checkpointed because both training passes
-    re-read it."""
+    re-read it.  Fanned out like _word_histogram (§2.5)."""
+    from document_vector_pipeline_spark.functions.par import fan_out
+
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda x: x != F.lit(""))
-    return (docs.select(F.explode(words).alias("w"))
+    return (fan_out(docs.select(text_col)).select(F.explode(words).alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .localCheckpoint(eager=True))
 

@@ -30,6 +30,15 @@ def get_spark(app_name: str = "document_vector_pipeline_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the bucketed stores/indexes read 16-64 directory paths per
+        # scan; Spark's default parallelPartitionDiscovery.threshold=32
+        # turns each such read into a 64-task listing JOB (measured:
+        # ~0.3 s and a driver sync apiece, 70+ per bench run).  Listing
+        # ≤ 128 dirs driver-side is faster on ANY filesystem — the
+        # distributed path exists for thousands-of-partitions tables,
+        # which still exceed this threshold (env-overridable).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "128"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # long single-JVM sessions (bench sweeps, notebooks) accumulate

@@ -894,9 +894,12 @@ class TextIndex:
             direct, "query_id long, sub_id long, term string, offset int")
         # dictionary rewrites: fuzzy (Levenshtein on vocab) and prefix
         vocab = self._dict_df().select("term").distinct()
+        # leaf-type presence is known from the collected batch — no
+        # Spark probe jobs (three take(1) actions saved per call)
+        qtypes = {r["qtype"] for r in struct}
         fz = sq.filter(F.col("qtype") == "fuzzy").select(
             "query_id", "sub_id", F.col("value").alias("qterm"))
-        if fz.take(1):
+        if "fuzzy" in qtypes:
             cond = (F.levenshtein(F.col("term"), F.col("qterm"))
                     <= F.lit(max_edits))
             if prefix_len > 0:
@@ -909,7 +912,7 @@ class TextIndex:
                         F.lit(None).cast("int").alias("offset")))
         px = sq.filter(F.col("qtype") == "prefix").select(
             "query_id", "sub_id", F.col("value").alias("pfx"))
-        if px.take(1):
+        if "prefix" in qtypes:
             members = members.unionByName(
                 vocab.join(F.broadcast(px),
                            F.col("term").startswith(F.col("pfx")))
@@ -933,7 +936,7 @@ class TextIndex:
         hits = (live.join(F.broadcast(mem_np), "term")
                 .select("query_id", "sub_id", "doc_id").distinct())
         ph = members.filter(F.col("offset").isNotNull())
-        if ph.take(1):
+        if "phrase" in qtypes:
             need = (ph.groupBy("query_id", "sub_id")
                     .agg(F.countDistinct("offset").alias("n_off")))
             aligned = (live.select("doc_id", "term",
