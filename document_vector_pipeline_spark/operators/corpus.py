@@ -828,6 +828,11 @@ def dsir_weights(docs: DataFrame, target_cond: Column,
 
     if m < 2:
         raise ValueError("dsir_weights needs m >= 2 hash buckets")
+    from document_vector_pipeline_spark.functions.par import fan_out
+
+    # target_cond may reference arbitrary doc columns — fan out the full
+    # row (§2.5; the tokenize+hash explode below is the CPU-dense pass)
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), target_cond.alias("is_t"),
         F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),

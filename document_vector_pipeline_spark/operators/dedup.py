@@ -579,7 +579,8 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 def embedding_lsh_candidates(emb: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              planes: int = 8, tables: int = 16,
-                             dim: int = 64) -> DataFrame:
+                             dim: int = 64,
+                             sigs: DataFrame | None = None) -> DataFrame:
     """Bounded candidate pairs for embedding near-dup: vectors sharing a
     random-hyperplane signature in ≥1 of ``tables`` hash tables (the
     lsh_ann bucketing, similarity.py, turned from query-vs-corpus into a
@@ -596,17 +597,24 @@ def embedding_lsh_candidates(emb: DataFrame, id_col: str = "vec_id",
     the hot buckets a template-heavy corpus produces.  More tables ⇒
     recall up / candidates up; more planes ⇒ buckets tighter (recall
     down, precision up) — measured, not guessed, by
-    embedding_lsh_eval."""
+    embedding_lsh_eval.
+
+    ``sigs`` optionally injects a precomputed (id, t, sig) signature
+    frame (embedding_lsh_tuning derives every sweep entry's signatures
+    from ONE pass at the largest plane count — plane p's hyperplane is
+    independent of the total, so the planes-p signature is exactly the
+    first p characters of the planes-max one)."""
     from document_vector_pipeline_spark.operators.similarity import (
         _live_vectors,
         make_lsh_sig_udf,
     )
 
-    emb = _live_vectors(emb, vec_col)
-    sig_udf = make_lsh_sig_udf(tables, planes, dim)
-    sigs = (emb.select(F.col(id_col).alias("id"),
-                       F.posexplode(sig_udf(F.col(vec_col)))
-                       .alias("t", "sig")))
+    if sigs is None:
+        emb = _live_vectors(emb, vec_col)
+        sig_udf = make_lsh_sig_udf(tables, planes, dim)
+        sigs = (emb.select(F.col(id_col).alias("id"),
+                           F.posexplode(sig_udf(F.col(vec_col)))
+                           .alias("t", "sig")))
     a = sigs.select(F.col("id").alias("id_a"), "t", "sig")
     b = sigs.select(F.col("id").alias("id_b"), "t", "sig")
     return (a.join(b, ["t", "sig"])
@@ -712,18 +720,37 @@ def embedding_lsh_tuning(emb: DataFrame, id_col: str = "vec_id",
     how the production planes ≈ log₂(n/bucket-size) rule gets its
     constants before a 100 TB run (SURVEY §6 round-11 note).  The
     exact truth is computed ONCE (eager checkpoint — the expensive
-    operand); each configuration re-runs the same band join
+    operand), and so are the SIGNATURES: one Arrow pass at the largest
+    plane count, each sweep entry's band key derived as the first
+    ``planes`` characters (plane p's hyperplane does not depend on the
+    total, so the prefix IS the planes-p signature — bit-identical);
+    each configuration then runs the same band join
     embedding_lsh_candidates runs standalone."""
+    from document_vector_pipeline_spark.operators.similarity import (
+        _live_vectors,
+        make_lsh_sig_udf,
+    )
+
     truth = embedding_neardup_pairs(emb, id_col=id_col, vec_col=vec_col,
                                     threshold=threshold,
                                     n_blocks=n_blocks
                                     ).select("id_a", "id_b"
                                              ).localCheckpoint(eager=True)
+    p_max = max(planes_list)
+    live = _live_vectors(emb, vec_col)
+    sig_udf = make_lsh_sig_udf(tables, p_max, dim)
+    sigs_max = (live.select(F.col(id_col).alias("id"),
+                            F.posexplode(sig_udf(F.col(vec_col)))
+                            .alias("t", "sig"))
+                .localCheckpoint(eager=True))
     out = None
     for planes in planes_list:
+        sigs_p = sigs_max.select(
+            "id", "t", F.substring("sig", 1, planes).alias("sig"))
         cand = embedding_lsh_candidates(emb, id_col=id_col,
                                         vec_col=vec_col, planes=planes,
-                                        tables=tables, dim=dim
+                                        tables=tables, dim=dim,
+                                        sigs=sigs_p
                                         ).localCheckpoint(eager=True)
         hit = cand.join(truth, ["id_a", "id_b"])
         row = (cand.agg(F.count("*").cast("long").alias("n_cand"))
@@ -1363,7 +1390,12 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     ints, per-pair count — no arrays travel).  No size prefilter is
     sound for containment (the super side is unbounded), so at 100 TB
     this runs on MinHash candidates like the exact Jaccard verifier.
-    """
+    The per-doc shingle md5+sort is the CPU-dense map pass — an
+    under-partitioned scan is fanned out first (§2.5; no-op at
+    production parallelism)."""
+    from document_vector_pipeline_spark.functions.par import fan_out
+
+    docs = fan_out(docs.select(id_col, text_col))
     sets = (docs.select(
         F.col(id_col).alias("id"),
         F.array_sort(F.transform(_shingles(F.col(text_col), width),

@@ -159,10 +159,14 @@ def label_propagation(edges: DataFrame, src: str = "id_a",
     localCheckpoints (labels feed the next round's join once, but
     the plan would otherwise nest a copy of the upstream edge
     pipeline per round — the connected_components lesson)."""
+    # the edge table is joined on m EVERY round: cache it partitioned
+    # by m (one extra edge shuffle at build) so each round's join
+    # reuses the cached partitioning and only the node-sized label
+    # frame moves (§2.4 — the standard Pregel edge-partitioning)
     sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
            .union(edges.select(F.col(dst).alias("n"),
                                F.col(src).alias("m")))
-           .distinct().cache())
+           .distinct().repartition("m").cache())
     labels = (sym.select("n").distinct()
               .select("n", F.col("n").alias("lbl"))
               .localCheckpoint(eager=True))

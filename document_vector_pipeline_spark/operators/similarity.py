@@ -532,11 +532,10 @@ def _pq_lloyd(vdf: DataFrame, cb: list[list[int]], n_sub: int,
     n_rows = cached.count()
     parts = cached.rdd.getNumPartitions()
     target = max(1, min(parts, -(-n_rows // 50_000)))
+    base_cache = cached
     if target < parts:
-        looped = cached.coalesce(target).persist()
-        looped.count()
-        cached.unpersist()
-        cached = looped
+        # lazy re-layout of cached blocks (see _lloyd_loop_frame)
+        cached = base_cache.coalesce(target)
     try:
         for _ in range(iters):
             Cb = C.copy()
@@ -582,7 +581,7 @@ def _pq_lloyd(vdf: DataFrame, cb: list[list[int]], n_sub: int,
                         C[c - 1, m * sub + p] = _div_half_away(
                             *got[(m, c, p)])
     finally:
-        cached.unpersist()
+        base_cache.unpersist()
     return [[int(x) for x in row] for row in C]
 
 
@@ -1542,20 +1541,16 @@ def _lloyd_loop_frame(base: DataFrame,
     # transform into `target` tasks (serial compute), while the
     # two-step form computes it cache-wide at full parallelism and only
     # re-lays-out the cached bytes.  Measured: emb_kmeans 1.7 s (this
-    # form) vs 2.9 s (count-then-coalesce).  Keep the two-step form.
+    # form) vs 2.9 s (count-then-coalesce).  The re-layout itself is
+    # LAZY (coalesce over the cached scan — a narrow merge of cached
+    # blocks per round) rather than a second persist+count: one fewer
+    # materialization job and no duplicate cache copy per call.
     cached = base.persist()
     n = cached.count()
     parts = cached.rdd.getNumPartitions()
     target = max(1, min(parts, -(-n // rows_per_task)))
     if target < parts:
-        looped = cached.coalesce(target).persist()
-        looped.count()
-        cached.unpersist()
-
-        def release():
-            looped.unpersist()
-
-        return looped, release
+        return cached.coalesce(target), cached.unpersist
     return cached, cached.unpersist
 
 

@@ -203,13 +203,21 @@ def collocations(docs: DataFrame, id_col: str = "doc_id",
     broadcast single-row joins; the final rank is over the
     min_count-filtered pair table (vocab², not corpus, sized).  n_tok²
     stays in int64 up to ~3e9 tokens per partition-group — beyond that,
-    rescale to per-shard lifts or drop the ×1000 to centi-units."""
+    rescale to per-shard lifts or drop the ×1000 to centi-units.
+
+    The corpus totals are derived from the count tables (Σc over the
+    unigram/pair histograms ≡ the exploded row count — exact integers),
+    so the tokenize pass runs once per explode (2×), not once per
+    consumer (4×); an under-partitioned scan fans out first (§2.5,
+    no-op at production parallelism)."""
+    from document_vector_pipeline_spark.functions.par import fan_out
+
     words_expr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                           lambda w: w != F.lit(""))
-    t = docs.select(words_expr.alias("w"))
+    t = fan_out(docs.select(text_col)).select(words_expr.alias("w"))
     uni = t.select(F.explode("w").alias("word"))
     ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    tot = ucnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_tok"))
 
     idx = (F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1))
            .otherwise(F.array().cast("array<int>")))
@@ -218,7 +226,7 @@ def collocations(docs: DataFrame, id_col: str = "doc_id",
         F.element_at("w", (i + F.lit(1)).cast("int")).alias("w2")))
     pairs = t.select(F.explode(pair).alias("p")).select("p.w1", "p.w2")
     bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
-    nbi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    nbi = bcnt.agg(F.coalesce(F.sum("c_xy"), F.lit(0)).alias("n_bi"))
 
     joined = (bcnt.filter(F.col("c_xy") >= min_count)
               .join(ucnt.select(F.col("word").alias("w1"),
