@@ -1268,15 +1268,23 @@ class TextIndex:
         file is touched; the manifest write is the last step."""
         # a duplicated id in the batch would write two live posting sets
         # for one document (df/stats double-counted, dl nondeterministic
-        # via F.first) — refuse it up front; the check is one action
-        # over the batch-sized frame, never the index
-        if (docs.groupBy(F.col(id_col).cast("long")).count()
-                .filter(F.col("count") > 1).limit(1).count()):
-            raise ValueError("upsert batch contains duplicate id rows")
+        # via F.first) — refuse it before anything is WRITTEN; the check
+        # is one action over the batch-sized frame, never the index, and
+        # it overlaps the tf checkpoint (§2.6 — both only read the
+        # batch; localCheckpoint caches, it writes no index state, so a
+        # failed check still aborts before any segment/manifest write)
         m = self._manifest_required()
         seg = m["segments"][-1] + 1
-        new_tf = self._tf_of(docs, id_col, text_col)\
-            .localCheckpoint(eager=True)
+
+        def dup_check():
+            if (docs.groupBy(F.col(id_col).cast("long")).count()
+                    .filter(F.col("count") > 1).limit(1).count()):
+                raise ValueError("upsert batch contains duplicate id rows")
+
+        _, new_tf = run_parallel(
+            dup_check,
+            lambda: self._tf_of(docs, id_col, text_col)
+            .localCheckpoint(eager=True))
         new_dl = self._doclens_from_tf(docs, id_col, new_tf)\
             .localCheckpoint(eager=True)
         old = self._old_live(new_dl.select("doc_id").distinct())
