@@ -139,6 +139,28 @@ def test_embedding_lsh_pairs_subset_of_exact_and_verified(spark):
     assert [(r.id_a, r.id_b, r.cos) for r in got] == [(1, 2, 1.0)]
 
 
+def test_embedding_lsh_tuning_prefix_sigs_match_standalone(spark):
+    """The tuning sweep derives each entry's band key as the first
+    ``planes`` characters of ONE max-planes signature pass (round-13
+    batch 8).  Plane p's hyperplane does not depend on the total plane
+    count, so every sweep row must equal the standalone eval — which
+    computes its own full signatures at that plane count — exactly."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    tun = {r["planes"]: r for r in
+           D.embedding_lsh_tuning(emb, threshold=0.35,
+                                  planes_list=(2, 4, 6),
+                                  tables=8).collect()}
+    assert set(tun) == {2, 4, 6}
+    for p in (2, 4, 6):
+        ev = D.embedding_lsh_eval(emb, threshold=0.35, planes=p,
+                                  tables=8, dim=64).collect()[0]
+        got = tun[p]
+        assert (got["n_cand"], got["n_true"], got["n_hit"],
+                got["precision_milli"], got["recall_milli"]) == \
+               (ev["n_cand"], ev["n_true"], ev["n_hit"],
+                ev["precision_milli"], ev["recall_milli"]), f"planes={p}"
+
+
 def test_embedding_lsh_eval_metric_consistent(spark):
     """n_hit == the production path's emitted pair count; milli metrics
     are the exact integer ratios; empty corpus yields the typed zero
