@@ -650,12 +650,18 @@ def source_vocab_similarity(docs: DataFrame, source_col: str = "source",
     self-equi-join on the term hash (df-bounded fan-out per term: at most
     n_sources² pairs per term), and a sources²-row output.  The exact
     |V| sizes ride the same distinct."""
+    # materialize the per-source vocabulary ONCE (vocab-sized, two
+    # narrow columns): it feeds BOTH sides of the self-join and the
+    # size aggregate, and without the checkpoint the corpus tokenize +
+    # md5 pass (the dominant CPU of this query) re-runs per consumer —
+    # AQE exchange reuse does not cover the differently-keyed
+    # re-shuffles (§1.2: don't recompute what you already computed)
     v = (docs.select(F.col(source_col).alias("src"),
                      F.explode(F.filter(
                          F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                          lambda w: w != F.lit(""))).alias("term"))
          .select("src", md5_long(F.col("term")).alias("h"))
-         .distinct())
+         .distinct().localCheckpoint(eager=True))
     sizes = v.groupBy("src").agg(F.count("*").alias("nv"))
     inter = (v.alias("a").join(v.alias("b"),
                                (F.col("a.h") == F.col("b.h"))

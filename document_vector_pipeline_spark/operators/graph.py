@@ -28,10 +28,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # sym is re-scanned every round (labels init + each iteration's join);
     # without a cache the whole upstream pair pipeline (e.g. MinHash-LSH)
     # would recompute per round.
+    # cached PARTITIONED BY the per-round join key m (§2.4, the
+    # label_propagation edge-partitioning): when the label frame
+    # outgrows the broadcast threshold — the 100 TB regime — each
+    # round's join reuses the cached layout and only the node-sized
+    # label frame moves (measured neutral-to-positive at bench scale).
     sym = (edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
            .union(edges.select(F.col(dst).alias("n"),
                                F.col(src).alias("m"))))
-    sym = sym.cache()
+    sym = sym.repartition("m").cache()
     labels = (sym.select("n", F.least("n", "m").alias("lbl"))
               .groupBy("n").agg(F.min("lbl").alias("lbl"))
               .cache())

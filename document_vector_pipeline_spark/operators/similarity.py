@@ -621,11 +621,13 @@ def make_wht_rotate_udf(dim: int):
     @F.pandas_udf("array<long>")
     def rot_udf(v6s):
         import pandas as _pd
-        out = []
-        for v in v6s:
-            a = np.asarray(v, dtype=np.int64)
-            out.append([int(x) for x in a @ S])
-        return _pd.Series(out)
+        n = len(v6s)
+        if n == 0:
+            return _pd.Series([], dtype=object)
+        A = np.stack([np.asarray(v6s.iloc[i], dtype=np.int64)
+                      for i in range(n)])
+        R = A @ S
+        return _pd.Series([[int(x) for x in R[i]] for i in range(n)])
 
     return rot_udf
 
@@ -663,27 +665,90 @@ def np_fixed_point_fn():
     return fp
 
 
+def np_fixed_point_2d_fn():
+    """Batched (B, dim) twin of ``np_fixed_point_fn`` — BIT-IDENTICAL
+    per row: the same elementwise IEEE ops applied over axis 1
+    (cumsum along the row replays the left-assoc sum of squares,
+    np.sqrt and math.sqrt are both correctly rounded, the scalar
+    divide broadcasts per row), and the rare half-tie entries
+    re-round through the same Decimal(repr) path.  One numpy pass
+    per Arrow batch instead of one per row (§4.2)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def fp2(A) -> "np.ndarray":
+        A = np.asarray(A, dtype=np.float64)
+        if A.size == 0:
+            return A.astype(np.int64)
+        nrm = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        denom = np.where(nrm == 0.0, 1.0, nrm)
+        T = A / denom[:, None] * 1e6
+        absd = np.abs(T)
+        flo = np.floor(absd)
+        out = np.sign(T) * np.floor(absd + 0.5)
+        for r, c in zip(*np.nonzero(np.abs(absd - flo - 0.5) < 1e-9)):
+            out[r, c] = float(Decimal(repr(float(T[r, c])))
+                              .quantize(Decimal("1"),
+                                        rounding=ROUND_HALF_UP))
+        return out.astype(np.int64)
+
+    return fp2
+
+
+def pq_encode_codes_fn(cb, n_sub: int, sub: int):
+    """Batched PQ encoder shared by the scan-path score UDF and the
+    persisted index's encode: (B, dim) int64 fixed-point rows →
+    (B, n_sub) 0-BASED codes.  argmin's first-minimum rule on exact
+    int64 subspace L2 replays the struct(dist, code) lexicographic
+    min, so codes are bit-identical to the per-row fold.  Chunked so
+    the (chunk, n_codes, sub) distance tensor stays bounded for
+    256-code production codebooks."""
+    import numpy as np
+
+    cbm = np.asarray(cb, dtype=np.int64)
+
+    def encode(A) -> "np.ndarray":
+        n = len(A)
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            Cm = cbm[:, m * sub:(m + 1) * sub]
+            for s in range(0, n, 4096):
+                e = min(s + 4096, n)
+                d = A[s:e, None, m * sub:(m + 1) * sub] - Cm[None, :, :]
+                codes[s:e, m] = (d * d).sum(axis=2).argmin(axis=1)
+        return codes
+
+    return encode
+
+
 def make_opq_fixed_point_udf(dim: int):
     """FUSED Arrow OPQ preprocessing: raw float vector → fixed-point
-    normalize (np_fixed_point_fn) → integer WHT rotation, in ONE
+    normalize (np_fixed_point_2d_fn) → integer WHT rotation, in ONE
     pandas UDF.  Exists because composing the rotate UDF OVER the
     bound-form normalize EXPRESSION trips the Spark 4.1
     Python-UDF-extraction bug (see pq_fixed_point); fusing removes
-    the UDF-over-HOF composition and saves an Arrow round trip."""
+    the UDF-over-HOF composition and saves an Arrow round trip.
+    One batched normalize + one int64 matmul per Arrow batch (row r
+    of A @ S ≡ the per-row dot — integer sums are associative, no
+    rounding anywhere)."""
     import numpy as np
 
     S = np.array(wht_signs(dim), dtype=np.int64)
-    np_fp = np_fixed_point_fn()
+    fp2 = np_fixed_point_2d_fn()
 
     @F.pandas_udf("array<long>")
     def opq_fp_udf(vecs):
         import pandas as _pd
-        out = []
-        for v in vecs:
-            if v is None:
-                out.append(None)
-                continue
-            out.append([int(x) for x in np_fp(v) @ S])
+        n = len(vecs)
+        out = [None] * n
+        idx = [i for i in range(n) if vecs.iloc[i] is not None]
+        if idx:
+            A = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64)
+                          for i in idx])
+            R = fp2(A) @ S
+            for j, i in enumerate(idx):
+                out[i] = [int(x) for x in R[j]]
         return _pd.Series(out)
 
     return opq_fp_udf
@@ -725,25 +790,27 @@ def make_pq_score_udf(cb: list[list[int]], lut: dict, n_sub: int, sub: int):
     extraction bug (see pq_fixed_point)."""
     import numpy as np
 
-    cbm = np.array(cb, dtype=np.int64)              # (C, dim)
     qids = sorted(lut)
     # (Q, n_sub, C) lookup of integer dots
     lutm = np.array([lut[q] for q in qids], dtype=np.int64)
-    np_fp = np_fixed_point_fn()
+    fp2 = np_fixed_point_2d_fn()
+    encode = pq_encode_codes_fn(cb, n_sub, sub)
 
     @F.pandas_udf("array<long>")
     def score_udf(vs):
         import pandas as _pd
-        out = []
-        for v in vs:
-            a = np_fp(v)
-            codes = np.empty(n_sub, dtype=np.int64)
-            for m in range(n_sub):
-                d = a[m * sub:(m + 1) * sub] - cbm[:, m * sub:(m + 1) * sub]
-                codes[m] = np.argmin((d * d).sum(axis=1))
-            out.append([int(lutm[qi, np.arange(n_sub), codes].sum())
-                        for qi in range(len(qids))])
-        return _pd.Series(out)
+        n = len(vs)
+        if n == 0:
+            return _pd.Series([], dtype=object)
+        A = fp2(np.stack([np.asarray(vs.iloc[i], dtype=np.float64)
+                          for i in range(n)]))
+        codes = encode(A)
+        # (Q, B): Σ_m lut[q, m, codes[:, m]] — same integer gather-sum
+        # as the per-row form, one vectorized pass per subspace
+        isc = np.zeros((len(qids), n), dtype=np.int64)
+        for m in range(n_sub):
+            isc += lutm[:, m, codes[:, m]]
+        return _pd.Series([[int(x) for x in isc[:, i]] for i in range(n)])
 
     return score_udf
 
@@ -2096,8 +2163,16 @@ def nsw_greedy_search(adj, V, ids, entry, qv, beam):
     one-shot ``nsw_ann`` and the persisted ``store/nsw_index`` — the
     exact-twin contract requires ONE walker): exact int64 L2, ties on
     vec_id; returns the best ``beam`` visited nodes as sorted
-    (dist, vec_id, idx) tuples, entered at node ``entry``."""
+    (dist, vec_id, idx) tuples, entered at node ``entry``.
+
+    Per-task CPU shape (§4.2): a popped node's unvisited neighbors are
+    distanced in ONE vectorized numpy gather instead of one call per
+    neighbor, and the bounded best list is maintained by bisect.insort
+    instead of a full sort per insertion — the visited set, heap
+    contents and returned tuples are identical (exact int64 values,
+    unique (dist, vec_id) keys)."""
     import heapq
+    from bisect import insort
 
     d0 = int(((V[entry] - qv) ** 2).sum())
     cand = [(d0, ids[entry], entry)]
@@ -2107,14 +2182,16 @@ def nsw_greedy_search(adj, V, ids, entry, qv, beam):
         d, _tie, i = heapq.heappop(cand)
         if len(best) >= beam and d > best[-1][0]:
             break
-        for j in adj[i]:
-            if j in visited:
-                continue
-            visited.add(j)
-            dj = int(((V[j] - qv) ** 2).sum())
-            heapq.heappush(cand, (dj, ids[j], j))
-            best.append((dj, ids[j], j))
-            best.sort()
+        fresh = [j for j in adj[i]
+                 if j not in visited and not visited.add(j)]
+        if not fresh:
+            continue
+        D = V[fresh] - qv
+        ds = (D * D).sum(axis=1)
+        for t, j in enumerate(fresh):
+            tup = (int(ds[t]), ids[j], j)
+            heapq.heappush(cand, tup)
+            insort(best, tup)
             if len(best) > beam:
                 best.pop()
     return best

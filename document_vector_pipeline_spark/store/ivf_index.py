@@ -434,6 +434,17 @@ class IVFIndex:
         df = df.filter(F.col(vec_col).isNotNull())
         if ing["n_vec"] == 0:
             return  # batch was all vector-less rows; deletes done above
+        # right-size the batch for the Arrow stages (§2.5/§4.2): a
+        # maintenance batch arriving on a wide upstream layout (e.g. a
+        # 32-partition persisted corpus filtered to 1 k rows) would run
+        # assignment/encode/checkpoint as dozens of near-empty Python
+        # tasks whose fixed Arrow/worker latency dwarfs the work, and
+        # every downstream merge stage inherits the empty partitions.
+        # ~4k rows per task keeps the vectorized batches large; a big
+        # batch keeps its parallelism (cap = defaultParallelism).
+        par = self.spark.sparkContext.defaultParallelism
+        tgt = max(1, min(par, -(-int(ing["n_vec"]) // 4096)))
+        df = df.repartition(tgt)
         vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
         base = df.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"),
@@ -560,11 +571,19 @@ class IVFIndex:
         # session file-status cache can still list them — refresh so
         # the stats scan and the live-rows read see the real layout
         self.spark.catalog.refreshByPath(self._cells)
-        hottest = (self.cell_stats()
-                   .agg(F.max("fill_milli").alias("mx")).collect()[0]["mx"])
+        # ONE collect of the ≤ n_centroids per-cell counts answers both
+        # trigger questions (hottest fill + empty share) — this was two
+        # jobs (a cell_stats aggregate and a distinct count) over the
+        # same partition-column scan (§1.2).  Arithmetic replays
+        # cell_stats' fill_milli exactly: positive integer floor div.
+        per = (self._read_cells().select("centroid_id")
+               .groupBy("centroid_id")
+               .agg(F.count(F.lit(1)).alias("n")).collect())
         n_cents = len(self._centroid_rows())
-        observed = (self._read_cells()
-                    .select("centroid_id").distinct().count())
+        observed = len(per)
+        total = sum(r["n"] for r in per)
+        hottest = (max((1000 * r["n"] * observed) // total for r in per)
+                   if per and total else None)
         empty_milli = (1000 * (n_cents - observed)) // max(n_cents, 1)
         if ((hottest or 0) <= max_fill_milli
                 and empty_milli <= max_empty_milli):
@@ -614,34 +633,36 @@ class IVFIndex:
         import numpy as np
 
         from document_vector_pipeline_spark.operators.similarity import (
-            np_fixed_point_fn,
+            np_fixed_point_2d_fn,
+            pq_encode_codes_fn,
             wht_signs,
         )
 
         sub = dim // n_sub
-        cbm = np.array(cb, dtype=np.int64)
         S = np.array(wht_signs(dim), dtype=np.int64) if rotate else None
-        np_fp = np_fixed_point_fn()
+        fp2 = np_fixed_point_2d_fn()
+        enc = pq_encode_codes_fn(cb, n_sub, sub)
 
         # the encode UDF takes the RAW vector and replays the
         # fixed-point (+ optional rotation) in numpy — feeding it the
         # expression form would collapse into its input and trip the
-        # Spark 4.1 UDF-extraction bug (similarity.pq_fixed_point)
+        # Spark 4.1 UDF-extraction bug (similarity.pq_fixed_point).
+        # Batched across the Arrow batch (one normalize + one distance
+        # tensor per subspace instead of per-row numpy calls); codes
+        # bit-identical — exact int64 ops, argmin first-min tie rule.
         @F.pandas_udf("array<int>")
         def encode(vs):
             import pandas as pd
-            out = []
-            for v in vs:
-                a = np_fp(v)
-                if S is not None:
-                    a = a @ S
-                codes = []
-                for m in range(n_sub):
-                    d = (a[m * sub:(m + 1) * sub]
-                         - cbm[:, m * sub:(m + 1) * sub])
-                    codes.append(int(np.argmin((d * d).sum(axis=1))) + 1)
-                out.append(codes)
-            return pd.Series(out)
+            n = len(vs)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            A = fp2(np.stack([np.asarray(vs.iloc[i], dtype=np.float64)
+                              for i in range(n)]))
+            if S is not None:
+                A = A @ S
+            codes = enc(A) + 1
+            return pd.Series([[int(c) for c in codes[i]]
+                              for i in range(n)])
 
         return df.withColumn("pq_codes", encode(F.col("v")))
 

@@ -355,13 +355,18 @@ def _hnsw_level(h: int, cap: int = 6) -> int:
     return lv
 
 
-def _hnsw_search_layer(adj_l, V, ids, entries, qv, beam):
-    """Best-first beam over ONE layer's adjacency (``adj_l`` maps node
-    -> neighbor list at this layer; nodes absent from the layer have
-    no entry and are unreachable).  Same exact-int64-L2 / vec_id-tie
-    discipline as nsw_greedy_search, generalized to multiple entry
-    points (the descend hands down one, inserts may seed several)."""
+def _hnsw_search_layer(adj, lv, levels, V, ids, entries, qv, beam):
+    """Best-first beam over ONE layer: node i's neighbors at this
+    layer are ``adj[i][lv]`` (guarded by ``levels`` — nodes below the
+    layer are never linked on it, so they are unreachable exactly as
+    in the previous dict form, without the O(n) per-call dict build).
+    Same exact-int64-L2 / vec_id-tie discipline as nsw_greedy_search,
+    generalized to multiple entry points (the descend hands down one,
+    inserts may seed several); a popped node's unvisited neighbors
+    are distanced in one vectorized numpy gather (§4.2) — visited
+    set, heap contents and returned tuples are identical."""
     import heapq
+    from bisect import insort
 
     best = []
     cand = []
@@ -379,14 +384,17 @@ def _hnsw_search_layer(adj_l, V, ids, entries, qv, beam):
         d, _tie, i = heapq.heappop(cand)
         if len(best) >= beam and d > best[-1][0]:
             break
-        for j in adj_l.get(i, ()):
-            if j in visited:
-                continue
-            visited.add(j)
-            dj = int(((V[j] - qv) ** 2).sum())
-            heapq.heappush(cand, (dj, ids[j], j))
-            best.append((dj, ids[j], j))
-            best.sort()
+        nbrs = adj[i][lv] if levels[i] >= lv else ()
+        fresh = [j for j in nbrs
+                 if j not in visited and not visited.add(j)]
+        if not fresh:
+            continue
+        D = V[fresh] - qv
+        ds = (D * D).sum(axis=1)
+        for t, j in enumerate(fresh):
+            tup = (int(ds[t]), ids[j], j)
+            heapq.heappush(cand, tup)
+            insort(best, tup)
             if len(best) > beam:
                 best.pop()
     return best
@@ -407,17 +415,17 @@ def hnsw_build(V, ids, levels, m_links, ef):
     entry, cur_max = 0, levels[0]
     for i in range(1, n):
         ep = [entry]
-        # phase 1: greedy descend (beam 1) through layers above ours
+        # phase 1: greedy descend (beam 1) through layers above ours.
+        # Node i is not yet linked anywhere, so direct adjacency access
+        # reaches exactly the nodes the old j<i dict reached.
         for lv in range(cur_max, levels[i], -1):
             found = _hnsw_search_layer(
-                {j: adj[j][lv] for j in range(i) if levels[j] >= lv},
-                V, ids, ep, V[i], 1)
+                adj, lv, levels, V, ids, ep, V[i], 1)
             ep = [found[0][2]]
         # phase 2: link on every layer we occupy, top-down
         for lv in range(min(levels[i], cur_max), -1, -1):
             found = _hnsw_search_layer(
-                {j: adj[j][lv] for j in range(i) if levels[j] >= lv},
-                V, ids, ep, V[i], ef)
+                adj, lv, levels, V, ids, ep, V[i], ef)
             for _d, _vid, j in found[:m_links]:
                 if j == i:
                     continue
@@ -435,15 +443,12 @@ def hnsw_search(adj, levels, entry, V, ids, qv, beam):
     query; returns nsw_greedy_search-shaped (dist, vec_id, idx)."""
     if entry is None:
         return []
-    n = len(ids)
     ep = [entry]
     for lv in range(levels[entry], 0, -1):
         found = _hnsw_search_layer(
-            {j: adj[j][lv] for j in range(n) if levels[j] >= lv},
-            V, ids, ep, qv, 1)
+            adj, lv, levels, V, ids, ep, qv, 1)
         ep = [found[0][2]]
-    return _hnsw_search_layer(
-        {j: adj[j][0] for j in range(n)}, V, ids, ep, qv, beam)
+    return _hnsw_search_layer(adj, 0, levels, V, ids, ep, qv, beam)
 
 
 class HNSWIndex(NSWIndex):

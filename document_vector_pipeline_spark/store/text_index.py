@@ -805,29 +805,31 @@ class TextIndex:
             tf = tf.localCheckpoint(eager=True)
         # live tf is unique per (doc_id, term), so the counts below are
         # exact term-presence counts
+        # ONE grouped aggregate answers every clause question per
+        # (query, doc) — distinct must terms hit (hits is unique per
+        # (query, doc, term), so a plain conditional count is exact),
+        # any should hit, any must_not hit — replacing the per-clause
+        # aggregates + union + anti-join of the previous form with a
+        # single exchange (§2.4).  Candidate set provably identical.
         hits = (tf.join(F.broadcast(clauses), "term")
                 .select("query_id", "doc_id", "clause"))
-        n_must = (clauses.filter(F.col("clause") == "must")
-                  .groupBy("query_id")
-                  .agg(F.countDistinct("term").alias("n_must")))
-        cand_must = (hits.filter(F.col("clause") == "must")
-                     .groupBy("query_id", "doc_id")
-                     .agg(F.count(F.lit(1)).alias("n_hit"))
-                     .join(F.broadcast(n_must), "query_id")
-                     .filter(F.col("n_hit") == F.col("n_must"))
-                     .select("query_id", "doc_id"))
-        no_must = (clauses.groupBy("query_id")
-                   .agg(F.sum(F.when(F.col("clause") == "must", 1)
-                              .otherwise(0)).alias("nm"))
-                   .filter(F.col("nm") == 0).select("query_id"))
-        cand_should = (hits.filter(F.col("clause") == "should")
-                       .join(F.broadcast(no_must), "query_id",
-                             "left_semi")
-                       .select("query_id", "doc_id").distinct())
-        excl = (hits.filter(F.col("clause") == "must_not")
-                .select("query_id", "doc_id").distinct())
-        cand = (cand_must.unionByName(cand_should)
-                .join(excl, ["query_id", "doc_id"], "left_anti"))
+        qual = (hits.groupBy("query_id", "doc_id")
+                .agg(F.count(F.when(F.col("clause") == "must", 1))
+                     .alias("n_hit"),
+                     F.max(F.when(F.col("clause") == "should", 1)
+                           .otherwise(0)).alias("sh"),
+                     F.max(F.when(F.col("clause") == "must_not", 1)
+                           .otherwise(0)).alias("ex")))
+        n_must = (clauses.groupBy("query_id")
+                  .agg(F.countDistinct(
+                      F.when(F.col("clause") == "must", F.col("term")))
+                      .alias("n_must")))
+        cand = (qual.join(F.broadcast(n_must), "query_id")
+                .filter((F.col("ex") == 0)
+                        & (F.when(F.col("n_must") > 0,
+                                  F.col("n_hit") == F.col("n_must"))
+                           .otherwise(F.col("sh") == 1)))
+                .select("query_id", "doc_id"))
         scoring = (clauses.filter(F.col("clause") != "must_not")
                    .select("query_id", "term").distinct())
         scored = (retrieval.score_tf(tf, scoring, self.stats())
@@ -930,11 +932,16 @@ class TextIndex:
             .select("doc_id", "term", "tf", "dl", "pos", "seg"))
         if checkpoint:
             live = live.localCheckpoint(eager=True)
-        # per-sub-query qualification -> (query_id, sub_id, doc_id)
+        # per-sub-query qualification -> (query_id, sub_id, doc_id).
+        # NO distinct here: the boolean algebra below reduces with
+        # countDistinct/max, which are duplicate-insensitive, so the
+        # dedup exchanges the previous form paid (hits distinct,
+        # phrase-hits distinct, three per-clause aggregates + a union
+        # + an anti-join) collapse into ONE grouped aggregate (§2.4).
         mem_np = members.filter(F.col("offset").isNull()) \
             .select("query_id", "sub_id", "term")
         hits = (live.join(F.broadcast(mem_np), "term")
-                .select("query_id", "sub_id", "doc_id").distinct())
+                .select("query_id", "sub_id", "doc_id"))
         ph = members.filter(F.col("offset").isNotNull())
         if "phrase" in qtypes:
             need = (ph.groupBy("query_id", "sub_id")
@@ -951,33 +958,34 @@ class TextIndex:
                        .agg(F.countDistinct("offset").alias("n"))
                        .join(F.broadcast(need), ["query_id", "sub_id"])
                        .filter(F.col("n") == F.col("n_off"))
-                       .select("query_id", "sub_id", "doc_id")
-                       .distinct())
+                       .select("query_id", "sub_id", "doc_id"))
             hits = hits.unionByName(ph_hits)
+        # one aggregate answers every clause question per (query, doc):
+        # distinct must sub-queries hit, any should hit, any must_not
+        # hit — provably the same candidate set as the per-clause
+        # frames (must: n_hit == n_must; no-must queries: >= 1 should;
+        # must_not excludes in all cases)
         h = hits.join(F.broadcast(sq.select("query_id", "sub_id",
                                             "clause")),
                       ["query_id", "sub_id"])
-        n_must = (sq.filter(F.col("clause") == "must")
-                  .groupBy("query_id")
-                  .agg(F.countDistinct("sub_id").alias("n_must")))
-        cand_must = (h.filter(F.col("clause") == "must")
-                     .groupBy("query_id", "doc_id")
-                     .agg(F.countDistinct("sub_id").alias("n_hit"))
-                     .join(F.broadcast(n_must), "query_id")
-                     .filter(F.col("n_hit") == F.col("n_must"))
-                     .select("query_id", "doc_id"))
-        no_must = (sq.groupBy("query_id")
-                   .agg(F.sum(F.when(F.col("clause") == "must", 1)
-                              .otherwise(0)).alias("nm"))
-                   .filter(F.col("nm") == 0).select("query_id"))
-        cand_should = (h.filter(F.col("clause") == "should")
-                       .join(F.broadcast(no_must), "query_id",
-                             "left_semi")
-                       .select("query_id", "doc_id").distinct())
-        excl = (h.filter(F.col("clause") == "must_not")
-                .select("query_id", "doc_id").distinct())
-        cand = (cand_must.unionByName(cand_should)
-                .join(excl, ["query_id", "doc_id"], "left_anti"))
+        qual = (h.groupBy("query_id", "doc_id")
+                .agg(F.countDistinct(
+                        F.when(F.col("clause") == "must",
+                               F.col("sub_id"))).alias("n_hit"),
+                     F.max(F.when(F.col("clause") == "should", 1)
+                           .otherwise(0)).alias("sh"),
+                     F.max(F.when(F.col("clause") == "must_not", 1)
+                           .otherwise(0)).alias("ex")))
+        n_must = (sq.groupBy("query_id")
+                  .agg(F.countDistinct(
+                      F.when(F.col("clause") == "must",
+                             F.col("sub_id"))).alias("n_must")))
+        cand = (qual.join(F.broadcast(n_must), "query_id")
+                .filter((F.col("ex") == 0)
+                        & (F.when(F.col("n_must") > 0,
+                                  F.col("n_hit") == F.col("n_must"))
+                           .otherwise(F.col("sh") == 1)))
+                .select("query_id", "doc_id"))
         scoring = local_df(
             self.spark,
             [(q, s) for (q, s), c in clause_of.items()
