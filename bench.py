@@ -758,12 +758,15 @@ def main() -> None:
     bench("stream_index_maintain", stream_maintain)
 
     def retrieval_eval_case():
-        text10 = retrieval.bm25_topk(docs, bm25_qt, k=10)
+        # one BM25 corpus pass (checkpointed) serves both the hybrid leg
+        # and the qrels prefix — mirrors the contract key's plan
+        text10 = (retrieval.bm25_topk(docs, bm25_qt, k=10)
+                  .localCheckpoint(eager=True))
         hybrid = retrieval.rrf_fuse(
             text10,
             similarity.brute_force_topk(
                 emb, qdf.filter(F.col("query_id") < 3), k=10), k=10)
-        qrels = (retrieval.bm25_topk(docs, bm25_qt, k=5)
+        qrels = (text10.filter(F.col("rank") <= 5)
                  .select("query_id", "doc_id",
                          (F.lit(6) - F.col("rank")).cast("long")
                          .alias("rel")))

@@ -1857,13 +1857,19 @@ def q_retrieval_eval(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     terms = _bm25_query_df(spark)
-    text = retrieval.bm25_topk(docs, terms, k=10)
+    # ONE corpus BM25 pass serves both consumers (checkpointed): the
+    # top-5 qrels are exactly the rank<=5 prefix of the same
+    # deterministic top-10 ranking the hybrid leg fuses — previously a
+    # second full bm25_topk scan re-tokenized the corpus for them
+    # (§1.2; value-identical: row_number over one total order)
+    text = (retrieval.bm25_topk(docs, terms, k=10)
+            .localCheckpoint(eager=True))
     qv = (emb.filter(F.col("vec_id") < 3)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("query_vec")))
     hybrid = retrieval.rrf_fuse(
         text, similarity.brute_force_topk(emb, qv, k=10), k=10)
-    qrels = (retrieval.bm25_topk(docs, terms, k=5)
+    qrels = (text.filter(F.col("rank") <= 5)
              .select("query_id", "doc_id",
                      (F.lit(6) - F.col("rank")).cast("long").alias("rel")))
     return retrieval.ranking_eval(hybrid, qrels, k=10)

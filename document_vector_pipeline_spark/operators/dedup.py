@@ -158,9 +158,28 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         import hashlib as _hashlib
         import re as _re
 
+        import numpy as _np
         import pandas as _pd
 
         ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s, ASCII range
+        pres = [(str(i) + "|").encode() for i in range(num_perm)]
+        # shingle -> its num_perm seeded-md5 row, memoized per batch:
+        # corpus shingles are Zipfian (boilerplate repeats across docs),
+        # so each distinct shingle's num_perm md5s are paid ONCE per
+        # batch instead of once per occurrence (§4.2 — same integers,
+        # min over the same value multiset)
+        memo: dict = {}
+
+        def srow(s):
+            v = memo.get(s)
+            if v is None:
+                b = s.encode()
+                v = _np.fromiter(
+                    (int(_hashlib.md5(p + b).hexdigest()[:15], 16)
+                     for p in pres), dtype=_np.int64, count=num_perm)
+                memo[s] = v
+            return v
+
         out = []
         for t in texts:
             words = [w for w in ws.split((t or "").strip().lower()) if w]
@@ -172,13 +191,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
             else:
                 out.append([None] * num_perm)
                 continue
-            sig = []
-            for i in range(num_perm):
-                pre = (str(i) + "|").encode()
-                sig.append(min(
-                    int(_hashlib.md5(pre + s.encode()).hexdigest()[:15], 16)
-                    for s in shingles))
-            out.append(sig)
+            acc = _np.minimum.reduce([srow(s) for s in shingles])
+            out.append([int(x) for x in acc])
         return _pd.Series(out)
 
     return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"),

@@ -838,10 +838,30 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     end."""
     sub = dim // n_sub
     fp = fp or (lambda c: pq_fixed_point(c, dim))
-    if cb is None:
+    corpus = _live_vectors(corpus, vec_col)
+    v6df = None
+    if cb is None and use_udf:
+        # ONE fixed-point corpus pass serves seed cut, Lloyd training
+        # AND the scoring scan (previously the fp transform ran once
+        # into the training cache and AGAIN for scoring — §1.2).  The
+        # seed rows are the same n_codes smallest-md5 rows; fp is
+        # per-row deterministic, so transforming before the cut is
+        # value-identical, and the cut runs over materialized rows (no
+        # Arrow UDF inside TakeOrderedAndProject — the round-13
+        # constraint that motivated the seed-first order).
+        v6df = (corpus.select(
+                    F.col(id_col).alias("vec_id"),
+                    md5_long(F.col(id_col).cast("string")).alias("__h"),
+                    fp(F.col(vec_col)).alias("v6"))
+                .localCheckpoint(eager=True))
+        seeds = (v6df.orderBy("__h", "vec_id").limit(n_codes)
+                 .select("v6").collect())
+        cb = [list(r["v6"]) for r in seeds]
+        if cb and cb_iters > 0 and n_sub:
+            cb = _pq_lloyd(v6df.select("v6"), cb, n_sub, sub, cb_iters)
+    elif cb is None:
         cb = pq_codebook(corpus, n_codes, dim, id_col, vec_col, fp=fp,
                          n_sub=n_sub, iters=cb_iters)
-    corpus = _live_vectors(corpus, vec_col)
     q_rows = (_live_vectors(queries, qvec_col)
               .select(F.col(qid_col).alias("query_id"),
                       fp(F.col(qvec_col)).alias("q6"))
@@ -854,8 +874,9 @@ def pq_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            for m in range(n_sub)]
            for r in q_rows}
 
-    df = corpus.select(F.col(id_col).alias("vec_id"),
-                       fp(F.col(vec_col)).alias("v6"))
+    df = (v6df.select("vec_id", "v6") if v6df is not None
+          else corpus.select(F.col(id_col).alias("vec_id"),
+                             fp(F.col(vec_col)).alias("v6")))
     if use_udf:
         # fused Arrow encode + ADC score + map-side partial top-k: ONE
         # mapInPandas stage emits <= k rows per (batch, query), so the

@@ -243,11 +243,17 @@ class IVFIndex:
             self._write_idmap_from_cells()
 
     @staticmethod
-    def _assign_np(base: DataFrame, cent_rows) -> DataFrame:
+    def _assign_np(base: DataFrame, cent_rows, cb=None, n_sub: int = 8,
+                   rotate: bool = False) -> DataFrame:
         """Arrow twin of the argmin-fold assignment: per-centroid cosine
         via products + sequential cumsum (bit-identical IEEE order),
         py_round6_np for Round(_, 6), columns pre-sorted by centroid_id so
-        np.argmin's first-minimum rule replays the (−score, cid) order."""
+        np.argmin's first-minimum rule replays the (−score, cid) order.
+
+        With ``cb`` given, the SAME Arrow pass also emits ``pq_codes``
+        (the _with_pq_codes encode fused in — one Python boundary per
+        maintenance batch instead of two chained ones, §4; kernels and
+        codes bit-identical to the standalone encode)."""
         import numpy as np
 
         from document_vector_pipeline_spark.functions.vectors import (
@@ -257,6 +263,8 @@ class IVFIndex:
         id_type = base.schema["vec_id"].dataType.simpleString()
         schema = (f"vec_id {id_type}, v array<float>, vnorm double, "
                   "centroid_id long")
+        if cb is not None:
+            schema += ", pq_codes array<int>"
         if not cent_rows:
             # empty corpus → no centroids; typed-empty assignment
             return base.sparkSession.createDataFrame([], schema)
@@ -264,6 +272,18 @@ class IVFIndex:
                       for r in cent_rows], dtype=np.float64)
         cnorms = np.array([float(r["cnorm"]) for r in cent_rows])
         cids = np.array([int(r["centroid_id"]) for r in cent_rows])
+        if cb is not None:
+            from document_vector_pipeline_spark.operators.similarity import (
+                np_fixed_point_2d_fn,
+                pq_encode_codes_fn,
+                wht_signs,
+            )
+
+            dim = len(cb[0])
+            Srot = (np.array(wht_signs(dim), dtype=np.int64)
+                    if rotate else None)
+            fp2 = np_fixed_point_2d_fn()
+            enc = pq_encode_codes_fn(cb, n_sub, dim // n_sub)
 
         def run(batches):
             import pandas as pd
@@ -282,6 +302,13 @@ class IVFIndex:
                 best = cids[S.argmax(axis=1)]  # ties → first → lowest cid
                 out = pdf[["vec_id", "v", "vnorm"]].copy()
                 out["centroid_id"] = best
+                if cb is not None:
+                    A = fp2(V)
+                    if Srot is not None:
+                        A = A @ Srot
+                    codes = enc(A) + 1
+                    out["pq_codes"] = [[int(c) for c in row]
+                                       for row in codes]
                 yield out
 
         return base.mapInPandas(run, schema)
@@ -449,12 +476,14 @@ class IVFIndex:
         base = df.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"),
                          l2_norm(vd).alias("vnorm"))
-        assigned = self._assign_np(base, self._centroid_rows())
-        if self._fs_exists(self._codebook):
-            cb = self._read_codebook()
-            assigned = self._with_pq_codes(assigned, cb, n_sub,
-                                           len(cb[0]),
-                                           rotate=self._pq_rotate())
+        # assignment + (when PQ-augmented) code encode run FUSED in one
+        # Arrow pass — previously two chained Python stages per batch
+        cb = (self._read_codebook() if self._fs_exists(self._codebook)
+              else None)
+        assigned = self._assign_np(base, self._centroid_rows(), cb=cb,
+                                   n_sub=n_sub,
+                                   rotate=self._pq_rotate()
+                                   if cb is not None else False)
         # materialize once: reused for cell lists, both merges, both writes
         assigned = assigned.localCheckpoint(eager=True)
         ids = assigned.select("vec_id").distinct()

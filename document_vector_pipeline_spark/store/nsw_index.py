@@ -311,7 +311,11 @@ class NSWIndex:
             if cell in have:
                 continue
             rows = by_cell[cell]
-            seed = self.spark.createDataFrame(
+            from document_vector_pipeline_spark.functions.localrel import (
+                local_df,
+            )
+            seed = local_df(
+                self.spark,
                 [(0, rows[0]["vec_id"], [int(x) for x in rows[0]["v6"]],
                   [], int(cell))], self._graph_schema(id_type))
             # remaining rows of a fresh cell insert through the same
