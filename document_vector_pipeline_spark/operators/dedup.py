@@ -617,7 +617,10 @@ def embedding_lsh_candidates(emb: DataFrame, id_col: str = "vec_id",
     frame (embedding_lsh_tuning derives every sweep entry's signatures
     from ONE pass at the largest plane count — plane p's hyperplane is
     independent of the total, so the planes-p signature is exactly the
-    first p characters of the planes-max one)."""
+    first p characters of the planes-max one).  NOTE: with ``sigs``
+    injected, ``planes``/``tables``/``dim`` are IGNORED — the injected
+    frame already encodes them; a caller passing an inconsistent frame
+    gets that frame's candidates (round-13 ADVICE disclosure)."""
     from document_vector_pipeline_spark.operators.similarity import (
         _live_vectors,
         make_lsh_sig_udf,
@@ -745,6 +748,8 @@ def embedding_lsh_tuning(emb: DataFrame, id_col: str = "vec_id",
         make_lsh_sig_udf,
     )
 
+    if not planes_list:
+        raise ValueError("planes_list must be non-empty")
     truth = embedding_neardup_pairs(emb, id_col=id_col, vec_col=vec_col,
                                     threshold=threshold,
                                     n_blocks=n_blocks

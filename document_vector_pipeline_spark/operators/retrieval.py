@@ -65,7 +65,9 @@ def _cut_topk(scored: DataFrame, k: int, score_col: str,
 
 def bm25_scores(docs: DataFrame, query_terms: DataFrame,
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                tok: DataFrame | None = None,
+                stats: DataFrame | None = None) -> DataFrame:
     """Un-ranked BM25 scores per (query, document) — (query_id, doc_id,
     n_terms, score_micro); only documents matching >= 1 query term
     appear.  The scoring core shared by ``bm25_topk`` (document
@@ -93,14 +95,19 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame,
     # dump); CollapseProject keeps a non-cheap expression referenced
     # twice staged, so the tokenize runs once per document (guide §1.2:
     # don't compute things you throw away).  Value-identical.
-    tok = (docs.select(F.col(id_col).alias("doc_id"),
-                       _tokens(F.col(text_col)).alias("__toks"))
-           .select("doc_id",
-                   F.explode(F.col("__toks")).alias("term"),
-                   F.size(F.col("__toks")).alias("dl")))
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
+    # ``tok``/``stats`` are injectable so a multi-pass caller (bm25_prf)
+    # can feed every pass from ONE materialized token relation instead
+    # of re-tokenizing the corpus per pass
+    if tok is None:
+        tok = (docs.select(F.col(id_col).alias("doc_id"),
+                           _tokens(F.col(text_col)).alias("__toks"))
+               .select("doc_id",
+                       F.explode(F.col("__toks")).alias("term"),
+                       F.size(F.col("__toks")).alias("dl")))
+    if stats is None:
+        stats = docs.select(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
 
     # materialize the term-filtered tf table once: it feeds BOTH the df
     # aggregation and the scoring join, and without the checkpoint each
@@ -171,11 +178,14 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+              id_col: str = "doc_id", text_col: str = "text",
+              tok: DataFrame | None = None,
+              stats: DataFrame | None = None) -> DataFrame:
     """BM25 top-k documents per query — (query_id, doc_id, n_terms,
     score_micro, rank): ``bm25_scores`` fed through a map-side partial
     top-k cut into the per-query rank window."""
-    return rank_topk(bm25_scores(docs, query_terms, id_col, text_col), k)
+    return rank_topk(bm25_scores(docs, query_terms, id_col, text_col,
+                                 tok=tok, stats=stats), k)
 
 
 def bm25_passages(chunks: DataFrame, query_terms: DataFrame, k: int = 10,
@@ -255,17 +265,38 @@ def bm25_prf(docs: DataFrame, query_terms: DataFrame, k: int = 10,
     expansion weights (via its df aggregation) and the final scoring
     read that candidate-sized table.  Total corpus scans: pass-1
     scoring + one combined pass-2/weights scan — independent of m."""
-    # pass 1: feedback documents
-    fb = (bm25_topk(docs, query_terms, k=k_fb,
-                    id_col=id_col, text_col=text_col)
-          .select("query_id", "doc_id"))
-    # staged token array — same one-tokenize-per-document shape as
-    # bm25_scores (the inlined dl recomputed the regex per token)
+    # ONE regex tokenize pass serves the WHOLE two-pass flow: the
+    # exploded (doc_id, term, dl) relation is checkpointed once and
+    # feeds pass-1 scoring, the feedback tfs, the pass-2 tf relation
+    # AND total_len — the previous form re-ran the corpus tokenize for
+    # each (pass-1 tok, pass-1 stats, feedback tok, pass-2 tok, prf
+    # stats: five regex passes, §1.2).  Value-identical: every
+    # consumer reads the same exploded rows it used to derive itself.
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        _tokens(F.col(text_col)).alias("__toks"))
            .select("doc_id",
                    F.explode(F.col("__toks")).alias("term"),
-                   F.size(F.col("__toks")).alias("dl")))
+                   F.size(F.col("__toks")).alias("dl"))
+           .localCheckpoint(eager=True))
+    # stats WITHOUT a second tokenize: n_docs is a regex-free count;
+    # total_len = Σ per-doc dl over the token relation (docs absent
+    # from it are empty and add 0; the all-empty corpus keeps its
+    # exact 0 via the n_docs guard, the empty corpus stays NULL)
+    tl = (tok.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+          .agg(F.sum(F.col("dl").cast("long")).alias("__tl")))
+    stats = (docs.select(F.count(F.lit(1)).alias("n_docs"))
+             .crossJoin(tl)
+             .select("n_docs",
+                     F.when(F.col("n_docs") == 0,
+                            F.lit(None).cast("long"))
+                     .otherwise(F.coalesce(F.col("__tl"),
+                                           F.lit(0).cast("long")))
+                     .alias("total_len")))
+    # pass 1: feedback documents (scored off the shared token relation)
+    fb = (bm25_topk(docs, query_terms, k=k_fb,
+                    id_col=id_col, text_col=text_col,
+                    tok=tok, stats=stats)
+          .select("query_id", "doc_id"))
     # candidate expansion terms: per-query feedback term frequencies
     fb_tf = (tok.join(F.broadcast(fb), "doc_id")
              .groupBy("query_id", "term")
@@ -273,16 +304,14 @@ def bm25_prf(docs: DataFrame, query_terms: DataFrame, k: int = 10,
              .localCheckpoint(eager=True))
     all_terms = (query_terms.select("term")
                  .union(fb_tf.select("term")).distinct())
-    # ONE corpus scan builds the tf relation for original + candidate
-    # terms; it feeds the expansion df, the final df, and the scoring
+    # ONE token-relation scan builds the tf relation for original +
+    # candidate terms; it feeds the expansion df, the final df, and
+    # the scoring
     tf2 = (tok.join(F.broadcast(all_terms), "term", "left_semi")
            .groupBy("doc_id", "term")
            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
            .localCheckpoint(eager=True))
     df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_tokens(F.col(text_col)))).alias("total_len"))
     idf_micro = F.round(
         F.log((((F.lit(2.0) * (F.col("n_docs") - F.col("df"))) + F.lit(1.0))
                / ((F.lit(2.0) * F.col("df")) + F.lit(1.0))) + F.lit(1.0))

@@ -1289,10 +1289,23 @@ class TextIndex:
                     .filter(F.col("count") > 1).limit(1).count()):
                 raise ValueError("upsert batch contains duplicate id rows")
 
-        _, new_tf = run_parallel(
-            dup_check,
-            lambda: self._tf_of(docs, id_col, text_col)
-            .localCheckpoint(eager=True))
+        # a refused batch must not leak its tf checkpoint's cached
+        # blocks (round-13 ADVICE): capture the frame as it
+        # materializes so the except path can unpersist it
+        made: list = []
+
+        def tf_ck():
+            df = self._tf_of(docs, id_col, text_col)\
+                .localCheckpoint(eager=True)
+            made.append(df)
+            return df
+
+        try:
+            _, new_tf = run_parallel(dup_check, tf_ck)
+        except Exception:
+            for df in made:
+                df.unpersist()
+            raise
         new_dl = self._doclens_from_tf(docs, id_col, new_tf)\
             .localCheckpoint(eager=True)
         old = self._old_live(new_dl.select("doc_id").distinct())
